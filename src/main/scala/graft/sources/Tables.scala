@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch readers over the driver's parquet testdata.
+  *
+  * The reference engine's sources are Kafka + JDBC (see SURVEY.md §2.1
+  * S1-S3, citing reference `LogAnalysis.java:54-70,138-152`); the batch
+  * analog for this harness is parquet. All reads go through here so that:
+  *
+  *   - `events.ts` (parquet INT64 TIMESTAMP(NANOS)) is normalized: Spark
+  *     4.x refuses nano timestamps unless
+  *     `spark.sql.legacy.parquet.nanosAsLong=true`, so we set that conf at
+  *     runtime and rebuild a micro-precision timestamp from the raw longs.
+  *   - Column pruning / predicate pushdown stay effective: we return the
+  *     raw scan and let Catalyst prune (no eager .cache, no select(*) with
+  *     extra derived columns except the ts fix).
+  *
+  * At cluster scale the same normalization is a cheap projection over the
+  * vectorized parquet reader — no shuffle, fully codegen'd.
+  */
+object Tables {
+
+  /** Set once per session; dynamic SQL conf, safe to set repeatedly. */
+  private def enableNanoReads(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    enableNanoReads(spark)
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events")
+      // ts arrives as LongType (nanos since epoch) under nanosAsLong;
+      // truncate to micros. Integer division on non-negative values.
+      df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    else df
+  }
+
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}
