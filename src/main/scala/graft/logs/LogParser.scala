@@ -45,29 +45,19 @@ object LogParser {
     */
   val DateFormat = "dd/MMM/yyyy:HH:mm:ss"
 
-  private def grp(line: Column, i: Int): Column =
-    // regexp_extract returns "" both for a no-match and for an empty
-    // capture; the rlike guard upstream distinguishes real no-matches.
-    regexp_extract(line, LogRegex, i)
-
   /** P1 — record parse. Adds the 9 `AccessLogRecord` fields
     * (`AccessLogRecord.java:17-27`); all null when the line doesn't match
     * (the reference maps those to null records, `LogParse.java:50-56`).
+    *
+    * Uses the native one-pass [[graft.functions.ParseCombinedLog]]
+    * expression (one regex match per line; the composed-builtins
+    * alternative costs ~10 full matches and bloats codegen).
     */
   def parseRecord(lines: DataFrame, lineCol: String = "line"): DataFrame = {
-    val line = col(lineCol)
-    val ok = line.isNotNull && line.rlike(LogRegex)
-    def f(i: Int): Column = when(ok, grp(line, i))
-    lines
-      .withColumn("client_ip", f(1))
-      .withColumn("client_identity", f(2))
-      .withColumn("remote_user", f(3))
-      .withColumn("date_time", f(4))
-      .withColumn("request", f(5))
-      .withColumn("http_status", f(6))
-      .withColumn("bytes_sent", f(7))
-      .withColumn("referer", f(8))
-      .withColumn("user_agent", f(9))
+    val parsed = lines.withColumn("_rec", graft.functions.GraftFunctions.parse_log(col(lineCol)))
+    graft.functions.ParseCombinedLog.fieldNames
+      .foldLeft(parsed)((df, f) => df.withColumn(f, col("_rec").getField(f)))
+      .drop("_rec")
   }
 
   /** P2 — drop lines the regex rejected (`LogAnalysis.java:308-313`). */

@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ catalyst Expression bridge.
+  *
+  * Spark 4 wraps columns in `ColumnNode`s; the converters live in
+  * `org.apache.spark.sql.classic.ExpressionUtils`, which is
+  * `private[sql]`. This shim (the standard extension-library pattern:
+  * a tiny object inside the `org.apache.spark.sql` namespace) re-exports
+  * just the two conversions graft's native expressions need.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
