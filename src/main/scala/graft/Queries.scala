@@ -75,4 +75,216 @@ object Queries {
         round(avg(col("l_discount")), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Q1/Q5: selective filter + projection — both must reach the parquet
+    * scan (PushedFilters / pruned ReadSchema in the explain output).
+    */
+  def filterProject(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") > 45 && col("l_discount") > 0.07)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Q3-analog: star join — orders (fact) against customer/nation/region
+    * dims, all three broadcast; one shuffle for the final group-by.
+    */
+  def joinBroadcast(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** Big-big equi join (lineitem ⋈ orders): shuffle/sort-merge territory —
+    * at 100 TB both sides hash-partition on the key; AQE may still pick
+    * broadcast at small SF, which is the right call there.
+    */
+  def joinShuffle(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("line_count"), round(sum(col("l_extendedprice")), 2).as("total_price"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Left-semi join (EXISTS): customers having at least one open order. */
+  def semiJoin(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(
+        Tables.orders(spark, sfDir).filter(col("o_orderstatus") === "O"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+
+  /** Left-anti join (NOT EXISTS): customers with no high-value order
+    * (unfiltered anti-join is vacuous on this data — every customer has
+    * at least one order).
+    */
+  def antiJoin(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(
+        Tables.orders(spark, sfDir).filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"), round(sum(col("c_acctbal")), 2).as("acctbal_sum"))
+      .orderBy(col("c_mktsegment"))
+
+  /** Left-outer join preserving order-less customers (count(key)=0). */
+  def outerJoin(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spent"))
+      .orderBy(col("c_custkey"))
+
+  /** Q4: top-k — agg then `TakeOrderedAndProject` (no global sort). */
+  def topK(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"), count(lit(1)).as("n_orders"))
+      .join(broadcast(Tables.customer(spark, sfDir)), col("o_custkey") === col("c_custkey"))
+      .select(col("o_custkey").as("custkey"), col("c_name"), col("revenue"), col("n_orders"))
+      .orderBy(col("revenue").desc, col("custkey"))
+      .limit(10)
+
+  /** Window functions: row_number/rank/dense_rank/lag/lead + running sum
+    * over a per-customer frame (deterministic tie-break in the order spec).
+    */
+  def windowFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") < 50)
+      .select(
+        col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
+        round(lead(col("o_totalprice"), 1).over(w), 2).as("next_price"),
+        round(sum(col("o_totalprice")).over(wRun), 2).as("running_total"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Grouping sets via ROLLUP (subtotal + grand-total rows). */
+  def rollupAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .rollup(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"), round(sum(col("c_acctbal")), 2).as("acctbal_sum"))
+      .orderBy(
+        col("c_mktsegment").asc_nulls_first,
+        col("c_nationkey").asc_nulls_first)
+
+  /** CUBE over two dims of lineitem. */
+  def cubeAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_lines"), round(sum(col("l_quantity")), 2).as("qty_sum"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Distinct aggregates (expand-based multi-distinct). */
+  def distinctAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("l_returnflag"))
+
+  /** Set op: UNION (distinct) of two key sets. */
+  def setUnion(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir).filter(col("c_acctbal") > 7000).select(col("c_custkey").as("k"))
+      .union(Tables.orders(spark, sfDir).filter(col("o_totalprice") > 400000).select(col("o_custkey").as("k")))
+      .distinct()
+      .orderBy(col("k"))
+
+  /** Set op: INTERSECT of the same two key sets. */
+  def setIntersect(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir).filter(col("c_acctbal") > 7000).select(col("c_custkey").as("k"))
+      .intersect(Tables.orders(spark, sfDir).filter(col("o_totalprice") > 400000).select(col("o_custkey").as("k")))
+      .orderBy(col("k"))
+
+  /** Set op: EXCEPT of the same two key sets. */
+  def setExcept(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir).filter(col("c_acctbal") > 7000).select(col("c_custkey").as("k"))
+      .except(Tables.orders(spark, sfDir).filter(col("o_totalprice") > 400000).select(col("o_custkey").as("k")))
+      .orderBy(col("k"))
+
+  /** String scalar functions over part. */
+  def stringFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .filter(col("p_partkey") < 100)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        lower(col("p_brand")).as("brand_lower"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), " ", "_").as("name_snake"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("key_padded"),
+        trim(col("p_type")).as("type_trim"))
+      .orderBy(col("p_partkey"))
+
+  /** Date/time scalar functions over orders. */
+  def dateFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") < 200)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        dayofmonth(col("o_orderdate")).as("o_day"),
+        quarter(col("o_orderdate")).as("o_quarter"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date_str"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+        datediff(lit("1998-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_98"))
+      .orderBy(col("o_orderkey"))
+
+  /** Math scalar functions over lineitem. */
+  def mathFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_orderkey") < 100)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(abs(col("l_discount") - 0.05), 6).as("abs_v"),
+        ceil(col("l_quantity")).as("ceil_v"),
+        floor(col("l_extendedprice")).as("floor_v"),
+        round(sqrt(col("l_quantity")), 6).as("sqrt_v"),
+        round(ln(col("l_extendedprice")), 6).as("ln_v"),
+        round(pow(col("l_tax") + 1.0, 2), 6).as("pow_v"),
+        (col("l_partkey") % 7).as("mod_v"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Conditional aggregation (CASE WHEN inside SUM — hand pivot). */
+  def caseAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_open"),
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_filled"),
+        sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_pending"),
+        round(avg(when(col("o_orderstatus") === "O", col("o_totalprice"))), 2).as("avg_open_price"))
+      .orderBy(col("o_orderpriority"))
+
+  /** JSON extraction from the events.props string column. */
+  def jsonFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("k_sum"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"))
+      .orderBy(col("event_type"))
 }

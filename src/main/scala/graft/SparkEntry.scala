@@ -24,6 +24,25 @@ object SparkEntry {
     "q_hot_article" -> (Queries.hotArticle _),
     "q_client_ip" -> (Queries.clientIp _),
     "q1_agg" -> (Queries.q1Agg _),
+    "q_filter_project" -> (Queries.filterProject _),
+    "q_join_broadcast" -> (Queries.joinBroadcast _),
+    "q_join_shuffle" -> (Queries.joinShuffle _),
+    "q_semi_join" -> (Queries.semiJoin _),
+    "q_anti_join" -> (Queries.antiJoin _),
+    "q_outer_join" -> (Queries.outerJoin _),
+    "q_topk" -> (Queries.topK _),
+    "q_window" -> (Queries.windowFuncs _),
+    "q_rollup" -> (Queries.rollupAgg _),
+    "q_cube" -> (Queries.cubeAgg _),
+    "q_distinct_agg" -> (Queries.distinctAgg _),
+    "q_set_union" -> (Queries.setUnion _),
+    "q_set_intersect" -> (Queries.setIntersect _),
+    "q_set_except" -> (Queries.setExcept _),
+    "q_string_funcs" -> (Queries.stringFuncs _),
+    "q_date_funcs" -> (Queries.dateFuncs _),
+    "q_math_funcs" -> (Queries.mathFuncs _),
+    "q_case_agg" -> (Queries.caseAgg _),
+    "q_json_funcs" -> (Queries.jsonFuncs _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -106,5 +125,163 @@ object SparkEntry {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_quantity > 45 AND l_discount > 0.07
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT r_name, n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q_join_shuffle" ->
+      """SELECT o_orderpriority, count(*) AS line_count, round(sum(l_extendedprice), 2) AS total_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers, round(sum(c_acctbal), 2) AS acctbal_sum
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q_outer_join" ->
+      """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+        |  round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_topk" ->
+      """SELECT o_custkey AS custkey, c_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY o_custkey, c_name
+        |ORDER BY revenue DESC, custkey
+        |LIMIT 10""".stripMargin,
+
+    "q_window" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+        |  row_number() OVER w AS rn,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+        |  round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
+        |  round(sum(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |FROM orders
+        |WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT c_mktsegment, c_nationkey, count(*) AS n_customers, round(sum(c_acctbal), 2) AS acctbal_sum
+        |FROM customer
+        |GROUP BY ROLLUP(c_mktsegment, c_nationkey)
+        |ORDER BY c_mktsegment ASC NULLS FIRST, c_nationkey ASC NULLS FIRST""".stripMargin,
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_lines, round(sum(l_quantity), 2) AS qty_sum
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_lines
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_set_union" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 7000
+        |UNION
+        |SELECT o_custkey AS k FROM orders WHERE o_totalprice > 400000
+        |ORDER BY k""".stripMargin,
+
+    "q_set_intersect" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 7000
+        |INTERSECT
+        |SELECT o_custkey AS k FROM orders WHERE o_totalprice > 400000
+        |ORDER BY k""".stripMargin,
+
+    "q_set_except" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 7000
+        |EXCEPT
+        |SELECT o_custkey AS k FROM orders WHERE o_totalprice > 400000
+        |ORDER BY k""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS name_upper,
+        |  lower(p_brand) AS brand_lower,
+        |  length(p_name) AS name_len,
+        |  substr(p_name, 1, 8) AS name_prefix,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  regexp_replace(p_name, ' ', '_', 'g') AS name_snake,
+        |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+        |  trim(p_type) AS type_trim
+        |FROM part
+        |WHERE p_partkey < 100
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS o_year,
+        |  month(o_orderdate) AS o_month,
+        |  dayofmonth(o_orderdate) AS o_day,
+        |  quarter(o_orderdate) AS o_quarter,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_date_str,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |  datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_98
+        |FROM orders
+        |WHERE o_orderkey < 200
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(abs(l_discount - 0.05), 6) AS abs_v,
+        |  ceil(l_quantity) AS ceil_v,
+        |  floor(l_extendedprice) AS floor_v,
+        |  round(sqrt(l_quantity), 6) AS sqrt_v,
+        |  round(ln(l_extendedprice), 6) AS ln_v,
+        |  round(pow(l_tax + 1.0, 2), 6) AS pow_v,
+        |  l_partkey % 7 AS mod_v
+        |FROM lineitem
+        |WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_case_agg" ->
+      """SELECT o_orderpriority,
+        |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
+        |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending,
+        |  round(avg(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS avg_open_price
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_json_funcs" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
   )
 }
