@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.analytics.ForumAnalytics
 import graft.logs.{LogGen, LogParser}
+import graft.ops.{Dedup, Similarity, TextOps}
 import graft.sources.Tables
 
 /** Named harness queries — each is one operator/capability from
@@ -273,6 +274,99 @@ object Queries {
         sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_pending"),
         round(avg(when(col("o_orderstatus") === "O", col("o_totalprice"))), 2).as("avg_open_price"))
       .orderBy(col("o_orderpriority"))
+
+  // ------------------------------------------- training-data pipeline ops
+
+  /** documents plus exact duplicate copies planted at doc_id+10000. */
+  private def docsWithExactCopies(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    d.union(d.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+  }
+
+  /** documents (optionally id-capped) plus near-duplicate copies (one
+    * word class substituted) planted at doc_id+10000.
+    */
+  private def docsWithNearCopies(spark: SparkSession, sfDir: String, cap: Option[Int]): DataFrame = {
+    val d0 = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val d = cap.map(c => d0.filter(col("doc_id") < c)).getOrElse(d0)
+    d.union(d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        replace(col("text"), lit("data"), lit("info")).as("text")))
+  }
+
+  /** Text quality statistics per document. */
+  def textStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = col("text")
+    val ws = TextOps.words(t)
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      size(ws).cast("long").as("n_words"),
+      TextOps.bpeTokenCount(t).as("n_bpe_tokens"),
+      length(t).cast("long").as("n_chars"),
+      round(TextOps.uniqueWordRatio(ws), 6).as("uniq_ratio"),
+      TextOps.qualityScore(t).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Heuristic language ID vs the labeled lang column. */
+  def langIdQ(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"), col("lang"),
+      TextOps.langId(col("text")).as("predicted"))
+      .orderBy(col("doc_id"))
+
+  /** Content fingerprints (md5 / portable 64-bit / min-shingle-hash). */
+  def fingerprintQ(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      TextOps.fingerprintMd5(col("text")).as("fp_md5"),
+      TextOps.fingerprint64(col("text")).as("fp64"),
+      TextOps.minShingleHash(col("text")).as("min_shingle_hash"))
+      .orderBy(col("doc_id"))
+
+  /** Exact dedup over documents with planted exact copies. */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.exact(docsWithExactCopies(spark, sfDir)).orderBy(col("keep_id"))
+
+  /** Brute-force n-gram Jaccard near-dup pairs on a capped set. */
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.ngramJaccardPairs(docsWithNearCopies(spark, sfDir, Some(100)), 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** MinHash+LSH near-dup over ALL documents + planted near copies. */
+  def minhashLshQ(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.minhashLsh(docsWithNearCopies(spark, sfDir, None), 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** 16-bit SimHash per document. */
+  def simhashQ(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.simhash16(Tables.documents(spark, sfDir)).orderBy(col("doc_id"))
+
+  /** SimHash hamming-distance near-dup pairs on a capped set. */
+  def simhashPairsQ(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.simhashPairs(docsWithNearCopies(spark, sfDir, Some(100)), 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Brute-force cosine top-5 neighbors for the first 10 vectors. */
+  def knnCosine(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Similarity.asDouble(Tables.embeddings(spark, sfDir))
+    Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, 5)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Label-blocked (IVF-style) embedding near-dup with planted copies. */
+  def embedNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Similarity.asDouble(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val planted = e.union(
+      e.filter(col("vec_id") % 5 === 0).select(
+        (col("vec_id") + 10000).as("vec_id"), col("label"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x + 0.01).otherwise(x)).as("embedding")))
+    Similarity.blockedNearDup(planted, "label", 0.99)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
 
   /** JSON extraction from the events.props string column. */
   def jsonFuncs(spark: SparkSession, sfDir: String): DataFrame =

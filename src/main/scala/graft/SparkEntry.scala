@@ -43,6 +43,16 @@ object SparkEntry {
     "q_math_funcs" -> (Queries.mathFuncs _),
     "q_case_agg" -> (Queries.caseAgg _),
     "q_json_funcs" -> (Queries.jsonFuncs _),
+    "q_text_stats" -> (Queries.textStats _),
+    "q_lang_id" -> (Queries.langIdQ _),
+    "q_fingerprint" -> (Queries.fingerprintQ _),
+    "q_dedup_exact" -> (Queries.dedupExact _),
+    "q_ngram_jaccard" -> (Queries.ngramJaccard _),
+    "q_minhash_lsh" -> (Queries.minhashLshQ _),
+    "q_simhash" -> (Queries.simhashQ _),
+    "q_simhash_pairs" -> (Queries.simhashPairsQ _),
+    "q_knn_cosine" -> (Queries.knnCosine _),
+    "q_embed_neardup" -> (Queries.embedNearDup _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -60,7 +70,171 @@ object SparkEntry {
       |    AND event_id % 10 <> 0 AND event_id % 7 <> 3
       |)""".stripMargin
 
+  // ---- DuckDB fragments generated from the SAME Scala constants the
+  // Spark operators use (graft.ops.TextOps / Dedup), so the two sides
+  // cannot drift.
+
+  /** Portable 64-bit hash: fold the first 12 hex chars of md5. */
+  private def hSql(x: String): String =
+    s"list_reduce(list_transform(range(12), i -> CAST(strpos('0123456789abcdef', substr(md5($x), i + 1, 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
+
+  private def wordsSql(t: String): String =
+    s"string_split_regex(trim($t), '\\s+')"
+
+  /** Distinct word-3-gram shingles of the lowered text (column `w`). */
+  private val shinglesSql: String =
+    "CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(range(len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) ELSE CAST([] AS VARCHAR[]) END"
+
+  private def occSql(w: String): String =
+    s"CAST((length(pt) - length(replace(pt, '$w', ''))) / ${w.length} AS BIGINT)"
+
+  private def langScoreSql(lang: String): String =
+    graft.ops.TextOps.LangStopwords.toMap.apply(lang).map(occSql).mkString(" + ")
+
+  /** Sequential-fold cosine matching graft.ops.Similarity exactly
+    * (dot / (sqrt(na) * sqrt(nb)) — same op order, same left fold).
+    */
+  private def cosSql(a: String, b: String): String = {
+    def dotS(x: String, y: String) =
+      s"list_reduce(list_transform(range(len($x)), i -> $x[i+1] * $y[i+1]), (x, y) -> x + y)"
+    s"(${dotS(a, b)} / (sqrt(${dotS(a, a)}) * sqrt(${dotS(b, b)})))"
+  }
+
+  private val minhashSigSql: String = {
+    import graft.ops.Dedup.{MinHashA => A, MinHashB => B, MinHashP => P}
+    (0 until 8).map(j => s"min((h * ${A(j)} + ${B(j)}) % $P) AS s$j").mkString(", ")
+  }
+
+  private val simhashSql: String =
+    (0 until 16).map { k =>
+      s"CASE WHEN list_sum(list_transform(hs, x -> ((x >> $k) & 1) * 2 - 1)) > 0 THEN ${1L << k} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
   def oracleSql: Map[String, String] = Map(
+    "q_text_stats" ->
+      s"""WITH t AS (SELECT doc_id, text, ${wordsSql("text")} AS w FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(w) AS BIGINT) AS n_words,
+         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS uniq_ratio,
+         |  round(least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.5
+         |    + (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) / length(text)) * 0.3
+         |    + CAST(len(list_distinct(w)) AS DOUBLE) / len(w) * 0.2, 6) AS quality
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS pt FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |  ${langScoreSql("en")} AS s_en,
+         |  ${langScoreSql("es")} AS s_es,
+         |  ${langScoreSql("de")} AS s_de,
+         |  ${langScoreSql("zh")} AS s_zh
+         |FROM t)
+         |SELECT doc_id, lang,
+         |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_zh AND s_en > 0 THEN 'en'
+         |       WHEN s_es >= s_de AND s_es >= s_zh AND s_es > 0 THEN 'es'
+         |       WHEN s_de >= s_zh AND s_de > 0 THEN 'de'
+         |       WHEN s_zh > 0 THEN 'zh'
+         |       ELSE 'und' END AS predicted
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, lower(trim(text)) AS nt, ${wordsSql("lower(text)")} AS w FROM documents),
+         |s AS (SELECT doc_id, nt, $shinglesSql AS shingles FROM t)
+         |SELECT doc_id, md5(nt) AS fp_md5, ${hSql("nt")} AS fp64,
+         |  list_min(list_transform(shingles, g -> ${hSql("g")})) AS min_shingle_hash
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 3 = 0)
+        |SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM docs2 GROUP BY md5(text)
+        |ORDER BY keep_id""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 100
+         |  UNION ALL
+         |  SELECT doc_id + 10000, replace(text, 'data', 'info') FROM documents WHERE doc_id < 100 AND doc_id % 5 = 0),
+         |sh AS (SELECT doc_id, $shinglesSql AS shingles
+         |       FROM (SELECT doc_id, ${wordsSql("lower(text)")} AS w FROM base))
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |WHERE jaccard >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_minhash_lsh" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000, replace(text, 'data', 'info') FROM documents WHERE doc_id % 5 = 0),
+         |sh AS (SELECT doc_id, $shinglesSql AS shingles
+         |       FROM (SELECT doc_id, ${wordsSql("lower(text)")} AS w FROM base)),
+         |hx AS (SELECT doc_id, ${hSql("g")} AS h FROM (SELECT doc_id, unnest(shingles) AS g FROM sh)),
+         |sig AS (SELECT doc_id, $minhashSigSql FROM hx GROUP BY doc_id),
+         |bands AS (SELECT doc_id, unnest([
+         |    concat_ws(':', '0', s0, s1), concat_ws(':', '1', s2, s3),
+         |    concat_ws(':', '2', s4, s5), concat_ws(':', '3', s6, s7)]) AS band FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT doc_a, doc_b,
+         |    round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS jaccard
+         |  FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id JOIN sh sb ON cand.doc_b = sb.doc_id)
+         |WHERE jaccard >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_simhash" ->
+      s"""WITH t AS (SELECT doc_id, list_transform(list_distinct(${wordsSql("lower(text)")}), wd -> ${hSql("wd")}) AS hs FROM documents)
+         |SELECT doc_id, $simhashSql AS simhash
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_simhash_pairs" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 100
+         |  UNION ALL
+         |  SELECT doc_id + 10000, replace(text, 'data', 'info') FROM documents WHERE doc_id < 100 AND doc_id % 5 = 0),
+         |t AS (SELECT doc_id, list_transform(list_distinct(${wordsSql("lower(text)")}), wd -> ${hSql("wd")}) AS hs FROM base),
+         |s AS (SELECT doc_id, $simhashSql AS simhash FROM t)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_knn_cosine" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${cosSql("q.v", "c.v")} AS cs
+         |  FROM e c CROSS JOIN (SELECT * FROM e WHERE vec_id < 10) q
+         |  WHERE c.vec_id <> q.vec_id)
+         |SELECT query_id, neighbor_id, rnk, round(cs, 6) AS cos_sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    "q_embed_neardup" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |base AS (
+         |  SELECT * FROM e
+         |  UNION ALL
+         |  SELECT vec_id + 10000, label,
+         |    list_transform(range(len(v)), i -> CASE WHEN i = 0 THEN v[1] + 0.01 ELSE v[i+1] END)
+         |  FROM e WHERE vec_id % 5 = 0)
+         |SELECT vec_a, vec_b, round(cs, 6) AS cos_sim FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${cosSql("a.v", "b.v")} AS cs
+         |  FROM base a JOIN base b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |WHERE cs >= 0.99
+         |ORDER BY vec_a, vec_b""".stripMargin,
     "q_parse_fields" ->
       """SELECT
         |  event_id,

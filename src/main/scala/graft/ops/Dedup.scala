@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication for training-data pipelines: exact (hash group-by),
+  * n-gram Jaccard, MinHash+LSH, SimHash. All stages are expressed so the
+  * expensive parts scale: shuffles happen on compact hash keys (never
+  * full documents), signatures are computed with higher-order array
+  * functions (no explode of shingles through a shuffle), and candidate
+  * generation is band-bucket equi-join (LSH), not a cross join.
+  */
+object Dedup {
+
+  // -------------------------------------------------------------- exact
+
+  /** Exact dedup: group on md5(text) — 16-byte shuffle keys instead of
+    * full documents; per group keep min doc_id + multiplicity.
+    * (At 100 TB: this is one hash-partition shuffle of (hash, id) pairs.)
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol), md5(col(textCol)).as("text_md5"))
+      .groupBy(col("text_md5"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+
+  // ------------------------------------------------------ n-gram Jaccard
+
+  /** Distinct 3-gram shingle set per doc (lowered). */
+  def shingleSets(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol),
+      array_distinct(TextOps.shingles3(TextOps.words(lower(col(textCol))))).as("shingles"))
+
+  /** All-pairs n-gram Jaccard over a *small candidate set* (brute-force
+    * verification path; at scale, candidates come from [[lshCandidates]]).
+    */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val s = shingleSets(docs)
+    val a = s.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val b = s.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  // ------------------------------------------------------- MinHash + LSH
+
+  /** MinHash parameters — part of the oracle contract (mirrored verbatim
+    * in the DuckDB SQL). p = 2^61-1; a_j < 2^13 keeps a_j*h < 2^61 for
+    * the 48-bit portable hash (no int64 overflow on either engine).
+    */
+  val MinHashP: Long = 2305843009213693951L
+  val MinHashA: Seq[Long] = Seq(3251L, 4093L, 5407L, 6659L, 7213L, 7919L, 6113L, 4931L)
+  val MinHashB: Seq[Long] = Seq(1099511627776L, 2199023255552L, 3298534883328L,
+    4398046511104L, 5497558138880L, 6597069766656L, 7696581394432L, 774056185856L)
+
+  /** 8-hash MinHash signature per doc, computed with higher-order array
+    * functions over the shingle set — a narrow projection, NO explode and
+    * NO shuffle (the win at scale: signatures stream out of the scan).
+    */
+  def minhashSignatures(shingled: DataFrame): DataFrame = {
+    val hashes = transform(col("shingles"), TextOps.portableHash64 _)
+    val sigCols = MinHashA.zip(MinHashB).zipWithIndex.map { case ((a, b), j) =>
+      aggregate(hashes, lit(MinHashP),
+        (acc, h) => least(acc, (h * a + b) % MinHashP)).as(s"s$j")
+    }
+    // <3-word docs have no shingles → no signature (would otherwise all
+    // collide on the init-value band and cross-match each other).
+    shingled.filter(size(col("shingles")) > 0)
+      .select(col("doc_id") +: sigCols: _*)
+  }
+
+  /** LSH banding: 4 bands × 2 rows; band key = "j:s2j:s2j+1". Candidate
+    * pairs = equi-join on band key (deduped) — the scale path that
+    * replaces the O(n²) cross join.
+    */
+  def lshCandidates(sigs: DataFrame): DataFrame = {
+    val bandKeys = (0 until 4).map(j =>
+      concat_ws(":", lit(j), col(s"s${2 * j}"), col(s"s${2 * j + 1}")))
+    val banded = sigs
+      .select(col("doc_id"), explode(array(bandKeys: _*)).as("band"))
+    val l = banded.select(col("band"), col("doc_id").as("doc_a"))
+    val r = banded.select(col("band"), col("doc_id").as("doc_b"))
+    l.join(r, Seq("band")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: shingle → sign → band-join →
+    * verify candidates with exact Jaccard ≥ threshold.
+    */
+  def minhashLsh(docs: DataFrame, threshold: Double): DataFrame = {
+    val shingled = shingleSets(docs)
+    val cands = lshCandidates(minhashSignatures(shingled))
+    val sa = shingled.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val sb = shingled.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    cands.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  // ------------------------------------------------------------- SimHash
+
+  /** 16-bit SimHash over distinct word hashes (bit k set when the
+    * majority vote of ((h>>k)&1)*2-1 is positive). Higher-order
+    * functions again — one narrow pass, no explode.
+    */
+  def simhash16(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val hs = transform(array_distinct(TextOps.words(lower(col(textCol)))), TextOps.portableHash64 _)
+    val bits = (0 until 16).map { k =>
+      val vote = aggregate(hs, lit(0L),
+        (acc, h) => acc + (shiftright(h, k).bitwiseAND(lit(1L)) * 2 - 1))
+      when(vote > 0, lit(1L << k)).otherwise(lit(0L))
+    }
+    docs.select(col(idCol), bits.reduce(_ + _).as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash hamming distance ≤ maxDist over a small
+    * candidate set (at scale: block on simhash bytes first).
+    */
+  def simhashPairs(docs: DataFrame, maxDist: Int): DataFrame = {
+    val s = simhash16(docs)
+    val a = s.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val b = s.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+}

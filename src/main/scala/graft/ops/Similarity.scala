@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k (broadcast the query side, stream
+  * the candidates — one narrow pass over the big side, per-query top-k
+  * via window). Scale path: bucketed search (coarse-quantizer blocking,
+  * IVF-style) so only same-cell pairs are scored.
+  *
+  * All arithmetic is done in DOUBLE after an explicit cast from float —
+  * this makes Spark's left-fold `aggregate` bit-identical to the DuckDB
+  * oracle's `list_reduce` on the same values.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product / norms — deterministic and portable. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Embeddings with the float vector cast to double once, up front. */
+  def asDouble(embeddings: DataFrame, vecCol: String = "embedding"): DataFrame =
+    embeddings.withColumn(vecCol, col(vecCol).cast("array<double>"))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * candidates (excluding self). Query side is broadcast; candidates
+    * stream; ties broken by candidate id.
+    */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = candidates.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos_sim"), 6).as("cos_sim"))
+  }
+
+  /** Blocked (IVF-style) near-duplicate detection: score only pairs
+    * sharing a coarse cell (here the `label` column stands in for a
+    * quantizer cell assignment). Replaces O(n²) with Σ|cell|².
+    */
+  def blockedNearDup(embeddings: DataFrame, blockCol: String, threshold: Double): DataFrame = {
+    val a = embeddings.select(col(blockCol).as("blk"),
+      col("vec_id").as("vec_a"), col("embedding").as("va"))
+    val b = embeddings.select(col(blockCol).as("blk"),
+      col("vec_id").as("vec_b"), col("embedding").as("vb"))
+    a.join(b, Seq("blk")).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", cosine(col("va"), col("vb")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos_sim"), 6).as("cos_sim"))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, shingling, portable hashing, quality stats, language ID,
+  * fingerprinting. Everything is a pure column expression (codegen'd,
+  * narrow, shuffle-free) so it composes with dedup/aggregation stages and
+  * scales linearly with input.
+  *
+  * PORTABILITY CONTRACT: every function here has an exact DuckDB
+  * equivalent used by the oracle SQL (see SparkEntry.oracleSql). The
+  * portable 64-bit hash is fold(hex) over the first 12 hex chars of
+  * md5 — identical in any engine with md5 + string ops.
+  */
+object TextOps {
+
+  /** Whitespace tokenization; trim so both engines agree on edge tokens. */
+  def words(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Portable 48-bit-range hash: first 12 hex chars of md5 as a long.
+    * (DuckDB: list_reduce over strpos of each hex char.)
+    */
+  def portableHash64(c: Column): Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+
+  /** Word 3-gram shingles (the classic MinHash/near-dup unit). Empty
+    * array when the doc has fewer than 3 words.
+    */
+  def shingles3(ws: Column): Column =
+    when(size(ws) >= 3,
+      transform(sequence(lit(1), size(ws) - 2), i =>
+        concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))
+      .otherwise(array().cast("array<string>"))
+
+  /** BPE-ish token count: letter runs | digit runs | single non-space
+    * symbol (a cheap stand-in for a real tokenizer's token count).
+    */
+  val BpeTokenRegex = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenRegex), lit(0))).cast("long")
+
+  /** Punctuation/symbol ratio over character length. */
+  def punctRatio(text: Column): Column =
+    size(regexp_extract_all(text, lit("[^a-zA-Z0-9\\s]"), lit(0)))
+      .cast("double") / length(text)
+
+  /** Distinct-word ratio — degenerate/repetitive text scores low. */
+  def uniqueWordRatio(ws: Column): Column =
+    size(array_distinct(ws)).cast("double") / size(ws)
+
+  /** Composite quality score in [0,1]: length prior + cleanliness +
+    * lexical diversity (deterministic; weights are part of the contract).
+    */
+  def qualityScore(text: Column): Column = {
+    val ws = words(text)
+    round(
+      least(size(ws).cast("double") / 100.0, lit(1.0)) * 0.5 +
+        (lit(1.0) - punctRatio(text)) * 0.3 +
+        uniqueWordRatio(ws) * 0.2,
+      6)
+  }
+
+  /** Non-overlapping occurrence count of `needle` in space-padded text —
+    * `replace`-based so any SQL engine reproduces it exactly.
+    */
+  def occurrences(text: Column, needle: String): Column =
+    ((length(text) - length(replace(text, lit(needle), lit("")))) / needle.length).cast("long")
+
+  /** Stopword tables for the n-gram-heuristic language ID. */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " a ", " and ", " of ", " to "),
+    "es" -> Seq(" el ", " la ", " de ", " que ", " y "),
+    "de" -> Seq(" der ", " die ", " und ", " ein ", " zu "),
+    "zh" -> Seq("的", "了", "是"))
+
+  /** Per-language stopword score over space-padded lowered text. */
+  def langScore(text: Column, lang: String): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    LangStopwords.toMap.apply(lang).map(occurrences(padded, _)).reduce(_ + _)
+  }
+
+  /** Heuristic language ID with a fixed precedence chain (en>es>de>zh),
+    * 'und' when no stopword hits at all.
+    */
+  def langId(text: Column): Column = {
+    val en = langScore(text, "en"); val es = langScore(text, "es")
+    val de = langScore(text, "de"); val zh = langScore(text, "zh")
+    when(en >= es && en >= de && en >= zh && en > 0, "en")
+      .when(es >= de && es >= zh && es > 0, "es")
+      .when(de >= zh && de > 0, "de")
+      .when(zh > 0, "zh")
+      .otherwise("und")
+  }
+
+  /** Content fingerprints: full md5 of normalized text, its portable
+    * 64-bit form, and the min-shingle-hash (a 1-hash MinHash — robust to
+    * local edits, the unit of near-dup fingerprinting).
+    */
+  def fingerprintMd5(text: Column): Column = md5(lower(trim(text)))
+  def fingerprint64(text: Column): Column = portableHash64(lower(trim(text)))
+  def minShingleHash(text: Column): Column =
+    array_min(transform(shingles3(words(lower(text))), portableHash64 _))
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Similarity, TextOps}
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  val base = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "a completely different sentence with other words about spark engines and parquet files"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (4L, "the quick brown fox jumps over the lazy cat near the river bank today"), // near dup of 1
+    (5L, "unrelated short text")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id and counts copies") {
+    val out = Dedup.exact(base).orderBy($"keep_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L), (2L, 1L), (4L, 1L), (5L, 1L)))
+  }
+
+  test("ngram jaccard finds the near-dup pair and not unrelated ones") {
+    val pairs = Dedup.ngramJaccardPairs(base, 0.5)
+      .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((1L, 4L)) && pairs.contains((3L, 4L))) // near dup
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("minhash-lsh surfaces the same near-dup pairs as brute force here") {
+    val lsh = Dedup.minhashLsh(base, 0.5)
+      .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.contains((1L, 3L)))
+    // identical docs share all bands; near-dup almost surely shares >=1 of 4
+    assert(lsh.contains((1L, 4L)))
+  }
+
+  test("simhash: identical text -> identical hash; near text -> small hamming") {
+    val sh = Dedup.simhash16(base).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(3L))
+    val hamming = java.lang.Long.bitCount(sh(1L) ^ sh(4L))
+    assert(hamming <= 4, s"hamming=$hamming")
+  }
+
+  test("cosine: identical vectors similarity 1, orthogonal 0") {
+    val df = Seq(
+      (1L, Array(1.0, 0.0, 2.0)),
+      (2L, Array(1.0, 0.0, 2.0)),
+      (3L, Array(0.0, 5.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val sims = df.as("a").crossJoin(df.as("b"))
+      .filter($"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id", $"b.vec_id",
+        round(Similarity.cosine($"a.embedding", $"b.embedding"), 9).as("c"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(sims((1L, 2L)) == 1.0)
+    assert(sims((1L, 3L)) == 0.0)
+  }
+
+  test("portable hash matches int(md5_prefix, 16)") {
+    val h = Seq("hello").toDF("s").select(TextOps.portableHash64($"s")).collect()(0).getLong(0)
+    assert(h == java.lang.Long.parseLong("5d41402abc4b", 16))
+  }
+}
