@@ -368,6 +368,32 @@ object Queries {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Multimodal pipeline: synth binary payloads → partition-wise decode →
+    * per-kind rollup. No SQL oracle (binary + mapPartitions); driver does
+    * the rows-only check, MultimodalSpec asserts exact decode round-trip.
+    */
+  def mediaPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val meta = graft.ops.Multimodal.decodeStub(graft.ops.Multimodal.syntheticMedia(spark, 2000))
+    meta.toDF().groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("n_frames")).as("total_frames"),
+        round(avg(col("brightness")), 6).as("avg_brightness"),
+        sum(col("payload_bytes")).as("total_bytes"))
+      .orderBy(col("kind"))
+  }
+
+  /** Sketch aggregate: approx_count_distinct (HLL++). No oracle — the
+    * sketch estimate is engine-specific; rows-only check.
+    */
+  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy(col("l_returnflag"))
+
   /** JSON extraction from the events.props string column. */
   def jsonFuncs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)

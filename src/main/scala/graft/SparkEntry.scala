@@ -53,6 +53,8 @@ object SparkEntry {
     "q_simhash_pairs" -> (Queries.simhashPairsQ _),
     "q_knn_cosine" -> (Queries.knnCosine _),
     "q_embed_neardup" -> (Queries.embedNearDup _),
+    "q_media_pipeline" -> (Queries.mediaPipeline _),
+    "q_approx_distinct" -> (Queries.approxDistinct _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{LogStream, UpsertSink}
+
+/** Streaming semantics: continuous aggregation over added batches
+  * (reference Q2), stream-static dim join (Q3), foreachBatch upsert (S3),
+  * event-time window with watermark (extension).
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+
+  def line(ip: String, uri: String, ts: String = "27/Aug/2020:10:20:53 +0800"): String =
+    s"""$ip - - [$ts] "GET $uri HTTP/1.1" 200 1024 "-" "Mozilla/5.0""""
+
+  test("update-mode client counts accumulate across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val counts = LogStream.clientCounts(
+      LogStream.parsedTuples(mem.toDF().withColumnRenamed("value", "line")))
+    val q = counts.writeStream.outputMode("update")
+      .format("memory").queryName("client_counts").start()
+    try {
+      mem.addData(
+        line("10.0.0.1", "/forum.php?mod=viewthread&tid=9"),
+        line("10.0.0.1", "/forum.php?mod=forumdisplay&fid=3"),
+        line("10.0.0.2", "/forum.php?mod=viewthread&tid=9"),
+        line("10.0.0.3", "/index.html")) // no ids -> filtered out
+      q.processAllAvailable()
+      val t1 = spark.table("client_counts").groupBy($"client_ip")
+        .agg(max($"client_access_cnt").as("c")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(t1 == Map("10.0.0.1" -> 2L, "10.0.0.2" -> 1L))
+
+      mem.addData(line("10.0.0.1", "/forum.php?mod=viewthread&tid=7"))
+      q.processAllAvailable()
+      val t2 = spark.table("client_counts").groupBy($"client_ip")
+        .agg(max($"client_access_cnt").as("c")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(t2("10.0.0.1") == 3L) // state carried across batches
+    } finally q.stop()
+  }
+
+  test("stream-static section join + foreachBatch upsert sink") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val dim = Seq((3L, "tech"), (5L, "life")).toDF("fid", "name")
+    val counts = LogStream.sectionCounts(
+      LogStream.parsedTuples(mem.toDF().withColumnRenamed("value", "line")), dim)
+    val sink = new UpsertSink(Seq("section_id"))
+    val q = counts.writeStream.outputMode("update")
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) => sink.merge(df, id))
+      .start()
+    try {
+      mem.addData(
+        line("10.0.0.1", "/forum.php?mod=forumdisplay&fid=3"),
+        line("10.0.0.2", "/forum.php?mod=forumdisplay&fid=3"),
+        line("10.0.0.2", "/forum.php?mod=forumdisplay&fid=5"),
+        line("10.0.0.2", "/forum.php?mod=forumdisplay&fid=99")) // no dim row -> dropped
+      q.processAllAvailable()
+      mem.addData(line("10.0.0.9", "/forum.php?mod=forumdisplay&fid=3"))
+      q.processAllAvailable()
+      val byKey = sink.snapshot.map { case (k, v) => k.head -> v }
+      assert(byKey(3).contains(3L) && byKey(3).contains("tech") && byKey(3).contains(3L))
+      assert(byKey(3).last == 3L) // upserted count after second batch
+      assert(byKey(5).last == 1L)
+      assert(!byKey.contains(99))
+    } finally q.stop()
+  }
+
+  test("event-time tumbling window with watermark (append mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val windowed = LogStream.windowedEventCounts(
+      mem.toDF().toDF("ts", "event_type"), "10 minutes", "5 minutes")
+    val q = windowed.writeStream.outputMode("append")
+      .format("memory").queryName("win_counts").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      mem.addData((ts("2024-01-01 00:01:00"), "click"), (ts("2024-01-01 00:02:00"), "click"),
+        (ts("2024-01-01 00:07:00"), "view"))
+      q.processAllAvailable()
+      // advance watermark far past the first windows so they finalize
+      mem.addData((ts("2024-01-01 01:00:00"), "click"))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 02:00:00"), "click"))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .select(date_format($"win_start", "HH:mm").as("w"), $"event_type", $"n_events")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows.contains(("00:00", "click", 2L)))
+      assert(rows.contains(("00:05", "view", 1L)))
+    } finally q.stop()
+  }
+}
