@@ -10,6 +10,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm shared infrastructure once (JIT, Janino codegen compiler,
+    // parquet reader, shuffle + broadcast machinery) so per-query timings
+    // measure the queries rather than first-use class loading.
+    try {
+      spark.range(1 << 20).selectExpr("sum(id * 2)").collect()
+      val warm = spark.read.parquet(s"$sfDir/nation.parquet")
+      warm.join(warm.limit(5), "n_nationkey").groupBy("n_regionkey").count().collect()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

