@@ -368,6 +368,73 @@ object Queries {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** As-of join: each purchase matched to the user's latest view at or
+    * before it (union+window — no per-row lookup, no range cross join).
+    */
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.ops.TimeSeries.asOfJoin(
+      purchases, views, key = "user_id", ts = "ts",
+      rightOrder = "event_id", rightPayload = Seq("event_id"))
+      .select(
+        col("event_id").as("purchase_id"),
+        col("user_id"),
+        col("_asof.event_id").as("view_id"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** Gap-based sessionization of the event stream (30-minute gap). */
+  def sessionizeQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.TimeSeries.sessionize(
+      Tables.events(spark, sfDir), key = "user_id", ts = "ts",
+      orderCol = "event_id", gapSeconds = 1800)
+      .orderBy(col("user_id"), col("session_idx"))
+
+  /** Pivot (hand-rolled columns in the oracle). Empty cells are null in
+    * Spark's pivot but 0 in a SUM(CASE) oracle — coalesce for parity.
+    */
+  def pivotQ(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("F"),
+        coalesce(col("O"), lit(0L)).as("O"),
+        coalesce(col("P"), lit(0L)).as("P"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Exact interpolated percentiles per group. */
+  def percentilesQ(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"),
+        round(expr("percentile(l_discount, 0.25)"), 6).as("p25_disc"))
+      .orderBy(col("l_returnflag"))
+
+  /** Array functions over tokenized documents. */
+  def arrayFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    val ws = TextOps.words(col("text"))
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 100)
+      .select(
+        col("doc_id"),
+        size(ws).cast("long").as("n_words"),
+        element_at(ws, 1).as("first_word"),
+        element_at(ws, -1).as("last_word"),
+        concat_ws(" ", slice(ws, 1, 3)).as("first3"),
+        element_at(array_sort(ws), 1).as("min_word"),
+        array_contains(ws, "data").as("has_data"),
+        size(array_distinct(ws)).cast("long").as("n_distinct"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Multimodal pipeline: synth binary payloads → partition-wise decode →
     * per-kind rollup. No SQL oracle (binary + mapPartitions); driver does
     * the rows-only check, MultimodalSpec asserts exact decode round-trip.

@@ -55,6 +55,11 @@ object SparkEntry {
     "q_embed_neardup" -> (Queries.embedNearDup _),
     "q_media_pipeline" -> (Queries.mediaPipeline _),
     "q_approx_distinct" -> (Queries.approxDistinct _),
+    "q_asof_join" -> (Queries.asofJoin _),
+    "q_sessionize" -> (Queries.sessionizeQ _),
+    "q_pivot" -> (Queries.pivotQ _),
+    "q_percentiles" -> (Queries.percentilesQ _),
+    "q_array_funcs" -> (Queries.arrayFuncs _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -459,6 +464,69 @@ object SparkEntry {
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+        |u AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS mts, 1 AS tag, 9223372036854775807 AS ord,
+        |         CAST(NULL AS BIGINT) AS r_id, event_id AS l_id FROM p
+        |  UNION ALL
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS mts, 0 AS tag, event_id AS ord,
+        |         event_id AS r_id, CAST(NULL AS BIGINT) AS l_id FROM v),
+        |m AS (SELECT *, last_value(r_id IGNORE NULLS) OVER (
+        |        PARTITION BY user_id ORDER BY mts, tag, ord
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_id FROM u)
+        |SELECT l_id AS purchase_id, user_id, view_id
+        |FROM m WHERE tag = 1
+        |ORDER BY purchase_id""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS mts,
+        |             CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+        |           FROM events),
+        |s1 AS (SELECT user_id, event_id, mts, sec,
+        |         CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+        |       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY mts, event_id)),
+        |s2 AS (SELECT user_id, sec,
+        |         sum(is_new) OVER (PARTITION BY user_id ORDER BY mts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |       FROM s1)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  strftime(make_timestamp(min(sec) * 1000000), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  max(sec) - min(sec) AS duration_sec
+        |FROM s2 GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS F,
+        |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS O,
+        |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS P
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+        |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+        |  round(quantile_cont(l_discount, 0.25), 6) AS p25_disc
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_array_funcs" ->
+      s"""SELECT doc_id,
+         |  CAST(len(w) AS BIGINT) AS n_words,
+         |  w[1] AS first_word,
+         |  w[len(w)] AS last_word,
+         |  array_to_string(w[1:3], ' ') AS first3,
+         |  list_sort(w)[1] AS min_word,
+         |  list_contains(w, 'data') AS has_data,
+         |  CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct
+         |FROM (SELECT doc_id, ${wordsSql("text")} AS w FROM documents WHERE doc_id < 100)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_json_funcs" ->
       """SELECT event_type, count(*) AS n_events,

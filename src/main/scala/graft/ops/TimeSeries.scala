@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-ordered operators over event streams: as-of join and gap-based
+  * sessionization.
+  *
+  * Both are built on the union/window pattern: ONE hash exchange on the
+  * key + ONE sort per partition, instead of a per-row lookup join (the
+  * reference's temporal join shape) or an O(n·m) range cross join. At
+  * 100 TB this is the only shape that works: the exchange is on the join
+  * key, sorting is local, and state never leaves the executor.
+  */
+object TimeSeries {
+
+  /** As-of join: for each `left` row, the latest `right` row of the same
+    * key with `right.ts <= left.ts` (inclusive). `rightOrder` breaks ties
+    * among right rows sharing a timestamp (deterministic pick = max of
+    * the order column).
+    *
+    * Implementation: tag and union both sides, then
+    * `last(right_payload, ignoreNulls)` over (key, ts, tag, order) rows
+    * — right rows sort before left rows at equal ts, so "<=" holds.
+    */
+  def asOfJoin(
+      left: DataFrame, right: DataFrame,
+      key: String, ts: String,
+      rightOrder: String,
+      rightPayload: Seq[String]): DataFrame = {
+    val lCols = left.columns
+    val l = left
+      .withColumn("_tag", lit(1))
+      .withColumn("_ord", lit(Long.MaxValue))
+      .withColumn("_r", lit(null).cast(
+        s"struct<${rightPayload.map(c => s"$c:${right.schema(c).dataType.sql}").mkString(",")}>"))
+    val r = right
+      .select(col(key), col(ts), col(rightOrder).cast("long").as("_ord"),
+        struct(rightPayload.map(col): _*).as("_r"))
+      .withColumn("_tag", lit(0))
+    val unioned = l.select(
+        (Seq(col(key), col(ts), col("_tag"), col("_ord"), col("_r")) ++
+          lCols.filterNot(c => c == key || c == ts).map(col)): _*)
+      .unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("_tag"), col("_ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("_asof", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+      .select(lCols.map(col) :+ col("_asof"): _*)
+  }
+
+  /** Gap-based sessionization: a new session starts when the time since
+    * the previous event of the same key exceeds `gapSeconds`. Timestamps
+    * are second-truncated before differencing (portable across engines).
+    * Emits one row per session with count/start/end/duration.
+    */
+  def sessionize(events: DataFrame, key: String, ts: String, orderCol: String,
+      gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(orderCol))
+    val sec: Column = date_trunc("second", col(ts)).cast("long")
+    val prevSec = lag(sec, 1).over(w)
+    val isNew = when(prevSec.isNull || (sec - prevSec) > gapSeconds, 1L).otherwise(0L)
+    val sessions = events
+      .withColumn("_sec", sec)
+      .withColumn("_new", isNew)
+      .withColumn("session_idx",
+        sum(col("_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessions.groupBy(col(key), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("_sec")).as("_start"),
+        max(col("_sec")).as("_end"))
+      .select(
+        col(key), col("session_idx"), col("n_events"),
+        from_unixtime(col("_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        (col("_end") - col("_start")).as("duration_sec"))
+  }
+}
