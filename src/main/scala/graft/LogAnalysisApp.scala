@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.streaming.{LogStream, UpsertSink}
+
+/** The product pipeline — the rebuild of the reference's
+  * `LogAnalysis.main` (`LogAnalysis.java:34-94`): one shared parsed
+  * stream feeding the three continuous analytics, each attached to a
+  * PK-upsert sink.
+  *
+  * Deliberate improvement over the reference (its B4 quirk): the
+  * reference launches three INDEPENDENT jobs, each re-consuming the
+  * Kafka topic (`LogAnalysis.java:131,187,258`). Here the parse happens
+  * once per micro-batch and the three sinks share it.
+  *
+  * Top-N sinks run in COMPLETE mode (per-key aggregate state is small —
+  * one row per section/article) and rank inside foreachBatch — Spark's
+  * equivalent of Blink's streaming Top-N rewrite (SURVEY.md §2.1 Q4).
+  */
+object LogAnalysisApp {
+
+  final case class Pipelines(
+      hotSection: StreamingQuery,
+      hotArticle: StreamingQuery,
+      clientIp: StreamingQuery,
+      sectionSink: UpsertSink,
+      articleSink: UpsertSink,
+      clientSink: UpsertSink)
+
+  /** Wire the three analytics onto an unbounded `line` stream. Dims are
+    * static snapshots (broadcast per micro-batch — the lookup-join
+    * analog). Sinks are in-memory upsert tables; swap the merge lambda
+    * for graft.sources.JdbcUpsert#write against MySQL in production.
+    */
+  def start(spark: SparkSession, lines: DataFrame,
+      sectionDim: DataFrame, articleDim: DataFrame,
+      checkpointRoot: String): Pipelines = {
+    val parsed = LogStream.parsedTuples(lines)
+
+    val sectionSink = new UpsertSink(Seq("section_id"))
+    val articleSink = new UpsertSink(Seq("article_id"))
+    val clientSink = new UpsertSink(Seq("client_ip"))
+
+    def top10(df: DataFrame, orderCol: String, idCol: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      df.withColumn("_rn", row_number().over(
+          Window.orderBy(col(orderCol).desc, col(idCol))))
+        .filter(col("_rn") <= 10).drop("_rn")
+    }
+
+    val hotSection = LogStream.sectionCounts(parsed, sectionDim)
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", s"$checkpointRoot/hot_section")
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        sectionSink.table.clear() // complete-mode top-N: batch is the whole table
+        sectionSink.merge(top10(df, "section_pv", "section_id"), id)
+      }.start()
+
+    val hotArticle = LogStream.articleCounts(parsed, articleDim)
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", s"$checkpointRoot/hot_article")
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        articleSink.table.clear()
+        articleSink.merge(top10(df, "article_pv", "article_id"), id)
+      }.start()
+
+    val clientIp = LogStream.clientCounts(parsed)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", s"$checkpointRoot/client_ip")
+      .foreachBatch { (df: DataFrame, id: Long) => clientSink.merge(df, id) }
+      .start()
+
+    Pipelines(hotSection, hotArticle, clientIp, sectionSink, articleSink, clientSink)
+  }
+
+  /** CLI: `LogAnalysisApp <logDir> <sfDir>` — file-arrival stream over
+    * logDir (Kafka in production: graft.sources.LogSources.kafkaLines),
+    * dims from the sfDir testdata.
+    */
+  def main(args: Array[String]): Unit = {
+    val Array(logDir, sfDir) = args.take(2)
+    val cfg = GraftConfig.load()
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions", cfg.shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val p = start(spark,
+      graft.sources.LogSources.textStreamLines(spark, logDir),
+      graft.analytics.ForumAnalytics.sections(spark, sfDir),
+      graft.analytics.ForumAnalytics.articles(spark, sfDir),
+      cfg.checkpointDir)
+    p.clientIp.awaitTermination()
+  }
+}

@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.GraftConfig
+
+/** Log-line sources — the reference's ingestion surface re-expressed:
+  *
+  *   S1 Kafka (`LogAnalysis.java:54-70`): topic of raw combined-format
+  *      lines. [[kafkaLines]] builds the exact readStream; offsets ride
+  *      in the checkpoint (the analog of Flink's offset state).
+  *   S4 file fixture (`access_log.txt`): [[textLines]] (batch) and
+  *      [[textStreamLines]] (file-arrival streaming — also the local
+  *      stand-in for Kafka in tests, same downstream plan).
+  */
+object LogSources {
+
+  val LineSchema: StructType = StructType(Seq(StructField("line", StringType)))
+
+  /** Streaming Kafka source → one string column `line`. Option names/
+    * values mirror the reference consumer config: brokers, subscribe
+    * topic, earliest offsets (`auto.offset.reset=earliest`); group id is
+    * managed by Spark's checkpoint rather than Kafka group state.
+    */
+  def kafkaLines(spark: SparkSession, cfg: GraftConfig = GraftConfig.load()): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", cfg.kafkaBrokers)
+      .option("subscribe", cfg.kafkaTopic)
+      .option("startingOffsets", cfg.kafkaStartingOffsets)
+      .load()
+      .select(col("value").cast("string").as("line"))
+
+  /** Batch text source (the fixture-corpus path). */
+  def textLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(LineSchema).text(path).toDF("line")
+
+  /** File-arrival streaming text source. */
+  def textStreamLines(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(LineSchema).text(dir).toDF("line")
+}

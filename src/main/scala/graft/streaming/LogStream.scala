@@ -45,6 +45,13 @@ object LogStream {
       .groupBy(col("section_id"), col("name"))
       .agg(count(lit(1)).as("section_pv"))
 
+  /** Continuous per-article PV counts (`LogAnalysis.java:173-185`). */
+  def articleCounts(parsed: DataFrame, articleDim: DataFrame): DataFrame =
+    parsed.filter(col("article_id") =!= 0)
+      .join(broadcast(articleDim), col("article_id") === col("tid"))
+      .groupBy(col("article_id"), col("subject"))
+      .agg(count(lit(1)).as("article_pv"))
+
   /** Continuous per-client totals (`LogAnalysis.java:117-130`). */
   def clientCounts(parsed: DataFrame): DataFrame =
     parsed.filter(col("article_id") =!= 0 || col("section_id") =!= 0)

@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end product pipeline: files arriving in a directory → shared
+  * parse → three continuous analytics → upsert sinks (the full reference
+  * `LogAnalysis.main` shape, driven by the file source stand-in).
+  */
+class LogAnalysisAppSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+
+  def line(ip: String, uri: String): String =
+    s"""$ip - - [27/Aug/2020:10:20:53 +0800] "GET $uri HTTP/1.1" 200 1024 "-" "Mozilla/5.0""""
+
+  test("file-stream end to end: three sinks fill and upsert across batches") {
+    import spark.implicits._
+    val logDir = Files.createTempDirectory("graft-logs").toFile
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+
+    val sectionDim = Seq((3L, "tech"), (5L, "life")).toDF("fid", "name")
+    val articleDim = Seq((9L, "post nine"), (7L, "post seven")).toDF("tid", "subject")
+
+    Files.writeString(new java.io.File(logDir, "b1.log").toPath, Seq(
+      line("10.0.0.1", "/forum.php?mod=forumdisplay&fid=3"),
+      line("10.0.0.1", "/forum.php?mod=viewthread&tid=9"),
+      line("10.0.0.2", "/forum.php?mod=forumdisplay&fid=5"),
+      "### not a log line ###").mkString("\n"))
+
+    val p = LogAnalysisApp.start(spark,
+      graft.sources.LogSources.textStreamLines(spark, logDir.toString),
+      sectionDim, articleDim, ckpt)
+    try {
+      p.hotSection.processAllAvailable()
+      p.hotArticle.processAllAvailable()
+      p.clientIp.processAllAvailable()
+      assert(p.sectionSink.snapshot.size == 2)
+      assert(p.articleSink.snapshot.keySet == Set(Seq(9L)))
+      assert(p.clientSink.snapshot(Seq("10.0.0.1")).last == 2L)
+
+      Files.writeString(new java.io.File(logDir, "b2.log").toPath, Seq(
+        line("10.0.0.1", "/forum.php?mod=forumdisplay&fid=3"),
+        line("10.0.0.3", "/forum.php?mod=viewthread&tid=7")).mkString("\n"))
+      p.hotSection.processAllAvailable()
+      p.hotArticle.processAllAvailable()
+      p.clientIp.processAllAvailable()
+
+      val sec3 = p.sectionSink.snapshot(Seq(3L))
+      assert(sec3.contains("tech") && sec3.last == 2L) // upserted count grew
+      assert(p.articleSink.snapshot.keySet == Set(Seq(9L), Seq(7L)))
+      assert(p.clientSink.snapshot(Seq("10.0.0.3")).last == 1L)
+    } finally {
+      p.hotSection.stop(); p.hotArticle.stop(); p.clientIp.stop()
+    }
+  }
+
+  test("jdbc upsert SQL is the MySQL ON DUPLICATE KEY UPDATE form") {
+    val u = new graft.sources.JdbcUpsert(
+      "hot_section", Seq("section_id", "name", "section_pv"), Seq("section_id"),
+      () => throw new UnsupportedOperationException("no db in tests"))
+    assert(u.upsertSql ==
+      "INSERT INTO hot_section (section_id, name, section_pv) VALUES (?, ?, ?) " +
+        "ON DUPLICATE KEY UPDATE name = VALUES(name), section_pv = VALUES(section_pv)")
+  }
+
+  test("config precedence: env > sysprop > reference default") {
+    assert(GraftConfig.load().kafkaTopic == "user_access_logs")
+    sys.props.put("graft.kafka.topic", "override_topic")
+    try assert(GraftConfig.load().kafkaTopic == "override_topic")
+    finally sys.props.remove("graft.kafka.topic")
+  }
+}
