@@ -164,9 +164,9 @@ object Queries {
       .filter(col("o_custkey") < 50)
       .select(
         col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"),
-        row_number().over(w).as("rn"),
-        rank().over(w).as("rnk"),
-        dense_rank().over(w).as("drnk"),
+        row_number().over(w).cast("long").as("rn"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
         round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
         round(lead(col("o_totalprice"), 1).over(w), 2).as("next_price"),
         round(sum(col("o_totalprice")).over(wRun), 2).as("running_total"))
@@ -226,7 +226,7 @@ object Queries {
         col("p_partkey"),
         upper(col("p_name")).as("name_upper"),
         lower(col("p_brand")).as("brand_lower"),
-        length(col("p_name")).as("name_len"),
+        length(col("p_name")).cast("long").as("name_len"),
         substring(col("p_name"), 1, 8).as("name_prefix"),
         concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
         regexp_replace(col("p_name"), " ", "_").as("name_snake"),
@@ -240,13 +240,13 @@ object Queries {
       .filter(col("o_orderkey") < 200)
       .select(
         col("o_orderkey"),
-        year(col("o_orderdate")).as("o_year"),
-        month(col("o_orderdate")).as("o_month"),
-        dayofmonth(col("o_orderdate")).as("o_day"),
-        quarter(col("o_orderdate")).as("o_quarter"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        month(col("o_orderdate")).cast("long").as("o_month"),
+        dayofmonth(col("o_orderdate")).cast("long").as("o_day"),
+        quarter(col("o_orderdate")).cast("long").as("o_quarter"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date_str"),
         date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
-        datediff(lit("1998-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_98"))
+        datediff(lit("1998-01-01").cast("date"), col("o_orderdate").cast("date")).cast("long").as("days_to_98"))
       .orderBy(col("o_orderkey"))
 
   /** Math scalar functions over lineitem. */
@@ -434,6 +434,94 @@ object Queries {
         size(array_distinct(ws)).cast("long").as("n_distinct"))
       .orderBy(col("doc_id"))
   }
+
+  /** Elementwise label centroids — the k-means/IVF training primitive:
+    * posexplode vectors → (label, dim) partial-avg aggregation. Long
+    * format (label, dim, value) so the shuffle rows stay tiny.
+    */
+  def labelCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.asDouble(Tables.embeddings(spark, sfDir))
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim").cast("long").as("dim"))
+      .agg(round(avg(col("x")), 6).as("centroid_val"), count(lit(1)).as("n_vectors"))
+      .orderBy(col("label"), col("dim"))
+
+  /** Deterministic random hyperplanes for sign-LSH: weights derived from
+    * the portable hash of "plane:p:i", computed once at plan-build time
+    * and inlined as literals (both engines get the identical doubles).
+    */
+  lazy val LshPlanes: Seq[Seq[Double]] = (0 until 8).map { p =>
+    (0 until 64).map { i =>
+      val h = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val d = md.digest(s"plane:$p:$i".getBytes("UTF-8"))
+        ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) | ((d(2) & 0xffL) << 24) |
+          ((d(3) & 0xffL) << 16) | ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+      }
+      (h % 1000L) / 1000.0 - 0.5
+    }
+  }
+
+  /** Sign-LSH bucketed ANN: 8 hyperplane sign bits → 256 buckets; search
+    * only within the query's bucket (the scale path — bucket join instead
+    * of all-pairs), score by cosine (pre-normalized dot), top-3.
+    */
+  def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Similarity.normalized(Similarity.asDouble(Tables.embeddings(spark, sfDir)))
+    val bucket = LshPlanes.zipWithIndex.map { case (plane, p) =>
+      when(graft.functions.GraftFunctions.dot_product(
+        col("embedding"), typedLit(plane)) > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val b = e.select(col("vec_id"), col("embedding"), bucket.as("bucket"))
+    val q = b.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("bucket"))
+    val c = b.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", Similarity.dot(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("rnk").cast("long").as("rnk"),
+        round(col("cos_sim"), 6).as("cos_sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Salted skew join: events fact ⋈ per-user dim, salt factor 8; result
+    * must equal the plain join (which is what the oracle computes).
+    */
+  def saltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val dim = ev.select(col("user_id")).distinct()
+      .withColumn("ip", LogGen.clientIp(col("user_id")))
+    graft.ops.Skew.saltedJoin(ev, dim, "user_id", col("event_id") % 8, 8)
+      .groupBy(col("ip"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("value_sum"))
+      .orderBy(col("ip"))
+  }
+
+  /** Edit distance (Levenshtein) near-name pairs. */
+  def editDistance(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir).filter(col("p_partkey") < 40)
+      .select(col("p_partkey"), col("p_name"))
+    val a = p.select(col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+    val b = p.select(col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+    a.join(b, col("key_a") < col("key_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= 15)
+      .select(col("key_a"), col("key_b"), col("dist"))
+      .orderBy(col("key_a"), col("key_b"))
+  }
+
+  /** HAVING clause (post-aggregation filter). */
+  def havingQ(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"), round(avg(col("c_acctbal")), 2).as("avg_bal"))
+      .filter(col("n_customers") > 50)
+      .orderBy(col("c_nationkey"))
 
   /** Multimodal pipeline: synth binary payloads → partition-wise decode →
     * per-kind rollup. No SQL oracle (binary + mapPartitions); driver does

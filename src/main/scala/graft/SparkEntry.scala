@@ -55,6 +55,11 @@ object SparkEntry {
     "q_embed_neardup" -> (Queries.embedNearDup _),
     "q_media_pipeline" -> (Queries.mediaPipeline _),
     "q_approx_distinct" -> (Queries.approxDistinct _),
+    "q_label_centroids" -> (Queries.labelCentroids _),
+    "q_ann_lsh" -> (Queries.annLsh _),
+    "q_salted_join" -> (Queries.saltedJoin _),
+    "q_edit_distance" -> (Queries.editDistance _),
+    "q_having" -> (Queries.havingQ _),
     "q_asof_join" -> (Queries.asofJoin _),
     "q_sessionize" -> (Queries.sessionizeQ _),
     "q_pivot" -> (Queries.pivotQ _),
@@ -208,7 +213,7 @@ object SparkEntry {
 
     "q_simhash" ->
       s"""WITH t AS (SELECT doc_id, list_transform(list_distinct(${wordsSql("lower(text)")}), wd -> ${hSql("wd")}) AS hs FROM documents)
-         |SELECT doc_id, $simhashSql AS simhash
+         |SELECT doc_id, CAST($simhashSql AS BIGINT) AS simhash
          |FROM t ORDER BY doc_id""".stripMargin,
 
     "q_simhash_pairs" ->
@@ -217,9 +222,9 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT doc_id + 10000, replace(text, 'data', 'info') FROM documents WHERE doc_id < 100 AND doc_id % 5 = 0),
          |t AS (SELECT doc_id, list_transform(list_distinct(${wordsSql("lower(text)")}), wd -> ${hSql("wd")}) AS hs FROM base),
-         |s AS (SELECT doc_id, $simhashSql AS simhash FROM t)
+         |s AS (SELECT doc_id, CAST($simhashSql AS BIGINT) AS simhash FROM t)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM s a JOIN s b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
@@ -367,9 +372,9 @@ object SparkEntry {
 
     "q_window" ->
       """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
-        |  row_number() OVER w AS rn,
-        |  rank() OVER w AS rnk,
-        |  dense_rank() OVER w AS drnk,
+        |  CAST(row_number() OVER w AS BIGINT) AS rn,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
         |  round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
         |  round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
         |  round(sum(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
@@ -419,7 +424,7 @@ object SparkEntry {
       """SELECT p_partkey,
         |  upper(p_name) AS name_upper,
         |  lower(p_brand) AS brand_lower,
-        |  length(p_name) AS name_len,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
         |  substr(p_name, 1, 8) AS name_prefix,
         |  concat_ws('|', p_brand, p_type) AS brand_type,
         |  regexp_replace(p_name, ' ', '_', 'g') AS name_snake,
@@ -431,13 +436,13 @@ object SparkEntry {
 
     "q_date_funcs" ->
       """SELECT o_orderkey,
-        |  year(o_orderdate) AS o_year,
-        |  month(o_orderdate) AS o_month,
-        |  dayofmonth(o_orderdate) AS o_day,
-        |  quarter(o_orderdate) AS o_quarter,
+        |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(month(o_orderdate) AS BIGINT) AS o_month,
+        |  CAST(dayofmonth(o_orderdate) AS BIGINT) AS o_day,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS o_quarter,
         |  strftime(o_orderdate, '%Y-%m-%d') AS o_date_str,
         |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
-        |  datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_98
+        |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS BIGINT) AS days_to_98
         |FROM orders
         |WHERE o_orderkey < 200
         |ORDER BY o_orderkey""".stripMargin,
@@ -457,13 +462,63 @@ object SparkEntry {
 
     "q_case_agg" ->
       """SELECT o_orderpriority,
-        |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
-        |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending,
         |  round(avg(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS avg_open_price
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_label_centroids" ->
+      """SELECT label, dim, round(avg(x), 6) AS centroid_val, count(*) AS n_vectors
+        |FROM (
+        |  SELECT label, v, unnest(range(len(v))) AS dim
+        |  FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |) t, LATERAL (SELECT v[dim + 1] AS x) l
+        |GROUP BY label, dim
+        |ORDER BY label, dim""".stripMargin,
+
+    "q_ann_lsh" -> {
+      val planeLits = Queries.LshPlanes.map(p => "([" + p.mkString(", ") + "]::DOUBLE[])")
+      val bucketSql = planeLits.zipWithIndex.map { case (pl, p) =>
+        s"(CASE WHEN ${dotSql("v", pl)} > 0 THEN ${1 << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |e AS (SELECT vec_id, ${normSql("v")} AS v FROM e0),
+         |b AS (SELECT vec_id, v, $bucketSql AS bucket FROM e),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${dotSql("q.v", "c.v")} AS cs
+         |  FROM b c JOIN (SELECT * FROM b WHERE vec_id < 10) q ON c.bucket = q.bucket
+         |  WHERE c.vec_id <> q.vec_id)
+         |SELECT query_id, neighbor_id, rnk, round(cs, 6) AS cos_sim FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 3
+         |ORDER BY query_id, rnk""".stripMargin
+    },
+
+    "q_salted_join" ->
+      """SELECT concat('10.', user_id % 250, '.', (user_id * 7) % 250, '.', 1 + (user_id * 13) % 250) AS ip,
+        |  count(*) AS n_events, round(sum(value), 2) AS value_sum
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY ip""".stripMargin,
+
+    "q_edit_distance" ->
+      """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+        |WHERE a.p_partkey < 40 AND b.p_partkey < 40
+        |  AND levenshtein(a.p_name, b.p_name) <= 15
+        |ORDER BY key_a, key_b""".stripMargin,
+
+    "q_having" ->
+      """SELECT c_nationkey, count(*) AS n_customers, round(avg(c_acctbal), 2) AS avg_bal
+        |FROM customer
+        |GROUP BY c_nationkey
+        |HAVING count(*) > 50
+        |ORDER BY c_nationkey""".stripMargin,
 
     "q_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
@@ -489,8 +544,8 @@ object SparkEntry {
         |         CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
         |       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY mts, event_id)),
         |s2 AS (SELECT user_id, sec,
-        |         sum(is_new) OVER (PARTITION BY user_id ORDER BY mts, event_id
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY mts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
         |       FROM s1)
         |SELECT user_id, session_idx, count(*) AS n_events,
         |  strftime(make_timestamp(min(sec) * 1000000), '%Y-%m-%d %H:%M:%S') AS session_start,
@@ -500,9 +555,9 @@ object SparkEntry {
 
     "q_pivot" ->
       """SELECT o_orderpriority,
-        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS F,
-        |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS O,
-        |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS P
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
@@ -530,7 +585,7 @@ object SparkEntry {
 
     "q_json_funcs" ->
       """SELECT event_type, count(*) AS n_events,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
         |FROM events

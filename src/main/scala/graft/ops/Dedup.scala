@@ -148,7 +148,7 @@ object Dedup {
     val a = s.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val b = s.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
     a.join(b, col("doc_a") < col("doc_b"))
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .filter(col("hamming") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }

@@ -53,7 +53,7 @@ object Similarity {
     scored
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+      .select(col("query_id"), col("neighbor_id"), col("rnk").cast("long").as("rnk"),
         round(col("cos_sim"), 6).as("cos_sim"))
   }
 
