@@ -40,4 +40,19 @@ object LogSources {
   /** File-arrival streaming text source. */
   def textStreamLines(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(LineSchema).text(dir).toDF("line")
+
+  /** S2 — JDBC dimension snapshot (`pre_forum_post` / `pre_forum_forum`,
+    * reference `LogAnalysis.java:138-152,199-215`). Re-read per
+    * micro-batch inside foreachBatch and `broadcast()`ed at the join —
+    * the stream-static analog of the reference's TTL'd lookup cache
+    * (`lookup.cache.ttl`, `:211-212`).
+    */
+  def jdbcDim(spark: SparkSession, table: String,
+      cfg: GraftConfig = GraftConfig.load()): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", cfg.jdbcUrl)
+      .option("dbtable", table)
+      .option("user", cfg.jdbcUser)
+      .option("password", cfg.jdbcPassword)
+      .load()
 }
