@@ -489,6 +489,94 @@ object Queries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Full IVF ANN: compute centroids from the data (label-seeded),
+    * assign every vector to its nearest cell, then search only the
+    * query's cell. The real two-stage ANN shape: O(n·k) assignment +
+    * per-cell scoring instead of O(n²).
+    */
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val raw = Similarity.asDouble(Tables.embeddings(spark, sfDir))
+    val cells = Similarity.assignCells(raw, Similarity.centroids(raw))
+    val normed = Similarity.normalized(raw).join(cells, "vec_id")
+    val q = normed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cell"))
+    val c = normed.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", Similarity.dot(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("cell"), col("neighbor_id"), col("rnk"),
+        round(col("cos_sim"), 6).as("cos_sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Deterministic stratified train/val/test split by portable hash —
+    * the reproducible-split primitive of a training-data pipeline.
+    */
+  def stratifiedSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = TextOps.portableHash64(concat(lit("split:"), col("doc_id"))) % 100
+    Tables.documents(spark, sfDir)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  /** Top-N per group (window rank, not global top-k). */
+  def topnPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(spark, sfDir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("c_nationkey"), col("rn"), col("c_custkey"),
+        round(col("c_acctbal"), 2).as("acctbal"))
+      .orderBy(col("c_nationkey"), col("rn"))
+  }
+
+  /** Banded range join: same-user event pairs where b follows a by
+    * (0, 60] seconds. Equi-join on (user, minute-bucket ∈ {b, b+1}) then
+    * exact range filter — the scale shape for interval joins (bucket
+    * join, not an O(n²) range predicate).
+    */
+  def rangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        date_trunc("second", col("ts")).cast("long").as("sec"))
+    val a = ev.select(col("user_id"), col("event_id").as("id_a"), col("sec").as("sec_a"),
+        explode(array((col("sec") / 60).cast("long"), (col("sec") / 60).cast("long") + 1)).as("bucket"))
+    val b = ev.select(col("user_id"), col("event_id").as("id_b"), col("sec").as("sec_b"),
+        (col("sec") / 60).cast("long").as("bucket"))
+    a.join(b, Seq("user_id", "bucket"))
+      .filter(col("sec_b") > col("sec_a") && col("sec_b") - col("sec_a") <= 60)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Cartesian product (small × small). */
+  def crossJoinQ(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.region(spark, sfDir).crossJoin(Tables.nation(spark, sfDir))
+      .select(col("r_name"), col("n_name"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** Scalar subquery: customers above the global average balance. */
+  def scalarSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val globalAvg = c.agg(avg(col("c_acctbal")).as("g_avg"))
+    c.crossJoin(broadcast(globalAvg))
+      .filter(col("c_acctbal") > col("g_avg"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_above_avg"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Salted skew join: events fact ⋈ per-user dim, salt factor 8; result
     * must equal the plain join (which is what the oracle computes).
     */

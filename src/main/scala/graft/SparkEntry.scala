@@ -56,6 +56,12 @@ object SparkEntry {
     "q_media_pipeline" -> (Queries.mediaPipeline _),
     "q_approx_distinct" -> (Queries.approxDistinct _),
     "q_label_centroids" -> (Queries.labelCentroids _),
+    "q_ann_ivf" -> (Queries.annIvf _),
+    "q_stratified_split" -> (Queries.stratifiedSplit _),
+    "q_topn_per_group" -> (Queries.topnPerGroup _),
+    "q_range_join" -> (Queries.rangeJoin _),
+    "q_cross_join" -> (Queries.crossJoinQ _),
+    "q_scalar_subquery" -> (Queries.scalarSubquery _),
     "q_ann_lsh" -> (Queries.annLsh _),
     "q_salted_join" -> (Queries.saltedJoin _),
     "q_edit_distance" -> (Queries.editDistance _),
@@ -497,6 +503,70 @@ object SparkEntry {
          |WHERE rnk <= 3
          |ORDER BY query_id, rnk""".stripMargin
     },
+
+    "q_ann_ivf" ->
+      s"""WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cd AS (
+         |  SELECT CAST(label AS BIGINT) AS cell, dim, round(avg(x), 6) AS m
+         |  FROM (SELECT label, v, unnest(range(len(v))) AS dim FROM e0) t,
+         |       LATERAL (SELECT v[dim + 1] AS x) l
+         |  GROUP BY cell, dim),
+         |cents AS (SELECT cell, list(m ORDER BY dim) AS cv FROM cd GROUP BY cell),
+         |asg AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e0.vec_id, cents.cell,
+         |      row_number() OVER (PARTITION BY e0.vec_id ORDER BY
+         |        (${dotSql("v", "v")} - 2.0 * ${dotSql("v", "cv")} + ${dotSql("cv", "cv")}), cents.cell) AS rn
+         |    FROM e0 CROSS JOIN cents)
+         |  WHERE rn = 1),
+         |nrm AS (SELECT vec_id, ${normSql("v")} AS v FROM e0),
+         |b AS (SELECT nrm.vec_id, v, cell FROM nrm JOIN asg ON nrm.vec_id = asg.vec_id),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, q.cell AS cell, c.vec_id AS neighbor_id, ${dotSql("q.v", "c.v")} AS cs
+         |  FROM b c JOIN (SELECT * FROM b WHERE vec_id < 10) q ON c.cell = q.cell
+         |  WHERE c.vec_id <> q.vec_id)
+         |SELECT query_id, cell, neighbor_id, rnk, round(cs, 6) AS cos_sim FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 3
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    "q_stratified_split" ->
+      s"""WITH d AS (SELECT lang, n_chars,
+         |  ${hSql("concat('split:', CAST(doc_id AS VARCHAR))")} % 100 AS b FROM documents)
+         |SELECT lang,
+         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM d GROUP BY lang, split
+         |ORDER BY lang, split""".stripMargin,
+
+    "q_topn_per_group" ->
+      """SELECT c_nationkey, rn, c_custkey, round(c_acctbal, 2) AS acctbal FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    CAST(row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn
+        |  FROM customer)
+        |WHERE rn <= 3
+        |ORDER BY c_nationkey, rn""".stripMargin,
+
+    "q_range_join" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |             CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+        |           FROM events)
+        |SELECT a.user_id AS user_id, count(*) AS n_pairs
+        |FROM e a JOIN e b ON a.user_id = b.user_id AND b.sec > a.sec AND b.sec - a.sec <= 60
+        |GROUP BY a.user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q_cross_join" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q_scalar_subquery" ->
+      """SELECT c_mktsegment, count(*) AS n_above_avg
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
 
     "q_salted_join" ->
       """SELECT concat('10.', user_id % 250, '.', (user_id * 7) % 250, '.', 1 + (user_id * 13) % 250) AS ip,

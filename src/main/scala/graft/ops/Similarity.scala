@@ -57,6 +57,36 @@ object Similarity {
         round(col("cos_sim"), 6).as("cos_sim"))
   }
 
+  /** IVF coarse quantizer, stage 1: per-cell elementwise centroid
+    * (posexplode → partial-avg → re-assemble; values rounded 6dp so the
+    * hash-agg accumulation order can't leak into cell assignments).
+    * Seeded here from the label column; k-means iterations would loop
+    * assign→recompute over the same two building blocks.
+    */
+  def centroids(e: DataFrame): DataFrame =
+    e.select(col("label").cast("long").as("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(round(avg(col("x")), 6).as("m"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        s => s.getField("m")).as("cv"))
+
+  /** IVF stage 2: assign each vector to its nearest centroid by squared
+    * L2 via the dot identity |v-c|² = v·v − 2v·c + c·c (native dots);
+    * ties broken by cell id. Cost O(n·k), centroids broadcast.
+    */
+  def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dist = dot(col("embedding"), col("embedding")) -
+      lit(2.0) * dot(col("embedding"), col("cv")) + dot(col("cv"), col("cv"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("dist", dist)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"))
+  }
+
   /** Blocked (IVF-style) near-duplicate detection: score only pairs
     * sharing a coarse cell (here the `label` column stands in for a
     * quantizer cell assignment). Replaces O(n²) with Σ|cell|². Inputs
