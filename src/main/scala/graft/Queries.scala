@@ -608,7 +608,7 @@ object Queries {
     Tables.customer(spark, sfDir)
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("n_customers"), round(avg(col("c_acctbal")), 2).as("avg_bal"))
-      .filter(col("n_customers") > 50)
+      .filter(col("n_customers") > 4)
       .orderBy(col("c_nationkey"))
 
   /** Multimodal pipeline: synth binary payloads → partition-wise decode →

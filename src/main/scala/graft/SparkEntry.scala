@@ -587,7 +587,7 @@ object SparkEntry {
       """SELECT c_nationkey, count(*) AS n_customers, round(avg(c_acctbal), 2) AS avg_bal
         |FROM customer
         |GROUP BY c_nationkey
-        |HAVING count(*) > 50
+        |HAVING count(*) > 4
         |ORDER BY c_nationkey""".stripMargin,
 
     "q_asof_join" ->

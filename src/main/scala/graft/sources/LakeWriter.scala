@@ -1,0 +1,34 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Output layout for the data lake — where 100 TB efficiency is decided
+  * before any query runs:
+  *
+  *   - [[writeDatePartitioned]]: hive-style `dt=YYYY-MM-DD/` directories;
+  *     date-bounded queries then touch only matching partitions
+  *     (partition pruning shows as `PartitionFilters` in the scan).
+  *   - [[writeBucketed]]: pre-hash rows into N buckets on the join/agg
+  *     key; bucketed⋈bucketed on that key needs NO exchange on either
+  *     side — the co-located join for fact⋈fact workloads.
+  */
+object LakeWriter {
+
+  /** Write parquet partitioned by the date of `tsCol`. */
+  def writeDatePartitioned(df: DataFrame, tsCol: String, path: String): Unit =
+    df.withColumn("dt", date_format(col(tsCol), "yyyy-MM-dd"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("dt")
+      .parquet(path)
+
+  /** Write as a bucketed managed table (bucket pruning + shuffle-free
+    * joins between tables bucketed the same way on the same key).
+    */
+  def writeBucketed(df: DataFrame, key: String, buckets: Int, table: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+}

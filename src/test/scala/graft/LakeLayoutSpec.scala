@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{LakeWriter, Tables}
+
+/** Storage-layout guarantees: date-partition pruning and shuffle-free
+  * bucketed joins — the layout decisions that dominate at 100 TB.
+  */
+class LakeLayoutSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("date-partitioned write prunes partitions on read") {
+    val out = Files.createTempDirectory("graft-lake").toString + "/events"
+    LakeWriter.writeDatePartitioned(Tables.events(spark, sf), "ts", out)
+    val read = spark.read.parquet(out).filter(col("dt") === "2024-01-05")
+    val plan = read.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters") && plan.contains("2024-01-05"), plan)
+    val expected = Tables.events(spark, sf)
+      .filter(date_format(col("ts"), "yyyy-MM-dd") === "2024-01-05").count()
+    assert(read.count() == expected && expected > 0)
+  }
+
+  test("bucketed tables join without any exchange") {
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    Seq("li_b", "o_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), t)
+      if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    }
+    LakeWriter.writeBucketed(
+      Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity"), "l_orderkey", 8, "li_b")
+    LakeWriter.writeBucketed(
+      Tables.orders(spark, sf).select("o_orderkey", "o_orderpriority"), "o_orderkey", 8, "o_b")
+    val joined = spark.table("li_b")
+      .join(spark.table("o_b").hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").agg(sum("l_quantity").as("q"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // co-located: sort-merge join directly over the bucketed scans —
+    // no ShuffleExchange below the join (only the final agg exchanges)
+    val joinIdx = plan.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, plan)
+    assert(!plan.substring(joinIdx).contains("Exchange hashpartitioning(l_orderkey"), plan)
+    assert(!plan.substring(joinIdx).contains("Exchange hashpartitioning(o_orderkey"), plan)
+    assert(joined.count() > 0)
+  }
+
+  test("streaming dropDuplicates dedups within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp)]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val q = mem.toDF().toDF("doc_id", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("doc_id")
+      .writeStream.outputMode("append").format("memory").queryName("dedup_stream").start()
+    try {
+      mem.addData((1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 00:00:01")),
+        (2L, ts("2024-01-01 00:00:02")))
+      q.processAllAvailable()
+      mem.addData((1L, ts("2024-01-01 00:10:00")), (3L, ts("2024-01-01 00:10:01")))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("doc_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L)) // duplicate 1L suppressed across batches
+    } finally q.stop()
+  }
+}
