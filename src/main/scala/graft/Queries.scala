@@ -603,6 +603,27 @@ object Queries {
       .orderBy(col("key_a"), col("key_b"))
   }
 
+  /** Ordered string aggregation (LISTAGG/STRING_AGG shape). */
+  def stringAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.nation(spark, sfDir)
+      .groupBy(col("n_regionkey"))
+      .agg(concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"),
+        count(lit(1)).as("n_nations"))
+      .orderBy(col("n_regionkey"))
+
+  /** Statistical aggregates (stddev/variance/corr/covar), rounded to
+    * absorb accumulation-algorithm differences across engines.
+    */
+  def statsAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_extendedprice")), 2).as("var_price"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("covar_qty_disc"))
+      .orderBy(col("l_returnflag"))
+
   /** HAVING clause (post-aggregation filter). */
   def havingQ(spark: SparkSession, sfDir: String): DataFrame =
     Tables.customer(spark, sfDir)

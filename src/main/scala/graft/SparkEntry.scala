@@ -66,6 +66,8 @@ object SparkEntry {
     "q_salted_join" -> (Queries.saltedJoin _),
     "q_edit_distance" -> (Queries.editDistance _),
     "q_having" -> (Queries.havingQ _),
+    "q_string_agg" -> (Queries.stringAgg _),
+    "q_stats_agg" -> (Queries.statsAgg _),
     "q_asof_join" -> (Queries.asofJoin _),
     "q_sessionize" -> (Queries.sessionizeQ _),
     "q_pivot" -> (Queries.pivotQ _),
@@ -582,6 +584,22 @@ object SparkEntry {
         |WHERE a.p_partkey < 40 AND b.p_partkey < 40
         |  AND levenshtein(a.p_name, b.p_name) <= 15
         |ORDER BY key_a, key_b""".stripMargin,
+
+    "q_string_agg" ->
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations, count(*) AS n_nations
+        |FROM nation
+        |GROUP BY n_regionkey
+        |ORDER BY n_regionkey""".stripMargin,
+
+    "q_stats_agg" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(var_samp(l_extendedprice), 2) AS var_price,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_discount), 4) AS covar_qty_disc
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q_having" ->
       """SELECT c_nationkey, count(*) AS n_customers, round(avg(c_acctbal), 2) AS avg_bal
