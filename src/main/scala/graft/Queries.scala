@@ -603,6 +603,29 @@ object Queries {
       .orderBy(col("key_a"), col("key_b"))
   }
 
+  /** Per-group top-3 via the typed [[graft.ops.Aggregators.TopK]]
+    * Aggregator (bounded buffer, map-side combinable — no per-group
+    * sort). Must equal the window-function oracle exactly.
+    */
+  def topkTyped(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val agg = new graft.ops.Aggregators.TopK(3)
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(agg.toColumn.name("topk"))
+      .flatMap { case (cust, list) =>
+        list.zipWithIndex.map { case ((price, okey), i) =>
+          (cust, (i + 1).toLong, okey,
+            BigDecimal(price).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }
+      .toDF("c_custkey", "rnk", "o_orderkey", "price")
+      .orderBy(col("c_custkey"), col("rnk"))
+  }
+
   /** Ordered string aggregation (LISTAGG/STRING_AGG shape). */
   def stringAgg(spark: SparkSession, sfDir: String): DataFrame =
     Tables.nation(spark, sfDir)

@@ -67,6 +67,7 @@ object SparkEntry {
     "q_edit_distance" -> (Queries.editDistance _),
     "q_having" -> (Queries.havingQ _),
     "q_string_agg" -> (Queries.stringAgg _),
+    "q_topk_typed" -> (Queries.topkTyped _),
     "q_stats_agg" -> (Queries.statsAgg _),
     "q_asof_join" -> (Queries.asofJoin _),
     "q_sessionize" -> (Queries.sessionizeQ _),
@@ -584,6 +585,14 @@ object SparkEntry {
         |WHERE a.p_partkey < 40 AND b.p_partkey < 40
         |  AND levenshtein(a.p_name, b.p_name) <= 15
         |ORDER BY key_a, key_b""".stripMargin,
+
+    "q_topk_typed" ->
+      """SELECT o_custkey AS c_custkey, rn AS rnk, o_orderkey, round(o_totalprice, 2) AS price FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY c_custkey, rnk""".stripMargin,
 
     "q_string_agg" ->
       """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations, count(*) AS n_nations

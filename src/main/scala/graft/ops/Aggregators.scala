@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed custom aggregates (`Aggregator[IN, BUF, OUT]`) — the UDAF
+  * surface (SURVEY.md §2.3 reserves it for extension ops).
+  */
+object Aggregators {
+
+  /** Bounded top-k by score (desc), id tiebreak (asc) — per-group top-k
+    * without sorting the group: the buffer never exceeds k entries, and
+    * partial buffers merge associatively, so map-side combine ships at
+    * most k rows per group per partition. The per-group KNN / leaderboard
+    * primitive at scale (contrast: a window row_number sorts every
+    * group's full contents).
+    */
+  /** IN = (id, score). */
+  class TopK(k: Int) extends Aggregator[(Long, Double), List[(Double, Long)], List[(Double, Long)]] {
+
+    private def trim(xs: List[(Double, Long)]): List[(Double, Long)] =
+      xs.sortBy { case (score, id) => (-score, id) }.take(k)
+
+    override def zero: List[(Double, Long)] = Nil
+
+    override def reduce(buf: List[(Double, Long)], in: (Long, Double)): List[(Double, Long)] =
+      trim((in._2, in._1) :: buf)
+
+    override def merge(a: List[(Double, Long)], b: List[(Double, Long)]): List[(Double, Long)] =
+      trim(a ++ b)
+
+    override def finish(buf: List[(Double, Long)]): List[(Double, Long)] = buf
+
+    override def bufferEncoder: Encoder[List[(Double, Long)]] =
+      org.apache.spark.sql.Encoders.kryo[List[(Double, Long)]]
+
+    override def outputEncoder: Encoder[List[(Double, Long)]] =
+      Encoders.kryo[List[(Double, Long)]]
+  }
+}
