@@ -86,6 +86,21 @@ object Dedup {
     hashed.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
   }
 
+  /** Stateless per-row signature variant for STREAMING inputs: 8 lambda
+    * folds over the (already natively hashed) shingle array — no
+    * aggregation state, so it composes with append-mode pipelines. Batch
+    * jobs prefer [[minhashSignatures]] (codegen'd, map-side combined);
+    * same values either way.
+    */
+  def minhashSignaturesNarrow(shingled: DataFrame): DataFrame = {
+    val sigCols = MinHashA.zip(MinHashB).zipWithIndex.map { case ((a, b), j) =>
+      aggregate(col("shingles"), lit(MinHashP),
+        (acc, h) => least(acc, (h * a + b) % MinHashP)).as(s"s$j")
+    }
+    shingled.filter(size(col("shingles")) > 0)
+      .select(col("doc_id") +: sigCols: _*)
+  }
+
   /** LSH banding: 4 bands × 2 rows; band key = "j:s2j:s2j+1". Candidate
     * pairs = equi-join on band key (deduped) — the scale path that
     * replaces the O(n²) cross join.

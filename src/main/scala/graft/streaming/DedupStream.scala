@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.ops.Dedup
+
+/** Streaming near-duplicate detection over a document stream.
+  *
+  * Batch MinHash-LSH (graft.ops.Dedup) made incremental: each arriving
+  * doc's 4 LSH band keys are checked against per-band state
+  * (`mapGroupsWithState` keyed by band key, storing the first doc seen
+  * per band). A doc colliding with an earlier doc on ANY band is emitted
+  * as a duplicate-candidate pair — classic LSH recall semantics, now
+  * with O(1) state lookups per band instead of a batch self-join.
+  *
+  * Scale shape: state is hash-partitioned by band key across executors
+  * (the same exchange the batch band-join does, but amortized per
+  * micro-batch); state size = one (band → doc_id) entry per distinct
+  * band. Exact-dup streaming is just `dropDuplicates` on md5(text) with
+  * a watermark (see LakeLayoutSpec).
+  */
+object DedupStream {
+
+  case class BandHit(band: String, doc_id: Long, first_doc: Long)
+
+  /** docs(doc_id, text) stream → append-stream of candidate pairs
+    * (doc_id arrived later, first_doc was the band's first occupant).
+    * Downstream consumers dedupe multi-band hits per pair.
+    */
+  def lshCandidates(docs: DataFrame): Dataset[BandHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sigs = Dedup.minhashSignaturesNarrow(Dedup.shingleSets(docs))
+    val bandKeys = (0 until 4).map(j =>
+      concat_ws(":", lit(j), col(s"s${2 * j}"), col(s"s${2 * j + 1}")))
+    sigs.select(col("doc_id"), explode(array(bandKeys: _*)).as("band"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (band: String, rows: Iterator[(Long, String)], state: GroupState[Long]) =>
+          val ids = rows.map(_._1).toSeq.sorted
+          var first = state.getOption.getOrElse(Long.MaxValue)
+          val hits = Seq.newBuilder[BandHit]
+          ids.foreach { id =>
+            if (first == Long.MaxValue) first = id
+            else if (id != first) hits += BandHit(band, id, first)
+          }
+          state.update(first)
+          hits.result().iterator
+      }
+  }
+}

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.DedupStream
+
+class DedupStreamSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+
+  val original = "the quick brown fox jumps over the lazy dog near the river bank " +
+    "while the sun sets slowly behind the old wooden bridge in the quiet village"
+  val nearDup = original.replace("dog", "cat")
+  val unrelated = "completely different content about spark catalyst optimizer rules " +
+    "and whole stage code generation for vectorized parquet scans in modern engines"
+
+  test("streaming LSH flags near-dups across micro-batches, not unrelated docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = DedupStream.lshCandidates(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory").queryName("lsh_hits").start()
+    try {
+      mem.addData((1L, original), (2L, unrelated))
+      q.processAllAvailable()
+      assert(spark.table("lsh_hits").count() == 0) // nothing similar yet
+
+      mem.addData((3L, nearDup), (4L, original)) // near-dup + exact dup arrive later
+      q.processAllAvailable()
+      val hits = spark.table("lsh_hits").as[DedupStream.BandHit].collect()
+      val pairs = hits.map(h => (h.first_doc, h.doc_id)).distinct.toSet
+      assert(pairs.contains((1L, 4L))) // exact dup: every band collides
+      assert(pairs.contains((1L, 3L))) // near dup: >=1 band collides
+      assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+    } finally q.stop()
+  }
+}
