@@ -322,7 +322,8 @@ object Queries {
       col("doc_id"),
       TextOps.fingerprintMd5(col("text")).as("fp_md5"),
       TextOps.fingerprint64(col("text")).as("fp64"),
-      TextOps.minShingleHash(col("text")).as("min_shingle_hash"))
+      TextOps.minShingleHash(col("text")).as("min_shingle_hash"),
+      TextOps.rollingFingerprint(col("text")).as("rolling_min"))
       .orderBy(col("doc_id"))
 
   /** Exact dedup over documents with planted exact copies. */

@@ -171,7 +171,10 @@ object SparkEntry {
       s"""WITH t AS (SELECT doc_id, lower(trim(text)) AS nt, ${wordsSql("lower(text)")} AS w FROM documents),
          |s AS (SELECT doc_id, nt, $shinglesSql AS shingles FROM t)
          |SELECT doc_id, md5(nt) AS fp_md5, ${hSql("nt")} AS fp64,
-         |  list_min(list_transform(shingles, g -> ${hSql("g")})) AS min_shingle_hash
+         |  list_min(list_transform(shingles, g -> ${hSql("g")})) AS min_shingle_hash,
+         |  list_min(list_transform(range(length(nt) - 15), i ->
+         |    list_reduce(list_transform(range(16), j -> CAST(ord(substr(nt, i + j + 1, 1)) AS BIGINT)),
+         |      (a, c) -> (a * 257 + c) % 1000000007))) AS rolling_min
          |FROM s ORDER BY doc_id""".stripMargin,
 
     "q_dedup_exact" ->

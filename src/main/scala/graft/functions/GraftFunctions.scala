@@ -21,4 +21,8 @@ object GraftFunctions {
   /** Native sequential-fold dot product of two array<double> columns. */
   def dot_product(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Min Rabin-Karp rolling hash over w-char windows (see [[RollingHashMin]]). */
+  def rolling_hash_min(text: Column, w: Int): Column =
+    ColumnBridge.column(RollingHashMin(ColumnBridge.expression(text), w))
 }

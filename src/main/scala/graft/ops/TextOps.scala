@@ -102,4 +102,8 @@ object TextOps {
   def fingerprint64(text: Column): Column = portableHash64(lower(trim(text)))
   def minShingleHash(text: Column): Column =
     array_min(graft.functions.GraftFunctions.shingle_hashes(lower(text), 3))
+
+  /** Rabin-Karp min rolling hash over 16-char windows of normalized text. */
+  def rollingFingerprint(text: Column): Column =
+    graft.functions.GraftFunctions.rolling_hash_min(lower(trim(text)), 16)
 }
