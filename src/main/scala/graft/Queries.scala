@@ -515,6 +515,17 @@ object Queries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** k-means (3 Lloyd iterations from the label seed): cluster sizes +
+    * rounded inertia. Deterministic but iterative — no SQL oracle
+    * (rows-only check); KMeansSpec asserts monotone inertia + stability.
+    */
+  def kmeansQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Similarity.asDouble(Tables.embeddings(spark, sfDir))
+    val (assigned, cents) = Similarity.kmeans(e, 3)
+    assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+      .orderBy(col("cell"))
+  }
+
   /** Deterministic stratified train/val/test split by portable hash —
     * the reproducible-split primitive of a training-data pipeline.
     */

@@ -57,6 +57,7 @@ object SparkEntry {
     "q_approx_distinct" -> (Queries.approxDistinct _),
     "q_label_centroids" -> (Queries.labelCentroids _),
     "q_ann_ivf" -> (Queries.annIvf _),
+    "q_kmeans" -> (Queries.kmeansQ _),
     "q_stratified_split" -> (Queries.stratifiedSplit _),
     "q_topn_per_group" -> (Queries.topnPerGroup _),
     "q_range_join" -> (Queries.rangeJoin _),

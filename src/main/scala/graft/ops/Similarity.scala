@@ -87,6 +87,38 @@ object Similarity {
       .select(col("vec_id"), col("cell"))
   }
 
+  /** Lloyd's k-means over the embedding column: iterate assign
+    * ([[assignCells]], O(n·k) with broadcast centroids) → recompute
+    * (posexplode + partial-avg). Deterministic: seeded from the label
+    * column, 6dp-rounded centroids, id tie-breaks. Each iteration is two
+    * narrow-ish jobs; nothing driver-side except the loop itself — the
+    * standard distributed k-means shape.
+    */
+  def kmeans(e: DataFrame, iterations: Int): (DataFrame, DataFrame) = {
+    var cents = centroids(e)
+    var assigned: DataFrame = null
+    for (_ <- 0 until iterations) {
+      assigned = assignCells(e, cents)
+      cents = e.join(assigned, "vec_id")
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(round(avg(col("x")), 6).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => s.getField("m")).as("cv"))
+    }
+    (assignCells(e, cents), cents)
+  }
+
+  /** Total within-cluster squared distance (inertia) of an assignment. */
+  def inertia(e: DataFrame, assigned: DataFrame, cents: DataFrame): Double =
+    e.join(assigned, "vec_id").join(cents, "cell")
+      .select(sum(
+        dot(col("embedding"), col("embedding")) -
+          lit(2.0) * dot(col("embedding"), col("cv")) +
+          dot(col("cv"), col("cv"))).as("s"))
+      .collect()(0).getDouble(0)
+
   /** Blocked (IVF-style) near-duplicate detection: score only pairs
     * sharing a coarse cell (here the `label` column stands in for a
     * quantizer cell assignment). Replaces O(n²) with Σ|cell|². Inputs

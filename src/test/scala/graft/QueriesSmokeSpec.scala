@@ -21,6 +21,6 @@ class QueriesSmokeSpec extends AnyFunSuite {
 
   test("every query has either an oracle or a documented rows-only check") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("q_media_pipeline", "q_approx_distinct"), noOracle)
+    assert(noOracle == Set("q_media_pipeline", "q_approx_distinct", "q_kmeans"), noOracle)
   }
 }
