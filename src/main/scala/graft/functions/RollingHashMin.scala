@@ -30,9 +30,10 @@ case class RollingHashMin(child: Expression, w: Int) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("rollMin")
       s"""
-         |Long r = graft.functions.RollingHashMin.compute($c, $w);
-         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.longValue(); }
+         |Long $r = graft.functions.RollingHashMin.compute($c, $w);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
        """.stripMargin
     })
 
