@@ -81,6 +81,10 @@ object LogAnalysisApp {
     * dims from the sfDir testdata.
     */
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: LogAnalysisApp <logDir> <sfDir>")
+      sys.exit(2)
+    }
     val Array(logDir, sfDir) = args.take(2)
     val cfg = GraftConfig.load()
     val spark = SparkSession.builder()

@@ -14,8 +14,9 @@ object Prof {
       println(f"$name%-28s ${(System.nanoTime()-t0)/1e9}%8.2f s   rows=$n")
     }
     time("warmup")(graft.sources.Tables.events(spark, sf).count())
-    time("loggen_only")(graft.logs.LogGen.logLines(spark, sf).select(sum(length(col("line")))).count())
-    time("loggen_only_2")(graft.logs.LogGen.logLines(spark, sf).select(sum(length(col("line")))).count())
+    // agg + collect so column pruning can't strip the line rendering
+    time("loggen_only")(graft.logs.LogGen.logLines(spark, sf).agg(sum(length(col("line")))).collect()(0).getLong(0))
+    time("loggen_only_2")(graft.logs.LogGen.logLines(spark, sf).agg(sum(length(col("line")))).collect()(0).getLong(0))
     time("parse_tuples")(graft.analytics.ForumAnalytics.parsedLogs(spark, sf).count())
     time("parse_tuples_2")(graft.analytics.ForumAnalytics.parsedLogs(spark, sf).count())
     time("client_ip_full")(Queries.clientIp(spark, sf).count())

@@ -25,4 +25,8 @@ object GraftFunctions {
   /** Min Rabin-Karp rolling hash over w-char windows (see [[RollingHashMin]]). */
   def rolling_hash_min(text: Column, w: Int): Column =
     ColumnBridge.column(RollingHashMin(ColumnBridge.expression(text), w))
+
+  /** One-pass unit normalization of an array<double> (see [[NormalizeVector]]). */
+  def normalize_vector(v: Column): Column =
+    ColumnBridge.column(NormalizeVector(ColumnBridge.expression(v)))
 }

@@ -23,13 +23,17 @@ object Aggregators {
 
     override def zero: List[(Double, Long)] = Nil
 
-    override def reduce(buf: List[(Double, Long)], in: (Long, Double)): List[(Double, Long)] =
-      trim((in._2, in._1) :: buf)
+    // amortize: let the buffer grow to 2k between trims instead of
+    // sorting k+1 elements on every input row of the map-side combine
+    override def reduce(buf: List[(Double, Long)], in: (Long, Double)): List[(Double, Long)] = {
+      val grown = (in._2, in._1) :: buf
+      if (grown.lengthCompare(2 * k) > 0) trim(grown) else grown
+    }
 
     override def merge(a: List[(Double, Long)], b: List[(Double, Long)]): List[(Double, Long)] =
       trim(a ++ b)
 
-    override def finish(buf: List[(Double, Long)]): List[(Double, Long)] = buf
+    override def finish(buf: List[(Double, Long)]): List[(Double, Long)] = trim(buf)
 
     override def bufferEncoder: Encoder[List[(Double, Long)]] =
       org.apache.spark.sql.Encoders.kryo[List[(Double, Long)]]

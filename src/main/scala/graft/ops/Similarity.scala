@@ -35,7 +35,7 @@ object Similarity {
     */
   def normalized(embeddings: DataFrame, vecCol: String = "embedding"): DataFrame =
     embeddings.withColumn(vecCol,
-      transform(col(vecCol), x => x / sqrt(dot(col(vecCol), col(vecCol)))))
+      graft.functions.GraftFunctions.normalize_vector(col(vecCol)))
 
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * candidates (excluding self). Inputs must be [[normalized]]; query

@@ -23,7 +23,9 @@ object Skew {
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       factSalt: Column, factor: Int): DataFrame = {
-    val salted = fact.withColumn("_salt", factSalt.cast("int"))
+    // pmod: a raw % over negative/oversized salt expressions would land
+    // outside 0..factor-1 and silently drop those fact rows
+    val salted = fact.withColumn("_salt", pmod(factSalt, lit(factor)).cast("int"))
     val replicated = dim.withColumn("_salt",
       explode(array((0 until factor).map(lit): _*)))
     // shuffle_hash hint: exercise the exchange path (broadcast would

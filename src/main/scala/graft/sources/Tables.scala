@@ -31,8 +31,10 @@ object Tables {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events")
       // ts arrives as LongType (nanos since epoch) under nanosAsLong;
-      // truncate to micros. Integer division on non-negative values.
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      // truncate to micros with INTEGER division (`div`). Column./ is
+      // floating-point: ~1.7e18 exceeds double's 53-bit mantissa, so
+      // (ts / 1000).cast("long") lands 1µs low on ~1.5% of values.
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 

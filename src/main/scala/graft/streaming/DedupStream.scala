@@ -25,9 +25,18 @@ object DedupStream {
 
   case class BandHit(band: String, doc_id: Long, first_doc: Long)
 
-  /** docs(doc_id, text) stream → append-stream of candidate pairs
-    * (doc_id arrived later, first_doc was the band's first occupant).
-    * Downstream consumers dedupe multi-band hits per pair.
+  /** Max occupants remembered per band — bounds state for hot bands
+    * (a pathological band that attracts everything must not grow state
+    * unboundedly; beyond the cap, new docs still pair with the retained
+    * occupants, which is LSH-recall-degrading but safe).
+    */
+  val MaxOccupants = 32
+
+  /** docs(doc_id, text) stream → append-stream of candidate pairs: each
+    * arriving doc against EVERY retained earlier occupant of the band
+    * (pairing only against the first occupant would silently miss two
+    * later-arriving near-dups that share a band with an earlier
+    * unrelated doc). Downstream consumers dedupe multi-band hits.
     */
   def lshCandidates(docs: DataFrame): Dataset[BandHit] = {
     val spark = docs.sparkSession
@@ -39,15 +48,16 @@ object DedupStream {
       .as[(Long, String)]
       .groupByKey(_._2)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (band: String, rows: Iterator[(Long, String)], state: GroupState[Long]) =>
-          val ids = rows.map(_._1).toSeq.sorted
-          var first = state.getOption.getOrElse(Long.MaxValue)
+        (band: String, rows: Iterator[(Long, String)], state: GroupState[List[Long]]) =>
+          var occupants = state.getOption.getOrElse(Nil)
           val hits = Seq.newBuilder[BandHit]
-          ids.foreach { id =>
-            if (first == Long.MaxValue) first = id
-            else if (id != first) hits += BandHit(band, id, first)
+          rows.map(_._1).toSeq.sorted.foreach { id =>
+            if (!occupants.contains(id)) {
+              occupants.foreach(prev => hits += BandHit(band, id, prev))
+              if (occupants.size < MaxOccupants) occupants = occupants :+ id
+            }
           }
-          state.update(first)
+          state.update(occupants)
           hits.result().iterator
       }
   }
