@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.analytics.ForumAnalytics
@@ -62,6 +62,30 @@ object Queries {
   /** Q2/Q5: multi-aggregate hash group-by (TPC-H Q1 shape) — partial+final
     * agg, one shuffle on the 2-column key.
     */
+  /** Cross-engine-exact aggregate helpers for 2-decimal (money-like)
+    * base columns. Plain `round(avg(x), k)` is NOT portable: the true
+    * decimal average of 2dp values frequently sits exactly on a half
+    * step, and engines round that boundary double differently
+    * (observed: avg_bal 4201.315 → Spark 4201.31, DuckDB 4201.32).
+    * Fix: sum exact integer cents (order-independent), divide, and
+    * round with an explicit floor(x+0.5) both sides compute identically.
+    */
+  private def cents(c: Column): Column = round(c * 100, 0)
+
+  /** floor-based half-up round of a cents-average to `dp` decimals. */
+  private def avgFromCents(sumCents: Column, n: Column, dp: Int): Column = {
+    val shift = math.pow(10, dp - 2) // cents are already 2dp
+    floor((sumCents / n) * shift + 0.5) / (100 * shift)
+  }
+
+  /** Exact decimal sum of a double product expression, rounded to 2dp.
+    * (Products of 2dp values are up to 6dp decimals — their double sums
+    * can land on half-cent boundaries too; DECIMAL summing is exact and
+    * identical in both engines.)
+    */
+  private def decimalSum2(c: Column): Column =
+    round(sum(c.cast("decimal(30,8)")), 2).cast("double")
+
   def q1Agg(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
@@ -69,11 +93,11 @@ object Queries {
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        decimalSum2(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        decimalSum2(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+        avgFromCents(sum(cents(col("l_quantity"))), count(lit(1)), 4).as("avg_qty"),
+        avgFromCents(sum(cents(col("l_extendedprice"))), count(lit(1)), 4).as("avg_price"),
+        avgFromCents(sum(cents(col("l_discount"))), count(lit(1)), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -272,7 +296,9 @@ object Queries {
         sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_open"),
         sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_filled"),
         sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_pending"),
-        round(avg(when(col("o_orderstatus") === "O", col("o_totalprice"))), 2).as("avg_open_price"))
+        avgFromCents(
+          sum(when(col("o_orderstatus") === "O", cents(col("o_totalprice")))),
+          sum(when(col("o_orderstatus") === "O", 1L)), 2).as("avg_open_price"))
       .orderBy(col("o_orderpriority"))
 
   // ------------------------------------------- training-data pipeline ops
@@ -578,12 +604,15 @@ object Queries {
       .select(col("r_name"), col("n_name"))
       .orderBy(col("r_name"), col("n_name"))
 
-  /** Scalar subquery: customers above the global average balance. */
+  /** Scalar subquery: customers above the global average balance.
+    * Compared in exact integer cents, cross-multiplied (bal*n > sum) so
+    * neither engine ever divides — boundary-exact balances can't flip.
+    */
   def scalarSubquery(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Tables.customer(spark, sfDir)
-    val globalAvg = c.agg(avg(col("c_acctbal")).as("g_avg"))
-    c.crossJoin(broadcast(globalAvg))
-      .filter(col("c_acctbal") > col("g_avg"))
+    val globalAgg = c.agg(sum(cents(col("c_acctbal"))).as("g_sum"), count(lit(1)).as("g_n"))
+    c.crossJoin(broadcast(globalAgg))
+      .filter(cents(col("c_acctbal")) * col("g_n") > col("g_sum"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_above_avg"))
       .orderBy(col("c_mktsegment"))
@@ -663,7 +692,8 @@ object Queries {
   def havingQ(spark: SparkSession, sfDir: String): DataFrame =
     Tables.customer(spark, sfDir)
       .groupBy(col("c_nationkey"))
-      .agg(count(lit(1)).as("n_customers"), round(avg(col("c_acctbal")), 2).as("avg_bal"))
+      .agg(count(lit(1)).as("n_customers"),
+        avgFromCents(sum(cents(col("c_acctbal"))), count(lit(1)), 2).as("avg_bal"))
       .filter(col("n_customers") > 4)
       .orderBy(col("c_nationkey"))
 

@@ -323,11 +323,11 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
         |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-        |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(avg(l_extendedprice), 4) AS avg_price,
-        |  round(avg(l_discount), 4) AS avg_disc,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_disc_price,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_charge,
+        |  floor((sum(round(l_quantity * 100)) / count(*)) * 100.0 + 0.5) / 10000.0 AS avg_qty,
+        |  floor((sum(round(l_extendedprice * 100)) / count(*)) * 100.0 + 0.5) / 10000.0 AS avg_price,
+        |  floor((sum(round(l_discount * 100)) / count(*)) * 100.0 + 0.5) / 10000.0 AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -478,7 +478,8 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
         |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
         |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending,
-        |  round(avg(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS avg_open_price
+        |  floor((sum(CASE WHEN o_orderstatus = 'O' THEN round(o_totalprice * 100) END)
+        |    / sum(CASE WHEN o_orderstatus = 'O' THEN 1 END)) * 1.0 + 0.5) / 100.0 AS avg_open_price
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
@@ -571,7 +572,8 @@ object SparkEntry {
     "q_scalar_subquery" ->
       """SELECT c_mktsegment, count(*) AS n_above_avg
         |FROM customer
-        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        |WHERE round(c_acctbal * 100) * (SELECT count(*) FROM customer)
+        |      > (SELECT sum(round(c_acctbal * 100)) FROM customer)
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
 
@@ -615,7 +617,8 @@ object SparkEntry {
         |ORDER BY l_returnflag""".stripMargin,
 
     "q_having" ->
-      """SELECT c_nationkey, count(*) AS n_customers, round(avg(c_acctbal), 2) AS avg_bal
+      """SELECT c_nationkey, count(*) AS n_customers,
+        |  floor((sum(round(c_acctbal * 100)) / count(*)) * 1.0 + 0.5) / 100.0 AS avg_bal
         |FROM customer
         |GROUP BY c_nationkey
         |HAVING count(*) > 4
