@@ -697,6 +697,36 @@ object Queries {
       .filter(col("n_customers") > 4)
       .orderBy(col("c_nationkey"))
 
+  /** Explicit GROUPING SETS with grouping() flags — issued through the
+    * spark.sql surface (SURVEY Q8/Q9) over registered views.
+    */
+  def groupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSql.registerViews(spark, sfDir)
+    spark.sql(
+      """SELECT c_mktsegment, c_nationkey,
+        |  CAST(grouping(c_mktsegment) AS BIGINT) AS g_seg,
+        |  CAST(grouping(c_nationkey) AS BIGINT) AS g_nat,
+        |  count(1) AS n, round(sum(c_acctbal), 2) AS bal_sum
+        |FROM customer
+        |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        |ORDER BY g_seg, g_nat, c_mktsegment ASC NULLS FIRST, c_nationkey ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** MapType functions over JSON-derived maps. */
+  def mapFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = from_json(col("props"), org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.LongType))
+    Tables.events(spark, sfDir)
+      .filter(col("event_id") < 500)
+      .select(
+        col("event_id"),
+        size(map_keys(m)).cast("long").as("n_keys"),
+        concat_ws(",", array_sort(map_keys(m))).as("keys"),
+        element_at(m, "k").as("k_val"),
+        map_contains_key(m, "missing").as("has_missing"))
+      .orderBy(col("event_id"))
+  }
+
   /** Multimodal pipeline: synth binary payloads → partition-wise decode →
     * per-kind rollup. No SQL oracle (binary + mapPartitions); driver does
     * the rows-only check, MultimodalSpec asserts exact decode round-trip.

@@ -62,6 +62,8 @@ object SparkEntry {
     "q_topn_per_group" -> (Queries.topnPerGroup _),
     "q_range_join" -> (Queries.rangeJoin _),
     "q_cross_join" -> (Queries.crossJoinQ _),
+    "q_grouping_sets" -> (Queries.groupingSets _),
+    "q_map_funcs" -> (Queries.mapFuncs _),
     "q_scalar_subquery" -> (Queries.scalarSubquery _),
     "q_ann_lsh" -> (Queries.annLsh _),
     "q_salted_join" -> (Queries.saltedJoin _),
@@ -568,6 +570,25 @@ object SparkEntry {
     "q_cross_join" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT c_mktsegment, c_nationkey,
+        |  CAST(grouping(c_mktsegment) AS BIGINT) AS g_seg,
+        |  CAST(grouping(c_nationkey) AS BIGINT) AS g_nat,
+        |  count(1) AS n, round(sum(c_acctbal), 2) AS bal_sum
+        |FROM customer
+        |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        |ORDER BY g_seg, g_nat, c_mktsegment ASC NULLS FIRST, c_nationkey ASC NULLS FIRST""".stripMargin,
+
+    "q_map_funcs" ->
+      """SELECT event_id,
+        |  CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+        |  array_to_string(list_sort(json_keys(props)), ',') AS keys,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        |  list_contains(json_keys(props), 'missing') AS has_missing
+        |FROM events
+        |WHERE event_id < 500
+        |ORDER BY event_id""".stripMargin,
 
     "q_scalar_subquery" ->
       """SELECT c_mktsegment, count(*) AS n_above_avg

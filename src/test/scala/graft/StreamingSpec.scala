@@ -73,6 +73,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: purchases matched to recent views") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val views = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val v = views.toDF().toDF("view_id", "user_id", "vts").withWatermark("vts", "1 hour")
+    val p = purchases.toDF().toDF("purchase_id", "p_user", "pts").withWatermark("pts", "1 hour")
+    // view within 30 minutes BEFORE the purchase, same user
+    val joined = p.join(v,
+      expr("p_user = user_id AND vts <= pts AND vts >= pts - INTERVAL 30 MINUTES"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ss_join").start()
+    try {
+      views.addData((1L, 7L, ts("2024-01-01 00:00:00")), (2L, 7L, ts("2024-01-01 02:00:00")))
+      purchases.addData((10L, 7L, ts("2024-01-01 00:20:00")), (11L, 7L, ts("2024-01-01 03:00:00")))
+      q.processAllAvailable()
+      val pairs = spark.table("ss_join").select("purchase_id", "view_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((10L, 1L))) // 11 is 60min after view 2 -> outside window
+    } finally q.stop()
+  }
+
   test("event-time tumbling window with watermark (append mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
