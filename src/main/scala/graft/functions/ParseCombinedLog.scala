@@ -77,14 +77,39 @@ object ParseCombinedLog {
   val schema: StructType =
     StructType(fieldNames.map(StructField(_, StringType, nullable = true)))
 
+  /** Zero-copy CharSequence over an all-ASCII UTF8String (byte == char). */
+  private final class AsciiSeq(val s: UTF8String) extends CharSequence {
+    override def length(): Int = s.numBytes()
+    override def charAt(i: Int): Char = (s.getByte(i) & 0xff).toChar
+    override def subSequence(a: Int, b: Int): CharSequence =
+      new AsciiSeq(s.substring(a, b))
+    override def toString: String = s.toString
+  }
+
   /** One matcher pass; null when the line is not combined-format.
     * Called from both interpreted eval and generated code (static
     * forwarder), so the JIT sees a single hot method.
+    *
+    * ASCII fast path (the overwhelmingly common case for access logs):
+    * match directly over the UTF8String bytes and slice the groups by
+    * offset — no String materialization, no per-field re-encode. Lines
+    * with multi-byte chars fall back to the String path (char offsets
+    * would not equal byte offsets).
     */
   def parse(line: UTF8String): InternalRow = {
-    val m = pattern.matcher(line.toString)
-    if (!m.matches()) null
-    else {
+    if (line.numBytes() == line.numChars()) {
+      val m = pattern.matcher(new AsciiSeq(line))
+      if (!m.matches()) return null
+      val values = new Array[Any](9)
+      var i = 0
+      while (i < 9) {
+        values(i) = line.substring(m.start(i + 1), m.end(i + 1))
+        i += 1
+      }
+      new GenericInternalRow(values)
+    } else {
+      val m = pattern.matcher(line.toString)
+      if (!m.matches()) return null
       val values = new Array[Any](9)
       var i = 0
       while (i < 9) {

@@ -83,6 +83,14 @@ class LogParserSpec extends AnyFunSuite {
     assert(r.getAs[Int]("article_id") == 0)
   }
 
+  test("non-ASCII line takes the String fallback path and still parses") {
+    val ua = "Mozilla/5.0 (测试端末; ブラウザ)"
+    val r = parseOne(
+      s"""192.168.10.9 - - [27/Aug/2020:10:20:53 +0800] "GET /forum.php?mod=viewthread&tid=5 HTTP/1.1" 200 10 "-" "$ua"""")
+    assert(r.getAs[String]("user_agent") == ua)
+    assert(r.getAs[Int]("article_id") == 5)
+  }
+
   test("garbage lines yield null records and are dropped") {
     val df = LogParser.parseFull(garbage.toDF("line"))
     assert(df.count() == garbage.length)

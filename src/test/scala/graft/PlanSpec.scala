@@ -55,6 +55,11 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("banded range join is an equi-join, not a cartesian/range product") {
+    val plan = formatted(Queries.rangeJoin(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("events scan under the log generator prunes to the used columns") {
     val plan = formatted(Queries.clientIp(spark, sf))
     // props/value are never touched by the log pipeline
