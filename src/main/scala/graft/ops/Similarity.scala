@@ -76,15 +76,17 @@ object Similarity {
     * ties broken by cell id. Cost O(n·k), centroids broadcast.
     */
   def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val dist = dot(col("embedding"), col("embedding")) -
       lit(2.0) * dot(col("embedding"), col("cv")) + dot(col("cv"), col("cv"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))
+    // argmin via min(struct(dist, cell)): lexicographic struct ordering
+    // gives the nearest cell with the id tie-break, as a hash aggregate
+    // with map-side partial min — no per-vector sort window, no extra
+    // shuffle round per k-means iteration.
     e.crossJoin(broadcast(cents))
       .withColumn("dist", dist)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cell"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cell"))).as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"))
   }
 
   /** Lloyd's k-means over the embedding column: iterate assign
