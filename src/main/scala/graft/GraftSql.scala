@@ -15,11 +15,15 @@ object GraftSql {
   val TableNames: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Register all base tables and the `logs` view (the reference's
-    * `createTemporaryView("logs", ...)` analog).
+  /** Register the base parquet tables as temp views. */
+  def registerBaseViews(spark: SparkSession, sfDir: String): Unit =
+    TableNames.foreach(t => Tables.table(spark, sfDir, t).createOrReplaceTempView(t))
+
+  /** Base tables plus the `logs` view (the reference's
+    * `createTemporaryView("logs", ...)` analog) and the dims.
     */
   def registerViews(spark: SparkSession, sfDir: String): Unit = {
-    TableNames.foreach(t => Tables.table(spark, sfDir, t).createOrReplaceTempView(t))
+    registerBaseViews(spark, sfDir)
     analytics.ForumAnalytics.parsedLogs(spark, sfDir).createOrReplaceTempView("logs")
     analytics.ForumAnalytics.sections(spark, sfDir).createOrReplaceTempView("forum_sections")
     analytics.ForumAnalytics.articles(spark, sfDir).createOrReplaceTempView("forum_articles")

@@ -197,6 +197,26 @@ object Queries {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
+  /** Distribution window functions: ntile / percent_rank / cume_dist /
+    * first_value / last_value with an explicit full frame.
+    */
+  def windowDist(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") < 30)
+      .select(
+        col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 2).as("price"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        first_value(col("o_orderkey")).over(w).as("first_ok"),
+        last_value(col("o_orderkey")).over(wFull).as("last_ok"))
+      .orderBy(col("o_custkey"), col("price").desc, col("o_orderkey"))
+  }
+
   /** Grouping sets via ROLLUP (subtotal + grand-total rows). */
   def rollupAgg(spark: SparkSession, sfDir: String): DataFrame =
     Tables.customer(spark, sfDir)
@@ -701,7 +721,7 @@ object Queries {
     * spark.sql surface (SURVEY Q8/Q9) over registered views.
     */
   def groupingSets(spark: SparkSession, sfDir: String): DataFrame = {
-    GraftSql.registerViews(spark, sfDir)
+    GraftSql.registerBaseViews(spark, sfDir)
     spark.sql(
       """SELECT c_mktsegment, c_nationkey,
         |  CAST(grouping(c_mktsegment) AS BIGINT) AS g_seg,

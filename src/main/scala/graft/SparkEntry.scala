@@ -32,6 +32,7 @@ object SparkEntry {
     "q_outer_join" -> (Queries.outerJoin _),
     "q_topk" -> (Queries.topK _),
     "q_window" -> (Queries.windowFuncs _),
+    "q_window_dist" -> (Queries.windowDist _),
     "q_rollup" -> (Queries.rollupAgg _),
     "q_cube" -> (Queries.cubeAgg _),
     "q_distinct_agg" -> (Queries.distinctAgg _),
@@ -397,6 +398,18 @@ object SparkEntry {
         |WHERE o_custkey < 50
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
         |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_window_dist" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cdist,
+        |  first_value(o_orderkey) OVER w AS first_ok,
+        |  last_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ok
+        |FROM orders
+        |WHERE o_custkey < 30
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_custkey, price DESC, o_orderkey""".stripMargin,
 
     "q_rollup" ->
       """SELECT c_mktsegment, c_nationkey, count(*) AS n_customers, round(sum(c_acctbal), 2) AS acctbal_sum
