@@ -708,6 +708,24 @@ object Queries {
         round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("covar_qty_disc"))
       .orderBy(col("l_returnflag"))
 
+  /** Null semantics: coalesce/nullif chains, null-safe equality, and
+    * null-skipping vs null-counting aggregation (testdata has no nulls,
+    * so they are derived deterministically first).
+    */
+  def nullFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    val nb = when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal"))
+    Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"), nb.as("nb"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("nb")).as("n_nonnull"),
+        sum(col("nb").isNull.cast("long")).as("n_null"),
+        round(sum(coalesce(col("nb"), lit(0.0))), 2).as("sum_coalesced"),
+        sum((col("nb") <=> lit(null)).cast("long")).as("n_nullsafe_eq_null"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** HAVING clause (post-aggregation filter). */
   def havingQ(spark: SparkSession, sfDir: String): DataFrame =
     Tables.customer(spark, sfDir)

@@ -70,6 +70,7 @@ object SparkEntry {
     "q_salted_join" -> (Queries.saltedJoin _),
     "q_edit_distance" -> (Queries.editDistance _),
     "q_having" -> (Queries.havingQ _),
+    "q_null_funcs" -> (Queries.nullFuncs _),
     "q_string_agg" -> (Queries.stringAgg _),
     "q_topk_typed" -> (Queries.topkTyped _),
     "q_stats_agg" -> (Queries.statsAgg _),
@@ -633,6 +634,20 @@ object SparkEntry {
         |  FROM orders)
         |WHERE rn <= 3
         |ORDER BY c_custkey, rnk""".stripMargin,
+
+    "q_null_funcs" ->
+      """WITH t AS (SELECT c_custkey, c_mktsegment,
+        |             CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS nb
+        |           FROM customer)
+        |SELECT c_mktsegment,
+        |  count(*) AS n_rows,
+        |  count(nb) AS n_nonnull,
+        |  CAST(sum(CASE WHEN nb IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  round(sum(coalesce(nb, 0.0)), 2) AS sum_coalesced,
+        |  CAST(sum(CASE WHEN nb IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq_null
+        |FROM t
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
 
     "q_string_agg" ->
       """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations, count(*) AS n_nations
