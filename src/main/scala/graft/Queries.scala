@@ -695,18 +695,38 @@ object Queries {
         count(lit(1)).as("n_nations"))
       .orderBy(col("n_regionkey"))
 
-  /** Statistical aggregates (stddev/variance/corr/covar), rounded to
-    * absorb accumulation-algorithm differences across engines.
+  /** Statistical aggregates via portable moment sums. Native
+    * stddev_samp/corr use engine-specific merge algorithms (Welford
+    * variants) whose low bits differ from DuckDB's — instead both sides
+    * compute (n·Σxy − Σx·Σy)-style formulas over EXACT decimal sums of
+    * integer cents, so every double operation runs on bit-identical
+    * operands. StatsSpec asserts these equal Spark's native aggregates
+    * to 1e-6 (keeping the native-API coverage).
     */
-  def statsAgg(spark: SparkSession, sfDir: String): DataFrame =
+  def statsAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    def dsum(c: Column): Column = sum(c.cast("decimal(38,0)")).cast("double")
+    val (q, p, d) = (cents(col("l_quantity")), cents(col("l_extendedprice")), cents(col("l_discount")))
     Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"))
       .agg(
-        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
-        round(var_samp(col("l_extendedprice")), 2).as("var_price"),
-        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
-        round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("covar_qty_disc"))
+        count(lit(1)).as("n"),
+        dsum(q).as("sq"), dsum(q * q).as("sqq"),
+        dsum(p).as("sp"), dsum(p * p).as("spp"),
+        dsum(d).as("sd"), dsum(q * p).as("sqp"), dsum(q * d).as("sqd"))
+      .select(
+        col("l_returnflag"),
+        // /1e4: cents² -> units²; var_samp = (n·Σx²−(Σx)²)/(n(n−1))
+        round(sqrt((col("n") * col("sqq") - col("sq") * col("sq")) /
+          (col("n") * (col("n") - 1))) / 100, 4).as("sd_qty"),
+        round((col("n") * col("spp") - col("sp") * col("sp")) /
+          (col("n") * (col("n") - 1)) / 10000, 2).as("var_price"),
+        round((col("n") * col("sqp") - col("sq") * col("sp")) /
+          (sqrt(col("n") * col("sqq") - col("sq") * col("sq")) *
+            sqrt(col("n") * col("spp") - col("sp") * col("sp"))), 4).as("corr_qty_price"),
+        round((col("n") * col("sqd") - col("sq") * col("sd")) /
+          (col("n") * (col("n") - 1)) / 10000, 4).as("covar_qty_disc"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** Null semantics: coalesce/nullif chains, null-safe equality, and
     * null-skipping vs null-counting aggregation (testdata has no nulls,

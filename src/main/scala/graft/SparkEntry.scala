@@ -656,13 +656,22 @@ object SparkEntry {
         |ORDER BY n_regionkey""".stripMargin,
 
     "q_stats_agg" ->
-      """SELECT l_returnflag,
-        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
-        |  round(var_samp(l_extendedprice), 2) AS var_price,
-        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-        |  round(covar_samp(l_quantity, l_discount), 4) AS covar_qty_disc
-        |FROM lineitem
-        |GROUP BY l_returnflag
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(round(l_quantity * 100) AS DECIMAL(38,0))) AS DOUBLE) AS sq,
+        |    CAST(sum(CAST(round(l_quantity * 100) * round(l_quantity * 100) AS DECIMAL(38,0))) AS DOUBLE) AS sqq,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))) AS DOUBLE) AS sp,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) * round(l_extendedprice * 100) AS DECIMAL(38,0))) AS DOUBLE) AS spp,
+        |    CAST(sum(CAST(round(l_discount * 100) AS DECIMAL(38,0))) AS DOUBLE) AS sd,
+        |    CAST(sum(CAST(round(l_quantity * 100) * round(l_extendedprice * 100) AS DECIMAL(38,0))) AS DOUBLE) AS sqp,
+        |    CAST(sum(CAST(round(l_quantity * 100) * round(l_discount * 100) AS DECIMAL(38,0))) AS DOUBLE) AS sqd
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  round(sqrt((n * sqq - sq * sq) / (n * (n - 1))) / 100, 4) AS sd_qty,
+        |  round((n * spp - sp * sp) / (n * (n - 1)) / 10000, 2) AS var_price,
+        |  round((n * sqp - sq * sp) / (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 4) AS corr_qty_price,
+        |  round((n * sqd - sq * sd) / (n * (n - 1)) / 10000, 4) AS covar_qty_disc
+        |FROM m
         |ORDER BY l_returnflag""".stripMargin,
 
     "q_having" ->
