@@ -293,6 +293,41 @@ object Queries {
         datediff(lit("1998-01-01").cast("date"), col("o_orderdate").cast("date")).cast("long").as("days_to_98"))
       .orderBy(col("o_orderkey"))
 
+  /** Date arithmetic: add days/months, last_day, day-of-week/year, ISO
+    * week (dayofweek offset differs across engines — aligned in the
+    * oracle; date outputs as strings to avoid physical-type mismatch).
+    */
+  def dateFuncs2(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = col("o_orderdate").cast("date")
+    Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") < 300)
+      .select(
+        col("o_orderkey"),
+        date_format(date_add(d, 30), "yyyy-MM-dd").as("plus_30d"),
+        date_format(add_months(d, 2), "yyyy-MM-dd").as("plus_2m"),
+        date_format(last_day(d), "yyyy-MM-dd").as("month_end"),
+        dayofweek(d).cast("long").as("dow"),
+        dayofyear(d).cast("long").as("doy"),
+        weekofyear(d).cast("long").as("iso_week"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** String scalar functions, second wave. */
+  def stringFuncs2(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .filter(col("p_partkey") < 100)
+      .select(
+        col("p_partkey"),
+        translate(col("p_name"), "aeiou", "AEIOU").as("vowels_up"),
+        repeat(col("p_brand"), 2).as("brand_x2"),
+        reverse(col("p_brand")).as("brand_rev"),
+        instr(col("p_name"), "a").cast("long").as("first_a"),
+        split_part(col("p_type"), lit(" "), lit(1)).as("type_head"),
+        col("p_name").like("%iv%").as("has_iv"),
+        ascii(col("p_brand")).cast("long").as("brand_ascii"),
+        chr(lit(65) + col("p_partkey") % 26).as("letter"))
+      .orderBy(col("p_partkey"))
+
   /** Math scalar functions over lineitem. */
   def mathFuncs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)

@@ -41,6 +41,8 @@ object SparkEntry {
     "q_set_except" -> (Queries.setExcept _),
     "q_string_funcs" -> (Queries.stringFuncs _),
     "q_date_funcs" -> (Queries.dateFuncs _),
+    "q_date_funcs2" -> (Queries.dateFuncs2 _),
+    "q_string_funcs2" -> (Queries.stringFuncs2 _),
     "q_math_funcs" -> (Queries.mathFuncs _),
     "q_case_agg" -> (Queries.caseAgg _),
     "q_json_funcs" -> (Queries.jsonFuncs _),
@@ -475,6 +477,32 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderkey < 200
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_date_funcs2" ->
+      """SELECT o_orderkey,
+        |  strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus_30d,
+        |  strftime(CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE), '%Y-%m-%d') AS plus_2m,
+        |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+        |  CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS BIGINT) AS dow,
+        |  CAST(dayofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS doy,
+        |  CAST(weekofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_week
+        |FROM orders
+        |WHERE o_orderkey < 300
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_string_funcs2" ->
+      """SELECT p_partkey,
+        |  translate(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+        |  repeat(p_brand, 2) AS brand_x2,
+        |  reverse(p_brand) AS brand_rev,
+        |  CAST(strpos(p_name, 'a') AS BIGINT) AS first_a,
+        |  split_part(p_type, ' ', 1) AS type_head,
+        |  p_name LIKE '%iv%' AS has_iv,
+        |  CAST(ascii(p_brand) AS BIGINT) AS brand_ascii,
+        |  chr(CAST(65 + p_partkey % 26 AS INTEGER)) AS letter
+        |FROM part
+        |WHERE p_partkey < 100
+        |ORDER BY p_partkey""".stripMargin,
 
     "q_math_funcs" ->
       """SELECT l_orderkey, l_linenumber,
