@@ -16,11 +16,12 @@ object Prof {
     time("warmup")(graft.sources.Tables.events(spark, sf).count())
     // agg + collect so column pruning can't strip the line rendering
     time("loggen_only")(graft.logs.LogGen.logLines(spark, sf).agg(sum(length(col("line")))).collect()(0).getLong(0))
-    time("loggen_only_2")(graft.logs.LogGen.logLines(spark, sf).agg(sum(length(col("line")))).collect()(0).getLong(0))
+    time("loggen_2")(graft.logs.LogGen.logLines(spark, sf).agg(sum(length(col("line")))).collect()(0).getLong(0))
     time("parse_tuples")(graft.analytics.ForumAnalytics.parsedLogs(spark, sf).count())
-    time("parse_tuples_2")(graft.analytics.ForumAnalytics.parsedLogs(spark, sf).count())
-    time("client_ip_full")(Queries.clientIp(spark, sf).count())
-    time("client_ip_full_2")(Queries.clientIp(spark, sf).count())
+    time("parse_2")(graft.analytics.ForumAnalytics.parsedLogs(spark, sf).count())
+    time("hot_article_1")(Queries.hotArticle(spark, sf).count())
+    time("hot_article_2")(Queries.hotArticle(spark, sf).count())
+    time("hot_section_2")(Queries.hotSection(spark, sf).count())
     spark.stop()
   }
 }

@@ -29,4 +29,8 @@ object GraftFunctions {
   /** One-pass unit normalization of an array<double> (see [[NormalizeVector]]). */
   def normalize_vector(v: Column): Column =
     ColumnBridge.column(NormalizeVector(ColumnBridge.expression(v)))
+
+  /** One-pass synthetic combined-log-line renderer (see [[RenderLogLine]]). */
+  def render_log_line(evStruct: Column): Column =
+    ColumnBridge.column(RenderLogLine(ColumnBridge.expression(evStruct)))
 }

@@ -1,0 +1,96 @@
+package graft.functions
+
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+import java.util.Locale
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass renderer for graft's synthetic combined log lines.
+  *
+  * SEMANTIC CONTRACT: must produce byte-identical output to the
+  * documented deterministic mapping in graft.logs.LogGen (which the
+  * DuckDB oracles recompute from `events` directly — `q_parse_fields`
+  * cross-checks every field of every line, so any drift fails the gate).
+  * Native because the composed concat/CASE/date_format tree costs ~10µs
+  * per row and dominates the three log-analytics queries.
+  *
+  * Input: struct(event_id long, user_id long, event_type string,
+  * ts timestamp/micros).
+  */
+case class RenderLogLine(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    RenderLogLine.render(input.asInstanceOf[InternalRow])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.RenderLogLine.render($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "render_log_line"
+}
+
+object RenderLogLine {
+
+  private val dtFmt = DateTimeFormatter
+    .ofPattern("dd/MMM/yyyy:HH:mm:ss", Locale.US)
+    .withZone(ZoneOffset.UTC)
+
+  /** row = (event_id, user_id, event_type, ts_micros). */
+  def render(row: InternalRow): UTF8String = {
+    val id = row.getLong(0)
+    val u = row.getLong(1)
+    val eventType = row.getUTF8String(2).toString
+    val tsMicros = row.getLong(3)
+
+    if (id % 97 == 0) return UTF8String.fromString(s"### malformed #$id ###")
+
+    val sb = new java.lang.StringBuilder(192)
+    sb.append("10.").append(u % 250).append('.').append(u * 7 % 250)
+      .append('.').append(1 + u * 13 % 250)
+    sb.append(" - - [")
+    sb.append(dtFmt.format(Instant.ofEpochSecond(Math.floorDiv(tsMicros, 1000000L))))
+    sb.append(" +0000] \"")
+
+    val emptyReq = id % 89 == 0
+    if (emptyReq) sb.append('-')
+    else {
+      sb.append(if (eventType == "purchase") "POST " else "GET ")
+      eventType match {
+        case "view" =>
+          sb.append("/forum.php?mod=viewthread&tid=").append(1 + id % 40).append("&extra=page%3D1")
+        case "purchase" =>
+          sb.append("/forum.php?mod=viewthread&tid=").append(1 + id % 40).append("&from=fav")
+        case "click" =>
+          sb.append("/forum.php?mod=forumdisplay&fid=").append(1 + id % 15)
+        case "signup" =>
+          sb.append("/member.php?mod=register")
+        case _ =>
+          sb.append("/forum.php?mod=ajax&action=checknew&fid=").append(1 + id % 15)
+      }
+      sb.append(" HTTP/1.1")
+    }
+    sb.append("\" ")
+    sb.append(
+      if (emptyReq) "408"
+      else if (id % 10 == 0) "404"
+      else if (id % 7 == 3) "500"
+      else "200")
+    sb.append(' ')
+    if (emptyReq || id % 13 == 0) sb.append('-') else sb.append(200 + id % 9000)
+    sb.append(" \"")
+    if (id % 3 == 0) sb.append('-')
+    else sb.append("http://kms-4/forum.php?mod=forumdisplay&fid=").append(1 + id % 15)
+    sb.append("\" \"Mozilla/5.0 (compatible; GraftBot/").append(u % 5).append(".0)\"")
+    UTF8String.fromString(sb.toString)
+  }
+}

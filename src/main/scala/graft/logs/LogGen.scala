@@ -55,9 +55,23 @@ object LogGen {
   }
 
   /** (event_id, user_id, event_type, ts, line) — one combined-format line
-    * per event, with planted garbage and edge-case lines.
+    * per event, rendered by the native one-pass
+    * [[graft.functions.RenderLogLine]] (byte-identical to
+    * [[logLinesComposed]]; LogGenSpec asserts equality). The composed
+    * column-expression tree costs ~10µs/row and dominated the analytics
+    * queries' runtime.
     */
   def logLines(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    ev.select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+      graft.functions.GraftFunctions.render_log_line(
+        struct(col("event_id"), col("user_id"), col("event_type"), col("ts"))).as("line"))
+  }
+
+  /** Reference implementation as pure SQL-expressible column expressions
+    * (documents the deterministic mapping the oracles recompute).
+    */
+  def logLinesComposed(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
     val id = col("event_id")
     val emptyReq = id % 89 === 0
