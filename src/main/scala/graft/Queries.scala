@@ -262,6 +262,28 @@ object Queries {
       .except(Tables.orders(spark, sfDir).filter(col("o_totalprice") > 400000).select(col("o_custkey").as("k")))
       .orderBy(col("k"))
 
+  /** Multiset set ops: UNION ALL / INTERSECT ALL / EXCEPT ALL keep
+    * duplicate cardinalities (contrast the distinct variants above).
+    */
+  def setOpsAll(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = Tables.orders(spark, sfDir).filter(col("o_totalprice") > 350000)
+      .select(col("o_custkey").as("k"))
+    val b = Tables.orders(spark, sfDir).filter(col("o_orderstatus") === "O")
+      .filter(col("o_totalprice") > 300000).select(col("o_custkey").as("k"))
+    a.unionAll(b).groupBy(col("k")).agg(count(lit(1)).as("n_union_all"))
+      .join(a.intersectAll(b).groupBy(col("k")).agg(count(lit(1)).as("n_intersect_all")), Seq("k"), "left")
+      .join(a.exceptAll(b).groupBy(col("k")).agg(count(lit(1)).as("n_except_all")), Seq("k"), "left")
+      .orderBy(col("k"))
+  }
+
+  /** Lateral explode with position (LATERAL VIEW posexplode shape). */
+  def explodeQ(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 10)
+      .select(col("doc_id"), posexplode(TextOps.words(col("text"))).as(Seq("pos", "word")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("word"))
+      .orderBy(col("doc_id"), col("pos"))
+
   /** String scalar functions over part. */
   def stringFuncs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.part(spark, sfDir)

@@ -39,6 +39,8 @@ object SparkEntry {
     "q_set_union" -> (Queries.setUnion _),
     "q_set_intersect" -> (Queries.setIntersect _),
     "q_set_except" -> (Queries.setExcept _),
+    "q_set_ops_all" -> (Queries.setOpsAll _),
+    "q_explode" -> (Queries.explodeQ _),
     "q_string_funcs" -> (Queries.stringFuncs _),
     "q_date_funcs" -> (Queries.dateFuncs _),
     "q_date_funcs2" -> (Queries.dateFuncs2 _),
@@ -450,6 +452,22 @@ object SparkEntry {
         |EXCEPT
         |SELECT o_custkey AS k FROM orders WHERE o_totalprice > 400000
         |ORDER BY k""".stripMargin,
+
+    "q_set_ops_all" ->
+      """WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 350000),
+        |b AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 300000),
+        |u AS (SELECT k, count(*) AS n_union_all FROM (SELECT k FROM a UNION ALL SELECT k FROM b) GROUP BY k),
+        |i AS (SELECT k, count(*) AS n_intersect_all FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) GROUP BY k),
+        |e AS (SELECT k, count(*) AS n_except_all FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) GROUP BY k)
+        |SELECT u.k AS k, u.n_union_all, i.n_intersect_all, e.n_except_all
+        |FROM u LEFT JOIN i ON u.k = i.k LEFT JOIN e ON u.k = e.k
+        |ORDER BY k""".stripMargin,
+
+    "q_explode" ->
+      s"""SELECT doc_id, CAST(pos AS BIGINT) AS pos, w[pos + 1] AS word
+         |FROM (SELECT doc_id, w, unnest(range(len(w))) AS pos
+         |      FROM (SELECT doc_id, ${wordsSql("text")} AS w FROM documents WHERE doc_id < 10))
+         |ORDER BY doc_id, pos""".stripMargin,
 
     "q_string_funcs" ->
       """SELECT p_partkey,
