@@ -266,13 +266,21 @@ object Queries {
     * duplicate cardinalities (contrast the distinct variants above).
     */
   def setOpsAll(spark: SparkSession, sfDir: String): DataFrame = {
-    val a = Tables.orders(spark, sfDir).filter(col("o_totalprice") > 350000)
-      .select(col("o_custkey").as("k"))
-    val b = Tables.orders(spark, sfDir).filter(col("o_orderstatus") === "O")
-      .filter(col("o_totalprice") > 300000).select(col("o_custkey").as("k"))
-    a.unionAll(b).groupBy(col("k")).agg(count(lit(1)).as("n_union_all"))
-      .join(a.intersectAll(b).groupBy(col("k")).agg(count(lit(1)).as("n_intersect_all")), Seq("k"), "left")
-      .join(a.exceptAll(b).groupBy(col("k")).agg(count(lit(1)).as("n_except_all")), Seq("k"), "left")
+    // Multiset identities over per-side counts (one scan per side,
+    // instead of six scans when each ALL-op re-evaluates both inputs):
+    // |A ⊎ B| = na+nb, |A ∩all B| = min(na,nb), |A −all B| = max(na−nb,0)
+    val na = Tables.orders(spark, sfDir).filter(col("o_totalprice") > 350000)
+      .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("na"))
+    val nb = Tables.orders(spark, sfDir).filter(col("o_orderstatus") === "O")
+      .filter(col("o_totalprice") > 300000)
+      .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("nb"))
+    na.join(nb, Seq("k"), "full_outer")
+      .select(col("k"),
+        coalesce(col("na"), lit(0L)).as("na"), coalesce(col("nb"), lit(0L)).as("nb"))
+      .select(col("k"),
+        (col("na") + col("nb")).as("n_union_all"),
+        nullif(least(col("na"), col("nb")), lit(0L)).as("n_intersect_all"),
+        nullif(greatest(col("na") - col("nb"), lit(0L)), lit(0L)).as("n_except_all"))
       .orderBy(col("k"))
   }
 
@@ -816,7 +824,9 @@ object Queries {
     * spark.sql surface (SURVEY Q8/Q9) over registered views.
     */
   def groupingSets(spark: SparkSession, sfDir: String): DataFrame = {
-    GraftSql.registerBaseViews(spark, sfDir)
+    // register only what the SQL touches (a full registerBaseViews pays
+    // 10 schema reads and clobbers session-global views)
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer")
     spark.sql(
       """SELECT c_mktsegment, c_nationkey,
         |  CAST(grouping(c_mktsegment) AS BIGINT) AS g_seg,
@@ -837,7 +847,9 @@ object Queries {
         col("event_id"),
         size(map_keys(m)).cast("long").as("n_keys"),
         concat_ws(",", array_sort(map_keys(m))).as("keys"),
-        element_at(m, "k").as("k_val"),
+        // try_: ANSI element_at throws on a missing key; the oracle's
+        // json_extract_string yields NULL
+        try_element_at(m, lit("k")).as("k_val"),
         map_contains_key(m, "missing").as("has_missing"))
       .orderBy(col("event_id"))
   }

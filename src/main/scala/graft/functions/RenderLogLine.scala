@@ -26,12 +26,21 @@ case class RenderLogLine(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType
 
+  /** Can return null for null struct FIELDS even though the struct
+    * itself (the child) is never null.
+    */
+  override def nullable: Boolean = true
+
   override def nullSafeEval(input: Any): Any =
     RenderLogLine.render(input.asInstanceOf[InternalRow])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.RenderLogLine.render($c);")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.RenderLogLine.render($c);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -45,11 +54,17 @@ object RenderLogLine {
     .ofPattern("dd/MMM/yyyy:HH:mm:ss", Locale.US)
     .withZone(ZoneOffset.UTC)
 
-  /** row = (event_id, user_id, event_type, ts_micros). */
+  /** row = (event_id, user_id, event_type, ts_micros).
+    *
+    * Null semantics mirror the composed expression tree exactly:
+    * null id/user_id/ts propagate to a NULL line (concat semantics);
+    * a null event_type falls into the CASE's `otherwise` (ajax) branch.
+    */
   def render(row: InternalRow): UTF8String = {
+    if (row.isNullAt(0) || row.isNullAt(1) || row.isNullAt(3)) return null
     val id = row.getLong(0)
     val u = row.getLong(1)
-    val eventType = row.getUTF8String(2).toString
+    val eventType = if (row.isNullAt(2)) null else row.getUTF8String(2).toString
     val tsMicros = row.getLong(3)
 
     if (id % 97 == 0) return UTF8String.fromString(s"### malformed #$id ###")

@@ -22,9 +22,16 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  /** Set once per session; dynamic SQL conf, safe to set repeatedly. */
-  private def enableNanoReads(spark: SparkSession): Unit =
+  /** Set once per session; dynamic SQL confs, safe to set repeatedly.
+    * UTC is part of graft's determinism contract: every timestamp
+    * format/parse in the query surface (and its DuckDB oracle, which is
+    * timezone-naive) assumes it — a session on a non-UTC default would
+    * silently shift every rendered wall-clock string.
+    */
+  private def enableNanoReads(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     enableNanoReads(spark)
