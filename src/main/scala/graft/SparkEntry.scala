@@ -525,8 +525,8 @@ object SparkEntry {
     "q_math_funcs" ->
       """SELECT l_orderkey, l_linenumber,
         |  round(abs(l_discount - 0.05), 6) AS abs_v,
-        |  ceil(l_quantity) AS ceil_v,
-        |  floor(l_extendedprice) AS floor_v,
+        |  CAST(ceil(l_quantity) AS BIGINT) AS ceil_v,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS floor_v,
         |  round(sqrt(l_quantity), 6) AS sqrt_v,
         |  round(ln(l_extendedprice), 6) AS ln_v,
         |  round(pow(l_tax + 1.0, 2), 6) AS pow_v,

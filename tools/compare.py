@@ -42,6 +42,16 @@ def main(sf_dir: str, out_dir: str) -> int:
         elif len(exp) != len(got):
             problems.append(f"rows exp={len(exp)} got={len(got)}")
         else:
+            # dtype drift (e.g. DuckDB ceil()->DOUBLE vs Spark ceil()->LONG)
+            # changes the driver's value hash even when values compare equal,
+            # so it must be a hard failure here too.
+            dt = [
+                f"{c}: oracle={exp[c].dtype} spark={got[c].dtype}"
+                for c in exp.columns
+                if exp[c].dtype != got[c].dtype
+            ]
+            if dt:
+                problems.append("dtypes " + "; ".join(dt))
             # exact-order compare, treating NaN==NaN
             try:
                 pd.testing.assert_frame_equal(exp, got, check_dtype=False, check_exact=True)
@@ -59,11 +69,16 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}")
             for p in problems:
                 print(f"  {p}")
-            with pd.option_context("display.max_columns", None, "display.width", 250):
-                merged = exp.merge(got, indicator=True, how="outer")
-                diff = merged[merged["_merge"] != "both"]
-                if len(diff):
-                    print(diff.head(10))
+            # Diagnostic only — unmergeable frames (column/dtype mismatch)
+            # must not abort the remaining queries' checks.
+            try:
+                with pd.option_context("display.max_columns", None, "display.width", 250):
+                    merged = exp.merge(got, indicator=True, how="outer")
+                    diff = merged[merged["_merge"] != "both"]
+                    if len(diff):
+                        print(diff.head(10))
+            except Exception as e:
+                print(f"  (diff rendering unavailable: {e})")
         else:
             print(f"OK   {name} ({len(exp)} rows)")
     print(f"\n{len(oracle) - len(failed)}/{len(oracle)} queries match")
