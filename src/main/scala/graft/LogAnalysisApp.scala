@@ -55,16 +55,16 @@ object LogAnalysisApp {
       .writeStream.outputMode("complete")
       .option("checkpointLocation", s"$checkpointRoot/hot_section")
       .foreachBatch { (df: DataFrame, id: Long) =>
-        sectionSink.table.clear() // complete-mode top-N: batch is the whole table
-        sectionSink.merge(top10(df, "section_pv", "section_id"), id)
+        // complete-mode top-N: batch is the whole table; replace() swaps
+        // atomically enough that readers never see it empty/partial.
+        sectionSink.replace(top10(df, "section_pv", "section_id"), id)
       }.start()
 
     val hotArticle = LogStream.articleCounts(parsed, articleDim)
       .writeStream.outputMode("complete")
       .option("checkpointLocation", s"$checkpointRoot/hot_article")
       .foreachBatch { (df: DataFrame, id: Long) =>
-        articleSink.table.clear()
-        articleSink.merge(top10(df, "article_pv", "article_id"), id)
+        articleSink.replace(top10(df, "article_pv", "article_id"), id)
       }.start()
 
     val clientIp = LogStream.clientCounts(parsed)

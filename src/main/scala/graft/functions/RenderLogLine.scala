@@ -57,17 +57,19 @@ object RenderLogLine {
   /** row = (event_id, user_id, event_type, ts_micros).
     *
     * Null semantics mirror the composed expression tree exactly:
-    * null id/user_id/ts propagate to a NULL line (concat semantics);
-    * a null event_type falls into the CASE's `otherwise` (ajax) branch.
+    * the `when(id % 97 = 0)` branch reads ONLY event_id, so a malformed
+    * line renders even when user_id/ts are null; otherwise null
+    * id/user_id/ts propagate to a NULL line (concat semantics); a null
+    * event_type falls into the CASE's `otherwise` (ajax) branch.
     */
   def render(row: InternalRow): UTF8String = {
-    if (row.isNullAt(0) || row.isNullAt(1) || row.isNullAt(3)) return null
+    if (row.isNullAt(0)) return null
     val id = row.getLong(0)
+    if (id % 97 == 0) return UTF8String.fromString(s"### malformed #$id ###")
+    if (row.isNullAt(1) || row.isNullAt(3)) return null
     val u = row.getLong(1)
     val eventType = if (row.isNullAt(2)) null else row.getUTF8String(2).toString
     val tsMicros = row.getLong(3)
-
-    if (id % 97 == 0) return UTF8String.fromString(s"### malformed #$id ###")
 
     val sb = new java.lang.StringBuilder(192)
     sb.append("10.").append(u % 250).append('.').append(u * 7 % 250)

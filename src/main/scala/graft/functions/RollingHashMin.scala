@@ -47,10 +47,16 @@ object RollingHashMin {
   val B = 257L
   val M = 1000000007L
 
-  /** Boxed so generated code can branch on null (text shorter than w). */
+  /** Boxed so generated code can branch on null (text shorter than w).
+    *
+    * Iterates Unicode CODEPOINTS, not UTF-16 code units: the DuckDB
+    * oracle folds `ord(substr(s, i, 1))` with `length(s)` counted in
+    * codepoints, so a supplementary-plane char (emoji etc.) must be one
+    * window element with its full codepoint value on both sides.
+    */
   def compute(text: UTF8String, w: Int): java.lang.Long = {
-    val s = text.toString
-    val n = s.length
+    val cps = text.toString.codePoints().toArray
+    val n = cps.length
     if (n < w) return null
     // B^(w-1) mod M
     var pw = 1L
@@ -58,11 +64,11 @@ object RollingHashMin {
     while (i < w - 1) { pw = pw * B % M; i += 1 }
     var h = 0L
     i = 0
-    while (i < w) { h = (h * B + s.charAt(i)) % M; i += 1 }
+    while (i < w) { h = (h * B + cps(i)) % M; i += 1 }
     var best = h
     i = w
     while (i < n) {
-      h = ((h - s.charAt(i - w) * pw % M + M) % M * B + s.charAt(i)) % M
+      h = ((h - cps(i - w) * pw % M + M) % M * B + cps(i)) % M
       if (h < best) best = h
       i += 1
     }

@@ -61,8 +61,21 @@ object ShingleHashes {
       ((d(3) & 0xffL) << 16) | ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
   }
 
+  /** SQL-`trim` + split, exactly as Spark `split(trim(c), "\\s+")` and
+    * DuckDB `string_split_regex(trim(t), '\s+')` tokenize: trim strips
+    * ONLY spaces (not \t/\n/\r like Java's String.trim), and the split
+    * keeps leading/trailing empty tokens (limit -1; both engines do).
+    */
+  private[graft] def sqlTokens(s: String): Array[String] = {
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    s.substring(b, e).split("\\s+", -1)
+  }
+
   def compute(text: UTF8String, n: Int): ArrayData = {
-    val tokens = text.toString.trim.split("\\s+")
+    val tokens = sqlTokens(text.toString)
     if (tokens.length < n) return new GenericArrayData(Array.emptyLongArray)
     val seen = new java.util.LinkedHashSet[String]()
     var i = 0

@@ -34,5 +34,23 @@ class UpsertSink(keyCols: Seq[String]) extends Serializable {
     }
   }
 
+  /** Complete-mode hook: the batch IS the whole table. Collects the new
+    * rows first (a failure here leaves the previous good state intact),
+    * then upserts them and deletes keys absent from the batch — a
+    * concurrent snapshot reader never observes an empty or partial
+    * table, only a mix of previous/current rows per key.
+    */
+  def replace(batch: DataFrame, batchId: Long): Unit = {
+    val cols = batch.columns
+    val keyIdx = keyCols.map(cols.indexOf(_))
+    val rows = batch.collect().map { row =>
+      val vals = row.toSeq
+      keyIdx.map(vals(_)) -> vals
+    }
+    val keep = rows.map(_._1).toSet
+    rows.foreach { case (k, v) => table.put(k, v) }
+    table.keys.foreach { k => if (!keep.contains(k)) table.remove(k) }
+  }
+
   def snapshot: Map[Seq[Any], Seq[Any]] = table.toMap
 }
