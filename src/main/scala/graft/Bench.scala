@@ -10,6 +10,8 @@ object Bench {
       // AQE on by default (the 100 TB posture: runtime re-planning,
       // skew splitting); GRAFT_AQE=false to measure its fixed overhead.
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "true"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

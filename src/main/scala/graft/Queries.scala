@@ -499,6 +499,26 @@ object Queries {
       .orderBy(col("purchase_id"))
   }
 
+  /** Same as-of semantics as [[asofJoin]], executed by the custom
+    * planner operator (graft.plans.AsOfJoinExec sorted merge) — the two
+    * must hash-match the same oracle.
+    */
+  def asofJoinNative(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"), col("ts").as("v_ts"))
+    graft.ops.TimeSeries.asOfJoinNative(purchases, views,
+      leftKey = "user_id", rightKey = "v_user",
+      leftTs = "ts", rightTs = "v_ts", rightOrder = "view_id")
+      .select(
+        col("event_id").as("purchase_id"),
+        col("user_id"),
+        col("view_id"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** Gap-based sessionization of the event stream (30-minute gap). */
   def sessionizeQ(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.TimeSeries.sessionize(

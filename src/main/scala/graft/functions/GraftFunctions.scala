@@ -18,6 +18,12 @@ object GraftFunctions {
   def shingle_hashes(text: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), n))
 
+  /** Native portable 48-bit hash (= conv(substring(md5(c),1,12),16,10)
+    * as long, in one digest — see [[PortableHash48]]).
+    */
+  def portable_hash48(text: Column): Column =
+    ColumnBridge.column(PortableHash48(ColumnBridge.expression(text)))
+
   /** Native sequential-fold dot product of two array<double> columns. */
   def dot_product(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))

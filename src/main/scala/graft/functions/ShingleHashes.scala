@@ -53,10 +53,12 @@ object ShingleHashes {
   /** First 6 bytes of md5(s) as an unsigned big-endian long — exactly the
     * fold of the first 12 hex chars (TextOps.portableHash64 / oracle hSql).
     */
-  def hash48(s: String): Long = {
+  def hash48(s: String): Long = hash48bytes(s.getBytes("UTF-8"))
+
+  def hash48bytes(utf8: Array[Byte]): Long = {
     val md = digest.get()
     md.reset()
-    val d = md.digest(s.getBytes("UTF-8"))
+    val d = md.digest(utf8)
     ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) | ((d(2) & 0xffL) << 24) |
       ((d(3) & 0xffL) << 16) | ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
   }

@@ -52,6 +52,41 @@ object TimeSeries {
       .select(lCols.map(col) :+ col("_asof"): _*)
   }
 
+  /** As-of join on the custom planner operator (graft.plans.AsOfJoin →
+    * AsOfJoinExec): same contract as [[asOfJoin]] — latest right row
+    * with `right.ts <= left.ts` per key, right ties at equal ts broken
+    * by max `rightOrder` — but executed as a per-partition sorted merge
+    * (each side shuffles once at its own width; O(1) state per task)
+    * instead of union + window. Requires the GraftExtensions-registered
+    * strategy. Output = left columns ++ right columns (right null when
+    * no match); rename right columns beforehand if names collide.
+    */
+  def asOfJoinNative(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      rightOrder: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.sql.graft.ColumnBridge
+    val lPlan = left.queryExecution.analyzed
+    // Fresh ExprIds on the right side: a self-join (left and right carved
+    // from the same source) would otherwise carry duplicate attribute ids
+    // and bind the output projection to the wrong input slots.
+    val rPlan = {
+      val analyzed = right.queryExecution.analyzed
+      Project(analyzed.output.map(a => Alias(a, a.name)()), analyzed)
+    }
+    def attr(out: Seq[Attribute], n: String, side: String): Attribute =
+      out.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"asOfJoinNative: no column '$n' on $side side"))
+    ColumnBridge.ofRows(left.sparkSession,
+      graft.plans.AsOfJoin(lPlan, rPlan,
+        Seq(attr(lPlan.output, leftKey, "left")), Seq(attr(rPlan.output, rightKey, "right")),
+        attr(lPlan.output, leftTs, "left"), attr(rPlan.output, rightTs, "right"),
+        attr(rPlan.output, rightOrder, "right")))
+  }
+
   /** Gap-based sessionization: a new session starts when the time since
     * the previous event of the same key exceeds `gapSeconds`. Timestamps
     * are second-truncated before differencing (portable across engines).
