@@ -913,4 +913,98 @@ object Queries {
         min(col("k")).as("k_min"),
         max(col("k")).as("k_max"))
       .orderBy(col("event_type"))
+
+  /** Correlated EXISTS / NOT EXISTS (the decorrelation path — distinct
+    * from the DataFrame left_semi/left_anti forms in q_semi/anti_join).
+    */
+  def existsSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** LATERAL join: top-2 customers by balance per nation — the lateral
+    * subquery re-executes per outer row (planned as a decorrelated
+    * ranked join, not a nested loop).
+    */
+  def lateralJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer")
+    Tables.nation(spark, sfDir).createOrReplaceTempView("nation")
+    spark.sql(
+      """SELECT n_name, t.c_custkey, round(t.c_acctbal, 2) AS acctbal
+        |FROM nation,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM customer
+        |         WHERE c_nationkey = n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n_name, t.c_custkey""".stripMargin)
+  }
+
+  /** Correlated scalar subqueries in the SELECT list (one per output
+    * column — each decorrelates to an aggregate + left outer join).
+    */
+  def correlatedScalar(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer")
+    Tables.nation(spark, sfDir).createOrReplaceTempView("nation")
+    spark.sql(
+      """SELECT n_nationkey, n_name,
+        |  (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) AS n_cust,
+        |  (SELECT round(max(c_acctbal), 2) FROM customer WHERE c_nationkey = n_nationkey) AS max_bal
+        |FROM nation ORDER BY n_nationkey""".stripMargin)
+  }
+
+  /** Wide→long unpivot of the lineitem measures (Dataset.unpivot — the
+    * melt operator; narrow, no shuffle).
+    */
+  def unpivotQ(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_orderkey") < 200)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "measure", "value")
+      .select(col("l_orderkey"), col("l_linenumber"), col("measure"),
+        round(col("value"), 2).as("value"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+
+  /** Value-RANGE window frames (peer rows by value distance, not row
+    * position) + nth_value over the full frame.
+    */
+  def windowRange(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byBrand = Window.partitionBy(col("p_brand"))
+    val wRange = byBrand.orderBy(col("p_size")).rangeBetween(-2, Window.currentRow)
+    val wFull = byBrand.orderBy(col("p_size"), col("p_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.part(spark, sfDir)
+      .filter(col("p_partkey") < 400)
+      .select(
+        col("p_partkey"), col("p_brand"), col("p_size").cast("long").as("p_size"),
+        count(lit(1)).over(wRange).as("n_near"),
+        sum(col("p_size")).over(wRange).cast("long").as("size_sum"),
+        round(min(col("p_retailprice")).over(wRange), 2).as("min_near_price"),
+        nth_value(col("p_partkey"), 2).over(wFull).as("second_smallest"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Bitwise scalar functions (and/or/xor/not, shifts, popcount). */
+  def bitwiseFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_orderkey") < 2000)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_orderkey").bitwiseAND(255).as("and_v"),
+        col("l_orderkey").bitwiseOR(4096).as("or_v"),
+        col("l_orderkey").bitwiseXOR(col("l_suppkey")).as("xor_v"),
+        bitwise_not(col("l_orderkey")).as("not_v"),
+        shiftleft(col("l_orderkey"), 3).as("shl_v"),
+        shiftright(col("l_orderkey"), 2).as("shr_v"),
+        bit_count(col("l_orderkey")).cast("long").as("pop_v"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
 }

@@ -84,6 +84,12 @@ object SparkEntry {
     "q_pivot" -> (Queries.pivotQ _),
     "q_percentiles" -> (Queries.percentilesQ _),
     "q_array_funcs" -> (Queries.arrayFuncs _),
+    "q_exists" -> (Queries.existsSubquery _),
+    "q_lateral" -> (Queries.lateralJoin _),
+    "q_scalar_corr" -> (Queries.correlatedScalar _),
+    "q_unpivot" -> (Queries.unpivotQ _),
+    "q_window_range" -> (Queries.windowRange _),
+    "q_bitwise" -> (Queries.bitwiseFuncs _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -817,5 +823,64 @@ object SparkEntry {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "q_exists" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_lateral" ->
+      """SELECT n_name, t.c_custkey, round(t.c_acctbal, 2) AS acctbal
+        |FROM nation,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM customer
+        |         WHERE c_nationkey = n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n_name, t.c_custkey""".stripMargin,
+
+    "q_scalar_corr" ->
+      """SELECT n_nationkey, n_name,
+        |  (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) AS n_cust,
+        |  (SELECT round(max(c_acctbal), 2) FROM customer WHERE c_nationkey = n_nationkey) AS max_bal
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH li AS (SELECT * FROM lineitem WHERE l_orderkey < 200)
+        |SELECT l_orderkey, l_linenumber, measure, round(value, 2) AS value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM li
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS measure, l_extendedprice AS value FROM li
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount' AS measure, l_discount AS value FROM li)
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
+
+    "q_window_range" ->
+      """SELECT p_partkey, p_brand, CAST(p_size AS BIGINT) AS p_size,
+        |  count(*) OVER wr AS n_near,
+        |  CAST(sum(p_size) OVER wr AS BIGINT) AS size_sum,
+        |  round(min(p_retailprice) OVER wr, 2) AS min_near_price,
+        |  nth_value(p_partkey, 2) OVER wf AS second_smallest
+        |FROM part WHERE p_partkey < 400
+        |WINDOW
+        |  wr AS (PARTITION BY p_brand ORDER BY p_size
+        |         RANGE BETWEEN 2 PRECEDING AND CURRENT ROW),
+        |  wf AS (PARTITION BY p_brand ORDER BY p_size, p_partkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_bitwise" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_orderkey & 255 AS and_v,
+        |  l_orderkey | 4096 AS or_v,
+        |  xor(l_orderkey, l_suppkey) AS xor_v,
+        |  ~l_orderkey AS not_v,
+        |  l_orderkey << 3 AS shl_v,
+        |  l_orderkey >> 2 AS shr_v,
+        |  CAST(bit_count(l_orderkey) AS BIGINT) AS pop_v
+        |FROM lineitem WHERE l_orderkey < 2000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
   )
 }
