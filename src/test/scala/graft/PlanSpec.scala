@@ -60,6 +60,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("correlated EXISTS/NOT EXISTS decorrelate to broadcast semi/anti joins") {
+    val plan = formatted(Queries.existsSubquery(spark, sf))
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"), plan)
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("CartesianProduct"), plan)
+    // the EXISTS predicates reach the orders scan
+    assert(plan.contains("GreaterThan(o_totalprice,450000.0)"), plan)
+  }
+
+  test("lateral ORDER BY/LIMIT decorrelates to a partial rank pushdown") {
+    val plan = formatted(Queries.lateralJoin(spark, sf))
+    // WindowGroupLimit(Partial) trims each map partition to k rows BEFORE
+    // the exchange — the property that makes per-group top-k scale.
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("Partial"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("events scan under the log generator prunes to the used columns") {
     val plan = formatted(Queries.clientIp(spark, sf))
     // props/value are never touched by the log pipeline
