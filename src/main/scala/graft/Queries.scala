@@ -993,6 +993,22 @@ object Queries {
       .orderBy(col("p_partkey"))
   }
 
+  /** End-to-end curation flagship over documents seeded with exact
+    * (+10000, %3) and near (+20000, %5, data→info) copies, so every
+    * stage provably removes something: language gate → quality gate →
+    * exact dedup → LSH near-dup removal → hash split.
+    */
+  def curationQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val base = d
+      .union(d.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      .union(d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          replace(col("text"), lit("data"), lit("info")).as("text")))
+    graft.ops.Curation.curate(base).orderBy(col("doc_id"))
+  }
+
   /** Bitwise scalar functions (and/or/xor/not, shifts, popcount). */
   def bitwiseFuncs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)

@@ -84,6 +84,7 @@ object SparkEntry {
     "q_pivot" -> (Queries.pivotQ _),
     "q_percentiles" -> (Queries.percentilesQ _),
     "q_array_funcs" -> (Queries.arrayFuncs _),
+    "q_curation" -> (Queries.curationQ _),
     "q_exists" -> (Queries.existsSubquery _),
     "q_lateral" -> (Queries.lateralJoin _),
     "q_scalar_corr" -> (Queries.correlatedScalar _),
@@ -823,6 +824,51 @@ object SparkEntry {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    // End-to-end curation: every fragment below is generated from the
+    // same Scala constants as the Spark stages (TextOps / Dedup /
+    // Curation), so the two sides cannot drift.
+    "q_curation" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 20000, replace(text, 'data', 'info') FROM documents WHERE doc_id % 5 = 0),
+         |b0 AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS pt, ${wordsSql("text")} AS w FROM base),
+         |s AS (SELECT doc_id, text,
+         |        ${langScoreSql("en")} AS s_en, ${langScoreSql("es")} AS s_es,
+         |        ${langScoreSql("de")} AS s_de, ${langScoreSql("zh")} AS s_zh,
+         |        round(least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.5
+         |          + (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) / length(text)) * 0.3
+         |          + CAST(len(list_distinct(w)) AS DOUBLE) / len(w) * 0.2, 6) AS quality
+         |      FROM b0),
+         |gated AS (SELECT doc_id, text, quality FROM s
+         |          WHERE s_en >= s_es AND s_en >= s_de AND s_en >= s_zh AND s_en > 0
+         |            AND quality >= ${graft.ops.Curation.QualityMin}),
+         |ex AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+         |ek AS (SELECT g.* FROM gated g WHERE g.doc_id IN (SELECT doc_id FROM ex)),
+         |sh AS (SELECT doc_id, $hashedShinglesSql AS shingles
+         |       FROM (SELECT doc_id, ${wordsSql("lower(text)")} AS w FROM ek)),
+         |hx AS (SELECT doc_id, unnest(shingles) AS h FROM sh),
+         |sig AS (SELECT doc_id, $minhashSigSql FROM hx GROUP BY doc_id),
+         |bands AS (SELECT doc_id, unnest([
+         |    concat_ws(':', '0', s0, s1), concat_ws(':', '1', s2, s3),
+         |    concat_ws(':', '2', s4, s5), concat_ws(':', '3', s6, s7)]) AS band FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |neardrop AS (SELECT DISTINCT doc_b AS doc_id FROM (
+         |    SELECT doc_a, doc_b,
+         |      round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         |        / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS j
+         |    FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id JOIN sh sb ON cand.doc_b = sb.doc_id)
+         |  WHERE j >= ${graft.ops.Curation.JaccardMin}),
+         |kept AS (SELECT doc_id, quality FROM ek WHERE doc_id NOT IN (SELECT doc_id FROM neardrop)),
+         |d AS (SELECT doc_id, quality,
+         |        ${hSql("concat('split:', CAST(doc_id AS VARCHAR))")} % 100 AS b FROM kept)
+         |SELECT doc_id, quality,
+         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM d ORDER BY doc_id""".stripMargin,
 
     "q_exists" ->
       """SELECT c_custkey, c_name
