@@ -18,6 +18,12 @@ object GraftFunctions {
   def shingle_hashes(text: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), n))
 
+  /** Evaluate-once barrier for an expensive pure expression (see
+    * [[EvalBarrier]]) — stops CollapseProject/pushdown duplication.
+    */
+  def eval_once(c: Column): Column =
+    ColumnBridge.column(EvalBarrier(ColumnBridge.expression(c)))
+
   /** Native portable 48-bit hash (= conv(substring(md5(c),1,12),16,10)
     * as long, in one digest — see [[PortableHash48]]).
     */

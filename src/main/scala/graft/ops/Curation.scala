@@ -35,18 +35,31 @@ object Curation {
     * chains (b~c with no a: c drops, b survives).
     */
   def curate(docs: DataFrame): DataFrame = {
-    val scored = docs.select(
-      col("doc_id"), col("text"),
-      TextOps.langId(col("text")).as("lang_pred"),
-      TextOps.qualityScore(col("text")).as("quality"))
+    import graft.functions.GraftFunctions.eval_once
+    // Each language score counts ~5 stopword substrings (2 string scans
+    // each). Projected ONCE behind an eval-once barrier: without it,
+    // CollapseProject inlines every score 4-5x into the langId CASE and
+    // the resulting filter both blows past codegen method limits
+    // (interpreted fallback) and re-scans the text dozens of times per
+    // row. The CASE then runs over four tiny long columns.
+    val scores = TextOps.LangStopwords.map { case (l, _) =>
+      eval_once(TextOps.langScore(col("text"), l)).as(s"s_$l")
+    }
+    val scored = docs
+      .select(col("doc_id") +: col("text") +: scores :+
+        eval_once(TextOps.qualityScore(col("text"))).as("quality"): _*)
+    val en = col("s_en"); val es = col("s_es"); val de = col("s_de"); val zh = col("s_zh")
     val gated = scored
-      .filter(col("lang_pred") === "en" && col("quality") >= QualityMin)
-    // exact dedup: keep the min doc_id of each identical-text group
-    val keepIds = gated
-      .groupBy(md5(col("text")).as("k"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    val exactKept = gated.join(keepIds, Seq("doc_id"), "left_semi")
+      .filter(en >= es && en >= de && en >= zh && en > 0 && col("quality") >= QualityMin)
+      .select(col("doc_id"), col("text"), col("quality"))
+    // exact dedup: keep the min doc_id of each identical-text group —
+    // ONE hash exchange (window over md5) instead of a groupBy +
+    // semi-join that would re-execute the scoring subtree per branch
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val exactKept = gated
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
     // near-dup removal: LSH candidates, Jaccard-verified; drop doc_b
     val nearDrop = Dedup
       .minhashLsh(exactKept.select(col("doc_id"), col("text")), JaccardMin)
