@@ -97,17 +97,27 @@ object Similarity {
     * standard distributed k-means shape.
     */
   def kmeans(e: DataFrame, iterations: Int): (DataFrame, DataFrame) = {
-    var cents = centroids(e)
-    var assigned: DataFrame = null
+    val spark = e.sparkSession
+    import spark.implicits._
+    // Materialize the k×d centroid table to the driver after every
+    // recompute (exact doubles — values unchanged). Model state is tiny;
+    // without this, iteration i's lazy lineage re-executes iterations
+    // 1..i-1 from scratch (O(iterations²) passes over e). This is the
+    // MLlib pattern: data stays distributed, the model rides the driver.
+    def localize(df: DataFrame): DataFrame =
+      spark.createDataset(
+        df.select(col("cell").cast("long"), col("cv")).as[(Long, Seq[Double])].collect().toSeq
+      ).toDF("cell", "cv")
+    var cents = localize(centroids(e))
     for (_ <- 0 until iterations) {
-      assigned = assignCells(e, cents)
-      cents = e.join(assigned, "vec_id")
+      val assigned = assignCells(e, cents)
+      cents = localize(e.join(assigned, "vec_id")
         .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
         .groupBy(col("cell"), col("dim"))
         .agg(round(avg(col("x")), 6).as("m"))
         .groupBy(col("cell"))
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-          s => s.getField("m")).as("cv"))
+          s => s.getField("m")).as("cv")))
     }
     (assignCells(e, cents), cents)
   }
