@@ -34,14 +34,18 @@ object Curation {
     * larger id is dropped — deterministic, order-free, and safe under
     * chains (b~c with no a: c drops, b survives).
     */
-  def curate(docs: DataFrame): DataFrame = {
+  /** Language + quality gates as one narrow codegen'd projection+filter.
+    *
+    * Each language score counts ~5 stopword substrings (2 string scans
+    * each). Projected ONCE behind an eval-once barrier: without it,
+    * CollapseProject inlines every score 4-5x into the langId CASE and
+    * the resulting filter both blows past codegen method limits
+    * (interpreted fallback) and re-scans the text dozens of times per
+    * row. The CASE then runs over four tiny long columns. Stateless —
+    * works identically on batch and streaming inputs.
+    */
+  def gate(docs: DataFrame): DataFrame = {
     import graft.functions.GraftFunctions.eval_once
-    // Each language score counts ~5 stopword substrings (2 string scans
-    // each). Projected ONCE behind an eval-once barrier: without it,
-    // CollapseProject inlines every score 4-5x into the langId CASE and
-    // the resulting filter both blows past codegen method limits
-    // (interpreted fallback) and re-scans the text dozens of times per
-    // row. The CASE then runs over four tiny long columns.
     val scores = TextOps.LangStopwords.map { case (l, _) =>
       eval_once(TextOps.langScore(col("text"), l)).as(s"s_$l")
     }
@@ -49,9 +53,13 @@ object Curation {
       .select(col("doc_id") +: col("text") +: scores :+
         eval_once(TextOps.qualityScore(col("text"))).as("quality"): _*)
     val en = col("s_en"); val es = col("s_es"); val de = col("s_de"); val zh = col("s_zh")
-    val gated = scored
+    scored
       .filter(en >= es && en >= de && en >= zh && en > 0 && col("quality") >= QualityMin)
       .select(col("doc_id"), col("text"), col("quality"))
+  }
+
+  def curate(docs: DataFrame): DataFrame = {
+    val gated = gate(docs)
     // exact dedup: keep the min doc_id of each identical-text group —
     // ONE hash exchange (window over md5) instead of a groupBy +
     // semi-join that would re-execute the scoring subtree per branch
@@ -69,5 +77,36 @@ object Curation {
     kept.select(
       col("doc_id"), col("quality"),
       when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+  }
+
+  /** Incremental curation over a STREAMING doc source — how a 100 TB
+    * corpus actually arrives. Returns
+    *
+    *   (kept, nearDupCandidates)
+    *
+    * kept = gates (stateless, same codegen'd projection as batch) +
+    * exact dedup via streaming dropDuplicates on md5(text) (first
+    * arrival wins — the streaming analog of batch min-id), with the
+    * hash split attached. nearDupCandidates = the per-band LSH state
+    * stream (graft.streaming.DedupStream): each arriving doc that
+    * shares a MinHash band with an earlier doc emits a candidate pair.
+    * Production pipelines sink candidates to a reconciliation table and
+    * anti-join kept against it — the same drop-later-arrival policy as
+    * batch, kept as two streams because chaining a third stateful
+    * operator after flatMapGroupsWithState is where Spark's
+    * multi-stateful support ends.
+    */
+  def curateStream(docs: DataFrame): (DataFrame, org.apache.spark.sql.Dataset[graft.streaming.DedupStream.BandHit]) = {
+    val gated = gate(docs)
+    val bucket = TextOps.portableHash64(concat(lit("split:"), col("doc_id"))) % 100
+    val kept = gated
+      .withColumn("text_md5", md5(col("text")))
+      .dropDuplicates("text_md5")
+      .select(
+        col("doc_id"), col("quality"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+    val candidates = graft.streaming.DedupStream.lshCandidates(
+      gated.select(col("doc_id"), col("text")))
+    (kept, candidates)
   }
 }

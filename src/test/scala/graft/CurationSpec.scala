@@ -27,4 +27,34 @@ class CurationSpec extends AnyFunSuite {
     val again = Queries.curationQ(spark, sf).collect()
     assert(out.toSeq == again.toSeq)
   }
+
+  test("streaming curation gates, dedups across batches, and surfaces near-dup candidates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val good = "the quick brown fox jumps over the lazy dog and runs to the river " +
+      "bank where a second dog waits for the data of the day to arrive with more words"
+    val near = good.replace("data", "info")
+    val spanish = "el perro corre por la calle y la casa de la ciudad es grande y " +
+      "que bonita es la vida de el que corre y que salta por la manana"
+    val mem = MemoryStream[(Long, String)]
+    val (kept, cands) = graft.ops.Curation.curateStream(mem.toDF().toDF("doc_id", "text"))
+    val qk = kept.writeStream.outputMode("append")
+      .format("memory").queryName("cur_kept").start()
+    val qc = cands.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("cur_cands").start()
+    try {
+      mem.addData((1L, good), (2L, spanish), (3L, "tiny"))
+      qk.processAllAvailable(); qc.processAllAvailable()
+      mem.addData((4L, good), (5L, near)) // exact dup of 1; near dup of 1
+      qk.processAllAvailable(); qc.processAllAvailable()
+      val keptIds = spark.table("cur_kept").select($"doc_id").collect().map(_.getLong(0)).toSet
+      // 2 fails the language gate, 3 the quality gate, 4 the exact-dedup
+      // state across batches; 5 survives kept (near-dups are candidates)
+      assert(keptIds == Set(1L, 5L), keptIds)
+      val pairs = spark.table("cur_cands").select($"doc_id", $"first_doc")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((5L, 1L)), pairs) // cross-batch band collision
+    } finally { qk.stop(); qc.stop() }
+  }
 }
