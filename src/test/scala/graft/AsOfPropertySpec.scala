@@ -40,4 +40,24 @@ object AsOfPropertySpec extends Properties("AsOfJoin") {
     }.toMap
     got == expected
   }
+
+  /** The custom planner operator (AsOfJoinExec sorted merge) must agree
+    * with the brute force — and therefore with the composed union/window
+    * form — on the same tie-heavy random inputs.
+    */
+  property("nativeMatchesBruteForce") = Prop.forAll(dataGen) { case (l, r) =>
+    import spark.implicits._
+    val left = l.toDF("event_id", "user_id", "ts")
+    val right = r.toDF("r_id", "r_user", "r_ts")
+    val got = TimeSeries.asOfJoinNative(left, right,
+        "user_id", "r_user", "ts", "r_ts", "r_id")
+      .selectExpr("event_id", "r_id AS m")
+      .collect().map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+    val expected = l.map { case (id, k, t) =>
+      val cands = r.filter { case (_, rk, rt) => rk == k && !rt.after(t) }
+      id -> (if (cands.isEmpty) None
+             else Some(cands.maxBy { case (rid, _, rt) => (rt.getTime, rid) }._1))
+    }.toMap
+    got == expected
+  }
 }
