@@ -1009,6 +1009,27 @@ object Queries {
     graft.ops.Curation.curate(base).orderBy(col("doc_id"))
   }
 
+  /** Higher-order array functions (lambda expressions): aggregate /
+    * filter / exists / forall / zip_with / transform. Note these are
+    * CodegenFallback in Spark — correct but interpreted; hot paths use
+    * the native expressions instead (see ShingleHashes scaladoc).
+    */
+  def hofFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = col("embedding")
+    graft.ops.Similarity.asDouble(Tables.embeddings(spark, sfDir))
+      .filter(col("vec_id") < 50)
+      .select(
+        col("vec_id"),
+        round(aggregate(v, lit(0.0), (a, x) => a + x), 6).as("sum_v"),
+        size(filter(v, x => x > 0)).cast("long").as("n_pos"),
+        exists(v, x => x > 0.9).as("any_big"),
+        forall(v, x => x > -1.0).as("all_gt"),
+        round(aggregate(zip_with(v, reverse(v), (a, b) => a * b),
+          lit(0.0), (a, x) => a + x), 6).as("dot_rev"),
+        transform(slice(v, 1, 3), x => round(x, 3)).as("head3"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Bitwise scalar functions (and/or/xor/not, shifts, popcount). */
   def bitwiseFuncs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)

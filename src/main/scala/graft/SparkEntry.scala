@@ -88,6 +88,7 @@ object SparkEntry {
     "q_exists" -> (Queries.existsSubquery _),
     "q_lateral" -> (Queries.lateralJoin _),
     "q_scalar_corr" -> (Queries.correlatedScalar _),
+    "q_hof_funcs" -> (Queries.hofFuncs _),
     "q_unpivot" -> (Queries.unpivotQ _),
     "q_window_range" -> (Queries.windowRange _),
     "q_bitwise" -> (Queries.bitwiseFuncs _),
@@ -892,6 +893,22 @@ object SparkEntry {
         |  (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) AS n_cust,
         |  (SELECT round(max(c_acctbal), 2) FROM customer WHERE c_nationkey = n_nationkey) AS max_bal
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    // Spark lambda HOFs vs DuckDB list functions; doubles via identical
+    // sequential left folds (bit-exact, see q_knn_cosine precedent).
+    "q_hof_funcs" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id < 50)
+        |SELECT vec_id,
+        |  round(list_reduce(list_prepend(0.0, v), (a, x) -> a + x), 6) AS sum_v,
+        |  CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_pos,
+        |  len(list_filter(v, x -> x > 0.9)) > 0 AS any_big,
+        |  len(list_filter(v, x -> x <= -1.0)) = 0 AS all_gt,
+        |  round(list_reduce(list_prepend(0.0,
+        |    list_transform(list_zip(v, list_reverse(v)), s -> s[1] * s[2])),
+        |    (a, x) -> a + x), 6) AS dot_rev,
+        |  list_transform(v[1:3], x -> round(x, 3)) AS head3
+        |FROM e ORDER BY vec_id""".stripMargin,
 
     "q_unpivot" ->
       """WITH li AS (SELECT * FROM lineitem WHERE l_orderkey < 200)
