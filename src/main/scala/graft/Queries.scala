@@ -1026,7 +1026,11 @@ object Queries {
         forall(v, x => x > -1.0).as("all_gt"),
         round(aggregate(zip_with(v, reverse(v), (a, b) => a * b),
           lit(0.0), (a, x) => a + x), 6).as("dot_rev"),
-        transform(slice(v, 1, 3), x => round(x, 3)).as("head3"))
+        // scalar columns, not an array column: every other query emits
+        // scalars and the driver's value-hasher is only proven on those
+        round(element_at(v, 1), 6).as("h1"),
+        round(element_at(v, 2), 6).as("h2"),
+        round(element_at(v, 3), 6).as("h3"))
       .orderBy(col("vec_id"))
   }
 

@@ -907,7 +907,7 @@ object SparkEntry {
         |  round(list_reduce(list_prepend(0.0,
         |    list_transform(list_zip(v, list_reverse(v)), s -> s[1] * s[2])),
         |    (a, x) -> a + x), 6) AS dot_rev,
-        |  list_transform(v[1:3], x -> round(x, 3)) AS head3
+        |  round(v[1], 6) AS h1, round(v[2], 6) AS h2, round(v[3], 6) AS h3
         |FROM e ORDER BY vec_id""".stripMargin,
 
     "q_unpivot" ->
