@@ -65,9 +65,15 @@ object Curation {
     // semi-join that would re-execute the scoring subtree per branch
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    // Persisted (MLlib-style): the LSH stage consumes this subtree three
+    // times (signatures + both sides of the candidate verify join) and
+    // the final anti-join a fourth — without persist, each consumer
+    // re-runs the scan, gates and dedup shuffle. Spills to disk if the
+    // curated working set outgrows memory; stays session-scoped.
     val exactKept = gated
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // near-dup removal: LSH candidates, Jaccard-verified; drop doc_b
     val nearDrop = Dedup
       .minhashLsh(exactKept.select(col("doc_id"), col("text")), JaccardMin)
