@@ -1034,6 +1034,34 @@ object Queries {
       .orderBy(col("vec_id"))
   }
 
+  /** Time-series resample/gap-fill: dense per-user daily grid
+    * (sequence + explode — generated, not scanned), zero-filled counts,
+    * running cumulative. The grid side is tiny (users × days) and
+    * broadcast; the fact side aggregates before joining.
+    */
+  def resampleQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir).filter(col("user_id") < 5)
+    val daily = ev
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val users = ev.select(col("user_id")).distinct()
+    val days = spark.range(1).select(explode(sequence(
+      lit(java.sql.Date.valueOf("2024-01-01")),
+      lit(java.sql.Date.valueOf("2024-01-30")),
+      expr("interval 1 day"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    users.crossJoin(broadcast(days))
+      .join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .withColumn("cum_events", sum(col("n_events")).over(w))
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_events"), col("cum_events"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   /** Bitwise scalar functions (and/or/xor/not, shifts, popcount). */
   def bitwiseFuncs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)

@@ -89,6 +89,7 @@ object SparkEntry {
     "q_lateral" -> (Queries.lateralJoin _),
     "q_scalar_corr" -> (Queries.correlatedScalar _),
     "q_hof_funcs" -> (Queries.hofFuncs _),
+    "q_resample" -> (Queries.resampleQ _),
     "q_unpivot" -> (Queries.unpivotQ _),
     "q_window_range" -> (Queries.windowRange _),
     "q_bitwise" -> (Queries.bitwiseFuncs _),
@@ -909,6 +910,21 @@ object SparkEntry {
         |    (a, x) -> a + x), 6) AS dot_rev,
         |  round(v[1], 6) AS h1, round(v[2], 6) AS h2, round(v[3], 6) AS h3
         |FROM e ORDER BY vec_id""".stripMargin,
+
+    "q_resample" ->
+      """WITH users AS (SELECT DISTINCT user_id FROM events WHERE user_id < 5),
+        |days AS (SELECT CAST(d AS DATE) AS day
+        |         FROM generate_series(DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY) t(d)),
+        |daily AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n
+        |          FROM events WHERE user_id < 5 GROUP BY 1, 2),
+        |g AS (SELECT u.user_id, dy.day, COALESCE(n, 0) AS n_events
+        |      FROM users u CROSS JOIN days dy
+        |      LEFT JOIN daily ON daily.user_id = u.user_id AND daily.day = dy.day)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(sum(n_events) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_events
+        |FROM g ORDER BY user_id, day""".stripMargin,
 
     "q_unpivot" ->
       """WITH li AS (SELECT * FROM lineitem WHERE l_orderkey < 200)
