@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.SQLMetrics
 
 /** Whole-operator as-of join: for each left row, the LAST right row of
   * the same key with `rightTime <= leftTime` (ties among right rows at
@@ -87,7 +88,13 @@ case class AsOfJoinExec(
   override def outputOrdering: Seq[SortOrder] =
     (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched left rows"))
+
   protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
     val lOut = left.output
     val rOut = right.output
     val keyTypes = leftKeys.map(_.dataType)
@@ -130,6 +137,8 @@ case class AsOfJoinExec(
             } else scan = false
           }
           val matched = candidate != null && keyOrd.compare(candidateKey, lKeyProj(lRow)) == 0
+          numOutputRows += 1
+          if (matched) numMatched += 1
           resultProj(joined(lRow, if (matched) candidate else nullRight))
         }
       }
