@@ -94,6 +94,26 @@ class ExtensionsSpec extends AnyFunSuite {
     native.zip(composed).foreach { case (n, c) => assert(n == c) }
   }
 
+  test("AsOfJoin handles composite keys (logical node is Seq-keyed)") {
+    import graft.plans.AsOfJoin
+    import org.apache.spark.sql.graft.ColumnBridge
+    val l = Seq((1L, "a", 1L, 10L), (2L, "b", 1L, 10L), (3L, "a", 2L, 10L))
+      .toDF("id", "k1", "k2", "t")
+    val r = Seq((7L, "a", 1L, 5L), (8L, "a", 2L, 6L), (9L, "b", 9L, 1L))
+      .toDF("rid", "rk1", "rk2", "rt")
+    val lp = l.queryExecution.analyzed
+    val rp = r.queryExecution.analyzed
+    def a(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).get
+    val out = ColumnBridge.ofRows(spark, AsOfJoin(lp, rp,
+        Seq(a(lp, "k1"), a(lp, "k2")), Seq(a(rp, "rk1"), a(rp, "rk2")),
+        a(lp, "t"), a(rp, "rt"), a(rp, "rid")))
+      .select($"id", $"rid").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+    // (a,1)->7, (a,2)->8, (b,1) has no right (b,9 doesn't match) -> null
+    assert(out == Map(1L -> 7L, 2L -> -1L, 3L -> 8L))
+  }
+
   test("asOfJoinNative survives a self-join (duplicate upstream ExprIds)") {
     val base = Seq((1L, 10L, 5L), (2L, 10L, 8L)).toDF("id", "k", "sec")
       .select($"id", $"k", timestamp_seconds($"sec").as("t"))
