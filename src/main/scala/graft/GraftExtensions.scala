@@ -82,6 +82,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         RenderLogLine(args.head)
       }))
 
+    ext.injectFunction((FunctionIdentifier("freq_items"),
+      info("freq_items", "freq_items(col, k)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "freq_items(col, k)")
+        FrequentItems(args.head, intLit(args(1), "freq_items")).toAggregateExpression()
+      }))
+
     ext.injectOptimizerRule(_ => NativePortableHash())
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy())
   }

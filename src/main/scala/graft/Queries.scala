@@ -1034,6 +1034,17 @@ object Queries {
       .orderBy(col("vec_id"))
   }
 
+  /** Heavy hitters via the Misra-Gries TypedImperativeAggregate. k=16
+    * exceeds the distinct-lang cardinality, so the sketch is in its
+    * exact regime and oracle-checkable against a plain GROUP BY count.
+    */
+  def freqItemsQ(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .agg(graft.functions.GraftFunctions.freq_items(col("lang"), 16).as("fi"))
+      .select(explode(col("fi")).as("f"))
+      .select(col("f.item").as("item"), col("f.cnt").as("cnt"))
+      .orderBy(col("cnt").desc, col("item"))
+
   /** Time-series resample/gap-fill: dense per-user daily grid
     * (sequence + explode — generated, not scanned), zero-filled counts,
     * running cumulative. The grid side is tiny (users × days) and

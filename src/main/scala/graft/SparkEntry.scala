@@ -90,6 +90,7 @@ object SparkEntry {
     "q_scalar_corr" -> (Queries.correlatedScalar _),
     "q_hof_funcs" -> (Queries.hofFuncs _),
     "q_resample" -> (Queries.resampleQ _),
+    "q_freq_items" -> (Queries.freqItemsQ _),
     "q_unpivot" -> (Queries.unpivotQ _),
     "q_window_range" -> (Queries.windowRange _),
     "q_bitwise" -> (Queries.bitwiseFuncs _),
@@ -910,6 +911,11 @@ object SparkEntry {
         |    (a, x) -> a + x), 6) AS dot_rev,
         |  round(v[1], 6) AS h1, round(v[2], 6) AS h2, round(v[3], 6) AS h3
         |FROM e ORDER BY vec_id""".stripMargin,
+
+    // Misra-Gries in its exact regime (k=16 > distinct langs) == GROUP BY.
+    "q_freq_items" ->
+      """SELECT lang AS item, count(*) AS cnt FROM documents
+        |GROUP BY lang ORDER BY cnt DESC, item""".stripMargin,
 
     "q_resample" ->
       """WITH users AS (SELECT DISTINCT user_id FROM events WHERE user_id < 5),

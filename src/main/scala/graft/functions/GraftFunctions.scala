@@ -42,6 +42,14 @@ object GraftFunctions {
   def normalize_vector(v: Column): Column =
     ColumnBridge.column(NormalizeVector(ColumnBridge.expression(v)))
 
+  /** Misra-Gries heavy-hitters aggregate: array<struct<item,cnt>> of at
+    * most k frequent items (see [[FrequentItems]]); exact when the
+    * column has <= k distinct values.
+    */
+  def freq_items(c: Column, k: Int): Column =
+    ColumnBridge.column(FrequentItems(ColumnBridge.expression(c), k)
+      .toAggregateExpression())
+
   /** One-pass synthetic combined-log-line renderer (see [[RenderLogLine]]). */
   def render_log_line(evStruct: Column): Column =
     ColumnBridge.column(RenderLogLine(ColumnBridge.expression(evStruct)))
