@@ -31,4 +31,26 @@ object LakeWriter {
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Interchange formats for ingest/export edges (the lake interior
+    * stays parquet): CSV with header + explicit schema on read (never
+    * inferSchema — a schema-inference pass over 100 TB is a full extra
+    * scan), JSON lines likewise. Compression is gzip (the codec every
+    * Hadoop build ships; swap for zstd where the native lib exists).
+    */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", "true").option("compression", "gzip").csv(path)
+
+  def readCsv(spark: org.apache.spark.sql.SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("compression", "gzip").json(path)
+
+  def readJsonLines(spark: org.apache.spark.sql.SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
 }
