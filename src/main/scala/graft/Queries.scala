@@ -451,6 +451,15 @@ object Queries {
     Dedup.minhashLsh(docsWithNearCopies(spark, sfDir, None), 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Duplicate-cluster assignment: connected components (min-label
+    * propagation) over the verified LSH near-dup pairs — the transitive
+    * closure that collapses whole dup chains onto one canonical keeper.
+    */
+  def dedupClustersQ(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.minhashLsh(docsWithNearCopies(spark, sfDir, None), 0.5))
+      .orderBy(col("doc_id"))
+
   /** 16-bit SimHash per document. */
   def simhashQ(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.simhash16(Tables.documents(spark, sfDir)).orderBy(col("doc_id"))

@@ -91,6 +91,7 @@ object SparkEntry {
     "q_hof_funcs" -> (Queries.hofFuncs _),
     "q_resample" -> (Queries.resampleQ _),
     "q_freq_items" -> (Queries.freqItemsQ _),
+    "q_dedup_clusters" -> (Queries.dedupClustersQ _),
     "q_unpivot" -> (Queries.unpivotQ _),
     "q_window_range" -> (Queries.windowRange _),
     "q_bitwise" -> (Queries.bitwiseFuncs _),
@@ -129,6 +130,30 @@ object SparkEntry {
   /** Hashed distinct shingles — what graft's native ShingleHashes emits. */
   private val hashedShinglesSql: String =
     s"list_transform($shinglesSql, g -> ${hSql("g")})"
+
+  /** Shared CTE chain for the MinHash-LSH pipeline over documents plus
+    * planted near copies; `scored` = candidate pairs with exact Jaccard.
+    * Used by q_minhash_lsh and q_dedup_clusters.
+    */
+  private lazy val lshPairsCtes: String =
+    s"""base AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000, replace(text, 'data', 'info') FROM documents WHERE doc_id % 5 = 0),
+       |sh AS (SELECT doc_id, $hashedShinglesSql AS shingles
+       |       FROM (SELECT doc_id, ${wordsSql("lower(text)")} AS w FROM base)),
+       |hx AS (SELECT doc_id, unnest(shingles) AS h FROM sh),
+       |sig AS (SELECT doc_id, $minhashSigSql FROM hx GROUP BY doc_id),
+       |bands AS (SELECT doc_id, unnest([
+       |    concat_ws(':', '0', s0, s1), concat_ws(':', '1', s2, s3),
+       |    concat_ws(':', '2', s4, s5), concat_ws(':', '3', s6, s7)]) AS band FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+       |scored AS (
+       |  SELECT doc_a, doc_b,
+       |    round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS jaccard
+       |  FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id JOIN sh sb ON cand.doc_b = sb.doc_id)""".stripMargin
 
   private def occSql(w: String): String =
     s"CAST((length(pt) - length(replace(pt, '$w', ''))) / ${w.length} AS BIGINT)"
@@ -222,26 +247,25 @@ object SparkEntry {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_minhash_lsh" ->
-      s"""WITH base AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 10000, replace(text, 'data', 'info') FROM documents WHERE doc_id % 5 = 0),
-         |sh AS (SELECT doc_id, $hashedShinglesSql AS shingles
-         |       FROM (SELECT doc_id, ${wordsSql("lower(text)")} AS w FROM base)),
-         |hx AS (SELECT doc_id, unnest(shingles) AS h FROM sh),
-         |sig AS (SELECT doc_id, $minhashSigSql FROM hx GROUP BY doc_id),
-         |bands AS (SELECT doc_id, unnest([
-         |    concat_ws(':', '0', s0, s1), concat_ws(':', '1', s2, s3),
-         |    concat_ws(':', '2', s4, s5), concat_ws(':', '3', s6, s7)]) AS band FROM sig),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b, jaccard FROM (
-         |  SELECT doc_a, doc_b,
-         |    round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-         |      / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS jaccard
-         |  FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id JOIN sh sb ON cand.doc_b = sb.doc_id)
+      s"""WITH $lshPairsCtes
+         |SELECT doc_a, doc_b, jaccard FROM scored
          |WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Transitive closure of the verified near-dup pairs: min reachable
+    // doc_id per node via recursive CTE == the min-label-propagation
+    // fixpoint of Dedup.connectedComponents.
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $lshPairsCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |cc AS (SELECT node, node AS m FROM nodes
+         |       UNION
+         |       SELECT e.dst AS node, cc.m FROM cc JOIN edges e ON e.src = cc.node)
+         |SELECT node AS doc_id, min(m) AS cluster_id
+         |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin,
 
     "q_simhash" ->
       s"""WITH t AS (SELECT doc_id, list_transform(list_distinct(${wordsSql("lower(text)")}), wd -> ${hSql("wd")}) AS hs FROM documents)

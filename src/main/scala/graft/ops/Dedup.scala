@@ -178,4 +178,49 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
+
+  // --------------------------------------------------- dedup clustering
+
+  /** Connected components of the near-dup pair graph: label every doc
+    * with the MINIMUM doc_id reachable from it, so a whole duplicate
+    * cluster collapses to one canonical keeper — the transitive closure
+    * the pairwise drop policies approximate.
+    *
+    * Min-label propagation (the GraphX/GraphFrames CC algorithm shape):
+    * each round, every node takes the min of its own label and its
+    * neighbors' labels — two shuffles per round, state is one (node,
+    * label) row per node. Rounds needed = graph diameter (near-dup
+    * clusters are shallow; maxIter is a safety bound). Each round
+    * localCheckpoints the label table: iterative lineage otherwise
+    * re-executes all previous rounds (same lesson as Similarity.kmeans,
+    * but the label table is O(nodes) — too big to collect, so cut
+    * lineage executor-side instead of driver-side).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("node", "src").withColumnRenamed("lbl", "src_lbl"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("src_lbl")).as("nbr_lbl"))
+      val next = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("lbl", "prev"), "node")
+        .filter(col("lbl") =!= col("prev")).isEmpty
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+  }
 }

@@ -31,6 +31,22 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("connected components collapse chains onto the min id") {
+    // 1-2, 2-3 (chain, no 1-3 edge); 7-9; singleton 5 not in any pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("connected components converge on a long path graph") {
+    // path 0-1-2-...-9: diameter 9 forces multiple propagation rounds
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == (0L to 9L).map(_ -> 0L).toMap)
+  }
+
   test("minhash-lsh surfaces the same near-dup pairs as brute force here") {
     val lsh = Dedup.minhashLsh(base, 0.5)
       .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
