@@ -21,11 +21,16 @@ case class PortableHash48(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
 
   override def nullSafeEval(input: Any): Any =
-    PortableHash48.eval(input.asInstanceOf[UTF8String])
+    PortableHash48.hash(input.asInstanceOf[UTF8String])
 
+  // NOTE: the static entry must NOT be named `eval` — a companion method
+  // whose name collides with an inherited member (Expression.eval) gets
+  // no static forwarder from scalac, so generated code referencing it
+  // fails Janino compilation and the whole stage silently runs
+  // interpreted (the exact fallback this expression exists to avoid).
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.PortableHash48.eval($c);")
+      s"${ev.value} = graft.functions.PortableHash48.hash($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -38,5 +43,5 @@ object PortableHash48 {
     * encoding, so this equals hash48(s.toString) without the copy when
     * the backing array is exact.
     */
-  def eval(s: UTF8String): Long = ShingleHashes.hash48bytes(s.getBytes)
+  def hash(s: UTF8String): Long = ShingleHashes.hash48bytes(s.getBytes)
 }

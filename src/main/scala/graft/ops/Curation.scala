@@ -69,7 +69,10 @@ object Curation {
     // times (signatures + both sides of the candidate verify join) and
     // the final anti-join a fourth — without persist, each consumer
     // re-runs the scan, gates and dedup shuffle. Spills to disk if the
-    // curated working set outgrows memory; stays session-scoped.
+    // curated working set outgrows memory. LIFECYCLE: the cached copy
+    // lives until session end (it cannot be unpersisted here — the
+    // returned plan consumes it lazily); callers iterating curate() in
+    // one long session should spark.catalog.clearCache() between runs.
     val exactKept = gated
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")

@@ -217,10 +217,17 @@ object Dedup {
         .localCheckpoint(true)
       converged = next.join(labels.withColumnRenamed("lbl", "prev"), "node")
         .filter(col("lbl") =!= col("prev")).isEmpty
+      // the convergence check above was the old table's last consumer —
+      // without this, O(rounds) checkpointed label copies stay cached
+      labels.unpersist()
       labels = next
       i += 1
     }
     edges.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        "(component propagation distance exceeds maxIter) — raise maxIter; " +
+        "returning partial labels would be silently wrong")
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
   }
 }

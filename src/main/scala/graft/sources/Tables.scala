@@ -40,12 +40,24 @@ object Tables {
     * otherwise). The cached object is only the analyzed read plan —
     * pruning/pushdown still specialize per query.
     */
+  // Weak on the session key: entries (and the analyzed plans + file
+  // listings they hold) must die with their session, not pin every
+  // stopped session for the JVM's lifetime.
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
+
+  private def sessionCache(spark: SparkSession) = cache.synchronized {
+    var m = cache.get(spark)
+    if (m == null) {
+      m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+      cache.put(spark, m)
+    }
+    m
+  }
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     enableNanoReads(spark)
-    cache.computeIfAbsent((spark, sfDir, name), _ => {
+    sessionCache(spark).computeIfAbsent((sfDir, name), _ => {
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
       if (name == "events")
         // ts arrives as LongType (nanos since epoch) under nanosAsLong;

@@ -49,6 +49,35 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(q.collect().map(_.getLong(0)).toSeq == Seq("x0", "x1").map(ShingleHashes.hash48))
   }
 
+  test("native expressions compile under codegen with fallback disabled") {
+    // A companion method that fails to get a static forwarder (e.g. a
+    // name colliding with Expression.eval) makes Janino compilation fail
+    // and the stage silently run interpreted. Forcing fallback off turns
+    // that silent regression into a test failure.
+    val prevFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    val prevFallback = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val out = spark.range(4)
+        .select(concat(lit("doc "), $"id".cast("string")).as("text"))
+        .select(
+          GraftFunctions.portable_hash48($"text").as("p"),
+          GraftFunctions.shingle_hashes($"text", 1).as("sh"),
+          GraftFunctions.rolling_hash_min(concat($"text", lit(" padding to reach sixteen chars")), 16).as("r"))
+        .collect()
+      assert(out.length == 4)
+      assert(out(0).getLong(0) == graft.functions.ShingleHashes.hash48("doc 0"))
+    } finally {
+      def restore(key: String, v: Option[String]): Unit = v match {
+        case Some(x) => spark.conf.set(key, x)
+        case None => spark.conf.unset(key)
+      }
+      restore("spark.sql.codegen.factoryMode", prevFactory)
+      restore("spark.sql.codegen.fallback", prevFallback)
+    }
+  }
+
   // -- native as-of join ----------------------------------------------------
 
   private lazy val purchases = Seq(
