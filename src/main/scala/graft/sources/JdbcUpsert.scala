@@ -22,15 +22,25 @@ class JdbcUpsert(
     columns: Seq[String],
     keyCols: Seq[String],
     connect: () => Connection,
-    batchSize: Int = 500) extends Serializable {
+    batchSize: Int = 500,
+    dialectSql: Option[String] = None,
+    /** true → portable two-statement upsert (UPDATE; INSERT when no row
+      * matched) instead of a native single-statement dialect. Works on
+      * every JDBC engine (Derby has no usable MERGE-over-VALUES, old
+      * Postgres no ON CONFLICT); trades the addBatch pipelining for
+      * per-row round trips, so prefer a native dialect where one exists.
+      */
+    updateThenInsert: Boolean = false) extends Serializable {
 
   require(keyCols.forall(columns.contains), "key columns must be part of the column list")
 
-  /** MySQL-dialect upsert statement:
+  /** MySQL-dialect upsert statement (the reference's sink DDL dialect):
     * INSERT INTO t (c1,c2,...) VALUES (?,?,...)
     * ON DUPLICATE KEY UPDATE c2=VALUES(c2), ...   (non-key columns only)
+    * Override via `dialectSql` for other engines — see
+    * [[JdbcUpsert.ansiMergeSql]] for the standard MERGE form.
     */
-  val upsertSql: String = {
+  val upsertSql: String = dialectSql.getOrElse {
     val cols = columns.mkString(", ")
     val placeholders = columns.map(_ => "?").mkString(", ")
     val updates = columns.filterNot(keyCols.contains)
@@ -38,31 +48,89 @@ class JdbcUpsert(
     s"INSERT INTO $table ($cols) VALUES ($placeholders) ON DUPLICATE KEY UPDATE $updates"
   }
 
+  /** UPDATE t SET nk1 = ?, ... WHERE k1 = ? AND ... */
+  val updateSql: String = {
+    val sets = columns.filterNot(keyCols.contains).map(c => s"$c = ?").mkString(", ")
+    val where = keyCols.map(k => s"$k = ?").mkString(" AND ")
+    s"UPDATE $table SET $sets WHERE $where"
+  }
+
+  /** INSERT INTO t (c1,...) VALUES (?,...) */
+  val insertSql: String =
+    s"INSERT INTO $table (${columns.mkString(", ")}) VALUES (${columns.map(_ => "?").mkString(", ")})"
+
   /** foreachBatch entry: upsert one micro-batch (or batch write) output. */
   def write(df: DataFrame, batchId: Long): Unit = {
-    val sql = upsertSql
+    val (sql, uSql, iSql) = (upsertSql, updateSql, insertSql)
     val colNames = columns
+    val keys = keyCols
     val bs = batchSize
     val mkConn = connect
+    val twoStep = updateThenInsert
     df.select(colNames.map(org.apache.spark.sql.functions.col): _*)
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         if (rows.hasNext) {
           val conn = mkConn()
           try {
             conn.setAutoCommit(false)
-            val st = conn.prepareStatement(sql)
-            var n = 0
-            rows.foreach { r =>
-              var i = 0
-              while (i < colNames.length) { st.setObject(i + 1, r.get(i)); i += 1 }
-              st.addBatch()
-              n += 1
-              if (n % bs == 0) st.executeBatch()
+            if (twoStep) {
+              val nonKeyIdx = colNames.zipWithIndex.filterNot { case (c, _) => keys.contains(c) }.map(_._2)
+              val keyIdx = keys.map(colNames.indexOf(_))
+              val us = conn.prepareStatement(uSql)
+              val is = conn.prepareStatement(iSql)
+              rows.foreach { r =>
+                var p = 1
+                nonKeyIdx.foreach { i => us.setObject(p, r.get(i)); p += 1 }
+                keyIdx.foreach { i => us.setObject(p, r.get(i)); p += 1 }
+                if (us.executeUpdate() == 0) {
+                  var i = 0
+                  while (i < colNames.length) { is.setObject(i + 1, r.get(i)); i += 1 }
+                  is.executeUpdate()
+                }
+              }
+            } else {
+              val st = conn.prepareStatement(sql)
+              var n = 0
+              rows.foreach { r =>
+                var i = 0
+                while (i < colNames.length) { st.setObject(i + 1, r.get(i)); i += 1 }
+                st.addBatch()
+                n += 1
+                if (n % bs == 0) st.executeBatch()
+              }
+              st.executeBatch()
             }
-            st.executeBatch()
             conn.commit()
           } finally conn.close()
         }
       }
+  }
+}
+
+object JdbcUpsert {
+
+  /** ANSI `MERGE` upsert (Derby / Oracle / SQL Server / Postgres 15+):
+    *
+    *   MERGE INTO t USING (VALUES (CAST(? AS T1), ...)) v(c1,...)
+    *   ON t.k = v.k
+    *   WHEN MATCHED THEN UPDATE SET c = v.c, ...
+    *   WHEN NOT MATCHED THEN INSERT (c1,...) VALUES (v.c1,...)
+    *
+    * `sqlTypes` gives each column's SQL type (same order as `columns`) —
+    * standard MERGE sources reject untyped parameter markers, so every
+    * placeholder is CAST.
+    */
+  def ansiMergeSql(table: String, columns: Seq[String], keyCols: Seq[String],
+      sqlTypes: Seq[String]): String = {
+    require(columns.length == sqlTypes.length, "one SQL type per column")
+    val typed = columns.zip(sqlTypes)
+      .map { case (_, t) => s"CAST(? AS $t)" }.mkString(", ")
+    val on = keyCols.map(k => s"t.$k = v.$k").mkString(" AND ")
+    val updates = columns.filterNot(keyCols.contains)
+      .map(c => s"$c = v.$c").mkString(", ")
+    s"MERGE INTO $table t USING (VALUES ($typed)) v(${columns.mkString(", ")}) " +
+      s"ON $on WHEN MATCHED THEN UPDATE SET $updates " +
+      s"WHEN NOT MATCHED THEN INSERT (${columns.mkString(", ")}) " +
+      s"VALUES (${columns.map(c => s"v.$c").mkString(", ")})"
   }
 }
