@@ -197,9 +197,14 @@ object Dedup {
     * lineage executor-side instead of driver-side).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // Hash-partition the edge table on the join side ONCE before caching:
+    // the cached scan keeps that partitioning, so each round's edges⋈labels
+    // join shuffles only the (node,lbl) table — the edge table (the big
+    // side at 100 TB) never moves again.
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .repartition(col("src"))
       .persist()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
@@ -207,20 +212,23 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      // Carry the previous label through the checkpoint so convergence is
+      // a filter on `next` itself — no extra join (= one less O(nodes)
+      // shuffle per round just to detect the fixpoint).
       val neighborMin = edges
-        .join(labels.withColumnRenamed("node", "src").withColumnRenamed("lbl", "src_lbl"), "src")
+        .join(labels.select(col("node").as("src"), col("lbl").as("src_lbl")), "src")
         .groupBy(col("dst").as("node"))
         .agg(min(col("src_lbl")).as("nbr_lbl"))
       val next = labels.join(neighborMin, Seq("node"), "left")
         .select(col("node"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"),
+          col("lbl").as("prev"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("lbl", "prev"), "node")
-        .filter(col("lbl") =!= col("prev")).isEmpty
-      // the convergence check above was the old table's last consumer —
-      // without this, O(rounds) checkpointed label copies stay cached
+      converged = next.filter(col("lbl") =!= col("prev")).isEmpty
+      // the old table's last consumer was the join above — without this,
+      // O(rounds) checkpointed label copies stay cached
       labels.unpersist()
-      labels = next
+      labels = next.select(col("node"), col("lbl"))
       i += 1
     }
     edges.unpersist()
