@@ -23,8 +23,15 @@ class StateStoreSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val prevChangelog = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // Changelog checkpointing: each commit uploads the batch's delta, not a
+    // full RocksDB snapshot — the only viable checkpoint cadence once state
+    // is tens of GB per executor.
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
     try {
       val mem = MemoryStream[(Timestamp, String)]
       val counts = LogStream.windowedEventCounts(
@@ -50,6 +57,12 @@ class StateStoreSpec extends AnyFunSuite {
       prev match {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
         case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      prevChangelog match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
       }
     }
   }
