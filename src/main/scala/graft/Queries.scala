@@ -508,6 +508,28 @@ object Queries {
       .orderBy(col("purchase_id"))
   }
 
+  /** Same as-of semantics as [[asofJoin]], executed skew-resistantly:
+    * the window partitions on (user, 6h time bucket) with carry-in
+    * candidates, so a hot user splits across tasks. Must hash-match the
+    * same oracle as [[asofJoin]].
+    */
+  def asofJoinBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.ops.TimeSeries.asOfJoinBucketed(
+      purchases, views, key = "user_id", ts = "ts",
+      rightOrder = "event_id", rightPayload = Seq("event_id"),
+      bucketSeconds = 6 * 3600)
+      .select(
+        col("event_id").as("purchase_id"),
+        col("user_id"),
+        col("_asof.event_id").as("view_id"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** Same as-of semantics as [[asofJoin]], executed by the custom
     * planner operator (graft.plans.AsOfJoinExec sorted merge) — the two
     * must hash-match the same oracle.

@@ -79,6 +79,7 @@ object SparkEntry {
     "q_topk_typed" -> (Queries.topkTyped _),
     "q_stats_agg" -> (Queries.statsAgg _),
     "q_asof_join" -> (Queries.asofJoin _),
+    "q_asof_bucketed" -> (Queries.asofJoinBucketed _),
     "q_asof_native" -> (Queries.asofJoinNative _),
     "q_sessionize" -> (Queries.sessionizeQ _),
     "q_pivot" -> (Queries.pivotQ _),
@@ -764,6 +765,24 @@ object SparkEntry {
         |ORDER BY c_nationkey""".stripMargin,
 
     "q_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+        |u AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS mts, 1 AS tag, 9223372036854775807 AS ord,
+        |         CAST(NULL AS BIGINT) AS r_id, event_id AS l_id FROM p
+        |  UNION ALL
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS mts, 0 AS tag, event_id AS ord,
+        |         event_id AS r_id, CAST(NULL AS BIGINT) AS l_id FROM v),
+        |m AS (SELECT *, last_value(r_id IGNORE NULLS) OVER (
+        |        PARTITION BY user_id ORDER BY mts, tag, ord
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_id FROM u)
+        |SELECT l_id AS purchase_id, user_id, view_id
+        |FROM m WHERE tag = 1
+        |ORDER BY purchase_id""".stripMargin,
+
+    // Same semantics, executed skew-resistantly over (key, time-bucket)
+    // windows with carry-in candidates.
+    "q_asof_bucketed" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
         |v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
         |u AS (

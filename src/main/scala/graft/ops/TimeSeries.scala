@@ -52,6 +52,85 @@ object TimeSeries {
       .select(lCols.map(col) :+ col("_asof"): _*)
   }
 
+  /** Skew-resistant as-of join: same contract as [[asOfJoin]] (latest
+    * right row with `right.ts <= left.ts` per key, ties among right rows
+    * broken by max `rightOrder`), but the window partitions on
+    * `(key, floor(ts / bucketSeconds))` instead of the key alone.
+    *
+    * [[asOfJoin]] and [[asOfJoinNative]] both send EVERY row of a key to
+    * one task — a single hot key (one bot client IP, one celebrity user)
+    * becomes a straggler at 100 TB, and AQE cannot split a window/custom
+    * -node partition. Bucketing by time caps a partition at one bucket of
+    * one key. Cross-bucket correctness comes from a carry-in candidate:
+    * for each (key, bucket) the latest right row of any EARLIER bucket is
+    * injected as one extra tag-0 row (computed on the per-(key,bucket)
+    * last-row table — O(keys × buckets), so its own key-partitioned
+    * window is skew-free by construction). A carried row's ts lies
+    * strictly before the bucket interval, so it sorts first and never
+    * disturbs in-bucket tie-breaks.
+    *
+    * Pick `bucketSeconds` so a hot key's densest bucket fits one task;
+    * coarser = fewer carry rows, finer = more parallelism.
+    */
+  def asOfJoinBucketed(
+      left: DataFrame, right: DataFrame,
+      key: String, ts: String,
+      rightOrder: String,
+      rightPayload: Seq[String],
+      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val lCols = left.columns
+    // floor over double (not long division, which truncates toward zero
+    // for pre-epoch timestamps); epoch seconds are exact in a double
+    def bkt(c: Column): Column =
+      floor(c.cast("long").cast("double") / bucketSeconds).cast("long")
+    val rStructSql =
+      s"struct<${rightPayload.map(c => s"$c:${right.schema(c).dataType.sql}").mkString(",")}>"
+
+    val r = right.select(
+        col(key), col(ts), col(rightOrder).cast("long").as("_ord"),
+        struct(rightPayload.map(col): _*).as("_r"))
+      .withColumn("_bkt", bkt(col(ts)))
+
+    // latest right row per (key, bucket) — what a later bucket inherits
+    val rLast = r.groupBy(col(key), col("_bkt"))
+      .agg(max_by(
+        struct(col(ts).as("t"), col("_ord").as("o"), col("_r").as("p")),
+        struct(col(ts), col("_ord"))).as("_lastrow"))
+
+    // every bucket holding left rows needs a carry-in, even if no right
+    // row landed in it; right-only buckets keep the chain unbroken
+    val universe = left.select(col(key), bkt(col(ts)).as("_bkt")).distinct()
+      .unionByName(rLast.select(col(key), col("_bkt"))).distinct()
+    val wCarry = Window.partitionBy(col(key)).orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = universe.join(rLast, Seq(key, "_bkt"), "left")
+      .withColumn("_carry", last(col("_lastrow"), ignoreNulls = true).over(wCarry))
+      .filter(col("_carry").isNotNull)
+      .select(col(key), col("_carry.t").as(ts), col("_carry.o").as("_ord"),
+        col("_carry.p").as("_r"), col("_bkt"))
+
+    val candidates = r.select(col(key), col(ts), col("_ord"), col("_r"), col("_bkt"))
+      .unionByName(carry)
+      .withColumn("_tag", lit(0))
+    val l = left
+      .withColumn("_tag", lit(1))
+      .withColumn("_ord", lit(Long.MaxValue))
+      .withColumn("_r", lit(null).cast(rStructSql))
+      .withColumn("_bkt", bkt(col(ts)))
+    val unioned = l.select(
+        (Seq(col(key), col(ts), col("_tag"), col("_ord"), col("_r"), col("_bkt")) ++
+          lCols.filterNot(c => c == key || c == ts).map(col)): _*)
+      .unionByName(candidates, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key), col("_bkt"))
+      .orderBy(col(ts), col("_tag"), col("_ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("_asof", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+      .select(lCols.map(col) :+ col("_asof"): _*)
+  }
+
   /** As-of join on the custom planner operator (graft.plans.AsOfJoin →
     * AsOfJoinExec): same contract as [[asOfJoin]] — latest right row
     * with `right.ts <= left.ts` per key, right ties at equal ts broken

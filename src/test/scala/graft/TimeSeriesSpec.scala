@@ -30,6 +30,49 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out(102L) == 20L)
   }
 
+  test("asOfJoinBucketed: carry-in spans empty buckets; in-bucket ties unchanged") {
+    import spark.implicits._
+    // 60s buckets; the right rows for user 1 sit 3+ buckets before the
+    // later left rows, with empty buckets in between — only the carry-in
+    // path can match them.
+    val left = Seq(
+      (100L, 1L, ts("2024-01-01 00:10:05")), // buckets after both right rows
+      (101L, 1L, ts("2024-01-01 00:00:30")), // same bucket as right 10/11, after them
+      (102L, 1L, ts("2024-01-01 00:00:10")), // same bucket, before every right row
+      (103L, 2L, ts("2024-01-01 05:00:00"))  // right row far in the past
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, 1L, ts("2024-01-01 00:00:20")),
+      (11L, 1L, ts("2024-01-01 00:00:20")), // same ts, higher id wins the tie
+      (12L, 1L, ts("2024-01-01 00:02:00")), // latest before left 100
+      (20L, 2L, ts("2024-01-01 00:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val out = TimeSeries.asOfJoinBucketed(
+        left, right, "user_id", "ts", "event_id", Seq("event_id"), bucketSeconds = 60)
+      .select($"event_id", $"_asof.event_id".as("matched"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out == Map(100L -> 12L, 101L -> 11L, 102L -> -1L, 103L -> 20L))
+  }
+
+  test("asOfJoinBucketed matches asOfJoin row-for-row on events data") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_id"), col("user_id"), col("_asof.event_id").as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toSet
+    val base = shape(TimeSeries.asOfJoin(
+      purchases, views, "user_id", "ts", "event_id", Seq("event_id")))
+    // bucket narrow enough that real matches cross bucket boundaries
+    val bucketed = shape(TimeSeries.asOfJoinBucketed(
+      purchases, views, "user_id", "ts", "event_id", Seq("event_id"), bucketSeconds = 3600))
+    assert(bucketed == base)
+  }
+
   test("sessionize: gap boundary is inclusive (exactly gap stays in session)") {
     import spark.implicits._
     val ev = Seq(
