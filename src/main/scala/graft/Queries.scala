@@ -929,30 +929,44 @@ object Queries {
   }
 
   /** Multimodal pipeline: synth binary payloads → partition-wise decode →
-    * per-kind rollup. No SQL oracle (binary + mapPartitions); driver does
-    * the rows-only check, MultimodalSpec asserts exact decode round-trip.
+    * per-kind rollup. Oracle-checked: the payload is a pure function of
+    * media_id, so DuckDB regenerates the byte stream with generate_series
+    * and replays the decode arithmetic (same double op order; Spark's
+    * math.rint = DuckDB round_even). The average runs over exact integer
+    * micro-brightness (the avgFromCents idiom) so accumulation order
+    * cannot flip the hash. MultimodalSpec asserts the decode round-trip.
     */
   def mediaPipeline(spark: SparkSession, sfDir: String): DataFrame = {
     val meta = graft.ops.Multimodal.decodeStub(graft.ops.Multimodal.syntheticMedia(spark, 2000))
+    // brightness is rint(raw*1e6)/1e6 — recover the exact micro integer
+    val micros = round(col("brightness") * 1e6).cast("long")
     meta.toDF().groupBy(col("kind"))
       .agg(
         count(lit(1)).as("n_media"),
         sum(col("n_frames")).as("total_frames"),
-        round(avg(col("brightness")), 6).as("avg_brightness"),
+        (floor(sum(micros).cast("double") / count(lit(1)) + 0.5) / 1e6).as("avg_brightness"),
         sum(col("payload_bytes")).as("total_bytes"))
       .orderBy(col("kind"))
   }
 
-  /** Sketch aggregate: approx_count_distinct (HLL++). No oracle — the
-    * sketch estimate is engine-specific; rows-only check.
+  /** Sketch aggregate: approx_count_distinct (HLL++). The raw estimate
+    * is engine-specific, so the oracle checks the CONTRACT instead: the
+    * query emits the exact count plus `within_bound` (relative error vs
+    * exact ≤ 10%, double the default 5% rsd) and DuckDB asserts literal
+    * TRUE — HLL++ is deterministic for fixed data, so the check is
+    * stable, and a sketch regression flips the hash.
     */
-  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = countDistinct(col("l_partkey"))
+    val approx = approx_count_distinct(col("l_partkey"))
     Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
+        exact.as("exact_parts"),
+        (abs(approx.cast("double") - exact.cast("double")) / exact.cast("double") <= 0.1)
+          .as("within_bound"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** JSON extraction from the events.props string column. */
   def jsonFuncs(spark: SparkSession, sfDir: String): DataFrame =

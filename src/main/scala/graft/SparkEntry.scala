@@ -185,6 +185,40 @@ object SparkEntry {
     }.mkString("(", " + ", ")")
 
   def oracleSql: Map[String, String] = Map(
+    // The HLL++ estimate is engine-specific; the oracle asserts the
+    // CONTRACT — the query's within_bound column must be literally true.
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS within_bound
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Payloads are a pure function of media_id (graft.ops.Multimodal):
+    // regenerate the filler bytes with generate_series and replay the
+    // decode arithmetic (same double op order; round_even = math.rint).
+    "q_media_pipeline" ->
+      """WITH m AS (
+        |  SELECT r.range AS id,
+        |    CASE r.range % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    CASE WHEN r.range % 3 = 2 THEN 8 + r.range % 24 ELSE 1 END AS n_frames,
+        |    256 + r.range % 512 AS filler_len
+        |  FROM range(0, 2000) r),
+        |s AS (
+        |  SELECT m.*, 15 + filler_len AS payload_bytes,
+        |    (SELECT sum((m.id * 31 + f.i * 7) % 256)
+        |     FROM (SELECT unnest(generate_series(0, m.filler_len - 1)) AS i) f) AS byte_sum
+        |  FROM m),
+        |b AS (
+        |  SELECT kind, n_frames, payload_bytes,
+        |    CAST(round_even(CAST(byte_sum AS DOUBLE) / filler_len / 255.0 * 1000000.0, 0) AS BIGINT) AS micro
+        |  FROM s)
+        |SELECT kind,
+        |  count(*) AS n_media,
+        |  CAST(sum(n_frames) AS BIGINT) AS total_frames,
+        |  floor(CAST(sum(micro) AS DOUBLE) / count(*) + 0.5) / 1000000.0 AS avg_brightness,
+        |  CAST(sum(payload_bytes) AS BIGINT) AS total_bytes
+        |FROM b GROUP BY kind ORDER BY kind""".stripMargin,
+
     "q_text_stats" ->
       s"""WITH t AS (SELECT doc_id, text, ${wordsSql("text")} AS w FROM documents)
          |SELECT doc_id,

@@ -21,6 +21,9 @@ class QueriesSmokeSpec extends AnyFunSuite {
 
   test("every query has either an oracle or a documented rows-only check") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("q_media_pipeline", "q_approx_distinct", "q_kmeans"), noOracle)
+    // q_kmeans alone stays rows-only: iterative distributed avg+round
+    // per centroid dim is too rounding-boundary-fragile for a SQL oracle
+    // (KMeansSpec asserts monotone inertia + stability instead).
+    assert(noOracle == Set("q_kmeans"), noOracle)
   }
 }
