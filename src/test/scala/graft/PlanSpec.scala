@@ -82,4 +82,22 @@ class PlanSpec extends AnyFunSuite {
     // props/value are never touched by the log pipeline
     assert(!plan.contains("props") && !plan.contains("value"), plan)
   }
+
+  test("bucketed as-of windows partition on (key, bucket), never key alone") {
+    val plan = formatted(Queries.asofJoinBucketed(spark, sf))
+    // every merge window in the plan must carry the bucket column — a
+    // key-only window partition is exactly the hot-key straggler this
+    // variant exists to prevent (the carry table's key-only window is
+    // over per-(key,bucket) aggregates, which explain prints with _bkt
+    // in its partition spec too, via the universe join)
+    // windowspecdefinition(part1, part2, ..., ord ASC ..., frame): the
+    // merge window partitions on BOTH user_id and _bkt (no ASC on _bkt)
+    assert("windowspecdefinition\\(user_id#\\d+L, _bkt#\\d+L, ".r
+      .findFirstIn(plan).isDefined, plan)
+    // any key-only-partitioned window must be the carry chain (its ORDER
+    // column is _bkt, and it runs over per-(key,bucket) aggregates)
+    val keyOnly = "windowspecdefinition\\(user_id#\\d+L, (\\w+)#\\d+L ASC".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(keyOnly.forall(_ == "_bkt"), s"key-only windows over $keyOnly\n$plan")
+  }
 }
