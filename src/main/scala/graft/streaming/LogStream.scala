@@ -58,6 +58,36 @@ object LogStream {
       .groupBy(col("client_ip"))
       .agg(count(lit(1)).as("client_access_cnt"))
 
+  /** Stream-stream interval join (attribution): each purchase matched to
+    * the SAME user's views within the trailing `windowSeconds` —
+    * view.ts ∈ [purchase.ts - window, purchase.ts]. Both sides carry
+    * watermarks, so the join state is BOUNDED: a buffered view row is
+    * evicted once the purchase watermark passes view.ts + window (Spark
+    * derives the eviction bound from the range condition), which is what
+    * lets this run forever on a 1000-executor cluster. The state exchange
+    * hashes on user_id — at scale the same hot-key note as the batch
+    * as-of applies (pre-filter bot traffic, or bucket the attribution
+    * window upstream).
+    *
+    * Inner join: purchases with no prior view in-window are dropped
+    * (funnel semantics). Append output mode.
+    */
+  def attributionJoin(
+      views: DataFrame, purchases: DataFrame,
+      watermarkDelay: String, windowSeconds: Long): DataFrame = {
+    val v = views
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", watermarkDelay)
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermarkDelay)
+    p.join(v, expr(
+      s"""user_id = v_user AND
+         |v_ts <= p_ts AND
+         |v_ts >= p_ts - INTERVAL $windowSeconds SECONDS""".stripMargin))
+      .select(col("purchase_id"), col("user_id"), col("p_ts"), col("view_id"), col("v_ts"))
+  }
+
   /** Event-time tumbling window with watermark (extension beyond the
     * reference's processing-time-only surface).
     */

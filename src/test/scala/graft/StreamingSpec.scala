@@ -79,11 +79,11 @@ class StreamingSpec extends AnyFunSuite {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val views = MemoryStream[(Long, Long, java.sql.Timestamp)]
     val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)]
-    val v = views.toDF().toDF("view_id", "user_id", "vts").withWatermark("vts", "1 hour")
-    val p = purchases.toDF().toDF("purchase_id", "p_user", "pts").withWatermark("pts", "1 hour")
     // view within 30 minutes BEFORE the purchase, same user
-    val joined = p.join(v,
-      expr("p_user = user_id AND vts <= pts AND vts >= pts - INTERVAL 30 MINUTES"))
+    val joined = LogStream.attributionJoin(
+      views.toDF().toDF("event_id", "user_id", "ts"),
+      purchases.toDF().toDF("event_id", "user_id", "ts"),
+      watermarkDelay = "1 hour", windowSeconds = 30 * 60)
     val q = joined.writeStream.outputMode("append")
       .format("memory").queryName("ss_join").start()
     try {
