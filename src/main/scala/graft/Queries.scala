@@ -411,25 +411,15 @@ object Queries {
     * (q_minhash_lsh) and the cluster assignment (q_dedup_clusters)
     * consume the same pair table — at 100 TB you compute the LSH
     * candidate pairs once and fan out, not once per downstream job.
-    * Same lifecycle note as the curation working set: lives until
-    * session end / clearCache().
+    * Lifecycle is [[graft.sources.SessionMemo]]'s (JVM-lifetime in the
+    * one-session-per-JVM layout); the persisted data additionally obeys
+    * the curation working-set note (clearCache() between long reruns).
     */
-  private val lshPairsCache =
-    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
-
-  private def lshPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val m = lshPairsCache.synchronized {
-      var c = lshPairsCache.get(spark)
-      if (c == null) {
-        c = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-        lshPairsCache.put(spark, c)
-      }
-      c
-    }
-    m.computeIfAbsent(sfDir, _ =>
+  private def lshPairs(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.SessionMemo(spark, ("lsh_pairs", sfDir)) {
       Dedup.minhashLsh(docsWithNearCopies(spark, sfDir, None), 0.5)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-  }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** Text quality statistics per document. */
   def textStats(spark: SparkSession, sfDir: String): DataFrame = {

@@ -184,6 +184,25 @@ object SparkEntry {
       s"CASE WHEN list_sum(list_transform(hs, x -> ((x >> $k) & 1) * 2 - 1)) > 0 THEN ${1L << k} ELSE 0 END"
     }.mkString("(", " + ", ")")
 
+  /** The as-of join contract (latest view at or before each purchase per
+    * user, ties to max view id) — shared by all three as-of executions.
+    */
+  private val asofOracle: String =
+    """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+      |u AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS mts, 1 AS tag, 9223372036854775807 AS ord,
+      |         CAST(NULL AS BIGINT) AS r_id, event_id AS l_id FROM p
+      |  UNION ALL
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS mts, 0 AS tag, event_id AS ord,
+      |         event_id AS r_id, CAST(NULL AS BIGINT) AS l_id FROM v),
+      |m AS (SELECT *, last_value(r_id IGNORE NULLS) OVER (
+      |        PARTITION BY user_id ORDER BY mts, tag, ord
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_id FROM u)
+      |SELECT l_id AS purchase_id, user_id, view_id
+      |FROM m WHERE tag = 1
+      |ORDER BY purchase_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     // The HLL++ estimate is engine-specific; the oracle asserts the
     // CONTRACT — the query's within_bound column must be literally true.
@@ -798,56 +817,12 @@ object SparkEntry {
         |HAVING count(*) > 4
         |ORDER BY c_nationkey""".stripMargin,
 
-    "q_asof_join" ->
-      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
-        |v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
-        |u AS (
-        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS mts, 1 AS tag, 9223372036854775807 AS ord,
-        |         CAST(NULL AS BIGINT) AS r_id, event_id AS l_id FROM p
-        |  UNION ALL
-        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS mts, 0 AS tag, event_id AS ord,
-        |         event_id AS r_id, CAST(NULL AS BIGINT) AS l_id FROM v),
-        |m AS (SELECT *, last_value(r_id IGNORE NULLS) OVER (
-        |        PARTITION BY user_id ORDER BY mts, tag, ord
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_id FROM u)
-        |SELECT l_id AS purchase_id, user_id, view_id
-        |FROM m WHERE tag = 1
-        |ORDER BY purchase_id""".stripMargin,
-
-    // Same semantics, executed skew-resistantly over (key, time-bucket)
-    // windows with carry-in candidates.
-    "q_asof_bucketed" ->
-      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
-        |v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
-        |u AS (
-        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS mts, 1 AS tag, 9223372036854775807 AS ord,
-        |         CAST(NULL AS BIGINT) AS r_id, event_id AS l_id FROM p
-        |  UNION ALL
-        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS mts, 0 AS tag, event_id AS ord,
-        |         event_id AS r_id, CAST(NULL AS BIGINT) AS l_id FROM v),
-        |m AS (SELECT *, last_value(r_id IGNORE NULLS) OVER (
-        |        PARTITION BY user_id ORDER BY mts, tag, ord
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_id FROM u)
-        |SELECT l_id AS purchase_id, user_id, view_id
-        |FROM m WHERE tag = 1
-        |ORDER BY purchase_id""".stripMargin,
-
-    // Same semantics, executed by the native AsOfJoinExec merge operator.
-    "q_asof_native" ->
-      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
-        |v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
-        |u AS (
-        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS mts, 1 AS tag, 9223372036854775807 AS ord,
-        |         CAST(NULL AS BIGINT) AS r_id, event_id AS l_id FROM p
-        |  UNION ALL
-        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS mts, 0 AS tag, event_id AS ord,
-        |         event_id AS r_id, CAST(NULL AS BIGINT) AS l_id FROM v),
-        |m AS (SELECT *, last_value(r_id IGNORE NULLS) OVER (
-        |        PARTITION BY user_id ORDER BY mts, tag, ord
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_id FROM u)
-        |SELECT l_id AS purchase_id, user_id, view_id
-        |FROM m WHERE tag = 1
-        |ORDER BY purchase_id""".stripMargin,
+    // One oracle, three executions: q_asof_join (union+window),
+    // q_asof_bucketed (skew-resistant (key,bucket) windows + carry-in),
+    // q_asof_native (AsOfJoinExec sorted merge) all hash-match it.
+    "q_asof_join" -> asofOracle,
+    "q_asof_bucketed" -> asofOracle,
+    "q_asof_native" -> asofOracle,
 
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS mts,

@@ -206,9 +206,10 @@ object Dedup {
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .repartition(col("src"))
       .persist()
-    var labels = edges.select(col("src").as("node")).distinct()
+    var checkpointed = edges.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint(true)
+    var labels = checkpointed
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -225,12 +226,15 @@ object Dedup {
           col("lbl").as("prev"))
         .localCheckpoint(true)
       converged = next.filter(col("lbl") =!= col("prev")).isEmpty
-      // the old table's last consumer was the join above — without this,
-      // O(rounds) checkpointed label copies stay cached
-      labels.unpersist()
+      // the old copy's last consumer was the join above — release its
+      // RDD blocks now instead of waiting for the ContextCleaner
+      // (Dataset.unpersist cannot reach localCheckpoint storage)
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(checkpointed)
+      checkpointed = next
       labels = next.select(col("node"), col("lbl"))
       i += 1
     }
+    // the final checkpoint backs the returned labels — leave it cached
     edges.unpersist()
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter rounds " +

@@ -33,6 +33,8 @@ class JdbcUpsert(
     updateThenInsert: Boolean = false) extends Serializable {
 
   require(keyCols.forall(columns.contains), "key columns must be part of the column list")
+  require(columns.exists(c => !keyCols.contains(c)),
+    "at least one non-key column required (an all-key upsert has no SET clause)")
 
   /** MySQL-dialect upsert statement (the reference's sink DDL dialect):
     * INSERT INTO t (c1,c2,...) VALUES (?,?,...)
@@ -67,7 +69,18 @@ class JdbcUpsert(
     val bs = batchSize
     val mkConn = connect
     val twoStep = updateThenInsert
-    df.select(colNames.map(org.apache.spark.sql.functions.col): _*)
+    val projected = df.select(colNames.map(org.apache.spark.sql.functions.col): _*)
+    // The two-statement strategy is NOT atomic per key: two partitions
+    // holding the same key would both see UPDATE hit 0 rows and both
+    // INSERT, one dying on the PK violation. Co-locate each key into one
+    // partition first (one exchange of the small changelog); within a
+    // partition the statements run sequentially, so the race is gone.
+    // Native single-statement dialects are key-atomic and skip this.
+    val routed =
+      if (twoStep)
+        projected.repartition(keys.map(org.apache.spark.sql.functions.col): _*)
+      else projected
+    routed
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         if (rows.hasNext) {
           val conn = mkConn()

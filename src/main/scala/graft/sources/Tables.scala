@@ -33,31 +33,15 @@ object Tables {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
-  /** Base relations memoized per (session, path): the testdata is
-    * read-only, so the parquet schema inference + file listing that
-    * `spark.read.parquet` performs on every call can be paid once per
-    * session instead of once per query (~10 footer reads × 71 queries
-    * otherwise). The cached object is only the analyzed read plan —
-    * pruning/pushdown still specialize per query.
-    */
-  // Weak on the session key: entries (and the analyzed plans + file
-  // listings they hold) must die with their session, not pin every
-  // stopped session for the JVM's lifetime.
-  private val cache =
-    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
-
-  private def sessionCache(spark: SparkSession) = cache.synchronized {
-    var m = cache.get(spark)
-    if (m == null) {
-      m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
-      cache.put(spark, m)
-    }
-    m
-  }
-
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     enableNanoReads(spark)
-    sessionCache(spark).computeIfAbsent((sfDir, name), _ => {
+    // Base relations memoized per (session, path): the testdata is
+    // read-only, so the parquet schema inference + file listing that
+    // `spark.read.parquet` performs on every call is paid once per
+    // session instead of once per query (~10 footer reads × 77 queries
+    // otherwise). The cached object is only the analyzed read plan —
+    // pruning/pushdown still specialize per query.
+    SessionMemo(spark, ("table", sfDir, name)) {
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
       if (name == "events")
         // ts arrives as LongType (nanos since epoch) under nanosAsLong;
@@ -66,7 +50,7 @@ object Tables {
         // (ts / 1000).cast("long") lands 1µs low on ~1.5% of values.
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else df
-    })
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
@@ -79,4 +63,38 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}
+
+/** Session-scoped DataFrame memo — one home for the idiom shared by
+  * [[Tables]] (analyzed read plans) and the query surface's persisted
+  * intermediates (e.g. the LSH pair table).
+  *
+  * Lifecycle, honestly: the cached DataFrames strongly reference their
+  * SparkSession, so a WeakHashMap entry whose value lives in the map can
+  * never be reclaimed by the weak key alone (value → key pin). That is
+  * acceptable in this engine's intended layout — ONE session per JVM
+  * (the driver-contract mains and the shared test session) — where
+  * entries are supposed to live until process exit. A JVM that cycles
+  * many sessions must release explicitly via [[clear]].
+  */
+private[graft] object SessionMemo {
+  private val caches =
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[Any, DataFrame]]()
+
+  private def sessionCache(spark: SparkSession) = caches.synchronized {
+    var m = caches.get(spark)
+    if (m == null) {
+      m = new java.util.concurrent.ConcurrentHashMap[Any, DataFrame]()
+      caches.put(spark, m)
+    }
+    m
+  }
+
+  def apply(spark: SparkSession, key: Any)(build: => DataFrame): DataFrame =
+    sessionCache(spark).computeIfAbsent(key, _ => build)
+
+  /** Drop a session's entries (does not unpersist cached data — callers
+    * owning persisted frames should `spark.catalog.clearCache()` too).
+    */
+  def clear(spark: SparkSession): Unit = caches.synchronized { caches.remove(spark) }
 }

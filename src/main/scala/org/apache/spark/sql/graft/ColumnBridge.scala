@@ -23,4 +23,17 @@ object ColumnBridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Free the storage behind an eager `localCheckpoint()` result NOW.
+    * `Dataset.unpersist` only uncaches CacheManager entries (persist()),
+    * never the RDD-level blocks a local checkpoint holds — those
+    * otherwise wait for the ContextCleaner to GC the orphaned RDD.
+    * No-op when `df` is not directly a checkpoint result (the plan must
+    * be the bare `LogicalRDD`, not a projection over it).
+    */
+  def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

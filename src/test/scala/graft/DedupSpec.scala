@@ -9,6 +9,19 @@ class DedupSpec extends AnyFunSuite {
   lazy val spark = GraftSpark.spark
   import spark.implicits._
 
+  test("unpersistCheckpoint releases localCheckpoint blocks immediately") {
+    val df = spark.range(100).toDF("n").localCheckpoint(true)
+    val persisted = spark.sparkContext.getPersistentRDDs
+    // the checkpoint's backing RDD is registered as a persisted RDD
+    val rddId = df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+      case p => fail(s"expected bare LogicalRDD, got ${p.getClass}")
+    }
+    assert(persisted.contains(rddId), s"checkpoint RDD $rddId not in $persisted")
+    org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(df)
+    assert(!spark.sparkContext.getPersistentRDDs.contains(rddId))
+  }
+
   val base = Seq(
     (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
     (2L, "a completely different sentence with other words about spark engines and parquet files"),

@@ -52,10 +52,13 @@ class JdbcRoundTripSpec extends AnyFunSuite {
     assert(got == Map(
       1L -> ("tech", 25L), 2L -> ("life", 5L),
       3L -> ("news", 9L), 4L -> ("misc", 1L)))
-    // the jdbc scan pushes column pruning to the database
-    val pruned = spark.read.format("jdbc")
+    // the jdbc scan pushes column pruning to the database: the physical
+    // scan must request only section_id, never the other columns
+    val prunedDf = spark.read.format("jdbc")
       .option("url", url).option("dbtable", "hot_section").load()
-      .select("section_id").collect().map(_.getLong(0)).toSet
-    assert(pruned == Set(1L, 2L, 3L, 4L))
+      .select("section_id")
+    val scanStr = prunedDf.queryExecution.executedPlan.toString.toLowerCase
+    assert(scanStr.contains("section_id") && !scanStr.contains("section_pv"), scanStr)
+    assert(prunedDf.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L))
   }
 }
