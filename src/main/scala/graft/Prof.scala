@@ -1,6 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+
+/** Scratch profiler (not part of the driver contract). Current focus:
+  * as-of join implementations at volume — composed union+window vs
+  * bucketed vs native AsOfJoinExec — to decide whether the native
+  * merge's interpreted inner loop is worth CodegenSupport.
+  */
 object Prof {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
@@ -9,20 +15,52 @@ object Prof {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sf = "/root/testdata/sf0.1"
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val n = f
-      println(f"$name%-28s ${(System.nanoTime()-t0)/1e9}%8.2f s   rows=$n")
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
     }
-    time("warmup")(graft.sources.Tables.events(spark, sf).count())
-    // agg + collect so column pruning can't strip the line rendering
-    time("loggen_only")(graft.logs.LogGen.logLines(spark, sf).agg(sum(length(col("line")))).collect()(0).getLong(0))
-    time("loggen_2")(graft.logs.LogGen.logLines(spark, sf).agg(sum(length(col("line")))).collect()(0).getLong(0))
-    time("parse_tuples")(graft.analytics.ForumAnalytics.parsedLogs(spark, sf).count())
-    time("parse_2")(graft.analytics.ForumAnalytics.parsedLogs(spark, sf).count())
-    time("hot_article_1")(Queries.hotArticle(spark, sf).count())
-    time("hot_article_2")(Queries.hotArticle(spark, sf).count())
-    time("hot_section_2")(Queries.hotSection(spark, sf).count())
+    val n = 4000000L
+    val keys = 5000
+    // deterministic synthetic: ts spread over ~46 days, 5k keys
+    val left = spark.range(n).select(
+      col("id").as("event_id"), (col("id") % keys).as("user_id"),
+      timestamp_micros(col("id") * 1000000L).as("ts"))
+    val right = spark.range(n).select(
+      (col("id") + n).as("event_id"), ((col("id") * 7) % keys).as("user_id"),
+      timestamp_micros(col("id") * 999983L).as("ts"))
+    val rightN = right.select(col("event_id").as("view_id"),
+      col("user_id").as("v_user"), col("ts").as("v_ts"))
+    time("warmup")(left.count() + right.count())
+    // consume the matched column: a bare count() lets ColumnPruning drop
+    // the unused window expression and the comparison lies
+    for (round <- 1 to 2) {
+      time(s"window_$round")(graft.ops.TimeSeries.asOfJoin(
+        left, right, "user_id", "ts", "event_id", Seq("event_id"))
+        .agg(count(col("_asof.event_id"))).collect()(0).getLong(0))
+      time(s"bucketed_$round")(graft.ops.TimeSeries.asOfJoinBucketed(
+        left, right, "user_id", "ts", "event_id", Seq("event_id"), 6 * 3600)
+        .agg(count(col("_asof.event_id"))).collect()(0).getLong(0))
+      time(s"native_$round")(graft.ops.TimeSeries.asOfJoinNative(
+        left, rightN, "user_id", "v_user", "ts", "v_ts", "view_id")
+        .agg(count(col("view_id"))).collect()(0).getLong(0))
+    }
+    // skew: 90% of rows on ONE key — the case the bucketed variant buys
+    val skewL = spark.range(n).select(
+      col("id").as("event_id"),
+      when(col("id") % 10 < 9, lit(0L)).otherwise(col("id") % keys).as("user_id"),
+      timestamp_micros(col("id") * 1000000L).as("ts"))
+    val skewR = spark.range(n).select(
+      (col("id") + n).as("event_id"),
+      when(col("id") % 10 < 9, lit(0L)).otherwise((col("id") * 7) % keys).as("user_id"),
+      timestamp_micros(col("id") * 999983L).as("ts"))
+    for (round <- 1 to 2) {
+      time(s"skew_window_$round")(graft.ops.TimeSeries.asOfJoin(
+        skewL, skewR, "user_id", "ts", "event_id", Seq("event_id"))
+        .agg(count(col("_asof.event_id"))).collect()(0).getLong(0))
+      time(s"skew_bucketed_$round")(graft.ops.TimeSeries.asOfJoinBucketed(
+        skewL, skewR, "user_id", "ts", "event_id", Seq("event_id"), 6 * 3600)
+        .agg(count(col("_asof.event_id"))).collect()(0).getLong(0))
+    }
     spark.stop()
   }
 }

@@ -71,6 +71,14 @@ object TimeSeries {
     *
     * Pick `bucketSeconds` so a hot key's densest bucket fits one task;
     * coarser = fewer carry rows, finer = more parallelism.
+    *
+    * Measured trade (graft.Prof, 4M⋈4M rows, local[4]): on uniform keys
+    * this pays ~2.5x over [[asOfJoin]] (the carry machinery); with 90%
+    * of rows on one key it already wins 1.3x at FOUR cores — and the
+    * win grows with cluster width, because the largest task is one
+    * bucket of one key instead of the whole hot key. Use it when key
+    * skew is real; prefer [[asOfJoinNative]] (fastest at volume) or
+    * [[asOfJoin]] otherwise.
     */
   def asOfJoinBucketed(
       left: DataFrame, right: DataFrame,
