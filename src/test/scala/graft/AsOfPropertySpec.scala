@@ -41,6 +41,28 @@ object AsOfPropertySpec extends Properties("AsOfJoin") {
     got == expected
   }
 
+  /** The skew-resistant bucketed form must agree with the brute force
+    * for ANY bucket width — including widths of 1-3s that force nearly
+    * every match through the carry-in path, and widths larger than the
+    * whole time range (degenerating to one bucket per key).
+    */
+  property("bucketedMatchesBruteForce") = Prop.forAll(
+    dataGen, Gen.oneOf(1L, 2L, 3L, 7L, 1000L)) { case ((l, r), width) =>
+    import spark.implicits._
+    val left = l.toDF("event_id", "user_id", "ts")
+    val right = r.toDF("event_id", "user_id", "ts")
+    val got = TimeSeries.asOfJoinBucketed(
+        left, right, "user_id", "ts", "event_id", Seq("event_id"), width)
+      .selectExpr("event_id", "_asof.event_id AS m")
+      .collect().map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+    val expected = l.map { case (id, k, t) =>
+      val cands = r.filter { case (_, rk, rt) => rk == k && !rt.after(t) }
+      id -> (if (cands.isEmpty) None
+             else Some(cands.maxBy { case (rid, _, rt) => (rt.getTime, rid) }._1))
+    }.toMap
+    got == expected
+  }
+
   /** The custom planner operator (AsOfJoinExec sorted merge) must agree
     * with the brute force — and therefore with the composed union/window
     * form — on the same tie-heavy random inputs.
