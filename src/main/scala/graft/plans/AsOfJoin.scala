@@ -117,8 +117,14 @@ case class AsOfJoinExec(
         // Last right row (and its key) with (key, time) <= the current
         // left row's — the only cross-row state the merge keeps.
         private var candidate: InternalRow = _
-        private var candidateKey: UnsafeRow = _
+        private var candidateKey: UnsafeRow = _ // computed lazily from candidate
+        private var candidateKeyValid = false
         private var pendingRight: InternalRow = _ // lookahead, not yet consumed
+        // Projection of pendingRight, cached so a lookahead row stalled
+        // across MANY left rows (the common case once the merge is ahead)
+        // is projected once, not once per left row. Buffer reuse is safe:
+        // rKeyTimeProj is not called again until pendingRight is replaced.
+        private var pendingKeyTime: UnsafeRow = _
 
         override def hasNext: Boolean = lIter.hasNext
 
@@ -127,16 +133,28 @@ case class AsOfJoinExec(
           val lKeyTime = lKeyTimeProj(lRow)
           var scan = true
           while (scan && (pendingRight != null || rIter.hasNext)) {
-            if (pendingRight == null) pendingRight = rIter.next()
-            if (keyTimeOrd.compare(rKeyTimeProj(pendingRight), lKeyTime) <= 0) {
+            if (pendingRight == null) {
+              pendingRight = rIter.next()
+              pendingKeyTime = rKeyTimeProj(pendingRight)
+            }
+            if (keyTimeOrd.compare(pendingKeyTime, lKeyTime) <= 0) {
               // Consumed: becomes the new best candidate. Copy — the
-              // child iterator reuses its row buffer.
+              // child iterator reuses its row buffer. Its key projection
+              // is deferred: only the LAST consumed row's key is ever
+              // compared, so eagerly projecting every consumed row would
+              // do O(right) extra projections+copies per partition.
               candidate = pendingRight.copy()
-              candidateKey = rKeyProj(candidate).copy()
+              candidateKeyValid = false
               pendingRight = null
             } else scan = false
           }
-          val matched = candidate != null && keyOrd.compare(candidateKey, lKeyProj(lRow)) == 0
+          val matched = candidate != null && {
+            if (!candidateKeyValid) {
+              candidateKey = rKeyProj(candidate).copy()
+              candidateKeyValid = true
+            }
+            keyOrd.compare(candidateKey, lKeyProj(lRow)) == 0
+          }
           numOutputRows += 1
           if (matched) numMatched += 1
           resultProj(joined(lRow, if (matched) candidate else nullRight))
