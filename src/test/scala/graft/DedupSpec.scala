@@ -53,11 +53,13 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("connected components converge on a long path graph") {
-    // path 0-1-2-...-9: diameter 9 forces multiple propagation rounds
-    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // path 0-1-...-120: diameter 120 >> maxIter 25, so plain neighbor-min
+    // propagation could NOT converge — only the pointer-jumping hop
+    // (O(log diameter) rounds) gets there
+    val pairs = (0L until 120L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val cc = Dedup.connectedComponents(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(cc == (0L to 9L).map(_ -> 0L).toMap)
+    assert(cc == (0L to 120L).map(_ -> 0L).toMap)
   }
 
   test("minhash-lsh surfaces the same near-dup pairs as brute force here") {
