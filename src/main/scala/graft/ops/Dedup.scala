@@ -225,15 +225,18 @@ object Dedup {
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"),
           col("lbl").as("prev"))
       // Pointer jumping: additionally take the label OF my label (labels
-      // are node ids, so lbl[lbl] is a self-join on the O(nodes) label
-      // table — much cheaper than the edges join). Neighbor-min alone
-      // needs O(diameter) rounds; the extra hop contracts label chains
-      // so long paths converge in O(log diameter) — the difference
-      // between 25 and ~8 edge-table passes on a chain-shaped dup graph.
-      // Invariant kept: a label is always the id of a node in the same
-      // component, so min-reachable-label semantics are unchanged.
+      // are node ids, so lbl[lbl] is a join on the O(nodes) label table —
+      // much cheaper than the edges join). Neighbor-min alone needs
+      // O(diameter) rounds; the extra hop contracts label chains so long
+      // paths converge in O(log diameter) — the difference between 25
+      // and ~8 edge-table passes on a chain-shaped dup graph. The jump
+      // reads the PREVIOUS round's table (`labels`, already
+      // checkpointed): self-joining hop1 would re-execute its edges-join
+      // subtree twice per round. Invariant kept: a label is always the
+      // id of a node in the same component, so min-reachable-label
+      // semantics are unchanged.
       val next = hop1.join(
-          hop1.select(col("node").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"), "left")
+          labels.select(col("node").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"), "left")
         .select(col("node"),
           least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"),
           col("prev"))
