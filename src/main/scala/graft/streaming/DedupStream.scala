@@ -32,6 +32,20 @@ object DedupStream {
     */
   val MaxOccupants = 32
 
+  /** Bounded-state streaming EXACT dedup: drop texts already seen within
+    * the watermark horizon. Plain `dropDuplicates` (Curation.curateStream)
+    * keeps every md5 ever seen — exact forever, but state grows with the
+    * corpus; at 100 TB the sustainable posture is this one, where a key's
+    * state is dropped once the watermark passes it (crawl/ingest dups
+    * overwhelmingly arrive close together, so the horizon trades a
+    * bounded recall loss for bounded state).
+    */
+  def exactDedupBounded(docs: DataFrame, tsCol: String, horizon: String): DataFrame =
+    docs.withColumn("text_md5", md5(col("text")))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("text_md5")
+      .drop("text_md5")
+
   /** docs(doc_id, text) stream → append-stream of candidate pairs: each
     * arriving doc against EVERY retained earlier occupant of the band
     * (pairing only against the first occupant would silently miss two

@@ -14,6 +14,34 @@ class DedupStreamSpec extends AnyFunSuite {
   val unrelated = "completely different content about spark catalyst optimizer rules " +
     "and whole stage code generation for vectorized parquet scans in modern engines"
 
+  test("bounded exact dedup: drops dups within the horizon, re-admits after state expiry") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = DedupStream.exactDedupBounded(
+      mem.toDF().toDF("doc_id", "text", "ts"), "ts", "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("bounded_dedup").start()
+    try {
+      // batch 1: original + in-horizon dup -> dup dropped
+      mem.addData(
+        (1L, original, ts("2024-01-01 10:00:00")),
+        (2L, original, ts("2024-01-01 10:05:00")),
+        (3L, unrelated, ts("2024-01-01 10:06:00")))
+      q.processAllAvailable()
+      // batch 2: advance the watermark far past 10:00 + 10min...
+      mem.addData((4L, nearDup, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      // batch 3: ...so the SAME text is re-admitted (its state expired)
+      mem.addData((5L, original, ts("2024-01-01 12:01:00")))
+      q.processAllAvailable()
+      val ids = spark.table("bounded_dedup").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 3L, 4L, 5L), ids)
+    } finally q.stop()
+  }
+
   test("streaming LSH flags near-dups across micro-batches, not unrelated docs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
