@@ -41,10 +41,15 @@ object DedupStream {
     * bounded recall loss for bounded state).
     */
   def exactDedupBounded(docs: DataFrame, tsCol: String, horizon: String): DataFrame =
-    docs.withColumn("text_md5", md5(col("text")))
+    // internal key name so a caller's own text_md5 column survives; null
+    // text falls back to a per-doc unique key (md5(null) is null and the
+    // dedup operator treats null keys as EQUAL — two null-text docs must
+    // not swallow each other)
+    docs.withColumn("_dedup_key",
+        coalesce(md5(col("text")), concat(lit("null:"), col("doc_id"))))
       .withWatermark(tsCol, horizon)
-      .dropDuplicatesWithinWatermark("text_md5")
-      .drop("text_md5")
+      .dropDuplicatesWithinWatermark("_dedup_key")
+      .drop("_dedup_key")
 
   /** docs(doc_id, text) stream → append-stream of candidate pairs: each
     * arriving doc against EVERY retained earlier occupant of the band
