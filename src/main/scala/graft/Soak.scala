@@ -38,6 +38,23 @@ object Soak {
         println(s"[soak] UNSTABLE $n round $r")
       }
     }
+    // Concurrency round: all queries at once from separate threads (the
+    // BI-concurrency shape) — exercises thread safety of the shared
+    // session, SessionMemo, and persisted intermediates, and that
+    // results still match the sequential fingerprints.
+    if (args.length > 2 && args(2) == "par") {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+      val results = Await.result(
+        Future.sequence(first.keys.toSeq.sorted.map(n => Future(n -> fingerprint(n)))),
+        20.minutes).toMap
+      val parBad = results.filter { case (n, fp) => fp != first(n) }.keys.toSeq.sorted
+      parBad.foreach(n => println(s"[soak] UNSTABLE $n (parallel)"))
+      unstable :::= parBad.map(n => s"$n (parallel)").toList
+      if (parBad.isEmpty) println(s"[soak] all ${first.size} queries stable under 8-way concurrency")
+    }
     if (unstable.isEmpty) println(s"[soak] all ${first.size} queries stable over $rounds runs")
     spark.stop()
     if (unstable.nonEmpty) sys.exit(1)

@@ -90,8 +90,24 @@ private[graft] object SessionMemo {
     m
   }
 
-  def apply(spark: SparkSession, key: Any)(build: => DataFrame): DataFrame =
-    sessionCache(spark).computeIfAbsent(key, _ => build)
+  /** Build OUTSIDE the map lock: an entry's builder may itself consult
+    * this memo (the LSH pair table reads base tables through it), and
+    * nested updates inside `computeIfAbsent` are forbidden by
+    * ConcurrentHashMap — under concurrent queries they deadlock. The
+    * race is benign: builders are pure plan construction (a loser's
+    * un-executed `persist()` holds no blocks), and `putIfAbsent` keeps
+    * exactly one winner.
+    */
+  def apply(spark: SparkSession, key: Any)(build: => DataFrame): DataFrame = {
+    val m = sessionCache(spark)
+    val existing = m.get(key)
+    if (existing != null) existing
+    else {
+      val built = build
+      val raced = m.putIfAbsent(key, built)
+      if (raced != null) raced else built
+    }
+  }
 
   /** Drop a session's entries (does not unpersist cached data — callers
     * owning persisted frames should `spark.catalog.clearCache()` too).
