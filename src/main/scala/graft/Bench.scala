@@ -4,17 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // AQE on by default (the 100 TB posture: runtime re-planning,
-      // skew splitting); GRAFT_AQE=false to measure its fixed overhead.
-      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "true"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // AQE on by default (the 100 TB posture: runtime re-planning,
+    // skew splitting); GRAFT_AQE=false to measure its fixed overhead.
+    val spark = GraftSession.local(cpus,
+      aqe = Some(sys.env.getOrElse("GRAFT_AQE", "true").toBoolean))
     // Warm shared infrastructure once (JIT, Janino codegen compiler,
     // parquet reader, shuffle + broadcast machinery) so per-query timings
     // measure the queries rather than first-use class loading.

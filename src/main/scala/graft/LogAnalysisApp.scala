@@ -87,14 +87,8 @@ object LogAnalysisApp {
     }
     val Array(logDir, sfDir) = args.take(2)
     val cfg = GraftConfig.load()
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
-      .config("spark.sql.shuffle.partitions", cfg.shufflePartitions)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.build(
+      sys.env.getOrElse("SPARK_MASTER", "local[4]"), cfg.shufflePartitions.toString)
     val p = start(spark,
       graft.sources.LogSources.textStreamLines(spark, logDir),
       graft.analytics.ForumAnalytics.sections(spark, sfDir),

@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Determinism soak (not part of the driver contract): run every harness
   * query N times in ONE session and fail on any run-to-run difference.
   * The DuckDB oracle gate compares one Spark run against DuckDB; this
@@ -9,22 +7,20 @@ import org.apache.spark.sql.SparkSession
   * merge order, cached-vs-recomputed paths like the LSH pair table,
   * accumulation-order noise that rounding failed to absorb).
   *
-  * Run: `sbt "runMain graft.Soak [sfDir] [rounds]"` — exits non-zero on
-  * any instability.
+  * Run: `sbt "runMain graft.Soak [sfDir] [rounds] [par]"` — args after
+  * sfDir may appear in any order: an integer sets the round count
+  * (default 2), the literal `par` adds an 8-way-concurrent round run
+  * against a CLEARED memo/cache (so concurrent FIRST builds — the
+  * deadlock-prone path — are actually exercised). Exits non-zero on any
+  * instability.
   */
 object Soak {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val rounds = if (args.length > 1) args(1).toInt else 2
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val rest = args.drop(1)
+    val rounds = rest.find(_.forall(_.isDigit)).map(_.toInt).getOrElse(2)
+    val par = rest.contains("par")
+    val spark = GraftSession.local("8", aqe = Some(true))
     def fingerprint(name: String): String = {
       val df = SparkEntry.queries(name)(spark, sfDir)
       // order-insensitive, value-exact: sorted row renderings
@@ -39,21 +35,27 @@ object Soak {
       }
     }
     // Concurrency round: all queries at once from separate threads (the
-    // BI-concurrency shape) — exercises thread safety of the shared
-    // session, SessionMemo, and persisted intermediates, and that
-    // results still match the sequential fingerprints.
-    if (args.length > 2 && args(2) == "par") {
+    // BI-concurrency shape) — thread safety of the shared session,
+    // SessionMemo, and persisted intermediates, and result parity with
+    // the sequential fingerprints. Memo + cache are cleared first so the
+    // par round performs concurrent FIRST builds, not warmed-cache hits.
+    if (par) {
+      graft.sources.SessionMemo.clear(spark)
+      spark.catalog.clearCache()
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration._
-      implicit val ec: ExecutionContext =
-        ExecutionContext.fromExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
-      val results = Await.result(
-        Future.sequence(first.keys.toSeq.sorted.map(n => Future(n -> fingerprint(n)))),
-        20.minutes).toMap
-      val parBad = results.filter { case (n, fp) => fp != first(n) }.keys.toSeq.sorted
-      parBad.foreach(n => println(s"[soak] UNSTABLE $n (parallel)"))
-      unstable :::= parBad.map(n => s"$n (parallel)").toList
-      if (parBad.isEmpty) println(s"[soak] all ${first.size} queries stable under 8-way concurrency")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try {
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        val results = Await.result(
+          Future.sequence(first.keys.toSeq.sorted.map(n => Future(n -> fingerprint(n)))),
+          20.minutes).toMap
+        val parBad = results.filter { case (n, fp) => fp != first(n) }.keys.toSeq.sorted
+        parBad.foreach(n => println(s"[soak] UNSTABLE $n (parallel)"))
+        unstable :::= parBad.map(n => s"$n (parallel)").toList
+        if (parBad.isEmpty)
+          println(s"[soak] all ${first.size} queries stable under 8-way concurrency (cold memo)")
+      } finally pool.shutdown()
     }
     if (unstable.isEmpty) println(s"[soak] all ${first.size} queries stable over $rounds runs")
     spark.stop()

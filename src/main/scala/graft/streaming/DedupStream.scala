@@ -42,11 +42,12 @@ object DedupStream {
     */
   def exactDedupBounded(docs: DataFrame, tsCol: String, horizon: String): DataFrame =
     // internal key name so a caller's own text_md5 column survives; null
-    // text falls back to a per-doc unique key (md5(null) is null and the
-    // dedup operator treats null keys as EQUAL — two null-text docs must
-    // not swallow each other)
-    docs.withColumn("_dedup_key",
-        coalesce(md5(col("text")), concat(lit("null:"), col("doc_id"))))
+    // text falls back to a per-row unique key (md5(null) is null and the
+    // dedup operator treats null keys as EQUAL — null-text docs must pass
+    // through, never swallow each other). uuid() is nondeterministic per
+    // evaluation, which is exactly right for a never-matches key; only
+    // `text` and `tsCol` are required of the input.
+    docs.withColumn("_dedup_key", coalesce(md5(col("text")), expr("uuid()")))
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("_dedup_key")
       .drop("_dedup_key")

@@ -107,7 +107,8 @@ class StateStoreSpec extends AnyFunSuite {
   test("streaming aggregate recovers state across a stop/restart from checkpoint") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    val ckpt = ckptDir.toString
     val mem = MemoryStream[(Timestamp, String)]
     // PK-upsert sink (foreachBatch — the memory sink refuses checkpoint
     // recovery), same shape as the product's UpsertSink
@@ -136,7 +137,13 @@ class StateStoreSpec extends AnyFunSuite {
       q2.processAllAvailable()
       val n = table.get(("2020-08-27 10:00:00.0", "view"))
       assert(n == 3L, s"state not recovered: count $n after restart")
-    } finally q2.stop()
+    } finally {
+      q2.stop()
+      // don't leak offset/commit/state files into the system temp dir
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(ckptDir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   test("Trigger.AvailableNow drains pending data then terminates on its own") {
