@@ -11,9 +11,11 @@ object GraftSession {
 
   /** `aqe = None` leaves Spark's default (enabled in Spark 4). */
   def build(master: String, shufflePartitions: String,
-      aqe: Option[Boolean] = None, logLevel: String = "WARN"): SparkSession = {
+      aqe: Option[Boolean] = None, logLevel: String = "WARN",
+      appName: String = "graft"): SparkSession = {
     var b = SparkSession.builder()
       .master(master)
+      .appName(appName)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")

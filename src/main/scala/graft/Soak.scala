@@ -18,7 +18,15 @@ object Soak {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val rest = args.drop(1)
-    val rounds = rest.find(_.forall(_.isDigit)).map(_.toInt).getOrElse(2)
+    // strict: every extra arg must be a round count or the literal
+    // 'par' — a typo must fail loudly, not silently skip coverage
+    val bad = rest.filterNot(a => a == "par" || (a.nonEmpty && a.forall(_.isDigit)))
+    if (bad.nonEmpty) {
+      System.err.println(
+        s"[soak] unrecognized args: ${bad.mkString(", ")} — usage: Soak [sfDir] [rounds] [par]")
+      sys.exit(2)
+    }
+    val rounds = rest.find(a => a.nonEmpty && a.forall(_.isDigit)).map(_.toInt).getOrElse(2)
     val par = rest.contains("par")
     val spark = GraftSession.local("8", aqe = Some(true))
     def fingerprint(name: String): String = {
@@ -44,7 +52,11 @@ object Soak {
       spark.catalog.clearCache()
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration._
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      // daemon threads: a query that deadlocks (the failure this round
+      // hunts) must not be able to pin the JVM open past the timeout
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8, r => {
+        val t = new Thread(r); t.setDaemon(true); t
+      })
       try {
         implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
         val results = Await.result(
@@ -55,6 +67,11 @@ object Soak {
         unstable :::= parBad.map(n => s"$n (parallel)").toList
         if (parBad.isEmpty)
           println(s"[soak] all ${first.size} queries stable under 8-way concurrency (cold memo)")
+      } catch {
+        case e: java.util.concurrent.TimeoutException =>
+          println(s"[soak] UNSTABLE parallel round TIMED OUT (possible deadlock): $e")
+          pool.shutdownNow()
+          sys.exit(1) // stuck threads are daemons; exit is not blocked
       } finally pool.shutdown()
     }
     if (unstable.isEmpty) println(s"[soak] all ${first.size} queries stable over $rounds runs")

@@ -40,17 +40,23 @@ object DedupStream {
     * overwhelmingly arrive close together, so the horizon trades a
     * bounded recall loss for bounded state).
     */
-  def exactDedupBounded(docs: DataFrame, tsCol: String, horizon: String): DataFrame =
-    // internal key name so a caller's own text_md5 column survives; null
-    // text falls back to a per-row unique key (md5(null) is null and the
-    // dedup operator treats null keys as EQUAL — null-text docs must pass
-    // through, never swallow each other). uuid() is nondeterministic per
-    // evaluation, which is exactly right for a never-matches key; only
-    // `text` and `tsCol` are required of the input.
-    docs.withColumn("_dedup_key", coalesce(md5(col("text")), expr("uuid()")))
+  def exactDedupBounded(docs: DataFrame, tsCol: String, horizon: String): DataFrame = {
+    // Null-text keying (md5(null) is null and the dedup operator treats
+    // null keys as EQUAL, so they need their own key): when the stream
+    // carries doc_id, key null-text rows by it — distinct docs stay
+    // distinct AND an at-least-once redelivery of the same doc still
+    // dedups. Without doc_id (only text+ts required), fall back to a
+    // per-row uuid(): null-text rows simply pass through.
+    val nullTextKey =
+      if (docs.columns.contains("doc_id"))
+        coalesce(concat(lit("null:"), col("doc_id").cast("string")), expr("uuid()"))
+      else expr("uuid()")
+    // internal key name so a caller's own text_md5 column survives
+    docs.withColumn("_dedup_key", coalesce(md5(col("text")), nullTextKey))
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("_dedup_key")
       .drop("_dedup_key")
+  }
 
   /** docs(doc_id, text) stream → append-stream of candidate pairs: each
     * arriving doc against EVERY retained earlier occupant of the band

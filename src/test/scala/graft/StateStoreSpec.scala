@@ -121,28 +121,38 @@ class StateStoreSpec extends AnyFunSuite {
         df.collect().foreach(r =>
           table.put((r.getTimestamp(0).toString, r.getString(1)), r.getLong(2)))
       }.start()
-    // run 1: two views land in window 10:00
-    val q1 = startQuery()
     try {
-      mem.addData((ts(1), "view"), (ts(2), "view"))
-      q1.processAllAvailable()
-    } finally q1.stop()
-    assert(table.get(("2020-08-27 10:00:00.0", "view")) == 2L)
-    // run 2, SAME checkpoint: one more view in the same window — the
-    // restored state must continue 2 -> 3, not restart at 1 (the
-    // reference's R1 checkpoint/recovery contract, LogAnalysis.java:36-46)
-    val q2 = startQuery()
-    try {
-      mem.addData((ts(3), "view"))
-      q2.processAllAvailable()
-      val n = table.get(("2020-08-27 10:00:00.0", "view"))
-      assert(n == 3L, s"state not recovered: count $n after restart")
+      // run 1: two views land in window 10:00
+      val q1 = startQuery()
+      try {
+        mem.addData((ts(1), "view"), (ts(2), "view"))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      assert(table.get(("2020-08-27 10:00:00.0", "view")) == 2L)
+      // run 2, SAME checkpoint: one more view in the same window — the
+      // restored state must continue 2 -> 3, not restart at 1 (the
+      // reference's R1 checkpoint/recovery contract, LogAnalysis.java:36-46)
+      val q2 = startQuery()
+      try {
+        mem.addData((ts(3), "view"))
+        q2.processAllAvailable()
+        val n = table.get(("2020-08-27 10:00:00.0", "view"))
+        assert(n == 3L, s"state not recovered: count $n after restart")
+      } finally q2.stop()
     } finally {
-      q2.stop()
-      // don't leak offset/commit/state files into the system temp dir
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(ckptDir).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      // best-effort temp-dir cleanup around the WHOLE body (an assert
+      // mid-test must still clean up); tolerant of the async state-store
+      // maintenance thread racing new files in — hygiene must never mask
+      // the real test outcome
+      try {
+        val walk = java.nio.file.Files.walk(ckptDir)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq.reverse.foreach { p =>
+            try java.nio.file.Files.deleteIfExists(p) catch { case _: java.io.IOException => () }
+          }
+        } finally walk.close()
+      } catch { case _: java.io.IOException => () }
     }
   }
 
