@@ -53,4 +53,15 @@ object LakeWriter {
   def readJsonLines(spark: org.apache.spark.sql.SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** ORC — the other columnar lake format (Hive-ecosystem interop).
+    * Same pushdown/pruning properties as parquet in Spark's scan; zlib
+    * is ORC's universally-available codec.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("compression", "zlib").orc(path)
+
+  def readOrc(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

@@ -66,6 +66,21 @@ class LakeLayoutSpec extends AnyFunSuite {
     assert(fromCsv.schema == schema && fromJson.schema == schema)
   }
 
+  test("orc round-trips and pushes filters/pruning into the scan") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("lang"), col("n_chars"))
+    val base = Files.createTempDirectory("graft-orc").toString
+    LakeWriter.writeOrc(docs, s"$base/orc")
+    val back = LakeWriter.readOrc(spark, s"$base/orc")
+    assert(back.orderBy(col("doc_id")).collect().toSeq ==
+      docs.orderBy(col("doc_id")).collect().toSeq)
+    // same scan properties as parquet: pushed filter + pruned columns
+    val plan = back.filter(col("doc_id") > 100).select("doc_id")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(doc_id,100)"), plan)
+    assert(!plan.replace("graft-orc", "").contains("n_chars"), plan)
+  }
+
   test("streaming dropDuplicates dedups within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
