@@ -888,15 +888,17 @@ object Queries {
     * spark.sql surface (SURVEY Q8/Q9) over registered views.
     */
   def groupingSets(spark: SparkSession, sfDir: String): DataFrame = {
-    // register only what the SQL touches (a full registerBaseViews pays
-    // 10 schema reads and clobbers session-global views)
-    Tables.customer(spark, sfDir).createOrReplaceTempView("customer")
+    // register only what the SQL touches, under graft_-prefixed names:
+    // bare "customer" would clobber a same-named user temp view (the
+    // session catalog is shared), and cross-query hidden dependencies
+    // under concurrent runs are avoided by never touching common names.
+    Tables.customer(spark, sfDir).createOrReplaceTempView("graft_customer")
     spark.sql(
       """SELECT c_mktsegment, c_nationkey,
         |  CAST(grouping(c_mktsegment) AS BIGINT) AS g_seg,
         |  CAST(grouping(c_nationkey) AS BIGINT) AS g_nat,
         |  count(1) AS n, round(sum(c_acctbal), 2) AS bal_sum
-        |FROM customer
+        |FROM graft_customer
         |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
         |ORDER BY g_seg, g_nat, c_mktsegment ASC NULLS FIRST, c_nationkey ASC NULLS FIRST""".stripMargin)
   }
@@ -976,14 +978,15 @@ object Queries {
     * from the DataFrame left_semi/left_anti forms in q_semi/anti_join).
     */
   def existsSubquery(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.customer(spark, sfDir).createOrReplaceTempView("customer")
-    Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+    // graft_-prefixed views: never clobber user "customer"/"orders"
+    Tables.customer(spark, sfDir).createOrReplaceTempView("graft_customer")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_orders")
     spark.sql(
       """SELECT c_custkey, c_name
-        |FROM customer
-        |WHERE EXISTS (SELECT 1 FROM orders
+        |FROM graft_customer
+        |WHERE EXISTS (SELECT 1 FROM graft_orders
         |              WHERE o_custkey = c_custkey AND o_totalprice > 450000)
-        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |  AND NOT EXISTS (SELECT 1 FROM graft_orders
         |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin)
   }
@@ -993,12 +996,12 @@ object Queries {
     * ranked join, not a nested loop).
     */
   def lateralJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.customer(spark, sfDir).createOrReplaceTempView("customer")
-    Tables.nation(spark, sfDir).createOrReplaceTempView("nation")
+    Tables.customer(spark, sfDir).createOrReplaceTempView("graft_customer")
+    Tables.nation(spark, sfDir).createOrReplaceTempView("graft_nation")
     spark.sql(
       """SELECT n_name, t.c_custkey, round(t.c_acctbal, 2) AS acctbal
-        |FROM nation,
-        |LATERAL (SELECT c_custkey, c_acctbal FROM customer
+        |FROM graft_nation,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM graft_customer
         |         WHERE c_nationkey = n_nationkey
         |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
         |ORDER BY n_name, t.c_custkey""".stripMargin)
@@ -1008,13 +1011,13 @@ object Queries {
     * column — each decorrelates to an aggregate + left outer join).
     */
   def correlatedScalar(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.customer(spark, sfDir).createOrReplaceTempView("customer")
-    Tables.nation(spark, sfDir).createOrReplaceTempView("nation")
+    Tables.customer(spark, sfDir).createOrReplaceTempView("graft_customer")
+    Tables.nation(spark, sfDir).createOrReplaceTempView("graft_nation")
     spark.sql(
       """SELECT n_nationkey, n_name,
-        |  (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) AS n_cust,
-        |  (SELECT round(max(c_acctbal), 2) FROM customer WHERE c_nationkey = n_nationkey) AS max_bal
-        |FROM nation ORDER BY n_nationkey""".stripMargin)
+        |  (SELECT count(*) FROM graft_customer WHERE c_nationkey = n_nationkey) AS n_cust,
+        |  (SELECT round(max(c_acctbal), 2) FROM graft_customer WHERE c_nationkey = n_nationkey) AS max_bal
+        |FROM graft_nation ORDER BY n_nationkey""".stripMargin)
   }
 
   /** Wide→long unpivot of the lineitem measures (Dataset.unpivot — the

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -15,7 +15,15 @@ import org.apache.spark.sql.types._
   * are bit-identical to the HOF form and to the DuckDB oracle's
   * `list_reduce`.
   */
-case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression
+  with ExpectsInputTypes {
+
+  // Strict array<double> on both sides (nullability ignored by the
+  // sameType check). float embeddings must be cast explicitly — an
+  // implicit float→double coercion here would hide a silent precision
+  // change from the oracle's all-double arithmetic.
+  override def inputTypes: Seq[org.apache.spark.sql.graft.ColumnBridge.AbstractType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
 
   override def dataType: DataType = DoubleType
 

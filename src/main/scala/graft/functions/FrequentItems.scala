@@ -6,7 +6,7 @@ import java.nio.charset.StandardCharsets
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -36,9 +36,16 @@ case class FrequentItems(
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.HashMap[String, Long]]
-  with UnaryLike[Expression] {
+  with UnaryLike[Expression]
+  with ExpectsInputTypes {
 
   require(k > 0, "freq_items: k must be positive")
+
+  // Strict string input: `update` stringifies the catalyst value, and
+  // internal representations of non-string types (date ints, decimal
+  // unscaled longs) would stringify to surprising keys — reject them at
+  // analysis time instead.
+  override def inputTypes: Seq[org.apache.spark.sql.graft.ColumnBridge.AbstractType] = Seq(StringType)
 
   override def dataType: DataType = ArrayType(new StructType()
     .add("item", StringType).add("cnt", LongType), containsNull = false)

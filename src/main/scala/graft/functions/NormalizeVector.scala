@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -13,7 +13,11 @@ import org.apache.spark.sql.types._
   * EVERY element (O(d²)), and no projection restructuring reliably stops
   * Catalyst from inlining the norm back into the lambda — hence native.
   */
-case class NormalizeVector(child: Expression) extends UnaryExpression {
+case class NormalizeVector(child: Expression) extends UnaryExpression
+  with ExpectsInputTypes {
+
+  // Strict array<double>; see DotProduct for the no-coercion rationale.
+  override def inputTypes: Seq[org.apache.spark.sql.graft.ColumnBridge.AbstractType] = Seq(ArrayType(DoubleType))
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 

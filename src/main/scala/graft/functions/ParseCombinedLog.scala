@@ -4,7 +4,7 @@ import java.util.regex.Pattern
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types._
@@ -26,7 +26,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * elimination collapses repeated field accesses to one match per row.
   * At 100 TB this is a narrow, fully-pipelined map — no state, no shuffle.
   */
-case class ParseCombinedLog(child: Expression) extends UnaryExpression {
+case class ParseCombinedLog(child: Expression) extends UnaryExpression
+  with ExpectsInputTypes {
+
+  // Strict: log lines are text; any other type is a caller bug better
+  // surfaced at analysis time than as a runtime cast failure.
+  override def inputTypes: Seq[org.apache.spark.sql.graft.ColumnBridge.AbstractType] = Seq(StringType)
 
   override def dataType: DataType = ParseCombinedLog.schema
 

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -16,7 +16,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * rewrites the composed form to this node, so user code can stay
   * declarative and still get the native inner loop.
   */
-case class PortableHash48(child: Expression) extends UnaryExpression {
+case class PortableHash48(child: Expression) extends UnaryExpression
+  with ExpectsInputTypes {
+
+  // Strict (non-coercing) input check: a wrong-typed SQL call like
+  // portable_hash48(id) must fail at ANALYSIS time, not as a runtime
+  // ClassCastException / Janino failure. Deliberately not
+  // ImplicitCastInputTypes — numeric→string coercion would silently
+  // accept (and hash the rendering of) non-text columns.
+  override def inputTypes: Seq[org.apache.spark.sql.graft.ColumnBridge.AbstractType] = Seq(StringType)
 
   override def dataType: DataType = LongType
 

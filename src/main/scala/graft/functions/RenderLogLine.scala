@@ -24,6 +24,22 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class RenderLogLine(child: Expression) extends UnaryExpression {
 
+  // Positional struct contract: (id long, user long, type string,
+  // ts timestamp). Checked structurally (field names free) so a
+  // wrong-shaped SQL call fails analysis, not codegen/runtime.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val expected = Seq(LongType, LongType, StringType, TimestampType)
+    child.dataType match {
+      case StructType(fields) if fields.length == 4 &&
+        fields.map(_.dataType).zip(expected).forall { case (a, b) => org.apache.spark.sql.graft.ColumnBridge.sameType(a, b) } =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"render_log_line expects struct<event_id:bigint,user_id:bigint," +
+            s"event_type:string,ts:timestamp>, got ${other.catalogString}")
+    }
+  }
+
   override def dataType: DataType = StringType
 
   /** Can return null for null struct FIELDS even though the struct

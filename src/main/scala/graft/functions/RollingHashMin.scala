@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -19,7 +19,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * covering it, so min-hash fingerprints of near-identical documents
   * usually coincide.
   */
-case class RollingHashMin(child: Expression, w: Int) extends UnaryExpression {
+case class RollingHashMin(child: Expression, w: Int) extends UnaryExpression
+  with ExpectsInputTypes {
+
+  // Strict: text only; see PortableHash48 for the no-coercion rationale.
+  override def inputTypes: Seq[org.apache.spark.sql.graft.ColumnBridge.AbstractType] = Seq(StringType)
 
   override def dataType: DataType = LongType
 

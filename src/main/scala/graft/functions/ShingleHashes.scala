@@ -3,7 +3,7 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
@@ -28,7 +28,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * thread-local MessageDigest. It is the hot inner loop of MinHash/LSH
   * dedup at 100 TB — shingle hashing is ~all the CPU of that pipeline.
   */
-case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression
+  with ExpectsInputTypes {
+
+  // Strict: reject non-text input at analysis time (no implicit
+  // numeric→string coercion; hashing a rendered number is never intended).
+  override def inputTypes: Seq[org.apache.spark.sql.graft.ColumnBridge.AbstractType] = Seq(StringType)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 

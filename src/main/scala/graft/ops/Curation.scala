@@ -58,7 +58,12 @@ object Curation {
       .select(col("doc_id"), col("text"), col("quality"))
   }
 
-  def curate(docs: DataFrame): DataFrame = {
+  /** curate + the persist handle backing it. The second element is the
+    * MEMORY_AND_DISK-cached exact-dedup stage the returned plan reads
+    * four times (LSH signatures, both verify-join sides, final
+    * anti-join) — unpersist it once the result has been consumed.
+    */
+  def curateWithHandle(docs: DataFrame): (DataFrame, DataFrame) = {
     val gated = gate(docs)
     // exact dedup: keep the min doc_id of each identical-text group —
     // ONE hash exchange (window over md5) instead of a groupBy +
@@ -69,10 +74,7 @@ object Curation {
     // times (signatures + both sides of the candidate verify join) and
     // the final anti-join a fourth — without persist, each consumer
     // re-runs the scan, gates and dedup shuffle. Spills to disk if the
-    // curated working set outgrows memory. LIFECYCLE: the cached copy
-    // lives until session end (it cannot be unpersisted here — the
-    // returned plan consumes it lazily); callers iterating curate() in
-    // one long session should spark.catalog.clearCache() between runs.
+    // curated working set outgrows memory.
     val exactKept = gated
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
@@ -83,9 +85,30 @@ object Curation {
       .select(col("doc_b").as("doc_id")).distinct()
     val kept = exactKept.join(nearDrop, Seq("doc_id"), "left_anti")
     val bucket = TextOps.portableHash64(concat(lit("split:"), col("doc_id"))) % 100
-    kept.select(
+    val result = kept.select(
       col("doc_id"), col("quality"),
       when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+    (result, exactKept)
+  }
+
+  /** LIFECYCLE: the cached exact-dedup stage lives until session end
+    * (it cannot be unpersisted here — the returned plan consumes it
+    * lazily). Re-running curate() on the SAME input is deduped by the
+    * CacheManager; callers iterating over DIFFERENT inputs in one long
+    * session should use [[curateScoped]] (or [[curateWithHandle]] and
+    * unpersist themselves) so cache entries don't accumulate.
+    */
+  def curate(docs: DataFrame): DataFrame = curateWithHandle(docs)._1
+
+  /** Scoped curation: runs `use` over the curated frame, then releases
+    * the backing cache — the leak-free form for loops over many inputs.
+    * `use` must CONSUME the frame (collect/write); a lazily-escaped plan
+    * would re-execute the un-cached subtree per consumer afterwards.
+    */
+  def curateScoped[T](docs: DataFrame)(use: DataFrame => T): T = {
+    val (result, handle) = curateWithHandle(docs)
+    try use(result)
+    finally handle.unpersist(blocking = false)
   }
 
   /** Incremental curation over a STREAMING doc source — how a 100 TB

@@ -29,6 +29,16 @@ class JdbcUpsert(
       * every JDBC engine (Derby has no usable MERGE-over-VALUES, old
       * Postgres no ON CONFLICT); trades the addBatch pipelining for
       * per-row round trips, so prefer a native dialect where one exists.
+      *
+      * CONCURRENT-ATTEMPT NOTE: key-routing (see `write`) removes the
+      * intra-job same-key race, but Spark can still run the SAME
+      * partition twice concurrently — speculative execution, or a task
+      * retry racing a zombie first attempt. The loser's INSERT then hits
+      * a PK violation; `write` recovers per row (it re-checks with a
+      * second UPDATE instead of failing the task), so the mode is safe
+      * under speculation — but each duplicate attempt still replays its
+      * whole partition's statements, so prefer
+      * `spark.speculation=false` on jobs driving two-step sinks.
       */
     updateThenInsert: Boolean = false) extends Serializable {
 
@@ -98,7 +108,22 @@ class JdbcUpsert(
                 if (us.executeUpdate() == 0) {
                   var i = 0
                   while (i < colNames.length) { is.setObject(i + 1, r.get(i)); i += 1 }
-                  is.executeUpdate()
+                  try is.executeUpdate()
+                  catch {
+                    // A concurrent attempt of the SAME partition (task
+                    // retry racing a zombie, or speculation) inserted the
+                    // key between our UPDATE and INSERT. Converge instead
+                    // of failing the task: both attempts carry identical
+                    // values, so re-running the UPDATE is idempotent.
+                    // 23xxx = integrity-constraint violation (SQLSTATE).
+                    case e: java.sql.SQLException
+                        if e.isInstanceOf[java.sql.SQLIntegrityConstraintViolationException] ||
+                          Option(e.getSQLState).exists(_.startsWith("23")) =>
+                      var q = 1
+                      nonKeyIdx.foreach { i => us.setObject(q, r.get(i)); q += 1 }
+                      keyIdx.foreach { i => us.setObject(q, r.get(i)); q += 1 }
+                      if (us.executeUpdate() == 0) throw e
+                  }
                 }
               }
             } else {

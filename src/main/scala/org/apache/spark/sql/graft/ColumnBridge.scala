@@ -24,6 +24,18 @@ object ColumnBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Re-exported alias for the `private[sql]` `AbstractDataType`, so
+    * graft's native expressions can declare `inputTypes` (ExpectsInputTypes
+    * analysis-time checks) from outside the sql package.
+    */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
+
+  /** `DataType.sameType` (nullability-insensitive equality) is
+    * `private[sql]`; re-exported for structural input checks.
+    */
+  def sameType(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Boolean = a.sameType(b)
+
   /** Free the storage behind an eager `localCheckpoint()` result NOW.
     * `Dataset.unpersist` only uncaches CacheManager entries (persist()),
     * never the RDD-level blocks a local checkpoint holds — those

@@ -28,6 +28,22 @@ class CurationSpec extends AnyFunSuite {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("curateScoped releases its cache; curate matches it") {
+    import graft.ops.Curation
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val scopedRows = Curation.curateScoped(docs)(_.collect().toSeq.sortBy(_.getLong(0)))
+    // every RDD the scoped run pinned has been released again
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty, s"leaked cache entries: ${after -- before}")
+    // and the scoped result is the same rows the session-cached form gives
+    val (result, handle) = Curation.curateWithHandle(docs)
+    try assert(result.collect().toSeq.sortBy(_.getLong(0)) == scopedRows)
+    finally handle.unpersist(blocking = false)
+  }
+
   test("streaming curation gates, dedups across batches, and surfaces near-dup candidates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -78,6 +78,31 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("wrong-typed calls fail at analysis time, not execution") {
+    // ADVICE r2: without ExpectsInputTypes a call like
+    // portable_hash48(bigint) surfaced as a runtime ClassCastException
+    // (or a Janino failure silently forcing interpreted execution).
+    spark.range(3).createOrReplaceTempView("ext_types_t")
+    val badCalls = Seq(
+      "SELECT portable_hash48(id) FROM ext_types_t",
+      "SELECT shingle_hashes(id, 2) FROM ext_types_t",
+      "SELECT rolling_hash_min(id, 4) FROM ext_types_t",
+      "SELECT parse_log(id) FROM ext_types_t",
+      "SELECT dot_product(array(id), array(1.0)) FROM ext_types_t",
+      "SELECT normalize_vector(array(id)) FROM ext_types_t",
+      "SELECT freq_items(id, 4) FROM ext_types_t",
+      "SELECT render_log_line(struct(id, id)) FROM ext_types_t")
+    badCalls.foreach { sql =>
+      val e = intercept[org.apache.spark.sql.AnalysisException](spark.sql(sql))
+      assert(e.getMessage != null, sql)
+    }
+    // and the correctly-typed forms still analyze
+    spark.sql("SELECT portable_hash48(CAST(id AS STRING)) FROM ext_types_t").collect()
+    spark.sql(
+      "SELECT render_log_line(struct(id, id, CAST(id AS STRING), timestamp_micros(id))) " +
+        "FROM ext_types_t").collect()
+  }
+
   // -- native as-of join ----------------------------------------------------
 
   private lazy val purchases = Seq(

@@ -14,6 +14,37 @@ import graft.sources.JdbcUpsert
   */
 object JdbcRoundTripSpec {
   val Url = "jdbc:derby:memory:graftdb;create=true"
+
+  /** One-shot trigger: the next UPDATE executeUpdate() lies "0 rows"
+    * without executing — simulates the concurrent-attempt race where the
+    * key appears between the two-step sink's UPDATE and INSERT.
+    */
+  val lieNextUpdate = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def proxy[T <: AnyRef](iface: Class[T], handler: java.lang.reflect.InvocationHandler): T =
+    java.lang.reflect.Proxy.newProxyInstance(iface.getClassLoader, Array(iface), handler)
+      .asInstanceOf[T]
+
+  /** Real Derby connection whose prepared UPDATE statements honor
+    * `lieNextUpdate`; everything else delegates untouched.
+    */
+  def racingConnection(url: String): java.sql.Connection = {
+    val real = java.sql.DriverManager.getConnection(url)
+    proxy(classOf[java.sql.Connection], (_, m, a) => {
+      val args = if (a == null) Array.empty[AnyRef] else a
+      val out = m.invoke(real, args: _*)
+      if (m.getName == "prepareStatement" &&
+          args.headOption.exists(_.toString.trim.toUpperCase.startsWith("UPDATE"))) {
+        val ps = out.asInstanceOf[java.sql.PreparedStatement]
+        proxy(classOf[java.sql.PreparedStatement], (_, pm, pa) => {
+          val pargs = if (pa == null) Array.empty[AnyRef] else pa
+          if (pm.getName == "executeUpdate" && lieNextUpdate.compareAndSet(true, false))
+            Integer.valueOf(0)
+          else pm.invoke(ps, pargs: _*)
+        })
+      } else out
+    })
+  }
 }
 
 class JdbcRoundTripSpec extends AnyFunSuite {
@@ -60,5 +91,35 @@ class JdbcRoundTripSpec extends AnyFunSuite {
     val scanStr = prunedDf.queryExecution.executedPlan.toString.toLowerCase
     assert(scanStr.contains("section_id") && !scanStr.contains("section_pv"), scanStr)
     assert(prunedDf.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("two-step upsert converges when INSERT loses a duplicate-key race") {
+    import spark.implicits._
+    val url = JdbcRoundTripSpec.Url
+    val setup = DriverManager.getConnection(url)
+    try {
+      val st = setup.createStatement()
+      try st.execute("DROP TABLE race_t") catch { case _: Throwable => () }
+      st.execute(
+        "CREATE TABLE race_t (k BIGINT PRIMARY KEY, v VARCHAR(64))")
+      st.execute("INSERT INTO race_t VALUES (10, 'old')")
+    } finally setup.close()
+
+    // The proxied connection makes the sink's first UPDATE report 0 rows
+    // even though key 10 exists — exactly what a zombie attempt's
+    // interleaved commit looks like. The INSERT then takes a REAL Derby
+    // PK violation, and the sink must fall back to a second UPDATE
+    // rather than failing the task.
+    JdbcRoundTripSpec.lieNextUpdate.set(true)
+    val sink = new JdbcUpsert("race_t", Seq("k", "v"), Seq("k"),
+      () => JdbcRoundTripSpec.racingConnection(url), updateThenInsert = true)
+    sink.write(Seq((10L, "new")).toDF("k", "v"), 0L)
+
+    val check = DriverManager.getConnection(url)
+    try {
+      val rs = check.createStatement().executeQuery("SELECT v FROM race_t WHERE k = 10")
+      assert(rs.next() && rs.getString(1) == "new")
+    } finally check.close()
+    assert(!JdbcRoundTripSpec.lieNextUpdate.get)
   }
 }
