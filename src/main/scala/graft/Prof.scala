@@ -9,10 +9,14 @@ import org.apache.spark.sql.functions._
   */
 object Prof {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.local("4", logLevel = "ERROR")
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"), logLevel = "ERROR")
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val n = f
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
+    }
+    if (args.headOption.contains("cc")) {
+      profCc(spark, (name, f) => time(name)(f()))
+      spark.stop(); return
     }
     val n = 4000000L
     val keys = 5000
@@ -57,5 +61,31 @@ object Prof {
         .agg(count(col("_asof.event_id"))).collect()(0).getLong(0))
     }
     spark.stop()
+  }
+
+  /** `runMain graft.Prof cc` — where q_dedup_clusters' seconds go:
+    * LSH pair materialization vs the CC label-propagation loop.
+    */
+  private def profCc(spark: SparkSession, time: (String, () => Long) => Unit): Unit = {
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    time("warmup", () => spark.range(1000).agg(sum(col("id"))).collect()(0).getLong(0))
+    val docs = {
+      val d = graft.sources.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      d.union(d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          replace(col("text"), lit("data"), lit("info")).as("text")))
+    }
+    // stage-by-stage LSH breakdown (each count forces just that prefix)
+    val shingled = graft.ops.Dedup.shingleSets(docs)
+    time("lsh_shingle", () => shingled.count())
+    val sigs = graft.ops.Dedup.minhashSignatures(shingled)
+    time("lsh_signatures", () => sigs.count())
+    val cands = graft.ops.Dedup.lshCandidates(sigs)
+    time("lsh_candidates", () => cands.count())
+    val pairs = graft.ops.Dedup.minhashLsh(docs, 0.5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("lsh_pairs_materialize", () => pairs.count())
+    for (r <- 1 to 2)
+      time(s"cc_loop_$r", () => graft.ops.Dedup.connectedComponents(pairs).count())
   }
 }

@@ -196,7 +196,64 @@ object Dedup {
     * but the label table is O(nodes) — too big to collect, so cut
     * lineage executor-side instead of driver-side).
     */
+  /** Pair-count threshold under which [[connectedComponents]] solves on
+    * the driver (union-find over collected edges) instead of running the
+    * distributed label-propagation loop. 4M pairs ≈ 64 MB collected —
+    * trivial for a driver, while the loop's fixed cost (2 joins + a
+    * checkpoint + a fixpoint probe per round) is pure overhead at that
+    * size. Verified near-dup pairs are SPARSE relative to the corpus
+    * (Jaccard-verified dups, not candidates), so even 100 TB corpora
+    * often land under this; the distributed path stays the general case.
+    */
+  val LocalCcMaxPairs = 4L << 20
+
+  /** Driver-side union-find with min-id labels — exact same output
+    * contract as the distributed loop: every node labeled with the
+    * minimum doc_id reachable from it.
+    */
+  private def localCc(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col("doc_a"), col("doc_b")).collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      // path compression
+      var c = x
+      while (parent.getOrDefault(c, c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    // union by MIN ROOT (not rank): keeps the invariant root == min id
+    // of the set, which is the output label contract
+    edges.foreach { e =>
+      val (ra, rb) = (find(e.getLong(0)), find(e.getLong(1)))
+      if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+      else ()
+      // ensure isolated endpoints exist in the map even when already equal
+      parent.putIfAbsent(e.getLong(0), find(e.getLong(0)))
+      parent.putIfAbsent(e.getLong(1), find(e.getLong(1)))
+    }
+    val labels = {
+      import scala.jdk.CollectionConverters._
+      parent.keySet().asScala.toSeq.map(n => (n, find(n)))
+    }
+    import spark.implicits._
+    labels.toDF("doc_id", "cluster_id")
+  }
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // Hybrid strategy: the one cheap count on the (persisted) pair table
+    // routes small graphs to the driver union-find — same labels, none
+    // of the loop's per-round fixed cost. See LocalCcMaxPairs.
+    if (pairs.limit((LocalCcMaxPairs + 1).toInt).count() <= LocalCcMaxPairs)
+      return localCc(pairs)
+    connectedComponentsDistributed(pairs, maxIter)
+  }
+
+  /** The distributed min-label-propagation loop — the ≥LocalCcMaxPairs
+    * path, also directly testable against [[localCc]]'s output.
+    */
+  def connectedComponentsDistributed(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     // Hash-partition the edge table on the join side ONCE before caching:
     // the cached scan keeps that partitioning, so each round's edges⋈labels
     // join shuffles only the (node,lbl) table — the edge table (the big

@@ -44,22 +44,44 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
-  test("connected components collapse chains onto the min id") {
+  test("connected components collapse chains onto the min id (both paths)") {
     // 1-2, 2-3 (chain, no 1-3 edge); 7-9; singleton 5 not in any pair
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L)
+    // hybrid entry routes this small graph to the driver union-find
     val cc = Dedup.connectedComponents(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    assert(cc == expect)
+    // and the distributed loop must agree
+    val dist = Dedup.connectedComponentsDistributed(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == expect)
   }
 
-  test("connected components converge on a long path graph") {
+  test("distributed CC converges on a long path graph") {
     // path 0-1-...-120: diameter 120 >> maxIter 25, so plain neighbor-min
     // propagation could NOT converge — only the pointer-jumping hop
-    // (O(log diameter) rounds) gets there
+    // (O(log diameter) rounds) gets there. Pinned to the distributed
+    // path: the hybrid entry would solve this size on the driver.
     val pairs = (0L until 120L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val cc = Dedup.connectedComponents(pairs).collect()
+    val cc = Dedup.connectedComponentsDistributed(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc == (0L to 120L).map(_ -> 0L).toMap)
+  }
+
+  test("driver union-find and distributed loop agree on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val n = 400
+    val edges = Seq.fill(300)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val pairs = edges.toDF("doc_a", "doc_b")
+    val local = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.connectedComponentsDistributed(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist)
   }
 
   test("minhash-lsh surfaces the same near-dup pairs as brute force here") {
