@@ -473,6 +473,34 @@ object Queries {
     Dedup.connectedComponents(lshPairs(spark, sfDir))
       .orderBy(col("doc_id"))
 
+  /** Incremental dedup: a synthetic ingest batch (near copies of every
+    * 7th doc + vowel-mangled "novel" rewrites of others) LSH-matched
+    * against the existing documents corpus. Near copies must match
+    * (their shingle sets overlap heavily), mangled docs must come out
+    * novel (every vowel-bearing word's shingles changed). One summary
+    * row per batch doc — n_matches / best jaccard / first matching
+    * corpus id — so both outcomes are visible and hash-stable.
+    */
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val newBatch =
+      corpus.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 30000).as("doc_id"),
+          replace(col("text"), lit("data"), lit("info")).as("text"))
+      .union(corpus.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 40000).as("doc_id"),
+          translate(lower(col("text")), "aeiou", "01234").as("text")))
+    val matches = Dedup.newVersusCorpus(newBatch, corpus, 0.5)
+    newBatch.select(col("doc_id").as("new_id"))
+      .join(matches, Seq("new_id"), "left")
+      .groupBy(col("new_id"))
+      .agg(
+        count(col("corpus_id")).as("n_matches"),
+        round(coalesce(max(col("jaccard")), lit(0.0)), 6).as("max_jacc"),
+        min(col("corpus_id")).as("first_match"))
+      .orderBy(col("new_id"))
+  }
+
   /** 16-bit SimHash per document. */
   def simhashQ(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.simhash16(Tables.documents(spark, sfDir)).orderBy(col("doc_id"))

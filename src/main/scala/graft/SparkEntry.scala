@@ -93,6 +93,7 @@ object SparkEntry {
     "q_resample" -> (Queries.resampleQ _),
     "q_freq_items" -> (Queries.freqItemsQ _),
     "q_dedup_clusters" -> (Queries.dedupClustersQ _),
+    "q_dedup_incremental" -> (Queries.dedupIncremental _),
     "q_unpivot" -> (Queries.unpivotQ _),
     "q_window_range" -> (Queries.windowRange _),
     "q_bitwise" -> (Queries.bitwiseFuncs _),
@@ -155,6 +156,19 @@ object SparkEntry {
        |    round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
        |      / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS jaccard
        |  FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id JOIN sh sb ON cand.doc_b = sb.doc_id)""".stripMargin
+
+  /** shingle/signature/band CTE triple for one doc source — the
+    * per-side building block of the incremental-dedup oracle (suffix
+    * distinguishes the new-batch and corpus pipelines).
+    */
+  private def lshSideCtes(suffix: String, base: String): String =
+    s"""sh$suffix AS (SELECT doc_id, $hashedShinglesSql AS shingles
+       |       FROM (SELECT doc_id, ${wordsSql("lower(text)")} AS w FROM $base)),
+       |hx$suffix AS (SELECT doc_id, unnest(shingles) AS h FROM sh$suffix),
+       |sig$suffix AS (SELECT doc_id, $minhashSigSql FROM hx$suffix GROUP BY doc_id),
+       |band$suffix AS (SELECT doc_id, unnest([
+       |    concat_ws(':', '0', s0, s1), concat_ws(':', '1', s2, s3),
+       |    concat_ws(':', '2', s4, s5), concat_ws(':', '3', s6, s7)]) AS band FROM sig$suffix)""".stripMargin
 
   private def occSql(w: String): String =
     s"CAST((length(pt) - length(replace(pt, '$w', ''))) / ${w.length} AS BIGINT)"
@@ -320,6 +334,33 @@ object SparkEntry {
          |       SELECT e.dst AS node, cc.m FROM cc JOIN edges e ON e.src = cc.node)
          |SELECT node AS doc_id, min(m) AS cluster_id
          |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    // Incremental ingest dedup: new batch LSH-matched against the
+    // static corpus — Dedup.newVersusCorpus with the summary aggregation
+    // of Queries.dedupIncremental.
+    "q_dedup_incremental" ->
+      s"""WITH newbatch AS (
+         |  SELECT doc_id + 30000 AS doc_id, replace(text, 'data', 'info') AS text
+         |  FROM documents WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 40000, translate(lower(text), 'aeiou', '01234')
+         |  FROM documents WHERE doc_id % 7 = 3),
+         |${lshSideCtes("n", "newbatch")},
+         |${lshSideCtes("c", "documents")},
+         |cand AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+         |         FROM bandn n JOIN bandc c ON n.band = c.band),
+         |m AS (SELECT * FROM (
+         |  SELECT new_id, corpus_id,
+         |    round(CAST(len(list_intersect(sn.shingles, sc.shingles)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(sn.shingles, sc.shingles))), 6) AS jaccard
+         |  FROM cand JOIN shn sn ON cand.new_id = sn.doc_id
+         |            JOIN shc sc ON cand.corpus_id = sc.doc_id)
+         |  WHERE jaccard >= 0.5)
+         |SELECT nb.doc_id AS new_id, count(m.corpus_id) AS n_matches,
+         |  round(coalesce(max(m.jaccard), 0.0), 6) AS max_jacc,
+         |  min(m.corpus_id) AS first_match
+         |FROM newbatch nb LEFT JOIN m ON m.new_id = nb.doc_id
+         |GROUP BY nb.doc_id ORDER BY new_id""".stripMargin,
 
     "q_simhash" ->
       s"""WITH t AS (SELECT doc_id, list_transform(list_distinct(${wordsSql("lower(text)")}), wd -> ${hSql("wd")}) AS hs FROM documents)

@@ -132,6 +132,44 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Incremental dedup: verified near-dup matches of a NEW batch
+    * against an EXISTING corpus — the continual-ingest primitive (every
+    * training-data pipeline dedups each incoming crawl against the
+    * already-curated corpus, not against itself).
+    *
+    * Returns (new_id, corpus_id, jaccard) for every verified match;
+    * anti-join the batch against it to keep only novel documents.
+    *
+    * Scale posture: both sides run the same signature pipeline, but the
+    * corpus side is STATIC — in production you materialize its
+    * (band, doc_id) table once (bucketed by band, see
+    * LakeWriter.writeBucketed) so each delta batch's candidate join
+    * shuffles ONLY the delta. The batch side is small by definition, so
+    * the verify join's shingle fetch is batch-sized too: cost per
+    * ingest is O(delta), never O(corpus).
+    */
+  def newVersusCorpus(newDocs: DataFrame, corpus: DataFrame, threshold: Double): DataFrame = {
+    val shNew = shingleSets(newDocs)
+    val shCorp = shingleSets(corpus)
+    val bandsOf = (sh: DataFrame) => {
+      val sigs = minhashSignatures(sh)
+      val bandKeys = (0 until 4).map(j =>
+        concat_ws(":", lit(j), col(s"s${2 * j}"), col(s"s${2 * j + 1}")))
+      sigs.select(col("doc_id"), explode(array(bandKeys: _*)).as("band"))
+    }
+    val cands = bandsOf(shNew).select(col("band"), col("doc_id").as("new_id"))
+      .join(bandsOf(shCorp).select(col("band"), col("doc_id").as("corpus_id")), Seq("band"))
+      .select(col("new_id"), col("corpus_id")).distinct()
+    cands
+      .join(shNew.select(col("doc_id").as("new_id"), col("shingles").as("sh_n")), "new_id")
+      .join(shCorp.select(col("doc_id").as("corpus_id"), col("shingles").as("sh_c")), "corpus_id")
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sh_n"), col("sh_c"))).cast("double") /
+          size(array_union(col("sh_n"), col("sh_c"))), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), col("jaccard"))
+  }
+
   // ------------------------------------------------------------- SimHash
 
   /** 16-bit SimHash over distinct word hashes (bit k set when the

@@ -111,13 +111,21 @@ object Similarity {
     var cents = localize(centroids(e))
     for (_ <- 0 until iterations) {
       val assigned = assignCells(e, cents)
-      cents = localize(e.join(assigned, "vec_id")
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      // Distributed part stops at the (cell, dim) partial means — ONE
+      // map-side-combined hash aggregate over the data. The k×d mean
+      // rows are model-sized, so the array re-assembly (the second
+      // groupBy + array_sort it used to cost per iteration) happens on
+      // the driver during the collect that was needed anyway.
+      val means = e.join(assigned, "vec_id")
+        .select(col("cell").cast("long").as("cell"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
         .groupBy(col("cell"), col("dim"))
         .agg(round(avg(col("x")), 6).as("m"))
-        .groupBy(col("cell"))
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-          s => s.getField("m")).as("cv")))
+        .as[(Long, Int, Double)].collect()
+      val cvs = means.groupBy(_._1).toSeq.map { case (cell, rows) =>
+        (cell, rows.sortBy(_._2).map(_._3).toSeq)
+      }
+      cents = spark.createDataset(cvs).toDF("cell", "cv")
     }
     (assignCells(e, cents), cents)
   }

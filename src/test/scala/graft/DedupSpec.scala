@@ -69,6 +69,34 @@ class DedupSpec extends AnyFunSuite {
     assert(cc == (0L to 120L).map(_ -> 0L).toMap)
   }
 
+  test("newVersusCorpus matches near copies, not novel docs") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "completely different content about spark catalyst optimizer rules engine")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      // exact copy of 1: all 8 minhashes equal -> banding MUST collide
+      // (a mere near copy colliding is probabilistic per band at this
+      // tiny size; the sf0.001 query below covers that regime)
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (200L, "unrelated novel text with no overlap whatsoever in any shingle here at all")
+    ).toDF("doc_id", "text")
+    val m = Dedup.newVersusCorpus(batch, corpus, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(m.contains((100L, 1L)), m)
+    assert(!m.exists(_._1 == 200L), m)
+    // summary query shape: every batch doc gets exactly one row
+    val q = Queries.dedupIncremental(spark, "/root/testdata/sf0.001").collect()
+    assert(q.nonEmpty)
+    val byId = q.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId.size == q.length) // one row per new doc
+    // near copies (+30000) overwhelmingly match; mangled (+40000) docs don't
+    val nearMatched = q.filter(r => r.getLong(0) < 40000).count(_.getLong(1) > 0)
+    val novelMatched = q.filter(r => r.getLong(0) >= 40000).count(_.getLong(1) > 0)
+    assert(nearMatched > 0)
+    assert(novelMatched == 0, s"mangled docs matched corpus: $novelMatched")
+  }
+
   test("driver union-find and distributed loop agree on a random graph") {
     val rnd = new scala.util.Random(42)
     val n = 400
