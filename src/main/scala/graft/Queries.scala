@@ -501,6 +501,42 @@ object Queries {
       .orderBy(col("new_id"))
   }
 
+  /** Exact batch-vs-corpus dedup behind a broadcast Bloom pre-filter:
+    * exact copies of every 11th doc must resolve to their source, docs
+    * with a one-token suffix must come out clean (exact ≠ near).
+    */
+  def dedupBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val batch =
+      corpus.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 50000).as("doc_id"), col("text"))
+      .union(corpus.filter(col("doc_id") % 11 === 5)
+        .select((col("doc_id") + 60000).as("doc_id"),
+          concat(col("text"), lit(" xyzzy")).as("text")))
+    Dedup.exactVersusCorpusBloom(batch, corpus, corpus.count(), 0.01)
+      .orderBy(col("new_id"))
+  }
+
+  /** Deterministic hash-Bernoulli downsampling stratified by language
+    * (en downweighted to 0.2, everything else 0.8) — kept count per
+    * stratum.
+    */
+  def weightedSampleQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Sampling.weightedByRate(
+        Tables.documents(spark, sfDir), Map("en" -> 0.2), 0.8, "lang", "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("lang"))
+
+  /** Deterministic per-group document cap (20 docs/language, hash-
+    * uniform subset, id tie-break).
+    */
+  def groupCapQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Sampling.capPerGroup(
+        Tables.documents(spark, sfDir), "lang", "doc_id", 20)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
   /** 16-bit SimHash per document. */
   def simhashQ(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.simhash16(Tables.documents(spark, sfDir)).orderBy(col("doc_id"))

@@ -94,6 +94,9 @@ object SparkEntry {
     "q_freq_items" -> (Queries.freqItemsQ _),
     "q_dedup_clusters" -> (Queries.dedupClustersQ _),
     "q_dedup_incremental" -> (Queries.dedupIncremental _),
+    "q_dedup_bloom" -> (Queries.dedupBloom _),
+    "q_weighted_sample" -> (Queries.weightedSampleQ _),
+    "q_group_cap" -> (Queries.groupCapQ _),
     "q_unpivot" -> (Queries.unpivotQ _),
     "q_window_range" -> (Queries.windowRange _),
     "q_bitwise" -> (Queries.bitwiseFuncs _),
@@ -361,6 +364,32 @@ object SparkEntry {
          |  min(m.corpus_id) AS first_match
          |FROM newbatch nb LEFT JOIN m ON m.new_id = nb.doc_id
          |GROUP BY nb.doc_id ORDER BY new_id""".stripMargin,
+
+    // Bloom pre-filter affects WORK, not output: the oracle is the
+    // exact md5 left join the operator's verify stage guarantees.
+    "q_dedup_bloom" ->
+      """WITH batch AS (
+        |  SELECT doc_id + 50000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 60000, text || ' xyzzy' FROM documents WHERE doc_id % 11 = 5),
+        |ck AS (SELECT md5(text) AS k, min(doc_id) AS corpus_id
+        |       FROM documents GROUP BY md5(text))
+        |SELECT b.doc_id AS new_id, ck.corpus_id
+        |FROM batch b LEFT JOIN ck ON md5(b.text) = ck.k
+        |ORDER BY new_id""".stripMargin,
+
+    "q_weighted_sample" ->
+      s"""SELECT lang, count(*) AS n_kept FROM documents
+         |WHERE (${hSql("'samp:' || CAST(doc_id AS VARCHAR)")} % 1000000) / 1000000.0
+         |      < CASE WHEN lang = 'en' THEN 0.2 ELSE 0.8 END
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_group_cap" ->
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+         |    ORDER BY (${hSql("'cap:' || CAST(doc_id AS VARCHAR)")} % 1000000) / 1000000.0, doc_id) AS rk
+         |  FROM documents)
+         |WHERE rk <= 20 ORDER BY doc_id""".stripMargin,
 
     "q_simhash" ->
       s"""WITH t AS (SELECT doc_id, list_transform(list_distinct(${wordsSql("lower(text)")}), wd -> ${hSql("wd")}) AS hs FROM documents)

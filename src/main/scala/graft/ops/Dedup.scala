@@ -170,6 +170,37 @@ object Dedup {
       .select(col("new_id"), col("corpus_id"), col("jaccard"))
   }
 
+  /** Exact dedup of an ingest batch against a static corpus with a
+    * BROADCAST BLOOM pre-filter — the companion of [[newVersusCorpus]]
+    * for byte-identical duplicates.
+    *
+    * Why not a plain semi-join: at 100 TB the corpus side of a
+    * batch⋈corpus join either shuffles the corpus keys (O(corpus) per
+    * ingest) or must already be bucketed. A Bloom filter of the corpus
+    * md5s (~1.2 GB per 10⁹ keys at 1% fpp) broadcasts once and turns
+    * the batch-side scan into a narrow filter; only Bloom HITS — true
+    * dups plus the fpp sliver — reach the verify join, so its batch
+    * side is duplicate-sized, not batch-sized. False positives cost
+    * verify work only; the OUTPUT is exact (the join confirms every
+    * match), which keeps the operator fully oracle-checkable.
+    *
+    * Returns one row per batch doc: (new_id, corpus_id nullable) with
+    * corpus_id = min corpus doc carrying identical text.
+    */
+  def exactVersusCorpusBloom(newDocs: DataFrame, corpus: DataFrame,
+      expectedCorpusItems: Long, fpp: Double = 0.01): DataFrame = {
+    val spark = newDocs.sparkSession
+    val corpusKeys = corpus.select(md5(col("text")).as("k"), col("doc_id"))
+    val bloom = corpusKeys.stat.bloomFilter("k", math.max(expectedCorpusItems, 1L), fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => s != null && bc.value.mightContainString(s))
+    val keyed = newDocs.select(col("doc_id").as("new_id"), md5(col("text")).as("k"))
+    val hits = keyed.filter(mightContain(col("k")))
+      .join(corpusKeys.groupBy(col("k")).agg(min(col("doc_id")).as("corpus_id")), "k")
+      .select(col("new_id"), col("corpus_id"))
+    keyed.select(col("new_id")).join(hits, Seq("new_id"), "left")
+  }
+
   // ------------------------------------------------------------- SimHash
 
   /** 16-bit SimHash over distinct word hashes (bit k set when the

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus-sampling operators.
+  *
+  * Every training-data pipeline rebalances its corpus: downsample
+  * overrepresented languages/domains by rate, cap runaway groups at a
+  * document budget. Both are implemented as pure hash decisions — no
+  * RNG state, no seeds to ship — so a sample is reproducible across
+  * runs, engines (the DuckDB oracle replays the same hash), cluster
+  * sizes, and partitionings. That reproducibility is the property that
+  * matters at 100 TB: a resampled pipeline must not churn the kept set.
+  *
+  * Scale shape: `weightedByRate` is a narrow codegen'd filter (no
+  * shuffle, no state); `capPerGroup` is one window exchange on the
+  * group key — the same shape as any per-group top-k, with the hash
+  * order making the kept subset stable instead of arrival-ordered.
+  */
+object Sampling {
+
+  /** Uniform in [0, 1) per id, derived from the portable 48-bit hash
+    * with a salt — decouples sampling decisions from any other hash
+    * use of the same ids (e.g. the split bucketing).
+    */
+  private def unitHash(idCol: String, salt: String) =
+    (TextOps.portableHash64(concat(lit(salt), col(idCol).cast("string")))
+      % 1000000L).cast("double") / 1000000.0
+
+  /** Keep each row with probability rates(key) (default rate for keys
+    * not in the map), decided by hash — deterministic Bernoulli
+    * sampling stratified by `keyCol`.
+    */
+  def weightedByRate(df: DataFrame, rates: Map[String, Double],
+      defaultRate: Double, keyCol: String, idCol: String): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
+      when(col(keyCol) === k, lit(r)).otherwise(acc)
+    }
+    df.filter(unitHash(idCol, "samp:") < rate)
+  }
+
+  /** Cap each group at `cap` rows, keeping the hash-minimal ones
+    * (id tie-break) — a deterministic uniform subsample per group, not
+    * a prefix of arrival order. One window exchange on `groupCol`.
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String, cap: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(unitHash(idCol, "cap:"), col(idCol))
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= cap)
+      .drop("_rk")
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Sampling
+
+/** Deterministic sampling: the property that matters is that the KEPT
+  * SET is a pure function of ids — stable across runs, partitionings,
+  * and cluster widths.
+  */
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+
+  test("weightedByRate: rate-proportional, partitioning-invariant keep set") {
+    val kept = Sampling.weightedByRate(docs, Map("en" -> 0.2), 0.8, "lang", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    val total = docs.count()
+    assert(kept.nonEmpty && kept.size < total)
+    // repartitioned input keeps the EXACT same set
+    val kept2 = Sampling.weightedByRate(docs.repartition(7), Map("en" -> 0.2), 0.8, "lang", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 == kept)
+    // en is downweighted relative to the rest
+    val byLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptByLang = Sampling.weightedByRate(docs, Map("en" -> 0.2), 0.8, "lang", "doc_id")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enRate = keptByLang.getOrElse("en", 0L).toDouble / byLang("en")
+    val restKept = (keptByLang - "en").values.sum.toDouble
+    val restTotal = (byLang - "en").values.sum.toDouble
+    assert(enRate < restKept / restTotal,
+      s"en rate $enRate not below rest ${restKept / restTotal}")
+  }
+
+  test("capPerGroup: at most N per group, stable under repartition") {
+    val capped = Sampling.capPerGroup(docs, "lang", "doc_id", 7)
+    val sizes = capped.groupBy("lang").count().collect().map(_.getLong(1))
+    assert(sizes.forall(_ <= 7), sizes.toSeq)
+    // groups bigger than the cap land exactly ON the cap
+    assert(sizes.exists(_ == 7))
+    val ids = capped.select("doc_id").as[Long].collect().toSet
+    val ids2 = Sampling.capPerGroup(docs.repartition(5), "lang", "doc_id", 7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids2 == ids)
+  }
+
+  test("bloom dedup: every exact copy resolves, suffixed docs come out clean") {
+    val out = Queries.dedupBloom(spark, "/root/testdata/sf0.001").collect()
+    val (copies, novel) = out.partition(_.getLong(0) < 60000)
+    assert(copies.nonEmpty && novel.nonEmpty)
+    // exact copies: corpus_id == original id (min-id text owner)
+    copies.foreach { r =>
+      assert(!r.isNullAt(1), s"copy ${r.getLong(0)} unmatched")
+      assert(r.getLong(1) == r.getLong(0) - 50000 ||
+        // identical text can exist under a smaller corpus id
+        r.getLong(1) < r.getLong(0) - 50000, r.toString)
+    }
+    novel.foreach { r => assert(r.isNullAt(1), s"suffixed doc matched: $r") }
+  }
+}
