@@ -92,13 +92,18 @@ object Dedup {
     * jobs prefer [[minhashSignatures]] (codegen'd, map-side combined);
     * same values either way.
     */
-  def minhashSignaturesNarrow(shingled: DataFrame): DataFrame = {
+  def minhashSignaturesNarrow(shingled: DataFrame,
+      keep: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
     val sigCols = MinHashA.zip(MinHashB).zipWithIndex.map { case ((a, b), j) =>
       aggregate(col("shingles"), lit(MinHashP),
         (acc, h) => least(acc, (h * a + b) % MinHashP)).as(s"s$j")
     }
+    // `keep` carries payload columns (e.g. the shingle set itself)
+    // through the projection — callers must NOT re-join the input to
+    // fetch them: on a STREAMING frame that self-join plans as a
+    // stateful symmetricHashJoin.
     shingled.filter(size(col("shingles")) > 0)
-      .select(col("doc_id") +: sigCols: _*)
+      .select(col("doc_id") +: (keep ++ sigCols): _*)
   }
 
   /** LSH banding: 4 bands × 2 rows; band key = "j:s2j:s2j+1". Candidate

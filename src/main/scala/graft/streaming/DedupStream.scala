@@ -58,6 +58,50 @@ object DedupStream {
       .drop("_dedup_key")
   }
 
+  /** Streaming incremental dedup against a STATIC corpus: each arriving
+    * doc's shingles/signature/bands are computed statelessly per row
+    * (minhashSignaturesNarrow — no aggregation state, append-safe), band
+    * keys stream-static-joined against the corpus band table, and LSH
+    * hits Jaccard-verified against the corpus shingle sets. The batch
+    * analog is Dedup.newVersusCorpus; here the 'new batch' is every
+    * micro-batch of the stream.
+    *
+    * Scale shape: the corpus side is computed ONCE per micro-batch plan
+    * from static data (persist `corpus`-derived inputs or point them at
+    * a materialized band/shingle table for big corpora); the stream side
+    * is micro-batch-sized. Append mode, no streaming state at all —
+    * dedup-against-corpus needs none, which is what makes it the
+    * sustainable 100 TB ingest shape (vs self-dedup's per-band state).
+    */
+  def versusCorpus(docs: DataFrame, corpus: DataFrame, threshold: Double): DataFrame = {
+    val bandKeys = (0 until 4).map(j =>
+      concat_ws(":", lit(j), col(s"s${2 * j}"), col(s"s${2 * j + 1}")))
+    val shNew = Dedup.shingleSets(docs)
+    val streamSide = Dedup
+      .minhashSignaturesNarrow(shNew, keep = Seq(col("shingles").as("sh_n")))
+      .select(col("doc_id").as("new_id"), col("sh_n"), array(bandKeys: _*).as("bands_n"))
+      .select(col("new_id"), col("sh_n"), col("bands_n"),
+        explode(col("bands_n")).as("band"))
+    val shCorp = Dedup.shingleSets(corpus)
+    val corpSide = Dedup.minhashSignatures(shCorp)
+      .select(col("doc_id").as("corpus_id"), array(bandKeys: _*).as("bands_c"))
+      .select(col("corpus_id"), col("bands_c"), explode(col("bands_c")).as("band"))
+    // A pair sharing k of 4 bands appears k times after the equi-join;
+    // keeping only the row whose band is the MIN common band dedups the
+    // pair STATELESSLY (streaming dropDuplicates would accrete one state
+    // entry per pair forever — against a static corpus, no state is
+    // needed at all).
+    streamSide.join(corpSide, Seq("band"))
+      .filter(col("band") ===
+        array_min(array_intersect(col("bands_n"), col("bands_c"))))
+      .join(shCorp.select(col("doc_id").as("corpus_id"), col("shingles").as("sh_c")), "corpus_id")
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sh_n"), col("sh_c"))).cast("double") /
+          size(array_union(col("sh_n"), col("sh_c"))), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), col("jaccard"))
+  }
+
   /** docs(doc_id, text) stream → append-stream of candidate pairs: each
     * arriving doc against EVERY retained earlier occupant of the band
     * (pairing only against the first occupant would silently miss two

@@ -62,4 +62,42 @@ class DedupStreamSpec extends AnyFunSuite {
       assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
     } finally q.stop()
   }
+
+  test("streaming versusCorpus: stateless stream-static dedup against a static corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((10L, original), (20L, unrelated)).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val stream = DedupStream.versusCorpus(
+      mem.toDF().toDF("doc_id", "text"), corpus, 0.5)
+    // truly stateless: the physical plan must contain NO stateful operator
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("vs_corpus").start()
+    try {
+      mem.addData((100L, original), (200L, "nothing in common with anything at all here truly"))
+      q.processAllAvailable()
+      mem.addData((300L, original)) // later batch matches independently (no cross-batch state)
+      q.processAllAvailable()
+      val rows = spark.table("vs_corpus").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // exact copies: exactly ONE row per (new, corpus) pair despite all
+      // 4 bands colliding (min-common-band dedup), jaccard 1.0
+      assert(rows.count(r => r._1 == 100L && r._2 == 10L) == 1, rows.toSeq)
+      assert(rows.count(r => r._1 == 300L && r._2 == 10L) == 1, rows.toSeq)
+      assert(rows.filter(r => r._1 == 100L || r._1 == 300L).forall(_._3 == 1.0))
+      assert(!rows.exists(_._1 == 200L), rows.toSeq)
+      // and the streaming plan holds no state store
+      val statefulOps = q.lastProgress.stateOperators
+      assert(statefulOps == null || statefulOps.isEmpty,
+        s"expected stateless plan, got ${statefulOps.mkString(",")}")
+    } finally q.stop()
+    // batch agreement: the same operator over a batch frame reproduces
+    // Dedup.newVersusCorpus
+    val batchDocs = Seq((100L, original), (300L, nearDup)).toDF("doc_id", "text")
+    val viaStreamOp = DedupStream.versusCorpus(batchDocs, corpus, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaBatch = graft.ops.Dedup.newVersusCorpus(batchDocs, corpus, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaStreamOp == viaBatch)
+  }
 }
