@@ -421,6 +421,22 @@ object Queries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** Multimodal → similarity composition: payload bytes batch-decoded
+    * into embeddings (featureExtractStub), unit-normalized, then
+    * brute-force cosine top-3 for the first 5 media — the media
+    * near-dup / retrieval pipeline with the decode stubbed and all
+    * Spark-side plumbing (binary column, mapPartitions batch shape,
+    * broadcast query side, native dot) real.
+    */
+  def mediaFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = graft.ops.Multimodal.syntheticMedia(spark, 2000)
+    val emb = graft.ops.Multimodal.featureExtractStub(media)
+      .withColumnRenamed("media_id", "vec_id")
+    val e = Similarity.normalized(emb)
+    Similarity.bruteForceTopK(e.filter(col("vec_id") < 5), e, 3)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Text quality statistics per document. */
   def textStats(spark: SparkSession, sfDir: String): DataFrame = {
     val t = col("text")

@@ -59,6 +59,7 @@ object SparkEntry {
     "q_knn_cosine" -> (Queries.knnCosine _),
     "q_embed_neardup" -> (Queries.embedNearDup _),
     "q_media_pipeline" -> (Queries.mediaPipeline _),
+    "q_media_features" -> (Queries.mediaFeatures _),
     "q_approx_distinct" -> (Queries.approxDistinct _),
     "q_label_centroids" -> (Queries.labelCentroids _),
     "q_ann_ivf" -> (Queries.annIvf _),
@@ -254,6 +255,30 @@ object SparkEntry {
         |  floor(CAST(sum(micro) AS DOUBLE) / count(*) + 0.5) / 1000000.0 AS avg_brightness,
         |  CAST(sum(payload_bytes) AS BIGINT) AS total_bytes
         |FROM b GROUP BY kind ORDER BY kind""".stripMargin,
+
+    // Media feature embeddings regenerated from the id formula (filler
+    // byte (id*31 + i*7) % 256, 8 strided lanes, exact-int sums, same
+    // double division order), then the knn oracle pattern.
+    "q_media_features" -> {
+      val lane = (j: Int) =>
+        s"""(SELECT CAST(sum((m.id * 31 + f.i * 7) % 256) AS DOUBLE) / count(*) / 255.0
+           |     FROM (SELECT unnest(generate_series(0, m.filler_len - 1)) AS i) f
+           |     WHERE f.i % 8 = $j)""".stripMargin
+      val lanesSql = (0 until 8).map(lane).mkString("[", ",\n    ", "]")
+      s"""WITH m AS (
+         |  SELECT r.range AS id, 256 + r.range % 512 AS filler_len FROM range(0, 2000) r),
+         |emb AS (SELECT id AS vec_id, $lanesSql AS v FROM m),
+         |e AS (SELECT vec_id, ${normSql("v")} AS v FROM emb),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${dotSql("q.v", "c.v")} AS cs
+         |  FROM e c CROSS JOIN (SELECT * FROM e WHERE vec_id < 5) q
+         |  WHERE c.vec_id <> q.vec_id)
+         |SELECT query_id, neighbor_id, rnk, round(cs, 6) AS cos_sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 3
+         |ORDER BY query_id, rnk""".stripMargin
+    },
 
     "q_text_stats" ->
       s"""WITH t AS (SELECT doc_id, text, ${wordsSql("text")} AS w FROM documents)

@@ -84,6 +84,40 @@ object Multimodal {
     }
   }
 
+  /** Batched feature extraction: payload bytes → fixed-dim embedding
+    * (here: per-lane byte means over the filler — a deterministic stand-
+    * in for a real image/audio feature model, which would initialize
+    * once per partition where `model` is). The output column feeds the
+    * similarity stack directly (normalize → DotProduct top-k / IVF):
+    * media dedup-by-embedding is this composed with
+    * Similarity.blockedNearDup.
+    *
+    * Lane math is exact-integer sums + one double division per lane, so
+    * the DuckDB oracle regenerates bit-identical values from the id.
+    */
+  def featureExtractStub(media: Dataset[Media], lanes: Int = 8): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val model = new Object // real feature model / ONNX session init goes here, once per partition
+      it.map { m =>
+        require(model != null)
+        val b = m.payload
+        val sums = new Array[Long](lanes)
+        val counts = new Array[Long](lanes)
+        var i = 15
+        while (i < b.length) {
+          val j = (i - 15) % lanes
+          sums(j) += (b(i) & 0xff)
+          counts(j) += 1
+          i += 1
+        }
+        val emb = Array.tabulate(lanes)(j =>
+          if (counts(j) == 0) 0.0 else sums(j).toDouble / counts(j) / 255.0)
+        (m.media_id, m.kind, emb)
+      }
+    }.toDF("media_id", "kind", "embedding")
+  }
+
   /** Frame sampling for video payloads: every `everyN`-th frame index,
     * with a per-frame feature from the corresponding filler slice.
     */

@@ -41,6 +41,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(one.head == 0 && one.forall(_ % 4 == 0))
   }
 
+  test("feature extraction: fixed dim, unit range, partition-layout invariant") {
+    val emb = Multimodal.featureExtractStub(Multimodal.syntheticMedia(spark, 40, parts = 3))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
+    assert(emb.size == 40)
+    emb.values.foreach { v =>
+      assert(v.length == 8)
+      assert(v.forall(x => x >= 0.0 && x <= 1.0), v)
+    }
+    // different partitioning -> byte-identical embeddings
+    val emb2 = Multimodal.featureExtractStub(Multimodal.syntheticMedia(spark, 40, parts = 7))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
+    assert(emb2 == emb)
+    // identical payloads (same id) are exact embedding duplicates;
+    // different ids differ (filler is id-dependent)
+    assert(emb(1L) != emb(2L))
+  }
+
   test("metadata resize preserves aspect and caps the max dimension") {
     val meta = Multimodal.decodeStub(Multimodal.syntheticMedia(spark, 50, parts = 2))
     Multimodal.resizeMeta(meta, 100).collect().foreach { r =>
