@@ -650,6 +650,36 @@ object Queries {
       orderCol = "event_id", gapSeconds = 1800)
       .orderBy(col("user_id"), col("session_idx"))
 
+  /** Recursive CTE (Spark 4.x WITH RECURSIVE): walk each session chain
+    * from its head through successor events (gap ≤ 30 min), bounded at
+    * 5 steps — the iterative-traversal SQL surface the reference's
+    * engine family exposes, executed natively by Spark's recursion
+    * operator (UNION ALL semantics; depth bounded by the step guard, so
+    * no reliance on the engine's recursion limit).
+    */
+  def recursiveChain(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .createOrReplaceTempView("graft_events")
+    spark.sql(
+      """WITH RECURSIVE ordered AS (
+        |  SELECT user_id, event_id, us, lag(event_id) OVER w AS prev_id, lag(us) OVER w AS prev_us
+        |  FROM (SELECT user_id, event_id, unix_micros(ts) AS us FROM graft_events)
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |nxt AS (SELECT user_id, event_id, us, prev_id FROM ordered
+        |        WHERE prev_us IS NOT NULL AND us - prev_us <= 1800000000),
+        |chain(user_id, event_id, step) AS (
+        |  SELECT user_id, event_id, 1 FROM ordered
+        |  WHERE prev_us IS NULL OR us - prev_us > 1800000000
+        |  UNION ALL
+        |  SELECT n.user_id, n.event_id, c.step + 1
+        |  FROM chain c JOIN nxt n ON n.user_id = c.user_id AND n.prev_id = c.event_id
+        |  WHERE c.step < 5)
+        |SELECT CAST(step AS BIGINT) AS step, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users, min(event_id) AS min_event
+        |FROM chain GROUP BY step ORDER BY step""".stripMargin)
+  }
+
   /** Pivot (hand-rolled columns in the oracle). Empty cells are null in
     * Spark's pivot but 0 in a SUM(CASE) oracle — coalesce for parity.
     */

@@ -83,6 +83,7 @@ object SparkEntry {
     "q_asof_bucketed" -> (Queries.asofJoinBucketed _),
     "q_asof_native" -> (Queries.asofJoinNative _),
     "q_sessionize" -> (Queries.sessionizeQ _),
+    "q_recursive_chain" -> (Queries.recursiveChain _),
     "q_pivot" -> (Queries.pivotQ _),
     "q_percentiles" -> (Queries.percentilesQ _),
     "q_array_funcs" -> (Queries.arrayFuncs _),
@@ -935,6 +936,27 @@ object SparkEntry {
         |  max(sec) - min(sec) AS duration_sec
         |FROM s2 GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+
+    // Same recursive walk as the Spark query, DuckDB dialect: epoch_us
+    // over the CAST-to-µs timestamp matches Spark's unix_micros over the
+    // Tables µs rebuild.
+    "q_recursive_chain" ->
+      """WITH RECURSIVE ordered AS (
+        |  SELECT user_id, event_id, us, lag(event_id) OVER w AS prev_id, lag(us) OVER w AS prev_us
+        |  FROM (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |nxt AS (SELECT user_id, event_id, us, prev_id FROM ordered
+        |        WHERE prev_us IS NOT NULL AND us - prev_us <= 1800000000),
+        |chain(user_id, event_id, step) AS (
+        |  SELECT user_id, event_id, 1 FROM ordered
+        |  WHERE prev_us IS NULL OR us - prev_us > 1800000000
+        |  UNION ALL
+        |  SELECT n.user_id, n.event_id, c.step + 1
+        |  FROM chain c JOIN nxt n ON n.user_id = c.user_id AND n.prev_id = c.event_id
+        |  WHERE c.step < 5)
+        |SELECT CAST(step AS BIGINT) AS step, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users, min(event_id) AS min_event
+        |FROM chain GROUP BY step ORDER BY step""".stripMargin,
 
     "q_pivot" ->
       """SELECT o_orderpriority,
