@@ -1070,6 +1070,25 @@ object Queries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Approximate-quantile sketch (GK/KLL-family `percentile_approx`)
+    * gated by its rank-error CONTRACT, like q_approx_distinct: with
+    * accuracy 1000 the rank error is ≤ 0.1%, so the approx median must
+    * lie within the exact p45..p55 value band (hugely slack — stable
+    * under any tie-breaking drift). The sketch itself is mergeable
+    * partial-agg state: quantiles over 100 TB without a global sort.
+    */
+  def approxQuantileQ(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("exact_p50"),
+        expr("percentile_approx(l_extendedprice, 0.5, 1000)")
+          .between(
+            expr("percentile(l_extendedprice, 0.45)"),
+            expr("percentile(l_extendedprice, 0.55)"))
+          .as("within_bound"))
+      .orderBy(col("l_returnflag"))
+
   /** JSON extraction from the events.props string column. */
   def jsonFuncs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)

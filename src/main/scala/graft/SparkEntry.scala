@@ -61,6 +61,7 @@ object SparkEntry {
     "q_media_pipeline" -> (Queries.mediaPipeline _),
     "q_media_features" -> (Queries.mediaFeatures _),
     "q_approx_distinct" -> (Queries.approxDistinct _),
+    "q_approx_quantile" -> (Queries.approxQuantileQ _),
     "q_label_centroids" -> (Queries.labelCentroids _),
     "q_ann_ivf" -> (Queries.annIvf _),
     "q_kmeans" -> (Queries.kmeansQ _),
@@ -228,6 +229,14 @@ object SparkEntry {
     "q_approx_distinct" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS within_bound
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Sketch contract oracle (see q_approx_distinct): the deterministic
+    // exact median plus a TRUE bound flag the Spark side must earn.
+    "q_approx_quantile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
         |  TRUE AS within_bound
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
