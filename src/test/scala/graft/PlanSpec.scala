@@ -100,4 +100,43 @@ class PlanSpec extends AnyFunSuite {
       .findAllMatchIn(plan).map(_.group(1)).toList
     assert(keyOnly.forall(_ == "_bkt"), s"key-only windows over $keyOnly\n$plan")
   }
+
+  test("group cap pushes a partial rank limit below the exchange") {
+    val plan = formatted(Queries.groupCapQ(spark, sf))
+    // WindowGroupLimit both sides of the exchange: map-side top-k means
+    // the shuffle carries at most cap rows per group per partition
+    val idx = plan.indexOf("Exchange")
+    assert(idx > 0, plan)
+    assert(plan.substring(idx).contains("WindowGroupLimit"), plan)
+  }
+
+  test("incremental dedup joins are all equi (band/key), never cartesian") {
+    val plan = formatted(Queries.dedupIncremental(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("bloom dedup: corpus aggregated once, no shuffle of the batch pre-filter") {
+    val df = graft.ops.Dedup.exactVersusCorpusBloom(
+      graft.sources.Tables.documents(spark, sf).select(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")),
+      graft.sources.Tables.documents(spark, sf).select(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")),
+      1000L, 0.01)
+    val plan = formatted(df)
+    // the bloom probe is a plain Filter over the batch scan — it must
+    // not introduce a join or exchange of its own
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Filter"), plan)
+  }
+
+  test("media feature knn broadcasts the query side") {
+    val plan = formatted(Queries.mediaFeatures(spark, sf))
+    // crossJoin(broadcast(q)) plans as BroadcastNestedLoopJoin — the
+    // candidates stream once, queries replicate; a CartesianProduct
+    // (shuffle-based) would mean the broadcast hint was lost
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
