@@ -658,18 +658,29 @@ object Queries {
     * no reliance on the engine's recursion limit).
     */
   def recursiveChain(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.events(spark, sfDir)
-      .select(col("user_id"), col("event_id"), col("ts"))
-      .createOrReplaceTempView("graft_events")
+    // The successor table is MATERIALIZED once (SessionMemo + persist,
+    // the lshPairs pattern): Spark's recursion operator re-executes the
+    // referenced plan on every step, so an un-cached `ordered` would run
+    // the lag-window 6 times. The recursion then loops joins against an
+    // InMemoryRelation — per-step cost is the join, not the prep.
+    graft.sources.SessionMemo(spark, ("chain_ordered", sfDir)) {
+      Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(ts)").as("us"))
+        .withColumn("prev_id", lag(col("event_id"), 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))))
+        .withColumn("prev_us", lag(col("us"), 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }.createOrReplaceTempView("graft_chain_ordered")
     spark.sql(
-      """WITH RECURSIVE ordered AS (
-        |  SELECT user_id, event_id, us, lag(event_id) OVER w AS prev_id, lag(us) OVER w AS prev_us
-        |  FROM (SELECT user_id, event_id, unix_micros(ts) AS us FROM graft_events)
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
-        |nxt AS (SELECT user_id, event_id, us, prev_id FROM ordered
+      """WITH RECURSIVE
+        |nxt AS (SELECT user_id, event_id, us, prev_id FROM graft_chain_ordered
         |        WHERE prev_us IS NOT NULL AND us - prev_us <= 1800000000),
         |chain(user_id, event_id, step) AS (
-        |  SELECT user_id, event_id, 1 FROM ordered
+        |  SELECT user_id, event_id, 1 FROM graft_chain_ordered
         |  WHERE prev_us IS NULL OR us - prev_us > 1800000000
         |  UNION ALL
         |  SELECT n.user_id, n.event_id, c.step + 1
