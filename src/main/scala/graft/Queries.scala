@@ -1100,6 +1100,31 @@ object Queries {
           .as("within_bound"))
       .orderBy(col("l_returnflag"))
 
+  /** Spark 4 VARIANT path over the same props JSON: parse ONCE into the
+    * binary-encoded variant, then typed `variant_get` extraction — the
+    * scale-friendly semi-structured layout (repeated field access reads
+    * the encoded tree, not the text; contrast q_json_funcs, which
+    * re-parses the string per extraction). try_variant_get on a missing
+    * path must yield null, counted to 0.
+    */
+  def variantFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = parse_json(col("props"))
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), v.as("v"))
+      .select(
+        col("event_type"),
+        expr("variant_get(v, '$.k', 'long')").as("k"),
+        expr("try_variant_get(v, '$.absent', 'string')").as("miss"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("k_sum"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"),
+        count(col("miss")).as("n_missing"))
+      .orderBy(col("event_type"))
+  }
+
   /** JSON extraction from the events.props string column. */
   def jsonFuncs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)

@@ -48,6 +48,7 @@ object SparkEntry {
     "q_math_funcs" -> (Queries.mathFuncs _),
     "q_case_agg" -> (Queries.caseAgg _),
     "q_json_funcs" -> (Queries.jsonFuncs _),
+    "q_variant_funcs" -> (Queries.variantFuncs _),
     "q_text_stats" -> (Queries.textStats _),
     "q_lang_id" -> (Queries.langIdQ _),
     "q_fingerprint" -> (Queries.fingerprintQ _),
@@ -1002,6 +1003,18 @@ object SparkEntry {
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    // VARIANT semantics == typed JSON extraction; the missing-path count
+    // is identically zero on both sides.
+    "q_variant_funcs" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+        |  CAST(count(json_extract_string(props, '$.absent')) AS BIGINT) AS n_missing
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
