@@ -218,19 +218,35 @@ object Queries {
   }
 
   /** Grouping sets via ROLLUP (subtotal + grand-total rows). */
+  /** ROLLUP via pre-aggregation: Spark's Expand runs BEFORE the
+    * aggregate, so a naive rollup/cube pushes sets× copies of the fact
+    * table through the shuffle. Aggregating on the full key first
+    * (count/sum are re-aggregable) shrinks the Expand input from the
+    * corpus to |distinct key| rows — at 100 TB, the difference between
+    * shuffling multiples of the corpus and shuffling a few thousand
+    * partial rows. Results are identical: count→sum of partial counts,
+    * sum→sum of partial sums (2dp money sums land on cents, so the
+    * final round(,2) is unaffected by partial-sum association).
+    */
   def rollupAgg(spark: SparkSession, sfDir: String): DataFrame =
     Tables.customer(spark, sfDir)
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n0"), sum(col("c_acctbal")).as("s0"))
       .rollup(col("c_mktsegment"), col("c_nationkey"))
-      .agg(count(lit(1)).as("n_customers"), round(sum(col("c_acctbal")), 2).as("acctbal_sum"))
+      .agg(sum(col("n0")).as("n_customers"), round(sum(col("s0")), 2).as("acctbal_sum"))
       .orderBy(
         col("c_mktsegment").asc_nulls_first,
         col("c_nationkey").asc_nulls_first)
 
-  /** CUBE over two dims of lineitem. */
+  /** CUBE over two dims of lineitem — same pre-aggregate-before-Expand
+    * shape as [[rollupAgg]] (600k fact rows → 6 partials → Expand ×4).
+    */
   def cubeAgg(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n0"), sum(col("l_quantity")).as("s0"))
       .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n_lines"), round(sum(col("l_quantity")), 2).as("qty_sum"))
+      .agg(sum(col("n0")).as("n_lines"), round(sum(col("s0")), 2).as("qty_sum"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   /** Distinct aggregates (expand-based multi-distinct). */
