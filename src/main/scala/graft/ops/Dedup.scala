@@ -175,6 +175,51 @@ object Dedup {
       .select(col("new_id"), col("corpus_id"), col("jaccard"))
   }
 
+  /** The materializable corpus side of incremental dedup: one row per
+    * (corpus doc, band) carrying the doc's full band array and shingle
+    * set. Write it once with `LakeWriter.writeBucketed(_, "band", N,
+    * table)` and every future ingest joins it WITHOUT shuffling the
+    * corpus (bucketed scan satisfies the join distribution; only the
+    * delta exchanges) — the physical form of the O(delta) claim.
+    */
+  def corpusBandTable(corpus: DataFrame): DataFrame = {
+    val bandKeys = (0 until 4).map(j =>
+      concat_ws(":", lit(j), col(s"s${2 * j}"), col(s"s${2 * j + 1}")))
+    val shCorp = shingleSets(corpus)
+    minhashSignatures(shCorp)
+      .join(shCorp.select(col("doc_id"), col("shingles").as("sh_c")), "doc_id")
+      .select(col("doc_id").as("corpus_id"), col("sh_c"), array(bandKeys: _*).as("bands_c"))
+      .select(col("corpus_id"), col("sh_c"), col("bands_c"),
+        explode(col("bands_c")).as("band"))
+  }
+
+  /** Incremental dedup against a PREBUILT corpus band table
+    * ([[corpusBandTable]], ideally band-bucketed on disk). One equi-join
+    * does candidates AND verification: both sides carry their band
+    * arrays and shingles, multi-band duplicate hits are removed by the
+    * stateless min-common-band filter, and the Jaccard check runs on
+    * the joined row. Works identically on batch and STREAMING deltas
+    * (no aggregation, no state — see DedupStream.versusCorpus).
+    */
+  def newVersusCorpusPrebuilt(newDocs: DataFrame, corpusBands: DataFrame,
+      threshold: Double): DataFrame = {
+    val bandKeys = (0 until 4).map(j =>
+      concat_ws(":", lit(j), col(s"s${2 * j}"), col(s"s${2 * j + 1}")))
+    val delta = minhashSignaturesNarrow(shingleSets(newDocs),
+        keep = Seq(col("shingles").as("sh_n")))
+      .select(col("doc_id").as("new_id"), col("sh_n"), array(bandKeys: _*).as("bands_n"))
+      .select(col("new_id"), col("sh_n"), col("bands_n"),
+        explode(col("bands_n")).as("band"))
+    delta.join(corpusBands, Seq("band"))
+      .filter(col("band") ===
+        array_min(array_intersect(col("bands_n"), col("bands_c"))))
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sh_n"), col("sh_c"))).cast("double") /
+          size(array_union(col("sh_n"), col("sh_c"))), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), col("jaccard"))
+  }
+
   /** Exact dedup of an ingest batch against a static corpus with a
     * BROADCAST BLOOM pre-filter — the companion of [[newVersusCorpus]]
     * for byte-identical duplicates.

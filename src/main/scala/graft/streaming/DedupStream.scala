@@ -73,34 +73,14 @@ object DedupStream {
     * dedup-against-corpus needs none, which is what makes it the
     * sustainable 100 TB ingest shape (vs self-dedup's per-band state).
     */
-  def versusCorpus(docs: DataFrame, corpus: DataFrame, threshold: Double): DataFrame = {
-    val bandKeys = (0 until 4).map(j =>
-      concat_ws(":", lit(j), col(s"s${2 * j}"), col(s"s${2 * j + 1}")))
-    val shNew = Dedup.shingleSets(docs)
-    val streamSide = Dedup
-      .minhashSignaturesNarrow(shNew, keep = Seq(col("shingles").as("sh_n")))
-      .select(col("doc_id").as("new_id"), col("sh_n"), array(bandKeys: _*).as("bands_n"))
-      .select(col("new_id"), col("sh_n"), col("bands_n"),
-        explode(col("bands_n")).as("band"))
-    val shCorp = Dedup.shingleSets(corpus)
-    val corpSide = Dedup.minhashSignatures(shCorp)
-      .select(col("doc_id").as("corpus_id"), array(bandKeys: _*).as("bands_c"))
-      .select(col("corpus_id"), col("bands_c"), explode(col("bands_c")).as("band"))
-    // A pair sharing k of 4 bands appears k times after the equi-join;
-    // keeping only the row whose band is the MIN common band dedups the
-    // pair STATELESSLY (streaming dropDuplicates would accrete one state
-    // entry per pair forever — against a static corpus, no state is
-    // needed at all).
-    streamSide.join(corpSide, Seq("band"))
-      .filter(col("band") ===
-        array_min(array_intersect(col("bands_n"), col("bands_c"))))
-      .join(shCorp.select(col("doc_id").as("corpus_id"), col("shingles").as("sh_c")), "corpus_id")
-      .withColumn("jaccard",
-        round(size(array_intersect(col("sh_n"), col("sh_c"))).cast("double") /
-          size(array_union(col("sh_n"), col("sh_c"))), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("new_id"), col("corpus_id"), col("jaccard"))
-  }
+  def versusCorpus(docs: DataFrame, corpus: DataFrame, threshold: Double): DataFrame =
+    // One equi-join does candidates AND verification; a pair sharing k
+    // of 4 bands appears k times, deduped STATELESSLY by keeping only
+    // the min-common-band row (streaming dropDuplicates would accrete
+    // one state entry per pair forever — against a static corpus, no
+    // state is needed at all). For big corpora pass a pre-written
+    // band-bucketed table to Dedup.newVersusCorpusPrebuilt directly.
+    Dedup.newVersusCorpusPrebuilt(docs, Dedup.corpusBandTable(corpus), threshold)
 
   /** docs(doc_id, text) stream → append-stream of candidate pairs: each
     * arriving doc against EVERY retained earlier occupant of the band

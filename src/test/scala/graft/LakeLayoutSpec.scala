@@ -51,6 +51,37 @@ class LakeLayoutSpec extends AnyFunSuite {
     assert(joined.count() > 0)
   }
 
+  test("band-bucketed corpus table: incremental dedup joins without shuffling the corpus") {
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.sql("DROP TABLE IF EXISTS corpus_bands")
+    val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"), "corpus_bands")
+    if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    val corpus = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    LakeWriter.writeBucketed(graft.ops.Dedup.corpusBandTable(corpus), "band", 8, "corpus_bands")
+
+    val delta = corpus.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 70000).as("doc_id"), col("text"))
+    val matches = graft.ops.Dedup.newVersusCorpusPrebuilt(
+      delta, spark.table("corpus_bands").hint("merge"), 0.5)
+    val plan = matches.queryExecution.executedPlan.toString
+    // the bucketed corpus scan feeds the join with NO exchange of its
+    // own — only the delta side repartitions (the O(delta) ingest shape)
+    val joinIdx = plan.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, plan)
+    val corpusShuffles = "Exchange hashpartitioning\\(band".r
+      .findAllIn(plan.substring(joinIdx)).size
+    assert(corpusShuffles <= 1, s"corpus side shuffled:\n$plan")
+    assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"), plan)
+    // and the prebuilt path returns the SAME matches as the inline one
+    val viaPrebuilt = matches.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaInline = graft.ops.Dedup.newVersusCorpus(delta, corpus, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaPrebuilt == viaInline)
+    assert(viaPrebuilt.nonEmpty) // exact copies must match their source
+  }
+
   test("csv and json-lines interchange round-trips with explicit schemas") {
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("lang"), col("n_chars"))
     val schema = docs.schema
