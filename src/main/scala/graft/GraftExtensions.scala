@@ -82,6 +82,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         RenderLogLine(args.head)
       }))
 
+    ext.injectFunction((FunctionIdentifier("eval_once"),
+      info("eval_once", "eval_once(expr) — evaluate-once barrier: stops CollapseProject/pushdown from duplicating an expensive expression into every consumer"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "eval_once(expr)")
+        EvalBarrier(args.head)
+      }))
+
     ext.injectFunction((FunctionIdentifier("freq_items"),
       info("freq_items", "freq_items(col, k)"),
       (args: Seq[Expression]) => {

@@ -78,6 +78,13 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("eval_once is SQL-callable and transparent to results") {
+    spark.range(5).createOrReplaceTempView("ext_eo_t")
+    val rows = spark.sql(
+      "SELECT eval_once(id * 2 + 1) AS v FROM ext_eo_t ORDER BY v").collect().map(_.getLong(0))
+    assert(rows.toSeq == Seq(1L, 3L, 5L, 7L, 9L))
+  }
+
   test("wrong-typed calls fail at analysis time, not execution") {
     // ADVICE r2: without ExpectsInputTypes a call like
     // portable_hash48(bigint) surfaced as a runtime ClassCastException
