@@ -150,8 +150,10 @@ object Dedup {
     * (band, doc_id) table once (bucketed by band, see
     * LakeWriter.writeBucketed) so each delta batch's candidate join
     * shuffles ONLY the delta. The batch side is small by definition, so
-    * the verify join's shingle fetch is batch-sized too: cost per
-    * ingest is O(delta), never O(corpus).
+    * the verify join's shingle fetch is batch-sized too. Per-ingest
+    * cost: delta-sized SHUFFLE + one sequential columnar SCAN of the
+    * corpus band table (sorted buckets, no sort/exchange) — the corpus
+    * is read but never re-shuffled or re-signed.
     */
   def newVersusCorpus(newDocs: DataFrame, corpus: DataFrame, threshold: Double): DataFrame = {
     val shNew = shingleSets(newDocs)
@@ -180,7 +182,8 @@ object Dedup {
     * set. Write it once with `LakeWriter.writeBucketed(_, "band", N,
     * table)` and every future ingest joins it WITHOUT shuffling the
     * corpus (bucketed scan satisfies the join distribution; only the
-    * delta exchanges) — the physical form of the O(delta) claim.
+    * delta exchanges). The corpus side is still a sequential scan per
+    * ingest — what's eliminated is its shuffle, sort, and re-signing.
     */
   def corpusBandTable(corpus: DataFrame): DataFrame = {
     val bandKeys = (0 until 4).map(j =>
