@@ -259,6 +259,23 @@ object Queries {
         count(lit(1)).as("n_lines"))
       .orderBy(col("l_returnflag"))
 
+  /** Null-safe equi-join (<=> / IS NOT DISTINCT FROM): the null group
+    * JOINS (a plain equi-join silently drops it — a classic silent-
+    * data-loss corner). Planned as a regular hash/sort-merge join on
+    * the null-safe key, not a nested loop.
+    */
+  def nullSafeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), nullif(col("c_nationkey"), lit(5)).as("k"))
+    val b = a.groupBy(col("k")).agg(count(lit(1)).as("n_grp"))
+      .select(col("k").as("bk"), col("n_grp"))
+    a.join(b, col("k") <=> col("bk"))
+      .groupBy(col("bk"))
+      .agg(count(lit(1)).as("n_joined"), min(col("n_grp")).as("n_grp"))
+      .select(col("bk").cast("long").as("k"), col("n_joined"), col("n_grp"))
+      .orderBy(col("k").asc_nulls_first)
+  }
+
   /** Set op: UNION (distinct) of two key sets. */
   def setUnion(spark: SparkSession, sfDir: String): DataFrame =
     Tables.customer(spark, sfDir).filter(col("c_acctbal") > 7000).select(col("c_custkey").as("k"))

@@ -28,6 +28,7 @@ object SparkEntry {
     "q_join_broadcast" -> (Queries.joinBroadcast _),
     "q_join_shuffle" -> (Queries.joinShuffle _),
     "q_semi_join" -> (Queries.semiJoin _),
+    "q_nullsafe_join" -> (Queries.nullSafeJoin _),
     "q_anti_join" -> (Queries.antiJoin _),
     "q_outer_join" -> (Queries.outerJoin _),
     "q_topk" -> (Queries.topK _),
@@ -564,6 +565,16 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+
+    // Null-safe equi-join: IS NOT DISTINCT FROM == Spark <=>; the null
+    // group must join (n_joined = n_grp for every group incl. NULL).
+    "q_nullsafe_join" ->
+      """WITH a AS (SELECT c_custkey, nullif(c_nationkey, 5) AS k FROM customer),
+        |b AS (SELECT k AS bk, count(*) AS n_grp FROM a GROUP BY k)
+        |SELECT CAST(b.bk AS BIGINT) AS k, count(*) AS n_joined, min(b.n_grp) AS n_grp
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.bk
+        |GROUP BY b.bk
+        |ORDER BY k NULLS FIRST""".stripMargin,
 
     "q_anti_join" ->
       """SELECT c_mktsegment, count(*) AS n_customers, round(sum(c_acctbal), 2) AS acctbal_sum
