@@ -595,6 +595,14 @@ object Queries {
     Dedup.simhashPairs(docsWithNearCopies(spark, sfDir, Some(100)), 3)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** The blocked (nibble-banded) variant must reproduce the brute-force
+    * pair list EXACTLY — recall is pigeonhole-structural, so this shares
+    * q_simhash_pairs' oracle SQL verbatim.
+    */
+  def simhashBlockedQ(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.simhashPairsBlocked(docsWithNearCopies(spark, sfDir, Some(100)), 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+
   /** Brute-force cosine top-5 neighbors for the first 10 vectors. */
   def knnCosine(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Similarity.normalized(Similarity.asDouble(Tables.embeddings(spark, sfDir)))

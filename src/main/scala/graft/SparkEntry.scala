@@ -58,6 +58,7 @@ object SparkEntry {
     "q_minhash_lsh" -> (Queries.minhashLshQ _),
     "q_simhash" -> (Queries.simhashQ _),
     "q_simhash_pairs" -> (Queries.simhashPairsQ _),
+    "q_simhash_blocked" -> (Queries.simhashBlockedQ _),
     "q_knn_cosine" -> (Queries.knnCosine _),
     "q_embed_neardup" -> (Queries.embedNearDup _),
     "q_media_pipeline" -> (Queries.mediaPipeline _),
@@ -200,6 +201,23 @@ object SparkEntry {
     import graft.ops.Dedup.{MinHashA => A, MinHashB => B, MinHashP => P}
     (0 until 8).map(j => s"min((h * ${A(j)} + ${B(j)}) % $P) AS s$j").mkString(", ")
   }
+
+  /** Brute-force simhash pair list — shared verbatim by q_simhash_pairs
+    * and the blocked variant (whose recall is structural, not
+    * probabilistic, so outputs are identical).
+    */
+  private lazy val simhashPairsOracle: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id < 100
+       |  UNION ALL
+       |  SELECT doc_id + 10000, replace(text, 'data', 'info') FROM documents WHERE doc_id < 100 AND doc_id % 5 = 0),
+       |t AS (SELECT doc_id, list_transform(list_distinct(${wordsSql("lower(text)")}), wd -> ${hSql("wd")}) AS hs FROM base),
+       |s AS (SELECT doc_id, CAST($simhashSql AS BIGINT) AS simhash FROM t)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   private val simhashSql: String =
     (0 until 16).map { k =>
@@ -433,18 +451,11 @@ object SparkEntry {
          |SELECT doc_id, CAST($simhashSql AS BIGINT) AS simhash
          |FROM t ORDER BY doc_id""".stripMargin,
 
-    "q_simhash_pairs" ->
-      s"""WITH base AS (
-         |  SELECT doc_id, text FROM documents WHERE doc_id < 100
-         |  UNION ALL
-         |  SELECT doc_id + 10000, replace(text, 'data', 'info') FROM documents WHERE doc_id < 100 AND doc_id % 5 = 0),
-         |t AS (SELECT doc_id, list_transform(list_distinct(${wordsSql("lower(text)")}), wd -> ${hSql("wd")}) AS hs FROM base),
-         |s AS (SELECT doc_id, CAST($simhashSql AS BIGINT) AS simhash FROM t)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-         |FROM s a JOIN s b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_simhash_pairs" -> simhashPairsOracle,
+
+    // The blocked (nibble-banded) scale path must reproduce the
+    // brute-force pair list EXACTLY (pigeonhole recall) — same oracle.
+    "q_simhash_blocked" -> simhashPairsOracle,
 
     "q_knn_cosine" ->
       s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

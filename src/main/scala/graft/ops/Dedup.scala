@@ -289,13 +289,53 @@ object Dedup {
   }
 
   /** Near-dup pairs by SimHash hamming distance ≤ maxDist over a small
-    * candidate set (at scale: block on simhash bytes first).
+    * candidate set — brute-force all-pairs; the verification baseline
+    * for [[simhashPairsBlocked]], which is the scale path.
     */
   def simhashPairs(docs: DataFrame, maxDist: Int): DataFrame = {
     val s = simhash16(docs)
     val a = s.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val b = s.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
     a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** SAME OUTPUT as [[simhashPairs]] (maxDist ≤ 3), computed without the
+    * O(n²) product: split the 16-bit simhash into 4 nibbles — by
+    * pigeonhole, ≤3 differing bits cannot touch all 4 nibbles, so every
+    * qualifying pair shares at least one (position, nibble) band.
+    * Candidates come from the band equi-join (Σ|band bucket|² rows, not
+    * n²), duplicates from multi-band agreement are removed by keeping
+    * only the MIN matching band position (stateless, no distinct
+    * shuffle), and the exact hamming check runs on the joined row. The
+    * recall guarantee is structural (pigeonhole), not probabilistic —
+    * unlike MinHash banding this can never miss a qualifying pair.
+    */
+  def simhashPairsBlocked(docs: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist <= 3, "4-nibble banding guarantees recall only for hamming <= 3")
+    val s = simhash16(docs)
+    def nib(j: Int) = shiftright(col("simhash"), 4 * j).bitwiseAND(lit(15L))
+    val banded = s.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(j =>
+        struct(lit(j).as("pos"), nib(j).as("v"))): _*)).as("band"))
+      .select(col("doc_id"), col("simhash"),
+        col("band.pos").as("pos"), col("band.v").as("v"))
+    val l = banded.select(col("pos"), col("v"),
+      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val r = banded.select(col("pos"), col("v"),
+      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    l.join(r, Seq("pos", "v")).filter(col("doc_a") < col("doc_b"))
+      // min matching band position: dedup multi-band hits without a
+      // distinct — a pair's matching positions are a pure function of
+      // (sh_a, sh_b), recomputed cheaply on the joined row
+      .filter {
+        val matches = (0 until 4).map(j =>
+          when(shiftright(col("sh_a"), 4 * j).bitwiseAND(lit(15L)) ===
+            shiftright(col("sh_b"), 4 * j).bitwiseAND(lit(15L)), lit(j)).otherwise(lit(99)))
+        col("pos") === least(matches: _*)
+      }
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .filter(col("hamming") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("hamming"))

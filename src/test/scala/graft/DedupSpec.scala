@@ -112,6 +112,22 @@ class DedupSpec extends AnyFunSuite {
     assert(local == dist)
   }
 
+  test("blocked simhash pairs == brute force (pigeonhole recall, no distinct)") {
+    val d0 = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text").filter($"doc_id" < 100)
+    val docs = d0.union(d0.filter($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 10000).as("doc_id"),
+        replace($"text", lit("data"), lit("info")).as("text")))
+    val brute = Dedup.simhashPairs(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val blocked = Dedup.simhashPairsBlocked(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(blocked == brute)
+    // exactly once per pair (the min-band filter dedups multi-band hits)
+    assert(blocked.map(p => (p._1, p._2)).distinct.size == blocked.size)
+    assert(blocked.nonEmpty)
+  }
+
   test("minhash-lsh surfaces the same near-dup pairs as brute force here") {
     val lsh = Dedup.minhashLsh(base, 0.5)
       .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
