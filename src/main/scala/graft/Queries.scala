@@ -470,6 +470,16 @@ object Queries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Context-length chunking: 40-word chunks, 8-word overlap, pure
+    * word-offset boundaries (reproducible anywhere).
+    */
+  def chunkDocs(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.chunkWords(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+        "text", maxWords = 40, overlap = 8)
+      .select(col("doc_id"), col("chunk_idx"), col("n_words"), col("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   /** Text quality statistics per document. */
   def textStats(spark: SparkSession, sfDir: String): DataFrame = {
     val t = col("text")

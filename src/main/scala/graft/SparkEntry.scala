@@ -51,6 +51,7 @@ object SparkEntry {
     "q_json_funcs" -> (Queries.jsonFuncs _),
     "q_variant_funcs" -> (Queries.variantFuncs _),
     "q_text_stats" -> (Queries.textStats _),
+    "q_chunk_docs" -> (Queries.chunkDocs _),
     "q_lang_id" -> (Queries.langIdQ _),
     "q_fingerprint" -> (Queries.fingerprintQ _),
     "q_dedup_exact" -> (Queries.dedupExact _),
@@ -309,6 +310,18 @@ object SparkEntry {
          |WHERE rnk <= 3
          |ORDER BY query_id, rnk""".stripMargin
     },
+
+    // Word-window chunking: stride 32 (= 40 - 8 overlap); a trailing
+    // start that only re-covers overlap words is dropped on both sides.
+    "q_chunk_docs" ->
+      s"""WITH t AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+         |s AS (SELECT doc_id, w, unnest(generate_series(0, len(w) - 1, 32)) AS start
+         |      FROM t WHERE len(w) > 0)
+         |SELECT doc_id, CAST(start // 32 AS BIGINT) AS chunk_idx,
+         |  CAST(len(list_slice(w, start + 1, least(start + 40, len(w)))) AS BIGINT) AS n_words,
+         |  md5(array_to_string(list_slice(w, start + 1, least(start + 40, len(w))), ' ')) AS chunk_md5
+         |FROM s WHERE start = 0 OR start + 8 < len(w)
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_text_stats" ->
       s"""WITH t AS (SELECT doc_id, text, ${wordsSql("text")} AS w FROM documents)

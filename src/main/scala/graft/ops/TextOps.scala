@@ -106,4 +106,35 @@ object TextOps {
   /** Rabin-Karp min rolling hash over 16-char windows of normalized text. */
   def rollingFingerprint(text: Column): Column =
     graft.functions.GraftFunctions.rolling_hash_min(lower(trim(text)), 16)
+
+  /** Word-window document chunking — the context-length splitter of a
+    * training-data pipeline: chunks of `maxWords`, each sharing
+    * `overlap` words with its predecessor (stride = maxWords - overlap).
+    * Emits (all input columns, chunk_idx, n_words, chunk_md5); chunk
+    * TEXT itself is reconstructable (single-space joined) but the
+    * md5 keeps harness outputs compact.
+    *
+    * Narrow shape: tokenize → explode the stride starts → slice — a
+    * fully pipelined per-row map, no shuffle, trivially parallel over
+    * 100 TB. Deterministic: chunk boundaries are pure word-offset math.
+    */
+  def chunkWords(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      maxWords: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(overlap >= 0 && overlap < maxWords, "need 0 <= overlap < maxWords")
+    val stride = maxWords - overlap
+    val toks = words(col(textCol))
+    docs
+      .withColumn("_toks", toks)
+      .filter(size(col("_toks")) > 0)
+      .withColumn("_start",
+        explode(sequence(lit(0), size(col("_toks")) - 1, lit(stride))))
+      // a trailing start that only re-covers overlap words adds no new
+      // content: keep starts at 0 or exposing at least one NEW word
+      .filter(col("_start") === 0 || col("_start") + overlap < size(col("_toks")))
+      .withColumn("chunk_idx", expr(s"_start div $stride"))
+      .withColumn("_chunk", slice(col("_toks"), col("_start") + 1, lit(maxWords)))
+      .withColumn("n_words", size(col("_chunk")).cast("long"))
+      .withColumn("chunk_md5", md5(concat_ws(" ", col("_chunk"))))
+      .drop("_toks", "_start", "_chunk")
+  }
 }

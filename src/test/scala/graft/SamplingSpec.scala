@@ -49,6 +49,22 @@ class SamplingSpec extends AnyFunSuite {
     assert(ids2 == ids)
   }
 
+  test("chunkWords: stride boundaries, full coverage, no pure-overlap tail") {
+    import graft.ops.TextOps
+    val doc = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = TextOps.chunkWords(doc, "text", maxWords = 4, overlap = 1).collect()
+    // starts 0,3,6 -> (w1..w4)(w4..w7)(w7..w10); start 9 is pure overlap -> dropped
+    assert(chunks.length == 3, chunks.toSeq)
+    assert(chunks.map(_.getAs[Long]("n_words")).toSeq == Seq(4L, 4L, 4L))
+    assert(chunks.map(_.getAs[Long]("chunk_idx")).toSeq == Seq(0L, 1L, 2L))
+    val md5s = chunks.map(_.getAs[String]("chunk_md5"))
+    assert(md5s.distinct.length == 3)
+    // boundary doc: exactly maxWords -> one chunk
+    val one = TextOps.chunkWords(
+      Seq((2L, "a b c d")).toDF("doc_id", "text"), "text", 4, 1).collect()
+    assert(one.length == 1 && one(0).getAs[Long]("n_words") == 4L)
+  }
+
   test("bloom dedup: every exact copy resolves, suffixed docs come out clean") {
     val out = Queries.dedupBloom(spark, "/root/testdata/sf0.001").collect()
     val (copies, novel) = out.partition(_.getLong(0) < 60000)
