@@ -480,6 +480,33 @@ object Queries {
       .select(col("doc_id"), col("chunk_idx"), col("n_words"), col("chunk_md5"))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** PII scrub stage: documents seeded with deterministic synthetic
+    * emails / IPv4s / long ids, per-kind match counts plus the md5 of
+    * the redacted text (placeholders substituted globally).
+    */
+  def piiRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    val seeded = Tables.documents(spark, sfDir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com now")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" from 10.0."), col("doc_id") % 256, lit(".1")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" id "), col("doc_id") * 1000000007L + 123456789L))
+          .otherwise(lit(""))).as("text"))
+    seeded.select(
+      col("doc_id"),
+      // Column-API regexp_count (patterns as literal VALUES — routing
+      // them through SQL text would re-interpret the backslashes)
+      regexp_count(col("text"), lit(TextOps.EmailRx)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(TextOps.Ipv4Rx)).cast("long").as("n_ips"),
+      regexp_count(col("text"), lit(TextOps.LongNumRx)).cast("long").as("n_nums"),
+      md5(TextOps.redactPii(col("text"))).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Text quality statistics per document. */
   def textStats(spark: SparkSession, sfDir: String): DataFrame = {
     val t = col("text")

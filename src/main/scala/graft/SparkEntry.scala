@@ -51,6 +51,7 @@ object SparkEntry {
     "q_json_funcs" -> (Queries.jsonFuncs _),
     "q_variant_funcs" -> (Queries.variantFuncs _),
     "q_text_stats" -> (Queries.textStats _),
+    "q_pii_redact" -> (Queries.piiRedact _),
     "q_chunk_docs" -> (Queries.chunkDocs _),
     "q_lang_id" -> (Queries.langIdQ _),
     "q_fingerprint" -> (Queries.fingerprintQ _),
@@ -309,6 +310,26 @@ object SparkEntry {
          |  FROM scored)
          |WHERE rnk <= 3
          |ORDER BY query_id, rnk""".stripMargin
+    },
+
+    // PII scrub: patterns interpolated from the SAME Scala constants
+    // (RE2-safe by construction — DuckDB '...' literals do not process
+    // backslashes, so the regex text passes through verbatim).
+    "q_pii_redact" -> {
+      val (e, ip, nm) = (graft.ops.TextOps.EmailRx, graft.ops.TextOps.Ipv4Rx,
+        graft.ops.TextOps.LongNumRx)
+      s"""WITH seeded AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END ||
+         |    CASE WHEN doc_id % 11 = 0 THEN ' id ' || CAST(doc_id * 1000000007 + 123456789 AS VARCHAR) ELSE '' END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$e')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(text, '$nm')) AS BIGINT) AS n_nums,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text, '$e', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$nm', '<NUM>', 'g')) AS redacted_md5
+         |FROM seeded ORDER BY doc_id""".stripMargin
     },
 
     // Word-window chunking: stride 32 (= 40 - 8 overlap); a trailing

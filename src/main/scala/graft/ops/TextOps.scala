@@ -107,6 +107,27 @@ object TextOps {
   def rollingFingerprint(text: Column): Column =
     graft.functions.GraftFunctions.rolling_hash_min(lower(trim(text)), 16)
 
+  /** PII redaction patterns — deliberately RE2-safe (no backrefs, no
+    * lookarounds) so Java regex (Spark) and RE2 (DuckDB oracle) agree
+    * byte-for-byte. Order matters: emails first (an email contains
+    * digit runs), then IPv4, then bare long digit runs.
+    */
+  val EmailRx = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Rx = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val LongNumRx = "\\b\\d{9,}\\b"
+
+  /** Redact emails / IPv4s / long digit runs with typed placeholder
+    * tokens — the standard pre-training scrub stage. Pure codegen'd
+    * regexp_replace chain: narrow, no shuffle, and the pattern set is a
+    * named constant so the oracle replays it verbatim.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRx, "<EMAIL>"),
+        Ipv4Rx, "<IP>"),
+      LongNumRx, "<NUM>")
+
   /** Word-window document chunking — the context-length splitter of a
     * training-data pipeline: chunks of `maxWords`, each sharing
     * `overlap` words with its predecessor (stride = maxWords - overlap).

@@ -65,6 +65,19 @@ class SamplingSpec extends AnyFunSuite {
     assert(one.length == 1 && one(0).getAs[Long]("n_words") == 4L)
   }
 
+  test("redactPii replaces emails, IPv4s, and long digit runs with typed tokens") {
+    import graft.ops.TextOps
+    val in = Seq((1L,
+      "mail a.user+x@sub.example.org or 192.168.001.2, order 1234567890, keep 12345 and v1.2.3.4x"
+    )).toDF("doc_id", "text")
+    val out = in.select(TextOps.redactPii($"text")).collect()(0).getString(0)
+    assert(out.contains("<EMAIL>") && !out.contains("example.org"), out)
+    assert(out.contains("<IP>") && !out.contains("192.168"), out)
+    assert(out.contains("<NUM>") && !out.contains("1234567890"), out)
+    assert(out.contains("keep 12345"), out)       // short digit runs survive
+    assert(out.contains("v1.2.3.4x"), out)        // \b guards: not a bare IP
+  }
+
   test("bloom dedup: every exact copy resolves, suffixed docs come out clean") {
     val out = Queries.dedupBloom(spark, "/root/testdata/sf0.001").collect()
     val (copies, novel) = out.partition(_.getLong(0) < 60000)
