@@ -825,6 +825,43 @@ object SparkEntry {
          |ORDER BY query_id, rnk""".stripMargin
     },
 
+    // Lloyd's k-means fully unrolled (3 assign→recompute iterations +
+    // final assignment) — every stage is the same centroid-avg /
+    // argmin-distance SQL q_ann_ivf already hash-matches; 6dp centroid
+    // rounding each round keeps the two engines' double sums aligned.
+    "q_kmeans" -> {
+      def assign(cents: String, out: String): String =
+        s"""$out AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT e0.vec_id, $cents.cell,
+           |      row_number() OVER (PARTITION BY e0.vec_id ORDER BY
+           |        (${dotSql("v", "v")} - 2.0 * ${dotSql("v", "cv")} + ${dotSql("cv", "cv")}), $cents.cell) AS rn
+           |    FROM e0 CROSS JOIN $cents)
+           |  WHERE rn = 1)""".stripMargin
+      def recompute(asg: String, out: String): String =
+        s"""${out}d AS (
+           |  SELECT cell, dim, round(avg(x), 6) AS m
+           |  FROM (SELECT a.cell, v, unnest(range(len(v))) AS dim
+           |        FROM e0 JOIN $asg a ON e0.vec_id = a.vec_id) t,
+           |       LATERAL (SELECT v[dim + 1] AS x) l
+           |  GROUP BY cell, dim),
+           |$out AS (SELECT cell, list(m ORDER BY dim) AS cv FROM ${out}d GROUP BY cell)""".stripMargin
+      s"""WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0d AS (SELECT CAST(label AS BIGINT) AS cell, dim, round(avg(x), 6) AS m
+         |        FROM (SELECT label, v, unnest(range(len(v))) AS dim FROM e0) t,
+         |             LATERAL (SELECT v[dim + 1] AS x) l
+         |        GROUP BY cell, dim),
+         |c0 AS (SELECT cell, list(m ORDER BY dim) AS cv FROM c0d GROUP BY cell),
+         |${assign("c0", "a1")},
+         |${recompute("a1", "c1")},
+         |${assign("c1", "a2")},
+         |${recompute("a2", "c2")},
+         |${assign("c2", "a3")},
+         |${recompute("a3", "c3")},
+         |${assign("c3", "af")}
+         |SELECT cell, count(*) AS n_vectors FROM af GROUP BY cell ORDER BY cell""".stripMargin
+    },
+
     "q_ann_ivf" ->
       s"""WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |cd AS (
