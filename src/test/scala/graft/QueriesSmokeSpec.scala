@@ -19,11 +19,15 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query has either an oracle or a documented rows-only check") {
+  test("every query has a hash oracle (no rows-only queries remain)") {
+    // Round 3 closed the last gap: q_kmeans hash-matches a fully
+    // unrolled 3-iteration Lloyd oracle (6dp centroid rounding per
+    // round keeps both engines' sums aligned; KMeansSpec still asserts
+    // monotone inertia + stability at the unit level).
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // q_kmeans alone stays rows-only: iterative distributed avg+round
-    // per centroid dim is too rounding-boundary-fragile for a SQL oracle
-    // (KMeansSpec asserts monotone inertia + stability instead).
-    assert(noOracle == Set("q_kmeans"), noOracle)
+    assert(noOracle.isEmpty, noOracle)
+    // and no orphaned oracle entries either
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, orphans)
   }
 }
