@@ -889,9 +889,10 @@ object Queries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  /** k-means (3 Lloyd iterations from the label seed): cluster sizes +
-    * rounded inertia. Deterministic but iterative — no SQL oracle
-    * (rows-only check); KMeansSpec asserts monotone inertia + stability.
+  /** k-means (3 Lloyd iterations from the label seed): cluster sizes.
+    * Deterministic (6dp-rounded centroids each round, id tie-breaks),
+    * so the DuckDB oracle replays all three iterations unrolled;
+    * KMeansSpec additionally asserts monotone inertia + stability.
     */
   def kmeansQ(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Similarity.asDouble(Tables.embeddings(spark, sfDir))
