@@ -599,7 +599,9 @@ object Queries {
       .union(corpus.filter(col("doc_id") % 11 === 5)
         .select((col("doc_id") + 60000).as("doc_id"),
           concat(col("text"), lit(" xyzzy")).as("text")))
-    Dedup.exactVersusCorpusBloom(batch, corpus, corpus.count(), 0.01)
+    // sizing comes from plan statistics (one scan saved vs an exact
+    // count(): the bloom build + verify join already read the corpus)
+    Dedup.exactVersusCorpusBloom(batch, corpus, 0.01)
       .orderBy(col("new_id"))
   }
 

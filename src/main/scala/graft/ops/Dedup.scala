@@ -243,6 +243,10 @@ object Dedup {
   def exactVersusCorpusBloom(newDocs: DataFrame, corpus: DataFrame,
       expectedCorpusItems: Long, fpp: Double = 0.01): DataFrame = {
     val spark = newDocs.sparkSession
+    require(expectedCorpusItems > 0,
+      "expectedCorpusItems must be positive — pass an APPROXIMATE count " +
+        "(overestimates only lower the realized fpp; never run an exact " +
+        "count() just for sizing) or use estimatedRows(corpus)")
     val corpusKeys = corpus.select(md5(col("text")).as("k"), col("doc_id"))
     val bloom = corpusKeys.stat.bloomFilter("k", math.max(expectedCorpusItems, 1L), fpp)
     val bc = spark.sparkContext.broadcast(bloom)
@@ -252,6 +256,30 @@ object Dedup {
       .join(corpusKeys.groupBy(col("k")).agg(min(col("doc_id")).as("corpus_id")), "k")
       .select(col("new_id"), col("corpus_id"))
     keyed.select(col("new_id")).join(hits, Seq("new_id"), "left")
+  }
+
+  /** [[exactVersusCorpusBloom]] with Bloom sizing derived from the
+    * corpus' PLAN STATISTICS instead of an exact `count()` action — at
+    * the operator's 100 TB posture a sizing count alone would double
+    * the corpus read (the bloom build is already one full scan).
+    */
+  def exactVersusCorpusBloom(newDocs: DataFrame, corpus: DataFrame,
+      fpp: Double): DataFrame =
+    exactVersusCorpusBloom(newDocs, corpus, estimatedRows(corpus), fpp)
+
+  /** Overestimate of a frame's row count from Catalyst plan statistics —
+    * costs NO job. Uses the CBO `rowCount` when table stats exist;
+    * otherwise divides the relation's `sizeInBytes` (for parquet, the
+    * on-disk file size) by a floor bytes-per-row. Dividing by a FLOOR
+    * deliberately overestimates rows, which for Bloom sizing only lowers
+    * the realized fpp (bits scale linearly with the estimate) — callers
+    * with a tighter approximate count should pass it explicitly.
+    */
+  def estimatedRows(df: DataFrame, minRowBytes: Long = 64L): Long = {
+    val stats = df.queryExecution.optimizedPlan.stats
+    stats.rowCount.map(_.toLong)
+      .getOrElse((stats.sizeInBytes / minRowBytes).toLong)
+      .max(1L)
   }
 
   // ------------------------------------------------------------- SimHash
@@ -360,14 +388,20 @@ object Dedup {
     */
   /** Pair-count threshold under which [[connectedComponents]] solves on
     * the driver (union-find over collected edges) instead of running the
-    * distributed label-propagation loop. 4M pairs ≈ 64 MB collected —
-    * trivial for a driver, while the loop's fixed cost (2 joins + a
-    * checkpoint + a fixpoint probe per round) is pure overhead at that
-    * size. Verified near-dup pairs are SPARSE relative to the corpus
-    * (Jaccard-verified dups, not candidates), so even 100 TB corpora
-    * often land under this; the distributed path stays the general case.
+    * distributed label-propagation loop. Sized for the REAL driver
+    * footprint, not raw-long arithmetic: 1M pairs collect as ~32 MB of
+    * primitive-specialized tuples, and the union-find HashMap holds up
+    * to 2M boxed (node → parent) entries ≈ ~160 MB transient heap —
+    * comfortable on any driver, while the loop's fixed cost (2 joins +
+    * a checkpoint + a fixpoint probe per round) is pure overhead at
+    * that size. Verified near-dup pairs are SPARSE relative to the
+    * corpus (Jaccard-verified dups, not candidates), so even 100 TB
+    * corpora often land under this; the distributed path stays the
+    * general case. Override via `-Dgraft.cc.localMaxPairs=N` (0 forces
+    * the distributed loop everywhere).
     */
-  val LocalCcMaxPairs = 4L << 20
+  val LocalCcMaxPairs: Long =
+    sys.props.get("graft.cc.localMaxPairs").map(_.toLong).getOrElse(1L << 20)
 
   /** Driver-side union-find with min-id labels — exact same output
     * contract as the distributed loop: every node labeled with the
@@ -375,7 +409,12 @@ object Dedup {
     */
   private def localCc(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
-    val edges = pairs.select(col("doc_a"), col("doc_b")).collect()
+    import spark.implicits._
+    // Typed collect: primitive-specialized (Long, Long) tuples (~32 B on
+    // heap per pair), not boxed GenericRows — LocalCcMaxPairs' sizing
+    // assumes this. Callers guarantee LongType ids (connectedComponents
+    // routes non-long schemas to the distributed loop).
+    val edges = pairs.select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect()
     val parent = new java.util.HashMap[Long, Long]()
     def find(x: Long): Long = {
       var r = x
@@ -387,13 +426,13 @@ object Dedup {
     }
     // union by MIN ROOT (not rank): keeps the invariant root == min id
     // of the set, which is the output label contract
-    edges.foreach { e =>
-      val (ra, rb) = (find(e.getLong(0)), find(e.getLong(1)))
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
       if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
       else ()
       // ensure isolated endpoints exist in the map even when already equal
-      parent.putIfAbsent(e.getLong(0), find(e.getLong(0)))
-      parent.putIfAbsent(e.getLong(1), find(e.getLong(1)))
+      parent.putIfAbsent(a, find(a))
+      parent.putIfAbsent(b, find(b))
     }
     val labels = {
       import scala.jdk.CollectionConverters._
@@ -406,8 +445,15 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     // Hybrid strategy: the one cheap count on the (persisted) pair table
     // routes small graphs to the driver union-find — same labels, none
-    // of the loop's per-round fixed cost. See LocalCcMaxPairs.
-    if (pairs.limit((LocalCcMaxPairs + 1).toInt).count() <= LocalCcMaxPairs)
+    // of the loop's per-round fixed cost. See LocalCcMaxPairs. The local
+    // path is long-id-only (its union-find is primitive-long); any other
+    // id type (int/string doc ids) takes the distributed loop, which is
+    // type-generic.
+    val longIds = Seq("doc_a", "doc_b").forall(c =>
+      pairs.schema.find(_.name == c).exists(_.dataType ==
+        org.apache.spark.sql.types.LongType))
+    if (longIds && LocalCcMaxPairs > 0 &&
+        pairs.limit((LocalCcMaxPairs + 1).toInt).count() <= LocalCcMaxPairs)
       return localCc(pairs)
     connectedComponentsDistributed(pairs, maxIter)
   }

@@ -108,8 +108,24 @@ class JdbcUpsert(
                 if (us.executeUpdate() == 0) {
                   var i = 0
                   while (i < colNames.length) { is.setObject(i + 1, r.get(i)); i += 1 }
-                  try is.executeUpdate()
-                  catch {
+                  // PostgreSQL-family engines abort the WHOLE transaction
+                  // on any statement error (every later statement fails
+                  // with SQLSTATE 25P02), so the duplicate-key recovery
+                  // UPDATE below would itself die without a savepoint
+                  // scoping the INSERT. Engines with statement-level
+                  // atomicity (MySQL, Derby) don't need it but accept it;
+                  // drivers without savepoint support fall back to the
+                  // old behavior (recovery works there exactly when the
+                  // engine has statement-level rollback).
+                  val sp =
+                    try conn.setSavepoint()
+                    catch { case _: java.sql.SQLException => null }
+                  try {
+                    is.executeUpdate()
+                    if (sp != null)
+                      try conn.releaseSavepoint(sp)
+                      catch { case _: java.sql.SQLException => () }
+                  } catch {
                     // A concurrent attempt of the SAME partition (task
                     // retry racing a zombie, or speculation) inserted the
                     // key between our UPDATE and INSERT. Converge instead
@@ -119,6 +135,7 @@ class JdbcUpsert(
                     case e: java.sql.SQLException
                         if e.isInstanceOf[java.sql.SQLIntegrityConstraintViolationException] ||
                           Option(e.getSQLState).exists(_.startsWith("23")) =>
+                      if (sp != null) conn.rollback(sp)
                       var q = 1
                       nonKeyIdx.foreach { i => us.setObject(q, r.get(i)); q += 1 }
                       keyIdx.foreach { i => us.setObject(q, r.get(i)); q += 1 }

@@ -58,6 +58,36 @@ class DedupSpec extends AnyFunSuite {
     assert(dist == expect)
   }
 
+  test("connected components handle non-long ids (hybrid routes them distributed)") {
+    // the driver union-find is primitive-long only — int and string doc
+    // ids must route to the type-generic distributed loop instead of
+    // throwing ClassCastException (ADVICE r3)
+    val intPairs = Seq((1, 2), (2, 3), (7, 9)).toDF("doc_a", "doc_b")
+    val intCc = Dedup.connectedComponents(intPairs).collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(intCc == Map(1 -> 1, 2 -> 1, 3 -> 1, 7 -> 7, 9 -> 7))
+
+    val strPairs = Seq(("b", "a"), ("b", "c"), ("x", "y")).toDF("doc_a", "doc_b")
+    val strCc = Dedup.connectedComponents(strPairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(strCc == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+  }
+
+  test("estimatedRows: positive, stats-derived, no job") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val est = Dedup.estimatedRows(docs)
+    assert(est > 0)
+    // bloom dedup built on the estimate gives the same exact output as
+    // one sized with the true count (fpp only changes WORK, not output)
+    val base = docs.select($"doc_id", $"text").limit(50)
+    val batch = base.select(($"doc_id" + 1000).as("doc_id"), $"text")
+    val viaStats = Dedup.exactVersusCorpusBloom(batch, base, 0.01)
+      .collect().map(r => (r.getLong(0), r.get(1))).toSet
+    val viaCount = Dedup.exactVersusCorpusBloom(batch, base, 50L, 0.01)
+      .collect().map(r => (r.getLong(0), r.get(1))).toSet
+    assert(viaStats == viaCount && viaStats.nonEmpty)
+  }
+
   test("distributed CC converges on a long path graph") {
     // path 0-1-...-120: diameter 120 >> maxIter 25, so plain neighbor-min
     // propagation could NOT converge — only the pointer-jumping hop

@@ -25,6 +25,51 @@ object JdbcRoundTripSpec {
     java.lang.reflect.Proxy.newProxyInstance(iface.getClassLoader, Array(iface), handler)
       .asInstanceOf[T]
 
+  /** Real Derby connection that simulates PostgreSQL TRANSACTION-ABORT
+    * semantics on top of the `lieNextUpdate` race trigger: after any
+    * statement error, every further execute on the connection fails
+    * with SQLSTATE 25P02 until `rollback(Savepoint)`/`rollback()`. On
+    * such engines the two-step sink's duplicate-key recovery only works
+    * because it scopes the INSERT with a savepoint and rolls back to it
+    * before re-running the UPDATE.
+    */
+  def pgStrictRacingConnection(url: String): java.sql.Connection = {
+    val real = java.sql.DriverManager.getConnection(url)
+    val aborted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    proxy(classOf[java.sql.Connection], (_, m, a) => {
+      val args = if (a == null) Array.empty[AnyRef] else a
+      if (m.getName == "rollback") aborted.set(false)
+      val out =
+        try m.invoke(real, args: _*)
+        catch { case e: java.lang.reflect.InvocationTargetException => throw e.getCause }
+      if (m.getName == "prepareStatement") {
+        val sql = args.head.toString.trim.toUpperCase
+        val ps = out.asInstanceOf[java.sql.PreparedStatement]
+        proxy(classOf[java.sql.PreparedStatement], (_, pm, pa) => {
+          val pargs = if (pa == null) Array.empty[AnyRef] else pa
+          if (pm.getName.startsWith("execute") && aborted.get)
+            throw new java.sql.SQLException(
+              "current transaction is aborted, commands ignored until end of transaction block",
+              "25P02")
+          if (pm.getName == "executeUpdate" && sql.startsWith("UPDATE") &&
+              lieNextUpdate.compareAndSet(true, false))
+            Integer.valueOf(0)
+          else
+            try pm.invoke(ps, pargs: _*)
+            catch {
+              case e: java.lang.reflect.InvocationTargetException =>
+                e.getCause match {
+                  case sqlE: java.sql.SQLException
+                      if pm.getName.startsWith("execute") =>
+                    aborted.set(true); throw sqlE
+                  case other => throw other
+                }
+            }
+        })
+      } else out
+    })
+  }
+
   /** Real Derby connection whose prepared UPDATE statements honor
     * `lieNextUpdate`; everything else delegates untouched.
     */
@@ -118,6 +163,35 @@ class JdbcRoundTripSpec extends AnyFunSuite {
     val check = DriverManager.getConnection(url)
     try {
       val rs = check.createStatement().executeQuery("SELECT v FROM race_t WHERE k = 10")
+      assert(rs.next() && rs.getString(1) == "new")
+    } finally check.close()
+    assert(!JdbcRoundTripSpec.lieNextUpdate.get)
+  }
+
+  test("duplicate-key recovery survives PostgreSQL-style transaction abort (savepoint scoped)") {
+    import spark.implicits._
+    val url = JdbcRoundTripSpec.Url
+    val setup = DriverManager.getConnection(url)
+    try {
+      val st = setup.createStatement()
+      try st.execute("DROP TABLE pg_t") catch { case _: Throwable => () }
+      st.execute("CREATE TABLE pg_t (k BIGINT PRIMARY KEY, v VARCHAR(64))")
+      st.execute("INSERT INTO pg_t VALUES (10, 'old')")
+    } finally setup.close()
+
+    // Same race as above, but the proxy additionally enforces
+    // PostgreSQL's abort rule: after the INSERT's PK violation, EVERY
+    // statement on the connection fails with 25P02 until a rollback.
+    // The sink must roll back to its pre-INSERT savepoint before the
+    // recovery UPDATE, or the task dies here.
+    JdbcRoundTripSpec.lieNextUpdate.set(true)
+    val sink = new JdbcUpsert("pg_t", Seq("k", "v"), Seq("k"),
+      () => JdbcRoundTripSpec.pgStrictRacingConnection(url), updateThenInsert = true)
+    sink.write(Seq((10L, "new")).toDF("k", "v"), 0L)
+
+    val check = DriverManager.getConnection(url)
+    try {
+      val rs = check.createStatement().executeQuery("SELECT v FROM pg_t WHERE k = 10")
       assert(rs.next() && rs.getString(1) == "new")
     } finally check.close()
     assert(!JdbcRoundTripSpec.lieNextUpdate.get)
