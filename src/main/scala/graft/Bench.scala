@@ -1,6 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Bench main — driver contract: print ONE JSON line
+  * `{"metric":...,"value":total_sec,"unit":"sec","queries":{...},"sf":...}`.
+  *
+  * The driver captures only the LAST ~2000 chars of stdout and parses the
+  * JSON from that tail (BENCH_r{1..3}.json all show `parsed: null` because
+  * the old single full-precision line was ~2.6 KB and its head — including
+  * `"metric"` and `"value"` — fell outside the window). Two-line fix:
+  *   1. a full-precision line with `"queries"` FIRST and the headline
+  *      metric/value LAST, so even a head-truncated tail shows the total;
+  *   2. the FINAL line is a compact (ms-integer) JSON kept under a hard
+  *      length budget — dropping the fastest queries if ever needed — so a
+  *      complete, parseable line always sits inside the tail window.
+  */
 object Bench {
+  /** Max bytes for the final compact line: tail window (2000) minus the
+    * sbt `[success] Total time: ...` epilogue and generous slack.
+    */
+  private val CompactBudget = 1400
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -21,10 +40,29 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // Full-precision record: queries first, headline last (tail-survivable).
+    println(s"""{"queries":$qsFull,"sf":"$sfDir","unit":"sec","n_queries":${results.size},"metric":"total","value":$total}""")
+    // Compact final line: seconds at ms precision; heaviest queries first so
+    // that, if the budget ever forces truncation, only trivia drops out.
+    val byTime = results.toSeq.sortBy(-_._2)
+    val header = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","queries":{"""
+    val footer = "}}"
+    val sb = new StringBuilder(header)
+    var first = true
+    var kept = 0
+    byTime.foreach { case (k, v) =>
+      val entry = (if (first) "" else ",") + "\"" + k + "\":" + f"$v%.3f"
+      if (sb.length + entry.length + footer.length <= CompactBudget) {
+        sb.append(entry); first = false; kept += 1
+      }
+    }
+    sb.append(footer)
+    if (kept < results.size)
+      Console.err.println(s"bench: compact line kept $kept/${results.size} heaviest queries (full map on the prior line)")
+    println(sb.toString)
     spark.stop()
   }
 }
