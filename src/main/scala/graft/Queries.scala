@@ -1394,4 +1394,186 @@ object Queries {
         shiftright(col("l_orderkey"), 2).as("shr_v"),
         bit_count(col("l_orderkey")).cast("long").as("pop_v"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  // ------------------------------------------------- round-4 operators
+
+  /** Append a 1-based global position to an already-sorted DataFrame.
+    *
+    * `zipWithIndex` is the distributed way to rank an entire dataset:
+    * Spark's `orderBy` range-partitions (sampled boundaries) and sorts
+    * within partitions, then zipWithIndex pays ONE extra count-per-
+    * partition job to offset each partition's indices — no single-
+    * partition window, no driver collect. This is the 100 TB shape for
+    * "write ordered shards with global row numbers" (training-data
+    * sharding / deterministic pagination).
+    */
+  private def withGlobalPos(df: DataFrame, posCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val schema = StructType(df.schema.fields :+
+      StructField(posCol, LongType, nullable = false))
+    val rdd = df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Global total-order sort (range partitioning, no LIMIT — contrast
+    * q_topk's TakeOrderedAndProject) with true global positions. The
+    * oracle's `row_number() OVER (ORDER BY ...)` checks the ORDER
+    * itself, not just the row set.
+    */
+  def globalSort(spark: SparkSession, sfDir: String): DataFrame =
+    withGlobalPos(
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")),
+      "pos")
+
+  /** Fixed-width histogram: bucket = floor(x / width). IEEE division
+    * and floor are correctly rounded, so bucket ids match DuckDB
+    * bit-exactly; sums of 2dp money land on cents (safe to round).
+    */
+  def histogramQ(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bin"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("price_sum"),
+        min(col("o_totalprice")).as("price_min"),
+        max(col("o_totalprice")).as("price_max"))
+      .orderBy(col("bin"))
+
+  /** Staged conversion funnel with strict event-time ordering: first
+    * view, first click AFTER that view, first purchase AFTER that
+    * click, per user. Three keyed aggregations on the same key
+    * (user_id) — one logical shuffle key reused; the per-stage tables
+    * shrink monotonically. µs BIGINTs end-to-end (nano ts via Tables).
+    */
+  def funnelQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("us"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("view_us"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("us") > col("view_us"))
+      .groupBy("user_id").agg(min(col("us")).as("click_us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("us") > col("click_us"))
+      .groupBy("user_id").agg(min(col("us")).as("purchase_us"))
+    v.join(c.select(col("user_id"), col("click_us")), Seq("user_id"), "left")
+      .join(p.select(col("user_id"), col("purchase_us")), Seq("user_id"), "left")
+      .select(
+        col("user_id"), col("view_us"), col("click_us"), col("purchase_us"),
+        (lit(1) + when(col("click_us").isNotNull, 1).otherwise(0)
+          + when(col("purchase_us").isNotNull, 1).otherwise(0)).cast("long").as("stage"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Cohort retention: cohort = first active epoch-day per user;
+    * one row per (cohort, day-offset) with distinct active users.
+    * The user-day table is pre-distinct'd so the final count is a
+    * plain count(1) — no count(DISTINCT) blowup at scale.
+    */
+  def retentionQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val userDay = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"))
+      .distinct()
+    val cohort = userDay.groupBy("user_id").agg(min(col("d")).as("cohort_day"))
+    userDay.join(cohort, "user_id")
+      .groupBy(col("cohort_day"), (col("d") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  /** OHLC time-bucket downsampling: per (event_type, epoch-day) the
+    * first/max/min/last `value` plus volume. Open/close picked by
+    * row_number over a unique (us, event_id) order — deterministic on
+    * both engines, one exchange on the bucket key for both windows.
+    */
+  def ohlcQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), col("value"),
+        expr("unix_micros(ts)").as("us"),
+        expr("unix_micros(ts) div 86400000000").as("d"))
+    val asc = Window.partitionBy(col("event_type"), col("d"))
+      .orderBy(col("us"), col("event_id"))
+    val desc = Window.partitionBy(col("event_type"), col("d"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    e.withColumn("rn_a", row_number().over(asc))
+      .withColumn("rn_d", row_number().over(desc))
+      .groupBy(col("event_type"), col("d"))
+      .agg(
+        min(when(col("rn_a") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        min(when(col("rn_d") === 1, col("value"))).as("close"),
+        round(sum(col("value")), 2).as("volume"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"), col("d"))
+  }
+
+  /** Vocabulary build over the document corpus: SQL-trim tokenization
+    * (ShingleHashes.sqlTokens semantics), global counts, ids assigned
+    * by (count desc, token asc) rank — the whole vocab table gets a
+    * distributed global position (withGlobalPos), then the top slice is
+    * kept. The token count table is tiny relative to the corpus; the
+    * heavy explode aggregates map-side before its one exchange.
+    */
+  def vocabQ(spark: SparkSession, sfDir: String): DataFrame =
+    withGlobalPos(
+      Tables.documents(spark, sfDir)
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        .filter(length(col("token")) >= 2)
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")),
+      "vocab_id")
+      .filter(col("vocab_id") <= 200)
+
+  /** TF-IDF top-3 terms per document. Output is integer-only (doc, rank,
+    * term, tf, df): the double score tf·ln(N/df) only ORDERS terms
+    * within a doc — equal (tf, df) pairs tie and break on the term
+    * string, so engine ulp differences in ln cannot flip the ranking.
+    */
+  def tfidfQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val tok = docs
+      .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .filter(length(col("token")) >= 2)
+    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tok.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("term_rank", row_number().over(w).cast("long"))
+      .filter(col("term_rank") <= 3)
+      .select(col("doc_id"), col("term_rank"), col("token"), col("tf"), col("df"))
+      .orderBy(col("doc_id"), col("term_rank"))
+  }
+
+  /** Fuzzy (edit-distance) similarity self-join with blocking: the
+    * equi-join key is the block (p_brand), candidate pairs are pruned
+    * by a length band BEFORE the Levenshtein evaluates — the classic
+    * filter-and-verify similarity-join shape. At scale the block key
+    * bounds every task to one block's pairs; no cross join exists in
+    * the plan.
+    */
+  def fuzzyJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+    val a = p.select(col("p_brand"), col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+    val b = p.select(col("p_brand"), col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+    a.join(b, Seq("p_brand"))
+      .filter(col("key_a") < col("key_b"))
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= 2)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= 4)
+      .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"), col("dist"))
+      .orderBy(col("key_a"), col("key_b"))
+  }
 }

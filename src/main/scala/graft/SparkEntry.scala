@@ -108,6 +108,14 @@ object SparkEntry {
     "q_unpivot" -> (Queries.unpivotQ _),
     "q_window_range" -> (Queries.windowRange _),
     "q_bitwise" -> (Queries.bitwiseFuncs _),
+    "q_global_sort" -> (Queries.globalSort _),
+    "q_histogram" -> (Queries.histogramQ _),
+    "q_funnel" -> (Queries.funnelQ _),
+    "q_retention" -> (Queries.retentionQ _),
+    "q_ohlc" -> (Queries.ohlcQ _),
+    "q_vocab" -> (Queries.vocabQ _),
+    "q_tfidf" -> (Queries.tfidfQ _),
+    "q_fuzzy_join" -> (Queries.fuzzyJoin _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -1251,5 +1259,93 @@ object SparkEntry {
         |  CAST(bit_count(l_orderkey) AS BIGINT) AS pop_v
         |FROM lineitem WHERE l_orderkey < 2000
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // ---- round-4 operators
+
+    "q_global_sort" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS pos
+        |FROM orders
+        |ORDER BY pos""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS price_sum,
+        |  min(o_totalprice) AS price_min,
+        |  max(o_totalprice) AS price_max
+        |FROM orders GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |v AS (SELECT user_id, min(us) AS view_us FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(us) AS click_us FROM e JOIN v ON e.user_id = v.user_id
+        |      WHERE event_type = 'click' AND us > view_us GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(us) AS purchase_us FROM e JOIN c ON e.user_id = c.user_id
+        |      WHERE event_type = 'purchase' AND us > click_us GROUP BY e.user_id)
+        |SELECT v.user_id, view_us, click_us, purchase_us,
+        |  CAST(1 + (CASE WHEN click_us IS NOT NULL THEN 1 ELSE 0 END)
+        |         + (CASE WHEN purchase_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
+
+    "q_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |              epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d FROM events),
+        |c AS (SELECT user_id, min(d) AS cohort_day FROM ud GROUP BY user_id)
+        |SELECT cohort_day, d - cohort_day AS day_offset, count(*) AS n_users
+        |FROM ud JOIN c ON ud.user_id = c.user_id
+        |GROUP BY cohort_day, day_offset
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+
+    "q_ohlc" ->
+      """WITH e AS (SELECT event_type, event_id, value,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d FROM events),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, d ORDER BY us, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, d ORDER BY us DESC, event_id DESC) AS rn_d
+        |  FROM e)
+        |SELECT event_type, d,
+        |  min(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  max(value) AS high,
+        |  min(value) AS low,
+        |  min(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  round(sum(value), 2) AS volume,
+        |  count(*) AS n_events
+        |FROM r GROUP BY event_type, d
+        |ORDER BY event_type, d""".stripMargin,
+
+    "q_vocab" ->
+      """WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents),
+        |g AS (SELECT token, count(*) AS cnt FROM t WHERE length(token) >= 2 GROUP BY token),
+        |r AS (SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token) AS vocab_id FROM g)
+        |SELECT token, cnt, vocab_id FROM r WHERE vocab_id <= 200
+        |ORDER BY vocab_id""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents),
+        |tok2 AS (SELECT doc_id, token FROM tok WHERE length(token) >= 2),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok2 GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(*) AS df
+        |          FROM (SELECT DISTINCT doc_id, token FROM tok2) GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, token, tf, df, tf * ln(CAST(n_docs AS DOUBLE) / df) AS score
+        |      FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+        |r AS (SELECT doc_id, token, tf, df,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS term_rank
+        |      FROM s)
+        |SELECT doc_id, term_rank, token, tf, df FROM r WHERE term_rank <= 3
+        |ORDER BY doc_id, term_rank""".stripMargin,
+
+    "q_fuzzy_join" ->
+      """WITH p AS (SELECT p_partkey, p_name, p_brand FROM part)
+        |SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |  a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+        |  AND levenshtein(a.p_name, b.p_name) <= 4
+        |ORDER BY key_a, key_b""".stripMargin,
   )
 }

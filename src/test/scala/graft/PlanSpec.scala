@@ -139,4 +139,59 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastExchange"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  // ---- round-4 operators
+
+  test("global sort range-partitions (sampled boundaries), no single-partition funnel") {
+    // guard the sorted child that withGlobalPos zips — the RDD-backed
+    // result frame itself prints as LogicalRDD
+    val plan = formatted(
+      graft.sources.Tables.orders(spark, sf)
+        .select(org.apache.spark.sql.functions.col("o_orderkey"),
+          org.apache.spark.sql.functions.col("o_totalprice"))
+        .orderBy(org.apache.spark.sql.functions.col("o_totalprice").desc,
+          org.apache.spark.sql.functions.col("o_orderkey")))
+    assert(plan.contains("rangepartitioning"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
+  test("fuzzy join is equi on the block key; levenshtein never sees a cross product") {
+    val plan = formatted(Queries.fuzzyJoin(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // block key is the equi key; length-band + distance are post-join filters
+    assert(plan.contains("p_brand"), plan)
+  }
+
+  test("ohlc: both windows and the final agg share ONE hash exchange on the bucket key") {
+    val plan = formatted(Queries.ohlcQ(spark, sf))
+    // at sf0.001 the scan is one partition and the windows need no
+    // exchange at all; at width the (event_type, d) exchange is shared
+    // by both windows AND the final agg — never one per operator
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 1, s"expected <=1 hash exchange, got $hashEx\n$plan")
+  }
+
+  test("funnel: every stage aggregates partially before its exchange") {
+    val plan = formatted(Queries.funnelQ(spark, sf))
+    assert(plan.contains("partial_min"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("tfidf: corpus-size scalar broadcasts; token joins stay equi") {
+    val plan = formatted(Queries.tfidfQ(spark, sf))
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("vocab: token counts partial-aggregate before the exchange") {
+    val plan = formatted(
+      graft.sources.Tables.documents(spark, sf)
+        .select(org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.trim(
+              org.apache.spark.sql.functions.lower(
+                org.apache.spark.sql.functions.col("text"))), "\\s+")).as("token"))
+        .groupBy("token").count())
+    assert(plan.contains("partial_count") || plan.contains("Partial"), plan)
+  }
 }
