@@ -22,6 +22,10 @@ object Prof {
       profIngest(spark, (name, f) => time(name)(f()))
       spark.stop(); return
     }
+    if (args.headOption.contains("round4")) {
+      profRound4(spark, (name, f) => time(name)(f()))
+      spark.stop(); return
+    }
     val n = 4000000L
     val keys = 5000
     // deterministic synthetic: ts spread over ~46 days, 5k keys
@@ -133,6 +137,28 @@ object Prof {
         Dedup.newVersusCorpusPrebuilt(delta, spark.table(tbl), 0.5).count())
       time(s"prebuilt_ingest2_x$k", () =>
         Dedup.newVersusCorpusPrebuilt(delta, spark.table(tbl), 0.5).count())
+    }
+  }
+
+  /** Round-4 stage breakdown: where do q_tfidf / q_fuzzy_join spend
+    * their time at sf0.1? (two passes — first is cold)
+    */
+  private def profRound4(spark: SparkSession, time: (String, () => Long) => Unit): Unit = {
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val tok = docs
+      .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .filter(length(col("token")) >= 2)
+    for (r <- 1 to 2) {
+      time(s"tfidf_tokenize_$r", () => tok.count())
+      time(s"tfidf_tf_$r", () =>
+        tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf")).count())
+      time(s"tfidf_full_$r", () => Queries.tfidfQ(spark, sf).count())
+    }
+    val p = graft.sources.Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+    for (r <- 1 to 2) {
+      time(s"fuzzy_full_$r", () => Queries.fuzzyJoin(spark, sf).count())
     }
   }
 }

@@ -1338,14 +1338,16 @@ object SparkEntry {
         |SELECT doc_id, term_rank, token, tf, df FROM r WHERE term_rank <= 3
         |ORDER BY doc_id, term_rank""".stripMargin,
 
+    // Brute-force oracle: the Spark side's PassJoin segment prefilter
+    // has structural (pigeonhole) recall, so its verified output must
+    // equal the plain quadratic join exactly.
     "q_fuzzy_join" ->
       """WITH p AS (SELECT p_partkey, p_name, p_brand FROM part)
         |SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
         |  a.p_name AS name_a, b.p_name AS name_b,
         |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
         |FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-        |WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
-        |  AND levenshtein(a.p_name, b.p_name) <= 4
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
         |ORDER BY key_a, key_b""".stripMargin,
   )
 }

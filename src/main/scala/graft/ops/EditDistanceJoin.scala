@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Edit-distance (Levenshtein ≤ k) similarity self-join via a
+  * deletion-neighborhood prefilter — the FastSS / SymSpell family
+  * (Bocek et al., "Fast Similarity Search in Large Dictionaries",
+  * 2007): if ed(a, b) ≤ k then their longest common subsequence has
+  * length ≥ max(|a|,|b|) − k, i.e. some string is reachable from BOTH
+  * a and b by at most k character deletions. So the ≤k-deletion
+  * neighborhoods intersect, and an equi-join of the variant tables on
+  * (block, variant) finds every qualifying pair — structural recall.
+  * Every candidate is then VERIFIED with the true Levenshtein, so the
+  * output is identical to the brute-force quadratic join (the DuckDB
+  * oracle runs brute force).
+  *
+  * Why this beats segment (PassJoin) filtering here: template-style
+  * short names collide massively on 3-char segments (measured 18M
+  * candidate rows, 7.8s at sf0.1), while deletion variants are
+  * near-full-length strings — measured 6.8M joined rows → 252k
+  * distinct candidates against 220k true pairs (87% precision), with
+  * the quadratic block pair set (8M, 11.3s brute force) never built.
+  *
+  * Scale posture: a string of length L emits 1 + L + C(L,2) variants
+  * (56 for L=10) — a constant factor, not a quadratic one. The only
+  * shuffles are the variant equi-join and the candidate DISTINCT on
+  * integer key pairs; both hash-partition on high-cardinality keys, so
+  * no task ever sees more than one variant bucket. Name fetch for the
+  * verify step is an equi join the planner broadcasts when the input
+  * fits (AQE decides at runtime).
+  */
+object EditDistanceJoin {
+
+  /** All strings reachable by deleting up to `k` characters, k ≤ 2.
+    * Encoding: i ∈ [0, L]; j ∈ [0, max(i-1, 0)]; i = 0 → the string
+    * itself, j = 0 → delete position i only, else delete positions j
+    * and i (j < i, so deleting i first leaves j's index stable).
+    * Duplicate variants (repeated characters) are tolerated — the
+    * candidate DISTINCT absorbs them.
+    */
+  private def withDeletionVariants(df: DataFrame, name: String, k: Int): DataFrame = {
+    require(k == 2, s"deletion-neighborhood join implemented for k=2, got $k")
+    val nm = col(name)
+    val big = lit(Int.MaxValue) // substr len: "to end of string"
+    df.withColumn("i", explode(sequence(lit(0), length(nm))))
+      .withColumn("j", explode(sequence(lit(0), greatest(col("i") - 1, lit(0)))))
+      .withColumn("var",
+        when(col("i") === 0, nm)
+          .when(col("j") === 0,
+            concat(nm.substr(lit(1), col("i") - 1), nm.substr(col("i") + 1, big)))
+          .otherwise(concat(
+            nm.substr(lit(1), col("j") - 1),
+            nm.substr(col("j") + 1, col("i") - col("j") - 1),
+            nm.substr(col("i") + 1, big))))
+  }
+
+  /** Self-join `rows` (columns: key, name, block) returning pairs with
+    * ed(name_a, name_b) ≤ k within the same block. Output columns:
+    * key_a, key_b, name_a, name_b, dist (BIGINT), key_a < key_b.
+    */
+  def selfJoin(rows: DataFrame, key: String, name: String, block: String,
+               k: Int = 2): DataFrame = {
+    val variants = withDeletionVariants(
+      rows.select(col(block), col(key), col(name)), name, k)
+    val a = variants.select(col(block), col("var"), col(key).as("key_a"))
+    val b = variants.select(col(block), col("var"), col(key).as("key_b"))
+    val candidates = a.join(b, Seq(block, "var"))
+      .filter(col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b"))
+      .distinct()
+    val names = rows.select(col(key), col(name))
+    candidates
+      .join(names.select(col(key).as("key_a"), col(name).as("name_a")), "key_a")
+      .join(names.select(col(key).as("key_b"), col(name).as("name_b")), "key_b")
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= k)
+      .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"), col("dist"))
+  }
+}
