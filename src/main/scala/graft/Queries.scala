@@ -1558,6 +1558,49 @@ object Queries {
       .orderBy(col("doc_id"), col("term_rank"))
   }
 
+  /** Event-type transition counts (first-order Markov structure of the
+    * clickstream): per user, consecutive events ordered by (ts µs,
+    * event_id) form (prev → curr) pairs; one window exchange on
+    * user_id, then a tiny aggregate over the 25 type pairs.
+    */
+  def transitionsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy(col("prev_type"), col("event_type"))
+  }
+
+  /** Anomaly detection: events whose value is > 2.5σ from their
+    * event-type mean. The gate is evaluated in EXACT integer
+    * arithmetic — cents c, per-type n/Σc/Σc², and the inequality
+    * 4(cn−s1)²(n−1) > 25·n(n·s2−s1²) (z² > 2.5² cross-multiplied) —
+    * as decimal(38,0) on Spark and HUGEINT in DuckDB, so the flag can
+    * never flip on a float boundary. Stats side is 5 rows (broadcast);
+    * the event side never shuffles.
+    */
+  def zscoreQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("value") * 100, 0).cast(dec).as("c"))
+    val st = e.groupBy(col("event_type")).agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum(col("c")).cast(dec).as("s1"),
+      sum(col("c") * col("c")).cast(dec).as("s2"))
+    val dev = col("c") * col("n") - col("s1")
+    e.join(broadcast(st), "event_type")
+      .filter(lit(4).cast(dec) * dev * dev * (col("n") - 1) >
+        lit(25).cast(dec) * col("n") * (col("n") * col("s2") - col("s1") * col("s1")))
+      .select(col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Fuzzy (edit-distance ≤ 2) similarity self-join via the FastSS
     * deletion-neighborhood prefilter ([[graft.ops.EditDistanceJoin]])
     * — structural recall, output identical to brute force, so the

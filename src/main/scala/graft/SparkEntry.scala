@@ -116,6 +116,8 @@ object SparkEntry {
     "q_vocab" -> (Queries.vocabQ _),
     "q_tfidf" -> (Queries.tfidfQ _),
     "q_fuzzy_join" -> (Queries.fuzzyJoin _),
+    "q_transitions" -> (Queries.transitionsQ _),
+    "q_zscore" -> (Queries.zscoreQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -1349,5 +1351,29 @@ object SparkEntry {
         |FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
         |WHERE levenshtein(a.p_name, b.p_name) <= 2
         |ORDER BY key_a, key_b""".stripMargin,
+
+    "q_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |t AS (SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_type
+        |  FROM e)
+        |SELECT prev_type, event_type, count(*) AS n_transitions
+        |FROM t WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, event_type
+        |ORDER BY prev_type, event_type""".stripMargin,
+
+    // z² > 2.5² cross-multiplied into exact integers (HUGEINT here,
+    // decimal(38,0) on the Spark side) — no float boundary can flip
+    // the outlier flag between engines.
+    "q_zscore" ->
+      """WITH e AS (SELECT event_id, event_type, value,
+        |    CAST(round(value * 100, 0) AS HUGEINT) AS c FROM events),
+        |st AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(c) AS s1, sum(c * c) AS s2 FROM e GROUP BY event_type)
+        |SELECT event_id, e.event_type, value
+        |FROM e JOIN st USING (event_type)
+        |WHERE 4 * (c * n - s1) * (c * n - s1) * (n - 1) > 25 * n * (n * s2 - s1 * s1)
+        |ORDER BY event_id""".stripMargin,
   )
 }
