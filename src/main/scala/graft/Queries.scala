@@ -1615,4 +1615,157 @@ object Queries {
       .selfJoin(p, key = "p_partkey", name = "p_name", block = "p_brand", k = 2)
       .orderBy(col("key_a"), col("key_b"))
   }
+
+  /** Interval coalescing (gaps-and-islands): each event opens a 300s
+    * activity interval; overlapping intervals per user merge into
+    * islands. The running `max(end) OVER (... 1 PRECEDING)` detects a
+    * gap without any self-join — ONE exchange on user_id covers both
+    * windows and the final per-island aggregate. All-integer µs
+    * arithmetic, fully ordered by (us, event_id) — deterministic on
+    * both engines.
+    */
+  def intervalMerge(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.TimeSeries.mergeIntervals(
+      Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("s")),
+      key = "user_id", start = "s", orderCol = "event_id", padUnits = 300000000L)
+      .orderBy(col("user_id"), col("island"))
+
+  /** Sequence packing: documents' tokens laid out contiguously into
+    * fixed 2048-token context windows, per shard (doc_id mod 32), docs
+    * split across window boundaries. This is the training-data packing
+    * shape: each shard packs independently (window partitioned by
+    * shard — NO global cumulative sum, so width scales with shard
+    * count), and a doc's pack/offset is a pure function of the doc ids
+    * before it in its shard.
+    */
+  def seqPack(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), (col("doc_id") % 32).as("shard"),
+        size(filter(split(trim(lower(col("text"))), "\\s+"),
+          t => length(t) >= 2)).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        expr("shard * 1000000 + cum_before div 2048").as("pack_id"),
+        (col("cum_before") % 2048).as("pack_offset"),
+        (col("cum_before") % 2048 + col("n_tokens") > 2048).as("spans_boundary"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gopher-style repetition quality signals, exact-integer form: per
+    * doc the token/distinct-token counts and the heaviest bigram, with
+    * the two filter gates cross-multiplied into integer comparisons
+    * (duplicate-token fraction > 1/2; top-bigram fraction > 1/10) so no
+    * float ratio can flip a flag between engines. Everything derives
+    * from ONE tokenize pass; bigrams come from a lead() over the kept
+    * positions — no second scan of the corpus.
+    */
+  def docRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(split(trim(lower(col("text"))), "\\s+")).as(Seq("pos", "token")))
+      .filter(length(col("token")) >= 1)
+    val perDoc = toks.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_tokens"),
+      countDistinct(col("token")).as("n_distinct"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bigrams = toks
+      .withColumn("bg", concat(col("token"), lit(" "), lead(col("token"), 1).over(w)))
+      .filter(col("bg").isNotNull)
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("max_bigram_cnt"),
+        sum(col("c")).as("n_bigrams"))
+    perDoc.join(bigrams, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("max_bigram_cnt"), lit(0L)).as("max_bigram_cnt"),
+        ((col("n_tokens") - col("n_distinct")) * 2 > col("n_tokens")).as("dup_token_flag"),
+        (coalesce(col("max_bigram_cnt"), lit(0L)) * 10 >
+          coalesce(col("n_bigrams"), lit(0L))).as("top_bigram_flag"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Benchmark decontamination: corpus docs sharing any 3-token shingle
+    * with the benchmark slice (doc_id ≡ 0 mod 97 stands in for an eval
+    * set) are flagged, with the matched-shingle count as evidence. The
+    * benchmark gram set is small by construction → broadcast to the
+    * corpus side; the probe is a narrow left join, the corpus is never
+    * shuffled against itself. At 100 TB the bench set stays a broadcast
+    * (eval suites are MBs) and the per-doc gram dedup rides the one
+    * doc_id exchange the window already pays.
+    */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(split(trim(lower(col("text"))), "\\s+")).as(Seq("pos", "token")))
+      .filter(length(col("token")) >= 2)
+      .withColumn("gram", concat(col("token"), lit(" "),
+        lead(col("token"), 1).over(w), lit(" "), lead(col("token"), 2).over(w)))
+      .filter(col("gram").isNotNull)
+      .select(col("doc_id"), col("gram")).distinct()
+    val bench = grams.filter(col("doc_id") % 97 === 0)
+      .select(col("gram")).distinct().withColumn("hit", lit(1L))
+    grams.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_matched"))
+      .withColumn("contaminated", col("n_matched") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Weighted PageRank over the part-adjacency graph (consecutive
+    * lineitems of an order form a directed part→part edge), 3 power
+    * iterations via [[graft.ops.Graph.pagerank]]. Per-iteration round-6
+    * quantization (the unrolled-kmeans device) keeps the DuckDB replay
+    * bit-identical.
+    */
+  def pagerankQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // (l_orderkey, l_linenumber) is NOT unique in this data; adding
+    // l_partkey to the order makes the visited partkey SEQUENCE (and so
+    // the edge multiset) deterministic — remaining ties are identical
+    // partkeys, which commute.
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("src"))
+    val edges = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey").as("src"))
+      .withColumn("dst", lead(col("src"), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).cast("double").as("w"))
+    graft.ops.Graph.pagerank(edges, iters = 3)
+      .orderBy(col("node"))
+  }
+
+  /** Count-min-sketch frequency estimation, gated by its contract the
+    * way q_approx_distinct gates HLL++: the CMS estimate can only
+    * over-count, by at most eps·N (w.h.p.), so the oracle's column is
+    * literal TRUE plus the exact counts. The sketch is a mergeable
+    * map-side aggregate (eps 1e-4, conf 0.99 → ~2700×7 ints) —
+    * constant-size state no matter how many rows stream through it.
+    */
+  def cmsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val eps = 0.0001
+    val li = Tables.lineitem(spark, sfDir).select(col("l_partkey"))
+    val sketch = li.stat.countMinSketch("l_partkey", eps, 0.99, 42)
+    val total = sketch.totalCount()
+    val bound = math.ceil(eps * total).toLong
+    val est = (0L to 4L).map(k => (k, sketch.estimateCount(Long.box(k))))
+      .toDF("l_partkey", "est")
+    li.filter(col("l_partkey") < 5)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_exact"))
+      .join(broadcast(est), "l_partkey")
+      .select(col("l_partkey"), col("n_exact"),
+        (col("est") >= col("n_exact") && col("est") <= col("n_exact") + bound)
+          .as("within_bound"))
+      .orderBy(col("l_partkey"))
+  }
 }

@@ -118,6 +118,12 @@ object SparkEntry {
     "q_fuzzy_join" -> (Queries.fuzzyJoin _),
     "q_transitions" -> (Queries.transitionsQ _),
     "q_zscore" -> (Queries.zscoreQ _),
+    "q_interval_merge" -> (Queries.intervalMerge _),
+    "q_seq_pack" -> (Queries.seqPack _),
+    "q_doc_repetition" -> (Queries.docRepetition _),
+    "q_decontaminate" -> (Queries.decontaminate _),
+    "q_pagerank" -> (Queries.pagerankQ _),
+    "q_cms" -> (Queries.cmsQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -1375,5 +1381,99 @@ object SparkEntry {
         |FROM e JOIN st USING (event_type)
         |WHERE 4 * (c * n - s1) * (c * n - s1) * (n - 1) > 25 * n * (n * s2 - s1 * s1)
         |ORDER BY event_id""".stripMargin,
+
+    "q_interval_merge" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) + 300000000 AS e FROM events),
+        |m AS (SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max FROM e),
+        |f AS (SELECT *, CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END AS ni FROM m),
+        |i AS (SELECT *, CAST(sum(ni) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island FROM f)
+        |SELECT user_id, island, min(s) AS start_us, max(e) AS end_us, count(*) AS n_events
+        |FROM i GROUP BY user_id, island
+        |ORDER BY user_id, island""".stripMargin,
+
+    "q_seq_pack" ->
+      """WITH d AS (SELECT doc_id, doc_id % 32 AS shard,
+        |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      t -> length(t) >= 2)) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM d)
+        |SELECT doc_id, shard, n_tokens,
+        |  shard * 1000000 + cum_before // 2048 AS pack_id,
+        |  cum_before % 2048 AS pack_offset,
+        |  cum_before % 2048 + n_tokens > 2048 AS spans_boundary
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_doc_repetition" ->
+      """WITH tok AS (SELECT doc_id, unnest(l) AS token, generate_subscripts(l, 1) AS pos
+        |             FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents)),
+        |t2 AS (SELECT doc_id, pos, token FROM tok WHERE length(token) >= 1),
+        |per AS (SELECT doc_id, count(*) AS n_tokens, count(DISTINCT token) AS n_distinct
+        |        FROM t2 GROUP BY doc_id),
+        |bg AS (SELECT doc_id, token || ' ' || lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+        |       FROM t2),
+        |bc AS (SELECT doc_id, bg, count(*) AS c FROM bg WHERE bg IS NOT NULL GROUP BY doc_id, bg),
+        |bm AS (SELECT doc_id, max(c) AS max_bigram_cnt, CAST(sum(c) AS BIGINT) AS n_bigrams
+        |       FROM bc GROUP BY doc_id)
+        |SELECT per.doc_id, n_tokens, n_distinct,
+        |  coalesce(n_bigrams, 0) AS n_bigrams,
+        |  coalesce(max_bigram_cnt, 0) AS max_bigram_cnt,
+        |  (n_tokens - n_distinct) * 2 > n_tokens AS dup_token_flag,
+        |  coalesce(max_bigram_cnt, 0) * 10 > coalesce(n_bigrams, 0) AS top_bigram_flag
+        |FROM per LEFT JOIN bm ON per.doc_id = bm.doc_id
+        |ORDER BY per.doc_id""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH tok AS (SELECT doc_id, unnest(l) AS token, generate_subscripts(l, 1) AS pos
+        |             FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents)),
+        |t2 AS (SELECT doc_id, pos, token FROM tok WHERE length(token) >= 2),
+        |g AS (SELECT doc_id, token || ' ' || lead(token, 1) OVER w || ' ' || lead(token, 2) OVER w AS gram
+        |      FROM t2 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |g2 AS (SELECT DISTINCT doc_id, gram FROM g WHERE gram IS NOT NULL),
+        |bench AS (SELECT DISTINCT gram FROM g2 WHERE doc_id % 97 = 0),
+        |c AS (SELECT * FROM g2 WHERE doc_id % 97 <> 0),
+        |agg AS (SELECT c.doc_id, count(*) AS n_grams,
+        |          CAST(sum(CASE WHEN bench.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+        |        FROM c LEFT JOIN bench ON c.gram = bench.gram
+        |        GROUP BY c.doc_id)
+        |SELECT doc_id, n_grams, n_matched, n_matched > 0 AS contaminated
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // Per-iteration round(·, 6) quantization on BOTH engines (the
+    // unrolled-kmeans device) — each iteration's input is bit-identical,
+    // so accumulation-order noise cannot compound across rounds.
+    "q_pagerank" -> {
+      def iter(prev: String, out: String): String =
+        s"""$out AS (
+           |  SELECT node, round(150.0 / nn + 0.85 * coalesce(c, 0.0), 6) AS pr
+           |  FROM nodes CROSS JOIN n LEFT JOIN (
+           |    SELECT dst, sum(pr * share) AS c
+           |    FROM e2 JOIN $prev ON e2.src = $prev.node GROUP BY dst) t
+           |  ON nodes.node = t.dst)""".stripMargin
+      s"""WITH p AS (SELECT l_partkey AS src,
+         |    lead(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
+         |  FROM lineitem),
+         |ed AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM p WHERE dst IS NOT NULL GROUP BY src, dst),
+         |nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed)),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM nodes),
+         |ow AS (SELECT src, sum(w) AS outw FROM ed GROUP BY src),
+         |e2 AS (SELECT ed.src, ed.dst, ed.w / ow.outw AS share FROM ed JOIN ow USING (src)),
+         |pr0 AS (SELECT node, round(1000.0 / nn, 6) AS pr FROM nodes CROSS JOIN n),
+         |${iter("pr0", "pr1")},
+         |${iter("pr1", "pr2")},
+         |${iter("pr2", "pr3")}
+         |SELECT node, pr FROM pr3 ORDER BY node""".stripMargin
+    },
+
+    // Contract oracle (q_approx_distinct pattern): CMS can only
+    // over-count, by at most eps·N w.h.p. — the boolean is literal TRUE,
+    // the exact counts pin the estimates' anchor.
+    "q_cms" ->
+      """SELECT l_partkey, count(*) AS n_exact, TRUE AS within_bound
+        |FROM lineitem WHERE l_partkey < 5
+        |GROUP BY l_partkey
+        |ORDER BY l_partkey""".stripMargin,
   )
 }

@@ -200,4 +200,27 @@ object TimeSeries {
         from_unixtime(col("_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         (col("_end") - col("_start")).as("duration_sec"))
   }
+
+  /** Interval coalescing (gaps-and-islands): each row opens the interval
+    * [start, start + padUnits); per key, transitively overlapping
+    * intervals merge into islands. Differs from [[sessionize]] in the
+    * merge rule — an island is bounded by the running MAX of interval
+    * ends, so a long interval can bridge rows a fixed gap rule would
+    * split. Both windows and the island aggregate ride ONE exchange on
+    * the key; all arithmetic stays in the start column's integer units.
+    *
+    * @param orderCol unique-per-key tiebreaker — the running max over a
+    *                 ROWS frame is only deterministic under a total order.
+    */
+  def mergeIntervals(df: DataFrame, key: String, start: String, orderCol: String,
+      padUnits: Long): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(start), col(orderCol))
+    val prevMax = max(col("_end")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    df.withColumn("_end", col(start) + lit(padUnits))
+      .withColumn("_new", when(prevMax.isNull || col(start) > prevMax, 1L).otherwise(0L))
+      .withColumn("island", sum(col("_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(key), col("island"))
+      .agg(min(col(start)).as("start_us"), max(col("_end")).as("end_us"),
+        count(lit(1)).as("n_events"))
+  }
 }

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Graph
+
+/** Unit semantics for [[graft.ops.Graph.pagerank]] on graphs small
+  * enough to reason about by hand (the sf-data oracle checks the
+  * distributed arithmetic; these pin the MODEL).
+  */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(Long, Long, Double)], iters: Int = 3): Map[Long, Double] =
+    Graph.pagerank(edges.toDF("src", "dst", "w"), iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("symmetric 2-cycle keeps the uniform distribution exactly") {
+    val pr = ranks(Seq((1L, 2L, 1.0), (2L, 1L, 1.0)))
+    // mass 1000 over 2 nodes: 500 each, and the update maps 500 -> 500
+    assert(pr(1L) == 500.0 && pr(2L) == 500.0, pr)
+  }
+
+  test("a sink hub accumulates rank from all spokes") {
+    // star: 1,2,3 -> 4; 4 -> 1 (so 4 is not dangling)
+    val pr = ranks(Seq((1L, 4L, 1.0), (2L, 4L, 1.0), (3L, 4L, 1.0), (4L, 1L, 1.0)))
+    assert(pr(4L) > pr(1L) && pr(1L) > pr(2L), pr)
+    assert(pr(2L) == pr(3L), pr) // symmetric spokes tie exactly
+  }
+
+  test("edge weights steer proportional mass") {
+    // 1 splits 3:1 between 2 and 3; both return to 1
+    val pr = ranks(Seq((1L, 2L, 3.0), (1L, 3L, 1.0), (2L, 1L, 1.0), (3L, 1L, 1.0)))
+    assert(pr(2L) > pr(3L), pr)
+    // subtract the damped base (150/3 = 50 exactly): what remains is
+    // 0.85 · pr(1) · share, so the 3:1 split survives verbatim
+    assert(math.abs((pr(2L) - 50.0) - 3.0 * (pr(3L) - 50.0)) < 1e-3, pr)
+  }
+
+  test("dangling node receives only the damped base term") {
+    // 1 -> 2, 2 has no out-edges (mass leaks by the simple convention)
+    val pr = ranks(Seq((1L, 2L, 1.0)), iters = 1)
+    // N=2: base = 150/2 = 75; node 1 gets only base (nothing points at it)
+    assert(pr(1L) == 75.0, pr)
+    // node 2 gets base + 0.85 * pr0(1) = 75 + 0.85*500 = 500
+    assert(pr(2L) == 500.0, pr)
+  }
+
+  test("total mass is conserved on a graph with no dangling nodes") {
+    val edges = Seq((1L, 2L, 1.0), (2L, 3L, 2.0), (3L, 1L, 1.0), (3L, 2L, 1.0), (2L, 1L, 1.0))
+    val total = ranks(edges).values.sum
+    assert(math.abs(total - 1000.0) < 0.01, total)
+  }
+}

@@ -194,4 +194,31 @@ class PlanSpec extends AnyFunSuite {
         .groupBy("token").count())
     assert(plan.contains("partial_count") || plan.contains("Partial"), plan)
   }
+
+  test("interval merge: both windows and the island agg share ONE user_id exchange") {
+    val plan = formatted(Queries.intervalMerge(spark, sf))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 1, s"expected <=1 hash exchange, got $hashEx\n$plan")
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
+  test("seq pack: cumulative window partitions by shard, never a global window") {
+    val plan = formatted(Queries.seqPack(spark, sf))
+    assert("windowspecdefinition\\(shard#\\d+L".r.findFirstIn(plan).isDefined, plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
+  test("decontaminate: bench gram set broadcasts; probe join never shuffles the corpus side twice") {
+    val plan = formatted(Queries.decontaminate(spark, sf))
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("pagerank: rank/share joins stay equi; only the count scalar broadcasts") {
+    val plan = formatted(Queries.pagerankQ(spark, sf))
+    // crossJoin(broadcast(n)) is the one nested-loop (1-row scalar);
+    // the per-iteration edge⋈rank joins must be hash/merge equi-joins
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }

@@ -84,4 +84,35 @@ class TimeSeriesSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(4)))
     assert(s.toSet == Set((1L, 2L, 1800L), (2L, 1L, 0L)))
   }
+
+  test("mergeIntervals: touching closes, long interval bridges, gap splits") {
+    import spark.implicits._
+    // pad=10: [0,10) [10,20) touch-at-boundary -> s == prev_max merges;
+    // [30,40) then 35 inside -> bridged; 55 starts after 45 -> new island
+    val rows = Seq(
+      (1L, 0L), (2L, 10L),  // island 1 (s=10 == prev_max 10 -> merge)
+      (3L, 30L), (4L, 35L), // island 2 ([30,40) bridges 35)
+      (5L, 55L),            // island 3 (55 > 45)
+      (6L, 1000L)           // other key, own island
+    ).map { case (id, s) => (if (id == 6L) 9L else 7L, id, s) }
+      .toDF("k", "event_id", "s")
+    val out = TimeSeries.mergeIntervals(rows, "k", "s", "event_id", 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(out == Set(
+      (7L, 1L, 0L, 20L, 2L),
+      (7L, 2L, 30L, 45L, 2L),
+      (7L, 3L, 55L, 65L, 1L),
+      (9L, 1L, 1000L, 1010L, 1L)), out)
+  }
+
+  test("mergeIntervals islands are invariant to input partitioning") {
+    import spark.implicits._
+    val rows = (1L to 200L).map(i => (i % 5, i, (i * 37) % 900)).toDF("k", "event_id", "s")
+    def shape(parts: Int) =
+      TimeSeries.mergeIntervals(rows.repartition(parts), "k", "s", "event_id", 25L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+    assert(shape(1) == shape(13))
+  }
 }
