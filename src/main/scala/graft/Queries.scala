@@ -1743,6 +1743,89 @@ object Queries {
       .orderBy(col("node"))
   }
 
+  /** Native session windows (`session_window`): Spark's own gap-merge
+    * session operator — the window END extends to last-event + gap and
+    * an event landing exactly ON the current end opens a NEW session
+    * (end-exclusive), which is what the oracle's `>= running-end` island
+    * rule replays. Contrast [[graft.ops.TimeSeries.sessionize]] (gap
+    * from previous event, boundary-inclusive) — both live in the
+    * library because the reference's Q2-style continuous aggregation
+    * maps to this operator under Structured Streaming with a watermark
+    * (state evicts once the watermark passes a session's end).
+    */
+  def sessionWindowQ(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        expr("unix_micros(w.start)").as("start_us"),
+        expr("unix_micros(w.end)").as("end_us"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("start_us"))
+
+  /** Equi-depth histogram (quartiles per event type): ntile assigns
+    * near-equal populations per bucket; per bucket the row count and
+    * value span. The complement of q_histogram's fixed-width bins —
+    * this is the feature-binning shape (quantile buckets) training
+    * pipelines use for numeric features. One exchange on event_type.
+    */
+  def histogramEqDepth(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy(col("event_type"), col("quartile"))
+      .agg(count(lit(1)).as("n_events"),
+        round(min(col("value")), 2).as("v_min"),
+        round(max(col("value")), 2).as("v_max"))
+      .orderBy(col("event_type"), col("quartile"))
+  }
+
+  /** Z-order (Morton) clustering key: interleave the bits of two
+    * dimensions so ordering by the single z value co-locates rows close
+    * in BOTH — the multi-dimensional lake-layout device (sort/range-
+    * partition by z before writing → min/max row-group stats prune on
+    * either dimension). The 16-bit spread uses the classic mask ladder
+    * — plain integer shifts/masks, bit-identical on any engine.
+    */
+  def zorderQ(spark: SparkSession, sfDir: String): DataFrame = {
+    def spread(c: Column): Column = {
+      // 16 bits -> even positions of 32: x = (x|x<<8)&0x00FF00FF ...
+      val s1 = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x33333333L))
+      s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    val a = col("c_custkey") % 65536
+    val b = round(col("c_acctbal") * 100, 0).cast("long").bitwiseAND(lit(65535L))
+    withGlobalPos(
+      Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), a.as("dim_a"), b.as("dim_b"),
+          spread(a).bitwiseOR(shiftleft(spread(b), 1)).as("zval"))
+        .orderBy(col("zval"), col("c_custkey")),
+      "zpos")
+  }
+
+  /** Int8 symmetric quantization of the embedding column — the
+    * vector-compression step before ANN shipping (4× smaller, dot
+    * products in integer SIMD). Whole computation stays inside array
+    * HOFs (transform/aggregate — codegen, no explode, no shuffle):
+    * scale = 127/max|v|, codes = round(v·scale). Output is integer-only
+    * (code extremes + sum) so engine ulp differences cannot surface.
+    */
+  def quantizeQ(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("mx", expr("aggregate(v, cast(0.0 as double), (m, x) -> greatest(m, abs(x)))"))
+      .withColumn("codes", expr(
+        "transform(v, x -> cast(round(x * 127.0 / mx, 0) as bigint))"))
+      .select(col("vec_id"),
+        expr("aggregate(codes, cast(0 as bigint), (s, x) -> s + x)").as("code_sum"),
+        array_min(col("codes")).as("code_min"),
+        array_max(col("codes")).as("code_max"))
+      .orderBy(col("vec_id"))
+
   /** Count-min-sketch frequency estimation, gated by its contract the
     * way q_approx_distinct gates HLL++: the CMS estimate can only
     * over-count, by at most eps·N (w.h.p.), so the oracle's column is

@@ -124,6 +124,10 @@ object SparkEntry {
     "q_decontaminate" -> (Queries.decontaminate _),
     "q_pagerank" -> (Queries.pagerankQ _),
     "q_cms" -> (Queries.cmsQ _),
+    "q_session_window" -> (Queries.sessionWindowQ _),
+    "q_histogram_eqdepth" -> (Queries.histogramEqDepth _),
+    "q_zorder" -> (Queries.zorderQ _),
+    "q_quantize" -> (Queries.quantizeQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -1466,6 +1470,54 @@ object SparkEntry {
          |${iter("pr2", "pr3")}
          |SELECT node, pr FROM pr3 ORDER BY node""".stripMargin
     },
+
+    // Island rule replaying session_window's END-EXCLUSIVE merge: the
+    // running session end is max(s + gap) over prior events; an event
+    // AT the end (s >= prev_end) opens a new session.
+    "q_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s FROM events),
+        |m AS (SELECT *, max(s + 1800000000) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM e),
+        |f AS (SELECT *, CASE WHEN prev_end IS NULL OR s >= prev_end THEN 1 ELSE 0 END AS ni FROM m),
+        |i AS (SELECT *, CAST(sum(ni) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid FROM f)
+        |SELECT user_id, min(s) AS start_us, max(s) + 1800000000 AS end_us, count(*) AS n_events
+        |FROM i GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin,
+
+    "q_histogram_eqdepth" ->
+      """WITH r AS (SELECT event_type, event_id, value,
+        |    CAST(ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS quartile
+        |  FROM events)
+        |SELECT event_type, quartile, count(*) AS n_events,
+        |  round(min(value), 2) AS v_min, round(max(value), 2) AS v_max
+        |FROM r GROUP BY event_type, quartile
+        |ORDER BY event_type, quartile""".stripMargin,
+
+    "q_zorder" -> {
+      def spread(x: String): String = {
+        val s1 = s"(($x | ($x << 8)) & 16711935)"     // 0x00FF00FF
+        val s2 = s"(($s1 | ($s1 << 4)) & 252645135)"  // 0x0F0F0F0F
+        val s3 = s"(($s2 | ($s2 << 2)) & 858993459)"  // 0x33333333
+        s"(($s3 | ($s3 << 1)) & 1431655765)"          // 0x55555555
+      }
+      s"""WITH d AS (SELECT c_custkey, c_custkey % 65536 AS dim_a,
+         |    CAST(round(c_acctbal * 100, 0) AS BIGINT) & 65535 AS dim_b FROM customer),
+         |z AS (SELECT c_custkey, dim_a, dim_b,
+         |    ${spread("dim_a")} | (${spread("dim_b")} << 1) AS zval FROM d)
+         |SELECT c_custkey, dim_a, dim_b, zval,
+         |  row_number() OVER (ORDER BY zval, c_custkey) AS zpos
+         |FROM z ORDER BY zpos""".stripMargin
+    },
+
+    "q_quantize" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_aggregate(list_transform(v, x -> abs(x)), 'max') AS mx FROM e),
+        |c AS (SELECT vec_id, list_transform(v, x -> CAST(round(x * 127.0 / mx, 0) AS BIGINT)) AS codes FROM m)
+        |SELECT vec_id, CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum,
+        |  list_aggregate(codes, 'min') AS code_min,
+        |  list_aggregate(codes, 'max') AS code_max
+        |FROM c ORDER BY vec_id""".stripMargin,
 
     // Contract oracle (q_approx_distinct pattern): CMS can only
     // over-count, by at most eps·N w.h.p. — the boolean is literal TRUE,

@@ -221,4 +221,22 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastExchange"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("session_window plans Spark's native session aggregation, keyed by user") {
+    val plan = formatted(Queries.sessionWindowQ(spark, sf))
+    assert(plan.contains("session_window"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
+  test("equi-depth histogram: ntile and the bucket agg share the event_type exchange") {
+    val plan = formatted(Queries.histogramEqDepth(spark, sf))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 1, s"expected <=1 hash exchange, got $hashEx\n$plan")
+  }
+
+  test("quantize stays inside array HOFs — no explode, no shuffle") {
+    val plan = formatted(Queries.quantizeQ(spark, sf))
+    assert(!plan.contains("Generate"), plan) // explode would plan a Generate
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
 }

@@ -121,4 +121,35 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.contains(("00:05", "view", 1L)))
     } finally q.stop()
   }
+
+  test("native session_window merges across micro-batches and finalizes on watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val sessions = mem.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "10 minutes")
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", date_format($"w.start", "HH:mm").as("s"),
+        date_format($"w.end", "HH:mm").as("e"), $"n_events")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("native_sessions").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      // two events 20min apart -> one session (gap 30min)
+      mem.addData((ts("2024-01-01 00:00:00"), 1L))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 00:20:00"), 1L)) // second batch EXTENDS the open session
+      q.processAllAvailable()
+      // watermark advance finalizes the merged session (append emission)
+      mem.addData((ts("2024-01-01 03:00:00"), 1L))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 06:00:00"), 1L))
+      q.processAllAvailable()
+      val rows = spark.table("native_sessions")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+      // one merged session spanning both batches: [00:00, 00:20+30min)
+      assert(rows.contains((1L, "00:00", "00:50", 2L)), rows)
+    } finally q.stop()
+  }
 }
