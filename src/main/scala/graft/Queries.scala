@@ -1826,6 +1826,101 @@ object Queries {
         array_max(col("codes")).as("code_max"))
       .orderBy(col("vec_id"))
 
+  /** SCD2 compaction: the per-user event-type stream collapsed to
+    * change intervals — keep only rows where the state CHANGES, then
+    * each surviving row is valid [its us, next change's us). The
+    * open (current) interval has a null valid_to. Both the change
+    * filter's lag and the validity lead ride ONE user_id exchange.
+    * This is the dimension-history build every warehouse ingest needs.
+    */
+  def scd2Q(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("event_type") =!= col("prev_type"))
+      .withColumn("valid_to_us", lead(col("us"), 1).over(w))
+      .select(col("user_id"), col("event_type"),
+        col("us").as("valid_from_us"), col("valid_to_us"))
+      .orderBy(col("user_id"), col("valid_from_us"))
+  }
+
+  /** Path mining: top-20 three-step event-type paths (clickstream
+    * n-grams — the sequence-mining generalization of q_transitions).
+    * Two lags over one user_id exchange; the path-count table is at
+    * most |types|³ rows, so the global top-k is a
+    * TakeOrderedAndProject, never a full sort.
+    */
+  def eventPathsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("p1", lag(col("event_type"), 1).over(w))
+      .withColumn("p2", lag(col("event_type"), 2).over(w))
+      .filter(col("p2").isNotNull)
+      .select(concat_ws(" > ", col("p2"), col("p1"), col("event_type")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("path"))
+      .limit(20)
+  }
+
+  /** Column profiling (ANALYZE-style) in ONE pass: row/null/distinct
+    * counts and extremes for four orders columns, computed in a single
+    * aggregate (multi-distinct plans one Expand — still one scan) and
+    * unpivoted with stack(). At 100 TB the exact count(DISTINCT)s
+    * would swap to approx_count_distinct — the oracle pins the exact
+    * contract at test scale.
+    */
+  def profileQ(spark: SparkSession, sfDir: String): DataFrame = {
+    def nulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
+    val a = Tables.orders(spark, sfDir).agg(
+      count(lit(1)).as("n_rows"),
+      nulls("o_custkey").as("nn_ck"), countDistinct(col("o_custkey")).as("nd_ck"),
+      min(col("o_custkey")).cast("double").as("mn_ck"),
+      max(col("o_custkey")).cast("double").as("mx_ck"),
+      nulls("o_totalprice").as("nn_tp"), countDistinct(col("o_totalprice")).as("nd_tp"),
+      round(min(col("o_totalprice")), 2).as("mn_tp"),
+      round(max(col("o_totalprice")), 2).as("mx_tp"),
+      nulls("o_orderstatus").as("nn_os"), countDistinct(col("o_orderstatus")).as("nd_os"),
+      min(col("o_orderstatus")).as("mns_os"), max(col("o_orderstatus")).as("mxs_os"),
+      nulls("o_orderpriority").as("nn_op"), countDistinct(col("o_orderpriority")).as("nd_op"),
+      min(col("o_orderpriority")).as("mns_op"), max(col("o_orderpriority")).as("mxs_op"))
+    a.select(expr(
+      """stack(4,
+        |  'o_custkey',      n_rows, nn_ck, nd_ck, mn_ck, mx_ck, CAST(NULL AS STRING), CAST(NULL AS STRING),
+        |  'o_totalprice',   n_rows, nn_tp, nd_tp, mn_tp, mx_tp, CAST(NULL AS STRING), CAST(NULL AS STRING),
+        |  'o_orderstatus',  n_rows, nn_os, nd_os, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mns_os, mxs_os,
+        |  'o_orderpriority',n_rows, nn_op, nd_op, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mns_op, mxs_op)
+        |AS (column_name, n_rows, n_nulls, n_distinct, min_num, max_num, min_str, max_str)""".stripMargin))
+      .orderBy(col("column_name"))
+  }
+
+  /** Triangle counting over the part co-occurrence graph (parts sharing
+    * an order). Ordered edges (x < y) make each triangle count exactly
+    * once and cut the wedge join to ordered wedges; both joins are
+    * plain equi-joins — the classic distributed triangle shape whose
+    * cost is Σ deg²(wedge pivot), not |V|³. Single-row checksum output
+    * (count + node-sum) keeps the oracle exact.
+    */
+  def trianglesQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
+    val e = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("x"), col("b.l_partkey").as("y"))
+      .distinct()
+    val wedges = e.as("e1").join(e.as("e2"), col("e1.y") === col("e2.x"))
+      .select(col("e1.x").as("ta"), col("e1.y").as("tb"), col("e2.y").as("tc"))
+    wedges.join(e, wedges("ta") === e("x") && wedges("tc") === e("y"))
+      .agg(count(lit(1)).as("n_triangles"),
+        min(col("ta")).as("min_node"), max(col("tc")).as("max_node"),
+        sum(col("ta") + col("tb") + col("tc")).as("node_sum"))
+  }
+
   /** Count-min-sketch frequency estimation, gated by its contract the
     * way q_approx_distinct gates HLL++: the CMS estimate can only
     * over-count, by at most eps·N (w.h.p.), so the oracle's column is

@@ -128,6 +128,10 @@ object SparkEntry {
     "q_histogram_eqdepth" -> (Queries.histogramEqDepth _),
     "q_zorder" -> (Queries.zorderQ _),
     "q_quantize" -> (Queries.quantizeQ _),
+    "q_scd2" -> (Queries.scd2Q _),
+    "q_event_paths" -> (Queries.eventPathsQ _),
+    "q_profile" -> (Queries.profileQ _),
+    "q_triangles" -> (Queries.trianglesQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -1518,6 +1522,68 @@ object SparkEntry {
         |  list_aggregate(codes, 'min') AS code_min,
         |  list_aggregate(codes, 'max') AS code_max
         |FROM c ORDER BY vec_id""".stripMargin,
+
+    "q_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_type
+        |      FROM e),
+        |f AS (SELECT user_id, event_id, event_type, us FROM c
+        |      WHERE prev_type IS NULL OR event_type <> prev_type)
+        |SELECT user_id, event_type, us AS valid_from_us,
+        |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us
+        |FROM f
+        |ORDER BY user_id, valid_from_us""".stripMargin,
+
+    "q_event_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |l AS (SELECT event_type,
+        |    lag(event_type, 1) OVER w AS p1, lag(event_type, 2) OVER w AS p2
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |p AS (SELECT p2 || ' > ' || p1 || ' > ' || event_type AS path
+        |      FROM l WHERE p2 IS NOT NULL)
+        |SELECT path, count(*) AS n_paths FROM p GROUP BY path
+        |ORDER BY n_paths DESC, path LIMIT 20""".stripMargin,
+
+    "q_profile" ->
+      """SELECT 'o_custkey' AS column_name, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |  count(DISTINCT o_custkey) AS n_distinct,
+        |  CAST(min(o_custkey) AS DOUBLE) AS min_num, CAST(max(o_custkey) AS DOUBLE) AS max_num,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', count(*),
+        |  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT o_totalprice),
+        |  round(min(o_totalprice), 2), round(max(o_totalprice), 2), NULL, NULL
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*),
+        |  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT o_orderstatus),
+        |  NULL, NULL, min(o_orderstatus), max(o_orderstatus)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*),
+        |  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT o_orderpriority),
+        |  NULL, NULL, min(o_orderpriority), max(o_orderpriority)
+        |FROM orders
+        |ORDER BY column_name""".stripMargin,
+
+    "q_triangles" ->
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |w AS (SELECT e1.x AS ta, e1.y AS tb, e2.y AS tc
+        |      FROM e e1 JOIN e e2 ON e1.y = e2.x),
+        |t AS (SELECT w.ta, w.tb, w.tc FROM w JOIN e ON w.ta = e.x AND w.tc = e.y)
+        |SELECT count(*) AS n_triangles, min(ta) AS min_node, max(tc) AS max_node,
+        |  CAST(sum(ta + tb + tc) AS BIGINT) AS node_sum
+        |FROM t""".stripMargin,
 
     // Contract oracle (q_approx_distinct pattern): CMS can only
     // over-count, by at most eps·N w.h.p. — the boolean is literal TRUE,

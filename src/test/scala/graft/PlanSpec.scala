@@ -239,4 +239,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Generate"), plan) // explode would plan a Generate
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
+
+  test("scd2: change filter and validity lead share ONE user_id exchange") {
+    val plan = formatted(Queries.scd2Q(spark, sf))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 1, s"expected <=1 hash exchange, got $hashEx\n$plan")
+  }
+
+  test("event paths: global top-20 is TakeOrderedAndProject, never a full sort") {
+    val plan = formatted(Queries.eventPathsQ(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("profile: one scan feeds all four column profiles (multi-distinct Expand)") {
+    val plan = formatted(Queries.profileQ(spark, sf))
+    // formatted mode prints each scan twice (tree + detail) — count the
+    // per-scan Location detail lines instead
+    val scans = "Location: InMemoryFileIndex".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 scan, got $scans\n$plan")
+    assert(plan.contains("Expand"), plan)
+  }
+
+  test("triangles: wedge and closing joins are equi — no cartesian anywhere") {
+    val plan = formatted(Queries.trianglesQ(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
