@@ -26,6 +26,10 @@ object Prof {
       profRound4(spark, (name, f) => time(name)(f()))
       spark.stop(); return
     }
+    if (args.headOption.contains("tri")) {
+      profTri(spark, (name, f) => time(name)(f()))
+      spark.stop(); return
+    }
     val n = 4000000L
     val keys = 5000
     // deterministic synthetic: ts spread over ~46 days, 5k keys
@@ -160,5 +164,50 @@ object Prof {
     for (r <- 1 to 2) {
       time(s"fuzzy_full_$r", () => Queries.fuzzyJoin(spark, sf).count())
     }
+  }
+
+  /** Triangle wedge-expansion A/B: SMJ self-join vs adjacency-list HOF
+    * pair expansion, interleaved in one session (host contention swings
+    * wall times 2×; only within-run ratios mean anything).
+    */
+  private def profTri(spark: SparkSession, time: (String, () => Long) => Unit): Unit = {
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val li = graft.sources.Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_partkey"))
+    val e = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("x"), col("b.l_partkey").as("y"))
+      .distinct().persist()
+    e.count()
+    val deg = e.select(col("x").as("node")).union(e.select(col("y").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(broadcast(deg).withColumnRenamed("node", "x").withColumnRenamed("deg", "dx"), "x")
+      .join(broadcast(deg).withColumnRenamed("node", "y").withColumnRenamed("deg", "dy"), "y")
+    val xFirst = col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y"))
+    val o = withDeg.select(
+      when(xFirst, col("x")).otherwise(col("y")).as("src"),
+      when(xFirst, col("y")).otherwise(col("x")).as("dst"),
+      when(xFirst, col("dy")).otherwise(col("dx")).as("ddst")).persist()
+    o.count()
+    def close(wedges: org.apache.spark.sql.DataFrame): Long =
+      wedges.join(broadcast(o.select(col("src"), col("dst"))),
+        col("v") === col("src") && col("w") === col("dst")).count()
+    val vBeforeW = col("o1.ddst") < col("o2.ddst") ||
+      (col("o1.ddst") === col("o2.ddst") && col("o1.dst") < col("o2.dst"))
+    def smj = o.as("o1").join(o.as("o2"), col("o1.src") === col("o2.src") && vBeforeW)
+      .select(col("o1.src").as("u"), col("o1.dst").as("v"), col("o2.dst").as("w"))
+    def hof = o.groupBy(col("src"))
+      .agg(sort_array(collect_list(struct(col("ddst"), col("dst")))).as("ns"))
+      .select(col("src").as("u"), explode(expr(
+        """flatten(transform(ns, (a, i) ->
+          |  transform(slice(ns, i + 2, size(ns)), b -> struct(a.dst AS v, b.dst AS w))))""".stripMargin))
+        .as("p"))
+      .select(col("u"), col("p.v").as("v"), col("p.w").as("w"))
+    for (r <- 1 to 3) {
+      time(s"tri_smj_$r", () => close(smj))
+      time(s"tri_hof_$r", () => close(hof))
+    }
+    e.unpersist(); o.unpersist()
   }
 }

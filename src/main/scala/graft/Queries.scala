@@ -1900,11 +1900,17 @@ object Queries {
   }
 
   /** Triangle counting over the part co-occurrence graph (parts sharing
-    * an order). Ordered edges (x < y) make each triangle count exactly
-    * once and cut the wedge join to ordered wedges; both joins are
-    * plain equi-joins — the classic distributed triangle shape whose
-    * cost is Σ deg²(wedge pivot), not |V|³. Single-row checksum output
-    * (count + node-sum) keeps the oracle exact.
+    * an order), degree-oriented: every edge points low-degree →
+    * high-degree (ties by id), so wedges enumerate only out-neighbor
+    * PAIRS — Σ C(outdeg, 2) with outdeg ≤ O(√|E|) — instead of the
+    * unoriented Σ indeg·outdeg (100× more here: 47s → ~3s at sf0.1).
+    * The tiny degree table broadcasts onto the edges; the closing-edge
+    * probe broadcasts the edge list, so the wedge stream is generated
+    * and filtered in ONE stage — wedges never hit a shuffle. At edge
+    * lists beyond broadcast size the closing probe becomes a shuffle
+    * equi-join on (v, w); the orientation bound is what survives scale.
+    * Count/min/max/node-sum are orientation-invariant, so the oracle
+    * stays the plain ordered-edge SQL.
     */
   def trianglesQ(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
@@ -1913,12 +1919,33 @@ object Queries {
           col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("x"), col("b.l_partkey").as("y"))
       .distinct()
-    val wedges = e.as("e1").join(e.as("e2"), col("e1.y") === col("e2.x"))
-      .select(col("e1.x").as("ta"), col("e1.y").as("tb"), col("e2.y").as("tc"))
-    wedges.join(e, wedges("ta") === e("x") && wedges("tc") === e("y"))
+    val deg = e.select(col("x").as("node")).union(e.select(col("y").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient: src = the (deg, id)-smaller endpoint
+    val withDeg = e
+      .join(broadcast(deg).withColumnRenamed("node", "x").withColumnRenamed("deg", "dx"), "x")
+      .join(broadcast(deg).withColumnRenamed("node", "y").withColumnRenamed("deg", "dy"), "y")
+    val xFirst = col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y"))
+    val o = withDeg.select(
+      when(xFirst, col("x")).otherwise(col("y")).as("src"),
+      when(xFirst, col("y")).otherwise(col("x")).as("dst"),
+      when(xFirst, col("dy")).otherwise(col("dx")).as("ddst"))
+    // out-neighbor pairs ordered by (deg, id) — each wedge once; the
+    // closing edge (v, w) is oriented v→w by construction, so the probe
+    // is a plain equi-join against the broadcast edge list. Wedge
+    // generation stays the codegen'd SMJ self-join: the adjacency-list
+    // HOF expansion was measured 1.5-2× SLOWER (Prof tri — per-pair
+    // struct allocation beats the merge's sort only on paper).
+    val vBeforeW = col("o1.ddst") < col("o2.ddst") ||
+      (col("o1.ddst") === col("o2.ddst") && col("o1.dst") < col("o2.dst"))
+    o.as("o1").join(o.as("o2"), col("o1.src") === col("o2.src") && vBeforeW)
+      .select(col("o1.src").as("u"), col("o1.dst").as("v"), col("o2.dst").as("w"))
+      .join(broadcast(o.select(col("src"), col("dst"))),
+        col("v") === col("src") && col("w") === col("dst"))
       .agg(count(lit(1)).as("n_triangles"),
-        min(col("ta")).as("min_node"), max(col("tc")).as("max_node"),
-        sum(col("ta") + col("tb") + col("tc")).as("node_sum"))
+        min(least(col("u"), col("v"), col("w"))).as("min_node"),
+        max(greatest(col("u"), col("v"), col("w"))).as("max_node"),
+        sum(col("u") + col("v") + col("w")).as("node_sum"))
   }
 
   /** Count-min-sketch frequency estimation, gated by its contract the
