@@ -1948,6 +1948,81 @@ object Queries {
         sum(col("u") + col("v") + col("w")).as("node_sum"))
   }
 
+  /** Hopping (sliding) windows in batch: Spark's native
+    * `window(ts, '1 hour', '15 minutes')` fans each event into
+    * width/hop = 4 epoch-aligned windows — the Flink-style sliding
+    * aggregation the reference's continuous GROUP BY generalizes to.
+    * The fan-out is a narrow Expand (×4 BEFORE partial aggregation, so
+    * the exchange carries per-window partials, not raw events).
+    */
+  def hoppingQ(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("value_sum"))
+      .select(expr("unix_micros(w.start)").as("win_start_us"), col("event_type"),
+        col("n_events"), col("value_sum"))
+      .orderBy(col("win_start_us"), col("event_type"))
+
+  /** regexp_extract_all over document text: pull every vowel-initial
+    * 4+-letter token, explode, global top-50. The pattern sticks to a
+    * plain character class (no \b, no \w) so RE2 (DuckDB) and Java
+    * regex agree by construction — the same RE2-safe discipline as
+    * q_pii_redact.
+    */
+  def regexpExtractQ(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(expr(
+        "regexp_extract_all(lower(text), '[aeiou][a-z]{3,}', 0)")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("n_hits").desc, col("word"))
+      .limit(50)
+
+  /** Robust (median/MAD) outlier detection, exact-integer gate: with
+    * values as cents c, 2·median(c) and 2·median(|2c − 2m|)/2 are exact
+    * integers (interpolated medians of integers land on halves), so the
+    * flag |c − m| > 3·mad compares integers — 2·dev > 3·mad4 — and can
+    * never flip on an engine ulp (same trick as q_zscore, but for the
+    * quantile-based robust statistic; outliers can't drag this gate).
+    * Per-type medians are two tiny broadcast joins; the event side
+    * never shuffles.
+    */
+  def madQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("value") * 100, 0).cast("long").as("c"))
+    val med = e.groupBy(col("event_type"))
+      .agg(expr("cast(2 * percentile(c, 0.5) as bigint)").as("m2"))
+    val dev = e.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(lit(2) * col("c") - col("m2")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("cast(2 * percentile(dev, 0.5) as bigint)").as("mad4"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(lit(2) * col("dev") > lit(3) * col("mad4"), 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Zipf rank-frequency fit over the vocabulary: OLS slope/intercept
+    * of ln(count) against ln(rank) for the top-200 terms. The sums run
+    * over 200 doubles (accumulation noise ~1e-14 against a 6dp round)
+    * and the regression arithmetic is written IDENTICALLY in the oracle
+    * — no regr_slope builtin, whose internal order could differ.
+    */
+  def zipfQ(spark: SparkSession, sfDir: String): DataFrame =
+    vocabQ(spark, sfDir)
+      .select(log(col("vocab_id").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("n").cast("long").as("n_terms"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) / col("n"), 6)
+          .as("intercept"))
+
   /** Count-min-sketch frequency estimation, gated by its contract the
     * way q_approx_distinct gates HLL++: the CMS estimate can only
     * over-count, by at most eps·N (w.h.p.), so the oracle's column is

@@ -132,6 +132,10 @@ object SparkEntry {
     "q_event_paths" -> (Queries.eventPathsQ _),
     "q_profile" -> (Queries.profileQ _),
     "q_triangles" -> (Queries.trianglesQ _),
+    "q_hopping" -> (Queries.hoppingQ _),
+    "q_regexp_extract" -> (Queries.regexpExtractQ _),
+    "q_mad" -> (Queries.madQ _),
+    "q_zipf" -> (Queries.zipfQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -1584,6 +1588,54 @@ object SparkEntry {
         |SELECT count(*) AS n_triangles, min(ta) AS min_node, max(tc) AS max_node,
         |  CAST(sum(ta + tb + tc) AS BIGINT) AS node_sum
         |FROM t""".stripMargin,
+
+    "q_hopping" ->
+      """WITH e AS (SELECT event_type, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |h AS (SELECT event_type, value,
+        |    (us // 900000000) * 900000000 - i * 900000000 AS win_start_us
+        |  FROM e CROSS JOIN (SELECT unnest(range(4)) AS i))
+        |SELECT win_start_us, event_type, count(*) AS n_events,
+        |  round(sum(value), 2) AS value_sum
+        |FROM h GROUP BY win_start_us, event_type
+        |ORDER BY win_start_us, event_type""".stripMargin,
+
+    "q_regexp_extract" ->
+      """WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[aeiou][a-z]{3,}')) AS word
+        |           FROM documents)
+        |SELECT word, count(*) AS n_hits FROM w GROUP BY word
+        |ORDER BY n_hits DESC, word LIMIT 50""".stripMargin,
+
+    // Integer-exact robust gate: 2·quantile_cont of integers is an exact
+    // integer (interpolation lands on halves), so the outlier comparison
+    // 2·dev > 3·mad4 never touches a float boundary (q_zscore's trick
+    // applied to the median/MAD statistic).
+    "q_mad" ->
+      """WITH e AS (SELECT event_id, event_type, value,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS c FROM events),
+        |med AS (SELECT event_type, CAST(2 * quantile_cont(c, 0.5) AS BIGINT) AS m2
+        |        FROM e GROUP BY event_type),
+        |d AS (SELECT e.event_id, e.event_type, abs(2 * c - m2) AS dev
+        |      FROM e JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, CAST(2 * quantile_cont(dev, 0.5) AS BIGINT) AS mad4
+        |        FROM d GROUP BY event_type)
+        |SELECT d.event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN 2 * dev > 3 * mad4 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM d JOIN mad USING (event_type)
+        |GROUP BY d.event_type
+        |ORDER BY d.event_type""".stripMargin,
+
+    "q_zipf" ->
+      """WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents),
+        |g AS (SELECT token, count(*) AS cnt FROM t WHERE length(token) >= 2 GROUP BY token),
+        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS vocab_id FROM g),
+        |xy AS (SELECT ln(CAST(vocab_id AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+        |       FROM r WHERE vocab_id <= 200),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+        |             sum(x * y) AS sxy, sum(x * x) AS sxx FROM xy)
+        |SELECT CAST(n AS BIGINT) AS n_terms,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
+        |FROM s""".stripMargin,
 
     // Contract oracle (q_approx_distinct pattern): CMS can only
     // over-count, by at most eps·N w.h.p. — the boolean is literal TRUE,

@@ -264,4 +264,23 @@ class PlanSpec extends AnyFunSuite {
     val plan = formatted(Queries.trianglesQ(spark, sf))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("hopping windows: the x4 fan-out expands BEFORE partial aggregation") {
+    val plan = formatted(Queries.hoppingQ(spark, sf))
+    assert(plan.contains("Expand"), plan)
+    // partial agg after the expand: the exchange carries per-window
+    // partials, not 4x raw events
+    assert(plan.contains("partial_count") || plan.contains("Partial"), plan)
+  }
+
+  test("regexp extract: global top-50 is TakeOrderedAndProject") {
+    val plan = formatted(Queries.regexpExtractQ(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("mad: per-type medians broadcast back — the event side joins without SMJ") {
+    val plan = formatted(Queries.madQ(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }
