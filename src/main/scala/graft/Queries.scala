@@ -1960,6 +1960,90 @@ object Queries {
         sum(col("u") + col("v") + col("w")).as("node_sum"))
   }
 
+  /** TPC-H Q3 shape (shipping priority): selective dim filter →
+    * fact join → revenue aggregation → top-10. The plan the optimizer
+    * should reach: mktsegment filter pushed to the customer scan,
+    * customer (small, filtered) BROADCAST into orders, the orders⋈
+    * lineitem join shuffled on the shared o/l_orderkey — and the final
+    * top-10 a TakeOrderedAndProject over rounded-exact decimal revenue.
+    */
+  def tpch3Q(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = lit("1998-01-01").cast("timestamp_ntz")
+    val c = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val l = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(decimalSum2(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape (local-supplier volume): the six-table star —
+    * region→nation→supplier/customer gate the fact side, with the
+    * co-location condition c_nationkey = s_nationkey applied AFTER the
+    * fact joins. All four dimension sides broadcast; only the
+    * orders⋈lineitem join moves fact-sized data.
+    */
+  def tpch5Q(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = Tables.nation(spark, sfDir)
+      .join(Tables.region(spark, sfDir).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val s = Tables.supplier(spark, sfDir)
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val c = Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_nationkey"))
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(decimalSum2(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Referential-integrity audit (the DQ companion to q_profile):
+    * orphan counts for the three FK edges of the star, each a
+    * LEFT ANTI join — the probe side is the small parent key set, so
+    * every check is a broadcast anti probe over one fact scan; the
+    * three checks union into one report. Zero rows violated is the
+    * expected (and still meaningful) output of a healthy lake.
+    */
+  def integrityQ(spark: SparkSession, sfDir: String): DataFrame = {
+    def orphans(name: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String): DataFrame =
+      child.join(broadcast(parent),
+          child(key) === parent(pkey), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(name).as("fk_edge"), col("n_orphans"))
+    val spark0 = spark
+    orphans("lineitem.l_orderkey->orders",
+        Tables.lineitem(spark0, sfDir).select(col("l_orderkey")),
+        "l_orderkey", Tables.orders(spark0, sfDir).select(col("o_orderkey")), "o_orderkey")
+      .unionAll(orphans("orders.o_custkey->customer",
+        Tables.orders(spark0, sfDir).select(col("o_custkey")),
+        "o_custkey", Tables.customer(spark0, sfDir).select(col("c_custkey")), "c_custkey"))
+      .unionAll(orphans("customer.c_nationkey->nation",
+        Tables.customer(spark0, sfDir).select(col("c_nationkey")),
+        "c_nationkey", Tables.nation(spark0, sfDir).select(col("n_nationkey")), "n_nationkey"))
+      .orderBy(col("fk_edge"))
+  }
+
   /** Hopping (sliding) windows in batch: Spark's native
     * `window(ts, '1 hour', '15 minutes')` fans each event into
     * width/hop = 4 epoch-aligned windows — the Flink-style sliding

@@ -132,6 +132,9 @@ object SparkEntry {
     "q_event_paths" -> (Queries.eventPathsQ _),
     "q_profile" -> (Queries.profileQ _),
     "q_triangles" -> (Queries.trianglesQ _),
+    "q_tpch3" -> (Queries.tpch3Q _),
+    "q_tpch5" -> (Queries.tpch5Q _),
+    "q_integrity" -> (Queries.integrityQ _),
     "q_hopping" -> (Queries.hoppingQ _),
     "q_regexp_extract" -> (Queries.regexpExtractQ _),
     "q_mad" -> (Queries.madQ _),
@@ -1588,6 +1591,37 @@ object SparkEntry {
         |SELECT count(*) AS n_triangles, min(ta) AS min_node, max(tc) AS max_node,
         |  CAST(sum(ta + tb + tc) AS BIGINT) AS node_sum
         |FROM t""".stripMargin,
+
+    "q_tpch3" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q_tpch5" ->
+      """SELECT n_name,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+        |  AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_integrity" ->
+      """SELECT 'customer.c_nationkey->nation' AS fk_edge, count(*) AS n_orphans
+        |FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+        |UNION ALL
+        |SELECT 'lineitem.l_orderkey->orders', count(*)
+        |FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |UNION ALL
+        |SELECT 'orders.o_custkey->customer', count(*)
+        |FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |ORDER BY fk_edge""".stripMargin,
 
     "q_hopping" ->
       """WITH e AS (SELECT event_type, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),

@@ -283,4 +283,20 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("tpch3: filtered customer broadcasts, segment filter pushed, top-10 TakeOrdered") {
+    val plan = formatted(Queries.tpch3Q(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("BUILDING"), plan) // segment filter reaches a scan-side Filter
+  }
+
+  test("tpch5: only the fact-fact join may shuffle; every dimension broadcasts") {
+    val plan = formatted(Queries.tpch5Q(spark, sf))
+    val smj = "SortMergeJoin".r.findAllIn(plan).size
+    val shj = "ShuffledHashJoin".r.findAllIn(plan).size
+    assert(smj + shj <= 1, s"expected <=1 shuffled join, got smj=$smj shj=$shj\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
