@@ -2119,6 +2119,86 @@ object Queries {
           (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) / col("n"), 6)
           .as("intercept"))
 
+  /** Rolling median smoothing: exact interpolated median of the
+    * trailing 21 values per event type, in the integer-exact 2·median
+    * form (q_mad's device — a trailing frame of integer cents has a
+    * half-integer median, so 2·median is an exact BIGINT and engine
+    * ulps can't flip it). ROWS frames over a unique (us, event_id)
+    * order are identical cross-engine; one exchange on event_type.
+    */
+  def rollingMedianQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("us"), col("event_id"))
+      .rowsBetween(-20, 0)
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), expr("unix_micros(ts)").as("us"),
+        round(col("value") * 100, 0).cast("long").as("c"))
+      .withColumn("med2", (lit(2) * expr("percentile(c, 0.5)").over(w)).cast("long"))
+      .select(col("event_id"), col("event_type"), col("us"), col("med2"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Cumulative daily active users: running count of DISTINCT users per
+    * day. count(DISTINCT) can't run in a window — the scalable form is
+    * the first-seen transform: min(day) per user (one agg), new users
+    * per day (one agg over users, not events), then a running sum over
+    * the tiny day table. Alongside it the per-day DAU itself.
+    */
+  def dauCumeQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val userDay = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"))
+      .distinct()
+    val dau = userDay.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+    val newU = userDay.groupBy(col("user_id")).agg(min(col("d")).as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy(col("d")).rowsBetween(Window.unboundedPreceding, 0)
+    dau.join(newU, Seq("d"), "left")
+      .select(col("d"), col("dau"), coalesce(col("new_users"), lit(0L)).as("new_users"))
+      .withColumn("cume_users", sum(col("new_users")).over(w))
+      .orderBy(col("d"))
+  }
+
+  /** Skyline (Pareto front) of orders over (totalprice, orderdate) —
+    * keep orders no other order strictly beats on BOTH. Skylines are
+    * distributive, so the distributed shape is local-then-merge: a
+    * per-shard skyline pass prunes to survivors, then the global pass
+    * runs over that small set. Dominance is evaluated at distinct
+    * price levels (max date per level, running max over STRICTLY
+    * higher levels via lag) — ties in price never dominate each other
+    * and every comparison is on exact values.
+    */
+  def skylineQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // One skyline pass: dom_dt(p) = max date among STRICTLY higher
+    // price levels (max per level, running max, shifted one level) —
+    // a row survives iff nothing beats it on both axes.
+    def pass(df: DataFrame, shardCol: Option[String]): DataFrame = {
+      val part = shardCol.map(col).toSeq
+      val lvl = df.groupBy((part :+ col("p")): _*).agg(max(col("dt")).as("lvl_max"))
+      val ordered = Window.partitionBy(part: _*).orderBy(col("p").desc)
+      val dom = lvl
+        .withColumn("cum", max(col("lvl_max"))
+          .over(ordered.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("dom_dt", lag(col("cum"), 1).over(ordered))
+        .select((part :+ col("p") :+ col("dom_dt")): _*)
+      df.join(dom, shardCol.toSeq :+ "p")
+        .filter(col("dom_dt").isNull || col("dt") >= col("dom_dt"))
+        .select(df.columns.map(col): _*)
+    }
+    val base = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice").as("p"),
+        // NTZ → µs: the session is pinned UTC, so the cast is lossless
+        expr("unix_micros(cast(o_orderdate as timestamp))").as("dt"),
+        (col("o_orderkey") % 16).as("shard"))
+    // local skylines keep every global member (a dominator in-shard
+    // dominates globally too); the global pass sees only survivors, so
+    // its single-partition level window is over a tiny set
+    pass(pass(base, Some("shard")), None)
+      .select(col("o_orderkey"), round(col("p"), 2).as("price"), col("dt").as("date_us"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Count-min-sketch frequency estimation, gated by its contract the
     * way q_approx_distinct gates HLL++: the CMS estimate can only
     * over-count, by at most eps·N (w.h.p.), so the oracle's column is

@@ -135,6 +135,9 @@ object SparkEntry {
     "q_tpch3" -> (Queries.tpch3Q _),
     "q_tpch5" -> (Queries.tpch5Q _),
     "q_integrity" -> (Queries.integrityQ _),
+    "q_rolling_median" -> (Queries.rollingMedianQ _),
+    "q_dau_cume" -> (Queries.dauCumeQ _),
+    "q_skyline" -> (Queries.skylineQ _),
     "q_hopping" -> (Queries.hoppingQ _),
     "q_regexp_extract" -> (Queries.regexpExtractQ _),
     "q_mad" -> (Queries.madQ _),
@@ -1611,6 +1614,40 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_rolling_median" ->
+      """WITH e AS (SELECT event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS c FROM events)
+        |SELECT event_id, event_type, us,
+        |  CAST(2 * quantile_cont(c, 0.5) OVER (PARTITION BY event_type ORDER BY us, event_id
+        |    ROWS BETWEEN 20 PRECEDING AND CURRENT ROW) AS BIGINT) AS med2
+        |FROM e ORDER BY event_id""".stripMargin,
+
+    "q_dau_cume" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d FROM events),
+        |dau AS (SELECT d, count(*) AS dau FROM ud GROUP BY d),
+        |fs AS (SELECT user_id, min(d) AS d FROM ud GROUP BY user_id),
+        |nu AS (SELECT d, count(*) AS new_users FROM fs GROUP BY d)
+        |SELECT dau.d, dau.dau, coalesce(nu.new_users, 0) AS new_users,
+        |  CAST(sum(coalesce(nu.new_users, 0)) OVER (ORDER BY dau.d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cume_users
+        |FROM dau LEFT JOIN nu ON dau.d = nu.d
+        |ORDER BY dau.d""".stripMargin,
+
+    // Global level-based skyline — identical output to the sharded
+    // local-then-merge pass (skylines are distributive).
+    "q_skyline" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice AS p,
+        |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS dt FROM orders),
+        |lvl AS (SELECT p, max(dt) AS lvl_max FROM o GROUP BY p),
+        |c1 AS (SELECT p, max(lvl_max) OVER (ORDER BY p DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM lvl),
+        |c2 AS (SELECT p, lag(cum) OVER (ORDER BY p DESC) AS dom_dt FROM c1)
+        |SELECT o.o_orderkey, round(o.p, 2) AS price, o.dt AS date_us
+        |FROM o JOIN c2 ON o.p = c2.p
+        |WHERE c2.dom_dt IS NULL OR o.dt >= c2.dom_dt
+        |ORDER BY o.o_orderkey""".stripMargin,
 
     "q_integrity" ->
       """SELECT 'customer.c_nationkey->nation' AS fk_edge, count(*) AS n_orphans

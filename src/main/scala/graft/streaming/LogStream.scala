@@ -88,6 +88,29 @@ object LogStream {
       .select(col("purchase_id"), col("user_id"), col("p_ts"), col("view_id"), col("v_ts"))
   }
 
+  /** LEFT OUTER variant of [[attributionJoin]]: unattributed purchases
+    * still emit (null view columns) — but only once the watermark
+    * passes the purchase's join window, because until then a matching
+    * view could still arrive. Both watermarks bound the join state;
+    * the outer row's emission latency IS the watermark delay — the
+    * price of "every purchase appears exactly once".
+    */
+  def attributionJoinOuter(
+      views: DataFrame, purchases: DataFrame,
+      watermarkDelay: String, windowSeconds: Long): DataFrame = {
+    val v = views
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", watermarkDelay)
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermarkDelay)
+    p.join(v, expr(
+      s"""user_id = v_user AND
+         |v_ts <= p_ts AND
+         |v_ts >= p_ts - INTERVAL $windowSeconds SECONDS""".stripMargin), "left_outer")
+      .select(col("purchase_id"), col("user_id"), col("p_ts"), col("view_id"), col("v_ts"))
+  }
+
   /** Event-time tumbling window with watermark (extension beyond the
     * reference's processing-time-only surface).
     */

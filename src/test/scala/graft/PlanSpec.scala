@@ -284,6 +284,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("rolling median: frame window and type partition share one hash exchange") {
+    val plan = formatted(Queries.rollingMedianQ(spark, sf))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 1, s"expected <=1 hash exchange, got $hashEx\n$plan")
+  }
+
+  test("skyline: the local pass windows by shard — the fact never sees a global window") {
+    val plan = formatted(Queries.skylineQ(spark, sf))
+    assert("windowspecdefinition\\(shard#\\d+L".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("tpch3: filtered customer broadcasts, segment filter pushed, top-10 TakeOrdered") {
     val plan = formatted(Queries.tpch3Q(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), plan)

@@ -96,6 +96,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched purchase emits after watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val views = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = LogStream.attributionJoinOuter(
+      views.toDF().toDF("event_id", "user_id", "ts"),
+      purchases.toDF().toDF("event_id", "user_id", "ts"),
+      watermarkDelay = "10 minutes", windowSeconds = 30 * 60)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ss_outer").start()
+    try {
+      views.addData((1L, 7L, ts("2024-01-01 00:00:00")))
+      purchases.addData(
+        (10L, 7L, ts("2024-01-01 00:20:00")),  // matches view 1
+        (11L, 9L, ts("2024-01-01 00:25:00")))  // no view for user 9 -> outer row
+      q.processAllAvailable()
+      // advance BOTH watermarks far past the join window so the
+      // unmatched purchase's null row finalizes
+      views.addData((2L, 7L, ts("2024-01-01 06:00:00")))
+      purchases.addData((12L, 7L, ts("2024-01-01 06:00:00")))
+      q.processAllAvailable()
+      views.addData((3L, 7L, ts("2024-01-01 12:00:00")))
+      purchases.addData((13L, 7L, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("ss_outer").select("purchase_id", "view_id")
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      assert(rows(10L) == 1L, rows)  // matched pair
+      assert(rows.get(11L).contains(-1L), rows)  // outer row with null view
+    } finally q.stop()
+  }
+
   test("event-time tumbling window with watermark (append mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
