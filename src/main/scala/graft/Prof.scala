@@ -204,9 +204,13 @@ object Prof {
           |  transform(slice(ns, i + 2, size(ns)), b -> struct(a.dst AS v, b.dst AS w))))""".stripMargin))
         .as("p"))
       .select(col("u"), col("p.v").as("v"), col("p.w").as("w"))
+    def shj = o.as("o1").hint("SHUFFLE_HASH")
+      .join(o.as("o2").hint("SHUFFLE_HASH"), col("o1.src") === col("o2.src") && vBeforeW)
+      .select(col("o1.src").as("u"), col("o1.dst").as("v"), col("o2.dst").as("w"))
     for (r <- 1 to 3) {
       time(s"tri_smj_$r", () => close(smj))
       time(s"tri_hof_$r", () => close(hof))
+      time(s"tri_shj_$r", () => close(shj))
     }
     e.unpersist(); o.unpersist()
   }
