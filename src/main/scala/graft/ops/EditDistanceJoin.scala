@@ -73,8 +73,11 @@ object EditDistanceJoin {
     candidates
       .join(names.select(col(key).as("key_a"), col(name).as("name_a")), "key_a")
       .join(names.select(col(key).as("key_b"), col(name).as("name_b")), "key_b")
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
-      .filter(col("dist") <= k)
+      // banded levenshtein: the 3-arg form early-exits past k (returns
+      // -1), so the verify DP fills a 2k+1 band instead of the full
+      // matrix — same value as the unbounded form whenever dist <= k
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), k).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= k)
       .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"), col("dist"))
   }
 }
