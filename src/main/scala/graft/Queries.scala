@@ -2199,6 +2199,106 @@ object Queries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** BM25 scoring (Lucene form, k1=1.2 b=0.75) of a fixed 3-term query
+    * over the corpus — the lexical-retrieval complement to the dense
+    * kNN path. One tokenize pass feeds doc lengths and term counts;
+    * N/avgdl broadcast as a 1-row scalar; per-doc score sums ≤3 terms
+    * with the arithmetic written identically in the oracle (round-6).
+    */
+  def bm25Q(spark: SparkSession, sfDir: String): DataFrame = {
+    // genuinely ONE tokenize pass: the per-doc agg carries dl AND the
+    // three fixed-term tfs as columns (stack() widens them back to
+    // (doc, token, tf) rows), and the doc-sized result is materialized
+    // once — its two consumers (corpus stats, tf rows) must not
+    // re-execute the corpus scan (Catalyst re-executes branches)
+    val perDoc = graft.sources.SessionMemo(spark, ("bm25_perdoc", sfDir)) {
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        .filter(length(col("token")) >= 2)
+        .groupBy(col("doc_id")).agg(
+          count(lit(1)).as("dl"),
+          sum(when(col("token") === "hash", 1L).otherwise(0L)).as("tf_hash"),
+          sum(when(col("token") === "join", 1L).otherwise(0L)).as("tf_join"),
+          sum(when(col("token") === "vector", 1L).otherwise(0L)).as("tf_vector"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val stats = perDoc.agg(count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl")) / count(lit(1))).as("avgdl"))
+    val tf = perDoc.select(col("doc_id"), col("dl"), expr(
+        "stack(3, 'hash', tf_hash, 'join', tf_join, 'vector', tf_vector) AS (token, tf)"))
+      .filter(col("tf") > 0)
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val idf = expr("ln(1 + (n_docs - df + 0.5) / (df + 0.5))")
+    val tfn = expr("tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))")
+    tf.join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("s", idf * tfn)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_matched"), round(sum(col("s")), 6).as("bm25"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** kNN classification confusion matrix: 3-NN majority vote (ties →
+    * smallest label) for the first 500 vectors against the full set,
+    * aggregated to (true, predicted) counts — the model-eval shape over
+    * the same brute-force cosine base as q_knn_cosine (bit-identical
+    * dot products both engines; at corpus scale the candidate pass
+    * swaps to the IVF cells). Integer-only output.
+    */
+  def confusionQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Similarity.normalized(Similarity.asDouble(Tables.embeddings(spark, sfDir)))
+    val q = e.filter(col("vec_id") < 500)
+      .select(col("vec_id").as("query_id"), col("label").cast("long").as("true_label"),
+        col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("label").cast("long").as("n_label"),
+      col("embedding").as("cv"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    val top = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", Similarity.dot(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+    val wv = Window.partitionBy(col("query_id")).orderBy(col("votes").desc, col("n_label"))
+    top.groupBy(col("query_id"), col("true_label"), col("n_label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(wv))
+      .filter(col("vr") === 1)
+      .groupBy(col("true_label"), col("n_label").as("pred_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("true_label"), col("pred_label"))
+  }
+
+  /** NDCG@5 retrieval quality per query vector (first 50): relevance =
+    * same label, DCG with the ln(x)/ln(2) discount written identically
+    * on both engines; ideal DCG from the relevant count via a sequence
+    * aggregate (binary relevance ⇒ ideal ranking = all hits first).
+    */
+  def ndcgQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Similarity.normalized(Similarity.asDouble(Tables.embeddings(spark, sfDir)))
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("label").cast("long").as("true_label"),
+        col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("label").cast("long").as("n_label"),
+      col("embedding").as("cv"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", Similarity.dot(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .withColumn("rel", when(col("n_label") === col("true_label"), 1.0).otherwise(0.0))
+      .groupBy(col("query_id"))
+      .agg(sum(col("rel")).cast("long").as("n_rel"),
+        sum(col("rel") / (log(col("rnk") + 1.0) / log(lit(2.0)))).as("dcg"))
+      .withColumn("idcg", expr(
+        "if(n_rel = 0, 0.0, aggregate(sequence(1, n_rel), cast(0.0 as double), (s, i) -> s + 1.0 / (ln(i + 1.0) / ln(2.0))))"))
+      .select(col("query_id"), col("n_rel"),
+        when(col("n_rel") === 0, 0.0).otherwise(round(col("dcg") / col("idcg"), 6)).as("ndcg"))
+      .orderBy(col("query_id"))
+  }
+
   /** Count-min-sketch frequency estimation, gated by its contract the
     * way q_approx_distinct gates HLL++: the CMS estimate can only
     * over-count, by at most eps·N (w.h.p.), so the oracle's column is

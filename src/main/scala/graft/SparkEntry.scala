@@ -138,6 +138,9 @@ object SparkEntry {
     "q_rolling_median" -> (Queries.rollingMedianQ _),
     "q_dau_cume" -> (Queries.dauCumeQ _),
     "q_skyline" -> (Queries.skylineQ _),
+    "q_bm25" -> (Queries.bm25Q _),
+    "q_confusion" -> (Queries.confusionQ _),
+    "q_ndcg" -> (Queries.ndcgQ _),
     "q_hopping" -> (Queries.hoppingQ _),
     "q_regexp_extract" -> (Queries.regexpExtractQ _),
     "q_mad" -> (Queries.madQ _),
@@ -1707,6 +1710,63 @@ object SparkEntry {
         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
         |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
         |FROM s""".stripMargin,
+
+    "q_bm25" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |             FROM documents),
+        |t2 AS (SELECT doc_id, token FROM tok WHERE length(token) >= 2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY doc_id),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |              CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM t2
+        |       WHERE token IN ('hash', 'join', 'vector') GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |s AS (SELECT tf.doc_id,
+        |        ln(1 + (n_docs - df + 0.5) / (df + 0.5)) *
+        |        (tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS s
+        |      FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id) CROSS JOIN st)
+        |SELECT doc_id, count(*) AS n_terms_matched, round(sum(s), 6) AS bm25
+        |FROM s GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_confusion" ->
+      s"""WITH e0 AS (SELECT vec_id, CAST(label AS BIGINT) AS label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |nrm AS (SELECT vec_id, label, ${normSql("v")} AS v FROM e0),
+         |sc AS (SELECT q.vec_id AS query_id, q.label AS true_label,
+         |         c.vec_id AS neighbor_id, c.label AS n_label, ${dotSql("q.v", "c.v")} AS cos
+         |       FROM nrm c JOIN (SELECT * FROM nrm WHERE vec_id < 500) q
+         |         ON c.vec_id <> q.vec_id),
+         |top AS (SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+         |    FROM sc) WHERE rnk <= 3),
+         |votes AS (SELECT query_id, true_label, n_label, count(*) AS votes
+         |          FROM top GROUP BY query_id, true_label, n_label),
+         |pred AS (SELECT query_id, true_label, n_label AS pred_label FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, n_label) AS vr
+         |    FROM votes) WHERE vr = 1)
+         |SELECT true_label, pred_label, count(*) AS n
+         |FROM pred GROUP BY true_label, pred_label
+         |ORDER BY true_label, pred_label""".stripMargin,
+
+    "q_ndcg" ->
+      s"""WITH e0 AS (SELECT vec_id, CAST(label AS BIGINT) AS label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |nrm AS (SELECT vec_id, label, ${normSql("v")} AS v FROM e0),
+         |sc AS (SELECT q.vec_id AS query_id, q.label AS true_label,
+         |         c.vec_id AS neighbor_id, c.label AS n_label, ${dotSql("q.v", "c.v")} AS cos
+         |       FROM nrm c JOIN (SELECT * FROM nrm WHERE vec_id < 50) q
+         |         ON c.vec_id <> q.vec_id),
+         |top AS (SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+         |    FROM sc) WHERE rnk <= 5),
+         |agg AS (SELECT query_id,
+         |    CAST(sum(CASE WHEN n_label = true_label THEN 1.0 ELSE 0.0 END) AS BIGINT) AS n_rel,
+         |    sum((CASE WHEN n_label = true_label THEN 1.0 ELSE 0.0 END) / (ln(rnk + 1.0) / ln(2.0))) AS dcg
+         |  FROM top GROUP BY query_id)
+         |SELECT query_id, n_rel,
+         |  CASE WHEN n_rel = 0 THEN 0.0 ELSE round(dcg / list_reduce(
+         |    list_transform(range(1, n_rel + 1), i -> 1.0 / (ln(i + 1.0) / ln(2.0))), (a, b) -> a + b), 6) END AS ndcg
+         |FROM agg
+         |ORDER BY query_id""".stripMargin,
 
     // Contract oracle (q_approx_distinct pattern): CMS can only
     // over-count, by at most eps·N w.h.p. — the boolean is literal TRUE,

@@ -284,6 +284,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("bm25: term stats broadcast; corpus aggregates once behind the memoized per-doc table") {
+    val plan = formatted(Queries.bm25Q(spark, sf))
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("confusion/ndcg: the query side broadcasts — candidates stream once") {
+    val plan = formatted(Queries.confusionQ(spark, sf))
+    assert(plan.contains("BroadcastExchange"), plan)
+    val plan2 = formatted(Queries.ndcgQ(spark, sf))
+    assert(plan2.contains("BroadcastExchange"), plan2)
+  }
+
   test("rolling median: frame window and type partition share one hash exchange") {
     val plan = formatted(Queries.rollingMedianQ(spark, sf))
     val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
