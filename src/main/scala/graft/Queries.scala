@@ -2044,6 +2044,55 @@ object Queries {
       .orderBy(col("fk_edge"))
   }
 
+  /** TPC-H Q10 shape (returned-item report): one-quarter order window,
+    * returnflag-filtered lineitems, customer + nation dims broadcast,
+    * top-20 customers by lost revenue. The returnflag and date filters
+    * must reach their scans; only orders⋈lineitem is fact-sized.
+    */
+  def tpch10Q(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp_ntz"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val c = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
+    val n = Tables.nation(spark, sfDir).select(col("n_nationkey"), col("n_name"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(decimalSum2(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .select(col("c_custkey"), col("c_name"), round(col("c_acctbal"), 2).as("acctbal"),
+        col("n_name"), col("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q18 shape (large-volume customers): aggregate-then-semi-join
+    * — the big-order key set comes from a HAVING over the fact table
+    * and rejoins orders/customer/lineitem; the per-order quantity sums
+    * are exact on 2dp (sums of raw 2dp land on cents).
+    */
+  def tpch18Q(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey")).agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+      .filter(col("total_qty") > 150)
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+    val c = Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_name"))
+    big.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("order_date"), round(col("o_totalprice"), 2).as("total_price"),
+        col("total_qty"))
+      .orderBy(col("total_price").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   /** Hopping (sliding) windows in batch: Spark's native
     * `window(ts, '1 hour', '15 minutes')` fans each event into
     * width/hop = 4 epoch-aligned windows — the Flink-style sliding

@@ -135,6 +135,8 @@ object SparkEntry {
     "q_tpch3" -> (Queries.tpch3Q _),
     "q_tpch5" -> (Queries.tpch5Q _),
     "q_integrity" -> (Queries.integrityQ _),
+    "q_tpch10" -> (Queries.tpch10Q _),
+    "q_tpch18" -> (Queries.tpch18Q _),
     "q_rolling_median" -> (Queries.rollingMedianQ _),
     "q_dau_cume" -> (Queries.dauCumeQ _),
     "q_skyline" -> (Queries.skylineQ _),
@@ -1662,6 +1664,26 @@ object SparkEntry {
         |SELECT 'orders.o_custkey->customer', count(*)
         |FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
         |ORDER BY fk_edge""".stripMargin,
+
+    "q_tpch10" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal, n_name,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q_tpch18" ->
+      """WITH big AS (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+        |             FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 150)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  round(o_totalprice, 2) AS total_price, total_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_price DESC, o_orderkey LIMIT 100""".stripMargin,
 
     "q_hopping" ->
       """WITH e AS (SELECT event_type, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),

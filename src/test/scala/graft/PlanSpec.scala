@@ -315,6 +315,20 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BUILDING"), plan) // segment filter reaches a scan-side Filter
   }
 
+  test("tpch10: returnflag + date filters reach their scans; dims broadcast; top-20 TakeOrdered") {
+    val plan = formatted(Queries.tpch10Q(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)")
+      || plan.contains("EqualTo(l_returnflag,R)"), plan)
+  }
+
+  test("tpch18: the HAVING key set partial-aggregates before its exchange") {
+    val plan = formatted(Queries.tpch18Q(spark, sf))
+    assert(plan.contains("partial_sum") || plan.contains("Partial"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("tpch5: only the fact-fact join may shuffle; every dimension broadcasts") {
     val plan = formatted(Queries.tpch5Q(spark, sf))
     val smj = "SortMergeJoin".r.findAllIn(plan).size
