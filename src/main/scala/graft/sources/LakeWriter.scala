@@ -22,6 +22,27 @@ object LakeWriter {
       .partitionBy("dt")
       .parquet(path)
 
+  /** Idempotent backfill: overwrite ONLY the date partitions present in
+    * `df` (dynamic partition overwrite), leaving every other partition
+    * untouched. This is the lake reprocessing contract — re-running a
+    * day's batch replaces that day exactly, never duplicates it and
+    * never clears the table the way static overwrite mode would.
+    */
+  def overwriteDatePartitions(df: DataFrame, tsCol: String, path: String): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      df.withColumn("dt", date_format(col(tsCol), "yyyy-MM-dd"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("dt")
+        .parquet(path)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** Write as a bucketed managed table (bucket pruning + shuffle-free
     * joins between tables bucketed the same way on the same key).
     */

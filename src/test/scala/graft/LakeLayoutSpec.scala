@@ -26,6 +26,23 @@ class LakeLayoutSpec extends AnyFunSuite {
     assert(read.count() == expected && expected > 0)
   }
 
+  test("dynamic partition overwrite: re-running one day is idempotent, other days untouched") {
+    val out = Files.createTempDirectory("graft-lake").toString + "/events"
+    val all = Tables.events(spark, sf)
+    LakeWriter.writeDatePartitioned(all, "ts", out)
+    val before = spark.read.parquet(out).count()
+    val day = "2024-01-05"
+    val dayRows = all.filter(date_format(col("ts"), "yyyy-MM-dd") === day)
+    assert(dayRows.count() > 0)
+    // re-process the day twice — count must not move and other
+    // partitions must survive (static overwrite would clear them)
+    LakeWriter.overwriteDatePartitions(dayRows, "ts", out)
+    LakeWriter.overwriteDatePartitions(dayRows, "ts", out)
+    val after = spark.read.parquet(out)
+    assert(after.count() == before)
+    assert(after.filter(col("dt") =!= day).count() == before - dayRows.count())
+  }
+
   test("bucketed tables join without any exchange") {
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     Seq("li_b", "o_b").foreach { t =>
