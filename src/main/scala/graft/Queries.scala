@@ -2044,6 +2044,40 @@ object Queries {
       .orderBy(col("fk_edge"))
   }
 
+  /** TPC-H Q7 shape (volume shipping between two nations): the
+    * DISJUNCTIVE cross-nation predicate ((A,B) OR (B,A)) — a join
+    * condition the optimizer cannot turn into a single equi key; both
+    * nation sides broadcast-filter their fact branch (supplier side
+    * onto lineitem, customer side onto orders) BEFORE the fact-fact
+    * join, so the disjunction only ever evaluates on pre-shrunk rows.
+    */
+  def tpch7Q(spark: SparkSession, sfDir: String): DataFrame = {
+    val nations = Seq("NATION_3", "NATION_7")
+    val n = Tables.nation(spark, sfDir)
+      .filter(col("n_name").isin(nations: _*))
+      .select(col("n_nationkey"), col("n_name"))
+    val s = Tables.supplier(spark, sfDir)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val c = Tables.customer(spark, sfDir)
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val o = Tables.orders(spark, sfDir)
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("cust_nation"))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter((col("supp_nation") === nations.head && col("cust_nation") === nations(1)) ||
+        (col("supp_nation") === nations(1) && col("cust_nation") === nations.head))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(decimalSum2(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
   /** TPC-H Q10 shape (returned-item report): one-quarter order window,
     * returnflag-filtered lineitems, customer + nation dims broadcast,
     * top-20 customers by lost revenue. The returnflag and date filters

@@ -135,6 +135,7 @@ object SparkEntry {
     "q_tpch3" -> (Queries.tpch3Q _),
     "q_tpch5" -> (Queries.tpch5Q _),
     "q_integrity" -> (Queries.integrityQ _),
+    "q_tpch7" -> (Queries.tpch7Q _),
     "q_tpch10" -> (Queries.tpch10Q _),
     "q_tpch18" -> (Queries.tpch18Q _),
     "q_rolling_median" -> (Queries.rollingMedianQ _),
@@ -1664,6 +1665,18 @@ object SparkEntry {
         |SELECT 'orders.o_custkey->customer', count(*)
         |FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
         |ORDER BY fk_edge""".stripMargin,
+
+    "q_tpch7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue
+        |FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        |WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey AND c_custkey = o_custkey
+        |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
 
     "q_tpch10" ->
       """SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal, n_name,

@@ -315,6 +315,14 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BUILDING"), plan) // segment filter reaches a scan-side Filter
   }
 
+  test("tpch7: disjunctive nation predicate evaluates on pre-shrunk broadcast branches") {
+    val plan = formatted(Queries.tpch7Q(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the nation-name IN filter reaches the nation scan
+    assert(plan.contains("NATION_3"), plan)
+  }
+
   test("tpch10: returnflag + date filters reach their scans; dims broadcast; top-20 TakeOrdered") {
     val plan = formatted(Queries.tpch10Q(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"), plan)
