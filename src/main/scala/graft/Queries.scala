@@ -2382,6 +2382,37 @@ object Queries {
       .orderBy(col("query_id"))
   }
 
+  /** IGNORE NULLS window navigation — the forward-fill (LOCF) shape:
+    * last non-null carried forward over a running frame, plus the
+    * previous non-null via lag. Nulls derived deterministically
+    * (negative balances), one exchange for both windows.
+    */
+  def ignoreNullsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nb = when(col("c_acctbal") < 0, lit(null)).otherwise(round(col("c_acctbal"), 2))
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_custkey"))
+    Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"), nb.as("nb"))
+      .withColumn("prev_nb", lag(col("nb"), 1, null, ignoreNulls = true).over(w))
+      .withColumn("ff_nb", last(col("nb"), ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Error-tolerant scalar functions: try_divide (null on /0 — DuckDB's
+    * division is null-on-zero natively) and try_cast (null on
+    * malformed). The ANSI-mode-safe ingestion idiom: bad rows become
+    * nulls to filter, never task failures.
+    */
+  def tryFuncsQ(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_orderkey") < 500)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(expr("try_divide(l_extendedprice, l_linenumber - 1)"), 6).as("per_prev_line"),
+        expr("try_cast(l_returnflag AS int)").cast("long").as("flag_as_int"),
+        expr("try_cast(cast(l_orderkey AS string) AS int)").cast("long").as("roundtrip_key"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("per_prev_line"))
+
   /** Count-min-sketch frequency estimation, gated by its contract the
     * way q_approx_distinct gates HLL++: the CMS estimate can only
     * over-count, by at most eps·N (w.h.p.), so the oracle's column is

@@ -141,6 +141,8 @@ object SparkEntry {
     "q_rolling_median" -> (Queries.rollingMedianQ _),
     "q_dau_cume" -> (Queries.dauCumeQ _),
     "q_skyline" -> (Queries.skylineQ _),
+    "q_ignore_nulls" -> (Queries.ignoreNullsQ _),
+    "q_try_funcs" -> (Queries.tryFuncsQ _),
     "q_bm25" -> (Queries.bm25Q _),
     "q_confusion" -> (Queries.confusionQ _),
     "q_ndcg" -> (Queries.ndcgQ _),
@@ -1745,6 +1747,25 @@ object SparkEntry {
         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
         |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
         |FROM s""".stripMargin,
+
+    "q_ignore_nulls" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment,
+        |    CASE WHEN c_acctbal < 0 THEN NULL ELSE round(c_acctbal, 2) END AS nb
+        |  FROM customer)
+        |SELECT c_custkey, c_mktsegment, nb,
+        |  lag(nb IGNORE NULLS) OVER w AS prev_nb,
+        |  last_value(nb IGNORE NULLS) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff_nb
+        |FROM c
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_try_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice / (l_linenumber - 1), 6) AS per_prev_line,
+        |  CAST(TRY_CAST(l_returnflag AS INTEGER) AS BIGINT) AS flag_as_int,
+        |  CAST(TRY_CAST(CAST(l_orderkey AS VARCHAR) AS INTEGER) AS BIGINT) AS roundtrip_key
+        |FROM lineitem WHERE l_orderkey < 500
+        |ORDER BY l_orderkey, l_linenumber, per_prev_line""".stripMargin,
 
     "q_bm25" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
