@@ -2078,6 +2078,25 @@ object Queries {
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 
+  /** TPC-H Q12 shape (shipping-mode priority): fact⋈fact join feeding
+    * a conditional two-bucket aggregate (urgent-vs-not counts per line
+    * status within a ship-date year) — the join carries only the
+    * priority column; output is integer-only, so nothing can drift.
+    */
+  def tpch12Q(spark: SparkSession, sfDir: String): DataFrame = {
+    val urgent = col("o_orderpriority") === "1-URGENT" || col("o_orderpriority") === "2-HIGH"
+    val l = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz"))
+      .select(col("l_orderkey"), col("l_linestatus"))
+    l.join(Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(sum(when(urgent, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(urgent, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
   /** TPC-H Q10 shape (returned-item report): one-quarter order window,
     * returnflag-filtered lineitems, customer + nation dims broadcast,
     * top-20 customers by lost revenue. The returnflag and date filters
@@ -2252,32 +2271,12 @@ object Queries {
     * and every comparison is on exact values.
     */
   def skylineQ(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // One skyline pass: dom_dt(p) = max date among STRICTLY higher
-    // price levels (max per level, running max, shifted one level) —
-    // a row survives iff nothing beats it on both axes.
-    def pass(df: DataFrame, shardCol: Option[String]): DataFrame = {
-      val part = shardCol.map(col).toSeq
-      val lvl = df.groupBy((part :+ col("p")): _*).agg(max(col("dt")).as("lvl_max"))
-      val ordered = Window.partitionBy(part: _*).orderBy(col("p").desc)
-      val dom = lvl
-        .withColumn("cum", max(col("lvl_max"))
-          .over(ordered.rowsBetween(Window.unboundedPreceding, 0)))
-        .withColumn("dom_dt", lag(col("cum"), 1).over(ordered))
-        .select((part :+ col("p") :+ col("dom_dt")): _*)
-      df.join(dom, shardCol.toSeq :+ "p")
-        .filter(col("dom_dt").isNull || col("dt") >= col("dom_dt"))
-        .select(df.columns.map(col): _*)
-    }
     val base = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_totalprice").as("p"),
         // NTZ → µs: the session is pinned UTC, so the cast is lossless
         expr("unix_micros(cast(o_orderdate as timestamp))").as("dt"),
         (col("o_orderkey") % 16).as("shard"))
-    // local skylines keep every global member (a dominator in-shard
-    // dominates globally too); the global pass sees only survivors, so
-    // its single-partition level window is over a tiny set
-    pass(pass(base, Some("shard")), None)
+    graft.ops.Skyline.skyline(base, "shard")
       .select(col("o_orderkey"), round(col("p"), 2).as("price"), col("dt").as("date_us"))
       .orderBy(col("o_orderkey"))
   }

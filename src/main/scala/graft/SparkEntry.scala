@@ -137,6 +137,7 @@ object SparkEntry {
     "q_integrity" -> (Queries.integrityQ _),
     "q_tpch7" -> (Queries.tpch7Q _),
     "q_tpch10" -> (Queries.tpch10Q _),
+    "q_tpch12" -> (Queries.tpch12Q _),
     "q_tpch18" -> (Queries.tpch18Q _),
     "q_rolling_median" -> (Queries.rollingMedianQ _),
     "q_dau_cume" -> (Queries.dauCumeQ _),
@@ -1689,6 +1690,15 @@ object SparkEntry {
         |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q_tpch12" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
 
     "q_tpch18" ->
       """WITH big AS (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
