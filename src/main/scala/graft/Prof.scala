@@ -190,8 +190,13 @@ object Prof {
       when(xFirst, col("y")).otherwise(col("x")).as("dst"),
       when(xFirst, col("dy")).otherwise(col("dx")).as("ddst")).persist()
     o.count()
+    // same size gate as Queries.trianglesQ — profiling must exercise the
+    // plan the production query would actually choose at this |E|
+    val probe = o.select(col("src"), col("dst"))
+    val closing =
+      if (e.count() <= Queries.TriBroadcastMaxEdges) broadcast(probe) else probe
     def close(wedges: org.apache.spark.sql.DataFrame): Long =
-      wedges.join(broadcast(o.select(col("src"), col("dst"))),
+      wedges.join(closing,
         col("v") === col("src") && col("w") === col("dst")).count()
     val vBeforeW = col("o1.ddst") < col("o2.ddst") ||
       (col("o1.ddst") === col("o2.ddst") && col("o1.dst") < col("o2.dst"))

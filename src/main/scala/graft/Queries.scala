@@ -1905,18 +1905,31 @@ object Queries {
       .orderBy(col("column_name"))
   }
 
+  /** Max edge count for which [[trianglesQ]]'s closing-edge probe is
+    * broadcast; beyond it the probe is a shuffle equi-join on (v, w).
+    * Override via `-Dgraft.tri.broadcastMaxEdges=N` (0 forces the
+    * shuffle path everywhere — used by the PlanSpec path test).
+    */
+  def TriBroadcastMaxEdges: Long =
+    sys.props.get("graft.tri.broadcastMaxEdges").map(_.toLong).getOrElse(1L << 22)
+
   /** Triangle counting over the part co-occurrence graph (parts sharing
     * an order), degree-oriented: every edge points low-degree →
     * high-degree (ties by id), so wedges enumerate only out-neighbor
     * PAIRS — Σ C(outdeg, 2) with outdeg ≤ O(√|E|) — instead of the
     * unoriented Σ indeg·outdeg (100× more here: 47s → ~3s at sf0.1).
     * The tiny degree table broadcasts onto the edges; the closing-edge
-    * probe broadcasts the edge list, so the wedge stream is generated
-    * and filtered in ONE stage — wedges never hit a shuffle. At edge
-    * lists beyond broadcast size the closing probe becomes a shuffle
-    * equi-join on (v, w); the orientation bound is what survives scale.
-    * Count/min/max/node-sum are orientation-invariant, so the oracle
-    * stays the plain ordered-edge SQL.
+    * probe broadcasts the edge list (wedge stream generated and
+    * filtered in ONE stage, no wedge shuffle) ONLY while the edge list
+    * is provably broadcast-sized — the choice is gated on a cheap
+    * `limit(N+1).count()` over the persisted edge table (the same
+    * hybrid pattern as [[graft.ops.Dedup.connectedComponents]]).
+    * Beyond [[TriBroadcastMaxEdges]] the closing probe falls back to a
+    * shuffle equi-join on (v, w): the wedges shuffle once, but nothing
+    * is driver-collected or broadcast, so the plan holds at any |E| —
+    * the orientation bound is what survives scale. Count/min/max/
+    * node-sum are orientation-invariant, so the oracle stays the plain
+    * ordered-edge SQL.
     */
   def trianglesQ(spark: SparkSession, sfDir: String): DataFrame = {
     // The distinct pair table feeds the degree agg, the orientation
@@ -1950,10 +1963,17 @@ object Queries {
     // struct allocation beats the merge's sort only on paper).
     val vBeforeW = col("o1.ddst") < col("o2.ddst") ||
       (col("o1.ddst") === col("o2.ddst") && col("o1.dst") < col("o2.dst"))
+    val probe = o.select(col("src"), col("dst"))
+    // |E| known cheaply from the persisted edge table; at ~16 B/edge the
+    // default 4M-edge cap keeps the broadcast under ~64 MB with slack
+    // for row overhead. Past the cap: plain shuffle equi-join, no hint.
+    val closing =
+      if (e.limit(((TriBroadcastMaxEdges + 1) min Int.MaxValue.toLong).toInt).count() <= TriBroadcastMaxEdges)
+        broadcast(probe)
+      else probe
     o.as("o1").join(o.as("o2"), col("o1.src") === col("o2.src") && vBeforeW)
       .select(col("o1.src").as("u"), col("o1.dst").as("v"), col("o2.dst").as("w"))
-      .join(broadcast(o.select(col("src"), col("dst"))),
-        col("v") === col("src") && col("w") === col("dst"))
+      .join(closing, col("v") === col("src") && col("w") === col("dst"))
       .agg(count(lit(1)).as("n_triangles"),
         min(least(col("u"), col("v"), col("w"))).as("min_node"),
         max(greatest(col("u"), col("v"), col("w"))).as("max_node"),

@@ -48,7 +48,7 @@ object Soak {
     // the sequential fingerprints. Memo + cache are cleared first so the
     // par round performs concurrent FIRST builds, not warmed-cache hits.
     if (par) {
-      graft.sources.SessionMemo.clear(spark)
+      graft.sources.SessionMemo.release(spark) // unpersists memoized frames too
       spark.catalog.clearCache()
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration._

@@ -1658,15 +1658,21 @@ object SparkEntry {
         |WHERE c2.dom_dt IS NULL OR o.dt >= c2.dom_dt
         |ORDER BY o.o_orderkey""".stripMargin,
 
+    // NOT EXISTS (not NOT IN): matches the Spark side's LEFT ANTI
+    // semantics exactly even on nullable FK columns — NOT IN goes
+    // UNKNOWN on a NULL FK and silently drops the orphan row.
     "q_integrity" ->
       """SELECT 'customer.c_nationkey->nation' AS fk_edge, count(*) AS n_orphans
-        |FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+        |FROM customer c WHERE NOT EXISTS
+        |  (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
         |UNION ALL
         |SELECT 'lineitem.l_orderkey->orders', count(*)
-        |FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |FROM lineitem l WHERE NOT EXISTS
+        |  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
         |UNION ALL
         |SELECT 'orders.o_custkey->customer', count(*)
-        |FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |FROM orders o WHERE NOT EXISTS
+        |  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
         |ORDER BY fk_edge""".stripMargin,
 
     "q_tpch7" ->
@@ -1769,9 +1775,11 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_custkey)
         |ORDER BY c_custkey""".stripMargin,
 
+    // NULLIF pins div-by-zero → NULL explicitly (mirrors Spark
+    // try_divide) instead of relying on DuckDB's non-IEEE `/` mode.
     "q_try_funcs" ->
       """SELECT l_orderkey, l_linenumber,
-        |  round(l_extendedprice / (l_linenumber - 1), 6) AS per_prev_line,
+        |  round(l_extendedprice / NULLIF(l_linenumber - 1, 0), 6) AS per_prev_line,
         |  CAST(TRY_CAST(l_returnflag AS INTEGER) AS BIGINT) AS flag_as_int,
         |  CAST(TRY_CAST(CAST(l_orderkey AS VARCHAR) AS INTEGER) AS BIGINT) AS roundtrip_key
         |FROM lineitem WHERE l_orderkey < 500

@@ -58,15 +58,34 @@ object EditDistanceJoin {
   /** Self-join `rows` (columns: key, name, block) returning pairs with
     * ed(name_a, name_b) ≤ k within the same block. Output columns:
     * key_a, key_b, name_a, name_b, dist (BIGINT), key_a < key_b.
+    *
+    * `maxLen` caps input string length AT RUNTIME (raise_error in the
+    * variant generator, no extra pass): variant count grows C(L,2) per
+    * string — fine for part names (L≈30 → ~500), hostile for documents
+    * (L=1000 → ~500k variants per row). Long-string inputs should be
+    * fingerprinted (MinHash/SimHash in [[Dedup]]) instead; raise the
+    * cap only for genuinely short-string domains.
     */
   def selfJoin(rows: DataFrame, key: String, name: String, block: String,
-               k: Int = 2): DataFrame = {
-    val variants = withDeletionVariants(
-      rows.select(col(block), col(key), col(name)), name, k)
-    val a = variants.select(col(block), col("var"), col(key).as("key_a"))
-    val b = variants.select(col(block), col("var"), col(key).as("key_b"))
+               k: Int = 2, maxLen: Int = 64): DataFrame = {
+    val capped = rows.select(col(block), col(key),
+      when(length(col(name)) > maxLen, raise_error(concat(
+          lit(s"EditDistanceJoin.selfJoin: input exceeds maxLen=$maxLen " +
+            "(variant count is C(L,2) per string; use MinHash/SimHash for " +
+            "long text): "), col(name).substr(1, 80))))
+        .otherwise(col(name)).as(name))
+    val variants = withDeletionVariants(capped, name, k)
+    // ed(a,b) <= k forces abs(|a|-|b|) <= k: carrying the source length
+    // through the variant join lets that necessary condition drop
+    // candidates BEFORE the DISTINCT shuffle (cuts same-variant
+    // collisions between strings of very different lengths).
+    val a = variants.select(col(block), col("var"), col(key).as("key_a"),
+      length(col(name)).as("len_a"))
+    val b = variants.select(col(block), col("var"), col(key).as("key_b"),
+      length(col(name)).as("len_b"))
     val candidates = a.join(b, Seq(block, "var"))
-      .filter(col("key_a") < col("key_b"))
+      .filter(col("key_a") < col("key_b") &&
+        abs(col("len_a") - col("len_b")) <= k)
       .select(col("key_a"), col("key_b"))
       .distinct()
     val names = rows.select(col(key), col(name))

@@ -15,6 +15,21 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
+  /** Internal helper-column names injected by the as-of joins via
+    * withColumn — which silently REPLACES a same-named input column, so
+    * a collision would corrupt user data instead of erroring. Guarded
+    * by [[requireNoReservedColumns]] at every entry point.
+    */
+  private val ReservedAsOfColumns =
+    Set("_tag", "_ord", "_r", "_asof", "_bkt", "_lastrow", "_carry")
+
+  private def requireNoReservedColumns(left: DataFrame, right: DataFrame): Unit = {
+    val clash = (left.columns ++ right.columns).filter(ReservedAsOfColumns)
+    require(clash.isEmpty,
+      s"as-of join inputs collide with reserved helper columns: " +
+        s"${clash.distinct.mkString(", ")} — rename them before joining")
+  }
+
   /** As-of join: for each `left` row, the latest `right` row of the same
     * key with `right.ts <= left.ts` (inclusive). `rightOrder` breaks ties
     * among right rows sharing a timestamp (deterministic pick = max of
@@ -29,6 +44,7 @@ object TimeSeries {
       key: String, ts: String,
       rightOrder: String,
       rightPayload: Seq[String]): DataFrame = {
+    requireNoReservedColumns(left, right)
     val lCols = left.columns
     val l = left
       .withColumn("_tag", lit(1))
@@ -87,6 +103,7 @@ object TimeSeries {
       rightPayload: Seq[String],
       bucketSeconds: Long): DataFrame = {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
+    requireNoReservedColumns(left, right)
     val lCols = left.columns
     // floor over double (not long division, which truncates toward zero
     // for pre-epoch timestamps); epoch seconds are exact in a double

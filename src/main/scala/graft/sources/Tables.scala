@@ -110,7 +110,32 @@ private[graft] object SessionMemo {
   }
 
   /** Drop a session's entries (does not unpersist cached data — callers
-    * owning persisted frames should `spark.catalog.clearCache()` too).
+    * owning persisted frames should `spark.catalog.clearCache()` too,
+    * or use [[release]] which does both).
     */
   def clear(spark: SparkSession): Unit = caches.synchronized { caches.remove(spark) }
+
+  /** Evict one entry, unpersisting its frame if it was persisted
+    * (no-op otherwise). The targeted hook for a caller done with a
+    * heavyweight memo (tri_edges, pagerank_edges, bm25_perdoc) in a
+    * session that keeps running other work.
+    */
+  def evict(spark: SparkSession, key: Any): Unit = {
+    val m = caches.synchronized { caches.get(spark) }
+    if (m != null) {
+      val df = m.remove(key)
+      if (df != null) df.unpersist(blocking = false)
+    }
+  }
+
+  /** Drop a session's entries AND unpersist their frames — the
+    * storage-pressure eviction hook for long-lived sessions cycling
+    * many SFs. `unpersist` is a no-op on never-persisted plans, so
+    * this is safe to call unconditionally (Soak does, between modes).
+    */
+  def release(spark: SparkSession): Unit = {
+    val m = caches.synchronized { caches.remove(spark) }
+    if (m != null)
+      m.values.forEach(df => df.unpersist(blocking = false))
+  }
 }

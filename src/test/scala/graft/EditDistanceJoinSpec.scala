@@ -58,4 +58,19 @@ class EditDistanceJoinSpec extends AnyFunSuite {
       .select("key_a", "key_b", "dist").as[(Long, Long, Long)].collect().toSet
     assert(got == Set((1L, 2L, 0L), (1L, 3L, 2L), (2L, 3L, 2L)))
   }
+
+  test("inputs past maxLen fail fast instead of exploding the variant table") {
+    import spark.implicits._
+    val df = Seq((1L, "a" * 80, "x"), (2L, "a" * 79, "x")).toDF("key", "name", "block")
+    val ex = intercept[Exception] {
+      graft.ops.EditDistanceJoin.selfJoin(df, "key", "name", "block", maxLen = 64).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("maxLen")), ex.toString)
+    // and raising the cap admits the same rows
+    val ok = graft.ops.EditDistanceJoin
+      .selfJoin(df, "key", "name", "block", maxLen = 128).count()
+    assert(ok == 1L) // d=1
+  }
 }

@@ -234,6 +234,34 @@ class PlanSpec extends AnyFunSuite {
     assert(hashEx <= 1, s"expected <=1 hash exchange, got $hashEx\n$plan")
   }
 
+  test("triangles closing probe: hinted broadcast when small, shuffle equi-join past the gate") {
+    // Disable auto-broadcast so the plan reflects ONLY the code's choice:
+    // the explicit broadcast() hint survives -1, so the gated-off run's
+    // extra shuffle join is unambiguously the closing probe.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def shuffleJoins(p: String): Int =
+        "SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size
+      val b = formatted(Queries.trianglesQ(spark, sf))
+      sys.props("graft.tri.broadcastMaxEdges") = "0"
+      val s = formatted(Queries.trianglesQ(spark, sf))
+      // broadcast path: the wedge self-join is the only shuffle join;
+      // gated path: wedge self-join + the closing probe. Formatted
+      // explain prints each node twice (tree + detail) → diff of 2.
+      assert(shuffleJoins(s) == shuffleJoins(b) + 2, s"b:\n$b\ns:\n$s")
+      // both paths produce identical aggregates (orientation-invariant)
+      val bRow = { sys.props -= "graft.tri.broadcastMaxEdges"
+        Queries.trianglesQ(spark, sf).collect().head }
+      sys.props("graft.tri.broadcastMaxEdges") = "0"
+      val sRow = Queries.trianglesQ(spark, sf).collect().head
+      assert(bRow == sRow)
+    } finally {
+      sys.props -= "graft.tri.broadcastMaxEdges"
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("quantize stays inside array HOFs — no explode, no shuffle") {
     val plan = formatted(Queries.quantizeQ(spark, sf))
     assert(!plan.contains("Generate"), plan) // explode would plan a Generate

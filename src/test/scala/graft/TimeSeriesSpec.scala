@@ -30,6 +30,22 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out(102L) == 20L)
   }
 
+  test("asOfJoin rejects inputs whose columns collide with reserved helper names") {
+    import spark.implicits._
+    val left = Seq((1L, ts("2024-01-01 00:00:00"), "oops"))
+      .toDF("user_id", "ts", "_tag") // would be silently replaced by withColumn
+    val right = Seq((1L, ts("2024-01-01 00:00:00"), 1L))
+      .toDF("user_id", "ts", "event_id")
+    val ex = intercept[IllegalArgumentException] {
+      TimeSeries.asOfJoin(left, right, "user_id", "ts", "event_id", Seq("event_id"))
+    }
+    assert(ex.getMessage.contains("_tag"))
+    val ex2 = intercept[IllegalArgumentException] {
+      TimeSeries.asOfJoinBucketed(left, right, "user_id", "ts", "event_id", Seq("event_id"), 60L)
+    }
+    assert(ex2.getMessage.contains("_tag"))
+  }
+
   test("asOfJoinBucketed: carry-in spans empty buckets; in-bucket ties unchanged") {
     import spark.implicits._
     // 60s buckets; the right rows for user 1 sit 3+ buckets before the
