@@ -891,6 +891,55 @@ object Queries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** ANN recall@3 contract: the OR-amplified multi-table LSH path
+    * ([[graft.ops.Similarity.lshMultiTableCodes]], 32 tables × 6 bits)
+    * reranked by exact cosine, scored against the brute-force top-3
+    * ground truth on the same capped query set. Output is ONE audit row
+    * — (method, n_queries, n_truth, n_hits, recall_ok) — with the
+    * recall gate integer-exact (n_hits·4 ≥ n_truth·3, i.e. ≥ 0.75;
+    * measured 0.90–0.97 across SFs). The DuckDB oracle replays the
+    * ENTIRE pipeline — md5-regenerated planes, sequential-fold dots,
+    * code buckets, rerank, truth — so n_hits itself hash-matches; the
+    * boolean is the headline contract, not the only check.
+    *
+    * Why not gate `q_ann_lsh`/`q_ann_ivf` directly: their single-
+    * bucket/single-cell search is the partition-pruning shape, and on
+    * THIS corpus (near-uniform synthetic vectors, top-3 cosine ≈ 0.34)
+    * a single 8-bit AND-amplified code measures recall 0.00-0.03 — no
+    * honest threshold exists. OR-amplification is the standard fix and
+    * the operator this row certifies.
+    */
+  def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 3
+    val e = Similarity.normalized(Similarity.asDouble(Tables.embeddings(spark, sfDir)))
+    val codes = Similarity.lshMultiTableCodes(e)
+    val qCodes = codes.filter(col("vec_id") < 10)
+      .select(col("t"), col("code"), col("vec_id").as("query_id"))
+    val cand = codes.join(broadcast(qCodes), Seq("t", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    val qv = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val cv = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val approx = cand.join(cv, "neighbor_id").join(broadcast(qv), "query_id")
+      .withColumn("cos_sim", Similarity.dot(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val truth = Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+    truth.agg(countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_truth"))
+      .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+      .select(lit("lsh_mt32x6").as("method"), col("n_queries"),
+        col("n_truth"), col("n_hits"),
+        (col("n_hits") * 4 >= col("n_truth") * 3).as("recall_ok"))
+  }
+
   /** k-means (3 Lloyd iterations from the label seed): cluster sizes.
     * Deterministic (6dp-rounded centroids each round, id tie-breaks),
     * so the DuckDB oracle replays all three iterations unrolled;

@@ -69,6 +69,7 @@ object SparkEntry {
     "q_approx_quantile" -> (Queries.approxQuantileQ _),
     "q_label_centroids" -> (Queries.labelCentroids _),
     "q_ann_ivf" -> (Queries.annIvf _),
+    "q_ann_recall" -> (Queries.annRecall _),
     "q_kmeans" -> (Queries.kmeansQ _),
     "q_stratified_split" -> (Queries.stratifiedSplit _),
     "q_topn_per_group" -> (Queries.topnPerGroup _),
@@ -931,6 +932,46 @@ object SparkEntry {
          |  FROM scored)
          |WHERE rnk <= 3
          |ORDER BY query_id, rnk""".stripMargin,
+
+    // Full replay of the multi-table LSH recall pipeline: planes are
+    // regenerated from the same md5 tags (NOTE: the tag string is
+    // materialized in its own CTE `ps` — hSql's list_transform lambda
+    // is named `i`, and an outer column `i` inside its md5 argument
+    // would be captured by the LAMBDA variable, silently hashing the
+    // wrong tags), codes re-derived with sequential-fold dots, approx
+    // and truth top-3 re-ranked identically, so n_hits itself
+    // hash-matches — recall_ok is the headline contract on top.
+    "q_ann_recall" ->
+      s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |e AS (SELECT vec_id, ${normSql("v")} AS v FROM e0),
+         |ps AS (SELECT t, p, di,
+         |        'mt:' || CAST(t AS VARCHAR) || ':' || CAST(p AS VARCHAR) || ':' || CAST(di AS VARCHAR) AS tag
+         |       FROM range(32) tt(t), range(6) pp(p), range(64) ii(di)),
+         |pw AS (SELECT t, p, di, CAST(${hSql("tag")} % 1000 AS DOUBLE) / 1000.0 - 0.5 AS w FROM ps),
+         |pl AS (SELECT t, p, list(w ORDER BY di) AS pv FROM pw GROUP BY t, p),
+         |dots AS (SELECT e.vec_id, pl.t, pl.p, ${dotSql("v", "pv")} AS d FROM e CROSS JOIN pl),
+         |codes AS (SELECT vec_id, t, CAST(sum(CASE WHEN d > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS code
+         |          FROM dots GROUP BY vec_id, t),
+         |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |         FROM codes c JOIN (SELECT * FROM codes WHERE vec_id < 10) q
+         |           ON c.t = q.t AND c.code = q.code
+         |         WHERE c.vec_id <> q.vec_id),
+         |scored AS (SELECT cand.query_id, cand.neighbor_id, ${dotSql("qe.v", "ce.v")} AS cs
+         |           FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+         |                     JOIN e ce ON ce.vec_id = cand.neighbor_id),
+         |approx AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
+         |    FROM scored) WHERE rnk <= 3),
+         |bscored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${dotSql("q.v", "c.v")} AS cs
+         |            FROM e c JOIN e q ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |truth AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
+         |    FROM bscored) WHERE rnk <= 3),
+         |hits AS (SELECT count(*) AS n_hits FROM truth t JOIN approx a USING (query_id, neighbor_id)),
+         |tt AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries, count(*) AS n_truth FROM truth)
+         |SELECT 'lsh_mt32x6' AS method, n_queries, n_truth, n_hits,
+         |       (n_hits * 4 >= n_truth * 3) AS recall_ok
+         |FROM tt CROSS JOIN hits""".stripMargin,
 
     "q_stratified_split" ->
       s"""WITH d AS (SELECT lang, n_chars,

@@ -53,4 +53,12 @@ object GraftFunctions {
   /** One-pass synthetic combined-log-line renderer (see [[RenderLogLine]]). */
   def render_log_line(evStruct: Column): Column =
     ColumnBridge.column(RenderLogLine(ColumnBridge.expression(evStruct)))
+
+  /** Codegen'd probe of a broadcast BloomFilter over a string column
+    * (see [[BloomMightContainString]]).
+    */
+  def bloom_might_contain(
+      bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter],
+      c: Column): Column =
+    ColumnBridge.column(BloomMightContainString(ColumnBridge.expression(c), bloom))
 }

@@ -250,9 +250,12 @@ object Dedup {
     val corpusKeys = corpus.select(md5(col("text")).as("k"), col("doc_id"))
     val bloom = corpusKeys.stat.bloomFilter("k", math.max(expectedCorpusItems, 1L), fpp)
     val bc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((s: String) => s != null && bc.value.mightContainString(s))
     val keyed = newDocs.select(col("doc_id").as("new_id"), md5(col("text")).as("k"))
-    val hits = keyed.filter(mightContain(col("k")))
+    // native codegen'd probe (no ScalaUDF node): md5(text) is never
+    // null here, and a null key would be dropped by filter() under
+    // either the UDF's `false` or the expression's null — same rows
+    val hits = keyed.filter(
+        graft.functions.GraftFunctions.bloom_might_contain(bc, col("k")))
       .join(corpusKeys.groupBy(col("k")).agg(min(col("doc_id")).as("corpus_id")), "k")
       .select(col("new_id"), col("corpus_id"))
     keyed.select(col("new_id")).join(hits, Seq("new_id"), "left")

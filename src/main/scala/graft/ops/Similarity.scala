@@ -37,6 +37,52 @@ object Similarity {
     embeddings.withColumn(vecCol,
       graft.functions.GraftFunctions.normalize_vector(col(vecCol)))
 
+  /** Deterministic hyperplane for OR-amplified multi-table sign-LSH —
+    * md5-derived like `Queries.LshPlanes` (the DuckDB oracle regenerates
+    * the identical values from the same tag strings, so signs — and
+    * therefore buckets — are bit-exact across engines).
+    */
+  def mtPlane(table: Int, plane: Int, dim: Int = 64): Seq[Double] =
+    (0 until dim).map { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val d = md.digest(s"mt:$table:$plane:$i".getBytes("UTF-8"))
+      val h = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+        ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+        ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+      (h % 1000L) / 1000.0 - 0.5
+    }
+
+  /** Multi-table sign-LSH codes: `(vec_id, t, code)` — one `bits`-bit
+    * sign code per vector per table, `tables` independent tables.
+    *
+    * Single-code LSH AND-amplifies: P[collide] = p^bits with
+    * p = 1 − θ/π per hyperplane, which on weakly-concentrated data
+    * (near-uniform synthetic embeddings: top-3 cosine ≈ 0.34 → p ≈ 0.61,
+    * p⁸ ≈ 2%) recalls almost nothing. Independent tables OR-amplify:
+    * P[any collision] = 1 − (1−p^bits)^tables — measured recall@3 0.90+
+    * at 32×6 on all three SFs where the single 8-bit code measured 0.00.
+    * Cost model: candidate volume ≈ tables · Σ|bucket|²/n per table —
+    * tune (tables, bits) to the corpus' similarity concentration; the
+    * shuffles stay (t, code) equi-joins at any scale.
+    *
+    * The 192 plane dots are one codegen'd projection per row (native
+    * sequential-fold [[dot]]); the array of per-table codes explodes to
+    * 3-int rows WITHOUT the embedding, so the shuffled code table is
+    * narrow.
+    */
+  def lshMultiTableCodes(e: DataFrame, tables: Int = 32, bits: Int = 6): DataFrame = {
+    require(bits < 31, "bits must fit an int code")
+    val codeStructs = (0 until tables).map { t =>
+      val code = (0 until bits).map { p =>
+        when(dot(col("embedding"), typedLit(mtPlane(t, p))) > 0,
+          lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(t).as("t"), code.cast("long").as("code"))
+    }
+    e.select(col("vec_id"), explode(array(codeStructs: _*)).as("tc"))
+      .select(col("vec_id"), col("tc.t").as("t"), col("tc.code").as("code"))
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * candidates (excluding self). Inputs must be [[normalized]]; query
     * side is broadcast; candidates stream; ties broken by candidate id.

@@ -234,6 +234,12 @@ class PlanSpec extends AnyFunSuite {
     assert(hashEx <= 1, s"expected <=1 hash exchange, got $hashEx\n$plan")
   }
 
+  test("bloom probe is a native codegen'd expression — no ScalaUDF node") {
+    val plan = formatted(Queries.dedupBloom(spark, sf))
+    assert(plan.contains("bloom_might_contain"), plan)
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"), plan)
+  }
+
   test("triangles closing probe: hinted broadcast when small, shuffle equi-join past the gate") {
     // Disable auto-broadcast so the plan reflects ONLY the code's choice:
     // the explicit broadcast() hint survives -1, so the gated-off run's
