@@ -141,4 +141,80 @@ object Curation {
       gated.select(col("doc_id"), col("text")))
     (kept, candidates)
   }
+
+  /** Jaccard-verify a (micro-)batch of LSH band candidates against the
+    * corpus store and name the doc to drop. `candidates` carries
+    * (doc_id = later arrival, first_doc = earlier occupant);
+    * `docTexts(doc_id, text)` is the batch view of the corpus the
+    * stream has been sinking (the lake table in production — pair ids
+    * only ever reference already-arrived docs, so reading the live
+    * store is race-free for this batch's pairs). Multi-band hits
+    * collapse in the DISTINCT before any shingle fetch, and only
+    * candidate ids fetch shingles — duplicate-sized work, exactly the
+    * batch verify-join shape. A verified (later, first) pair drops the
+    * LATER arrival: the streaming analog of batch drop-larger-id
+    * (identical under ordered ingest, where later ⇒ larger id).
+    */
+  def verifyCandidates(candidates: DataFrame, docTexts: DataFrame,
+      threshold: Double = JaccardMin): DataFrame = {
+    val pairs = candidates.select(col("doc_id"), col("first_doc")).distinct()
+    val sh = Dedup.shingleSets(docTexts)
+    pairs
+      .join(sh.select(col("doc_id"), col("shingles").as("sh_later")), "doc_id")
+      .join(sh.select(col("doc_id").as("first_doc"), col("shingles").as("sh_first")),
+        "first_doc")
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sh_later"), col("sh_first"))).cast("double") /
+          size(array_union(col("sh_later"), col("sh_first"))), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id"), col("first_doc"), col("jaccard"))
+  }
+
+  /** Closes the streaming-curation loop: sink the candidate stream via
+    * foreachBatch, verifying each micro-batch with [[verifyCandidates]]
+    * and handing the verified drops to `onDrops` (a [[DropLedger]] in
+    * tests; a JDBC upsert / lake append in production). `docTexts` is
+    * re-read per batch so the verify join always sees the current
+    * corpus store.
+    */
+  def reconcileStream(
+      candidates: org.apache.spark.sql.Dataset[graft.streaming.DedupStream.BandHit],
+      docTexts: () => DataFrame,
+      threshold: Double = JaccardMin)(
+      onDrops: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    candidates.toDF().writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        onDrops(verifyCandidates(batch, docTexts(), threshold))
+      }
+      .start()
+
+  /** kept minus verified drops — the final reconciled corpus view.
+    * `drops` needs only a `doc_id` column.
+    */
+  def applyDrops(kept: DataFrame, drops: DataFrame): DataFrame =
+    kept.join(drops.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+
+  /** In-memory verified-drop ledger — the test/reference `onDrops` sink
+    * for [[reconcileStream]] (the UpsertSink pattern: collect the
+    * DUPLICATE-SIZED drop set, never the corpus; production swaps in a
+    * reconciliation table). Thread-safe: foreachBatch may overlap with
+    * readers.
+    */
+  final class DropLedger {
+    private val ids = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    def add(drops: DataFrame): Unit =
+      drops.select(col("doc_id")).collect().foreach(r => ids.add(r.getLong(0)))
+    def snapshot: Set[Long] = {
+      import scala.jdk.CollectionConverters._
+      ids.asScala.toSet
+    }
+    /** kept minus ledger — [[applyDrops]] with the ledger as a local
+      * relation (tiny: broadcastable by construction).
+      */
+    def filterKept(kept: DataFrame): DataFrame = {
+      val spark = kept.sparkSession
+      import spark.implicits._
+      applyDrops(kept, snapshot.toSeq.toDF("doc_id"))
+    }
+  }
 }

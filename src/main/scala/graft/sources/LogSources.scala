@@ -19,19 +19,30 @@ object LogSources {
 
   val LineSchema: StructType = StructType(Seq(StructField("line", StringType)))
 
+  /** The exact (format, options) [[kafkaLines]] wires into its
+    * DataStreamReader — exposed so KafkaConfigSpec can pin the mapping
+    * option-for-option against the reference consumer config
+    * (`LogAnalysis.java:54-63`) without a live broker.
+    */
+  def kafkaReaderConfig(cfg: GraftConfig): (String, Map[String, String]) =
+    ("kafka", Map(
+      "kafka.bootstrap.servers" -> cfg.kafkaBrokers,
+      "subscribe" -> cfg.kafkaTopic,
+      "startingOffsets" -> cfg.kafkaStartingOffsets))
+
   /** Streaming Kafka source → one string column `line`. Option names/
     * values mirror the reference consumer config: brokers, subscribe
     * topic, earliest offsets (`auto.offset.reset=earliest`); group id is
     * managed by Spark's checkpoint rather than Kafka group state.
     */
-  def kafkaLines(spark: SparkSession, cfg: GraftConfig = GraftConfig.load()): DataFrame =
+  def kafkaLines(spark: SparkSession, cfg: GraftConfig = GraftConfig.load()): DataFrame = {
+    val (fmt, opts) = kafkaReaderConfig(cfg)
     spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", cfg.kafkaBrokers)
-      .option("subscribe", cfg.kafkaTopic)
-      .option("startingOffsets", cfg.kafkaStartingOffsets)
+      .format(fmt)
+      .options(opts)
       .load()
       .select(col("value").cast("string").as("line"))
+  }
 
   /** Batch text source (the fixture-corpus path). */
   def textLines(spark: SparkSession, path: String): DataFrame =

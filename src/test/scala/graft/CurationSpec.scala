@@ -73,4 +73,46 @@ class CurationSpec extends AnyFunSuite {
       assert(pairs.contains((5L, 1L)), pairs) // cross-batch band collision
     } finally { qk.stop(); qc.stop() }
   }
+
+  test("reconciled streaming curation converges to the batch result across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.Curation
+    val base = "the quick brown fox jumps over the lazy dog and runs to the river " +
+      "bank where a second dog waits for the data of the day to arrive with more words"
+    val near = base.replace("data", "info")
+    val other = "a completely different english document about query engines that " +
+      "the optimizer rewrites with rules for the plans and the costs of the work done"
+    // ordered ingest (later arrival = larger id), so the streaming
+    // drop-later policy must land exactly on batch drop-larger-id
+    val batch1 = Seq((1L, base), (2L, other), (3L, "tiny"))
+    val batch2 = Seq((4L, base), (5L, near), (6L, other.replace("costs", "cost")))
+    val allDocs = (batch1 ++ batch2).toDF("doc_id", "text")
+
+    val mem = MemoryStream[(Long, String)]
+    val (kept, cands) = Curation.curateStream(mem.toDF().toDF("doc_id", "text"))
+    val ledger = new Curation.DropLedger
+    val qk = kept.writeStream.outputMode("append")
+      .format("memory").queryName("rec_kept").start()
+    // docTexts: the corpus store the pipeline has been sinking — here
+    // the (static) union of all arrived batches; pair ids only ever
+    // reference arrived docs, so the wider view is harmless
+    val qc = Curation.reconcileStream(cands, () => allDocs)(ledger.add)
+    try {
+      mem.addData(batch1: _*)
+      qk.processAllAvailable(); qc.processAllAvailable()
+      mem.addData(batch2: _*)
+      qk.processAllAvailable(); qc.processAllAvailable()
+
+      val streamed = ledger.filterKept(spark.table("rec_kept"))
+        .select($"doc_id", $"quality", $"split")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+      val batch = Curation.curateScoped(allDocs)(
+        _.collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet)
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      // and the reconciliation actually dropped a near-dup (5 vs 1):
+      assert(ledger.snapshot.contains(5L), ledger.snapshot)
+    } finally { qk.stop(); qc.stop() }
+  }
 }
