@@ -891,6 +891,35 @@ object Queries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** OR-amplified multi-table ANN top-3 (the operator [[annRecall]]
+    * certifies): candidates from 32 independent 6-bit sign-LSH tables
+    * ([[graft.ops.Similarity.lshMultiTableCodes]]), union-deduped,
+    * reranked by exact cosine. Same output shape as [[annLsh]] so a
+    * user can swap single-code search for the recall-bearing variant.
+    */
+  def annMultiTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Similarity.normalized(Similarity.asDouble(Tables.embeddings(spark, sfDir)))
+    val codes = Similarity.lshMultiTableCodes(e)
+    val qCodes = codes.filter(col("vec_id") < 10)
+      .select(col("t"), col("code"), col("vec_id").as("query_id"))
+    val cand = codes.join(broadcast(qCodes), Seq("t", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    val qv = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val cv = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    cand.join(cv, "neighbor_id").join(broadcast(qv), "query_id")
+      .withColumn("cos_sim", Similarity.dot(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos_sim"), 6).as("cos_sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** ANN recall@3 contract: the OR-amplified multi-table LSH path
     * ([[graft.ops.Similarity.lshMultiTableCodes]], 32 tables × 6 bits)
     * reranked by exact cosine, scored against the brute-force top-3

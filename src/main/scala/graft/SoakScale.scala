@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scale soak of the heavy operators (sf1-equivalent volume).
+  *
+  * The driver ships no sf1 testdata, so this main REPLICATES sf0.1
+  * into `target/sfsoak` once (load-test input only — correctness
+  * oracles always run on driver-generated data):
+  *
+  *  - `lineitem`: 10 key-disjoint copies (orderkey+partkey shifted) —
+  *    the co-occurrence/pagerank graphs scale linearly in |E|, the
+  *    honest model of "10× more orders about 10× more parts". A DENSER
+  *    graph instead (shared partkeys) would grow wedges quadratically —
+  *    a different experiment than a scale-up.
+  *  - `part`: 10 brand-disjoint copies (fuzzy-join blocks are per
+  *    brand, so candidate volume scales linearly like fresh data).
+  *  - `documents`: copies 1-4 EXACT duplicates (ids shifted), copies
+  *    5-9 NEAR duplicates (one sentinel token appended) — the
+  *    crawl-corpus shape: dedup state ×10, LSH verify pairs grow
+  *    within dup groups, exactly the skew dedup must absorb.
+  *
+  * Run: `sbt "runMain graft.SoakScale"` (optionally args: copies).
+  * Prints per-query wall seconds; findings land in NEXT.md.
+  */
+object SoakScale {
+
+  val Heavy = Seq("q_triangles", "q_fuzzy_join", "q_dedup_clusters",
+    "q_pagerank", "q_curation")
+
+  def main(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = s"target/sfsoak_x$copies"
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    if (!new java.io.File(s"$out/_DONE").exists()) replicate(spark, src, out, copies)
+    Console.err.println(s"soak input: $out ($copies x $src)")
+    Heavy.foreach { name =>
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, out).count()
+      Console.err.println(f"$name%-20s ${(System.nanoTime() - t0) / 1e9}%8.1f s  ($n rows)")
+    }
+    spark.stop()
+  }
+
+  private def replicate(spark: SparkSession, src: String, out: String, copies: Int): Unit = {
+    def shifted(df: DataFrame, shifts: Map[String, Long], i: Int,
+        mutate: DataFrame => DataFrame = identity): DataFrame = {
+      val s = shifts.foldLeft(df) { case (d, (c, span)) =>
+        d.withColumn(c, col(c) + lit(i * span)) }
+      if (i == 0) s else mutate(s)
+    }
+    // Shift spans are floored at 1M: q_curation PLANTS copies at
+    // doc_id+10000/+20000 on whatever input it reads, so a raw
+    // max+1 span (~2k at sf0.1) would land planted ids inside the next
+    // copy's range — colliding doc_ids with different texts, which
+    // breaks the min-id dedup contract and pollutes the measurement.
+    def span(df: DataFrame, c: String): Long =
+      math.max(df.agg(max(col(c).cast("long"))).head.getLong(0) + 1, 1000000L)
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val (liO, liP) = (span(li, "l_orderkey"), span(li, "l_partkey"))
+    (0 until copies).map(i =>
+        shifted(li, Map("l_orderkey" -> liO, "l_partkey" -> liP), i))
+      .reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    val part = spark.read.parquet(s"$src/part.parquet")
+    val pSpan = span(part, "p_partkey")
+    (0 until copies).map(i =>
+        shifted(part, Map("p_partkey" -> pSpan), i,
+          _.withColumn("p_brand", concat(col("p_brand"), lit(s"#$i")))))
+      .reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$out/part.parquet")
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val dSpan = span(docs, "doc_id")
+    (0 until copies).map { i =>
+      val base = shifted(docs, Map("doc_id" -> dSpan), i)
+      if (i < 5) base // exact duplicates of the originals
+      else base.withColumn("text", concat(col("text"), lit(s" soakcopy$i")))
+    }.reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    // remaining tables: straight copies (dims the heavy five don't
+    // stress). events carries NANO timestamps — readable only as long
+    // (the same conf graft.sources.Tables sets); the copy then lands as
+    // plain INT64, which Tables.table handles identically.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Seq("region", "nation", "customer", "supplier", "orders", "events", "embeddings")
+      .foreach { t =>
+        spark.read.parquet(s"$src/$t.parquet")
+          .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      }
+    new java.io.File(s"$out/_DONE").createNewFile()
+    ()
+  }
+}

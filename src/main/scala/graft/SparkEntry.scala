@@ -70,6 +70,7 @@ object SparkEntry {
     "q_label_centroids" -> (Queries.labelCentroids _),
     "q_ann_ivf" -> (Queries.annIvf _),
     "q_ann_recall" -> (Queries.annRecall _),
+    "q_ann_multitable" -> (Queries.annMultiTable _),
     "q_kmeans" -> (Queries.kmeansQ _),
     "q_stratified_split" -> (Queries.stratifiedSplit _),
     "q_topn_per_group" -> (Queries.topnPerGroup _),
@@ -242,6 +243,35 @@ object SparkEntry {
     */
   private def normSql(v: String): String =
     s"list_transform($v, x -> x / sqrt(${dotSql(v, v)}))"
+
+  /** Shared CTE prefix replaying the multi-table LSH ANN pipeline
+    * (Similarity.lshMultiTableCodes + exact-cosine rerank input):
+    * planes regenerated from the same md5 tags (the tag string is
+    * materialized in its own CTE `ps` — hSql's list_transform lambda is
+    * named `i`, and an outer column `i` inside its md5 argument would
+    * be captured by the LAMBDA variable, silently hashing the wrong
+    * tags), codes re-derived with sequential-fold dots. Ends at
+    * `scored` (candidate pairs + exact cosine); q_ann_multitable ranks
+    * it, q_ann_recall scores it against brute-force truth.
+    */
+  private val annMtCtes: String =
+    s"""e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |e AS (SELECT vec_id, ${normSql("v")} AS v FROM e0),
+       |ps AS (SELECT t, p, di,
+       |        'mt:' || CAST(t AS VARCHAR) || ':' || CAST(p AS VARCHAR) || ':' || CAST(di AS VARCHAR) AS tag
+       |       FROM range(32) tt(t), range(6) pp(p), range(64) ii(di)),
+       |pw AS (SELECT t, p, di, CAST(${hSql("tag")} % 1000 AS DOUBLE) / 1000.0 - 0.5 AS w FROM ps),
+       |pl AS (SELECT t, p, list(w ORDER BY di) AS pv FROM pw GROUP BY t, p),
+       |dots AS (SELECT e.vec_id, pl.t, pl.p, ${dotSql("v", "pv")} AS d FROM e CROSS JOIN pl),
+       |codes AS (SELECT vec_id, t, CAST(sum(CASE WHEN d > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS code
+       |          FROM dots GROUP BY vec_id, t),
+       |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |         FROM codes c JOIN (SELECT * FROM codes WHERE vec_id < 10) q
+       |           ON c.t = q.t AND c.code = q.code
+       |         WHERE c.vec_id <> q.vec_id),
+       |scored AS (SELECT cand.query_id, cand.neighbor_id, ${dotSql("qe.v", "ce.v")} AS cs
+       |           FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+       |                     JOIN e ce ON ce.vec_id = cand.neighbor_id)""".stripMargin
 
   private val minhashSigSql: String = {
     import graft.ops.Dedup.{MinHashA => A, MinHashB => B, MinHashP => P}
@@ -933,32 +963,11 @@ object SparkEntry {
          |WHERE rnk <= 3
          |ORDER BY query_id, rnk""".stripMargin,
 
-    // Full replay of the multi-table LSH recall pipeline: planes are
-    // regenerated from the same md5 tags (NOTE: the tag string is
-    // materialized in its own CTE `ps` — hSql's list_transform lambda
-    // is named `i`, and an outer column `i` inside its md5 argument
-    // would be captured by the LAMBDA variable, silently hashing the
-    // wrong tags), codes re-derived with sequential-fold dots, approx
-    // and truth top-3 re-ranked identically, so n_hits itself
-    // hash-matches — recall_ok is the headline contract on top.
+    // Full replay of the multi-table LSH recall pipeline (shared CTEs:
+    // see annMtCtes) + brute-force truth, so n_hits itself hash-matches
+    // — recall_ok is the headline contract on top.
     "q_ann_recall" ->
-      s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |e AS (SELECT vec_id, ${normSql("v")} AS v FROM e0),
-         |ps AS (SELECT t, p, di,
-         |        'mt:' || CAST(t AS VARCHAR) || ':' || CAST(p AS VARCHAR) || ':' || CAST(di AS VARCHAR) AS tag
-         |       FROM range(32) tt(t), range(6) pp(p), range(64) ii(di)),
-         |pw AS (SELECT t, p, di, CAST(${hSql("tag")} % 1000 AS DOUBLE) / 1000.0 - 0.5 AS w FROM ps),
-         |pl AS (SELECT t, p, list(w ORDER BY di) AS pv FROM pw GROUP BY t, p),
-         |dots AS (SELECT e.vec_id, pl.t, pl.p, ${dotSql("v", "pv")} AS d FROM e CROSS JOIN pl),
-         |codes AS (SELECT vec_id, t, CAST(sum(CASE WHEN d > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS code
-         |          FROM dots GROUP BY vec_id, t),
-         |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-         |         FROM codes c JOIN (SELECT * FROM codes WHERE vec_id < 10) q
-         |           ON c.t = q.t AND c.code = q.code
-         |         WHERE c.vec_id <> q.vec_id),
-         |scored AS (SELECT cand.query_id, cand.neighbor_id, ${dotSql("qe.v", "ce.v")} AS cs
-         |           FROM cand JOIN e qe ON qe.vec_id = cand.query_id
-         |                     JOIN e ce ON ce.vec_id = cand.neighbor_id),
+      s"""WITH $annMtCtes,
          |approx AS (SELECT query_id, neighbor_id FROM (
          |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
          |    FROM scored) WHERE rnk <= 3),
@@ -972,6 +981,14 @@ object SparkEntry {
          |SELECT 'lsh_mt32x6' AS method, n_queries, n_truth, n_hits,
          |       (n_hits * 4 >= n_truth * 3) AS recall_ok
          |FROM tt CROSS JOIN hits""".stripMargin,
+
+    "q_ann_multitable" ->
+      s"""WITH $annMtCtes
+         |SELECT query_id, neighbor_id, rnk, round(cs, 6) AS cos_sim FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 3
+         |ORDER BY query_id, rnk""".stripMargin,
 
     "q_stratified_split" ->
       s"""WITH d AS (SELECT lang, n_chars,
