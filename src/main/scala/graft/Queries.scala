@@ -551,6 +551,45 @@ object Queries {
   def minhashLshQ(spark: SparkSession, sfDir: String): DataFrame =
     lshPairs(spark, sfDir).orderBy(col("doc_a"), col("doc_b"))
 
+  /** Containment (near-superset) detection over documents + planted
+    * AGGREGATORS: every 7th doc is concatenated with its successor into
+    * a synthetic aggregator row (id+50000) — the quote/compilation
+    * shape. [[graft.ops.Dedup.containmentPairs]] surfaces part→whole
+    * relations (containment ≈ 1 where resemblance ≈ 0.5) that the
+    * jaccard dedup would score below threshold.
+    */
+  def containmentQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val agg = d.as("a")
+      .join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .filter(col("a.doc_id") % 7 === 0)
+      .select((col("a.doc_id") + 50000).as("doc_id"),
+        concat(col("a.text"), lit(" "), col("b.text")).as("text"))
+    Dedup.containmentPairs(d.unionAll(agg), 0.75)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Temperature-scaled mixture weights per (lang, source) — the
+    * multilingual/domain sampling-rate table every training run derives
+    * from its corpus stats (alpha-smoothing, here alpha = 0.5 so the
+    * smoothing is an EXACT `sqrt`: correctly-rounded IEEE in both
+    * engines, unlike pow(x, 0.3) whose libm rounding could diverge).
+    * Small groups get up-weighted relative to their raw share; one
+    * narrow aggregate + a scalar window over ~|groups| rows.
+    */
+  def mixtureWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(spark, sfDir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .withColumn("w", sqrt(col("total_chars").cast("double")))
+      .withColumn("mix_weight",
+        round(col("w") / sum(col("w")).over(Window.partitionBy()), 6))
+      .select(col("lang"), col("source"), col("n_docs"), col("total_chars"),
+        col("mix_weight"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   /** Duplicate-cluster assignment: connected components (min-label
     * propagation) over the verified LSH near-dup pairs — the transitive
     * closure that collapses whole dup chains onto one canonical keeper.

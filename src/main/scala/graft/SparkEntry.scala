@@ -58,6 +58,8 @@ object SparkEntry {
     "q_dedup_exact" -> (Queries.dedupExact _),
     "q_ngram_jaccard" -> (Queries.ngramJaccard _),
     "q_minhash_lsh" -> (Queries.minhashLshQ _),
+    "q_containment" -> (Queries.containmentQ _),
+    "q_mixture_weights" -> (Queries.mixtureWeights _),
     "q_simhash" -> (Queries.simhashQ _),
     "q_simhash_pairs" -> (Queries.simhashPairsQ _),
     "q_simhash_blocked" -> (Queries.simhashBlockedQ _),
@@ -485,6 +487,49 @@ object SparkEntry {
          |SELECT doc_a, doc_b, jaccard FROM scored
          |WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Containment over documents + planted aggregators: same shingle/
+    // signature/band pipeline as q_minhash_lsh, asymmetric verify
+    // (inter/|A|, inter/|B|), filter on the greater ROUNDED direction
+    // (the Spark side rounds before filtering too).
+    "q_containment" ->
+      s"""WITH cbase AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT a.doc_id + 50000, a.text || ' ' || b.text
+         |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+         |  WHERE a.doc_id % 7 = 0),
+         |csh AS (SELECT doc_id, $hashedShinglesSql AS shingles
+         |       FROM (SELECT doc_id, ${wordsSql("lower(text)")} AS w FROM cbase)),
+         |chx AS (SELECT doc_id, unnest(shingles) AS h FROM csh),
+         |csig AS (SELECT doc_id, $minhashSigSql FROM chx GROUP BY doc_id),
+         |cbands AS (SELECT doc_id, unnest([
+         |    concat_ws(':', '0', s0, s1), concat_ws(':', '1', s2, s3),
+         |    concat_ws(':', '2', s4, s5), concat_ws(':', '3', s6, s7)]) AS band FROM csig),
+         |ccand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM cbands a JOIN cbands b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |cscored AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS inter,
+         |    len(sa.shingles) AS la, len(sb.shingles) AS lb
+         |  FROM ccand JOIN csh sa ON ccand.doc_a = sa.doc_id
+         |             JOIN csh sb ON ccand.doc_b = sb.doc_id)
+         |SELECT doc_a, doc_b,
+         |  round(inter / la, 6) AS cont_a_in_b,
+         |  round(inter / lb, 6) AS cont_b_in_a
+         |FROM cscored
+         |WHERE greatest(round(inter / la, 6), round(inter / lb, 6)) >= 0.75
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // alpha=0.5 temperature smoothing is an exact sqrt — portable;
+    // group sums of ~1e5-magnitude ints feed a ~|groups|-row window.
+    "q_mixture_weights" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  round(sqrt(CAST(sum(n_chars) AS DOUBLE))
+        |    / sum(sqrt(CAST(sum(n_chars) AS DOUBLE))) OVER (), 6) AS mix_weight
+        |FROM documents GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
 
     // Transitive closure of the verified near-dup pairs: min reachable
     // doc_id per node via recursive CTE == the min-label-propagation

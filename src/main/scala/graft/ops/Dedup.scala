@@ -137,6 +137,37 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Broder CONTAINMENT pairs (|A∩B|/|A| — the asymmetric companion of
+    * resemblance): detects near-SUPERSET relations (a doc quoting or
+    * aggregating another) that plain Jaccard misses — an aggregator of
+    * two docs has resemblance ≈ 0.5 to each part but containment ≈ 1.0
+    * in the part→whole direction. Output keeps BOTH directions
+    * (cont_a_in_b, cont_b_in_a), filtered on the max — no asymmetric
+    * direction pick, so the row set is order-free and hash-stable.
+    *
+    * Candidates come from the same MinHash band join as [[minhashLsh]],
+    * which recalls by RESEMBLANCE — a tiny doc inside a huge one can
+    * escape the bands even at containment 1.0. That is the documented
+    * trade of reusing the symmetric sketch; a production
+    * containment-first search sketches the contained side alone
+    * (one-sided sampling). For aggregation/quote detection among
+    * comparable-size docs (resemblance ≥ ~0.4) the band join recalls
+    * deterministically, and every emitted pair is verified exactly.
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val shingled = shingleSets(docs)
+    val cands = lshCandidates(minhashSignatures(shingled))
+    val sa = shingled.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val sb = shingled.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    cands.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("cont_a_in_b", round(col("inter") / size(col("sh_a")), 6))
+      .withColumn("cont_b_in_a", round(col("inter") / size(col("sh_b")), 6))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("cont_a_in_b"), col("cont_b_in_a"))
+  }
+
   /** Incremental dedup: verified near-dup matches of a NEW batch
     * against an EXISTING corpus — the continual-ingest primitive (every
     * training-data pipeline dedups each incoming crawl against the

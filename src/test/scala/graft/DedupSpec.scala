@@ -166,6 +166,29 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.contains((1L, 4L)))
   }
 
+  test("containment flags the part->whole relation that jaccard scores below threshold") {
+    val partText = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val tailText = "and later a storm arrived over the hills beyond"
+    val docs = Seq(
+      (1L, partText),
+      (2L, partText + " " + tailText), // aggregator: contains ALL of 1's shingles
+      (3L, "a completely different sentence with other words about spark engines")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.containmentPairs(docs, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val hit = rows.find(r => r._1 == 1L && r._2 == 2L)
+    assert(hit.isDefined, rows.mkString(","))
+    assert(hit.get._3 == 1.0)      // every shingle of 1 appears in 2
+    assert(hit.get._4 < 0.9)       // but 2 is NOT contained in 1
+    // the resemblance is below the usual 0.5 dedup bar — jaccard alone
+    // would have kept the aggregator as "novel"
+    val j = Dedup.ngramJaccardPairs(docs, 0.0)
+      .filter($"doc_a" === 1L && $"doc_b" === 2L)
+      .select($"jaccard").head.getDouble(0)
+    assert(j < 0.9, s"jaccard=$j")
+    assert(!rows.exists(r => r._1 == 3L || r._2 == 3L))
+  }
+
   test("simhash: identical text -> identical hash; near text -> small hamming") {
     val sh = Dedup.simhash16(base).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sh(1L) == sh(3L))
