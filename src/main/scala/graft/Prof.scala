@@ -30,6 +30,10 @@ object Prof {
       profTri(spark, (name, f) => time(name)(f()))
       spark.stop(); return
     }
+    if (args.headOption.contains("fuzzy")) {
+      profFuzzy(spark, (name, f) => time(name)(f()))
+      spark.stop(); return
+    }
     val n = 4000000L
     val keys = 5000
     // deterministic synthetic: ts spread over ~46 days, 5k keys
@@ -170,6 +174,26 @@ object Prof {
     * pair expansion, interleaved in one session (host contention swings
     * wall times 2×; only within-run ratios mean anything).
     */
+  /** A/B: current string-variant FastSS join vs 64-bit-hashed variant
+    * keys (hash collisions only ADD candidates; the levenshtein verify
+    * keeps the output exact either way — so hashing is recall-safe).
+    */
+  private def profFuzzy(spark: SparkSession, time: (String, () => Long) => Unit): Unit = {
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val p = graft.sources.Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_name"), col("p_brand")).persist()
+    p.count()
+    for (r <- 1 to 3) {
+      time(s"fuzzy_string_$r", () =>
+        graft.ops.EditDistanceJoin
+          .selfJoin(p, "p_partkey", "p_name", "p_brand", k = 2).count())
+      time(s"fuzzy_hashed_$r", () =>
+        graft.ops.EditDistanceJoin
+          .selfJoinHashed(p, "p_partkey", "p_name", "p_brand", k = 2).count())
+    }
+    p.unpersist()
+  }
+
   private def profTri(spark: SparkSession, time: (String, () => Long) => Unit): Unit = {
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val li = graft.sources.Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_partkey"))

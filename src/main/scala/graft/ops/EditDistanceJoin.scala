@@ -55,6 +55,18 @@ object EditDistanceJoin {
             nm.substr(col("i") + 1, big))))
   }
 
+  /** [[selfJoin]] with the variant strings collapsed to 64-bit hashes
+    * before the equi-join: the shuffled key shrinks from a ~full-length
+    * string to 8 bytes and the join compares longs. xxhash64 collisions
+    * can only ADD candidates — never lose one — and every candidate is
+    * levenshtein-verified, so the output is identical (the property
+    * spec runs both forms against brute force). Same maxLen/prefilter
+    * behavior as [[selfJoin]].
+    */
+  def selfJoinHashed(rows: DataFrame, key: String, name: String, block: String,
+      k: Int = 2, maxLen: Int = 64): DataFrame =
+    selfJoinImpl(rows, key, name, block, k, maxLen, hashVariants = true)
+
   /** Self-join `rows` (columns: key, name, block) returning pairs with
     * ed(name_a, name_b) ≤ k within the same block. Output columns:
     * key_a, key_b, name_a, name_b, dist (BIGINT), key_a < key_b.
@@ -67,14 +79,21 @@ object EditDistanceJoin {
     * cap only for genuinely short-string domains.
     */
   def selfJoin(rows: DataFrame, key: String, name: String, block: String,
-               k: Int = 2, maxLen: Int = 64): DataFrame = {
+               k: Int = 2, maxLen: Int = 64): DataFrame =
+    selfJoinImpl(rows, key, name, block, k, maxLen, hashVariants = false)
+
+  private def selfJoinImpl(rows: DataFrame, key: String, name: String, block: String,
+      k: Int, maxLen: Int, hashVariants: Boolean): DataFrame = {
     val capped = rows.select(col(block), col(key),
       when(length(col(name)) > maxLen, raise_error(concat(
           lit(s"EditDistanceJoin.selfJoin: input exceeds maxLen=$maxLen " +
             "(variant count is C(L,2) per string; use MinHash/SimHash for " +
             "long text): "), col(name).substr(1, 80))))
         .otherwise(col(name)).as(name))
-    val variants = withDeletionVariants(capped, name, k)
+    val variantsRaw = withDeletionVariants(capped, name, k)
+    val variants =
+      if (hashVariants) variantsRaw.withColumn("var", xxhash64(col("var")))
+      else variantsRaw
     // ed(a,b) <= k forces abs(|a|-|b|) <= k: carrying the source length
     // through the variant join lets that necessary condition drop
     // candidates BEFORE the DISTINCT shuffle (cuts same-variant

@@ -36,14 +36,21 @@ class EditDistanceJoinSpec extends AnyFunSuite {
 
     import spark.implicits._
     val df = rows.toDF("key", "name", "block")
-    val got = graft.ops.EditDistanceJoin
-      .selfJoin(df, "key", "name", "block", k = 2)
-      .select(col("key_a"), col("key_b"), col("dist"))
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      .sortBy(p => (p._1, p._2))
+    def run(hashed: Boolean) = {
+      val join =
+        if (hashed) graft.ops.EditDistanceJoin.selfJoinHashed(df, "key", "name", "block", k = 2)
+        else graft.ops.EditDistanceJoin.selfJoin(df, "key", "name", "block", k = 2)
+      join.select(col("key_a"), col("key_b"), col("dist"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(p => (p._1, p._2))
+    }
+    val got = run(hashed = false)
     assert(got.toSeq == expected, s"got ${got.length}, expected ${expected.length}")
     assert(expected.nonEmpty) // the comparison must actually exercise pairs
+    // hashed-variant form: identical output (collisions only add
+    // candidates; the verify step is exact)
+    assert(run(hashed = true).toSeq == expected)
   }
 
   test("identical strings and cross-block pairs behave at the boundaries") {
