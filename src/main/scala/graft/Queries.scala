@@ -569,6 +569,31 @@ object Queries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Winnowing (MOSS) span-level dedup over documents + planted QUOTE
+    * docs: every 11th doc's tokens 11-40 spliced before another doc's
+    * full text (id+70000) — the plagiarism/quotation shape where
+    * whole-doc Jaccard stays low but a long shared token run exists.
+    * [[graft.ops.Dedup.winnowPairs]]: shared winnowing fingerprints ≥ 20
+    * after dropping corpus-boilerplate fingerprints (df > 20). The
+    * small-vocab synthetic corpus also yields genuine heavy span
+    * repeats — they surface alongside the planted docs, which is the
+    * operator doing its job.
+    */
+  def winnowQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 300)
+    val planted = d.as("a")
+      .join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 3)
+      .filter(col("a.doc_id") % 11 === 0)
+      .select((col("a.doc_id") + 70000).as("doc_id"),
+        concat(
+          array_join(slice(split(trim(lower(col("a.text"))), "\\s+"), 11, 30), " "),
+          lit(" "), col("b.text")).as("text"))
+    Dedup.winnowPairs(d.unionAll(planted), k = 3, w = 4,
+        minShared = 20, maxDocFreq = 20)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Temperature-scaled mixture weights per (lang, source) — the
     * multilingual/domain sampling-rate table every training run derives
     * from its corpus stats (alpha-smoothing, here alpha = 0.5 so the
@@ -936,9 +961,20 @@ object Queries {
     * reranked by exact cosine. Same output shape as [[annLsh]] so a
     * user can swap single-code search for the recall-bearing variant.
     */
+  /** The 32×6 code table shared by [[annMultiTable]] and [[annRecall]]
+    * — memoized + persisted per (session, sf): the 192 plane dots are
+    * the expensive pass over the embeddings, and the table itself is
+    * 3 narrow columns × 32 rows/vector.
+    */
+  private def annMtCodes(spark: SparkSession, sfDir: String, e: DataFrame): DataFrame =
+    graft.sources.SessionMemo(spark, ("ann_mt_codes", sfDir)) {
+      Similarity.lshMultiTableCodes(e)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   def annMultiTable(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Similarity.normalized(Similarity.asDouble(Tables.embeddings(spark, sfDir)))
-    val codes = Similarity.lshMultiTableCodes(e)
+    val codes = annMtCodes(spark, sfDir, e)
     val qCodes = codes.filter(col("vec_id") < 10)
       .select(col("t"), col("code"), col("vec_id").as("query_id"))
     val cand = codes.join(broadcast(qCodes), Seq("t", "code"))
@@ -980,7 +1016,7 @@ object Queries {
   def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
     val k = 3
     val e = Similarity.normalized(Similarity.asDouble(Tables.embeddings(spark, sfDir)))
-    val codes = Similarity.lshMultiTableCodes(e)
+    val codes = annMtCodes(spark, sfDir, e)
     val qCodes = codes.filter(col("vec_id") < 10)
       .select(col("t"), col("code"), col("vec_id").as("query_id"))
     val cand = codes.join(broadcast(qCodes), Seq("t", "code"))

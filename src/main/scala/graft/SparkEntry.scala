@@ -59,6 +59,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> (Queries.ngramJaccard _),
     "q_minhash_lsh" -> (Queries.minhashLshQ _),
     "q_containment" -> (Queries.containmentQ _),
+    "q_winnow" -> (Queries.winnowQ _),
     "q_mixture_weights" -> (Queries.mixtureWeights _),
     "q_simhash" -> (Queries.simhashQ _),
     "q_simhash_pairs" -> (Queries.simhashPairsQ _),
@@ -519,6 +520,38 @@ object SparkEntry {
          |  round(inter / lb, 6) AS cont_b_in_a
          |FROM cscored
          |WHERE greatest(round(inter / la, 6), round(inter / lb, 6)) >= 0.75
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Winnowing replay: position-indexed tokens (LATERAL range — DuckDB
+    // has no WITH ORDINALITY), lead()-built k-grams, 48-bit md5-fold
+    // gram hashes, min-over-w-window fingerprints (integer min —
+    // order-free), df cap, shared-count pairs. All-integer pipeline.
+    "q_winnow" ->
+      s"""WITH wbase AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 300
+         |  UNION ALL
+         |  SELECT a.doc_id + 70000,
+         |    array_to_string(string_split_regex(trim(lower(a.text)), '\\s+')[11:40], ' ')
+         |      || ' ' || b.text
+         |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 3
+         |  WHERE a.doc_id % 11 = 0 AND a.doc_id < 300 AND b.doc_id < 300),
+         |wtoks AS (SELECT doc_id, pos, ws[pos+1] AS tok, len(ws) AS ng FROM (
+         |    SELECT doc_id, ${wordsSql("lower(text)")} AS ws FROM wbase) s,
+         |    LATERAL (SELECT unnest(range(len(ws))) AS pos) p),
+         |wgrams AS (SELECT doc_id, pos,
+         |    tok || ' ' || lead(tok,1) OVER wo || ' ' || lead(tok,2) OVER wo AS gram, ng
+         |  FROM wtoks WINDOW wo AS (PARTITION BY doc_id ORDER BY pos)),
+         |wfull AS (SELECT doc_id, pos, ${hSql("gram")} AS h FROM wgrams WHERE pos <= ng - 3),
+         |wfps AS (SELECT DISTINCT doc_id, fp FROM (
+         |    SELECT doc_id, min(h) OVER ww AS fp, count(*) OVER ww AS nfull
+         |    FROM wfull WINDOW ww AS (PARTITION BY doc_id ORDER BY pos
+         |                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING))
+         |  WHERE nfull = 4),
+         |wrare AS (SELECT fp FROM wfps GROUP BY fp HAVING count(*) <= 20),
+         |wkept AS (SELECT wfps.doc_id, wfps.fp FROM wfps JOIN wrare USING (fp))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |FROM wkept a JOIN wkept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 20
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     // alpha=0.5 temperature smoothing is an exact sqrt — portable;

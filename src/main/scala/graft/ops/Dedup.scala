@@ -137,6 +137,65 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * algorithm): per document, the MIN k-gram hash of every full
+    * w-window of consecutive k-grams, deduplicated by value. Winnowing
+    * guarantees any shared token run of length ≥ w + k − 1 yields at
+    * least one SHARED fingerprint — positional span-level matching,
+    * the complement of MinHash (whole-doc resemblance) and SimHash
+    * (global bit profile): two docs sharing one long plagiarized
+    * paragraph inside otherwise-different text score near zero Jaccard
+    * but cannot escape a shared fingerprint.
+    *
+    * Output: (doc_id, fp) distinct. Scale shape: one token explode, a
+    * per-doc ordered window (the SAME exchange the tokenize already
+    * forced), distinct on (doc_id, fp) — rows ≈ tokens/w per doc.
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("doc_id"),
+        posexplode(split(trim(lower(col("text"))), "\\s+")).as(Seq("pos", "tok")))
+    val gram = (0 until k).map(i =>
+      if (i == 0) col("tok") else lead(col("tok"), i).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val wWin = wOrd.rowsBetween(0, w - 1)
+    toks
+      .withColumn("gram", concat_ws(" ", gram: _*))
+      .withColumn("ng", count(lit(1)).over(
+        Window.partitionBy(col("doc_id")))) // token count per doc
+      // full k-grams only (positions whose gram doesn't run off the end)
+      .filter(col("pos") <= col("ng") - k)
+      .withColumn("h", TextOps.portableHash64(col("gram")))
+      .withColumn("fp", min(col("h")).over(wWin))
+      .withColumn("nfull", count(lit(1)).over(wWin))
+      .filter(col("nfull") === w) // full windows only
+      .select(col("doc_id"), col("fp")).distinct()
+  }
+
+  /** Span-level near-dup pairs by shared winnowing fingerprints:
+    * fingerprints occurring in more than `maxDocFreq` docs are dropped
+    * first (corpus boilerplate — and the join fan-out bound: every
+    * surviving fingerprint joins ≤ maxDocFreq² pairs), then doc pairs
+    * sharing ≥ `minShared` fingerprints are emitted with the count.
+    */
+  def winnowPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
+      minShared: Int = 5, maxDocFreq: Int = 20): DataFrame = {
+    val fps = winnowFingerprints(docs, k, w)
+    val rare = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+      .select(col("fp"))
+    val kept = fps.join(rare, "fp")
+    kept.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(kept.select(col("fp"), col("doc_id").as("doc_b")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Broder CONTAINMENT pairs (|A∩B|/|A| — the asymmetric companion of
     * resemblance): detects near-SUPERSET relations (a doc quoting or
     * aggregating another) that plain Jaccard misses — an aggregator of

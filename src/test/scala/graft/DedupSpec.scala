@@ -166,6 +166,25 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.contains((1L, 4L)))
   }
 
+  test("winnowing: a shared quote run yields shared fingerprints; disjoint docs share none") {
+    // distinctive vocabularies so chance gram collisions are impossible
+    val wordsA = (1 to 60).map(i => s"alpha$i").mkString(" ")
+    val quote = (20 to 40).map(i => s"alpha$i").mkString(" ") // 21-token run of A
+    val wordsB = (1 to 60).map(i => s"beta$i").mkString(" ")
+    val docs = Seq(
+      (1L, wordsA),
+      (2L, wordsB),
+      (3L, quote + " " + (1 to 30).map(i => s"gamma$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs, k = 3, w = 4, minShared = 1, maxDocFreq = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // guarantee: a shared token run of length >= w + k - 1 = 6 cannot
+    // escape winnowing — the 21-token quote must share fingerprints
+    assert(pairs.contains((1L, 3L)), pairs)
+    assert(pairs((1L, 3L)) >= 3) // ~(21-2) grams / w windows, several mins survive
+    assert(!pairs.contains((1L, 2L)) && !pairs.contains((2L, 3L)), pairs)
+  }
+
   test("containment flags the part->whole relation that jaccard scores below threshold") {
     val partText = "the quick brown fox jumps over the lazy dog near the river bank today"
     val tailText = "and later a storm arrived over the hills beyond"
