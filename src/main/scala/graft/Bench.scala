@@ -42,13 +42,24 @@ object Bench {
     // query's intrinsic cost under asymmetric load noise (noise only ever
     // ADDS time), and summing per-query mins is reproducible within ~15%
     // across back-to-back runs where single-pass totals are not.
+    // SessionMemo + cached data are RELEASED between passes so every
+    // pass pays the same cold-data cost the r1-r4 single-pass baselines
+    // did — the min measures the best COLD run, not warmed caches.
+    // (JIT/codegen warmth does carry over; that is the same shared
+    // infrastructure the pre-suite warmup primes.)
     val passes = sys.env.getOrElse("GRAFT_BENCH_PASSES", "2").toInt.max(1)
     def runPass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val allPasses = (1 to passes).map(_ => runPass())
+    val allPasses = (1 to passes).map { i =>
+      if (i > 1) {
+        graft.sources.SessionMemo.release(spark)
+        spark.catalog.clearCache()
+      }
+      runPass()
+    }
     val passTotals = allPasses.map(_.values.sum)
     val results = allPasses.head.keys.map { name =>
       name -> allPasses.map(_(name)).min

@@ -582,9 +582,13 @@ object Queries {
   def winnowQ(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).filter(col("doc_id") < 300)
+    // only docs long enough for a real 30-token quote are planted:
+    // shorter sources hit an engine-semantics edge (DuckDB list[11:40]
+    // on a 10-token doc is NULL where Spark slice() is empty)
     val planted = d.as("a")
       .join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 3)
-      .filter(col("a.doc_id") % 11 === 0)
+      .filter(col("a.doc_id") % 11 === 0 &&
+        size(split(trim(lower(col("a.text"))), "\\s+")) >= 40)
       .select((col("a.doc_id") + 70000).as("doc_id"),
         concat(
           array_join(slice(split(trim(lower(col("a.text"))), "\\s+"), 11, 30), " "),
@@ -955,12 +959,6 @@ object Queries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  /** OR-amplified multi-table ANN top-3 (the operator [[annRecall]]
-    * certifies): candidates from 32 independent 6-bit sign-LSH tables
-    * ([[graft.ops.Similarity.lshMultiTableCodes]]), union-deduped,
-    * reranked by exact cosine. Same output shape as [[annLsh]] so a
-    * user can swap single-code search for the recall-bearing variant.
-    */
   /** The 32×6 code table shared by [[annMultiTable]] and [[annRecall]]
     * — memoized + persisted per (session, sf): the 192 plane dots are
     * the expensive pass over the embeddings, and the table itself is
@@ -972,8 +970,14 @@ object Queries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
-  def annMultiTable(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Similarity.normalized(Similarity.asDouble(Tables.embeddings(spark, sfDir)))
+  /** The shared multi-table candidate + exact-cosine rerank pipeline:
+    * union of per-table (t, code) bucket matches for queries
+    * vec_id < 10, deduped, reranked. ONE definition so the pipeline
+    * [[annRecall]] certifies is exactly the one [[annMultiTable]]
+    * serves. Returns (query_id, neighbor_id, rnk, cos_sim 6dp).
+    */
+  private def annMtTopK(spark: SparkSession, sfDir: String, e: DataFrame,
+      k: Int): DataFrame = {
     val codes = annMtCodes(spark, sfDir, e)
     val qCodes = codes.filter(col("vec_id") < 10)
       .select(col("t"), col("code"), col("vec_id").as("query_id"))
@@ -989,10 +993,20 @@ object Queries {
     cand.join(cv, "neighbor_id").join(broadcast(qv), "query_id")
       .withColumn("cos_sim", Similarity.dot(col("qv"), col("cv")))
       .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 3)
+      .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
         round(col("cos_sim"), 6).as("cos_sim"))
-      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** OR-amplified multi-table ANN top-3 (the operator [[annRecall]]
+    * certifies): candidates from 32 independent 6-bit sign-LSH tables
+    * ([[graft.ops.Similarity.lshMultiTableCodes]]), union-deduped,
+    * reranked by exact cosine. Same output shape as [[annLsh]] so a
+    * user can swap single-code search for the recall-bearing variant.
+    */
+  def annMultiTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Similarity.normalized(Similarity.asDouble(Tables.embeddings(spark, sfDir)))
+    annMtTopK(spark, sfDir, e, 3).orderBy(col("query_id"), col("rnk"))
   }
 
   /** ANN recall@3 contract: the OR-amplified multi-table LSH path
@@ -1016,22 +1030,8 @@ object Queries {
   def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
     val k = 3
     val e = Similarity.normalized(Similarity.asDouble(Tables.embeddings(spark, sfDir)))
-    val codes = annMtCodes(spark, sfDir, e)
-    val qCodes = codes.filter(col("vec_id") < 10)
-      .select(col("t"), col("code"), col("vec_id").as("query_id"))
-    val cand = codes.join(broadcast(qCodes), Seq("t", "code"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"))
-      .distinct()
-    val qv = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val cv = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
-    val approx = cand.join(cv, "neighbor_id").join(broadcast(qv), "query_id")
-      .withColumn("cos_sim", Similarity.dot(col("qv"), col("cv")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    // the EXACT pipeline q_ann_multitable serves — one shared definition
+    val approx = annMtTopK(spark, sfDir, e, k)
       .select(col("query_id"), col("neighbor_id"))
     val truth = Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, k)
       .select(col("query_id"), col("neighbor_id"))

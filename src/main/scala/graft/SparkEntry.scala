@@ -534,7 +534,8 @@ object SparkEntry {
          |    array_to_string(string_split_regex(trim(lower(a.text)), '\\s+')[11:40], ' ')
          |      || ' ' || b.text
          |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 3
-         |  WHERE a.doc_id % 11 = 0 AND a.doc_id < 300 AND b.doc_id < 300),
+         |  WHERE a.doc_id % 11 = 0 AND a.doc_id < 300 AND b.doc_id < 300
+         |    AND len(string_split_regex(trim(lower(a.text)), '\\s+')) >= 40),
          |wtoks AS (SELECT doc_id, pos, ws[pos+1] AS tok, len(ws) AS ng FROM (
          |    SELECT doc_id, ${wordsSql("lower(text)")} AS ws FROM wbase) s,
          |    LATERAL (SELECT unnest(range(len(ws))) AS pos) p),

@@ -158,7 +158,14 @@ object Curation {
   def verifyCandidates(candidates: DataFrame, docTexts: DataFrame,
       threshold: Double = JaccardMin): DataFrame = {
     val pairs = candidates.select(col("doc_id"), col("first_doc")).distinct()
-    val sh = Dedup.shingleSets(docTexts)
+    // semi-join the corpus store down to candidate ids BEFORE shingling:
+    // Catalyst won't pull the expensive shingle projection above the
+    // pair joins on its own, and without this cut each micro-batch
+    // would shingle the ENTIRE (growing) corpus twice
+    val candidateIds = pairs.select(col("doc_id"))
+      .union(pairs.select(col("first_doc").as("doc_id"))).distinct()
+    val sh = Dedup.shingleSets(
+      docTexts.join(candidateIds, Seq("doc_id"), "left_semi"))
     pairs
       .join(sh.select(col("doc_id"), col("shingles").as("sh_later")), "doc_id")
       .join(sh.select(col("doc_id").as("first_doc"), col("shingles").as("sh_first")),

@@ -15,6 +15,11 @@ class KafkaConfigSpec extends AnyFunSuite {
   lazy val spark = GraftSpark.spark
 
   test("kafka reader options mirror the reference consumer config") {
+    // GraftConfig.load() honors GRAFT_* env overrides by design — this
+    // test pins the DEFAULTS against the reference, so it only runs
+    // where no override is present (otherwise it would fail spuriously)
+    assume(Seq("GRAFT_KAFKA_BROKERS", "GRAFT_KAFKA_TOPIC",
+      "GRAFT_KAFKA_STARTING_OFFSETS").forall(v => sys.env.get(v).isEmpty))
     val (fmt, opts) = LogSources.kafkaReaderConfig(GraftConfig.load())
     assert(fmt == "kafka")
     assert(opts == Map(

@@ -244,6 +244,10 @@ class PlanSpec extends AnyFunSuite {
     // Disable auto-broadcast so the plan reflects ONLY the code's choice:
     // the explicit broadcast() hint survives -1, so the gated-off run's
     // extra shuffle join is unambiguously the closing probe.
+    // Mutating shared-session conf + sys.props is safe here because
+    // forked tests run suites SEQUENTIALLY (Test/fork := true with
+    // sbt-default testForkedParallel = false) and both are restored in
+    // the finally.
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
