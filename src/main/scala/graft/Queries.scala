@@ -970,33 +970,18 @@ object Queries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
-  /** The shared multi-table candidate + exact-cosine rerank pipeline:
-    * union of per-table (t, code) bucket matches for queries
-    * vec_id < 10, deduped, reranked. ONE definition so the pipeline
-    * [[annRecall]] certifies is exactly the one [[annMultiTable]]
-    * serves. Returns (query_id, neighbor_id, rnk, cos_sim 6dp).
+  /** The shared multi-table candidate + exact-cosine rerank pipeline
+    * over the harness query set (vec_id < 10) — delegates to
+    * [[graft.ops.Similarity.lshMultiTableTopK]] with the memoized
+    * corpus code table. ONE definition so the pipeline [[annRecall]]
+    * certifies is exactly the one [[annMultiTable]] serves (and the
+    * same generic operator [[graft.streaming.AnnStream]] runs per
+    * micro-batch).
     */
   private def annMtTopK(spark: SparkSession, sfDir: String, e: DataFrame,
-      k: Int): DataFrame = {
-    val codes = annMtCodes(spark, sfDir, e)
-    val qCodes = codes.filter(col("vec_id") < 10)
-      .select(col("t"), col("code"), col("vec_id").as("query_id"))
-    val cand = codes.join(broadcast(qCodes), Seq("t", "code"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"))
-      .distinct()
-    val qv = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val cv = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
-    cand.join(cv, "neighbor_id").join(broadcast(qv), "query_id")
-      .withColumn("cos_sim", Similarity.dot(col("qv"), col("cv")))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"),
-        round(col("cos_sim"), 6).as("cos_sim"))
-  }
+      k: Int): DataFrame =
+    Similarity.lshMultiTableTopK(e.filter(col("vec_id") < 10), e, k,
+      corpusCodes = Some(annMtCodes(spark, sfDir, e)))
 
   /** OR-amplified multi-table ANN top-3 (the operator [[annRecall]]
     * certifies): candidates from 32 independent 6-bit sign-LSH tables

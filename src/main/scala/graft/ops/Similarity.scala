@@ -83,6 +83,38 @@ object Similarity {
       .select(col("vec_id"), col("tc.t").as("t"), col("tc.code").as("code"))
   }
 
+  /** Multi-table ANN top-k of `queries` against `corpus` (both
+    * `(vec_id, embedding)`, already [[normalized]]): queries are coded
+    * with the same planes, bucket-matched per table against the corpus
+    * code table, union-deduped, exact-cosine reranked. The QUERY side
+    * is broadcast (by contract the small side — an eval set or one
+    * micro-batch); pass `corpusCodes` to reuse a materialized corpus
+    * code table (the static side of streaming ingest — computed once,
+    * not per batch). Self-matches (same vec_id) are excluded.
+    */
+  def lshMultiTableTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      tables: Int = 32, bits: Int = 6,
+      corpusCodes: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cCodes = corpusCodes.getOrElse(lshMultiTableCodes(corpus, tables, bits))
+    val qCodes = lshMultiTableCodes(queries, tables, bits)
+      .select(col("t"), col("code"), col("vec_id").as("query_id"))
+    val cand = cCodes.join(broadcast(qCodes), Seq("t", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    val qv = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val cv = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    cand.join(cv, "neighbor_id").join(broadcast(qv), "query_id")
+      .withColumn("cos_sim", dot(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos_sim"), 6).as("cos_sim"))
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * candidates (excluding self). Inputs must be [[normalized]]; query
     * side is broadcast; candidates stream; ties broken by candidate id.
