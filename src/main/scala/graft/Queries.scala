@@ -598,6 +598,29 @@ object Queries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Span-level decontamination — the verbatim-leak companion of
+    * [[decontaminate]] (same eval-set convention, doc_id % 97): corpus
+    * docs sharing ≥ 3 WINNOWING fingerprints with the benchmark slice
+    * carry a verbatim token run of length ≥ w + k − 1 per shared
+    * fingerprint (the winnowing guarantee) — stronger evidence than
+    * gram-overlap counting, which a paraphrase can trip. Benchmark
+    * fingerprints broadcast (eval-set-sized); the corpus is probed by
+    * one narrow left join — the decontaminate shape.
+    */
+  def decontaminateSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    val fps = Dedup.winnowFingerprints(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+    val benchFps = fps.filter(col("doc_id") % 97 === 0)
+      .select(col("fp")).distinct().withColumn("hit", lit(1L))
+    fps.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(benchFps), Seq("fp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fps"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_leaked"))
+      .withColumn("span_contaminated", col("n_leaked") >= 3)
+      .orderBy(col("doc_id"))
+  }
+
   /** Temperature-scaled mixture weights per (lang, source) — the
     * multilingual/domain sampling-rate table every training run derives
     * from its corpus stats (alpha-smoothing, here alpha = 0.5 so the

@@ -60,6 +60,7 @@ object SparkEntry {
     "q_minhash_lsh" -> (Queries.minhashLshQ _),
     "q_containment" -> (Queries.containmentQ _),
     "q_winnow" -> (Queries.winnowQ _),
+    "q_decontaminate_spans" -> (Queries.decontaminateSpans _),
     "q_mixture_weights" -> (Queries.mixtureWeights _),
     "q_simhash" -> (Queries.simhashQ _),
     "q_simhash_pairs" -> (Queries.simhashPairsQ _),
@@ -554,6 +555,30 @@ object SparkEntry {
          |FROM wkept a JOIN wkept b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 20
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Same winnowing replay over the PLAIN corpus (no plants), then the
+    // decontaminate aggregation shape: bench fingerprints vs the rest.
+    "q_decontaminate_spans" ->
+      s"""WITH dtoks AS (SELECT doc_id, pos, ws[pos+1] AS tok, len(ws) AS ng FROM (
+         |    SELECT doc_id, ${wordsSql("lower(text)")} AS ws FROM documents) s,
+         |    LATERAL (SELECT unnest(range(len(ws))) AS pos) p),
+         |dgrams AS (SELECT doc_id, pos,
+         |    tok || ' ' || lead(tok,1) OVER wo || ' ' || lead(tok,2) OVER wo AS gram, ng
+         |  FROM dtoks WINDOW wo AS (PARTITION BY doc_id ORDER BY pos)),
+         |dfull AS (SELECT doc_id, pos, ${hSql("gram")} AS h FROM dgrams WHERE pos <= ng - 3),
+         |dfps AS (SELECT DISTINCT doc_id, fp FROM (
+         |    SELECT doc_id, min(h) OVER ww AS fp, count(*) OVER ww AS nfull
+         |    FROM dfull WINDOW ww AS (PARTITION BY doc_id ORDER BY pos
+         |                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING))
+         |  WHERE nfull = 4),
+         |bfps AS (SELECT DISTINCT fp FROM dfps WHERE doc_id % 97 = 0)
+         |SELECT d.doc_id, count(*) AS n_fps,
+         |  CAST(sum(CASE WHEN b.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked,
+         |  sum(CASE WHEN b.fp IS NOT NULL THEN 1 ELSE 0 END) >= 3 AS span_contaminated
+         |FROM dfps d LEFT JOIN bfps b ON d.fp = b.fp
+         |WHERE d.doc_id % 97 <> 0
+         |GROUP BY d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     // alpha=0.5 temperature smoothing is an exact sqrt — portable;
     // group sums of ~1e5-magnitude ints feed a ~|groups|-row window.
