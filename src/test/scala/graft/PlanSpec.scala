@@ -234,6 +234,31 @@ class PlanSpec extends AnyFunSuite {
     assert(hashEx <= 1, s"expected <=1 hash exchange, got $hashEx\n$plan")
   }
 
+  test("winnow: per-doc windows, fingerprint joins equi — no cartesian, no global window") {
+    val plan = formatted(Queries.winnowQ(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // every window partitions by doc_id — a global (empty-partition)
+    // window would single-thread the token stream
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
+  test("containment: candidates from the band equi-join, never all-pairs") {
+    val plan = formatted(Queries.containmentQ(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("decontaminate_spans: bench fingerprints broadcast; corpus probed once") {
+    val plan = formatted(Queries.decontaminateSpans(spark, sf))
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("ann multitable: bucket and rerank joins are equi/broadcast — no cartesian") {
+    val plan = formatted(Queries.annMultiTable(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastExchange"), plan) // query-side codes + vectors
+  }
+
   test("bloom probe is a native codegen'd expression — no ScalaUDF node") {
     val plan = formatted(Queries.dedupBloom(spark, sf))
     assert(plan.contains("bloom_might_contain"), plan)
