@@ -27,7 +27,10 @@ import org.apache.spark.sql.functions._
 object SoakScale {
 
   val Heavy = Seq("q_triangles", "q_fuzzy_join", "q_dedup_clusters",
-    "q_pagerank", "q_curation")
+    "q_pagerank", "q_curation",
+    // round-5 additions with uncapped corpus scans: containment rides
+    // the dup-heavy band join, span decontamination winnows every doc
+    "q_containment", "q_decontaminate_spans")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)
