@@ -2282,6 +2282,28 @@ object Queries {
       .orderBy(col("l_linestatus"))
   }
 
+  /** TPC-H Q14 shape (promotion effect): one-month shipdate window,
+    * part dim broadcast into the filtered fact, a single conditional/
+    * total revenue ratio. Parity discipline: both revenue sums are
+    * exact DECIMAL(30,8) accumulations rounded to 2dp BEFORE the
+    * double ratio (the decimalSum2 device), so the one output value
+    * is identical on both engines.
+    */
+  def tpch14Q(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1997-10-01").cast("timestamp_ntz"))
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    l.join(broadcast(Tables.part(spark, sfDir).select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        decimalSum2(when(col("p_type") === "PROMO", rev).otherwise(lit(0))).as("promo_rev"),
+        decimalSum2(rev).as("total_rev"))
+      .select(col("promo_rev"), col("total_rev"),
+        round(lit(100.0) * col("promo_rev") / col("total_rev"), 6).as("promo_pct"))
+  }
+
   /** TPC-H Q10 shape (returned-item report): one-quarter order window,
     * returnflag-filtered lineitems, customer + nation dims broadcast,
     * top-20 customers by lost revenue. The returnflag and date filters

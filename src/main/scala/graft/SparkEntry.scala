@@ -144,6 +144,7 @@ object SparkEntry {
     "q_tpch7" -> (Queries.tpch7Q _),
     "q_tpch10" -> (Queries.tpch10Q _),
     "q_tpch12" -> (Queries.tpch12Q _),
+    "q_tpch14" -> (Queries.tpch14Q _),
     "q_tpch18" -> (Queries.tpch18Q _),
     "q_rolling_median" -> (Queries.rollingMedianQ _),
     "q_dau_cume" -> (Queries.dauCumeQ _),
@@ -1867,6 +1868,19 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
         |GROUP BY l_linestatus
         |ORDER BY l_linestatus""".stripMargin,
+
+    "q_tpch14" ->
+      """SELECT
+        |  CAST(round(sum(CASE WHEN p_type = 'PROMO'
+        |        THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))
+        |        ELSE CAST(0 AS DECIMAL(30,8)) END), 2) AS DOUBLE) AS promo_rev,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))), 2) AS DOUBLE) AS total_rev,
+        |  round(100.0 * CAST(round(sum(CASE WHEN p_type = 'PROMO'
+        |        THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))
+        |        ELSE CAST(0 AS DECIMAL(30,8)) END), 2) AS DOUBLE)
+        |    / CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))), 2) AS DOUBLE), 6) AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin,
 
     "q_tpch18" ->
       """WITH big AS (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
