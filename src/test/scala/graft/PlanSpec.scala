@@ -369,6 +369,14 @@ class PlanSpec extends AnyFunSuite {
   test("skyline: the local pass windows by shard — the fact never sees a global window") {
     val plan = formatted(Queries.skylineQ(spark, sf))
     assert("windowspecdefinition\\(shard#\\d+L".r.findFirstIn(plan).isDefined, plan)
+    // merge pass windows by the range bucket (constant on the small
+    // path, but always a non-empty partition spec)
+    assert("windowspecdefinition\\(sky_bucket#\\d+".r.findFirstIn(plan).isDefined, plan)
+    // NO window anywhere plans with an empty partition spec (a spec
+    // whose first argument is already an order column ASC/DESC is
+    // Spark's "No Partition Defined" single-partition hazard)
+    val unpartitioned = "windowspecdefinition\\(\\w+#\\d+L? (ASC|DESC)".r
+    assert(unpartitioned.findFirstIn(plan).isEmpty, plan)
   }
 
   test("tpch3: filtered customer broadcasts, segment filter pushed, top-10 TakeOrdered") {
