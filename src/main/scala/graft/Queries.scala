@@ -569,6 +569,29 @@ object Queries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** ONE-SIDED containment search: original docs probed against a MEGA
+    * corpus (8 consecutive originals concatenated per corpus doc) — the
+    * small-doc-inside-huge-doc shape whose resemblance (≈ 1/8) sits far
+    * below symmetric band recall but whose containment is exactly 1.
+    * [[graft.ops.Dedup.containmentVersusCorpus]] samples the CONTAINED
+    * side only (bottom-k shingle hashes) and probes the corpus posting
+    * table, so recall is structural for true subsets. Mega text order
+    * is pinned by sorting the collected (doc_id, text) structs — the
+    * oracle's string_agg(ORDER BY doc_id).
+    */
+  def containmentOnesidedQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 320)
+    val mega = d
+      .groupBy(expr("doc_id div 8").as("g"))
+      .agg(array_join(
+        transform(sort_array(collect_list(struct(col("doc_id"), col("text")))),
+          x => x.getField("text")), " ").as("text"))
+      .select((col("g") + 80000L).as("doc_id"), col("text"))
+    Dedup.containmentVersusCorpus(d, mega, 0.9)
+      .orderBy(col("doc_id"), col("corpus_id"))
+  }
+
   /** Winnowing (MOSS) span-level dedup over documents + planted QUOTE
     * docs: every 11th doc's tokens 11-40 spliced before another doc's
     * full text (id+70000) — the plagiarism/quotation shape where

@@ -59,6 +59,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> (Queries.ngramJaccard _),
     "q_minhash_lsh" -> (Queries.minhashLshQ _),
     "q_containment" -> (Queries.containmentQ _),
+    "q_containment_onesided" -> (Queries.containmentOnesidedQ _),
     "q_winnow" -> (Queries.winnowQ _),
     "q_decontaminate_spans" -> (Queries.decontaminateSpans _),
     "q_mixture_weights" -> (Queries.mixtureWeights _),
@@ -523,6 +524,40 @@ object SparkEntry {
          |FROM cscored
          |WHERE greatest(round(inter / la, 6), round(inter / lb, 6)) >= 0.75
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // One-sided containment: megas = 8 consecutive docs concatenated
+    // (string_agg ORDER BY doc_id == Spark's sorted-struct array_join);
+    // probe side samples its 8 smallest shingle hashes, corpus side is
+    // the full posting table (df-capped), hit floor least(2, |sample|),
+    // exact verify on the full shingle sets — mirrors
+    // Dedup.containmentVersusCorpus parameter-for-parameter.
+    "q_containment_onesided" ->
+      s"""WITH obase AS (SELECT doc_id, text FROM documents WHERE doc_id < 320),
+         |omega AS (
+         |  SELECT 80000 + doc_id // 8 AS doc_id,
+         |    string_agg(text, ' ' ORDER BY doc_id) AS text
+         |  FROM obase GROUP BY doc_id // 8),
+         |opsh AS (SELECT doc_id, $hashedShinglesSql AS shingles
+         |        FROM (SELECT doc_id, ${wordsSql("lower(text)")} AS w FROM obase)),
+         |ocsh AS (SELECT doc_id, $hashedShinglesSql AS shingles
+         |        FROM (SELECT doc_id, ${wordsSql("lower(text)")} AS w FROM omega)),
+         |osamp AS (SELECT doc_id, list_sort(shingles)[1:8] AS sample FROM opsh),
+         |oph AS (SELECT doc_id, len(sample) AS k_eff, unnest(sample) AS h FROM osamp),
+         |opostall AS (SELECT doc_id AS corpus_id, unnest(shingles) AS h FROM ocsh),
+         |opost AS (SELECT * FROM opostall WHERE h IN (
+         |  SELECT h FROM opostall GROUP BY h HAVING count(*) <= 1000)),
+         |ocand AS (
+         |  SELECT oph.doc_id, opost.corpus_id, count(*) AS hits, min(k_eff) AS k_eff
+         |  FROM oph JOIN opost ON oph.h = opost.h
+         |  GROUP BY 1, 2 HAVING count(*) >= least(2, min(k_eff)))
+         |SELECT c.doc_id, c.corpus_id,
+         |  round(CAST(len(list_intersect(p.shingles, s.shingles)) AS DOUBLE)
+         |    / len(p.shingles), 6) AS containment
+         |FROM ocand c JOIN opsh p ON c.doc_id = p.doc_id
+         |             JOIN ocsh s ON c.corpus_id = s.doc_id
+         |WHERE round(CAST(len(list_intersect(p.shingles, s.shingles)) AS DOUBLE)
+         |    / len(p.shingles), 6) >= 0.9
+         |ORDER BY 1, 2""".stripMargin,
 
     // Winnowing replay: position-indexed tokens (LATERAL range — DuckDB
     // has no WITH ORDINALITY), lead()-built k-grams, 48-bit md5-fold

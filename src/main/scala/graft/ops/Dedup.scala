@@ -227,6 +227,64 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("cont_a_in_b"), col("cont_b_in_a"))
   }
 
+  /** ONE-SIDED containment search — the recall gap [[containmentPairs]]
+    * declares, closed: find every (probe doc A, corpus doc B) with
+    * |shingles(A) ∩ shingles(B)| / |shingles(A)| ≥ threshold, including
+    * the flagship case the symmetric band join provably degrades on —
+    * a SMALL doc quoted inside a much LARGER one, where resemblance
+    * (≈|A|/|B|) is far below any band's recall but containment ≈ 1.
+    *
+    * Candidates come from a BOTTOM-K sketch of the CONTAINED side only
+    * (Broder's one-sided sampling, in its deterministic bottom-k form:
+    * A's k smallest shingle hashes — `array_sort` + `slice`, a narrow
+    * per-row projection, no window), probed against a full shingle
+    * POSTING table of the corpus. If A ⊆ B, every sampled shingle of A
+    * is in B's postings, so recall for exact subsets is structural —
+    * independent of |B|/|A| — and a near-subset misses each sample
+    * independently with probability ≤ 1 − containment. Tiny docs stay
+    * recallable: the hit floor is min(minHits, |sample|).
+    *
+    * Scale shape: the posting table is the inverted index a corpus
+    * search system materializes anyway — (h, corpus_id), size
+    * Σ|shingles|, written once and bucketed by h in production
+    * (LakeWriter.writeBucketed) so each probe batch shuffles only its
+    * k·|probe| sample rows. Fan-out per sample row is df(h), capped by
+    * dropping posting hashes with df > maxDocFreq (the winnowPairs
+    * boilerplate cap) at the declared cost: a probe whose k smallest
+    * shingles are ALL corpus boilerplate loses recall — the overlap
+    * class dedup pipelines deliberately ignore. Every candidate with
+    * ≥ min(minHits, |sample|) hits is verified EXACTLY on the full
+    * shingle sets; the emitted rows carry true containment.
+    */
+  def containmentVersusCorpus(probe: DataFrame, corpus: DataFrame,
+      threshold: Double, k: Int = 8, minHits: Int = 2,
+      maxDocFreq: Int = 1000): DataFrame = {
+    val shP = shingleSets(probe)
+    val shC = shingleSets(corpus)
+    val sampled = shP.select(col("doc_id"),
+      slice(array_sort(col("shingles")), 1, k).as("sample"))
+    val probes = sampled.select(col("doc_id"),
+      size(col("sample")).as("k_eff"), explode(col("sample")).as("h"))
+    val postings = shC.select(col("doc_id").as("corpus_id"),
+      explode(col("shingles")).as("h"))
+    val rare = postings.groupBy(col("h"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq)
+      .select(col("h"))
+    val cands = probes.join(postings.join(rare, "h"), Seq("h"))
+      .groupBy(col("doc_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("hits"), min(col("k_eff")).as("k_eff"))
+      .filter(col("hits") >= least(lit(minHits), col("k_eff")))
+    cands
+      .join(shP.select(col("doc_id"), col("shingles").as("sh_p")), "doc_id")
+      .join(shC.select(col("doc_id").as("corpus_id"), col("shingles").as("sh_c")),
+        "corpus_id")
+      .withColumn("containment",
+        round(size(array_intersect(col("sh_p"), col("sh_c"))).cast("double") /
+          size(col("sh_p")), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_id"), col("corpus_id"), col("containment"))
+  }
+
   /** Incremental dedup: verified near-dup matches of a NEW batch
     * against an EXISTING corpus — the continual-ingest primitive (every
     * training-data pipeline dedups each incoming crawl against the

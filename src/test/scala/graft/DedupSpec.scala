@@ -208,6 +208,33 @@ class DedupSpec extends AnyFunSuite {
     assert(!rows.exists(r => r._1 == 3L || r._2 == 3L))
   }
 
+  test("one-sided containment recalls small-in-huge pairs the symmetric bands miss") {
+    // 16 parts with pairwise-disjoint vocab, one huge doc = all parts
+    // concatenated: containment(part in huge) = 1.0, resemblance ~1/16
+    val smalls = (0 until 16).map(i =>
+      (i.toLong, (0 until 12).map(j => s"w${i}x$j").mkString(" ")))
+    val tiny = (20L, "w0x0 w0x1 w0x2") // 3 tokens -> ONE shingle; floor = 1 hit
+    val huge = (100L, smalls.map(_._2).mkString(" "))
+    val probe = (smalls :+ tiny).toDF("doc_id", "text")
+    val corpus = Seq(huge).toDF("doc_id", "text")
+    // the symmetric sketch (containmentPairs) candidates by RESEMBLANCE:
+    // at ~1/16 a MinHash band agrees only by luck — on this data most
+    // (part, huge) pairs escape the bands entirely. Assert the concrete
+    // misses (deterministic for fixed data), then that the one-sided
+    // path recalls exactly those pairs too.
+    val symHits = Dedup.containmentPairs(probe.unionAll(corpus), 0.9)
+      .collect().filter(_.getLong(1) == 100L).map(_.getLong(0)).toSet
+    val symMissed = (smalls.map(_._1) :+ 20L).toSet -- symHits
+    assert(symMissed.nonEmpty, s"bands recalled everything: $symHits")
+    // one-sided bottom-k sampling: every part recalled at containment
+    // 1.0 — structural for true subsets, |huge|/|part| notwithstanding —
+    // and nothing else emitted (parts are pairwise disjoint)
+    val got = Dedup.containmentVersusCorpus(probe, corpus, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = (smalls.map(_._1) :+ 20L).map(id => (id, 100L, 1.0)).toSet
+    assert(got == want, s"got=$got want=$want")
+  }
+
   test("simhash: identical text -> identical hash; near text -> small hamming") {
     val sh = Dedup.simhash16(base).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sh(1L) == sh(3L))
