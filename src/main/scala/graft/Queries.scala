@@ -1500,6 +1500,36 @@ object Queries {
     graft.ops.Curation.curate(base).orderBy(col("doc_id"))
   }
 
+  /** Curation flagship WITH the span-dedup stage (gates → exact → LSH →
+    * winnowing span dedup → split): the q_curation plant set plus QUOTE
+    * docs (id+70000) built from two 30-token slices — tokens 11-40 of
+    * every 11th sufficiently-long doc and of its +3 neighbor,
+    * concatenated. A quote doc's whole-doc Jaccard against either
+    * source is far below JaccardMin (30 of ~100+ distinct shingles), so
+    * the LSH stage keeps it — only the winnowing stage (shared
+    * fingerprints from the verbatim 30-token runs) can drop it.
+    */
+  def curationSpansQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    def slice30(c: Column) =
+      array_join(slice(split(trim(lower(c)), "\\s+"), 11, 30), " ")
+    val quotes = d.as("a")
+      .join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 3)
+      .filter(col("a.doc_id") % 11 === 0 &&
+        size(split(trim(lower(col("a.text"))), "\\s+")) >= 40 &&
+        size(split(trim(lower(col("b.text"))), "\\s+")) >= 40)
+      .select((col("a.doc_id") + 70000).as("doc_id"),
+        concat(slice30(col("a.text")), lit(" "), slice30(col("b.text"))).as("text"))
+    val base = d
+      .union(d.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      .union(d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          replace(col("text"), lit("data"), lit("info")).as("text")))
+      .union(quotes)
+    graft.ops.Curation.curate(base, spanStage = true).orderBy(col("doc_id"))
+  }
+
   /** Higher-order array functions (lambda expressions): aggregate /
     * filter / exists / forall / zip_with / transform. Note these are
     * CodegenFallback in Spark — correct but interpreted; hot paths use

@@ -101,6 +101,7 @@ object SparkEntry {
     "q_percentiles" -> (Queries.percentilesQ _),
     "q_array_funcs" -> (Queries.arrayFuncs _),
     "q_curation" -> (Queries.curationQ _),
+    "q_curation_spans" -> (Queries.curationSpansQ _),
     "q_exists" -> (Queries.existsSubquery _),
     "q_lateral" -> (Queries.lateralJoin _),
     "q_scalar_corr" -> (Queries.correlatedScalar _),
@@ -194,6 +195,26 @@ object SparkEntry {
   /** Hashed distinct shingles — what graft's native ShingleHashes emits. */
   private val hashedShinglesSql: String =
     s"list_transform($shinglesSql, g -> ${hSql("g")})"
+
+  /** Winnowing fingerprint CTE chain (k=3, w=4 — the Dedup
+    * .winnowFingerprints contract) over relation `base` (doc_id, text):
+    * defines `${p}fps` = DISTINCT (doc_id, fp). Same all-integer
+    * pipeline as the q_winnow oracle, parameterized so composed oracles
+    * (curation span stage) replay it over intermediate CTEs.
+    */
+  private def winnowFpsCtes(p: String, base: String): String =
+    s"""${p}toks AS (SELECT doc_id, pos, ws[pos+1] AS tok, len(ws) AS ng FROM (
+       |    SELECT doc_id, ${wordsSql("lower(text)")} AS ws FROM $base) s,
+       |    LATERAL (SELECT unnest(range(len(ws))) AS pos) p),
+       |${p}grams AS (SELECT doc_id, pos,
+       |    tok || ' ' || lead(tok,1) OVER wo || ' ' || lead(tok,2) OVER wo AS gram, ng
+       |  FROM ${p}toks WINDOW wo AS (PARTITION BY doc_id ORDER BY pos)),
+       |${p}full AS (SELECT doc_id, pos, ${hSql("gram")} AS h FROM ${p}grams WHERE pos <= ng - 3),
+       |${p}fps AS (SELECT DISTINCT doc_id, fp FROM (
+       |    SELECT doc_id, min(h) OVER ww AS fp, count(*) OVER ww AS nfull
+       |    FROM ${p}full WINDOW ww AS (PARTITION BY doc_id ORDER BY pos
+       |                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING))
+       |  WHERE nfull = 4)""".stripMargin
 
   /** Shared CTE chain for the MinHash-LSH pipeline over documents plus
     * planted near copies; `scored` = candidate pairs with exact Jaccard.
@@ -1394,6 +1415,72 @@ object SparkEntry {
          |kept AS (SELECT doc_id, quality FROM ek WHERE doc_id NOT IN (SELECT doc_id FROM neardrop)),
          |d AS (SELECT doc_id, quality,
          |        ${hSql("concat('split:', CAST(doc_id AS VARCHAR))")} % 100 AS b FROM kept)
+         |SELECT doc_id, quality,
+         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // Curation + span-dedup stage: the q_curation chain (kept carries
+    // text forward), plus quote plants (two 30-token slices), then the
+    // q_winnow fingerprint replay over the LSH survivors with the
+    // Curation.Span* thresholds; doc_b of each span pair is dropped.
+    "q_curation_spans" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 20000, replace(text, 'data', 'info') FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT a.doc_id + 70000,
+         |    array_to_string(string_split_regex(trim(lower(a.text)), '\\s+')[11:40], ' ')
+         |      || ' ' ||
+         |    array_to_string(string_split_regex(trim(lower(b.text)), '\\s+')[11:40], ' ')
+         |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 3
+         |  WHERE a.doc_id % 11 = 0
+         |    AND len(string_split_regex(trim(lower(a.text)), '\\s+')) >= 40
+         |    AND len(string_split_regex(trim(lower(b.text)), '\\s+')) >= 40),
+         |b0 AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS pt, ${wordsSql("text")} AS w FROM base),
+         |s AS (SELECT doc_id, text,
+         |        ${langScoreSql("en")} AS s_en, ${langScoreSql("es")} AS s_es,
+         |        ${langScoreSql("de")} AS s_de, ${langScoreSql("zh")} AS s_zh,
+         |        round(least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.5
+         |          + (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) / length(text)) * 0.3
+         |          + CAST(len(list_distinct(w)) AS DOUBLE) / len(w) * 0.2, 6) AS quality
+         |      FROM b0),
+         |gated AS (SELECT doc_id, text, quality FROM s
+         |          WHERE s_en >= s_es AND s_en >= s_de AND s_en >= s_zh AND s_en > 0
+         |            AND quality >= ${graft.ops.Curation.QualityMin}),
+         |ex AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+         |ek AS (SELECT g.* FROM gated g WHERE g.doc_id IN (SELECT doc_id FROM ex)),
+         |sh AS (SELECT doc_id, $hashedShinglesSql AS shingles
+         |       FROM (SELECT doc_id, ${wordsSql("lower(text)")} AS w FROM ek)),
+         |hx AS (SELECT doc_id, unnest(shingles) AS h FROM sh),
+         |sig AS (SELECT doc_id, $minhashSigSql FROM hx GROUP BY doc_id),
+         |bands AS (SELECT doc_id, unnest([
+         |    concat_ws(':', '0', s0, s1), concat_ws(':', '1', s2, s3),
+         |    concat_ws(':', '2', s4, s5), concat_ws(':', '3', s6, s7)]) AS band FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |neardrop AS (SELECT DISTINCT doc_b AS doc_id FROM (
+         |    SELECT doc_a, doc_b,
+         |      round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         |        / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS j
+         |    FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id JOIN sh sb ON cand.doc_b = sb.doc_id)
+         |  WHERE j >= ${graft.ops.Curation.JaccardMin}),
+         |kept AS (SELECT doc_id, text, quality FROM ek
+         |         WHERE doc_id NOT IN (SELECT doc_id FROM neardrop)),
+         |${winnowFpsCtes("cw", "kept")},
+         |cwrare AS (SELECT fp FROM cwfps GROUP BY fp
+         |           HAVING count(*) <= ${graft.ops.Curation.SpanMaxDocFreq}),
+         |cwkept AS (SELECT cwfps.doc_id, cwfps.fp FROM cwfps JOIN cwrare USING (fp)),
+         |spandrop AS (SELECT b.doc_id FROM cwkept a JOIN cwkept b
+         |             ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |             GROUP BY a.doc_id, b.doc_id
+         |             HAVING count(*) >= ${graft.ops.Curation.SpanMinShared}),
+         |kept2 AS (SELECT doc_id, quality FROM kept
+         |          WHERE doc_id NOT IN (SELECT doc_id FROM spandrop)),
+         |d AS (SELECT doc_id, quality,
+         |        ${hSql("concat('split:', CAST(doc_id AS VARCHAR))")} % 100 AS b FROM kept2)
          |SELECT doc_id, quality,
          |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
          |FROM d ORDER BY doc_id""".stripMargin,

@@ -28,6 +28,17 @@ object Curation {
   /** Near-dup verification threshold (shingle Jaccard, 6dp). */
   val JaccardMin = 0.5
 
+  /** Span-dedup stage thresholds: pairs sharing ≥ [[SpanMinShared]]
+    * winnowing fingerprints after dropping corpus-boilerplate
+    * fingerprints (df > [[SpanMaxDocFreq]]). The floor is calibrated to
+    * the winnowing density 2/(w+1): a ~30-token verbatim run yields
+    * ~0.4·28 ≈ 11 distinct fingerprints, so 8 rare shared fingerprints
+    * is strong quote evidence while q_winnow's pair-REPORTING floor
+    * (20) would silently pass 30-token quotes through a DROP stage.
+    */
+  val SpanMinShared = 8
+  val SpanMaxDocFreq = 20
+
   /** docs(doc_id, text) → kept rows (doc_id, quality, split).
     *
     * Near-dup policy: for every verified pair (a, b) with a < b, the
@@ -63,7 +74,7 @@ object Curation {
     * four times (LSH signatures, both verify-join sides, final
     * anti-join) — unpersist it once the result has been consumed.
     */
-  def curateWithHandle(docs: DataFrame): (DataFrame, DataFrame) = {
+  def curateWithHandle(docs: DataFrame, spanStage: Boolean = false): (DataFrame, DataFrame) = {
     val gated = gate(docs)
     // exact dedup: keep the min doc_id of each identical-text group —
     // ONE hash exchange (window over md5) instead of a groupBy +
@@ -83,7 +94,22 @@ object Curation {
     val nearDrop = Dedup
       .minhashLsh(exactKept.select(col("doc_id"), col("text")), JaccardMin)
       .select(col("doc_b").as("doc_id")).distinct()
-    val kept = exactKept.join(nearDrop, Seq("doc_id"), "left_anti")
+    val lshKept = exactKept.join(nearDrop, Seq("doc_id"), "left_anti")
+    // optional SPAN-dedup stage: winnowing fingerprints over the LSH
+    // survivors catch positional quotes (a long shared token run inside
+    // otherwise-different text) that whole-doc Jaccard scores below
+    // threshold — drop the larger id of each span pair, same
+    // deterministic chain-safe policy as the LSH stage. Runs AFTER the
+    // LSH anti-join, so it only fingerprints already-deduped survivors.
+    val kept =
+      if (!spanStage) lshKept
+      else {
+        val spanDrop = Dedup
+          .winnowPairs(lshKept.select(col("doc_id"), col("text")),
+            k = 3, w = 4, minShared = SpanMinShared, maxDocFreq = SpanMaxDocFreq)
+          .select(col("doc_b").as("doc_id")).distinct()
+        lshKept.join(spanDrop, Seq("doc_id"), "left_anti")
+      }
     val bucket = TextOps.portableHash64(concat(lit("split:"), col("doc_id"))) % 100
     val result = kept.select(
       col("doc_id"), col("quality"),
@@ -98,15 +124,16 @@ object Curation {
     * session should use [[curateScoped]] (or [[curateWithHandle]] and
     * unpersist themselves) so cache entries don't accumulate.
     */
-  def curate(docs: DataFrame): DataFrame = curateWithHandle(docs)._1
+  def curate(docs: DataFrame, spanStage: Boolean = false): DataFrame =
+    curateWithHandle(docs, spanStage)._1
 
   /** Scoped curation: runs `use` over the curated frame, then releases
     * the backing cache — the leak-free form for loops over many inputs.
     * `use` must CONSUME the frame (collect/write); a lazily-escaped plan
     * would re-execute the un-cached subtree per consumer afterwards.
     */
-  def curateScoped[T](docs: DataFrame)(use: DataFrame => T): T = {
-    val (result, handle) = curateWithHandle(docs)
+  def curateScoped[T](docs: DataFrame, spanStage: Boolean = false)(use: DataFrame => T): T = {
+    val (result, handle) = curateWithHandle(docs, spanStage)
     try use(result)
     finally handle.unpersist(blocking = false)
   }
@@ -154,9 +181,18 @@ object Curation {
     * batch verify-join shape. A verified (later, first) pair drops the
     * LATER arrival: the streaming analog of batch drop-larger-id
     * (identical under ordered ingest, where later ⇒ larger id).
+    *
+    * `mode` picks the verification statistic over the same candidate
+    * pairs: "jaccard" (resemblance — the near-dup policy) or
+    * "containment" (max of |∩|/|later|, |∩|/|first| — the
+    * near-SUPERSET policy: an aggregator doc arriving after its parts
+    * has jaccard ≈ 1/n to each part but containment ≈ 1, so only this
+    * mode drops it). The score column is named after the mode.
     */
   def verifyCandidates(candidates: DataFrame, docTexts: DataFrame,
-      threshold: Double = JaccardMin): DataFrame = {
+      threshold: Double = JaccardMin, mode: String = "jaccard"): DataFrame = {
+    require(mode == "jaccard" || mode == "containment",
+      s"unknown verification mode '$mode' (jaccard | containment)")
     val pairs = candidates.select(col("doc_id"), col("first_doc")).distinct()
     // semi-join the corpus store down to candidate ids BEFORE shingling:
     // Catalyst won't pull the expensive shingle projection above the
@@ -166,15 +202,24 @@ object Curation {
       .union(pairs.select(col("first_doc").as("doc_id"))).distinct()
     val sh = Dedup.shingleSets(
       docTexts.join(candidateIds, Seq("doc_id"), "left_semi"))
+    val inter =
+      size(array_intersect(col("sh_later"), col("sh_first"))).cast("double")
+    val score = mode match {
+      case "jaccard" =>
+        round(inter / size(array_union(col("sh_later"), col("sh_first"))), 6)
+      case "containment" =>
+        // round each direction, then take the max — the containmentPairs
+        // filter convention, so thresholds compare identically
+        greatest(round(inter / size(col("sh_later")), 6),
+          round(inter / size(col("sh_first")), 6))
+    }
     pairs
       .join(sh.select(col("doc_id"), col("shingles").as("sh_later")), "doc_id")
       .join(sh.select(col("doc_id").as("first_doc"), col("shingles").as("sh_first")),
         "first_doc")
-      .withColumn("jaccard",
-        round(size(array_intersect(col("sh_later"), col("sh_first"))).cast("double") /
-          size(array_union(col("sh_later"), col("sh_first"))), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_id"), col("first_doc"), col("jaccard"))
+      .withColumn(mode, score)
+      .filter(col(mode) >= threshold)
+      .select(col("doc_id"), col("first_doc"), col(mode))
   }
 
   /** Closes the streaming-curation loop: sink the candidate stream via
@@ -187,11 +232,12 @@ object Curation {
   def reconcileStream(
       candidates: org.apache.spark.sql.Dataset[graft.streaming.DedupStream.BandHit],
       docTexts: () => DataFrame,
-      threshold: Double = JaccardMin)(
+      threshold: Double = JaccardMin,
+      mode: String = "jaccard")(
       onDrops: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     candidates.toDF().writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        onDrops(verifyCandidates(batch, docTexts(), threshold))
+        onDrops(verifyCandidates(batch, docTexts(), threshold, mode))
       }
       .start()
 

@@ -28,6 +28,35 @@ class CurationSpec extends AnyFunSuite {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("span stage drops quote docs that every earlier stage keeps") {
+    import org.apache.spark.sql.functions._
+    val d = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    def slice30(c: org.apache.spark.sql.Column) =
+      array_join(slice(split(trim(lower(c)), "\\s+"), 11, 30), " ")
+    val quotes = d.as("a")
+      .join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 3)
+      .filter(col("a.doc_id") % 11 === 0 &&
+        size(split(trim(lower(col("a.text"))), "\\s+")) >= 40 &&
+        size(split(trim(lower(col("b.text"))), "\\s+")) >= 40)
+      .select((col("a.doc_id") + 70000).as("doc_id"),
+        concat(slice30(col("a.text")), lit(" "), slice30(col("b.text"))).as("text"))
+    val base = d.union(quotes)
+    val without = graft.ops.Curation.curateScoped(base)(
+      _.collect().map(_.getLong(0)).toSet)
+    val withSpans = graft.ops.Curation.curateScoped(base, spanStage = true)(
+      _.collect().map(_.getLong(0)).toSet)
+    // gates + exact + LSH keep at least one quote doc (whole-doc
+    // jaccard vs either source is ~30/|union| — below JaccardMin) ...
+    val keptQuotes = without.filter(_ >= 70000)
+    assert(keptQuotes.nonEmpty, "no quote doc survived the pre-span stages")
+    // ... that ONLY the span stage removes, and the span stage never
+    // invents other drops' survivors (subset relation)
+    assert(withSpans.subsetOf(without))
+    val spanOnlyDrops = keptQuotes -- withSpans
+    assert(spanOnlyDrops.nonEmpty, s"span stage dropped no quote doc of $keptQuotes")
+  }
+
   test("curateScoped releases its cache; curate matches it") {
     import graft.ops.Curation
     val docs = graft.sources.Tables.documents(spark, sf)
@@ -72,6 +101,50 @@ class CurationSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(pairs.contains((5L, 1L)), pairs) // cross-batch band collision
     } finally { qk.stop(); qc.stop() }
+  }
+
+  test("containment-mode reconciliation drops an aggregator arriving after its parts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.Curation
+    val part1 = "the quick brown fox jumps over the lazy dog and runs to the river " +
+      "bank where a second dog waits for the data of the day to arrive with more words"
+    val part2 = "a completely different english document about query engines that " +
+      "the optimizer rewrites with rules for the plans and the costs of the work done"
+    // the aggregator doc: both parts verbatim — jaccard to each part is
+    // ~1/2 (below no near-dup bar discriminates at 0.9), containment of
+    // the part's shingles is ~1.0
+    val agg = part1 + " " + part2
+    val batch1 = Seq((1L, part1), (2L, part2))
+    val batch2 = Seq((3L, agg))
+    val allDocs = (batch1 ++ batch2).toDF("doc_id", "text")
+
+    val mem = MemoryStream[(Long, String)]
+    val (kept, cands) = Curation.curateStream(mem.toDF().toDF("doc_id", "text"))
+    val jacLedger = new Curation.DropLedger
+    val conLedger = new Curation.DropLedger
+    val qk = kept.writeStream.outputMode("append")
+      .format("memory").queryName("con_kept").start()
+    // two reconcilers over the SAME candidate stream: jaccard at 0.9
+    // must keep the aggregator, containment at 0.9 must drop it
+    val qj = Curation.reconcileStream(cands, () => allDocs, 0.9, "jaccard")(jacLedger.add)
+    val qc2 = Curation.reconcileStream(cands, () => allDocs, 0.9, "containment")(conLedger.add)
+    try {
+      mem.addData(batch1: _*)
+      Seq(qk, qj, qc2).foreach(_.processAllAvailable())
+      mem.addData(batch2: _*)
+      Seq(qk, qj, qc2).foreach(_.processAllAvailable())
+      assert(conLedger.snapshot.contains(3L),
+        s"containment mode kept the aggregator: ${conLedger.snapshot}")
+      assert(!jacLedger.snapshot.contains(3L),
+        s"jaccard@0.9 should not drop the aggregator: ${jacLedger.snapshot}")
+      // the parts themselves stay kept under containment reconciliation
+      val keptIds = Curation.applyDrops(
+        spark.table("con_kept"), conLedger.snapshot.toSeq.toDF("doc_id"))
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+      assert(keptIds == Set(1L, 2L), keptIds)
+    } finally { qk.stop(); qj.stop(); qc2.stop() }
   }
 
   test("reconciled streaming curation converges to the batch result across micro-batches") {
