@@ -2357,6 +2357,73 @@ object Queries {
         round(lit(100.0) * col("promo_rev") / col("total_rev"), 6).as("promo_pct"))
   }
 
+  /** TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    * scalar subquery `l_quantity < 0.2 * avg(l_quantity) WHERE
+    * l_partkey = p_partkey`, decorrelated the way Catalyst rewrites it —
+    * pre-aggregate per-part (sum, count) once over the SAME filtered
+    * fact slice, join back, compare. The per-part aggregate is
+    * dim-filtered-part-sized, so it broadcasts; the fact is scanned
+    * with the part semi-filter applied — no second full-fact pass.
+    * Adaptations for this data: no p_container column, so the selective
+    * dim filter is (p_brand, p_size); l_quantity is integer-valued, so
+    * 0.2·avg compares in exact integers (5·qty·cnt < sum — zero float
+    * rounding on either engine); avg_yearly = sum/7 via exact cents.
+    */
+  def tpch17Q(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_brand") === "Brand#23" && col("p_size") < 30)
+      .select(col("p_partkey"))
+    val lp = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    val perPart = lp.groupBy(col("l_partkey").as("agg_pk"))
+      .agg(sum(col("l_quantity").cast("long")).as("qty_sum"),
+        count(lit(1)).as("qty_cnt"))
+    lp.join(broadcast(perPart), col("l_partkey") === col("agg_pk"))
+      .filter(col("l_quantity").cast("long") * 5 * col("qty_cnt") < col("qty_sum"))
+      .agg(sum(cents(col("l_extendedprice"))).as("sum_cents"),
+        count(lit(1)).as("n_small"))
+      .select(avgFromCents(col("sum_cents"), lit(7), 2).as("avg_yearly"),
+        col("n_small"))
+  }
+
+  /** TPC-H Q20 shape (potential part promotion): nested semi-joins with
+    * a correlated aggregate — suppliers (from a nation set) who shipped
+    * MORE THAN HALF of some PROMO part's total windowed volume.
+    * Adaptations for this data: no partsupp table, so the
+    * supplier↔part availability relation is lineitem itself (per
+    * (supp, part) shipped volume vs the part's total), and Q20's
+    * 0.5·sum(l_quantity) comparison is exact-integer (2·sq > tq). The
+    * plan family is preserved: a part filter semi-restricting the
+    * fact, two aggregates at nested keys over one shared slice, and an
+    * IN-shaped semi-join into the supplier dim.
+    */
+  def tpch20Q(spark: SparkSession, sfDir: String): DataFrame = {
+    val nations = Seq("NATION_1", "NATION_3", "NATION_7", "NATION_12", "NATION_19")
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_type") === "PROMO").select(col("p_partkey"))
+    val fl = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1997-07-01").cast("timestamp_ntz"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("l_suppkey"), col("l_partkey"),
+        col("l_quantity").cast("long").as("qty"))
+    val sp = fl.groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("qty")).as("sq"))
+    val tp = fl.groupBy(col("l_partkey")).agg(sum(col("qty")).as("tq"))
+    val bigSupp = sp.join(tp, "l_partkey")
+      .filter(col("sq") * 2 > col("tq"))
+      .select(col("l_suppkey")).distinct()
+    val n = Tables.nation(spark, sfDir)
+      .filter(col("n_name").isin(nations: _*))
+      .select(col("n_nationkey"))
+    Tables.supplier(spark, sfDir)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(bigSupp, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** TPC-H Q10 shape (returned-item report): one-quarter order window,
     * returnflag-filtered lineitems, customer + nation dims broadcast,
     * top-20 customers by lost revenue. The returnflag and date filters

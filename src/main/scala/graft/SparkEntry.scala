@@ -147,6 +147,8 @@ object SparkEntry {
     "q_tpch10" -> (Queries.tpch10Q _),
     "q_tpch12" -> (Queries.tpch12Q _),
     "q_tpch14" -> (Queries.tpch14Q _),
+    "q_tpch17" -> (Queries.tpch17Q _),
+    "q_tpch20" -> (Queries.tpch20Q _),
     "q_tpch18" -> (Queries.tpch18Q _),
     "q_rolling_median" -> (Queries.rollingMedianQ _),
     "q_dau_cume" -> (Queries.dauCumeQ _),
@@ -2003,6 +2005,38 @@ object SparkEntry {
         |    / CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))), 2) AS DOUBLE), 6) AS promo_pct
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin,
+
+    // Q17 shape: decorrelated per-part (sum, count); the 0.2*avg
+    // comparison in exact integers (qty*5*cnt < sum); avg_yearly from
+    // exact cents with the shared floor(x+0.5) half-up convention.
+    "q_tpch17" ->
+      """WITH fp AS (SELECT p_partkey FROM part
+        |            WHERE p_brand = 'Brand#23' AND p_size < 30),
+        |lp AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty, l_extendedprice
+        |       FROM lineitem JOIN fp ON l_partkey = p_partkey),
+        |ag AS (SELECT l_partkey AS agg_pk, sum(qty) AS qty_sum, count(*) AS qty_cnt
+        |       FROM lp GROUP BY 1)
+        |SELECT floor((sum(round(l_extendedprice * 100)) / 7) + 0.5) / 100.0 AS avg_yearly,
+        |  count(*) AS n_small
+        |FROM lp JOIN ag ON lp.l_partkey = ag.agg_pk
+        |WHERE qty * 5 * qty_cnt < qty_sum""".stripMargin,
+
+    // Q20 shape: nested semi-joins over one shared windowed fact slice;
+    // 0.5*total comparison in exact integers (2*sq > tq).
+    "q_tpch20" ->
+      """WITH fl AS (
+        |  SELECT l_suppkey, l_partkey, CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+        |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')),
+        |sp AS (SELECT l_suppkey, l_partkey, sum(qty) AS sq FROM fl GROUP BY 1, 2),
+        |tp AS (SELECT l_partkey, sum(qty) AS tq FROM fl GROUP BY 1)
+        |SELECT s_suppkey, s_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name IN ('NATION_1', 'NATION_3', 'NATION_7', 'NATION_12', 'NATION_19')
+        |  AND s_suppkey IN (SELECT sp.l_suppkey FROM sp JOIN tp USING (l_partkey)
+        |                    WHERE 2 * sq > tq)
+        |ORDER BY s_suppkey""".stripMargin,
 
     "q_tpch18" ->
       """WITH big AS (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty

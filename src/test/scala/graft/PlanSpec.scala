@@ -394,6 +394,24 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("NATION_3"), plan)
   }
 
+  test("tpch17: correlated avg decorrelates to a broadcast aggregate join; filters pushed") {
+    val plan = formatted(Queries.tpch17Q(spark, sf))
+    // the per-part (sum, count) aggregate joins BROADCAST — the
+    // decorrelated shape; the fact side is never shuffled for it
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan) // part filter + agg join
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("Brand#23"), plan) // dim filter reaches the part scan
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("tpch20: nested semi-join family — part filter broadcast, supplier semi-joined") {
+    val plan = formatted(Queries.tpch20Q(spark, sf))
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("PROMO"), plan) // part-type filter reaches its scan
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("tpch10: returnflag + date filters reach their scans; dims broadcast; top-20 TakeOrdered") {
     val plan = formatted(Queries.tpch10Q(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"), plan)
