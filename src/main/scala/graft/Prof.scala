@@ -34,6 +34,10 @@ object Prof {
       profFuzzy(spark, (name, f) => time(name)(f()))
       spark.stop(); return
     }
+    if (args.headOption.contains("annplan")) {
+      profAnnPlan(spark, (name, f) => time(name)(f()))
+      spark.stop(); return
+    }
     val n = 4000000L
     val keys = 5000
     // deterministic synthetic: ts spread over ~46 days, 5k keys
@@ -242,5 +246,48 @@ object Prof {
       time(s"tri_shj_$r", () => close(shj))
     }
     e.unpersist(); o.unpersist()
+  }
+
+  /** VERDICT r5 item 7 (bench constant probe): is the q_ann_multitable
+    * session constant dominated by the WIDTH of the 192-typedLit plane
+    * projection, and would packing the planes into ONE nested array
+    * literal consumed by interpreted HOFs shave it? Measures analysis+
+    * planning alone and full cold execution for both shapes, twice.
+    */
+  private def profAnnPlan(spark: SparkSession, time: (String, () => Long) => Unit): Unit = {
+    import graft.ops.Similarity
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    def emb = Similarity.normalized(
+      Similarity.asDouble(graft.sources.Tables.embeddings(spark, sf)))
+    // B: one array<array<double>> literal (192×64), codes via
+    // sequence/transform/aggregate HOFs — interpreted, but the plan
+    // carries ONE constant instead of 192 wide Literal nodes
+    val planesLit = typedLit(
+      (for (t <- 0 until 32; p <- 0 until 6) yield Similarity.mtPlane(t, p)).toSeq)
+    val pow2 = typedLit((0 until 6).map(p => 1L << p))
+    def hofCodes = emb.select(col("vec_id"), explode(
+        transform(sequence(lit(0), lit(31)), t => struct(
+          t.cast("int").as("t"),
+          aggregate(sequence(lit(0), lit(5)), lit(0L), (acc, p) =>
+            acc + when(Similarity.dot(col("embedding"),
+                element_at(planesLit, (t * 6 + p + 1).cast("int"))) > 0,
+              element_at(pow2, (p + 1).cast("int"))).otherwise(lit(0L))).as("code")))
+        ).as("tc"))
+      .select(col("vec_id"), col("tc.t").as("t"), col("tc.code").as("code"))
+    def planOnly(df: => org.apache.spark.sql.DataFrame): Long = {
+      val p = df.queryExecution.executedPlan // force analysis+optimize+plan
+      p.toString.length.toLong.min(1L)
+    }
+    for (r <- 1 to 2) {
+      time(s"plan_192lit_$r", () => planOnly(Similarity.lshMultiTableCodes(emb)))
+      time(s"plan_hof_$r", () => planOnly(hofCodes))
+      time(s"exec_192lit_$r", () => Similarity.lshMultiTableCodes(emb).count())
+      time(s"exec_hof_$r", () => hofCodes.count())
+    }
+    // parity: identical code tables (the HOF form is a candidate only
+    // if it computes the same thing)
+    val a = Similarity.lshMultiTableCodes(emb)
+    val mismatch = a.except(hofCodes).count() + hofCodes.except(a).count()
+    println(s"code-table mismatch rows: $mismatch")
   }
 }

@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** 10× scale soak of the heavy operators (sf1-equivalent volume).
+/** N× scale soak of the heavy operators (default 10× = sf1-equivalent
+  * volume; round 6 runs 100× for the second decade of scaling
+  * evidence).
   *
   * The driver ships no sf1 testdata, so this main REPLICATES sf0.1
   * into `target/sfsoak` once (load-test input only — correctness
@@ -30,7 +32,10 @@ object SoakScale {
     "q_pagerank", "q_curation",
     // round-5 additions with uncapped corpus scans: containment rides
     // the dup-heavy band join, span decontamination winnows every doc
-    "q_containment", "q_decontaminate_spans")
+    "q_containment", "q_decontaminate_spans",
+    // round-6 additions: the 5-stage curation (full-corpus winnow after
+    // LSH) and the ANN multi-table pass over the replicated embeddings
+    "q_curation_spans", "q_ann_multitable")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)
@@ -43,6 +48,26 @@ object SoakScale {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, out).count()
       Console.err.println(f"$name%-20s ${(System.nanoTime() - t0) / 1e9}%8.1f s  ($n rows)")
+    }
+    // One-sided containment at its PRODUCTION asymmetry (q_containment_
+    // onesided caps its probe by construction, so the harness query
+    // cannot scale): probe = the original-id batch (5k docs), corpus =
+    // 8-doc megas over the ENTIRE soak corpus — posting build is
+    // corpus-sized, candidates stay probe-sized, the dup-heavy copies
+    // stress the df cap exactly like crawl boilerplate.
+    locally {
+      val t0 = System.nanoTime()
+      val d = graft.sources.Tables.documents(spark, out)
+        .select(col("doc_id"), col("text"))
+      val mega = d.groupBy(expr("doc_id div 8").as("g"))
+        .agg(array_join(
+          transform(sort_array(collect_list(struct(col("doc_id"), col("text")))),
+            x => x.getField("text")), " ").as("text"))
+        .select((col("g") + 100000000L).as("doc_id"), col("text"))
+      val probe = d.filter(col("doc_id") < 1000000L)
+      val n = graft.ops.Dedup.containmentVersusCorpus(probe, mega, 0.9).count()
+      Console.err.println(
+        f"op_containment_1s   ${(System.nanoTime() - t0) / 1e9}%8.1f s  ($n rows)")
     }
     spark.stop()
   }
@@ -82,12 +107,28 @@ object SoakScale {
       else base.withColumn("text", concat(col("text"), lit(s" soakcopy$i")))
     }.reduce(_ union _)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    // embeddings: vec_id-shifted copies with ONE coordinate nudged per
+    // copy (varying dim and magnitude). Plain copies would be
+    // DEGENERATE for ANN (identical vectors pile into identical LSH
+    // codes; scaling a vector is a cosine no-op) — the nudge keeps each
+    // copy a distinct near-cluster of the original, the shape a grown
+    // embedding corpus actually has.
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val eSpan = span(emb, "vec_id")
+    (0 until copies).map { i =>
+      val base = shifted(emb, Map("vec_id" -> eSpan), i)
+      if (i == 0) base
+      else base.withColumn("embedding",
+        transform(col("embedding"), (x, j) =>
+          when(j === lit(i % 16), x + lit((0.05f * ((i / 16) + 1)))).otherwise(x)))
+    }.reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     // remaining tables: straight copies (dims the heavy five don't
     // stress). events carries NANO timestamps — readable only as long
     // (the same conf graft.sources.Tables sets); the copy then lands as
     // plain INT64, which Tables.table handles identically.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Seq("region", "nation", "customer", "supplier", "orders", "events", "embeddings")
+    Seq("region", "nation", "customer", "supplier", "orders", "events")
       .foreach { t =>
         spark.read.parquet(s"$src/$t.parquet")
           .write.mode("overwrite").parquet(s"$out/$t.parquet")

@@ -69,12 +69,11 @@ object Curation {
       .select(col("doc_id"), col("text"), col("quality"))
   }
 
-  /** curate + the persist handle backing it. The second element is the
-    * MEMORY_AND_DISK-cached exact-dedup stage the returned plan reads
-    * four times (LSH signatures, both verify-join sides, final
-    * anti-join) — unpersist it once the result has been consumed.
+  /** curate + ALL persist handles backing it (head = the exact-dedup
+    * stage; span mode adds the duplicate-sized near-drop id set) —
+    * unpersist them once the result has been consumed.
     */
-  def curateWithHandle(docs: DataFrame, spanStage: Boolean = false): (DataFrame, DataFrame) = {
+  private def curatePipeline(docs: DataFrame, spanStage: Boolean): (DataFrame, Seq[DataFrame]) = {
     val gated = gate(docs)
     // exact dedup: keep the min doc_id of each identical-text group —
     // ONE hash exchange (window over md5) instead of a groupBy +
@@ -91,9 +90,18 @@ object Curation {
       .filter(col("_rn") === 1).drop("_rn")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // near-dup removal: LSH candidates, Jaccard-verified; drop doc_b
-    val nearDrop = Dedup
+    val nearDropPlan = Dedup
       .minhashLsh(exactKept.select(col("doc_id"), col("text")), JaccardMin)
       .select(col("doc_b").as("doc_id")).distinct()
+    // span mode consumes the LSH survivors TWICE (winnow fingerprints +
+    // the final anti-join); nearDrop is duplicate-sized, so persisting
+    // IT (not the survivor rows) makes the second consumption one cheap
+    // anti-join over the already-cached exact stage instead of a full
+    // re-run of the LSH verify chain.
+    val nearDrop =
+      if (spanStage)
+        nearDropPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else nearDropPlan
     val lshKept = exactKept.join(nearDrop, Seq("doc_id"), "left_anti")
     // optional SPAN-dedup stage: winnowing fingerprints over the LSH
     // survivors catch positional quotes (a long shared token run inside
@@ -114,8 +122,19 @@ object Curation {
     val result = kept.select(
       col("doc_id"), col("quality"),
       when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
-    (result, exactKept)
+    (result, if (spanStage) Seq(exactKept, nearDrop) else Seq(exactKept))
   }
+
+  /** curate + the persist handle backing it. The handle is the
+    * MEMORY_AND_DISK-cached exact-dedup stage the returned plan reads
+    * four times (LSH signatures, both verify-join sides, final
+    * anti-join) — unpersist it once the result has been consumed.
+    * NOTE span mode pins a SECOND (duplicate-sized) cache entry for the
+    * near-drop ids with session lifetime — use [[curateScoped]] when
+    * iterating over many inputs with the span stage on.
+    */
+  def curateWithHandle(docs: DataFrame, spanStage: Boolean = false): (DataFrame, DataFrame) =
+    curatePipeline(docs, spanStage) match { case (r, handles) => (r, handles.head) }
 
   /** LIFECYCLE: the cached exact-dedup stage lives until session end
     * (it cannot be unpersisted here — the returned plan consumes it
@@ -133,9 +152,9 @@ object Curation {
     * would re-execute the un-cached subtree per consumer afterwards.
     */
   def curateScoped[T](docs: DataFrame, spanStage: Boolean = false)(use: DataFrame => T): T = {
-    val (result, handle) = curateWithHandle(docs, spanStage)
+    val (result, handles) = curatePipeline(docs, spanStage)
     try use(result)
-    finally handle.unpersist(blocking = false)
+    finally handles.foreach(_.unpersist(blocking = false))
   }
 
   /** Incremental curation over a STREAMING doc source — how a 100 TB

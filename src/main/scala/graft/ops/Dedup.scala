@@ -182,12 +182,17 @@ object Dedup {
     */
   def winnowPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
       minShared: Int = 5, maxDocFreq: Int = 20): DataFrame = {
-    val fps = winnowFingerprints(docs, k, w)
-    val rare = fps.groupBy(col("fp"))
-      .agg(count(lit(1)).as("df"))
+    import org.apache.spark.sql.expressions.Window
+    // df cap as a WINDOW over the fp partition, not a groupBy + join
+    // back: same rows (fps is distinct (doc_id, fp), so the partition
+    // count IS the doc frequency), but the fingerprint subtree is
+    // scanned twice (the pair self-join) instead of three times, and
+    // the window's fp hash partitioning is exactly what the self-join
+    // needs — one exchange feeds both.
+    val kept = winnowFingerprints(docs, k, w)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("fp"))))
       .filter(col("df") <= maxDocFreq)
-      .select(col("fp"))
-    val kept = fps.join(rare, "fp")
+      .select(col("doc_id"), col("fp"))
     kept.select(col("fp"), col("doc_id").as("doc_a"))
       .join(kept.select(col("fp"), col("doc_id").as("doc_b")), "fp")
       .filter(col("doc_a") < col("doc_b"))

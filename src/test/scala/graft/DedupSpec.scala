@@ -235,6 +235,23 @@ class DedupSpec extends AnyFunSuite {
     assert(got == want, s"got=$got want=$want")
   }
 
+  test("one-sided containment: df cap drops boilerplate-only probes (declared cost)") {
+    // 6 corpus docs all containing the SAME boilerplate sentence; the
+    // probe doc is nothing but that sentence. With maxDocFreq < 6 every
+    // posting of the probe's shingles is capped away -> no candidates
+    // (the declared recall trade); raising the cap recalls all 6.
+    val boiler = "all rights reserved contact the webmaster for more information today"
+    val corpus = (1 to 6).map(i =>
+      (i.toLong, s"unique${i}a unique${i}b unique${i}c $boiler unique${i}d"))
+      .toDF("doc_id", "text")
+    val probe = Seq((100L, boiler)).toDF("doc_id", "text")
+    val capped = Dedup.containmentVersusCorpus(probe, corpus, 0.9, maxDocFreq = 5)
+    assert(capped.isEmpty, capped.collect().mkString(","))
+    val uncapped = Dedup.containmentVersusCorpus(probe, corpus, 0.9, maxDocFreq = 6)
+      .collect().map(_.getLong(1)).toSet
+    assert(uncapped == (1L to 6L).toSet, uncapped)
+  }
+
   test("simhash: identical text -> identical hash; near text -> small hamming") {
     val sh = Dedup.simhash16(base).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sh(1L) == sh(3L))

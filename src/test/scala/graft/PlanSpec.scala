@@ -297,6 +297,12 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("one-sided containment: equi-joins end to end — no cartesian, no ScalaUDF") {
+    val plan = formatted(Queries.containmentOnesidedQ(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
   test("quantize stays inside array HOFs — no explode, no shuffle") {
     val plan = formatted(Queries.quantizeQ(spark, sf))
     assert(!plan.contains("Generate"), plan) // explode would plan a Generate
