@@ -44,7 +44,10 @@ object SoakScale {
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     if (!new java.io.File(s"$out/_DONE").exists()) replicate(spark, src, out, copies)
     Console.err.println(s"soak input: $out ($copies x $src)")
-    Heavy.foreach { name =>
+    // GRAFT_SOAK_ONLY=q_a,q_b reruns a subset (resume after a fix
+    // without repaying the full suite)
+    val only = sys.env.get("GRAFT_SOAK_ONLY").map(_.split(",").toSet)
+    Heavy.filter(n => only.forall(_.contains(n))).foreach { name =>
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, out).count()
       Console.err.println(f"$name%-20s ${(System.nanoTime() - t0) / 1e9}%8.1f s  ($n rows)")
@@ -55,7 +58,7 @@ object SoakScale {
     // 8-doc megas over the ENTIRE soak corpus — posting build is
     // corpus-sized, candidates stay probe-sized, the dup-heavy copies
     // stress the df cap exactly like crawl boilerplate.
-    locally {
+    if (only.forall(_.contains("op_containment_1s"))) {
       val t0 = System.nanoTime()
       val d = graft.sources.Tables.documents(spark, out)
         .select(col("doc_id"), col("text"))

@@ -26,11 +26,31 @@ import org.apache.spark.sql.functions._
   * (56 for L=10) — a constant factor, not a quadratic one. The only
   * shuffles are the variant equi-join and the candidate DISTINCT on
   * integer key pairs; both hash-partition on high-cardinality keys, so
-  * no task ever sees more than one variant bucket. Name fetch for the
-  * verify step is an equi join the planner broadcasts when the input
-  * fits (AQE decides at runtime).
+  * no task ever sees more than one variant bucket. The variant join's
+  * build side and the verify step's name fetches broadcast only below
+  * [[EditDistanceJoin.BroadcastMaxRows]] input rows — past the gate
+  * they are pinned SHUFFLE_HASH, because the static size estimate
+  * under the variant Generate is rows-of-the-SCAN-sized and would
+  * auto-broadcast a corpus-scaled table (the x100-soak failure mode).
   */
 object EditDistanceJoin {
+
+  /** Input-row gate above which the variant and name-fetch joins are
+    * pinned to SHUFFLE_HASH instead of being left to the static
+    * planner. Below it Catalyst's auto-broadcast is correct and fast;
+    * above it the ESTIMATE is the trap: the variant table inherits the
+    * pruned parquet scan's few-MB sizeInBytes through the Generate, so
+    * the planner happily broadcasts a table that is really rows×~C(L,2)
+    * — at 100× sf0.1 that was a 1.4 GB driver collect, killed by
+    * spark.driver.maxResultSize (found by the x100 soak). Read per call
+    * (`-Dgraft.fuzzy.broadcastMaxRows=N`, 0 forces the shuffle path);
+    * default keeps x10-scale inputs (~200k rows ≈ 140 MB of variants)
+    * on the broadcast plan and routes anything larger to shuffle-hash,
+    * where the per-partition build is collect-free and AQE still
+    * handles skew.
+    */
+  def BroadcastMaxRows: Long =
+    sys.props.get("graft.fuzzy.broadcastMaxRows").map(_.toLong).getOrElse(1L << 18)
 
   /** All strings reachable by deleting up to `k` characters, k ≤ 2.
     * Encoding: i ∈ [0, L]; j ∈ [0, max(i-1, 0)]; i = 0 → the string
@@ -94,6 +114,10 @@ object EditDistanceJoin {
     val variants =
       if (hashVariants) variantsRaw.withColumn("var", xxhash64(col("var")))
       else variantsRaw
+    // the cheap scale probe behind BroadcastMaxRows (one narrow scan)
+    val gate = BroadcastMaxRows
+    val big = rows.limit(((gate + 1) min Int.MaxValue.toLong).toInt).count() > gate
+    def pin(df: DataFrame): DataFrame = if (big) df.hint("SHUFFLE_HASH") else df
     // ed(a,b) <= k forces abs(|a|-|b|) <= k: carrying the source length
     // through the variant join lets that necessary condition drop
     // candidates BEFORE the DISTINCT shuffle (cuts same-variant
@@ -102,15 +126,15 @@ object EditDistanceJoin {
       length(col(name)).as("len_a"))
     val b = variants.select(col(block), col("var"), col(key).as("key_b"),
       length(col(name)).as("len_b"))
-    val candidates = a.join(b, Seq(block, "var"))
+    val candidates = a.join(pin(b), Seq(block, "var"))
       .filter(col("key_a") < col("key_b") &&
         abs(col("len_a") - col("len_b")) <= k)
       .select(col("key_a"), col("key_b"))
       .distinct()
     val names = rows.select(col(key), col(name))
     candidates
-      .join(names.select(col(key).as("key_a"), col(name).as("name_a")), "key_a")
-      .join(names.select(col(key).as("key_b"), col(name).as("name_b")), "key_b")
+      .join(pin(names.select(col(key).as("key_a"), col(name).as("name_a"))), "key_a")
+      .join(pin(names.select(col(key).as("key_b"), col(name).as("name_b"))), "key_b")
       // banded levenshtein: the 3-arg form early-exits past k (returns
       // -1), so the verify DP fills a 2k+1 band instead of the full
       // matrix — same value as the unbounded form whenever dist <= k

@@ -297,6 +297,27 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzy join: broadcast below the row gate, pinned shuffle-hash past it") {
+    // sys.props mutation safe: forked suites run sequentially (see the
+    // triangle-gate test above); restored in finally
+    try {
+      val b = formatted(Queries.fuzzyJoin(spark, sf))
+      assert(b.contains("BroadcastHashJoin"), b)
+      sys.props("graft.fuzzy.broadcastMaxRows") = "0"
+      val s = formatted(Queries.fuzzyJoin(spark, sf))
+      // past the gate NOTHING broadcasts: the variant build side and
+      // both name fetches are shuffle-hash — no driver-sized collect
+      assert(!s.contains("BroadcastHashJoin") && !s.contains("BroadcastExchange"), s)
+      assert("ShuffledHashJoin".r.findAllIn(s).size >= 6, s) // 3 joins × tree+detail
+      // both paths produce identical pairs
+      val bRows = { sys.props -= "graft.fuzzy.broadcastMaxRows"
+        Queries.fuzzyJoin(spark, sf).collect().toSeq }
+      sys.props("graft.fuzzy.broadcastMaxRows") = "0"
+      val sRows = Queries.fuzzyJoin(spark, sf).collect().toSeq
+      assert(bRows == sRows)
+    } finally sys.props -= "graft.fuzzy.broadcastMaxRows"
+  }
+
   test("one-sided containment: equi-joins end to end — no cartesian, no ScalaUDF") {
     val plan = formatted(Queries.containmentOnesidedQ(spark, sf))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
