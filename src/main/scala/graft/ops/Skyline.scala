@@ -104,9 +104,10 @@ object Skyline {
         val b = surv.withColumn("sky_bucket", bucketOf(bounds))
         // per-bucket seed = max dt over strictly higher buckets: a
         // ≤|buckets|-row aggregate; its suffix-max window partitions on
-        // a constant derived column (never an empty partition spec)
+        // singleton_key (never an empty partition spec)
         val bmax = b.groupBy(col("sky_bucket")).agg(max(col("dt")).as("b_max"))
-          .withColumn("sky_g", (col("sky_bucket") * 0).cast("int"))
+          .withColumn("sky_g",
+            graft.functions.GraftFunctions.singleton_key(col("sky_bucket")))
         val wd = Window.partitionBy(col("sky_g")).orderBy(col("sky_bucket").desc)
           .rowsBetween(Window.unboundedPreceding, -1)
         val s = bmax.withColumn("seed_dt", max(col("b_max")).over(wd))
@@ -117,11 +118,12 @@ object Skyline {
   }
 
   /** #boundaries strictly below cast(p as double) — 0 when `bounds` is
-    * empty, built on `p` (non-foldable) so the optimizer cannot fold
-    * the single-bucket key out of the window partition spec.
+    * empty, seeded with singleton_key(p) so the optimizer cannot fold
+    * the single-bucket key out of the window partition spec (an
+    * arithmetic zero like `p * 0.0` folds when `p` is non-nullable).
     */
   private def bucketOf(bounds: Array[Double]): Column =
-    bounds.foldLeft((col("p").cast("double") * lit(0.0)).cast("int")) {
+    bounds.foldLeft(graft.functions.GraftFunctions.singleton_key(col("p"))) {
       (acc, q) => acc + when(col("p").cast("double") > lit(q), 1).otherwise(0)
     }
 }

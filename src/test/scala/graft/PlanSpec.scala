@@ -406,6 +406,22 @@ class PlanSpec extends AnyFunSuite {
     assert(unpartitioned.findFirstIn(plan).isEmpty, plan)
   }
 
+  test("singleton-key windows survive optimization — no plan degrades to an unpartitioned window") {
+    // the three by-design single-partition windows (scalar total,
+    // running day sum, complete-mode Top-N) key on singleton_key;
+    // an arithmetic constant key would FOLD here (non-nullable input)
+    // and WindowExec would fall back to the "No Partition Defined"
+    // path — assert the key survives the optimizer in each plan
+    val unpartitioned = "windowspecdefinition\\(\\w+#\\d+L? (ASC|DESC)".r
+    for ((name, df) <- Seq(
+        "mixtureWeights" -> Queries.mixtureWeights(spark, sf),
+        "dauCumeQ" -> Queries.dauCumeQ(spark, sf))) {
+      val plan = formatted(df)
+      assert(unpartitioned.findFirstIn(plan).isEmpty, s"$name planned a global window:\n$plan")
+      assert(plan.contains("pmod(hash("), s"$name lost its singleton key:\n$plan")
+    }
+  }
+
   test("tpch3: filtered customer broadcasts, segment filter pushed, top-10 TakeOrdered") {
     val plan = formatted(Queries.tpch3Q(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), plan)
