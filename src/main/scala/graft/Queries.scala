@@ -621,6 +621,34 @@ object Queries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Span pairs WITH coverage ratios ([[graft.ops.Dedup
+    * .winnowPairsCoverage]]) over two contrasting plants per eligible
+    * source doc: a HOST (id+70000, 30-token quote of `a` + full text of
+    * `a+3`) whose coverage against `a` is a sliver, and a PURE-QUOTE
+    * doc (id+80000, the 30-token slice alone) whose fingerprints are
+    * structurally a subset of `a`'s — coverage ≈ 1. The pair rows carry
+    * both ratios, so a drop policy can tell "doc that quotes" from
+    * "doc that IS the quote" — the signal q_curation_spancov acts on.
+    */
+  def winnowCoverageQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 300)
+    def slice30(c: Column) =
+      array_join(slice(split(trim(lower(c)), "\\s+"), 11, 30), " ")
+    val eligible = d.as("a")
+      .join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 3)
+      .filter(col("a.doc_id") % 11 === 0 &&
+        size(split(trim(lower(col("a.text"))), "\\s+")) >= 40)
+    val hosts = eligible.select((col("a.doc_id") + 70000).as("doc_id"),
+      concat(slice30(col("a.text")), lit(" "), col("b.text")).as("text"))
+    val quotes = eligible.select((col("a.doc_id") + 80000).as("doc_id"),
+      slice30(col("a.text")).as("text"))
+    Dedup.winnowPairsCoverage(d.unionAll(hosts).unionAll(quotes),
+        k = 3, w = 4, minShared = graft.ops.Curation.SpanMinShared,
+        maxDocFreq = graft.ops.Curation.SpanMaxDocFreq)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Span-level decontamination — the verbatim-leak companion of
     * [[decontaminate]] (same eval-set convention, doc_id % 97): corpus
     * docs sharing ≥ 3 WINNOWING fingerprints with the benchmark slice
@@ -1532,6 +1560,41 @@ object Queries {
           replace(col("text"), lit("data"), lit("info")).as("text")))
       .union(quotes)
     graft.ops.Curation.curate(base, spanStage = true).orderBy(col("doc_id"))
+  }
+
+  /** Curation with the COVERED span policy (gates → exact → LSH →
+    * coverage-gated span dedup → split): drop a doc only when the
+    * shared span is ≥ half of ITS OWN fingerprints. Two contrasting
+    * plants per eligible source `a`: a PURE-QUOTE doc (id+80000, the
+    * 30-token slice alone — mostly-span, must drop) and a HOST
+    * (id+70000, vowel-rotated text of `a+3` + the quote of `a`): the
+    * rotation makes the host novel to the LSH stage (near-zero shingle
+    * overlap with its source) and the short quote is a sliver of its
+    * fingerprints, so under `covered` the host SURVIVES — the exact
+    * doc the unconditional drop-larger-id policy of q_curation_spans
+    * would throw away. `b` length-gated ≥ 60 tokens so host coverage
+    * is bounded below SpanMinCoverage by construction.
+    */
+  def curationSpanCovQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    def slice30(c: Column) =
+      array_join(slice(split(trim(lower(c)), "\\s+"), 11, 30), " ")
+    val eligible = d.as("a")
+      .join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 3)
+      .filter(col("a.doc_id") % 11 === 0 &&
+        size(split(trim(lower(col("a.text"))), "\\s+")) >= 40 &&
+        size(split(trim(lower(col("b.text"))), "\\s+")) >= 60)
+    val hosts = eligible.select((col("a.doc_id") + 70000).as("doc_id"),
+      concat(translate(lower(col("b.text")), "aeiou", "eioua"),
+        lit(" "), slice30(col("a.text"))).as("text"))
+    val quotes = eligible.select((col("a.doc_id") + 80000).as("doc_id"),
+      slice30(col("a.text")).as("text"))
+    val base = d
+      .union(d.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      .union(hosts).union(quotes)
+    graft.ops.Curation.curate(base, spanStage = true, spanPolicy = "covered")
+      .orderBy(col("doc_id"))
   }
 
   /** Higher-order array functions (lambda expressions): aggregate /

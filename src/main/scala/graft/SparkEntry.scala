@@ -61,6 +61,7 @@ object SparkEntry {
     "q_containment" -> (Queries.containmentQ _),
     "q_containment_onesided" -> (Queries.containmentOnesidedQ _),
     "q_winnow" -> (Queries.winnowQ _),
+    "q_winnow_coverage" -> (Queries.winnowCoverageQ _),
     "q_decontaminate_spans" -> (Queries.decontaminateSpans _),
     "q_mixture_weights" -> (Queries.mixtureWeights _),
     "q_simhash" -> (Queries.simhashQ _),
@@ -102,6 +103,7 @@ object SparkEntry {
     "q_array_funcs" -> (Queries.arrayFuncs _),
     "q_curation" -> (Queries.curationQ _),
     "q_curation_spans" -> (Queries.curationSpansQ _),
+    "q_curation_spancov" -> (Queries.curationSpanCovQ _),
     "q_exists" -> (Queries.existsSubquery _),
     "q_lateral" -> (Queries.lateralJoin _),
     "q_scalar_corr" -> (Queries.correlatedScalar _),
@@ -614,6 +616,40 @@ object SparkEntry {
          |FROM wkept a JOIN wkept b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 20
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Winnowing pairs + per-doc coverage: the q_winnow replay with a
+    // per-doc total-fingerprint count CTE; coverage = shared rare fps /
+    // ALL fps of the doc (Dedup.winnowPairsCoverage contract). Plants:
+    // HOST docs (quote + full neighbor text) and PURE-QUOTE docs (the
+    // slice alone) per eligible source.
+    "q_winnow_coverage" ->
+      s"""WITH vsrc AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+         |velig AS (SELECT a.doc_id AS aid,
+         |    array_to_string(string_split_regex(trim(lower(a.text)), '\\s+')[11:40], ' ') AS quote,
+         |    b.text AS btext
+         |  FROM vsrc a JOIN vsrc b ON b.doc_id = a.doc_id + 3
+         |  WHERE a.doc_id % 11 = 0
+         |    AND len(string_split_regex(trim(lower(a.text)), '\\s+')) >= 40),
+         |vbase AS (
+         |  SELECT doc_id, text FROM vsrc
+         |  UNION ALL
+         |  SELECT aid + 70000, quote || ' ' || btext FROM velig
+         |  UNION ALL
+         |  SELECT aid + 80000, quote FROM velig),
+         |${winnowFpsCtes("v", "vbase")},
+         |vcnt AS (SELECT doc_id, count(*) AS nfp FROM vfps GROUP BY doc_id),
+         |vrare AS (SELECT fp FROM vfps GROUP BY fp
+         |          HAVING count(*) <= ${graft.ops.Curation.SpanMaxDocFreq}),
+         |vkept AS (SELECT vfps.doc_id, vfps.fp FROM vfps JOIN vrare USING (fp)),
+         |vpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |           FROM vkept a JOIN vkept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |           GROUP BY 1, 2 HAVING count(*) >= ${graft.ops.Curation.SpanMinShared})
+         |SELECT doc_a, doc_b, n_shared,
+         |  round(CAST(n_shared AS DOUBLE) / ca.nfp, 6) AS cov_a,
+         |  round(CAST(n_shared AS DOUBLE) / cb.nfp, 6) AS cov_b
+         |FROM vpairs JOIN vcnt ca ON vpairs.doc_a = ca.doc_id
+         |            JOIN vcnt cb ON vpairs.doc_b = cb.doc_id
+         |ORDER BY 1, 2""".stripMargin,
 
     // Same winnowing replay over the PLAIN corpus (no plants), then the
     // decontaminate aggregation shape: bench fingerprints vs the rest.
@@ -1479,6 +1515,87 @@ object SparkEntry {
          |             ON a.fp = b.fp AND a.doc_id < b.doc_id
          |             GROUP BY a.doc_id, b.doc_id
          |             HAVING count(*) >= ${graft.ops.Curation.SpanMinShared}),
+         |kept2 AS (SELECT doc_id, quality FROM kept
+         |          WHERE doc_id NOT IN (SELECT doc_id FROM spandrop)),
+         |d AS (SELECT doc_id, quality,
+         |        ${hSql("concat('split:', CAST(doc_id AS VARCHAR))")} % 100 AS b FROM kept2)
+         |SELECT doc_id, quality,
+         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // Curation + COVERED span policy: the q_curation_spans chain, but
+    // spandrop keeps a doc unless the shared span is >= SpanMinCoverage
+    // of ITS OWN fingerprints (per-doc counts from a cvcnt CTE; both
+    // covered -> keep-one drops doc_b). Plants: PURE-QUOTE docs
+    // (id+80000) must drop; vowel-rotated HOSTS carrying a short quote
+    // (id+70000) must survive.
+    "q_curation_spancov" ->
+      s"""WITH dsrc AS (SELECT doc_id, text FROM documents),
+         |elig AS (SELECT a.doc_id AS aid,
+         |    array_to_string(string_split_regex(trim(lower(a.text)), '\\s+')[11:40], ' ') AS quote,
+         |    translate(lower(b.text), 'aeiou', 'eioua') AS rb
+         |  FROM dsrc a JOIN dsrc b ON b.doc_id = a.doc_id + 3
+         |  WHERE a.doc_id % 11 = 0
+         |    AND len(string_split_regex(trim(lower(a.text)), '\\s+')) >= 40
+         |    AND len(string_split_regex(trim(lower(b.text)), '\\s+')) >= 60),
+         |base AS (
+         |  SELECT doc_id, text FROM dsrc
+         |  UNION ALL
+         |  SELECT doc_id + 10000, text FROM dsrc WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT aid + 70000, rb || ' ' || quote FROM elig
+         |  UNION ALL
+         |  SELECT aid + 80000, quote FROM elig),
+         |b0 AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS pt, ${wordsSql("text")} AS w FROM base),
+         |s AS (SELECT doc_id, text,
+         |        ${langScoreSql("en")} AS s_en, ${langScoreSql("es")} AS s_es,
+         |        ${langScoreSql("de")} AS s_de, ${langScoreSql("zh")} AS s_zh,
+         |        round(least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.5
+         |          + (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) / length(text)) * 0.3
+         |          + CAST(len(list_distinct(w)) AS DOUBLE) / len(w) * 0.2, 6) AS quality
+         |      FROM b0),
+         |gated AS (SELECT doc_id, text, quality FROM s
+         |          WHERE s_en >= s_es AND s_en >= s_de AND s_en >= s_zh AND s_en > 0
+         |            AND quality >= ${graft.ops.Curation.QualityMin}),
+         |ex AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+         |ek AS (SELECT g.* FROM gated g WHERE g.doc_id IN (SELECT doc_id FROM ex)),
+         |sh AS (SELECT doc_id, $hashedShinglesSql AS shingles
+         |       FROM (SELECT doc_id, ${wordsSql("lower(text)")} AS w FROM ek)),
+         |hx AS (SELECT doc_id, unnest(shingles) AS h FROM sh),
+         |sig AS (SELECT doc_id, $minhashSigSql FROM hx GROUP BY doc_id),
+         |bands AS (SELECT doc_id, unnest([
+         |    concat_ws(':', '0', s0, s1), concat_ws(':', '1', s2, s3),
+         |    concat_ws(':', '2', s4, s5), concat_ws(':', '3', s6, s7)]) AS band FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |neardrop AS (SELECT DISTINCT doc_b AS doc_id FROM (
+         |    SELECT doc_a, doc_b,
+         |      round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         |        / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS j
+         |    FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id JOIN sh sb ON cand.doc_b = sb.doc_id)
+         |  WHERE j >= ${graft.ops.Curation.JaccardMin}),
+         |kept AS (SELECT doc_id, text, quality FROM ek
+         |         WHERE doc_id NOT IN (SELECT doc_id FROM neardrop)),
+         |${winnowFpsCtes("cv", "kept")},
+         |cvcnt AS (SELECT doc_id, count(*) AS nfp FROM cvfps GROUP BY doc_id),
+         |cvrare AS (SELECT fp FROM cvfps GROUP BY fp
+         |           HAVING count(*) <= ${graft.ops.Curation.SpanMaxDocFreq}),
+         |cvkept AS (SELECT cvfps.doc_id, cvfps.fp FROM cvfps JOIN cvrare USING (fp)),
+         |cvpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |            FROM cvkept a JOIN cvkept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |            GROUP BY 1, 2 HAVING count(*) >= ${graft.ops.Curation.SpanMinShared}),
+         |cvcov AS (SELECT doc_a, doc_b,
+         |    round(CAST(n_shared AS DOUBLE) / ca.nfp, 6) AS cov_a,
+         |    round(CAST(n_shared AS DOUBLE) / cb.nfp, 6) AS cov_b
+         |  FROM cvpairs JOIN cvcnt ca ON cvpairs.doc_a = ca.doc_id
+         |               JOIN cvcnt cb ON cvpairs.doc_b = cb.doc_id),
+         |spandrop AS (
+         |  SELECT doc_b AS doc_id FROM cvcov
+         |  WHERE cov_b >= ${graft.ops.Curation.SpanMinCoverage}
+         |  UNION ALL
+         |  SELECT doc_a FROM cvcov
+         |  WHERE cov_a >= ${graft.ops.Curation.SpanMinCoverage}
+         |    AND cov_b < ${graft.ops.Curation.SpanMinCoverage}),
          |kept2 AS (SELECT doc_id, quality FROM kept
          |          WHERE doc_id NOT IN (SELECT doc_id FROM spandrop)),
          |d AS (SELECT doc_id, quality,

@@ -39,6 +39,16 @@ object Curation {
   val SpanMinShared = 8
   val SpanMaxDocFreq = 20
 
+  /** Coverage floor for the `covered` span policy: a doc is dropped
+    * only when the shared span accounts for ≥ this fraction of ITS OWN
+    * fingerprints (Dedup.winnowPairsCoverage). 0.5 = "the doc is at
+    * least half verbatim-shared material": a mostly-quote doc is
+    * dropped, a 1000-token host citing a 30-token quote is kept —
+    * the distinction the unconditional drop-larger-id policy can't
+    * make.
+    */
+  val SpanMinCoverage = 0.5
+
   /** docs(doc_id, text) → kept rows (doc_id, quality, split).
     *
     * Near-dup policy: for every verified pair (a, b) with a < b, the
@@ -73,7 +83,10 @@ object Curation {
     * stage; span mode adds the duplicate-sized near-drop id set) —
     * unpersist them once the result has been consumed.
     */
-  private def curatePipeline(docs: DataFrame, spanStage: Boolean): (DataFrame, Seq[DataFrame]) = {
+  private def curatePipeline(docs: DataFrame, spanStage: Boolean,
+      spanPolicy: String = "all"): (DataFrame, Seq[DataFrame]) = {
+    require(spanPolicy == "all" || spanPolicy == "covered",
+      s"unknown span policy '$spanPolicy' (all | covered)")
     val gated = gate(docs)
     // exact dedup: keep the min doc_id of each identical-text group —
     // ONE hash exchange (window over md5) instead of a groupBy +
@@ -112,10 +125,27 @@ object Curation {
     val kept =
       if (!spanStage) lshKept
       else {
-        val spanDrop = Dedup
-          .winnowPairs(lshKept.select(col("doc_id"), col("text")),
-            k = 3, w = 4, minShared = SpanMinShared, maxDocFreq = SpanMaxDocFreq)
-          .select(col("doc_b").as("doc_id")).distinct()
+        // `all`: every span pair drops its larger id (aggressive span
+        // dedup). `covered`: drop only docs that are THEMSELVES mostly
+        // the shared span (coverage ≥ SpanMinCoverage) — a host citing
+        // a short quote keeps its original content; when both sides are
+        // covered, keep-one semantics drop the larger id.
+        val spanDrop = (spanPolicy match {
+          case "all" =>
+            Dedup.winnowPairs(lshKept.select(col("doc_id"), col("text")),
+                k = 3, w = 4, minShared = SpanMinShared, maxDocFreq = SpanMaxDocFreq)
+              .select(col("doc_b").as("doc_id"))
+          case "covered" =>
+            val cov = Dedup.winnowPairsCoverage(
+              lshKept.select(col("doc_id"), col("text")),
+              k = 3, w = 4, minShared = SpanMinShared, maxDocFreq = SpanMaxDocFreq)
+            cov.filter(col("cov_b") >= SpanMinCoverage)
+              .select(col("doc_b").as("doc_id"))
+              .unionAll(cov
+                .filter(col("cov_a") >= SpanMinCoverage &&
+                  col("cov_b") < SpanMinCoverage)
+                .select(col("doc_a").as("doc_id")))
+        }).distinct()
         lshKept.join(spanDrop, Seq("doc_id"), "left_anti")
       }
     val bucket = TextOps.portableHash64(concat(lit("split:"), col("doc_id"))) % 100
@@ -133,8 +163,9 @@ object Curation {
     * near-drop ids with session lifetime — use [[curateScoped]] when
     * iterating over many inputs with the span stage on.
     */
-  def curateWithHandle(docs: DataFrame, spanStage: Boolean = false): (DataFrame, DataFrame) =
-    curatePipeline(docs, spanStage) match { case (r, handles) => (r, handles.head) }
+  def curateWithHandle(docs: DataFrame, spanStage: Boolean = false,
+      spanPolicy: String = "all"): (DataFrame, DataFrame) =
+    curatePipeline(docs, spanStage, spanPolicy) match { case (r, handles) => (r, handles.head) }
 
   /** LIFECYCLE: the cached exact-dedup stage lives until session end
     * (it cannot be unpersisted here — the returned plan consumes it
@@ -143,16 +174,18 @@ object Curation {
     * session should use [[curateScoped]] (or [[curateWithHandle]] and
     * unpersist themselves) so cache entries don't accumulate.
     */
-  def curate(docs: DataFrame, spanStage: Boolean = false): DataFrame =
-    curateWithHandle(docs, spanStage)._1
+  def curate(docs: DataFrame, spanStage: Boolean = false,
+      spanPolicy: String = "all"): DataFrame =
+    curateWithHandle(docs, spanStage, spanPolicy)._1
 
   /** Scoped curation: runs `use` over the curated frame, then releases
     * the backing cache — the leak-free form for loops over many inputs.
     * `use` must CONSUME the frame (collect/write); a lazily-escaped plan
     * would re-execute the un-cached subtree per consumer afterwards.
     */
-  def curateScoped[T](docs: DataFrame, spanStage: Boolean = false)(use: DataFrame => T): T = {
-    val (result, handles) = curatePipeline(docs, spanStage)
+  def curateScoped[T](docs: DataFrame, spanStage: Boolean = false,
+      spanPolicy: String = "all")(use: DataFrame => T): T = {
+    val (result, handles) = curatePipeline(docs, spanStage, spanPolicy)
     try use(result)
     finally handles.foreach(_.unpersist(blocking = false))
   }

@@ -201,6 +201,44 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** [[winnowPairs]] plus per-doc COVERAGE: cov_a = n_shared / (total
+    * fingerprints of doc_a), likewise cov_b — the signal a span-aware
+    * drop policy needs. A 30-token quote inside a 1000-token host gives
+    * the HOST a low coverage (the quote is a sliver of it) while a doc
+    * that IS mostly the quote scores near 1.0 — so "drop only the
+    * covered doc" keeps hosts that merely cite.
+    *
+    * Denominator choice: the doc's TOTAL fingerprint count (before the
+    * df cap) — coverage measures how much of the DOCUMENT is the shared
+    * span, so the denominator is the doc's size in fingerprint space,
+    * not its rare subset. n_shared still counts rare fingerprints only
+    * (boilerplate can't manufacture span evidence).
+    *
+    * Plan shape: one extra doc_id-partitioned count window between the
+    * fingerprint distinct and the df window — no extra scan, no join
+    * back; the per-doc count rides the pair rows and coverage is
+    * derived after the duplicate-sized pair aggregate.
+    */
+  def winnowPairsCoverage(docs: DataFrame, k: Int = 3, w: Int = 4,
+      minShared: Int = 5, maxDocFreq: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kept = winnowFingerprints(docs, k, w)
+      .withColumn("nfp", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .filter(col("df") <= maxDocFreq)
+      .select(col("doc_id"), col("fp"), col("nfp"))
+    kept.select(col("fp"), col("doc_id").as("doc_a"), col("nfp").as("nfp_a"))
+      .join(kept.select(col("fp"), col("doc_id").as("doc_b"), col("nfp").as("nfp_b")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        min(col("nfp_a")).as("nfp_a"), min(col("nfp_b")).as("nfp_b"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("nfp_a"), 6).as("cov_a"),
+        round(col("n_shared").cast("double") / col("nfp_b"), 6).as("cov_b"))
+  }
+
   /** Broder CONTAINMENT pairs (|A∩B|/|A| — the asymmetric companion of
     * resemblance): detects near-SUPERSET relations (a doc quoting or
     * aggregating another) that plain Jaccard misses — an aggregator of
@@ -263,26 +301,57 @@ object Dedup {
     */
   def containmentVersusCorpus(probe: DataFrame, corpus: DataFrame,
       threshold: Double, k: Int = 8, minHits: Int = 2,
-      maxDocFreq: Int = 1000): DataFrame = {
+      maxDocFreq: Int = 1000): DataFrame =
+    containmentVersusCorpusPrebuilt(probe,
+      containmentPostingTable(corpus, maxDocFreq),
+      shingleSets(corpus), threshold, k, minHits)
+
+  /** The materializable corpus side of one-sided containment search:
+    * the inverted shingle index (h, corpus_id), with the document-
+    * frequency cap applied at BUILD time (identical semantics to the
+    * inline path's per-call cap — the cap is a property of the corpus,
+    * so pay its aggregate once, not per probe batch). Write it with
+    * `LakeWriter.writeBucketed(_, "h", N, table)` and every probe
+    * batch's candidate join shuffles ONLY the k·|probe| sample rows —
+    * the posting side is a sorted-bucket columnar scan, never
+    * re-shuffled or re-exploded. Companion doc-side store for the
+    * exact-verify join: `shingleSets(corpus)` (bucket by doc_id); the
+    * verify fetch is candidate-sized.
+    */
+  def containmentPostingTable(corpus: DataFrame, maxDocFreq: Int = 1000): DataFrame = {
+    val postings = shingleSets(corpus)
+      .select(col("doc_id").as("corpus_id"), explode(col("shingles")).as("h"))
+    val rare = postings.groupBy(col("h"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq)
+      .select(col("h"))
+    postings.join(rare, "h").select(col("h"), col("corpus_id"))
+  }
+
+  /** One-sided containment search against a PREBUILT posting table
+    * ([[containmentPostingTable]], ideally h-bucketed on disk) and a
+    * corpus shingle store (`shingleSets(corpus)` shape, ideally
+    * doc_id-bucketed) — the continual-ingest twin of
+    * [[newVersusCorpusPrebuilt]]: per-probe-batch work is the batch's
+    * own shingling + a sample-row join into sorted posting buckets +
+    * a candidate-sized verify fetch. Same output contract as
+    * [[containmentVersusCorpus]].
+    */
+  def containmentVersusCorpusPrebuilt(probe: DataFrame, postings: DataFrame,
+      corpusShingles: DataFrame, threshold: Double,
+      k: Int = 8, minHits: Int = 2): DataFrame = {
     val shP = shingleSets(probe)
-    val shC = shingleSets(corpus)
     val sampled = shP.select(col("doc_id"),
       slice(array_sort(col("shingles")), 1, k).as("sample"))
     val probes = sampled.select(col("doc_id"),
       size(col("sample")).as("k_eff"), explode(col("sample")).as("h"))
-    val postings = shC.select(col("doc_id").as("corpus_id"),
-      explode(col("shingles")).as("h"))
-    val rare = postings.groupBy(col("h"))
-      .agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq)
-      .select(col("h"))
-    val cands = probes.join(postings.join(rare, "h"), Seq("h"))
+    val cands = probes.join(postings, Seq("h"))
       .groupBy(col("doc_id"), col("corpus_id"))
       .agg(count(lit(1)).as("hits"), min(col("k_eff")).as("k_eff"))
       .filter(col("hits") >= least(lit(minHits), col("k_eff")))
     cands
       .join(shP.select(col("doc_id"), col("shingles").as("sh_p")), "doc_id")
-      .join(shC.select(col("doc_id").as("corpus_id"), col("shingles").as("sh_c")),
-        "corpus_id")
+      .join(corpusShingles.select(col("doc_id").as("corpus_id"),
+        col("shingles").as("sh_c")), "corpus_id")
       .withColumn("containment",
         round(size(array_intersect(col("sh_p"), col("sh_c"))).cast("double") /
           size(col("sh_p")), 6))

@@ -57,6 +57,48 @@ class CurationSpec extends AnyFunSuite {
     assert(spanOnlyDrops.nonEmpty, s"span stage dropped no quote doc of $keptQuotes")
   }
 
+  test("covered span policy keeps the citing host, drops the mostly-quote doc") {
+    import org.apache.spark.sql.functions._
+    val d = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    def slice30(c: org.apache.spark.sql.Column) =
+      array_join(slice(split(trim(lower(c)), "\\s+"), 11, 30), " ")
+    val eligible = d.as("a")
+      .join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 3)
+      .filter(col("a.doc_id") % 11 === 0 &&
+        size(split(trim(lower(col("a.text"))), "\\s+")) >= 40 &&
+        size(split(trim(lower(col("b.text"))), "\\s+")) >= 60)
+    // host: vowel-rotated neighbor text (novel to the LSH stage) + a
+    // 30-token quote — the quote is a sliver of the host's fingerprints
+    val hosts = eligible.select((col("a.doc_id") + 70000).as("doc_id"),
+      concat(translate(lower(col("b.text")), "aeiou", "eioua"),
+        lit(" "), slice30(col("a.text"))).as("text"))
+    // pure quote: the slice alone — its fingerprints are a subset of
+    // the source's, coverage ~1
+    val quotes = eligible.select((col("a.doc_id") + 80000).as("doc_id"),
+      slice30(col("a.text")).as("text"))
+    val base = d.union(hosts).union(quotes)
+    val unconditional = graft.ops.Curation.curateScoped(base, spanStage = true)(
+      _.collect().map(_.getLong(0)).toSet)
+    val covered = graft.ops.Curation.curateScoped(base, spanStage = true,
+      spanPolicy = "covered")(_.collect().map(_.getLong(0)).toSet)
+    val hostIds = hosts.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val quoteIds = quotes.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // the covered policy must drop every pure-quote doc that paired
+    assert((covered & quoteIds).isEmpty,
+      s"mostly-quote docs survived covered policy: ${covered & quoteIds}")
+    // and must keep hosts the unconditional policy throws away
+    val savedHosts = (covered & hostIds) -- unconditional
+    assert(savedHosts.nonEmpty,
+      s"covered saved no host (covered kept ${(covered & hostIds).size}, " +
+        s"unconditional kept ${(unconditional & hostIds).size})")
+    // both policies are span-stage-only refinements: neither invents
+    // survivors outside the span-off result
+    val spanOff = graft.ops.Curation.curateScoped(base)(
+      _.collect().map(_.getLong(0)).toSet)
+    assert(covered.subsetOf(spanOff) && unconditional.subsetOf(spanOff))
+  }
+
   test("curateScoped releases its cache; curate matches it") {
     import graft.ops.Curation
     val docs = graft.sources.Tables.documents(spark, sf)

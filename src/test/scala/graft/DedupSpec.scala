@@ -185,6 +185,27 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 2L)) && !pairs.contains((2L, 3L)), pairs)
   }
 
+  test("winnow coverage: a pure-quote doc is fully covered, a big host is not") {
+    import spark.implicits._
+    val src = (0 until 70).map(i => s"alpha$i").mkString(" ")     // 70-token source
+    val quote = (10 until 40).map(i => s"alpha$i").mkString(" ")  // tokens 11..40
+    val host = quote + " " + (0 until 80).map(i => s"beta$i").mkString(" ")
+    val docs = Seq((1L, src), (2L, quote), (3L, host)).toDF("doc_id", "text")
+    val rows = Dedup.winnowPairsCoverage(docs, k = 3, w = 4, minShared = 5, maxDocFreq = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // the quote's full windows are a subset of the source's windows, so
+    // fps(quote) ⊆ fps(src) exactly: coverage of the quote doc is 1.0
+    val (_, _, covQuote) = rows((1L, 2L))
+    assert(covQuote == 1.0, s"quote coverage $covQuote")
+    // the host shares the same span but it is a sliver of the host's
+    // own fingerprint mass
+    val (_, covSrc, covHost) = rows((1L, 3L))
+    assert(covHost < 0.5, s"host coverage $covHost")
+    // and the source is never mostly-covered by a 30-token span
+    assert(covSrc < 0.5, s"source coverage $covSrc")
+  }
+
   test("containment flags the part->whole relation that jaccard scores below threshold") {
     val partText = "the quick brown fox jumps over the lazy dog near the river bank today"
     val tailText = "and later a storm arrived over the hills beyond"

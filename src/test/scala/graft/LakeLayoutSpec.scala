@@ -99,6 +99,46 @@ class LakeLayoutSpec extends AnyFunSuite {
     assert(viaPrebuilt.nonEmpty) // exact copies must match their source
   }
 
+  test("h-bucketed posting table: one-sided containment probes without shuffling the index") {
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.sql("DROP TABLE IF EXISTS corpus_postings")
+    val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"), "corpus_postings")
+    if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 240)
+    // megas = 6 consecutive docs concatenated: the small-in-huge shape
+    val corpus = docs.groupBy(expr("doc_id div 6").as("g"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("doc_id"), col("text")))),
+        x => x.getField("text")), " ").as("text"))
+      .select((col("g") + 90000L).as("doc_id"), col("text"))
+    LakeWriter.writeBucketed(
+      graft.ops.Dedup.containmentPostingTable(corpus), "h", 8, "corpus_postings")
+
+    val probe = docs.filter(col("doc_id") % 5 === 0)
+    val matches = graft.ops.Dedup.containmentVersusCorpusPrebuilt(
+      probe, spark.table("corpus_postings").hint("merge"),
+      graft.ops.Dedup.shingleSets(corpus), 0.9)
+    val plan = matches.queryExecution.executedPlan.toString
+    // the bucketed posting scan feeds the candidate join with NO
+    // exchange of its own — only the probe samples repartition (the
+    // O(probe) ingest shape, same contract as the band table)
+    val joinIdx = plan.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, plan)
+    val indexShuffles = "Exchange hashpartitioning\\(h".r
+      .findAllIn(plan.substring(joinIdx)).size
+    assert(indexShuffles <= 1, s"posting side shuffled:\n$plan")
+    assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"), plan)
+    // and the prebuilt path returns the SAME pairs as the inline one
+    val viaPrebuilt = matches.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaInline = graft.ops.Dedup.containmentVersusCorpus(probe, corpus, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaPrebuilt == viaInline)
+    assert(viaPrebuilt.nonEmpty) // every probed original is inside its mega
+  }
+
   test("csv and json-lines interchange round-trips with explicit schemas") {
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("lang"), col("n_chars"))
     val schema = docs.schema
