@@ -521,6 +521,23 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Intra-doc repetition stats ([[graft.ops.TextOps.repetitionStats]])
+    * over documents plus planted LOOP docs (id+90000, a 5-token phrase
+    * repeated 20×): the planted docs must flag `repetitive` on both
+    * signals (top bigram ≈ 20/99, duplicate trigrams ≈ 1.0) while the
+    * corpus provides the natural distribution both engines must agree
+    * on exactly.
+    */
+  def repetitionQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 400)
+    val planted = d.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 90000).as("doc_id"),
+        expr("repeat('data model scales well today ', 20)").as("text"))
+    graft.ops.TextOps.repetitionStats(d.unionAll(planted))
+      .orderBy(col("doc_id"))
+  }
+
   /** Heuristic language ID vs the labeled lang column. */
   def langIdQ(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir).select(

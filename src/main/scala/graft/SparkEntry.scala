@@ -54,6 +54,7 @@ object SparkEntry {
     "q_pii_redact" -> (Queries.piiRedact _),
     "q_chunk_docs" -> (Queries.chunkDocs _),
     "q_lang_id" -> (Queries.langIdQ _),
+    "q_repetition" -> (Queries.repetitionQ _),
     "q_fingerprint" -> (Queries.fingerprintQ _),
     "q_dedup_exact" -> (Queries.dedupExact _),
     "q_ngram_jaccard" -> (Queries.ngramJaccard _),
@@ -460,6 +461,37 @@ object SparkEntry {
          |    + (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) / length(text)) * 0.3
          |    + CAST(len(list_distinct(w)) AS DOUBLE) / len(w) * 0.2, 6) AS quality
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    // Gopher-style repetition stats: position-indexed tokens (the
+    // winnow LATERAL pattern), lead()-built bi/trigrams, per-gram
+    // counts, per-doc top/duplicate fractions. Docs with < 2 tokens
+    // have no bigrams and are structurally absent on both engines.
+    "q_repetition" ->
+      s"""WITH rbase AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 400
+         |  UNION ALL
+         |  SELECT doc_id + 90000, repeat('data model scales well today ', 20)
+         |  FROM documents WHERE doc_id < 400 AND doc_id % 13 = 0),
+         |rtoks AS (SELECT doc_id, pos, ws[pos+1] AS tok, len(ws) AS ng FROM (
+         |    SELECT doc_id, ${wordsSql("lower(text)")} AS ws FROM rbase) s,
+         |    LATERAL (SELECT unnest(range(len(ws))) AS pos) p),
+         |rg AS (SELECT doc_id, pos, ng,
+         |    tok || ' ' || lead(tok,1) OVER wo AS g2,
+         |    tok || ' ' || lead(tok,1) OVER wo || ' ' || lead(tok,2) OVER wo AS g3
+         |  FROM rtoks WINDOW wo AS (PARTITION BY doc_id ORDER BY pos)),
+         |rc2 AS (SELECT doc_id, g2, count(*) AS c FROM rg WHERE pos <= ng - 2 GROUP BY 1, 2),
+         |rc3 AS (SELECT doc_id, g3, count(*) AS c FROM rg WHERE pos <= ng - 3 GROUP BY 1, 2),
+         |ra2 AS (SELECT doc_id, sum(c) AS n2, max(c) AS top2 FROM rc2 GROUP BY doc_id),
+         |ra3 AS (SELECT doc_id, sum(c) AS n3,
+         |          sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup3 FROM rc3 GROUP BY doc_id),
+         |rf AS (SELECT ra2.doc_id, CAST(n2 AS BIGINT) AS n_bigrams,
+         |    round(CAST(top2 AS DOUBLE) / n2, 6) AS top_bigram_frac,
+         |    coalesce(round(CAST(dup3 AS DOUBLE) / n3, 6), 0.0) AS dup_trigram_frac
+         |  FROM ra2 LEFT JOIN ra3 USING (doc_id))
+         |SELECT doc_id, n_bigrams, top_bigram_frac, dup_trigram_frac,
+         |  (top_bigram_frac > ${graft.ops.TextOps.RepTopBigramMax}
+         |   OR dup_trigram_frac > ${graft.ops.TextOps.RepDupTrigramMax}) AS repetitive
+         |FROM rf ORDER BY doc_id""".stripMargin,
 
     "q_lang_id" ->
       s"""WITH t AS (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS pt FROM documents),

@@ -136,15 +136,18 @@ object Curation {
                 k = 3, w = 4, minShared = SpanMinShared, maxDocFreq = SpanMaxDocFreq)
               .select(col("doc_b").as("doc_id"))
           case "covered" =>
-            val cov = Dedup.winnowPairsCoverage(
-              lshKept.select(col("doc_id"), col("text")),
-              k = 3, w = 4, minShared = SpanMinShared, maxDocFreq = SpanMaxDocFreq)
-            cov.filter(col("cov_b") >= SpanMinCoverage)
-              .select(col("doc_b").as("doc_id"))
-              .unionAll(cov
-                .filter(col("cov_a") >= SpanMinCoverage &&
-                  col("cov_b") < SpanMinCoverage)
-                .select(col("doc_a").as("doc_id")))
+            // one pass over the pair rows (a two-branch union would
+            // execute the whole winnow-pair subtree twice): each pair
+            // contributes doc_b when covered, else doc_a when only it
+            // is covered — the same keep-one rule as the SQL oracle
+            Dedup.winnowPairsCoverage(
+                lshKept.select(col("doc_id"), col("text")),
+                k = 3, w = 4, minShared = SpanMinShared, maxDocFreq = SpanMaxDocFreq)
+              .select(explode(array(
+                when(col("cov_b") >= SpanMinCoverage, col("doc_b")),
+                when(col("cov_a") >= SpanMinCoverage &&
+                  col("cov_b") < SpanMinCoverage, col("doc_a")))).as("doc_id"))
+              .filter(col("doc_id").isNotNull)
         }).distinct()
         lshKept.join(spanDrop, Seq("doc_id"), "left_anti")
       }

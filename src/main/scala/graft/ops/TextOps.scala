@@ -158,4 +158,59 @@ object TextOps {
       .withColumn("chunk_md5", md5(concat_ws(" ", col("_chunk"))))
       .drop("_toks", "_start", "_chunk")
   }
+
+  /** Repetition-filter thresholds (Gopher-inspired, token-based): a doc
+    * is `repetitive` when its most frequent word bigram accounts for
+    * more than [[RepTopBigramMax]] of all bigram occurrences, or when
+    * trigrams occurring ≥ 2× account for more than [[RepDupTrigramMax]]
+    * of all trigram occurrences — the looping/boilerplate signal
+    * quality scores built on length/punctuation ratios can't see.
+    */
+  val RepTopBigramMax = 0.18
+  val RepDupTrigramMax = 0.30
+
+  /** Intra-document repetition statistics over `docs(doc_id, text)`:
+    * (doc_id, n_bigrams, top_bigram_frac, dup_trigram_frac, repetitive).
+    * Docs with fewer than 2 tokens have no bigrams and are absent (no
+    * denominator — same contract as the DuckDB replay).
+    *
+    * Plan shape: tokens explode once; both gram sizes come off ONE
+    * lead() window pass (per-doc partitions — narrow at any corpus
+    * size) and unpivot into (doc_id, k, gram) rows, so there is a
+    * single gram-count shuffle with map-side partial aggregation, then
+    * a doc_id-sized final aggregate. No per-doc collect, no UDF.
+    */
+  def repetitionStats(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      posexplode(words(lower(col("text")))).as(Seq("pos", "tok")))
+    val wo = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val g = toks
+      .withColumn("ng", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("t1", lead(col("tok"), 1).over(wo))
+      .withColumn("t2", lead(col("tok"), 2).over(wo))
+    val grams = g.select(col("doc_id"), explode(array(
+        when(col("pos") <= col("ng") - 2,
+          struct(lit(2).as("k"), concat_ws(" ", col("tok"), col("t1")).as("gram"))),
+        when(col("pos") <= col("ng") - 3,
+          struct(lit(3).as("k"),
+            concat_ws(" ", col("tok"), col("t1"), col("t2")).as("gram"))))).as("kg"))
+      .filter(col("kg").isNotNull)
+      .select(col("doc_id"), col("kg.k").as("k"), col("kg.gram").as("gram"))
+    grams.groupBy(col("doc_id"), col("k"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(
+        sum(when(col("k") === 2, col("c"))).as("n2"),
+        max(when(col("k") === 2, col("c"))).as("top2"),
+        sum(when(col("k") === 3, col("c"))).as("n3"),
+        sum(when(col("k") === 3 && col("c") >= 2, col("c"))).as("dup3"))
+      .select(col("doc_id"), col("n2").as("n_bigrams"),
+        round(col("top2").cast("double") / col("n2"), 6).as("top_bigram_frac"),
+        when(col("n3") > 0,
+            round(coalesce(col("dup3"), lit(0L)).cast("double") / col("n3"), 6))
+          .otherwise(lit(0.0)).as("dup_trigram_frac"))
+      .withColumn("repetitive",
+        col("top_bigram_frac") > RepTopBigramMax ||
+          col("dup_trigram_frac") > RepDupTrigramMax)
+  }
 }

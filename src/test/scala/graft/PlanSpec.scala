@@ -406,6 +406,16 @@ class PlanSpec extends AnyFunSuite {
     assert(unpartitioned.findFirstIn(plan).isEmpty, plan)
   }
 
+  test("covered span stage plans its winnow-pair subtree once") {
+    // the winnow token explode appears once per SIDE of the pair
+    // self-join (= 2); the one-pass explode drop rule must not double
+    // that — a two-branch union over the coverage frame plans 4
+    val plan = Queries.curationSpanCovQ(spark, sf)
+      .queryExecution.executedPlan.toString
+    val n = "posexplode".r.findAllIn(plan).size
+    assert(n == 2, s"expected the two self-join sides only, got $n")
+  }
+
   test("singleton-key windows survive optimization — no plan degrades to an unpartitioned window") {
     // the three by-design single-partition windows (scalar total,
     // running day sum, complete-mode Top-N) key on singleton_key;
