@@ -2508,6 +2508,72 @@ object Queries {
       .orderBy(col("s_suppkey"))
   }
 
+  /** TPC-H Q21 shape (suppliers who kept waiting): the double-EXISTS
+    * family — for each flagged lineitem, EXISTS another supplier's line
+    * in the same order, and NOT EXISTS another supplier's FLAGGED line
+    * — with the inequality correlation (l2.l_suppkey <> l1.l_suppkey)
+    * that makes the decorrelation distinct from Q20's pure-equi semis.
+    * Adaptations for this data: no receipt/commit dates, so "failed to
+    * deliver" is l_returnflag = 'R' (order status 'F' as in the
+    * original); nation set filter via LIKE.
+    *
+    * Plan: all three fact-fact joins (orders filter, semi, anti) key on
+    * l_orderkey, so one exchange feeds the chain; supplier and nation
+    * broadcast at the end, after the fact rows have been thinned.
+    */
+  def tpch21Q(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+    val l1 = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val oF = Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+    val l2 = li.select(col("l_orderkey").as("lo2"), col("l_suppkey").as("ls2"))
+    val l3 = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("lo3"), col("l_suppkey").as("ls3"))
+    val n = Tables.nation(spark, sfDir)
+      .filter(col("n_name").like("NATION_1%")).select(col("n_nationkey"))
+    l1.join(oF, col("l_orderkey") === col("o_orderkey"))
+      .join(l2, col("l_orderkey") === col("lo2") &&
+        col("l_suppkey") =!= col("ls2"), "left_semi")
+      .join(l3, col("l_orderkey") === col("lo3") &&
+        col("l_suppkey") =!= col("ls3"), "left_anti")
+      .join(broadcast(Tables.supplier(spark, sfDir)
+          .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
+  /** TPC-H Q22 shape (global sales opportunity): an UNCORRELATED scalar
+    * aggregate subquery as a filter threshold plus a NOT EXISTS
+    * anti-join, grouped by a derived code. Adaptations for this data:
+    * no c_phone, so the country code is c_custkey % 7 and the customer
+    * universe is unrestricted; "has no orders" (always false here —
+    * every customer ordered) becomes "has no URGENT order". The
+    * above-average comparison is EXACT-INTEGER (cents·count > total
+    * cents), so no float-average boundary can differ between engines;
+    * the scalar (count, total) pair broadcasts into the scan.
+    */
+  def tpch22Q(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_acctbal"),
+        cents(col("c_acctbal")).as("bal_cents"))
+    val st = c.filter(col("c_acctbal") > 0)
+      .agg(count(lit(1)).as("n_pos"), sum(col("bal_cents")).as("tot_cents"))
+    val urgent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    c.crossJoin(broadcast(st)) // 1-row scalar — broadcast nested loop
+      .filter(col("bal_cents") * col("n_pos") > col("tot_cents"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy((col("c_custkey") % 7).as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(col("c_acctbal")), 2).as("totbal"))
+      .orderBy(col("cntrycode"))
+  }
+
   /** TPC-H Q10 shape (returned-item report): one-quarter order window,
     * returnflag-filtered lineitems, customer + nation dims broadcast,
     * top-20 customers by lost revenue. The returnflag and date filters

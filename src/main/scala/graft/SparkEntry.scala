@@ -152,6 +152,8 @@ object SparkEntry {
     "q_tpch14" -> (Queries.tpch14Q _),
     "q_tpch17" -> (Queries.tpch17Q _),
     "q_tpch20" -> (Queries.tpch20Q _),
+    "q_tpch21" -> (Queries.tpch21Q _),
+    "q_tpch22" -> (Queries.tpch22Q _),
     "q_tpch18" -> (Queries.tpch18Q _),
     "q_rolling_median" -> (Queries.rollingMedianQ _),
     "q_dau_cume" -> (Queries.dauCumeQ _),
@@ -2186,6 +2188,44 @@ object SparkEntry {
         |  AND s_suppkey IN (SELECT sp.l_suppkey FROM sp JOIN tp USING (l_partkey)
         |                    WHERE 2 * sq > tq)
         |ORDER BY s_suppkey""".stripMargin,
+
+    // Q21 shape: the double-EXISTS family with inequality correlation
+    // (another supplier's line / another supplier's FLAGGED line in the
+    // same order); 'R' return flag stands in for the missing
+    // receipt-vs-commit lateness.
+    "q_tpch21" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders, nation
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |  AND s_nationkey = n_nationkey AND n_name LIKE 'NATION_1%'
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin,
+
+    // Q22 shape: uncorrelated scalar-aggregate threshold + NOT EXISTS,
+    // grouped by a derived code; the above-average compare is exact
+    // integer cents (cents*count > total) so no float boundary drifts.
+    "q_tpch22" ->
+      """WITH cc AS (SELECT c_custkey, c_acctbal,
+        |              CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |            FROM customer),
+        |st AS (SELECT count(*) AS n_pos, sum(bal_cents) AS tot_cents
+        |       FROM cc WHERE c_acctbal > 0),
+        |noord AS (SELECT cc.* FROM cc, st
+        |          WHERE bal_cents * n_pos > tot_cents
+        |            AND NOT EXISTS (SELECT 1 FROM orders
+        |                            WHERE o_custkey = c_custkey
+        |                              AND o_orderpriority = '1-URGENT'))
+        |SELECT c_custkey % 7 AS cntrycode, count(*) AS numcust,
+        |  round(sum(c_acctbal), 2) AS totbal
+        |FROM noord GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_tpch18" ->
       """WITH big AS (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty

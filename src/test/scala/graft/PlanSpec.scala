@@ -465,6 +465,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("tpch21: double-EXISTS family — semi + anti plan, flag filter pushed, dims broadcast") {
+    val plan = formatted(Queries.tpch21Q(spark, sf))
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+    // supplier + nation broadcast after the fact rows are thinned
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the returnflag filter reaches the lineitem scans (pushed, not
+    // evaluated post-join)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)") ||
+      plan.contains("EqualTo(l_returnflag,R)"), plan)
+  }
+
+  test("tpch22: scalar threshold broadcasts as a nested-loop; urgent anti-join; no float avg") {
+    val plan = formatted(Queries.tpch22Q(spark, sf))
+    // the (count, total-cents) scalar pair rides a broadcast
+    // nested-loop cross join — never a shuffle
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+    // the priority filter reaches the orders scan
+    assert(plan.contains("EqualTo(o_orderpriority,1-URGENT)"), plan)
+  }
+
   test("tpch10: returnflag + date filters reach their scans; dims broadcast; top-20 TakeOrdered") {
     val plan = formatted(Queries.tpch10Q(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"), plan)
