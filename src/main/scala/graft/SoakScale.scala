@@ -35,7 +35,10 @@ object SoakScale {
     "q_containment", "q_decontaminate_spans",
     // round-6 additions: the 5-stage curation (full-corpus winnow after
     // LSH) and the ANN multi-table pass over the replicated embeddings
-    "q_curation_spans", "q_ann_multitable")
+    "q_curation_spans", "q_ann_multitable",
+    // late round-6: coverage-gated span policy (adds the per-doc count
+    // window to the winnow chain)
+    "q_curation_spancov")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)
@@ -71,6 +74,19 @@ object SoakScale {
       val n = graft.ops.Dedup.containmentVersusCorpus(probe, mega, 0.9).count()
       Console.err.println(
         f"op_containment_1s   ${(System.nanoTime() - t0) / 1e9}%8.1f s  ($n rows)")
+    }
+    // Repetition stats over the ENTIRE soak corpus (q_repetition caps
+    // its probe at doc_id < 400 by construction, so the harness query
+    // cannot scale): token explode, gram unpivot and gram-count shuffle
+    // all grow linearly with the corpus — the shape that must stay
+    // scan-like at 100 TB.
+    if (only.forall(_.contains("op_repetition_full"))) {
+      val t0 = System.nanoTime()
+      val d = graft.sources.Tables.documents(spark, out)
+        .select(col("doc_id"), col("text"))
+      val n = graft.ops.TextOps.repetitionStats(d).count()
+      Console.err.println(
+        f"op_repetition_full  ${(System.nanoTime() - t0) / 1e9}%8.1f s  ($n rows)")
     }
     spark.stop()
   }
