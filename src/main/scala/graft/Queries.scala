@@ -722,6 +722,29 @@ object Queries {
     Dedup.connectedComponents(lshPairs(spark, sfDir))
       .orderBy(col("doc_id"))
 
+  /** Leakage-safe train/val/test split: duplicate CLUSTERS, not raw
+    * doc ids, are the split unit — every near-dup of a doc lands in
+    * the SAME split, so a val/test doc can never be a near-copy of a
+    * train doc (the leakage a plain doc_id-hash split permits, and a
+    * real eval-integrity requirement in training pipelines). Cluster
+    * labels come from [[graft.ops.Dedup.connectedComponents]] over the
+    * memoized LSH pairs; singletons keep their own id as
+    * representative; the Curation split-hash convention runs on the
+    * representative. Scale: one left join of the corpus against the
+    * duplicate-sized label table, then a narrow hash projection.
+    */
+  def clusterSplitQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = docsWithNearCopies(spark, sfDir, None).select(col("doc_id"))
+    val cc = Dedup.connectedComponents(lshPairs(spark, sfDir))
+    val withRep = base.join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("rep"))
+    val bucket = graft.ops.TextOps.portableHash64(
+      concat(lit("split:"), col("rep"))) % 100
+    withRep.select(col("doc_id"), col("rep"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Incremental dedup: a synthetic ingest batch (near copies of every
     * 7th doc + vowel-mangled "novel" rewrites of others) LSH-matched
     * against the existing documents corpus. Near copies must match

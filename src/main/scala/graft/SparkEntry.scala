@@ -112,6 +112,7 @@ object SparkEntry {
     "q_resample" -> (Queries.resampleQ _),
     "q_freq_items" -> (Queries.freqItemsQ _),
     "q_dedup_clusters" -> (Queries.dedupClustersQ _),
+    "q_cluster_split" -> (Queries.clusterSplitQ _),
     "q_dedup_incremental" -> (Queries.dedupIncremental _),
     "q_dedup_bloom" -> (Queries.dedupBloom _),
     "q_weighted_sample" -> (Queries.weightedSampleQ _),
@@ -733,6 +734,28 @@ object SparkEntry {
          |       SELECT e.dst AS node, cc.m FROM cc JOIN edges e ON e.src = cc.node)
          |SELECT node AS doc_id, min(m) AS cluster_id
          |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    // Leakage-safe split: CC labels over the LSH pairs (the
+    // q_dedup_clusters recursion), singletons self-represent, and the
+    // curation split hash runs on the REPRESENTATIVE — near-dups can
+    // never straddle train/val.
+    "q_cluster_split" ->
+      s"""WITH RECURSIVE $lshPairsCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |cc AS (SELECT node, node AS m FROM nodes
+         |       UNION
+         |       SELECT e.dst AS node, cc.m FROM cc JOIN edges e ON e.src = cc.node),
+         |lab AS (SELECT node AS doc_id, min(m) AS cluster_id FROM cc GROUP BY node),
+         |wrep AS (SELECT b.doc_id, coalesce(l.cluster_id, b.doc_id) AS rep
+         |         FROM base b LEFT JOIN lab l USING (doc_id)),
+         |sd AS (SELECT doc_id, rep,
+         |         ${hSql("concat('split:', CAST(rep AS VARCHAR))")} % 100 AS b FROM wrep)
+         |SELECT doc_id, rep,
+         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM sd ORDER BY doc_id""".stripMargin,
 
     // Incremental ingest dedup: new batch LSH-matched against the
     // static corpus — Dedup.newVersusCorpus with the summary aggregation

@@ -78,6 +78,38 @@ class SamplingSpec extends AnyFunSuite {
     assert(out.contains("v1.2.3.4x"), out)        // \b guards: not a bare IP
   }
 
+  test("cluster split: no near-dup pair straddles splits; a doc_id hash split would leak") {
+    val sf = "/root/testdata/sf0.001"
+    val split = Queries.clusterSplitQ(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // every doc present exactly once, reps are cluster minima (<= id)
+    assert(split.forall { case (id, (rep, _)) => rep <= id })
+    // THE leakage property: every verified LSH pair shares a split
+    val pairs = graft.ops.Dedup.minhashLsh(
+        docs.select(col("doc_id"), col("text"))
+          .union(docs.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 10000).as("doc_id"),
+              replace(col("text"), lit("data"), lit("info")).as("text"))), 0.5)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b) => split(a)._2 == split(b)._2 },
+      pairs.filterNot { case (a, b) => split(a)._2 == split(b)._2 }.take(5).mkString(","))
+    // and the op is NOT vacuous: the same hash convention on RAW doc
+    // ids separates at least one of those pairs — the leakage this
+    // operator exists to stop
+    val naive = split.keySet.toSeq.toDF("doc_id")
+      .select(col("doc_id"),
+        when(graft.ops.TextOps.portableHash64(
+            concat(lit("split:"), col("doc_id"))) % 100 < 80, "train")
+          .when(graft.ops.TextOps.portableHash64(
+            concat(lit("split:"), col("doc_id"))) % 100 < 90, "val")
+          .otherwise("test").as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pairs.exists { case (a, b) => naive(a) != naive(b) },
+      "doc_id-hash split never leaked on this data — test data too weak")
+  }
+
   test("bloom dedup: every exact copy resolves, suffixed docs come out clean") {
     val out = Queries.dedupBloom(spark, "/root/testdata/sf0.001").collect()
     val (copies, novel) = out.partition(_.getLong(0) < 60000)
