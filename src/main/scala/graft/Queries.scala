@@ -811,6 +811,23 @@ object Queries {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
 
+  /** Corpus balancing with DATA-derived rates
+    * ([[graft.ops.Sampling.balanceToSmallest]]): every language
+    * stratum downsampled to ≈ the smallest stratum's size, keep
+    * decision exact-integer so both engines agree on every boundary
+    * row. Output = per-language (original, kept) counts.
+    */
+  def rebalanceQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
+    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_orig"))
+    val keptCounts = graft.ops.Sampling.balanceToSmallest(d, "lang", "doc_id")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_k"))
+    counts.join(keptCounts, Seq("lang"), "left") // zero-kept strata stay visible
+      .select(col("lang"), col("n_orig"),
+        coalesce(col("n_k"), lit(0L)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
   /** 16-bit SimHash per document. */
   def simhashQ(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.simhash16(Tables.documents(spark, sfDir)).orderBy(col("doc_id"))

@@ -117,6 +117,7 @@ object SparkEntry {
     "q_dedup_bloom" -> (Queries.dedupBloom _),
     "q_weighted_sample" -> (Queries.weightedSampleQ _),
     "q_group_cap" -> (Queries.groupCapQ _),
+    "q_rebalance" -> (Queries.rebalanceQ _),
     "q_unpivot" -> (Queries.unpivotQ _),
     "q_window_range" -> (Queries.windowRange _),
     "q_bitwise" -> (Queries.bitwiseFuncs _),
@@ -809,6 +810,19 @@ object SparkEntry {
          |    ORDER BY (${hSql("'cap:' || CAST(doc_id AS VARCHAR)")} % 1000000) / 1000000.0, doc_id) AS rk
          |  FROM documents)
          |WHERE rk <= 20 ORDER BY doc_id""".stripMargin,
+
+    // Balance-to-smallest: data-derived per-stratum rates with the
+    // EXACT-INTEGER keep rule (bucket * n_key < min_n * 1000000) — no
+    // float rate on any boundary.
+    "q_rebalance" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n_orig FROM documents GROUP BY lang),
+         |m AS (SELECT min(n_orig) AS min_n FROM c),
+         |kept AS (SELECT d.lang FROM documents d JOIN c USING (lang) CROSS JOIN m
+         |         WHERE (${hSql("'bal:' || CAST(doc_id AS VARCHAR)")} % 1000000) * n_orig
+         |               < min_n * 1000000),
+         |kc AS (SELECT lang, count(*) AS n_kept FROM kept GROUP BY lang)
+         |SELECT c.lang, c.n_orig, coalesce(kc.n_kept, 0) AS n_kept
+         |FROM c LEFT JOIN kc USING (lang) ORDER BY c.lang""".stripMargin,
 
     "q_simhash" ->
       s"""WITH t AS (SELECT doc_id, list_transform(list_distinct(${wordsSql("lower(text)")}), wd -> ${hSql("wd")}) AS hs FROM documents)

@@ -41,6 +41,27 @@ object Sampling {
     df.filter(unitHash(idCol, "samp:") < rate)
   }
 
+  /** Downsample every stratum to (approximately) the SMALLEST
+    * stratum's size — corpus balancing with rates derived from the
+    * DATA, not constants: rate(key) = min_n / n_key. The keep decision
+    * is EXACT-INTEGER (hash_bucket · n_key < min_n · buckets), so no
+    * float rate can straddle an engine boundary. The stratum-count
+    * table and the 1-row minimum broadcast; the keep itself is a
+    * narrow filter — same no-shuffle scan shape as [[weightedByRate]].
+    */
+  def balanceToSmallest(df: DataFrame, keyCol: String, idCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("_n_key"))
+    val minN = counts.agg(org.apache.spark.sql.functions.min(col("_n_key")).as("_min_n"))
+    val bucket = pmod(
+      TextOps.portableHash64(concat(lit("bal:"), col(idCol).cast("string"))),
+      lit(1000000L))
+    df.join(broadcast(counts), keyCol)
+      .crossJoin(broadcast(minN)) // 1-row scalar
+      .filter(bucket * col("_n_key") < col("_min_n") * 1000000L)
+      .drop("_n_key", "_min_n")
+  }
+
   /** Cap each group at `cap` rows, keeping the hash-minimal ones
     * (id tie-break) — a deterministic uniform subsample per group, not
     * a prefix of arrival order. One window exchange on `groupCol`.

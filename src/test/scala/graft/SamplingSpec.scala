@@ -78,6 +78,33 @@ class SamplingSpec extends AnyFunSuite {
     assert(out.contains("v1.2.3.4x"), out)        // \b guards: not a bare IP
   }
 
+  test("balanceToSmallest: smallest stratum intact, others near its size, stable keep set") {
+    val balanced = graft.ops.Sampling
+      .balanceToSmallest(docs.select(col("doc_id"), col("lang")), "lang", "doc_id")
+    val kept = balanced.select(col("doc_id")).collect().map(r => r.getLong(0)).toSet
+    val per = balanced.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val orig = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minN = orig.values.min
+    // rate 1 stratum: the smallest keeps EVERYTHING (bucket < 1e6 always)
+    val smallest = orig.minBy(_._2)._1
+    assert(per(smallest) == minN)
+    // every stratum lands within Bernoulli range of min_n and never grows
+    orig.foreach { case (lang, n) =>
+      assert(per.getOrElse(lang, 0L) <= n)
+      val expect = minN.toDouble
+      assert(math.abs(per.getOrElse(lang, 0L) - expect) <= 4 * math.sqrt(expect) + 1,
+        s"$lang kept ${per.getOrElse(lang, 0L)} vs expected ~$expect of $n")
+    }
+    // pure hash decision: a repartitioned rerun keeps the identical set
+    val again = graft.ops.Sampling
+      .balanceToSmallest(docs.select(col("doc_id"), col("lang")).repartition(13),
+        "lang", "doc_id")
+      .select(col("doc_id")).collect().map(r => r.getLong(0)).toSet
+    assert(again == kept)
+  }
+
   test("cluster split: no near-dup pair straddles splits; a doc_id hash split would leak") {
     val sf = "/root/testdata/sf0.001"
     val split = Queries.clusterSplitQ(spark, sf).collect()
