@@ -828,6 +828,22 @@ object Queries {
       .orderBy(col("lang"))
   }
 
+  /** Epoch materialization by replication
+    * ([[graft.ops.Sampling.upsampleToLargest]]): every language stratum
+    * repeated to ≈ the largest stratum's size — the apply side of the
+    * mixture-weight table (q_mixture_weights computes rates; this lays
+    * an epoch down). Whole copies are exact integer division; the
+    * fractional copy is the same exact-integer hash rule as
+    * q_rebalance, so both engines emit the identical (doc_id, copy)
+    * multiset.
+    */
+  def epochUpsampleQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Sampling.upsampleToLargest(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("lang")),
+        "lang", "doc_id")
+      .select(col("doc_id"), col("lang"), col("copy"))
+      .orderBy(col("doc_id"), col("copy"))
+
   /** 16-bit SimHash per document. */
   def simhashQ(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.simhash16(Tables.documents(spark, sfDir)).orderBy(col("doc_id"))
@@ -2612,6 +2628,67 @@ object Queries {
       .agg(count(lit(1)).as("numcust"),
         round(sum(col("c_acctbal")), 2).as("totbal"))
       .orderBy(col("cntrycode"))
+  }
+
+  /** TPC-H Q13 shape (customer order-count distribution): the plan
+    * family the suite lacked — a left OUTER join whose extra predicate
+    * lives in the JOIN CONDITION (not a WHERE; customers whose orders
+    * all fail it must still appear with count 0), feeding a DOUBLE
+    * aggregation (per-customer count, then distribution of counts).
+    * Adaptation: no o_comment column, so the condition filter is
+    * `o_orderpriority <> '1-URGENT'`.
+    *
+    * Scale: both sides are fact-sized → shuffle join on custkey, and
+    * the first groupBy is on the SAME key, so it reuses the join's
+    * hash partitioning (no second exchange); the distribution agg
+    * shuffles only |distinct counts| rows. count(o_orderkey) (not
+    * count(1)) makes unmatched customers count 0.
+    */
+  def tpch13Q(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir).select(col("c_custkey"))
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority"))
+    c.join(o,
+        col("c_custkey") === col("o_custkey") &&
+          col("o_orderpriority") =!= "1-URGENT", "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q19 shape (discounted revenue, disjunctive predicates): an
+    * OR of three brand/size/quantity branches that all share the
+    * `p_partkey = l_partkey` conjunct. The plan point: Catalyst's
+    * ExtractEquiJoinKeys must pull that common key OUT of the
+    * disjunction (equi hash join, OR residual as the join filter) —
+    * written naively this is a nested-loop cross product. The dim-side
+    * disjunction (brand ∈ {12,23,24}, size ≤ 15) is applied to part
+    * before the join — semantically redundant with the residual but it
+    * shrinks the build side to broadcast size, which constraint
+    * propagation alone does not do across an OR. Adaptation: no
+    * p_container/l_shipmode columns; branches select on brand/size/
+    * quantity only. Revenue via exact decimal sum (2dp products).
+    */
+  def tpch19Q(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#24") &&
+        col("p_size").between(1, 15))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val l = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+    val branches =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#24" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    l.join(broadcast(p), col("p_partkey") === col("l_partkey") && branches)
+      .agg(decimalSum2(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
   }
 
   /** TPC-H Q10 shape (returned-item report): one-quarter order window,

@@ -156,6 +156,9 @@ object SparkEntry {
     "q_tpch20" -> (Queries.tpch20Q _),
     "q_tpch21" -> (Queries.tpch21Q _),
     "q_tpch22" -> (Queries.tpch22Q _),
+    "q_tpch13" -> (Queries.tpch13Q _),
+    "q_tpch19" -> (Queries.tpch19Q _),
+    "q_epoch_upsample" -> (Queries.epochUpsampleQ _),
     "q_tpch18" -> (Queries.tpch18Q _),
     "q_rolling_median" -> (Queries.rollingMedianQ _),
     "q_dau_cume" -> (Queries.dauCumeQ _),
@@ -823,6 +826,21 @@ object SparkEntry {
          |kc AS (SELECT lang, count(*) AS n_kept FROM kept GROUP BY lang)
          |SELECT c.lang, c.n_orig, coalesce(kc.n_kept, 0) AS n_kept
          |FROM c LEFT JOIN kc USING (lang) ORDER BY c.lang""".stripMargin,
+
+    // Epoch upsample: whole copies = max_n // n_key (exact integer
+    // division), fractional copy via the same exact-integer hash rule
+    // as q_rebalance — identical (doc_id, copy) multiset both engines.
+    "q_epoch_upsample" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n_key FROM documents GROUP BY lang),
+         |m AS (SELECT max(n_key) AS max_n FROM c),
+         |d AS (SELECT doc_id, dd.lang,
+         |        (max_n // n_key)
+         |        + CASE WHEN (${hSql("'ups:' || CAST(doc_id AS VARCHAR)")} % 1000000) * n_key
+         |               < (max_n % n_key) * 1000000 THEN 1 ELSE 0 END AS n_copies
+         |      FROM documents dd JOIN c USING (lang) CROSS JOIN m)
+         |SELECT doc_id, lang, copy
+         |FROM (SELECT doc_id, lang, unnest(range(n_copies)) AS copy FROM d)
+         |ORDER BY doc_id, copy""".stripMargin,
 
     "q_simhash" ->
       s"""WITH t AS (SELECT doc_id, list_transform(list_distinct(${wordsSql("lower(text)")}), wd -> ${hSql("wd")}) AS hs FROM documents)
@@ -2263,6 +2281,29 @@ object SparkEntry {
         |SELECT c_custkey % 7 AS cntrycode, count(*) AS numcust,
         |  round(sum(c_acctbal), 2) AS totbal
         |FROM noord GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Q13 shape: outer join with the filter INSIDE the join condition
+    // (zero-order customers must survive), then a double aggregation.
+    "q_tpch13" ->
+      """WITH pc AS (SELECT c_custkey, count(o_orderkey) AS c_count
+        |            FROM customer LEFT OUTER JOIN orders
+        |              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |            GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist FROM pc
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    // Q19 shape: OR-of-ANDs sharing the p_partkey=l_partkey conjunct;
+    // revenue via exact decimal sum (2dp products land on half-cents).
+    "q_tpch19" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
 
     "q_tpch18" ->
       """WITH big AS (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty

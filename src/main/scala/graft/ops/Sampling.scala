@@ -62,6 +62,39 @@ object Sampling {
       .drop("_n_key", "_min_n")
   }
 
+  /** Upsample every stratum to (approximately) the LARGEST stratum's
+    * size by REPLICATION — the materialize step of a sampling-weight
+    * table (how an epoch of a weighted mixture is actually laid down,
+    * e.g. low-resource languages repeated to parity). Each row gains a
+    * `copy` column (0-based): whole copies = max_n div n_key (exact
+    * integer division), plus one fractional copy decided by the same
+    * exact-integer hash rule as [[balanceToSmallest]]
+    * (bucket · n_key < (max_n mod n_key) · buckets) — no float
+    * repetition factor anywhere, so both engines emit the identical
+    * multiset. Every row keeps at least copy 0 (max_n ≥ n_key).
+    *
+    * Scale shape: the stratum-count table and 1-row maximum broadcast;
+    * the replication is a narrow generate (explode of a per-row
+    * sequence) — output-sized work, no shuffle. The explode fan-out is
+    * bounded by max_n/min_n; a degenerate stratum ratio is a data
+    * problem the count table makes visible before the explode runs.
+    */
+  def upsampleToLargest(df: DataFrame, keyCol: String, idCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("_n_key"))
+    val maxN = counts.agg(org.apache.spark.sql.functions.max(col("_n_key")).as("_max_n"))
+    val bucket = pmod(
+      TextOps.portableHash64(concat(lit("ups:"), col(idCol).cast("string"))),
+      lit(1000000L))
+    val copies = expr("_max_n div _n_key") +
+      when(bucket * col("_n_key") < (col("_max_n") % col("_n_key")) * 1000000L, 1L)
+        .otherwise(0L)
+    df.join(broadcast(counts), keyCol)
+      .crossJoin(broadcast(maxN)) // 1-row scalar
+      .withColumn("copy", explode(sequence(lit(0L), copies - 1L)))
+      .drop("_n_key", "_max_n")
+  }
+
   /** Cap each group at `cap` rows, keeping the hash-minimal ones
     * (id tie-break) — a deterministic uniform subsample per group, not
     * a prefix of arrival order. One window exchange on `groupCol`.

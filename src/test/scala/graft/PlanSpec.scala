@@ -502,6 +502,28 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("tpch13: outer join keeps the condition filter OUT of the scan of customers") {
+    val plan = formatted(Queries.tpch13Q(spark, sf))
+    assert(plan.contains("LeftOuter"), plan)
+    // the priority predicate is pushed to the ORDERS scan (join-side),
+    // never applied to customers — zero-order customers must survive
+    assert(plan.contains("Not(EqualTo(o_orderpriority,1-URGENT))"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("tpch19: the shared equi key is extracted from the OR — hash join, not nested loop") {
+    val plan = formatted(Queries.tpch19Q(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    // dim-side disjunction shrinks the build side at its scan
+    assert(plan.contains("In(p_brand, [Brand#12,Brand#23,Brand#24])"), plan)
+    // Catalyst derives the OR-of-quantity-ranges and pushes it to the
+    // fact scan — the residual OR stays as the join condition
+    assert(plan.contains("GreaterThanOrEqual(l_quantity,1.0)"), plan)
+    assert(plan.contains("Join condition:"), plan)
+  }
+
   test("tpch5: only the fact-fact join may shuffle; every dimension broadcasts") {
     val plan = formatted(Queries.tpch5Q(spark, sf))
     val smj = "SortMergeJoin".r.findAllIn(plan).size

@@ -105,6 +105,37 @@ class SamplingSpec extends AnyFunSuite {
     assert(again == kept)
   }
 
+  test("upsampleToLargest: largest stratum untouched, others replicate to parity, exact copies") {
+    val up = graft.ops.Sampling
+      .upsampleToLargest(docs.select(col("doc_id"), col("lang")), "lang", "doc_id")
+    val per = up.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val orig = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val maxN = orig.values.max
+    // the largest stratum replicates exactly once (factor 1, frac 0)
+    val largest = orig.maxBy(_._2)._1
+    assert(per(largest) == maxN)
+    orig.foreach { case (lang, n) =>
+      // never shrinks, and lands within Bernoulli range of max_n
+      assert(per(lang) >= n)
+      assert(math.abs(per(lang) - maxN.toDouble) <= 4 * math.sqrt(maxN.toDouble) + 1,
+        s"$lang emitted ${per(lang)} vs target $maxN from $n")
+    }
+    // copy indices are dense 0..k per doc: count == max(copy)+1 everywhere
+    val ragged = up.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("c"), max(col("copy")).as("m"))
+      .filter(col("c") =!= col("m") + 1).count()
+    assert(ragged == 0L)
+    // pure hash decision: repartitioned rerun emits the identical multiset
+    val a = up.groupBy(col("doc_id")).count()
+    val b = graft.ops.Sampling
+      .upsampleToLargest(docs.select(col("doc_id"), col("lang")).repartition(13),
+        "lang", "doc_id")
+      .groupBy(col("doc_id")).count()
+    assert(a.except(b).count() == 0L && b.except(a).count() == 0L)
+  }
+
   test("cluster split: no near-dup pair straddles splits; a doc_id hash split would leak") {
     val sf = "/root/testdata/sf0.001"
     val split = Queries.clusterSplitQ(spark, sf).collect()
