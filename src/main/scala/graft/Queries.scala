@@ -844,6 +844,40 @@ object Queries {
       .select(col("doc_id"), col("lang"), col("copy"))
       .orderBy(col("doc_id"), col("copy"))
 
+  /** Temperature-flattened sampling at α = 1/2
+    * ([[graft.ops.Sampling.temperatureSample]]): every language stratum
+    * kept at rate √(min_n/n_lang) — the partial flattening between
+    * q_rebalance (α = 0) and the natural distribution (α = 1). The
+    * keep rule compares exact BIGINT products (bucket²·n < min_n·B²),
+    * so both engines agree on every boundary row. Output = per-language
+    * (original, kept) counts, same shape as q_rebalance.
+    */
+  def temperatureSampleQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
+    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_orig"))
+    val keptCounts = graft.ops.Sampling.temperatureSample(d, "lang", "doc_id")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_k"))
+    counts.join(keptCounts, Seq("lang"), "left")
+      .select(col("lang"), col("n_orig"),
+        coalesce(col("n_k"), lit(0L)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
+  /** Greedy 1500-token budget per language
+    * ([[graft.ops.Sampling.tokenBudgetPerGroup]]): docs rank by the
+    * sampling hash within each language and survive while the running
+    * whitespace-token total stays ≤ 1500 — the "fill each stratum to
+    * its token allocation" step of laying down a mixture. Integer
+    * window sums with a total order, so the cut row is engine-exact.
+    */
+  def tokenBudgetQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        size(TextOps.words(col("text"))).cast("long").as("n_tok"))
+    graft.ops.Sampling.tokenBudgetPerGroup(d, "lang", "doc_id", "n_tok", 1500L)
+      .orderBy(col("doc_id"))
+  }
+
   /** 16-bit SimHash per document. */
   def simhashQ(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.simhash16(Tables.documents(spark, sfDir)).orderBy(col("doc_id"))
@@ -2689,6 +2723,97 @@ object Queries {
     l.join(broadcast(p), col("p_partkey") === col("l_partkey") && branches)
       .agg(decimalSum2(col("l_extendedprice") * (lit(1) - col("l_discount")))
         .as("revenue"))
+  }
+
+  /** TPC-H Q6 shape (forecasting revenue change): the ZERO-JOIN
+    * pushdown aggregate — a conjunctive range filter that must reach
+    * the parquet scan in full (shipdate year + discount band +
+    * quantity cap, all in PushedFilters) feeding one global sum. The
+    * cheapest plan family in the suite and the purest pushdown probe:
+    * any filter evaluated post-scan is a plan bug. Discount bounds
+    * compare the parquet doubles against the identical double
+    * literals both engines parse, so the band is bit-exact; revenue
+    * (a 2dp×2dp product) sums via exact decimal.
+    */
+  def tpch6Q(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(decimalSum2(col("l_extendedprice") * col("l_discount")).as("revenue"))
+
+  /** TPC-H Q15 shape (top supplier): a revenue view reused TWICE — once
+    * aggregated to its maximum (a 1-row scalar), once joined back
+    * against that scalar to pick the winner(s). The fact scans once
+    * into a supplier-sized aggregate; the max and the supplier dim
+    * both broadcast, so the "scalar subquery" costs one extra
+    * supplier-sized pass, never a second fact scan. Equality on
+    * total_rev is safe because decimalSum2 rounds both sides to the
+    * same 2dp decimal before the double cast.
+    */
+  def tpch15Q(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-07-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1997-10-01").cast("timestamp_ntz"))
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      .groupBy(col("l_suppkey"))
+      .agg(decimalSum2(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("total_rev"))
+    val mx = rev.agg(max(col("total_rev")).as("_max_rev"))
+    rev.join(broadcast(mx), col("total_rev") === col("_max_rev"))
+      .join(broadcast(Tables.supplier(spark, sfDir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q8 shape (national market share): the two-sided nation
+    * decoration — customers restrict through region→nation to scope
+    * the DENOMINATOR, suppliers decorate through nation to mark the
+    * NUMERATOR — feeding a per-year conditional-aggregation ratio.
+    * Plan: part (type filter), supplier⋈nation, and the region-scoped
+    * customer set all broadcast; the only fact-fact shuffle is
+    * lineitem⋈orders on orderkey. Both revenue sums are exact decimal
+    * before the one double division (the q_tpch14 ratio discipline).
+    */
+  def tpch8Q(spark: SparkSession, sfDir: String): DataFrame = {
+    val asia = Tables.nation(spark, sfDir)
+      .join(broadcast(Tables.region(spark, sfDir)
+        .filter(col("r_name") === "ASIA").select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val c = Tables.customer(spark, sfDir)
+      .join(broadcast(asia), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year"))
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_type") === "ECONOMY").select(col("p_partkey"))
+    val s = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        decimalSum2(when(col("supp_nation") === "NATION_7", vol).otherwise(lit(0)))
+          .as("nation_rev"),
+        decimalSum2(vol).as("total_rev"))
+      .select(col("o_year"), col("nation_rev"), col("total_rev"),
+        round(col("nation_rev") / col("total_rev"), 6).as("mkt_share"))
+      .orderBy(col("o_year"))
   }
 
   /** TPC-H Q10 shape (returned-item report): one-quarter order window,

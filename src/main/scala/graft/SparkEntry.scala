@@ -158,7 +158,12 @@ object SparkEntry {
     "q_tpch22" -> (Queries.tpch22Q _),
     "q_tpch13" -> (Queries.tpch13Q _),
     "q_tpch19" -> (Queries.tpch19Q _),
+    "q_tpch6" -> (Queries.tpch6Q _),
+    "q_tpch15" -> (Queries.tpch15Q _),
+    "q_tpch8" -> (Queries.tpch8Q _),
     "q_epoch_upsample" -> (Queries.epochUpsampleQ _),
+    "q_temperature_sample" -> (Queries.temperatureSampleQ _),
+    "q_token_budget" -> (Queries.tokenBudgetQ _),
     "q_tpch18" -> (Queries.tpch18Q _),
     "q_rolling_median" -> (Queries.rollingMedianQ _),
     "q_dau_cume" -> (Queries.dauCumeQ _),
@@ -841,6 +846,31 @@ object SparkEntry {
          |SELECT doc_id, lang, copy
          |FROM (SELECT doc_id, lang, unnest(range(n_copies)) AS copy FROM d)
          |ORDER BY doc_id, copy""".stripMargin,
+
+    // Temperature α=1/2: the sqrt keep rate evaluated WITHOUT a float
+    // root — bucket²·n < min_n·B² in BIGINTs (B = 1e5).
+    "q_temperature_sample" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n_orig FROM documents GROUP BY lang),
+         |m AS (SELECT min(n_orig) AS min_n FROM c),
+         |kept AS (SELECT d.lang FROM documents d JOIN c USING (lang) CROSS JOIN m
+         |         WHERE (${hSql("'temp:' || CAST(doc_id AS VARCHAR)")} % 100000)
+         |               * (${hSql("'temp:' || CAST(doc_id AS VARCHAR)")} % 100000)
+         |               * n_orig < min_n * 100000 * 100000),
+         |kc AS (SELECT lang, count(*) AS n_kept FROM kept GROUP BY lang)
+         |SELECT c.lang, c.n_orig, coalesce(kc.n_kept, 0) AS n_kept
+         |FROM c LEFT JOIN kc USING (lang) ORDER BY c.lang""".stripMargin,
+
+    // Token-budget prefix: exact BIGINT running sum over the total
+    // (hash, id) order; keep while cum <= 1500.
+    "q_token_budget" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |        CAST(len(${wordsSql("text")}) AS BIGINT) AS n_tok FROM documents),
+         |r AS (SELECT doc_id, lang, n_tok,
+         |        sum(n_tok) OVER (PARTITION BY lang
+         |          ORDER BY (${hSql("'tok:' || CAST(doc_id AS VARCHAR)")} % 1000000) / 1000000.0,
+         |            doc_id) AS cum
+         |      FROM t)
+         |SELECT doc_id, lang, n_tok FROM r WHERE cum <= 1500 ORDER BY doc_id""".stripMargin,
 
     "q_simhash" ->
       s"""WITH t AS (SELECT doc_id, list_transform(list_distinct(${wordsSql("lower(text)")}), wd -> ${hSql("wd")}) AS hs FROM documents)
@@ -2304,6 +2334,59 @@ object SparkEntry {
         |       AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    // Q6 shape: zero-join pushdown aggregate; discount bounds compare
+    // the same parquet doubles against the same double literals.
+    "q_tpch6" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice * l_discount
+        |    AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+
+    // Q15 shape: revenue view used twice — max scalar + join-back;
+    // equality is on the SAME 2dp decimal both engines produce.
+    "q_tpch15" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |    CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(30,8))), 2) AS DOUBLE) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-07-01' AND l_shipdate < TIMESTAMP '1997-10-01'
+        |  GROUP BY l_suppkey),
+        |m AS (SELECT max(total_rev) AS mr FROM rev)
+        |SELECT s_suppkey, s_name, total_rev
+        |FROM rev JOIN m ON total_rev = mr
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |ORDER BY s_suppkey""".stripMargin,
+
+    // Q8 shape: region-scoped denominator, nation-marked numerator,
+    // per-year conditional-aggregation ratio (q_tpch14 discipline:
+    // exact decimal sums BEFORE the one double division).
+    "q_tpch8" ->
+      """WITH asia_c AS (SELECT c_custkey FROM customer
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'),
+        |sn AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier
+        |       JOIN nation ON s_nationkey = n_nationkey),
+        |v AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, supp_nation,
+        |        CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8)) AS vol
+        |      FROM lineitem
+        |        JOIN part ON l_partkey = p_partkey
+        |        JOIN sn ON l_suppkey = s_suppkey
+        |        JOIN orders ON l_orderkey = o_orderkey
+        |        JOIN asia_c ON o_custkey = c_custkey
+        |      WHERE p_type = 'ECONOMY'
+        |        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |        AND o_orderdate < TIMESTAMP '1998-01-01')
+        |SELECT o_year,
+        |  CAST(round(sum(CASE WHEN supp_nation = 'NATION_7' THEN vol
+        |    ELSE CAST(0 AS DECIMAL(30,8)) END), 2) AS DOUBLE) AS nation_rev,
+        |  CAST(round(sum(vol), 2) AS DOUBLE) AS total_rev,
+        |  round(CAST(round(sum(CASE WHEN supp_nation = 'NATION_7' THEN vol
+        |      ELSE CAST(0 AS DECIMAL(30,8)) END), 2) AS DOUBLE)
+        |    / CAST(round(sum(vol), 2) AS DOUBLE), 6) AS mkt_share
+        |FROM v GROUP BY o_year ORDER BY o_year""".stripMargin,
 
     "q_tpch18" ->
       """WITH big AS (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty

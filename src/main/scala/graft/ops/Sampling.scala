@@ -95,6 +95,57 @@ object Sampling {
       .drop("_n_key", "_max_n")
   }
 
+  /** Temperature-flattened stratified sampling at α = 1/2 (T = 2, the
+    * canonical multilingual-rebalance temperature): keep rate
+    * r_k = (min_n / n_k)^(1−α) = √(min_n / n_k) — partial flattening
+    * sitting between [[balanceToSmallest]] (α = 0, full flattening)
+    * and the identity (α = 1, natural distribution). The keep decision
+    * is EXACT-INTEGER: bucket < B·√(min_n/n_k) ⟺
+    * bucket²·n_k < min_n·B² — both sides are BIGINT products
+    * (B = 10⁵ ⇒ each side ≤ 10¹⁰·n, Long-safe to n ≈ 9·10⁸ rows per
+    * stratum), so neither engine ever evaluates a float root and no
+    * boundary row can straddle engines.
+    *
+    * Scale shape: identical to [[balanceToSmallest]] — stratum counts
+    * and the 1-row minimum broadcast, the keep is a narrow no-shuffle
+    * filter over the scan.
+    */
+  def temperatureSample(df: DataFrame, keyCol: String, idCol: String): DataFrame = {
+    val B = 100000L
+    val counts = df.groupBy(col(keyCol))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("_n_key"))
+    val minN = counts.agg(org.apache.spark.sql.functions.min(col("_n_key")).as("_min_n"))
+    val bucket = pmod(
+      TextOps.portableHash64(concat(lit("temp:"), col(idCol).cast("string"))),
+      lit(B))
+    df.join(broadcast(counts), keyCol)
+      .crossJoin(broadcast(minN)) // 1-row scalar
+      .filter(bucket * bucket * col("_n_key") < col("_min_n") * B * B)
+      .drop("_n_key", "_min_n")
+  }
+
+  /** Greedy token-budget prefix per stratum: rows rank by the sampling
+    * hash (uniform and deterministic — NOT arrival order, so the kept
+    * prefix is a stable uniform subsample, not "whatever loaded
+    * first") and survive while the stratum's running token total stays
+    * within `budget`. The running sum is an exact BIGINT window with a
+    * total order (hash, id), so the cut row is identical on every
+    * engine and partitioning; the row that would cross the budget, and
+    * everything after it in hash order, is dropped.
+    *
+    * Scale shape: one window exchange on the group key — the same
+    * per-group top-k shape as [[capPerGroup]], bounding a SUM instead
+    * of a row count.
+    */
+  def tokenBudgetPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      tokenCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(unitHash(idCol, "tok:"), col(idCol))
+    df.withColumn("_cum", sum(col(tokenCol)).over(w))
+      .filter(col("_cum") <= budget)
+      .drop("_cum")
+  }
+
   /** Cap each group at `cap` rows, keeping the hash-minimal ones
     * (id tie-break) — a deterministic uniform subsample per group, not
     * a prefix of arrival order. One window exchange on `groupCol`.
