@@ -3159,4 +3159,229 @@ object Queries {
           .as("within_bound"))
       .orderBy(col("l_partkey"))
   }
+
+  /** TPC-H Q2 family (minimum-cost supplier): the correlated scalar MIN
+    * subquery, decorrelated to a per-part min aggregate joined back on
+    * value equality — ALL tied suppliers survive, as in the spec. No
+    * partsupp in this data, so "supply cost" of a (part, supplier) pair
+    * is its minimum lineitem price in exact integer cents (no float can
+    * straddle the min-equality), suppliers restricted to EUROPE via
+    * broadcast dims. Total-order output (acctbal desc, keys) + top-100
+    * plans as TakeOrderedAndProject.
+    */
+  def tpch2Q(spark: SparkSession, sfDir: String): DataFrame = {
+    val sup = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val supply = Tables.lineitem(spark, sfDir)
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"),
+        col("s_name"), col("s_acctbal"), col("n_name"))
+      .agg(min(cents(col("l_extendedprice")).cast("long")).as("cost_cents"))
+    val minCost = supply.groupBy(col("l_partkey"))
+      .agg(min(col("cost_cents")).as("min_cents"))
+    supply.join(minCost, Seq("l_partkey"))
+      .filter(col("cost_cents") === col("min_cents"))
+      .join(broadcast(Tables.part(spark, sfDir)
+          .filter(col("p_type") === "LARGE" && col("p_size") <= 10)),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("cost_cents"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q4 family (order priority checking): EXISTS over the fact
+    * with a CORRELATED non-equi residual — here "some line shipped more
+    * than 60 days after the order date" (stand-in for the missing
+    * commit/receipt dates) — planned as a left-semi join on l_orderkey
+    * with the date comparison as residual, then a 5-row aggregate.
+    */
+  def tpch4Q(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp_ntz"))
+    val l = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q9 family (product-type profit): the part-name LIKE filter
+    * shrinks part to a broadcast at its scan, supplier/nation broadcast,
+    * and the only shuffle joins the filtered fact to orders for the
+    * year. Profit uses p_retailprice·qty/10 as the supply-cost stand-in
+    * (no ps_supplycost here), summed as exact decimal.
+    */
+  def tpch9Q(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir)
+          .filter(col("p_name").contains("red"))
+          .select(col("p_partkey"), col("p_retailprice"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, sfDir)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          col("p_retailprice") * col("l_quantity") * lit(0.1)).as("amount"))
+      .groupBy(col("nation"), col("o_year"))
+      .agg(decimalSum2(col("amount")).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+
+  /** TPC-H Q11 family (important stock): group values filtered against
+    * a FRACTION of the uncorrelated global total — the 1-row scalar
+    * broadcasts as a nested-loop, and the comparison is exact-integer
+    * (value_cents · 10000 > total_cents), so no float threshold can
+    * straddle engines. Part "value" = Σ price-cents · qty over one
+    * nation's suppliers.
+    */
+  def tpch11Q(spark: SparkSession, sfDir: String): DataFrame = {
+    val supN = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir).filter(col("n_name") === "NATION_12")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val value = Tables.lineitem(spark, sfDir)
+      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(cents(col("l_extendedprice")).cast("long") *
+        col("l_quantity").cast("long")).as("value_cents"))
+    val total = value.agg(sum(col("value_cents")).as("total_cents"))
+    value.crossJoin(broadcast(total))
+      .filter(col("value_cents") * 10000L > col("total_cents"))
+      .select(col("l_partkey"), col("value_cents"))
+      .orderBy(col("value_cents").desc, col("l_partkey"))
+  }
+
+  /** TPC-H Q16 family (parts/supplier relationship): the distinct-count
+    * aggregate behind dim exclusions — supplier pairs come from a
+    * DISTINCT over the fact (the partsupp stand-in, one shuffle),
+    * "complaint" suppliers (negative balance) leave via a broadcast
+    * left-anti join, and the filtered part dim broadcasts.
+    */
+  def tpch16Q(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 9, 17, 25, 33, 41, 49, 50))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val bad = Tables.supplier(spark, sfDir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    pairs.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** SemDeDup-style semantic dedup: k-means is the coarse quantizer
+    * (3 Lloyd iterations, label-seeded), then same-cell pairs with
+    * cosine ≥ 0.95 drop their larger id. Planted near-copies (every 5th
+    * vector, first coordinate nudged) are the ground truth the stage
+    * must catch; organically similar vectors may drop too — the oracle
+    * replays the full pipeline either way.
+    */
+  def semdedupQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Similarity.asDouble(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val planted = e.union(
+      e.filter(col("vec_id") % 5 === 0).select(
+        (col("vec_id") + 10000).as("vec_id"), col("label"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x + 0.01).otherwise(x)).as("embedding")))
+    Similarity.semanticDedup(planted, 3, 0.95)
+      .orderBy(col("vec_id"))
+  }
+
+  /** Training-shard export stats: every doc hash-assigned to one of 16
+    * shards (narrow, no shuffle — see Sampling.shardAssign), then one
+    * aggregate proves the balance contract: per-shard docs, BPE-ish
+    * tokens, and chars. The write itself (`partitionBy("shard")`) is
+    * exercised in SamplingSpec; this query pins the assignment and the
+    * stats both engines must agree on.
+    */
+  def exportShardsQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Sampling.shardAssign(Tables.documents(spark, sfDir), "doc_id", 16)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextOps.bpeTokenCount(col("text"))).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars_total"))
+      .orderBy(col("shard"))
+
+  /** Vocabulary coverage (OOV rate) per language — the tokenizer-health
+    * metric of a training pipeline: what fraction of token mass falls
+    * outside the global top-200 vocabulary. ONE corpus pass builds the
+    * (lang, token) tf table; the vocab is a 200-row TakeOrdered slice
+    * of its token rollup (broadcast back); rates are exact integer ppm
+    * (n_oov·1e6 div n_tokens) so no float ratio can straddle engines.
+    */
+  def oovRateQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .filter(length(col("token")) >= 2)
+      .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("n"))
+    val vocab = tf.groupBy(col("token")).agg(sum(col("n")).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(200)
+      .select(col("token"), lit(1L).as("in_vocab"))
+    tf.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("lang"))
+      .agg(sum(col("n")).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("n")).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm", expr("n_oov * 1000000 DIV n_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  // ------------------------------------------------- model-based selection
+
+  /** DSIR-style data selection: English docs are the "target corpus",
+    * everything else is the raw pool; each pool doc is scored by the
+    * summed log-likelihood ratio of its hashed-unigram features under
+    * add-1 target/raw bucket models, and the top 50 most target-like
+    * docs are kept. Weight table ≤1024 rows (broadcast); scores are
+    * exact integer micro-units, so the ranking can't flip on a float
+    * boundary; top-k plans as TakeOrderedAndProject.
+    */
+  def dsirQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val w = graft.ops.Classify.dsirWeightTable(
+      docs, col("lang") === "en", "text", "dsir:", 1024)
+    graft.ops.Classify.dsirScore(
+        docs.filter(col("lang") =!= "en"), w,
+        "doc_id", "text", "dsir:", 1024, carry = Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(50)
+  }
+
+  /** Distributed Naive Bayes language classifier: train by counting on
+    * the 80% hash-stable train split (doc_id % 5 ≠ 0), score the held
+    * out 20%. Model = per-(label, bucket) micro-int likelihood deltas
+    * (≤ 5·1024 rows, broadcast) + per-label prior/default scalars;
+    * per-doc argmax is integer-exact with label-ascending ties. Output:
+    * held-out doc, true lang, predicted lang, hit flag.
+    */
+  def nbClassifierQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val test = docs.filter(col("doc_id") % 5 === 0)
+    val (model, labelStats) =
+      graft.ops.Classify.nbTrain(train, "lang", "text", "nb:", 1024)
+    graft.ops.Classify.nbPredict(
+        test, model, labelStats, "doc_id", "text", "nb:", 1024,
+        carry = Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("pred_label").as("pred_lang"),
+        (col("lang") === col("pred_label")).as("hit"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -177,6 +177,16 @@ object SparkEntry {
     "q_regexp_extract" -> (Queries.regexpExtractQ _),
     "q_mad" -> (Queries.madQ _),
     "q_zipf" -> (Queries.zipfQ _),
+    "q_dsir" -> (Queries.dsirQ _),
+    "q_nb_classifier" -> (Queries.nbClassifierQ _),
+    "q_semdedup" -> (Queries.semdedupQ _),
+    "q_export_shards" -> (Queries.exportShardsQ _),
+    "q_tpch2" -> (Queries.tpch2Q _),
+    "q_tpch4" -> (Queries.tpch4Q _),
+    "q_tpch9" -> (Queries.tpch9Q _),
+    "q_tpch11" -> (Queries.tpch11Q _),
+    "q_tpch16" -> (Queries.tpch16Q _),
+    "q_oov_rate" -> (Queries.oovRateQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -287,6 +297,43 @@ object SparkEntry {
     */
   private def normSql(v: String): String =
     s"list_transform($v, x -> x / sqrt(${dotSql(v, v)}))"
+
+  /** 3-iteration Lloyd chain over relation `e0` (vec_id, label, v):
+    * label-seeded centroids, per-iteration 6dp-rounded means, ends at
+    * the final assignment `af` — replays Similarity.kmeans(e, 3).
+    * Shared by q_kmeans and q_semdedup (whose e0 includes planted
+    * copies).
+    */
+  private lazy val kmeansCtes: String = {
+    def assign(cents: String, out: String): String =
+      s"""$out AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e0.vec_id, $cents.cell,
+         |      row_number() OVER (PARTITION BY e0.vec_id ORDER BY
+         |        (${dotSql("v", "v")} - 2.0 * ${dotSql("v", "cv")} + ${dotSql("cv", "cv")}), $cents.cell) AS rn
+         |    FROM e0 CROSS JOIN $cents)
+         |  WHERE rn = 1)""".stripMargin
+    def recompute(asg: String, out: String): String =
+      s"""${out}d AS (
+         |  SELECT cell, dim, round(avg(x), 6) AS m
+         |  FROM (SELECT a.cell, v, unnest(range(len(v))) AS dim
+         |        FROM e0 JOIN $asg a ON e0.vec_id = a.vec_id) t,
+         |       LATERAL (SELECT v[dim + 1] AS x) l
+         |  GROUP BY cell, dim),
+         |$out AS (SELECT cell, list(m ORDER BY dim) AS cv FROM ${out}d GROUP BY cell)""".stripMargin
+    s"""c0d AS (SELECT CAST(label AS BIGINT) AS cell, dim, round(avg(x), 6) AS m
+       |        FROM (SELECT label, v, unnest(range(len(v))) AS dim FROM e0) t,
+       |             LATERAL (SELECT v[dim + 1] AS x) l
+       |        GROUP BY cell, dim),
+       |c0 AS (SELECT cell, list(m ORDER BY dim) AS cv FROM c0d GROUP BY cell),
+       |${assign("c0", "a1")},
+       |${recompute("a1", "c1")},
+       |${assign("c1", "a2")},
+       |${recompute("a2", "c2")},
+       |${assign("c2", "a3")},
+       |${recompute("a3", "c3")},
+       |${assign("c3", "af")}""".stripMargin
+  }
 
   /** Shared CTE prefix replaying the multi-table LSH ANN pipeline
     * (Similarity.lshMultiTableCodes + exact-cosine rerank input):
@@ -1221,38 +1268,29 @@ object SparkEntry {
     // final assignment) — every stage is the same centroid-avg /
     // argmin-distance SQL q_ann_ivf already hash-matches; 6dp centroid
     // rounding each round keeps the two engines' double sums aligned.
-    "q_kmeans" -> {
-      def assign(cents: String, out: String): String =
-        s"""$out AS (
-           |  SELECT vec_id, cell FROM (
-           |    SELECT e0.vec_id, $cents.cell,
-           |      row_number() OVER (PARTITION BY e0.vec_id ORDER BY
-           |        (${dotSql("v", "v")} - 2.0 * ${dotSql("v", "cv")} + ${dotSql("cv", "cv")}), $cents.cell) AS rn
-           |    FROM e0 CROSS JOIN $cents)
-           |  WHERE rn = 1)""".stripMargin
-      def recompute(asg: String, out: String): String =
-        s"""${out}d AS (
-           |  SELECT cell, dim, round(avg(x), 6) AS m
-           |  FROM (SELECT a.cell, v, unnest(range(len(v))) AS dim
-           |        FROM e0 JOIN $asg a ON e0.vec_id = a.vec_id) t,
-           |       LATERAL (SELECT v[dim + 1] AS x) l
-           |  GROUP BY cell, dim),
-           |$out AS (SELECT cell, list(m ORDER BY dim) AS cv FROM ${out}d GROUP BY cell)""".stripMargin
+    "q_kmeans" ->
       s"""WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |c0d AS (SELECT CAST(label AS BIGINT) AS cell, dim, round(avg(x), 6) AS m
-         |        FROM (SELECT label, v, unnest(range(len(v))) AS dim FROM e0) t,
-         |             LATERAL (SELECT v[dim + 1] AS x) l
-         |        GROUP BY cell, dim),
-         |c0 AS (SELECT cell, list(m ORDER BY dim) AS cv FROM c0d GROUP BY cell),
-         |${assign("c0", "a1")},
-         |${recompute("a1", "c1")},
-         |${assign("c1", "a2")},
-         |${recompute("a2", "c2")},
-         |${assign("c2", "a3")},
-         |${recompute("a3", "c3")},
-         |${assign("c3", "af")}
-         |SELECT cell, count(*) AS n_vectors FROM af GROUP BY cell ORDER BY cell""".stripMargin
-    },
+         |$kmeansCtes
+         |SELECT cell, count(*) AS n_vectors FROM af GROUP BY cell ORDER BY cell""".stripMargin,
+
+    // SemDeDup replay: planted near-copies (embedNearDup's planting),
+    // the q_kmeans 3-iteration Lloyd chain as the quantizer, then
+    // same-cell cosine >= tau pairs drop their larger id.
+    "q_semdedup" ->
+      s"""WITH e0 AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000, label,
+         |    list_transform(range(len(v)), i -> CASE WHEN i = 0 THEN v[1] + 0.01 ELSE v[i+1] END)
+         |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |  WHERE vec_id % 5 = 0),
+         |$kmeansCtes,
+         |nrm AS (SELECT vec_id, ${normSql("v")} AS v FROM e0),
+         |bn AS (SELECT nrm.vec_id, v, cell FROM nrm JOIN af ON nrm.vec_id = af.vec_id)
+         |SELECT DISTINCT pa.cell AS cell, pb.vec_id AS vec_id
+         |FROM bn pa JOIN bn pb ON pa.cell = pb.cell AND pa.vec_id < pb.vec_id
+         |WHERE ${dotSql("pa.v", "pb.v")} >= 0.95
+         |ORDER BY vec_id""".stripMargin,
 
     "q_ann_ivf" ->
       s"""WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -2532,5 +2570,173 @@ object SparkEntry {
         |FROM lineitem WHERE l_partkey < 5
         |GROUP BY l_partkey
         |ORDER BY l_partkey""".stripMargin,
+
+    // Q2 family: correlated scalar MIN decorrelated; supply cost in
+    // exact integer cents so the min-equality can't float-straddle.
+    "q_tpch2" ->
+      """WITH sup AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |       JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |supply AS (
+        |  SELECT l_partkey, l_suppkey, s_name, s_acctbal, n_name,
+        |    min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_cents
+        |  FROM lineitem JOIN sup ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |mc AS (SELECT l_partkey, min(cost_cents) AS min_cents FROM supply GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost_cents
+        |FROM supply JOIN mc USING (l_partkey)
+        |     JOIN part ON l_partkey = p_partkey
+        |WHERE cost_cents = min_cents AND p_type = 'LARGE' AND p_size <= 10
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    // Q4 family: correlated EXISTS with a non-equi date residual.
+    "q_tpch4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // Q9 family: name-filtered part dim, profit as exact decimal sum
+    // (retailprice*qty/10 stands in for ps_supplycost).
+    "q_tpch9" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    - p_retailprice * l_quantity * 0.1 AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
+    // Q11 family: group value vs an exact-integer fraction of the
+    // uncorrelated global total (value_cents * 10000 > total_cents).
+    "q_tpch11" ->
+      """WITH supn AS (
+        |  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_12'),
+        |v AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS value_cents
+        |  FROM lineitem JOIN supn ON l_suppkey = s_suppkey
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents FROM v)
+        |SELECT l_partkey, value_cents
+        |FROM v CROSS JOIN t
+        |WHERE value_cents * 10000 > total_cents
+        |ORDER BY value_cents DESC, l_partkey""".stripMargin,
+
+    // Q16 family: DISTINCT fact pairs (the partsupp stand-in), NOT-IN
+    // complaint suppliers as an anti join, distinct-count aggregate.
+    "q_tpch16" ->
+      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM pairs JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 9, 17, 25, 33, 41, 49, 50)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    // Shard export: same salted hash mod 16, BPE-ish token counts.
+    "q_export_shards" ->
+      s"""SELECT ${hSql("'shard:' || CAST(doc_id AS VARCHAR)")} % 16 AS shard,
+         |  count(*) AS n_docs,
+         |  CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+         |FROM documents
+         |GROUP BY shard
+         |ORDER BY shard""".stripMargin,
+
+    // OOV rate: top-200 vocab slice, left-join coverage, exact-ppm rates.
+    "q_oov_rate" ->
+      s"""WITH toks AS (
+         |  SELECT lang, tok FROM (
+         |    SELECT lang, unnest(${wordsSql("lower(text)")}) AS tok FROM documents) u
+         |  WHERE length(tok) >= 2),
+         |tf AS (SELECT lang, tok, count(*) AS n FROM toks GROUP BY lang, tok),
+         |vc AS (SELECT tok, CAST(sum(n) AS BIGINT) AS cnt FROM tf GROUP BY tok),
+         |vocab AS (SELECT tok FROM vc ORDER BY cnt DESC, tok LIMIT 200)
+         |SELECT lang, CAST(sum(n) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN v.tok IS NULL THEN n ELSE 0 END) AS BIGINT) AS n_oov,
+         |  CAST(CAST(sum(CASE WHEN v.tok IS NULL THEN n ELSE 0 END) AS BIGINT) * 1000000
+         |    // CAST(sum(n) AS BIGINT) AS BIGINT) AS oov_ppm
+         |FROM tf LEFT JOIN vocab v USING (tok)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // DSIR replay: same hashed buckets (salted md5), add-1 target/raw
+    // unigram models, ONE ln per bucket micro6-rounded, then the doc
+    // score is an exact integer Σ n·w_micro — ranking can't float-flip.
+    "q_dsir" ->
+      s"""WITH tb AS (
+         |  SELECT doc_id, lang, ${hSql("'dsir:' || tok")} % 1024 AS bucket FROM (
+         |    SELECT doc_id, lang, unnest(${wordsSql("lower(text)")}) AS tok FROM documents) u
+         |  WHERE length(tok) >= 2),
+         |pb AS (SELECT bucket,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         |    CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cr
+         |  FROM tb GROUP BY bucket),
+         |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr FROM pb),
+         |w AS (SELECT bucket, CAST(floor(ln(
+         |    (CAST(ct + 1 AS DOUBLE) * CAST(nr + 1024 AS DOUBLE)) /
+         |    (CAST(cr + 1 AS DOUBLE) * CAST(nt + 1024 AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) AS w_micro
+         |  FROM pb CROSS JOIN tot),
+         |dc AS (SELECT doc_id, lang, bucket, count(*) AS n
+         |  FROM tb WHERE lang <> 'en' GROUP BY doc_id, lang, bucket)
+         |SELECT doc_id, lang, CAST(sum(n) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n * w_micro) AS BIGINT) AS score_micro
+         |FROM dc JOIN w USING (bucket)
+         |GROUP BY doc_id, lang
+         |ORDER BY score_micro DESC, doc_id
+         |LIMIT 50""".stripMargin,
+
+    // NB replay: per-(label,bucket) micro-int likelihood deltas over the
+    // per-label unseen default, integer-exact scores, argmax with label
+    // ascending ties — identical to Classify.nbTrain/nbPredict.
+    "q_nb_classifier" ->
+      s"""WITH tr AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 <> 0),
+         |te AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0),
+         |trb AS (
+         |  SELECT lang AS label, ${hSql("'nb:' || tok")} % 1024 AS bucket FROM (
+         |    SELECT lang, unnest(${wordsSql("lower(text)")}) AS tok FROM tr) u
+         |  WHERE length(tok) >= 2),
+         |c AS (SELECT label, bucket, count(*) AS cnt FROM trb GROUP BY label, bucket),
+         |nl AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS n_l FROM c GROUP BY label),
+         |dl AS (SELECT lang AS label, count(*) AS d_l FROM tr GROUP BY lang),
+         |dt AS (SELECT CAST(sum(d_l) AS BIGINT) AS d FROM dl),
+         |ls AS (SELECT label,
+         |    CAST(floor(ln(CAST(d_l AS DOUBLE) / CAST(d AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS prior_micro,
+         |    CAST(floor(ln(1.0 / CAST(n_l + 1024 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS default_micro
+         |  FROM dl CROSS JOIN dt JOIN nl USING (label)),
+         |m AS (SELECT c.label, c.bucket,
+         |    CAST(floor(ln(CAST(cnt + 1 AS DOUBLE) / CAST(n_l + 1024 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+         |      - default_micro AS delta_micro
+         |  FROM c JOIN nl USING (label) JOIN ls USING (label)),
+         |teb AS (
+         |  SELECT doc_id, lang, ${hSql("'nb:' || tok")} % 1024 AS bucket FROM (
+         |    SELECT doc_id, lang, unnest(${wordsSql("lower(text)")}) AS tok FROM te) u
+         |  WHERE length(tok) >= 2),
+         |dc AS (SELECT doc_id, lang, bucket, count(*) AS n FROM teb GROUP BY doc_id, lang, bucket),
+         |ntok AS (SELECT doc_id, lang, CAST(sum(n) AS BIGINT) AS n_tokens FROM dc GROUP BY doc_id, lang),
+         |mt AS (SELECT doc_id, label, CAST(sum(n * delta_micro) AS BIGINT) AS m_sum
+         |  FROM dc JOIN m USING (bucket) GROUP BY doc_id, label),
+         |sc AS (SELECT doc_id, ntok.lang, ls.label,
+         |    prior_micro + n_tokens * default_micro + coalesce(m_sum, 0) AS score_micro
+         |  FROM ntok CROSS JOIN ls LEFT JOIN mt USING (doc_id, label)),
+         |pred AS (SELECT doc_id, lang, label AS pred_lang FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, label) AS rn
+         |    FROM sc) WHERE rn = 1)
+         |SELECT doc_id, lang, pred_lang, (lang = pred_lang) AS hit
+         |FROM pred ORDER BY doc_id""".stripMargin,
   )
 }

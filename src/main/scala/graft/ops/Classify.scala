@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-based data-selection operators over hashed bag-of-words
+  * features: DSIR-style importance weighting (select raw-pool documents
+  * that look like a target corpus) and a multinomial Naive Bayes
+  * classifier trained by counting — the two "cheap model" stages a
+  * training-data pipeline runs before any GPU touches the data.
+  *
+  * Both are built on one featurizer: tokens (the corpus tokenizer —
+  * lower, trim, whitespace split, length ≥ 2, the same contract as the
+  * vocab/TF-IDF queries) hashed into a FIXED number of buckets via the
+  * portable md5 hash. The bucket count bounds the model: the weight /
+  * likelihood tables are `O(buckets·labels)` rows regardless of corpus
+  * size, so the model always BROADCASTS and scoring is a narrow
+  * broadcast equi-join — no vocab-sized shuffle ever happens on the
+  * scoring path. That is the property that holds at 100 TB: training is
+  * one map-side-combined count pass; scoring is one pass with a tiny
+  * model at every executor (the hashing-trick / DSIR paper shape).
+  *
+  * Determinism discipline: every log-probability is computed from EXACT
+  * integer counts (IEEE double division/multiply of exact ints), rounded
+  * half-up to 6 decimals, and materialized as integer MICRO-units
+  * (`micro6`). Document scores are then integer sums of
+  * `count × micro-weight` — order-independent and bit-identical across
+  * engines, so rankings/argmaxes can never flip on a float boundary
+  * (only the per-value `ln` itself relies on the cross-engine 6dp-round
+  * discipline established for kmeans/pagerank).
+  */
+object Classify {
+
+  /** Corpus-tokenizer tokens of a text column (vocabQ contract). */
+  private[graft] def tokensOf(text: Column): Column =
+    split(trim(lower(text)), "\\s+")
+
+  /** Hashed feature bucket of a token (portable 48-bit md5 hash, salted
+    * so feature hashing never aliases another hash use of the tokens).
+    */
+  def featureBucket(token: Column, salt: String, buckets: Int): Column =
+    TextOps.portableHash64(concat(lit(salt), token)) % buckets
+
+  /** Half-up 6-decimal rounding to exact integer micro-units. */
+  def micro6(x: Column): Column =
+    floor(x * 1000000.0 + lit(0.5)).cast("long")
+
+  /** Hashed bag-of-words: one row per (id..., bucket) with its token
+    * count. One explode + one map-side-combined aggregate; `carry`
+    * columns (functionally dependent on the id) ride the group-by.
+    */
+  def tokenBucketCounts(docs: DataFrame, idCol: String, textCol: String,
+      salt: String, buckets: Int, carry: Seq[String] = Nil): DataFrame =
+    docs.select(col(idCol) +: carry.map(col) :+
+        explode(tokensOf(col(textCol))).as("tok"): _*)
+      .filter(length(col("tok")) >= 2)
+      .select(col(idCol) +: carry.map(col) :+
+        featureBucket(col("tok"), salt, buckets).as("bucket"): _*)
+      .groupBy(col(idCol) +: carry.map(col) :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("n"))
+
+  // ------------------------------------------------------------- DSIR
+
+  /** DSIR-style per-bucket importance weights: for every hashed n-gram
+    * feature, `w(b) = ln( p_target(b) / p_raw(b) )` under add-1
+    * smoothed unigram bucket models, emitted as integer micro-units.
+    * One count pass over the corpus (target and raw tallied in the same
+    * aggregate), then the weight arithmetic runs on the ≤`buckets`-row
+    * table with the two totals broadcast — model-sized work.
+    */
+  def dsirWeightTable(docs: DataFrame, isTarget: Column, textCol: String,
+      salt: String, buckets: Int): DataFrame = {
+    val toks = docs
+      .select(isTarget.as("is_t"), explode(tokensOf(col(textCol))).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .select(col("is_t"), featureBucket(col("tok"), salt, buckets).as("bucket"))
+    val perBucket = toks.groupBy(col("bucket")).agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+      sum(when(col("is_t"), 0L).otherwise(1L)).as("cr"))
+    val totals = perBucket.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    // Ratio assembled in doubles (exact-int inputs, IEEE ops — identical
+    // cross-engine); ONE ln per bucket, then micro6.
+    perBucket.crossJoin(broadcast(totals))
+      .select(col("bucket"), micro6(log(
+        ((col("ct") + 1).cast("double") * (col("nr") + buckets).cast("double")) /
+          ((col("cr") + 1).cast("double") * (col("nt") + buckets).cast("double"))))
+        .as("w_micro"))
+  }
+
+  /** Score a candidate pool against a DSIR weight table: per-doc
+    * `Σ count(b) · w_micro(b)` — an exact integer. The weight table
+    * broadcasts; the only shuffles are the two doc-keyed aggregates.
+    */
+  def dsirScore(pool: DataFrame, weights: DataFrame, idCol: String,
+      textCol: String, salt: String, buckets: Int,
+      carry: Seq[String] = Nil): DataFrame =
+    tokenBucketCounts(pool, idCol, textCol, salt, buckets, carry)
+      .join(broadcast(weights), "bucket")
+      .groupBy(col(idCol) +: carry.map(col): _*)
+      .agg(sum(col("n")).as("n_tokens"),
+        sum(col("n") * col("w_micro")).as("score_micro"))
+
+  // ------------------------------------------------------ Naive Bayes
+
+  /** Multinomial NB model trained by counting: returns
+    * `(model, labelStats)` where `model` holds the per-(label, bucket)
+    * likelihood DELTA over that label's unseen-bucket default (integer
+    * micro-units; ≤ labels·buckets rows) and `labelStats` holds one row
+    * per label: `prior_micro = micro(ln D_l/D)` and
+    * `default_micro = micro(ln 1/(N_l + buckets))`. Splitting the
+    * default out keeps scoring exact for buckets never seen with a
+    * label: `score(d,l) = prior_l + n_tokens(d)·default_l +
+    * Σ_b n(d,b)·delta(l,b)` — the unseen-bucket mass is carried by the
+    * closed-form second term instead of a dense labels×buckets join.
+    */
+  def nbTrain(train: DataFrame, labelCol: String, textCol: String,
+      salt: String, buckets: Int): (DataFrame, DataFrame) = {
+    val toks = train
+      .select(col(labelCol).as("label"), explode(tokensOf(col(textCol))).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .select(col("label"), featureBucket(col("tok"), salt, buckets).as("bucket"))
+    val c = toks.groupBy(col("label"), col("bucket")).agg(count(lit(1)).as("c"))
+    val nl = c.groupBy(col("label")).agg(sum(col("c")).as("n_l"))
+    val dl = train.groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("d_l"))
+    val dTot = dl.agg(sum(col("d_l")).as("d"))
+    val labelStats = dl.crossJoin(broadcast(dTot))
+      .join(broadcast(nl), "label")
+      .select(col("label"),
+        micro6(log(col("d_l").cast("double") / col("d").cast("double")))
+          .as("prior_micro"),
+        micro6(log(lit(1.0) / (col("n_l") + buckets).cast("double")))
+          .as("default_micro"))
+    val model = c.join(broadcast(labelStats.select(col("label"), col("default_micro"))
+        .join(broadcast(nl), "label")), "label")
+      .select(col("label"), col("bucket"),
+        (micro6(log((col("c") + 1).cast("double") / (col("n_l") + buckets).cast("double")))
+          - col("default_micro")).as("delta_micro"))
+    (model, labelStats)
+  }
+
+  /** Classify documents with a trained NB model: integer-exact argmax
+    * of `prior + n_tokens·default + Σ n·delta` per label, ties broken
+    * by label ascending (min-struct argmax — one hash aggregate, no
+    * per-doc sort window). Model and label stats broadcast.
+    */
+  def nbPredict(docs: DataFrame, model: DataFrame, labelStats: DataFrame,
+      idCol: String, textCol: String, salt: String, buckets: Int,
+      carry: Seq[String] = Nil): DataFrame = {
+    val tb = tokenBucketCounts(docs, idCol, textCol, salt, buckets, carry)
+    val ntok = tb.groupBy(col(idCol) +: carry.map(col): _*)
+      .agg(sum(col("n")).as("n_tokens"))
+    val matched = tb.join(broadcast(model), "bucket")
+      .groupBy(col(idCol), col("label"))
+      .agg(sum(col("n") * col("delta_micro")).as("m_sum"))
+    ntok.crossJoin(broadcast(labelStats))
+      .join(matched, Seq(idCol, "label"), "left")
+      .select(col(idCol) +: carry.map(col) :+ col("label") :+
+        (col("prior_micro") + col("n_tokens") * col("default_micro") +
+          coalesce(col("m_sum"), lit(0L))).as("score_micro"): _*)
+      .groupBy(col(idCol) +: carry.map(col): _*)
+      .agg(min(struct((-col("score_micro")).as("neg"), col("label"))).as("best"))
+      .select(col(idCol) +: carry.map(col) :+
+        col("best.label").as("pred_label"): _*)
+  }
+}

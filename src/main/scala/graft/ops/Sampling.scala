@@ -157,4 +157,19 @@ object Sampling {
       .filter(col("_rk") <= cap)
       .drop("_rk")
   }
+
+  /** Deterministic training-shard assignment: `shard = h(salt‖id) % n`
+    * — the export-layout step of a training pipeline. A narrow
+    * projection (no shuffle, no RNG): a doc's shard is a pure function
+    * of its id, so re-runs, retries, and late fixups land in the same
+    * shard, and the expected shard sizes are uniform regardless of how
+    * the input was partitioned. Write with `.partitionBy("shard")` for
+    * one directory per shard; the global hash-shuffle a naive
+    * `repartition(n)` would pay never happens.
+    */
+  def shardAssign(df: DataFrame, idCol: String, shards: Int,
+      salt: String = "shard:"): DataFrame =
+    df.withColumn("shard", pmod(
+      TextOps.portableHash64(concat(lit(salt), col(idCol).cast("string"))),
+      lit(shards.toLong)))
 }

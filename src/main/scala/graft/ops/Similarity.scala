@@ -217,6 +217,27 @@ object Similarity {
           dot(col("cv"), col("cv"))).as("s"))
       .collect()(0).getDouble(0)
 
+  /** SemDeDup-style semantic deduplication: cluster the embedding space
+    * with k-means (the coarse quantizer — data-derived cells, unlike
+    * [[blockedNearDup]]'s given blocks), then drop the larger id of any
+    * same-cell pair whose cosine ≥ `tau`. Returns the DROPPED set
+    * (vec_id, cell) — duplicate-sized, the anti-join input for the keep
+    * side. Scale shape: Lloyd iterations are broadcast-model passes;
+    * the pair scoring is Σ|cell|² (never all-pairs); the normalized +
+    * assigned working set is persisted once so the self-join's two
+    * branches don't re-run the assign pass.
+    */
+  def semanticDedup(e: DataFrame, iterations: Int, tau: Double): DataFrame = {
+    val (assigned, _) = kmeans(e, iterations)
+    val n = normalized(e).join(assigned, "vec_id")
+      .select(col("cell"), col("vec_id"), col("embedding")).persist()
+    val a = n.select(col("cell"), col("vec_id").as("vec_a"), col("embedding").as("va"))
+    val b = n.select(col("cell"), col("vec_id").as("vec_b"), col("embedding").as("vb"))
+    a.join(b, Seq("cell")).filter(col("vec_a") < col("vec_b"))
+      .filter(dot(col("va"), col("vb")) >= tau)
+      .select(col("cell"), col("vec_b").as("vec_id")).distinct()
+  }
+
   /** Blocked (IVF-style) near-duplicate detection: score only pairs
     * sharing a coarse cell (here the `label` column stands in for a
     * quantizer cell assignment). Replaces O(n²) with Σ|cell|². Inputs

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Classify
+
+/** Contracts for the model-based selection ops (DSIR importance
+  * weighting + Naive Bayes): hand-built corpora with known answers,
+  * determinism under repartition, and the meaningfulness floor on the
+  * synthetic testdata (NB beats chance on the held-out split).
+  */
+class ClassifySpec extends AnyFunSuite {
+  private lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  private val B = 1024
+
+  test("dsir: a pool doc made of target vocabulary outscores a disjoint-vocab doc") {
+    val docs = Seq(
+      // target corpus: "alpha beta gamma" language
+      (1L, "alpha beta gamma alpha beta", true),
+      (2L, "beta gamma alpha gamma", true),
+      // pool: one target-like doc, one alien doc
+      (10L, "alpha beta gamma beta", false),
+      (11L, "zulu yankee xray whiskey", false)
+    ).toDF("doc_id", "text", "is_t")
+    val w = Classify.dsirWeightTable(docs, col("is_t"), "text", "t:", B)
+    val scored = Classify.dsirScore(
+      docs.filter(!col("is_t")), w, "doc_id", "text", "t:", B)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(scored(10L) > scored(11L),
+      s"target-like doc must outscore alien doc: $scored")
+    // alien tokens never occur in the target: every one of its features
+    // has ct=0 => negative log-ratio => strictly negative score
+    assert(scored(11L) < 0L)
+    assert(scored(10L) > 0L)
+  }
+
+  test("dsir: scores are exact integers, invariant under repartition") {
+    val docs = GraftSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val w = Classify.dsirWeightTable(docs, col("lang") === "en", "text", "dsir:", B)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Classify.dsirScore(d.filter(col("lang") =!= "en"), w, "doc_id", "text", "dsir:", B)
+        .orderBy("doc_id").collect().toSeq
+    assert(run(docs) == run(docs.repartition(13)))
+  }
+
+  test("nb: learns a two-label toy language and tie-breaks label-ascending") {
+    val train = Seq(
+      (1L, "cat", "cat cat dog cat"),
+      (2L, "cat", "cat whiskers cat"),
+      (3L, "bird", "tweet tweet wing"),
+      (4L, "bird", "wing tweet feather")
+    ).toDF("doc_id", "label", "text")
+    val (model, ls) = Classify.nbTrain(train, "label", "text", "t:", B)
+    val test = Seq(
+      (10L, "cat cat whiskers"),   // clearly cat
+      (11L, "tweet wing feather"), // clearly bird
+      (12L, "neverseen tokens")    // all-unseen: ties on likelihood, equal priors -> label asc
+    ).toDF("doc_id", "text")
+    val pred = Classify.nbPredict(test, model, ls, "doc_id", "text", "t:", B)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred(10L) == "cat")
+    assert(pred(11L) == "bird")
+    // both labels have 2 docs (equal prior) and 2 tokens of all-unseen
+    // text scores n_tokens*default_l; n_l differs (7 vs 6 tokens) so
+    // bird's default is LESS negative -> bird wins (not a tie here) —
+    // assert the exact integer argmax instead of hand-waving:
+    assert(pred(12L) == "bird")
+  }
+
+  test("nb: unseen-label-bucket mass is carried by the default term (score parity with dense compute)") {
+    // one doc whose tokens are partly unseen under one label: the
+    // factored score (prior + n*default + matched deltas) must equal
+    // the dense add-1 NB log-likelihood, micro-rounded per value.
+    val train = Seq(
+      (1L, "a1", "foo foo bar"),
+      (2L, "a2", "baz qux qux quux")
+    ).toDF("doc_id", "label", "text")
+    val (model, ls) = Classify.nbTrain(train, "label", "text", "t:", B)
+    val test = Seq((9L, "foo baz nope")).toDF("doc_id", "text")
+    val pred = Classify.nbPredict(test, model, ls, "doc_id", "text", "t:", B)
+      .collect().head.getString(1)
+    // dense replay: label a1 has tokens {foo:2, bar:1} N=3; a2 {baz:1,qux:2,quux:1} N=4
+    def micro(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    def score(counts: Map[String, Long], n: Long): Long =
+      micro(math.log(1.0 / 2.0)) +
+        Seq("foo", "baz", "nope").map(t =>
+          micro(math.log((counts.getOrElse(t, 0L) + 1).toDouble / (n + B))) -
+            micro(math.log(1.0 / (n + B)))).sum +
+        3L * micro(math.log(1.0 / (n + B)))
+    val s1 = score(Map("foo" -> 2L, "bar" -> 1L), 3L)
+    val s2 = score(Map("baz" -> 1L, "qux" -> 2L, "quux" -> 1L), 4L)
+    val expected = if (s1 >= s2) "a1" else "a2"
+    assert(pred == expected, s"dense replay says $expected (s1=$s1 s2=$s2), got $pred")
+  }
+
+  test("nb on testdata: beats chance on the held-out split (5 labels)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (model, ls) = Classify.nbTrain(
+      docs.filter(col("doc_id") % 5 =!= 0), "lang", "text", "nb:", B)
+    val pred = Classify.nbPredict(
+      docs.filter(col("doc_id") % 5 === 0), model, ls, "doc_id", "text", "nb:", B,
+      carry = Seq("lang"))
+    val (hits, n) = {
+      val rows = pred.select((col("lang") === col("pred_label")).cast("int")).collect()
+      (rows.map(_.getInt(0)).sum, rows.length)
+    }
+    assert(n > 0 && hits.toDouble / n >= 0.3,
+      s"NB should beat 5-way chance (0.2) with margin: $hits/$n")
+  }
+}

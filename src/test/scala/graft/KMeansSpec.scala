@@ -26,4 +26,27 @@ class KMeansSpec extends AnyFunSuite {
     // every vector assigned exactly once
     assert(a2.count() == e.count())
   }
+
+  test("semanticDedup: planted near-copies drop, originals survive") {
+    import org.apache.spark.sql.functions._
+    val e = Similarity.asDouble(Tables.embeddings(spark, sf))
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val planted = e.union(
+      e.filter(col("vec_id") % 5 === 0).select(
+        (col("vec_id") + 10000).as("vec_id"), col("label"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x + 0.01).otherwise(x)).as("embedding")))
+    val dropped = Similarity.semanticDedup(planted, 3, 0.95)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val plantedIds = e.filter(col("vec_id") % 5 === 0)
+      .collect().map(_.getLong(0) + 10000).toSet
+    // every planted copy shares a cell with its ~identical original and
+    // carries the larger id -> must be dropped
+    assert(plantedIds.subsetOf(dropped),
+      s"missing: ${plantedIds -- dropped}")
+    // no original may drop on account of its planted copy (copy has the
+    // larger id); originals can only drop against other organic vectors
+    // at cos >= 0.95, which the near-uniform synthetic space doesn't have
+    assert(dropped == plantedIds, s"unexpected drops: ${dropped -- plantedIds}")
+  }
 }

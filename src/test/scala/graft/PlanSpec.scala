@@ -532,4 +532,70 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("tpch2: correlated MIN decorrelates — supplier dims broadcast, top-100 TakeOrdered") {
+    val plan = formatted(Queries.tpch2Q(spark, sf))
+    // EUROPE suppliers + part filter + per-part min table all broadcast
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("LARGE"), plan) // part filter reaches its scan
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("tpch4: correlated EXISTS plans as one left-semi with the date residual") {
+    val plan = formatted(Queries.tpch4Q(spark, sf))
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("Join condition:"), plan) // non-equi residual kept in the join
+    // the order-date window reaches the orders scan
+    assert(plan.contains("IsNotNull(o_orderdate)"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("tpch9: every dim broadcasts; only the orders join may shuffle; name LIKE pushed") {
+    val plan = formatted(Queries.tpch9Q(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan)
+    val smj = "SortMergeJoin".r.findAllIn(plan).size
+    val shj = "ShuffledHashJoin".r.findAllIn(plan).size
+    assert(smj + shj <= 1, s"expected <=1 shuffled join, got smj=$smj shj=$shj\n$plan")
+    assert(plan.contains("StringContains(p_name,red)"), plan)
+  }
+
+  test("tpch11: global total is a 1-row broadcast; threshold compares exact integers") {
+    val plan = formatted(Queries.tpch11Q(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan) // the 1-row scalar
+    assert(plan.contains("BroadcastHashJoin"), plan) // nation-supplier semi dim
+    // no float in the predicate: the comparison is on integer cents
+    assert(plan.contains("10000"), plan)
+  }
+
+  test("tpch16: distinct-pair shuffle + broadcast part dim + anti join on complaints") {
+    val plan = formatted(Queries.tpch16Q(spark, sf))
+    assert(plan.contains("LeftAnti"), plan)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("dsir: the weight model broadcasts; ranking is TakeOrderedAndProject") {
+    val plan = formatted(Queries.dsirQ(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan) // ≤1024-row model join
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("nb: model and label stats broadcast — scoring never shuffles on the model key") {
+    val plan = formatted(Queries.nbClassifierQ(spark, sf))
+    // model join + labelStats nested loop (5 rows) both broadcast
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // argmax is one hash aggregate (min-struct), not a rank window
+    assert(!plan.contains("RunningWindowFunction"), plan)
+  }
+
+  test("export shards: assignment is a narrow projection — one exchange total (the agg)") {
+    val plan = formatted(Queries.exportShardsQ(spark, sf))
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    // formatted explain prints each node twice (tree + detail)
+    assert(exchanges <= 4, s"shard stats should shuffle once: $exchanges\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"), plan)
+  }
 }

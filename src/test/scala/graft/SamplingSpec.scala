@@ -168,6 +168,30 @@ class SamplingSpec extends AnyFunSuite {
       "doc_id-hash split never leaked on this data — test data too weak")
   }
 
+  test("shardAssign: deterministic, partition-invariant, and writable as one dir per shard") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = graft.ops.Sampling.shardAssign(docs, "doc_id", 16)
+      .select("doc_id", "shard").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = graft.ops.Sampling.shardAssign(docs.repartition(7), "doc_id", 16)
+      .select("doc_id", "shard").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, "shard of a doc must be a pure function of its id")
+    assert(a.values.toSet.subsetOf((0L until 16L).toSet))
+    // balance: hash sharding keeps every shard within a loose Bernoulli
+    // envelope of n/16 (no empty and no runaway shard)
+    val sizes = a.values.groupBy(identity).map(_._2.size)
+    assert(sizes.size == 16 && sizes.min > 0, s"empty shard: $sizes")
+    // the export layout: partitionBy writes one directory per shard
+    val out = java.nio.file.Files.createTempDirectory("shards").toString
+    graft.ops.Sampling.shardAssign(docs, "doc_id", 16)
+      .write.mode("overwrite").partitionBy("shard").parquet(out)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard=")).sorted
+    assert(dirs.length == 16, dirs.mkString(","))
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count())
+  }
+
   test("bloom dedup: every exact copy resolves, suffixed docs come out clean") {
     val out = Queries.dedupBloom(spark, "/root/testdata/sf0.001").collect()
     val (copies, novel) = out.partition(_.getLong(0) < 60000)
