@@ -9,10 +9,13 @@ import org.apache.spark.sql.functions._
   * S1-S3, citing reference `LogAnalysis.java:54-70,138-152`); the batch
   * analog for this harness is parquet. All reads go through here so that:
   *
-  *   - `events.ts` (parquet INT64 TIMESTAMP(NANOS)) is normalized: Spark
-  *     4.x refuses nano timestamps unless
-  *     `spark.sql.legacy.parquet.nanosAsLong=true`, so we set that conf at
-  *     runtime and rebuild a micro-precision timestamp from the raw longs.
+  *   - `events.ts` is normalized to a session-TZ (UTC) micro-precision
+  *     TIMESTAMP whatever the parquet physical type: INT64
+  *     TIMESTAMP(NANOS) (early driver drops; Spark 4.x refuses nano
+  *     timestamps unless `spark.sql.legacy.parquet.nanosAsLong=true`, so
+  *     we set that conf and rebuild from the raw longs) or timestamp[us]
+  *     without UTC adjustment (later drops; arrives as TIMESTAMP_NTZ and
+  *     is cast — value-preserving under the pinned UTC session).
   *   - Column pruning / predicate pushdown stay effective: we return the
   *     raw scan and let Catalyst prune (no eager .cache, no select(*) with
   *     extra derived columns except the ts fix).
@@ -44,11 +47,17 @@ object Tables {
     SessionMemo(spark, ("table", sfDir, name)) {
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
       if (name == "events")
-        // ts arrives as LongType (nanos since epoch) under nanosAsLong;
-        // truncate to micros with INTEGER division (`div`). Column./ is
-        // floating-point: ~1.7e18 exceeds double's 53-bit mantissa, so
-        // (ts / 1000).cast("long") lands 1µs low on ~1.5% of values.
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        df.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            // nanos since epoch under nanosAsLong; truncate to micros
+            // with INTEGER division (`div`). Column./ is floating-point:
+            // ~1.7e18 exceeds double's 53-bit mantissa, so
+            // (ts / 1000).cast("long") lands 1µs low on ~1.5% of values.
+            df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            df.withColumn("ts", col("ts").cast("timestamp"))
+          case _ => df
+        }
       else df
     }
   }
