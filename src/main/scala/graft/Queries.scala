@@ -133,6 +133,28 @@ object Queries {
       .agg(count(lit(1)).as("line_count"), round(sum(col("l_extendedprice")), 2).as("total_price"))
       .orderBy(col("o_orderpriority"))
 
+  /** Bloom-pruned big-big join (manual runtime filter): lineitem ⋈ a
+    * selective orders slice (urgent + high-value, ~5% of orders). The
+    * Bloom sketch of the slice's orderkeys broadcasts and prunes the
+    * lineitem scan BEFORE its shuffle — the deterministic form of
+    * Spark's InjectRuntimeFilter for when plan-time statistics can't
+    * see the build side's selectivity. Output is row-identical to the
+    * plain join (false positives die in the exact join), so the oracle
+    * is the plain SQL join.
+    */
+  def bloomJoinQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val sel = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 400000.0)
+    graft.ops.RuntimeFilter.bloomPrunedJoin(
+        Tables.lineitem(spark, sfDir), sel,
+        "l_orderkey", "o_orderkey", expectedBuildKeys = 4096)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        decimalSum2(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Left-semi join (EXISTS): customers having at least one open order. */
   def semiJoin(spark: SparkSession, sfDir: String): DataFrame =
     Tables.customer(spark, sfDir)
@@ -3343,6 +3365,26 @@ object Queries {
   }
 
   // ------------------------------------------------- model-based selection
+
+  /** CCNet-style perplexity filtering with a Stupid-Backoff bigram LM:
+    * train a counting LM on the clean target slice (English docs),
+    * score EVERY document's bigram stream against it, keep documents
+    * whose exact-integer score clears the per-bigram threshold. The
+    * model is vocabulary-sized, so scoring is a hashed-key shuffle
+    * equi-join (the shape that survives a web-scale bigram table);
+    * in-domain docs score far above out-of-domain ones, which mostly
+    * take the `ln(0.4)+unigram` or unseen-default backoff arm.
+    */
+  def lmScoreQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val (uni, bi, totals) =
+      graft.ops.LanguageModel.train(docs.filter(col("lang") === "en"), "text")
+    graft.ops.LanguageModel.score(
+        docs, uni, bi, totals, "doc_id", "text", carry = Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        col("score_micro"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
 
   /** DSIR-style data selection: English docs are the "target corpus",
     * everything else is the raw pool; each pool doc is scored by the

@@ -187,6 +187,8 @@ object SparkEntry {
     "q_tpch11" -> (Queries.tpch11Q _),
     "q_tpch16" -> (Queries.tpch16Q _),
     "q_oov_rate" -> (Queries.oovRateQ _),
+    "q_lm_score" -> (Queries.lmScoreQ _),
+    "q_bloom_join" -> (Queries.bloomJoinQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -1042,6 +1044,16 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // Bloom prune is semantically transparent (fp-only + exact join),
+    // so the oracle is the PLAIN join over the same selective slice.
+    "q_bloom_join" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 400000
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q_semi_join" ->
       """SELECT c_mktsegment, count(*) AS n_customers
@@ -2738,5 +2750,47 @@ object SparkEntry {
          |    FROM sc) WHERE rn = 1)
          |SELECT doc_id, lang, pred_lang, (lang = pred_lang) AS hit
          |FROM pred ORDER BY doc_id""".stripMargin,
+
+    // Stupid-Backoff LM replay: hashed-token unigram/bigram count
+    // models off the en slice (one micro6'd ln per MODEL row), then
+    // every doc's bigram stream scored seen-bigram / ln(0.4)+unigram /
+    // unseen-default, summed as exact integers. Docs with < 2 tokens
+    // have no bigram positions and are structurally absent (the
+    // q_repetition convention).
+    "q_lm_score" ->
+      s"""WITH ttoks AS (
+         |  SELECT doc_id, pos, ${hSql("'lm:' || ws[pos+1]")} AS h FROM (
+         |    SELECT doc_id, ${wordsSql("lower(text)")} AS ws FROM documents WHERE lang = 'en') s,
+         |    LATERAL (SELECT unnest(range(len(ws))) AS pos) p),
+         |tu AS (SELECT h, count(*) AS c1 FROM ttoks GROUP BY h),
+         |tot0 AS (SELECT CAST(sum(c1) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v FROM tu),
+         |tot AS (SELECT n, v,
+         |    CAST(floor(ln(1.0 / CAST(n + v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS s_def
+         |  FROM tot0),
+         |uni AS (SELECT h,
+         |    CAST(floor(ln(CAST(c1 + 1 AS DOUBLE) / CAST(n + v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS s_uni
+         |  FROM tu CROSS JOIN tot),
+         |tp AS (SELECT h AS h1, lead(h, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS h2 FROM ttoks),
+         |bc AS (SELECT h1, h2, count(*) AS c2 FROM tp WHERE h2 IS NOT NULL GROUP BY h1, h2),
+         |bi AS (SELECT h1, h2,
+         |    CAST(floor(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS s_bi
+         |  FROM bc JOIN tu ON bc.h1 = tu.h),
+         |stoks AS (
+         |  SELECT doc_id, lang, pos, ${hSql("'lm:' || ws[pos+1]")} AS h FROM (
+         |    SELECT doc_id, lang, ${wordsSql("lower(text)")} AS ws FROM documents) s,
+         |    LATERAL (SELECT unnest(range(len(ws))) AS pos) p),
+         |sp AS (SELECT doc_id, lang, h AS h1,
+         |    lead(h, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS h2 FROM stoks),
+         |sc AS (SELECT doc_id, lang,
+         |    coalesce(s_bi,
+         |      CAST(floor(ln(0.4) * 1000000.0 + 0.5) AS BIGINT)
+         |        + coalesce(s_uni, s_def)) AS s
+         |  FROM sp CROSS JOIN tot LEFT JOIN bi USING (h1, h2)
+         |  LEFT JOIN uni ON sp.h2 = uni.h
+         |  WHERE sp.h2 IS NOT NULL)
+         |SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(s) AS BIGINT) AS score_micro,
+         |  (CAST(sum(s) AS BIGINT) >= ${graft.ops.LanguageModel.KeepPerBigramMicro} * CAST(count(*) AS BIGINT)) AS keep
+         |FROM sc GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
   )
 }

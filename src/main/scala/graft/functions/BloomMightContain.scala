@@ -65,3 +65,35 @@ object BloomMightContainString {
   def contains(bf: BloomFilter, s: UTF8String): Boolean =
     bf.mightContainBinary(s.getBytes)
 }
+
+/** Long-keyed twin of [[BloomMightContainString]] — the probe side of
+  * the manual runtime-filter join (`ops.RuntimeFilter`), where join
+  * keys are integers (orderkeys, doc ids) and the per-row work must be
+  * exactly one primitive-long hash of the broadcast-local bits.
+  */
+case class BloomMightContainLong(
+    child: Expression,
+    bloom: Broadcast[BloomFilter]) extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.graft.ColumnBridge.AbstractType] =
+    Seq(LongType)
+
+  override def dataType: DataType = BooleanType
+
+  override def nullSafeEval(input: Any): Any =
+    bloom.value.mightContainLong(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("bloomBc", bloom,
+      classOf[Broadcast[_]].getName)
+    val bfType = classOf[BloomFilter].getName
+    val bfVar = ctx.addMutableState(bfType, "graftBloomL",
+      v => s"$v = ($bfType)$bcRef.value();")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $bfVar.mightContainLong($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "bloom_might_contain_long"
+}

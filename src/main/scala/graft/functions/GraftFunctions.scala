@@ -62,6 +62,12 @@ object GraftFunctions {
       c: Column): Column =
     ColumnBridge.column(BloomMightContainString(ColumnBridge.expression(c), bloom))
 
+  /** Long-keyed Bloom probe — see [[BloomMightContainLong]]. */
+  def bloom_might_contain_long(
+      bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter],
+      c: Column): Column =
+    ColumnBridge.column(BloomMightContainLong(ColumnBridge.expression(c), bloom))
+
   /** Partition key for windows that are single-partition BY DESIGN
     * (group-count-bounded inputs: scalar totals, running sums over a
     * day table, complete-mode Top-N state). `pmod(hash(c), 1)` is
