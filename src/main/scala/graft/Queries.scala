@@ -2253,6 +2253,37 @@ object Queries {
     * filter's lag and the validity lead ride ONE user_id exchange.
     * This is the dimension-history build every warehouse ingest needs.
     */
+  /** CDC MERGE apply: a deterministic change feed derived from the
+    * customer snapshot — updates (+100 balance, every 7th key), deletes
+    * (every 11th, at a HIGHER seq so keys hit by both lose their update
+    * to the delete), inserts (every 13th, re-keyed +1M into a new
+    * segment) — applied latest-wins via [[graft.ops.Cdc.applyChanges]],
+    * then aggregated per segment. Exercises all three ops plus
+    * supersession in one oracle.
+    */
+  def cdcApplyQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val upd = c.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"), lit(1L).as("seq"), lit("U").as("op"),
+        col("c_name"), col("c_nationkey"),
+        (col("c_acctbal") + 100.0).as("c_acctbal"), col("c_mktsegment"))
+    val del = c.filter(col("c_custkey") % 11 === 0)
+      .select(col("c_custkey"), lit(2L).as("seq"), lit("D").as("op"),
+        col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+    val ins = c.filter(col("c_custkey") % 13 === 0)
+      .select((col("c_custkey") + 1000000).as("c_custkey"),
+        lit(1L).as("seq"), lit("I").as("op"),
+        concat(lit("new_"), (col("c_custkey") + 1000000).cast("string")).as("c_name"),
+        col("c_nationkey"), lit(10.0).as("c_acctbal"),
+        lit("NEWSEG").as("c_mktsegment"))
+    graft.ops.Cdc.applyChanges(c, upd.union(del).union(ins), "c_custkey")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"),
+        decimalSum2(col("c_acctbal")).as("sum_bal"),
+        sum(when(col("c_custkey") > 1000000, 1L).otherwise(0L)).as("n_inserted"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   def scd2Q(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))

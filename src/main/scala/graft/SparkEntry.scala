@@ -189,6 +189,7 @@ object SparkEntry {
     "q_oov_rate" -> (Queries.oovRateQ _),
     "q_lm_score" -> (Queries.lmScoreQ _),
     "q_bloom_join" -> (Queries.bloomJoinQ _),
+    "q_cdc_apply" -> (Queries.cdcApplyQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -1054,6 +1055,35 @@ object SparkEntry {
         |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 400000
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    // CDC replay: same change feed, latest-wins by seq (unique per key
+    // by construction, so row_number-by-seq == Spark's seq-led struct
+    // max), full-join merge, delete filter, per-segment aggregate.
+    "q_cdc_apply" ->
+      """WITH ch AS (
+        |  SELECT c_custkey, 1 AS seq, 'U' AS op, c_name, c_nationkey,
+        |    c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, 2, 'D', c_name, c_nationkey, c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 11 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 1, 'I',
+        |    'new_' || CAST(c_custkey + 1000000 AS VARCHAR), c_nationkey, 10.0, 'NEWSEG'
+        |  FROM customer WHERE c_custkey % 13 = 0),
+        |latest AS (SELECT c_custkey, op, c_acctbal, c_mktsegment FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+        |    FROM ch) WHERE rn = 1),
+        |merged AS (
+        |  SELECT coalesce(l.c_custkey, s.c_custkey) AS c_custkey,
+        |    CASE WHEN l.op IS NOT NULL THEN l.c_acctbal ELSE s.c_acctbal END AS c_acctbal,
+        |    CASE WHEN l.op IS NOT NULL THEN l.c_mktsegment ELSE s.c_mktsegment END AS c_mktsegment
+        |  FROM customer s FULL JOIN latest l ON s.c_custkey = l.c_custkey
+        |  WHERE NOT coalesce(l.op = 'D', FALSE))
+        |SELECT c_mktsegment, count(*) AS n_rows,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_bal,
+        |  CAST(sum(CASE WHEN c_custkey > 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted
+        |FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_semi_join" ->
       """SELECT c_mktsegment, count(*) AS n_customers
