@@ -3417,6 +3417,16 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE merge training over the corpus word-type dictionary: the
+    * first 8 learned merges with their weighted pair counts — the
+    * tokenizer-vocabulary induction step, run distributed (see
+    * [[graft.ops.Bpe]]; only the per-iteration argmax row reaches the
+    * driver).
+    */
+  def bpeMergesQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Bpe.train(Tables.documents(spark, sfDir), "text", 8)
+      .orderBy(col("merge_rank"))
+
   /** DSIR-style data selection: English docs are the "target corpus",
     * everything else is the raw pool; each pool doc is scored by the
     * summed log-likelihood ratio of its hashed-unigram features under

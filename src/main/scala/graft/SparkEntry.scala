@@ -190,6 +190,7 @@ object SparkEntry {
     "q_lm_score" -> (Queries.lmScoreQ _),
     "q_bloom_join" -> (Queries.bloomJoinQ _),
     "q_cdc_apply" -> (Queries.cdcApplyQ _),
+    "q_bpe_merges" -> (Queries.bpeMergesQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -245,6 +246,31 @@ object SparkEntry {
        |    FROM ${p}full WINDOW ww AS (PARTITION BY doc_id ORDER BY pos
        |                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING))
        |  WHERE nfull = 4)""".stripMargin
+
+  /** One BPE merge iteration as a CTE block (the graft.ops.Bpe
+    * contract): pair counts weighted by word frequency, lexicographic
+    * argmax, left-to-right non-overlap apply via run parity. `bseq0`
+    * must exist; defines `bbest$i` and `bseq$i`.
+    */
+  private def bpeIterCtes(i: Int): String = {
+    val prev = s"bseq${i - 1}"
+    s"""bpc$i AS (SELECT s AS l, r, CAST(sum(freq) AS BIGINT) AS c FROM (
+       |    SELECT word, freq, pos, s, lead(s) OVER (PARTITION BY word ORDER BY pos) AS r FROM $prev)
+       |  WHERE r IS NOT NULL GROUP BY s, r),
+       |bbest$i AS (SELECT l, r, c FROM bpc$i ORDER BY c DESC, l, r LIMIT 1),
+       |bm$i AS (SELECT word, freq, pos, s, l, r,
+       |    (s = l AND lead(s) OVER w = r) AS m
+       |  FROM $prev CROSS JOIN bbest$i WINDOW w AS (PARTITION BY word ORDER BY pos)),
+       |br$i AS (SELECT *, CASE WHEN m THEN pos
+       |    - row_number() OVER (PARTITION BY word, m ORDER BY pos) END AS grp FROM bm$i),
+       |ba$i AS (SELECT *, (m AND row_number() OVER (PARTITION BY word, grp ORDER BY pos) % 2 = 1) AS ap
+       |  FROM br$i),
+       |bseq$i AS (SELECT word, freq,
+       |    row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos,
+       |    CASE WHEN ap THEN l || r ELSE s END AS s
+       |  FROM (SELECT *, lag(ap) OVER (PARTITION BY word ORDER BY pos) AS prev_ap FROM ba$i)
+       |  WHERE NOT coalesce(prev_ap, FALSE))""".stripMargin
+  }
 
   /** Shared CTE chain for the MinHash-LSH pipeline over documents plus
     * planted near copies; `scored` = candidate pairs with exact Jaccard.
@@ -2822,5 +2848,29 @@ object SparkEntry {
          |  CAST(sum(s) AS BIGINT) AS score_micro,
          |  (CAST(sum(s) AS BIGINT) >= ${graft.ops.LanguageModel.KeepPerBigramMicro} * CAST(count(*) AS BIGINT)) AS keep
          |FROM sc GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
+
+    // BPE replay: word-type dict, char symbols + </w>, then 8 unrolled
+    // merge iterations (pair count → lexicographic argmax → run-parity
+    // apply) — the same all-relational recipe Bpe.train runs.
+    "q_bpe_merges" -> {
+      val iters = (1 to 8).map(bpeIterCtes).mkString(",\n")
+      val ranks = (1 to 8).map(i =>
+        s"SELECT $i AS merge_rank, l AS lhs, r AS rhs, c AS pair_count FROM bbest$i")
+        .mkString("\n  UNION ALL ")
+      s"""WITH bwords AS (
+         |  SELECT word, count(*) AS freq FROM (
+         |    SELECT unnest(${wordsSql("lower(text)")}) AS word FROM documents) u
+         |  WHERE length(word) >= 1 GROUP BY word),
+         |bseq0 AS (
+         |  SELECT word, freq, pos, ws[pos + 1] AS s FROM (
+         |    SELECT word, freq,
+         |      list_append(list_transform(range(length(word)), j -> substr(word, CAST(j + 1 AS INT), 1)), '</w>') AS ws
+         |    FROM bwords) t,
+         |    LATERAL (SELECT unnest(range(len(ws))) AS pos) p),
+         |$iters
+         |SELECT * FROM (
+         |  $ranks)
+         |ORDER BY merge_rank""".stripMargin
+    },
   )
 }
