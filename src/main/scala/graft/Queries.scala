@@ -3427,6 +3427,29 @@ object Queries {
     graft.ops.Bpe.train(Tables.documents(spark, sfDir), "text", 8)
       .orderBy(col("merge_rank"))
 
+  /** BPE encode: train the 8-merge model, then tokenize the corpus with
+    * it — the merge list is collected (it IS the model; every tokenizer
+    * ships its merges as a file), the TYPE dictionary is encoded once,
+    * and per-document subword counts are a word-keyed join against the
+    * type-sized table, so no document is ever re-encoded
+    * per-occurrence.
+    */
+  def bpeEncodeQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val merges = graft.ops.Bpe.train(docs, "text", 8)
+      .orderBy(col("merge_rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = graft.ops.Bpe.encodeTypes(
+      graft.ops.Bpe.wordTypes(docs, "text"), merges)
+    docs.select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .join(enc.select(col("word"), col("n_subwords")), "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_subwords")).as("n_subwords"))
+      .orderBy(col("doc_id"))
+  }
+
   /** DSIR-style data selection: English docs are the "target corpus",
     * everything else is the raw pool; each pool doc is scored by the
     * summed log-likelihood ratio of its hashed-unigram features under

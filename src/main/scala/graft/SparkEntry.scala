@@ -191,6 +191,7 @@ object SparkEntry {
     "q_bloom_join" -> (Queries.bloomJoinQ _),
     "q_cdc_apply" -> (Queries.cdcApplyQ _),
     "q_bpe_merges" -> (Queries.bpeMergesQ _),
+    "q_bpe_encode" -> (Queries.bpeEncodeQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -2871,6 +2872,32 @@ object SparkEntry {
          |SELECT * FROM (
          |  $ranks)
          |ORDER BY merge_rank""".stripMargin
+    },
+
+    // BPE encode replay: same 8 unrolled merge iterations to bseq8,
+    // per-TYPE subword counts, then a word-keyed join of the corpus'
+    // word occurrences — per-doc totals as exact integers.
+    "q_bpe_encode" -> {
+      val iters = (1 to 8).map(bpeIterCtes).mkString(",\n")
+      s"""WITH bwords AS (
+         |  SELECT word, count(*) AS freq FROM (
+         |    SELECT unnest(${wordsSql("lower(text)")}) AS word FROM documents) u
+         |  WHERE length(word) >= 1 GROUP BY word),
+         |bseq0 AS (
+         |  SELECT word, freq, pos, ws[pos + 1] AS s FROM (
+         |    SELECT word, freq,
+         |      list_append(list_transform(range(length(word)), j -> substr(word, CAST(j + 1 AS INT), 1)), '</w>') AS ws
+         |    FROM bwords) t,
+         |    LATERAL (SELECT unnest(range(len(ws))) AS pos) p),
+         |$iters,
+         |enc AS (SELECT word, CAST(count(*) AS BIGINT) AS n_subwords FROM bseq8 GROUP BY word),
+         |dw AS (SELECT doc_id, word FROM (
+         |    SELECT doc_id, unnest(${wordsSql("lower(text)")}) AS word FROM documents) u
+         |  WHERE length(word) >= 1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(n_subwords) AS BIGINT) AS n_subwords
+         |FROM dw JOIN enc USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
   )
 }

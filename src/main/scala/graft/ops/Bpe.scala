@@ -50,6 +50,48 @@ object Bpe {
         "concat(transform(sequence(1, length(word)), j -> substr(word, j, 1)), array('</w>'))"))
         .as(Seq("pos", "s")))
 
+  /** Apply ONE merge (l, r) to a symbol table left-to-right
+    * non-overlapping (run parity — see class doc). Shared by the
+    * trainer and the encoder so their semantics cannot drift.
+    */
+  private def applyMerge(seq: DataFrame, l: String, r: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("word")).orderBy(col("pos"))
+    seq
+      .withColumn("m",
+        col("s") === lit(l) && lead(col("s"), 1).over(wOrd) === lit(r))
+      .withColumn("grp", when(col("m"), col("pos") -
+        row_number().over(Window.partitionBy(col("word"), col("m")).orderBy(col("pos")))))
+      .withColumn("ap", col("m") &&
+        row_number().over(Window.partitionBy(col("word"), col("grp")).orderBy(col("pos"))) % 2 === 1)
+      .withColumn("prev_ap", lag(col("ap"), 1).over(wOrd))
+      .filter(!coalesce(col("prev_ap"), lit(false)))
+      .select(col("word"), col("freq"),
+        (row_number().over(wOrd) - 1).as("pos"),
+        when(col("ap"), lit(l + r)).otherwise(col("s")).as("s"))
+  }
+
+  /** Encode the word-type dictionary with an ordered merge list
+    * (lhs, rhs): the tokenizer-apply side of BPE. Merges come from a
+    * trained model — 8..64k rows, driver-held by design (every real
+    * tokenizer ships its merge list as a file; it is the model, not
+    * data). Returns (word, freq, n_subwords). Per-DOCUMENT subword
+    * counts are then a word-keyed join of the corpus against this
+    * TYPE-sized table — no per-occurrence re-encoding ever happens.
+    */
+  def encodeTypes(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    var seq = charSymbols(words).persist()
+    seq.count()
+    merges.foreach { case (l, r) =>
+      val next = applyMerge(seq, l, r).persist()
+      next.count()
+      seq.unpersist()
+      seq = next
+    }
+    val out = seq.groupBy(col("word"), col("freq"))
+      .agg(count(lit(1)).as("n_subwords"))
+    out
+  }
+
   /** Learn `nMerges` merges; returns (merge_rank, lhs, rhs, pair_count)
     * in learning order. Stops early if no adjacent pair remains.
     */
@@ -74,21 +116,7 @@ object Bpe {
       else {
         val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((rank, l, r, c))
-        // left-to-right non-overlapping apply via run parity
-        val applied = seq
-          .withColumn("m",
-            col("s") === lit(l) && lead(col("s"), 1).over(wOrd) === lit(r))
-          .withColumn("grp", when(col("m"), col("pos") -
-            row_number().over(Window.partitionBy(col("word"), col("m")).orderBy(col("pos")))))
-          .withColumn("ap", col("m") &&
-            row_number().over(Window.partitionBy(col("word"), col("grp")).orderBy(col("pos"))) % 2 === 1)
-          .withColumn("prev_ap", lag(col("ap"), 1).over(wOrd))
-          .filter(!coalesce(col("prev_ap"), lit(false)))
-        val next = applied
-          .select(col("word"), col("freq"),
-            (row_number().over(wOrd) - 1).as("pos"),
-            when(col("ap"), lit(l + r)).otherwise(col("s")).as("s"))
-          .persist()
+        val next = applyMerge(seq, l, r).persist()
         next.count()
         seq.unpersist()
         seq = next

@@ -43,6 +43,16 @@ class BpeSpec extends AnyFunSuite {
     assert(got(0) == ((1, "a", "b", 5L)))
   }
 
+  test("encode applies learned merges in rank order to the type dict") {
+    val corpus = Seq((0L, "low low lower")).toDF("doc_id", "text")
+    val merges = Seq(("l", "o"), ("lo", "w"), ("low", "</w>"))
+    val got = Bpe.encodeTypes(Bpe.wordTypes(corpus, "text"), merges)
+      .orderBy("word").as[(String, Long, Long)].collect().toSeq
+    // low → [low</w>] (all three merges chain); lower → [low,e,r,</w>]
+    // (the (low,</w>) merge can't fire: low is followed by e)
+    assert(got == Seq(("low", 2L, 1L), ("lower", 1L, 4L)))
+  }
+
   test("merges are invariant under repartition") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = Bpe.train(docs, "text", 4).orderBy("merge_rank").collect().toSeq
