@@ -1661,6 +1661,34 @@ object Queries {
     graft.ops.Curation.curate(base).orderBy(col("doc_id"))
   }
 
+  /** Curation WITH the CCNet-style LM perplexity stage: gates → exact →
+    * LSH → LM filter → split. Plants (id+90000, every 17th doc) are
+    * stopword-laced hex GIBBERISH — deterministic md5-chunk words that
+    * sail through the stopword and quality gates (5 English stopwords,
+    * no punctuation, high distinct ratio) but whose bigram stream is
+    * almost entirely unseen under the reference model (the raw English
+    * slice), landing near ln(0.4)+ln(1/(N+V)) per bigram — far below
+    * [[graft.ops.Curation.LmPerBigramMicro]], so only the LM stage can
+    * drop them. Fluent survivors score ~-3.4 and pass with margin.
+    */
+  def curationLmQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    def chunks(m: Column) = concat_ws(" ",
+      (0 until 8).map(j => substring(m, 1 + 4 * j, 4)): _*)
+    val idStr = col("doc_id").cast("string")
+    val plants = docs.filter(col("doc_id") % 17 === 0)
+      .select((col("doc_id") + 90000).as("doc_id"),
+        concat_ws(" ", lit("the"), chunks(md5(idStr)),
+          lit("and"), chunks(md5(concat(idStr, lit("x")))),
+          lit("of"), chunks(md5(concat(idStr, lit("y")))),
+          lit("to a")).as("text"))
+    val base = docs.select(col("doc_id"), col("text")).union(plants)
+    graft.ops.Curation.curate(base,
+        lmRef = Some(docs.filter(col("lang") === "en")
+          .select(col("doc_id"), col("text"))))
+      .orderBy(col("doc_id"))
+  }
+
   /** Curation flagship WITH the span-dedup stage (gates → exact → LSH →
     * winnowing span dedup → split): the q_curation plant set plus QUOTE
     * docs (id+70000) built from two 30-token slices — tokens 11-40 of

@@ -192,6 +192,7 @@ object SparkEntry {
     "q_cdc_apply" -> (Queries.cdcApplyQ _),
     "q_bpe_merges" -> (Queries.bpeMergesQ _),
     "q_bpe_encode" -> (Queries.bpeEncodeQ _),
+    "q_curation_lm" -> (Queries.curationLmQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -247,6 +248,50 @@ object SparkEntry {
        |    FROM ${p}full WINDOW ww AS (PARTITION BY doc_id ORDER BY pos
        |                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING))
        |  WHERE nfull = 4)""".stripMargin
+
+  /** Stupid-Backoff bigram LM CTE chain (the graft.ops.LanguageModel
+    * contract): trains on `trainBase`(doc_id, text), scores
+    * `scoreBase`(doc_id, text); defines `${p}scores`(doc_id, n_bigrams,
+    * score_micro, keep) under the given per-bigram micro threshold.
+    * Hashed-token models, one micro6'd ln per model row, exact-integer
+    * doc sums — docs with < 2 tokens are structurally absent.
+    */
+  private def lmCtes(p: String, trainBase: String, scoreBase: String,
+      thrMicro: Long): String =
+    s"""${p}ttoks AS (
+       |  SELECT doc_id, pos, ${hSql("'lm:' || ws[pos+1]")} AS h FROM (
+       |    SELECT doc_id, ${wordsSql("lower(text)")} AS ws FROM $trainBase) s,
+       |    LATERAL (SELECT unnest(range(len(ws))) AS pos) p),
+       |${p}tu AS (SELECT h, count(*) AS c1 FROM ${p}ttoks GROUP BY h),
+       |${p}tot0 AS (SELECT CAST(sum(c1) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v FROM ${p}tu),
+       |${p}tot AS (SELECT n, v,
+       |    CAST(floor(ln(1.0 / CAST(n + v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS s_def
+       |  FROM ${p}tot0),
+       |${p}uni AS (SELECT h,
+       |    CAST(floor(ln(CAST(c1 + 1 AS DOUBLE) / CAST(n + v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS s_uni
+       |  FROM ${p}tu CROSS JOIN ${p}tot),
+       |${p}tp AS (SELECT h AS h1, lead(h, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS h2 FROM ${p}ttoks),
+       |${p}bc AS (SELECT h1, h2, count(*) AS c2 FROM ${p}tp WHERE h2 IS NOT NULL GROUP BY h1, h2),
+       |${p}bi AS (SELECT h1, h2,
+       |    CAST(floor(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS s_bi
+       |  FROM ${p}bc JOIN ${p}tu ON ${p}bc.h1 = ${p}tu.h),
+       |${p}stoks AS (
+       |  SELECT doc_id, pos, ${hSql("'lm:' || ws[pos+1]")} AS h FROM (
+       |    SELECT doc_id, ${wordsSql("lower(text)")} AS ws FROM $scoreBase) s,
+       |    LATERAL (SELECT unnest(range(len(ws))) AS pos) p),
+       |${p}sp AS (SELECT doc_id, h AS h1,
+       |    lead(h, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS h2 FROM ${p}stoks),
+       |${p}sc AS (SELECT doc_id,
+       |    coalesce(s_bi,
+       |      CAST(floor(ln(0.4) * 1000000.0 + 0.5) AS BIGINT)
+       |        + coalesce(s_uni, s_def)) AS s
+       |  FROM ${p}sp CROSS JOIN ${p}tot LEFT JOIN ${p}bi USING (h1, h2)
+       |  LEFT JOIN ${p}uni ON ${p}sp.h2 = ${p}uni.h
+       |  WHERE ${p}sp.h2 IS NOT NULL),
+       |${p}scores AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(s) AS BIGINT) AS score_micro,
+       |    (CAST(sum(s) AS BIGINT) >= $thrMicro * CAST(count(*) AS BIGINT)) AS keep
+       |  FROM ${p}sc GROUP BY doc_id)""".stripMargin
 
   /** One BPE merge iteration as a CTE block (the graft.ops.Bpe
     * contract): pair counts weighted by word frequency, lexicographic
@@ -2808,47 +2853,76 @@ object SparkEntry {
          |SELECT doc_id, lang, pred_lang, (lang = pred_lang) AS hit
          |FROM pred ORDER BY doc_id""".stripMargin,
 
-    // Stupid-Backoff LM replay: hashed-token unigram/bigram count
-    // models off the en slice (one micro6'd ln per MODEL row), then
-    // every doc's bigram stream scored seen-bigram / ln(0.4)+unigram /
-    // unseen-default, summed as exact integers. Docs with < 2 tokens
-    // have no bigram positions and are structurally absent (the
-    // q_repetition convention).
+    // Stupid-Backoff LM replay via the shared lmCtes chain (train = en
+    // slice, score = all documents); lang carried back by a doc_id
+    // join. Docs with < 2 tokens have no bigram positions and are
+    // structurally absent (the q_repetition convention).
     "q_lm_score" ->
-      s"""WITH ttoks AS (
-         |  SELECT doc_id, pos, ${hSql("'lm:' || ws[pos+1]")} AS h FROM (
-         |    SELECT doc_id, ${wordsSql("lower(text)")} AS ws FROM documents WHERE lang = 'en') s,
-         |    LATERAL (SELECT unnest(range(len(ws))) AS pos) p),
-         |tu AS (SELECT h, count(*) AS c1 FROM ttoks GROUP BY h),
-         |tot0 AS (SELECT CAST(sum(c1) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v FROM tu),
-         |tot AS (SELECT n, v,
-         |    CAST(floor(ln(1.0 / CAST(n + v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS s_def
-         |  FROM tot0),
-         |uni AS (SELECT h,
-         |    CAST(floor(ln(CAST(c1 + 1 AS DOUBLE) / CAST(n + v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS s_uni
-         |  FROM tu CROSS JOIN tot),
-         |tp AS (SELECT h AS h1, lead(h, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS h2 FROM ttoks),
-         |bc AS (SELECT h1, h2, count(*) AS c2 FROM tp WHERE h2 IS NOT NULL GROUP BY h1, h2),
-         |bi AS (SELECT h1, h2,
-         |    CAST(floor(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS s_bi
-         |  FROM bc JOIN tu ON bc.h1 = tu.h),
-         |stoks AS (
-         |  SELECT doc_id, lang, pos, ${hSql("'lm:' || ws[pos+1]")} AS h FROM (
-         |    SELECT doc_id, lang, ${wordsSql("lower(text)")} AS ws FROM documents) s,
-         |    LATERAL (SELECT unnest(range(len(ws))) AS pos) p),
-         |sp AS (SELECT doc_id, lang, h AS h1,
-         |    lead(h, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS h2 FROM stoks),
-         |sc AS (SELECT doc_id, lang,
-         |    coalesce(s_bi,
-         |      CAST(floor(ln(0.4) * 1000000.0 + 0.5) AS BIGINT)
-         |        + coalesce(s_uni, s_def)) AS s
-         |  FROM sp CROSS JOIN tot LEFT JOIN bi USING (h1, h2)
-         |  LEFT JOIN uni ON sp.h2 = uni.h
-         |  WHERE sp.h2 IS NOT NULL)
-         |SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
-         |  CAST(sum(s) AS BIGINT) AS score_micro,
-         |  (CAST(sum(s) AS BIGINT) >= ${graft.ops.LanguageModel.KeepPerBigramMicro} * CAST(count(*) AS BIGINT)) AS keep
-         |FROM sc GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
+      s"""WITH entr AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
+         |${lmCtes("lm", "entr", "documents", graft.ops.LanguageModel.KeepPerBigramMicro)}
+         |SELECT s.doc_id, d.lang, s.n_bigrams, s.score_micro, s.keep
+         |FROM lmscores s JOIN documents d USING (doc_id)
+         |ORDER BY s.doc_id""".stripMargin,
+
+    // Curation + LM perplexity stage: the q_curation gate/exact/LSH
+    // chain over documents + hex-gibberish plants (md5-chunk words,
+    // stopword-laced so only the LM stage can catch them), then the LM
+    // replay (reference = raw en slice) and the keep filter. Docs with
+    // < 2 tokens are absent from lm scores -> kept (left join, keep
+    // defaults TRUE).
+    "q_curation_lm" -> {
+      val chunksSql = (m: String) =>
+        (0 until 8).map(j => s"substr($m, ${1 + 4 * j}, 4)").mkString(" || ' ' || ")
+      val mid = "CAST(doc_id AS VARCHAR)"
+      s"""WITH base AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 90000,
+         |    'the ' || ${chunksSql(s"md5($mid)")} || ' and ' ||
+         |    ${chunksSql(s"md5($mid || 'x')")} || ' of ' ||
+         |    ${chunksSql(s"md5($mid || 'y')")} || ' to a'
+         |  FROM documents WHERE doc_id % 17 = 0),
+         |b0 AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS pt, ${wordsSql("text")} AS w FROM base),
+         |s AS (SELECT doc_id, text,
+         |        ${langScoreSql("en")} AS s_en, ${langScoreSql("es")} AS s_es,
+         |        ${langScoreSql("de")} AS s_de, ${langScoreSql("zh")} AS s_zh,
+         |        round(least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.5
+         |          + (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) / length(text)) * 0.3
+         |          + CAST(len(list_distinct(w)) AS DOUBLE) / len(w) * 0.2, 6) AS quality
+         |      FROM b0),
+         |gated AS (SELECT doc_id, text, quality FROM s
+         |          WHERE s_en >= s_es AND s_en >= s_de AND s_en >= s_zh AND s_en > 0
+         |            AND quality >= ${graft.ops.Curation.QualityMin}),
+         |ex AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+         |ek AS (SELECT g.* FROM gated g WHERE g.doc_id IN (SELECT doc_id FROM ex)),
+         |sh AS (SELECT doc_id, $hashedShinglesSql AS shingles
+         |       FROM (SELECT doc_id, ${wordsSql("lower(text)")} AS w FROM ek)),
+         |hx AS (SELECT doc_id, unnest(shingles) AS h FROM sh),
+         |sig AS (SELECT doc_id, $minhashSigSql FROM hx GROUP BY doc_id),
+         |bands AS (SELECT doc_id, unnest([
+         |    concat_ws(':', '0', s0, s1), concat_ws(':', '1', s2, s3),
+         |    concat_ws(':', '2', s4, s5), concat_ws(':', '3', s6, s7)]) AS band FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |neardrop AS (SELECT DISTINCT doc_b AS doc_id FROM (
+         |    SELECT doc_a, doc_b,
+         |      round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         |        / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS j
+         |    FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id JOIN sh sb ON cand.doc_b = sb.doc_id)
+         |  WHERE j >= ${graft.ops.Curation.JaccardMin}),
+         |kept AS (SELECT doc_id, text, quality FROM ek
+         |         WHERE doc_id NOT IN (SELECT doc_id FROM neardrop)),
+         |entr AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
+         |${lmCtes("cl", "entr", "kept", graft.ops.Curation.LmPerBigramMicro)},
+         |kept2 AS (SELECT k.doc_id, k.quality FROM kept k
+         |          LEFT JOIN clscores sc USING (doc_id)
+         |          WHERE coalesce(sc.keep, TRUE)),
+         |d AS (SELECT doc_id, quality,
+         |        ${hSql("concat('split:', CAST(doc_id AS VARCHAR))")} % 100 AS b FROM kept2)
+         |SELECT doc_id, quality,
+         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
 
     // BPE replay: word-type dict, char symbols + </w>, then 8 unrolled
     // merge iterations (pair count → lexicographic argmax → run-parity

@@ -49,6 +49,14 @@ object Curation {
     */
   val SpanMinCoverage = 0.5
 
+  /** LM-stage keep floor: mean per-bigram Stupid-Backoff log-prob
+    * under the REFERENCE model must be >= -8.0 (micro-units). Fluent
+    * in-domain text sits around -3..-4; OOV-dense gibberish lands near
+    * ln(0.4)+ln(1/(N+V)) ~ -11 — the threshold splits the two modes
+    * with wide margin on both sides.
+    */
+  val LmPerBigramMicro = -8000000L
+
   /** docs(doc_id, text) → kept rows (doc_id, quality, split).
     *
     * Near-dup policy: for every verified pair (a, b) with a < b, the
@@ -84,7 +92,8 @@ object Curation {
     * unpersist them once the result has been consumed.
     */
   private def curatePipeline(docs: DataFrame, spanStage: Boolean,
-      spanPolicy: String = "all"): (DataFrame, Seq[DataFrame]) = {
+      spanPolicy: String = "all",
+      lmRef: Option[DataFrame] = None): (DataFrame, Seq[DataFrame]) = {
     require(spanPolicy == "all" || spanPolicy == "covered",
       s"unknown span policy '$spanPolicy' (all | covered)")
     val gated = gate(docs)
@@ -152,7 +161,24 @@ object Curation {
         lshKept.join(spanDrop, Seq("doc_id"), "left_anti")
       }
     val bucket = TextOps.portableHash64(concat(lit("split:"), col("doc_id"))) % 100
-    val result = kept.select(
+    // optional LM PERPLEXITY stage (CCNet shape): a Stupid-Backoff
+    // bigram LM trained on a clean REFERENCE corpus scores every
+    // survivor; docs whose exact-integer per-bigram score falls below
+    // the threshold drop (gibberish / OOV-dense text that sails through
+    // the stopword+quality gates). Training on a reference — never on
+    // the survivors themselves — is essential: self-training gives any
+    // unique bigram ln(1/1)=0, scoring gibberish as perfectly fluent.
+    // Docs with < 2 tokens have no bigram stream and are kept.
+    val lmKept = lmRef match {
+      case None => kept
+      case Some(ref) =>
+        val (uni, bi, tot) = LanguageModel.train(ref, "text")
+        val scored = LanguageModel.score(kept.select(col("doc_id"), col("text")),
+          uni, bi, tot, "doc_id", "text", thrPerBigramMicro = LmPerBigramMicro)
+        kept.join(scored.select(col("doc_id"), col("keep")), Seq("doc_id"), "left")
+          .filter(coalesce(col("keep"), lit(true))).drop("keep")
+    }
+    val result = lmKept.select(
       col("doc_id"), col("quality"),
       when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
     (result, if (spanStage) Seq(exactKept, nearDrop) else Seq(exactKept))
@@ -167,8 +193,9 @@ object Curation {
     * iterating over many inputs with the span stage on.
     */
   def curateWithHandle(docs: DataFrame, spanStage: Boolean = false,
-      spanPolicy: String = "all"): (DataFrame, DataFrame) =
-    curatePipeline(docs, spanStage, spanPolicy) match { case (r, handles) => (r, handles.head) }
+      spanPolicy: String = "all",
+      lmRef: Option[DataFrame] = None): (DataFrame, DataFrame) =
+    curatePipeline(docs, spanStage, spanPolicy, lmRef) match { case (r, handles) => (r, handles.head) }
 
   /** LIFECYCLE: the cached exact-dedup stage lives until session end
     * (it cannot be unpersisted here — the returned plan consumes it
@@ -178,8 +205,9 @@ object Curation {
     * unpersist themselves) so cache entries don't accumulate.
     */
   def curate(docs: DataFrame, spanStage: Boolean = false,
-      spanPolicy: String = "all"): DataFrame =
-    curateWithHandle(docs, spanStage, spanPolicy)._1
+      spanPolicy: String = "all",
+      lmRef: Option[DataFrame] = None): DataFrame =
+    curateWithHandle(docs, spanStage, spanPolicy, lmRef)._1
 
   /** Scoped curation: runs `use` over the curated frame, then releases
     * the backing cache — the leak-free form for loops over many inputs.

@@ -99,6 +99,38 @@ class CurationSpec extends AnyFunSuite {
     assert(covered.subsetOf(spanOff) && unconditional.subsetOf(spanOff))
   }
 
+  test("LM stage drops stopword-laced gibberish that every earlier stage keeps") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    def chunks(m: org.apache.spark.sql.Column) = concat_ws(" ",
+      (0 until 8).map(j => substring(m, 1 + 4 * j, 4)): _*)
+    val idStr = col("doc_id").cast("string")
+    val plants = docs.filter(col("doc_id") % 17 === 0)
+      .select((col("doc_id") + 90000).as("doc_id"),
+        concat_ws(" ", lit("the"), chunks(md5(idStr)),
+          lit("and"), chunks(md5(concat(idStr, lit("x")))),
+          lit("of"), chunks(md5(concat(idStr, lit("y")))),
+          lit("to a")).as("text"))
+    val base = docs.union(plants)
+    val ref = Some(graft.sources.Tables.documents(spark, sf)
+      .filter(col("lang") === "en").select(col("doc_id"), col("text")))
+    val without = graft.ops.Curation.curate(base)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val withLm = graft.ops.Curation.curate(base, lmRef = ref)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val plantIds = plants.select("doc_id").collect().map(_.getLong(0)).toSet
+    // gates + exact + LSH all keep the gibberish (it is stopword-laced,
+    // punctuation-free, high-distinct, and textually unique)…
+    assert((plantIds -- without).isEmpty,
+      s"plants must survive the non-LM pipeline: missing ${(plantIds -- without).take(5)}")
+    // …only the LM stage catches it, and it catches ALL of it
+    assert((withLm & plantIds).isEmpty,
+      s"LM stage must drop every plant: kept ${(withLm & plantIds).take(5)}")
+    // fluent documents are untouched by the stage
+    assert((without -- plantIds) == withLm)
+  }
+
   test("curateScoped releases its cache; curate matches it") {
     import graft.ops.Curation
     val docs = graft.sources.Tables.documents(spark, sf)
