@@ -2168,16 +2168,25 @@ object Queries {
     * quantization (the unrolled-kmeans device) keeps the DuckDB replay
     * bit-identical.
     */
-  def pagerankQ(spark: SparkSession, sfDir: String): DataFrame = {
+  def pagerankQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Graph.pagerank(partAdjacencyEdges(spark, sfDir), iters = 3)
+      .orderBy(col("node"))
+
+  /** Part-adjacency edge table (consecutive lineitems of an order form
+    * a directed part→part edge, parallel edges count-aggregated),
+    * memoized per (session, sf) — the standard "cache the graph" step
+    * of iterative processing (shared by pagerank and label
+    * propagation; each would otherwise re-derive the window+aggregate
+    * pipeline once per iteration-join).
+    *
+    * (l_orderkey, l_linenumber) is NOT unique in this data; adding
+    * l_partkey to the order makes the visited partkey SEQUENCE (and so
+    * the edge multiset) deterministic — remaining ties are identical
+    * partkeys, which commute.
+    */
+  private def partAdjacencyEdges(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // (l_orderkey, l_linenumber) is NOT unique in this data; adding
-    // l_partkey to the order makes the visited partkey SEQUENCE (and so
-    // the edge multiset) deterministic — remaining ties are identical
-    // partkeys, which commute.
-    // Edge table materialized once per (session, sf) — the standard
-    // "cache the graph" step of iterative processing: the 3-iteration
-    // plan otherwise re-derives the window+aggregate pipeline ~8x.
-    val edges = graft.sources.SessionMemo(spark, ("pagerank_edges", sfDir)) {
+    graft.sources.SessionMemo(spark, ("pagerank_edges", sfDir)) {
       val w = Window.partitionBy(col("l_orderkey"))
         .orderBy(col("l_linenumber"), col("src"))
       Tables.lineitem(spark, sfDir)
@@ -2187,9 +2196,19 @@ object Queries {
         .groupBy(col("src"), col("dst")).agg(count(lit(1)).cast("double").as("w"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-    graft.ops.Graph.pagerank(edges, iters = 3)
-      .orderBy(col("node"))
   }
+
+  /** Synchronous label propagation over the part-adjacency graph
+    * (4 rounds, integer weights — see
+    * [[graft.ops.Graph.labelPropagation]]): full community assignment,
+    * one row per node.
+    */
+  def labelPropQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Graph.labelPropagation(
+        partAdjacencyEdges(spark, sfDir)
+          .select(col("src"), col("dst"), col("w").cast("long").as("w")),
+        iters = 4)
+      .orderBy(col("node"))
 
   /** Native session windows (`session_window`): Spark's own gap-merge
     * session operator — the window END extends to last-event + gap and

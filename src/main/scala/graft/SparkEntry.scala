@@ -193,6 +193,7 @@ object SparkEntry {
     "q_bpe_merges" -> (Queries.bpeMergesQ _),
     "q_bpe_encode" -> (Queries.bpeEncodeQ _),
     "q_curation_lm" -> (Queries.curationLmQ _),
+    "q_label_prop" -> (Queries.labelPropQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -2167,6 +2168,31 @@ object SparkEntry {
          |${iter("pr1", "pr2")},
          |${iter("pr2", "pr3")}
          |SELECT node, pr FROM pr3 ORDER BY node""".stripMargin
+    },
+
+    // Synchronous LPA replay: symmetrized integer-weight edges, 4
+    // unrolled rounds of (neighbor-label tally → argmax by weight desc,
+    // label asc) — row_number == Spark's min-struct argmax because
+    // (wt, label) is unique per (src, label) group.
+    "q_label_prop" -> {
+      def iter(i: Int): String =
+        s"""t$i AS (SELECT e.src, l.label, CAST(sum(e.w) AS BIGINT) AS wt
+           |  FROM und e JOIN lab${i - 1} l ON e.dst = l.node GROUP BY e.src, l.label),
+           |lab$i AS (SELECT src AS node, label FROM (
+           |    SELECT src, label, row_number() OVER (PARTITION BY src ORDER BY wt DESC, label) AS rn
+           |    FROM t$i) WHERE rn = 1)""".stripMargin
+      s"""WITH p AS (SELECT l_partkey AS src,
+         |    lead(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
+         |  FROM lineitem),
+         |ed AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM p WHERE dst IS NOT NULL GROUP BY src, dst),
+         |und AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
+         |    SELECT src, dst, w FROM ed UNION ALL SELECT dst, src, w FROM ed) u GROUP BY src, dst),
+         |lab0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)},
+         |${iter(4)}
+         |SELECT node, label FROM lab4 ORDER BY node""".stripMargin
     },
 
     // Island rule replaying session_window's END-EXCLUSIVE merge: the

@@ -15,6 +15,39 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Synchronous label propagation (community detection) with a fixed
+    * iteration count — deterministic LPA: every node starts labeled
+    * with itself; each round it adopts the label carrying the highest
+    * total INTEGER edge weight among its neighbors, ties broken by
+    * smallest label. Integer weights make the argmax exact (no float
+    * boundary can flip a community), and the synchronous schedule makes
+    * the result order-free — the two changes that turn the classically
+    * nondeterministic LPA into an oracle-checkable operator.
+    *
+    * Scale shape: one round = one equi-join of the undirected edge list
+    * against the O(|V|) label table (shuffle on dst) + one (src, label)
+    * aggregate + one min-struct argmax per src — the pagerank
+    * join-and-regroup cost, O(|E|) per round, nothing collected.
+    *
+    * @param edges (src, dst, w: long) directed edge list; symmetrized
+    *              and parallel-summed internally.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    val und = edges.select(col("src"), col("dst"), col("w"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    var labels = und.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to iters) {
+      labels = und.join(labels, und("dst") === labels("node"))
+        .groupBy(col("src"), col("label")).agg(sum(col("w")).as("wt"))
+        .groupBy(col("src"))
+        .agg(min(struct((-col("wt")).as("nw"), col("label"))).as("best"))
+        .select(col("src").as("node"), col("best.label").as("label"))
+    }
+    labels
+  }
+
   /** Weighted PageRank with a fixed number of power iterations.
     *
     * @param edges (src: long, dst: long, w: double) weighted directed

@@ -17,6 +17,31 @@ class GraphSpec extends AnyFunSuite {
     Graph.pagerank(edges.toDF("src", "dst", "w"), iters)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
 
+  private def lpa(edges: Seq[(Long, Long, Long)], iters: Int = 4): Map[Long, Long] =
+    Graph.labelPropagation(edges.toDF("src", "dst", "w"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("LPA: two triangles joined by one weak bridge form two communities") {
+    // triangle {1,2,3}, triangle {4,5,6}, bridge 3-4
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val got = lpa(tri.map { case (a, b) => (a, b, 1L) })
+    assert(got(1L) == got(2L) && got(2L) == got(3L), got)
+    assert(got(4L) == got(5L) && got(5L) == got(6L), got)
+    assert(got(1L) != got(4L), got)
+  }
+
+  test("LPA: ties break toward the smallest label, making runs deterministic") {
+    // path 1-2-3: node 2 sees labels {1, 3} with equal weight → adopts 1
+    val got = lpa(Seq((1L, 2L, 1L), (2L, 3L, 1L)), iters = 1)
+    assert(got(2L) == 1L, got)
+  }
+
+  test("LPA: heavier edge wins over node-id order") {
+    // node 2 attached to 1 (w=1) and 9 (w=5): weight beats smaller label
+    val got = lpa(Seq((1L, 2L, 1L), (2L, 9L, 5L)), iters = 1)
+    assert(got(2L) == 9L, got)
+  }
+
   test("symmetric 2-cycle keeps the uniform distribution exactly") {
     val pr = ranks(Seq((1L, 2L, 1.0), (2L, 1L, 1.0)))
     // mass 1000 over 2 nodes: 500 each, and the update maps 500 -> 500
