@@ -101,6 +101,31 @@ object Queries {
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  /** Incremental aggregate maintenance: orders split into three
+    * "ingest partitions", each reduced to a mergeable partial state
+    * ([[graft.ops.IncrementalAgg]]), states merged, derived values
+    * computed at read time. The ORACLE is the DIRECT full aggregation —
+    * the algebraic contract merge(partial(A), partial(B)) ==
+    * partial(A ∪ B) is exactly what the hash comparison proves, and it
+    * only holds because sums run over integer cents (double partial
+    * sums would re-associate under merge and drift).
+    */
+  def incrAggQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .withColumn("c", cents(col("o_totalprice")).cast("long"))
+    val keys = Seq("o_orderpriority")
+    val parts = (0 to 2).map(i =>
+      graft.ops.IncrementalAgg.partial(
+        o.filter(col("o_orderkey") % 3 === i), keys, "c"))
+    graft.ops.IncrementalAgg.merge(parts, keys)
+      .select(col("o_orderpriority"), col("cnt"),
+        (col("sum_c").cast("double") / 100.0).as("sum_price"),
+        (col("min_c").cast("double") / 100.0).as("min_price"),
+        (col("max_c").cast("double") / 100.0).as("max_price"),
+        avgFromCents(col("sum_c"), col("cnt"), 2).as("avg_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Q1/Q5: selective filter + projection — both must reach the parquet
     * scan (PushedFilters / pruned ReadSchema in the explain output).
     */

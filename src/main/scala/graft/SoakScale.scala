@@ -38,7 +38,13 @@ object SoakScale {
     "q_curation_spans", "q_ann_multitable",
     // late round-6: coverage-gated span policy (adds the per-doc count
     // window to the winnow chain)
-    "q_curation_spancov")
+    "q_curation_spancov",
+    // round-6 continuation: LM train+score over the full corpus (the
+    // vocab-sized model join path), the 4-stage curation with the LM
+    // gate, 4-round LPA at 10x |E|, BPE train+encode (vocab-sized
+    // iterations + one corpus join), and the bloom-pruned big-big join
+    "q_lm_score", "q_curation_lm", "q_label_prop", "q_bpe_encode",
+    "q_bloom_join")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

@@ -194,6 +194,7 @@ object SparkEntry {
     "q_bpe_encode" -> (Queries.bpeEncodeQ _),
     "q_curation_lm" -> (Queries.curationLmQ _),
     "q_label_prop" -> (Queries.labelPropQ _),
+    "q_incr_agg" -> (Queries.incrAggQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -1097,6 +1098,19 @@ object SparkEntry {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // Incremental-agg oracle is the DIRECT full aggregation: the hash
+    // match IS the proof that merging per-partition partial states
+    // reproduces a single-pass aggregate exactly (integer-cents sums).
+    "q_incr_agg" ->
+      """WITH o AS (SELECT o_orderpriority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders)
+        |SELECT o_orderpriority, count(*) AS cnt,
+        |  CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / 100.0 AS sum_price,
+        |  CAST(min(c) AS DOUBLE) / 100.0 AS min_price,
+        |  CAST(max(c) AS DOUBLE) / 100.0 AS max_price,
+        |  floor((CAST(sum(c) AS BIGINT) / count(*)) + 0.5) / 100.0 AS avg_price
+        |FROM o GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
