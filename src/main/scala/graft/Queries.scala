@@ -126,6 +126,24 @@ object Queries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Zone-map build + predicate pruning over the date-partitioned
+    * layout (shard = ship month): the file-skipping stats table every
+    * lake format keeps, as data. kept=false rows are shards a
+    * [1996-04 .. 1996-06] scan provably never reads — at 100 TB this
+    * table is shard-count-sized, so scan planning is a broadcast-sized
+    * lookup, not a data pass.
+    */
+  def zoneMapQ(spark: SparkSession, sfDir: String): DataFrame = {
+    // 1996-04-01T00:00:00Z .. 1996-07-01T00:00:00Z (exclusive), micros
+    val lo = 828316800000000L
+    val hi = 836179200000000L - 1
+    val zones = graft.ops.ZoneMaps.build(
+      Tables.lineitem(spark, sfDir),
+      (year(col("l_shipdate")) * 12 + month(col("l_shipdate")) - 1).cast("long"),
+      expr("unix_micros(cast(l_shipdate as timestamp))"))
+    graft.ops.ZoneMaps.pruneRange(zones, lo, hi).orderBy(col("shard"))
+  }
+
   /** Q1/Q5: selective filter + projection — both must reach the parquet
     * scan (PushedFilters / pruned ReadSchema in the explain output).
     */

@@ -195,6 +195,7 @@ object SparkEntry {
     "q_curation_lm" -> (Queries.curationLmQ _),
     "q_label_prop" -> (Queries.labelPropQ _),
     "q_incr_agg" -> (Queries.incrAggQ _),
+    "q_zone_map" -> (Queries.zoneMapQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -1111,6 +1112,18 @@ object SparkEntry {
         |  CAST(max(c) AS DOUBLE) / 100.0 AS max_price,
         |  floor((CAST(sum(c) AS BIGINT) / count(*)) + 0.5) / 100.0 AS avg_price
         |FROM o GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // Zone-map replay: month shards, micro-epoch min/max, intersect
+    // rule against the same literal range the Spark query pins.
+    "q_zone_map" ->
+      """WITH z AS (SELECT CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1 AS BIGINT) AS shard,
+        |    count(*) AS n_rows,
+        |    min(epoch_us(CAST(l_shipdate AS TIMESTAMP))) AS min_v,
+        |    max(epoch_us(CAST(l_shipdate AS TIMESTAMP))) AS max_v
+        |  FROM lineitem GROUP BY 1)
+        |SELECT shard, n_rows, min_v, max_v,
+        |  (max_v >= 828316800000000 AND min_v <= 836179199999999) AS kept
+        |FROM z ORDER BY shard""".stripMargin,
 
     "q_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
