@@ -731,6 +731,51 @@ object Queries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Shared input for the duplicate-SUBSTRING dedup queries: docs < 300
+    * plus planted composites (id+60000) built like the winnow plants —
+    * tokens 11-40 of every eligible 11th doc `a` (≥ 40 tokens) spliced
+    * before the FULL text of `b = a+3`. Every gram of a plant except
+    * the quote/b boundary grams re-uses an earlier doc's run, so under
+    * the global first-occurrence rule the plant is (almost) entirely
+    * removable while the originals keep their first copies.
+    */
+  private def spanDedupInput(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 300)
+    val planted = d.as("a")
+      .join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 3)
+      .filter(col("a.doc_id") % 11 === 0 &&
+        size(split(trim(lower(col("a.text"))), "\\s+")) >= 40)
+      .select((col("a.doc_id") + 60000).as("doc_id"),
+        concat(
+          array_join(slice(split(trim(lower(col("a.text"))), "\\s+"), 11, 30), " "),
+          lit(" "), col("b.text")).as("text"))
+    d.unionAll(planted)
+  }
+
+  /** Exact duplicate-substring removal spans
+    * ([[graft.ops.Dedup.duplicateSpans]], the Lee-et-al ExactSubstr
+    * mode): maximal per-doc token ranges whose 8-grams all occur
+    * earlier in the corpus. The plants must surface as (near-)whole-doc
+    * spans; natural small-vocab repeats in the synthetic corpus surface
+    * alongside them — both engines must agree exactly.
+    */
+  def dedupSpansQ(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.duplicateSpans(spanDedupInput(spark, sfDir), k = 8)
+      .orderBy(col("doc_id"), col("span_start"))
+
+  /** Cleaned-corpus rebuild ([[graft.ops.Dedup.stripDuplicateSpans]]):
+    * every doc with its duplicate spans cut and the remainder re-joined
+    * — the volume-preserving dedup output. Text compared by md5 (the
+    * cleaned strings are doc-sized); token totals ride alongside so
+    * the cut accounting is visible in the diff.
+    */
+  def dedupStripQ(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.stripDuplicateSpans(spanDedupInput(spark, sfDir), k = 8)
+      .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+        md5(col("text_clean")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+
   /** Span-level decontamination — the verbatim-leak companion of
     * [[decontaminate]] (same eval-set convention, doc_id % 97): corpus
     * docs sharing ≥ 3 WINNOWING fingerprints with the benchmark slice
@@ -3580,4 +3625,31 @@ object Queries {
         (col("lang") === col("pred_label")).as("hit"))
       .orderBy(col("doc_id"))
   }
+
+  /** Batch-perceptron language discriminator
+    * ([[graft.ops.Classify.perceptronTrain]]): y = +1 for English docs,
+    * −1 otherwise; 3 exact-integer batch passes over 64 hashed buckets,
+    * then every doc re-scored with the final weights. The oracle
+    * replays TRAINING (all three unrolled passes), not just inference —
+    * only possible because no float ever enters the update.
+    */
+  def perceptronQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"),
+      when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
+    val (w, b) = graft.ops.Classify.perceptronTrain(d, "y", "text", "pcpt:", 64, 3)
+    graft.ops.Classify.perceptronScore(d, w, b, "doc_id", "text", "pcpt:", 64,
+        carry = Seq("y"))
+      .withColumn("hit", col("pred") === col("y"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PMI collocations ([[graft.ops.TextOps.collocations]]): top-40
+    * adjacent word pairs by exact-integer PMI ratio with support ≥ 5 —
+    * the phrase-mining table a tokenizer/vocab pipeline promotes into
+    * multi-word units.
+    */
+  def collocationsQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.collocations(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+      minCount = 5L, topK = 40)
 }

@@ -63,6 +63,8 @@ object SparkEntry {
     "q_containment_onesided" -> (Queries.containmentOnesidedQ _),
     "q_winnow" -> (Queries.winnowQ _),
     "q_winnow_coverage" -> (Queries.winnowCoverageQ _),
+    "q_dedup_spans" -> (Queries.dedupSpansQ _),
+    "q_dedup_strip" -> (Queries.dedupStripQ _),
     "q_decontaminate_spans" -> (Queries.decontaminateSpans _),
     "q_mixture_weights" -> (Queries.mixtureWeights _),
     "q_simhash" -> (Queries.simhashQ _),
@@ -179,6 +181,8 @@ object SparkEntry {
     "q_zipf" -> (Queries.zipfQ _),
     "q_dsir" -> (Queries.dsirQ _),
     "q_nb_classifier" -> (Queries.nbClassifierQ _),
+    "q_perceptron" -> (Queries.perceptronQ _),
+    "q_collocations" -> (Queries.collocationsQ _),
     "q_semdedup" -> (Queries.semdedupQ _),
     "q_export_shards" -> (Queries.exportShardsQ _),
     "q_tpch2" -> (Queries.tpch2Q _),
@@ -251,6 +255,34 @@ object SparkEntry {
        |    FROM ${p}full WINDOW ww AS (PARTITION BY doc_id ORDER BY pos
        |                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING))
        |  WHERE nfull = 4)""".stripMargin
+
+  /** Duplicate-substring CTE chain (k=8 — the Dedup.duplicateSpans
+    * contract) over the q_dedup_spans input (docs < 300 + spliced
+    * plants at id+60000): defines `xbase`, `xtoks`, `xh` (full-8-gram
+    * hashes with the packed first-occurrence key doc_id·1e6 + pos) and
+    * `xfirst` (h → min key).
+    */
+  private def dupSpanCtes: String =
+    s"""xbase AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id < 300
+       |  UNION ALL
+       |  SELECT a.doc_id + 60000,
+       |    array_to_string(string_split_regex(trim(lower(a.text)), '\\s+')[11:40], ' ') || ' ' || b.text AS text
+       |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 3
+       |  WHERE a.doc_id % 11 = 0 AND a.doc_id < 300 AND b.doc_id < 300
+       |    AND len(string_split_regex(trim(lower(a.text)), '\\s+')) >= 40),
+       |xtoks AS (SELECT doc_id, pos, ws[pos+1] AS tok, len(ws) AS ng FROM (
+       |    SELECT doc_id, ${wordsSql("lower(text)")} AS ws FROM xbase) s,
+       |    LATERAL (SELECT unnest(range(len(ws))) AS pos) p),
+       |xgrams AS (SELECT doc_id, pos,
+       |    tok || ' ' || lead(tok,1) OVER wo || ' ' || lead(tok,2) OVER wo || ' ' ||
+       |      lead(tok,3) OVER wo || ' ' || lead(tok,4) OVER wo || ' ' ||
+       |      lead(tok,5) OVER wo || ' ' || lead(tok,6) OVER wo || ' ' ||
+       |      lead(tok,7) OVER wo AS gram, ng
+       |  FROM xtoks WINDOW wo AS (PARTITION BY doc_id ORDER BY pos)),
+       |xh AS (SELECT doc_id, pos, ${hSql("gram")} AS h,
+       |    doc_id * 1000000 + pos AS key FROM xgrams WHERE pos <= ng - 8),
+       |xfirst AS (SELECT h, min(key) AS first_key FROM xh GROUP BY h)""".stripMargin
 
   /** Stupid-Backoff bigram LM CTE chain (the graft.ops.LanguageModel
     * contract): trains on `trainBase`(doc_id, text), scores
@@ -819,6 +851,44 @@ object SparkEntry {
          |FROM vpairs JOIN vcnt ca ON vpairs.doc_a = ca.doc_id
          |            JOIN vcnt cb ON vpairs.doc_b = cb.doc_id
          |ORDER BY 1, 2""".stripMargin,
+
+    // Duplicate-substring removal spans (Dedup.duplicateSpans k=8):
+    // position-indexed 8-gram hashes, global first-occurrence rule via
+    // min over the packed (doc_id·1e6 + pos) key, then the
+    // q_interval_merge island pattern per doc. All-integer pipeline.
+    "q_dedup_spans" ->
+      s"""WITH $dupSpanCtes,
+         |xdup AS (SELECT doc_id, pos, pos + 7 AS e FROM xh JOIN xfirst USING (h)
+         |         WHERE key <> first_key),
+         |xm AS (SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY pos
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max FROM xdup),
+         |xi AS (SELECT *, CAST(sum(CASE WHEN prev_max IS NULL OR pos > prev_max + 1
+         |        THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT)
+         |        AS island FROM xm)
+         |SELECT doc_id, min(pos) AS span_start, max(e) AS span_end,
+         |  max(e) - min(pos) + 1 AS span_tokens
+         |FROM xi GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""".stripMargin,
+
+    // Cleaned-corpus rebuild (Dedup.stripDuplicateSpans): token kept iff
+    // the running max of (dup-start + 7) stays below it; kept tokens
+    // re-joined in position order, compared by md5.
+    "q_dedup_strip" ->
+      s"""WITH $dupSpanCtes,
+         |xmark AS (SELECT doc_id, pos FROM xh JOIN xfirst USING (h)
+         |          WHERE key <> first_key),
+         |xj AS (SELECT t.doc_id, t.pos, t.tok,
+         |    CASE WHEN m.pos IS NOT NULL THEN t.pos + 7 END AS de
+         |  FROM xtoks t LEFT JOIN xmark m ON t.doc_id = m.doc_id AND t.pos = m.pos),
+         |xr AS (SELECT *, max(de) OVER (PARTITION BY doc_id ORDER BY pos) AS run_end
+         |       FROM xj)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(sum(CASE WHEN run_end IS NULL OR pos > run_end THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_kept,
+         |  md5(coalesce(string_agg(tok, ' ' ORDER BY pos)
+         |    FILTER (WHERE run_end IS NULL OR pos > run_end), '')) AS clean_md5
+         |FROM xr GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     // Same winnowing replay over the PLAIN corpus (no plants), then the
     // decontaminate aggregation shape: bench fingerprints vs the rest.
@@ -2905,6 +2975,79 @@ object SparkEntry {
          |    FROM sc) WHERE rn = 1)
          |SELECT doc_id, lang, pred_lang, (lang = pred_lang) AS hit
          |FROM pred ORDER BY doc_id""".stripMargin,
+
+    // Batch-perceptron replay — TRAINING unrolled (3 integer-exact
+    // passes: all-zero start makes pass 1 the class-difference count
+    // vector; passes 2-3 score, take y·s ≤ 0 as mistakes, add Σ y·n),
+    // then final scoring with w3/b3. Identical to Classify
+    // .perceptronTrain/perceptronScore because no float ever enters.
+    "q_perceptron" ->
+      s"""WITH pc0 AS (
+         |  SELECT doc_id, y, bucket, count(*) AS n FROM (
+         |    SELECT doc_id, CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y,
+         |      ${hSql("'pcpt:' || tok")} % 64 AS bucket FROM (
+         |      SELECT doc_id, lang, unnest(${wordsSql("lower(text)")}) AS tok FROM documents) u
+         |    WHERE length(tok) >= 2) b
+         |  GROUP BY doc_id, y, bucket),
+         |pd AS (SELECT DISTINCT doc_id, y FROM pc0),
+         |w1 AS (SELECT bucket, CAST(sum(y * n) AS BIGINT) AS w FROM pc0 GROUP BY bucket),
+         |b1 AS (SELECT CAST(sum(y) AS BIGINT) AS b FROM pd),
+         |s2 AS (SELECT c.doc_id, c.y,
+         |    CAST(sum(c.n * coalesce(w1.w, 0)) AS BIGINT) + (SELECT b FROM b1) AS s
+         |  FROM pc0 c LEFT JOIN w1 USING (bucket) GROUP BY c.doc_id, c.y),
+         |m2 AS (SELECT doc_id, y FROM s2 WHERE y * s <= 0),
+         |g2 AS (SELECT c.bucket, CAST(sum(c.y * c.n) AS BIGINT) AS g
+         |  FROM pc0 c JOIN m2 USING (doc_id) GROUP BY c.bucket),
+         |w2 AS (SELECT coalesce(w1.bucket, g2.bucket) AS bucket,
+         |    coalesce(w1.w, 0) + coalesce(g2.g, 0) AS w
+         |  FROM w1 FULL JOIN g2 ON w1.bucket = g2.bucket),
+         |b2 AS (SELECT (SELECT b FROM b1)
+         |    + coalesce((SELECT CAST(sum(y) AS BIGINT) FROM m2), 0) AS b),
+         |s3 AS (SELECT c.doc_id, c.y,
+         |    CAST(sum(c.n * coalesce(w2.w, 0)) AS BIGINT) + (SELECT b FROM b2) AS s
+         |  FROM pc0 c LEFT JOIN w2 USING (bucket) GROUP BY c.doc_id, c.y),
+         |m3 AS (SELECT doc_id, y FROM s3 WHERE y * s <= 0),
+         |g3 AS (SELECT c.bucket, CAST(sum(c.y * c.n) AS BIGINT) AS g
+         |  FROM pc0 c JOIN m3 USING (doc_id) GROUP BY c.bucket),
+         |w3 AS (SELECT coalesce(w2.bucket, g3.bucket) AS bucket,
+         |    coalesce(w2.w, 0) + coalesce(g3.g, 0) AS w
+         |  FROM w2 FULL JOIN g3 ON w2.bucket = g3.bucket),
+         |b3 AS (SELECT (SELECT b FROM b2)
+         |    + coalesce((SELECT CAST(sum(y) AS BIGINT) FROM m3), 0) AS b),
+         |fs AS (SELECT c.doc_id, c.y,
+         |    CAST(sum(c.n * coalesce(w3.w, 0)) AS BIGINT) + (SELECT b FROM b3) AS score
+         |  FROM pc0 c LEFT JOIN w3 USING (bucket) GROUP BY c.doc_id, c.y)
+         |SELECT doc_id, y, score,
+         |  CAST(CASE WHEN score > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
+         |  (CAST(CASE WHEN score > 0 THEN 1 ELSE -1 END AS BIGINT) = y) AS hit
+         |FROM fs ORDER BY doc_id""".stripMargin,
+
+    // PMI collocations replay: adjacent pairs from the per-doc lead()
+    // window, slot-based unigram counts (each token counted once per
+    // pair slot, N = 2·|pairs| — the self-consistent normalization the
+    // operator documents), exact-integer ratio in HUGEINT (Spark:
+    // decimal(38,0)), truncating division, support floor 5, top-40.
+    "q_collocations" ->
+      s"""WITH ptoks AS (SELECT doc_id, pos, ws[pos+1] AS tok, len(ws) AS ng FROM (
+         |    SELECT doc_id, ${wordsSql("lower(text)")} AS ws FROM documents) s,
+         |    LATERAL (SELECT unnest(range(len(ws))) AS pos) p),
+         |pl AS (SELECT doc_id, pos, tok,
+         |    lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2, ng
+         |  FROM ptoks),
+         |pp AS (SELECT tok AS w1, w2 FROM pl WHERE pos <= ng - 2),
+         |puni AS (SELECT w, count(*) AS cw FROM (
+         |    SELECT w1 AS w FROM pp UNION ALL SELECT w2 AS w FROM pp) u GROUP BY w),
+         |pbig AS (SELECT w1, w2, count(*) AS n_pair FROM pp
+         |  GROUP BY 1, 2 HAVING count(*) >= 5),
+         |ptot AS (SELECT 2 * count(*) AS n_total FROM pp)
+         |SELECT w1, w2, n_pair,
+         |  CAST((CAST(n_pair AS HUGEINT) * n_total * 1000000) //
+         |       (CAST(c1.cw AS HUGEINT) * c2.cw) AS BIGINT) AS pmi_micro
+         |FROM pbig
+         |JOIN puni c1 ON pbig.w1 = c1.w
+         |JOIN puni c2 ON pbig.w2 = c2.w
+         |CROSS JOIN ptot
+         |ORDER BY pmi_micro DESC, w1, w2 LIMIT 40""".stripMargin,
 
     // Stupid-Backoff LM replay via the shared lmCtes chain (train = en
     // slice, score = all documents); lang carried back by a doc_id

@@ -162,4 +162,78 @@ object Classify {
       .select(col(idCol) +: carry.map(col) :+
         col("best.label").as("pred_label"): _*)
   }
+
+  // ------------------------------------------------------- perceptron
+
+  /** Distributed batch PERCEPTRON — the discriminative companion of
+    * [[nbTrain]], trained end-to-end in EXACT integer arithmetic (no
+    * learning-rate float, no sigmoid, no ln): labels are y ∈ {+1, −1};
+    * iteration t scores every doc (`s_d = Σ_b n_db·w_b + w₀`), takes
+    * the misclassified set `M = {d : y_d·s_d ≤ 0}` (a tie is a mistake,
+    * so the all-zero start updates on every doc — iteration 1 IS the
+    * class-difference count vector), and applies the batch update
+    * `w_b += Σ_{d∈M} y_d·n_db`, `w₀ += Σ_{d∈M} y_d`. Every quantity is
+    * an integer sum of integer counts — bit-identical in any engine —
+    * which is what lets the oracle replay TRAINING, not just scoring.
+    *
+    * Scale shape: the hashed count table is built once, repartitioned
+    * by doc_id and persisted; the per-doc score aggregate and the
+    * misclassified-set equi-join both reuse that single partitioning
+    * (hash on doc_id satisfies both clusterings), so one iteration
+    * moves only the ≤buckets-row weight table — broadcast out,
+    * aggregated back with map-side combine. `iters` is a fixed budget,
+    * not a convergence loop: the batch perceptron on non-separable
+    * data oscillates, so pipelines run N passes and take the result —
+    * the fixed-pass shape kmeans established. Training domain = docs
+    * with ≥ 1 hashed token (the featurizer's length-≥-2 filter).
+    *
+    * Returns (weights, bias): `weights` is (bucket, w) with ≤ buckets
+    * rows, `bias` a single row (b) — both model-sized and lazy.
+    */
+  def perceptronTrain(train: DataFrame, yCol: String, textCol: String,
+      salt: String, buckets: Int, iters: Int): (DataFrame, DataFrame) = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    val counts = tokenBucketCounts(
+        train.select(col("doc_id"), col(yCol).as("y"), col(textCol).as("text")),
+        "doc_id", "text", salt, buckets, carry = Seq("y"))
+      .repartition(col("doc_id"))
+      .persist()
+    var w = Seq.empty[(Long, Long)].toDF("bucket", "w")
+    var bias = Seq(0L).toDF("b")
+    for (_ <- 1 to iters) {
+      val scored = counts.join(broadcast(w), Seq("bucket"), "left")
+        .groupBy(col("doc_id"), col("y"))
+        .agg(sum(col("n") * coalesce(col("w"), lit(0L))).as("sw"))
+        .crossJoin(broadcast(bias))
+        .withColumn("s", col("sw") + col("b"))
+      val mis = scored.filter(col("y") * col("s") <= 0)
+      val grad = counts.join(mis.select(col("doc_id")), Seq("doc_id"))
+        .groupBy(col("bucket")).agg(sum(col("y") * col("n")).as("g"))
+      w = w.join(grad, Seq("bucket"), "full")
+        .select(col("bucket"),
+          (coalesce(col("w"), lit(0L)) + coalesce(col("g"), lit(0L))).as("w"))
+      bias = bias.crossJoin(
+          mis.agg(coalesce(sum(col("y")), lit(0L)).as("gb")))
+        .select((col("b") + col("gb")).as("b"))
+    }
+    (w, bias)
+  }
+
+  /** Score documents against a perceptron model: exact-integer
+    * `s = Σ n·w + b`, `pred = +1 iff s > 0` (a zero score predicts −1,
+    * matching the mistake-on-tie training rule). Weights and bias
+    * broadcast; one doc-keyed aggregate.
+    */
+  def perceptronScore(docs: DataFrame, weights: DataFrame, bias: DataFrame,
+      idCol: String, textCol: String, salt: String, buckets: Int,
+      carry: Seq[String] = Nil): DataFrame =
+    tokenBucketCounts(docs, idCol, textCol, salt, buckets, carry)
+      .join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy(col(idCol) +: carry.map(col): _*)
+      .agg(sum(col("n") * coalesce(col("w"), lit(0L))).as("sw"))
+      .crossJoin(broadcast(bias))
+      .select(col(idCol) +: carry.map(col) :+
+        (col("sw") + col("b")).as("score") :+
+        when(col("sw") + col("b") > 0, 1L).otherwise(-1L).as("pred"): _*)
 }

@@ -748,4 +748,125 @@ object Dedup {
         "returning partial labels would be silently wrong")
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
   }
+
+  // -------------------------------------------- duplicate-substring spans
+
+  /** Position-indexed k-gram hashes of every document: one row
+    * (doc_id, pos, h) per FULL k-token window starting at 0-based
+    * whitespace-token position `pos` of the lowered text. One token
+    * explode + one per-doc ordered window (lead()-built grams — the
+    * winnowFingerprints shape generalized to any k), 48-bit portable
+    * hash so the oracle replays bit-identically.
+    */
+  private def gramHashes(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wo = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val gram = (0 until k).map(i =>
+      if (i == 0) col("tok") else lead(col("tok"), i).over(wo))
+    docs
+      .select(col("doc_id"),
+        posexplode(split(trim(lower(col("text"))), "\\s+")).as(Seq("pos", "tok")))
+      .withColumn("gram", concat_ws(" ", gram: _*))
+      .withColumn("ng", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .filter(col("pos") <= col("ng") - k)
+      .select(col("doc_id"), col("pos"),
+        TextOps.portableHash64(col("gram")).as("h"))
+  }
+
+  /** Global first-occurrence key: orders gram occurrences by
+    * (doc_id, pos) as ONE long so min() is partial-aggregatable.
+    * Contract: pos < 10^6 (a million tokens per doc) keeps the packing
+    * collision-free — enforced with raise_error, not assumed (the
+    * EditDistanceJoin maxLen pattern).
+    */
+  private val PosPack = 1000000L
+  private def firstKey: Column =
+    when(col("pos") < lit(PosPack), col("doc_id") * PosPack + col("pos"))
+      .otherwise(raise_error(concat(
+        lit("duplicateSpans: doc "), col("doc_id"),
+        lit(" exceeds 1e6 tokens — split the document or raise PosPack"))))
+
+  /** Exact duplicate-SUBSTRING removal spans — the ExactSubstr dedup of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better") re-expressed relationally. Every token position
+    * opening a k-gram whose hash occurs EARLIER in the corpus (global
+    * first-occurrence order = (doc_id, pos)) marks its k tokens as
+    * duplicated; overlapping or ADJACENT marks merge into maximal
+    * per-doc removal spans. Unlike whole-doc dedup (exact / MinHash)
+    * or pair detection (winnowing), the output says WHAT TO CUT: the
+    * corpus keeps exactly one copy of every duplicated run ≥ k tokens
+    * and every doc survives with its unique content — the dedup mode
+    * that preserves data volume instead of dropping documents.
+    *
+    * Where the paper builds a suffix array, the relational shape is a
+    * single corpus-wide aggregation BY GRAM HASH: min(first-occurrence
+    * key) is partial-aggregatable, so map-side combine absorbs hot
+    * boilerplate grams (no row_number sort within skewed hash
+    * partitions), and the join back is 1:1 against a
+    * distinct-gram-sized table — AQE splits any residual skew. Span
+    * assembly is one doc-partitioned window (the q_interval_merge
+    * island pattern). Total: two exchanges beyond the scan, no
+    * pairwise join anywhere — cost linear in corpus grams and
+    * INDEPENDENT of duplication factor.
+    *
+    * Output: (doc_id, span_start, span_end, span_tokens) — inclusive
+    * 0-based token positions, only docs with at least one span.
+    */
+  def duplicateSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = gramHashes(docs, k).withColumn("key", firstKey)
+    val first = grams.groupBy(col("h")).agg(min(col("key")).as("first_key"))
+    val dup = grams.join(first, "h")
+      .filter(col("key") =!= col("first_key"))
+      .select(col("doc_id"), col("pos"), (col("pos") + (k - 1)).as("e"))
+    val wo = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dup
+      .withColumn("prev_max",
+        max(col("e")).over(wo.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni",
+        when(col("prev_max").isNull || col("pos") > col("prev_max") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("ni")).over(wo))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"), max(col("e")).as("e"))
+      .select(col("doc_id"),
+        col("s").cast("long").as("span_start"),
+        col("e").cast("long").as("span_end"),
+        (col("e") - col("s") + 1).cast("long").as("span_tokens"))
+  }
+
+  /** Rebuild every document with its [[duplicateSpans]] cut out. A
+    * token at position p is covered iff some duplicate gram STARTS in
+    * (p − k, p] — equivalently the running max of (dup-start + k − 1)
+    * over positions ≤ p reaches p — so coverage is one more
+    * doc-partitioned window over the token stream, NOT a range join
+    * against the span table. Kept tokens re-join with single spaces
+    * (tokenization already normalized whitespace).
+    * Output: (doc_id, n_tokens, n_kept, text_clean) for every doc —
+    * a fully-duplicated doc comes back with n_kept = 0 and empty text.
+    */
+  def stripDuplicateSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(trim(lower(col("text"))), "\\s+")).as(Seq("pos", "tok")))
+    val grams = gramHashes(docs, k).withColumn("key", firstKey)
+    val first = grams.groupBy(col("h")).agg(min(col("key")).as("first_key"))
+    val marks = grams.join(first, "h")
+      .filter(col("key") =!= col("first_key"))
+      .select(col("doc_id"), col("pos"), lit(1).as("dup"))
+    val wo = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    toks.join(marks, Seq("doc_id", "pos"), "left")
+      .withColumn("run_end",
+        max(when(col("dup") === 1, col("pos") + (k - 1))).over(wo))
+      .withColumn("covered", coalesce(col("pos") <= col("run_end"), lit(false)))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(!col("covered"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(!col("covered"), struct(col("pos"), col("tok"))))),
+            x => x.getField("tok")), " ").as("text_clean"))
+  }
 }

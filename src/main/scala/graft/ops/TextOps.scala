@@ -213,4 +213,52 @@ object TextOps {
         col("top_bigram_frac") > RepTopBigramMax ||
           col("dup_trigram_frac") > RepDupTrigramMax)
   }
+
+  /** Corpus collocations by pointwise mutual information over ADJACENT
+    * word pairs — the phrase-mining signal tokenizer/vocab induction
+    * uses to promote multi-word units ("new york", "machine learning")
+    * above chance co-occurrence. PMI = log P(xy)/(P(x)P(y)); since log
+    * is monotone the ranking needs only the RATIO, which is computed in
+    * EXACT integers: score_micro = (c_xy · N · 10⁶) div (c_x · c_y)
+    * with N = total bigram count — no float ever enters the ordering,
+    * so ranks can't flip on an engine boundary. The multiply runs in
+    * decimal(38,0) (DuckDB: HUGEINT) so corpus-scale counts can't
+    * overflow a long.
+    *
+    * Scale shape: one token explode + the per-doc lead() window (the
+    * repetitionStats exchange), then two map-side-combined counts
+    * (unigrams ≈ vocab, bigrams ≈ distinct pairs). The unigram joins
+    * are 1:1 on the count tables — no fan-out — and the support floor
+    * (`minCount`, PMI's classic rare-pair guard) prunes the pair table
+    * before them. Final top-k is a TakeOrdered, never a global sort.
+    */
+  def collocations(docs: org.apache.spark.sql.DataFrame, minCount: Long = 5L,
+      topK: Int = 40): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      posexplode(words(lower(col("text")))).as(Seq("pos", "tok")))
+    val wo = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val pairs = toks
+      .withColumn("ng", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("w2", lead(col("tok"), 1).over(wo))
+      .filter(col("pos") <= col("ng") - 2)
+      .select(col("tok").as("w1"), col("w2"))
+    val uni = pairs.select(explode(array(col("w1"), col("w2"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val big = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val total = pairs.select((count(lit(1)) * 2).as("n_total"))
+    val dec = "decimal(38,0)"
+    big
+      .join(uni.select(col("w").as("w1"), col("cw").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cw").as("c2")), "w2")
+      .crossJoin(broadcast(total))
+      .withColumn("num",
+        col("n_pair").cast(dec) * col("n_total").cast(dec) * lit(1000000L))
+      .withColumn("den", col("c1").cast(dec) * col("c2").cast(dec))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        expr("CAST((num div den) AS LONG)").as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
 }

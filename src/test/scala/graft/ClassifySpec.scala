@@ -111,4 +111,35 @@ class ClassifySpec extends AnyFunSuite {
     assert(n > 0 && hits.toDouble / n >= 0.3,
       s"NB should beat 5-way chance (0.2) with margin: $hits/$n")
   }
+
+  test("perceptron: hand-replayable integer training on separable docs") {
+    import spark.implicits._
+    // Tokens aa/bb land in distinct buckets (asserted below). Pass 1
+    // updates on EVERY doc (all-zero scores tie → mistake), so
+    // w(aa) = +2+1+1 = 4, w(bb) = −2−1+1 = −2, bias = +3−2 = +1.
+    // Pass 2 scores: 9, 5, −3, −1, 3 — all correct (y·s > 0), so
+    // passes 2-3 change nothing and the final scores ARE those.
+    val docs = Seq(
+      (1L, "aa aa", 1L), (2L, "aa", 1L),
+      (3L, "bb bb", -1L), (4L, "bb", -1L),
+      (5L, "aa bb", 1L)
+    ).toDF("doc_id", "text", "y")
+    val bAa = Seq("aa").toDF("t")
+      .select(Classify.featureBucket(col("t"), "t:", 1024)).collect()(0).getLong(0)
+    val bBb = Seq("bb").toDF("t")
+      .select(Classify.featureBucket(col("t"), "t:", 1024)).collect()(0).getLong(0)
+    assert(bAa != bBb, "hand replay assumes no bucket collision")
+    val (w, bias) = Classify.perceptronTrain(docs, "y", "text", "t:", 1024, 3)
+    val wm = w.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(wm == Map(bAa -> 4L, bBb -> -2L))
+    assert(bias.collect()(0).getLong(0) == 1L)
+    val out = Classify.perceptronScore(docs, w, bias, "doc_id", "text", "t:", 1024,
+        carry = Seq("y"))
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 9L, 1L), (2L, 1L, 5L, 1L),
+      (3L, -1L, -3L, -1L), (4L, -1L, -1L, -1L),
+      (5L, 1L, 3L, 1L)))
+  }
 }

@@ -299,4 +299,50 @@ class DedupSpec extends AnyFunSuite {
     val h = Seq("hello").toDF("s").select(TextOps.portableHash64($"s")).collect()(0).getLong(0)
     assert(h == java.lang.Long.parseLong("5d41402abc4b", 16))
   }
+
+  // Hand-built corpus for the ExactSubstr span family (k = 4).
+  //  d1: 10 unique tokens — the first-occurrence source.
+  //  d2: d1's run t1..t6 embedded mid-doc → one interior span.
+  //  d3: exact copy of d1 → whole-doc span.
+  //  d4: 4 unique tokens, one gram, first occurrence → no span.
+  //  d5: two d1-runs separated by unique z1..z5 → two islands.
+  //  d6: intra-doc repeat (w1..w4 twice) → the LATER copy spans.
+  //  d8: d1-gram then d5-gram, marks at pos 0 and 4 only — intervals
+  //      [0,3] and [4,7] touch without overlapping, pinning the
+  //      adjacent-merge rule.
+  private val spanDocs = Seq(
+    (1L, "t1 t2 t3 t4 t5 t6 t7 t8 u1 u2"),
+    (2L, "x1 x2 t1 t2 t3 t4 t5 t6 v1 v2"),
+    (3L, "t1 t2 t3 t4 t5 t6 t7 t8 u1 u2"),
+    (4L, "p q r s"),
+    (5L, "t1 t2 t3 t4 z1 z2 z3 z4 z5 t5 t6 t7 t8 u1 u2"),
+    (6L, "w1 w2 w3 w4 m n w1 w2 w3 w4"),
+    (8L, "t1 t2 t3 t4 z1 z2 z3 z4")
+  ).toDF("doc_id", "text")
+
+  test("duplicateSpans: first-occurrence rule, island merge, adjacency") {
+    val spans = Dedup.duplicateSpans(spanDocs, k = 4)
+      .orderBy($"doc_id", $"span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.toSeq == Seq(
+      (2L, 2L, 7L, 6L),   // embedded run only — flanks survive
+      (3L, 0L, 9L, 10L),  // exact copy — whole doc
+      (5L, 0L, 3L, 4L), (5L, 9L, 14L, 6L), // two islands, z-gap kept
+      (6L, 6L, 9L, 4L),   // intra-doc: later copy spans, first kept
+      (8L, 0L, 7L, 8L)))  // [0,3] + [4,7] adjacent → merged
+  }
+
+  test("stripDuplicateSpans rebuilds the kept remainder exactly") {
+    val out = Dedup.stripDuplicateSpans(spanDocs, k = 4)
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 10L, 10L, "t1 t2 t3 t4 t5 t6 t7 t8 u1 u2"),
+      (2L, 10L, 4L, "x1 x2 v1 v2"),
+      (3L, 10L, 0L, ""),
+      (4L, 4L, 4L, "p q r s"),
+      (5L, 15L, 5L, "z1 z2 z3 z4 z5"),
+      (6L, 10L, 6L, "w1 w2 w3 w4 m n"),
+      (8L, 8L, 0L, "")))
+  }
 }

@@ -598,4 +598,31 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 4, s"shard stats should shuffle once: $exchanges\n$plan")
     assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("duplicateSpans: first-occurrence min partial-aggregates; no pairwise join") {
+    val plan = formatted(Queries.dedupSpansQ(spark, sf))
+    // the skew-safety claim: min(first-key) combines MAP-SIDE, so hot
+    // boilerplate grams never pile into one sort partition
+    assert(plan.contains("partial_min"), plan)
+    // no all-pairs shape anywhere — the join back is 1:1 on gram hash
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
+  test("perceptron: weight/bias joins broadcast; count table is the only big shuffle") {
+    val plan = formatted(Queries.perceptronQ(spark, sf))
+    // every weight-table join (3 train iters + scoring) broadcasts
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // bias rides a 1-row broadcast nested loop (the eval-set pattern),
+    // never a cartesian product
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the persisted hashed-count table is reused, not recomputed
+    assert(plan.contains("InMemoryTableScan"), plan)
+  }
+
+  test("collocations: top-k is TakeOrdered, not a global sort") {
+    val plan = formatted(Queries.collocationsQ(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }

@@ -2,6 +2,8 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.ops.TextOps
+
 /** Unit contract of TextOps.repetitionStats (q_repetition's oracle
   * checks exact values at corpus scale; this pins the signal semantics
   * on hand-built docs).
@@ -36,5 +38,23 @@ class TextOpsSpec extends AnyFunSuite {
     // the declared edge of a token-count signal on degenerate-length
     // docs (production gates pair it with a min-length gate)
     assert(flagTwo)
+  }
+
+  test("collocations: exact-integer PMI ranks the tight pair first") {
+    import spark.implicits._
+    // 5 docs of exactly "new york" (pair always together) + one filler
+    // doc alternating aa/bb (pairs split across two orders). By hand:
+    // pairs = 5·(new,york) + 2·(aa,bb) + 2·(bb,aa) → N = 9, slots = 18;
+    // cw(new) = cw(york) = 5, cw(aa) = cw(bb) = 4.
+    //   pmi(new,york) = 5·18·10⁶ div 25 = 3 600 000
+    //   pmi(aa,bb) = pmi(bb,aa) = 2·18·10⁶ div 16 = 2 250 000
+    val docs = ((1L to 5L).map(i => (i, "new york")) :+ (6L, "aa bb aa bb aa"))
+      .toDF("doc_id", "text")
+    val out = TextOps.collocations(docs, minCount = 2L, topK = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("new", "york", 5L, 3600000L),
+      ("aa", "bb", 2L, 2250000L),
+      ("bb", "aa", 2L, 2250000L)))
   }
 }
