@@ -776,6 +776,36 @@ object Queries {
         md5(col("text_clean")).as("clean_md5"))
       .orderBy(col("doc_id"))
 
+  /** Incremental duplicate-substring spans
+    * ([[graft.ops.Dedup.duplicateSpansVersusCorpus]]): corpus =
+    * docs < 200 distilled into a prebuilt gram-first index; delta
+    * batch = docs 200-299 plus two plant families — a composite
+    * quoting CORPUS content (id+60000: 30-token quote of corpus doc
+    * `a` + full text of corpus doc `a+3`, every dup mark from the
+    * index side) and exact copies of batch docs (id+70000, the
+    * batch-INTERNAL first-occurrence rule). Only batch docs appear in
+    * the output; the corpus is never re-scanned.
+    */
+  def dedupSpansIncrQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val all = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val corpus = all.filter(col("doc_id") < 200)
+    val batch0 = all.filter(col("doc_id") >= 200 && col("doc_id") < 300)
+    val quoted = corpus.as("a")
+      .join(corpus.as("b"), col("b.doc_id") === col("a.doc_id") + 3)
+      .filter(col("a.doc_id") % 11 === 0 &&
+        size(split(trim(lower(col("a.text"))), "\\s+")) >= 40)
+      .select((col("a.doc_id") + 60000).as("doc_id"),
+        concat(
+          array_join(slice(split(trim(lower(col("a.text"))), "\\s+"), 11, 30), " "),
+          lit(" "), col("b.text")).as("text"))
+    val copies = batch0.filter(col("doc_id") % 17 === 0)
+      .select((col("doc_id") + 70000).as("doc_id"), col("text"))
+    Dedup.duplicateSpansVersusCorpus(
+        batch0.unionAll(quoted).unionAll(copies),
+        Dedup.gramFirstTable(corpus), k = 8)
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   /** Span-level decontamination — the verbatim-leak companion of
     * [[decontaminate]] (same eval-set convention, doc_id % 97): corpus
     * docs sharing ≥ 3 WINNOWING fingerprints with the benchmark slice

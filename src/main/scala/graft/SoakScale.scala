@@ -44,7 +44,11 @@ object SoakScale {
     // gate, 4-round LPA at 10x |E|, BPE train+encode (vocab-sized
     // iterations + one corpus join), and the bloom-pruned big-big join
     "q_lm_score", "q_curation_lm", "q_label_prop", "q_bpe_encode",
-    "q_bloom_join")
+    "q_bloom_join",
+    // late round 6: integer batch-perceptron training (3 passes over
+    // the persisted doc_id-partitioned count table) and PMI
+    // collocations (two corpus-wide count aggregates) — both uncapped
+    "q_perceptron", "q_collocations")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)
@@ -93,6 +97,24 @@ object SoakScale {
       val n = graft.ops.TextOps.repetitionStats(d).count()
       Console.err.println(
         f"op_repetition_full  ${(System.nanoTime() - t0) / 1e9}%8.1f s  ($n rows)")
+    }
+    // Duplicate-substring spans over the ENTIRE soak corpus
+    // (q_dedup_spans caps its probe at doc_id < 300 by construction):
+    // the replicated copies are exact duplicates, so nearly every
+    // non-first doc must come back as one whole-doc span — the
+    // dup-heavy shape where the first-occurrence aggregate's map-side
+    // combine earns its keep. Strip adds the token-rebuild pass.
+    if (only.forall(_.contains("op_dup_spans_full"))) {
+      val d = graft.sources.Tables.documents(spark, out)
+        .select(col("doc_id"), col("text"))
+      val t0 = System.nanoTime()
+      val n = graft.ops.Dedup.duplicateSpans(d).count()
+      Console.err.println(
+        f"op_dup_spans_full   ${(System.nanoTime() - t0) / 1e9}%8.1f s  ($n rows)")
+      val t1 = System.nanoTime()
+      val n2 = graft.ops.Dedup.stripDuplicateSpans(d).count()
+      Console.err.println(
+        f"op_dup_strip_full   ${(System.nanoTime() - t1) / 1e9}%8.1f s  ($n2 rows)")
     }
     spark.stop()
   }

@@ -65,6 +65,7 @@ object SparkEntry {
     "q_winnow_coverage" -> (Queries.winnowCoverageQ _),
     "q_dedup_spans" -> (Queries.dedupSpansQ _),
     "q_dedup_strip" -> (Queries.dedupStripQ _),
+    "q_dedup_spans_incr" -> (Queries.dedupSpansIncrQ _),
     "q_decontaminate_spans" -> (Queries.decontaminateSpans _),
     "q_mixture_weights" -> (Queries.mixtureWeights _),
     "q_simhash" -> (Queries.simhashQ _),
@@ -262,6 +263,24 @@ object SparkEntry {
     * hashes with the packed first-occurrence key doc_id·1e6 + pos) and
     * `xfirst` (h → min key).
     */
+  /** Position-indexed full-8-gram hash CTE chain over relation `base`
+    * (doc_id, text): defines `${p}toks`, `${p}grams`, `${p}h`
+    * (doc_id, pos, h, key — the packed doc_id·1e6 + pos
+    * first-occurrence key). The Dedup.gramHashes contract.
+    */
+  private def gram8Ctes(p: String, base: String): String =
+    s"""${p}toks AS (SELECT doc_id, pos, ws[pos+1] AS tok, len(ws) AS ng FROM (
+       |    SELECT doc_id, ${wordsSql("lower(text)")} AS ws FROM $base) s,
+       |    LATERAL (SELECT unnest(range(len(ws))) AS pos) p),
+       |${p}grams AS (SELECT doc_id, pos,
+       |    tok || ' ' || lead(tok,1) OVER wo || ' ' || lead(tok,2) OVER wo || ' ' ||
+       |      lead(tok,3) OVER wo || ' ' || lead(tok,4) OVER wo || ' ' ||
+       |      lead(tok,5) OVER wo || ' ' || lead(tok,6) OVER wo || ' ' ||
+       |      lead(tok,7) OVER wo AS gram, ng
+       |  FROM ${p}toks WINDOW wo AS (PARTITION BY doc_id ORDER BY pos)),
+       |${p}h AS (SELECT doc_id, pos, ${hSql("gram")} AS h,
+       |    doc_id * 1000000 + pos AS key FROM ${p}grams WHERE pos <= ng - 8)""".stripMargin
+
   private def dupSpanCtes: String =
     s"""xbase AS (
        |  SELECT doc_id, text FROM documents WHERE doc_id < 300
@@ -271,17 +290,7 @@ object SparkEntry {
        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 3
        |  WHERE a.doc_id % 11 = 0 AND a.doc_id < 300 AND b.doc_id < 300
        |    AND len(string_split_regex(trim(lower(a.text)), '\\s+')) >= 40),
-       |xtoks AS (SELECT doc_id, pos, ws[pos+1] AS tok, len(ws) AS ng FROM (
-       |    SELECT doc_id, ${wordsSql("lower(text)")} AS ws FROM xbase) s,
-       |    LATERAL (SELECT unnest(range(len(ws))) AS pos) p),
-       |xgrams AS (SELECT doc_id, pos,
-       |    tok || ' ' || lead(tok,1) OVER wo || ' ' || lead(tok,2) OVER wo || ' ' ||
-       |      lead(tok,3) OVER wo || ' ' || lead(tok,4) OVER wo || ' ' ||
-       |      lead(tok,5) OVER wo || ' ' || lead(tok,6) OVER wo || ' ' ||
-       |      lead(tok,7) OVER wo AS gram, ng
-       |  FROM xtoks WINDOW wo AS (PARTITION BY doc_id ORDER BY pos)),
-       |xh AS (SELECT doc_id, pos, ${hSql("gram")} AS h,
-       |    doc_id * 1000000 + pos AS key FROM xgrams WHERE pos <= ng - 8),
+       |${gram8Ctes("x", "xbase")},
        |xfirst AS (SELECT h, min(key) AS first_key FROM xh GROUP BY h)""".stripMargin
 
   /** Stupid-Backoff bigram LM CTE chain (the graft.ops.LanguageModel
@@ -868,6 +877,40 @@ object SparkEntry {
          |SELECT doc_id, min(pos) AS span_start, max(e) AS span_end,
          |  max(e) - min(pos) + 1 AS span_tokens
          |FROM xi GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""".stripMargin,
+
+    // Incremental span dedup (Dedup.duplicateSpansVersusCorpus): corpus
+    // grams distilled to a gram-first index; a batch gram is duplicated
+    // if it exists in the corpus at all OR occurred earlier within the
+    // batch (its own packed-key minimum). Only batch docs emit spans.
+    "q_dedup_spans_incr" ->
+      s"""WITH ibase AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+         |${gram8Ctes("i", "ibase")},
+         |ifirst AS (SELECT h, min(key) AS first_key FROM ih GROUP BY h),
+         |ybase AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id >= 200 AND doc_id < 300
+         |  UNION ALL
+         |  SELECT a.doc_id + 60000,
+         |    array_to_string(string_split_regex(trim(lower(a.text)), '\\s+')[11:40], ' ') || ' ' || b.text AS text
+         |  FROM ibase a JOIN ibase b ON b.doc_id = a.doc_id + 3
+         |  WHERE a.doc_id % 11 = 0
+         |    AND len(string_split_regex(trim(lower(a.text)), '\\s+')) >= 40
+         |  UNION ALL
+         |  SELECT doc_id + 70000, text FROM documents
+         |  WHERE doc_id >= 200 AND doc_id < 300 AND doc_id % 17 = 0),
+         |${gram8Ctes("y", "ybase")},
+         |ybf AS (SELECT h, min(key) AS batch_first FROM yh GROUP BY h),
+         |ydup AS (SELECT yh.doc_id, yh.pos, yh.pos + 7 AS e
+         |  FROM yh JOIN ybf USING (h) LEFT JOIN ifirst USING (h)
+         |  WHERE ifirst.first_key IS NOT NULL OR yh.key <> ybf.batch_first),
+         |ym AS (SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY pos
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max FROM ydup),
+         |yi AS (SELECT *, CAST(sum(CASE WHEN prev_max IS NULL OR pos > prev_max + 1
+         |        THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT)
+         |        AS island FROM ym)
+         |SELECT doc_id, min(pos) AS span_start, max(e) AS span_end,
+         |  max(e) - min(pos) + 1 AS span_tokens
+         |FROM yi GROUP BY doc_id, island
          |ORDER BY doc_id, span_start""".stripMargin,
 
     // Cleaned-corpus rebuild (Dedup.stripDuplicateSpans): token kept iff

@@ -188,7 +188,8 @@ object Classify {
     * with ≥ 1 hashed token (the featurizer's length-≥-2 filter).
     *
     * Returns (weights, bias): `weights` is (bucket, w) with ≤ buckets
-    * rows, `bias` a single row (b) — both model-sized and lazy.
+    * rows, `bias` a single row (b) — both model-sized local relations
+    * (training runs eagerly, one model-sized collect per pass).
     */
   def perceptronTrain(train: DataFrame, yCol: String, textCol: String,
       salt: String, buckets: Int, iters: Int): (DataFrame, DataFrame) = {
@@ -199,25 +200,31 @@ object Classify {
         "doc_id", "text", salt, buckets, carry = Seq("y"))
       .repartition(col("doc_id"))
       .persist()
-    var w = Seq.empty[(Long, Long)].toDF("bucket", "w")
-    var bias = Seq(0L).toDF("b")
+    // The model rides the driver between passes (the kmeans/MLlib
+    // pattern — a ≤buckets-row collect per iteration): keeping the
+    // weights as chained DataFrames instead would re-evaluate iteration
+    // i's subtree 2× per LATER iteration (scores + update both read
+    // it), compounding exponentially in `iters`. Collected weights are
+    // exact integers, so nothing about determinism changes.
+    var w = Map.empty[Long, Long]
+    var b = 0L
     for (_ <- 1 to iters) {
-      val scored = counts.join(broadcast(w), Seq("bucket"), "left")
+      val wDf = broadcast(w.toSeq.toDF("bucket", "w"))
+      val mis = counts.join(wDf, Seq("bucket"), "left")
         .groupBy(col("doc_id"), col("y"))
         .agg(sum(col("n") * coalesce(col("w"), lit(0L))).as("sw"))
-        .crossJoin(broadcast(bias))
-        .withColumn("s", col("sw") + col("b"))
-      val mis = scored.filter(col("y") * col("s") <= 0)
+        .filter(col("y") * (col("sw") + lit(b)) <= 0)
       val grad = counts.join(mis.select(col("doc_id")), Seq("doc_id"))
         .groupBy(col("bucket")).agg(sum(col("y") * col("n")).as("g"))
-      w = w.join(grad, Seq("bucket"), "full")
-        .select(col("bucket"),
-          (coalesce(col("w"), lit(0L)) + coalesce(col("g"), lit(0L))).as("w"))
-      bias = bias.crossJoin(
-          mis.agg(coalesce(sum(col("y")), lit(0L)).as("gb")))
-        .select((col("b") + col("gb")).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val bGrad = mis.agg(coalesce(sum(col("y")), lit(0L)))
+        .collect()(0).getLong(0)
+      w = (w.keySet ++ grad.keySet).map(k =>
+        k -> (w.getOrElse(k, 0L) + grad.getOrElse(k, 0L))).toMap
+      b += bGrad
     }
-    (w, bias)
+    counts.unpersist()
+    (w.toSeq.sortBy(_._1).toDF("bucket", "w"), Seq(b).toDF("b"))
   }
 
   /** Score documents against a perceptron model: exact-integer

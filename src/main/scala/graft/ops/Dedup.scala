@@ -813,14 +813,21 @@ object Dedup {
     * 0-based token positions, only docs with at least one span.
     */
   def duplicateSpans(docs: DataFrame, k: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val grams = gramHashes(docs, k).withColumn("key", firstKey)
     val first = grams.groupBy(col("h")).agg(min(col("key")).as("first_key"))
-    val dup = grams.join(first, "h")
-      .filter(col("key") =!= col("first_key"))
-      .select(col("doc_id"), col("pos"), (col("pos") + (k - 1)).as("e"))
+    mergeSpans(grams.join(first, "h")
+      .filter(col("key") =!= col("first_key")), k)
+  }
+
+  /** Interval-merge duplicate-gram marks (doc_id, pos) into maximal
+    * per-doc spans — the q_interval_merge island pattern; adjacent
+    * intervals merge (start ≤ prev_end + 1).
+    */
+  private def mergeSpans(dupMarks: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wo = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    dup
+    dupMarks
+      .select(col("doc_id"), col("pos"), (col("pos") + (k - 1)).as("e"))
       .withColumn("prev_max",
         max(col("e")).over(wo.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("ni",
@@ -833,6 +840,37 @@ object Dedup {
         col("s").cast("long").as("span_start"),
         col("e").cast("long").as("span_end"),
         (col("e") - col("s") + 1).cast("long").as("span_tokens"))
+  }
+
+  /** Prebuilt gram-first index: h → earliest packed occurrence key in
+    * the corpus — the index side of [[duplicateSpansVersusCorpus]].
+    * Distinct-gram-sized; write once with
+    * `LakeWriter.writeBucketed(_, "h", N, table)` so every delta batch
+    * joins into sorted buckets with no index-side shuffle (the
+    * containmentPostingTable convention).
+    */
+  def gramFirstTable(corpus: DataFrame, k: Int = 8): DataFrame =
+    gramHashes(corpus, k).withColumn("key", firstKey)
+      .groupBy(col("h")).agg(min(col("key")).as("first_key"))
+
+  /** Duplicate-substring spans of a DELTA batch against a prebuilt
+    * corpus gram index — the continual-ingest twin of
+    * [[duplicateSpans]] (the newVersusCorpus convention). A batch gram
+    * occurrence is duplicated if its gram exists in the corpus AT ALL
+    * (ingested corpus always precedes the delta) or occurred earlier
+    * WITHIN the batch (packed-key minimum over the delta's own grams).
+    * Per-batch work: the batch's gram pass, one delta-sized aggregate,
+    * one 1:1 left join into the bucketed index, the island window —
+    * the corpus is never re-scanned or re-hashed.
+    */
+  def duplicateSpansVersusCorpus(batch: DataFrame, corpusFirst: DataFrame,
+      k: Int = 8): DataFrame = {
+    val grams = gramHashes(batch, k).withColumn("key", firstKey)
+    val first = grams.groupBy(col("h")).agg(min(col("key")).as("batch_first"))
+    mergeSpans(grams
+      .join(first, "h")
+      .join(corpusFirst.select(col("h"), lit(1).as("in_corpus")), Seq("h"), "left")
+      .filter(col("in_corpus").isNotNull || col("key") =!= col("batch_first")), k)
   }
 
   /** Rebuild every document with its [[duplicateSpans]] cut out. A

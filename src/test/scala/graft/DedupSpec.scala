@@ -332,6 +332,21 @@ class DedupSpec extends AnyFunSuite {
       (8L, 0L, 7L, 8L)))  // [0,3] + [4,7] adjacent → merged
   }
 
+  test("duplicateSpansVersusCorpus: corpus grams and batch-internal firsts both mark") {
+    val corpus = Seq((1L, "t1 t2 t3 t4 t5 t6 t7 t8 u1 u2")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "t1 t2 t3 t4 q1 q2 q3 q4"), // corpus-quote head, novel tail
+      (11L, "n1 n2 n3 n4 x"),           // novel — the batch first
+      (12L, "n1 n2 n3 n4 x")            // exact copy of 11 → whole-doc span
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpansVersusCorpus(
+        batch, Dedup.gramFirstTable(corpus, k = 4), k = 4)
+      .orderBy($"doc_id", $"span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // corpus doc never appears; 11 keeps (its grams are the batch firsts)
+    assert(spans.toSeq == Seq((10L, 0L, 3L, 4L), (12L, 0L, 4L, 5L)))
+  }
+
   test("stripDuplicateSpans rebuilds the kept remainder exactly") {
     val out = Dedup.stripDuplicateSpans(spanDocs, k = 4)
       .orderBy($"doc_id")

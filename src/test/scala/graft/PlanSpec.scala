@@ -616,8 +616,9 @@ class PlanSpec extends AnyFunSuite {
     // bias rides a 1-row broadcast nested loop (the eval-set pattern),
     // never a cartesian product
     assert(!plan.contains("CartesianProduct"), plan)
-    // the persisted hashed-count table is reused, not recomputed
-    assert(plan.contains("InMemoryTableScan"), plan)
+    // trained weights are a model-sized LOCAL relation (driver-side
+    // model, the kmeans pattern) — no training lineage in the plan
+    assert(plan.contains("LocalTableScan"), plan)
   }
 
   test("collocations: top-k is TakeOrdered, not a global sort") {
