@@ -1872,6 +1872,46 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Curation followed by the VOLUME-PRESERVING dedup mode: the
+    * q_curation chain's survivors are rewritten by
+    * [[graft.ops.Dedup.stripDuplicateSpans]] — every token run ≥ 8
+    * duplicated WITHIN the surviving corpus keeps its global first
+    * occurrence and is cut everywhere else — instead of dropping whole
+    * near-dup documents. Same host/quote plants as q_curation_spancov:
+    * where a quote's source survives curation, the pure-quote plant is
+    * cut to ~nothing (keep_doc = false) while the host keeps its
+    * unique vowel-rotated half — drop vs keep decided by surviving
+    * CONTENT VOLUME, not document identity.
+    */
+  def curationStripQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    def slice30(c: Column) =
+      array_join(slice(split(trim(lower(c)), "\\s+"), 11, 30), " ")
+    val eligible = d.as("a")
+      .join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 3)
+      .filter(col("a.doc_id") % 11 === 0 &&
+        size(split(trim(lower(col("a.text"))), "\\s+")) >= 40 &&
+        size(split(trim(lower(col("b.text"))), "\\s+")) >= 60)
+    val hosts = eligible.select((col("a.doc_id") + 70000).as("doc_id"),
+      concat(translate(lower(col("b.text")), "aeiou", "eioua"),
+        lit(" "), slice30(col("a.text"))).as("text"))
+    val quotes = eligible.select((col("a.doc_id") + 80000).as("doc_id"),
+      slice30(col("a.text")).as("text"))
+    val base = d
+      .union(d.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      .union(hosts).union(quotes)
+    val curated = graft.ops.Curation.curate(base)
+    val stripped = Dedup.stripDuplicateSpans(
+      curated.join(base, "doc_id").select(col("doc_id"), col("text")), k = 8)
+    curated.join(stripped, "doc_id")
+      .select(col("doc_id"), col("quality"), col("split"),
+        col("n_tokens"), col("n_kept"),
+        (col("n_kept") >= 8).as("keep_doc"),
+        md5(col("text_clean")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Higher-order array functions (lambda expressions): aggregate /
     * filter / exists / forall / zip_with / transform. Note these are
     * CodegenFallback in Spark — correct but interpreted; hot paths use

@@ -108,6 +108,7 @@ object SparkEntry {
     "q_curation" -> (Queries.curationQ _),
     "q_curation_spans" -> (Queries.curationSpansQ _),
     "q_curation_spancov" -> (Queries.curationSpanCovQ _),
+    "q_curation_strip" -> (Queries.curationStripQ _),
     "q_exists" -> (Queries.existsSubquery _),
     "q_lateral" -> (Queries.lateralJoin _),
     "q_scalar_corr" -> (Queries.correlatedScalar _),
@@ -2015,6 +2016,79 @@ object SparkEntry {
          |SELECT doc_id, quality,
          |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
          |FROM d ORDER BY doc_id""".stripMargin,
+
+    // Curation + the volume-preserving strip mode: the spancov chain up
+    // to `kept` (text carried), then the q_dedup_strip replay (8-gram
+    // first-occurrence marks, running-max coverage, md5'd rebuild) over
+    // the SURVIVING corpus; keep_doc = n_kept >= 8.
+    "q_curation_strip" ->
+      s"""WITH dsrc AS (SELECT doc_id, text FROM documents),
+         |elig AS (SELECT a.doc_id AS aid,
+         |    array_to_string(string_split_regex(trim(lower(a.text)), '\\s+')[11:40], ' ') AS quote,
+         |    translate(lower(b.text), 'aeiou', 'eioua') AS rb
+         |  FROM dsrc a JOIN dsrc b ON b.doc_id = a.doc_id + 3
+         |  WHERE a.doc_id % 11 = 0
+         |    AND len(string_split_regex(trim(lower(a.text)), '\\s+')) >= 40
+         |    AND len(string_split_regex(trim(lower(b.text)), '\\s+')) >= 60),
+         |base AS (
+         |  SELECT doc_id, text FROM dsrc
+         |  UNION ALL
+         |  SELECT doc_id + 10000, text FROM dsrc WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT aid + 70000, rb || ' ' || quote FROM elig
+         |  UNION ALL
+         |  SELECT aid + 80000, quote FROM elig),
+         |b0 AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS pt, ${wordsSql("text")} AS w FROM base),
+         |s AS (SELECT doc_id, text,
+         |        ${langScoreSql("en")} AS s_en, ${langScoreSql("es")} AS s_es,
+         |        ${langScoreSql("de")} AS s_de, ${langScoreSql("zh")} AS s_zh,
+         |        round(least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.5
+         |          + (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) / length(text)) * 0.3
+         |          + CAST(len(list_distinct(w)) AS DOUBLE) / len(w) * 0.2, 6) AS quality
+         |      FROM b0),
+         |gated AS (SELECT doc_id, text, quality FROM s
+         |          WHERE s_en >= s_es AND s_en >= s_de AND s_en >= s_zh AND s_en > 0
+         |            AND quality >= ${graft.ops.Curation.QualityMin}),
+         |ex AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+         |ek AS (SELECT g.* FROM gated g WHERE g.doc_id IN (SELECT doc_id FROM ex)),
+         |sh AS (SELECT doc_id, $hashedShinglesSql AS shingles
+         |       FROM (SELECT doc_id, ${wordsSql("lower(text)")} AS w FROM ek)),
+         |hx AS (SELECT doc_id, unnest(shingles) AS h FROM sh),
+         |sig AS (SELECT doc_id, $minhashSigSql FROM hx GROUP BY doc_id),
+         |bands AS (SELECT doc_id, unnest([
+         |    concat_ws(':', '0', s0, s1), concat_ws(':', '1', s2, s3),
+         |    concat_ws(':', '2', s4, s5), concat_ws(':', '3', s6, s7)]) AS band FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |neardrop AS (SELECT DISTINCT doc_b AS doc_id FROM (
+         |    SELECT doc_a, doc_b,
+         |      round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         |        / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS j
+         |    FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id JOIN sh sb ON cand.doc_b = sb.doc_id)
+         |  WHERE j >= ${graft.ops.Curation.JaccardMin}),
+         |kept AS (SELECT doc_id, text, quality FROM ek
+         |         WHERE doc_id NOT IN (SELECT doc_id FROM neardrop)),
+         |${gram8Ctes("z", "kept")},
+         |zbf AS (SELECT h, min(key) AS first_key FROM zh GROUP BY h),
+         |zmk AS (SELECT doc_id, pos FROM zh JOIN zbf USING (h) WHERE key <> first_key),
+         |zj AS (SELECT t.doc_id, t.pos, t.tok,
+         |    CASE WHEN m.pos IS NOT NULL THEN t.pos + 7 END AS de
+         |  FROM ztoks t LEFT JOIN zmk m ON t.doc_id = m.doc_id AND t.pos = m.pos),
+         |zr AS (SELECT *, max(de) OVER (PARTITION BY doc_id ORDER BY pos) AS run_end
+         |       FROM zj),
+         |zs AS (SELECT doc_id, count(*) AS n_tokens,
+         |    CAST(sum(CASE WHEN run_end IS NULL OR pos > run_end THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_kept,
+         |    md5(coalesce(string_agg(tok, ' ' ORDER BY pos)
+         |      FILTER (WHERE run_end IS NULL OR pos > run_end), '')) AS clean_md5
+         |  FROM zr GROUP BY doc_id),
+         |dd AS (SELECT doc_id, quality,
+         |        ${hSql("concat('split:', CAST(doc_id AS VARCHAR))")} % 100 AS b FROM kept)
+         |SELECT zs.doc_id, quality,
+         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+         |  n_tokens, n_kept, (n_kept >= 8) AS keep_doc, clean_md5
+         |FROM zs JOIN dd ON zs.doc_id = dd.doc_id
+         |ORDER BY 1""".stripMargin,
 
     "q_exists" ->
       """SELECT c_custkey, c_name

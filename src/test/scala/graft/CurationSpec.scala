@@ -99,6 +99,27 @@ class CurationSpec extends AnyFunSuite {
     assert(covered.subsetOf(spanOff) && unconditional.subsetOf(spanOff))
   }
 
+  test("strip mode cuts quotes to nothing but keeps hosts by content volume") {
+    val out = Queries.curationStripQ(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    val ids = out.keySet
+    // pure-quote plants (+80000) whose SOURCE survived curation are a
+    // structural token-subset of it: every gram is a later occurrence,
+    // so the rebuild cuts them to nothing and the volume floor drops them
+    val cutQuotes = ids.filter(id => id >= 80000 && id < 90000 &&
+      ids.contains(id - 80000))
+    assert(cutQuotes.nonEmpty, "no pure-quote plant with surviving source")
+    cutQuotes.foreach { id =>
+      val (_, nKept, keep) = out(id)
+      assert(nKept == 0L && !keep, s"quote $id survived the strip: $nKept")
+    }
+    // at least one host (+70000) keeps its unique rotated half: the doc
+    // survives with MOST of its tokens — dedup that preserves volume
+    val keptHosts = ids.filter(id => id >= 70000 && id < 80000)
+      .filter(id => { val (n, k, keep) = out(id); keep && k * 2 > n })
+    assert(keptHosts.nonEmpty, "no host kept a majority of its tokens")
+  }
+
   test("LM stage drops stopword-laced gibberish that every earlier stage keeps") {
     import org.apache.spark.sql.functions._
     val docs = graft.sources.Tables.documents(spark, sf)
