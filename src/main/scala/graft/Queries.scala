@@ -3722,4 +3722,25 @@ object Queries {
     TextOps.collocations(
       Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
       minCount = 5L, topK = 40)
+
+  /** Per-source ADAPTIVE quality floor: each source stratum keeps docs
+    * at or above its OWN median quality — the per-domain calibration a
+    * single global threshold can't do (a clean source sails through, a
+    * boilerplate-heavy one floods). The median is exact-integer
+    * (2·percentile of micro6'd scores, the q_mad trick) so the keep
+    * decision can never float-flip; the threshold table is
+    * stratum-sized and broadcasts, the keep pass is one narrow filter.
+    */
+  def qualityFloorQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"),
+      graft.ops.Classify.micro6(TextOps.qualityScore(col("text"))).as("q_micro"))
+    val med = d.groupBy(col("source"))
+      .agg(expr("cast(2 * percentile(q_micro, 0.5) as bigint)").as("m2"))
+    d.join(broadcast(med), "source")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("m2")).as("median2_micro"),
+        sum(when(lit(2) * col("q_micro") >= col("m2"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("source"))
+  }
 }

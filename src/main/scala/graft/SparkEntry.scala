@@ -185,6 +185,7 @@ object SparkEntry {
     "q_nb_classifier" -> (Queries.nbClassifierQ _),
     "q_perceptron" -> (Queries.perceptronQ _),
     "q_collocations" -> (Queries.collocationsQ _),
+    "q_quality_floor" -> (Queries.qualityFloorQ _),
     "q_semdedup" -> (Queries.semdedupQ _),
     "q_export_shards" -> (Queries.exportShardsQ _),
     "q_tpch2" -> (Queries.tpch2Q _),
@@ -3138,6 +3139,23 @@ object SparkEntry {
          |  CAST(CASE WHEN score > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
          |  (CAST(CASE WHEN score > 0 THEN 1 ELSE -1 END AS BIGINT) = y) AS hit
          |FROM fs ORDER BY doc_id""".stripMargin,
+
+    // Per-source adaptive quality floor: micro6'd quality scores, exact
+    // 2·median per stratum (quantile_cont of integers ×2 is an exact
+    // BIGINT — the q_mad discipline), integer keep rule.
+    "q_quality_floor" ->
+      s"""WITH qd AS (SELECT doc_id, source,
+         |    CAST(floor(round(least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.5
+         |      + (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) / length(text)) * 0.3
+         |      + CAST(len(list_distinct(w)) AS DOUBLE) / len(w) * 0.2, 6) * 1000000.0 + 0.5)
+         |      AS BIGINT) AS q_micro
+         |  FROM (SELECT doc_id, source, text, ${wordsSql("text")} AS w FROM documents)),
+         |qm AS (SELECT source, CAST(2 * quantile_cont(q_micro, 0.5) AS BIGINT) AS m2
+         |       FROM qd GROUP BY source)
+         |SELECT qd.source, count(*) AS n_docs, min(m2) AS median2_micro,
+         |  CAST(sum(CASE WHEN 2 * q_micro >= m2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM qd JOIN qm ON qd.source = qm.source
+         |GROUP BY qd.source ORDER BY qd.source""".stripMargin,
 
     // PMI collocations replay: adjacent pairs from the per-doc lead()
     // window, slot-based unigram counts (each token counted once per
