@@ -3713,6 +3713,24 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Averaged-perceptron variant (Collins 2002): the decision model is
+    * the SUM of the post-pass weight vectors — the iters-scaled
+    * average, which preserves every sign, margin ordering and tie while
+    * keeping the model integral. The variance reduction every
+    * production perceptron ships; same data, labels and training CTEs
+    * as q_perceptron.
+    */
+  def perceptronAvgQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"),
+      when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
+    val (w, b) = graft.ops.Classify.perceptronTrain(d, "y", "text", "pcpt:", 64, 3,
+      averaged = true)
+    graft.ops.Classify.perceptronScore(d, w, b, "doc_id", "text", "pcpt:", 64,
+        carry = Seq("y"))
+      .withColumn("hit", col("pred") === col("y"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PMI collocations ([[graft.ops.TextOps.collocations]]): top-40
     * adjacent word pairs by exact-integer PMI ratio with support ≥ 5 —
     * the phrase-mining table a tokenizer/vocab pipeline promotes into

@@ -184,6 +184,7 @@ object SparkEntry {
     "q_dsir" -> (Queries.dsirQ _),
     "q_nb_classifier" -> (Queries.nbClassifierQ _),
     "q_perceptron" -> (Queries.perceptronQ _),
+    "q_perceptron_avg" -> (Queries.perceptronAvgQ _),
     "q_collocations" -> (Queries.collocationsQ _),
     "q_quality_floor" -> (Queries.qualityFloorQ _),
     "q_semdedup" -> (Queries.semdedupQ _),
@@ -282,6 +283,45 @@ object SparkEntry {
        |  FROM ${p}toks WINDOW wo AS (PARTITION BY doc_id ORDER BY pos)),
        |${p}h AS (SELECT doc_id, pos, ${hSql("gram")} AS h,
        |    doc_id * 1000000 + pos AS key FROM ${p}grams WHERE pos <= ng - 8)""".stripMargin
+
+  /** Perceptron training CTE chain (3 unrolled passes over 64 hashed
+    * buckets, y = ±1 on lang='en' — the Classify.perceptronTrain
+    * contract): defines pc0 (hashed counts), pd, and per-pass
+    * w1/b1 … w3/b3.
+    */
+  private def pcptCtes: String =
+    s"""pc0 AS (
+       |  SELECT doc_id, y, bucket, count(*) AS n FROM (
+       |    SELECT doc_id, CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y,
+       |      ${hSql("'pcpt:' || tok")} % 64 AS bucket FROM (
+       |      SELECT doc_id, lang, unnest(${wordsSql("lower(text)")}) AS tok FROM documents) u
+       |    WHERE length(tok) >= 2) b
+       |  GROUP BY doc_id, y, bucket),
+       |pd AS (SELECT DISTINCT doc_id, y FROM pc0),
+       |w1 AS (SELECT bucket, CAST(sum(y * n) AS BIGINT) AS w FROM pc0 GROUP BY bucket),
+       |b1 AS (SELECT CAST(sum(y) AS BIGINT) AS b FROM pd),
+       |s2 AS (SELECT c.doc_id, c.y,
+       |    CAST(sum(c.n * coalesce(w1.w, 0)) AS BIGINT) + (SELECT b FROM b1) AS s
+       |  FROM pc0 c LEFT JOIN w1 USING (bucket) GROUP BY c.doc_id, c.y),
+       |m2 AS (SELECT doc_id, y FROM s2 WHERE y * s <= 0),
+       |g2 AS (SELECT c.bucket, CAST(sum(c.y * c.n) AS BIGINT) AS g
+       |  FROM pc0 c JOIN m2 USING (doc_id) GROUP BY c.bucket),
+       |w2 AS (SELECT coalesce(w1.bucket, g2.bucket) AS bucket,
+       |    coalesce(w1.w, 0) + coalesce(g2.g, 0) AS w
+       |  FROM w1 FULL JOIN g2 ON w1.bucket = g2.bucket),
+       |b2 AS (SELECT (SELECT b FROM b1)
+       |    + coalesce((SELECT CAST(sum(y) AS BIGINT) FROM m2), 0) AS b),
+       |s3 AS (SELECT c.doc_id, c.y,
+       |    CAST(sum(c.n * coalesce(w2.w, 0)) AS BIGINT) + (SELECT b FROM b2) AS s
+       |  FROM pc0 c LEFT JOIN w2 USING (bucket) GROUP BY c.doc_id, c.y),
+       |m3 AS (SELECT doc_id, y FROM s3 WHERE y * s <= 0),
+       |g3 AS (SELECT c.bucket, CAST(sum(c.y * c.n) AS BIGINT) AS g
+       |  FROM pc0 c JOIN m3 USING (doc_id) GROUP BY c.bucket),
+       |w3 AS (SELECT coalesce(w2.bucket, g3.bucket) AS bucket,
+       |    coalesce(w2.w, 0) + coalesce(g3.g, 0) AS w
+       |  FROM w2 FULL JOIN g3 ON w2.bucket = g3.bucket),
+       |b3 AS (SELECT (SELECT b FROM b2)
+       |    + coalesce((SELECT CAST(sum(y) AS BIGINT) FROM m3), 0) AS b)""".stripMargin
 
   private def dupSpanCtes: String =
     s"""xbase AS (
@@ -3100,41 +3140,27 @@ object SparkEntry {
     // then final scoring with w3/b3. Identical to Classify
     // .perceptronTrain/perceptronScore because no float ever enters.
     "q_perceptron" ->
-      s"""WITH pc0 AS (
-         |  SELECT doc_id, y, bucket, count(*) AS n FROM (
-         |    SELECT doc_id, CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y,
-         |      ${hSql("'pcpt:' || tok")} % 64 AS bucket FROM (
-         |      SELECT doc_id, lang, unnest(${wordsSql("lower(text)")}) AS tok FROM documents) u
-         |    WHERE length(tok) >= 2) b
-         |  GROUP BY doc_id, y, bucket),
-         |pd AS (SELECT DISTINCT doc_id, y FROM pc0),
-         |w1 AS (SELECT bucket, CAST(sum(y * n) AS BIGINT) AS w FROM pc0 GROUP BY bucket),
-         |b1 AS (SELECT CAST(sum(y) AS BIGINT) AS b FROM pd),
-         |s2 AS (SELECT c.doc_id, c.y,
-         |    CAST(sum(c.n * coalesce(w1.w, 0)) AS BIGINT) + (SELECT b FROM b1) AS s
-         |  FROM pc0 c LEFT JOIN w1 USING (bucket) GROUP BY c.doc_id, c.y),
-         |m2 AS (SELECT doc_id, y FROM s2 WHERE y * s <= 0),
-         |g2 AS (SELECT c.bucket, CAST(sum(c.y * c.n) AS BIGINT) AS g
-         |  FROM pc0 c JOIN m2 USING (doc_id) GROUP BY c.bucket),
-         |w2 AS (SELECT coalesce(w1.bucket, g2.bucket) AS bucket,
-         |    coalesce(w1.w, 0) + coalesce(g2.g, 0) AS w
-         |  FROM w1 FULL JOIN g2 ON w1.bucket = g2.bucket),
-         |b2 AS (SELECT (SELECT b FROM b1)
-         |    + coalesce((SELECT CAST(sum(y) AS BIGINT) FROM m2), 0) AS b),
-         |s3 AS (SELECT c.doc_id, c.y,
-         |    CAST(sum(c.n * coalesce(w2.w, 0)) AS BIGINT) + (SELECT b FROM b2) AS s
-         |  FROM pc0 c LEFT JOIN w2 USING (bucket) GROUP BY c.doc_id, c.y),
-         |m3 AS (SELECT doc_id, y FROM s3 WHERE y * s <= 0),
-         |g3 AS (SELECT c.bucket, CAST(sum(c.y * c.n) AS BIGINT) AS g
-         |  FROM pc0 c JOIN m3 USING (doc_id) GROUP BY c.bucket),
-         |w3 AS (SELECT coalesce(w2.bucket, g3.bucket) AS bucket,
-         |    coalesce(w2.w, 0) + coalesce(g3.g, 0) AS w
-         |  FROM w2 FULL JOIN g3 ON w2.bucket = g3.bucket),
-         |b3 AS (SELECT (SELECT b FROM b2)
-         |    + coalesce((SELECT CAST(sum(y) AS BIGINT) FROM m3), 0) AS b),
+      s"""WITH $pcptCtes,
          |fs AS (SELECT c.doc_id, c.y,
          |    CAST(sum(c.n * coalesce(w3.w, 0)) AS BIGINT) + (SELECT b FROM b3) AS score
          |  FROM pc0 c LEFT JOIN w3 USING (bucket) GROUP BY c.doc_id, c.y)
+         |SELECT doc_id, y, score,
+         |  CAST(CASE WHEN score > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
+         |  (CAST(CASE WHEN score > 0 THEN 1 ELSE -1 END AS BIGINT) = y) AS hit
+         |FROM fs ORDER BY doc_id""".stripMargin,
+
+    // Averaged perceptron (Collins 2002): decision model = w1+w2+w3 /
+    // b1+b2+b3 — the iters-scaled average (integer scale preserves all
+    // signs, margins and ties), replayed over the same training CTEs.
+    "q_perceptron_avg" ->
+      s"""WITH $pcptCtes,
+         |wS AS (SELECT bucket, CAST(sum(w) AS BIGINT) AS w FROM (
+         |    SELECT * FROM w1 UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3) u
+         |  GROUP BY bucket),
+         |bS AS (SELECT (SELECT b FROM b1) + (SELECT b FROM b2) + (SELECT b FROM b3) AS b),
+         |fs AS (SELECT c.doc_id, c.y,
+         |    CAST(sum(c.n * coalesce(wS.w, 0)) AS BIGINT) + (SELECT b FROM bS) AS score
+         |  FROM pc0 c LEFT JOIN wS USING (bucket) GROUP BY c.doc_id, c.y)
          |SELECT doc_id, y, score,
          |  CAST(CASE WHEN score > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
          |  (CAST(CASE WHEN score > 0 THEN 1 ELSE -1 END AS BIGINT) = y) AS hit

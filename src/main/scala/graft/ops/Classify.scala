@@ -192,7 +192,8 @@ object Classify {
     * (training runs eagerly, one model-sized collect per pass).
     */
   def perceptronTrain(train: DataFrame, yCol: String, textCol: String,
-      salt: String, buckets: Int, iters: Int): (DataFrame, DataFrame) = {
+      salt: String, buckets: Int, iters: Int,
+      averaged: Boolean = false): (DataFrame, DataFrame) = {
     val spark = train.sparkSession
     import spark.implicits._
     val counts = tokenBucketCounts(
@@ -206,8 +207,15 @@ object Classify {
     // i's subtree 2× per LATER iteration (scores + update both read
     // it), compounding exponentially in `iters`. Collected weights are
     // exact integers, so nothing about determinism changes.
+    //
+    // `averaged` returns the SUM of the post-pass weight vectors
+    // (Collins 2002's averaged perceptron scaled by iters — an integer
+    // scale factor leaves every sign, margin ordering and tie exactly
+    // where the true average puts them, and keeps the model integral).
     var w = Map.empty[Long, Long]
     var b = 0L
+    var wSum = Map.empty[Long, Long]
+    var bSum = 0L
     for (_ <- 1 to iters) {
       val wDf = broadcast(w.toSeq.toDF("bucket", "w"))
       val mis = counts.join(wDf, Seq("bucket"), "left")
@@ -222,9 +230,13 @@ object Classify {
       w = (w.keySet ++ grad.keySet).map(k =>
         k -> (w.getOrElse(k, 0L) + grad.getOrElse(k, 0L))).toMap
       b += bGrad
+      wSum = (wSum.keySet ++ w.keySet).map(k =>
+        k -> (wSum.getOrElse(k, 0L) + w.getOrElse(k, 0L))).toMap
+      bSum += b
     }
     counts.unpersist()
-    (w.toSeq.sortBy(_._1).toDF("bucket", "w"), Seq(b).toDF("b"))
+    val (fw, fb) = if (averaged) (wSum, bSum) else (w, b)
+    (fw.toSeq.sortBy(_._1).toDF("bucket", "w"), Seq(fb).toDF("b"))
   }
 
   /** Score documents against a perceptron model: exact-integer

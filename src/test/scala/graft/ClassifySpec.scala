@@ -141,5 +141,18 @@ class ClassifySpec extends AnyFunSuite {
       (1L, 1L, 9L, 1L), (2L, 1L, 5L, 1L),
       (3L, -1L, -3L, -1L), (4L, -1L, -1L, -1L),
       (5L, 1L, 3L, 1L)))
+    // averaged: passes 2-3 leave w unchanged, so the weight SUM is
+    // exactly 3× the final vector — scores scale, signs don't move
+    val (wa, ba) = Classify.perceptronTrain(docs, "y", "text", "t:", 1024, 3,
+      averaged = true)
+    assert(wa.collect().map(r => (r.getLong(0), r.getLong(1))).toMap ==
+      Map(bAa -> 12L, bBb -> -6L))
+    assert(ba.collect()(0).getLong(0) == 3L)
+    val outA = Classify.perceptronScore(docs, wa, ba, "doc_id", "text", "t:", 1024,
+        carry = Seq("y"))
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(outA.toSeq == Seq(
+      (1L, 27L, 1L), (2L, 15L, 1L), (3L, -9L, -1L), (4L, -3L, -1L), (5L, 9L, 1L)))
   }
 }
