@@ -104,6 +104,29 @@ object SoakScale {
     // non-first doc must come back as one whole-doc span — the
     // dup-heavy shape where the first-occurrence aggregate's map-side
     // combine earns its keep. Strip adds the token-rebuild pass.
+    // Incremental span dedup at its production asymmetry: a FIXED
+    // original-id delta batch probed against the gram-first index of
+    // the REST of the soak corpus (the replica copies). The claim
+    // under test: per-batch cost is delta-sized — growing the corpus
+    // x10 → x100 moves the index build (linear in corpus) but leaves
+    // the probe join ~flat, because the index is distinct-gram-sized
+    // and the probe shuffles only batch grams.
+    if (only.forall(_.contains("op_dup_incr"))) {
+      val d = graft.sources.Tables.documents(spark, out)
+        .select(col("doc_id"), col("text"))
+      val batch = d.filter(col("doc_id") < 1000000L)
+      val corpus = d.filter(col("doc_id") >= 1000000L)
+      val t0 = System.nanoTime()
+      val idx = graft.ops.Dedup.gramFirstTable(corpus).persist()
+      val nIdx = idx.count()
+      Console.err.println(
+        f"op_dup_incr_index   ${(System.nanoTime() - t0) / 1e9}%8.1f s  ($nIdx grams)")
+      val t1 = System.nanoTime()
+      val n = graft.ops.Dedup.duplicateSpansVersusCorpus(batch, idx).count()
+      Console.err.println(
+        f"op_dup_incr_probe   ${(System.nanoTime() - t1) / 1e9}%8.1f s  ($n rows)")
+      idx.unpersist()
+    }
     if (only.forall(_.contains("op_dup_spans_full"))) {
       val d = graft.sources.Tables.documents(spark, out)
         .select(col("doc_id"), col("text"))
