@@ -3749,6 +3749,19 @@ object Queries {
     * decision can never float-flip; the threshold table is
     * stratum-sized and broadcasts, the keep pass is one narrow filter.
     */
+  /** Exact all-pairs similarity self-join ([[graft.ops.Dedup
+    * .allPairsExact]], the AllPairs/PPJoin prefix-filter family) at
+    * Jaccard ≥ 1/2 over the near-copy corpus — the EXACT-recall
+    * complement of q_minhash_lsh: every qualifying pair is guaranteed
+    * out (banding is probabilistic), and every filter on the way is
+    * integer arithmetic on the rational threshold. Capped at 300 docs
+    * only to keep the DuckDB replay cheap; the operator itself is the
+    * corpus-scale path.
+    */
+  def allPairsExactQ(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.allPairsExact(docsWithNearCopies(spark, sfDir, Some(300)), 1, 2)
+      .orderBy(col("doc_a"), col("doc_b"))
+
   def qualityFloorQ(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"),
       graft.ops.Classify.micro6(TextOps.qualityScore(col("text"))).as("q_micro"))

@@ -187,6 +187,7 @@ object SparkEntry {
     "q_perceptron_avg" -> (Queries.perceptronAvgQ _),
     "q_collocations" -> (Queries.collocationsQ _),
     "q_quality_floor" -> (Queries.qualityFloorQ _),
+    "q_allpairs" -> (Queries.allPairsExactQ _),
     "q_semdedup" -> (Queries.semdedupQ _),
     "q_export_shards" -> (Queries.exportShardsQ _),
     "q_tpch2" -> (Queries.tpch2Q _),
@@ -3182,6 +3183,39 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN 2 * q_micro >= m2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM qd JOIN qm ON qd.source = qm.source
          |GROUP BY qd.source ORDER BY qd.source""".stripMargin,
+
+    // Exact all-pairs replay (AllPairs/PPJoin prefix filter, t = 1/2):
+    // df-ordered shingle ranks (ties by hash), prefix length
+    // n - ceil(n/2) + 1 with the ceil as exact integer division,
+    // length filter max <= 2*min, exact-integer verify 2*inter >= uni.
+    "q_allpairs" ->
+      s"""WITH apbase AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 300
+         |  UNION ALL
+         |  SELECT doc_id + 10000, replace(text, 'data', 'info')
+         |  FROM documents WHERE doc_id < 300 AND doc_id % 5 = 0),
+         |apsh AS (SELECT * FROM (
+         |    SELECT doc_id, $hashedShinglesSql AS shingles
+         |    FROM (SELECT doc_id, ${wordsSql("lower(text)")} AS w FROM apbase))
+         |  WHERE len(shingles) > 0),
+         |aptk AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS h FROM apsh),
+         |apdf AS (SELECT h, count(*) AS df FROM aptk GROUP BY h),
+         |appfx AS (SELECT h, doc_id, n FROM (
+         |    SELECT aptk.h, doc_id, n,
+         |      row_number() OVER (PARTITION BY doc_id ORDER BY df, aptk.h) AS rk
+         |    FROM aptk JOIN apdf USING (h))
+         |  WHERE rk <= n - ((1 * n + 1) // 2) + 1),
+         |apcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM appfx a JOIN appfx b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  WHERE 1 * greatest(a.n, b.n) <= 2 * least(a.n, b.n)),
+         |apv AS (SELECT doc_a, doc_b,
+         |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS inter,
+         |    CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS BIGINT) AS uni
+         |  FROM apcand JOIN apsh sa ON apcand.doc_a = sa.doc_id
+         |              JOIN apsh sb ON apcand.doc_b = sb.doc_id)
+         |SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
+         |FROM apv WHERE 2 * inter >= 1 * uni
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // PMI collocations replay: adjacent pairs from the per-doc lead()
     // window, slot-based unigram counts (each token counted once per

@@ -907,4 +907,70 @@ object Dedup {
               when(!col("covered"), struct(col("pos"), col("tok"))))),
             x => x.getField("tok")), " ").as("text_clean"))
   }
+
+  // ------------------------------------ prefix-filtered exact all-pairs
+
+  /** EXACT all-pairs Jaccard self-join via PREFIX FILTERING (the
+    * AllPairs / PPJoin family — Bayardo, Ma, Srikant WWW'07; Xiao,
+    * Wang, Lin, Yu WWW'08): every pair with
+    * `|A∩B| / |A∪B| ≥ num/den` is emitted — 100% recall GUARANTEED,
+    * the deterministic complement of [[minhashLsh]] (whose banding is
+    * probabilistic: a qualifying pair can miss every band). The price
+    * of exactness is paid in candidate generation, which prefix
+    * filtering keeps subquadratic:
+    *
+    *  - order every doc's shingle hashes by GLOBAL document frequency
+    *    ascending (rarest first; ties by hash — a total order, so the
+    *    prefix is deterministic);
+    *  - keep only the first `|X| − ⌈t·|X|⌉ + 1` of them (the prefix).
+    *    Prefix-filtering principle: if J(A,B) ≥ t then
+    *    `|A∩B| ≥ ⌈t·max(|A|,|B|)⌉`, and two sets overlapping that much
+    *    cannot have disjoint prefixes — so the equi-join of prefixes
+    *    over-approximates the answer;
+    *  - candidate pairs additionally pass the LENGTH filter
+    *    `num·max(|A|,|B|) ≤ den·min(|A|,|B|)` (J ≥ t forces
+    *    min/max ≥ t) before the verify join.
+    *
+    * The threshold is a RATIONAL `num/den`, so every filter and the
+    * final verify (`den·|A∩B| ≥ num·|A∪B|`) is exact integer
+    * arithmetic — no float enters until the reported `jaccard` is
+    * rounded for display. Scale shape: the df table is
+    * distinct-shingle-sized (one map-combined count); the rank window
+    * rides the doc_id exchange shingling already forced; the self-join
+    * key is a prefix token, whose fan-out is bounded by that token's
+    * document frequency — and prefix tokens are by construction the
+    * RAREST tokens of each doc, which is what keeps the candidate set
+    * near-linear on real corpora (the AllPairs observation). No
+    * all-pairs product ever forms.
+    */
+  def allPairsExact(docs: DataFrame, num: Int, den: Int): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, "threshold must be in (0,1]")
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleSets(docs).filter(size(col("shingles")) > 0)
+    val toks = sh.select(col("doc_id"), size(col("shingles")).as("n"),
+      explode(col("shingles")).as("h"))
+    val dfreq = toks.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // ⌈num·n/den⌉ as exact integers: (num·n + den − 1) div den. floor()
+    // of the double quotient is safe (values ≪ 2^52) and returns LONG.
+    val ceilTn = floor((lit(num) * col("n") + lit(den - 1)) / lit(den))
+    val prefix = toks.join(dfreq, "h")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
+      .filter(col("rk") <= col("n") - ceilTn + 1)
+      .select(col("h"), col("doc_id"), col("n"))
+    val cands = prefix.toDF("h", "doc_a", "n_a")
+      .join(prefix.toDF("h", "doc_b", "n_b"), "h")
+      .filter(col("doc_a") < col("doc_b") &&
+        lit(num) * greatest(col("n_a"), col("n_b")) <=
+          lit(den) * least(col("n_a"), col("n_b")))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val sa = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val sb = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    cands.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("long"))
+      .filter(lit(den) * col("inter") >= lit(num) * col("uni"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
+  }
 }

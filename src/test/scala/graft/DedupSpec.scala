@@ -36,6 +36,35 @@ class DedupSpec extends AnyFunSuite {
       Seq((1L, 2L), (2L, 1L), (4L, 1L), (5L, 1L)))
   }
 
+  test("allPairsExact == brute force at several rational thresholds (exact recall)") {
+    // widen the corpus with overlapping variants so non-trivial pairs
+    // exist at different similarity levels
+    val docs = base.union(Seq(
+      (6L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"),
+      (7L, "a completely different sentence with other words about flink engines and parquet files"),
+      (8L, "the quick brown fox jumps over a sleepy dog near the river bank today")
+    ).toDF("doc_id", "text"))
+    for ((num, den) <- Seq((1, 2), (3, 4), (1, 4))) {
+      val t = num.toDouble / den
+      val exact = Dedup.allPairsExact(docs, num, den)
+        .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = Dedup.ngramJaccardPairs(docs, t)
+        .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(exact == brute, s"prefix-filter join diverged from brute force at $num/$den")
+    }
+  }
+
+  test("allPairsExact: boundary pair exactly AT the threshold is kept (integer verify)") {
+    // two 5-shingle docs sharing exactly 2 shingles: J = 2/8 = 1/4
+    val a = "w1 w2 w3 w4 w5 w6 w7" // shingles: w1w2w3..w5w6w7 (5)
+    val b = "w1 w2 w3 w4 x5 x6 x7 x8" // shares w1w2w3, w2w3w4 (2 of its 6)
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    // |A|=5, |B|=6, inter=2, union=9 -> J=2/9; at 2/9 kept, at 1/4 dropped
+    val kept = Dedup.allPairsExact(docs, 2, 9).collect()
+    assert(kept.length == 1 && kept(0).getDouble(2) == math.rint(2.0 / 9 * 1e6) / 1e6)
+    assert(Dedup.allPairsExact(docs, 1, 4).isEmpty)
+  }
+
   test("ngram jaccard finds the near-dup pair and not unrelated ones") {
     val pairs = Dedup.ngramJaccardPairs(base, 0.5)
       .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
