@@ -3749,6 +3749,26 @@ object Queries {
     * decision can never float-flip; the threshold table is
     * stratum-sized and broadcasts, the keep pass is one narrow filter.
     */
+  /** One-vs-rest multi-class averaged perceptron
+    * ([[graft.ops.Classify.perceptronTrainOvr]]): one binary trainer
+    * per language over ONE persisted hashed-count table (2 integer
+    * passes each, Collins-averaged), then every doc classified by
+    * integer argmax. The oracle replays ALL five labels' TRAINING
+    * unrolled — 10 weight tables of pure integer sums — then the same
+    * argmax; possible only because no float ever enters the update.
+    */
+  def perceptronOvrQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val (w, b) = graft.ops.Classify.perceptronTrainOvr(
+      d, "lang", "text", "povr:", 64, 2, averaged = true)
+    graft.ops.Classify.perceptronPredictOvr(
+        d, w, b, "doc_id", "text", "povr:", 64, carry = Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("pred_label").as("pred_lang"),
+        (col("lang") === col("pred_label")).as("hit"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact all-pairs similarity self-join ([[graft.ops.Dedup
     * .allPairsExact]], the AllPairs/PPJoin prefix-filter family) at
     * Jaccard ≥ 1/2 over the near-copy corpus — the EXACT-recall

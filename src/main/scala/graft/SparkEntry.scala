@@ -188,6 +188,7 @@ object SparkEntry {
     "q_collocations" -> (Queries.collocationsQ _),
     "q_quality_floor" -> (Queries.qualityFloorQ _),
     "q_allpairs" -> (Queries.allPairsExactQ _),
+    "q_perceptron_ovr" -> (Queries.perceptronOvrQ _),
     "q_semdedup" -> (Queries.semdedupQ _),
     "q_export_shards" -> (Queries.exportShardsQ _),
     "q_tpch2" -> (Queries.tpch2Q _),
@@ -323,6 +324,50 @@ object SparkEntry {
        |  FROM w2 FULL JOIN g3 ON w2.bucket = g3.bucket),
        |b3 AS (SELECT (SELECT b FROM b2)
        |    + coalesce((SELECT CAST(sum(y) AS BIGINT) FROM m3), 0) AS b)""".stripMargin
+
+  /** One-vs-rest perceptron training CTE chain (2 unrolled passes ×
+    * one binary model per label over 64 'povr:'-salted buckets, Collins
+    * averaged — the Classify.perceptronTrainOvr contract): defines the
+    * shared hashed-count table povr0 / doc list povrd, and per label l
+    * the pass tables p${l}_w1/b1/w2/b2, averaged p${l}_wS/bS, and final
+    * scores p${l}_fs. Pure integer sums throughout — training replays.
+    */
+  private def povrCtes(labels: Seq[String]): String = {
+    def yOf(l: String, t: String) =
+      s"CASE WHEN ${t}lang = '$l' THEN 1 ELSE -1 END"
+    val shared =
+      s"""povr0 AS (
+         |  SELECT doc_id, lang, bucket, count(*) AS n FROM (
+         |    SELECT doc_id, lang, ${hSql("'povr:' || tok")} % 64 AS bucket FROM (
+         |      SELECT doc_id, lang, unnest(${wordsSql("lower(text)")}) AS tok FROM documents) u
+         |    WHERE length(tok) >= 2) b
+         |  GROUP BY doc_id, lang, bucket),
+         |povrd AS (SELECT DISTINCT doc_id, lang FROM povr0)""".stripMargin
+    val perLabel = labels.map { l =>
+      val p = s"p${l}_"
+      s"""${p}w1 AS (SELECT bucket, CAST(sum((${yOf(l, "")}) * n) AS BIGINT) AS w
+         |  FROM povr0 GROUP BY bucket),
+         |${p}b1 AS (SELECT CAST(sum(${yOf(l, "")}) AS BIGINT) AS b FROM povrd),
+         |${p}s2 AS (SELECT c.doc_id, ${yOf(l, "c.")} AS y,
+         |    CAST(sum(c.n * coalesce(w1.w, 0)) AS BIGINT) + (SELECT b FROM ${p}b1) AS s
+         |  FROM povr0 c LEFT JOIN ${p}w1 w1 USING (bucket) GROUP BY c.doc_id, c.lang),
+         |${p}m2 AS (SELECT doc_id, y FROM ${p}s2 WHERE y * s <= 0),
+         |${p}g2 AS (SELECT c.bucket, CAST(sum((${yOf(l, "c.")}) * c.n) AS BIGINT) AS g
+         |  FROM povr0 c JOIN ${p}m2 USING (doc_id) GROUP BY c.bucket),
+         |${p}w2 AS (SELECT coalesce(w1.bucket, g2.bucket) AS bucket,
+         |    coalesce(w1.w, 0) + coalesce(g2.g, 0) AS w
+         |  FROM ${p}w1 w1 FULL JOIN ${p}g2 g2 ON w1.bucket = g2.bucket),
+         |${p}b2 AS (SELECT (SELECT b FROM ${p}b1)
+         |    + coalesce((SELECT CAST(sum(y) AS BIGINT) FROM ${p}m2), 0) AS b),
+         |${p}wS AS (SELECT bucket, CAST(sum(w) AS BIGINT) AS w FROM (
+         |    SELECT * FROM ${p}w1 UNION ALL SELECT * FROM ${p}w2) u GROUP BY bucket),
+         |${p}bS AS (SELECT (SELECT b FROM ${p}b1) + (SELECT b FROM ${p}b2) AS b),
+         |${p}fs AS (SELECT c.doc_id,
+         |    CAST(sum(c.n * coalesce(w.w, 0)) AS BIGINT) + (SELECT b FROM ${p}bS) AS score
+         |  FROM povr0 c LEFT JOIN ${p}wS w USING (bucket) GROUP BY c.doc_id)""".stripMargin
+    }
+    (shared +: perLabel).mkString(",\n")
+  }
 
   private def dupSpanCtes: String =
     s"""xbase AS (
@@ -3216,6 +3261,24 @@ object SparkEntry {
          |SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
          |FROM apv WHERE 2 * inter >= 1 * uni
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // One-vs-rest perceptron replay: five binary trainings (2 unrolled
+    // integer passes each, Collins-averaged) over one shared count
+    // table, then argmax (score DESC, label ASC) per doc.
+    "q_perceptron_ovr" -> {
+      val labels = Seq("de", "en", "es", "fr", "zh")
+      val scores = labels.map(l =>
+        s"SELECT doc_id, '$l' AS label, score FROM p${l}_fs").mkString("\n  UNION ALL ")
+      s"""WITH ${povrCtes(labels)},
+         |povrall AS (
+         |  $scores),
+         |povrpred AS (SELECT doc_id, label AS pred_lang FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, label) AS rn FROM povrall) WHERE rn = 1)
+         |SELECT d.doc_id, d.lang, p.pred_lang, (d.lang = p.pred_lang) AS hit
+         |FROM povrd d JOIN povrpred p USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     // PMI collocations replay: adjacent pairs from the per-doc lead()
     // window, slot-based unigram counts (each token counted once per

@@ -201,17 +201,29 @@ object Classify {
         "doc_id", "text", salt, buckets, carry = Seq("y"))
       .repartition(col("doc_id"))
       .persist()
-    // The model rides the driver between passes (the kmeans/MLlib
-    // pattern — a ≤buckets-row collect per iteration): keeping the
-    // weights as chained DataFrames instead would re-evaluate iteration
-    // i's subtree 2× per LATER iteration (scores + update both read
-    // it), compounding exponentially in `iters`. Collected weights are
-    // exact integers, so nothing about determinism changes.
-    //
-    // `averaged` returns the SUM of the post-pass weight vectors
-    // (Collins 2002's averaged perceptron scaled by iters — an integer
-    // scale factor leaves every sign, margin ordering and tie exactly
-    // where the true average puts them, and keeps the model integral).
+    val (fw, fb) = trainLoop(counts, iters, averaged)
+    counts.unpersist()
+    (fw.toSeq.sortBy(_._1).toDF("bucket", "w"), Seq(fb).toDF("b"))
+  }
+
+  /** The batch-perceptron pass loop over a persisted count table with
+    * columns (doc_id, y, bucket, n). The model rides the driver between
+    * passes (the kmeans/MLlib pattern — a ≤buckets-row collect per
+    * iteration): keeping the weights as chained DataFrames instead
+    * would re-evaluate iteration i's subtree 2× per LATER iteration
+    * (scores + update both read it), compounding exponentially in
+    * `iters`. Collected weights are exact integers, so nothing about
+    * determinism changes.
+    *
+    * `averaged` returns the SUM of the post-pass weight vectors
+    * (Collins 2002's averaged perceptron scaled by iters — an integer
+    * scale factor leaves every sign, margin ordering and tie exactly
+    * where the true average puts them, and keeps the model integral).
+    */
+  private def trainLoop(counts: DataFrame, iters: Int,
+      averaged: Boolean): (Map[Long, Long], Long) = {
+    val spark = counts.sparkSession
+    import spark.implicits._
     var w = Map.empty[Long, Long]
     var b = 0L
     var wSum = Map.empty[Long, Long]
@@ -234,9 +246,76 @@ object Classify {
         k -> (wSum.getOrElse(k, 0L) + w.getOrElse(k, 0L))).toMap
       bSum += b
     }
+    if (averaged) (wSum, bSum) else (w, b)
+  }
+
+  /** ONE-VS-REST multi-class perceptron over the SAME persisted count
+    * table: one binary [[trainLoop]] per label (y = +1 on the label,
+    * −1 off it), so the expensive part — tokenize, hash, count,
+    * doc_id-repartition, persist — is paid ONCE and every per-label
+    * pass reuses the cached exchange; the only per-label traffic is the
+    * ≤buckets-row model riding the driver. Labels are the distinct
+    * values of `labelCol` (a label-count-sized collect), trained in
+    * sorted order so the model tables are deterministic.
+    *
+    * Returns (weights, biases): `weights` is (label, bucket, w) with
+    * ≤ labels·buckets rows, `biases` (label, b) — still model-sized,
+    * still broadcastable at any corpus scale.
+    */
+  def perceptronTrainOvr(train: DataFrame, labelCol: String, textCol: String,
+      salt: String, buckets: Int, iters: Int,
+      averaged: Boolean = true): (DataFrame, DataFrame) = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    val counts = tokenBucketCounts(
+        train.select(col("doc_id"), col(labelCol).as("label"), col(textCol).as("text")),
+        "doc_id", "text", salt, buckets, carry = Seq("label"))
+      .repartition(col("doc_id"))
+      .persist()
+    val labels = counts.select(col("label")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val models = labels.map { l =>
+      val lc = counts.withColumn("y",
+        when(col("label") === lit(l), 1L).otherwise(-1L))
+      l -> trainLoop(lc, iters, averaged)
+    }
     counts.unpersist()
-    val (fw, fb) = if (averaged) (wSum, bSum) else (w, b)
-    (fw.toSeq.sortBy(_._1).toDF("bucket", "w"), Seq(fb).toDF("b"))
+    val weights = models.toSeq.flatMap { case (l, (w, _)) =>
+      w.toSeq.sortBy(_._1).map { case (bk, wv) => (l, bk, wv) }
+    }.toDF("label", "bucket", "w")
+    val biases = models.toSeq.map { case (l, (_, b)) => (l, b) }
+      .toDF("label", "b")
+    (weights, biases)
+  }
+
+  /** Classify documents with a one-vs-rest perceptron model:
+    * integer-exact argmax over labels of `Σ n·w_l + b_l`, ties broken
+    * by label ascending (the nbPredict min-struct pattern — one hash
+    * aggregate, no per-doc sort window). Model and biases broadcast;
+    * labels with no matched bucket still score (left join + coalesce,
+    * the bias carries them).
+    */
+  def perceptronPredictOvr(docs: DataFrame, weights: DataFrame,
+      biases: DataFrame, idCol: String, textCol: String, salt: String,
+      buckets: Int, carry: Seq[String] = Nil): DataFrame = {
+    // model columns renamed so a carry column named "label" (the usual
+    // truth column) can never collide with the model's label key
+    val wts = weights.select(col("bucket"), col("label").as("_m_label"), col("w"))
+    val bs = biases.select(col("label").as("_m_label"), col("b"))
+    val tb = tokenBucketCounts(docs, idCol, textCol, salt, buckets, carry)
+    val matched = tb.join(broadcast(wts), Seq("bucket"))
+      .groupBy(col(idCol), col("_m_label"))
+      .agg(sum(col("n") * col("w")).as("sw"))
+    val ids = tb.groupBy(col(idCol) +: carry.map(col): _*)
+      .agg(count(lit(1)).as("_nb")).drop("_nb")
+    ids.crossJoin(broadcast(bs))
+      .join(matched, Seq(idCol, "_m_label"), "left")
+      .select(col(idCol) +: carry.map(col) :+ col("_m_label") :+
+        (coalesce(col("sw"), lit(0L)) + col("b")).as("score"): _*)
+      .groupBy(col(idCol) +: carry.map(col): _*)
+      .agg(min(struct((-col("score")).as("neg"), col("_m_label"))).as("best"))
+      .select(col(idCol) +: carry.map(col) :+
+        col("best._m_label").as("pred_label"): _*)
   }
 
   /** Score documents against a perceptron model: exact-integer

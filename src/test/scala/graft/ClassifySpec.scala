@@ -155,4 +155,33 @@ class ClassifySpec extends AnyFunSuite {
     assert(outA.toSeq == Seq(
       (1L, 27L, 1L), (2L, 15L, 1L), (3L, -9L, -1L), (4L, -3L, -1L), (5L, 9L, 1L)))
   }
+
+  test("perceptron OVR: separable 3-class toy solved; unseen doc falls to best bias") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa aa", "A"), (2L, "aa", "A"),
+      (3L, "bb bb", "B"), (4L, "bb", "B"),
+      (5L, "cc cc", "C"), (6L, "cc", "C")
+    ).toDF("doc_id", "text", "label")
+    val (w, b) = Classify.perceptronTrainOvr(docs, "label", "text", "t:", 1024, 2)
+    // model shape: one weight set per label, all rows integer
+    assert(w.select("label").distinct().collect().map(_.getString(0)).sorted
+      .toSeq == Seq("A", "B", "C"))
+    val pred = Classify.perceptronPredictOvr(
+        docs, w, b, "doc_id", "text", "t:", 1024, carry = Seq("label"))
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(pred.forall { case (truth, p) => truth == p },
+      s"separable classes must be learned: ${pred.toSeq}")
+    // a doc with only unseen vocabulary scores b_l for every label —
+    // prediction = argmax bias, tie label-ascending (computed here from
+    // the collected biases, not assumed)
+    val biases = b.collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = biases.minBy { case (l, bv) => (-bv, l) }._1
+    val unseen = Classify.perceptronPredictOvr(
+        Seq((9L, "zz zz")).toDF("doc_id", "text"), w, b,
+        "doc_id", "text", "t:", 1024)
+      .collect()(0).getString(1)
+    assert(unseen == expected)
+  }
 }
