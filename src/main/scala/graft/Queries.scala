@@ -776,6 +776,35 @@ object Queries {
         md5(col("text_clean")).as("clean_md5"))
       .orderBy(col("doc_id"))
 
+  /** CCNet paragraph-level dedup ([[graft.ops.Dedup.paragraphDedup]]
+    * over [[graft.ops.Dedup.segmentsByBlock]] 20-token segments):
+    * corpus-wide first-occurrence rule per segment hash, per-doc
+    * rebuild. Plants (id+95000 for doc_id < 40) open with an exact
+    * copy of the base doc's first 20-token block, then 20 filler
+    * tokens unique to the plant — so each plant must lose exactly its
+    * first segment to the base doc and keep the filler segment, while
+    * all base docs keep everything (modulo natural block collisions,
+    * which both engines see identically).
+    */
+  def paragraphDedupQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val w = split(trim(lower(col("text"))), "\\s+")
+    // alias the plant id FIRST, build text in a second select: a lambda
+    // referencing doc_id in the same select as the (+95000) alias
+    // resolves against the aliased output, double-shifting the id
+    val fillers = transform(sequence(lit(1), lit(20)),
+      jj => concat(lit("p"), col("doc_id").cast("string"),
+        lit("w"), jj.cast("string")))
+    val plants = d.filter(col("doc_id") < 40)
+      .select((col("doc_id") + 95000).as("doc_id"), col("text"))
+      .select(col("doc_id"),
+        array_join(concat(slice(w, 1, 20), fillers), " ").as("text"))
+    Dedup.paragraphDedup(Dedup.segmentsByBlock(d.unionAll(plants), block = 20))
+      .select(col("doc_id"), col("n_segs"), col("n_kept"),
+        md5(col("text_clean")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Incremental duplicate-substring spans
     * ([[graft.ops.Dedup.duplicateSpansVersusCorpus]]): corpus =
     * docs < 200 distilled into a prebuilt gram-first index; delta
@@ -2581,11 +2610,14 @@ object Queries {
     * node-sum are orientation-invariant, so the oracle stays the plain
     * ordered-edge SQL.
     */
-  def trianglesQ(spark: SparkSession, sfDir: String): DataFrame = {
-    // The distinct pair table feeds the degree agg, the orientation
-    // join and the closing-edge broadcast — materialize it once per
-    // (session, sf) instead of re-running the self-join per subtree.
-    val e = graft.sources.SessionMemo(spark, ("tri_edges", sfDir)) {
+  /** Part co-occurrence pair table (parts sharing an order, canonical
+    * x < y, distinct), memoized per (session, sf) — the distinct pair
+    * table feeds the triangle counter's degree agg / orientation join /
+    * closing-edge broadcast AND the link-prediction features;
+    * materialized once instead of re-running the self-join per subtree.
+    */
+  private def coOccurrenceEdges(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.SessionMemo(spark, ("tri_edges", sfDir)) {
       val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
       li.as("a").join(li.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&
@@ -2594,6 +2626,9 @@ object Queries {
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
+
+  def trianglesQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = coOccurrenceEdges(spark, sfDir)
     val deg = e.select(col("x").as("node")).union(e.select(col("y").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     // orient: src = the (deg, id)-smaller endpoint
@@ -2629,6 +2664,41 @@ object Queries {
         max(greatest(col("u"), col("v"), col("w"))).as("max_node"),
         sum(col("u") + col("v") + col("w")).as("node_sum"))
   }
+
+  /** 30-core of the part-adjacency graph via [[graft.ops.Graph.kCore]]:
+    * iterative peeling to fixpoint (3-6 rounds on this data — the
+    * oracle unrolls 8, a strict superset, and extra rounds are no-ops
+    * at fixpoint). k=30 sits in the critical band of this graph's
+    * degree distribution (median ≈ 40-45), so the peel genuinely
+    * cascades — early removals push later vertices below threshold —
+    * rather than terminating in one pass.
+    */
+  def kCoreQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Graph.kCore(
+        partAdjacencyEdges(spark, sfDir).select(col("src"), col("dst")), k = 30)
+      .orderBy(col("node"))
+
+  /** Per-edge link-prediction features over the part co-occurrence
+    * graph via [[graft.ops.Graph.edgeJaccard]]: shared-neighbor count
+    * (= per-edge triangle count, degree-oriented enumeration), endpoint
+    * degrees, and neighborhood Jaccard. All-integer until the one
+    * rounded division.
+    */
+  def linkPredQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Graph.edgeJaccard(coOccurrenceEdges(spark, sfDir))
+      .orderBy(col("x"), col("y"))
+
+  /** Dominant-PC projection of the embedding table
+    * ([[graft.ops.Similarity.pcaPowerProjection]], 3 power iterations):
+    * integer-exact Gram → max-normalized integer power iteration →
+    * integer projection. The one float op per step is a correctly-
+    * rounded double division on identical operands, so the oracle
+    * replays bit-for-bit with no per-iteration tolerance.
+    */
+  def pcaPowerQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Similarity.pcaPowerProjection(
+        Tables.embeddings(spark, sfDir), iterations = 3)
+      .orderBy(col("vec_id"))
 
   /** TPC-H Q3 shape (shipping priority): selective dim filter →
     * fact join → revenue aggregation → top-10. The plan the optimizer

@@ -206,6 +206,10 @@ object SparkEntry {
     "q_label_prop" -> (Queries.labelPropQ _),
     "q_incr_agg" -> (Queries.incrAggQ _),
     "q_zone_map" -> (Queries.zoneMapQ _),
+    "q_kcore" -> (Queries.kCoreQ _),
+    "q_link_pred" -> (Queries.linkPredQ _),
+    "q_para_dedup" -> (Queries.paragraphDedupQ _),
+    "q_pca_power" -> (Queries.pcaPowerQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -2495,6 +2499,115 @@ object SparkEntry {
          |${iter(4)}
          |SELECT node, label FROM lab4 ORDER BY node""".stripMargin
     },
+
+    // k-core peel replay: 8 unrolled rounds (fixpoint is 3-6 on this
+    // data at every SF; rounds past fixpoint are no-ops, so the
+    // unrolled count only needs to be an upper bound). Round i: keep =
+    // vertices with ≥30 distinct neighbors, then restrict edges to
+    // kept-on-both-ends.
+    // Each round references its predecessor exactly ONCE (degrees via
+    // two window counts instead of a keep-set join): DuckDB inlines
+    // multiply-referenced CTEs, and a chain of double references would
+    // expand 2^8 copies of the whole pipeline. An edge survives iff
+    // BOTH endpoint degrees are ≥ k — identical to keep-set semantics
+    // because the table is symmetrized.
+    "q_kcore" -> {
+      def iter(i: Int): String =
+        s"""u$i AS (SELECT src, dst FROM (
+           |  SELECT src, dst, count(*) OVER (PARTITION BY src) AS ds,
+           |    count(*) OVER (PARTITION BY dst) AS dd FROM u${i - 1})
+           |  WHERE ds >= 30 AND dd >= 30)""".stripMargin
+      s"""WITH p AS (SELECT l_partkey AS src,
+         |    lead(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
+         |  FROM lineitem),
+         |ed AS (SELECT DISTINCT src, dst FROM p WHERE dst IS NOT NULL AND src <> dst),
+         |u0 AS (SELECT DISTINCT src, dst FROM
+         |  (SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed) t),
+         |${(1 to 8).map(iter).mkString(",\n")}
+         |SELECT src AS node, count(*) AS deg FROM u8 GROUP BY src ORDER BY node""".stripMargin
+    },
+
+    // CCNet paragraph dedup replay: 20-token block segmentation (the
+    // chunk_docs list_slice device), global first-occurrence by
+    // min(packed doc·1e6+seg_idx) per segment hash, ordered string_agg
+    // rebuild. Plant = base doc's first block + 20 plant-unique filler
+    // tokens (lambda param jj — hSql's own lambda binds `i`).
+    "q_para_dedup" ->
+      s"""WITH pbase AS (SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 95000,
+         |    array_to_string(list_slice(${wordsSql("lower(text)")}, 1, 20), ' ') || ' ' ||
+         |    array_to_string(list_transform(generate_series(1, 20),
+         |      jj -> 'p' || CAST(doc_id + 95000 AS VARCHAR) || 'w' || CAST(jj AS VARCHAR)), ' ')
+         |  FROM documents WHERE doc_id < 40),
+         |pt AS (SELECT doc_id, ${wordsSql("lower(text)")} AS w FROM pbase),
+         |ps AS (SELECT doc_id, CAST(start // 20 AS BIGINT) AS seg_idx,
+         |    array_to_string(list_slice(w, start + 1, least(start + 20, len(w))), ' ') AS seg
+         |  FROM (SELECT doc_id, w, unnest(generate_series(0, len(w) - 1, 20)) AS start
+         |        FROM pt WHERE len(w) > 0) z),
+         |psh AS (SELECT doc_id, seg_idx, seg, ${hSql("seg")} AS h FROM ps),
+         |pf AS (SELECT h, min(doc_id * 1000000 + seg_idx) AS fk FROM psh GROUP BY h),
+         |pk AS (SELECT psh.doc_id, psh.seg_idx, psh.seg,
+         |    (psh.doc_id * 1000000 + psh.seg_idx) = pf.fk AS keep
+         |  FROM psh JOIN pf USING (h))
+         |SELECT doc_id, count(*) AS n_segs,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  md5(coalesce(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY seg_idx), '')) AS clean_md5
+         |FROM pk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Integer-exact PCA power iteration replay: 1e6-quantized vectors,
+    // exact Gram (HUGEINT sums == Spark's decimal(38,0)), matrix
+    // normalized once to 1e6-scaled integers, then 3 unrolled
+    // max-normalized matvec rounds — the only float op per round is
+    // one correctly-rounded double division on identical operands.
+    // g6 MATERIALIZED: each round references it, and inlining would
+    // re-evaluate the Gram subtree per round.
+    "q_pca_power" -> {
+      def iter(i: Int): String =
+        s"""py$i AS (SELECT ii, CAST(sum(w * v) AS BIGINT) AS y
+           |  FROM g6 JOIN pv${i - 1} USING (jj) GROUP BY ii),
+           |pv$i AS (SELECT ii AS jj, CAST(round(CAST(y AS DOUBLE)
+           |    / max(CAST(abs(y) AS DOUBLE)) OVER () * 1000000.0, 0) AS BIGINT) AS v
+           |  FROM py$i)""".stripMargin
+      s"""WITH eq AS (SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |gp AS (SELECT a.ii, b.jj, q[a.ii + 1] * q[b.jj + 1] AS p FROM eq,
+         |  LATERAL (SELECT unnest(range(len(q))) AS ii) a,
+         |  LATERAL (SELECT unnest(range(len(q))) AS jj) b),
+         |gg AS (SELECT ii, jj, sum(p) AS g FROM gp GROUP BY ii, jj),
+         |mg AS (SELECT max(abs(g)) AS mg FROM gg),
+         |g6 AS MATERIALIZED (SELECT ii, jj,
+         |    CAST(round(CAST(g AS DOUBLE) / CAST(mg AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS w
+         |  FROM gg CROSS JOIN mg),
+         |pv0 AS (SELECT DISTINCT jj, CAST(1000000 AS BIGINT) AS v FROM g6),
+         |${(1 to 3).map(iter).mkString(",\n")},
+         |px AS (SELECT vec_id, z.jj, q[z.jj + 1] AS qv FROM eq,
+         |  LATERAL (SELECT unnest(range(len(q))) AS jj) z)
+         |SELECT vec_id, CAST(sum(qv * v) AS BIGINT) AS pc1_e12
+         |FROM px JOIN pv3 USING (jj)
+         |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    },
+
+    // Link-prediction features: cn = |N(x) ∩ N(y)| counted by the plain
+    // two-hop join (the Spark side's degree-oriented wedge enumeration
+    // is orientation-invariant in its output); single rounded division.
+    "q_link_pred" ->
+      """WITH e AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+        |  FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |und AS (SELECT x AS src, y AS dst FROM e UNION ALL SELECT y, x FROM e),
+        |d AS (SELECT src AS node, count(*) AS deg FROM und GROUP BY src),
+        |c AS (SELECT e.x, e.y, count(*) AS cn
+        |  FROM e JOIN und a ON a.src = e.x JOIN und b ON b.src = e.y AND b.dst = a.dst
+        |  GROUP BY e.x, e.y)
+        |SELECT e.x, e.y, coalesce(c.cn, CAST(0 AS BIGINT)) AS cn,
+        |  dx.deg AS dx, dy.deg AS dy,
+        |  round(CAST(coalesce(c.cn, 0) AS DOUBLE)
+        |    / (dx.deg + dy.deg - coalesce(c.cn, 0)), 6) AS jaccard
+        |FROM e LEFT JOIN c ON c.x = e.x AND c.y = e.y
+        |JOIN d dx ON dx.node = e.x JOIN d dy ON dy.node = e.y
+        |ORDER BY e.x, e.y""".stripMargin,
 
     // Island rule replaying session_window's END-EXCLUSIVE merge: the
     // running session end is max(s + gap) over prior events; an event

@@ -908,6 +908,75 @@ object Dedup {
             x => x.getField("tok")), " ").as("text_clean"))
   }
 
+  // ------------------------------------------ paragraph-level exact dedup
+
+  /** Fixed-width token-block segmentation: (doc_id, seg_idx, seg) —
+    * the segment stream [[paragraphDedup]] consumes when a corpus
+    * carries no natural paragraph breaks (the synthetic tables here
+    * are newline-free; a web corpus would pass newline-split segments
+    * instead — the op is agnostic to how segments were cut). One
+    * narrow projection per doc: starts via `sequence`, segments via
+    * `slice` on the tokenized array — no explode-then-regroup.
+    */
+  def segmentsByBlock(docs: DataFrame, block: Int = 20): DataFrame = {
+    val w = split(trim(lower(col("text"))), "\\s+")
+    docs.select(col("doc_id"), w.as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), size(col("w")) - 1, lit(block))).as("start"))
+      .select(col("doc_id"),
+        (col("start") / block).cast("long").as("seg_idx"),
+        array_join(slice(col("w"), col("start") + 1, lit(block)), " ").as("seg"))
+  }
+
+  /** CCNet-style paragraph-level exact dedup (Wenzek et al. 2020,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web
+    * Crawl Data" — the per-paragraph hash dedup that removes
+    * boilerplate headers/footers and quoted blocks corpus-wide): a
+    * segment survives iff it is the FIRST occurrence of its hash in
+    * global (doc_id, seg_idx) order; every document is rebuilt from
+    * its surviving segments. Sits between whole-doc exact dedup (too
+    * coarse: one shared paragraph doesn't make docs identical) and
+    * gram-level ExactSubstr ([[duplicateSpans]], finer but ~k× the
+    * hashing work): the unit of removal is the segment the caller
+    * chose.
+    *
+    * Scale shape: one shuffle of (8-byte segment hash, packed key)
+    * with a partial-aggregatable min — map-side combine absorbs hot
+    * boilerplate paragraphs, the skew magnet of web corpora — then a
+    * 1:1 join back against the distinct-segment-sized first-key table
+    * and one per-doc aggregate for the rebuild. Nothing collected;
+    * cost linear in corpus segments, independent of duplication
+    * factor.
+    *
+    * Output: (doc_id, n_segs, n_kept, text_clean) for every input doc
+    * with ≥1 segment; a fully-duplicated doc returns n_kept = 0 and
+    * empty text.
+    *
+    * @param segments (doc_id, seg_idx, seg) — one row per paragraph
+    *                 in document order (see [[segmentsByBlock]]).
+    */
+  def paragraphDedup(segments: DataFrame): DataFrame = {
+    val keyed = segments.select(col("doc_id"), col("seg_idx"), col("seg"),
+      TextOps.portableHash64(col("seg")).as("h"),
+      when(col("seg_idx") < lit(PosPack), col("doc_id") * PosPack + col("seg_idx"))
+        .otherwise(raise_error(concat(
+          lit("paragraphDedup: doc "), col("doc_id"),
+          lit(" exceeds 1e6 segments — raise PosPack")))).as("key"))
+    val first = keyed.groupBy(col("h")).agg(min(col("key")).as("first_key"))
+    keyed.join(first, "h")
+      .withColumn("keep", col("key") === col("first_key"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("keep"), struct(col("seg_idx"), col("seg"))))),
+            x => x.getField("seg")), " ").as("text_clean"))
+  }
+
   // ------------------------------------ prefix-filtered exact all-pairs
 
   /** EXACT all-pairs Jaccard self-join via PREFIX FILTERING (the

@@ -48,6 +48,110 @@ object Graph {
     labels
   }
 
+  /** k-core: the maximal subgraph in which every vertex keeps at least
+    * `k` neighbors — iterative peeling (drop all vertices of degree <k,
+    * recompute degrees, repeat) run to fixpoint. The peel is the
+    * standard subgraph-density primitive: spam/bot rings, dense
+    * community seeds, and "well-connected part" selection all start
+    * from a core membership test.
+    *
+    * Semantics: the input edge list is symmetrized, de-duplicated and
+    * self-loop-stripped first, so degree = number of DISTINCT
+    * neighbors. Returns the surviving vertices with their degree
+    * INSIDE the core (all ≥ k). Deterministic: peeling removes a
+    * unique vertex set per round regardless of order.
+    *
+    * Scale shape: each round is one O(|E|) degree aggregate plus two
+    * semi-joins of the edge table against the O(|V|) keep set — the
+    * connected-components cost profile. The edge table shrinks
+    * monotonically; rounds needed in practice is small (degeneracy
+    * peel depth, 3-6 on the test graphs). Per round the surviving edge
+    * table is localCheckpointed (superseded checkpoints released
+    * immediately) and the fixpoint probe is a cheap isEmpty on the
+    * sub-threshold degree rows — the same loop discipline as
+    * [[graft.ops.Dedup.connectedComponentsDistributed]]. Nothing is
+    * ever collected to the driver.
+    *
+    * @param edges (src, dst) directed edge list; extra columns ignored.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 30): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
+    var u = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxRounds) {
+      val deg = u.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      // fixpoint probe: no vertex below threshold → current u IS the core
+      if (deg.filter(col("deg") < k).isEmpty) converged = true
+      else {
+        val keep = deg.filter(col("deg") >= k).select(col("src").as("node"))
+        val next = u
+          .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst"))
+          .localCheckpoint(true)
+        org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(u)
+        u = next
+      }
+      i += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"kCore: no fixpoint after $maxRounds rounds (k=$k)")
+    u.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+  }
+
+  /** Common-neighbor link features per edge: for every undirected edge
+    * (x < y), the number of shared neighbors `cn`, the endpoint
+    * degrees, and the neighborhood Jaccard cn/(dx+dy-cn) — the
+    * classic link-prediction / tie-strength feature set
+    * (Liben-Nowell & Kleinberg 2003; graph-cleaning pipelines use the
+    * Jaccard to prune weak ties before community detection).
+    *
+    * cn is exactly the per-EDGE triangle count, so the implementation
+    * reuses the degree-orientation trick from the triangle counter:
+    * every edge points (deg, id)-low → high, wedges enumerate only
+    * out-neighbor pairs (Σ C(outdeg,2), outdeg ≤ O(√|E|)), and each
+    * closed wedge credits its three edges. All-integer arithmetic —
+    * the single rounded division at the end is reproducible anywhere.
+    *
+    * @param e undirected edge list as (x, y) with x < y, de-duplicated
+    *          (the [[graft.Queries]] co-occurrence table shape).
+    */
+  def edgeJaccard(e: DataFrame): DataFrame = {
+    val deg = e.select(col("x").as("node")).union(e.select(col("y").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(broadcast(deg).withColumnRenamed("node", "x").withColumnRenamed("deg", "dx"), "x")
+      .join(broadcast(deg).withColumnRenamed("node", "y").withColumnRenamed("deg", "dy"), "y")
+    val xFirst = col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y"))
+    val o = withDeg.select(
+      when(xFirst, col("x")).otherwise(col("y")).as("src"),
+      when(xFirst, col("y")).otherwise(col("x")).as("dst"),
+      when(xFirst, col("dy")).otherwise(col("dx")).as("ddst"))
+    val vBeforeW = col("o1.ddst") < col("o2.ddst") ||
+      (col("o1.ddst") === col("o2.ddst") && col("o1.dst") < col("o2.dst"))
+    val tri = o.as("o1").join(o.as("o2"), col("o1.src") === col("o2.src") && vBeforeW)
+      .select(col("o1.src").as("u"), col("o1.dst").as("v"), col("o2.dst").as("w"))
+      .join(o.select(col("src"), col("dst")), col("v") === col("src") && col("w") === col("dst"))
+      .select(col("u"), col("v"), col("w"))
+    // each triangle closes one wedge at each of its 3 edges (undirected,
+    // emitted in canonical x<y order so the credit lands on the edge row)
+    val credits = tri.select(array(
+        struct(least(col("u"), col("v")).as("x"), greatest(col("u"), col("v")).as("y")),
+        struct(least(col("v"), col("w")).as("x"), greatest(col("v"), col("w")).as("y")),
+        struct(least(col("u"), col("w")).as("x"), greatest(col("u"), col("w")).as("y"))).as("es"))
+      .select(explode(col("es")).as("edge"))
+      .groupBy(col("edge.x").as("x"), col("edge.y").as("y"))
+      .agg(count(lit(1)).as("cn"))
+    withDeg.join(credits, Seq("x", "y"), "left")
+      .select(col("x"), col("y"), coalesce(col("cn"), lit(0L)).as("cn"),
+        col("dx"), col("dy"),
+        round(coalesce(col("cn"), lit(0L)).cast("double")
+          / (col("dx") + col("dy") - coalesce(col("cn"), lit(0L))), 6).as("jaccard"))
+  }
+
   /** Weighted PageRank with a fixed number of power iterations.
     *
     * @param edges (src: long, dst: long, w: double) weighted directed

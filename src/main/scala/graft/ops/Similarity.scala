@@ -208,6 +208,64 @@ object Similarity {
     (assignCells(e, cents), cents)
   }
 
+  /** Dominant principal component of the embedding cloud (uncentered
+    * PCA) by POWER ITERATION on the Gram matrix, with every step in
+    * exact integer arithmetic so the result is engine-reproducible —
+    * the whitening/compression precursor to ANN indexing (project onto
+    * the top component(s) before coarse quantization).
+    *
+    * The float-determinism problem with distributed PCA is that
+    * G = Σ x·xᵀ is a float sum whose partition order varies. Here the
+    * vectors are quantized once (round(x·1e6) — the q_quantize
+    * device), so the Gram entries are EXACT integer sums
+    * (order-free, map-side combinable), and each power-iteration step
+    * y = G·v normalizes by max|y| with one correctly-rounded double
+    * division per element — identical on any IEEE-754 engine — then
+    * re-quantizes to 1e6-scaled integers. No L2 norm is ever summed in
+    * floating point.
+    *
+    * Scale shape: the Gram pass is ONE aggregation of n·d² narrow rows
+    * to d² cells (map-side partials absorb n; d=64 → 4096 rows), the
+    * iteration state is d-sized, and the projection is one explode +
+    * broadcast join — the MLlib "data distributed, model tiny" shape.
+    * The d²-row Gram table is localCheckpointed so iterations re-plan
+    * from 4096 rows, not from the corpus.
+    *
+    * Output: (vec_id, pc1_e12) — the projection onto the dominant
+    * eigenvector in 1e-12 units (quantized-vector · quantized-eigvec),
+    * an exact integer.
+    */
+  def pcaPowerProjection(e: DataFrame, iterations: Int = 3): DataFrame = {
+    val q = e.select(col("vec_id"), expr(
+      "transform(embedding, x -> cast(round(cast(x as double) * 1000000.0, 0) as bigint))").as("q"))
+    val pr = q.select(posexplode(col("q")).as(Seq("ii", "qi")), col("q"))
+      .select(col("ii"), col("qi"), posexplode(col("q")).as(Seq("jj", "qj")))
+    // decimal(38,0) accumulation: long·long products reach ~1e13 and the
+    // corpus sum must stay exact at any n (long would wrap past ~1e6 rows)
+    val g = pr.groupBy(col("ii"), col("jj"))
+      .agg(sum(col("qi").cast("decimal(19,0)") * col("qj").cast("decimal(19,0)")).as("g"))
+    val mg = g.agg(max(abs(col("g"))).as("mg"))
+    // normalize the matrix once to 1e6-scaled integers: every later
+    // matvec then fits comfortably in BIGINT (64 · 1e6 · 1e6 ≈ 6e13)
+    val g6 = g.crossJoin(broadcast(mg))
+      .select(col("ii"), col("jj"),
+        round(col("g").cast("double") / col("mg").cast("double") * 1000000.0, 0)
+          .cast("long").as("w"))
+      .localCheckpoint(true)
+    var v = g6.select(col("jj")).distinct().select(col("jj"), lit(1000000L).as("v"))
+    for (_ <- 1 to iterations) {
+      val y = g6.join(broadcast(v), "jj")
+        .groupBy(col("ii")).agg(sum(col("w") * col("v")).as("y"))
+      val m = y.agg(max(abs(col("y")).cast("double")).as("m"))
+      v = y.crossJoin(broadcast(m))
+        .select(col("ii").as("jj"),
+          round(col("y").cast("double") / col("m") * 1000000.0, 0).cast("long").as("v"))
+    }
+    q.select(col("vec_id"), posexplode(col("q")).as(Seq("jj", "qv")))
+      .join(broadcast(v), "jj")
+      .groupBy(col("vec_id")).agg(sum(col("qv") * col("v")).as("pc1_e12"))
+  }
+
   /** Total within-cluster squared distance (inertia) of an assignment. */
   def inertia(e: DataFrame, assigned: DataFrame, cents: DataFrame): Double =
     e.join(assigned, "vec_id").join(cents, "cell")

@@ -36,6 +36,35 @@ class DedupSpec extends AnyFunSuite {
       Seq((1L, 2L), (2L, 1L), (4L, 1L), (5L, 1L)))
   }
 
+  test("paragraph dedup: first occurrence survives, later copies and internal repeats drop") {
+    // segments of 4 tokens; doc 2 repeats doc 1's first paragraph, doc 3
+    // repeats its OWN first paragraph internally
+    val docs = Seq(
+      (1L, "alpha beta gamma delta one two three four"),
+      (2L, "alpha beta gamma delta five six seven eight"),
+      (3L, "ix x xi xii ix x xi xii")
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(Dedup.segmentsByBlock(docs, block = 4))
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) == ((1L, 2L, 2L, "alpha beta gamma delta one two three four")), out(0))
+    // doc 2 loses the shared opener, keeps its unique tail
+    assert(out(1) == ((2L, 2L, 1L, "five six seven eight")), out(1))
+    // doc 3's internal repeat collapses to the first copy
+    assert(out(2) == ((3L, 2L, 1L, "ix x xi xii")), out(2))
+  }
+
+  test("paragraph dedup: a fully-duplicated doc returns n_kept=0 and empty text") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (9L, "alpha beta gamma delta")
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(Dedup.segmentsByBlock(docs, block = 4))
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq((1L, 1L, "alpha beta gamma delta"), (9L, 0L, "")), out.toSeq)
+  }
+
   test("allPairsExact == brute force at several rational thresholds (exact recall)") {
     // widen the corpus with overlapping variants so non-trivial pairs
     // exist at different similarity levels

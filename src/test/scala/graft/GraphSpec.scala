@@ -42,6 +42,41 @@ class GraphSpec extends AnyFunSuite {
     assert(got(2L) == 9L, got)
   }
 
+  private def core(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] =
+    Graph.kCore(edges.toDF("src", "dst"), k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("kCore: pendant chain peels away, the clique survives with its degrees") {
+    // K4 {1,2,3,4} + chain 4-5-6: at k=3 the chain cascades off
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val got = core(k4 ++ Seq((4L, 5L), (5L, 6L)), k = 3)
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), got)
+  }
+
+  test("kCore: removal cascades multiple rounds (path graph empties at k=2)") {
+    // path 1-2-3-4-5: each round only the current endpoints drop
+    val got = core(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)), k = 2)
+    assert(got.isEmpty, got)
+  }
+
+  test("kCore: cycle is exactly its own 2-core; self-loops and duplicates ignored") {
+    val got = core(Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (1L, 1L)), k = 2)
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), got)
+  }
+
+  test("edgeJaccard: triangle plus pendant edge") {
+    // triangle {1,2,3} + pendant 3-4
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("x", "y")
+    val got = Graph.edgeJaccard(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    // edge (1,2): shares neighbor 3; deg 2,2; j = 1/(2+2-1)
+    assert(got((1L, 2L)) == ((1L, 2L, 2L, 0.333333)), got)
+    // edge (3,4): no shared neighbor; deg 3,1; j = 0
+    assert(got((3L, 4L)) == ((0L, 3L, 1L, 0.0)), got)
+    assert(got((1L, 3L)) == ((1L, 2L, 3L, 0.25)), got)
+  }
+
   test("symmetric 2-cycle keeps the uniform distribution exactly") {
     val pr = ranks(Seq((1L, 2L, 1.0), (2L, 1L, 1.0)))
     // mass 1000 over 2 nodes: 500 each, and the update maps 500 -> 500

@@ -27,6 +27,28 @@ class KMeansSpec extends AnyFunSuite {
     assert(a2.count() == e.count())
   }
 
+  test("pcaPowerProjection finds the dominant axis and is bit-deterministic") {
+    import spark.implicits._
+    // variance concentrated on axis 0; axis 1 is noise an order smaller
+    val e = Seq(
+      (1L, Array(10.0f, 0.1f)), (2L, Array(-10.0f, -0.1f)),
+      (3L, Array(8.0f, 0.0f)), (4L, Array(-8.0f, 0.05f)),
+      (5L, Array(0.5f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val p = Similarity.pcaPowerProjection(e, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // projections order by the x-coordinate (dominant direction ~ +x
+    // since power iteration starts from the all-ones vector... sign is
+    // whatever the iteration converges to; assert up to a global sign)
+    val s = if (p(1L) > 0) 1L else -1L
+    val q = p.view.mapValues(_ * s).toMap
+    assert(q(1L) > q(3L) && q(3L) > q(5L) && q(5L) > q(4L) && q(4L) > q(2L), q)
+    // bit-exact reproducibility (integer pipeline)
+    val p2 = Similarity.pcaPowerProjection(e, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p == p2)
+  }
+
   test("semanticDedup: planted near-copies drop, originals survive") {
     import org.apache.spark.sql.functions._
     val e = Similarity.asDouble(Tables.embeddings(spark, sf))
