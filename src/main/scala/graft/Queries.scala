@@ -2688,6 +2688,93 @@ object Queries {
     graft.ops.Graph.edgeJaccard(coOccurrenceEdges(spark, sfDir))
       .orderBy(col("x"), col("y"))
 
+  /** BFS hop distances from the minimum part id over the part-adjacency
+    * graph ([[graft.ops.Graph.bfsDistances]]): iterative relaxation to
+    * fixpoint (eccentricity is 2-3 on this data; the oracle unrolls 6
+    * materialized rounds, a strict superset). The seed is the one-row
+    * aggregate min(src) — no driver-side collect.
+    */
+  def bfsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = partAdjacencyEdges(spark, sfDir).select(col("src"), col("dst"))
+    // seed = min node over BOTH endpoints (a node appearing only on the
+    // dst side would otherwise be missed), self-loops excluded to match
+    // the op's internal edge normalization
+    val nodes = e.filter(col("src") =!= col("dst"))
+    val seed = nodes.select(col("src")).union(nodes.select(col("dst")))
+      .agg(min(col("src")).as("node"))
+    graft.ops.Graph.bfsDistances(e, seed).orderBy(col("node"))
+  }
+
+  /** Association rules over order baskets (the classic market-basket
+    * support/confidence/lift surface): items = distinct parts per
+    * order; antecedent→consequent emitted BOTH ways for every part
+    * pair co-occurring in ≥ 2 orders. All counts are exact integers;
+    * confidence and lift are each ONE rounded double division of
+    * integer products, so the oracle replays bit-for-bit.
+    *
+    * Scale shape: the pair generation is the triangle counter's
+    * per-order self-join (Σ C(basket,2), basket-size-bounded), counts
+    * aggregate with map-side combine, item supports join 1:1, and the
+    * single-row basket total broadcasts — no driver collect, no
+    * all-pairs anywhere.
+    */
+  def assocRulesQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = graft.sources.SessionMemo(spark, ("basket_items", sfDir)) {
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val pairs = d.as("a").join(d.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("x"), col("b.l_partkey").as("y"))
+      .agg(count(lit(1)).as("sup_pair"))
+      .filter(col("sup_pair") >= 2)
+    val items = d.groupBy(col("l_partkey").as("item")).agg(count(lit(1)).as("sup"))
+    val n = d.agg(countDistinct(col("l_orderkey")).as("n_baskets"))
+    val directed = pairs.select(col("x").as("ante"), col("y").as("cons"), col("sup_pair"))
+      .unionAll(pairs.select(col("y").as("ante"), col("x").as("cons"), col("sup_pair")))
+    directed
+      .join(items.select(col("item").as("ante"), col("sup").as("sup_ante")), "ante")
+      .join(items.select(col("item").as("cons"), col("sup").as("sup_cons")), "cons")
+      .crossJoin(broadcast(n))
+      .select(col("ante"), col("cons"), col("sup_pair"),
+        round(col("sup_pair").cast("double") / col("sup_ante"), 6).as("conf"),
+        round((col("n_baskets") * col("sup_pair")).cast("double")
+          / (col("sup_ante") * col("sup_cons")), 6).as("lift"))
+      .orderBy(col("ante"), col("cons"))
+  }
+
+  /** Exact phrase search with positions: the token stream's trigram at
+    * every position (one doc-partitioned window — the winnowing gram
+    * shape, no join) probed against a small phrase set, returning
+    * (phrase, doc, hit count, first position) — the positional
+    * exact-match probe decontamination and quote-mining pipelines run
+    * against a corpus. Probe phrases are data-derived (the trigram at
+    * position 5 of every 97th doc), so both engines construct the same
+    * set. Scale shape: gram stream is scan-like; the phrase table
+    * broadcasts.
+    */
+  def phraseSearchQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wo = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(split(trim(lower(col("text"))), "\\s+")).as(Seq("pos", "tok")))
+      .withColumn("gram", concat_ws(" ",
+        col("tok"), lead(col("tok"), 1).over(wo), lead(col("tok"), 2).over(wo)))
+      .withColumn("ng", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .filter(col("pos") <= col("ng") - 3)
+      .select(col("doc_id"), col("pos"), col("gram"))
+    val phrases = grams
+      .filter(col("pos") === 5 && col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("phrase_id"), col("gram"))
+    grams.join(broadcast(phrases), "gram")
+      .groupBy(col("phrase_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("pos")).cast("long").as("first_pos"))
+      .orderBy(col("phrase_id"), col("doc_id"))
+  }
+
   /** Dominant-PC projection of the embedding table
     * ([[graft.ops.Similarity.pcaPowerProjection]], 3 power iterations):
     * integer-exact Gram → max-normalized integer power iteration →

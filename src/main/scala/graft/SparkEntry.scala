@@ -210,6 +210,9 @@ object SparkEntry {
     "q_link_pred" -> (Queries.linkPredQ _),
     "q_para_dedup" -> (Queries.paragraphDedupQ _),
     "q_pca_power" -> (Queries.pcaPowerQ _),
+    "q_bfs" -> (Queries.bfsQ _),
+    "q_assoc_rules" -> (Queries.assocRulesQ _),
+    "q_phrase_search" -> (Queries.phraseSearchQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -2554,6 +2557,64 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          |  md5(coalesce(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY seg_idx), '')) AS clean_md5
          |FROM pk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // BFS relaxation replay: 6 unrolled rounds (eccentricity 2-3 at
+    // every SF), each level MATERIALIZED because it is referenced twice
+    // (carry + expand) and DuckDB would otherwise inline the whole
+    // chain 2^6 times. The BFS invariant makes extra rounds no-ops.
+    "q_bfs" -> {
+      def iter(i: Int): String =
+        s"""bd$i AS MATERIALIZED (SELECT node, min(d) AS d FROM (
+           |  SELECT node, d FROM bd${i - 1}
+           |  UNION ALL
+           |  SELECT e.dst, bd${i - 1}.d + 1 FROM bu e JOIN bd${i - 1} ON e.src = bd${i - 1}.node) t
+           |  GROUP BY node)""".stripMargin
+      s"""WITH bp AS (SELECT l_partkey AS src,
+         |    lead(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
+         |  FROM lineitem),
+         |be AS (SELECT DISTINCT src, dst FROM bp WHERE dst IS NOT NULL AND src <> dst),
+         |bu AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+         |  (SELECT src, dst FROM be UNION ALL SELECT dst, src FROM be) t),
+         |bd0 AS (SELECT min(src) AS node, CAST(0 AS BIGINT) AS d FROM bu),
+         |${(1 to 6).map(iter).mkString(",\n")}
+         |SELECT node, d FROM bd6 ORDER BY node""".stripMargin
+    },
+
+    // Market-basket replay: distinct (order, part) items, per-order
+    // pair self-join with support >= 2, both rule directions, one
+    // rounded division each for confidence and lift.
+    "q_assoc_rules" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (SELECT a.l_partkey AS x, b.l_partkey AS y, count(*) AS sup_pair
+        |  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |it AS (SELECT l_partkey AS item, count(*) AS sup FROM d GROUP BY 1),
+        |nb AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM d),
+        |r AS (SELECT x AS ante, y AS cons, sup_pair FROM p
+        |  UNION ALL SELECT y, x, sup_pair FROM p)
+        |SELECT r.ante, r.cons, r.sup_pair,
+        |  round(CAST(r.sup_pair AS DOUBLE) / ia.sup, 6) AS conf,
+        |  round(CAST(nb.n_baskets * r.sup_pair AS DOUBLE) / (ia.sup * ic.sup), 6) AS lift
+        |FROM r JOIN it ia ON ia.item = r.ante JOIN it ic ON ic.item = r.cons
+        |CROSS JOIN nb
+        |ORDER BY r.ante, r.cons""".stripMargin,
+
+    // Positional trigram stream (the winnow gram CTE shape, gram kept
+    // as text) probed by data-derived phrases (trigram at pos 5 of
+    // every 97th doc).
+    "q_phrase_search" ->
+      s"""WITH ftoks AS (SELECT doc_id, pos, ws[pos + 1] AS tok, len(ws) AS ng FROM (
+         |    SELECT doc_id, ${wordsSql("lower(text)")} AS ws FROM documents) s,
+         |    LATERAL (SELECT unnest(range(len(ws))) AS pos) p),
+         |fgr AS (SELECT doc_id, pos,
+         |    tok || ' ' || lead(tok, 1) OVER wo || ' ' || lead(tok, 2) OVER wo AS gram, ng
+         |  FROM ftoks WINDOW wo AS (PARTITION BY doc_id ORDER BY pos)),
+         |fg AS (SELECT doc_id, pos, gram FROM fgr WHERE pos <= ng - 3),
+         |fp AS (SELECT doc_id AS phrase_id, gram FROM fg WHERE pos = 5 AND doc_id % 97 = 0)
+         |SELECT fp.phrase_id, fg.doc_id, count(*) AS n_hits,
+         |  CAST(min(fg.pos) AS BIGINT) AS first_pos
+         |FROM fg JOIN fp USING (gram)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Integer-exact PCA power iteration replay: 1e6-quantized vectors,
     // exact Gram (HUGEINT sums == Spark's decimal(38,0)), matrix

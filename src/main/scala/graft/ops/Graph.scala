@@ -102,6 +102,57 @@ object Graph {
     u.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
   }
 
+  /** Multi-source BFS hop distances: every node reachable from the
+    * source set, with its minimum hop count — the
+    * distance-to-seed-set primitive (seed-expansion sampling, blast
+    * radius, "within N hops of a flagged account"). Iterative
+    * relaxation: each round unions the current distances with
+    * neighbor+1 candidates and takes the min per node. The BFS
+    * invariant (a node reached in round i carries its FINAL distance)
+    * makes the fixpoint probe a row-count comparison — no
+    * change-detection join.
+    *
+    * Scale shape: one O(|E|) equi-join + one O(reached) aggregate per
+    * round, rounds = source-set eccentricity; the distance table is
+    * localCheckpointed per round with immediate release of the
+    * superseded checkpoint (the [[kCore]] loop discipline). Nothing is
+    * collected.
+    *
+    * @param edges   (src, dst) directed; symmetrized + self-loop-
+    *                stripped internally.
+    * @param sources one column `node` — the seed set.
+    */
+  def bfsDistances(edges: DataFrame, sources: DataFrame,
+      maxRounds: Int = 20): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .persist()
+    var dist = sources.select(col("node")).distinct()
+      .withColumn("d", lit(0L)).localCheckpoint(true)
+    var reached = dist.count()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxRounds) {
+      val next = dist
+        .union(und.join(dist.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"), (col("d") + 1L).as("d")))
+        .groupBy(col("node")).agg(min(col("d")).as("d"))
+        .localCheckpoint(true)
+      val n = next.count()
+      converged = n == reached
+      reached = n
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(dist)
+      dist = next
+      i += 1
+    }
+    und.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"bfsDistances: frontier still growing after $maxRounds rounds")
+    dist
+  }
+
   /** Common-neighbor link features per edge: for every undirected edge
     * (x < y), the number of shared neighbors `cn`, the endpoint
     * degrees, and the neighborhood Jaccard cn/(dx+dy-cn) — the

@@ -64,6 +64,22 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), got)
   }
 
+  private def bfs(edges: Seq[(Long, Long)], srcs: Seq[Long]): Map[Long, Long] =
+    Graph.bfsDistances(edges.toDF("src", "dst"), srcs.toDF("node"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("bfsDistances: hop counts on a path with a shortcut") {
+    // path 1-2-3-4-5 plus shortcut 1-4: dist(4)=1, dist(5)=2
+    val got = bfs(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L)), Seq(1L))
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 2L), got)
+  }
+
+  test("bfsDistances: multi-source takes the nearer seed; unreachable nodes absent") {
+    // component A: 1-2-3; component B: 10-11 (unreached)
+    val got = bfs(Seq((1L, 2L), (2L, 3L), (10L, 11L)), Seq(1L, 3L))
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 0L), got)
+  }
+
   test("edgeJaccard: triangle plus pendant edge") {
     // triangle {1,2,3} + pendant 3-4
     val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("x", "y")
