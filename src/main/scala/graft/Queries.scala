@@ -2461,6 +2461,34 @@ object Queries {
       "zpos")
   }
 
+  /** Small-files compaction plan — the lake-maintenance step that
+    * groups many small files into target-size outputs. Files are
+    * modeled as (event_type, hour) partitions with row-count sizes;
+    * within each type the files are packed in hour order by TARGET-SIZE
+    * SPLITTING (bin = running-bytes-before ÷ capacity, capacity =
+    * ⌈total/8⌉): the split-points-every-C-bytes rule sort-based
+    * compaction (OPTIMIZE/rewriteDataFiles) applies, which keeps the
+    * plan one partitioned window over the file listing — no global
+    * sort, no driver loop, exact integer arithmetic.
+    */
+  def compactionQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val files = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hour"))
+      .groupBy(col("event_type"), col("hour")).agg(count(lit(1)).as("size"))
+    val caps = files.groupBy(col("event_type"))
+      .agg(expr("(sum(size) + 7) div 8").as("cap"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files.join(caps, "event_type")
+      .withColumn("cum_before", coalesce(sum(col("size")).over(w), lit(0L)))
+      .withColumn("bin", expr("cum_before div cap"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("size")).as("bytes"),
+        min(col("hour")).as("hour_lo"), max(col("hour")).as("hour_hi"))
+      .orderBy(col("event_type"), col("bin"))
+  }
+
   /** Int8 symmetric quantization of the embedding column — the
     * vector-compression step before ANN shipping (4× smaller, dot
     * products in integer SIMD). Whole computation stays inside array
@@ -3868,6 +3896,35 @@ object Queries {
         carry = Seq("y"))
       .withColumn("hit", col("pred") === col("y"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Score-calibration (reliability) table for the batch perceptron:
+    * equal-WIDTH score bins — bucket = (score−min)·10 integer-divided
+    * by the span — with per-bin population, positive-label count and
+    * rate, and the bin's score range. Equal-width rather than ntile
+    * deciles deliberately: a global ntile is a single-partition sort,
+    * while min/max are broadcast scalars and the binning stays a scan
+    * (integer arithmetic end to end; the one rounded division is the
+    * rate). The table a threshold-picking or Platt-scaling step
+    * consumes.
+    */
+  def calibrationQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"),
+      when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
+    val (w, b) = graft.ops.Classify.perceptronTrain(d, "y", "text", "pcpt:", 64, 3)
+    val scored = graft.ops.Classify.perceptronScore(d, w, b, "doc_id", "text",
+      "pcpt:", 64, carry = Seq("y"))
+    val mm = scored.agg(min(col("score")).as("mn"), max(col("score")).as("mx"))
+    scored.crossJoin(broadcast(mm))
+      .select(col("y"), col("score"),
+        expr("(score - mn) * 10 div (mx - mn + 1)").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_pos"),
+        round(sum(when(col("y") === 1L, 1L).otherwise(0L)).cast("double")
+          / count(lit(1)), 6).as("pos_rate"),
+        min(col("score")).as("score_lo"), max(col("score")).as("score_hi"))
+      .orderBy(col("bucket"))
   }
 
   /** Averaged-perceptron variant (Collins 2002): the decision model is

@@ -48,7 +48,14 @@ object SoakScale {
     // late round 6: integer batch-perceptron training (3 passes over
     // the persisted doc_id-partitioned count table) and PMI
     // collocations (two corpus-wide count aggregates) — both uncapped
-    "q_perceptron", "q_collocations")
+    "q_perceptron", "q_collocations",
+    // round-6 final session: the new graph family (iterative k-core
+    // peel, BFS relaxation, wedge-bound link features), full-corpus
+    // paragraph dedup, the Gram pass of the integer PCA, the basket
+    // pair join, and the corpus-wide gram stream of phrase search —
+    // all uncapped by construction
+    "q_kcore", "q_bfs", "q_link_pred", "q_para_dedup", "q_pca_power",
+    "q_assoc_rules", "q_phrase_search")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

@@ -213,6 +213,8 @@ object SparkEntry {
     "q_bfs" -> (Queries.bfsQ _),
     "q_assoc_rules" -> (Queries.assocRulesQ _),
     "q_phrase_search" -> (Queries.phraseSearchQ _),
+    "q_calibration" -> (Queries.calibrationQ _),
+    "q_compaction" -> (Queries.compactionQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -3368,6 +3370,43 @@ object SparkEntry {
          |  CAST(CASE WHEN score > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
          |  (CAST(CASE WHEN score > 0 THEN 1 ELSE -1 END AS BIGINT) = y) AS hit
          |FROM fs ORDER BY doc_id""".stripMargin,
+
+    // Reliability table over the same perceptron training replay:
+    // equal-width bins via non-negative integer division (floor ==
+    // truncate, identical on both engines), one rounded division for
+    // the rate.
+    "q_calibration" ->
+      s"""WITH $pcptCtes,
+         |fs AS (SELECT c.doc_id, c.y,
+         |    CAST(sum(c.n * coalesce(w3.w, 0)) AS BIGINT) + (SELECT b FROM b3) AS score
+         |  FROM pc0 c LEFT JOIN w3 USING (bucket) GROUP BY c.doc_id, c.y),
+         |mm AS (SELECT min(score) AS mn, max(score) AS mx FROM fs)
+         |SELECT CAST((score - mn) * 10 // (mx - mn + 1) AS BIGINT) AS bucket,
+         |  count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |  round(CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS pos_rate,
+         |  min(score) AS score_lo, max(score) AS score_hi
+         |FROM fs CROSS JOIN mm
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Compaction plan replay: hourly file sizes per type, capacity
+    // ceil(total/8), bin = floor(running-before / cap) — non-negative
+    // integer division throughout.
+    "q_compaction" ->
+      """WITH f AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour,
+        |    count(*) AS fsize
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, (CAST(sum(fsize) AS BIGINT) + 7) // 8 AS cap
+        |  FROM f GROUP BY 1),
+        |r AS (SELECT f.event_type, f.hour, f.fsize, c.cap,
+        |    coalesce(CAST(sum(fsize) OVER (PARTITION BY f.event_type ORDER BY hour
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before
+        |  FROM f JOIN c USING (event_type))
+        |SELECT event_type, cum_before // cap AS bin, count(*) AS n_files,
+        |  CAST(sum(fsize) AS BIGINT) AS bytes,
+        |  min(hour) AS hour_lo, max(hour) AS hour_hi
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Averaged perceptron (Collins 2002): decision model = w1+w2+w3 /
     // b1+b2+b3 — the iters-scaled average (integer scale preserves all
