@@ -2716,6 +2716,47 @@ object Queries {
     graft.ops.Graph.edgeJaccard(coOccurrenceEdges(spark, sfDir))
       .orderBy(col("x"), col("y"))
 
+  /** Personalized PageRank ([[graft.ops.Graph.personalizedPagerank]],
+    * 3 power iterations) over the part-adjacency graph, restart set =
+    * every 50th part id: rank mass concentrates around the seeds — the
+    * related-items / seed-expansion scoring. Same per-iteration round-6
+    * quantization as q_pagerank.
+    */
+  def pprQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = partAdjacencyEdges(spark, sfDir)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    graft.ops.Graph.personalizedPagerank(
+        e, nodes.filter(col("node") % 50 === 0), iters = 3)
+      .orderBy(col("node"))
+  }
+
+  /** Incremental paragraph dedup
+    * ([[graft.ops.Dedup.paragraphDedupVersusCorpus]]): corpus = even
+    * doc ids distilled into a paragraph-hash index; delta batch = odd
+    * doc ids plus two plant families — exact copies of CORPUS docs
+    * (id+96000: every segment dropped by the index probe) and exact
+    * copies of BATCH docs (id+97000: dropped by the batch-internal
+    * first-occurrence rule). Only batch docs appear in the output; the
+    * corpus is never re-scanned. Parity split keeps both sides
+    * non-empty at every SF.
+    */
+  def paraDedupIncrQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val all = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val corpus = all.filter(col("doc_id") % 2 === 0)
+    val batch0 = all.filter(col("doc_id") % 2 === 1)
+    val batch = batch0
+      .unionAll(corpus.filter(col("doc_id") < 80)
+        .select((col("doc_id") + 96000).as("doc_id"), col("text")))
+      .unionAll(batch0.filter(col("doc_id") < 80)
+        .select((col("doc_id") + 97000).as("doc_id"), col("text")))
+    val idx = Dedup.paragraphHashTable(Dedup.segmentsByBlock(corpus, block = 20))
+    Dedup.paragraphDedupVersusCorpus(Dedup.segmentsByBlock(batch, block = 20), idx)
+      .select(col("doc_id"), col("n_segs"), col("n_kept"),
+        md5(col("text_clean")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** BFS hop distances from the minimum part id over the part-adjacency
     * graph ([[graft.ops.Graph.bfsDistances]]): iterative relaxation to
     * fixpoint (eccentricity is 2-3 on this data; the oracle unrolls 6

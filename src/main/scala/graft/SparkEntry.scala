@@ -215,6 +215,8 @@ object SparkEntry {
     "q_phrase_search" -> (Queries.phraseSearchQ _),
     "q_calibration" -> (Queries.calibrationQ _),
     "q_compaction" -> (Queries.compactionQ _),
+    "q_ppr" -> (Queries.pprQ _),
+    "q_para_dedup_incr" -> (Queries.paraDedupIncrQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -242,6 +244,19 @@ object SparkEntry {
 
   private def wordsSql(t: String): String =
     s"string_split_regex(trim($t), '\\s+')"
+
+  /** 20-token block segmentation CTE chain over relation `base`
+    * (doc_id, text): defines `${p}seg` = (doc_id, seg_idx, seg, h) —
+    * the Dedup.segmentsByBlock contract, hashed. Shared by the
+    * whole-corpus and incremental paragraph-dedup oracles.
+    */
+  private def segBlockCtes(p: String, base: String): String =
+    s"""${p}t AS (SELECT doc_id, ${wordsSql("lower(text)")} AS w FROM $base),
+       |${p}s AS (SELECT doc_id, CAST(start // 20 AS BIGINT) AS seg_idx,
+       |    array_to_string(list_slice(w, start + 1, least(start + 20, len(w))), ' ') AS seg
+       |  FROM (SELECT doc_id, w, unnest(generate_series(0, len(w) - 1, 20)) AS start
+       |        FROM ${p}t WHERE len(w) > 0) z),
+       |${p}seg AS (SELECT doc_id, seg_idx, seg, ${hSql("seg")} AS h FROM ${p}s)""".stripMargin
 
   /** Distinct word-3-gram shingles of the lowered text (column `w`). */
   private val shinglesSql: String =
@@ -2545,16 +2560,11 @@ object SparkEntry {
          |    array_to_string(list_transform(generate_series(1, 20),
          |      jj -> 'p' || CAST(doc_id + 95000 AS VARCHAR) || 'w' || CAST(jj AS VARCHAR)), ' ')
          |  FROM documents WHERE doc_id < 40),
-         |pt AS (SELECT doc_id, ${wordsSql("lower(text)")} AS w FROM pbase),
-         |ps AS (SELECT doc_id, CAST(start // 20 AS BIGINT) AS seg_idx,
-         |    array_to_string(list_slice(w, start + 1, least(start + 20, len(w))), ' ') AS seg
-         |  FROM (SELECT doc_id, w, unnest(generate_series(0, len(w) - 1, 20)) AS start
-         |        FROM pt WHERE len(w) > 0) z),
-         |psh AS (SELECT doc_id, seg_idx, seg, ${hSql("seg")} AS h FROM ps),
-         |pf AS (SELECT h, min(doc_id * 1000000 + seg_idx) AS fk FROM psh GROUP BY h),
-         |pk AS (SELECT psh.doc_id, psh.seg_idx, psh.seg,
-         |    (psh.doc_id * 1000000 + psh.seg_idx) = pf.fk AS keep
-         |  FROM psh JOIN pf USING (h))
+         |${segBlockCtes("p", "pbase")},
+         |pf AS (SELECT h, min(doc_id * 1000000 + seg_idx) AS fk FROM pseg GROUP BY h),
+         |pk AS (SELECT pseg.doc_id, pseg.seg_idx, pseg.seg,
+         |    (pseg.doc_id * 1000000 + pseg.seg_idx) = pf.fk AS keep
+         |  FROM pseg JOIN pf USING (h))
          |SELECT doc_id, count(*) AS n_segs,
          |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          |  md5(coalesce(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY seg_idx), '')) AS clean_md5
@@ -2651,6 +2661,57 @@ object SparkEntry {
          |FROM px JOIN pv3 USING (jj)
          |GROUP BY vec_id ORDER BY vec_id""".stripMargin
     },
+
+    // Personalized-pagerank replay: same edge/share CTEs as q_pagerank,
+    // teleport mass only on the node%50=0 seed set (count broadcast),
+    // 3 unrolled rounds with per-round round-6.
+    "q_ppr" -> {
+      def iter(prev: String, out: String): String =
+        s"""$out AS (
+           |  SELECT node, round(CASE WHEN node % 50 = 0 THEN 150.0 / ns ELSE 0.0 END
+           |      + 0.85 * coalesce(c, 0.0), 6) AS pr
+           |  FROM nodes CROSS JOIN sn LEFT JOIN (
+           |    SELECT dst, sum(pr * share) AS c
+           |    FROM e2 JOIN $prev ON e2.src = $prev.node GROUP BY dst) t
+           |  ON nodes.node = t.dst)""".stripMargin
+      s"""WITH p AS (SELECT l_partkey AS src,
+         |    lead(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
+         |  FROM lineitem),
+         |ed AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM p WHERE dst IS NOT NULL GROUP BY src, dst),
+         |nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed)),
+         |sn AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM nodes WHERE node % 50 = 0),
+         |ow AS (SELECT src, sum(w) AS outw FROM ed GROUP BY src),
+         |e2 AS (SELECT ed.src, ed.dst, ed.w / ow.outw AS share FROM ed JOIN ow USING (src)),
+         |pp0 AS (SELECT node, round(CASE WHEN node % 50 = 0 THEN 1000.0 / ns ELSE 0.0 END, 6) AS pr
+         |  FROM nodes CROSS JOIN sn),
+         |${iter("pp0", "pp1")},
+         |${iter("pp1", "pp2")},
+         |${iter("pp2", "pp3")}
+         |SELECT node, pr FROM pp3 ORDER BY node""".stripMargin
+    },
+
+    // Incremental paragraph dedup: corpus (even ids) distilled to a
+    // DISTINCT segment-hash index; a batch (odd ids + corpus-copy and
+    // batch-copy plants) segment survives iff its hash is absent from
+    // the corpus AND it is the batch's own first occurrence.
+    "q_para_dedup_incr" ->
+      s"""WITH icorp AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+         |${segBlockCtes("ic", "icorp")},
+         |ih AS (SELECT DISTINCT h FROM icseg),
+         |ibatch AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 96000, text FROM documents WHERE doc_id % 2 = 0 AND doc_id < 80
+         |  UNION ALL
+         |  SELECT doc_id + 97000, text FROM documents WHERE doc_id % 2 = 1 AND doc_id < 80),
+         |${segBlockCtes("iy", "ibatch")},
+         |ibf AS (SELECT h, min(doc_id * 1000000 + seg_idx) AS bf FROM iyseg GROUP BY h),
+         |ik AS (SELECT iyseg.doc_id, iyseg.seg_idx, iyseg.seg,
+         |    (ih.h IS NULL AND (iyseg.doc_id * 1000000 + iyseg.seg_idx) = ibf.bf) AS keep
+         |  FROM iyseg JOIN ibf USING (h) LEFT JOIN ih USING (h))
+         |SELECT doc_id, count(*) AS n_segs,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  md5(coalesce(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY seg_idx), '')) AS clean_md5
+         |FROM ik GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Link-prediction features: cn = |N(x) ∩ N(y)| counted by the plain
     // two-hop join (the Spark side's degree-oriented wedge enumeration

@@ -957,16 +957,28 @@ object Dedup {
     *                 in document order (see [[segmentsByBlock]]).
     */
   def paragraphDedup(segments: DataFrame): DataFrame = {
-    val keyed = segments.select(col("doc_id"), col("seg_idx"), col("seg"),
+    val keyed = segmentKeys(segments)
+    val first = keyed.groupBy(col("h")).agg(min(col("key")).as("first_key"))
+    rebuildFromFlags(keyed.join(first, "h")
+      .withColumn("keep", col("key") === col("first_key")))
+  }
+
+  /** Hashed + first-occurrence-packed segment rows — shared by the
+    * whole-corpus and incremental paragraph dedup paths.
+    */
+  private def segmentKeys(segments: DataFrame): DataFrame =
+    segments.select(col("doc_id"), col("seg_idx"), col("seg"),
       TextOps.portableHash64(col("seg")).as("h"),
       when(col("seg_idx") < lit(PosPack), col("doc_id") * PosPack + col("seg_idx"))
         .otherwise(raise_error(concat(
           lit("paragraphDedup: doc "), col("doc_id"),
           lit(" exceeds 1e6 segments — raise PosPack")))).as("key"))
-    val first = keyed.groupBy(col("h")).agg(min(col("key")).as("first_key"))
-    keyed.join(first, "h")
-      .withColumn("keep", col("key") === col("first_key"))
-      .groupBy(col("doc_id"))
+
+  /** Per-doc rebuild from keep-flagged segments: counts + surviving
+    * text in segment order.
+    */
+  private def rebuildFromFlags(flagged: DataFrame): DataFrame =
+    flagged.groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_segs"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
@@ -975,6 +987,34 @@ object Dedup {
             array_sort(collect_list(
               when(col("keep"), struct(col("seg_idx"), col("seg"))))),
             x => x.getField("seg")), " ").as("text_clean"))
+
+  /** Corpus-side paragraph-hash index: the distinct segment hashes of
+    * the ingested corpus — what a delta batch probes. Distinct-
+    * paragraph-sized; write once with `LakeWriter.writeBucketed(_,
+    * "h", N, table)` so every batch joins into sorted buckets with no
+    * index-side shuffle (the gramFirstTable convention).
+    */
+  def paragraphHashTable(corpusSegments: DataFrame): DataFrame =
+    segmentKeys(corpusSegments).select(col("h")).distinct()
+
+  /** Paragraph dedup of a DELTA batch against a prebuilt corpus hash
+    * index — the continual-ingest twin of [[paragraphDedup]] (the
+    * newVersusCorpus convention). A batch segment is dropped if its
+    * hash exists in the corpus AT ALL (ingested corpus always precedes
+    * the delta) or occurred earlier WITHIN the batch. Per-batch work:
+    * the batch's segment pass, one delta-sized aggregate, one 1:1 left
+    * join into the bucketed index, the per-doc rebuild — the corpus is
+    * never re-scanned or re-hashed.
+    */
+  def paragraphDedupVersusCorpus(batchSegments: DataFrame,
+      corpusHashes: DataFrame): DataFrame = {
+    val keyed = segmentKeys(batchSegments)
+    val first = keyed.groupBy(col("h")).agg(min(col("key")).as("batch_first"))
+    rebuildFromFlags(keyed
+      .join(first, "h")
+      .join(corpusHashes.select(col("h"), lit(1).as("in_corpus")), Seq("h"), "left")
+      .withColumn("keep",
+        col("in_corpus").isNull && col("key") === col("batch_first")))
   }
 
   // ------------------------------------ prefix-filtered exact all-pairs

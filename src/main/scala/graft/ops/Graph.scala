@@ -223,6 +223,46 @@ object Graph {
     * Dangling nodes (no out-edges) follow the simple convention: their
     * mass is not redistributed, only the damped base term reaches them.
     */
+  /** Personalized PageRank (random walk with restart): the teleport
+    * mass lands only on the SEED set, so rank concentrates around the
+    * seeds — the seed-expansion / related-items primitive
+    * (recommendations, local community scoring, fraud blast-radius).
+    * Same fixed-iteration join-and-regroup shape and per-iteration
+    * round-6 quantization as [[pagerank]]; the seed membership rides
+    * the node table as a flag (one extra O(|V|) left join built once,
+    * reused every round), and the seed-count scalar broadcasts.
+    *
+    * @param seeds one column `node`; restart mass is split uniformly
+    *              across it.
+    */
+  def personalizedPagerank(edges: DataFrame, seeds: DataFrame, iters: Int,
+      damping: Double = 0.85, mass: Double = 1000.0): DataFrame = {
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+    val outw = edges.groupBy("src").agg(sum(col("w")).as("outw"))
+    val shares = edges.join(outw, "src")
+      .select(col("src"), col("dst"), (col("w") / col("outw")).as("share"))
+    val seedSet = seeds.select(col("node")).distinct()
+    val ns = seedSet.agg(count(lit(1)).cast("double").as("ns"))
+    val base = nodes
+      .join(seedSet.withColumn("is_seed", lit(1)), Seq("node"), "left")
+      .crossJoin(broadcast(ns))
+    var pr = base.select(col("node"),
+      round(when(col("is_seed") === 1, lit(mass) / col("ns"))
+        .otherwise(lit(0.0)), 6).as("pr"))
+    for (_ <- 1 to iters) {
+      val pushed = shares.join(pr, shares("src") === pr("node"))
+        .groupBy(col("dst")).agg(sum(col("pr") * col("share")).as("c"))
+      pr = base.join(pushed, base("node") === pushed("dst"), "left")
+        .select(col("node"),
+          round(when(col("is_seed") === 1, lit((1.0 - damping) * mass) / col("ns"))
+            .otherwise(lit(0.0))
+            + lit(damping) * coalesce(col("c"), lit(0.0)), 6).as("pr"))
+    }
+    pr
+  }
+
   def pagerank(edges: DataFrame, iters: Int, damping: Double = 0.85,
                mass: Double = 1000.0): DataFrame = {
     val nodes = edges.select(col("src").as("node"))

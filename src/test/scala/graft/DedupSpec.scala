@@ -54,6 +54,23 @@ class DedupSpec extends AnyFunSuite {
     assert(out(2) == ((3L, 2L, 1L, "ix x xi xii")), out(2))
   }
 
+  test("incremental paragraph dedup: corpus hits drop, batch-internal rule holds, novel survives") {
+    val corpus = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta nine ten eleven twelve"), // first para in corpus
+      (11L, "nine ten eleven twelve"),                        // dup of 10's second para (batch-internal)
+      (12L, "fresh words only here")
+    ).toDF("doc_id", "text")
+    val idx = Dedup.paragraphHashTable(Dedup.segmentsByBlock(corpus, block = 4))
+    val out = Dedup.paragraphDedupVersusCorpus(Dedup.segmentsByBlock(batch, block = 4), idx)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (10L, 1L, "nine ten eleven twelve"),
+      (11L, 0L, ""),
+      (12L, 1L, "fresh words only here")), out.toSeq)
+  }
+
   test("paragraph dedup: a fully-duplicated doc returns n_kept=0 and empty text") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),

@@ -93,6 +93,18 @@ class GraphSpec extends AnyFunSuite {
     assert(got((1L, 3L)) == ((1L, 2L, 3L, 0.25)), got)
   }
 
+  test("personalized pagerank: mass concentrates near the seed, zero off-component") {
+    // two components: cycle 1<->2 (seeded) and cycle 3<->4 (not)
+    val edges = Seq((1L, 2L, 1.0), (2L, 1L, 1.0), (3L, 4L, 1.0), (4L, 3L, 1.0))
+    val pr = Graph.personalizedPagerank(edges.toDF("src", "dst", "w"), Seq(1L).toDF("node"), 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr(3L) == 0.0 && pr(4L) == 0.0, pr)
+    // closed seeded component keeps the whole restart mass (a 2-cycle
+    // oscillates between the endpoints per iteration, so only the sum
+    // is iteration-count-stable)
+    assert(pr(1L) > 0 && pr(2L) > 0 && math.abs(pr(1L) + pr(2L) - 1000.0) < 0.01, pr)
+  }
+
   test("symmetric 2-cycle keeps the uniform distribution exactly") {
     val pr = ranks(Seq((1L, 2L, 1.0), (2L, 1L, 1.0)))
     // mass 1000 over 2 nodes: 500 each, and the update maps 500 -> 500
