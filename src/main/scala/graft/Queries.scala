@@ -1654,6 +1654,31 @@ object Queries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Mergeable-sketch rollup (DataSketches HLL): per-(type, day)
+    * sketch PARTIALS unioned per type — the "sketch once at ingest,
+    * roll up forever" lake pattern (daily sketches persist; weekly/
+    * monthly/all-time distincts come from unions, never a rescan).
+    * Gated by the estimate's error contract against the exact
+    * distinct (the q_approx_distinct device): lgConfigK=12 gives
+    * ~1.6% standard error, checked at a slack 10%.
+    */
+  def sketchRollupQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val daily = ev
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val merged = daily.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"),
+        count(lit(1)).as("n_days"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    merged.join(exact, "event_type")
+      .select(col("event_type"), col("exact_users"), col("n_days"),
+        (abs(col("est").cast("double") - col("exact_users").cast("double"))
+          / col("exact_users").cast("double") <= 0.1).as("within_bound"))
+      .orderBy(col("event_type"))
+  }
+
   /** Approximate-quantile sketch (GK/KLL-family `percentile_approx`)
     * gated by its rank-error CONTRACT, like q_approx_distinct: with
     * accuracy 1000 the rank error is ≤ 0.1%, so the approx median must

@@ -217,6 +217,7 @@ object SparkEntry {
     "q_compaction" -> (Queries.compactionQ _),
     "q_ppr" -> (Queries.pprQ _),
     "q_para_dedup_incr" -> (Queries.paraDedupIncrQ _),
+    "q_sketch_rollup" -> (Queries.sketchRollupQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -649,6 +650,19 @@ object SparkEntry {
         |  count(DISTINCT l_partkey) AS exact_parts,
         |  TRUE AS within_bound
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Sketch-partial rollup contract oracle (see q_approx_distinct):
+    // the exact distinct + day count are deterministic; the unioned
+    // HLL estimate must earn its TRUE bound flag.
+    "q_sketch_rollup" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, user_id
+        |  FROM events)
+        |SELECT event_type,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  count(DISTINCT day) AS n_days,
+        |  TRUE AS within_bound
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // Sketch contract oracle (see q_approx_distinct): the deterministic
     // exact median plus a TRUE bound flag the Spark side must earn.

@@ -82,7 +82,11 @@ object Graph {
     var converged = false
     var i = 0
     while (!converged && i < maxRounds) {
+      // ONE O(|E|) degree pass per round: both the fixpoint probe and
+      // the keep set read the checkpointed O(|V|) degree table instead
+      // of re-aggregating the edge table
       val deg = u.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
       // fixpoint probe: no vertex below threshold → current u IS the core
       if (deg.filter(col("deg") < k).isEmpty) converged = true
       else {
@@ -95,6 +99,7 @@ object Graph {
         org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(u)
         u = next
       }
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(deg)
       i += 1
     }
     if (!converged) throw new IllegalStateException(

@@ -626,4 +626,49 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("paragraph dedup: first-occurrence min partial-aggregates; hash join back is equi") {
+    val plan = formatted(Queries.paragraphDedupQ(spark, sf))
+    // hot boilerplate paragraphs combine map-side before the exchange
+    assert(plan.contains("partial_min"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
+  test("phrase search: the phrase set broadcasts onto the gram stream") {
+    val plan = formatted(Queries.phraseSearchQ(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // gram stream built by per-doc windows — no self-join of the corpus
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("pca power iteration: Gram pass partial-aggregates; only scalars/models broadcast") {
+    val plan = formatted(Queries.pcaPowerQ(spark, sf))
+    // the n·d² product stream combines map-side into d² cells
+    assert(plan.contains("partial_sum"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // iteration state is checkpointed model-sized data, not corpus lineage
+    assert(plan.contains("Scan ExistingRDD") || plan.contains("LocalTableScan"), plan)
+  }
+
+  test("calibration: equal-width binning is a scan — no global sort or ntile window") {
+    val plan = formatted(Queries.calibrationQ(spark, sf))
+    assert(!plan.contains("RunningWindowFunction"), plan)
+    // the min/max scalar rides a 1-row broadcast, not a cartesian
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("compaction plan: one partitioned window, no global funnel") {
+    val plan = formatted(Queries.compactionQ(spark, sf))
+    assert("windowspecdefinition\\(event_type#\\d+".r.findFirstIn(plan).isDefined, plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
+  test("assoc rules: per-order pair join is equi; only the basket total broadcasts") {
+    val plan = formatted(Queries.assocRulesQ(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // pair generation joins on l_orderkey — an equi join
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+  }
 }
