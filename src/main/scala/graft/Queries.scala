@@ -2093,6 +2093,48 @@ object Queries {
         max(col("o_totalprice")).as("price_max"))
       .orderBy(col("bin"))
 
+  /** Distributed ordinary least squares via sufficient statistics —
+    * THE scalable regression shape: one map-side-combinable aggregate
+    * collects (n, Σx, Σy, Σx², Σxy, Σy²) per group and the closed-form
+    * slope/intercept are a handful of scalar ops on the result. Here
+    * y = extended price in cents vs x = quantity, per return flag.
+    * All sums are widened to decimal(38,0) (DuckDB: HUGEINT) and every
+    * reported figure is one integral division of exact integers —
+    * slope_e6 = (n·Σxy − Σx·Σy)·10⁶ div (n·Σx² − Σx²), intercept in
+    * cents·10⁶ from the same numerator/denominator pair, and r²·10⁶
+    * with both operands pre-scaled div 1000 so the squares stay inside
+    * 38 digits (documented approximation, identical on both engines).
+    * No float enters at any point, so the fit is bit-exact.
+    */
+  def linregQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag").as("grp"),
+        round(col("l_quantity"), 0).cast("long").as("x"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("y"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("x").cast(d38)).as("sx"),
+        sum(col("y").cast(d38)).as("sy"),
+        sum((col("x") * col("x")).cast(d38)).as("sxx"),
+        sum((col("x").cast(d38) * col("y"))).as("sxy"),
+        sum((col("y").cast(d38) * col("y"))).as("syy"))
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("tss", col("n") * col("syy") - col("sy") * col("sy"))
+      .select(col("grp"), col("n").cast("long").as("n"),
+        expr("(num * 1000000) div den").as("slope_e6"),
+        expr("((sy * den - num * sx) * 1000000) div (n * den)").as("icept_cents_e6"),
+        // r²·10⁶ with matched prescales (num²/10¹⁴ vs den·tss/10¹⁴):
+        // div returns LONG, so each quotient is re-widened to decimal
+        // before the squares/products. Identical truncation on both
+        // engines; needs tss ≥ 10¹¹ (any non-degenerate money fit).
+        expr("""(cast(num div 10000000 as decimal(38,0)) * cast(num div 10000000 as decimal(38,0)) * 1000000)
+                div (cast(den div 1000 as decimal(38,0)) * cast(tss div 100000000000 as decimal(38,0)))""")
+          .as("r2_e6"))
+      .orderBy(col("grp"))
+  }
+
   /** Staged conversion funnel with strict event-time ordering: first
     * view, first click AFTER that view, first purchase AFTER that
     * click, per user. Three keyed aggregations on the same key
@@ -2133,6 +2175,224 @@ object Queries {
       .groupBy(col("cohort_day"), (col("d") - col("cohort_day")).as("day_offset"))
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  /** Reciprocal-rank fusion — the hybrid-retrieval combiner (lexical ∪
+    * vector rankings → one list) done integer-exact: per lang stratum
+    * two row_number rankings over DIFFERENT orderings of the SAME
+    * partition key (one exchange feeds both windows), fused as
+    * Σ 10⁹ div (60 + rank) — RRF's 1/(k+r) with k = 60 as integral
+    * divisions, so scores are exact BIGINTs and the top-5 cut is
+    * deterministic (score desc, doc_id). The ranking signals here are
+    * corpus stand-ins (char-length and token-count ranks); the
+    * operator under test is the fusion + dedup-free union shape every
+    * RAG stack runs.
+    */
+  def rrfQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.documents(spark, sfDir).select(
+      col("lang"), col("doc_id"), col("n_chars"),
+      size(graft.ops.TextOps.words(col("text"))).cast("long").as("tokens"))
+    val w1 = Window.partitionBy(col("lang")).orderBy(col("n_chars").desc, col("doc_id"))
+    val w2 = Window.partitionBy(col("lang")).orderBy(col("tokens").desc, col("doc_id"))
+    val fused = t
+      .withColumn("r1", row_number().over(w1).cast("long"))
+      .withColumn("r2", row_number().over(w2).cast("long"))
+      .withColumn("rrf_e6",
+        expr("1000000000 div (60 + r1) + 1000000000 div (60 + r2)"))
+    val wTop = Window.partitionBy(col("lang"))
+      .orderBy(col("rrf_e6").desc, col("doc_id"))
+    fused.withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 5)
+      .select(col("lang"), col("doc_id"), col("r1"), col("r2"), col("rrf_e6"))
+      .orderBy(col("lang"), col("rrf_e6").desc, col("doc_id"))
+  }
+
+  /** Conjunctive boolean retrieval over an inverted posting list: the
+    * query is the corpus's top-3 frequent long tokens (data-derived,
+    * deterministic by count desc / token asc), the postings are
+    * distinct (doc, term) pairs, and AND-semantics is the classic
+    * "matched-term count = query size" trick — one semi-broadcast of
+    * the 3-term set onto the posting stream, one doc-keyed count, no
+    * per-term join chain. Emits every doc matching ≥ 1 term with its
+    * match count and the all-terms flag (the OR and AND answer in one
+    * result).
+    */
+  def boolSearchQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val post = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(graft.ops.TextOps.words(lower(col("text")))).as("term"))
+      .filter(length(col("term")) >= 4)
+      .distinct()
+    val terms = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term")).limit(3)
+    post.join(broadcast(terms.select(col("term"))), "term")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"))
+      .withColumn("all_matched", col("n_matched") === 3)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Weighted single-source shortest paths over the part-adjacency
+    * graph ([[graft.ops.Graph.sssp]]): edge cost = the adjacency
+    * count, source = the smallest node. The min-plus generalization
+    * of q_bfs — a cheap parallel edge can now beat a direct expensive
+    * one, which is exactly what the relaxation fixpoint resolves.
+    */
+  def ssspQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = partAdjacencyEdges(spark, sfDir)
+      .select(col("src"), col("dst"), col("w").cast("long").as("w"))
+    val nodes = e.filter(col("src") =!= col("dst"))
+    val seed = nodes.select(col("src")).union(nodes.select(col("dst")))
+      .agg(min(col("src")).as("node"))
+    graft.ops.Graph.sssp(e, seed).orderBy(col("node"))
+  }
+
+  /** Decision-stump split finding — the inner loop of distributed tree
+    * ensembles (GBDT/random forest level-wise training), done the
+    * scalable way: per (feature, candidate threshold) the 2×2 label
+    * confusion comes from ONE map-side-combinable count plus a
+    * cumulative window over the DISTINCT VALUE support (never over
+    * rows), exactly the histogram-based split finding of the
+    * LightGBM/XGBoost papers. The split criterion is chi² — computed
+    * as (n·det²)·10⁶ div (pos·neg·nL·nR) with det = a·neg − b·pos all
+    * exact integers (decimal(38,0) intermediates), so the argmax is
+    * bit-deterministic; ties break toward the smallest threshold via
+    * the min-struct device. Features: n_chars and whitespace token
+    * count; label: lang = 'en'. The top-value threshold (empty right
+    * side) is structurally excluded on both engines.
+    */
+  def stumpQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, sfDir).select(
+      (col("lang") === "en").as("pos"),
+      col("n_chars").as("f_chars"),
+      size(graft.ops.TextOps.words(col("text"))).cast("long").as("f_words"))
+    val long = d.select(lit("n_chars").as("feature"), col("f_chars").as("v"), col("pos"))
+      .union(d.select(lit("n_words").as("feature"), col("f_words").as("v"), col("pos")))
+    val pv = long.groupBy(col("feature"), col("v"))
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("p"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("q"))
+    val w = Window.partitionBy(col("feature")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = pv.groupBy(col("feature"))
+      .agg(sum(col("p")).as("pt"), sum(col("q")).as("qt"))
+    pv.withColumn("a", sum(col("p")).over(w))
+      .withColumn("b", sum(col("q")).over(w))
+      .join(tot, "feature")
+      .withColumn("nl", col("a") + col("b"))
+      .withColumn("nr", col("pt") + col("qt") - col("nl"))
+      .filter(col("nr") > 0)
+      .withColumn("det", col("a") * col("qt") - col("b") * col("pt"))
+      .withColumn("chi2_e6", expr(
+        """(cast(det as decimal(38,0)) * det * (pt + qt) * 1000000)
+           div (pt * qt * nl * nr)"""))
+      .groupBy(col("feature"), col("pt"), col("qt"))
+      .agg(min(struct((-col("chi2_e6")).as("ns"), col("v"), col("a"), col("b"))).as("best"))
+      .select(col("feature"), col("best.v").as("threshold"),
+        (-col("best.ns")).as("chi2_e6"),
+        col("best.a").as("pos_le"), col("best.b").as("neg_le"),
+        (col("pt") - col("best.a")).as("pos_gt"),
+        (col("qt") - col("best.b")).as("neg_gt"))
+      .orderBy(col("feature"))
+  }
+
+  /** Snake-order balanced shard assignment — the deterministic
+    * answer to "split each language's documents into K shards with
+    * near-equal token budgets" (training-data writers want shards
+    * whose token totals agree to within one document). Documents are
+    * ranked by token count descending inside each lang stratum and
+    * dealt boustrophedon (0,1,2,3,3,2,1,0,…) over K=4 shards — the
+    * classic LPT-flavored greedy that needs no driver loop: one
+    * partitioned window for the rank, pure arithmetic for the shard
+    * id, one aggregate for the totals. The per-lang max-min spread
+    * rides a second window over the K aggregated rows (group-count
+    * bounded).
+    */
+  def shardBalanceQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 4
+    val t = Tables.documents(spark, sfDir).select(
+      col("lang"), col("doc_id"),
+      size(graft.ops.TextOps.words(col("text"))).cast("long").as("tokens"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("tokens").desc, col("doc_id"))
+    val assigned = t.withColumn("r", row_number().over(w) - 1)
+      .withColumn("shard",
+        when(expr(s"(r div $k) % 2") === 0, col("r") % k)
+          .otherwise(lit(k - 1) - col("r") % k).cast("long"))
+    val agg = assigned.groupBy(col("lang"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("tokens"))
+    val ws = Window.partitionBy(col("lang"))
+    agg.withColumn("lang_spread",
+        max(col("tokens")).over(ws) - min(col("tokens")).over(ws))
+      .orderBy(col("lang"), col("shard"))
+  }
+
+  /** k-anonymity audit over quasi-identifiers with one generalization
+    * step — the data-governance gate before a release: at the finest
+    * level (nation + market segment) and the generalized level
+    * (segment only), how many identifier groups fall below k=5, and
+    * how many rows those groups expose. Two map-side-combinable
+    * counts plus a two-row summary; nothing about the audit changes
+    * at 100 TB (group counts are QI-domain bounded).
+    */
+  def kanonQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val fine = c.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("sz"))
+      .select(lit("nation+segment").as("level"), col("sz"))
+    val coarse = c.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("sz"))
+      .select(lit("segment").as("level"), col("sz"))
+    fine.union(coarse)
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("sz") < 5, 1L).otherwise(0L)).as("n_violating"),
+        sum(when(col("sz") < 5, col("sz")).otherwise(0L)).as("rows_at_risk"),
+        min(col("sz")).as("min_size"), max(col("sz")).as("max_size"))
+      .withColumn("k_satisfied", col("n_violating") === 0)
+      .orderBy(col("level"))
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov drift statistic per language:
+    * sample A = even doc_ids, sample B = odd, value = n_chars. The KS
+    * distance sup|F_A − F_B| is computed entirely in integers by
+    * cross-multiplying the step-function counts (|cumA·nB − cumB·nA|,
+    * denominator nA·nB reported via one integral division at the end)
+    * — no float CDF is ever formed, so the statistic is bit-exact.
+    * This is the distribution-drift monitor every ingest pipeline
+    * wants between a new batch and the corpus (or two sources).
+    *
+    * Scale shape: the heavy step is the (lang, value) count — fully
+    * map-side combinable; the cumulative window then runs over the
+    * DISTINCT VALUE support only (domain-bounded: document lengths,
+    * bucket them if ever unbounded), partitioned by lang, so no
+    * per-document data crosses the window. Argmax location is the
+    * deterministic min-struct (max diff, then smallest value).
+    */
+  def ksDriftQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pv = Tables.documents(spark, sfDir)
+      .select(col("lang"), (col("doc_id") % 2 === 0).as("a"), col("n_chars").as("v"))
+      .groupBy(col("lang"), col("v"))
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("cb"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = pv.groupBy(col("lang"))
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    pv.withColumn("fa", sum(col("ca")).over(w))
+      .withColumn("fb", sum(col("cb")).over(w))
+      .join(tot, "lang")
+      .withColumn("diff", abs(col("fa") * col("nb") - col("fb") * col("na")))
+      .groupBy(col("lang"), col("na"), col("nb"))
+      .agg(min(struct((-col("diff")).as("nd"), col("v"))).as("best"))
+      .select(col("lang"), col("na"), col("nb"),
+        (-col("best.nd")).as("d_num"),
+        expr("(-best.nd) * 1000000 div (na * nb)").as("d_e6"),
+        col("best.v").as("at_value"))
+      .orderBy(col("lang"))
   }
 
   /** OHLC time-bucket downsampling: per (event_type, epoch-day) the
@@ -2382,6 +2642,20 @@ object Queries {
     */
   def pagerankQ(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Graph.pagerank(partAdjacencyEdges(spark, sfDir), iters = 3)
+      .orderBy(col("node"))
+
+  /** HITS hubs & authorities over the part-adjacency graph, 2 rounds of
+    * [[graft.ops.Graph.hits]] — all-integer max-normalized scores, so
+    * every value is exact on both engines (no L2 norm is ever summed in
+    * floating point; same discipline as q_pca_power). Parts that are
+    * only ever "followed" (pure sinks) end with hub 0; pure sources end
+    * with auth 0 — both emitted, the full |V| assignment.
+    */
+  def hitsQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Graph.hits(
+        partAdjacencyEdges(spark, sfDir)
+          .select(col("src"), col("dst"), col("w").cast("long").as("w")),
+        iters = 2)
       .orderBy(col("node"))
 
   /** Part-adjacency edge table (consecutive lineitems of an order form

@@ -218,6 +218,15 @@ object SparkEntry {
     "q_ppr" -> (Queries.pprQ _),
     "q_para_dedup_incr" -> (Queries.paraDedupIncrQ _),
     "q_sketch_rollup" -> (Queries.sketchRollupQ _),
+    "q_hits" -> (Queries.hitsQ _),
+    "q_ks_drift" -> (Queries.ksDriftQ _),
+    "q_linreg" -> (Queries.linregQ _),
+    "q_stump" -> (Queries.stumpQ _),
+    "q_shard_balance" -> (Queries.shardBalanceQ _),
+    "q_kanon" -> (Queries.kanonQ _),
+    "q_rrf" -> (Queries.rrfQ _),
+    "q_bool_search" -> (Queries.boolSearchQ _),
+    "q_sssp" -> (Queries.ssspQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -2507,6 +2516,225 @@ object SparkEntry {
          |${iter("pr1", "pr2")},
          |${iter("pr2", "pr3")}
          |SELECT node, pr FROM pr3 ORDER BY node""".stripMargin
+    },
+
+    // RRF replay: two rankings over the same lang partition, integral
+    // 1/(60+r) at 10⁹ scale, top-5 by fused score.
+    "q_rrf" ->
+      s"""WITH t AS (
+         |  SELECT lang, doc_id, n_chars,
+         |    CAST(len(${wordsSql("text")}) AS BIGINT) AS tokens
+         |  FROM documents),
+         |r AS (
+         |  SELECT lang, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS BIGINT) AS r1,
+         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY tokens DESC, doc_id) AS BIGINT) AS r2
+         |  FROM t),
+         |f AS (
+         |  SELECT lang, doc_id, r1, r2,
+         |    CAST(1000000000 // (60 + r1) + 1000000000 // (60 + r2) AS BIGINT) AS rrf_e6
+         |  FROM r),
+         |k AS (
+         |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY rrf_e6 DESC, doc_id) AS rk
+         |  FROM f)
+         |SELECT lang, doc_id, r1, r2, rrf_e6 FROM k WHERE rk <= 5
+         |ORDER BY lang, rrf_e6 DESC, doc_id""".stripMargin,
+
+    // Boolean retrieval replay: distinct postings of ≥4-char lowered
+    // tokens, top-3 terms by (df desc, term), AND = count = 3.
+    "q_bool_search" ->
+      s"""WITH post AS (
+         |  SELECT DISTINCT doc_id, term FROM (
+         |    SELECT doc_id, unnest(${wordsSql("lower(text)")}) AS term FROM documents)
+         |  WHERE length(term) >= 4),
+         |terms AS (
+         |  SELECT term FROM (SELECT term, count(*) AS df FROM post GROUP BY term)
+         |  ORDER BY df DESC, term LIMIT 3)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+         |  count(*) = 3 AS all_matched
+         |FROM post JOIN terms USING (term)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // SSSP replay: symmetrized min-cost edges, 16 MATERIALIZED
+    // relaxation rounds (fixpoint is well under that at every SF;
+    // rounds past fixpoint are no-ops — the q_kcore upper-bound
+    // convention). Each round references its predecessor twice (the
+    // keep branch and the relax branch), hence MATERIALIZED.
+    "q_sssp" -> {
+      def iter(prev: String, out: String): String =
+        s"""$out AS MATERIALIZED (
+           |  SELECT node, min(d) AS d FROM (
+           |    SELECT node, d FROM $prev
+           |    UNION ALL
+           |    SELECT e.dst AS node, s.d + e.w AS d
+           |    FROM und e JOIN $prev s ON e.src = s.node) u
+           |  GROUP BY node)""".stripMargin
+      val rounds = (1 to 16).map(i => iter(s"s${i - 1}", s"s$i")).mkString(",\n")
+      s"""WITH p AS (SELECT l_partkey AS src,
+         |    lead(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
+         |  FROM lineitem),
+         |ed AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM p
+         |  WHERE dst IS NOT NULL AND src <> dst GROUP BY src, dst),
+         |und AS (SELECT src, dst, min(w) AS w FROM (
+         |    SELECT src, dst, w FROM ed UNION ALL SELECT dst, src, w FROM ed) u GROUP BY src, dst),
+         |s0 AS MATERIALIZED (SELECT min(src) AS node, CAST(0 AS BIGINT) AS d FROM und),
+         |$rounds
+         |SELECT node, d FROM s16 ORDER BY node""".stripMargin
+    },
+
+    // Stump replay: per-(feature,value) label counts, cumulative 2×2
+    // confusion over the value support, chi²·10⁶ in HUGEINT, argmax by
+    // (score desc, value asc). Top value excluded (nr = 0) on both.
+    "q_stump" ->
+      s"""WITH d AS (
+         |  SELECT lang = 'en' AS pos, n_chars AS f_chars,
+         |    CAST(len(${wordsSql("text")}) AS BIGINT) AS f_words
+         |  FROM documents),
+         |lng AS (
+         |  SELECT 'n_chars' AS feature, f_chars AS v, pos FROM d
+         |  UNION ALL SELECT 'n_words', f_words, pos FROM d),
+         |pv AS (
+         |  SELECT feature, v,
+         |    sum(CASE WHEN pos THEN 1 ELSE 0 END) AS p,
+         |    sum(CASE WHEN pos THEN 0 ELSE 1 END) AS q
+         |  FROM lng GROUP BY feature, v),
+         |cum AS (
+         |  SELECT feature, v,
+         |    sum(p) OVER (PARTITION BY feature ORDER BY v) AS a,
+         |    sum(q) OVER (PARTITION BY feature ORDER BY v) AS b
+         |  FROM pv),
+         |tot AS (SELECT feature, sum(p) AS pt, sum(q) AS qt FROM pv GROUP BY feature),
+         |sc AS (
+         |  SELECT cum.feature, v, a, b, pt, qt,
+         |    CAST((CAST(a * qt - b * pt AS HUGEINT) * (a * qt - b * pt) * (pt + qt) * 1000000)
+         |      // (pt * qt * (a + b) * (pt + qt - a - b)) AS BIGINT) AS chi2_e6,
+         |    row_number() OVER (PARTITION BY cum.feature ORDER BY
+         |      (CAST(a * qt - b * pt AS HUGEINT) * (a * qt - b * pt) * (pt + qt) * 1000000)
+         |        // (pt * qt * (a + b) * (pt + qt - a - b)) DESC, v) AS rn
+         |  FROM cum JOIN tot ON cum.feature = tot.feature
+         |  WHERE pt + qt - a - b > 0)
+         |SELECT feature, CAST(v AS BIGINT) AS threshold, chi2_e6,
+         |  CAST(a AS BIGINT) AS pos_le, CAST(b AS BIGINT) AS neg_le,
+         |  CAST(pt - a AS BIGINT) AS pos_gt, CAST(qt - b AS BIGINT) AS neg_gt
+         |FROM sc WHERE rn = 1 ORDER BY feature""".stripMargin,
+
+    // Snake deal replay: identical rank (tokens desc, doc_id) and
+    // boustrophedon arithmetic; spread over the K aggregate rows.
+    "q_shard_balance" ->
+      s"""WITH t AS (
+         |  SELECT lang, doc_id, CAST(len(${wordsSql("text")}) AS BIGINT) AS tokens
+         |  FROM documents),
+         |r AS (
+         |  SELECT lang, tokens,
+         |    row_number() OVER (PARTITION BY lang ORDER BY tokens DESC, doc_id) - 1 AS r
+         |  FROM t),
+         |a AS (
+         |  SELECT lang,
+         |    CAST(CASE WHEN (r // 4) % 2 = 0 THEN r % 4 ELSE 3 - r % 4 END AS BIGINT) AS shard,
+         |    count(*) AS n_docs, sum(tokens) AS tokens
+         |  FROM r GROUP BY 1, 2)
+         |SELECT lang, shard, CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(tokens AS BIGINT) AS tokens,
+         |  CAST(max(tokens) OVER (PARTITION BY lang)
+         |    - min(tokens) OVER (PARTITION BY lang) AS BIGINT) AS lang_spread
+         |FROM a ORDER BY lang, shard""".stripMargin,
+
+    // k-anonymity audit replay: two grouping levels, k = 5.
+    "q_kanon" ->
+      s"""WITH fine AS (
+         |  SELECT 'nation+segment' AS level, count(*) AS sz
+         |  FROM customer GROUP BY c_nationkey, c_mktsegment),
+         |coarse AS (
+         |  SELECT 'segment' AS level, count(*) AS sz
+         |  FROM customer GROUP BY c_mktsegment),
+         |u AS (SELECT * FROM fine UNION ALL SELECT * FROM coarse)
+         |SELECT level, CAST(count(*) AS BIGINT) AS n_groups,
+         |  CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+         |  CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS rows_at_risk,
+         |  CAST(min(sz) AS BIGINT) AS min_size, CAST(max(sz) AS BIGINT) AS max_size,
+         |  sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) = 0 AS k_satisfied
+         |FROM u GROUP BY level ORDER BY level""".stripMargin,
+
+    // OLS replay: HUGEINT sufficient statistics (DuckDB sum(BIGINT)
+    // already returns HUGEINT), identical integral divisions; the r²
+    // operands are pre-scaled // 1000 exactly as the Spark side.
+    "q_linreg" ->
+      s"""WITH b AS (
+         |  SELECT l_returnflag AS grp,
+         |    CAST(round(l_quantity) AS BIGINT) AS x,
+         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+         |  FROM lineitem),
+         |s AS (
+         |  SELECT grp, CAST(count(*) AS HUGEINT) AS n,
+         |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+         |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+         |    sum(CAST(y AS HUGEINT) * y) AS syy
+         |  FROM b GROUP BY grp),
+         |d AS (
+         |  SELECT grp, n, sx, sy,
+         |    n * sxy - sx * sy AS num, n * sxx - sx * sx AS den,
+         |    n * syy - sy * sy AS tss
+         |  FROM s)
+         |SELECT grp, CAST(n AS BIGINT) AS n,
+         |  CAST((num * 1000000) // den AS BIGINT) AS slope_e6,
+         |  CAST(((sy * den - num * sx) * 1000000) // (n * den) AS BIGINT) AS icept_cents_e6,
+         |  CAST(((num // 10000000) * (num // 10000000) * 1000000)
+         |    // ((den // 1000) * (tss // 100000000000)) AS BIGINT) AS r2_e6
+         |FROM d ORDER BY grp""".stripMargin,
+
+    // Exact integer KS: per-(lang,value) counts, cumulative sums over
+    // the value support, cross-multiplied diff, argmax by (diff desc,
+    // value asc) via row_number.
+    "q_ks_drift" ->
+      s"""WITH pv AS (
+         |  SELECT lang, n_chars AS v,
+         |    sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+         |    sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS cb
+         |  FROM documents GROUP BY lang, n_chars),
+         |cum AS (
+         |  SELECT lang, v,
+         |    sum(ca) OVER (PARTITION BY lang ORDER BY v) AS fa,
+         |    sum(cb) OVER (PARTITION BY lang ORDER BY v) AS fb
+         |  FROM pv),
+         |tot AS (SELECT lang, sum(ca) AS na, sum(cb) AS nb FROM pv GROUP BY lang),
+         |d AS (
+         |  SELECT cum.lang, na, nb, abs(fa * nb - fb * na) AS diff, v,
+         |    row_number() OVER (PARTITION BY cum.lang ORDER BY abs(fa * nb - fb * na) DESC, v) AS rn
+         |  FROM cum JOIN tot ON cum.lang = tot.lang)
+         |SELECT lang, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+         |  CAST(diff AS BIGINT) AS d_num,
+         |  CAST(diff * 1000000 // (na * nb) AS BIGINT) AS d_e6,
+         |  CAST(v AS BIGINT) AS at_value
+         |FROM d WHERE rn = 1 ORDER BY lang""".stripMargin,
+
+    // HITS replay: integer max-normalized half-rounds, each CTE
+    // MATERIALIZED (raw tables are referenced twice — by the rescale
+    // and by its max — and DuckDB would otherwise inline 2^rounds
+    // copies; the q_kcore lesson). HUGEINT widening mirrors the Spark
+    // side's decimal(38,0); `//` and `div` both truncate toward zero.
+    "q_hits" -> {
+      def half(prev: String, prevCol: String, raw: String, probe: String,
+               group: String, out: String, outCol: String): String =
+        s"""$raw AS MATERIALIZED (
+           |  SELECT $group AS gk, sum(CAST($prevCol AS HUGEINT) * w) AS r
+           |  FROM ed JOIN $prev ON ed.$probe = $prev.node GROUP BY $group),
+           |$out AS MATERIALIZED (
+           |  SELECT node, CAST(coalesce(r, 0) * 1000000 // mx AS BIGINT) AS $outCol
+           |  FROM nodes LEFT JOIN $raw ON nodes.node = $raw.gk
+           |  CROSS JOIN (SELECT max(r) AS mx FROM $raw) m)""".stripMargin
+      s"""WITH p AS (SELECT l_partkey AS src,
+         |    lead(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
+         |  FROM lineitem),
+         |ed AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM p WHERE dst IS NOT NULL GROUP BY src, dst),
+         |nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed)),
+         |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub FROM nodes),
+         |${half("h0", "hub", "a1r", "src", "dst", "a1", "auth")},
+         |${half("a1", "auth", "h1r", "dst", "src", "h1", "hub")},
+         |${half("h1", "hub", "a2r", "src", "dst", "a2", "auth")},
+         |${half("a2", "auth", "h2r", "dst", "src", "h2", "hub")}
+         |SELECT h2.node, hub, auth FROM h2 JOIN a2 ON h2.node = a2.node
+         |ORDER BY h2.node""".stripMargin
     },
 
     // Synchronous LPA replay: symmetrized integer-weight edges, 4

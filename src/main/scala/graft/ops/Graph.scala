@@ -268,6 +268,104 @@ object Graph {
     pr
   }
 
+  /** Single-source shortest paths with integer edge costs —
+    * Bellman-Ford relaxation run to fixpoint, the min-plus sibling of
+    * [[bfsDistances]] (which this generalizes: hop count is the w = 1
+    * special case). Each round is one equi-join of the current distance
+    * table against the symmetrized min-cost edge list plus one min
+    * aggregate; distances are exact BIGINTs, monotonically
+    * non-increasing, so the (count, sum) fixpoint probe terminates in
+    * at most |V| rounds and in practice in the weighted diameter.
+    * Same loop discipline as bfsDistances: per-round localCheckpoint,
+    * superseded checkpoints released immediately, nothing collected
+    * but the two-scalar fixpoint probe.
+    *
+    * @param edges   (src, dst, w: long ≥ 0) directed; symmetrized and
+    *                parallel-min-reduced internally.
+    * @param sources (node) seed set, distance 0.
+    */
+  def sssp(edges: DataFrame, sources: DataFrame, maxRounds: Int = 30): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w"))
+      .filter(col("src") =!= col("dst"))
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+      .repartition(col("src"))
+      .persist()
+    var dist = sources.select(col("node")).distinct()
+      .withColumn("d", lit(0L)).localCheckpoint(true)
+    def probe(d: DataFrame): (Long, Long) = {
+      val r = d.agg(count(lit(1)), sum(col("d"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var state = probe(dist)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxRounds) {
+      val next = dist
+        .union(und.join(dist.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"), (col("d") + col("w")).as("d")))
+        .groupBy(col("node")).agg(min(col("d")).as("d"))
+        .localCheckpoint(true)
+      val s = probe(next)
+      converged = s == state
+      state = s
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(dist)
+      dist = next
+      i += 1
+    }
+    und.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"sssp: distances still improving after $maxRounds rounds")
+    dist
+  }
+
+  /** HITS (Kleinberg hubs & authorities) with fully INTEGER arithmetic:
+    * scores live on a 0..`scale` integer grid and each half-iteration
+    * renormalizes by the round maximum via integral division, so the
+    * classic L2 normalization (whose square roots no oracle could
+    * replay) is replaced by max-normalization — same fixed point
+    * direction, bit-exact everywhere. No floating-point op exists
+    * anywhere in the operator.
+    *
+    * Per half-round: one equi-join of the O(|V|) score table against
+    * the edge list (shuffle on the probe key) + one aggregate + one
+    * scalar max broadcast — the pagerank join-and-regroup cost,
+    * O(|E|) per iteration. The rescale multiply is widened to
+    * decimal(38,0) before the divide, so score·scale cannot overflow
+    * int64 even when a node's weighted degree approaches 1e12.
+    *
+    * @param edges (src, dst, w: long) directed edge list, parallel
+    *              edges pre-aggregated.
+    */
+  def hits(edges: DataFrame, iters: Int, scale: Long = 1000000L): DataFrame = {
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+    def rescale(raw: DataFrame, key: String, out: String): DataFrame = {
+      val mx = raw.agg(max(col("r")).as("mx"))
+      nodes.join(raw.withColumnRenamed(key, "node"), Seq("node"), "left")
+        .crossJoin(broadcast(mx))
+        .select(col("node"),
+          expr(s"(cast(coalesce(r, 0) as decimal(38,0)) * $scale) div mx")
+            .as(out))
+    }
+    var hub = nodes.withColumn("hub", lit(scale))
+    var auth = nodes.withColumn("auth", lit(0L))
+    for (_ <- 1 to iters) {
+      auth = rescale(
+        edges.join(hub, edges("src") === hub("node"))
+          .groupBy(col("dst"))
+          .agg(sum(col("hub").cast("decimal(38,0)") * col("w")).as("r")),
+        "dst", "auth")
+      hub = rescale(
+        edges.join(auth, edges("dst") === auth("node"))
+          .groupBy(col("src"))
+          .agg(sum(col("auth").cast("decimal(38,0)") * col("w")).as("r")),
+        "src", "hub")
+    }
+    hub.join(auth, "node")
+  }
+
   def pagerank(edges: DataFrame, iters: Int, damping: Double = 0.85,
                mass: Double = 1000.0): DataFrame = {
     val nodes = edges.select(col("src").as("node"))

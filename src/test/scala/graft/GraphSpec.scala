@@ -141,4 +141,26 @@ class GraphSpec extends AnyFunSuite {
     val total = ranks(edges).values.sum
     assert(math.abs(total - 1000.0) < 0.01, total)
   }
+
+  private def hubsAuths(edges: Seq[(Long, Long, Long)], iters: Int = 2): Map[Long, (Long, Long)] =
+    Graph.hits(edges.toDF("src", "dst", "w"), iters)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("HITS: star — the pointing center is the unit hub, spokes are unit authorities") {
+    val got = hubsAuths(Seq((0L, 1L, 1L), (0L, 2L, 1L), (0L, 3L, 1L)))
+    assert(got(0L) == (1000000L, 0L), got)           // pure source: no in-edges
+    assert(Seq(1L, 2L, 3L).forall(got(_) == (0L, 1000000L)), got) // pure sinks
+  }
+
+  test("HITS: edge weight splits hub scores exactly (integer max-normalization)") {
+    // 1 -(w2)-> 3, 2 -(w1)-> 3: after rescale hub(1)=1e6, hub(2)=5e5 exactly
+    val got = hubsAuths(Seq((1L, 3L, 2L), (2L, 3L, 1L)), iters = 1)
+    assert(got(1L)._1 == 1000000L && got(2L)._1 == 500000L, got)
+    assert(got(3L) == (0L, 1000000L), got)
+  }
+
+  test("HITS: bit-deterministic across runs") {
+    val edges = Seq((1L, 2L, 3L), (2L, 3L, 1L), (3L, 1L, 2L), (1L, 3L, 1L), (4L, 2L, 5L))
+    assert(hubsAuths(edges) == hubsAuths(edges))
+  }
 }

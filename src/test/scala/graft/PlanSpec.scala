@@ -671,4 +671,35 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
       plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("ks drift: cumulative windows partition by lang — never a global window") {
+    val plan = formatted(Queries.ksDriftQ(spark, sf))
+    assert("windowspecdefinition\\(lang#\\d+".r.findFirstIn(plan).isDefined, plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
+  test("stump: confusion counts partial-aggregate; window rides the feature partition") {
+    val plan = formatted(Queries.stumpQ(spark, sf))
+    assert(plan.contains("partial_sum"), plan)
+    assert("windowspecdefinition\\(feature#\\d+".r.findFirstIn(plan).isDefined, plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
+  test("linreg: one partial-aggregated pass, no window, no join at all") {
+    val plan = formatted(Queries.linregQ(spark, sf))
+    assert(plan.contains("partial_sum"), plan)
+    assert(!plan.contains("Window") && !plan.contains("Join"), plan)
+  }
+
+  test("hits: score joins are equi; only the round max broadcasts") {
+    val plan = formatted(Queries.hitsQ(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("shard balance: both windows partition by lang") {
+    val plan = formatted(Queries.shardBalanceQ(spark, sf))
+    assert("windowspecdefinition\\(lang#\\d+".r.findFirstIn(plan).isDefined, plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
 }
