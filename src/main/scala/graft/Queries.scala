@@ -2177,6 +2177,89 @@ object Queries {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Exact weighted quantiles (p25/median/p75 of quantity weighted by
+    * revenue cents, per return flag) — the "what quantity splits the
+    * MONEY in half" statistic, computed with zero floats: per-(group,
+    * value) weight totals (map-side combinable, value-domain-bounded
+    * support — the q_ks_drift shape), one cumulative window per group,
+    * and each quantile is the smallest value whose scaled cumulative
+    * weight crosses the threshold (4·cumw ≥ k·totw compared as exact
+    * integers). The weighted-median family backs curriculum/budget
+    * decisions (which doc length splits the token budget in half) at
+    * any scale.
+    */
+  def weightedQuantileQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pv = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag").as("grp"),
+        round(col("l_quantity"), 0).cast("long").as("v"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("wt"))
+      .groupBy(col("grp"), col("v")).agg(sum(col("wt")).as("cw"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    pv.withColumn("cum", sum(col("cw")).over(w))
+      .join(pv.groupBy(col("grp")).agg(sum(col("cw")).as("tot")), "grp")
+      .groupBy(col("grp"), col("tot"))
+      .agg(
+        min(when(col("cum") * 4 >= col("tot"), col("v"))).as("p25"),
+        min(when(col("cum") * 2 >= col("tot"), col("v"))).as("median"),
+        min(when(col("cum") * 4 >= col("tot") * 3, col("v"))).as("p75"))
+      .select(col("grp"), col("p25"), col("median"), col("p75"),
+        col("tot").as("total_cents"))
+      .orderBy(col("grp"))
+  }
+
+  /** Gini concentration of the corpus over sources — "is 90 % of the
+    * data coming from two crawls?" as one exact number: sources ranked
+    * by token mass ascending (a group-count-bounded scalar window —
+    * singleton_key, the mixtureWeights device), Gini from the rank
+    * identity (2·Σ i·xᵢ − (n+1)·Σxᵢ) · 10⁶ div (n·Σxᵢ), every term a
+    * BIGINT. The per-source aggregate is the only data-sized pass.
+    */
+  def giniSourceQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySource = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        size(graft.ops.TextOps.words(col("text"))).cast("long").as("tokens"))
+      .groupBy(col("source")).agg(sum(col("tokens")).as("x"))
+    val wr = Window.partitionBy(
+        graft.functions.GraftFunctions.singleton_key(col("x")))
+      .orderBy(col("x"), col("source"))
+    bySource.withColumn("i", row_number().over(wr).cast("long"))
+      .groupBy()
+      .agg(count(lit(1)).as("n_sources"), sum(col("x")).as("total_tokens"),
+        sum(col("i") * col("x")).as("ix"))
+      .select(col("n_sources"), col("total_tokens"),
+        expr("((2 * ix - (n_sources + 1) * total_tokens) * 1000000) div (n_sources * total_tokens)")
+          .as("gini_e6"))
+  }
+
+  /** Event-time disorder audit — the watermark-delay chooser: per
+    * event type, replay events in ARRIVAL order (event_id) and measure
+    * how far behind the running event-time maximum each event lands.
+    * Emits the late-event count, the worst lateness in µs (= the
+    * smallest watermark delay that would have lost nothing), and the
+    * late fraction at 10⁻⁶ — all exact integers off one partitioned
+    * window + one aggregate. This is the measurement a streaming
+    * deployment needs BEFORE picking `withWatermark`.
+    */
+  def disorderQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), expr("unix_micros(ts)").as("us"))
+      .withColumn("runmax", max(col("us")).over(w))
+      .withColumn("late_us",
+        when(col("runmax") > col("us"), col("runmax") - col("us")).otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_late"),
+        max(col("late_us")).as("max_late_us"))
+      .withColumn("late_frac_e6", expr("n_late * 1000000 div n_events"))
+      .orderBy(col("event_type"))
+  }
+
   /** Reciprocal-rank fusion — the hybrid-retrieval combiner (lexical ∪
     * vector rankings → one list) done integer-exact: per lang stratum
     * two row_number rankings over DIFFERENT orderings of the SAME

@@ -227,6 +227,9 @@ object SparkEntry {
     "q_rrf" -> (Queries.rrfQ _),
     "q_bool_search" -> (Queries.boolSearchQ _),
     "q_sssp" -> (Queries.ssspQ _),
+    "q_weighted_quantile" -> (Queries.weightedQuantileQ _),
+    "q_gini_source" -> (Queries.giniSourceQ _),
+    "q_disorder" -> (Queries.disorderQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -2517,6 +2520,62 @@ object SparkEntry {
          |${iter("pr2", "pr3")}
          |SELECT node, pr FROM pr3 ORDER BY node""".stripMargin
     },
+
+    // Weighted-quantile replay: per-(grp,value) weight totals,
+    // cumulative window, threshold cross via exact integer comparison.
+    "q_weighted_quantile" ->
+      s"""WITH pv AS (
+         |  SELECT l_returnflag AS grp, CAST(round(l_quantity) AS BIGINT) AS v,
+         |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cw
+         |  FROM lineitem GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT grp, v, cw,
+         |    sum(cw) OVER (PARTITION BY grp ORDER BY v) AS cum
+         |  FROM pv),
+         |tot AS (SELECT grp, CAST(sum(cw) AS BIGINT) AS tot FROM pv GROUP BY grp)
+         |SELECT cum.grp,
+         |  min(CASE WHEN cum * 4 >= tot THEN v END) AS p25,
+         |  min(CASE WHEN cum * 2 >= tot THEN v END) AS median,
+         |  min(CASE WHEN cum * 4 >= tot * 3 THEN v END) AS p75,
+         |  tot AS total_cents
+         |FROM cum JOIN tot ON cum.grp = tot.grp
+         |GROUP BY cum.grp, tot ORDER BY cum.grp""".stripMargin,
+
+    // Gini replay: per-source token mass, ascending rank, the rank
+    // identity at 10⁶ — all BIGINT.
+    "q_gini_source" ->
+      s"""WITH s AS (
+         |  SELECT source, sum(CAST(len(${wordsSql("text")}) AS BIGINT)) AS x
+         |  FROM documents GROUP BY source),
+         |r AS (SELECT x, CAST(row_number() OVER (ORDER BY x, source) AS BIGINT) AS i FROM s)
+         |SELECT CAST(count(*) AS BIGINT) AS n_sources,
+         |  CAST(sum(x) AS BIGINT) AS total_tokens,
+         |  CAST(((2 * sum(i * x) - (count(*) + 1) * sum(x)) * 1000000)
+         |    // (count(*) * sum(x)) AS BIGINT) AS gini_e6
+         |FROM r""".stripMargin,
+
+    // Disorder replay: running event-time max in arrival (event_id)
+    // order per type; lateness vs the max over PRECEDING rows.
+    "q_disorder" ->
+      s"""WITH e AS (
+         |  SELECT event_type, event_id,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+         |  FROM events),
+         |r AS (
+         |  SELECT event_type, us,
+         |    max(us) OVER (PARTITION BY event_type ORDER BY event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+         |  FROM e),
+         |l AS (
+         |  SELECT event_type,
+         |    CASE WHEN runmax > us THEN runmax - us ELSE 0 END AS late_us
+         |  FROM r)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+         |  CAST(max(late_us) AS BIGINT) AS max_late_us,
+         |  CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) * 1000000
+         |    // count(*) AS BIGINT) AS late_frac_e6
+         |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // RRF replay: two rankings over the same lang partition, integral
     // 1/(60+r) at 10⁹ scale, top-5 by fused score.

@@ -425,7 +425,8 @@ class PlanSpec extends AnyFunSuite {
     val unpartitioned = "windowspecdefinition\\(\\w+#\\d+L? (ASC|DESC)".r
     for ((name, df) <- Seq(
         "mixtureWeights" -> Queries.mixtureWeights(spark, sf),
-        "dauCumeQ" -> Queries.dauCumeQ(spark, sf))) {
+        "dauCumeQ" -> Queries.dauCumeQ(spark, sf),
+        "giniSourceQ" -> Queries.giniSourceQ(spark, sf))) {
       val plan = formatted(df)
       assert(unpartitioned.findFirstIn(plan).isEmpty, s"$name planned a global window:\n$plan")
       assert(plan.contains("pmod(hash("), s"$name lost its singleton key:\n$plan")
@@ -700,6 +701,19 @@ class PlanSpec extends AnyFunSuite {
   test("shard balance: both windows partition by lang") {
     val plan = formatted(Queries.shardBalanceQ(spark, sf))
     assert("windowspecdefinition\\(lang#\\d+".r.findFirstIn(plan).isDefined, plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
+  test("weighted quantile: cumulative window rides the group partition; counts partial-agg") {
+    val plan = formatted(Queries.weightedQuantileQ(spark, sf))
+    assert("windowspecdefinition\\(grp#\\d+".r.findFirstIn(plan).isDefined, plan)
+    assert(plan.contains("partial_sum"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
+  test("disorder: running max partitions by event_type — never a global window") {
+    val plan = formatted(Queries.disorderQ(spark, sf))
+    assert("windowspecdefinition\\(event_type#\\d+".r.findFirstIn(plan).isDefined, plan)
     assert(!plan.contains("SinglePartition"), plan)
   }
 }
