@@ -2177,6 +2177,90 @@ object Queries {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Exact trimmed mean (drop the bottom and top deciles by VALUE
+    * rank, average the rest) per return flag — the robust-mean
+    * sibling of q_mad/q_zscore, computed on the value SUPPORT like
+    * q_weighted_quantile: per-(group, cents) counts, one cumulative
+    * window, and the keep rule (10·cum_before ≥ n AND 10·cum_through
+    * ≤ 9·n — whole tied-value runs kept or dropped atomically) is an
+    * exact integer predicate both engines replay bit-for-bit. The
+    * mean is one integral division at cents·100 precision.
+    */
+  def trimmedMeanQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pv = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag").as("grp"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("v"))
+      .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("nv"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    pv.withColumn("cum", sum(col("nv")).over(w))
+      .join(pv.groupBy(col("grp")).agg(sum(col("nv")).as("n")), "grp")
+      .filter(
+        (col("cum") - col("nv")) * 10 >= col("n") &&
+        col("cum") * 10 <= col("n") * 9)
+      .groupBy(col("grp"), col("n"))
+      .agg(sum(col("nv")).as("kept_n"), sum(col("nv") * col("v")).as("kept_sum"))
+      .select(col("grp"), col("n").as("total_n"), col("kept_n"),
+        expr("kept_sum * 100 div kept_n").as("trimmed_mean_e4"))
+      .orderBy(col("grp"))
+  }
+
+  /** Last-touch attribution without a join: per user the event stream
+    * is replayed once in event-time order and every purchase picks up
+    * the running "most recent click" via last(_, ignoreNulls) over the
+    * PRECEDING frame — the attribution shape that at 100 TB beats any
+    * purchase×click range join (one user_id exchange, no pair blowup).
+    * Emits each purchase with its attributed click time and the
+    * click→purchase lag in µs (null = organic, no prior click).
+    */
+  def attributionQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("click_us",
+        last(when(col("event_type") === "click", col("us")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("us").as("purchase_us"),
+        col("click_us"), (col("us") - col("click_us")).as("lag_us"))
+      .orderBy(col("user_id"), col("purchase_us"), col("event_id"))
+  }
+
+  /** Deterministic negative sampling for contrastive training: each
+    * doc draws k = 2 same-language negatives by pure arithmetic —
+    * target rank = (doc_id·1000003 + i·7919 + i) mod |stratum|, bumped
+    * one slot (mod) when it lands on the anchor itself — then ONE
+    * equi-join back on (lang, rank) resolves ids. No RNG state, no
+    * skewed hot rows (ranks are uniform by construction), reruns are
+    * bit-identical: the sampling-with-a-ledger property training-data
+    * pipelines need for reproducible pair sets.
+    */
+  def negSampleQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"))
+      .withColumn("idx",
+        (row_number().over(Window.partitionBy(col("lang")).orderBy(col("doc_id"))) - 1)
+          .cast("long"))
+    val sized = ranked.join(
+      ranked.groupBy(col("lang")).agg(count(lit(1)).as("cnt")), "lang")
+    val wants = sized
+      .select(col("lang"), col("doc_id").as("anchor_id"), col("idx"), col("cnt"),
+        explode(array(lit(0L), lit(1L))).as("i"))
+      .withColumn("t", expr("(anchor_id * 1000003 + i * 7919 + i) % cnt"))
+      .withColumn("target_idx",
+        when(col("t") === col("idx"), expr("(t + 1) % cnt")).otherwise(col("t")))
+    wants.join(
+        ranked.select(col("lang"), col("idx").as("target_idx"),
+          col("doc_id").as("negative_id")),
+        Seq("lang", "target_idx"))
+      .select(col("lang"), col("anchor_id"), col("i"), col("negative_id"))
+      .orderBy(col("lang"), col("anchor_id"), col("i"))
+  }
+
   /** Exact weighted quantiles (p25/median/p75 of quantity weighted by
     * revenue cents, per return flag) — the "what quantity splits the
     * MONEY in half" statistic, computed with zero floats: per-(group,

@@ -55,7 +55,13 @@ object SoakScale {
     // pair join, and the corpus-wide gram stream of phrase search —
     // all uncapped by construction
     "q_kcore", "q_bfs", "q_link_pred", "q_para_dedup", "q_pca_power",
-    "q_assoc_rules", "q_phrase_search")
+    "q_assoc_rules", "q_phrase_search",
+    // round-6 session 5: integer HITS and min-plus SSSP over the 10x
+    // |E| graph, chi-square stump + KS windows over the value support,
+    // RRF's three lang-partitioned rankings, posting-table boolean
+    // retrieval, and the OLS sufficient-statistics scan
+    "q_hits", "q_sssp", "q_stump", "q_ks_drift", "q_rrf",
+    "q_bool_search", "q_linreg")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

@@ -230,6 +230,9 @@ object SparkEntry {
     "q_weighted_quantile" -> (Queries.weightedQuantileQ _),
     "q_gini_source" -> (Queries.giniSourceQ _),
     "q_disorder" -> (Queries.disorderQ _),
+    "q_trimmed_mean" -> (Queries.trimmedMeanQ _),
+    "q_attribution" -> (Queries.attributionQ _),
+    "q_neg_sample" -> (Queries.negSampleQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -2520,6 +2523,67 @@ object SparkEntry {
          |${iter("pr2", "pr3")}
          |SELECT node, pr FROM pr3 ORDER BY node""".stripMargin
     },
+
+    // Trimmed-mean replay: decile trim on the cents support with the
+    // atomic tied-run keep rule, one integral division.
+    "q_trimmed_mean" ->
+      s"""WITH pv AS (
+         |  SELECT l_returnflag AS grp,
+         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+         |    count(*) AS nv
+         |  FROM lineitem GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT grp, v, nv,
+         |    sum(nv) OVER (PARTITION BY grp ORDER BY v) AS cum
+         |  FROM pv),
+         |tot AS (SELECT grp, CAST(sum(nv) AS BIGINT) AS n FROM pv GROUP BY grp)
+         |SELECT cum.grp, n AS total_n,
+         |  CAST(sum(nv) AS BIGINT) AS kept_n,
+         |  CAST(sum(nv * v) * 100 // sum(nv) AS BIGINT) AS trimmed_mean_e4
+         |FROM cum JOIN tot ON cum.grp = tot.grp
+         |WHERE (cum - nv) * 10 >= n AND cum * 10 <= n * 9
+         |GROUP BY cum.grp, n ORDER BY cum.grp""".stripMargin,
+
+    // Attribution replay: running last click over the PRECEDING frame
+    // in (us, event_id) order, purchases only.
+    "q_attribution" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+         |  FROM events),
+         |r AS (
+         |  SELECT user_id, event_id, event_type, us,
+         |    last_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY us, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_us
+         |  FROM e)
+         |SELECT user_id, event_id, us AS purchase_us, click_us,
+         |  us - click_us AS lag_us
+         |FROM r WHERE event_type = 'purchase'
+         |ORDER BY user_id, purchase_us, event_id""".stripMargin,
+
+    // Negative-sampling replay: identical rank/modulus arithmetic and
+    // the same (lang, rank) resolve join.
+    "q_neg_sample" ->
+      s"""WITH ranked AS (
+         |  SELECT lang, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1 AS BIGINT) AS idx
+         |  FROM documents),
+         |sized AS (
+         |  SELECT r.lang, r.doc_id, r.idx, c.cnt
+         |  FROM ranked r JOIN (SELECT lang, CAST(count(*) AS BIGINT) AS cnt
+         |    FROM ranked GROUP BY lang) c ON r.lang = c.lang),
+         |wants AS (
+         |  SELECT lang, doc_id AS anchor_id, idx, cnt, i,
+         |    (doc_id * 1000003 + i * 7919 + i) % cnt AS t
+         |  FROM sized, LATERAL (SELECT unnest([CAST(0 AS BIGINT), CAST(1 AS BIGINT)]) AS i) u),
+         |fixed AS (
+         |  SELECT lang, anchor_id, i,
+         |    CASE WHEN t = idx THEN (t + 1) % cnt ELSE t END AS target_idx
+         |  FROM wants)
+         |SELECT f.lang, f.anchor_id, f.i, r.doc_id AS negative_id
+         |FROM fixed f JOIN ranked r ON f.lang = r.lang AND f.target_idx = r.idx
+         |ORDER BY f.lang, f.anchor_id, f.i""".stripMargin,
 
     // Weighted-quantile replay: per-(grp,value) weight totals,
     // cumulative window, threshold cross via exact integer comparison.

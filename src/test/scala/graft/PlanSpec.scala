@@ -716,4 +716,23 @@ class PlanSpec extends AnyFunSuite {
     assert("windowspecdefinition\\(event_type#\\d+".r.findFirstIn(plan).isDefined, plan)
     assert(!plan.contains("SinglePartition"), plan)
   }
+
+  test("attribution: one user-partitioned window, no purchase-times-click join") {
+    val plan = formatted(Queries.attributionQ(spark, sf))
+    assert("windowspecdefinition\\(user_id#\\d+".r.findFirstIn(plan).isDefined, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("trimmed mean: support-sized window rides the group partition; counts partial-agg") {
+    val plan = formatted(Queries.trimmedMeanQ(spark, sf))
+    assert("windowspecdefinition\\(grp#\\d+".r.findFirstIn(plan).isDefined, plan)
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
+  test("negative sampling: rank resolve is an equi join, never cartesian") {
+    val plan = formatted(Queries.negSampleQ(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
