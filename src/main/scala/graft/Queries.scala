@@ -2177,6 +2177,127 @@ object Queries {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Degree distribution with cumulative tail — the first diagnostic
+    * of any graph pipeline (is this power-law? where does the hub tail
+    * start?): per distinct-neighbor degree d the node count, plus the
+    * "nodes with degree ≥ d" tail via one cumulative window over the
+    * DEGREE SUPPORT (domain-bounded, same shape as q_ks_drift — never
+    * a per-node window). Tail fraction at 10⁻⁶ by integral division.
+    */
+  def degreeDistQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = partAdjacencyEdges(spark, sfDir)
+      .select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
+    val deg = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val pv = deg.groupBy(col("d")).agg(count(lit(1)).as("n_nodes"))
+    val w = Window.partitionBy(
+        graft.functions.GraftFunctions.singleton_key(col("d")))
+      .orderBy(col("d").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    pv.withColumn("tail_nodes", sum(col("n_nodes")).over(w))
+      .crossJoin(broadcast(pv.groupBy().agg(sum(col("n_nodes")).as("total"))))
+      .select(col("d"), col("n_nodes"), col("tail_nodes"),
+        expr("tail_nodes * 1000000 div total").as("tail_frac_e6"))
+      .orderBy(col("d"))
+  }
+
+  /** Traffic seasonality profile + exact chi-square uniformity test:
+    * per (event type, hour-of-day) counts, and per type the chi²
+    * statistic against the uniform profile computed without a single
+    * float — Σ(24·o − n)² div (24·n) at 10⁶ scale (= 10⁶·24·Σ(o−e)²/n
+    * with e = n/24 cleared of fractions). The larger the value, the
+    * more concentrated the type's diurnal pattern; both engines agree
+    * bit-for-bit. One map-side-combinable count + one 24-row-per-type
+    * aggregate.
+    */
+  def seasonalityQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("(unix_micros(ts) div 3600000000) % 24").as("hour"))
+      .groupBy(col("event_type"), col("hour")).agg(count(lit(1)).as("o"))
+    val tot = hourly.groupBy(col("event_type")).agg(sum(col("o")).as("n"))
+    hourly.join(tot, "event_type")
+      .groupBy(col("event_type"), col("n"))
+      .agg(count(lit(1)).as("hours_active"),
+        max(struct(col("o"), col("hour"))).as("peak"),
+        sum(expr("(24 * o - n) * (24 * o - n)")).as("ss"))
+      // silent hours contribute (0 − e)² each: (24·0 − n)² = n² per
+      // missing hour — added in closed form, no 24-row scaffold join
+      .select(col("event_type"), col("n"), col("hours_active"),
+        col("peak.hour").as("peak_hour"), col("peak.o").as("peak_count"),
+        expr("""(cast(ss + (24 - hours_active) * n * n as decimal(38,0)) * 1000000)
+                div (24 * n)""").as("chi2_e6"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Weekly churn: users active in epoch-week w but silent in w+1,
+    * as exact counts and a 10⁻⁶ churn rate — retention's complement,
+    * off the SAME pre-distinct'd user-week table discipline as
+    * q_retention (the anti-join is week-sized, never event-sized).
+    */
+  def churnQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val uw = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts) div 604800000000").as("wk"))
+      .distinct()
+    val next = uw.select(col("user_id"), (col("wk") - 1).as("wk"))
+      .withColumn("active_next", lit(1L))
+    uw.join(next, Seq("user_id", "wk"), "left")
+      .groupBy(col("wk"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("active_next").isNull, 1L).otherwise(0L)).as("n_churned"))
+      .withColumn("churn_e6", expr("n_churned * 1000000 div n_active"))
+      .orderBy(col("wk"))
+  }
+
+  /** MinHash estimator accuracy certificate — the q_ann_recall idea
+    * applied to the dedup sketch: over the SAME banded candidate pairs
+    * the production pipeline uses, compare the 8-hash signature
+    * estimate (matching positions / 8) against the exact shingle
+    * Jaccard, entirely in integers: err·10⁶ = |m·u − 8·i|·10⁶ div
+    * (8·u), reported per signature-agreement level m with pair counts
+    * and max/avg error — certified inside the oracle.
+    *
+    * What it measures on this sketch family is itself the finding:
+    * the 8 signature functions are AFFINE TRANSFORMS of one 48-bit
+    * base hash (a_j·h + b_j), so they are correlated — the same
+    * smallest-h shingle tends to minimize every function at once.
+    * Band candidates therefore agree on all 8 positions (one m = 8
+    * row) while their exact Jaccard ranges down to ~0.006: the
+    * estimate is USELESS as a similarity score, and the avg/max error
+    * columns quantify precisely the false-positive mass the exact
+    * verify stage (which every downstream operator here runs —
+    * minhashLsh filters on exact Jaccard, never on m) must clean up.
+    * Same scale shape as the pipeline itself: the band join generates
+    * the pairs, the verify joins are pair-sized.
+    */
+  def minhashAccQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = docsWithNearCopies(spark, sfDir, None)
+    val sh = Dedup.shingleSets(base)
+    val sigs = Dedup.minhashSignatures(sh)
+    val cands = Dedup.lshCandidates(sigs)
+    val sa = sigs.select(col("doc_id").as("doc_a") +:
+      (0 until 8).map(j => col(s"s$j").as(s"a$j")): _*)
+    val sb = sigs.select(col("doc_id").as("doc_b") +:
+      (0 until 8).map(j => col(s"s$j").as(s"b$j")): _*)
+    val sha = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val shb = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    cands.join(sa, "doc_a").join(sb, "doc_b").join(sha, "doc_a").join(shb, "doc_b")
+      .withColumn("m", (0 until 8)
+        .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+        .reduce(_ + _))
+      .withColumn("i", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("u", size(array_union(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("err_e6", expr("abs(m * u - 8 * i) * 1000000 div (8 * u)"))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_pairs"), max(col("err_e6")).as("max_err_e6"),
+        sum(col("err_e6")).as("se"))
+      .select(col("m"), col("n_pairs"), col("max_err_e6"),
+        expr("se div n_pairs").as("avg_err_e6"))
+      .orderBy(col("m"))
+  }
+
   /** Exact trimmed mean (drop the bottom and top deciles by VALUE
     * rank, average the rest) per return flag — the robust-mean
     * sibling of q_mad/q_zscore, computed on the value SUPPORT like

@@ -233,6 +233,10 @@ object SparkEntry {
     "q_trimmed_mean" -> (Queries.trimmedMeanQ _),
     "q_attribution" -> (Queries.attributionQ _),
     "q_neg_sample" -> (Queries.negSampleQ _),
+    "q_minhash_acc" -> (Queries.minhashAccQ _),
+    "q_degree_dist" -> (Queries.degreeDistQ _),
+    "q_seasonality" -> (Queries.seasonalityQ _),
+    "q_churn" -> (Queries.churnQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -867,6 +871,87 @@ object SparkEntry {
          |SELECT doc_a, doc_b, jaccard FROM scored
          |WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Degree-distribution replay: distinct-neighbor degrees, counts
+    // per degree, descending cumulative tail, tail fraction at 1e-6.
+    "q_degree_dist" ->
+      s"""WITH p AS (SELECT l_partkey AS src,
+         |    lead(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
+         |  FROM lineitem),
+         |e AS (SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM p WHERE dst IS NOT NULL AND src <> dst
+         |    UNION ALL
+         |    SELECT dst, src FROM p WHERE dst IS NOT NULL AND src <> dst) u),
+         |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+         |pv AS (SELECT d, CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY d),
+         |c AS (
+         |  SELECT d, n_nodes,
+         |    sum(n_nodes) OVER (ORDER BY d DESC) AS tail_nodes
+         |  FROM pv),
+         |t AS (SELECT CAST(sum(n_nodes) AS BIGINT) AS total FROM pv)
+         |SELECT CAST(d AS BIGINT) AS d, n_nodes,
+         |  CAST(tail_nodes AS BIGINT) AS tail_nodes,
+         |  CAST(tail_nodes * 1000000 // total AS BIGINT) AS tail_frac_e6
+         |FROM c CROSS JOIN t ORDER BY d""".stripMargin,
+
+    // Seasonality replay: hour-of-day counts, peak argmax by (count,
+    // hour) struct order, chi² vs uniform with the silent-hour term in
+    // closed form, HUGEINT at the 1e6 multiply.
+    "q_seasonality" ->
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |    (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS hour,
+         |    count(*) AS o
+         |  FROM events GROUP BY 1, 2),
+         |t AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS n FROM h GROUP BY event_type),
+         |s AS (
+         |  SELECT h.event_type, n, count(*) AS hours_active,
+         |    max(struct_pack(o := o, hour := hour)) AS peak,
+         |    sum((24 * o - n) * (24 * o - n)) AS ss
+         |  FROM h JOIN t ON h.event_type = t.event_type
+         |  GROUP BY h.event_type, n)
+         |SELECT event_type, n, CAST(hours_active AS BIGINT) AS hours_active,
+         |  CAST(peak.hour AS BIGINT) AS peak_hour, CAST(peak.o AS BIGINT) AS peak_count,
+         |  CAST((CAST(ss + (24 - hours_active) * n * n AS HUGEINT) * 1000000)
+         |    // (24 * n) AS BIGINT) AS chi2_e6
+         |FROM s ORDER BY event_type""".stripMargin,
+
+    // Churn replay: pre-distinct user-week table, left anti on week+1.
+    "q_churn" ->
+      s"""WITH uw AS (
+         |  SELECT DISTINCT user_id,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS wk
+         |  FROM events),
+         |nx AS (SELECT user_id, wk - 1 AS wk, 1 AS active_next FROM uw)
+         |SELECT uw.wk, CAST(count(*) AS BIGINT) AS n_active,
+         |  CAST(sum(CASE WHEN nx.active_next IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+         |  CAST(sum(CASE WHEN nx.active_next IS NULL THEN 1 ELSE 0 END) * 1000000
+         |    // count(*) AS BIGINT) AS churn_e6
+         |FROM uw LEFT JOIN nx ON uw.user_id = nx.user_id AND uw.wk = nx.wk
+         |GROUP BY uw.wk ORDER BY uw.wk""".stripMargin,
+
+    // Sketch-accuracy replay: the shared LSH CTE chain (same planted
+    // corpus, signatures, bands, candidates), per-pair signature match
+    // count vs exact Jaccard, integer error table per agreement level.
+    "q_minhash_acc" ->
+      s"""WITH $lshPairsCtes,
+         |macc AS (
+         |  SELECT cand.doc_a, cand.doc_b,
+         |    (CASE WHEN a.s0 = b.s0 THEN 1 ELSE 0 END + CASE WHEN a.s1 = b.s1 THEN 1 ELSE 0 END
+         |     + CASE WHEN a.s2 = b.s2 THEN 1 ELSE 0 END + CASE WHEN a.s3 = b.s3 THEN 1 ELSE 0 END
+         |     + CASE WHEN a.s4 = b.s4 THEN 1 ELSE 0 END + CASE WHEN a.s5 = b.s5 THEN 1 ELSE 0 END
+         |     + CASE WHEN a.s6 = b.s6 THEN 1 ELSE 0 END + CASE WHEN a.s7 = b.s7 THEN 1 ELSE 0 END) AS m,
+         |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS i,
+         |    CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS BIGINT) AS u
+         |  FROM cand JOIN sig a ON cand.doc_a = a.doc_id
+         |            JOIN sig b ON cand.doc_b = b.doc_id
+         |            JOIN sh sa ON cand.doc_a = sa.doc_id
+         |            JOIN sh sb ON cand.doc_b = sb.doc_id),
+         |e AS (SELECT m, abs(m * u - 8 * i) * 1000000 // (8 * u) AS err_e6 FROM macc)
+         |SELECT CAST(m AS BIGINT) AS m, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(max(err_e6) AS BIGINT) AS max_err_e6,
+         |  CAST(sum(err_e6) // count(*) AS BIGINT) AS avg_err_e6
+         |FROM e GROUP BY m ORDER BY m""".stripMargin,
 
     // Containment over documents + planted aggregators: same shingle/
     // signature/band pipeline as q_minhash_lsh, asymmetric verify
