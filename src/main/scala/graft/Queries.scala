@@ -610,6 +610,83 @@ object Queries {
       TextOps.langId(col("text")).as("predicted"))
       .orderBy(col("doc_id"))
 
+  /** Language-ID confusion table: per (label, prediction) counts with
+    * the per-label share at 10⁻⁶ — the evaluation harness for the
+    * q_lang_id heuristic, exact integers end-to-end (one count + one
+    * label-total join; the confusion matrix is |langs|²-bounded).
+    */
+  def langidAccQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val pred = Tables.documents(spark, sfDir).select(
+      col("lang"), TextOps.langId(col("text")).as("predicted"))
+    val conf = pred.groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+    conf.join(conf.groupBy(col("lang")).agg(sum(col("n")).as("total")), "lang")
+      .select(col("lang"), col("predicted"), col("n"),
+        expr("n * 1000000 div total").as("share_e6"),
+        (col("lang") === col("predicted")).as("correct"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  /** RFM segmentation (recency / frequency / monetary terciles) —
+    * the classic customer-value cube, scored SEGMENT-RELATIVE so the
+    * tercile windows partition by market segment (never a global
+    * sort): per customer one orders aggregate, three ntile(3) ranks
+    * over deterministic (value, custkey) orders, one digit-coded
+    * segment rollup. Monetary is exact cents; everything else counts.
+    */
+  def rfmQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perCust = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(max(expr("unix_micros(cast(o_orderdate as timestamp))")).as("rec_us"),
+        count(lit(1)).as("freq"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("mon_cents"))
+      .join(Tables.customer(spark, sfDir)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")), "o_custkey")
+    def tercile(order: Seq[Column]) = ntile(3).over(
+      Window.partitionBy(col("c_mktsegment")).orderBy(order: _*))
+    perCust
+      .withColumn("r", tercile(Seq(col("rec_us").desc, col("o_custkey"))))
+      .withColumn("f", tercile(Seq(col("freq").desc, col("o_custkey"))))
+      .withColumn("m", tercile(Seq(col("mon_cents").desc, col("o_custkey"))))
+      .groupBy(col("c_mktsegment"),
+        (col("r") * 100 + col("f") * 10 + col("m")).cast("long").as("rfm"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("mon_cents")).as("segment_cents"))
+      .orderBy(col("c_mktsegment"), col("rfm"))
+  }
+
+  /** Exact duplicate rate per source — the corpus-health rollup
+    * before any dedup decision: distinct-text counts via a (source,
+    * md5) pre-aggregate (never a count(DISTINCT) blowup), dup rate at
+    * 10⁻⁶ by integral division.
+    */
+  def dupRateQ(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(col("source"), md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_docs"), count(lit(1)).as("n_unique"))
+      .withColumn("dup_rate_e6",
+        expr("(n_docs - n_unique) * 1000000 div n_docs"))
+      .orderBy(col("source"))
+
+  /** Tokenizer fertility per language — BPE-ish tokens per whitespace
+    * word at 10⁻⁶, the "how expensive is this language for the
+    * tokenizer" table (CJK explodes, Latin stays ~1): two
+    * codegen'd per-doc counts, one aggregate, one division.
+    */
+  def fertilityQ(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("lang"),
+        TextOps.bpeTokenCount(col("text")).as("t"),
+        size(TextOps.words(col("text"))).cast("long").as("w"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("bpe_tokens"),
+        sum(col("w")).as("words"))
+      .withColumn("fertility_e6", expr("bpe_tokens * 1000000 div words"))
+      .orderBy(col("lang"))
+
   /** Content fingerprints (md5 / portable 64-bit / min-shingle-hash). */
   def fingerprintQ(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir).select(

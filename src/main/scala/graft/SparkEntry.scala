@@ -237,6 +237,10 @@ object SparkEntry {
     "q_degree_dist" -> (Queries.degreeDistQ _),
     "q_seasonality" -> (Queries.seasonalityQ _),
     "q_churn" -> (Queries.churnQ _),
+    "q_langid_acc" -> (Queries.langidAccQ _),
+    "q_rfm" -> (Queries.rfmQ _),
+    "q_dup_rate" -> (Queries.dupRateQ _),
+    "q_fertility" -> (Queries.fertilityQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -831,6 +835,76 @@ object SparkEntry {
          |       WHEN s_zh > 0 THEN 'zh'
          |       ELSE 'und' END AS predicted
          |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Lang-ID confusion replay: the same score CASE, aggregated to
+    // the |langs|²-bounded confusion table with per-label shares.
+    "q_langid_acc" ->
+      s"""WITH t AS (SELECT lang, ' ' || lower(text) || ' ' AS pt FROM documents),
+         |s AS (SELECT lang,
+         |  ${langScoreSql("en")} AS s_en,
+         |  ${langScoreSql("es")} AS s_es,
+         |  ${langScoreSql("de")} AS s_de,
+         |  ${langScoreSql("zh")} AS s_zh
+         |FROM t),
+         |p AS (SELECT lang,
+         |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_zh AND s_en > 0 THEN 'en'
+         |       WHEN s_es >= s_de AND s_es >= s_zh AND s_es > 0 THEN 'es'
+         |       WHEN s_de >= s_zh AND s_de > 0 THEN 'de'
+         |       WHEN s_zh > 0 THEN 'zh'
+         |       ELSE 'und' END AS predicted
+         |FROM s),
+         |conf AS (SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+         |         FROM p GROUP BY lang, predicted),
+         |tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS total FROM conf GROUP BY lang)
+         |SELECT conf.lang, predicted, n,
+         |  CAST(n * 1000000 // total AS BIGINT) AS share_e6,
+         |  conf.lang = predicted AS correct
+         |FROM conf JOIN tot ON conf.lang = tot.lang
+         |ORDER BY conf.lang, predicted""".stripMargin,
+
+    // RFM replay: identical per-customer aggregate, segment-relative
+    // ntile(3) over deterministic orders, digit-coded rollup.
+    "q_rfm" ->
+      s"""WITH pc AS (
+         |  SELECT o_custkey,
+         |    max(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS rec_us,
+         |    count(*) AS freq,
+         |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS mon_cents
+         |  FROM orders GROUP BY o_custkey),
+         |j AS (SELECT pc.*, c_mktsegment FROM pc
+         |      JOIN customer ON o_custkey = c_custkey),
+         |r AS (
+         |  SELECT c_mktsegment, mon_cents,
+         |    ntile(3) OVER (PARTITION BY c_mktsegment ORDER BY rec_us DESC, o_custkey) AS r,
+         |    ntile(3) OVER (PARTITION BY c_mktsegment ORDER BY freq DESC, o_custkey) AS f,
+         |    ntile(3) OVER (PARTITION BY c_mktsegment ORDER BY mon_cents DESC, o_custkey) AS m
+         |  FROM j)
+         |SELECT c_mktsegment, CAST(r * 100 + f * 10 + m AS BIGINT) AS rfm,
+         |  CAST(count(*) AS BIGINT) AS n_customers,
+         |  CAST(sum(mon_cents) AS BIGINT) AS segment_cents
+         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Dup-rate replay: (source, md5) pre-aggregate, never
+    // count(DISTINCT) over rows.
+    "q_dup_rate" ->
+      s"""WITH g AS (SELECT source, md5(text) AS h, count(*) AS c
+         |           FROM documents GROUP BY source, md5(text))
+         |SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_unique,
+         |  CAST((sum(c) - count(*)) * 1000000 // sum(c) AS BIGINT) AS dup_rate_e6
+         |FROM g GROUP BY source ORDER BY source""".stripMargin,
+
+    // Fertility replay: the q_text_stats token counts aggregated per
+    // language, one integral division.
+    "q_fertility" ->
+      s"""WITH t AS (SELECT lang,
+         |    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS t,
+         |    CAST(len(${wordsSql("text")}) AS BIGINT) AS w
+         |  FROM documents)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(t) AS BIGINT) AS bpe_tokens, CAST(sum(w) AS BIGINT) AS words,
+         |  CAST(sum(t) * 1000000 // sum(w) AS BIGINT) AS fertility_e6
+         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, lower(trim(text)) AS nt, ${wordsSql("lower(text)")} AS w FROM documents),

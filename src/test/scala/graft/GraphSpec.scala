@@ -159,6 +159,23 @@ class GraphSpec extends AnyFunSuite {
     assert(got(3L) == (0L, 1000000L), got)
   }
 
+  private def dists(edges: Seq[(Long, Long, Long)], from: Long): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.sssp(edges.toDF("src", "dst", "w"), Seq(from).toDF("node"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("SSSP: a cheap two-hop path beats the expensive direct edge") {
+    // 1-3 costs 10 direct, but 1-2-3 costs 2
+    val got = dists(Seq((1L, 3L, 10L), (1L, 2L, 1L), (2L, 3L, 1L)), from = 1L)
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L), got)
+  }
+
+  test("SSSP: parallel edges keep the min cost; unreachable nodes are absent") {
+    val got = dists(Seq((1L, 2L, 5L), (1L, 2L, 2L), (3L, 4L, 1L)), from = 1L)
+    assert(got == Map(1L -> 0L, 2L -> 2L), got)
+  }
+
   test("HITS: bit-deterministic across runs") {
     val edges = Seq((1L, 2L, 3L), (2L, 3L, 1L), (3L, 1L, 2L), (1L, 3L, 1L), (4L, 2L, 5L))
     assert(hubsAuths(edges) == hubsAuths(edges))
