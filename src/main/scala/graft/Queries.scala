@@ -2254,6 +2254,41 @@ object Queries {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Degree assortativity — "do hubs link to hubs?" — as the Pearson
+    * correlation of endpoint degrees over undirected edges, computed
+    * with the q_linreg sufficient-statistics discipline: one edge-list
+    * join against the degree table per endpoint, one combinable
+    * aggregate of (n, Σx, Σy, Σxy, Σx², Σy²) in decimal(38,0), and
+    * r·10⁶ = num·10⁶ div floor(√varx·√vary) — the variances convert
+    * decimal→double with correct rounding on BOTH engines and sqrt is
+    * correctly rounded IEEE, so the two doubles (and hence the floor)
+    * are bit-identical everywhere (the q_mixture_weights sqrt rule).
+    * Symmetrized edges make x/y margins equal, so the statistic is
+    * the classical Newman assortativity.
+    */
+  def assortativityQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val e = partAdjacencyEdges(spark, sfDir)
+      .select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    und
+      .join(deg.select(col("node").as("src"), col("deg").as("dx")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("dy")), "dst")
+      .groupBy()
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("dx").cast(d38)).as("sx"), sum(col("dy").cast(d38)).as("sy"),
+        sum((col("dx") * col("dy")).cast(d38)).as("sxy"),
+        sum((col("dx") * col("dx")).cast(d38)).as("sxx"),
+        sum((col("dy") * col("dy")).cast(d38)).as("syy"))
+      .select(col("n").cast("long").as("n_edges"),
+        expr("""(n * sxy - sx * sy) * 1000000
+                div cast(floor(sqrt(cast(n * sxx - sx * sx as double))
+                             * sqrt(cast(n * syy - sy * sy as double))) as decimal(38,0))""")
+          .as("assortativity_e6"))
+  }
+
   /** Degree distribution with cumulative tail — the first diagnostic
     * of any graph pipeline (is this power-law? where does the hub tail
     * start?): per distinct-neighbor degree d the node count, plus the

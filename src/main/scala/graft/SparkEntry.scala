@@ -241,6 +241,7 @@ object SparkEntry {
     "q_rfm" -> (Queries.rfmQ _),
     "q_dup_rate" -> (Queries.dupRateQ _),
     "q_fertility" -> (Queries.fertilityQ _),
+    "q_assortativity" -> (Queries.assortativityQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -945,6 +946,35 @@ object SparkEntry {
          |SELECT doc_a, doc_b, jaccard FROM scored
          |WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Assortativity replay: symmetrized distinct edges, endpoint
+    // degrees, HUGEINT sufficient statistics, the same correctly-
+    // rounded double sqrt + floor, one integral division.
+    "q_assortativity" ->
+      s"""WITH p AS (SELECT l_partkey AS src,
+         |    lead(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
+         |  FROM lineitem),
+         |e AS (SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM p WHERE dst IS NOT NULL AND src <> dst
+         |    UNION ALL
+         |    SELECT dst, src FROM p WHERE dst IS NOT NULL AND src <> dst) u),
+         |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+         |j AS (
+         |  SELECT dx.deg AS dx, dy.deg AS dy
+         |  FROM e JOIN deg dx ON e.src = dx.node JOIN deg dy ON e.dst = dy.node),
+         |s AS (
+         |  SELECT CAST(count(*) AS HUGEINT) AS n,
+         |    sum(CAST(dx AS HUGEINT)) AS sx, sum(CAST(dy AS HUGEINT)) AS sy,
+         |    sum(CAST(dx AS HUGEINT) * dy) AS sxy,
+         |    sum(CAST(dx AS HUGEINT) * dx) AS sxx,
+         |    sum(CAST(dy AS HUGEINT) * dy) AS syy
+         |  FROM j)
+         |SELECT CAST(n AS BIGINT) AS n_edges,
+         |  CAST((n * sxy - sx * sy) * 1000000
+         |    // CAST(floor(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+         |               * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS HUGEINT) AS BIGINT)
+         |    AS assortativity_e6
+         |FROM s""".stripMargin,
 
     // Degree-distribution replay: distinct-neighbor degrees, counts
     // per degree, descending cumulative tail, tail fraction at 1e-6.
