@@ -2254,6 +2254,69 @@ object Queries {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Quality-aware canonical selection: per near-dup cluster (the CC
+    * labels over the verified LSH pairs) keep the HIGHEST-quality
+    * member instead of the min id — quality = distinct-token ratio at
+    * 10⁻⁶ (an exact integer, argmax via min-struct with doc_id
+    * tie-break). The curation refinement every production dedup wants:
+    * the cluster keeps its best-written copy, reproducibly. Cluster
+    * table and quality scan are both corpus-sized, the argmax is one
+    * combinable aggregate.
+    */
+  def canonicalKeeperQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = docsWithNearCopies(spark, sfDir, None)
+    val ws = TextOps.words(col("text"))
+    val quality = base
+      .select(col("doc_id"), size(ws).cast("long").as("t"),
+        size(array_distinct(ws)).cast("long").as("d"))
+      .filter(col("t") > 0)
+      .withColumn("q_e6", expr("d * 1000000 div t"))
+    Dedup.connectedComponents(lshPairs(spark, sfDir))
+      .join(quality, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        min(struct((-col("q_e6")).as("nq"), col("doc_id"))).as("best"))
+      .select(col("cluster_id"), col("best.doc_id").as("keeper_id"),
+        col("n_members"), (-col("best.nq")).as("keeper_q_e6"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** Token-budget materialization of a data recipe: a global budget of
+    * 20 000 tokens is allocated to languages proportionally to their
+    * token mass (one integral division per group), then each language
+    * admits its documents greedily in quality order (distinct-token
+    * ratio desc, doc_id) until the next doc would overflow the
+    * allocation — one partitioned cumulative window, zero floats.
+    * This is the step that turns mixture weights into an actual
+    * training corpus cut, deterministic at any scale.
+    */
+  def budgetCutQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = TextOps.words(col("text"))
+    val t = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"), size(ws).cast("long").as("t"),
+        size(array_distinct(ws)).cast("long").as("d"))
+      .filter(col("t") > 0)
+      .withColumn("q_e6", expr("d * 1000000 div t"))
+    val byLang = t.groupBy(col("lang"))
+      .agg(sum(col("t")).as("gt"), count(lit(1)).as("n_docs_total"))
+    val alloc = byLang
+      .crossJoin(broadcast(byLang.agg(sum(col("gt")).as("tt"))))
+      .select(col("lang"), col("n_docs_total"),
+        expr("20000 * gt div tt").as("alloc_tokens"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("q_e6").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.withColumn("cum_before", coalesce(sum(col("t")).over(w), lit(0L)))
+      .join(alloc, "lang")
+      .filter(col("cum_before") + col("t") <= col("alloc_tokens"))
+      .groupBy(col("lang"), col("alloc_tokens"), col("n_docs_total"))
+      .agg(count(lit(1)).as("n_docs_kept"), sum(col("t")).as("tokens_kept"))
+      .select(col("lang"), col("alloc_tokens"), col("n_docs_total"),
+        col("n_docs_kept"), col("tokens_kept"))
+      .orderBy(col("lang"))
+  }
+
   /** Degree assortativity — "do hubs link to hubs?" — as the Pearson
     * correlation of endpoint degrees over undirected edges, computed
     * with the q_linreg sufficient-statistics discipline: one edge-list

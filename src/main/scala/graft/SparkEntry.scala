@@ -242,6 +242,8 @@ object SparkEntry {
     "q_dup_rate" -> (Queries.dupRateQ _),
     "q_fertility" -> (Queries.fertilityQ _),
     "q_assortativity" -> (Queries.assortativityQ _),
+    "q_canonical_keeper" -> (Queries.canonicalKeeperQ _),
+    "q_budget_cut" -> (Queries.budgetCutQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -1311,6 +1313,59 @@ object SparkEntry {
          |       SELECT e.dst AS node, cc.m FROM cc JOIN edges e ON e.src = cc.node)
          |SELECT node AS doc_id, min(m) AS cluster_id
          |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    // Canonical-keeper replay: CC labels (the q_dedup_clusters
+    // recursion) + distinct-token quality, argmax by (quality desc,
+    // doc_id) via row_number.
+    "q_canonical_keeper" ->
+      s"""WITH RECURSIVE $lshPairsCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |cc AS (SELECT node, node AS m FROM nodes
+         |       UNION
+         |       SELECT e.dst AS node, cc.m FROM cc JOIN edges e ON e.src = cc.node),
+         |lab AS (SELECT node AS doc_id, min(m) AS cluster_id FROM cc GROUP BY node),
+         |qual AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_distinct(w)) * 1000000 // len(w) AS BIGINT) AS q_e6
+         |  FROM (SELECT doc_id, ${wordsSql("text")} AS w FROM base)
+         |  WHERE len(w) > 0),
+         |m AS (
+         |  SELECT cluster_id, doc_id, q_e6,
+         |    count(*) OVER (PARTITION BY cluster_id) AS n_members,
+         |    row_number() OVER (PARTITION BY cluster_id ORDER BY q_e6 DESC, doc_id) AS rn
+         |  FROM lab JOIN qual USING (doc_id))
+         |SELECT cluster_id, doc_id AS keeper_id,
+         |  CAST(n_members AS BIGINT) AS n_members, q_e6 AS keeper_q_e6
+         |FROM m WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+
+    // Budget-cut replay: proportional integral allocation, greedy
+    // quality-order admission with the no-overflow rule.
+    "q_budget_cut" ->
+      s"""WITH t AS (
+         |  SELECT lang, doc_id, CAST(len(w) AS BIGINT) AS t,
+         |    CAST(len(list_distinct(w)) * 1000000 // len(w) AS BIGINT) AS q_e6
+         |  FROM (SELECT lang, doc_id, ${wordsSql("text")} AS w FROM documents)
+         |  WHERE len(w) > 0),
+         |bl AS (SELECT lang, CAST(sum(t) AS BIGINT) AS gt,
+         |         CAST(count(*) AS BIGINT) AS n_docs_total FROM t GROUP BY lang),
+         |tt AS (SELECT CAST(sum(gt) AS BIGINT) AS tt FROM bl),
+         |al AS (SELECT lang, n_docs_total,
+         |         CAST(20000 * gt // tt AS BIGINT) AS alloc_tokens
+         |       FROM bl CROSS JOIN tt),
+         |c AS (
+         |  SELECT lang, doc_id, t,
+         |    coalesce(sum(t) OVER (PARTITION BY lang ORDER BY q_e6 DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM t)
+         |SELECT c.lang, alloc_tokens, n_docs_total,
+         |  CAST(count(*) AS BIGINT) AS n_docs_kept,
+         |  CAST(sum(t) AS BIGINT) AS tokens_kept
+         |FROM c JOIN al ON c.lang = al.lang
+         |WHERE cum_before + t <= alloc_tokens
+         |GROUP BY c.lang, alloc_tokens, n_docs_total ORDER BY c.lang""".stripMargin,
 
     // Leakage-safe split: CC labels over the LSH pairs (the
     // q_dedup_clusters recursion), singletons self-represent, and the
