@@ -61,7 +61,13 @@ object SoakScale {
     // RRF's three lang-partitioned rankings, posting-table boolean
     // retrieval, and the OLS sufficient-statistics scan
     "q_hits", "q_sssp", "q_stump", "q_ks_drift", "q_rrf",
-    "q_bool_search", "q_linreg")
+    "q_bool_search", "q_linreg",
+    // session-5 continuation: endpoint-degree correlation over the
+    // full edge list, the CC+quality keeper (dup-heavy corpus), the
+    // budget cut's per-lang quality windows, sketch certificate over
+    // the replicated candidates, trimmed mean on the cents support
+    "q_assortativity", "q_canonical_keeper", "q_budget_cut",
+    "q_minhash_acc", "q_trimmed_mean", "q_degree_dist")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

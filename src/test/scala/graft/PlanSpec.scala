@@ -735,4 +735,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("budget cut: quality admission window partitions by lang; global total broadcasts") {
+    val plan = formatted(Queries.budgetCutQ(spark, sf))
+    assert("windowspecdefinition\\(lang#\\d+".r.findFirstIn(plan).isDefined, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("rfm: all three tercile windows partition by market segment") {
+    val plan = formatted(Queries.rfmQ(spark, sf))
+    assert("windowspecdefinition\\(c_mktsegment#\\d+".r.findFirstIn(plan).isDefined, plan)
+    val global = "windowspecdefinition\\(\\w+#\\d+L? (ASC|DESC)".r
+    assert(global.findFirstIn(plan).isEmpty, plan)
+  }
 }
