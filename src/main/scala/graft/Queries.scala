@@ -2254,6 +2254,41 @@ object Queries {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** LSH banding recall certificate against PLANTED truth — the dedup
+    * twin of q_ann_recall: the corpus's planted near-copies (d,
+    * d+10000) give known ground-truth pairs; truth = planted pairs
+    * whose EXACT Jaccard ≥ 0.5 (computed by a direct id join, linear
+    * in plants), found = those the production band join surfaced
+    * (semi-join against the memoized pair table). Reported per
+    * 0.1-Jaccard bucket: the measured S-curve of 4-band×2-row
+    * banding, recall at 10⁻⁶ — certified inside the oracle. A missed
+    * pair here is a band miss, not a verify miss (verification is
+    * exact), which is exactly the quantity to watch when retuning
+    * bands/rows.
+    */
+  def dedupRecallQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Dedup.shingleSets(docsWithNearCopies(spark, sfDir, None))
+    val a = sh.filter(col("doc_id") % 5 === 0 && col("doc_id") < 10000)
+      .select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val b = sh.filter(col("doc_id") >= 10000)
+      .select((col("doc_id") - 10000).as("doc_a"), col("doc_id").as("doc_b"),
+        col("shingles").as("sh_b"))
+    val truth = a.join(b, "doc_a")
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), floor(col("jaccard") * 10).as("bucket"))
+    val found = lshPairs(spark, sfDir).select(col("doc_a"), col("doc_b"))
+      .withColumn("hit", lit(1L))
+    truth.join(found, Seq("doc_a", "doc_b"), "left")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+      .withColumn("recall_e6", expr("n_found * 1000000 div n_truth"))
+      .orderBy(col("bucket"))
+  }
+
   /** Quality-aware canonical selection: per near-dup cluster (the CC
     * labels over the verified LSH pairs) keep the HIGHEST-quality
     * member instead of the min id — quality = distinct-token ratio at

@@ -244,6 +244,7 @@ object SparkEntry {
     "q_assortativity" -> (Queries.assortativityQ _),
     "q_canonical_keeper" -> (Queries.canonicalKeeperQ _),
     "q_budget_cut" -> (Queries.budgetCutQ _),
+    "q_dedup_recall" -> (Queries.dedupRecallQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -1313,6 +1314,29 @@ object SparkEntry {
          |       SELECT e.dst AS node, cc.m FROM cc JOIN edges e ON e.src = cc.node)
          |SELECT node AS doc_id, min(m) AS cluster_id
          |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    // Banding-recall replay: planted-truth pairs by direct id join,
+    // semi against the band-join survivors, per-bucket recall.
+    "q_dedup_recall" ->
+      s"""WITH $lshPairsCtes,
+         |ta AS (SELECT doc_id AS doc_a, shingles AS sh_a FROM sh
+         |       WHERE doc_id % 5 = 0 AND doc_id < 10000),
+         |tb AS (SELECT doc_id - 10000 AS doc_a, doc_id AS doc_b, shingles AS sh_b
+         |       FROM sh WHERE doc_id >= 10000),
+         |truth AS (
+         |  SELECT ta.doc_a, doc_b,
+         |    CAST(floor(round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(sh_a, sh_b))), 6) * 10) AS BIGINT) AS bucket,
+         |    round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(sh_a, sh_b))), 6) AS jaccard
+         |  FROM ta JOIN tb ON ta.doc_a = tb.doc_a),
+         |f AS (SELECT doc_a, doc_b, 1 AS hit FROM scored WHERE jaccard >= 0.5)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_truth,
+         |  CAST(sum(coalesce(hit, 0)) AS BIGINT) AS n_found,
+         |  CAST(sum(coalesce(hit, 0)) * 1000000 // count(*) AS BIGINT) AS recall_e6
+         |FROM truth LEFT JOIN f USING (doc_a, doc_b)
+         |WHERE truth.jaccard >= 0.5
+         |GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     // Canonical-keeper replay: CC labels (the q_dedup_clusters
     // recursion) + distinct-token quality, argmax by (quality desc,
