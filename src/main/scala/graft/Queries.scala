@@ -2254,6 +2254,51 @@ object Queries {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Gini-Simpson language diversity per source — "is this crawl
+    * monolingual?" as one exact number: with per-(source, lang) doc
+    * counts nᵢ and N = Σnᵢ, the collision probability Σnᵢ(nᵢ−1) div
+    * N(N−1) is a pure integer ratio, and diversity = 10⁶ − that. One
+    * map-side-combinable count + one |sources×langs|-bounded rollup.
+    */
+  def diversityQ(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_docs"), count(lit(1)).as("n_langs"),
+        sum(col("n") * (col("n") - 1)).as("coll"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        (lit(1000000L) - expr("coll * 1000000 div (n_docs * (n_docs - 1))"))
+          .as("gini_simpson_e6"))
+      .orderBy(col("source"))
+
+  /** Vocabulary coverage curve — what fraction of corpus tokens the
+    * top-k word types cover (k = 100 / 1000 / 10000), the first
+    * number a tokenizer design needs: type counts (map-side
+    * combined), one rank over the TYPE support (vocab-bounded,
+    * singleton-key window, deterministic count-desc/token tie-break),
+    * three conditional sums, integral 10⁻⁶ fractions. Zipf's law made
+    * actionable.
+    */
+  def vocabCoverageQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val types = Tables.documents(spark, sfDir)
+      .select(explode(graft.ops.TextOps.words(lower(col("text")))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val wr = Window.partitionBy(
+        graft.functions.GraftFunctions.singleton_key(col("c")))
+      .orderBy(col("c").desc, col("tok"))
+    types.withColumn("r", row_number().over(wr).cast("long"))
+      .groupBy()
+      .agg(count(lit(1)).as("n_types"), sum(col("c")).as("total_tokens"),
+        sum(when(col("r") <= 100, col("c")).otherwise(0L)).as("cov100"),
+        sum(when(col("r") <= 1000, col("c")).otherwise(0L)).as("cov1k"),
+        sum(when(col("r") <= 10000, col("c")).otherwise(0L)).as("cov10k"))
+      .select(col("n_types"), col("total_tokens"),
+        expr("cov100 * 1000000 div total_tokens").as("coverage_100_e6"),
+        expr("cov1k * 1000000 div total_tokens").as("coverage_1k_e6"),
+        expr("cov10k * 1000000 div total_tokens").as("coverage_10k_e6"))
+  }
+
   /** LSH banding recall certificate against PLANTED truth — the dedup
     * twin of q_ann_recall: the corpus's planted near-copies (d,
     * d+10000) give known ground-truth pairs; truth = planted pairs

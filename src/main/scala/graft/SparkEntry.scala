@@ -245,6 +245,8 @@ object SparkEntry {
     "q_canonical_keeper" -> (Queries.canonicalKeeperQ _),
     "q_budget_cut" -> (Queries.budgetCutQ _),
     "q_dedup_recall" -> (Queries.dedupRecallQ _),
+    "q_diversity" -> (Queries.diversityQ _),
+    "q_vocab_coverage" -> (Queries.vocabCoverageQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -1314,6 +1316,35 @@ object SparkEntry {
          |       SELECT e.dst AS node, cc.m FROM cc JOIN edges e ON e.src = cc.node)
          |SELECT node AS doc_id, min(m) AS cluster_id
          |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    // Diversity replay: per-(source,lang) counts, integer collision
+    // probability, 1e6 complement.
+    "q_diversity" ->
+      s"""WITH c AS (SELECT source, lang, count(*) AS n
+         |           FROM documents GROUP BY source, lang),
+         |s AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+         |        CAST(count(*) AS BIGINT) AS n_langs,
+         |        CAST(sum(n * (n - 1)) AS BIGINT) AS coll
+         |      FROM c GROUP BY source)
+         |SELECT source, n_docs, n_langs,
+         |  CAST(1000000 - coll * 1000000 // (n_docs * (n_docs - 1)) AS BIGINT)
+         |    AS gini_simpson_e6
+         |FROM s ORDER BY source""".stripMargin,
+
+    // Coverage-curve replay: type counts, (count desc, token) rank,
+    // three conditional sums, integral fractions.
+    "q_vocab_coverage" ->
+      s"""WITH t AS (
+         |  SELECT tok, count(*) AS c FROM (
+         |    SELECT unnest(${wordsSql("lower(text)")}) AS tok FROM documents)
+         |  GROUP BY tok),
+         |r AS (SELECT c, CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT) AS r FROM t)
+         |SELECT CAST(count(*) AS BIGINT) AS n_types,
+         |  CAST(sum(c) AS BIGINT) AS total_tokens,
+         |  CAST(sum(CASE WHEN r <= 100 THEN c ELSE 0 END) * 1000000 // sum(c) AS BIGINT) AS coverage_100_e6,
+         |  CAST(sum(CASE WHEN r <= 1000 THEN c ELSE 0 END) * 1000000 // sum(c) AS BIGINT) AS coverage_1k_e6,
+         |  CAST(sum(CASE WHEN r <= 10000 THEN c ELSE 0 END) * 1000000 // sum(c) AS BIGINT) AS coverage_10k_e6
+         |FROM r""".stripMargin,
 
     // Banding-recall replay: planted-truth pairs by direct id join,
     // semi against the band-join survivors, per-bucket recall.
