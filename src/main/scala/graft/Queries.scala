@@ -2266,6 +2266,10 @@ object Queries {
       .groupBy(col("source"))
       .agg(sum(col("n")).as("n_docs"), count(lit(1)).as("n_langs"),
         sum(col("n") * (col("n") - 1)).as("coll"))
+      // single-doc sources have an undefined collision probability —
+      // excluded on BOTH sides (Spark ANSI would error, DuckDB would
+      // NULL: the one divergence class this guard removes)
+      .filter(col("n_docs") > 1)
       .select(col("source"), col("n_docs"), col("n_langs"),
         (lit(1000000L) - expr("coll * 1000000 div (n_docs * (n_docs - 1))"))
           .as("gini_simpson_e6"))

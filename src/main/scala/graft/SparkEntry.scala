@@ -1329,7 +1329,7 @@ object SparkEntry {
          |SELECT source, n_docs, n_langs,
          |  CAST(1000000 - coll * 1000000 // (n_docs * (n_docs - 1)) AS BIGINT)
          |    AS gini_simpson_e6
-         |FROM s ORDER BY source""".stripMargin,
+         |FROM s WHERE n_docs > 1 ORDER BY source""".stripMargin,
 
     // Coverage-curve replay: type counts, (count desc, token) rank,
     // three conditional sums, integral fractions.
