@@ -2254,6 +2254,52 @@ object Queries {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Activity concentration without ranking users: "the heaviest
+    * users with ≥ k events are what share of all activity?" computed
+    * on the COUNT-OF-COUNTS support — events-per-user k → number of
+    * users at k (support-bounded rows), descending cumulative users
+    * and events, shares at 10⁻⁶. The per-user rank a naive top-N%
+    * needs would be a data-sized global sort; the support pivot makes
+    * the whole curve one combinable aggregate + one tiny window
+    * (the q_ks_drift device applied to concentration).
+    */
+  def userConcentrationQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("k"))
+    val pv = perUser.groupBy(col("k")).agg(count(lit(1)).as("n_users"))
+    val w = Window.partitionBy(
+        graft.functions.GraftFunctions.singleton_key(col("k")))
+      .orderBy(col("k").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    pv.withColumn("cum_users", sum(col("n_users")).over(w))
+      .withColumn("cum_events", sum(col("n_users") * col("k")).over(w))
+      .crossJoin(broadcast(pv.groupBy().agg(
+        sum(col("n_users")).as("tu"), sum(col("n_users") * col("k")).as("te"))))
+      .select(col("k"), col("n_users"), col("cum_users"), col("cum_events"),
+        expr("cum_users * 1000000 div tu").as("user_share_e6"),
+        expr("cum_events * 1000000 div te").as("event_share_e6"))
+      .orderBy(col("k").desc)
+  }
+
+  /** Week-over-week growth per event type: weekly counts, the lag
+    * window on the (type, week) aggregate (group-sized, one
+    * exchange), growth at 10⁻⁶ as an integral division — null on the
+    * first week of each type rather than a fake 0.
+    */
+  def wowGrowthQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weekly = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 604800000000").as("wk"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("wk"))
+    weekly.withColumn("prev_n", lag(col("n"), 1).over(w))
+      .select(col("event_type"), col("wk"), col("n"), col("prev_n"),
+        expr("(n - prev_n) * 1000000 div prev_n").as("growth_e6"))
+      .orderBy(col("event_type"), col("wk"))
+  }
+
   /** Gini-Simpson language diversity per source — "is this crawl
     * monolingual?" as one exact number: with per-(source, lang) doc
     * counts nᵢ and N = Σnᵢ, the collision probability Σnᵢ(nᵢ−1) div

@@ -247,6 +247,8 @@ object SparkEntry {
     "q_dedup_recall" -> (Queries.dedupRecallQ _),
     "q_diversity" -> (Queries.diversityQ _),
     "q_vocab_coverage" -> (Queries.vocabCoverageQ _),
+    "q_user_concentration" -> (Queries.userConcentrationQ _),
+    "q_wow_growth" -> (Queries.wowGrowthQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -1316,6 +1318,40 @@ object SparkEntry {
          |       SELECT e.dst AS node, cc.m FROM cc JOIN edges e ON e.src = cc.node)
          |SELECT node AS doc_id, min(m) AS cluster_id
          |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    // Concentration replay: count-of-counts support, descending
+    // cumulative users/events, integral shares.
+    "q_user_concentration" ->
+      s"""WITH pu AS (SELECT user_id, count(*) AS k FROM events GROUP BY user_id),
+         |pv AS (SELECT k, CAST(count(*) AS BIGINT) AS n_users FROM pu GROUP BY k),
+         |c AS (
+         |  SELECT k, n_users,
+         |    sum(n_users) OVER (ORDER BY k DESC) AS cum_users,
+         |    sum(n_users * k) OVER (ORDER BY k DESC) AS cum_events
+         |  FROM pv),
+         |t AS (SELECT CAST(sum(n_users) AS BIGINT) AS tu,
+         |        CAST(sum(n_users * k) AS BIGINT) AS te FROM pv)
+         |SELECT CAST(k AS BIGINT) AS k, n_users,
+         |  CAST(cum_users AS BIGINT) AS cum_users,
+         |  CAST(cum_events AS BIGINT) AS cum_events,
+         |  CAST(cum_users * 1000000 // tu AS BIGINT) AS user_share_e6,
+         |  CAST(cum_events * 1000000 // te AS BIGINT) AS event_share_e6
+         |FROM c CROSS JOIN t ORDER BY k DESC""".stripMargin,
+
+    // WoW replay: weekly counts, lag over the (type, week) aggregate,
+    // null first weeks.
+    "q_wow_growth" ->
+      s"""WITH wkly AS (
+         |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS wk,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2),
+         |l AS (
+         |  SELECT event_type, wk, n,
+         |    lag(n) OVER (PARTITION BY event_type ORDER BY wk) AS prev_n
+         |  FROM wkly)
+         |SELECT event_type, wk, n, prev_n,
+         |  CAST((n - prev_n) * 1000000 // prev_n AS BIGINT) AS growth_e6
+         |FROM l ORDER BY event_type, wk""".stripMargin,
 
     // Diversity replay: per-(source,lang) counts, integer collision
     // probability, 1e6 complement.
