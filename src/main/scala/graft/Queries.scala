@@ -2254,6 +2254,53 @@ object Queries {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Dup-family size histogram — corpus forensics for the dedup
+    * report: cluster sizes from the CC labels over the verified LSH
+    * pairs, pivoted to the count-of-counts support (size → number of
+    * families, cumulative docs in families ≥ size). Answers "is
+    * duplication a few huge families or many pairs?" — which decides
+    * whether cluster-verify cost is quadratic-in-family or benign.
+    */
+  def clusterSizesQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sizes = Dedup.connectedComponents(lshPairs(spark, sfDir))
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+    val pv = sizes.groupBy(col("sz")).agg(count(lit(1)).as("n_families"))
+    val w = Window.partitionBy(
+        graft.functions.GraftFunctions.singleton_key(col("sz")))
+      .orderBy(col("sz").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    pv.withColumn("docs_in_ge", sum(col("sz") * col("n_families")).over(w))
+      .orderBy(col("sz"))
+  }
+
+  /** Sessionized conversion rate per day: 30-minute-gap sessions (the
+    * [[graft.ops.TimeSeries.sessionize]] island rule inline, plus a
+    * purchase flag carried through the same user-partitioned window),
+    * rolled up to (epoch-day of session start) with the converted
+    * share at 10⁻⁶ — the product funnel number a batch warehouse
+    * serves daily, one user exchange + one day-sized rollup.
+    */
+  def sessionConversionQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    val sessions = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts) div 1000000").as("sec"))
+      .withColumn("prev", lag(col("sec"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("sec") - col("prev") > 1800, 1L).otherwise(0L))
+      .withColumn("sid",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("sec")).as("start_sec"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"))
+    sessions.groupBy(expr("start_sec div 86400").as("day"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("converted")).as("n_converted"))
+      .withColumn("conv_e6", expr("n_converted * 1000000 div n_sessions"))
+      .orderBy(col("day"))
+  }
+
   /** Activity concentration without ranking users: "the heaviest
     * users with ≥ k events are what share of all activity?" computed
     * on the COUNT-OF-COUNTS support — events-per-user k → number of

@@ -249,6 +249,8 @@ object SparkEntry {
     "q_vocab_coverage" -> (Queries.vocabCoverageQ _),
     "q_user_concentration" -> (Queries.userConcentrationQ _),
     "q_wow_growth" -> (Queries.wowGrowthQ _),
+    "q_cluster_sizes" -> (Queries.clusterSizesQ _),
+    "q_session_conversion" -> (Queries.sessionConversionQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -1318,6 +1320,48 @@ object SparkEntry {
          |       SELECT e.dst AS node, cc.m FROM cc JOIN edges e ON e.src = cc.node)
          |SELECT node AS doc_id, min(m) AS cluster_id
          |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    // Cluster-size-histogram replay: CC recursion, per-cluster sizes,
+    // count-of-counts with the descending docs-in-families tail.
+    "q_cluster_sizes" ->
+      s"""WITH RECURSIVE $lshPairsCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |cc AS (SELECT node, node AS m FROM nodes
+         |       UNION
+         |       SELECT e.dst AS node, cc.m FROM cc JOIN edges e ON e.src = cc.node),
+         |lab AS (SELECT node AS doc_id, min(m) AS cluster_id FROM cc GROUP BY node),
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz FROM lab GROUP BY cluster_id),
+         |pv AS (SELECT sz, CAST(count(*) AS BIGINT) AS n_families FROM sz GROUP BY sz)
+         |SELECT sz, n_families,
+         |  CAST(sum(sz * n_families) OVER (ORDER BY sz DESC) AS BIGINT) AS docs_in_ge
+         |FROM pv ORDER BY sz""".stripMargin,
+
+    // Session-conversion replay: identical island rule (second floor,
+    // 1800 s gap, (sec, event_id) order), purchase flag, day rollup.
+    "q_session_conversion" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec
+         |  FROM events),
+         |m AS (
+         |  SELECT *, lag(sec) OVER w AS prev,
+         |    CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
+         |         THEN 1 ELSE 0 END AS new_s
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+         |s AS (
+         |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS sid
+         |  FROM m),
+         |sess AS (
+         |  SELECT user_id, sid, min(sec) AS start_sec,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+         |  FROM s GROUP BY user_id, sid)
+         |SELECT start_sec // 86400 AS day, CAST(count(*) AS BIGINT) AS n_sessions,
+         |  CAST(sum(converted) AS BIGINT) AS n_converted,
+         |  CAST(sum(converted) * 1000000 // count(*) AS BIGINT) AS conv_e6
+         |FROM sess GROUP BY 1 ORDER BY day""".stripMargin,
 
     // Concentration replay: count-of-counts support, descending
     // cumulative users/events, integral shares.
