@@ -3499,6 +3499,42 @@ object Queries {
       .orderBy(col("user_id"), col("valid_from_us"))
   }
 
+  /** Point-in-time lookup against the SCD2 history — the other half
+    * of q_scd2: given the change-row history, resolve "what was this
+    * user's state at time t" for a probe set WITHOUT a range join.
+    * Probes and change rows union into one per-user stream ordered by
+    * (time, kind) and the state is carried forward by one
+    * last(ignoreNulls) window — the as-of union trick applied to
+    * temporal-table lookup, one user exchange however many probes.
+    * Probes before the first change resolve to null (no state yet).
+    */
+  def pitLookupQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+    val wch = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val changes = e
+      .withColumn("prev_type", lag(col("event_type"), 1).over(wch))
+      .filter(col("prev_type").isNull || col("event_type") =!= col("prev_type"))
+      .select(col("user_id"), col("us").as("t"), lit(0L).as("kind"),
+        col("event_type").as("state"), lit(null).cast("long").as("probe_id"))
+    val probes = e.filter(col("event_id") % 7 === 0)
+      .select(col("user_id"), (col("us") + 1).as("t"), lit(1L).as("kind"),
+        lit(null).cast("string").as("state"), col("event_id").as("probe_id"))
+    // third key: two CHANGES at one µs must order deterministically
+    // between themselves (probes carry no state, so their ties are
+    // inert — null ordering divergence across engines cannot surface)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("kind"), col("state"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    changes.unionAll(probes)
+      .withColumn("at_state", last(col("state"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("user_id"), col("probe_id"), col("t").as("t_us"), col("at_state"))
+      .orderBy(col("user_id"), col("t_us"), col("probe_id"))
+  }
+
   /** Path mining: top-20 three-step event-type paths (clickstream
     * n-grams — the sequence-mining generalization of q_transitions).
     * Two lags over one user_id exchange; the path-count table is at

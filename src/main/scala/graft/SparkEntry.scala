@@ -251,6 +251,7 @@ object SparkEntry {
     "q_wow_growth" -> (Queries.wowGrowthQ _),
     "q_cluster_sizes" -> (Queries.clusterSizesQ _),
     "q_session_conversion" -> (Queries.sessionConversionQ _),
+    "q_pit_lookup" -> (Queries.pitLookupQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -1320,6 +1321,33 @@ object SparkEntry {
          |       SELECT e.dst AS node, cc.m FROM cc JOIN edges e ON e.src = cc.node)
          |SELECT node AS doc_id, min(m) AS cluster_id
          |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    // PIT-lookup replay: change rows ∪ probes, one carried
+    // last_value IGNORE NULLS per user in (t, kind, state) order.
+    "q_pit_lookup" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+         |  FROM events),
+         |ch AS (
+         |  SELECT user_id, us AS t, 0 AS kind, event_type AS state,
+         |    CAST(NULL AS BIGINT) AS probe_id
+         |  FROM (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_type FROM e)
+         |  WHERE prev_type IS NULL OR event_type <> prev_type),
+         |pr AS (
+         |  SELECT user_id, us + 1 AS t, 1 AS kind, CAST(NULL AS VARCHAR) AS state,
+         |    event_id AS probe_id
+         |  FROM e WHERE event_id % 7 = 0),
+         |u AS (SELECT * FROM ch UNION ALL SELECT * FROM pr),
+         |c AS (
+         |  SELECT user_id, probe_id, t, kind,
+         |    last_value(state IGNORE NULLS) OVER (
+         |      PARTITION BY user_id ORDER BY t, kind, state
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS at_state
+         |  FROM u)
+         |SELECT user_id, probe_id, t AS t_us, at_state
+         |FROM c WHERE kind = 1
+         |ORDER BY user_id, t_us, probe_id""".stripMargin,
 
     // Cluster-size-histogram replay: CC recursion, per-cluster sizes,
     // count-of-counts with the descending docs-in-families tail.
