@@ -67,7 +67,14 @@ object SoakScale {
     // budget cut's per-lang quality windows, sketch certificate over
     // the replicated candidates, trimmed mean on the cents support
     "q_assortativity", "q_canonical_keeper", "q_budget_cut",
-    "q_minhash_acc", "q_trimmed_mean", "q_degree_dist")
+    "q_minhash_acc", "q_trimmed_mean", "q_degree_dist",
+    // closing wave (documents-based — events are straight copies in
+    // the soak input, so event-window queries can't scale here):
+    // corpus-wide type explode, the dup-family histogram (quadratic
+    // families by construction), md5 dup rate, hash negatives,
+    // per-lang fertility/confusion/diversity rollups
+    "q_vocab_coverage", "q_cluster_sizes", "q_dup_rate",
+    "q_neg_sample", "q_fertility", "q_langid_acc", "q_diversity")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

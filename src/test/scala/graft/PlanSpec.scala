@@ -742,6 +742,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("pit lookup: one user-partitioned carry window, no range join") {
+    val plan = formatted(Queries.pitLookupQ(spark, sf))
+    assert("windowspecdefinition\\(user_id#\\d+".r.findFirstIn(plan).isDefined, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("session conversion: island windows ride the user partition") {
+    val plan = formatted(Queries.sessionConversionQ(spark, sf))
+    assert("windowspecdefinition\\(user_id#\\d+".r.findFirstIn(plan).isDefined, plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
+  test("user concentration: the support window keeps its singleton key") {
+    val plan = formatted(Queries.userConcentrationQ(spark, sf))
+    assert(plan.contains("pmod(hash("), plan)
+    val unpartitioned = "windowspecdefinition\\(\\w+#\\d+L? (ASC|DESC)".r
+    assert(unpartitioned.findFirstIn(plan).isEmpty, plan)
+  }
+
   test("rfm: all three tercile windows partition by market segment") {
     val plan = formatted(Queries.rfmQ(spark, sf))
     assert("windowspecdefinition\\(c_mktsegment#\\d+".r.findFirstIn(plan).isDefined, plan)
