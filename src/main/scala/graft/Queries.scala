@@ -2212,6 +2212,73 @@ object Queries {
       .orderBy(col("grp"))
   }
 
+  /** Winsorized mean — the replace-don't-drop sibling of
+    * q_trimmed_mean: values below the lower decile boundary are
+    * clamped UP to it, above the upper decile clamped DOWN, then
+    * averaged. Boundaries come from the same cumulative-count support
+    * walk (smallest value with 10·cum ≥ n / ≥ 9·n — exact integer
+    * predicates), the clamp is a broadcast of two scalars per group,
+    * and the mean is one integral division at cents·100. Robust
+    * location estimation with zero information thrown away about the
+    * tail COUNT (unlike trimming) — the estimator of choice when the
+    * tails are wrong but not absent.
+    */
+  def winsorizeQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag").as("grp"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("v"))
+    val pv = vals.groupBy(col("grp"), col("v")).agg(count(lit(1)).as("nv"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val bounds = pv.withColumn("cum", sum(col("nv")).over(w))
+      .join(pv.groupBy(col("grp")).agg(sum(col("nv")).as("n")), "grp")
+      .groupBy(col("grp"), col("n"))
+      .agg(min(when(col("cum") * 10 >= col("n"), col("v"))).as("lo"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("v"))).as("hi"))
+    vals.join(broadcast(bounds), "grp")
+      .withColumn("wv", greatest(col("lo"), least(col("hi"), col("v"))))
+      .groupBy(col("grp"), col("n"), col("lo"), col("hi"))
+      .agg(sum(col("wv")).as("ws"))
+      .select(col("grp"), col("n").as("total_n"),
+        col("lo").as("lo_cents"), col("hi").as("hi_cents"),
+        expr("ws * 100 div n").as("winsor_mean_e4"))
+      .orderBy(col("grp"))
+  }
+
+  /** Completeness / freshness audit: which hourly buckets are MISSING
+    * per event type against the full calendar grid (min..max hour of
+    * the dataset) — the monitor that catches a dead upstream before a
+    * dashboard does. The grid is sequence()-generated (one row per
+    * type × hour, calendar-sized), present buckets anti-join it, and
+    * the summary reports gap count plus the longest run of missing
+    * hours per type via the island window on the gap set (gap-sized,
+    * tiny). All integer hours, no timestamps compared.
+    */
+  def gapAuditQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hours = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))
+      .distinct()
+    val span = hours.groupBy().agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+    val grid = hours.select(col("event_type")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"), explode(expr("sequence(lo, hi)")).as("h"))
+    val gaps = grid.join(hours, Seq("event_type", "h"), "left_anti")
+    val wg = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val runs = gaps
+      .withColumn("grp", col("h") - row_number().over(wg))
+      .groupBy(col("event_type"), col("grp")).agg(count(lit(1)).as("run"))
+    gaps.groupBy(col("event_type")).agg(count(lit(1)).as("n_missing"))
+      .join(runs.groupBy(col("event_type")).agg(max(col("run")).as("longest_gap")),
+        Seq("event_type"), "left")
+      .crossJoin(broadcast(span.select((col("hi") - col("lo") + 1).as("n_hours"))))
+      .select(col("event_type"), col("n_hours"), col("n_missing"),
+        coalesce(col("longest_gap"), lit(0L)).as("longest_gap"),
+        expr("n_missing * 1000000 div n_hours").as("missing_e6"))
+      .orderBy(col("event_type"))
+  }
+
   /** Staged conversion funnel with strict event-time ordering: first
     * view, first click AFTER that view, first purchase AFTER that
     * click, per user. Three keyed aggregations on the same key

@@ -252,6 +252,8 @@ object SparkEntry {
     "q_cluster_sizes" -> (Queries.clusterSizesQ _),
     "q_session_conversion" -> (Queries.sessionConversionQ _),
     "q_pit_lookup" -> (Queries.pitLookupQ _),
+    "q_winsorize" -> (Queries.winsorizeQ _),
+    "q_gap_audit" -> (Queries.gapAuditQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -2930,6 +2932,55 @@ object SparkEntry {
          |${iter("pr2", "pr3")}
          |SELECT node, pr FROM pr3 ORDER BY node""".stripMargin
     },
+
+    // Winsorize replay: decile boundaries from the same support walk,
+    // clamp, one integral division.
+    "q_winsorize" ->
+      s"""WITH vals AS (
+         |  SELECT l_returnflag AS grp,
+         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+         |  FROM lineitem),
+         |pv AS (SELECT grp, v, count(*) AS nv FROM vals GROUP BY grp, v),
+         |cum AS (
+         |  SELECT grp, v, nv, sum(nv) OVER (PARTITION BY grp ORDER BY v) AS cum
+         |  FROM pv),
+         |tot AS (SELECT grp, CAST(sum(nv) AS BIGINT) AS n FROM pv GROUP BY grp),
+         |b AS (
+         |  SELECT cum.grp, n,
+         |    min(CASE WHEN cum * 10 >= n THEN v END) AS lo,
+         |    min(CASE WHEN cum * 10 >= n * 9 THEN v END) AS hi
+         |  FROM cum JOIN tot ON cum.grp = tot.grp GROUP BY cum.grp, n)
+         |SELECT vals.grp, n AS total_n, lo AS lo_cents, hi AS hi_cents,
+         |  CAST(sum(greatest(lo, least(hi, v))) * 100 // n AS BIGINT) AS winsor_mean_e4
+         |FROM vals JOIN b ON vals.grp = b.grp
+         |GROUP BY vals.grp, n, lo, hi ORDER BY vals.grp""".stripMargin,
+
+    // Gap-audit replay: generate_series grid, anti join, island runs.
+    "q_gap_audit" ->
+      s"""WITH hrs AS (
+         |  SELECT DISTINCT event_type,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h
+         |  FROM events),
+         |span AS (SELECT min(h) AS lo, max(h) AS hi FROM hrs),
+         |grid AS (
+         |  SELECT event_type, unnest(generate_series(lo, hi)) AS h
+         |  FROM (SELECT DISTINCT event_type FROM hrs) CROSS JOIN span),
+         |gaps AS (
+         |  SELECT g.event_type, g.h FROM grid g
+         |  LEFT JOIN hrs ON g.event_type = hrs.event_type AND g.h = hrs.h
+         |  WHERE hrs.h IS NULL),
+         |runs0 AS (
+         |  SELECT event_type,
+         |    h - row_number() OVER (PARTITION BY event_type ORDER BY h) AS grp
+         |  FROM gaps),
+         |runs AS (SELECT event_type, grp, count(*) AS run FROM runs0 GROUP BY 1, 2),
+         |miss AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_missing FROM gaps GROUP BY event_type),
+         |lr AS (SELECT event_type, CAST(max(run) AS BIGINT) AS longest_gap FROM runs GROUP BY event_type)
+         |SELECT m.event_type, CAST(hi - lo + 1 AS BIGINT) AS n_hours, n_missing,
+         |  coalesce(longest_gap, 0) AS longest_gap,
+         |  CAST(n_missing * 1000000 // (hi - lo + 1) AS BIGINT) AS missing_e6
+         |FROM miss m LEFT JOIN lr ON m.event_type = lr.event_type CROSS JOIN span
+         |ORDER BY m.event_type""".stripMargin,
 
     // Trimmed-mean replay: decile trim on the cents support with the
     // atomic tied-run keep rule, one integral division.
