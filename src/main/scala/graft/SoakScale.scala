@@ -74,7 +74,8 @@ object SoakScale {
     // families by construction), md5 dup rate, hash negatives,
     // per-lang fertility/confusion/diversity rollups
     "q_vocab_coverage", "q_cluster_sizes", "q_dup_rate",
-    "q_neg_sample", "q_fertility", "q_langid_acc", "q_diversity")
+    "q_neg_sample", "q_fertility", "q_langid_acc", "q_diversity",
+    "q_winsorize")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)
