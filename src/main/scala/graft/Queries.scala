@@ -2321,6 +2321,56 @@ object Queries {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Inter-purchase latency histogram: per-user purchase gaps (one
+    * lag over the user exchange), bucketed to hours on the SUPPORT
+    * (gap-hour → count — the KS/count-of-counts device again), with
+    * the cumulative "≤ h hours" share at 10⁻⁶. The repurchase-latency
+    * curve product analytics reads daily, exact end-to-end.
+    */
+  def interarrivalQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val gaps = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(expr("(us - prev) div 3600000000").as("gap_h"))
+    val pv = gaps.groupBy(col("gap_h")).agg(count(lit(1)).as("n"))
+    val wc = Window.partitionBy(
+        graft.functions.GraftFunctions.singleton_key(col("gap_h")))
+      .orderBy(col("gap_h"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    pv.withColumn("cum", sum(col("n")).over(wc))
+      .crossJoin(broadcast(pv.groupBy().agg(sum(col("n")).as("tot"))))
+      .select(col("gap_h"), col("n"), col("cum"),
+        expr("cum * 1000000 div tot").as("cdf_e6"))
+      .orderBy(col("gap_h"))
+  }
+
+  /** Cross-source duplication provenance — which sources copy from
+    * each other: the verified near-dup pairs joined to their source
+    * labels on both ends (planted ids map back to their original's
+    * source), aggregated per unordered source pair with a
+    * within-source flag. The |sources|²-bounded forensics table that
+    * decides whether dedup should run per-source or global.
+    */
+  def dupSourcesQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    def srcOf(side: String) = src.select(
+      col("doc_id").as(side), col("source").as(s"src_$side"))
+    lshPairs(spark, sfDir)
+      .withColumn("doc_a", expr("CASE WHEN doc_a >= 10000 THEN doc_a - 10000 ELSE doc_a END"))
+      .withColumn("doc_b", expr("CASE WHEN doc_b >= 10000 THEN doc_b - 10000 ELSE doc_b END"))
+      .join(srcOf("doc_a"), "doc_a").join(srcOf("doc_b"), "doc_b")
+      .select(least(col("src_doc_a"), col("src_doc_b")).as("source_lo"),
+        greatest(col("src_doc_a"), col("src_doc_b")).as("source_hi"))
+      .groupBy(col("source_lo"), col("source_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("within_source", col("source_lo") === col("source_hi"))
+      .orderBy(col("source_lo"), col("source_hi"))
+  }
+
   /** Dup-family size histogram — corpus forensics for the dedup
     * report: cluster sizes from the CC labels over the verified LSH
     * pairs, pivoted to the count-of-counts support (size → number of

@@ -254,6 +254,8 @@ object SparkEntry {
     "q_pit_lookup" -> (Queries.pitLookupQ _),
     "q_winsorize" -> (Queries.winsorizeQ _),
     "q_gap_audit" -> (Queries.gapAuditQ _),
+    "q_interarrival" -> (Queries.interarrivalQ _),
+    "q_dup_sources" -> (Queries.dupSourcesQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -1323,6 +1325,42 @@ object SparkEntry {
          |       SELECT e.dst AS node, cc.m FROM cc JOIN edges e ON e.src = cc.node)
          |SELECT node AS doc_id, min(m) AS cluster_id
          |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    // Inter-arrival replay: per-user purchase lag, hour-bucket
+    // support, cumulative CDF share.
+    "q_interarrival" ->
+      s"""WITH p AS (
+         |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+         |  FROM events WHERE event_type = 'purchase'),
+         |g AS (
+         |  SELECT (us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id))
+         |    // 3600000000 AS gap_h
+         |  FROM p
+         |  QUALIFY lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NOT NULL),
+         |pv AS (SELECT gap_h, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY gap_h),
+         |c AS (SELECT gap_h, n, sum(n) OVER (ORDER BY gap_h) AS cum FROM pv),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM pv)
+         |SELECT CAST(gap_h AS BIGINT) AS gap_h, n, CAST(cum AS BIGINT) AS cum,
+         |  CAST(cum * 1000000 // tot AS BIGINT) AS cdf_e6
+         |FROM c CROSS JOIN t ORDER BY gap_h""".stripMargin,
+
+    // Dup-provenance replay: the shared LSH pair chain, planted ids
+    // folded back to their original's source, unordered pair rollup.
+    "q_dup_sources" ->
+      s"""WITH $lshPairsCtes,
+         |pp AS (
+         |  SELECT CASE WHEN doc_a >= 10000 THEN doc_a - 10000 ELSE doc_a END AS doc_a,
+         |         CASE WHEN doc_b >= 10000 THEN doc_b - 10000 ELSE doc_b END AS doc_b
+         |  FROM scored WHERE jaccard >= 0.5),
+         |j AS (
+         |  SELECT least(sa.source, sb.source) AS source_lo,
+         |         greatest(sa.source, sb.source) AS source_hi
+         |  FROM pp JOIN documents sa ON pp.doc_a = sa.doc_id
+         |          JOIN documents sb ON pp.doc_b = sb.doc_id)
+         |SELECT source_lo, source_hi, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  source_lo = source_hi AS within_source
+         |FROM j GROUP BY source_lo, source_hi
+         |ORDER BY source_lo, source_hi""".stripMargin,
 
     // PIT-lookup replay: change rows ∪ probes, one carried
     // last_value IGNORE NULLS per user in (t, kind, state) order.
