@@ -4496,6 +4496,50 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** Day-level volume anomaly detection — the q_mad robust gate
+    * applied to the DAILY COUNT series per event type: median and MAD
+    * of the per-day totals via the exact 2·median integer trick, a
+    * day flagged when |count − median| > 3·MAD (cross-multiplied, no
+    * float). Reports per type the day count, anomaly count and the
+    * single worst day (argmax deviation, min-struct tie-break) — the
+    * pipeline-health alarm over ~30-row-per-type state.
+    */
+  def anomalyDaysQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val med = daily.groupBy(col("event_type"))
+      .agg(expr("cast(2 * percentile(c, 0.5) as bigint)").as("m2"))
+    val dev = daily.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(lit(2) * col("c") - col("m2")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("cast(2 * percentile(dev, 0.5) as bigint)").as("mad4"))
+    dev.join(broadcast(mad), "event_type")
+      .withColumn("anom", lit(2) * col("dev") > lit(3) * col("mad4"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("anom"), 1L).otherwise(0L)).as("n_anomalies"),
+        min(struct((-col("dev")).as("nd"), col("day"), col("c"))).as("worst"))
+      .select(col("event_type"), col("n_days"), col("n_anomalies"),
+        col("worst.day").as("worst_day"), col("worst.c").as("worst_count"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Dedup threshold sensitivity in one pass: pair counts at Jaccard
+    * ≥ 0.5/0.6/0.7/0.8/0.9 and exact (≥ 0.999999) as conditional sums
+    * over the ONE memoized verified-pair table — the sweep that picks
+    * a production threshold without recomputing candidates per value.
+    */
+  def thresholdSweepQ(spark: SparkSession, sfDir: String): DataFrame =
+    lshPairs(spark, sfDir)
+      .groupBy()
+      .agg(count(lit(1)).as("n_05"),
+        sum(when(col("jaccard") >= 0.6, 1L).otherwise(0L)).as("n_06"),
+        sum(when(col("jaccard") >= 0.7, 1L).otherwise(0L)).as("n_07"),
+        sum(when(col("jaccard") >= 0.8, 1L).otherwise(0L)).as("n_08"),
+        sum(when(col("jaccard") >= 0.9, 1L).otherwise(0L)).as("n_09"),
+        sum(when(col("jaccard") >= 0.999999, 1L).otherwise(0L)).as("n_exact"))
+
   /** Zipf rank-frequency fit over the vocabulary: OLS slope/intercept
     * of ln(count) against ln(rank) for the top-200 terms. The sums run
     * over 200 doubles (accumulation noise ~1e-14 against a 6dp round)

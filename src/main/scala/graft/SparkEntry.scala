@@ -256,6 +256,8 @@ object SparkEntry {
     "q_gap_audit" -> (Queries.gapAuditQ _),
     "q_interarrival" -> (Queries.interarrivalQ _),
     "q_dup_sources" -> (Queries.dupSourcesQ _),
+    "q_anomaly_days" -> (Queries.anomalyDaysQ _),
+    "q_threshold_sweep" -> (Queries.thresholdSweepQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -1343,6 +1345,18 @@ object SparkEntry {
          |SELECT CAST(gap_h AS BIGINT) AS gap_h, n, CAST(cum AS BIGINT) AS cum,
          |  CAST(cum * 1000000 // tot AS BIGINT) AS cdf_e6
          |FROM c CROSS JOIN t ORDER BY gap_h""".stripMargin,
+
+    // Threshold-sweep replay: conditional sums over the one scored
+    // pair table.
+    "q_threshold_sweep" ->
+      s"""WITH $lshPairsCtes
+         |SELECT CAST(count(*) AS BIGINT) AS n_05,
+         |  CAST(sum(CASE WHEN jaccard >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_06,
+         |  CAST(sum(CASE WHEN jaccard >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_07,
+         |  CAST(sum(CASE WHEN jaccard >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_08,
+         |  CAST(sum(CASE WHEN jaccard >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_09,
+         |  CAST(sum(CASE WHEN jaccard >= 0.999999 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+         |FROM scored WHERE jaccard >= 0.5""".stripMargin,
 
     // Dup-provenance replay: the shared LSH pair chain, planted ids
     // folded back to their original's source, unordered pair rollup.
@@ -4009,6 +4023,28 @@ object SparkEntry {
         |FROM d JOIN mad USING (event_type)
         |GROUP BY d.event_type
         |ORDER BY d.event_type""".stripMargin,
+
+    // Anomaly-days replay: daily counts, the 2-median/4-MAD integer
+    // trick, worst-day argmax by (deviation desc, day asc).
+    "q_anomaly_days" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |med AS (SELECT event_type, CAST(2 * quantile_cont(c, 0.5) AS BIGINT) AS m2
+        |        FROM daily GROUP BY event_type),
+        |d AS (SELECT daily.*, abs(2 * c - m2) AS dev
+        |      FROM daily JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, CAST(2 * quantile_cont(dev, 0.5) AS BIGINT) AS mad4
+        |        FROM d GROUP BY event_type),
+        |f AS (SELECT d.*, 2 * dev > 3 * mad4 AS anom,
+        |        row_number() OVER (PARTITION BY d.event_type ORDER BY dev DESC, day) AS rn
+        |      FROM d JOIN mad USING (event_type))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(CASE WHEN anom THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+        |  CAST(max(CASE WHEN rn = 1 THEN day END) AS BIGINT) AS worst_day,
+        |  CAST(max(CASE WHEN rn = 1 THEN c END) AS BIGINT) AS worst_count
+        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_zipf" ->
       """WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents),
