@@ -5185,4 +5185,677 @@ object Queries {
         sum(when(lit(2) * col("q_micro") >= col("m2"), 1L).otherwise(0L)).as("n_kept"))
       .orderBy(col("source"))
   }
+
+  // ------------------------------------------------ exact rank statistics
+
+  /** Mann-Whitney U (Wilcoxon rank-sum), each event type vs the rest,
+    * without a single float: ranks are midranks at 2× scale (ties →
+    * 2·below + eq + 1, always an integer), accumulated over the VALUE
+    * SUPPORT (distinct `value` rows — 2/3 of the data here thanks to
+    * real ties), never per-observation. Since every "type vs rest"
+    * union IS the full sample, one shared support walk serves all five
+    * tests. 2·U = Σmidrank2 − n(n+1); the rank-biserial effect size
+    * AUC = U/(n₁n₂) lands at 10⁻⁶ by integral division. The support
+    * walk rides one ordered window (singleton_key keeps the spec
+    * non-empty); at 100 TB the support is what you'd quantize first —
+    * the walk itself is support-sized, not data-sized.
+    */
+  def mannWhitneyQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val pv = Tables.events(spark, sfDir)
+      .groupBy(col("value").as("v"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val sup = pv.groupBy(col("v")).agg(sum(col("c")).as("ct"))
+    val w = Window.partitionBy(
+        graft.functions.GraftFunctions.singleton_key(col("v")))
+      .orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val walked = sup.withColumn("lt", coalesce(sum(col("ct")).over(w), lit(0L)))
+    val per = pv.join(walked, "v")
+      .groupBy(col("event_type"))
+      .agg(sum(col("c")).as("n"),
+        sum((col("c") * (lit(2) * col("lt") + col("ct") + 1)).cast(d38)).as("r2"))
+    val tot = per.groupBy().agg(sum(col("n")).as("total"))
+    per.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n"),
+        (col("r2") - col("n").cast(d38) * (col("n") + 1)).cast("long").as("u2"),
+        expr("""cast((r2 - cast(n as decimal(38,0)) * (n + 1)) * 1000000
+                div (cast(2 as decimal(38,0)) * n * (total - n)) as bigint)""")
+          .as("auc_e6"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Spearman vs Pearson correlation of user activity (event count)
+    * against user spend (exact summed cents) — the classic "is the
+    * relationship monotone or linear?" diagnostic, bit-exact: Pearson
+    * via the q_linreg sufficient-statistics discipline on the raw
+    * integers, Spearman via the SAME formula on 2×-midranks (two
+    * support walks over the count and cents supports — user-bounded,
+    * never data-sized). Both ratios use the correctly-rounded
+    * √·√-floor rule (q_assortativity), so Spark and DuckDB agree to
+    * the last 10⁻⁶ digit.
+    */
+  def spearmanQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val u = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("x"), sum(cents(col("value")).cast("long")).as("y"))
+    def midrank2(colName: String, out: String): DataFrame = {
+      val sup = u.groupBy(col(colName).as("v")).agg(count(lit(1)).as("ct"))
+      val w = Window.partitionBy(
+          graft.functions.GraftFunctions.singleton_key(col("v")))
+        .orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      sup.withColumn("lt", coalesce(sum(col("ct")).over(w), lit(0L)))
+        .select(col("v"), (lit(2) * col("lt") + col("ct") + 1).as(out))
+    }
+    val ranked = u
+      .join(midrank2("x", "rx2"), u("x") === col("v")).drop("v")
+      .join(midrank2("y", "ry2"), u("y") === col("v")).drop("v")
+    def corrE6(xc: String, yc: String): Column =
+      expr(s"""(n * s_${xc}${yc} - s_$xc * s_$yc) * 1000000
+               div cast(floor(sqrt(cast(n * s_${xc}$xc - s_$xc * s_$xc as double))
+                            * sqrt(cast(n * s_${yc}$yc - s_$yc * s_$yc as double)))
+                        as decimal(38,0))""")
+    ranked.groupBy()
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("x").cast(d38)).as("s_x"), sum(col("y").cast(d38)).as("s_y"),
+        sum((col("x") * col("y")).cast(d38)).as("s_xy"),
+        sum((col("x") * col("x")).cast(d38)).as("s_xx"),
+        sum((col("y") * col("y")).cast(d38)).as("s_yy"),
+        sum(col("rx2").cast(d38)).as("s_a"), sum(col("ry2").cast(d38)).as("s_b"),
+        sum((col("rx2") * col("ry2")).cast(d38)).as("s_ab"),
+        sum((col("rx2") * col("rx2")).cast(d38)).as("s_aa"),
+        sum((col("ry2") * col("ry2")).cast(d38)).as("s_bb"))
+      .select(col("n").cast("long").as("n_users"),
+        corrE6("x", "y").cast("long").as("pearson_e6"),
+        corrE6("a", "b").cast("long").as("spearman_e6"))
+  }
+
+  /** Autocorrelation function of the daily event volume at lags 1–7 —
+    * the seasonality fingerprint (a weekly cycle shows as a lag-7
+    * bump). Fraction-free: with S = Σx over the n observed days, the
+    * standard r_k = Σ(x_t−x̄)(x_{t+k}−x̄)/Σ(x_t−x̄)² is multiplied
+    * through by n², making numerator and denominator exact integers;
+    * the ratio lands at 10⁻⁶ by integral division. One tiny daily
+    * aggregate, a 7-row broadcast lag spine, one equi-join of the
+    * daily table to itself on d+lag — no window at all.
+    */
+  def acfQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("x"))
+    val g = daily.groupBy().agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+      sum((expr("cast(x as decimal(38,0))") * col("x"))).as("sxx"))
+    val spine = broadcast(
+      daily.sparkSession.range(1, 8).select(col("id").as("lag")))
+    val a = daily.select(col("d"), col("x").as("xa"))
+    val b = daily.select(col("d").as("db"), col("x").as("xb"))
+    a.crossJoin(spine)
+      .join(b, col("db") === col("d") + col("lag"))
+      .crossJoin(broadcast(g))
+      .select(col("lag"),
+        ((col("n") * col("xa") - col("s")).cast(d38)
+          * (col("n") * col("xb") - col("s")).cast(d38)).as("term"),
+        col("n"), col("s"), col("sxx"))
+      .groupBy(col("lag"), col("n"), col("s"), col("sxx"))
+      .agg(sum(col("term")).as("num"))
+      .select(col("lag"), col("n").as("n_days"),
+        expr("""cast(num * 1000000 div cast(n as decimal(38,0))
+                div (n * sxx - cast(s as decimal(38,0)) * s) as bigint)""")
+          .as("acf_e6"))
+      .orderBy(col("lag"))
+  }
+
+  /** CUSUM changepoint scan over the daily event volume: the running
+    * sum of n-scaled deviations C_k = Σ_{t≤k}(n·x_t − S) is an exact
+    * integer (clearing the mean's fraction by n), and the changepoint
+    * estimate is argmax|C_k| — flagged per day so the whole
+    * trajectory ships, not just the verdict. The cumulative walk is a
+    * window over the DAY support (calendar-bounded); the peak is one
+    * broadcast max joined back.
+    */
+  def cusumQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("x"))
+    val g = daily.groupBy().agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val w = Window.partitionBy(
+        graft.functions.GraftFunctions.singleton_key(col("d")))
+      .orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val c = daily.crossJoin(broadcast(g))
+      .withColumn("cusum_n", sum(col("n") * col("x") - col("s")).over(w))
+    val peak = c.groupBy().agg(max(abs(col("cusum_n"))).as("peak_abs"))
+    c.crossJoin(broadcast(peak))
+      .select(col("d"), col("x"), col("cusum_n"),
+        (abs(col("cusum_n")) === col("peak_abs")).as("is_changepoint"))
+      .orderBy(col("d"))
+  }
+
+  /** 4-truss of the part-adjacency graph ([[graft.ops.Graph.kTruss]]):
+    * iterative support peel until every surviving edge sits in ≥2
+    * triangles — the cohesion filter one notch above q_kcore (a core
+    * can be a sparse star-of-stars; a truss edge is in actual
+    * triangles). Per-round support is the q_triangles wedge equi-join
+    * shape; the oracle unrolls 8 materialized peel rounds (fixpoint
+    * measured at ≤6 on this data, extra rounds are no-ops).
+    */
+  def kTrussQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Graph.kTruss(
+        partAdjacencyEdges(spark, sfDir).select(col("src"), col("dst")), k = 4)
+      .orderBy(col("src"), col("dst"))
+
+  /** BLEU-style modified n-gram precision (n = 1..4) of each planted
+    * near-copy against its original — the generation-eval primitive
+    * (clipped counts: a candidate gram only scores up to its reference
+    * multiplicity, Papineni et al.'s fix for degenerate repetition).
+    * Everything is integer: per-pair totals, clipped matches
+    * (Σ min(c_cand, c_ref) over an equi-join on (pair, n, gram)), and
+    * precision at 10⁻⁶ by integral division. Gram tables are
+    * data-sized and every join is keyed — no all-pairs anywhere; the
+    * 300-doc cap only bounds the DuckDB replay.
+    */
+  def bleuQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 300 && col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("pid"), col("text"))
+    val cand = d.select(col("pid"),
+      replace(col("text"), lit("data"), lit("info")).as("text"))
+    def gramCounts(df: DataFrame): DataFrame = {
+      val ws = df.select(col("pid"), TextOps.words(lower(col("text"))).as("ws"))
+      ws.crossJoin(broadcast(
+          df.sparkSession.range(1, 5).select(col("id").cast("int").as("n"))))
+        .filter(size(col("ws")) >= col("n"))
+        .select(col("pid"), col("n"), explode(expr(
+          """transform(sequence(0, size(ws) - n),
+             i -> array_join(slice(ws, cast(i + 1 as int), n), ' '))"""))
+          .as("gram"))
+        .groupBy(col("pid"), col("n"), col("gram"))
+        .agg(count(lit(1)).as("c"))
+    }
+    val cc = gramCounts(cand)
+    val rc = gramCounts(d).withColumnRenamed("c", "cr")
+    val totals = cc.groupBy(col("pid"), col("n")).agg(sum(col("c")).as("total"))
+    val matches = cc.join(rc, Seq("pid", "n", "gram"))
+      .groupBy(col("pid"), col("n"))
+      .agg(sum(least(col("c"), col("cr"))).as("m"))
+    totals.join(matches, Seq("pid", "n"), "left")
+      .select(col("pid").as("doc_id"), col("n"), col("total"),
+        coalesce(col("m"), lit(0L)).as("matches"))
+      .withColumn("prec_e6", expr("matches * 1000000 div total"))
+      .orderBy(col("doc_id"), col("n"))
+  }
+
+  /** Item-item collaborative filtering over order baskets: cosine
+    * similarity on co-occurrence counts c_ij/√(c_i·c_j), top-3
+    * neighbors per part — the recommendation primitive q_assoc_rules'
+    * support/confidence table doesn't give (cosine symmetrizes away
+    * the popularity bias that inflates confidence toward frequent
+    * items). Pair generation is basket-bounded (per-order self-join
+    * of the DISTINCT part set, ~7 items → ≤21 pairs per order, never
+    * corpus-quadratic); cosine at 10⁻⁶ via the correctly-rounded
+    * √·√-floor rule so ranking ties break identically everywhere; the
+    * top-3 window is keyed per item.
+    */
+  def itemCfQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val cnt = li.groupBy(col("pk")).agg(count(lit(1)).as("ci"))
+    val a = li.select(col("ok"), col("pk").as("pa"))
+    val b = li.select(col("ok"), col("pk").as("pb"))
+    val co = a.join(b, "ok").filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= 3)
+    val sym = co.union(co.select(col("pb").as("pa"), col("pa").as("pb"),
+      col("n_co")))
+    val scored = sym
+      .join(cnt.select(col("pk").as("pa"), col("ci")), "pa")
+      .join(cnt.select(col("pk").as("pb"), col("ci").as("cj")), "pb")
+      .select(col("pa").as("item"), col("pb").as("neighbor"), col("n_co"),
+        expr(s"""cast(cast(n_co as decimal(38,0)) * 1000000
+                 div cast(floor(sqrt(cast(ci as double))
+                              * sqrt(cast(cj as double))) as decimal(38,0))
+                 as bigint)""").as("cos_e6"))
+    val w = Window.partitionBy(col("item"))
+      .orderBy(col("cos_e6").desc, col("neighbor"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("item"), col("rnk"))
+  }
+
+  /** Term burstiness (Church–Gale): variance-to-mean ratio of a
+    * term's per-document count across the WHOLE corpus (absent docs
+    * count as zero — handled in closed form, no scaffold join:
+    * Σc and Σc² only need present docs, N comes from one broadcast
+    * scalar). Fano factor = (N·Σc² − S²) / ((N−1)·S) cleared of
+    * fractions at 10⁻⁶; a bursty term (topical) scores ≫ 1, a
+    * function word ≈ 1 — the feature separating keywords from glue.
+    * Scope: top-30 terms by corpus frequency via one vocab-bounded
+    * ranking window.
+    */
+  def burstinessQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val n = docs.groupBy().agg(count(lit(1)).as("nn"))
+    val tc = docs
+      .select(col("doc_id"), explode(TextOps.words(lower(col("text")))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val stats = tc.groupBy(col("tok"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("c")).as("s"),
+        sum((col("c") * col("c")).cast(d38)).as("q"))
+    val w = Window.partitionBy(
+        graft.functions.GraftFunctions.singleton_key(col("tok")))
+      .orderBy(col("s").desc, col("tok"))
+    stats.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 30).drop("rnk")
+      .crossJoin(broadcast(n))
+      .select(col("tok"), col("n_docs"), col("s").as("total"),
+        expr("""cast((nn * q - cast(s as decimal(38,0)) * s) * 1000000
+                div cast(nn - 1 as decimal(38,0)) div s as bigint)""")
+          .as("vmr_e6"))
+      .orderBy(col("tok"))
+  }
+
+  /** Isotonic regression (PAVA) of purchase rate against the value
+    * bucket — the calibration-curve smoother q_calibration's raw
+    * reliability bins feed into. Uses the exact max-min water-filling
+    * identity fitted(k) = max_{i≤k} min_{j≥k} rate(i..j) on
+    * 10⁻⁹-truncated interval rates: the max-min structure guarantees
+    * monotonicity for ANY rate table, so truncation cannot break the
+    * isotonic contract, and both engines truncate identically. All
+    * interval work is on the BUCKET support (≤21 buckets → ≤231
+    * intervals, ≤1.8k (i,k,j) triples — domain-bounded, never
+    * data-sized); the data pass is one groupBy.
+    */
+  def isotonicQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val bk = Tables.events(spark, sfDir)
+      .select(floor(col("value") / 5).cast("long").as("b"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      .groupBy(col("b")).agg(count(lit(1)).as("n"), sum(col("y")).as("k"))
+    val i = bk.select(col("b").as("bi"))
+    val j = bk.select(col("b").as("bj"))
+    val spans = i.crossJoin(j).filter(col("bi") <= col("bj"))
+      .join(bk, col("b").between(col("bi"), col("bj")))
+      .groupBy(col("bi"), col("bj"))
+      .agg(expr("cast(sum(k) as decimal(38,0)) * 1000000000 div sum(n)")
+        .as("r_e9"))
+    val mins = spans
+      .join(bk.select(col("b").as("kk")),
+        col("bi") <= col("kk") && col("kk") <= col("bj"))
+      .groupBy(col("kk"), col("bi")).agg(min(col("r_e9")).as("m"))
+    val fit = mins.groupBy(col("kk")).agg(max(col("m")).as("fitted_e9"))
+    bk.join(fit, col("b") === col("kk")).drop("kk")
+      .select(col("b").as("bucket"), col("n"), col("k"),
+        expr("cast(k as decimal(38,0)) * 1000000000 div n").as("raw_e9"),
+        col("fitted_e9"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Kaplan-Meier-style life table of user lifetime (days from first
+    * to last event), with right-censoring: a user still active in the
+    * final 3 days of the window hasn't churned — their lifetime is a
+    * lower bound, and the at-risk denominator is the only honest place
+    * it can count. Per duration t: d (churned at t), c (censored at
+    * t), at-risk n = Σ_{s≥t}(d+c) via one descending cumulative over
+    * the DURATION support (calendar-bounded), hazard d/n at 10⁻⁶
+    * exactly. The per-user reduce is one groupBy; no per-user window
+    * anywhere.
+    */
+  def lifeTableQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy(col("user_id")).agg(min(col("d")).as("f"), max(col("d")).as("l"))
+    val md = u.groupBy().agg(max(col("l")).as("maxd"))
+    val byT = u.crossJoin(broadcast(md))
+      .select((col("l") - col("f")).as("t"),
+        (col("l") >= col("maxd") - 2).as("cens"))
+      .groupBy(col("t"))
+      .agg(sum(when(!col("cens"), 1L).otherwise(0L)).as("d_churn"),
+        sum(when(col("cens"), 1L).otherwise(0L)).as("c_cens"))
+    val w = Window.partitionBy(
+        graft.functions.GraftFunctions.singleton_key(col("t")))
+      .orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byT.withColumn("n_risk", sum(col("d_churn") + col("c_cens")).over(w))
+      .select(col("t"), col("n_risk"), col("d_churn"), col("c_cens"),
+        expr("d_churn * 1000000 div n_risk").as("hazard_e6"))
+      .orderBy(col("t"))
+  }
+
+  /** Deterministic Poisson-ish bootstrap of mean event value: 32
+    * resample replicates in ONE scan, each row's replicate weight
+    * w ∈ {0,1,2,3} drawn by arithmetic hash (the q_neg_sample device —
+    * thresholds 368/736/920 per mille ≈ Poisson(1) pmf), so both
+    * engines materialize byte-identical resamples with no RNG state.
+    * This is how you put a confidence band on a pipeline metric at
+    * 100 TB: the 32× explode map-side-combines straight down to 32
+    * partial rows per partition — scan-like, no reshuffle of the data.
+    */
+  def bootstrapQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), cents(col("value")).cast("long").as("vc"))
+      .select(col("event_id"), col("vc"),
+        explode(expr("sequence(1, 32)")).as("b"))
+      .withColumn("h", expr("(event_id * 1000003 + b * 7919 + b) % 1000"))
+      .withColumn("w",
+        when(col("h") < 368, 0L).when(col("h") < 736, 1L)
+          .when(col("h") < 920, 2L).otherwise(3L))
+      .groupBy(col("b"))
+      .agg(sum(col("w")).as("n_eff"),
+        sum((col("w") * col("vc")).cast(d38)).as("sum_c"))
+      .select(col("b").cast("long").as("b"), col("n_eff"),
+        col("sum_c").cast("long").as("sum_cents"),
+        expr("cast(sum_c * 1000000 div n_eff as bigint)").as("mean_c_e6"))
+      .orderBy(col("b"))
+  }
+
+  /** Two-proportion A/B test on high-value user conversion (≥1
+    * purchase of $200+; a bare any-purchase metric saturates at 100%
+    * on this data and degenerates the statistic), with the variant
+    * assigned by arithmetic hash of user_id — and the entire z²
+    * statistic kept rational: z² = (k₁n₂−k₂n₁)²·N / (n₁n₂K(N−K))
+    * lands at 10⁻⁶ by one chained truncating division (compare to
+    * 3.84·10⁶ for p<0.05). Lift vs control ships at 10⁻⁶ too.
+    * Degenerate margins (zero conversions, or total saturation) yield
+    * NULL via nullif instead of aborting the job — the guard both
+    * engines agree on. One per-user reduce, one 2-group conditional
+    * aggregate, one row out — the experiment readout with no float
+    * anywhere.
+    */
+  def abTestQ(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" &&
+          cents(col("value")).cast("long") >= 20000L, 1L).otherwise(0L))
+        .as("conv"))
+      .withColumn("v", expr("(user_id * 1000003 + 12345) % 97 % 2"))
+      .groupBy()
+      .agg(
+        sum(when(col("v") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("v") === 0, col("conv")).otherwise(0L)).as("k_a"),
+        sum(when(col("v") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("v") === 1, col("conv")).otherwise(0L)).as("k_b"))
+      .select(col("n_a"), col("k_a"),
+        expr("k_a * 1000000 div n_a").as("rate_a_e6"),
+        col("n_b"), col("k_b"),
+        expr("k_b * 1000000 div n_b").as("rate_b_e6"),
+        expr("(k_b * n_a - k_a * n_b) * 1000000 div nullif(k_a * n_b, 0)")
+          .as("lift_e6"),
+        expr("""cast(cast(k_a * n_b - k_b * n_a as decimal(38,0))
+                * (k_a * n_b - k_b * n_a) * (n_a + n_b) * 1000000
+                div cast(n_a as decimal(38,0)) div n_b
+                div nullif(k_a + k_b, 0)
+                div nullif(n_a + n_b - k_a - k_b, 0) as bigint)""")
+          .as("z2_e6"))
+  }
+
+  /** Chi-square independence test of the lang × source contingency
+    * table, fraction-free per cell: with row margin r, column margin
+    * c and total N, the cell contribution (o−rc/N)²/(rc/N) is cleared
+    * to (N·o − r·c)²·10⁶ div (N·r·c) — exact integers end to end
+    * (decimal(38,0): the square alone reaches 10¹⁶ at this SF).
+    * Zero cells matter (they contribute rc/N), so the full margin
+    * cross scaffold (|lang|×|source|, domain-bounded) is left-joined
+    * against the observed counts. Per-cell expected counts at 10⁻⁶
+    * ship alongside — the standardized-residual table an analyst
+    * actually reads.
+    */
+  def chi2IndepQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val o = Tables.documents(spark, sfDir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+    val r = o.groupBy(col("lang")).agg(sum(col("o")).as("r"))
+    val cm = o.groupBy(col("source")).agg(sum(col("o")).as("c"))
+    val n = o.groupBy().agg(sum(col("o")).as("nn"))
+    broadcast(r).crossJoin(broadcast(cm)).crossJoin(broadcast(n))
+      .join(o, Seq("lang", "source"), "left")
+      .select(col("lang"), col("source"), coalesce(col("o"), lit(0L)).as("o"),
+        col("r"), col("c"), col("nn"))
+      .select(col("lang"), col("source"), col("o"),
+        expr("cast(r * c as decimal(38,0)) * 1000000 div nn").cast("long")
+          .as("expected_e6"),
+        expr("""cast((nn * o - r * c) as decimal(38,0))
+                * (nn * o - r * c) * 1000000
+                div cast(nn as decimal(38,0)) div (r * c)""").cast("long")
+          .as("cell_chi2_e6"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** EWMA control chart over the daily event volume, α = 1/8 kept
+    * EXACT in integers: s_t = s_{t−1} + (10⁶·x_t − s_{t−1}) div 8 —
+    * both engines truncate toward zero, so the whole trajectory is
+    * bit-identical with no float anywhere (the classic α·x+(1−α)·s
+    * recurrence in that fixed-point form). The recurrence is folded by
+    * ONE `aggregate` HOF over the sorted day array — the day support
+    * is calendar-bounded (≈30 rows), so collecting it to a single row
+    * is model-sized, not data-sized; the data-sized work is the one
+    * partial-aggregated daily count scan. Residual vs the running
+    * smooth ships per day — the drift readout.
+    */
+  def ewmaQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("x"))
+    daily
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("arr"))
+      .select(explode(expr(
+        """aggregate(arr,
+          |  cast(array() as array<struct<d:bigint,x:bigint,s:bigint>>),
+          |  (acc, e) -> array_append(acc, named_struct('d', e.d, 'x', e.x,
+          |    's', case when size(acc) = 0 then e.x * 1000000L
+          |         else element_at(acc, -1).s
+          |              + (e.x * 1000000L - element_at(acc, -1).s) div 8L
+          |    end)))""".stripMargin)).as("r"))
+      .select(col("r.d").as("d"), col("r.x").as("x"),
+        col("r.s").as("ewma_e6"),
+        (col("r.x") * 1000000L - col("r.s")).as("resid_e6"))
+      .orderBy(col("d"))
+  }
+
+  /** Deequ-style data-quality audit of lineitem in three bounded
+    * passes: every ROW-level constraint (quantity range, discount
+    * range, flag/status domain, tax completeness) rides ONE conditional
+    * aggregate over a single scan; uniqueness of the
+    * (orderkey, linenumber, partkey) candidate key is one distinct
+    * count; referential integrity of l_orderkey → orders is one
+    * broadcast-able anti-join count. Metrics ship as exact 10⁻⁶
+    * fractions with a boolean verdict per check — the readout a
+    * 100 TB ingest gate actually consumes (constraint rows, not a
+    * per-record dump).
+    */
+  def dqChecksQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val row = li.groupBy().agg(
+      count(lit(1)).as("n"),
+      sum(when(col("l_quantity").between(1, 50), 1L).otherwise(0L)).as("c_qty"),
+      sum(when(cents(col("l_discount")).cast("long").between(0L, 10L), 1L)
+        .otherwise(0L)).as("c_disc"),
+      sum(when(col("l_returnflag").isin("A", "N", "R") &&
+          col("l_linestatus").isin("F", "O"), 1L).otherwise(0L)).as("c_flag"),
+      sum(when(col("l_tax").isNotNull, 1L).otherwise(0L)).as("c_tax"))
+    val uniq = li.select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      .distinct().groupBy().agg(count(lit(1)).as("u"))
+    val orphan = li.select(col("l_orderkey"))
+      .join(Tables.orders(spark, sfDir).select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .groupBy().agg(count(lit(1)).as("orph"))
+    row.crossJoin(broadcast(uniq)).crossJoin(broadcast(orphan))
+      .select(expr(
+        """stack(6,
+          |  'quantity_in_1_50',   c_qty * 1000000 div n,   c_qty = n,
+          |  'discount_in_0_10pct', c_disc * 1000000 div n,  c_disc = n,
+          |  'flag_status_domain', c_flag * 1000000 div n,   c_flag = n,
+          |  'tax_complete',       c_tax * 1000000 div n,    c_tax = n,
+          |  'key_unique',         u * 1000000 div n,        u = n,
+          |  'orderkey_resolves',  (n - orph) * 1000000 div n, orph = 0L)
+          |  as (chk, metric_e6, pass)""".stripMargin))
+      .orderBy(col("chk"))
+  }
+
+  /** Count-Min sketch of the corpus token stream (4 rows × 1024
+    * counters, portable-hash columns), probed for the top-20 exact
+    * terms: estimate = min over the 4 rows, always ≥ the true count
+    * (the CMS overcount guarantee — asserted as a shipped boolean).
+    * The sketch build is a groupBy over (row, col): 4096 cells of
+    * partial-mergeable sums, the shape that unions across 100 TB of
+    * shards for free; probes join the 4096-cell sketch broadcast to a
+    * top-k-sized candidate list. All integers; both engines replay the
+    * identical md5-fold hash.
+    */
+  def cmsTopkQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.GraftFunctions.portable_hash48
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(TextOps.words(lower(col("text")))).as("term"))
+      .filter(length(col("term")) > 0)
+    val rows = broadcast(
+      toks.sparkSession.range(0, 4).select(col("id").as("r")))
+    val sketch = toks.crossJoin(rows)
+      .select(col("r"),
+        pmod(portable_hash48(
+          concat(lit("cms"), col("r"), lit(":"), col("term"))), lit(1024L))
+          .as("c"))
+      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
+    val top = toks.groupBy(col("term")).agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("term")).limit(20)
+    broadcast(top).crossJoin(rows)
+      .select(col("term"), col("exact"), col("r"),
+        pmod(portable_hash48(
+          concat(lit("cms"), col("r"), lit(":"), col("term"))), lit(1024L))
+          .as("c"))
+      .join(sketch, Seq("r", "c"))
+      .groupBy(col("term"), col("exact"))
+      .agg(min(col("cnt")).as("cms_est"))
+      .select(col("term"), col("exact"), col("cms_est"),
+        (col("cms_est") >= col("exact")).as("never_under"))
+      .orderBy(col("exact").desc, col("term"))
+  }
+
+  /** Newman modularity of the p_brand partition over the undirected
+    * part-adjacency graph, fraction-free per community: with m
+    * undirected edges, intra-community edge count e_c and community
+    * degree sum d_c, the contribution e_c/m − (d_c/2m)² clears to
+    * (4·m·e_c − d_c²)·10⁶ div (4m²) — exact integers end to end
+    * (decimal(38,0) headroom for d_c²·10⁶). One edge dedup, two
+    * broadcast-able brand lookups, two bounded aggregates: the
+    * partition-quality score that tells you whether a community
+    * assignment beats the configuration-model baseline, at one scan
+    * of the edge list.
+    */
+  def modularityQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = partAdjacencyEdges(spark, sfDir)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val brand = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_brand"))
+    val e = raw
+      .join(broadcast(brand.select(col("p_partkey").as("a"),
+        col("p_brand").as("ba"))), "a")
+      .join(broadcast(brand.select(col("p_partkey").as("b"),
+        col("p_brand").as("bb"))), "b")
+    val m = e.groupBy().agg(count(lit(1)).as("m"))
+    val ec = e.filter(col("ba") === col("bb"))
+      .groupBy(col("ba").as("brand")).agg(count(lit(1)).as("e_c"))
+    val dc = e.select(col("ba").as("brand"))
+      .union(e.select(col("bb").as("brand")))
+      .groupBy(col("brand")).agg(count(lit(1)).as("d_c"))
+    dc.join(ec, Seq("brand"), "left")
+      .select(col("brand"), coalesce(col("e_c"), lit(0L)).as("e_c"), col("d_c"))
+      .crossJoin(broadcast(m))
+      .select(col("brand"), col("e_c"), col("d_c"),
+        expr("""cast((4 * m * e_c - cast(d_c as decimal(38,0)) * d_c)
+                * 1000000 div (4 * cast(m as decimal(38,0)) * m) as bigint)""")
+          .as("contrib_e6"))
+      .orderBy(col("brand"))
+  }
+
+  /** Rich-club coefficient sweep of the part-adjacency graph: for each
+    * degree threshold k, the edge density among nodes of degree > k —
+    * φ(k) = 2·E_k·10⁶ div (N_k·(N_k−1)), exact integers, NULL when
+    * the club has fewer than two members. One degree pass, one
+    * per-edge min-endpoint-degree join (both on node keys), and a
+    * 4-row broadcast threshold spine folding everything into two
+    * conditional aggregates — a whole connectivity profile at one
+    * scan of the edge list, no per-k recomputation.
+    */
+  def richClubQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val und = partAdjacencyEdges(spark, sfDir)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val spine = broadcast(und.sparkSession.range(1, 5)
+      .select(expr("cast(pow(2, id) as bigint)").as("k")))
+    val nk = deg.crossJoin(spine)
+      .groupBy(col("k"))
+      .agg(sum(when(col("deg") > col("k"), 1L).otherwise(0L)).as("n_k"))
+    val ek = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(least(col("da"), col("db")).as("mindeg"))
+      .crossJoin(spine)
+      .groupBy(col("k"))
+      .agg(sum(when(col("mindeg") > col("k"), 1L).otherwise(0L)).as("e_k"))
+    nk.join(ek, "k")
+      .select(col("k"), col("n_k"), col("e_k"),
+        expr("2 * e_k * 1000000 div nullif(n_k * (n_k - 1), 0)")
+          .as("phi_e6"))
+      .orderBy(col("k"))
+  }
+
+  /** Holt double-exponential smoothing of the daily event volume
+    * (α = 1/8, β = 1/4), the EWMA's trend-aware sibling, kept exact in
+    * fixed point: l_t = (l+b) + (10⁶x_t − l − b) div 8, then
+    * b_t = b + (l_t − l − b) div 4 — truncation is identical on both
+    * engines, so level, trend and the one-step-ahead forecast are all
+    * bit-exact integers. Same scale shape as [[ewmaQ]]: the only
+    * data-sized work is the partial-aggregated daily count; the fold
+    * runs once over the calendar-bounded day array.
+    */
+  def holtQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("x"))
+    daily
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("arr"))
+      .select(explode(expr(
+        """aggregate(arr,
+          |  cast(array() as array<struct<d:bigint,x:bigint,l:bigint,b:bigint>>),
+          |  (acc, e) -> array_append(acc,
+          |    case when size(acc) = 0
+          |      then named_struct('d', e.d, 'x', e.x, 'l', e.x * 1000000L,
+          |                        'b', 0L)
+          |      else named_struct('d', e.d, 'x', e.x,
+          |        'l', element_at(acc, -1).l + element_at(acc, -1).b
+          |          + (e.x * 1000000L - element_at(acc, -1).l
+          |             - element_at(acc, -1).b) div 8L,
+          |        'b', element_at(acc, -1).b
+          |          + (element_at(acc, -1).l + element_at(acc, -1).b
+          |             + (e.x * 1000000L - element_at(acc, -1).l
+          |                - element_at(acc, -1).b) div 8L
+          |             - element_at(acc, -1).l - element_at(acc, -1).b)
+          |            div 4L)
+          |    end))""".stripMargin)).as("r"))
+      .select(col("r.d").as("d"), col("r.x").as("x"),
+        col("r.l").as("level_e6"), col("r.b").as("trend_e6"),
+        (col("r.l") + col("r.b")).as("forecast_next_e6"))
+      .orderBy(col("d"))
+  }
 }

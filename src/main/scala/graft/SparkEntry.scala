@@ -258,6 +258,25 @@ object SparkEntry {
     "q_dup_sources" -> (Queries.dupSourcesQ _),
     "q_anomaly_days" -> (Queries.anomalyDaysQ _),
     "q_threshold_sweep" -> (Queries.thresholdSweepQ _),
+    "q_mannwhitney" -> (Queries.mannWhitneyQ _),
+    "q_spearman" -> (Queries.spearmanQ _),
+    "q_acf" -> (Queries.acfQ _),
+    "q_cusum" -> (Queries.cusumQ _),
+    "q_chi2_indep" -> (Queries.chi2IndepQ _),
+    "q_bleu" -> (Queries.bleuQ _),
+    "q_item_cf" -> (Queries.itemCfQ _),
+    "q_burstiness" -> (Queries.burstinessQ _),
+    "q_isotonic" -> (Queries.isotonicQ _),
+    "q_ktruss" -> (Queries.kTrussQ _),
+    "q_life_table" -> (Queries.lifeTableQ _),
+    "q_bootstrap" -> (Queries.bootstrapQ _),
+    "q_ab_test" -> (Queries.abTestQ _),
+    "q_ewma" -> (Queries.ewmaQ _),
+    "q_dq_checks" -> (Queries.dqChecksQ _),
+    "q_cms_topk" -> (Queries.cmsTopkQ _),
+    "q_modularity" -> (Queries.modularityQ _),
+    "q_richclub" -> (Queries.richClubQ _),
+    "q_holt" -> (Queries.holtQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -4598,5 +4617,464 @@ object SparkEntry {
          |FROM dw JOIN enc USING (word)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+
+    // Mann-Whitney replay: shared value-support walk (2×-midranks over
+    // distinct values), per-type rank sums, 2U = Σmr2 − n(n+1), AUC at
+    // 1e-6 by the same truncating division.
+    "q_mannwhitney" ->
+      """WITH pv AS (SELECT value AS v, event_type, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |sup AS (SELECT v, sum(c) AS ct FROM pv GROUP BY v),
+        |wk AS (SELECT v, ct,
+        |    coalesce(sum(ct) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lt
+        |  FROM sup),
+        |per AS (
+        |  SELECT event_type, sum(c) AS n,
+        |    sum(CAST(c * (2 * lt + ct + 1) AS HUGEINT)) AS r2
+        |  FROM pv JOIN wk USING (v) GROUP BY event_type),
+        |t AS (SELECT sum(n) AS total FROM per)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(r2 - CAST(n * (n + 1) AS HUGEINT) AS BIGINT) AS u2,
+        |  CAST((r2 - CAST(n * (n + 1) AS HUGEINT)) * 1000000
+        |    // (2 * n * (total - n)) AS BIGINT) AS auc_e6
+        |FROM per CROSS JOIN t ORDER BY event_type""".stripMargin,
+
+    // Spearman/Pearson replay: per-user (count, cents) pairs, one
+    // 2×-midrank walk per variable, sufficient statistics in HUGEINT,
+    // the correctly-rounded sqrt·sqrt floor, integral division.
+    "q_spearman" ->
+      """WITH u AS (
+        |  SELECT user_id, count(*) AS x,
+        |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY user_id),
+        |rxs AS (SELECT x AS v, count(*) AS ct FROM u GROUP BY x),
+        |rxw AS (SELECT v, 2 * coalesce(sum(ct) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + ct + 1 AS rx2
+        |  FROM rxs),
+        |rys AS (SELECT y AS v, count(*) AS ct FROM u GROUP BY y),
+        |ryw AS (SELECT v, 2 * coalesce(sum(ct) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + ct + 1 AS ry2
+        |  FROM rys),
+        |r AS (SELECT u.x, u.y, rxw.rx2, ryw.ry2
+        |  FROM u JOIN rxw ON u.x = rxw.v JOIN ryw ON u.y = ryw.v),
+        |s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS s_x, sum(CAST(y AS HUGEINT)) AS s_y,
+        |    sum(CAST(x AS HUGEINT) * y) AS s_xy,
+        |    sum(CAST(x AS HUGEINT) * x) AS s_xx,
+        |    sum(CAST(y AS HUGEINT) * y) AS s_yy,
+        |    sum(CAST(rx2 AS HUGEINT)) AS s_a, sum(CAST(ry2 AS HUGEINT)) AS s_b,
+        |    sum(CAST(rx2 AS HUGEINT) * ry2) AS s_ab,
+        |    sum(CAST(rx2 AS HUGEINT) * rx2) AS s_aa,
+        |    sum(CAST(ry2 AS HUGEINT) * ry2) AS s_bb
+        |  FROM r)
+        |SELECT CAST(n AS BIGINT) AS n_users,
+        |  CAST((n * s_xy - s_x * s_y) * 1000000
+        |    // CAST(floor(sqrt(CAST(n * s_xx - s_x * s_x AS DOUBLE))
+        |               * sqrt(CAST(n * s_yy - s_y * s_y AS DOUBLE))) AS HUGEINT)
+        |    AS BIGINT) AS pearson_e6,
+        |  CAST((n * s_ab - s_a * s_b) * 1000000
+        |    // CAST(floor(sqrt(CAST(n * s_aa - s_a * s_a AS DOUBLE))
+        |               * sqrt(CAST(n * s_bb - s_b * s_b AS DOUBLE))) AS HUGEINT)
+        |    AS BIGINT) AS spearman_e6
+        |FROM s""".stripMargin,
+
+    // ACF replay: daily counts, 7-row lag spine, self-join on d+lag,
+    // fraction-free numerator, chained truncating divisions in the
+    // same order as the Spark plan.
+    "q_acf" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    count(*) AS x
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT count(*) AS n, sum(x) AS s,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx FROM daily),
+        |spine AS (SELECT unnest(range(1, 8)) AS lag)
+        |SELECT lag, CAST(n AS BIGINT) AS n_days,
+        |  CAST(sum(CAST(n * a.x - s AS HUGEINT) * (n * b.x - s)) * 1000000
+        |    // CAST(n AS HUGEINT) // (n * sxx - CAST(s AS HUGEINT) * s)
+        |    AS BIGINT) AS acf_e6
+        |FROM daily a CROSS JOIN spine JOIN daily b ON b.d = a.d + lag
+        |CROSS JOIN g
+        |GROUP BY lag, n, s, sxx ORDER BY lag""".stripMargin,
+
+    // CUSUM replay: day support walk of n-scaled deviations, broadcast
+    // peak, per-day changepoint flag.
+    "q_cusum" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    count(*) AS x
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT count(*) AS n, sum(x) AS s FROM daily),
+        |c AS (SELECT d, x,
+        |    sum(n * x - s) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum_n
+        |  FROM daily CROSS JOIN g),
+        |p AS (SELECT max(abs(cusum_n)) AS peak_abs FROM c)
+        |SELECT d, x, CAST(cusum_n AS BIGINT) AS cusum_n,
+        |  abs(cusum_n) = peak_abs AS is_changepoint
+        |FROM c CROSS JOIN p ORDER BY d""".stripMargin,
+
+    // Chi-square independence replay: observed cells, margins, full
+    // margin-cross scaffold for zero cells, fraction-free per-cell
+    // statistic with the same chained truncating divisions.
+    "q_chi2_indep" ->
+      """WITH o AS (SELECT lang, source, count(*) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, sum(o) AS r FROM o GROUP BY lang),
+        |cm AS (SELECT source, sum(o) AS c FROM o GROUP BY source),
+        |t AS (SELECT sum(o) AS nn FROM o)
+        |SELECT r.lang, cm.source, CAST(coalesce(o.o, 0) AS BIGINT) AS o,
+        |  CAST(CAST(r.r * cm.c AS HUGEINT) * 1000000 // nn AS BIGINT)
+        |    AS expected_e6,
+        |  CAST(CAST(nn * coalesce(o.o, 0) - r.r * cm.c AS HUGEINT)
+        |    * (nn * coalesce(o.o, 0) - r.r * cm.c) * 1000000
+        |    // CAST(nn AS HUGEINT) // (r.r * cm.c) AS BIGINT) AS cell_chi2_e6
+        |FROM r CROSS JOIN cm CROSS JOIN t
+        |LEFT JOIN o ON o.lang = r.lang AND o.source = cm.source
+        |ORDER BY r.lang, cm.source""".stripMargin,
+
+    // BLEU replay: same plant (data→info), 1..4-gram multisets via
+    // list_slice (inclusive-end in DuckDB), clipped-match inner join,
+    // truncating precision at 1e-6.
+    "q_bleu" ->
+      s"""WITH d AS (SELECT doc_id AS pid, text FROM documents
+         |  WHERE doc_id < 300 AND doc_id % 5 = 0),
+         |c AS (SELECT pid, replace(text, 'data', 'info') AS text FROM d),
+         |nsp AS (SELECT unnest(range(1, 5)) AS n),
+         |cg0 AS (SELECT pid, n, ws, unnest(range(0, len(ws) - n + 1)) AS i
+         |  FROM (SELECT pid, ${wordsSql("lower(text)")} AS ws FROM c)
+         |    CROSS JOIN nsp WHERE len(ws) >= n),
+         |cg AS (SELECT pid, n,
+         |    array_to_string(list_slice(ws, i + 1, i + n), ' ') AS gram
+         |  FROM cg0),
+         |rg0 AS (SELECT pid, n, ws, unnest(range(0, len(ws) - n + 1)) AS i
+         |  FROM (SELECT pid, ${wordsSql("lower(text)")} AS ws FROM d)
+         |    CROSS JOIN nsp WHERE len(ws) >= n),
+         |rg AS (SELECT pid, n,
+         |    array_to_string(list_slice(ws, i + 1, i + n), ' ') AS gram
+         |  FROM rg0),
+         |cc AS (SELECT pid, n, gram, count(*) AS c FROM cg GROUP BY 1, 2, 3),
+         |rc AS (SELECT pid, n, gram, count(*) AS cr FROM rg GROUP BY 1, 2, 3),
+         |tt AS (SELECT pid, n, sum(c) AS total FROM cc GROUP BY 1, 2),
+         |mm AS (SELECT cc.pid, cc.n, sum(least(c, cr)) AS m
+         |  FROM cc JOIN rc ON cc.pid = rc.pid AND cc.n = rc.n AND cc.gram = rc.gram
+         |  GROUP BY 1, 2)
+         |SELECT tt.pid AS doc_id, CAST(tt.n AS INT) AS n,
+         |  CAST(total AS BIGINT) AS total,
+         |  CAST(coalesce(m, 0) AS BIGINT) AS matches,
+         |  CAST(coalesce(m, 0) * 1000000 // total AS BIGINT) AS prec_e6
+         |FROM tt LEFT JOIN mm ON tt.pid = mm.pid AND tt.n = mm.n
+         |ORDER BY doc_id, n""".stripMargin,
+
+    // Item-CF replay: distinct basket sets, ordered pair counts ≥ 3,
+    // symmetrize, cosine at 1e-6 with the sqrt·sqrt floor, top-3 per
+    // item by (cos desc, neighbor).
+    "q_item_cf" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |cnt AS (SELECT pk, count(*) AS ci FROM li GROUP BY pk),
+        |co AS (SELECT a.pk AS pa, b.pk AS pb, count(*) AS n_co
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |sym AS (SELECT pa, pb, n_co FROM co
+        |  UNION ALL SELECT pb, pa, n_co FROM co),
+        |sc AS (SELECT sym.pa AS item, sym.pb AS neighbor, n_co,
+        |    CAST(CAST(n_co AS HUGEINT) * 1000000
+        |      // CAST(floor(sqrt(CAST(x.ci AS DOUBLE))
+        |                 * sqrt(CAST(y.ci AS DOUBLE))) AS HUGEINT)
+        |      AS BIGINT) AS cos_e6
+        |  FROM sym JOIN cnt x ON sym.pa = x.pk JOIN cnt y ON sym.pb = y.pk),
+        |rk AS (SELECT item, neighbor, n_co, cos_e6,
+        |    row_number() OVER (PARTITION BY item
+        |      ORDER BY cos_e6 DESC, neighbor) AS rnk
+        |  FROM sc)
+        |SELECT item, neighbor, n_co, cos_e6, CAST(rnk AS INT) AS rnk
+        |FROM rk WHERE rnk <= 3 ORDER BY item, rnk""".stripMargin,
+
+    // Burstiness replay: per-doc term counts, top-30 terms by
+    // (frequency desc, term), Fano factor cleared of fractions with
+    // the same chained truncating divisions.
+    "q_burstiness" ->
+      s"""WITH tc AS (SELECT doc_id, tok, count(*) AS c FROM (
+         |    SELECT doc_id, unnest(${wordsSql("lower(text)")}) AS tok
+         |    FROM documents) u GROUP BY 1, 2),
+         |st AS (SELECT tok, count(*) AS n_docs, sum(c) AS s,
+         |    sum(CAST(c AS HUGEINT) * c) AS q FROM tc GROUP BY tok),
+         |top AS (SELECT *, row_number() OVER (ORDER BY s DESC, tok) AS rnk
+         |  FROM st),
+         |nn AS (SELECT count(*) AS nn FROM documents)
+         |SELECT tok, CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(s AS BIGINT) AS total,
+         |  CAST((nn * q - CAST(s AS HUGEINT) * s) * 1000000
+         |    // CAST(nn - 1 AS HUGEINT) // s AS BIGINT) AS vmr_e6
+         |FROM top CROSS JOIN nn WHERE rnk <= 30 ORDER BY tok""".stripMargin,
+
+    // Isotonic replay: bucketed purchase rates, interval rates at
+    // 1e-9 (truncating), the max-min PAVA identity over the bounded
+    // bucket support.
+    "q_isotonic" ->
+      """WITH bk AS (
+        |  SELECT CAST(floor(value / 5) AS BIGINT) AS b, count(*) AS n,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS k
+        |  FROM events GROUP BY 1),
+        |spans AS (
+        |  SELECT i.b AS bi, j.b AS bj,
+        |    CAST(CAST(sum(bk.k) AS HUGEINT) * 1000000000 // sum(bk.n)
+        |      AS BIGINT) AS r_e9
+        |  FROM bk i JOIN bk j ON i.b <= j.b
+        |  JOIN bk ON bk.b BETWEEN i.b AND j.b
+        |  GROUP BY i.b, j.b),
+        |mins AS (
+        |  SELECT kk.b AS kk, spans.bi, min(r_e9) AS m
+        |  FROM spans JOIN bk kk ON spans.bi <= kk.b AND kk.b <= spans.bj
+        |  GROUP BY kk.b, spans.bi),
+        |fit AS (SELECT kk, max(m) AS fitted_e9 FROM mins GROUP BY kk)
+        |SELECT bk.b AS bucket, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+        |  CAST(CAST(k AS HUGEINT) * 1000000000 // n AS BIGINT) AS raw_e9,
+        |  fitted_e9
+        |FROM bk JOIN fit ON bk.b = fit.kk ORDER BY bucket""".stripMargin,
+
+    // 4-truss replay: 8 unrolled materialized peel rounds (fixpoint ≤6
+    // on this data; extra rounds are no-ops), each = one wedge-join
+    // support pass + a symmetrized keep join, then the final support
+    // table of the surviving edges.
+    "q_ktruss" -> {
+      def round(i: Int): String =
+        s"""kt_s$i AS MATERIALIZED (
+           |  SELECT o.src AS a, o.dst AS b, count(*) AS s
+           |  FROM (SELECT src, dst FROM kt_r${i - 1} WHERE src < dst) o
+           |  JOIN kt_r${i - 1} n1 ON n1.src = o.src
+           |  JOIN kt_r${i - 1} n2 ON n2.src = o.dst AND n2.dst = n1.dst
+           |  GROUP BY o.src, o.dst),
+           |kt_r$i AS MATERIALIZED (
+           |  SELECT r.src, r.dst FROM kt_r${i - 1} r
+           |  JOIN (SELECT a, b FROM kt_s$i WHERE s >= 2
+           |        UNION ALL SELECT b, a FROM kt_s$i WHERE s >= 2) kp
+           |    ON r.src = kp.a AND r.dst = kp.b)""".stripMargin
+      val rounds = (1 to 8).map(round).mkString(",\n")
+      s"""WITH p AS (SELECT l_partkey AS src,
+         |    lead(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
+         |  FROM lineitem),
+         |kt_r0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM p WHERE dst IS NOT NULL AND src <> dst
+         |    UNION ALL
+         |    SELECT dst, src FROM p WHERE dst IS NOT NULL AND src <> dst) u),
+         |$rounds,
+         |fin AS (
+         |  SELECT o.src AS a, o.dst AS b, count(*) AS s
+         |  FROM (SELECT src, dst FROM kt_r8 WHERE src < dst) o
+         |  JOIN kt_r8 n1 ON n1.src = o.src
+         |  JOIN kt_r8 n2 ON n2.src = o.dst AND n2.dst = n1.dst
+         |  GROUP BY o.src, o.dst)
+         |SELECT a AS src, b AS dst, CAST(s AS BIGINT) AS support
+         |FROM fin WHERE s >= 2 ORDER BY src, dst""".stripMargin
+    },
+
+    // Life-table replay: per-user first/last day, censor in the final
+    // 3 days, duration support, descending at-risk cumulative, hazard
+    // at 1e-6.
+    "q_life_table" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    min(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS f,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS l
+        |  FROM events GROUP BY user_id),
+        |md AS (SELECT max(l) AS maxd FROM u),
+        |byt AS (
+        |  SELECT l - f AS t,
+        |    sum(CASE WHEN l >= maxd - 2 THEN 0 ELSE 1 END) AS d_churn,
+        |    sum(CASE WHEN l >= maxd - 2 THEN 1 ELSE 0 END) AS c_cens
+        |  FROM u CROSS JOIN md GROUP BY 1),
+        |c AS (SELECT t, d_churn, c_cens,
+        |    sum(d_churn + c_cens) OVER (ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+        |  FROM byt)
+        |SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(d_churn AS BIGINT) AS d_churn, CAST(c_cens AS BIGINT) AS c_cens,
+        |  CAST(d_churn * 1000000 // n_risk AS BIGINT) AS hazard_e6
+        |FROM c ORDER BY t""".stripMargin,
+
+    // Bootstrap replay: same arithmetic-hash Poisson-ish weights
+    // (368/736/920 per-mille thresholds), 32 replicates, exact cents.
+    "q_bootstrap" ->
+      """WITH r AS (
+        |  SELECT event_id, CAST(round(value * 100, 0) AS BIGINT) AS vc,
+        |    unnest(range(1, 33)) AS b
+        |  FROM events),
+        |h AS (SELECT b, vc,
+        |    (event_id * 1000003 + b * 7919 + b) % 1000 AS h FROM r),
+        |w AS (SELECT b, vc,
+        |    CASE WHEN h < 368 THEN 0 WHEN h < 736 THEN 1
+        |         WHEN h < 920 THEN 2 ELSE 3 END AS w FROM h)
+        |SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
+        |  CAST(sum(w * vc) AS BIGINT) AS sum_cents,
+        |  CAST(sum(CAST(w * vc AS HUGEINT)) * 1000000 // sum(w) AS BIGINT)
+        |    AS mean_c_e6
+        |FROM w GROUP BY b ORDER BY b""".stripMargin,
+
+    // A/B replay: same arithmetic-hash variant split, per-user
+    // conversion, the rational z² with identical chained truncating
+    // divisions.
+    "q_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase'
+        |             AND CAST(round(value * 100, 0) AS BIGINT) >= 20000
+        |        THEN 1 ELSE 0 END) AS conv,
+        |    (user_id * 1000003 + 12345) % 97 % 2 AS v
+        |  FROM events GROUP BY user_id),
+        |s AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN v = 0 THEN conv ELSE 0 END) AS BIGINT) AS k_a,
+        |    CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN v = 1 THEN conv ELSE 0 END) AS BIGINT) AS k_b
+        |  FROM u)
+        |SELECT n_a, k_a, CAST(k_a * 1000000 // n_a AS BIGINT) AS rate_a_e6,
+        |  n_b, k_b, CAST(k_b * 1000000 // n_b AS BIGINT) AS rate_b_e6,
+        |  CAST((k_b * n_a - k_a * n_b) * 1000000 // nullif(k_a * n_b, 0)
+        |    AS BIGINT) AS lift_e6,
+        |  CAST(CAST(k_a * n_b - k_b * n_a AS HUGEINT)
+        |    * (k_a * n_b - k_b * n_a) * (n_a + n_b) * 1000000
+        |    // CAST(n_a AS HUGEINT) // n_b
+        |    // nullif(k_a + k_b, 0)
+        |    // nullif(n_a + n_b - k_a - k_b, 0) AS BIGINT) AS z2_e6
+        |FROM s""".stripMargin,
+
+    // EWMA replay: identical fixed-point recurrence
+    // s_t = s_{t-1} + (1e6 x_t - s_{t-1}) // 8 via a recursive CTE
+    // over row-numbered days (each level references its predecessor
+    // once — the kcore inlining lesson).
+    "q_ewma" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |d2 AS (SELECT d, x, row_number() OVER (ORDER BY d) AS rn FROM daily),
+        |r AS (
+        |  SELECT rn, d, x, x * 1000000 AS s FROM d2 WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d2.rn, d2.d, d2.x, r.s + (d2.x * 1000000 - r.s) // 8
+        |  FROM r JOIN d2 ON d2.rn = r.rn + 1)
+        |SELECT d, x, CAST(s AS BIGINT) AS ewma_e6,
+        |  CAST(x * 1000000 - s AS BIGINT) AS resid_e6
+        |FROM r ORDER BY d""".stripMargin,
+
+    // Data-quality replay: same three bounded passes — row-level
+    // conditional aggregate, distinct key count, orphan anti count.
+    "q_dq_checks" ->
+      """WITH row_m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS BIGINT) AS c_qty,
+        |    CAST(sum(CASE WHEN CAST(round(l_discount * 100, 0) AS BIGINT) BETWEEN 0 AND 10 THEN 1 ELSE 0 END) AS BIGINT) AS c_disc,
+        |    CAST(sum(CASE WHEN l_returnflag IN ('A','N','R') AND l_linestatus IN ('F','O') THEN 1 ELSE 0 END) AS BIGINT) AS c_flag,
+        |    CAST(sum(CASE WHEN l_tax IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_tax
+        |  FROM lineitem),
+        |uq AS (SELECT CAST(count(*) AS BIGINT) AS u FROM (
+        |    SELECT DISTINCT l_orderkey, l_linenumber, l_partkey FROM lineitem) z),
+        |orph AS (SELECT CAST(count(*) AS BIGINT) AS orph FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+        |s AS (SELECT * FROM row_m, uq, orph)
+        |SELECT * FROM (
+        |  SELECT 'quantity_in_1_50' AS chk, c_qty * 1000000 // n AS metric_e6, c_qty = n AS pass FROM s
+        |  UNION ALL SELECT 'discount_in_0_10pct', c_disc * 1000000 // n, c_disc = n FROM s
+        |  UNION ALL SELECT 'flag_status_domain', c_flag * 1000000 // n, c_flag = n FROM s
+        |  UNION ALL SELECT 'tax_complete', c_tax * 1000000 // n, c_tax = n FROM s
+        |  UNION ALL SELECT 'key_unique', u * 1000000 // n, u = n FROM s
+        |  UNION ALL SELECT 'orderkey_resolves', (n - orph) * 1000000 // n, orph = 0 FROM s) z
+        |ORDER BY chk""".stripMargin,
+
+    // CMS replay: same 4x1024 portable-hash sketch, same top-20 exact
+    // candidates, estimate = min over rows.
+    "q_cms_topk" -> {
+      val termH = hSql("'cms' || r || ':' || term")
+      s"""WITH toks AS (
+         |  SELECT unnest(${wordsSql("lower(text)")}) AS term FROM documents),
+         |t2 AS (SELECT term FROM toks WHERE len(term) > 0),
+         |rs AS (SELECT unnest(range(0, 4)) AS r),
+         |cells AS (
+         |  SELECT r, $termH % 1024 AS c, count(*) AS cnt
+         |  FROM t2, rs GROUP BY 1, 2),
+         |top AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS exact FROM t2
+         |  GROUP BY term ORDER BY exact DESC, term LIMIT 20),
+         |probe AS (
+         |  SELECT term, exact, r, $termH % 1024 AS c FROM top, rs)
+         |SELECT p.term, p.exact,
+         |  CAST(min(cl.cnt) AS BIGINT) AS cms_est,
+         |  min(cl.cnt) >= p.exact AS never_under
+         |FROM probe p JOIN cells cl ON cl.r = p.r AND cl.c = p.c
+         |GROUP BY p.term, p.exact
+         |ORDER BY p.exact DESC, p.term""".stripMargin
+    },
+
+    // Modularity replay: same undirected dedup'd part-adjacency edges,
+    // p_brand communities, fraction-free contribution.
+    "q_modularity" ->
+      """WITH p AS (SELECT l_partkey AS src,
+        |    lead(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
+        |  FROM lineitem),
+        |e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM p WHERE dst IS NOT NULL AND src <> dst),
+        |e AS (SELECT e0.a, e0.b, pa.p_brand AS ba, pb.p_brand AS bb
+        |  FROM e0 JOIN part pa ON pa.p_partkey = e0.a
+        |          JOIN part pb ON pb.p_partkey = e0.b),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+        |ec AS (SELECT ba AS brand, CAST(count(*) AS BIGINT) AS e_c
+        |  FROM e WHERE ba = bb GROUP BY 1),
+        |dc AS (SELECT brand, CAST(count(*) AS BIGINT) AS d_c FROM (
+        |    SELECT ba AS brand FROM e UNION ALL SELECT bb FROM e) z GROUP BY 1)
+        |SELECT dc.brand, COALESCE(ec.e_c, 0) AS e_c, dc.d_c,
+        |  CAST((4 * m.m * COALESCE(ec.e_c, 0)
+        |        - CAST(dc.d_c AS HUGEINT) * dc.d_c) * 1000000
+        |    // (4 * CAST(m.m AS HUGEINT) * m.m) AS BIGINT) AS contrib_e6
+        |FROM dc LEFT JOIN ec ON ec.brand = dc.brand, m
+        |ORDER BY dc.brand""".stripMargin,
+
+    // Rich-club replay: same dedup'd undirected edges, degree pass,
+    // min-endpoint-degree per edge, power-of-two threshold spine.
+    "q_richclub" ->
+      """WITH p AS (SELECT l_partkey AS src,
+        |    lead(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
+        |  FROM lineitem),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM p WHERE dst IS NOT NULL AND src <> dst),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT a AS node FROM und UNION ALL SELECT b FROM und) z
+        |  GROUP BY 1),
+        |ks AS (SELECT CAST(unnest([2, 4, 8, 16]) AS BIGINT) AS k),
+        |nk AS (SELECT k,
+        |    CAST(sum(CASE WHEN deg > k THEN 1 ELSE 0 END) AS BIGINT) AS n_k
+        |  FROM deg, ks GROUP BY k),
+        |ek AS (SELECT k,
+        |    CAST(sum(CASE WHEN least(da.deg, db.deg) > k THEN 1 ELSE 0 END) AS BIGINT) AS e_k
+        |  FROM und
+        |  JOIN deg da ON da.node = und.a
+        |  JOIN deg db ON db.node = und.b, ks GROUP BY k)
+        |SELECT nk.k, nk.n_k, ek.e_k,
+        |  2 * ek.e_k * 1000000 // nullif(nk.n_k * (nk.n_k - 1), 0) AS phi_e6
+        |FROM nk JOIN ek USING (k)
+        |ORDER BY nk.k""".stripMargin,
+
+    // Holt replay: identical fixed-point double-exponential recurrence
+    // via a recursive CTE (each level references its predecessor once).
+    "q_holt" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |d2 AS (SELECT d, x, row_number() OVER (ORDER BY d) AS rn FROM daily),
+        |r AS (
+        |  SELECT rn, d, x, x * 1000000 AS l, CAST(0 AS BIGINT) AS b
+        |  FROM d2 WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d2.rn, d2.d, d2.x,
+        |    r.l + r.b + (d2.x * 1000000 - r.l - r.b) // 8,
+        |    r.b + ((d2.x * 1000000 - r.l - r.b) // 8) // 4
+        |  FROM r JOIN d2 ON d2.rn = r.rn + 1)
+        |SELECT d, x, CAST(l AS BIGINT) AS level_e6, CAST(b AS BIGINT) AS trend_e6,
+        |  CAST(l + b AS BIGINT) AS forecast_next_e6
+        |FROM r ORDER BY d""".stripMargin,
   )
 }

@@ -107,6 +107,61 @@ object Graph {
     u.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
   }
 
+  /** k-truss decomposition: iteratively peel edges supported by fewer
+    * than k−2 triangles until fixpoint; returns the surviving oriented
+    * edges (src < dst) with their final support. The cohesion notch
+    * above k-core — a k-core can be a sparse star-of-stars, a k-truss
+    * edge is embedded in (k−2) actual triangles, which is what
+    * community-keeping pipelines filter on.
+    *
+    * Scale shape per round: support is ONE wedge equi-join
+    * (oriented edge ⋈ adjacency ⋈ adjacency — the q_triangles closing
+    * shape, never an all-pairs), the peel is a symmetrized left-semi
+    * on the keep set, and the fixpoint probe compares two counts.
+    * Round count is data-bounded (support only shrinks); each round's
+    * edge set is localCheckpointed and the predecessor released, so
+    * lineage stays flat on deep peels.
+    */
+  def kTruss(edges: DataFrame, k: Int, maxRounds: Int = 30): DataFrame = {
+    require(k >= 3, s"kTruss needs k >= 3, got $k")
+    val e = edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
+    var und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    def support(u: DataFrame): DataFrame = {
+      val o = u.filter(col("src") < col("dst"))
+        .select(col("src").as("a"), col("dst").as("b"))
+      o.join(u.select(col("src").as("a"), col("dst").as("w1")), "a")
+        .join(u.select(col("src").as("b"), col("dst").as("w2")), "b")
+        .filter(col("w1") === col("w2"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("s"))
+    }
+    var converged = false
+    var i = 0
+    var sup: DataFrame = null
+    while (!converged && i < maxRounds) {
+      sup = support(und).localCheckpoint(true)
+      val oriented = und.filter(col("src") < col("dst")).count()
+      val kept = sup.filter(col("s") >= k - 2)
+      if (kept.count() == oriented) converged = true
+      else {
+        val keepSym = kept.select(col("a"), col("b"))
+          .union(kept.select(col("b").as("a"), col("a").as("b")))
+        val next = und
+          .join(keepSym.select(col("a").as("src"), col("b").as("dst")),
+            Seq("src", "dst"), "left_semi")
+          .localCheckpoint(true)
+        org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(und)
+        org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(sup)
+        und = next
+      }
+      i += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"kTruss: no fixpoint after $maxRounds rounds (k=$k)")
+    sup.select(col("a").as("src"), col("b").as("dst"), col("s").as("support"))
+  }
+
   /** Multi-source BFS hop distances: every node reachable from the
     * source set, with its minimum hop count — the
     * distance-to-seed-set primitive (seed-expansion sampling, blast

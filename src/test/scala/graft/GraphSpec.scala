@@ -64,6 +64,37 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), got)
   }
 
+  private def truss(edges: Seq[(Long, Long)], k: Int): Map[(Long, Long), Long] =
+    Graph.kTruss(edges.toDF("src", "dst"), k)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+  test("kTruss: 3-truss keeps the triangle, sheds the pendant edge") {
+    // triangle {1,2,3} + pendant 3-4: pendant has support 0
+    val got = truss(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)), k = 3)
+    assert(got == Map((1L, 2L) -> 1L, (2L, 3L) -> 1L, (1L, 3L) -> 1L), got)
+  }
+
+  test("kTruss: peel cascades — losing one triangle's edge collapses the next") {
+    // two triangles sharing edge 2-3: every edge is in exactly 1
+    // triangle except 2-3 (support 2). At k=4 the outer edges go
+    // first, then 2-3's support collapses → empty.
+    val got = truss(
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L)), k = 4)
+    assert(got.isEmpty, got)
+  }
+
+  test("kTruss: K4 is exactly its own 4-truss (every edge in 2 triangles)") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val got = truss(k4, k = 4)
+    assert(got.size == 6 && got.values.forall(_ == 2L), got)
+  }
+
+  test("kTruss: k-core does not imply k-truss (C5 is a 2-core, 3-truss-empty)") {
+    val c5 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L))
+    assert(truss(c5, k = 3).isEmpty)
+    assert(core(c5, k = 2).keySet == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
   private def bfs(edges: Seq[(Long, Long)], srcs: Seq[Long]): Map[Long, Long] =
     Graph.bfsDistances(edges.toDF("src", "dst"), srcs.toDF("node"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

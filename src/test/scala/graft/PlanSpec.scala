@@ -767,4 +767,144 @@ class PlanSpec extends AnyFunSuite {
     val global = "windowspecdefinition\\(\\w+#\\d+L? (ASC|DESC)".r
     assert(global.findFirstIn(plan).isEmpty, plan)
   }
+
+  val globalWindow = "windowspecdefinition\\(\\w+#\\d+L? (ASC|DESC)".r
+
+  test("mann-whitney: the support walk keeps its singleton key; counts partial-agg") {
+    val plan = formatted(Queries.mannWhitneyQ(spark, sf))
+    assert(plan.contains("pmod(hash("), plan)
+    assert(globalWindow.findFirstIn(plan).isEmpty, plan)
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
+  }
+
+  test("spearman: both rank walks keep singleton keys; stats in one partial pass") {
+    val plan = formatted(Queries.spearmanQ(spark, sf))
+    assert("pmod\\(hash\\(".r.findAllIn(plan).size >= 2, plan)
+    assert(globalWindow.findFirstIn(plan).isEmpty, plan)
+  }
+
+  test("acf: no window at all; the daily self-join is equi, never cartesian") {
+    val plan = formatted(Queries.acfQ(spark, sf))
+    assert(!plan.contains("windowspecdefinition"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("cusum: day walk keeps its singleton key; scalars broadcast") {
+    val plan = formatted(Queries.cusumQ(spark, sf))
+    assert(plan.contains("pmod(hash("), plan)
+    assert(globalWindow.findFirstIn(plan).isEmpty, plan)
+  }
+
+  test("chi2 independence: margins broadcast; the cell join is equi") {
+    val plan = formatted(Queries.chi2IndepQ(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan) // everything is margin-sized
+  }
+
+  test("bleu: gram match is an equi join on (pair, n, gram); no cartesian") {
+    val plan = formatted(Queries.bleuQ(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("item-cf: basket self-join is equi; top-3 window partitions by item") {
+    val plan = formatted(Queries.itemCfQ(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert("windowspecdefinition\\(item#\\d+".r.findFirstIn(plan).isDefined, plan)
+    assert(globalWindow.findFirstIn(plan).isEmpty, plan)
+  }
+
+  test("burstiness: term counts partial-agg; the vocab ranking keeps its singleton key") {
+    val plan = formatted(Queries.burstinessQ(spark, sf))
+    assert(plan.contains("partial_count"), plan)
+    assert(plan.contains("pmod(hash("), plan)
+    assert(globalWindow.findFirstIn(plan).isEmpty, plan)
+  }
+
+  test("isotonic: the data pass partial-aggregates; no window anywhere") {
+    val plan = formatted(Queries.isotonicQ(spark, sf))
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
+    assert(!plan.contains("windowspecdefinition"), plan)
+  }
+
+  test("ktruss: every join in the wedge/peel round is equi, never cartesian") {
+    val plan = formatted(graft.ops.Graph.kTruss(
+      graft.sources.Tables.lineitem(spark, sf)
+        .selectExpr("l_partkey as src", "l_suppkey as dst"), k = 3, maxRounds = 30))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("life table: duration walk keeps its singleton key; user reduce partial-aggs") {
+    val plan = formatted(Queries.lifeTableQ(spark, sf))
+    assert(plan.contains("pmod(hash("), plan)
+    assert(globalWindow.findFirstIn(plan).isEmpty, plan)
+    assert(plan.contains("partial_min"), plan)
+  }
+
+  test("bootstrap: 32x explode combines map-side — partial sums, no join, no window") {
+    val plan = formatted(Queries.bootstrapQ(spark, sf))
+    assert(plan.contains("partial_sum"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("windowspecdefinition"), plan)
+  }
+
+  test("ab test: one partial-aggregated pass, no join, no window") {
+    val plan = formatted(Queries.abTestQ(spark, sf))
+    assert(plan.contains("partial_max") || plan.contains("partial_sum"), plan)
+    assert(!plan.contains("windowspecdefinition"), plan)
+  }
+
+  test("ewma: daily counts partial-agg; the fold is one HOF, no window, no join") {
+    val plan = formatted(Queries.ewmaQ(spark, sf))
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
+    assert(!plan.contains("windowspecdefinition"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("aggregate("), plan) // the HOF fold survives
+  }
+
+  test("dq checks: row constraints ride one scan; referential is an anti join") {
+    val plan = formatted(Queries.dqChecksQ(spark, sf))
+    assert(plan.contains("partial_sum"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("windowspecdefinition"), plan)
+    // three lineitem scans (row pass, uniqueness, referential), not more
+    assert("Location: InMemoryFileIndex[^\\n]*lineitem".r
+      .findAllIn(plan).size <= 6, plan) // formatted prints each node twice
+  }
+
+  test("cms: sketch cells partial-agg; probes join equi on (r,c); top-20 is TakeOrdered") {
+    val plan = formatted(Queries.cmsTopkQ(spark, sf))
+    assert(plan.contains("partial_count"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("windowspecdefinition"), plan)
+  }
+
+  test("modularity: brand lookups broadcast; bounded aggregates; no cartesian") {
+    val plan = formatted(Queries.modularityQ(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("partial_count"), plan)
+  }
+
+  test("richclub: degree joins equi; threshold spine broadcast; conditional aggs partial") {
+    val plan = formatted(Queries.richClubQ(spark, sf))
+    assert(plan.contains("partial_sum"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the only window is the edge builder's keyed lead over l_orderkey
+    val keyed = "windowspecdefinition\\(l_orderkey#\\d+L".r.findAllIn(plan).size
+    val all = "windowspecdefinition".r.findAllIn(plan).size
+    assert(all == keyed, plan)
+  }
+
+  test("holt: daily counts partial-agg; the fold is one HOF, no window, no join") {
+    val plan = formatted(Queries.holtQ(spark, sf))
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
+    assert(!plan.contains("windowspecdefinition"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("aggregate("), plan)
+  }
 }
