@@ -5858,4 +5858,177 @@ object Queries {
         (col("r.l") + col("r.b")).as("forecast_next_e6"))
       .orderBy(col("d"))
   }
+
+  /** ROC AUC of the batch perceptron's English discriminator, exact:
+    * AUC is the Mann-Whitney statistic of the score ranking —
+    * Σ midrank₂ over positives (midranks at 2× scale so ties stay
+    * integral), then AUC·10⁶ = (Σmidrank₂ − n₊(n₊+1))·10⁶ div
+    * (2·n₊·n₋). The walk rides the SCORE SUPPORT (distinct integer
+    * scores), not per-document rows, and training itself is replayed
+    * by the oracle — only possible because no float ever enters the
+    * update or the ranking. The threshold-free twin of
+    * [[calibrationQ]]'s reliability table.
+    */
+  def aucQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"),
+      when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
+    val (wm, b) = graft.ops.Classify.perceptronTrain(d, "y", "text", "pcpt:", 64, 3)
+    val fs = graft.ops.Classify.perceptronScore(d, wm, b, "doc_id", "text",
+        "pcpt:", 64, carry = Seq("y"))
+      .select(col("y"), col("score"))
+    val sup = fs.groupBy(col("score").as("s"))
+      .agg(count(lit(1)).as("ct"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("pos"))
+    val w = Window.partitionBy(
+        graft.functions.GraftFunctions.singleton_key(col("s")))
+      .orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sup.withColumn("below", coalesce(sum(col("ct")).over(w), lit(0L)))
+      .groupBy()
+      .agg(sum(col("pos")).as("n_pos"),
+        sum(col("ct") - col("pos")).as("n_neg"),
+        sum(col("pos") * (lit(2L) * col("below") + col("ct") + lit(1L)))
+          .as("rank2_pos"))
+      .select(col("n_pos"), col("n_neg"),
+        expr("""(rank2_pos - n_pos * (n_pos + 1)) * 1000000
+                div (2 * n_pos * n_neg)""").as("auc_e6"))
+  }
+
+  /** Kaplan-Meier product-limit survival curve over user lifetimes
+    * (duration = last − first active day, censored in the final 3
+    * days — the [[lifeTableQ]] contract), kept exact in fixed point:
+    * S ← S·(n−d) div n per duration step, starting at 10⁶ — the
+    * truncating product both engines replay identically, so the whole
+    * curve is bit-exact. At-risk counts fall out of the SAME fold
+    * (carry n, subtract deaths+censored per step), so there is no
+    * window at all: one per-user reduce, one duration-support
+    * aggregate, one bounded fold.
+    */
+  def kaplanMeierQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy(col("user_id")).agg(min(col("d")).as("f"), max(col("d")).as("l"))
+    val md = u.groupBy().agg(max(col("l")).as("maxd"))
+    val byT = u.crossJoin(broadcast(md))
+      .select((col("l") - col("f")).as("t"),
+        (col("l") >= col("maxd") - 2).as("cens"))
+      .groupBy(col("t"))
+      .agg(sum(when(!col("cens"), 1L).otherwise(0L)).as("dd"),
+        sum(when(col("cens"), 1L).otherwise(0L)).as("cc"))
+    byT
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("t"), col("dd"), col("cc"))))
+        .as("arr"))
+      .select(col("arr"),
+        expr("aggregate(arr, 0L, (a, e) -> a + e.dd + e.cc)").as("total"))
+      .select(explode(expr(
+        """aggregate(arr,
+          |  named_struct('n', total, 's', 1000000L,
+          |    'out', cast(array() as array<struct<t:bigint,n_risk:bigint,
+          |                                        d:bigint,surv_e6:bigint>>)),
+          |  (acc, e) -> named_struct(
+          |    'n', acc.n - e.dd - e.cc,
+          |    's', acc.s * (acc.n - e.dd) div acc.n,
+          |    'out', array_append(acc.out, named_struct(
+          |      't', e.t, 'n_risk', acc.n, 'd', e.dd,
+          |      'surv_e6', acc.s * (acc.n - e.dd) div acc.n))),
+          |  acc -> acc.out)""".stripMargin)).as("r"))
+      .select(col("r.t").as("t"), col("r.n_risk").as("n_risk"),
+        col("r.d").as("d_churn"), col("r.surv_e6").as("surv_e6"))
+      .orderBy(col("t"))
+  }
+
+  /** Mann-Kendall trend test + Sen's slope on the daily event volume:
+    * S = Σ_{i<j} sgn(x_j − x_i) over all day pairs (calendar², tiny),
+    * and the Sen estimator is the exact median of the pairwise slopes
+    * (x_j−x_i)·10⁶ div (d_j−d_i), shipped at 2× scale so the
+    * even-count midpoint stays an integer (the q_mad device). The
+    * one data-sized pass is the daily count; the pair join is
+    * support × support. The nonparametric "is volume trending"
+    * readout that CUSUM's changepoint scan doesn't give.
+    */
+  def mannKendallQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("x"))
+    val a = daily.select(col("d").as("da"), col("x").as("xa"))
+    val b = daily.select(col("d").as("db"), col("x").as("xb"))
+    val pairs = broadcast(a).join(b, col("da") < col("db"))
+      .select(signum(col("xb") - col("xa")).cast("long").as("sgn"),
+        expr("(xb - xa) * 1000000 div (db - da)").as("slope_e6"))
+    pairs.groupBy()
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("sgn")).as("s_stat"),
+        expr("cast(2 * percentile(slope_e6, 0.5) as bigint)")
+          .as("sen2_slope_e6"))
+  }
+
+  /** Benford first-digit audit of l_extendedprice (in cents — spans
+    * several decades, the precondition for Benford), fraction-free:
+    * the digit comes from the integer's decimal string (no float
+    * log10), expected counts use the canonical log10(1+1/d)
+    * probabilities as shared 10⁻⁶ constants, and each digit's χ²
+    * contribution is (obs₆−exp₆)² div exp₆ on count·10⁶ scale —
+    * exact integers end to end. One conditional aggregate over one
+    * scan; 9 rows out. The fraud/synthetic-data smell test for any
+    * money column at 100 TB.
+    */
+  def benfordQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val obs = Tables.lineitem(spark, sfDir)
+      .select(cents(col("l_extendedprice")).cast("long").as("c"))
+      .select(substring(col("c").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("obs"))
+    val probs = broadcast(obs.sparkSession.range(1, 10)
+      .select(col("id").as("digit"),
+        element_at(
+          typedLit(Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+            66947L, 57992L, 51153L, 45757L)),
+          col("id").cast("int")).as("p_e6")))
+    val n = obs.groupBy().agg(sum(col("obs")).as("n"))
+    probs.join(obs, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("obs"), lit(0L)).as("obs"),
+        col("p_e6"))
+      .crossJoin(broadcast(n))
+      .select(col("digit"), col("obs"),
+        (col("n") * col("p_e6")).as("exp_e6"),
+        expr("""cast((obs * 1000000 - cast(n as decimal(38,0)) * p_e6)
+                * (obs * 1000000 - cast(n as decimal(38,0)) * p_e6)
+                div (cast(n as decimal(38,0)) * p_e6) as bigint)""")
+          .as("cell_chi2_e6"))
+      .orderBy(col("digit"))
+  }
+
+  /** Cohort lifetime value: cumulative purchase revenue per
+    * (first-active-week cohort, week offset), per cohort member at
+    * 10⁻⁶ cents — [[Queries.retentionQ]]'s revenue twin. Weekly
+    * revenue cells aggregate in one keyed pass (user cohorts joined
+    * on user_id, co-partitioned); the cumulative walk runs over the
+    * calendar²-bounded cell table partitioned BY COHORT — a real
+    * partition spec, no global window anywhere.
+    */
+  def cohortLtvQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 604800000000").as("wk"),
+        when(col("event_type") === "purchase",
+          cents(col("value")).cast("long")).otherwise(0L).as("rev_c"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("wk")).as("c0"))
+    val size = cohort.groupBy(col("c0").as("cohort"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val cell = ev.join(cohort, "user_id")
+      .groupBy(col("c0").as("cohort"), (col("wk") - col("c0")).as("offset"))
+      .agg(sum(col("rev_c")).as("rev_cents"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("offset"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cell.join(broadcast(size), "cohort")
+      .withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
+      .select(col("cohort"), col("offset"), col("rev_cents"),
+        col("cum_rev_cents"), col("cohort_size"),
+        expr("cum_rev_cents * 1000000 div cohort_size")
+          .as("cum_rev_per_user_e6"))
+      .orderBy(col("cohort"), col("offset"))
+  }
 }

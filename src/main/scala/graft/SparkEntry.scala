@@ -277,6 +277,11 @@ object SparkEntry {
     "q_modularity" -> (Queries.modularityQ _),
     "q_richclub" -> (Queries.richClubQ _),
     "q_holt" -> (Queries.holtQ _),
+    "q_auc" -> (Queries.aucQ _),
+    "q_kaplan_meier" -> (Queries.kaplanMeierQ _),
+    "q_mann_kendall" -> (Queries.mannKendallQ _),
+    "q_benford" -> (Queries.benfordQ _),
+    "q_cohort_ltv" -> (Queries.cohortLtvQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -5076,5 +5081,116 @@ object SparkEntry {
         |SELECT d, x, CAST(l AS BIGINT) AS level_e6, CAST(b AS BIGINT) AS trend_e6,
         |  CAST(l + b AS BIGINT) AS forecast_next_e6
         |FROM r ORDER BY d""".stripMargin,
+
+    // AUC replay: the full perceptron training CTE chain, then the
+    // Mann-Whitney midrank2 walk over the score support.
+    "q_auc" ->
+      s"""WITH $pcptCtes,
+         |fs AS (SELECT c.doc_id, c.y,
+         |    CAST(sum(c.n * coalesce(w3.w, 0)) AS BIGINT) + (SELECT b FROM b3) AS score
+         |  FROM pc0 c LEFT JOIN w3 USING (bucket) GROUP BY c.doc_id, c.y),
+         |sup AS (SELECT score AS s, CAST(count(*) AS BIGINT) AS ct,
+         |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+         |  FROM fs GROUP BY score),
+         |wk AS (SELECT s, ct, pos,
+         |    coalesce(CAST(sum(ct) OVER (ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+         |      AS below
+         |  FROM sup),
+         |agg AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+         |    CAST(sum(ct - pos) AS BIGINT) AS n_neg,
+         |    CAST(sum(pos * (2 * below + ct + 1)) AS BIGINT) AS rank2_pos
+         |  FROM wk)
+         |SELECT n_pos, n_neg,
+         |  (rank2_pos - n_pos * (n_pos + 1)) * 1000000
+         |    // (2 * n_pos * n_neg) AS auc_e6
+         |FROM agg""".stripMargin,
+
+    // Kaplan-Meier replay: same duration support, the at-risk carry
+    // and truncating survival product via a recursive CTE.
+    "q_kaplan_meier" ->
+      """WITH RECURSIVE u AS (
+        |  SELECT user_id,
+        |    min(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS f,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS l
+        |  FROM events GROUP BY user_id),
+        |md AS (SELECT max(l) AS maxd FROM u),
+        |byt AS (SELECT l - f AS t,
+        |    CAST(sum(CASE WHEN l >= maxd - 2 THEN 0 ELSE 1 END) AS BIGINT) AS dd,
+        |    CAST(sum(CASE WHEN l >= maxd - 2 THEN 1 ELSE 0 END) AS BIGINT) AS cc
+        |  FROM u, md GROUP BY 1),
+        |d2 AS (SELECT t, dd, cc, row_number() OVER (ORDER BY t) AS rn FROM byt),
+        |tot AS (SELECT CAST(sum(dd + cc) AS BIGINT) AS total FROM byt),
+        |r AS (
+        |  SELECT rn, t, dd, cc, total AS n,
+        |    1000000 * (total - dd) // total AS s
+        |  FROM d2, tot WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d2.rn, d2.t, d2.dd, d2.cc, r.n - r.dd - r.cc,
+        |    r.s * (r.n - r.dd - r.cc - d2.dd) // (r.n - r.dd - r.cc)
+        |  FROM r JOIN d2 ON d2.rn = r.rn + 1)
+        |SELECT t, CAST(n AS BIGINT) AS n_risk, dd AS d_churn,
+        |  CAST(s AS BIGINT) AS surv_e6
+        |FROM r ORDER BY t""".stripMargin,
+
+    // Mann-Kendall replay: same support pair join, integer sign sum,
+    // 2x-scaled exact Sen median.
+    "q_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |p AS (SELECT CAST(sign(b.x - a.x) AS BIGINT) AS sgn,
+        |    (b.x - a.x) * 1000000 // (b.d - a.d) AS slope_e6
+        |  FROM daily a JOIN daily b ON a.d < b.d)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(sgn) AS BIGINT) AS s_stat,
+        |  CAST(2 * quantile_cont(slope_e6, 0.5) AS BIGINT) AS sen2_slope_e6
+        |FROM p""".stripMargin,
+
+    // Benford replay: decimal-string first digit, shared 1e-6
+    // log10(1+1/d) constants, fraction-free chi2 cells.
+    "q_benford" ->
+      """WITH c AS (SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c
+        |  FROM lineitem),
+        |obs AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |    CAST(count(*) AS BIGINT) AS obs
+        |  FROM c GROUP BY 1),
+        |pr AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS digit,
+        |    unnest([301030, 176091, 124939, 96910, 79181,
+        |            66947, 57992, 51153, 45757]) AS p_e6),
+        |n AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM obs)
+        |SELECT pr.digit, coalesce(obs.obs, 0) AS obs,
+        |  n.n * pr.p_e6 AS exp_e6,
+        |  CAST((coalesce(obs.obs, 0) * 1000000 - CAST(n.n AS HUGEINT) * pr.p_e6)
+        |    * (coalesce(obs.obs, 0) * 1000000 - CAST(n.n AS HUGEINT) * pr.p_e6)
+        |    // (CAST(n.n AS HUGEINT) * pr.p_e6) AS BIGINT) AS cell_chi2_e6
+        |FROM pr LEFT JOIN obs USING (digit), n
+        |ORDER BY pr.digit""".stripMargin,
+
+    // Cohort LTV replay: weekly revenue cells, per-cohort cumulative
+    // walk, exact per-member rate.
+    "q_cohort_ltv" ->
+      """WITH ev AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS wk,
+        |    CASE WHEN event_type = 'purchase'
+        |         THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END AS rev_c
+        |  FROM events),
+        |ch AS (SELECT user_id, min(wk) AS c0 FROM ev GROUP BY 1),
+        |sz AS (SELECT c0 AS cohort, CAST(count(*) AS BIGINT) AS cohort_size
+        |  FROM ch GROUP BY 1),
+        |cell AS (SELECT ch.c0 AS cohort, ev.wk - ch.c0 AS "offset",
+        |    CAST(sum(ev.rev_c) AS BIGINT) AS rev_cents
+        |  FROM ev JOIN ch USING (user_id) GROUP BY 1, 2),
+        |cum AS (SELECT cohort, "offset", rev_cents,
+        |    CAST(sum(rev_cents) OVER (PARTITION BY cohort ORDER BY "offset"
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_rev_cents
+        |  FROM cell)
+        |SELECT c.cohort, c."offset", c.rev_cents, c.cum_rev_cents,
+        |  s.cohort_size,
+        |  c.cum_rev_cents * 1000000 // s.cohort_size AS cum_rev_per_user_e6
+        |FROM cum c JOIN sz s ON s.cohort = c.cohort
+        |ORDER BY c.cohort, c."offset"""".stripMargin,
   )
 }

@@ -907,4 +907,39 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan)
     assert(plan.contains("aggregate("), plan)
   }
+
+  test("auc: score-support walk keeps its singleton key; model join broadcast") {
+    val plan = formatted(Queries.aucQ(spark, sf))
+    // the support walk's window must carry the opaque singleton key
+    assert(plan.contains("pmod(hash("), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("kaplan-meier: user reduce partial-aggs; KM product is one fold, no window") {
+    val plan = formatted(Queries.kaplanMeierQ(spark, sf))
+    assert(plan.contains("partial_min"), plan)
+    assert(!plan.contains("windowspecdefinition"), plan)
+    assert(plan.contains("aggregate("), plan)
+  }
+
+  test("mann-kendall: the pair join broadcasts the support, never a shuffle cartesian") {
+    val plan = formatted(Queries.mannKendallQ(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("partial_count"), plan)
+  }
+
+  test("benford: one conditional aggregate; digit spine broadcast; no window") {
+    val plan = formatted(Queries.benfordQ(spark, sf))
+    assert(plan.contains("partial_count"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("windowspecdefinition"), plan)
+  }
+
+  test("cohort ltv: cumulative window partitions BY COHORT, never global") {
+    val plan = formatted(Queries.cohortLtvQ(spark, sf))
+    assert("windowspecdefinition\\(cohort#\\d+L".r.findFirstIn(plan).isDefined, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("partial_min"), plan)
+  }
 }
