@@ -6031,4 +6031,155 @@ object Queries {
           .as("cum_rev_per_user_e6"))
       .orderBy(col("cohort"), col("offset"))
   }
+
+  /** Sequential pattern support: every ADJACENT event-type trigram in
+    * each user's time-ordered stream (ties broken by event_id — the
+    * deterministic-order discipline), with occurrence and distinct-user
+    * support, top 20. One keyed window (partition BY USER — state is
+    * per-user-sized), one aggregate; the top-k plans as
+    * TakeOrderedAndProject. [[Queries.funnelQ]] asks "did B follow A
+    * for this fixed pattern"; this mines which patterns are frequent
+    * at all — the other half of behavioral sequence analysis.
+    */
+  def seqMiningQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("b", lead(col("event_type"), 1).over(w))
+      .withColumn("c", lead(col("event_type"), 2).over(w))
+      .filter(col("b").isNotNull && col("c").isNotNull)
+      .groupBy(col("event_type").as("t1"), col("b").as("t2"), col("c").as("t3"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n_occ").desc, col("t1"), col("t2"), col("t3"))
+      .limit(20)
+  }
+
+  /** Stationary distribution of the event-type Markov chain: adjacent
+    * transition counts (one keyed window pass — the data-sized work),
+    * row-normalized at 10⁻⁶, then 10 power-iteration steps computed on
+    * the DRIVER over the 5×5 matrix (the kmeans discipline: data
+    * distributed, model-sized state rides the driver) in exact integer
+    * arithmetic — p′_j = (Σ_i p_i·t₆(i,j)) div 10⁶, truncating, so the
+    * oracle replays every step bit-identically. Where the user's
+    * long-run attention lands, from a transition table any SF fits in
+    * a broadcast.
+    */
+  def markovStationaryQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val trans = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("i"), col("nxt").as("j"))
+      .agg(count(lit(1)).as("c"))
+    val rowTot = trans.groupBy(col("i")).agg(sum(col("c")).as("r"))
+    val t6 = trans.join(rowTot, "i")
+      .select(col("i"), col("j"), expr("c * 1000000 div r").as("t_e6"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val states = t6.keys.flatMap { case (i, j) => Seq(i, j) }.toSeq
+      .distinct.sorted
+    var p: Map[String, Long] =
+      states.map(_ -> 1000000L / states.size).toMap
+    for (_ <- 1 to 10) {
+      p = states.map { j =>
+        j -> states.map(i => p(i) * t6.getOrElse((i, j), 0L)).sum / 1000000L
+      }.toMap
+    }
+    val spark2 = spark
+    import spark2.implicits._
+    states.map(s => (s, p(s))).toDF("event_type", "stationary_e6")
+      .orderBy(col("event_type"))
+  }
+
+  /** CUPED variance reduction for the A/B readout ([[abTestQ]]'s
+    * third leg, after the SRM guard): per user, X = pre-period
+    * purchase cents (first half of the calendar), Y = post-period
+    * purchase cents; θ = cov(X,Y)/var(X) from one sufficient-stats
+    * aggregate, carried at 10⁻⁶ by a single truncating division of
+    * exact decimal sums; the adjusted metric Ŷ = Y·10⁶ − θ₆·(X − X̄)
+    * stays integral (X̄ cleared by n-scaling: n·Ŷ = n·Y·10⁶ −
+    * θ₆·(n·X − S_x)). Ships per-variant adjusted means and the
+    * adjusted lift — the variance-reduced readout, bit-exact. Two
+    * scans (user reduce, stats) plus one broadcast-scalar pass.
+    */
+  def cupedQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("d"),
+        when(col("event_type") === "purchase",
+          cents(col("value")).cast("long")).otherwise(0L).as("rc"))
+    val mid = ev.groupBy().agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      .select(expr("(lo + hi) div 2").as("mid"))
+    val u = ev.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("d") < col("mid"), col("rc")).otherwise(0L)).as("x"),
+        sum(when(col("d") >= col("mid"), col("rc")).otherwise(0L)).as("y"))
+      .withColumn("v", expr("(user_id * 1000003 + 12345) % 97 % 2"))
+    val st = u.groupBy().agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum((col("x").cast(d38) * col("x"))).as("sxx"),
+      sum((col("x").cast(d38) * col("y"))).as("sxy"))
+    val theta = st.select(col("n"), col("sx"), col("sy"),
+      expr("""cast((n * sxy - cast(sx as decimal(38,0)) * sy) * 1000000
+              div nullif(n * sxx - cast(sx as decimal(38,0)) * sx, 0) as bigint)""")
+        .as("theta_e6"))
+    u.crossJoin(broadcast(theta))
+      .select(col("v"), col("n"), col("theta_e6"),
+        (col("n").cast(d38) * col("y") * 1000000L -
+          col("theta_e6").cast(d38) * (col("n") * col("x") - col("sx")))
+          .as("nyadj_e6"))
+      .groupBy(col("v"), col("n"), col("theta_e6"))
+      .agg(count(lit(1)).as("n_users"), sum(col("nyadj_e6")).as("s"))
+      .select(col("v"), col("n_users"), col("theta_e6"),
+        expr("cast(s div n div n_users as bigint)").as("adj_mean_e6"))
+      .orderBy(col("v"))
+  }
+
+  /** Quantile treatment effect for the A/B assignment: exact
+    * per-variant medians of user purchase totals (cents, 2× scale so
+    * the even-count midpoint stays an integer — the q_mad device) and
+    * their difference. The distribution-shift readout mean-based
+    * [[abTestQ]] can't see; one user reduce + two tiny aggregates.
+    */
+  def qteQ(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        when(col("event_type") === "purchase",
+          cents(col("value")).cast("long")).otherwise(0L).as("rc"))
+      .groupBy(col("user_id")).agg(sum(col("rc")).as("spend"))
+      .withColumn("v", expr("(user_id * 1000003 + 12345) % 97 % 2"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("n_users"),
+        expr("cast(2 * percentile(spend, 0.5) as bigint)").as("med2_cents"))
+      .orderBy(col("v"))
+  }
+
+  /** Sample-ratio-mismatch guard for the A/B assignment: the 1-df χ²
+    * of the observed variant split against the intended 50/50 —
+    * (n_a−n_b)²·10⁶ div (n_a+n_b), exact. The cheapest and most
+    * important experiment health check there is (an SRM invalidates
+    * [[abTestQ]]'s readout entirely); one per-user reduce and one row
+    * out.
+    */
+  def abSrmQ(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct()
+      .withColumn("v", expr("(user_id * 1000003 + 12345) % 97 % 2"))
+      .groupBy()
+      .agg(sum(when(col("v") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("v") === 1, 1L).otherwise(0L)).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        expr("""(n_a - n_b) * (n_a - n_b) * 1000000
+                div (n_a + n_b)""").as("srm_chi2_e6"))
+  }
 }

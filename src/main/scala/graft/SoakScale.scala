@@ -75,12 +75,31 @@ object SoakScale {
     // per-lang fertility/confusion/diversity rollups
     "q_vocab_coverage", "q_cluster_sizes", "q_dup_rate",
     "q_neg_sample", "q_fertility", "q_langid_acc", "q_diversity",
-    "q_winsorize")
+    "q_winsorize",
+    // round 7: the iterative truss peel over the 10x edge list, the
+    // corpus-token CMS build, three whole-edge-list graph metrics, the
+    // basket co-occurrence CF join, per-token burstiness, the
+    // lang-x-source chi2 scaffold, perceptron AUC's score-support
+    // walk, the 3-pass DQ audit, the money-digit scan, and two
+    // events-scan statistics (copies multiply rows, so scan cost is
+    // honest even though the distribution repeats)
+    "q_ktruss", "q_cms_topk", "q_modularity", "q_richclub",
+    "q_item_cf", "q_burstiness", "q_chi2_indep", "q_auc",
+    "q_dq_checks", "q_benford", "q_bootstrap", "q_mannwhitney",
+    // round 7, v2 events replicas (id-shifted copies = Nx fresh users
+    // over the same calendar): the per-user-state family becomes an
+    // honest scale probe — funnel stage chain, cohort matrices,
+    // session windows, last-touch attribution, survival reductions
+    "q_funnel", "q_retention", "q_cohort_ltv", "q_sessionize",
+    "q_session_conversion", "q_attribution", "q_kaplan_meier",
+    "q_rfm", "q_event_paths")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val out = s"target/sfsoak_x$copies"
+    // v2: events are id-shifted (not straight copies) — new dir name so
+    // stale v1 replicas can't mix into a v2 measurement
+    val out = s"target/sfsoakv2_x$copies"
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     if (!new java.io.File(s"$out/_DONE").exists()) replicate(spark, src, out, copies)
     Console.err.println(s"soak input: $out ($copies x $src)")
@@ -220,12 +239,23 @@ object SoakScale {
           when(j === lit(i % 16), x + lit((0.05f * ((i / 16) + 1)))).otherwise(x)))
     }.reduce(_ union _)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-    // remaining tables: straight copies (dims the heavy five don't
-    // stress). events carries NANO timestamps — readable only as long
-    // (the same conf graft.sources.Tables sets); the copy then lands as
-    // plain INT64, which Tables.table handles identically.
+    // events: id-shifted copies (event_id AND user_id), so the copies
+    // are 10x FRESH USERS over the same calendar — per-user state
+    // (funnel stages, sessions, cohorts, attribution) grows 10x while
+    // the day/week support stays calendar-bounded, exactly the shape a
+    // grown product would have. ts itself is untouched (nano-as-long:
+    // the conf below must be set BEFORE the read; the copy lands as
+    // plain INT64, which Tables.table handles identically).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Seq("region", "nation", "customer", "supplier", "orders", "events")
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val (evE, evU) = (span(ev, "event_id"), span(ev, "user_id"))
+    (0 until copies).map(i =>
+        shifted(ev, Map("event_id" -> evE, "user_id" -> evU), i))
+      .reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    // remaining tables: straight copies (dims the heavy five don't
+    // stress).
+    Seq("region", "nation", "customer", "supplier", "orders")
       .foreach { t =>
         spark.read.parquet(s"$src/$t.parquet")
           .write.mode("overwrite").parquet(s"$out/$t.parquet")

@@ -282,6 +282,11 @@ object SparkEntry {
     "q_mann_kendall" -> (Queries.mannKendallQ _),
     "q_benford" -> (Queries.benfordQ _),
     "q_cohort_ltv" -> (Queries.cohortLtvQ _),
+    "q_seq_mining" -> (Queries.seqMiningQ _),
+    "q_markov_stationary" -> (Queries.markovStationaryQ _),
+    "q_ab_srm" -> (Queries.abSrmQ _),
+    "q_cuped" -> (Queries.cupedQ _),
+    "q_qte" -> (Queries.qteQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -5192,5 +5197,106 @@ object SparkEntry {
         |  c.cum_rev_cents * 1000000 // s.cohort_size AS cum_rev_per_user_e6
         |FROM cum c JOIN sz s ON s.cohort = c.cohort
         |ORDER BY c.cohort, c."offset"""".stripMargin,
+
+    // Sequence-mining replay: identical keyed lead pair with the
+    // (ts, event_id) deterministic order.
+    "q_seq_mining" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |tri AS (SELECT user_id, event_type AS t1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS t2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY us, event_id) AS t3
+        |  FROM ev)
+        |SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n_occ,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM tri WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+        |GROUP BY t1, t2, t3
+        |ORDER BY n_occ DESC, t1, t2, t3 LIMIT 20""".stripMargin,
+
+    // Markov stationary replay: transition counts, 1e-6 row
+    // normalization, 10 materialized truncating power steps.
+    "q_markov_stationary" -> {
+      def round(i: Int): String =
+        s"""mkp$i AS MATERIALIZED (
+           |  SELECT st.s,
+           |    CAST(coalesce(sum(p.p * t.t_e6), 0) // 1000000 AS BIGINT) AS p
+           |  FROM st LEFT JOIN t6 t ON t.j = st.s
+           |          LEFT JOIN mkp${i - 1} p ON p.s = t.i
+           |  GROUP BY st.s)""".stripMargin
+      val rounds = (1 to 10).map(round).mkString(",\n")
+      s"""WITH ev AS (SELECT user_id, event_id, event_type,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+         |pairs AS (SELECT event_type AS i,
+         |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS j
+         |  FROM ev),
+         |trans AS (SELECT i, j, CAST(count(*) AS BIGINT) AS c FROM pairs
+         |  WHERE j IS NOT NULL GROUP BY i, j),
+         |rt AS (SELECT i, CAST(sum(c) AS BIGINT) AS r FROM trans GROUP BY i),
+         |t6 AS (SELECT t.i, t.j, t.c * 1000000 // rt.r AS t_e6
+         |  FROM trans t JOIN rt USING (i)),
+         |st AS (SELECT DISTINCT i AS s FROM trans
+         |       UNION SELECT DISTINCT j FROM trans),
+         |mkp0 AS (SELECT s,
+         |    CAST(1000000 // (SELECT count(*) FROM st) AS BIGINT) AS p FROM st),
+         |$rounds
+         |SELECT s AS event_type, p AS stationary_e6 FROM mkp10
+         |ORDER BY event_type""".stripMargin
+    },
+
+    // SRM replay: same hash assignment, exact 1-df chi2 against 50/50.
+    "q_ab_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |v AS (SELECT (user_id * 1000003 + 12345) % 97 % 2 AS v FROM u)
+        |SELECT CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |  CAST((sum(CASE WHEN v = 0 THEN 1 ELSE 0 END)
+        |     - sum(CASE WHEN v = 1 THEN 1 ELSE 0 END))
+        |  * (sum(CASE WHEN v = 0 THEN 1 ELSE 0 END)
+        |     - sum(CASE WHEN v = 1 THEN 1 ELSE 0 END))
+        |  * 1000000 // count(*) AS BIGINT) AS srm_chi2_e6
+        |FROM v""".stripMargin,
+
+    // CUPED replay: same pre/post split, theta at 1e-6 from exact
+    // decimal sufficient stats, n-scaled adjusted means with identical
+    // chained truncating division.
+    "q_cuped" ->
+      """WITH ev AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    CASE WHEN event_type = 'purchase'
+        |         THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END AS rc
+        |  FROM events),
+        |mid AS (SELECT (min(d) + max(d)) // 2 AS mid FROM ev),
+        |u AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN d < mid THEN rc ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN d >= mid THEN rc ELSE 0 END) AS BIGINT) AS y,
+        |    (user_id * 1000003 + 12345) % 97 % 2 AS v
+        |  FROM ev, mid GROUP BY user_id),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM u),
+        |th AS (SELECT n, sx,
+        |    CAST((n * sxy - CAST(sx AS HUGEINT) * sy) * 1000000
+        |      // nullif(n * sxx - CAST(sx AS HUGEINT) * sx, 0) AS BIGINT) AS theta_e6
+        |  FROM st)
+        |SELECT u.v, CAST(count(*) AS BIGINT) AS n_users, th.theta_e6,
+        |  CAST(sum(CAST(th.n AS HUGEINT) * u.y * 1000000
+        |           - CAST(th.theta_e6 AS HUGEINT) * (th.n * u.x - th.sx))
+        |    // th.n // count(*) AS BIGINT) AS adj_mean_e6
+        |FROM u, th GROUP BY u.v, th.theta_e6, th.n
+        |ORDER BY u.v""".stripMargin,
+
+    // QTE replay: per-variant exact 2x medians of user spend.
+    "q_qte" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |      AS spend,
+        |    (user_id * 1000003 + 12345) % 97 % 2 AS v
+        |  FROM events GROUP BY user_id)
+        |SELECT v, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(2 * quantile_cont(spend, 0.5) AS BIGINT) AS med2_cents
+        |FROM u GROUP BY v ORDER BY v""".stripMargin,
   )
 }

@@ -936,6 +936,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("windowspecdefinition"), plan)
   }
 
+  test("seq mining: the trigram window partitions BY USER; top-20 is TakeOrdered") {
+    val plan = formatted(Queries.seqMiningQ(spark, sf))
+    assert("windowspecdefinition\\(user_id#\\d+L".r.findFirstIn(plan).isDefined, plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("cuped: user reduce + stats partial-agg; theta broadcast; no window") {
+    val plan = formatted(Queries.cupedQ(spark, sf))
+    assert(plan.contains("partial_sum"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("windowspecdefinition"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("qte: one keyed user reduce, exact percentile, no window, no join") {
+    val plan = formatted(Queries.qteQ(spark, sf))
+    assert(plan.contains("partial_sum"), plan)
+    assert(!plan.contains("windowspecdefinition"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("ab srm: one distinct + one partial-aggregated pass, no join, no window") {
+    val plan = formatted(Queries.abSrmQ(spark, sf))
+    assert(plan.contains("partial_sum"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("windowspecdefinition"), plan)
+  }
+
   test("cohort ltv: cumulative window partitions BY COHORT, never global") {
     val plan = formatted(Queries.cohortLtvQ(spark, sf))
     assert("windowspecdefinition\\(cohort#\\d+L".r.findFirstIn(plan).isDefined, plan)
