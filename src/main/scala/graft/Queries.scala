@@ -6164,6 +6164,136 @@ object Queries {
       .orderBy(col("v"))
   }
 
+  /** Per-node local clustering coefficient over the part-adjacency
+    * graph: node triangle count falls out of the edge-support table
+    * (the q_triangles/ktruss wedge equi-join) — each triangle at v
+    * contributes 2 to the summed support of v's incident edges, so
+    * t(v) = Σ s / 2 and the coefficient is Σs·10⁶ div (deg(deg−1)),
+    * exact. One wedge pass, one degree pass, one keyed sum; top 50 by
+    * coefficient (min-degree 3 to keep the readout meaningful). The
+    * per-node texture q_triangles' single global count can't see.
+    */
+  def clusteringCoefQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = partAdjacencyEdges(spark, sfDir)
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val o = und.filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+    val sup = o
+      .join(und.select(col("src").as("a"), col("dst").as("w1")), "a")
+      .join(und.select(col("src").as("b"), col("dst").as("w2")), "b")
+      .filter(col("w1") === col("w2"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("s"))
+    val nodeSup = sup.select(col("a").as("node"), col("s"))
+      .union(sup.select(col("b").as("node"), col("s")))
+      .groupBy(col("node")).agg(sum(col("s")).as("s2"))
+    val deg = und.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    deg.filter(col("deg") >= 3)
+      .join(nodeSup, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        expr("coalesce(s2, 0L) div 2").as("triangles"),
+        expr("coalesce(s2, 0L) * 1000000 div (deg * (deg - 1))")
+          .as("coef_e6"))
+      .orderBy(col("coef_e6").desc, col("node"))
+      .limit(50)
+  }
+
+  /** Conductance of each p_brand community over the part-adjacency
+    * graph — [[modularityQ]]'s cut-quality twin: φ(S) = cut(S, S̄)·10⁶
+    * div min(vol S, vol S̄), all from the same brand-tagged edge pass
+    * (cut = endpoints in different brands, vol = summed degree). The
+    * low-conductance communities are the ones a partitioner could
+    * actually isolate; one edge scan, two bounded aggregates.
+    */
+  def conductanceQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = partAdjacencyEdges(spark, sfDir)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val brand = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_brand"))
+    val e = raw
+      .join(broadcast(brand.select(col("p_partkey").as("a"),
+        col("p_brand").as("ba"))), "a")
+      .join(broadcast(brand.select(col("p_partkey").as("b"),
+        col("p_brand").as("bb"))), "b")
+    val m = e.groupBy().agg(count(lit(1)).as("m"))
+    val cut = e.filter(col("ba") =!= col("bb"))
+      .select(col("ba").as("brand"))
+      .union(e.filter(col("ba") =!= col("bb")).select(col("bb").as("brand")))
+      .groupBy(col("brand")).agg(count(lit(1)).as("cut"))
+    val vol = e.select(col("ba").as("brand"))
+      .union(e.select(col("bb").as("brand")))
+      .groupBy(col("brand")).agg(count(lit(1)).as("vol"))
+    vol.join(cut, Seq("brand"), "left")
+      .select(col("brand"), coalesce(col("cut"), lit(0L)).as("cut"), col("vol"))
+      .crossJoin(broadcast(m))
+      .select(col("brand"), col("cut"), col("vol"),
+        expr("""cut * 1000000 div nullif(least(vol, 2 * m - vol), 0)""")
+          .as("phi_e6"))
+      .orderBy(col("brand"))
+  }
+
+  /** Mean average precision @20 of token-overlap retrieval against
+    * same-lang relevance — the integer-exact member of the
+    * retrieval-eval triad (q_ndcg ranks by float cosine, q_confusion
+    * counts labels; MAP needs exact ranks, so the score here is the
+    * DISTINCT-TOKEN OVERLAP, an integer, ties broken by doc_id).
+    * Per query: AP@20 = (Σ over relevant top-20 hits of
+    * hits@rank·10⁶ div rank) div min(n_rel, 20), every division
+    * truncating identically on both engines; unretrieved relevant
+    * docs contribute zero (trec_eval semantics). The posting join is
+    * sparse (shared-token pairs only) and the rank window partitions
+    * per query.
+    */
+  def mapQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        explode(TextOps.words(lower(col("text")))).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .distinct()
+    val q = toks.filter(col("doc_id") < 100 && col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("qid"), col("lang").as("qlang"), col("tok"))
+    val c = toks.filter(col("doc_id") >= 100 && col("doc_id") < 1100)
+      .select(col("doc_id").as("did"), col("lang").as("dlang"), col("tok"))
+    val overlap = q.join(c, "tok")
+      .groupBy(col("qid"), col("qlang"), col("did"), col("dlang"))
+      .agg(count(lit(1)).as("ov"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("ov").desc, col("did"))
+    val ranked = overlap.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 20)
+      .withColumn("hits",
+        sum(when(col("qlang") === col("dlang"), 1L).otherwise(0L)).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+    val nrel = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") >= 100 && col("doc_id") < 1100)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val ap = ranked.filter(col("qlang") === col("dlang"))
+      .select(col("qid"), col("qlang"),
+        expr("hits * 1000000 div rk").as("p_at_k"))
+      .groupBy(col("qid"), col("qlang"))
+      .agg(sum(col("p_at_k")).as("sp"))
+      .join(broadcast(nrel), col("qlang") === col("lang"))
+      .select(col("qid"),
+        expr("sp div least(n_lang, 20)").as("ap_e6"))
+    // a query with zero relevant hits in its top 20 still counts, at
+    // AP = 0 (trec_eval semantics) — left-join from the query SET
+    val qset = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 100 && col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("qid"))
+    qset.join(broadcast(ap), Seq("qid"), "left")
+      .select(coalesce(col("ap_e6"), lit(0L)).as("ap_e6"))
+      .groupBy()
+      .agg(count(lit(1)).as("n_queries"),
+        expr("cast(sum(ap_e6) div count(1) as bigint)").as("map_e6"))
+  }
+
   /** Sample-ratio-mismatch guard for the A/B assignment: the 1-df χ²
     * of the observed variant split against the intended 50/50 —
     * (n_a−n_b)²·10⁶ div (n_a+n_b), exact. The cheapest and most

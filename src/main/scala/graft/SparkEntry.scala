@@ -287,6 +287,9 @@ object SparkEntry {
     "q_ab_srm" -> (Queries.abSrmQ _),
     "q_cuped" -> (Queries.cupedQ _),
     "q_qte" -> (Queries.qteQ _),
+    "q_clustering_coef" -> (Queries.clusteringCoefQ _),
+    "q_conductance" -> (Queries.conductanceQ _),
+    "q_map" -> (Queries.mapQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -5298,5 +5301,92 @@ object SparkEntry {
         |SELECT v, CAST(count(*) AS BIGINT) AS n_users,
         |  CAST(2 * quantile_cont(spend, 0.5) AS BIGINT) AS med2_cents
         |FROM u GROUP BY v ORDER BY v""".stripMargin,
+
+    // Clustering-coefficient replay: same symmetrized dedup'd edges,
+    // one wedge support pass, per-node summed support halved.
+    "q_clustering_coef" ->
+      """WITH p AS (SELECT l_partkey AS src,
+        |    lead(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
+        |  FROM lineitem),
+        |und AS (SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM p WHERE dst IS NOT NULL AND src <> dst
+        |    UNION ALL
+        |    SELECT dst, src FROM p WHERE dst IS NOT NULL AND src <> dst) u),
+        |o AS (SELECT src AS a, dst AS b FROM und WHERE src < dst),
+        |sup AS (SELECT o.a, o.b, CAST(count(*) AS BIGINT) AS s
+        |  FROM o JOIN und n1 ON n1.src = o.a
+        |         JOIN und n2 ON n2.src = o.b AND n2.dst = n1.dst
+        |  GROUP BY o.a, o.b),
+        |ns AS (SELECT node, CAST(sum(s) AS BIGINT) AS s2 FROM (
+        |    SELECT a AS node, s FROM sup UNION ALL SELECT b, s FROM sup) z
+        |  GROUP BY 1),
+        |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        |  FROM und GROUP BY 1)
+        |SELECT d.node, d.deg, coalesce(ns.s2, 0) // 2 AS triangles,
+        |  coalesce(ns.s2, 0) * 1000000 // (d.deg * (d.deg - 1)) AS coef_e6
+        |FROM deg d LEFT JOIN ns USING (node)
+        |WHERE d.deg >= 3
+        |ORDER BY coef_e6 DESC, d.node LIMIT 50""".stripMargin,
+
+    // Conductance replay: same brand-tagged undirected edges; cut and
+    // volume per brand, min-side denominator.
+    "q_conductance" ->
+      """WITH p AS (SELECT l_partkey AS src,
+        |    lead(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
+        |  FROM lineitem),
+        |e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM p WHERE dst IS NOT NULL AND src <> dst),
+        |e AS (SELECT e0.a, e0.b, pa.p_brand AS ba, pb.p_brand AS bb
+        |  FROM e0 JOIN part pa ON pa.p_partkey = e0.a
+        |          JOIN part pb ON pb.p_partkey = e0.b),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+        |cut AS (SELECT brand, CAST(count(*) AS BIGINT) AS cut FROM (
+        |    SELECT ba AS brand FROM e WHERE ba <> bb
+        |    UNION ALL SELECT bb FROM e WHERE ba <> bb) z GROUP BY 1),
+        |vol AS (SELECT brand, CAST(count(*) AS BIGINT) AS vol FROM (
+        |    SELECT ba AS brand FROM e UNION ALL SELECT bb FROM e) z GROUP BY 1)
+        |SELECT vol.brand, coalesce(cut.cut, 0) AS cut, vol.vol,
+        |  coalesce(cut.cut, 0) * 1000000
+        |    // nullif(least(vol.vol, 2 * m.m - vol.vol), 0) AS phi_e6
+        |FROM vol LEFT JOIN cut ON cut.brand = vol.brand, m
+        |ORDER BY vol.brand""".stripMargin,
+
+    // MAP replay: distinct-token overlap ranking, top-20 cumulative
+    // hits, trec_eval AP with truncating divisions, zero-AP queries
+    // kept by the left join from the query set.
+    "q_map" -> {
+      val w = wordsSql("lower(text)")
+      s"""WITH t0 AS (SELECT doc_id, lang, unnest($w) AS tok FROM documents),
+         |toks AS (SELECT DISTINCT doc_id, lang, tok FROM t0
+         |  WHERE len(tok) >= 2),
+         |q AS (SELECT doc_id AS qid, lang AS qlang, tok FROM toks
+         |  WHERE doc_id < 100 AND doc_id % 5 = 0),
+         |c AS (SELECT doc_id AS did, lang AS dlang, tok FROM toks
+         |  WHERE doc_id >= 100 AND doc_id < 1100),
+         |ov AS (SELECT qid, qlang, did, dlang, CAST(count(*) AS BIGINT) AS ov
+         |  FROM q JOIN c USING (tok) GROUP BY 1, 2, 3, 4),
+         |rk AS (SELECT qid, qlang, did, dlang, ov,
+         |    row_number() OVER (PARTITION BY qid ORDER BY ov DESC, did) AS rk
+         |  FROM ov),
+         |top AS (SELECT * FROM rk WHERE rk <= 20),
+         |h AS (SELECT qid, qlang, dlang, rk,
+         |    CAST(sum(CASE WHEN qlang = dlang THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY qid ORDER BY ov DESC, did
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS hits
+         |  FROM top),
+         |ap AS (SELECT qid, qlang,
+         |    CAST(sum(hits * 1000000 // rk) AS BIGINT) AS sp
+         |  FROM h WHERE qlang = dlang GROUP BY 1, 2),
+         |nrel AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+         |  FROM documents WHERE doc_id >= 100 AND doc_id < 1100 GROUP BY 1),
+         |ap2 AS (SELECT ap.qid, ap.sp // least(nrel.n_lang, 20) AS ap_e6
+         |  FROM ap JOIN nrel ON nrel.lang = ap.qlang),
+         |qs AS (SELECT doc_id AS qid FROM documents
+         |  WHERE doc_id < 100 AND doc_id % 5 = 0)
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(sum(coalesce(ap2.ap_e6, 0)) // count(*) AS BIGINT) AS map_e6
+         |FROM qs LEFT JOIN ap2 USING (qid)""".stripMargin
+    },
   )
 }

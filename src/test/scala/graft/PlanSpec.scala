@@ -943,6 +943,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("clustering coef: wedge join equi; per-node support sum partial-aggs") {
+    val plan = formatted(Queries.clusteringCoefQ(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("partial_sum"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("conductance: brand lookups broadcast; cut/vol bounded aggregates") {
+    val plan = formatted(Queries.conductanceQ(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("map: posting join equi on token; rank window partitions per query") {
+    val plan = formatted(Queries.mapQ(spark, sf))
+    assert("windowspecdefinition\\(qid#\\d+L".r.findFirstIn(plan).isDefined, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("cuped: user reduce + stats partial-agg; theta broadcast; no window") {
     val plan = formatted(Queries.cupedQ(spark, sf))
     assert(plan.contains("partial_sum"), plan)
