@@ -6294,6 +6294,60 @@ object Queries {
         expr("cast(sum(ap_e6) div count(1) as bigint)").as("map_e6"))
   }
 
+  /** Global motif census + transitivity of the part-adjacency graph:
+    * edges, wedges (Σ deg·(deg−1) div 2 — one degree aggregate, no
+    * path enumeration), triangles (Σ edge support div 6 over the one
+    * wedge equi-join), and global transitivity 3·Δ·10⁶ div wedges —
+    * the whole-graph ratio [[clusteringCoefQ]]'s per-node view
+    * averages over. One row out; every term exact.
+    */
+  def transitivityQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = partAdjacencyEdges(spark, sfDir)
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val wedges = deg.groupBy()
+      .agg(sum(expr("d * (d - 1)")).as("w2"))
+      .select(expr("w2 div 2").as("wedges"))
+    val o = und.filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+    val tri = o
+      .join(und.select(col("src").as("a"), col("dst").as("w1")), "a")
+      .join(und.select(col("src").as("b"), col("dst").as("w2")), "b")
+      .filter(col("w1") === col("w2"))
+      .groupBy().agg(expr("count(1) div 3").as("triangles"))
+    val m = und.groupBy().agg(expr("count(1) div 2").as("edges"))
+    m.crossJoin(broadcast(wedges)).crossJoin(broadcast(tri))
+      .select(col("edges"), col("wedges"), col("triangles"),
+        expr("3 * triangles * 1000000 div nullif(wedges, 0)")
+          .as("transitivity_e6"))
+  }
+
+  /** Train/test split-leakage audit: hash-split the corpus 80/20
+    * (arithmetic hash of doc_id, so an original and its planted near
+    * copy can land on OPPOSITE sides — the exact leak a naive
+    * row-hash split produces in real pipelines), then surface every
+    * near-duplicate pair (Jaccard ≥ 0.8, from the shared banded LSH
+    * pass — never all-pairs) that CROSSES the split, oriented
+    * (train_doc, test_doc). This is eval contamination that exact-id
+    * decontamination can't see; fixing it means moving the test-side
+    * doc or dropping the train-side one. Candidates and verification
+    * both reuse the memoized lsh_pairs table, so the audit costs one
+    * filter over work the dedup already did.
+    */
+  def splitLeakageQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = lshPairs(spark, sfDir).filter(col("jaccard") >= 0.8)
+    val ta = expr("doc_a * 2654435761 % 97 % 5 = 0")
+    val tb = expr("doc_b * 2654435761 % 97 % 5 = 0")
+    pairs.filter(ta =!= tb)
+      .select(when(ta, col("doc_b")).otherwise(col("doc_a")).as("train_doc"),
+        when(ta, col("doc_a")).otherwise(col("doc_b")).as("test_doc"),
+        col("jaccard"))
+      .orderBy(col("train_doc"), col("test_doc"))
+  }
+
   /** Sample-ratio-mismatch guard for the A/B assignment: the 1-df χ²
     * of the observed variant split against the intended 50/50 —
     * (n_a−n_b)²·10⁶ div (n_a+n_b), exact. The cheapest and most

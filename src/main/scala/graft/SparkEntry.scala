@@ -290,6 +290,8 @@ object SparkEntry {
     "q_clustering_coef" -> (Queries.clusteringCoefQ _),
     "q_conductance" -> (Queries.conductanceQ _),
     "q_map" -> (Queries.mapQ _),
+    "q_split_leakage" -> (Queries.splitLeakageQ _),
+    "q_transitivity" -> (Queries.transitivityQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -5388,5 +5390,42 @@ object SparkEntry {
          |  CAST(sum(coalesce(ap2.ap_e6, 0)) // count(*) AS BIGINT) AS map_e6
          |FROM qs LEFT JOIN ap2 USING (qid)""".stripMargin
     },
+
+    // Split-leakage replay: the shared LSH pipeline, the same
+    // arithmetic-hash 80/20 split, cross-split near-dup pairs
+    // oriented train -> test.
+    "q_split_leakage" ->
+      s"""WITH $lshPairsCtes,
+         |near AS (SELECT doc_a, doc_b, jaccard,
+         |    doc_a * 2654435761 % 97 % 5 = 0 AS ta,
+         |    doc_b * 2654435761 % 97 % 5 = 0 AS tb
+         |  FROM scored WHERE jaccard >= 0.8)
+         |SELECT CASE WHEN ta THEN doc_b ELSE doc_a END AS train_doc,
+         |  CASE WHEN ta THEN doc_a ELSE doc_b END AS test_doc, jaccard
+         |FROM near WHERE ta <> tb
+         |ORDER BY train_doc, test_doc""".stripMargin,
+
+    // Transitivity replay: same symmetrized edges; wedges from the
+    // degree aggregate, triangles from the wedge join div 3.
+    "q_transitivity" ->
+      """WITH p AS (SELECT l_partkey AS src,
+        |    lead(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
+        |  FROM lineitem),
+        |und AS (SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM p WHERE dst IS NOT NULL AND src <> dst
+        |    UNION ALL
+        |    SELECT dst, src FROM p WHERE dst IS NOT NULL AND src <> dst) u),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY 1),
+        |wg AS (SELECT CAST(sum(d * (d - 1)) AS BIGINT) // 2 AS wedges FROM deg),
+        |o AS (SELECT src AS a, dst AS b FROM und WHERE src < dst),
+        |tr AS (SELECT CAST(count(*) AS BIGINT) // 3 AS triangles
+        |  FROM o JOIN und n1 ON n1.src = o.a
+        |         JOIN und n2 ON n2.src = o.b AND n2.dst = n1.dst
+        |  WHERE n1.dst = n2.dst),
+        |ed AS (SELECT CAST(count(*) AS BIGINT) // 2 AS edges FROM und)
+        |SELECT ed.edges, wg.wedges, tr.triangles,
+        |  CAST(3 * tr.triangles * 1000000 // nullif(wg.wedges, 0) AS BIGINT)
+        |    AS transitivity_e6
+        |FROM ed, wg, tr""".stripMargin,
   )
 }

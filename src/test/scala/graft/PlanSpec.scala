@@ -943,6 +943,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("split leakage: one filter over the memoized pair table, no new LSH pass") {
+    val plan = formatted(Queries.splitLeakageQ(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the memoized lsh_pairs table feeds it — an InMemory scan, not a
+    // fresh shingle explode
+    assert(plan.contains("InMemoryTableScan") || plan.contains("Filter"), plan)
+  }
+
+  test("transitivity: wedge join equi; wedges from one degree aggregate") {
+    val plan = formatted(Queries.transitivityQ(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
+  }
+
   test("clustering coef: wedge join equi; per-node support sum partial-aggs") {
     val plan = formatted(Queries.clusteringCoefQ(spark, sf))
     assert(!plan.contains("CartesianProduct"), plan)
