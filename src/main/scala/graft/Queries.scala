@@ -6294,6 +6294,73 @@ object Queries {
         expr("cast(sum(ap_e6) div count(1) as bigint)").as("map_e6"))
   }
 
+  /** Time-windowed funnel (the ClickHouse windowFunnel semantic):
+    * view → click within 3 days → purchase within 3 days of the
+    * click, strict event-time order AND bounded gaps — the unbounded
+    * [[funnelQ]] overcounts users whose "conversion" took a month.
+    * Same co-partitioned per-user conditional-min chain; the gap
+    * predicates ride the stage joins. Ships both funnels' stage
+    * counts side by side so the window's bite is visible.
+    */
+  def funnelWindowQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val gap = 3L * 86400000000L
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("t"))
+    val s1 = ev.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("t"))).as("f1"))
+      .filter(col("f1").isNotNull)
+    val s2u = ev.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("t") > col("f1"))
+      .groupBy(col("user_id")).agg(min(col("t")).as("f2u"))
+    val s2w = ev.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("t") > col("f1") && col("t") <= col("f1") + gap)
+      .groupBy(col("user_id")).agg(min(col("t")).as("f2w"))
+    val s3u = ev.filter(col("event_type") === "purchase").join(s2u, "user_id")
+      .filter(col("t") > col("f2u"))
+      .groupBy(col("user_id")).agg(min(col("t")).as("f3u"))
+    val s3w = ev.filter(col("event_type") === "purchase").join(s2w, "user_id")
+      .filter(col("t") > col("f2w") && col("t") <= col("f2w") + gap)
+      .groupBy(col("user_id")).agg(min(col("t")).as("f3w"))
+    def cnt(df: DataFrame, as: String) =
+      broadcast(df.groupBy().agg(count(lit(1)).as(as)))
+    cnt(s1, "n_view").crossJoin(cnt(s2u, "n_click_any"))
+      .crossJoin(cnt(s2w, "n_click_3d"))
+      .crossJoin(cnt(s3u, "n_purchase_any"))
+      .crossJoin(cnt(s3w, "n_purchase_3d"))
+      .select(col("n_view"), col("n_click_any"), col("n_click_3d"),
+        col("n_purchase_any"), col("n_purchase_3d"),
+        expr("n_purchase_3d * 1000000 div nullif(n_view, 0)")
+          .as("windowed_cvr_e6"))
+  }
+
+  /** Time-to-convert distribution: per user, the latency from first
+    * view to first purchase AFTER that view, summarized per A/B
+    * variant as count + exact 2×-median (the q_mad device) + mean at
+    * 10⁻⁶ seconds. The experiment readout for "did the variant make
+    * conversion FASTER", which rate-based [[abTestQ]] can't answer;
+    * two keyed stage reductions, one bounded aggregate.
+    */
+  def timeToConvertQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("t"))
+    val s1 = ev.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("t"))).as("f1"))
+      .filter(col("f1").isNotNull)
+    val conv = ev.filter(col("event_type") === "purchase").join(s1, "user_id")
+      .filter(col("t") > col("f1"))
+      .groupBy(col("user_id"), col("f1")).agg(min(col("t")).as("f3"))
+      .select(col("user_id"),
+        expr("(f3 - f1) div 1000000").as("lat_s"))
+      .withColumn("v", expr("(user_id * 1000003 + 12345) % 97 % 2"))
+    conv.groupBy(col("v"))
+      .agg(count(lit(1)).as("n_converted"),
+        expr("cast(2 * percentile(lat_s, 0.5) as bigint)").as("med2_lat_s"),
+        expr("sum(lat_s) * 1000000 div count(1)").as("mean_lat_e6_s"))
+      .orderBy(col("v"))
+  }
+
   /** Global motif census + transitivity of the part-adjacency graph:
     * edges, wedges (Σ deg·(deg−1) div 2 — one degree aggregate, no
     * path enumeration), triangles (Σ edge support div 6 over the one

@@ -292,6 +292,8 @@ object SparkEntry {
     "q_map" -> (Queries.mapQ _),
     "q_split_leakage" -> (Queries.splitLeakageQ _),
     "q_transitivity" -> (Queries.transitivityQ _),
+    "q_funnel_window" -> (Queries.funnelWindowQ _),
+    "q_time_to_convert" -> (Queries.timeToConvertQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -5427,5 +5429,57 @@ object SparkEntry {
         |  CAST(3 * tr.triangles * 1000000 // nullif(wg.wedges, 0) AS BIGINT)
         |    AS transitivity_e6
         |FROM ed, wg, tr""".stripMargin,
+
+    // Windowed-funnel replay: same stage chain with and without the
+    // 3-day gap bounds.
+    "q_funnel_window" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+        |s1 AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN t END) AS f1
+        |  FROM ev GROUP BY 1 HAVING f1 IS NOT NULL),
+        |s2u AS (SELECT e.user_id, min(e.t) AS f2u FROM ev e
+        |  JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.t > s1.f1 GROUP BY 1),
+        |s2w AS (SELECT e.user_id, min(e.t) AS f2w FROM ev e
+        |  JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.t > s1.f1
+        |    AND e.t <= s1.f1 + 259200000000 GROUP BY 1),
+        |s3u AS (SELECT e.user_id, min(e.t) AS f3u FROM ev e
+        |  JOIN s2u USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.t > s2u.f2u GROUP BY 1),
+        |s3w AS (SELECT e.user_id, min(e.t) AS f3w FROM ev e
+        |  JOIN s2w USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.t > s2w.f2w
+        |    AND e.t <= s2w.f2w + 259200000000 GROUP BY 1)
+        |SELECT
+        |  CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_view,
+        |  CAST((SELECT count(*) FROM s2u) AS BIGINT) AS n_click_any,
+        |  CAST((SELECT count(*) FROM s2w) AS BIGINT) AS n_click_3d,
+        |  CAST((SELECT count(*) FROM s3u) AS BIGINT) AS n_purchase_any,
+        |  CAST((SELECT count(*) FROM s3w) AS BIGINT) AS n_purchase_3d,
+        |  CAST((SELECT count(*) FROM s3w) * 1000000
+        |    // nullif((SELECT count(*) FROM s1), 0) AS BIGINT)
+        |    AS windowed_cvr_e6""".stripMargin,
+
+    // Time-to-convert replay: same stage mins, latency in whole
+    // seconds, per-variant 2x median + exact mean.
+    "q_time_to_convert" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+        |s1 AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN t END) AS f1
+        |  FROM ev GROUP BY 1 HAVING f1 IS NOT NULL),
+        |conv AS (SELECT e.user_id, s1.f1, min(e.t) AS f3 FROM ev e
+        |  JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.t > s1.f1
+        |  GROUP BY 1, 2),
+        |lat AS (SELECT user_id, (f3 - f1) // 1000000 AS lat_s,
+        |    (user_id * 1000003 + 12345) % 97 % 2 AS v
+        |  FROM conv)
+        |SELECT v, CAST(count(*) AS BIGINT) AS n_converted,
+        |  CAST(2 * quantile_cont(lat_s, 0.5) AS BIGINT) AS med2_lat_s,
+        |  CAST(sum(lat_s) * 1000000 // count(*) AS BIGINT) AS mean_lat_e6_s
+        |FROM lat GROUP BY v ORDER BY v""".stripMargin,
   )
 }

@@ -943,6 +943,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("funnel window: gap-bounded stage joins equi on user_id; no window, no cartesian") {
+    val plan = formatted(Queries.funnelWindowQ(spark, sf))
+    assert(plan.contains("partial_min"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("windowspecdefinition"), plan)
+  }
+
+  test("time to convert: two keyed reductions; exact percentile; no window") {
+    val plan = formatted(Queries.timeToConvertQ(spark, sf))
+    assert(plan.contains("partial_min"), plan)
+    assert(!plan.contains("windowspecdefinition"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("split leakage: one filter over the memoized pair table, no new LSH pass") {
     val plan = formatted(Queries.splitLeakageQ(spark, sf))
     assert(!plan.contains("CartesianProduct"), plan)
