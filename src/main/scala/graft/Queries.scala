@@ -6361,6 +6361,39 @@ object Queries {
       .orderBy(col("v"))
   }
 
+  /** n-gram novelty of the test split vs the train split (the same
+    * arithmetic-hash 80/20 as [[splitLeakageQ]] — the two audits
+    * read together): for n = 1..3, the fraction of DISTINCT test-side
+    * n-grams never seen on the train side. High novelty = the eval
+    * set actually measures generalization; novelty ~0 at n=3 is the
+    * memorization smell. One gram explode per side, one distinct,
+    * one anti-join per n (all keyed, n rides a 3-row broadcast
+    * spine) — posting-table work, never doc-pairs.
+    */
+  def ngramNoveltyQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextOps.words(lower(col("text"))).as("ws"))
+      .withColumn("is_test", expr("doc_id * 2654435761 % 97 % 5 = 0"))
+    val spine = broadcast(base.sparkSession.range(1, 4)
+      .select(col("id").cast("int").as("n")))
+    val grams = base.crossJoin(spine)
+      .filter(size(col("ws")) >= col("n"))
+      .select(col("is_test"), col("n"), explode(expr(
+        "transform(sequence(0, size(ws) - n), i -> array_join(slice(ws, i + 1, n), ' '))"))
+        .as("g"))
+    val tr = grams.filter(!col("is_test")).select(col("n"), col("g")).distinct()
+    val te = grams.filter(col("is_test")).select(col("n"), col("g")).distinct()
+    val novel = te.join(tr, Seq("n", "g"), "left_anti")
+      .groupBy(col("n")).agg(count(lit(1)).as("n_novel"))
+    te.groupBy(col("n")).agg(count(lit(1)).as("n_test_grams"))
+      .join(novel, Seq("n"), "left")
+      .select(col("n").cast("long").as("n"), col("n_test_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        expr("coalesce(n_novel, 0L) * 1000000 div n_test_grams")
+          .as("novelty_e6"))
+      .orderBy(col("n"))
+  }
+
   /** Global motif census + transitivity of the part-adjacency graph:
     * edges, wedges (Σ deg·(deg−1) div 2 — one degree aggregate, no
     * path enumeration), triangles (Σ edge support div 6 over the one

@@ -92,7 +92,14 @@ object SoakScale {
     // session windows, last-touch attribution, survival reductions
     "q_funnel", "q_retention", "q_cohort_ltv", "q_sessionize",
     "q_session_conversion", "q_attribution", "q_kaplan_meier",
-    "q_rfm", "q_event_paths")
+    "q_rfm", "q_event_paths",
+    // round 7, late waves: whole-edge-list cohesion metrics, the
+    // posting-join MAP eval, the LSH-riding leakage audit, and the
+    // windowed/latency funnel family over v2 (fresh-user) replicas
+    "q_clustering_coef", "q_conductance", "q_transitivity", "q_map",
+    "q_split_leakage", "q_funnel_window", "q_time_to_convert",
+    "q_seq_mining", "q_markov_stationary", "q_cuped", "q_qte",
+    "q_ab_srm", "q_ngram_novelty")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

@@ -294,6 +294,7 @@ object SparkEntry {
     "q_transitivity" -> (Queries.transitivityQ _),
     "q_funnel_window" -> (Queries.funnelWindowQ _),
     "q_time_to_convert" -> (Queries.timeToConvertQ _),
+    "q_ngram_novelty" -> (Queries.ngramNoveltyQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -5481,5 +5482,28 @@ object SparkEntry {
         |  CAST(2 * quantile_cont(lat_s, 0.5) AS BIGINT) AS med2_lat_s,
         |  CAST(sum(lat_s) * 1000000 // count(*) AS BIGINT) AS mean_lat_e6_s
         |FROM lat GROUP BY v ORDER BY v""".stripMargin,
+
+    // n-gram novelty replay: same split hash, same slice-based gram
+    // construction, distinct per side, anti via left-join-null.
+    "q_ngram_novelty" -> {
+      val w = wordsSql("lower(text)")
+      s"""WITH t AS (SELECT doc_id, $w AS w,
+         |    doc_id * 2654435761 % 97 % 5 = 0 AS is_test FROM documents),
+         |ns AS (SELECT unnest([1, 2, 3]) AS n),
+         |g AS (SELECT is_test, n,
+         |    unnest(list_transform(range(len(w) - n + 1),
+         |      i -> array_to_string(list_slice(w, i + 1, i + n), ' '))) AS g
+         |  FROM t, ns WHERE len(w) >= n),
+         |tr AS (SELECT DISTINCT n, g FROM g WHERE NOT is_test),
+         |te AS (SELECT DISTINCT n, g FROM g WHERE is_test)
+         |SELECT CAST(te.n AS BIGINT) AS n,
+         |  CAST(count(*) AS BIGINT) AS n_test_grams,
+         |  CAST(sum(CASE WHEN tr.g IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_novel,
+         |  CAST(sum(CASE WHEN tr.g IS NULL THEN 1 ELSE 0 END) * 1000000
+         |    // count(*) AS BIGINT) AS novelty_e6
+         |FROM te LEFT JOIN tr ON tr.n = te.n AND tr.g = te.g
+         |GROUP BY te.n ORDER BY te.n""".stripMargin
+    },
   )
 }

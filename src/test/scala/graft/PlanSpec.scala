@@ -943,6 +943,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("ngram novelty: anti-join keyed on (n, gram); spine broadcast; no cartesian") {
+    val plan = formatted(Queries.ngramNoveltyQ(spark, sf))
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("windowspecdefinition"), plan)
+  }
+
   test("funnel window: gap-bounded stage joins equi on user_id; no window, no cartesian") {
     val plan = formatted(Queries.funnelWindowQ(spark, sf))
     assert(plan.contains("partial_min"), plan)
