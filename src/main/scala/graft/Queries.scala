@@ -6361,6 +6361,31 @@ object Queries {
       .orderBy(col("v"))
   }
 
+  /** Empirical-Bayes (additive) smoothing of per-source quality
+    * rates: raw rate k/n shrunk toward the global rate with pseudo-
+    * count strength C = 20, all fractions cleared — smoothed·10⁶ =
+    * (k·n_g + C·k_g)·10⁶ div (n_g·(n + C)) — so small sources stop
+    * whipsawing a mixture-weight pipeline while big sources keep
+    * their observed rate. One conditional aggregate per source + one
+    * broadcast global row; the shrinkage primitive any per-group rate
+    * feeding downstream decisions should pass through.
+    */
+  def ebSmoothingQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val per = Tables.documents(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("n_chars") >= 500, 1L).otherwise(0L)).as("k"))
+    val g = per.groupBy().agg(sum(col("n")).as("n_g"), sum(col("k")).as("k_g"))
+    per.crossJoin(broadcast(g))
+      .select(col("source"), col("n"), col("k"),
+        expr("k * 1000000 div n").as("raw_e6"),
+        expr("""cast((cast(k as decimal(38,0)) * n_g + 20 * k_g) * 1000000
+                div (cast(n_g as decimal(38,0)) * (n + 20)) as bigint)""")
+          .as("smoothed_e6"))
+      .orderBy(col("source"))
+  }
+
   /** n-gram novelty of the test split vs the train split (the same
     * arithmetic-hash 80/20 as [[splitLeakageQ]] — the two audits
     * read together): for n = 1..3, the fraction of DISTINCT test-side

@@ -295,6 +295,7 @@ object SparkEntry {
     "q_funnel_window" -> (Queries.funnelWindowQ _),
     "q_time_to_convert" -> (Queries.timeToConvertQ _),
     "q_ngram_novelty" -> (Queries.ngramNoveltyQ _),
+    "q_eb_smoothing" -> (Queries.ebSmoothingQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -5505,5 +5506,21 @@ object SparkEntry {
          |FROM te LEFT JOIN tr ON tr.n = te.n AND tr.g = te.g
          |GROUP BY te.n ORDER BY te.n""".stripMargin
     },
+
+    // EB-smoothing replay: same cleared-fraction shrinkage with
+    // pseudo-count strength 20.
+    "q_eb_smoothing" ->
+      """WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END) AS BIGINT) AS k
+        |  FROM documents GROUP BY source),
+        |g AS (SELECT CAST(sum(n) AS BIGINT) AS n_g,
+        |    CAST(sum(k) AS BIGINT) AS k_g FROM per)
+        |SELECT per.source, per.n, per.k,
+        |  per.k * 1000000 // per.n AS raw_e6,
+        |  CAST((CAST(per.k AS HUGEINT) * g.n_g + 20 * g.k_g) * 1000000
+        |    // (CAST(g.n_g AS HUGEINT) * (per.n + 20)) AS BIGINT)
+        |    AS smoothed_e6
+        |FROM per, g
+        |ORDER BY per.source""".stripMargin,
   )
 }

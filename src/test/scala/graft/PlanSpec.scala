@@ -943,6 +943,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("eb smoothing: one conditional aggregate per source; global row broadcast") {
+    val plan = formatted(Queries.ebSmoothingQ(spark, sf))
+    assert(plan.contains("partial_sum"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("windowspecdefinition"), plan)
+  }
+
   test("ngram novelty: anti-join keyed on (n, gram); spine broadcast; no cartesian") {
     val plan = formatted(Queries.ngramNoveltyQ(spark, sf))
     assert(plan.contains("LeftAnti"), plan)
