@@ -5347,7 +5347,9 @@ object Queries {
     */
   def kTrussQ(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Graph.kTruss(
-        partAdjacencyEdges(spark, sfDir).select(col("src"), col("dst")), k = 4)
+        partAdjacencyEdges(spark, sfDir).select(col("src"), col("dst")), k = 4,
+        und0 = Some(undEdges(spark, sfDir)),
+        support0 = Some(wedgeSupport(spark, sfDir)))
       .orderBy(col("src"), col("dst"))
 
   /** BLEU-style modified n-gram precision (n = 1..4) of each planted
@@ -6173,19 +6175,42 @@ object Queries {
     * coefficient (min-degree 3 to keep the readout meaningful). The
     * per-node texture q_triangles' single global count can't see.
     */
+  /** Symmetrized, self-loop-free, dedup'd part-adjacency edge set —
+    * memoized per session: q_ktruss, q_clustering_coef and
+    * q_transitivity all start from this exact table, so it
+    * materializes once.
+    */
+  private def undEdges(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.SessionMemo(spark, ("und_edges", sfDir)) {
+      val e = partAdjacencyEdges(spark, sfDir)
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"))
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** Edge triangle-support table (oriented (a,b) with a<b, s = common
+    * neighbors) over [[undEdges]] — the wedge equi-join is the single
+    * most expensive graph pass here, and THREE queries need exactly
+    * this table (ktruss round 1, clustering coefficient, transitivity),
+    * so it's computed once per session and shared.
+    */
+  private def wedgeSupport(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.SessionMemo(spark, ("wedge_support", sfDir)) {
+      val und = undEdges(spark, sfDir)
+      und.filter(col("src") < col("dst"))
+        .select(col("src").as("a"), col("dst").as("b"))
+        .join(und.select(col("src").as("a"), col("dst").as("w1")), "a")
+        .join(und.select(col("src").as("b"), col("dst").as("w2")), "b")
+        .filter(col("w1") === col("w2"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   def clusteringCoefQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = partAdjacencyEdges(spark, sfDir)
-      .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"))
-    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-    val o = und.filter(col("src") < col("dst"))
-      .select(col("src").as("a"), col("dst").as("b"))
-    val sup = o
-      .join(und.select(col("src").as("a"), col("dst").as("w1")), "a")
-      .join(und.select(col("src").as("b"), col("dst").as("w2")), "b")
-      .filter(col("w1") === col("w2"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("s"))
+    val und = undEdges(spark, sfDir)
+    val sup = wedgeSupport(spark, sfDir)
     val nodeSup = sup.select(col("a").as("node"), col("s"))
       .union(sup.select(col("b").as("node"), col("s")))
       .groupBy(col("node")).agg(sum(col("s")).as("s2"))
@@ -6427,22 +6452,15 @@ object Queries {
     * averages over. One row out; every term exact.
     */
   def transitivityQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = partAdjacencyEdges(spark, sfDir)
-      .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"))
-    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+    val und = undEdges(spark, sfDir)
     val deg = und.groupBy(col("src")).agg(count(lit(1)).as("d"))
     val wedges = deg.groupBy()
       .agg(sum(expr("d * (d - 1)")).as("w2"))
       .select(expr("w2 div 2").as("wedges"))
-    val o = und.filter(col("src") < col("dst"))
-      .select(col("src").as("a"), col("dst").as("b"))
-    val tri = o
-      .join(und.select(col("src").as("a"), col("dst").as("w1")), "a")
-      .join(und.select(col("src").as("b"), col("dst").as("w2")), "b")
-      .filter(col("w1") === col("w2"))
-      .groupBy().agg(expr("count(1) div 3").as("triangles"))
+    // Σ edge support = 3·Δ (each triangle touches 3 oriented edges) —
+    // the shared support table replaces the dedicated wedge pass
+    val tri = wedgeSupport(spark, sfDir).groupBy()
+      .agg(expr("coalesce(sum(s), 0L) div 3").as("triangles"))
     val m = und.groupBy().agg(expr("count(1) div 2").as("edges"))
     m.crossJoin(broadcast(wedges)).crossJoin(broadcast(tri))
       .select(col("edges"), col("wedges"), col("triangles"),

@@ -122,12 +122,21 @@ object Graph {
     * edge set is localCheckpointed and the predecessor released, so
     * lineage stays flat on deep peels.
     */
-  def kTruss(edges: DataFrame, k: Int, maxRounds: Int = 30): DataFrame = {
+  def kTruss(edges: DataFrame, k: Int, maxRounds: Int = 30,
+      und0: Option[DataFrame] = None,
+      support0: Option[DataFrame] = None): DataFrame = {
     require(k >= 3, s"kTruss needs k >= 3, got $k")
-    val e = edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
-    var und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
+    // und0/support0: caller-owned precomputed round-0 tables (e.g. a
+    // session-memoized shared wedge pass). They are NEVER released
+    // here — only loop-built checkpoints are; correctness is identical
+    // because round 0 would compute exactly these tables.
+    var und = und0.getOrElse {
+      val e = edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .localCheckpoint(true)
+    }
+    var undOwned = und0.isEmpty
     def support(u: DataFrame): DataFrame = {
       val o = u.filter(col("src") < col("dst"))
         .select(col("src").as("a"), col("dst").as("b"))
@@ -139,8 +148,10 @@ object Graph {
     var converged = false
     var i = 0
     var sup: DataFrame = null
+    var supOwned = false
     while (!converged && i < maxRounds) {
-      sup = support(und).localCheckpoint(true)
+      if (i == 0 && support0.isDefined) { sup = support0.get; supOwned = false }
+      else { sup = support(und).localCheckpoint(true); supOwned = true }
       val oriented = und.filter(col("src") < col("dst")).count()
       val kept = sup.filter(col("s") >= k - 2)
       if (kept.count() == oriented) converged = true
@@ -151,9 +162,10 @@ object Graph {
           .join(keepSym.select(col("a").as("src"), col("b").as("dst")),
             Seq("src", "dst"), "left_semi")
           .localCheckpoint(true)
-        org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(und)
-        org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(sup)
+        if (undOwned) org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(und)
+        if (supOwned) org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(sup)
         und = next
+        undOwned = true
       }
       i += 1
     }
