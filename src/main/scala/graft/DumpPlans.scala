@@ -43,7 +43,15 @@ object DumpPlans {
     "q_perceptron" -> "batch perceptron: hashed count table partitioned by doc_id once; weights live on the driver between passes (model-sized collects); scoring joins a broadcast LocalTableScan",
     "q_hits" -> "integer HITS: per half-round one equi-join + LONG partial-agg push sum (decimal only at the |V|-sized rescale); round max rides a 1-row broadcast",
     "q_ks_drift" -> "exact KS: map-side-combined (lang,value) counts; cumulative window over the VALUE SUPPORT partitioned by lang; argmax via min-struct — no per-row window, no float CDF",
-    "q_attribution" -> "last-touch attribution: one user-partitioned last(ignoreNulls) window over the PRECEDING frame — no purchase-by-click range join at any scale")
+    "q_attribution" -> "last-touch attribution: one user-partitioned last(ignoreNulls) window over the PRECEDING frame — no purchase-by-click range join at any scale",
+    "q_ktruss" -> "k-truss peel: session-memoized wedge-support table as round 0 (shared with clustering coef + transitivity); per-round symmetrized semi-join peel over localCheckpointed edges",
+    "q_cms_topk" -> "Count-Min sketch: 4x1024 counters from ONE partial-mergeable groupBy; top-20 probe joins the broadcast-sized sketch equi on (row, cell)",
+    "q_ewma" -> "EWMA fixed-point: daily counts partial-agg, then ONE aggregate-HOF fold over the calendar-bounded day array — no window, no join",
+    "q_funnel" -> "ordered funnel: per-stage conditional mins chained on the SAME user_id key — co-partitioned, no data-sized broadcast",
+    "q_mannwhitney" -> "rank statistic over the VALUE SUPPORT: one singleton-key ordered walk over distinct values, never per-row ranks",
+    "q_dq_checks" -> "DQ audit: all row constraints in ONE conditional aggregate over one scan; uniqueness one distinct; referential one anti-join",
+    "q_split_leakage" -> "leakage audit: one filter over the memoized LSH pair table — candidates were already banded, the audit is free",
+    "q_ngram_novelty" -> "novelty: per-side distinct gram tables (replication-invariant) + a keyed anti-join — posting work, never doc pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
