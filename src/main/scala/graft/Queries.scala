@@ -6386,6 +6386,34 @@ object Queries {
       .orderBy(col("v"))
   }
 
+  /** Peak concurrency per day: each user's daily activity interval
+    * [first event, last event] becomes a +1/−1 boundary pair (end at
+    * +1 µs so a point interval still counts), and the day's peak is
+    * the max of the running sum over boundaries ORDERED (t, delta) —
+    * deterministic tie-break, exact integers, the interval-stabbing
+    * answer ("how many users were active at once") without any
+    * interval self-join. The window partitions BY DAY (a real key);
+    * boundary volume is 2·(user·day) rows, far below event volume.
+    */
+  def peakConcurrencyQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val iv = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"))
+      .withColumn("day", expr("us div 86400000000"))
+      .groupBy(col("day"), col("user_id"))
+      .agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+    val bounds = iv.select(col("day"), col("lo").as("t"), lit(1L).as("delta"))
+      .union(iv.select(col("day"), (col("hi") + 1).as("t"),
+        lit(-1L).as("delta")))
+    val w = Window.partitionBy(col("day")).orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bounds.withColumn("run", sum(col("delta")).over(w))
+      .groupBy(col("day"))
+      .agg(expr("count(1) div 2").as("n_users"),
+        max(col("run")).as("peak_concurrent"))
+      .orderBy(col("day"))
+  }
+
   /** Empirical-Bayes (additive) smoothing of per-source quality
     * rates: raw rate k/n shrunk toward the global rate with pseudo-
     * count strength C = 20, all fractions cleared — smoothed·10⁶ =

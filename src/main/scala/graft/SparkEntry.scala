@@ -296,6 +296,7 @@ object SparkEntry {
     "q_time_to_convert" -> (Queries.timeToConvertQ _),
     "q_ngram_novelty" -> (Queries.ngramNoveltyQ _),
     "q_eb_smoothing" -> (Queries.ebSmoothingQ _),
+    "q_peak_concurrency" -> (Queries.peakConcurrencyQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -5522,5 +5523,25 @@ object SparkEntry {
         |    AS smoothed_e6
         |FROM per, g
         |ORDER BY per.source""".stripMargin,
+
+    // Peak-concurrency replay: same +1/-1 boundaries (end at +1 us),
+    // same (t, delta) tie-break, per-day running max.
+    "q_peak_concurrency" ->
+      """WITH iv AS (SELECT
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    user_id,
+        |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS lo,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS hi
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT day, lo AS t, CAST(1 AS BIGINT) AS delta FROM iv
+        |  UNION ALL SELECT day, hi + 1, CAST(-1 AS BIGINT) FROM iv),
+        |r AS (SELECT day, CAST(sum(delta) OVER (PARTITION BY day
+        |    ORDER BY t, delta
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS run
+        |  FROM b)
+        |SELECT day, CAST(count(*) AS BIGINT) // 2 AS n_users,
+        |  CAST(max(run) AS BIGINT) AS peak_concurrent
+        |FROM r GROUP BY day ORDER BY day""".stripMargin,
   )
 }

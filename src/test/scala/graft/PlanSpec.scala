@@ -943,6 +943,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("peak concurrency: the running-sum window partitions BY DAY, never global") {
+    val plan = formatted(Queries.peakConcurrencyQ(spark, sf))
+    assert("windowspecdefinition\\(day#\\d+L".r.findFirstIn(plan).isDefined, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("partial_min"), plan)
+  }
+
   test("eb smoothing: one conditional aggregate per source; global row broadcast") {
     val plan = formatted(Queries.ebSmoothingQ(spark, sf))
     assert(plan.contains("partial_sum"), plan)
