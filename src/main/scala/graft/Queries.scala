@@ -6386,6 +6386,32 @@ object Queries {
       .orderBy(col("v"))
   }
 
+  /** Duplicate token-budget inflation per language: total corpus
+    * tokens vs tokens surviving exact dedup (min-doc_id keeper per
+    * md5 fingerprint), with the inflation ratio at 10⁻⁶ — the
+    * "what fraction of my training budget is re-reading the same
+    * text" readout that decides whether dedup pays for itself. One
+    * token-count scan (no explode: size(words)), one 16-byte-key
+    * dedup window, two bounded aggregates.
+    */
+  def dupInflationQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        size(TextOps.words(lower(col("text")))).cast("long").as("toks"),
+        md5(col("text")).as("fp"))
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    val flagged = d.withColumn("keep", row_number().over(w) === 1)
+    flagged.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("total_toks"),
+        sum(when(col("keep"), col("toks")).otherwise(0L)).as("kept_toks"))
+      .select(col("lang"), col("n_docs"), col("total_toks"), col("kept_toks"),
+        expr("total_toks * 1000000 div nullif(kept_toks, 0)")
+          .as("inflation_e6"))
+      .orderBy(col("lang"))
+  }
+
   /** Peak concurrency per day: each user's daily activity interval
     * [first event, last event] becomes a +1/−1 boundary pair (end at
     * +1 µs so a point interval still counts), and the day's peak is

@@ -99,7 +99,8 @@ object SoakScale {
     "q_clustering_coef", "q_conductance", "q_transitivity", "q_map",
     "q_split_leakage", "q_funnel_window", "q_time_to_convert",
     "q_seq_mining", "q_markov_stationary", "q_cuped", "q_qte",
-    "q_ab_srm", "q_ngram_novelty", "q_eb_smoothing", "q_peak_concurrency")
+    "q_ab_srm", "q_ngram_novelty", "q_eb_smoothing", "q_peak_concurrency",
+    "q_dup_inflation")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

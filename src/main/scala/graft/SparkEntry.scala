@@ -297,6 +297,7 @@ object SparkEntry {
     "q_ngram_novelty" -> (Queries.ngramNoveltyQ _),
     "q_eb_smoothing" -> (Queries.ebSmoothingQ _),
     "q_peak_concurrency" -> (Queries.peakConcurrencyQ _),
+    "q_dup_inflation" -> (Queries.dupInflationQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -5523,6 +5524,25 @@ object SparkEntry {
         |    AS smoothed_e6
         |FROM per, g
         |ORDER BY per.source""".stripMargin,
+
+
+    // Dup-inflation replay: same md5 keeper (min doc_id), token
+    // counts via the shared tokenizer, exact integral ratio.
+    "q_dup_inflation" ->
+      (s"""WITH d AS (SELECT doc_id, lang,
+        |    CAST(len(${wordsSql("lower(text)")}) AS BIGINT) AS toks,
+        |    md5(text) AS fp
+        |  FROM documents),
+        |k AS (SELECT doc_id, lang, toks,
+        |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1 AS keep
+        |  FROM d)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS total_toks,
+        |  CAST(sum(CASE WHEN keep THEN toks ELSE 0 END) AS BIGINT) AS kept_toks,
+        |  CAST(sum(toks) * 1000000
+        |    // nullif(sum(CASE WHEN keep THEN toks ELSE 0 END), 0) AS BIGINT)
+        |    AS inflation_e6
+        |FROM k GROUP BY lang ORDER BY lang""").stripMargin,
 
     // Peak-concurrency replay: same +1/-1 boundaries (end at +1 us),
     // same (t, delta) tie-break, per-day running max.
