@@ -169,6 +169,11 @@ object Graph {
       }
       i += 1
     }
+    // Only the returned `sup` checkpoint is needed past this point:
+    // release the final edge-set checkpoint (when loop-built) on both
+    // the convergence and the no-fixpoint exit, else its cached blocks
+    // outlive the call for the whole session.
+    if (undOwned) org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(und)
     if (!converged) throw new IllegalStateException(
       s"kTruss: no fixpoint after $maxRounds rounds (k=$k)")
     sup.select(col("a").as("src"), col("b").as("dst"), col("s").as("support"))

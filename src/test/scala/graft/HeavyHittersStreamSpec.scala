@@ -32,6 +32,7 @@ class HeavyHittersStreamSpec extends AnyFunSuite {
       try {
         mem.addData(Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c", "c"): _*)
         q.processAllAvailable()
+        val rowsAfterBatch1 = spark.table("hh_out").count()
         mem.addData(Seq.fill(4)("a") ++ Seq("d", "e", "b"): _*)
         q.processAllAvailable()
         // last emitted summary per term = latest changelog row
@@ -45,13 +46,18 @@ class HeavyHittersStreamSpec extends AnyFunSuite {
         val (estA, errA) = last("a")
         assert(estA >= 9 && estA - errA <= 9, s"a: $estA/$errA")
         val (estB, errB) = last("b")
-        assert(estB >= 4 && estB - errB <= 9, s"b: $estB/$errB")
-        // SpaceSaving guarantee: est never undercounts the true count
-        assert(estB - errB <= 4, s"b residual overcount claim: $estB/$errB")
-        // bounded state: the FINAL batch's live summary is at most k=3
-        // terms (changelog across batches may mention more)
-        val lastBatch = spark.table("hh_out")
-        assert(lastBatch.select($"term").distinct().count() >= 3)
+        // SpaceSaving guarantee: est >= true >= est - err
+        assert(estB >= 4 && estB - errB <= 4, s"b: $estB/$errB")
+        // bounded state: every batch emits its FULL live summary, so
+        // each batch's emitted rows ARE the summary — assert both
+        // batches stayed within k=3 rows for the single shard (the
+        // changelog across batches may mention more distinct terms)
+        assert(rowsAfterBatch1 <= 3, s"batch 1 summary: $rowsAfterBatch1 rows")
+        val batch2Rows = spark.table("hh_out").count() - rowsAfterBatch1
+        assert(batch2Rows <= 3, s"batch 2 summary: $batch2Rows rows")
+        // and the full summary was live both times (5 and 4 distinct
+        // terms arrived against capacity 3)
+        assert(rowsAfterBatch1 == 3 && batch2Rows == 3)
       } finally q.stop()
     }
   }
