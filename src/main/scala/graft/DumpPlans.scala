@@ -51,7 +51,9 @@ object DumpPlans {
     "q_mannwhitney" -> "rank statistic over the VALUE SUPPORT: one singleton-key ordered walk over distinct values, never per-row ranks",
     "q_dq_checks" -> "DQ audit: all row constraints in ONE conditional aggregate over one scan; uniqueness one distinct; referential one anti-join",
     "q_split_leakage" -> "leakage audit: one filter over the memoized LSH pair table — candidates were already banded, the audit is free",
-    "q_ngram_novelty" -> "novelty: per-side distinct gram tables (replication-invariant) + a keyed anti-join — posting work, never doc pairs")
+    "q_ngram_novelty" -> "novelty: per-side distinct gram tables (replication-invariant) + a keyed anti-join — posting work, never doc pairs",
+    "q_ann_pq" -> "PQ/ADC: corpus reduced to m narrow codes; per-query LUT broadcast; ADC scan = one code-table equi-join + partial-agg integer sum — raw vectors never enter the search",
+    "q_textrank" -> "TextRank: corpus-sized adjacency count partial-aggs to a vocab-bounded graph; pagerank iterations ride the small edge table; top-20 on the singleton-key window")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1390,6 +1390,26 @@ object Queries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Product-quantization ANN (ADC): m=4 subspaces over the 64-dim
+    * embeddings, label-seeded per-subspace codebooks, every corpus
+    * vector reduced to 4 small codes, then asymmetric-distance top-3
+    * for the harness query set — the COMPRESSED-corpus ANN shape
+    * ([[graft.ops.Similarity.pqAdcTopK]]): at 100 TB the raw vectors
+    * never enter the search; the scan reads the narrow code table and
+    * one broadcast LUT, and the per-pair sum is exact 1e6-floor
+    * integers so the ranking hash-matches the oracle bit-for-bit.
+    */
+  def annPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = 4
+    val raw = Similarity.asDouble(Tables.embeddings(spark, sfDir))
+    // k·d-sized model, referenced by two broadcasts (encode + LUT):
+    // checkpoint so the corpus-sized training aggregate runs once.
+    val books = Similarity.pqCodebooks(raw, m).localCheckpoint(true)
+    val codes = Similarity.pqEncode(raw, books, m)
+    Similarity.pqAdcTopK(raw.filter(col("vec_id") < 10), codes, books, 3, m)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** The 32×6 code table shared by [[annMultiTable]] and [[annRecall]]
     * — memoized + persisted per (session, sf): the 192 plane dots are
     * the expensive pass over the embeddings, and the table itself is
@@ -1458,6 +1478,47 @@ object Queries {
       .select(lit("lsh_mt32x6").as("method"), col("n_queries"),
         col("n_truth"), col("n_hits"),
         (col("n_hits") * 4 >= col("n_truth") * 3).as("recall_ok"))
+  }
+
+  /** Measured PQ/ADC retrieval quality against exact squared-L2 truth
+    * — the honest companion [[annRecall]] gives the multi-table
+    * pipeline: the SAME codebook/code/LUT chain q_ann_pq serves, its
+    * top-3 intersected with the exact-distance top-3, and the hit
+    * count itself hash-matched in the oracle. Deliberately NO pass
+    * gate: one-shot label-seeded codebooks on structure-free synthetic
+    * embeddings are a lossy 4-code compression, so the CONTRACT here
+    * is that the measured quality number is exact and reproducible —
+    * the certified-recall path remains q_ann_recall's OR-amplified
+    * multi-table LSH.
+    */
+  def annPqRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = 4
+    val k = 3
+    val raw = Similarity.asDouble(Tables.embeddings(spark, sfDir))
+    val books = Similarity.pqCodebooks(raw, m).localCheckpoint(true)
+    val codes = Similarity.pqEncode(raw, books, m)
+    val q = raw.filter(col("vec_id") < 10)
+    val approx = Similarity.pqAdcTopK(q, codes, books, k, m)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = q.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val cv = raw.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2"), col("neighbor_id"))
+    val truth = cv.crossJoin(broadcast(qv))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("d2", Similarity.dot(col("cv"), col("cv"))
+        - lit(2.0) * Similarity.dot(col("qv"), col("cv"))
+        + Similarity.dot(col("qv"), col("qv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+    truth.agg(countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_truth"))
+      .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+      .select(lit("pq4x10_adc").as("method"), col("n_queries"),
+        col("n_truth"), col("n_hits"))
   }
 
   /** k-means (3 Lloyd iterations from the label seed): cluster sizes.
@@ -2945,6 +3006,74 @@ object Queries {
     * operator under test is the fusion + dedup-free union shape every
     * RAG stack runs.
     */
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    * 1998): greedy diversity-aware selection over each query's
+    * candidate pool — pick argmax λ·sim(q,c) − (1−λ)·max_{s∈S}
+    * sim(c,s) with λ = 0.7, 3 picks from the exact-cosine top-8. The
+    * candidate pool and its pairwise-similarity table are BOUNDED
+    * (|Q|·8 and |Q|·28 rows), so the greedy loop is one aggregate HOF
+    * over per-query arrays with the pair sims in a broadcastable map —
+    * the only corpus-sized work is the candidate search itself. All
+    * arithmetic integer: sims floor-quantized at 1e6, MMR scored at
+    * ×10 scale (7·simq − 3·maxpair) so ranking can never float-flip;
+    * ties break by candidate id. The diversity complement of
+    * [[rrfQ]]'s rank fusion (RRF merges rankings; MMR de-duplicates
+    * one).
+    */
+  def mmrQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Similarity.normalized(Similarity.asDouble(Tables.embeddings(spark, sfDir)))
+      .select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 10)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sq_e6").desc, col("neighbor_id"))
+    val cand = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .crossJoin(broadcast(q.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"))))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sq_e6",
+        floor(Similarity.dot(col("qv"), col("cv")) * lit(1000000.0)).cast("long"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 8)
+      .select(col("query_id"), col("neighbor_id"), col("sq_e6"))
+      .localCheckpoint(true) // bounded (|Q|·8); feeds two pair sides + the fold
+    val ca = cand.select(col("query_id"), col("neighbor_id").as("a"))
+      .join(e.select(col("vec_id").as("a"), col("embedding").as("va")), "a")
+    val cb = cand.select(col("query_id"), col("neighbor_id").as("b"))
+      .join(e.select(col("vec_id").as("b"), col("embedding").as("vb")), "b")
+    val pairs = ca.join(cb, "query_id").filter(col("a") < col("b"))
+      .select(col("query_id"),
+        concat(col("a").cast("string"), lit("_"), col("b").cast("string")).as("k"),
+        floor(Similarity.dot(col("va"), col("vb")) * lit(1000000.0))
+          .cast("long").as("p_e6"))
+    val packed = cand.groupBy(col("query_id"))
+      .agg(collect_list(struct(col("neighbor_id").as("id"),
+        col("sq_e6").as("sq"))).as("rem0"))
+      .join(pairs.groupBy(col("query_id"))
+        .agg(map_from_entries(collect_list(struct(col("k"), col("p_e6"))))
+          .as("pm")), "query_id")
+    // the greedy fold: score = 7·sq − 3·max pair-sim vs selected
+    val score = "7 * c.sq - (case when size(st.sel) = 0 then 0L " +
+      "else 3 * array_max(transform(st.sel, s -> element_at(pm, " +
+      "concat(cast(least(c.id, s.id) as string), '_', " +
+      "cast(greatest(c.id, s.id) as string))))) end)"
+    val pick = "element_at(array_sort(transform(st.rem, c -> " +
+      s"named_struct('nsc', -($score), 'id', c.id))), 1)"
+    val fold =
+      s"""aggregate(sequence(1, 3),
+         |  cast(named_struct('sel', array(), 'rem', rem0) as
+         |    struct<sel: array<struct<id: bigint, sc: bigint>>,
+         |           rem: array<struct<id: bigint, sq: bigint>>>),
+         |  (st, i) -> named_struct(
+         |    'sel', array_append(st.sel,
+         |      named_struct('id', ($pick).id, 'sc', -(($pick).nsc))),
+         |    'rem', filter(st.rem, c -> c.id != ($pick).id)))""".stripMargin
+    packed.select(col("query_id"), posexplode(expr(s"($fold).sel")).as(Seq("p", "s")))
+      .select(col("query_id"), (col("p") + 1).as("pick"),
+        col("s.id").as("neighbor_id"), col("s.sc").as("mmr_score"))
+      .orderBy(col("query_id"), col("pick"))
+  }
+
   def rrfQ(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = Tables.documents(spark, sfDir).select(
@@ -5122,6 +5251,43 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): weighted
+    * PageRank over the word co-occurrence graph — adjacent kept tokens
+    * form an undirected edge (materialized as both directed edges),
+    * weight = corpus-wide co-occurrence count. The graph nodes are
+    * VOCABULARY, not documents, so the one data-sized pass is the
+    * adjacency count (map-side-combinable groupBy); the 3 power
+    * iterations then run on the vocab-bounded edge table via
+    * [[graft.ops.Graph.pagerank]] with the same per-iteration 6dp
+    * quantization as q_pagerank, making the DuckDB replay
+    * bit-identical. Top-20 keywords by rank — the unsupervised
+    * keyphrase primitive (PMI collocations rank PAIRS; this ranks
+    * WORDS by graph centrality).
+    */
+  def textrankQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(split(trim(lower(col("text"))), "\\s+")).as(Seq("pos", "token")))
+      .filter(length(col("token")) >= 2)
+    val pairs = toks
+      .withColumn("nxt", lead(col("token"), 1).over(wd))
+      .filter(col("nxt").isNotNull && col("token") =!= col("nxt"))
+    val ed = pairs.select(col("token").as("src"), col("nxt").as("dst"))
+      .union(pairs.select(col("nxt").as("src"), col("token").as("dst")))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).cast("double").as("w"))
+    val w = Window.partitionBy(
+        graft.functions.GraftFunctions.singleton_key(col("node")))
+      .orderBy(col("pr").desc, col("node"))
+    graft.ops.Graph.pagerank(ed, iters = 3)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 20)
+      .select(col("rnk"), col("node").as("token"), col("pr"))
+      .orderBy(col("rnk"))
+  }
+
   /** PMI collocations ([[graft.ops.TextOps.collocations]]): top-40
     * adjacent word pairs by exact-integer PMI ratio with support ≥ 5 —
     * the phrase-mining table a tokenizer/vocab pipeline promotes into
@@ -5858,6 +6024,59 @@ object Queries {
       .select(col("r.d").as("d"), col("r.x").as("x"),
         col("r.l").as("level_e6"), col("r.b").as("trend_e6"),
         (col("r.l") + col("r.b")).as("forecast_next_e6"))
+      .orderBy(col("d"))
+  }
+
+  /** Additive Holt-Winters (triple exponential smoothing) of the daily
+    * event volume with a day-of-week season (period 7), α = 1/8,
+    * β = γ = 1/4 — [[holtQ]]'s seasonal sibling, the workhorse for
+    * traffic with a weekly rhythm. Same exact fixed-point discipline:
+    * cold start l₀ = 10⁶x₁, b₀ = 0, all seasonals 0 (they converge
+    * within a few periods), then per day with k = d mod 7:
+    * l' = (l+b) + (10⁶x − s_k − l − b) div 8,
+    * b' = b + (l' − l − b) div 4,
+    * s_k' = s_k + (10⁶x − l' − s_k) div 4;
+    * forecast = l' + b' + s_{(d+1) mod 7}. Every state component is a
+    * truncated integer, so the whole trajectory — including the
+    * 7-slot seasonal vector — is bit-exact on both engines. Scale
+    * shape unchanged from [[holtQ]]: one partial-aggregated daily
+    * count, then a calendar-bounded fold.
+    */
+  def holtWintersQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val prev = "element_at(acc, -1)"
+    val sk = s"element_at($prev.ss, cast(e.d % 7 as int) + 1)"
+    val lNew = s"$prev.l + $prev.b + (e.x * 1000000L - $sk - $prev.l - $prev.b) div 8L"
+    val bNew = s"$prev.b + (($lNew) - $prev.l - $prev.b) div 4L"
+    val skNew = s"$sk + (e.x * 1000000L - ($lNew) - $sk) div 4L"
+    val ssNew = s"transform($prev.ss, (v, i) -> " +
+      s"case when i = cast(e.d % 7 as int) then $skNew else v end)"
+    val fold =
+      s"""aggregate(arr,
+         |  cast(array() as array<struct<d:bigint,x:bigint,l:bigint,b:bigint,ss:array<bigint>>>),
+         |  (acc, e) -> array_append(acc,
+         |    case when size(acc) = 0
+         |      then named_struct('d', e.d, 'x', e.x, 'l', e.x * 1000000L,
+         |                        'b', 0L, 'ss', array_repeat(0L, 7))
+         |      else named_struct('d', e.d, 'x', e.x,
+         |        'l', $lNew,
+         |        'b', $bNew,
+         |        'ss', $ssNew)
+         |    end))""".stripMargin
+    val daily = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("x"))
+    daily
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("arr"))
+      .select(explode(expr(fold)).as("r"))
+      .select(col("r.d").as("d"), col("r.x").as("x"),
+        (col("r.d") % 7).as("season"),
+        col("r.l").as("level_e6"), col("r.b").as("trend_e6"),
+        element_at(col("r.ss"), ((col("r.d") % 7) + 1).cast("int"))
+          .as("seasonal_e6"),
+        (col("r.l") + col("r.b") +
+          element_at(col("r.ss"), (((col("r.d") + 1) % 7) + 1).cast("int")))
+          .as("forecast_next_e6"))
       .orderBy(col("d"))
   }
 

@@ -100,7 +100,13 @@ object SoakScale {
     "q_split_leakage", "q_funnel_window", "q_time_to_convert",
     "q_seq_mining", "q_markov_stationary", "q_cuped", "q_qte",
     "q_ab_srm", "q_ngram_novelty", "q_eb_smoothing", "q_peak_concurrency",
-    "q_dup_inflation")
+    "q_dup_inflation",
+    // round 8: PQ codebook train + encode + ADC over the replicated
+    // embeddings (code table grows linearly, LUT stays query-sized),
+    // the corpus-wide co-occurrence count under vocab-bounded
+    // TextRank iterations, and the daily-count scan under the
+    // Holt-Winters fold
+    "q_ann_pq", "q_textrank", "q_holt_winters")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

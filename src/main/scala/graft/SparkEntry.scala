@@ -79,6 +79,8 @@ object SparkEntry {
     "q_approx_quantile" -> (Queries.approxQuantileQ _),
     "q_label_centroids" -> (Queries.labelCentroids _),
     "q_ann_ivf" -> (Queries.annIvf _),
+    "q_ann_pq" -> (Queries.annPq _),
+    "q_ann_pq_recall" -> (Queries.annPqRecall _),
     "q_ann_recall" -> (Queries.annRecall _),
     "q_ann_multitable" -> (Queries.annMultiTable _),
     "q_kmeans" -> (Queries.kmeansQ _),
@@ -186,6 +188,7 @@ object SparkEntry {
     "q_perceptron" -> (Queries.perceptronQ _),
     "q_perceptron_avg" -> (Queries.perceptronAvgQ _),
     "q_collocations" -> (Queries.collocationsQ _),
+    "q_textrank" -> (Queries.textrankQ _),
     "q_quality_floor" -> (Queries.qualityFloorQ _),
     "q_allpairs" -> (Queries.allPairsExactQ _),
     "q_perceptron_ovr" -> (Queries.perceptronOvrQ _),
@@ -225,6 +228,7 @@ object SparkEntry {
     "q_shard_balance" -> (Queries.shardBalanceQ _),
     "q_kanon" -> (Queries.kanonQ _),
     "q_rrf" -> (Queries.rrfQ _),
+    "q_mmr" -> (Queries.mmrQ _),
     "q_bool_search" -> (Queries.boolSearchQ _),
     "q_sssp" -> (Queries.ssspQ _),
     "q_weighted_quantile" -> (Queries.weightedQuantileQ _),
@@ -277,6 +281,7 @@ object SparkEntry {
     "q_modularity" -> (Queries.modularityQ _),
     "q_richclub" -> (Queries.richClubQ _),
     "q_holt" -> (Queries.holtQ _),
+    "q_holt_winters" -> (Queries.holtWintersQ _),
     "q_auc" -> (Queries.aucQ _),
     "q_kaplan_meier" -> (Queries.kaplanMeierQ _),
     "q_mann_kendall" -> (Queries.mannKendallQ _),
@@ -657,6 +662,44 @@ object SparkEntry {
     * `scored` (candidate pairs + exact cosine); q_ann_multitable ranks
     * it, q_ann_recall scores it against brute-force truth.
     */
+  /** PQ/ADC CTE chain shared by q_ann_pq and q_ann_pq_recall: m=4
+    * subspace label-seeded codebooks (6dp means), nearest-cell codes
+    * via the L2 dot identity with the cell-id tie-break, per-query LUT
+    * distances floor-quantized at 1e6, ending at `adc`
+    * (query_id, neighbor_id, adc_e6) — replays
+    * Similarity.pqCodebooks/pqEncode/pqAdcTopK before the rank.
+    */
+  private val pqCtes: String =
+    s"""pqe0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sub AS (
+       |  SELECT vec_id, label, CAST(s AS INT) AS s,
+       |    v[CAST(s * 16 + 1 AS BIGINT):CAST(s * 16 + 16 AS BIGINT)] AS sv
+       |  FROM pqe0 CROSS JOIN (SELECT unnest(range(4)) AS s)),
+       |cbd AS (
+       |  SELECT s, CAST(label AS BIGINT) AS cell, dim, round(avg(x), 6) AS mu
+       |  FROM (SELECT s, label, sv, unnest(range(len(sv))) AS dim FROM sub) t,
+       |       LATERAL (SELECT sv[dim + 1] AS x) l
+       |  GROUP BY s, cell, dim),
+       |cb AS (SELECT s, cell, list(mu ORDER BY dim) AS cv FROM cbd GROUP BY s, cell),
+       |enc AS (
+       |  SELECT vec_id, s, cell FROM (
+       |    SELECT sub.vec_id, sub.s, cb.cell,
+       |      row_number() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
+       |        (${dotSql("sv", "sv")} - 2.0 * ${dotSql("sv", "cv")} + ${dotSql("cv", "cv")}), cb.cell) AS rn
+       |    FROM sub JOIN cb ON sub.s = cb.s)
+       |  WHERE rn = 1),
+       |lut AS (
+       |  SELECT q.vec_id AS query_id, q.s, cb.cell,
+       |    CAST(floor((${dotSql("sv", "sv")} - 2.0 * ${dotSql("sv", "cv")} + ${dotSql("cv", "cv")})
+       |      * 1000000.0) AS BIGINT) AS d_e6
+       |  FROM (SELECT * FROM sub WHERE vec_id < 10) q JOIN cb ON q.s = cb.s),
+       |adc AS (
+       |  SELECT lut.query_id, enc.vec_id AS neighbor_id,
+       |    CAST(sum(d_e6) AS BIGINT) AS adc_e6
+       |  FROM enc JOIN lut ON enc.s = lut.s AND enc.cell = lut.cell
+       |  WHERE enc.vec_id <> lut.query_id
+       |  GROUP BY 1, 2)""".stripMargin
+
   private val annMtCtes: String =
     s"""e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |e AS (SELECT vec_id, ${normSql("v")} AS v FROM e0),
@@ -2216,6 +2259,36 @@ object SparkEntry {
          |WHERE rnk <= 3
          |ORDER BY query_id, rnk""".stripMargin,
 
+    // PQ/ADC replay (shared CTEs: see pqCtes): the ADC table ranked
+    // per query — the m-way sum is exact integers on both engines.
+    "q_ann_pq" ->
+      s"""WITH $pqCtes
+         |SELECT query_id, neighbor_id, rnk, adc_e6 FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc_e6, neighbor_id) AS BIGINT) AS rnk
+         |  FROM adc)
+         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    // PQ quality replay: the same ADC top-3 intersected with the exact
+    // squared-L2 top-3 — the hit count itself hash-matches (no pass
+    // gate by design: the measured number is the contract).
+    "q_ann_pq_recall" ->
+      s"""WITH $pqCtes,
+         |approx AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc_e6, neighbor_id) AS rnk FROM adc) WHERE rnk <= 3),
+         |bt AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${dotSql("c.v", "c.v")} - 2.0 * ${dotSql("q.v", "c.v")} + ${dotSql("q.v", "q.v")} AS d2
+         |  FROM pqe0 c JOIN pqe0 q ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |truth AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY d2, neighbor_id) AS rnk FROM bt) WHERE rnk <= 3),
+         |hits AS (SELECT count(*) AS n_hits FROM truth t JOIN approx a USING (query_id, neighbor_id)),
+         |tt AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+         |    count(*) AS n_truth FROM truth)
+         |SELECT 'pq4x10_adc' AS method, n_queries, n_truth, n_hits
+         |FROM tt CROSS JOIN hits""".stripMargin,
+
     // Full replay of the multi-table LSH recall pipeline (shared CTEs:
     // see annMtCtes) + brute-force truth, so n_hits itself hash-matches
     // — recall_ok is the headline contract on top.
@@ -3025,6 +3098,39 @@ object SparkEntry {
          |SELECT node, pr FROM pr3 ORDER BY node""".stripMargin
     },
 
+    // TextRank replay: the q_decontaminate tokenization (kept-position
+    // lead adjacency), symmetrized weighted edges, then the exact
+    // q_pagerank iteration CTEs over the vocab graph.
+    "q_textrank" -> {
+      def iter(prev: String, out: String): String =
+        s"""$out AS (
+           |  SELECT node, round(150.0 / nn + 0.85 * coalesce(c, 0.0), 6) AS pr
+           |  FROM nodes CROSS JOIN n LEFT JOIN (
+           |    SELECT dst, sum(pr * share) AS c
+           |    FROM e2 JOIN $prev ON e2.src = $prev.node GROUP BY dst) t
+           |  ON nodes.node = t.dst)""".stripMargin
+      s"""WITH tok AS (SELECT doc_id, unnest(l) AS token, generate_subscripts(l, 1) AS pos
+         |             FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS l FROM documents)),
+         |t2 AS (SELECT doc_id, pos, token FROM tok WHERE length(token) >= 2),
+         |adj AS (SELECT token, lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM t2),
+         |pp AS (SELECT token, nxt FROM adj WHERE nxt IS NOT NULL AND token <> nxt),
+         |ed AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM (
+         |    SELECT token AS src, nxt AS dst FROM pp
+         |    UNION ALL SELECT nxt, token FROM pp) u GROUP BY src, dst),
+         |nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed)),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM nodes),
+         |ow AS (SELECT src, sum(w) AS outw FROM ed GROUP BY src),
+         |e2 AS (SELECT ed.src, ed.dst, ed.w / ow.outw AS share FROM ed JOIN ow USING (src)),
+         |pr0 AS (SELECT node, round(1000.0 / nn, 6) AS pr FROM nodes CROSS JOIN n),
+         |${iter("pr0", "pr1")},
+         |${iter("pr1", "pr2")},
+         |${iter("pr2", "pr3")}
+         |SELECT rnk, node AS token, pr FROM (
+         |  SELECT node, pr, CAST(row_number() OVER (ORDER BY pr DESC, node) AS BIGINT) AS rnk
+         |  FROM pr3)
+         |WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+    },
+
     // Winsorize replay: decile boundaries from the same support walk,
     // clamp, one integral division.
     "q_winsorize" ->
@@ -3190,6 +3296,50 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) * 1000000
          |    // count(*) AS BIGINT) AS late_frac_e6
          |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // MMR replay: exact-cosine top-8 candidates (1e6-floored sims),
+    // bounded pair-sim table, then the 3 greedy picks UNROLLED — each
+    // round scores remaining candidates 7·sq − 3·max(pair vs selected)
+    // and takes the argmax with the id tie-break.
+    "q_mmr" ->
+      s"""WITH me0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |e AS (SELECT vec_id, ${normSql("v")} AS v FROM me0),
+         |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS id,
+         |    CAST(floor(${dotSql("q.v", "c.v")} * 1000000.0) AS BIGINT) AS sq
+         |  FROM e c JOIN e q ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |cand AS (SELECT query_id, id, sq FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sq DESC, id) AS rnk
+         |    FROM sc) WHERE rnk <= 8),
+         |pr AS (SELECT a.query_id, a.id AS a, b.id AS b,
+         |    CAST(floor(${dotSql("ea.v", "eb.v")} * 1000000.0) AS BIGINT) AS p_e6
+         |  FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.id < b.id
+         |  JOIN e ea ON ea.vec_id = a.id JOIN e eb ON eb.vec_id = b.id),
+         |p1 AS (SELECT query_id, id, 7 * sq AS sc FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY 7 * sq DESC, id) AS rn
+         |    FROM cand) WHERE rn = 1),
+         |r2 AS (SELECT c.query_id, c.id, 7 * c.sq - 3 * pr.p_e6 AS sc
+         |  FROM cand c JOIN p1 ON c.query_id = p1.query_id AND c.id <> p1.id
+         |  JOIN pr ON pr.query_id = c.query_id
+         |    AND pr.a = least(c.id, p1.id) AND pr.b = greatest(c.id, p1.id)),
+         |p2 AS (SELECT query_id, id, sc FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, id) AS rn
+         |    FROM r2) WHERE rn = 1),
+         |r3 AS (SELECT c.query_id, c.id, 7 * c.sq - 3 * max(pr.p_e6) AS sc
+         |  FROM cand c
+         |  JOIN p1 ON c.query_id = p1.query_id AND c.id <> p1.id
+         |  JOIN p2 ON c.query_id = p2.query_id AND c.id <> p2.id
+         |  JOIN pr ON pr.query_id = c.query_id AND (
+         |    (pr.a = least(c.id, p1.id) AND pr.b = greatest(c.id, p1.id)) OR
+         |    (pr.a = least(c.id, p2.id) AND pr.b = greatest(c.id, p2.id)))
+         |  GROUP BY c.query_id, c.id, c.sq),
+         |p3 AS (SELECT query_id, id, sc FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, id) AS rn
+         |    FROM r3) WHERE rn = 1)
+         |SELECT query_id, pick, id AS neighbor_id, sc AS mmr_score FROM (
+         |  SELECT query_id, 1 AS pick, id, sc FROM p1
+         |  UNION ALL SELECT query_id, 2 AS pick, id, sc FROM p2
+         |  UNION ALL SELECT query_id, 3 AS pick, id, sc FROM p3)
+         |ORDER BY query_id, pick""".stripMargin,
 
     // RRF replay: two rankings over the same lang partition, integral
     // 1/(60+r) at 10⁹ scale, top-5 by fused score.
@@ -4856,10 +5006,17 @@ object SparkEntry {
         |  fitted_e9
         |FROM bk JOIN fit ON bk.b = fit.kk ORDER BY bucket""".stripMargin,
 
-    // 4-truss replay: 8 unrolled materialized peel rounds (fixpoint ≤6
-    // on this data; extra rounds are no-ops), each = one wedge-join
-    // support pass + a symmetrized keep join, then the final support
-    // table of the surviving edges.
+    // 4-truss replay: 9 unrolled materialized peel rounds (fixpoint ≤6
+    // measured on this data; extra rounds are no-ops), each = one
+    // wedge-join support pass + a symmetrized keep join, then the
+    // final support table of the surviving edges. The Spark side
+    // iterates to a data-dependent fixpoint (maxRounds=30), so the
+    // unroll depth is an oracle assumption — the fixguard CTE makes it
+    // an EXPLICIT one: if round 9 still shrank the edge set (count r9
+    // <> count r8, i.e. not yet a fixpoint), the support expression
+    // calls DuckDB error() with a named message instead of silently
+    // hashing a non-fixpoint edge set (error() is lazily evaluated
+    // inside CASE; // by zero would only yield NULLs).
     "q_ktruss" -> {
       def round(i: Int): String =
         s"""kt_s$i AS MATERIALIZED (
@@ -4873,7 +5030,7 @@ object SparkEntry {
            |  JOIN (SELECT a, b FROM kt_s$i WHERE s >= 2
            |        UNION ALL SELECT b, a FROM kt_s$i WHERE s >= 2) kp
            |    ON r.src = kp.a AND r.dst = kp.b)""".stripMargin
-      val rounds = (1 to 8).map(round).mkString(",\n")
+      val rounds = (1 to 9).map(round).mkString(",\n")
       s"""WITH p AS (SELECT l_partkey AS src,
          |    lead(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
          |  FROM lineitem),
@@ -4882,14 +5039,21 @@ object SparkEntry {
          |    UNION ALL
          |    SELECT dst, src FROM p WHERE dst IS NOT NULL AND src <> dst) u),
          |$rounds,
+         |fixguard AS (
+         |  SELECT CASE WHEN (SELECT count(*) FROM kt_r9) =
+         |                   (SELECT count(*) FROM kt_r8)
+         |         THEN 1 ELSE 0 END AS at_fixpoint),
          |fin AS (
          |  SELECT o.src AS a, o.dst AS b, count(*) AS s
-         |  FROM (SELECT src, dst FROM kt_r8 WHERE src < dst) o
-         |  JOIN kt_r8 n1 ON n1.src = o.src
-         |  JOIN kt_r8 n2 ON n2.src = o.dst AND n2.dst = n1.dst
+         |  FROM (SELECT src, dst FROM kt_r9 WHERE src < dst) o
+         |  JOIN kt_r9 n1 ON n1.src = o.src
+         |  JOIN kt_r9 n2 ON n2.src = o.dst AND n2.dst = n1.dst
          |  GROUP BY o.src, o.dst)
-         |SELECT a AS src, b AS dst, CAST(s AS BIGINT) AS support
-         |FROM fin WHERE s >= 2 ORDER BY src, dst""".stripMargin
+         |SELECT a AS src, b AS dst,
+         |  CAST(CASE WHEN at_fixpoint = 1 THEN s ELSE error(
+         |    'q_ktruss oracle: kt_r9 <> kt_r8, unroll depth insufficient - add rounds')
+         |  END AS BIGINT) AS support
+         |FROM fin CROSS JOIN fixguard WHERE s >= 2 ORDER BY src, dst""".stripMargin
     },
 
     // Life-table replay: per-user first/last day, censor in the final
@@ -5097,6 +5261,38 @@ object SparkEntry {
         |SELECT d, x, CAST(l AS BIGINT) AS level_e6, CAST(b AS BIGINT) AS trend_e6,
         |  CAST(l + b AS BIGINT) AS forecast_next_e6
         |FROM r ORDER BY d""".stripMargin,
+
+    // Holt-Winters replay: the q_holt recursive chain carrying a 7-slot
+    // seasonal LIST, every component a truncated integer.
+    "q_holt_winters" -> {
+      val sk = "r.ss[CAST(d2.d % 7 AS INT) + 1]"
+      val lNew = s"r.l + r.b + (d2.x * 1000000 - $sk - r.l - r.b) // 8"
+      val bNew = s"r.b + (($lNew) - r.l - r.b) // 4"
+      val skNew = s"$sk + (d2.x * 1000000 - ($lNew) - $sk) // 4"
+      val ssNew = s"list_transform(range(7), j -> CASE WHEN j = d2.d % 7 " +
+        s"THEN $skNew ELSE r.ss[CAST(j AS INT) + 1] END)"
+      s"""WITH RECURSIVE daily AS (
+         |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+         |    CAST(count(*) AS BIGINT) AS x
+         |  FROM events GROUP BY 1),
+         |d2 AS (SELECT d, x, row_number() OVER (ORDER BY d) AS rn FROM daily),
+         |r AS (
+         |  SELECT rn, d, x, x * 1000000 AS l, CAST(0 AS BIGINT) AS b,
+         |    list_transform(range(7), j -> CAST(0 AS BIGINT)) AS ss
+         |  FROM d2 WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d2.rn, d2.d, d2.x,
+         |    $lNew,
+         |    $bNew,
+         |    $ssNew
+         |  FROM r JOIN d2 ON d2.rn = r.rn + 1)
+         |SELECT d, x, d % 7 AS season, CAST(l AS BIGINT) AS level_e6,
+         |  CAST(b AS BIGINT) AS trend_e6,
+         |  CAST(ss[CAST(d % 7 AS INT) + 1] AS BIGINT) AS seasonal_e6,
+         |  CAST(l + b + ss[CAST((d + 1) % 7 AS INT) + 1] AS BIGINT)
+         |    AS forecast_next_e6
+         |FROM r ORDER BY d""".stripMargin
+    },
 
     // AUC replay: the full perceptron training CTE chain, then the
     // Mann-Whitney midrank2 walk over the score support.

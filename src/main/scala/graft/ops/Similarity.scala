@@ -311,4 +311,90 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos_sim"), 6).as("cos_sim"))
   }
+
+  // --------------------------------------------------------------------
+  // Product quantization (Jégou et al., "Product Quantization for
+  // Nearest Neighbor Search"): the memory side of ANN at corpus scale.
+  // A d-dim float vector costs 4d bytes; its PQ code costs m small
+  // integers — the 100 TB story is that the CODES (and a k·d codebook)
+  // fit where the raw vectors never could, and ADC scans them with one
+  // narrow broadcast-join pass, linear in n.
+  // --------------------------------------------------------------------
+
+  /** `(row..., s, sv)`: each vector split into `m` contiguous
+    * subvectors of d/m dims (d must divide evenly; subspace `s` in
+    * 0..m-1). One explode per row — the shared front of codebook
+    * training, encoding, and query LUT construction.
+    */
+  def pqSubvectors(e: DataFrame, m: Int, vecCol: String = "embedding"): DataFrame = {
+    val len = (size(col(vecCol)) / m).cast("int")
+    e.select(col("*"), explode(sequence(lit(0), lit(m - 1))).as("s"))
+      .withColumn("sv", slice(col(vecCol), col("s") * len + 1, len))
+      .drop(vecCol)
+  }
+
+  /** PQ codebooks `(s, cell, cv)`: per subspace, the label-seeded
+    * one-shot centroid table (same convention as [[centroids]] — Lloyd
+    * refinement would iterate the identical assign/recompute blocks per
+    * subspace). m·k·(d/m) = k·d doubles total: model-sized at any
+    * corpus size, 6dp-rounded so hash-agg accumulation order can't
+    * leak into cell assignments.
+    */
+  def pqCodebooks(e: DataFrame, m: Int): DataFrame =
+    pqSubvectors(e.select(col("vec_id"), col("label"), col("embedding")), m)
+      .select(col("s"), col("label").cast("long").as("cell"),
+        posexplode(col("sv")).as(Seq("dim", "x")))
+      .groupBy(col("s"), col("cell"), col("dim"))
+      .agg(round(avg(col("x")), 6).as("mu"))
+      .groupBy(col("s"), col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("mu")))),
+        t => t.getField("mu")).as("cv"))
+
+  /** PQ encoding `(vec_id, s, cell)`: per subspace, the nearest
+    * codebook centroid by squared L2 (dot identity, broadcast
+    * codebooks, argmin via min(struct) — one narrow pass, m rows per
+    * vector, no raw vectors in the output).
+    */
+  def pqEncode(e: DataFrame, books: DataFrame, m: Int): DataFrame = {
+    val dist = dot(col("sv"), col("sv")) -
+      lit(2.0) * dot(col("sv"), col("cv")) + dot(col("cv"), col("cv"))
+    pqSubvectors(e.select(col("vec_id"), col("embedding")), m)
+      .join(broadcast(books), "s")
+      .withColumn("dist", dist)
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("dist"), col("cell"))).as("best"))
+      .select(col("vec_id"), col("s"), col("best.cell").as("cell"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k: each query's per-(subspace, cell)
+    * squared-L2 table is precomputed EXACTLY ONCE (|queries|·m·k rows —
+    * broadcast-sized), 1e6-floor-quantized to integers so the m-way
+    * per-pair sum is exact and order-free; the corpus is then scanned
+    * through its CODES only — one broadcast equi-join on (s, cell) +
+    * one hash aggregate, linear in n, never touching raw corpus
+    * vectors. Ties break by neighbor id; self-matches excluded.
+    * Output `(query_id, neighbor_id, rnk, adc_e6)` (ascending ADC —
+    * it approximates squared L2 DISTANCE, not similarity).
+    */
+  def pqAdcTopK(queries: DataFrame, corpusCodes: DataFrame, books: DataFrame,
+      k: Int, m: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qsub = pqSubvectors(
+      queries.select(col("vec_id").as("query_id"), col("embedding")), m,
+      vecCol = "embedding")
+    val lut = qsub.join(books, "s")
+      .select(col("query_id"), col("s"), col("cell"),
+        floor((dot(col("sv"), col("sv")) -
+          lit(2.0) * dot(col("sv"), col("cv")) + dot(col("cv"), col("cv")))
+          * lit(1000000.0)).cast("long").as("d_e6"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_e6"), col("neighbor_id"))
+    corpusCodes.join(broadcast(lut), Seq("s", "cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("d_e6")).as("adc_e6"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("adc_e6"))
+  }
 }

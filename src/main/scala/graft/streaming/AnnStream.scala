@@ -39,4 +39,23 @@ object AnnStream {
           corpusCodes = corpusCodes))
       }
       .start()
+
+  /** PQ/ADC variant of the same stateless loop, with the corpus
+    * reduced to its PQ CODES (built once, alongside the codebooks) —
+    * the compressed-corpus ingest scorer: per micro-batch only the
+    * batch's distance LUT is built and broadcast, the corpus side is
+    * the narrow static code table, and raw corpus vectors never enter
+    * the stream at all. Per batch it is exactly
+    * [[graft.ops.Similarity.pqAdcTopK]], so streaming results equal
+    * the batch run on the same accumulated queries.
+    */
+  def pqTopKVersusCorpus(
+      queries: DataFrame, corpusCodes: DataFrame, books: DataFrame,
+      k: Int, m: Int)(
+      onBatch: DataFrame => Unit): StreamingQuery =
+    queries.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        onBatch(Similarity.pqAdcTopK(batch, corpusCodes, books, k, m))
+      }
+      .start()
 }

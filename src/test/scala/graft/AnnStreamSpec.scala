@@ -51,4 +51,39 @@ class AnnStreamSpec extends AnyFunSuite {
     assert(got.toSet == batchResult.toSet, s"got=${got.size} batch=${batchResult.length}")
     assert(got.nonEmpty && got.map(_._1).distinct.size == 10)
   }
+
+  test("streaming PQ/ADC vs static code table == batch ADC on the same queries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val m = 4
+    val raw = Similarity.asDouble(graft.sources.Tables.embeddings(spark, sf))
+    val books = Similarity.pqCodebooks(raw, m).localCheckpoint(true)
+    val corpusCodes = Similarity.pqEncode(raw, books, m)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    corpusCodes.count() // the compressed corpus, materialized once
+
+    val queryRows = raw.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val q = graft.streaming.AnnStream.pqTopKVersusCorpus(
+      mem.toDF().toDF("vec_id", "embedding"), corpusCodes, books, 3, m) { batch =>
+      got ++= batch.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    }
+    try {
+      mem.addData(queryRows.take(5): _*)
+      q.processAllAvailable()
+      mem.addData(queryRows.drop(5): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val batchResult = Similarity.pqAdcTopK(
+        raw.filter(col("vec_id") < 10), corpusCodes, books, 3, m)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    corpusCodes.unpersist(blocking = false)
+    assert(got.toSet == batchResult.toSet, s"got=${got.size} batch=${batchResult.length}")
+    assert(got.nonEmpty && got.map(_._1).distinct.size == 10)
+  }
 }

@@ -1039,4 +1039,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(plan.contains("partial_min"), plan)
   }
+
+  test("ann pq: ADC scan joins codes against a broadcast LUT — equi only, no raw-vector join") {
+    val plan = formatted(Queries.annPq(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the LUT (and the codebooks feeding encode) ride broadcasts
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the per-pair ADC sum partial-aggregates before its exchange
+    assert(plan.contains("partial_sum"), plan)
+  }
+
+  test("textrank: adjacency count partial-aggs; rank joins equi; top-20 window keyed") {
+    val plan = formatted(Queries.textrankQ(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("partial_count"), plan)
+    // the by-design single-partition top-20 keeps its opaque key
+    assert(plan.contains("pmod(hash("), plan)
+  }
+
+  test("holt winters: one partial-aggregated daily pass, no join, no window") {
+    val plan = formatted(Queries.holtWintersQ(spark, sf))
+    assert(plan.contains("partial_count") || plan.contains("Partial"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("windowspecdefinition"), plan)
+  }
 }
