@@ -52,8 +52,10 @@ object DumpPlans {
     "q_dq_checks" -> "DQ audit: all row constraints in ONE conditional aggregate over one scan; uniqueness one distinct; referential one anti-join",
     "q_split_leakage" -> "leakage audit: one filter over the memoized LSH pair table — candidates were already banded, the audit is free",
     "q_ngram_novelty" -> "novelty: per-side distinct gram tables (replication-invariant) + a keyed anti-join — posting work, never doc pairs",
-    "q_ann_pq" -> "PQ/ADC: corpus reduced to m narrow codes; per-query LUT broadcast; ADC scan = one code-table equi-join + partial-agg integer sum — raw vectors never enter the search",
-    "q_textrank" -> "TextRank: corpus-sized adjacency count partial-aggs to a vocab-bounded graph; pagerank iterations ride the small edge table; top-20 on the singleton-key window")
+    "q_ann_pq" -> "PQ/ADC: corpus reduced to m narrow codes; per-query LUT broadcast; ADC scan = one code-table equi-join + partial-agg integer sum; k-selection = partial BottomKLong aggregate (≤ k rows per query per partition to the merge) — raw vectors never enter the search",
+    "q_ann_ivfpq" -> "IVFADC: coarse cells prune the scan — the (ivf_cell, s, cell) equi-join against the broadcast residual LUT reads only probed cells' codes (dynamic partition pruning when the code table is laid out by ivf_cell); ADC + selection as q_ann_pq",
+    "q_mmr_ann" -> "MMR over the certified LSH front: candidate pool from the multi-table code probe (no corpus cross-join), pair sims and the greedy integer fold on the bounded checkpointed pool",
+    "q_textrank" -> "TextRank: corpus-sized adjacency count partial-aggs to a vocab-bounded graph; pagerank iterations ride the small edge table; top-20 = TakeOrderedAndProject over the vocab rank table, rnk derived on the 20 survivors")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1402,11 +1402,92 @@ object Queries {
   def annPq(spark: SparkSession, sfDir: String): DataFrame = {
     val m = 4
     val raw = Similarity.asDouble(Tables.embeddings(spark, sfDir))
-    // k·d-sized model, referenced by two broadcasts (encode + LUT):
-    // checkpoint so the corpus-sized training aggregate runs once.
-    val books = Similarity.pqCodebooks(raw, m).localCheckpoint(true)
+    val books = pqBooks(spark, sfDir, 0)
     val codes = Similarity.pqEncode(raw, books, m)
     Similarity.pqAdcTopK(raw.filter(col("vec_id") < 10), codes, books, 3, m)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** The m=4 PQ codebooks shared by the PQ family — k·d-sized model,
+    * referenced by several broadcasts (encode + LUT in each consumer).
+    * Session-memoized per (sf, rounds) so the corpus-sized training
+    * aggregate runs once AND repeated invocations (soak/bench loops)
+    * can't accumulate checkpoint blocks — one cached entry per variant
+    * per session, the annMtCodes discipline. Lloyd-refined books come
+    * back driver-localized from [[graft.ops.Similarity.pqCodebooks]]
+    * (a LocalRelation — nothing to checkpoint).
+    */
+  private def pqBooks(spark: SparkSession, sfDir: String, lloydRounds: Int): DataFrame =
+    graft.sources.SessionMemo(spark, ("pq_books", sfDir, lloydRounds)) {
+      val raw = Similarity.asDouble(Tables.embeddings(spark, sfDir))
+      val b = Similarity.pqCodebooks(raw, 4, lloydRounds)
+      if (lloydRounds > 0) b else b.localCheckpoint(true)
+    }
+
+  /** [[annPq]] with the codebooks refined by 2 per-subspace Lloyd
+    * rounds ([[graft.ops.Similarity.pqCodebooks]] — the q_kmeans
+    * exact-replay discipline: 6dp centroids each round, id tie-breaks,
+    * empty cells drop), the DuckDB oracle unrolling both rounds. Same
+    * scan/selection as q_ann_pq; the measured quality delta of the
+    * refinement is recorded by [[annPqRecall]]'s row pair.
+    */
+  def annPqLloyd(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = 4
+    val raw = Similarity.asDouble(Tables.embeddings(spark, sfDir))
+    val books = pqBooks(spark, sfDir, 2)
+    val codes = Similarity.pqEncode(raw, books, m)
+    Similarity.pqAdcTopK(raw.filter(col("vec_id") < 10), codes, books, 3, m)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  private val IvfPqM = 8
+  private val IvfPqKsub = 32
+  private val IvfPqNprobe = 3
+
+  /** The IVFADC index triple (coarse centroids, residual codebooks,
+    * residual codes+cell) — each piece session-memoized per sf: the
+    * models are driver-sized, the code table is the narrow persisted
+    * corpus artifact the scan reads. Residual codebooks are seeded by
+    * `vec_id % 32` (label-seeded residuals would collapse: residual
+    * means per label are ≈ 0 by construction) and refined by 2 Lloyd
+    * rounds.
+    */
+  private def ivfPqParts(spark: SparkSession, sfDir: String): (DataFrame, DataFrame, DataFrame) = {
+    val raw = Similarity.asDouble(Tables.embeddings(spark, sfDir))
+    val cents = graft.sources.SessionMemo(spark, ("ivfpq_cents", sfDir)) {
+      Similarity.centroids(raw).localCheckpoint(true)
+    }
+    val res = graft.sources.SessionMemo(spark, ("ivfpq_res", sfDir)) {
+      Similarity.ivfResiduals(raw, cents)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val books = graft.sources.SessionMemo(spark, ("ivfpq_books", sfDir)) {
+      Similarity.pqCodebooks(res, IvfPqM, 2, pmod(col("vec_id"), lit(IvfPqKsub)))
+    }
+    val codes = graft.sources.SessionMemo(spark, ("ivfpq_codes", sfDir)) {
+      Similarity.pqEncode(res, books, IvfPqM)
+        .join(res.select(col("vec_id"), col("ivf_cell")), "vec_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    (cents, books, codes)
+  }
+
+  /** IVF + PQ composed ANN — the IVFADC architecture (FAISS's
+    * production shape, [[graft.ops.Similarity.ivfPqTopK]]): coarse
+    * label-seeded centroids prune the scan to each query's 3 nearest
+    * cells, and within them ADC runs over m=8, ksub=32 PQ codes of the
+    * RESIDUALS. Same output shape as q_ann_pq; at 100 TB the win over
+    * plain PQ is that per query only nprobe/ncells of the code table
+    * is read (partition pruning when the codes are laid out by
+    * ivf_cell) while residual quantization keeps MORE accuracy than
+    * whole-vector PQ — measured ≥ plain-PQ recall at every SF
+    * ([[annPqRecall]]'s third row carries the gate).
+    */
+  def annIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = Similarity.asDouble(Tables.embeddings(spark, sfDir))
+    val (cents, books, codes) = ivfPqParts(spark, sfDir)
+    Similarity.ivfPqTopK(raw.filter(col("vec_id") < 10), codes, cents, books,
+        3, IvfPqM, IvfPqNprobe)
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -1480,27 +1561,36 @@ object Queries {
         (col("n_hits") * 4 >= col("n_truth") * 3).as("recall_ok"))
   }
 
-  /** Measured PQ/ADC retrieval quality against exact squared-L2 truth
-    * — the honest companion [[annRecall]] gives the multi-table
-    * pipeline: the SAME codebook/code/LUT chain q_ann_pq serves, its
-    * top-3 intersected with the exact-distance top-3, and the hit
-    * count itself hash-matched in the oracle. Deliberately NO pass
-    * gate: one-shot label-seeded codebooks on structure-free synthetic
-    * embeddings are a lossy 4-code compression, so the CONTRACT here
-    * is that the measured quality number is exact and reproducible —
-    * the certified-recall path remains q_ann_recall's OR-amplified
-    * multi-table LSH.
+  /** Measured PQ-family retrieval quality against exact squared-L2
+    * truth — one row per variant, every hit count hash-matched in the
+    * oracle's full-pipeline replay: `pq4x10_adc` (the one-shot
+    * label-seeded chain q_ann_pq serves), `pq4x10_adc_lloyd2` (the
+    * 2-round-refined books of q_ann_pq_lloyd — the before/after
+    * refinement delta IS this row pair), and `ivfpq8x32_adc` (the
+    * composed q_ann_ivfpq). No absolute recall gate: all PQ variants
+    * on structure-free synthetic embeddings are lossy few-code
+    * compressions (the certified-recall path remains q_ann_recall's
+    * OR-amplified multi-table LSH) — but the RELATIVE gate
+    * `ge_plain_pq` holds by measurement at every SF: IVFADC's residual
+    * quantization recovers more than its 3-of-10-cell pruning costs,
+    * exactly the Jégou et al. trade.
     */
   def annPqRecall(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val m = 4
     val k = 3
     val raw = Similarity.asDouble(Tables.embeddings(spark, sfDir))
-    val books = Similarity.pqCodebooks(raw, m).localCheckpoint(true)
-    val codes = Similarity.pqEncode(raw, books, m)
     val q = raw.filter(col("vec_id") < 10)
-    val approx = Similarity.pqAdcTopK(q, codes, books, k, m)
-      .select(col("query_id"), col("neighbor_id"))
+    def pqApprox(lloydRounds: Int): DataFrame = {
+      val books = pqBooks(spark, sfDir, lloydRounds)
+      Similarity.pqAdcTopK(q, Similarity.pqEncode(raw, books, m), books, k, m)
+        .select(col("query_id"), col("neighbor_id"))
+    }
+    val ivfApprox = {
+      val (cents, books, codes) = ivfPqParts(spark, sfDir)
+      Similarity.ivfPqTopK(q, codes, cents, books, k, IvfPqM, IvfPqNprobe)
+        .select(col("query_id"), col("neighbor_id"))
+    }
     val qv = q.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val cv = raw.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
     val w = Window.partitionBy(col("query_id"))
@@ -1513,12 +1603,22 @@ object Queries {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"))
-    val hits = truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
-    truth.agg(countDistinct(col("query_id")).as("n_queries"),
+    def hitsOf(approx: DataFrame, name: String): DataFrame = broadcast(
+      truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as(name)))
+    val wide = truth
+      .agg(countDistinct(col("query_id")).as("n_queries"),
         count(lit(1)).as("n_truth"))
-      .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
-      .select(lit("pq4x10_adc").as("method"), col("n_queries"),
-        col("n_truth"), col("n_hits"))
+      .crossJoin(hitsOf(pqApprox(0), "h0"))
+      .crossJoin(hitsOf(pqApprox(2), "h2"))
+      .crossJoin(hitsOf(ivfApprox, "hi"))
+    def rowOf(method: String, h: String): DataFrame =
+      wide.select(lit(method).as("method"), col("n_queries"), col("n_truth"),
+        col(h).as("n_hits"), (col(h) >= col("h0")).as("ge_plain_pq"))
+    rowOf("ivfpq8x32_adc", "hi")
+      .unionAll(rowOf("pq4x10_adc", "h0"))
+      .unionAll(rowOf("pq4x10_adc_lloyd2", "h2"))
+      .orderBy(col("method"))
   }
 
   /** k-means (3 Lloyd iterations from the label seed): cluster sizes.
@@ -3027,16 +3127,34 @@ object Queries {
     val q = e.filter(col("vec_id") < 10)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sq_e6").desc, col("neighbor_id"))
-    val cand = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
-      .crossJoin(broadcast(q.select(col("vec_id").as("query_id"),
-        col("embedding").as("qv"))))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sq_e6",
-        floor(Similarity.dot(col("qv"), col("cv")) * lit(1000000.0)).cast("long"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 8)
-      .select(col("query_id"), col("neighbor_id"), col("sq_e6"))
-      .localCheckpoint(true) // bounded (|Q|·8); feeds two pair sides + the fold
+    val cand = graft.sources.SessionMemo(spark, ("mmr_cand", sfDir)) {
+      e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+        .crossJoin(broadcast(q.select(col("vec_id").as("query_id"),
+          col("embedding").as("qv"))))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("sq_e6",
+          floor(Similarity.dot(col("qv"), col("cv")) * lit(1000000.0)).cast("long"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 8)
+        .select(col("query_id"), col("neighbor_id"), col("sq_e6"))
+        // bounded (|Q|·8); feeds two pair sides + the fold — memoized per
+        // (session, sf) so repeated invocations reuse ONE checkpoint
+        .localCheckpoint(true)
+    }
+    mmrFold(cand, e)
+  }
+
+  /** The greedy MMR selection over a bounded candidate table
+    * `(query_id, neighbor_id, sq_e6)`: pairwise sims packed into a
+    * per-query map, then 3 picks of argmax 7·sq − 3·max-pair-sim (ties
+    * by id) as one aggregate HOF — shared by [[mmrQ]] (exact top-8
+    * front) and [[mmrAnnQ]] (certified multi-table-LSH front).
+    * Degenerate pools are safe: queries whose pool has NO pair (a
+    * single candidate) keep their row via the left join + empty-map
+    * coalesce, and once `rem` runs dry the fold carries `sel`
+    * unchanged instead of appending null picks.
+    */
+  private def mmrFold(cand: DataFrame, e: DataFrame): DataFrame = {
     val ca = cand.select(col("query_id"), col("neighbor_id").as("a"))
       .join(e.select(col("vec_id").as("a"), col("embedding").as("va")), "a")
     val cb = cand.select(col("query_id"), col("neighbor_id").as("b"))
@@ -3051,7 +3169,9 @@ object Queries {
         col("sq_e6").as("sq"))).as("rem0"))
       .join(pairs.groupBy(col("query_id"))
         .agg(map_from_entries(collect_list(struct(col("k"), col("p_e6"))))
-          .as("pm")), "query_id")
+          .as("pm")), Seq("query_id"), "left")
+      .withColumn("pm", coalesce(col("pm"), map_from_entries(
+        expr("cast(array() as array<struct<k: string, p_e6: bigint>>)"))))
     // the greedy fold: score = 7·sq − 3·max pair-sim vs selected
     val score = "7 * c.sq - (case when size(st.sel) = 0 then 0L " +
       "else 3 * array_max(transform(st.sel, s -> element_at(pm, " +
@@ -3064,14 +3184,45 @@ object Queries {
          |  cast(named_struct('sel', array(), 'rem', rem0) as
          |    struct<sel: array<struct<id: bigint, sc: bigint>>,
          |           rem: array<struct<id: bigint, sq: bigint>>>),
-         |  (st, i) -> named_struct(
+         |  (st, i) -> if(size(st.rem) = 0, st, named_struct(
          |    'sel', array_append(st.sel,
          |      named_struct('id', ($pick).id, 'sc', -(($pick).nsc))),
-         |    'rem', filter(st.rem, c -> c.id != ($pick).id)))""".stripMargin
+         |    'rem', filter(st.rem, c -> c.id != ($pick).id))))""".stripMargin
     packed.select(col("query_id"), posexplode(expr(s"($fold).sel")).as(Seq("p", "s")))
       .select(col("query_id"), (col("p") + 1).as("pick"),
         col("s.id").as("neighbor_id"), col("s.sc").as("mmr_score"))
       .orderBy(col("query_id"), col("pick"))
+  }
+
+  /** MMR over a CERTIFIED-ANN candidate front: the pool is the top-8
+    * of the OR-amplified multi-table LSH pipeline ([[annMtTopK]] — the
+    * exact operator [[annRecall]] certifies at recall@3 ≥ 0.75), with
+    * query-candidate sims re-derived exactly (floor-1e6 of the raw
+    * dot, same integers as [[mmrQ]]); the greedy fold is unchanged.
+    * This replaces mmrQ's corpus-sized exact candidate search with the
+    * bucketed front — at 100 TB the only corpus-sized pass left is the
+    * LSH code probe. Candidate-recall caveat (the q_ann_recall
+    * contract): pools are the LSH candidates' top-8, so a true
+    * neighbor the 32 tables miss cannot be re-ranked into the pool —
+    * certified, not exact.
+    */
+  def mmrAnnQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Similarity.normalized(Similarity.asDouble(Tables.embeddings(spark, sfDir)))
+      .select(col("vec_id"), col("embedding"))
+    val cand = graft.sources.SessionMemo(spark, ("mmr_ann_cand", sfDir)) {
+      annMtTopK(spark, sfDir, e, 8)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
+          "neighbor_id")
+        .join(broadcast(e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))),
+          "query_id")
+        .select(col("query_id"), col("neighbor_id"),
+          floor(Similarity.dot(col("qv"), col("cv")) * lit(1000000.0))
+            .cast("long").as("sq_e6"))
+        .localCheckpoint(true) // bounded (|Q|·8), memoized per (session, sf)
+    }
+    mmrFold(cand, e)
   }
 
   def rrfQ(spark: SparkSession, sfDir: String): DataFrame = {
@@ -5278,12 +5429,18 @@ object Queries {
       .union(pairs.select(col("nxt").as("src"), col("token").as("dst")))
       .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).cast("double").as("w"))
+    // Global top-20 over the VOCAB-sized rank table: orderBy+limit plans
+    // as TakeOrderedAndProject (per-partition heaps + driver merge of 20
+    // rows), never a single-partition window — the house rule at
+    // TextOps.scala:233. The rank index is then derived by a window over
+    // the 20 surviving rows only.
     val w = Window.partitionBy(
         graft.functions.GraftFunctions.singleton_key(col("node")))
       .orderBy(col("pr").desc, col("node"))
     graft.ops.Graph.pagerank(ed, iters = 3)
+      .orderBy(col("pr").desc, col("node"))
+      .limit(20)
       .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 20)
       .select(col("rnk"), col("node").as("token"), col("pr"))
       .orderBy(col("rnk"))
   }

@@ -106,7 +106,14 @@ object SoakScale {
     // the corpus-wide co-occurrence count under vocab-bounded
     // TextRank iterations, and the daily-count scan under the
     // Holt-Winters fold
-    "q_ann_pq", "q_textrank", "q_holt_winters")
+    "q_ann_pq", "q_textrank", "q_holt_winters",
+    // round 9: IVFADC over the replicated embeddings (coarse assign,
+    // residual Lloyd train and the code table grow linearly; the
+    // probed ADC join reads ~nprobe/ncells of the codes), the
+    // Lloyd-refined plain-PQ chain, and both MMR fronts (exact-cross
+    // candidate stage vs the LSH code probe — the greedy fold itself
+    // is query-bounded either way)
+    "q_ann_ivfpq", "q_ann_pq_lloyd", "q_mmr", "q_mmr_ann")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

@@ -80,6 +80,8 @@ object SparkEntry {
     "q_label_centroids" -> (Queries.labelCentroids _),
     "q_ann_ivf" -> (Queries.annIvf _),
     "q_ann_pq" -> (Queries.annPq _),
+    "q_ann_pq_lloyd" -> (Queries.annPqLloyd _),
+    "q_ann_ivfpq" -> (Queries.annIvfPq _),
     "q_ann_pq_recall" -> (Queries.annPqRecall _),
     "q_ann_recall" -> (Queries.annRecall _),
     "q_ann_multitable" -> (Queries.annMultiTable _),
@@ -229,6 +231,7 @@ object SparkEntry {
     "q_kanon" -> (Queries.kanonQ _),
     "q_rrf" -> (Queries.rrfQ _),
     "q_mmr" -> (Queries.mmrQ _),
+    "q_mmr_ann" -> (Queries.mmrAnnQ _),
     "q_bool_search" -> (Queries.boolSearchQ _),
     "q_sssp" -> (Queries.ssspQ _),
     "q_weighted_quantile" -> (Queries.weightedQuantileQ _),
@@ -662,43 +665,146 @@ object SparkEntry {
     * `scored` (candidate pairs + exact cosine); q_ann_multitable ranks
     * it, q_ann_recall scores it against brute-force truth.
     */
-  /** PQ/ADC CTE chain shared by q_ann_pq and q_ann_pq_recall: m=4
-    * subspace label-seeded codebooks (6dp means), nearest-cell codes
-    * via the L2 dot identity with the cell-id tie-break, per-query LUT
-    * distances floor-quantized at 1e6, ending at `adc`
-    * (query_id, neighbor_id, adc_e6) — replays
-    * Similarity.pqCodebooks/pqEncode/pqAdcTopK before the rank.
+  /** PQ/ADC CTE chain generators replaying
+    * Similarity.pqCodebooks/pqEncode/pqAdcTopK for any (prefix, source,
+    * m, seed, Lloyd rounds): subvector width derived from the data
+    * (`len(v) // m` — a dimension change can't silently slice wrong
+    * subspaces), seed-assigned 6dp-mean codebooks `{p}b0`, then each
+    * Lloyd round unrolled as assign `{p}a{r}` (dot-identity L2,
+    * cell-id tie-break) + recompute `{p}b{r}` (empty cells drop), and
+    * [[pqAdcCtes]] appending encode/LUT/ADC ending at `{p}adc`
+    * (query_id, neighbor_id, adc_e6). Shared by q_ann_pq,
+    * q_ann_pq_lloyd, q_ann_ivfpq, and the q_ann_pq_recall replay.
     */
-  private val pqCtes: String =
-    s"""pqe0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |sub AS (
-       |  SELECT vec_id, label, CAST(s AS INT) AS s,
-       |    v[CAST(s * 16 + 1 AS BIGINT):CAST(s * 16 + 16 AS BIGINT)] AS sv
-       |  FROM pqe0 CROSS JOIN (SELECT unnest(range(4)) AS s)),
-       |cbd AS (
-       |  SELECT s, CAST(label AS BIGINT) AS cell, dim, round(avg(x), 6) AS mu
-       |  FROM (SELECT s, label, sv, unnest(range(len(sv))) AS dim FROM sub) t,
-       |       LATERAL (SELECT sv[dim + 1] AS x) l
-       |  GROUP BY s, cell, dim),
-       |cb AS (SELECT s, cell, list(mu ORDER BY dim) AS cv FROM cbd GROUP BY s, cell),
-       |enc AS (
+  private def pqDistSql: String =
+    s"(${dotSql("sv", "sv")} - 2.0 * ${dotSql("sv", "cv")} + ${dotSql("cv", "cv")})"
+
+  private def pqAssignCte(p: String, prev: String, out: String): String =
+    s"""$out AS (
        |  SELECT vec_id, s, cell FROM (
-       |    SELECT sub.vec_id, sub.s, cb.cell,
-       |      row_number() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
-       |        (${dotSql("sv", "sv")} - 2.0 * ${dotSql("sv", "cv")} + ${dotSql("cv", "cv")}), cb.cell) AS rn
-       |    FROM sub JOIN cb ON sub.s = cb.s)
-       |  WHERE rn = 1),
-       |lut AS (
-       |  SELECT q.vec_id AS query_id, q.s, cb.cell,
-       |    CAST(floor((${dotSql("sv", "sv")} - 2.0 * ${dotSql("sv", "cv")} + ${dotSql("cv", "cv")})
-       |      * 1000000.0) AS BIGINT) AS d_e6
-       |  FROM (SELECT * FROM sub WHERE vec_id < 10) q JOIN cb ON q.s = cb.s),
-       |adc AS (
-       |  SELECT lut.query_id, enc.vec_id AS neighbor_id,
+       |    SELECT t.vec_id, t.s, b.cell,
+       |      row_number() OVER (PARTITION BY t.vec_id, t.s ORDER BY
+       |        $pqDistSql, b.cell) AS rn
+       |    FROM ${p}sub t JOIN $prev b ON t.s = b.s)
+       |  WHERE rn = 1)""".stripMargin
+
+  private def pqChainCtes(p: String, srcCte: String, m: Int, seedExpr: String,
+      rounds: Int): String = {
+    val width = s"(len(v) // $m)"
+    val sub =
+      s"""${p}sub AS (
+         |  SELECT vec_id, $seedExpr AS cell0, CAST(s AS INT) AS s,
+         |    v[CAST(s * $width + 1 AS BIGINT):CAST((s + 1) * $width AS BIGINT)] AS sv
+         |  FROM $srcCte CROSS JOIN (SELECT unnest(range($m)) AS s))""".stripMargin
+    val seed =
+      s"""${p}b0d AS (
+         |  SELECT s, cell0 AS cell, dim, round(avg(x), 6) AS mu
+         |  FROM (SELECT s, cell0, sv, unnest(range(len(sv))) AS dim FROM ${p}sub) t,
+         |       LATERAL (SELECT sv[dim + 1] AS x) l
+         |  GROUP BY s, cell, dim),
+         |${p}b0 AS (SELECT s, cell, list(mu ORDER BY dim) AS cv FROM ${p}b0d GROUP BY s, cell)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s"""${pqAssignCte(p, s"${p}b${r - 1}", s"${p}a$r")},
+         |${p}b${r}d AS (
+         |  SELECT t.s, t.cell, t.dim, round(avg(x), 6) AS mu
+         |  FROM (SELECT sub.s, a.cell, sub.sv, unnest(range(len(sub.sv))) AS dim
+         |        FROM ${p}sub sub JOIN ${p}a$r a ON sub.vec_id = a.vec_id AND sub.s = a.s) t,
+         |       LATERAL (SELECT sv[dim + 1] AS x) l
+         |  GROUP BY t.s, t.cell, t.dim),
+         |${p}b$r AS (SELECT s, cell, list(mu ORDER BY dim) AS cv FROM ${p}b${r}d GROUP BY s, cell)""".stripMargin
+    }
+    (Seq(sub, seed) ++ roundCtes).mkString(",\n")
+  }
+
+  /** encode + per-query LUT + ADC aggregate over a [[pqChainCtes]]
+    * prefix, against books `$booksCte`; ends at `{p}adc`.
+    */
+  private def pqAdcCtes(p: String, booksCte: String): String =
+    s"""${pqAssignCte(p, booksCte, s"${p}enc")},
+       |${p}lut AS (
+       |  SELECT q.vec_id AS query_id, q.s, b.cell,
+       |    CAST(floor($pqDistSql * 1000000.0) AS BIGINT) AS d_e6
+       |  FROM (SELECT * FROM ${p}sub WHERE vec_id < 10) q JOIN $booksCte b ON q.s = b.s),
+       |${p}adc AS (
+       |  SELECT l.query_id, e.vec_id AS neighbor_id,
        |    CAST(sum(d_e6) AS BIGINT) AS adc_e6
-       |  FROM enc JOIN lut ON enc.s = lut.s AND enc.cell = lut.cell
-       |  WHERE enc.vec_id <> lut.query_id
+       |  FROM ${p}enc e JOIN ${p}lut l ON e.s = l.s AND e.cell = l.cell
+       |  WHERE e.vec_id <> l.query_id
        |  GROUP BY 1, 2)""".stripMargin
+
+  /** The plain (one-shot label-seeded, m=4) PQ chain ending at
+    * `pq0adc` — q_ann_pq's oracle and the `pq4x10_adc` recall row.
+    */
+  private lazy val pqCtes: String =
+    s"""pqe0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${pqChainCtes("pq0", "pqe0", 4, "CAST(label AS BIGINT)", 0)},
+       |${pqAdcCtes("pq0", "pq0b0")}""".stripMargin
+
+  /** The 2-round-Lloyd-refined m=4 chain ending at `pq2adc`. */
+  private lazy val pqLloydCtes: String =
+    s"""${pqChainCtes("pq2", "pqe0", 4, "CAST(label AS BIGINT)", 2)},
+       |${pqAdcCtes("pq2", "pq2b2")}""".stripMargin
+
+  /** IVFADC replay: label-mean coarse centroids, residuals, a
+    * vec_id%32-seeded 2-round m=8 PQ chain over the residuals, codes
+    * tagged with their coarse cell, per-query 3 probed cells with
+    * query residuals, the per-(query, cell) LUT, and the probed ADC
+    * aggregate `ivadc` — Similarity.ivfResiduals/ivfProbedCells/
+    * ivfPqTopK end-to-end.
+    */
+  private lazy val ivfPqCtes: String = {
+    val width = "(len(v) // 8)"
+    s"""ivcd AS (
+       |  SELECT CAST(label AS BIGINT) AS cell, dim, round(avg(x), 6) AS m
+       |  FROM (SELECT label, v, unnest(range(len(v))) AS dim FROM pqe0) t,
+       |       LATERAL (SELECT v[dim + 1] AS x) l
+       |  GROUP BY cell, dim),
+       |ivcents AS (SELECT cell, list(m ORDER BY dim) AS cv FROM ivcd GROUP BY cell),
+       |ivasg AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT pqe0.vec_id, ivcents.cell,
+       |      row_number() OVER (PARTITION BY pqe0.vec_id ORDER BY
+       |        (${dotSql("v", "v")} - 2.0 * ${dotSql("v", "cv")} + ${dotSql("cv", "cv")}), ivcents.cell) AS rn
+       |    FROM pqe0 CROSS JOIN ivcents)
+       |  WHERE rn = 1),
+       |ivres AS (
+       |  SELECT p.vec_id, a.cell AS ivf_cell,
+       |    list_transform(range(len(v)), i -> v[i + 1] - cv[i + 1]) AS v
+       |  FROM pqe0 p JOIN ivasg a ON p.vec_id = a.vec_id
+       |       JOIN ivcents c ON a.cell = c.cell),
+       |${pqChainCtes("iv", "ivres", 8, "vec_id % 32", 2)},
+       |${pqAssignCte("iv", "ivb2", "ivenc")},
+       |ivencc AS (
+       |  SELECT e.vec_id, a.cell AS ivf_cell, e.s, e.cell
+       |  FROM ivenc e JOIN ivasg a ON e.vec_id = a.vec_id),
+       |ivprobe AS (
+       |  SELECT query_id, cell AS ivf_cell FROM (
+       |    SELECT q.vec_id AS query_id, c.cell,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        (${dotSql("q.v", "q.v")} - 2.0 * ${dotSql("q.v", "c.cv")} + ${dotSql("c.cv", "c.cv")}), c.cell) AS rn
+       |    FROM (SELECT * FROM pqe0 WHERE vec_id < 10) q CROSS JOIN ivcents c)
+       |  WHERE rn <= 3),
+       |ivqres AS (
+       |  SELECT p.query_id, p.ivf_cell,
+       |    list_transform(range(len(q.v)), i -> q.v[i + 1] - c.cv[i + 1]) AS v
+       |  FROM ivprobe p JOIN pqe0 q ON p.query_id = q.vec_id
+       |       JOIN ivcents c ON p.ivf_cell = c.cell),
+       |ivqsub AS (
+       |  SELECT query_id, ivf_cell, CAST(s AS INT) AS s,
+       |    v[CAST(s * $width + 1 AS BIGINT):CAST((s + 1) * $width AS BIGINT)] AS sv
+       |  FROM ivqres CROSS JOIN (SELECT unnest(range(8)) AS s)),
+       |ivlut AS (
+       |  SELECT q.query_id, q.ivf_cell, q.s, b.cell,
+       |    CAST(floor($pqDistSql * 1000000.0) AS BIGINT) AS d_e6
+       |  FROM ivqsub q JOIN ivb2 b ON q.s = b.s),
+       |ivadc AS (
+       |  SELECT l.query_id, e.vec_id AS neighbor_id,
+       |    CAST(sum(d_e6) AS BIGINT) AS adc_e6
+       |  FROM ivencc e JOIN ivlut l
+       |    ON e.ivf_cell = l.ivf_cell AND e.s = l.s AND e.cell = l.cell
+       |  WHERE e.vec_id <> l.query_id
+       |  GROUP BY 1, 2)""".stripMargin
+  }
 
   private val annMtCtes: String =
     s"""e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -2266,28 +2372,66 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, rnk, adc_e6 FROM (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
          |    ORDER BY adc_e6, neighbor_id) AS BIGINT) AS rnk
-         |  FROM adc)
+         |  FROM pq0adc)
          |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
 
-    // PQ quality replay: the same ADC top-3 intersected with the exact
-    // squared-L2 top-3 — the hit count itself hash-matches (no pass
-    // gate by design: the measured number is the contract).
+    // Same contract over the 2-round-Lloyd-refined codebooks (both
+    // assign/recompute rounds unrolled per subspace).
+    "q_ann_pq_lloyd" ->
+      s"""WITH pqe0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |$pqLloydCtes
+         |SELECT query_id, neighbor_id, rnk, adc_e6 FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc_e6, neighbor_id) AS BIGINT) AS rnk
+         |  FROM pq2adc)
+         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    // IVFADC replay (coarse pruning + residual-PQ ADC; see ivfPqCtes).
+    "q_ann_ivfpq" ->
+      s"""WITH pqe0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |$ivfPqCtes
+         |SELECT query_id, neighbor_id, rnk, adc_e6 FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc_e6, neighbor_id) AS BIGINT) AS rnk
+         |  FROM ivadc)
+         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    // PQ-family quality replay: every variant's ADC top-3 intersected
+    // with the exact squared-L2 top-3 — each hit count hash-matches,
+    // and the relative ge_plain_pq gate rides the same integers.
     "q_ann_pq_recall" ->
       s"""WITH $pqCtes,
-         |approx AS (SELECT query_id, neighbor_id FROM (
+         |$pqLloydCtes,
+         |$ivfPqCtes,
+         |a0 AS (SELECT query_id, neighbor_id FROM (
          |    SELECT *, row_number() OVER (PARTITION BY query_id
-         |      ORDER BY adc_e6, neighbor_id) AS rnk FROM adc) WHERE rnk <= 3),
+         |      ORDER BY adc_e6, neighbor_id) AS rnk FROM pq0adc) WHERE rnk <= 3),
+         |a2 AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc_e6, neighbor_id) AS rnk FROM pq2adc) WHERE rnk <= 3),
+         |ai AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc_e6, neighbor_id) AS rnk FROM ivadc) WHERE rnk <= 3),
          |bt AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          |    ${dotSql("c.v", "c.v")} - 2.0 * ${dotSql("q.v", "c.v")} + ${dotSql("q.v", "q.v")} AS d2
          |  FROM pqe0 c JOIN pqe0 q ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
          |truth AS (SELECT query_id, neighbor_id FROM (
          |    SELECT *, row_number() OVER (PARTITION BY query_id
          |      ORDER BY d2, neighbor_id) AS rnk FROM bt) WHERE rnk <= 3),
-         |hits AS (SELECT count(*) AS n_hits FROM truth t JOIN approx a USING (query_id, neighbor_id)),
+         |h0 AS (SELECT count(*) AS h0 FROM truth t JOIN a0 a USING (query_id, neighbor_id)),
+         |h2 AS (SELECT count(*) AS h2 FROM truth t JOIN a2 a USING (query_id, neighbor_id)),
+         |hi AS (SELECT count(*) AS hi FROM truth t JOIN ai a USING (query_id, neighbor_id)),
          |tt AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
-         |    count(*) AS n_truth FROM truth)
-         |SELECT 'pq4x10_adc' AS method, n_queries, n_truth, n_hits
-         |FROM tt CROSS JOIN hits""".stripMargin,
+         |    count(*) AS n_truth FROM truth),
+         |wide AS (SELECT * FROM tt CROSS JOIN h0 CROSS JOIN h2 CROSS JOIN hi)
+         |SELECT method, n_queries, n_truth, n_hits, ge_plain_pq FROM (
+         |  SELECT 'ivfpq8x32_adc' AS method, n_queries, n_truth, hi AS n_hits,
+         |    hi >= h0 AS ge_plain_pq FROM wide
+         |  UNION ALL
+         |  SELECT 'pq4x10_adc', n_queries, n_truth, h0, h0 >= h0 FROM wide
+         |  UNION ALL
+         |  SELECT 'pq4x10_adc_lloyd2', n_queries, n_truth, h2, h2 >= h0 FROM wide)
+         |ORDER BY method""".stripMargin,
 
     // Full replay of the multi-table LSH recall pipeline (shared CTEs:
     // see annMtCtes) + brute-force truth, so n_hits itself hash-matches
@@ -3339,6 +3483,48 @@ object SparkEntry {
          |  SELECT query_id, 1 AS pick, id, sc FROM p1
          |  UNION ALL SELECT query_id, 2 AS pick, id, sc FROM p2
          |  UNION ALL SELECT query_id, 3 AS pick, id, sc FROM p3)
+         |ORDER BY query_id, pick""".stripMargin,
+
+    // MMR over the certified multi-table-LSH front: the candidate pool
+    // is annMtCtes' scored pairs ranked top-8 (cs desc, id), sims
+    // floor-1e6 of the same raw dots, then the identical greedy
+    // 3-pick replay as q_mmr.
+    "q_mmr_ann" ->
+      s"""WITH $annMtCtes,
+         |mc AS (SELECT query_id, id, sq FROM (
+         |    SELECT query_id, neighbor_id AS id,
+         |      CAST(floor(cs * 1000000.0) AS BIGINT) AS sq,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
+         |    FROM scored) WHERE rnk <= 8),
+         |mpr AS (SELECT a.query_id, a.id AS a, b.id AS b,
+         |    CAST(floor(${dotSql("ea.v", "eb.v")} * 1000000.0) AS BIGINT) AS p_e6
+         |  FROM mc a JOIN mc b ON a.query_id = b.query_id AND a.id < b.id
+         |  JOIN e ea ON ea.vec_id = a.id JOIN e eb ON eb.vec_id = b.id),
+         |mp1 AS (SELECT query_id, id, 7 * sq AS sc FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY 7 * sq DESC, id) AS rn
+         |    FROM mc) WHERE rn = 1),
+         |mr2 AS (SELECT c.query_id, c.id, 7 * c.sq - 3 * mpr.p_e6 AS sc
+         |  FROM mc c JOIN mp1 ON c.query_id = mp1.query_id AND c.id <> mp1.id
+         |  JOIN mpr ON mpr.query_id = c.query_id
+         |    AND mpr.a = least(c.id, mp1.id) AND mpr.b = greatest(c.id, mp1.id)),
+         |mp2 AS (SELECT query_id, id, sc FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, id) AS rn
+         |    FROM mr2) WHERE rn = 1),
+         |mr3 AS (SELECT c.query_id, c.id, 7 * c.sq - 3 * max(mpr.p_e6) AS sc
+         |  FROM mc c
+         |  JOIN mp1 ON c.query_id = mp1.query_id AND c.id <> mp1.id
+         |  JOIN mp2 ON c.query_id = mp2.query_id AND c.id <> mp2.id
+         |  JOIN mpr ON mpr.query_id = c.query_id AND (
+         |    (mpr.a = least(c.id, mp1.id) AND mpr.b = greatest(c.id, mp1.id)) OR
+         |    (mpr.a = least(c.id, mp2.id) AND mpr.b = greatest(c.id, mp2.id)))
+         |  GROUP BY c.query_id, c.id, c.sq),
+         |mp3 AS (SELECT query_id, id, sc FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, id) AS rn
+         |    FROM mr3) WHERE rn = 1)
+         |SELECT query_id, pick, id AS neighbor_id, sc AS mmr_score FROM (
+         |  SELECT query_id, 1 AS pick, id, sc FROM mp1
+         |  UNION ALL SELECT query_id, 2 AS pick, id, sc FROM mp2
+         |  UNION ALL SELECT query_id, 3 AS pick, id, sc FROM mp3)
          |ORDER BY query_id, pick""".stripMargin,
 
     // RRF replay: two rankings over the same lang partition, integral

@@ -41,4 +41,37 @@ object Aggregators {
     override def outputEncoder: Encoder[List[(Double, Long)]] =
       Encoders.kryo[List[(Double, Long)]]
   }
+
+  /** Bounded bottom-k by integer score (asc), id tiebreak (asc) — the
+    * ascending-DISTANCE twin of [[TopK]] for KNN selection over exact
+    * integer metrics (ADC sums, quantized L2): the buffer never exceeds
+    * 2k entries and partial buffers merge associatively, so each
+    * query's selection ships at most k rows per partition instead of
+    * sorting its full corpus-length candidate list on one task.
+    */
+  /** IN = (id, score); OUT entries = (score, id) ascending. */
+  class BottomKLong(k: Int) extends Aggregator[(Long, Long), List[(Long, Long)], List[(Long, Long)]] {
+
+    private def trim(xs: List[(Long, Long)]): List[(Long, Long)] = xs.sorted.take(k)
+
+    override def zero: List[(Long, Long)] = Nil
+
+    // amortize: let the buffer grow to 2k between trims instead of
+    // sorting k+1 elements on every input row of the map-side combine
+    override def reduce(buf: List[(Long, Long)], in: (Long, Long)): List[(Long, Long)] = {
+      val grown = (in._2, in._1) :: buf
+      if (grown.lengthCompare(2 * k) > 0) trim(grown) else grown
+    }
+
+    override def merge(a: List[(Long, Long)], b: List[(Long, Long)]): List[(Long, Long)] =
+      trim(a ++ b)
+
+    override def finish(buf: List[(Long, Long)]): List[(Long, Long)] = trim(buf)
+
+    override def bufferEncoder: Encoder[List[(Long, Long)]] =
+      Encoders.kryo[List[(Long, Long)]]
+
+    override def outputEncoder: Encoder[List[(Long, Long)]] =
+      Encoders.kryo[List[(Long, Long)]]
+  }
 }

@@ -333,22 +333,55 @@ object Similarity {
       .drop(vecCol)
   }
 
-  /** PQ codebooks `(s, cell, cv)`: per subspace, the label-seeded
-    * one-shot centroid table (same convention as [[centroids]] — Lloyd
-    * refinement would iterate the identical assign/recompute blocks per
-    * subspace). m·k·(d/m) = k·d doubles total: model-sized at any
-    * corpus size, 6dp-rounded so hash-agg accumulation order can't
-    * leak into cell assignments.
+  /** PQ codebooks `(s, cell, cv)`: per subspace, seed-assigned means
+    * (seed defaults to the label column, the [[centroids]] convention)
+    * optionally refined by `lloydRounds` per-subspace Lloyd iterations
+    * — each round one assign pass ([[pqEncode]]: broadcast books,
+    * argmin via min(struct)) plus one recompute pass (posexplode →
+    * partial-avg), exactly the [[kmeans]] discipline: 6dp-rounded
+    * centroids each round so hash-agg accumulation order can't leak
+    * into cell assignments, cell-id tie-breaks, and cells that lose
+    * all members DROP from the book (deterministic on both engines).
+    * m·k·(d/m) = k·d doubles total — model-sized at any corpus size,
+    * so each round's book is localized to the driver (the MLlib
+    * pattern: data stays distributed, the model rides the driver;
+    * without it round i's lazy lineage re-runs rounds 1..i-1).
     */
-  def pqCodebooks(e: DataFrame, m: Int): DataFrame =
-    pqSubvectors(e.select(col("vec_id"), col("label"), col("embedding")), m)
-      .select(col("s"), col("label").cast("long").as("cell"),
-        posexplode(col("sv")).as(Seq("dim", "x")))
-      .groupBy(col("s"), col("cell"), col("dim"))
-      .agg(round(avg(col("x")), 6).as("mu"))
-      .groupBy(col("s"), col("cell"))
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("mu")))),
-        t => t.getField("mu")).as("cv"))
+  def pqCodebooks(e: DataFrame, m: Int): DataFrame = pqCodebooks(e, m, 0)
+
+  def pqCodebooks(e: DataFrame, m: Int, lloydRounds: Int): DataFrame =
+    pqCodebooks(e, m, lloydRounds, col("label").cast("long"))
+
+  def pqCodebooks(e: DataFrame, m: Int, lloydRounds: Int, seed: Column): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val base = e.select(col("vec_id"), seed.as("pq_seed"), col("embedding"))
+    def booksFrom(tagged: DataFrame): DataFrame =
+      tagged
+        .select(col("s"), col("cell"), posexplode(col("sv")).as(Seq("dim", "x")))
+        .groupBy(col("s"), col("cell"), col("dim"))
+        .agg(round(avg(col("x")), 6).as("mu"))
+        .groupBy(col("s"), col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("mu")))),
+          t => t.getField("mu")).as("cv"))
+    def localize(df: DataFrame): DataFrame =
+      spark.createDataset(
+        df.select(col("s").cast("int"), col("cell").cast("long"), col("cv"))
+          .as[(Int, Long, Seq[Double])].collect().toSeq
+      ).toDF("s", "cell", "cv")
+    var books = booksFrom(
+      pqSubvectors(base, m).select(col("s"), col("pq_seed").as("cell"), col("sv")))
+    if (lloydRounds > 0) {
+      books = localize(books)
+      for (_ <- 0 until lloydRounds) {
+        val assigned = pqEncode(e, books, m)
+        books = localize(booksFrom(
+          pqSubvectors(base, m).join(assigned, Seq("vec_id", "s"))
+            .select(col("s"), col("cell"), col("sv"))))
+      }
+    }
+    books
+  }
 
   /** PQ encoding `(vec_id, s, cell)`: per subspace, the nearest
     * codebook centroid by squared L2 (dot identity, broadcast
@@ -378,7 +411,6 @@ object Similarity {
     */
   def pqAdcTopK(queries: DataFrame, corpusCodes: DataFrame, books: DataFrame,
       k: Int, m: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val qsub = pqSubvectors(
       queries.select(col("vec_id").as("query_id"), col("embedding")), m,
       vecCol = "embedding")
@@ -387,14 +419,108 @@ object Similarity {
         floor((dot(col("sv"), col("sv")) -
           lit(2.0) * dot(col("sv"), col("cv")) + dot(col("cv"), col("cv")))
           * lit(1000000.0)).cast("long").as("d_e6"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_e6"), col("neighbor_id"))
-    corpusCodes.join(broadcast(lut), Seq("s", "cell"))
+    val scored = corpusCodes.join(broadcast(lut), Seq("s", "cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
       .agg(sum(col("d_e6")).as("adc_e6"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("adc_e6"))
+    bottomKByQuery(scored, k)
+  }
+
+  /** Final per-query k-selection over `(query_id, neighbor_id, adc_e6)`
+    * via the bounded partial-aggregatable
+    * [[graft.ops.Aggregators.BottomKLong]] — each query ships at most k
+    * candidates per partition to the final merge, never sorting its
+    * corpus-length candidate list on one task (the TextOps.scala:233
+    * house rule, per group). Shared by [[pqAdcTopK]] and [[ivfPqTopK]].
+    */
+  // --------------------------------------------------------------------
+  // IVF + PQ composition (the IVFADC shape of Jégou et al. §V): a coarse
+  // quantizer prunes the scan to the query's nprobe nearest cells, and
+  // within those cells ADC runs over PQ codes of the RESIDUAL
+  // (vector − its coarse centroid) — residuals concentrate around 0, so
+  // the same code budget quantizes them tighter than raw vectors. At
+  // 100 TB this is the production vector-store layout: the corpus is
+  // codes + a cell id, the scan reads only probed cells (partition
+  // pruning when the code table is written partitioned by ivf_cell),
+  // and both models (coarse centroids k·d, codebooks m·ksub·(d/m))
+  // broadcast.
+  // --------------------------------------------------------------------
+
+  /** IVF residuals `(vec_id, ivf_cell, embedding)`: each vector minus
+    * its assigned coarse centroid (elementwise zip_with; assignment via
+    * [[assignCells]], centroids 6dp so both engines subtract identical
+    * doubles). The PQ training/encode input of IVFADC.
+    */
+  def ivfResiduals(e: DataFrame, cents: DataFrame): DataFrame = {
+    val asg = assignCells(e, cents)
+      .select(col("vec_id"), col("cell").as("ivf_cell"))
+    e.select(col("vec_id"), col("embedding"))
+      .join(asg, "vec_id")
+      .join(broadcast(cents.select(col("cell").as("ivf_cell"), col("cv"))), Seq("ivf_cell"))
+      .select(col("vec_id"), col("ivf_cell"),
+        zip_with(col("embedding"), col("cv"), (a, b) => a - b).as("embedding"))
+  }
+
+  /** Per-query probed cells `(query_id, ivf_cell, qres)`: the nprobe
+    * nearest coarse cells by squared L2 (cell-id tie-break), each with
+    * the query's residual against that cell's centroid. The rank window
+    * is per-query over the CENTROID table only — bounded by the model
+    * size, never the corpus.
+    */
+  def ivfProbedCells(queries: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dist = dot(col("qv"), col("qv")) -
+      lit(2.0) * dot(col("qv"), col("cv")) + dot(col("cv"), col("cv"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("cell"))
+    queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist", dist)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("cell").as("ivf_cell"),
+        zip_with(col("qv"), col("cv"), (a, b) => a - b).as("qres"))
+  }
+
+  /** IVFADC top-k: ADC over residual PQ codes, restricted to each
+    * query's probed cells. The LUT is per (query, probed cell,
+    * subspace, codeword) — |Q|·nprobe·m·ksub rows, broadcast-sized —
+    * and the scan is one equi-join of the code table against it on
+    * `(ivf_cell, s, cell)`: a vector participates only when its cell is
+    * probed for that query, so the join IS the pruning. Distances
+    * 1e6-floor-quantized like [[pqAdcTopK]]; selection via the bounded
+    * partial [[bottomKByQuery]]. `corpusCodes` must carry
+    * `(vec_id, ivf_cell, s, cell)` (codes of [[ivfResiduals]] joined
+    * back to their cell assignment).
+    */
+  def ivfPqTopK(queries: DataFrame, corpusCodes: DataFrame, cents: DataFrame,
+      books: DataFrame, k: Int, m: Int, nprobe: Int): DataFrame = {
+    val lut = pqSubvectors(
+        ivfProbedCells(queries, cents, nprobe), m, vecCol = "qres")
+      .join(books, "s")
+      .select(col("query_id"), col("ivf_cell"), col("s"), col("cell"),
+        floor((dot(col("sv"), col("sv")) -
+          lit(2.0) * dot(col("sv"), col("cv")) + dot(col("cv"), col("cv")))
+          * lit(1000000.0)).cast("long").as("d_e6"))
+    val scored = corpusCodes.join(broadcast(lut), Seq("ivf_cell", "s", "cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("d_e6")).as("adc_e6"))
+    bottomKByQuery(scored, k)
+  }
+
+  private[graft] def bottomKByQuery(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored.select(col("query_id"), col("neighbor_id"), col("adc_e6"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new Aggregators.BottomKLong(k).toColumn.name("topk"))
+      .flatMap { case (qid, lst) =>
+        lst.zipWithIndex.map { case ((adc, nid), i) =>
+          (qid, nid, (i + 1).toLong, adc)
+        }
+      }
+      .toDF("query_id", "neighbor_id", "rnk", "adc_e6")
   }
 }

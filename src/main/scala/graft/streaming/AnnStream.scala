@@ -58,4 +58,24 @@ object AnnStream {
         onBatch(Similarity.pqAdcTopK(batch, corpusCodes, books, k, m))
       }
       .start()
+
+  /** IVFADC variant — the composed index served streaming: the static
+    * side is the coarse centroid model plus the residual code table
+    * (codes + ivf_cell, built once); per micro-batch only the batch's
+    * probed cells and their residual LUTs are derived (batch-sized ×
+    * nprobe·m·ksub — broadcast), and the probed equi-join reads
+    * ~nprobe/ncells of the code table. Still zero streaming state. Per
+    * batch it is exactly [[graft.ops.Similarity.ivfPqTopK]], so
+    * streaming results equal the batch run on the same accumulated
+    * queries (AnnStreamSpec proves it).
+    */
+  def ivfPqTopKVersusCorpus(
+      queries: DataFrame, corpusCodes: DataFrame, cents: DataFrame,
+      books: DataFrame, k: Int, m: Int, nprobe: Int)(
+      onBatch: DataFrame => Unit): StreamingQuery =
+    queries.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        onBatch(Similarity.ivfPqTopK(batch, corpusCodes, cents, books, k, m, nprobe))
+      }
+      .start()
 }

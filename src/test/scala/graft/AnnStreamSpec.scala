@@ -86,4 +86,46 @@ class AnnStreamSpec extends AnyFunSuite {
     assert(got.toSet == batchResult.toSet, s"got=${got.size} batch=${batchResult.length}")
     assert(got.nonEmpty && got.map(_._1).distinct.size == 10)
   }
+
+  test("streaming IVFADC vs static residual-code table == batch IVFADC on the same queries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val m = 8
+    val raw = Similarity.asDouble(graft.sources.Tables.embeddings(spark, sf))
+    val cents = Similarity.centroids(raw).localCheckpoint(true)
+    val res = Similarity.ivfResiduals(raw, cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val books = Similarity.pqCodebooks(res, m, lloydRounds = 2,
+      seed = pmod(col("vec_id"), lit(32)))
+    val corpusCodes = Similarity.pqEncode(res, books, m)
+      .join(res.select(col("vec_id"), col("ivf_cell")), "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    corpusCodes.count() // the static compressed+celled corpus, once
+
+    val queryRows = raw.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val q = graft.streaming.AnnStream.ivfPqTopKVersusCorpus(
+      mem.toDF().toDF("vec_id", "embedding"), corpusCodes, cents, books,
+      3, m, 3) { batch =>
+      got ++= batch.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    }
+    try {
+      mem.addData(queryRows.take(5): _*)
+      q.processAllAvailable()
+      mem.addData(queryRows.drop(5): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val batchResult = Similarity.ivfPqTopK(
+        raw.filter(col("vec_id") < 10), corpusCodes, cents, books, 3, m, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    res.unpersist(blocking = false)
+    corpusCodes.unpersist(blocking = false)
+    assert(got.toSet == batchResult.toSet, s"got=${got.size} batch=${batchResult.length}")
+    assert(got.nonEmpty && got.map(_._1).distinct.size == 10)
+  }
 }

@@ -55,8 +55,10 @@ class HeavyHittersStreamSpec extends AnyFunSuite {
         assert(rowsAfterBatch1 <= 3, s"batch 1 summary: $rowsAfterBatch1 rows")
         val batch2Rows = spark.table("hh_out").count() - rowsAfterBatch1
         assert(batch2Rows <= 3, s"batch 2 summary: $batch2Rows rows")
-        // and the full summary was live both times (5 and 4 distinct
-        // terms arrived against capacity 3)
+        // and the full summary was live both times: batch 1's 3
+        // distinct terms (a, b, c) exactly fill k=3; batch 2 lifts the
+        // cumulative distinct count to 5, so ITS summary proves
+        // eviction pressure kept the state at capacity
         assert(rowsAfterBatch1 == 3 && batch2Rows == 3)
       } finally q.stop()
     }

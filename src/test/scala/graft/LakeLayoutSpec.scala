@@ -139,6 +139,37 @@ class LakeLayoutSpec extends AnyFunSuite {
     assert(viaPrebuilt.nonEmpty) // every probed original is inside its mega
   }
 
+  test("ivf_cell-partitioned code table: IVFADC's probe join prunes partitions dynamically") {
+    import graft.ops.Similarity
+    val out = Files.createTempDirectory("graft-lake").toString + "/pq_codes"
+    val raw = Similarity.asDouble(Tables.embeddings(spark, sf))
+    val cents = Similarity.centroids(raw).localCheckpoint(true)
+    val res = Similarity.ivfResiduals(raw, cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val books = Similarity.pqCodebooks(res, m = 8, lloydRounds = 2,
+      seed = pmod(col("vec_id"), lit(32)))
+    val memCodes = Similarity.pqEncode(res, books, m = 8)
+      .join(res.select(col("vec_id"), col("ivf_cell")), "vec_id")
+    memCodes.write.partitionBy("ivf_cell").parquet(out)
+    // read with the original schema so the partition column keeps its
+    // LONG type (directory-value inference would make it INT and put a
+    // cast between the join key and the partition column)
+    val diskCodes = spark.read.schema(memCodes.schema).parquet(out)
+    val q = raw.filter(col("vec_id") < 10)
+    val result = Similarity.ivfPqTopK(q, diskCodes, cents, books, 3, 8, 3)
+    val plan = result.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the broadcast LUT keyed on the partition column triggers dynamic
+    // partition pruning: only probed cells' directories are scanned —
+    // the on-disk face of "the join IS the pruning"
+    assert(plan.contains("dynamicpruning"), plan)
+    val expect = Similarity.ivfPqTopK(q, memCodes, cents, books, 3, 8, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val got = result
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    res.unpersist(blocking = false)
+    assert(got == expect && got.nonEmpty, s"disk=${got.size} mem=${expect.size}")
+  }
+
   test("csv and json-lines interchange round-trips with explicit schemas") {
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("lang"), col("n_chars"))
     val schema = docs.schema

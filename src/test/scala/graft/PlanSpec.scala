@@ -1047,14 +1047,44 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
     // the per-pair ADC sum partial-aggregates before its exchange
     assert(plan.contains("partial_sum"), plan)
+    // the k-selection partial-aggregates too (bounded BottomKLong
+    // buffers, at most k rows per query per partition reach the merge)
+    // — never a per-query window sort of the corpus-length list
+    assert(plan.contains("partial_bottomklong"), plan)
+    assert(!plan.contains("windowspecdefinition"), plan)
   }
 
-  test("textrank: adjacency count partial-aggs; rank joins equi; top-20 window keyed") {
+  test("ann ivfpq: scan prunes to probed cells via the (ivf_cell,s,cell) broadcast equi-join") {
+    val plan = formatted(Queries.annIvfPq(spark, sf))
+    // the only cross is the query x centroid-model probe (bounded);
+    // the corpus-code side joins equi against the broadcast LUT keyed
+    // by ivf_cell — a code row participates only when its cell is
+    // probed, so the join IS the pruning
+    assert(plan.contains("ivf_cell"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // ADC partial-aggregates; selection is the bounded partial bottom-k
+    assert(plan.contains("partial_sum"), plan)
+    assert(plan.contains("partial_bottomklong"), plan)
+  }
+
+  test("mmr ann: candidate front is the LSH code join — no corpus-sized cartesian anywhere") {
+    val plan = formatted(Queries.mmrAnnQ(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // pair sims and the greedy fold run on the bounded checkpointed pool
+    assert(plan.contains("LocalTableScan") || plan.contains("Scan ExistingRDD"), plan)
+  }
+
+  test("textrank: adjacency count partial-aggs; top-20 is TakeOrdered, not a vocab window") {
     val plan = formatted(Queries.textrankQ(spark, sf))
     assert(!plan.contains("CartesianProduct"), plan)
     assert(plan.contains("partial_count"), plan)
-    // the by-design single-partition top-20 keeps its opaque key
-    assert(plan.contains("pmod(hash("), plan)
+    // the vocab-sized rank table is cut by TakeOrderedAndProject (the
+    // TextOps house rule); the rnk window runs over those 20 rows only,
+    // with no exchange feeding it (TakeOrdered output is already a
+    // single 20-row partition)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("hashpartitioning(_w0"), plan)
   }
 
   test("holt winters: one partial-aggregated daily pass, no join, no window") {

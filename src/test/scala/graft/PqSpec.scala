@@ -60,6 +60,44 @@ class PqSpec extends AnyFunSuite {
       (4L, 4L, 8000000L), (5L, 5L, 8000000L), (6L, 6L, 8000000L)))
   }
 
+  test("lloyd refinement: a cluster-mixing seed converges to the true per-subspace cells in one round") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    // vec_id % 2 mixes the two planted clusters in both seed cells;
+    // one assign/recompute round must separate them exactly
+    val books = Similarity.pqCodebooks(corpus, m = 2, lloydRounds = 1,
+        seed = pmod(col("vec_id"), lit(2))).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2)).toMap
+    assert(books.size == 4) // 2 subspaces x 2 cells, no empties
+    assert(books.collect { case ((0, _), v) => v }.toSet ==
+      Set(Seq(1.0, 1.0, 1.0, 1.0), Seq(0.0, 0.0, 0.0, 0.0)))
+    assert(books.collect { case ((1, _), v) => v }.toSet ==
+      Set(Seq(2.0, 2.0, 2.0, 2.0), Seq(0.0, 0.0, 0.0, 0.0)))
+  }
+
+  test("ivfpq: the probed-cell join IS the pruning — nprobe=1 scans only the query's cell") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val cents = Similarity.centroids(corpus)
+    val res = Similarity.ivfResiduals(corpus, cents)
+    // residuals are exactly zero here: both seed cells collapse and the
+    // surviving codebook is the single zero centroid per subspace
+    val books = Similarity.pqCodebooks(res, m = 2, lloydRounds = 2,
+      seed = pmod(col("vec_id"), lit(2)))
+    val codes = Similarity.pqEncode(res, books, m = 2)
+      .join(res.select(col("vec_id"), col("ivf_cell")), "vec_id")
+    val q = corpus.filter($"vec_id" === 1L).select($"vec_id", $"embedding")
+    val near = Similarity.ivfPqTopK(q, codes, cents, books, k = 5, m = 2, nprobe = 1)
+      .collect()
+    // k=5 asked, but nprobe=1 restricts the scan to cell 0's residents
+    assert(near.map(_.getLong(1)).toSet == Set(2L, 3L))
+    val all = Similarity.ivfPqTopK(q, codes, cents, books, k = 5, m = 2, nprobe = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    // nprobe=2 reaches the far cell: residual-ADC distance vs cell 1 is
+    // |qres|^2 = 4 + 16 = 20 exactly (zero quantization error)
+    assert(all.toMap == Map(2L -> 0L, 3L -> 0L,
+      4L -> 20000000L, 5L -> 20000000L, 6L -> 20000000L))
+  }
+
   test("self-match is excluded; k truncates") {
     import spark.implicits._
     val books = Similarity.pqCodebooks(corpus, m = 2)
