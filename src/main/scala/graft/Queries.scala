@@ -1413,15 +1413,18 @@ object Queries {
     * Session-memoized per (sf, rounds) so the corpus-sized training
     * aggregate runs once AND repeated invocations (soak/bench loops)
     * can't accumulate checkpoint blocks — one cached entry per variant
-    * per session, the annMtCodes discipline. Lloyd-refined books come
+    * per session, the annMtCodes discipline. The rounds=0 checkpoint is
+    * LAZY (SessionMemo's benign-race contract: a losing builder's
+    * un-executed checkpoint holds no blocks); Lloyd-refined books come
     * back driver-localized from [[graft.ops.Similarity.pqCodebooks]]
-    * (a LocalRelation — nothing to checkpoint).
+    * as a LocalRelation — a racing loser there re-runs training jobs
+    * but likewise holds no executor storage.
     */
   private def pqBooks(spark: SparkSession, sfDir: String, lloydRounds: Int): DataFrame =
     graft.sources.SessionMemo(spark, ("pq_books", sfDir, lloydRounds)) {
       val raw = Similarity.asDouble(Tables.embeddings(spark, sfDir))
       val b = Similarity.pqCodebooks(raw, 4, lloydRounds)
-      if (lloydRounds > 0) b else b.localCheckpoint(true)
+      if (lloydRounds > 0) b else b.localCheckpoint(false)
     }
 
   /** [[annPq]] with the codebooks refined by 2 per-subspace Lloyd
@@ -1454,13 +1457,18 @@ object Queries {
     */
   private def ivfPqParts(spark: SparkSession, sfDir: String): (DataFrame, DataFrame, DataFrame) = {
     val raw = Similarity.asDouble(Tables.embeddings(spark, sfDir))
+    // lazy checkpoint/persist throughout: SessionMemo builders stay pure
+    // plan construction, so a losing concurrent builder holds no blocks
     val cents = graft.sources.SessionMemo(spark, ("ivfpq_cents", sfDir)) {
-      Similarity.centroids(raw).localCheckpoint(true)
+      Similarity.centroids(raw).localCheckpoint(false)
     }
     val res = graft.sources.SessionMemo(spark, ("ivfpq_res", sfDir)) {
       Similarity.ivfResiduals(raw, cents)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
+    // the one non-pure builder: Lloyd training runs jobs, but its result
+    // is a driver-local LocalRelation — a racing loser re-trains (wasted
+    // compute under a cold concurrent race) yet holds no executor blocks
     val books = graft.sources.SessionMemo(spark, ("ivfpq_books", sfDir)) {
       Similarity.pqCodebooks(res, IvfPqM, 2, pmod(col("vec_id"), lit(IvfPqKsub)))
     }
@@ -3138,8 +3146,9 @@ object Queries {
         .filter(col("rnk") <= 8)
         .select(col("query_id"), col("neighbor_id"), col("sq_e6"))
         // bounded (|Q|·8); feeds two pair sides + the fold — memoized per
-        // (session, sf) so repeated invocations reuse ONE checkpoint
-        .localCheckpoint(true)
+        // (session, sf) so repeated invocations reuse ONE checkpoint,
+        // LAZY so a losing concurrent builder holds no blocks
+        .localCheckpoint(false)
     }
     mmrFold(cand, e)
   }
@@ -3220,7 +3229,8 @@ object Queries {
         .select(col("query_id"), col("neighbor_id"),
           floor(Similarity.dot(col("qv"), col("cv")) * lit(1000000.0))
             .cast("long").as("sq_e6"))
-        .localCheckpoint(true) // bounded (|Q|·8), memoized per (session, sf)
+        // bounded (|Q|·8), memoized per (session, sf), lazy (see mmrQ)
+        .localCheckpoint(false)
     }
     mmrFold(cand, e)
   }

@@ -426,13 +426,6 @@ object Similarity {
     bottomKByQuery(scored, k)
   }
 
-  /** Final per-query k-selection over `(query_id, neighbor_id, adc_e6)`
-    * via the bounded partial-aggregatable
-    * [[graft.ops.Aggregators.BottomKLong]] — each query ships at most k
-    * candidates per partition to the final merge, never sorting its
-    * corpus-length candidate list on one task (the TextOps.scala:233
-    * house rule, per group). Shared by [[pqAdcTopK]] and [[ivfPqTopK]].
-    */
   // --------------------------------------------------------------------
   // IVF + PQ composition (the IVFADC shape of Jégou et al. §V): a coarse
   // quantizer prunes the scan to the query's nprobe nearest cells, and
@@ -508,6 +501,13 @@ object Similarity {
     bottomKByQuery(scored, k)
   }
 
+  /** Final per-query k-selection over `(query_id, neighbor_id, adc_e6)`
+    * via the bounded partial-aggregatable
+    * [[graft.ops.Aggregators.BottomKLong]] — each query ships at most k
+    * candidates per partition to the final merge, never sorting its
+    * corpus-length candidate list on one task (the TextOps.scala:233
+    * house rule, per group). Shared by [[pqAdcTopK]] and [[ivfPqTopK]].
+    */
   private[graft] def bottomKByQuery(scored: DataFrame, k: Int): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
