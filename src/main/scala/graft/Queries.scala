@@ -1599,18 +1599,7 @@ object Queries {
       Similarity.ivfPqTopK(q, codes, cents, books, k, IvfPqM, IvfPqNprobe)
         .select(col("query_id"), col("neighbor_id"))
     }
-    val qv = q.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val cv = raw.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("d2"), col("neighbor_id"))
-    val truth = cv.crossJoin(broadcast(qv))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("d2", Similarity.dot(col("cv"), col("cv"))
-        - lit(2.0) * Similarity.dot(col("qv"), col("cv"))
-        + Similarity.dot(col("qv"), col("qv")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"))
+    val truth = pqL2Truth(raw, q, k)
     def hitsOf(approx: DataFrame, name: String): DataFrame = broadcast(
       truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
         .agg(count(lit(1)).as(name)))
@@ -1628,6 +1617,64 @@ object Queries {
       .unionAll(rowOf("pq4x10_adc_lloyd2", "h2"))
       .orderBy(col("method"))
   }
+
+  /** Exact squared-L2 top-k ground truth `(query_id, neighbor_id)` for
+    * the capped query set — eval-only brute force (broadcast queries),
+    * shared by [[annPqRecall]] and [[annIvfPqSweep]].
+    */
+  private def pqL2Truth(raw: DataFrame, q: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qv = q.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val cv = raw.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2"), col("neighbor_id"))
+    cv.crossJoin(broadcast(qv))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("d2", Similarity.dot(col("cv"), col("cv"))
+        - lit(2.0) * Similarity.dot(col("qv"), col("cv"))
+        + Similarity.dot(col("qv"), col("qv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
+  /** The IVFADC recall-vs-nprobe curve — the operator's cost/quality
+    * knob measured in one pass: every (query, neighbor) ADC-scored
+    * once ([[graft.ops.Similarity.ivfPqScoredAll]] — the sum is
+    * nprobe-independent, a neighbor only joins its own cell's LUT
+    * rows) and tagged with its cell's rank for that query; each
+    * nprobe's top-3 is then a filter + the bounded bottom-k, hit
+    * counts against exact squared-L2 truth. One row per nprobe ∈
+    * {1, 2, 3, 5, 10}; every count hash-matched by the full DuckDB
+    * replay. Eval-only by design (the sweep deliberately scans all
+    * cells; serving stays [[annIvfPq]]'s pruned path).
+    */
+  def annIvfPqSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 3
+    val raw = Similarity.asDouble(Tables.embeddings(spark, sfDir))
+    val q = raw.filter(col("vec_id") < 10)
+    val (cents, books, codes) = ivfPqParts(spark, sfDir)
+    val scoredAll = Similarity.ivfPqScoredAll(q, codes, cents, books, IvfPqM)
+      .localCheckpoint(false) // |Q|·n rows at eval scale; feeds 5 filters
+    val truth = pqL2Truth(raw, q, k).localCheckpoint(false)
+    val stats = broadcast(truth.agg(
+      countDistinct(col("query_id")).as("n_queries"),
+      count(lit(1)).as("n_truth")))
+    IvfPqSweepProbes.map { np =>
+      val approx = Similarity.bottomKByQuery(
+          scoredAll.filter(col("cell_rn") <= np)
+            .select(col("query_id"), col("neighbor_id"), col("adc_e6")), k)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = broadcast(
+        truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits")))
+      stats.crossJoin(hits)
+        .select(lit(np.toLong).as("nprobe"), col("n_queries"),
+          col("n_truth"), col("n_hits"))
+    }.reduce(_ unionAll _).orderBy(col("nprobe"))
+  }
+
+  private val IvfPqSweepProbes = Seq(1, 2, 3, 5, 10)
 
   /** k-means (3 Lloyd iterations from the label seed): cluster sizes.
     * Deterministic (6dp-rounded centroids each round, id tie-breaks),

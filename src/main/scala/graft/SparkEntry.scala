@@ -82,6 +82,7 @@ object SparkEntry {
     "q_ann_pq" -> (Queries.annPq _),
     "q_ann_pq_lloyd" -> (Queries.annPqLloyd _),
     "q_ann_ivfpq" -> (Queries.annIvfPq _),
+    "q_ann_ivfpq_sweep" -> (Queries.annIvfPqSweep _),
     "q_ann_pq_recall" -> (Queries.annPqRecall _),
     "q_ann_recall" -> (Queries.annRecall _),
     "q_ann_multitable" -> (Queries.annMultiTable _),
@@ -747,10 +748,13 @@ object SparkEntry {
 
   /** IVFADC replay: label-mean coarse centroids, residuals, a
     * vec_id%32-seeded 2-round m=8 PQ chain over the residuals, codes
-    * tagged with their coarse cell, per-query 3 probed cells with
-    * query residuals, the per-(query, cell) LUT, and the probed ADC
-    * aggregate `ivadc` — Similarity.ivfResiduals/ivfProbedCells/
-    * ivfPqTopK end-to-end.
+    * tagged with their coarse cell, per-query cell ranks with query
+    * residuals, the per-(query, cell) LUT, and the ADC aggregate
+    * `ivadc` carrying `cell_rn` (the neighbor's cell rank for that
+    * query — the ADC sum itself is nprobe-independent, so consumers
+    * apply their probe cap as `WHERE cell_rn <= np`) —
+    * Similarity.ivfResiduals/ivfProbedCellsRanked/ivfPqTopK
+    * end-to-end.
     */
   private lazy val ivfPqCtes: String = {
     val width = "(len(v) // 8)"
@@ -778,28 +782,27 @@ object SparkEntry {
        |  SELECT e.vec_id, a.cell AS ivf_cell, e.s, e.cell
        |  FROM ivenc e JOIN ivasg a ON e.vec_id = a.vec_id),
        |ivprobe AS (
-       |  SELECT query_id, cell AS ivf_cell FROM (
-       |    SELECT q.vec_id AS query_id, c.cell,
-       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-       |        (${dotSql("q.v", "q.v")} - 2.0 * ${dotSql("q.v", "c.cv")} + ${dotSql("c.cv", "c.cv")}), c.cell) AS rn
-       |    FROM (SELECT * FROM pqe0 WHERE vec_id < 10) q CROSS JOIN ivcents c)
-       |  WHERE rn <= 3),
+       |  SELECT q.vec_id AS query_id, c.cell AS ivf_cell,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      (${dotSql("q.v", "q.v")} - 2.0 * ${dotSql("q.v", "c.cv")} + ${dotSql("c.cv", "c.cv")}), c.cell) AS rn
+       |  FROM (SELECT * FROM pqe0 WHERE vec_id < 10) q CROSS JOIN ivcents c),
        |ivqres AS (
-       |  SELECT p.query_id, p.ivf_cell,
+       |  SELECT p.query_id, p.ivf_cell, p.rn,
        |    list_transform(range(len(q.v)), i -> q.v[i + 1] - c.cv[i + 1]) AS v
        |  FROM ivprobe p JOIN pqe0 q ON p.query_id = q.vec_id
        |       JOIN ivcents c ON p.ivf_cell = c.cell),
        |ivqsub AS (
-       |  SELECT query_id, ivf_cell, CAST(s AS INT) AS s,
+       |  SELECT query_id, ivf_cell, rn, CAST(s AS INT) AS s,
        |    v[CAST(s * $width + 1 AS BIGINT):CAST((s + 1) * $width AS BIGINT)] AS sv
        |  FROM ivqres CROSS JOIN (SELECT unnest(range(8)) AS s)),
        |ivlut AS (
-       |  SELECT q.query_id, q.ivf_cell, q.s, b.cell,
+       |  SELECT q.query_id, q.ivf_cell, q.rn, q.s, b.cell,
        |    CAST(floor($pqDistSql * 1000000.0) AS BIGINT) AS d_e6
        |  FROM ivqsub q JOIN ivb2 b ON q.s = b.s),
        |ivadc AS (
        |  SELECT l.query_id, e.vec_id AS neighbor_id,
-       |    CAST(sum(d_e6) AS BIGINT) AS adc_e6
+       |    CAST(sum(d_e6) AS BIGINT) AS adc_e6,
+       |    CAST(max(l.rn) AS BIGINT) AS cell_rn
        |  FROM ivencc e JOIN ivlut l
        |    ON e.ivf_cell = l.ivf_cell AND e.s = l.s AND e.cell = l.cell
        |  WHERE e.vec_id <> l.query_id
@@ -2386,15 +2389,45 @@ object SparkEntry {
          |  FROM pq2adc)
          |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
 
-    // IVFADC replay (coarse pruning + residual-PQ ADC; see ivfPqCtes).
+    // IVFADC replay (coarse pruning + residual-PQ ADC; see ivfPqCtes —
+    // the nprobe=3 cap applies as the cell_rn filter).
     "q_ann_ivfpq" ->
       s"""WITH pqe0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |$ivfPqCtes
          |SELECT query_id, neighbor_id, rnk, adc_e6 FROM (
-         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-         |    ORDER BY adc_e6, neighbor_id) AS BIGINT) AS rnk
-         |  FROM ivadc)
+         |  SELECT query_id, neighbor_id, adc_e6,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc_e6, neighbor_id) AS BIGINT) AS rnk
+         |  FROM ivadc WHERE cell_rn <= 3)
          |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    // IVFADC recall-vs-nprobe curve: every pair ADC-scored once with
+    // its cell rank; each nprobe's top-3 is a filter + rank; hit
+    // counts vs the exact squared-L2 truth, one row per nprobe.
+    "q_ann_ivfpq_sweep" ->
+      s"""WITH pqe0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |$ivfPqCtes,
+         |bt AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${dotSql("c.v", "c.v")} - 2.0 * ${dotSql("q.v", "c.v")} + ${dotSql("q.v", "q.v")} AS d2
+         |  FROM pqe0 c JOIN pqe0 q ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |truth AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY d2, neighbor_id) AS rnk FROM bt) WHERE rnk <= 3),
+         |tt AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+         |    count(*) AS n_truth FROM truth),
+         |nps AS (SELECT CAST(unnest([1, 2, 3, 5, 10]) AS BIGINT) AS nprobe),
+         |aps AS (SELECT nprobe, query_id, neighbor_id FROM (
+         |    SELECT nps.nprobe, a.query_id, a.neighbor_id,
+         |      row_number() OVER (PARTITION BY nps.nprobe, a.query_id
+         |        ORDER BY a.adc_e6, a.neighbor_id) AS rnk
+         |    FROM ivadc a JOIN nps ON a.cell_rn <= nps.nprobe)
+         |  WHERE rnk <= 3),
+         |h AS (SELECT nprobe, count(*) AS n_hits
+         |  FROM aps JOIN truth USING (query_id, neighbor_id) GROUP BY nprobe)
+         |SELECT nps.nprobe, tt.n_queries, tt.n_truth,
+         |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits
+         |FROM nps CROSS JOIN tt LEFT JOIN h ON nps.nprobe = h.nprobe
+         |ORDER BY nps.nprobe""".stripMargin,
 
     // PQ-family quality replay: every variant's ADC top-3 intersected
     // with the exact squared-L2 top-3 — each hit count hash-matches,
@@ -2410,8 +2443,10 @@ object SparkEntry {
          |    SELECT *, row_number() OVER (PARTITION BY query_id
          |      ORDER BY adc_e6, neighbor_id) AS rnk FROM pq2adc) WHERE rnk <= 3),
          |ai AS (SELECT query_id, neighbor_id FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY query_id
-         |      ORDER BY adc_e6, neighbor_id) AS rnk FROM ivadc) WHERE rnk <= 3),
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY adc_e6, neighbor_id) AS rnk
+         |    FROM ivadc WHERE cell_rn <= 3) WHERE rnk <= 3),
          |bt AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          |    ${dotSql("c.v", "c.v")} - 2.0 * ${dotSql("q.v", "c.v")} + ${dotSql("q.v", "q.v")} AS d2
          |  FROM pqe0 c JOIN pqe0 q ON q.vec_id < 10 AND c.vec_id <> q.vec_id),

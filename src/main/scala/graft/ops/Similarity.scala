@@ -460,7 +460,16 @@ object Similarity {
     * is per-query over the CENTROID table only — bounded by the model
     * size, never the corpus.
     */
-  def ivfProbedCells(queries: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
+  def ivfProbedCells(queries: DataFrame, cents: DataFrame, nprobe: Int): DataFrame =
+    ivfProbedCellsRanked(queries, cents)
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("ivf_cell"), col("qres"))
+
+  /** All cells ranked per query `(query_id, ivf_cell, rn, qres)` — the
+    * unfiltered front of [[ivfProbedCells]], kept whole for the
+    * recall-vs-nprobe sweep.
+    */
+  def ivfProbedCellsRanked(queries: DataFrame, cents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dist = dot(col("qv"), col("qv")) -
       lit(2.0) * dot(col("qv"), col("cv")) + dot(col("cv"), col("cv"))
@@ -469,8 +478,7 @@ object Similarity {
       .crossJoin(broadcast(cents))
       .withColumn("dist", dist)
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("cell").as("ivf_cell"),
+      .select(col("query_id"), col("cell").as("ivf_cell"), col("rn"),
         zip_with(col("qv"), col("cv"), (a, b) => a - b).as("qres"))
   }
 
@@ -499,6 +507,30 @@ object Similarity {
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
       .agg(sum(col("d_e6")).as("adc_e6"))
     bottomKByQuery(scored, k)
+  }
+
+  /** EVAL variant for the recall-vs-nprobe sweep: ADC against a LUT
+    * over ALL cells, each (query, neighbor) scored once and tagged
+    * with `cell_rn` — the rank of the NEIGHBOR's cell among the
+    * query's cells — so one pass yields every nprobe's candidate set
+    * by filtering `cell_rn <= np` (the ADC sum itself is
+    * nprobe-independent: a neighbor only ever joins its own cell's
+    * LUT rows). Deliberately unpruned — this measures the knob, the
+    * serving path stays [[ivfPqTopK]].
+    */
+  def ivfPqScoredAll(queries: DataFrame, corpusCodes: DataFrame, cents: DataFrame,
+      books: DataFrame, m: Int): DataFrame = {
+    val lut = pqSubvectors(
+        ivfProbedCellsRanked(queries, cents), m, vecCol = "qres")
+      .join(books, "s")
+      .select(col("query_id"), col("ivf_cell"), col("rn"), col("s"), col("cell"),
+        floor((dot(col("sv"), col("sv")) -
+          lit(2.0) * dot(col("sv"), col("cv")) + dot(col("cv"), col("cv")))
+          * lit(1000000.0)).cast("long").as("d_e6"))
+    corpusCodes.join(broadcast(lut), Seq("ivf_cell", "s", "cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("d_e6")).as("adc_e6"), max(col("rn")).as("cell_rn"))
   }
 
   /** Final per-query k-selection over `(query_id, neighbor_id, adc_e6)`
