@@ -1443,6 +1443,43 @@ object Queries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** PQ/ADC with an exact refine stage (the FAISS `RFlat` shape,
+    * Jégou et al. §VII): the compressed-corpus ADC scan shortlists
+    * k'=10 candidates per query, then ONLY those candidates' raw
+    * vectors are fetched and re-ranked by exact squared L2 to the
+    * final top-3. At 100 TB this is the standard quality/IO trade:
+    * the full corpus is touched through codes alone, and the raw-vector
+    * table is probed by a broadcast join against the |Q|·k'-row
+    * shortlist (point lookups, never a second scan-shuffle). Distances
+    * are 1e6-floor integers via the shared sequential-fold dot, so
+    * both rank stages hash-match the oracle; the re-rank window is
+    * per-query over ≤ k' rows (bounded by the shortlist, never the
+    * corpus).
+    */
+  def annPqRefine(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = 4
+    val raw = Similarity.asDouble(Tables.embeddings(spark, sfDir))
+    val books = pqBooks(spark, sfDir, 0)
+    val codes = Similarity.pqEncode(raw, books, m)
+    val qs = raw.filter(col("vec_id") < 10)
+    val shortlist = Similarity.pqAdcTopK(qs, codes, books, 10, m)
+      .select(col("query_id"), col("neighbor_id"), col("adc_e6"))
+    val qv = qs.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val nv = raw.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d2_e6"), col("neighbor_id"))
+    nv.join(broadcast(shortlist), "neighbor_id")
+      .join(broadcast(qv), "query_id")
+      .withColumn("d2_e6", floor((Similarity.dot(col("nv"), col("nv"))
+        - lit(2.0) * Similarity.dot(col("qv"), col("nv"))
+        + Similarity.dot(col("qv"), col("qv"))) * lit(1000000.0)).cast("long"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        col("adc_e6"), col("d2_e6"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   private val IvfPqM = 8
   private val IvfPqKsub = 32
   private val IvfPqNprobe = 3
@@ -6995,5 +7032,181 @@ object Queries {
       .select(col("n_a"), col("n_b"),
         expr("""(n_a - n_b) * (n_a - n_b) * 1000000
                 div (n_a + n_b)""").as("srm_chi2_e6"))
+  }
+
+  /** Good-Turing count-of-counts smoothing over the corpus trigram
+    * vocabulary: N_r (trigram types seen exactly r times) for r ≤ 10,
+    * the adjusted count r* = (r+1)·N_{r+1}/N_r, and the unseen mass
+    * p0 = N_1/N — all e6-scaled exact integers (both engines truncate
+    * `div` identically on positives). Trigrams (via
+    * [[ops.TextOps.shingles3]]), not unigrams: the synthetic corpus
+    * draws from a ~30-word vocabulary where every unigram occurs 25+
+    * times, so only the 27k-combination trigram space has the rare
+    * types (N_1, N_2, …) that Good-Turing exists to smooth. Scale
+    * shape: the corpus-sized explode collapses to the type-sized count
+    * table in one partial-agg pass; the count-of-counts table is
+    * support-sized (distinct frequencies, O(√tokens)); the r→r+1
+    * lookup is a self-join on that tiny table. Nothing after the
+    * second aggregate grows with the corpus.
+    */
+  def goodTuringQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .select(TextOps.shingles3(split(trim(lower(col("text"))), "\\s+")).as("grams"))
+      .select(explode(col("grams")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val cc = counts.groupBy(col("cnt").as("r")).agg(count(lit(1)).as("n_r"))
+    val tot = cc.groupBy().agg(
+      sum(col("r") * col("n_r")).as("n_tokens"),
+      sum(col("n_r")).as("n_types"),
+      max(when(col("r") === 1, col("n_r"))).as("n1"))
+    val nxt = cc.select((col("r") - 1).as("r"), col("n_r").as("n_r1"))
+    cc.filter(col("r") <= 10)
+      .join(nxt, Seq("r"), "left")
+      .na.fill(0L, Seq("n_r1"))
+      .crossJoin(broadcast(tot))
+      .select(col("r"), col("n_r"), col("n_r1"),
+        expr("((r + 1) * n_r1 * 1000000) div n_r").as("rstar_e6"),
+        col("n_types"), col("n_tokens"),
+        expr("(n1 * 1000000) div n_tokens").as("p0_e6"))
+      .orderBy(col("r"))
+  }
+
+  /** One-way ANOVA of lineitem quantity across return flags: between /
+    * within sums of squares and the F statistic, e6-scaled exact
+    * integers end to end. ONE partial-agg pass over the fact table
+    * reduces it to k=3 sufficient-stat rows (n, Σq, Σq²); the squared
+    * sums ride decimal(38,0) so Σq² never leaves exact integers, and
+    * every division is an integer `div` replayed verbatim in the
+    * oracle — no float appears anywhere. Magnitude envelope: S²·10⁶
+    * stays inside decimal38 up to Σq ≈ 10¹⁶ (≫ any real corpus).
+    */
+  def anovaQ(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag").as("grp"), round(col("l_quantity"), 0).cast("long").as("q"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"), sum(col("q") * col("q")).as("qq"))
+      .groupBy()
+      .agg(count(lit(1)).as("k"), sum(col("n")).as("n_total"),
+        sum(col("s")).cast("decimal(38,0)").as("s_total"),
+        sum(col("qq")).as("qq_total"),
+        sum(expr("(cast(s as decimal(38,0)) * s * 1000000) div n")).as("a_e6"))
+      .select(col("k"), col("n_total"),
+        expr("a_e6 - ((s_total * s_total * 1000000) div n_total)").as("ssb_e6"),
+        expr("qq_total * 1000000 - a_e6").as("ssw_e6"))
+      .select(col("k"), col("n_total"), col("ssb_e6"), col("ssw_e6"),
+        expr("""(cast(ssb_e6 as decimal(38,0)) * (n_total - k) * 1000000)
+                div nullif(cast(ssw_e6 as decimal(38,0)) * (k - 1), 0)""").as("f_e6"))
+
+  /** Interpolated Kneser-Ney bigram probabilities (Kneser & Ney 1995;
+    * Chen & Goodman's interpolated form) with absolute discount
+    * D = 3/4, for the 30 most frequent bigrams: P_KN(w2|w1) =
+    * (c(w1,w2) − D)/c(w1·) + λ(w1)·P_cont(w2), where λ(w1) =
+    * D·N1+(w1·)/c(w1·) and P_cont(w2) = N1+(·w2)/|bigram types|. The
+    * ¾ discount makes every term a ratio of integers, so the whole
+    * probability is e6-scaled exact integer arithmetic — identical
+    * truncation on both engines. Scale shape: ONE narrow corpus pass
+    * (array-side bigram construction, no per-token shuffle) partial-
+    * aggregates to the bigram-TYPE table; all KN statistics (left/
+    * right continuation counts, the type total) are aggregates over
+    * that type-sized table, and the final top-30 is orderBy+limit
+    * (TakeOrdered). Nothing after the first aggregate grows with the
+    * corpus.
+    */
+  def kneserNeyQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val ws = split(trim(lower(col("text"))), "\\s+")
+    val bigrams = when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1), i =>
+        struct(element_at(ws, i).as("w1"), element_at(ws, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val c12 = Tables.documents(spark, sfDir)
+      .select(explode(bigrams).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val left = c12.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1fw"))
+    val right = c12.groupBy(col("w2")).agg(count(lit(1)).as("n1bw"))
+    val total = c12.groupBy().agg(count(lit(1)).as("nbig"))
+    c12.join(left, "w1").join(right, "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        col("n1fw"), col("n1bw"),
+        expr("""(((4 * c12 - 3) * 250000) div c1)
+                + ((((3 * n1fw * 250000) div c1)
+                    * ((n1bw * 1000000) div nbig)) div 1000000)""").as("pkn_e6"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(30)
+  }
+
+  /** RAKE keyword extraction (Rose et al. 2010): documents split into
+    * candidate phrases at stopword boundaries (the [[ops.TextOps]] 'en'
+    * stopword list), each word scored deg/freq where deg sums the
+    * lengths of every phrase instance containing it, and each distinct
+    * phrase scored as the sum of its member words' e6-scaled scores —
+    * the top 20 by score. Integer-exact end to end ((deg·10⁶) div
+    * freq, summed). Scale shape: ONE tokenize pass; the phrase-id
+    * running count is a per-document window (bounded by document
+    * length, never the corpus); phrase assembly and both score
+    * aggregates are partial-agg shuffles on (doc, phrase) / word /
+    * phrase-text keys; the word-score join broadcasts (vocabulary-
+    * sized); final top-20 is orderBy+limit (TakeOrdered).
+    */
+  def rakeQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stop = Seq("the", "a", "and", "of", "to")
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(split(trim(lower(col("text"))), "\\s+")).as(Seq("pos", "w")))
+      .withColumn("is_stop", col("w").isin(stop: _*))
+    val phraseId = sum(col("is_stop").cast("long"))
+      .over(Window.partitionBy(col("doc_id")).orderBy(col("pos")))
+    val phrases = toks.withColumn("phrase_id", phraseId)
+      .filter(!col("is_stop"))
+      .groupBy(col("doc_id"), col("phrase_id"))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+          t => t.getField("w"))).as("phrase"),
+        count(lit(1)).as("plen"))
+    val wordScores = phrases
+      .select(col("plen"), explode(split(col("phrase"), " ")).as("w"))
+      .groupBy(col("w"))
+      .agg(sum(col("plen")).as("deg"), count(lit(1)).as("freq"))
+      .select(col("w"), expr("(deg * 1000000) div freq").as("wscore_e6"))
+    phrases.groupBy(col("phrase")).agg(count(lit(1)).as("n_occur"))
+      .select(col("phrase"), col("n_occur"), explode(split(col("phrase"), " ")).as("w"))
+      .join(broadcast(wordScores), "w")
+      .groupBy(col("phrase"), col("n_occur"))
+      .agg(count(lit(1)).as("plen"), sum(col("wscore_e6")).as("score_e6"))
+      .select(col("phrase"), col("plen"), col("n_occur"), col("score_e6"))
+      .orderBy(col("score_e6").desc, col("phrase"))
+      .limit(20)
+  }
+
+  /** Mean reciprocal rank of exact-cosine retrieval against the planted
+    * labels: per probe query, the rank of the first same-label
+    * neighbor in the full ranking and rr = 1/rank as an exact e6
+    * integer. Eval-capped exact baseline (50 probe queries, the
+    * [[ndcgQ]]/[[confusionQ]] contract): the probe side broadcasts so
+    * the corpus is scanned once; production retrieval rides the
+    * certified ANN front, this is its measuring stick.
+    */
+  def mrrQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Similarity.normalized(Similarity.asDouble(Tables.embeddings(spark, sfDir)))
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("label").cast("long").as("true_label"),
+        col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("label").cast("long").as("n_label"),
+      col("embedding").as("cv"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", Similarity.dot(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("n_label") === col("true_label"))
+      .groupBy(col("query_id"), col("true_label"))
+      .agg(min(col("rnk")).cast("long").as("first_rel_rank"))
+      .select(col("query_id"), col("true_label"), col("first_rel_rank"),
+        expr("1000000 div first_rel_rank").as("rr_e6"))
+      .orderBy(col("query_id"))
   }
 }

@@ -81,6 +81,7 @@ object SparkEntry {
     "q_ann_ivf" -> (Queries.annIvf _),
     "q_ann_pq" -> (Queries.annPq _),
     "q_ann_pq_lloyd" -> (Queries.annPqLloyd _),
+    "q_ann_pq_refine" -> (Queries.annPqRefine _),
     "q_ann_ivfpq" -> (Queries.annIvfPq _),
     "q_ann_ivfpq_sweep" -> (Queries.annIvfPqSweep _),
     "q_ann_pq_recall" -> (Queries.annPqRecall _),
@@ -307,6 +308,11 @@ object SparkEntry {
     "q_eb_smoothing" -> (Queries.ebSmoothingQ _),
     "q_peak_concurrency" -> (Queries.peakConcurrencyQ _),
     "q_dup_inflation" -> (Queries.dupInflationQ _),
+    "q_good_turing" -> (Queries.goodTuringQ _),
+    "q_anova" -> (Queries.anovaQ _),
+    "q_mrr" -> (Queries.mrrQ _),
+    "q_kneser_ney" -> (Queries.kneserNeyQ _),
+    "q_rake" -> (Queries.rakeQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -2376,6 +2382,29 @@ object SparkEntry {
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
          |    ORDER BY adc_e6, neighbor_id) AS BIGINT) AS rnk
          |  FROM pq0adc)
+         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    // PQ + exact refine replay: the same pq0adc table shortlisted to
+    // k'=10 per query (adc rank), candidates joined back to their raw
+    // vectors, exact squared-L2 1e6-floored, re-ranked to top-3.
+    "q_ann_pq_refine" ->
+      s"""WITH $pqCtes,
+         |sl AS (
+         |  SELECT query_id, neighbor_id, adc_e6 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc_e6, neighbor_id) AS arn
+         |    FROM pq0adc)
+         |  WHERE arn <= 10),
+         |re AS (
+         |  SELECT s.query_id, s.neighbor_id, s.adc_e6,
+         |    CAST(floor((${dotSql("n.v", "n.v")} - 2.0 * ${dotSql("q.v", "n.v")}
+         |      + ${dotSql("q.v", "q.v")}) * 1000000.0) AS BIGINT) AS d2_e6
+         |  FROM sl s JOIN pqe0 q ON s.query_id = q.vec_id
+         |       JOIN pqe0 n ON s.neighbor_id = n.vec_id)
+         |SELECT query_id, neighbor_id, rnk, adc_e6, d2_e6 FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY d2_e6, neighbor_id) AS BIGINT) AS rnk
+         |  FROM re)
          |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
 
     // Same contract over the 2-round-Lloyd-refined codebooks (both
@@ -5980,5 +6009,110 @@ object SparkEntry {
         |SELECT day, CAST(count(*) AS BIGINT) // 2 AS n_users,
         |  CAST(max(run) AS BIGINT) AS peak_concurrent
         |FROM r GROUP BY day ORDER BY day""".stripMargin,
+
+    // Good-Turing replay: same tokenize→trigram shingle, count-of-
+    // counts, r→r+1 self join; every division is the same truncating
+    // integer `//`. range(1, len-1) is end-exclusive = Spark's
+    // inclusive sequence(1, size-2): both emit exactly len-2 trigrams
+    // and nothing for docs under 3 words.
+    "q_good_turing" ->
+      """WITH d AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |t AS (SELECT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS token
+        |      FROM d, unnest(range(1, len(toks) - 1)) AS u(i)),
+        |g AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
+        |cc AS (SELECT cnt AS r, count(*) AS n_r FROM g GROUP BY cnt),
+        |tot AS (SELECT CAST(sum(r * n_r) AS BIGINT) AS n_tokens,
+        |          CAST(sum(n_r) AS BIGINT) AS n_types,
+        |          CAST(max(CASE WHEN r = 1 THEN n_r END) AS BIGINT) AS n1 FROM cc)
+        |SELECT c.r, c.n_r, CAST(coalesce(n.n_r, 0) AS BIGINT) AS n_r1,
+        |  CAST(((c.r + 1) * coalesce(n.n_r, 0) * 1000000) // c.n_r AS BIGINT) AS rstar_e6,
+        |  n_types, n_tokens,
+        |  CAST((n1 * 1000000) // n_tokens AS BIGINT) AS p0_e6
+        |FROM cc c LEFT JOIN cc n ON n.r = c.r + 1 CROSS JOIN tot
+        |WHERE c.r <= 10
+        |ORDER BY c.r""".stripMargin,
+
+    // ANOVA replay: identical sufficient stats and the same chained
+    // truncating divisions; squared sums ride HUGEINT (= decimal38).
+    "q_anova" ->
+      """WITH g AS (SELECT l_returnflag AS grp, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS s,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qq
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n_total,
+        |    CAST(sum(s) AS HUGEINT) AS s_total, CAST(sum(qq) AS BIGINT) AS qq_total,
+        |    CAST(sum((CAST(s AS HUGEINT) * s * 1000000) // n) AS BIGINT) AS a_e6 FROM g),
+        |t2 AS (SELECT k, n_total,
+        |    CAST(a_e6 - ((s_total * s_total * 1000000) // n_total) AS BIGINT) AS ssb_e6,
+        |    CAST(qq_total * 1000000 - a_e6 AS BIGINT) AS ssw_e6 FROM t)
+        |SELECT k, n_total, ssb_e6, ssw_e6,
+        |  CAST((CAST(ssb_e6 AS HUGEINT) * (n_total - k) * 1000000)
+        |    // nullif(CAST(ssw_e6 AS HUGEINT) * (k - 1), 0) AS BIGINT) AS f_e6
+        |FROM t2""".stripMargin,
+
+    // Kneser-Ney replay: array-side bigrams (range end-exclusive =
+    // Spark's inclusive sequence), identical type-table stats, every
+    // division the same truncating `//` on positives.
+    "q_kneser_ney" ->
+      """WITH d AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |b AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+        |      FROM d, unnest(range(1, len(toks))) AS u(i)),
+        |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM b GROUP BY 1, 2),
+        |l AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, CAST(count(*) AS BIGINT) AS n1fw
+        |      FROM c12 GROUP BY 1),
+        |r AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1bw FROM c12 GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nbig FROM c12)
+        |SELECT w1, w2, c12, c1, n1fw, n1bw,
+        |  CAST((((4 * c12 - 3) * 250000) // c1)
+        |    + ((((3 * n1fw * 250000) // c1)
+        |        * ((n1bw * 1000000) // nbig)) // 1000000) AS BIGINT) AS pkn_e6
+        |FROM c12 JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n
+        |ORDER BY c12 DESC, w1, w2 LIMIT 30""".stripMargin,
+
+    // RAKE replay: same stopword segmentation via a per-doc running
+    // stopword count, same deg/freq word scores and per-occurrence
+    // phrase sums, all e6 truncating-integer.
+    "q_rake" ->
+      """WITH t AS (
+        |  SELECT doc_id, i AS pos, toks[i] AS w,
+        |    toks[i] IN ('the', 'a', 'and', 'of', 'to') AS is_stop
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |        FROM documents) d,
+        |       unnest(range(1, len(toks) + 1)) AS u(i)),
+        |p AS (SELECT doc_id, pos, w,
+        |        sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+        |      FROM t QUALIFY NOT is_stop),
+        |ph AS (SELECT doc_id, phrase_id,
+        |         string_agg(w, ' ' ORDER BY pos) AS phrase,
+        |         CAST(count(*) AS BIGINT) AS plen
+        |       FROM p GROUP BY 1, 2),
+        |ws AS (SELECT w, CAST((sum(plen) * 1000000) // count(*) AS BIGINT) AS wscore_e6
+        |       FROM (SELECT plen, unnest(string_split(phrase, ' ')) AS w FROM ph)
+        |       GROUP BY w),
+        |pd AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occur FROM ph GROUP BY 1),
+        |pw AS (SELECT phrase, n_occur, unnest(string_split(phrase, ' ')) AS w FROM pd)
+        |SELECT phrase, CAST(count(*) AS BIGINT) AS plen, n_occur,
+        |  CAST(sum(wscore_e6) AS BIGINT) AS score_e6
+        |FROM pw JOIN ws USING (w)
+        |GROUP BY phrase, n_occur
+        |ORDER BY score_e6 DESC, phrase LIMIT 20""".stripMargin,
+
+    // MRR replay: full exact-cosine ranking per probe query, first
+    // same-label rank, 1/rank as a truncating e6 integer.
+    "q_mrr" ->
+      s"""WITH e0 AS (SELECT vec_id, CAST(label AS BIGINT) AS label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |nrm AS (SELECT vec_id, label, ${normSql("v")} AS v FROM e0),
+         |sc AS (SELECT q.vec_id AS query_id, q.label AS true_label,
+         |         c.vec_id AS neighbor_id, c.label AS n_label, ${dotSql("q.v", "c.v")} AS cos
+         |       FROM nrm c JOIN (SELECT * FROM nrm WHERE vec_id < 50) q
+         |         ON c.vec_id <> q.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+         |      FROM sc)
+         |SELECT query_id, true_label, CAST(min(rnk) AS BIGINT) AS first_rel_rank,
+         |  CAST(1000000 // min(rnk) AS BIGINT) AS rr_e6
+         |FROM r WHERE n_label = true_label
+         |GROUP BY query_id, true_label
+         |ORDER BY query_id""".stripMargin,
   )
 }

@@ -1093,4 +1093,45 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan)
     assert(!plan.contains("windowspecdefinition"), plan)
   }
+
+  test("pq refine: shortlist + query vectors broadcast onto the raw-vector probe; no cartesian") {
+    val plan = formatted(Queries.annPqRefine(spark, sf))
+    // ADC shortlist stage: partial bottom-k, not a corpus window
+    assert(plan.contains("partial_bottomklong"), plan)
+    // refine stage: raw vectors probed by broadcast joins against the
+    // |Q|*k'-row shortlist — the corpus never shuffles for the re-rank
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("good turing: corpus pass partial-aggs to the type table; stats table broadcasts") {
+    val plan = formatted(Queries.goodTuringQ(spark, sf))
+    assert(plan.contains("partial_count"), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("kneser ney: one corpus bigram pass partial-aggs; top-30 is TakeOrdered") {
+    val plan = formatted(Queries.kneserNeyQ(spark, sf))
+    assert(plan.contains("partial_count"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("windowspecdefinition"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("rake: word scores broadcast; phrase window is per-doc; top-20 is TakeOrdered") {
+    val plan = formatted(Queries.rakeQ(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // the only window is the per-document running stopword count,
+    // partitioned by doc_id — never a corpus-global partition
+    assert(plan.contains("hashpartitioning(doc_id"), plan)
+  }
+
+  test("anova: one fact pass reduces to k sufficient-stat rows; no join, no window") {
+    val plan = formatted(Queries.anovaQ(spark, sf))
+    assert(plan.contains("partial_count") || plan.contains("Partial"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("windowspecdefinition"), plan)
+  }
 }
