@@ -7181,6 +7181,112 @@ object Queries {
       .limit(20)
   }
 
+  /** Kruskal-Wallis rank test (the k-group extension of
+    * [[mannWhitneyQ]]) of lineitem quantity across return flags — the
+    * rank-based twin of [[anovaQ]], float-free: midranks at 2× scale
+    * accumulated over the VALUE SUPPORT (l_quantity has ~50 distinct
+    * values, so the rank walk is 50 rows regardless of corpus size),
+    * H = 12/(N(N+1))·ΣR_i²/n_i − 3(N+1) carried as decimal(38,0)
+    * integer arithmetic (R_i² = r2_i²/4 folds the 12 to 3), and the
+    * tie-corrected H' = H·(N³−N)/(N³−N−Σ(t³−t)) from the same support
+    * table. Magnitude envelope: r2² ≈ 4n_i²N² stays inside decimal38
+    * up to N ≈ 3·10⁸ per group — a sample-statistic query by contract.
+    */
+  def kruskalWallisQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val pv = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag").as("grp"),
+        round(col("l_quantity"), 0).cast("long").as("v"))
+      .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("c"))
+    val sup = pv.groupBy(col("v")).agg(sum(col("c")).as("ct"))
+    val w = Window.partitionBy(
+        graft.functions.GraftFunctions.singleton_key(col("v")))
+      .orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val walked = sup.withColumn("lt", coalesce(sum(col("ct")).over(w), lit(0L)))
+    val per = pv.join(walked, "v")
+      .groupBy(col("grp"))
+      .agg(sum(col("c")).as("n"),
+        sum((col("c") * (lit(2) * col("lt") + col("ct") + 1)).cast(d38)).as("r2"))
+    val ties = sup.groupBy()
+      .agg(sum((col("ct") * col("ct") * col("ct") - col("ct")).cast(d38)).as("tie_cubed"))
+    per.groupBy()
+      .agg(count(lit(1)).as("k"), sum(col("n")).as("n_total"),
+        sum(expr(s"(r2 * r2) div cast(n as $d38)")).as("srr"))
+      .crossJoin(broadcast(ties))
+      .withColumn("h_e6", expr(
+        s"""(cast(3000000 as $d38) * srr)
+            div (cast(n_total as $d38) * (n_total + 1))
+            - cast(3 as $d38) * (n_total + 1) * 1000000"""))
+      .select(col("k"), col("n_total"), col("tie_cubed").cast("long").as("tie_cubed"),
+        col("h_e6").cast("long").as("h_e6"),
+        expr(s"""cast((h_e6 * (cast(n_total as $d38) * n_total * n_total - n_total))
+                 div (cast(n_total as $d38) * n_total * n_total - n_total - tie_cubed)
+                 as bigint)""").as("h_corr_e6"))
+  }
+
+  /** Binary-hamming ANN: each embedding sign-binarized into two 32-bit
+    * words (1 bit per dimension — a 64× compression over float32, the
+    * binary-embedding production shape), Hamming distance =
+    * bit_count(xor) summed over the words, top-3 per probe query. The
+    * corpus is scanned through its 16-byte codes only; the 10-query
+    * probe side broadcasts (the knn contract) and the k-selection is
+    * the bounded partial [[ops.Aggregators]] bottom-k — never a
+    * corpus-length window. Two 32-bit words, not one 64-bit word: bit
+    * 63 would wrap negative and DuckDB BIGINT addition checks overflow,
+    * so half-words keep the packing exact on both engines.
+    */
+  def annHammingQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = Similarity.asDouble(Tables.embeddings(spark, sfDir))
+    def word(off: String): Column = expr(
+      s"""aggregate(sequence(0, cast(size(embedding) / 2 as int) - 1), 0L,
+          (acc, i) -> acc + CASE WHEN element_at(embedding, i + $off + 1) > 0D
+            THEN shiftleft(1L, i) ELSE 0L END)""")
+    val codes = raw.select(col("vec_id"),
+      word("0").as("w0"), word("cast(size(embedding) / 2 as int)").as("w1"))
+    val qc = codes.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("w0").as("q0"), col("w1").as("q1"))
+    val scored = codes.crossJoin(broadcast(qc))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (expr("bit_count(w0 ^ q0)") + expr("bit_count(w1 ^ q1)"))
+          .cast("long").as("adc_e6"))
+    Similarity.bottomKByQuery(scored, 3)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        col("adc_e6").as("hamming"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Scalar-quantized (SQ8) ANN: each dimension affine-quantized to an
+    * integer code 0..255 against the corpus per-dim min/max (the FAISS
+    * SQ8 shape — 4× compression, and unlike PQ the codes preserve
+    * per-dimension structure), distance = Σ(q_code − c_code)² exactly
+    * in integers, top-3 per probe query. The 64-row dim-range model and
+    * the 10-query code table broadcast; the corpus flows once through
+    * the per-dim equi-join and the pair sum partial-aggregates before
+    * its exchange; selection is the bounded partial bottom-k.
+    */
+  def annSq8Q(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = Similarity.asDouble(Tables.embeddings(spark, sfDir))
+    val ex = raw.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+    val ranges = ex.groupBy(col("dim")).agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val codes = ex.join(broadcast(ranges), "dim")
+      .select(col("vec_id"), col("dim"),
+        expr("""cast(CASE WHEN hi = lo THEN 0
+                ELSE floor((x - lo) * 255.0 / (hi - lo)) END as bigint)""").as("code"))
+    val qc = codes.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("dim"), col("code").as("qcode"))
+    val scored = codes.join(broadcast(qc), "dim")
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum((col("qcode") - col("code")) * (col("qcode") - col("code"))).as("adc_e6"))
+    Similarity.bottomKByQuery(scored, 3)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        col("adc_e6").as("d2_code"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Mean reciprocal rank of exact-cosine retrieval against the planted
     * labels: per probe query, the rank of the first same-label
     * neighbor in the full ranking and rr = 1/rank as an exact e6

@@ -313,6 +313,9 @@ object SparkEntry {
     "q_mrr" -> (Queries.mrrQ _),
     "q_kneser_ney" -> (Queries.kneserNeyQ _),
     "q_rake" -> (Queries.rakeQ _),
+    "q_kruskal_wallis" -> (Queries.kruskalWallisQ _),
+    "q_ann_hamming" -> (Queries.annHammingQ _),
+    "q_ann_sq8" -> (Queries.annSq8Q _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -6097,6 +6100,82 @@ object SparkEntry {
         |FROM pw JOIN ws USING (w)
         |GROUP BY phrase, n_occur
         |ORDER BY score_e6 DESC, phrase LIMIT 20""".stripMargin,
+
+    // Kruskal-Wallis replay: identical support walk (50 distinct
+    // quantities), 2x midranks, decimal/HUGEINT H with the same
+    // truncating divisions and tie correction.
+    "q_kruskal_wallis" ->
+      """WITH pv AS (SELECT l_returnflag AS grp, CAST(round(l_quantity) AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |sup AS (SELECT v, CAST(sum(c) AS BIGINT) AS ct FROM pv GROUP BY 1),
+        |wk AS (SELECT v, ct,
+        |    CAST(coalesce(sum(ct) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS lt
+        |  FROM sup),
+        |per AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(CAST(c AS HUGEINT) * (2 * lt + ct + 1)) AS HUGEINT) AS r2
+        |  FROM pv JOIN wk USING (v) GROUP BY 1),
+        |ties AS (SELECT CAST(sum(CAST(ct AS HUGEINT) * ct * ct - ct) AS HUGEINT) AS tie_cubed
+        |  FROM sup),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n_total,
+        |    CAST(sum((r2 * r2) // CAST(n AS HUGEINT)) AS HUGEINT) AS srr
+        |  FROM per),
+        |h AS (SELECT k, n_total, tie_cubed,
+        |    (CAST(3000000 AS HUGEINT) * srr)
+        |      // (CAST(n_total AS HUGEINT) * (n_total + 1))
+        |      - CAST(3 AS HUGEINT) * (n_total + 1) * 1000000 AS h_e6
+        |  FROM agg CROSS JOIN ties)
+        |SELECT k, n_total, CAST(tie_cubed AS BIGINT) AS tie_cubed,
+        |  CAST(h_e6 AS BIGINT) AS h_e6,
+        |  CAST((h_e6 * (CAST(n_total AS HUGEINT) * n_total * n_total - n_total))
+        |    // (CAST(n_total AS HUGEINT) * n_total * n_total - n_total - tie_cubed)
+        |    AS BIGINT) AS h_corr_e6
+        |FROM h""".stripMargin,
+
+    // Binary-hamming replay: same two half-word sign packings (left
+    // fold, shift-or-add), bit_count over xor, ranked per query.
+    "q_ann_hamming" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |codes AS (SELECT vec_id,
+        |    list_reduce(list_transform(range(len(v) // 2),
+        |      i -> CASE WHEN v[i + 1] > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+        |           ELSE CAST(0 AS BIGINT) END), (x, y) -> x + y) AS w0,
+        |    list_reduce(list_transform(range(len(v) // 2),
+        |      i -> CASE WHEN v[i + (len(v) // 2) + 1] > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+        |           ELSE CAST(0 AS BIGINT) END), (x, y) -> x + y) AS w1
+        |  FROM e0),
+        |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(bit_count(xor(c.w0, q.w0)) + bit_count(xor(c.w1, q.w1)) AS BIGINT) AS hamming
+        |  FROM codes c JOIN (SELECT * FROM codes WHERE vec_id < 10) q
+        |    ON c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id, rnk, hamming FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY hamming, neighbor_id) AS BIGINT) AS rnk
+        |  FROM sc)
+        |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    // SQ8 replay: per-dim min/max, the same floor affine quantization
+    // (identical double expression order), integer squared distance.
+    "q_ann_sq8" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ex AS (SELECT vec_id, i AS dim, v[i + 1] AS x
+        |  FROM e0, unnest(range(len(v))) AS u(i)),
+        |rg AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM ex GROUP BY 1),
+        |codes AS (SELECT vec_id, ex.dim,
+        |    CAST(CASE WHEN hi = lo THEN 0
+        |      ELSE floor((x - lo) * 255.0 / (hi - lo)) END AS BIGINT) AS code
+        |  FROM ex JOIN rg ON ex.dim = rg.dim),
+        |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(sum((q.code - c.code) * (q.code - c.code)) AS BIGINT) AS d2_code
+        |  FROM codes c JOIN (SELECT * FROM codes WHERE vec_id < 10) q
+        |    ON c.dim = q.dim AND c.vec_id <> q.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, rnk, d2_code FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY d2_code, neighbor_id) AS BIGINT) AS rnk
+        |  FROM sc)
+        |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
 
     // MRR replay: full exact-cosine ranking per probe query, first
     // same-label rank, 1/rank as a truncating e6 integer.

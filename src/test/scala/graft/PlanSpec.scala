@@ -1134,4 +1134,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan)
     assert(!plan.contains("windowspecdefinition"), plan)
   }
+
+  test("kruskal wallis: rank walk rides the value support, fact pass partial-aggs") {
+    val plan = formatted(Queries.kruskalWallisQ(spark, sf))
+    // one partial-agg corpus pass to (grp, value) cells; everything
+    // after is support-sized (~50 distinct quantities); the rank walk
+    // keeps its singleton key (pmod(hash(...)), the mann-whitney shape)
+    assert(plan.contains("partial_count"), plan)
+    assert(plan.contains("pmod(hash("), plan)
+    assert(globalWindow.findFirstIn(plan).isEmpty, plan)
+  }
+
+  test("ann hamming: corpus scans 16-byte codes; probe side broadcasts; bounded bottom-k") {
+    val plan = formatted(Queries.annHammingQ(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("partial_bottomklong"), plan)
+    assert(!plan.contains("windowspecdefinition"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("ann sq8: dim-range model + query codes broadcast; pair sum partial-aggs; bounded bottom-k") {
+    val plan = formatted(Queries.annSq8Q(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("partial_sum"), plan)
+    assert(plan.contains("partial_bottomklong"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
