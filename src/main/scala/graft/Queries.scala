@@ -7181,6 +7181,105 @@ object Queries {
       .limit(20)
   }
 
+  /** Harmonic centrality of the 10 lowest-id nodes of the part-
+    * adjacency graph (Boldi & Vigna's preferred closeness variant —
+    * unreachable nodes contribute 0 instead of breaking the mean):
+    * HC(s) = Σ_{t≠s} 1/d(s,t), e6-scaled with truncating integer
+    * division per term so both engines sum identical integers. Exact
+    * per-root BFS via [[graft.ops.Graph.bfsDistancesPerSource]] —
+    * state |roots|·|reachable|, the sampled-centrality contract (at
+    * 100 TB you budget the root count, never the reach). Also emits
+    * reach count and total distance (the closeness numerator) per
+    * root.
+    */
+  def harmonicCentralityQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = partAdjacencyEdges(spark, sfDir).select(col("src"), col("dst"))
+    val nodes = e.filter(col("src") =!= col("dst"))
+    val roots = nodes.select(col("src").as("node"))
+      .union(nodes.select(col("dst").as("node")))
+      .distinct().orderBy(col("node")).limit(10)
+    graft.ops.Graph.bfsDistancesPerSource(e, roots)
+      .filter(col("d") > 0)
+      .groupBy(col("root"))
+      .agg(count(lit(1)).as("n_reached"), sum(col("d")).as("sum_d"),
+        sum(expr("1000000 div d")).as("harmonic_e6"))
+      .orderBy(col("root"))
+  }
+
+  /** Per-point silhouette of the k-means clustering for the 50-probe
+    * eval set (the [[mrrQ]] contract: probes broadcast, the corpus is
+    * scanned once — silhouette is inherently O(n²), so at scale you
+    * sample the probe side and keep the corpus pass linear): a(i) =
+    * mean distance to the probe's own cell, b(i) = min mean distance
+    * to any other cell, s(i) = (b−a)/max(a,b). Every pairwise
+    * Euclidean distance is 1e6-floor-quantized BEFORE the means, so
+    * the per-cell sums are exact integers immune to accumulation
+    * order, and both divisions truncate identically.
+    */
+  def silhouetteQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Similarity.asDouble(Tables.embeddings(spark, sfDir))
+    val (assigned, _) = Similarity.kmeans(e, 3)
+    val pts = e.join(assigned, "vec_id")
+    val probes = pts.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("probe_id"), col("cell").as("probe_cell"),
+        col("embedding").as("pv"))
+    val d2 = Similarity.dot(col("pv"), col("pv")) -
+      lit(2.0) * Similarity.dot(col("pv"), col("cv")) +
+      Similarity.dot(col("cv"), col("cv"))
+    val cellMeans = pts
+      .select(col("vec_id"), col("cell"), col("embedding").as("cv"))
+      .crossJoin(broadcast(probes))
+      .filter(col("probe_id") =!= col("vec_id"))
+      .withColumn("dist_e6", floor(sqrt(greatest(d2, lit(0.0))) * lit(1000000.0)).cast("long"))
+      .groupBy(col("probe_id"), col("probe_cell"), col("cell"))
+      .agg(expr("sum(dist_e6) div count(1)").as("mean_e6"))
+    val a = cellMeans.filter(col("cell") === col("probe_cell"))
+      .select(col("probe_id"), col("probe_cell"), col("mean_e6").as("a_e6"))
+    val b = cellMeans.filter(col("cell") =!= col("probe_cell"))
+      .groupBy(col("probe_id")).agg(min(col("mean_e6")).as("b_e6"))
+    a.join(b, "probe_id")
+      .select(col("probe_id"), col("probe_cell"), col("a_e6"), col("b_e6"),
+        expr("((b_e6 - a_e6) * 1000000) div greatest(a_e6, b_e6)").as("s_e6"))
+      .orderBy(col("probe_id"))
+  }
+
+  /** Brown-Forsythe (median-centered Levene) test of variance equality
+    * of lineitem quantity across return flags — [[anovaQ]]'s F
+    * machinery applied to absolute deviations from each group's
+    * median. The 2×-median trick ([[madQ]]) keeps the deviations
+    * z = |2q − med2| exact integers, so the whole statistic is the
+    * same decimal(38,0) integer chain as q_anova at 2× scale —
+    * bit-identical on both engines. ONE fact pass to (grp, z), one
+    * partial-agg to k sufficient-stat rows; the group medians ride a
+    * broadcast.
+    */
+  def leveneQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val e = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag").as("grp"),
+        round(col("l_quantity"), 0).cast("long").as("q"))
+    val med = e.groupBy(col("grp"))
+      .agg(expr("cast(2 * percentile(q, 0.5) as bigint)").as("m2"))
+    e.join(broadcast(med), "grp")
+      .select(col("grp"), abs(lit(2) * col("q") - col("m2")).as("z"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("z")).as("s"),
+        sum((col("z") * col("z")).cast(d38)).as("qq"))
+      .groupBy()
+      .agg(count(lit(1)).as("k"), sum(col("n")).as("n_total"),
+        sum(col("s")).cast(d38).as("s_total"),
+        sum(col("qq")).as("qq_total"),
+        sum(expr(s"(cast(s as $d38) * s * 1000000) div n")).as("a_e6"))
+      .select(col("k"), col("n_total"),
+        expr("a_e6 - ((s_total * s_total * 1000000) div n_total)")
+          .cast("long").as("ssb_e6"),
+        expr("qq_total * 1000000 - a_e6").cast("long").as("ssw_e6"))
+      .select(col("k"), col("n_total"), col("ssb_e6"), col("ssw_e6"),
+        expr(s"""(cast(ssb_e6 as $d38) * (n_total - k) * 1000000)
+                div nullif(cast(ssw_e6 as $d38) * (k - 1), 0)""")
+          .cast("long").as("w_e6"))
+  }
+
   /** Kruskal-Wallis rank test (the k-group extension of
     * [[mannWhitneyQ]]) of lineitem quantity across return flags — the
     * rank-based twin of [[anovaQ]], float-free: midranks at 2× scale

@@ -316,6 +316,9 @@ object SparkEntry {
     "q_kruskal_wallis" -> (Queries.kruskalWallisQ _),
     "q_ann_hamming" -> (Queries.annHammingQ _),
     "q_ann_sq8" -> (Queries.annSq8Q _),
+    "q_harmonic_centrality" -> (Queries.harmonicCentralityQ _),
+    "q_silhouette" -> (Queries.silhouetteQ _),
+    "q_levene" -> (Queries.leveneQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -6176,6 +6179,83 @@ object SparkEntry {
         |    ORDER BY d2_code, neighbor_id) AS BIGINT) AS rnk
         |  FROM sc)
         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    // Harmonic-centrality replay: per-root BFS unrolled 8 rounds over
+    // the symmetrized part graph; the fixguard CTE error()s if round 8
+    // still grew any root's reach (the q_ktruss explicit-assumption
+    // discipline), so an insufficient unroll can never silently hash.
+    "q_harmonic_centrality" -> {
+      def iter(i: Int): String =
+        s"""hd$i AS MATERIALIZED (SELECT root, node, min(d) AS d FROM (
+           |  SELECT root, node, d FROM hd${i - 1}
+           |  UNION ALL
+           |  SELECT p.root, e.dst, p.d + 1 FROM bu e JOIN hd${i - 1} p ON e.src = p.node) t
+           |  GROUP BY root, node)""".stripMargin
+      s"""WITH bp AS (SELECT l_partkey AS src,
+         |    lead(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
+         |  FROM lineitem),
+         |be AS (SELECT DISTINCT src, dst FROM bp WHERE dst IS NOT NULL AND src <> dst),
+         |bu AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+         |  (SELECT src, dst FROM be UNION ALL SELECT dst, src FROM be) t),
+         |roots AS (SELECT DISTINCT src AS node FROM bu ORDER BY node LIMIT 10),
+         |hd0 AS (SELECT node AS root, node, CAST(0 AS BIGINT) AS d FROM roots),
+         |${(1 to 8).map(iter).mkString(",\n")},
+         |fixguard AS (SELECT CASE WHEN (SELECT count(*) FROM hd8)
+         |    = (SELECT count(*) FROM hd7) THEN 1 ELSE 0 END AS at_fixpoint)
+         |SELECT root, CAST(count(*) AS BIGINT) AS n_reached,
+         |  CAST(sum(d) AS BIGINT) AS sum_d,
+         |  CAST(CASE WHEN at_fixpoint = 1 THEN sum(1000000 // d) ELSE error(
+         |    'q_harmonic_centrality oracle: hd8 <> hd7, unroll depth insufficient - add rounds')
+         |  END AS BIGINT) AS harmonic_e6
+         |FROM hd8 CROSS JOIN fixguard
+         |WHERE d > 0 GROUP BY root, at_fixpoint ORDER BY root""".stripMargin
+    },
+
+    // Silhouette replay: the shared 3-round Lloyd chain (kmeansCtes →
+    // af), per-(probe, cell) means of 1e6-floored Euclidean distances,
+    // same truncating divisions.
+    "q_silhouette" ->
+      s"""WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |$kmeansCtes,
+         |pts AS (SELECT e0.vec_id, af.cell, v FROM e0 JOIN af ON e0.vec_id = af.vec_id),
+         |pr AS (SELECT vec_id AS probe_id, cell AS probe_cell, v AS pv
+         |       FROM pts WHERE vec_id < 50),
+         |cm AS (SELECT probe_id, probe_cell, c.cell,
+         |    CAST(sum(CAST(floor(sqrt(greatest(
+         |      ${dotSql("pv", "pv")} - 2.0 * ${dotSql("pv", "c.v")} + ${dotSql("c.v", "c.v")},
+         |      0.0)) * 1000000.0) AS BIGINT)) // count(*) AS BIGINT) AS mean_e6
+         |  FROM pts c CROSS JOIN pr
+         |  WHERE c.vec_id <> pr.probe_id
+         |  GROUP BY 1, 2, 3),
+         |a AS (SELECT probe_id, probe_cell, mean_e6 AS a_e6 FROM cm WHERE cell = probe_cell),
+         |b AS (SELECT probe_id, CAST(min(mean_e6) AS BIGINT) AS b_e6 FROM cm
+         |      WHERE cell <> probe_cell GROUP BY 1)
+         |SELECT a.probe_id, probe_cell, a_e6, b_e6,
+         |  CAST(((b_e6 - a_e6) * 1000000) // greatest(a_e6, b_e6) AS BIGINT) AS s_e6
+         |FROM a JOIN b ON a.probe_id = b.probe_id
+         |ORDER BY a.probe_id""".stripMargin,
+
+    // Brown-Forsythe replay: 2x group medians, integer deviations,
+    // then the q_anova sufficient-stat chain on z.
+    "q_levene" ->
+      """WITH e AS (SELECT l_returnflag AS grp, CAST(round(l_quantity) AS BIGINT) AS q
+        |  FROM lineitem),
+        |med AS (SELECT grp, CAST(2 * quantile_cont(q, 0.5) AS BIGINT) AS m2
+        |        FROM e GROUP BY grp),
+        |z AS (SELECT e.grp, abs(2 * q - m2) AS z FROM e JOIN med USING (grp)),
+        |g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n, CAST(sum(z) AS BIGINT) AS s,
+        |    CAST(sum(z * z) AS BIGINT) AS qq
+        |  FROM z GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n_total,
+        |    CAST(sum(s) AS HUGEINT) AS s_total, CAST(sum(qq) AS BIGINT) AS qq_total,
+        |    CAST(sum((CAST(s AS HUGEINT) * s * 1000000) // n) AS BIGINT) AS a_e6 FROM g),
+        |t2 AS (SELECT k, n_total,
+        |    CAST(a_e6 - ((s_total * s_total * 1000000) // n_total) AS BIGINT) AS ssb_e6,
+        |    CAST(qq_total * 1000000 - a_e6 AS BIGINT) AS ssw_e6 FROM t)
+        |SELECT k, n_total, ssb_e6, ssw_e6,
+        |  CAST((CAST(ssb_e6 AS HUGEINT) * (n_total - k) * 1000000)
+        |    // nullif(CAST(ssw_e6 AS HUGEINT) * (k - 1), 0) AS BIGINT) AS w_e6
+        |FROM t2""".stripMargin,
 
     // MRR replay: full exact-cosine ranking per probe query, first
     // same-label rank, 1/rank as a truncating e6 integer.

@@ -230,6 +230,50 @@ object Graph {
     dist
   }
 
+  /** Per-source BFS distances `(root, node, d)` for a bounded seed set
+    * — the multi-source twin of [[bfsDistances]] that keeps each
+    * source's frontier separate. State is |sources|·|reachable|, so
+    * callers bound the seed set (the centrality queries probe ~10
+    * roots); at 100 TB this is the standard sampled-centrality shape —
+    * exact per-root distances, root count chosen by budget. Same loop
+    * discipline as [[bfsDistances]]: min-aggregate per round over the
+    * symmetrized edges, localCheckpoint each round with release of the
+    * superseded one, count-converged (a node's first reach is at its
+    * true hop distance, so a stable (root, node) count means every d
+    * is final), error on non-convergence.
+    */
+  def bfsDistancesPerSource(edges: DataFrame, sources: DataFrame,
+      maxRounds: Int = 20): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .persist()
+    var dist = sources.select(col("node")).distinct()
+      .select(col("node").as("root"), col("node"), lit(0L).as("d"))
+      .localCheckpoint(true)
+    var reached = dist.count()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxRounds) {
+      val next = dist
+        .union(und.join(dist.withColumnRenamed("node", "src"), "src")
+          .select(col("root"), col("dst").as("node"), (col("d") + 1L).as("d")))
+        .groupBy(col("root"), col("node")).agg(min(col("d")).as("d"))
+        .localCheckpoint(true)
+      val n = next.count()
+      converged = n == reached
+      reached = n
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(dist)
+      dist = next
+      i += 1
+    }
+    und.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"bfsDistancesPerSource: frontier still growing after $maxRounds rounds")
+    dist
+  }
+
   /** Common-neighbor link features per edge: for every undirected edge
     * (x < y), the number of shared neighbors `cn`, the endpoint
     * degrees, and the neighborhood Jaccard cn/(dx+dy-cn) — the

@@ -1160,4 +1160,28 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_bottomklong"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("silhouette: probe side broadcasts; per-(probe,cell) means partial-agg; no windows") {
+    val plan = formatted(Queries.silhouetteQ(spark, sf))
+    // the corpus x probe pass is a broadcast of the 50-probe side (the
+    // only SMJ is the corpus |><| assignment join on vec_id — correct
+    // for two corpus-sized inputs); no cartesian, no window anywhere
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("partial_sum"), plan)
+    assert(!plan.contains("windowspecdefinition"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("levene: group medians broadcast onto one fact pass; stats partial-agg; no window") {
+    val plan = formatted(Queries.leveneQ(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
+    assert(!plan.contains("windowspecdefinition"), plan)
+  }
+
+  test("harmonic centrality: per-root aggregate partial-aggs; no cartesian in the final pass") {
+    val plan = formatted(Queries.harmonicCentralityQ(spark, sf))
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
