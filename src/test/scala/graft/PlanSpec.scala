@@ -1179,6 +1179,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("windowspecdefinition"), plan)
   }
 
+  test("ann quant recall: truth sides broadcast the probe set; hit counts partial-agg") {
+    val plan = formatted(Queries.annQuantRecall(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("harmonic centrality: per-root aggregate partial-aggs; no cartesian in the final pass") {
     val plan = formatted(Queries.harmonicCentralityQ(spark, sf))
     assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
