@@ -7386,6 +7386,44 @@ object Queries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Classical additive seasonal decomposition of the daily event
+    * volume with weekly period: trend = centered 7-day moving average
+    * (only days with a full window), detrended = x − trend, weekday
+    * seasonal index = mean detrended per weekday re-centered to sum
+    * ~zero, residual = detrended − seasonal. Everything e6-scaled
+    * exact integers — `div` truncates toward zero identically in both
+    * engines for negative detrended values too. Scale shape: ONE
+    * partial-agg corpus pass to the day table; every window and
+    * aggregate after is calendar-bounded (the [[mannWhitneyQ]]
+    * singleton-key contract over ~30 rows), so nothing downstream
+    * grows with the corpus.
+    */
+  def decomposeQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy(
+        graft.functions.GraftFunctions.singleton_key(col("day")))
+      .orderBy(col("day")).rowsBetween(-3, 3)
+    val t = daily
+      .withColumn("n7", count(col("x")).over(w))
+      .withColumn("sum7", sum(col("x")).over(w))
+      .filter(col("n7") === 7)
+      .withColumn("trend_e6", expr("(sum7 * 1000000) div 7"))
+      .withColumn("det_e6", col("x") * lit(1000000L) - col("trend_e6"))
+      .withColumn("wd", pmod(col("day"), lit(7)))
+    val s = t.groupBy(col("wd"))
+      .agg(expr("sum(det_e6) div count(1)").as("s_e6"))
+    val sAdj = s
+      .crossJoin(broadcast(s.groupBy().agg(expr("sum(s_e6) div 7").as("mean_s"))))
+      .select(col("wd"), (col("s_e6") - col("mean_s")).as("seasonal_e6"))
+    t.join(broadcast(sAdj), "wd")
+      .select(col("day"), col("x"), col("trend_e6"), col("seasonal_e6"),
+        (col("det_e6") - col("seasonal_e6")).as("resid_e6"))
+      .orderBy(col("day"))
+  }
+
   /** Measured recall@3 of the two scalar-compressed ANN indexes, each
     * against ITS OWN metric's exact truth — [[annHammingQ]] (sign bits
     * approximate the angle, so the yardstick is exact cosine over

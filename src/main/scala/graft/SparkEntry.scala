@@ -317,6 +317,7 @@ object SparkEntry {
     "q_ann_hamming" -> (Queries.annHammingQ _),
     "q_ann_sq8" -> (Queries.annSq8Q _),
     "q_ann_quant_recall" -> (Queries.annQuantRecall _),
+    "q_decompose" -> (Queries.decomposeQ _),
     "q_harmonic_centrality" -> (Queries.harmonicCentralityQ _),
     "q_silhouette" -> (Queries.silhouetteQ _),
     "q_levene" -> (Queries.leveneQ _),
@@ -6311,6 +6312,30 @@ object SparkEntry {
         |  CAST((CAST(ssb_e6 AS HUGEINT) * (n_total - k) * 1000000)
         |    // nullif(CAST(ssw_e6 AS HUGEINT) * (k - 1), 0) AS BIGINT) AS w_e6
         |FROM t2""".stripMargin,
+
+    // Seasonal-decomposition replay: same centered 7-day frame, same
+    // truncating divisions (both engines truncate toward zero on
+    // negative detrended values).
+    "q_decompose" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT day, x,
+        |    count(x) OVER win AS n7,
+        |    CAST(sum(x) OVER win AS BIGINT) AS sum7
+        |  FROM daily WINDOW win AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |t2 AS (SELECT day, x,
+        |    CAST((sum7 * 1000000) // 7 AS BIGINT) AS trend_e6,
+        |    CAST(x * 1000000 - (sum7 * 1000000) // 7 AS BIGINT) AS det_e6,
+        |    day % 7 AS wd
+        |  FROM t WHERE n7 = 7),
+        |s AS (SELECT wd, CAST(sum(det_e6) // count(*) AS BIGINT) AS s_e6 FROM t2 GROUP BY 1),
+        |m AS (SELECT CAST(sum(s_e6) // 7 AS BIGINT) AS mean_s FROM s),
+        |sa AS (SELECT wd, s_e6 - mean_s AS seasonal_e6 FROM s CROSS JOIN m)
+        |SELECT day, x, trend_e6, seasonal_e6,
+        |  CAST(det_e6 - seasonal_e6 AS BIGINT) AS resid_e6
+        |FROM t2 JOIN sa USING (wd) ORDER BY day""".stripMargin,
 
     // MRR replay: full exact-cosine ranking per probe query, first
     // same-label rank, 1/rank as a truncating e6 integer.

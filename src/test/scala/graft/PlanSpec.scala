@@ -1179,6 +1179,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("windowspecdefinition"), plan)
   }
 
+  test("decompose: one partial-agg daily pass; windows are calendar-bounded singleton-key") {
+    val plan = formatted(Queries.decomposeQ(spark, sf))
+    assert(plan.contains("partial_count"), plan)
+    assert(plan.contains("pmod(hash("), plan)
+    assert(globalWindow.findFirstIn(plan).isEmpty, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("ann quant recall: truth sides broadcast the probe set; hit counts partial-agg") {
     val plan = formatted(Queries.annQuantRecall(spark, sf))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
