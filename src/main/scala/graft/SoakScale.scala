@@ -113,7 +113,20 @@ object SoakScale {
     // Lloyd-refined plain-PQ chain, and both MMR fronts (exact-cross
     // candidate stage vs the LSH code probe — the greedy fold itself
     // is query-bounded either way)
-    "q_ann_ivfpq", "q_ann_pq_lloyd", "q_mmr", "q_mmr_ann")
+    "q_ann_ivfpq", "q_ann_pq_lloyd", "q_mmr", "q_mmr_ann",
+    // round 9, session waves: the ADC shortlist + exact-refine probe,
+    // both scalar-compressed code scans (sign-bit pack, per-dim SQ8
+    // explode) and their truth-certified recall pass, the corpus
+    // trigram/bigram LM passes (Good-Turing, Kneser-Ney), RAKE's
+    // tokenize + per-doc phrase windows, the 50-probe exact retrieval
+    // evals (MRR, silhouette over the k-means fit), three fact-table
+    // statistics (ANOVA, Brown-Forsythe, Kruskal-Wallis rank walk),
+    // the 10-root BFS harmonic centrality over the 10x edge list, and
+    // the daily decomposition scan
+    "q_ann_pq_refine", "q_ann_hamming", "q_ann_sq8", "q_ann_quant_recall",
+    "q_good_turing", "q_kneser_ney", "q_rake", "q_mrr", "q_silhouette",
+    "q_anova", "q_levene", "q_kruskal_wallis", "q_harmonic_centrality",
+    "q_decompose")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)
