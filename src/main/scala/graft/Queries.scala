@@ -7336,7 +7336,52 @@ object Queries {
     * 63 would wrap negative and DuckDB BIGINT addition checks overflow,
     * so half-words keep the packing exact on both engines.
     */
-  def annHammingQ(spark: SparkSession, sfDir: String): DataFrame = {
+  def annHammingQ(spark: SparkSession, sfDir: String): DataFrame =
+    hammingTopK(spark, sfDir, 3)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        col("adc_e6").as("hamming"))
+      .orderBy(col("query_id"), col("rnk"))
+
+  /** Binary-hamming ANN with an exact refine stage — the production
+    * binary-index shape ([[annPqRefine]]'s contract over
+    * [[annHammingQ]]'s codes): the 16-byte sign codes shortlist k'=20
+    * candidates per query, then ONLY those candidates' raw vectors are
+    * fetched (broadcast joins) and re-ranked by exact cosine to top-3.
+    * The point of the pair: raw sign bits rank weakly
+    * ([[annQuantRecall]] measures ~7/30), but as a cheap FILTER over a
+    * corpus touched through 16 bytes/vector they keep most of the true
+    * top-3 inside a 20-deep shortlist, and the refine recovers it —
+    * the measured delta rides [[annQuantRecall]]'s third row. Cosine
+    * is 1e6-floor-quantized so the re-rank hash-matches; the window is
+    * per-query over ≤ k' rows.
+    */
+  def annHammingRefineQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val raw = Similarity.asDouble(Tables.embeddings(spark, sfDir))
+    val e = Similarity.normalized(raw)
+    val shortlist = hammingTopK(spark, sfDir, 20)
+      .select(col("query_id"), col("neighbor_id"), col("adc_e6").as("hamming"))
+    val qv = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val nv = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_e6").desc, col("neighbor_id"))
+    nv.join(broadcast(shortlist), "neighbor_id")
+      .join(broadcast(qv), "query_id")
+      .withColumn("cos_e6",
+        floor(Similarity.dot(col("qv"), col("nv")) * lit(1000000.0)).cast("long"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        col("hamming"), col("cos_e6"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** The sign-code scan + bounded bottom-k shared by [[annHammingQ]]
+    * (k=3, the raw index) and [[annHammingRefineQ]] (k'=20, the
+    * shortlist front).
+    */
+  private def hammingTopK(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
     val raw = Similarity.asDouble(Tables.embeddings(spark, sfDir))
     def word(off: String): Column = expr(
       s"""aggregate(sequence(0, cast(size(embedding) / 2 as int) - 1), 0L,
@@ -7351,10 +7396,7 @@ object Queries {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (expr("bit_count(w0 ^ q0)") + expr("bit_count(w1 ^ q1)"))
           .cast("long").as("adc_e6"))
-    Similarity.bottomKByQuery(scored, 3)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"),
-        col("adc_e6").as("hamming"))
-      .orderBy(col("query_id"), col("rnk"))
+    Similarity.bottomKByQuery(scored, k)
   }
 
   /** Scalar-quantized (SQ8) ANN: each dimension affine-quantized to an
@@ -7384,6 +7426,55 @@ object Queries {
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
         col("adc_e6").as("d2_code"))
       .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Weak-supervision labeling-function diagnostics (the Snorkel
+    * LFAnalysis surface — Ratner et al. 2017): three deterministic
+    * keyword labeling functions vote on a binary topic (abstain =
+    * null), and per LF the pipeline reports coverage (fraction of
+    * docs labeled, e6), overlap (votes on docs where ≥ 2 LFs vote)
+    * and conflict (votes on docs where voters disagree) — the
+    * label-quality triage every weak-supervision pipeline runs before
+    * training on generated labels. All counts are exact integers; the
+    * per-doc vote summary (n_votes, min, max) is ROW-LOCAL, so the
+    * whole query is one narrow corpus pass into one vocabulary-of-3
+    * partial aggregate — no join, no shuffle beyond the 3-group agg.
+    */
+  def labelModelQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val padded = concat(lit(" "), trim(lower(col("text"))), lit(" "))
+    def has(wordPad: String): Column = instr(padded, wordPad) > 0
+    val votes = Tables.documents(spark, sfDir).select(
+      when(has(" spark "), 1L).as("lf_spark"),
+      when(has(" table "), 0L).as("lf_table"),
+      when(has(" join ") && !has(" row "), 1L)
+        .when(has(" row ") && !has(" join "), 0L).as("lf_join_row"))
+    val summarized = votes.select(col("*"),
+      (col("lf_spark").isNotNull.cast("int") +
+        col("lf_table").isNotNull.cast("int") +
+        col("lf_join_row").isNotNull.cast("int")).as("n_votes"),
+      least(col("lf_spark"), col("lf_table"), col("lf_join_row")).as("vmin"),
+      greatest(col("lf_spark"), col("lf_table"), col("lf_join_row")).as("vmax"))
+    val total = summarized.groupBy().agg(count(lit(1)).as("n_docs"))
+    summarized
+      .select(explode(array(
+        struct(lit("lf_spark").as("lf"), col("lf_spark").as("vote"),
+          col("n_votes"), col("vmin"), col("vmax")),
+        struct(lit("lf_table").as("lf"), col("lf_table").as("vote"),
+          col("n_votes"), col("vmin"), col("vmax")),
+        struct(lit("lf_join_row").as("lf"), col("lf_join_row").as("vote"),
+          col("n_votes"), col("vmin"), col("vmax")))).as("e"))
+      .select(col("e.*"))
+      .filter(col("vote").isNotNull)
+      .groupBy(col("lf"))
+      .agg(count(lit(1)).as("n_labeled"),
+        sum(when(col("n_votes") >= 2, 1L).otherwise(0L)).as("n_overlap"),
+        sum(when(col("vmin") =!= col("vmax"), 1L).otherwise(0L)).as("n_conflict"),
+        sum(col("vote")).as("n_pos"))
+      .crossJoin(broadcast(total))
+      .select(col("lf"), col("n_labeled"),
+        expr("(n_labeled * 1000000) div n_docs").as("coverage_e6"),
+        col("n_overlap"), col("n_conflict"), col("n_pos"), col("n_docs"))
+      .orderBy(col("lf"))
   }
 
   /** Classical additive seasonal decomposition of the daily event
@@ -7471,6 +7562,8 @@ object Queries {
     }
     recallRow("hamming64_vs_cos", cosTruth,
         annHammingQ(spark, sfDir).select(col("query_id"), col("neighbor_id")))
+      .unionAll(recallRow("hamming64_refine20_vs_cos", cosTruth,
+        annHammingRefineQ(spark, sfDir).select(col("query_id"), col("neighbor_id"))))
       .unionAll(recallRow("sq8_vs_l2", l2Truth,
         annSq8Q(spark, sfDir).select(col("query_id"), col("neighbor_id"))))
       .withColumn("floor_3of4",

@@ -123,10 +123,11 @@ object SoakScale {
     // statistics (ANOVA, Brown-Forsythe, Kruskal-Wallis rank walk),
     // the 10-root BFS harmonic centrality over the 10x edge list, and
     // the daily decomposition scan
-    "q_ann_pq_refine", "q_ann_hamming", "q_ann_sq8", "q_ann_quant_recall",
+    "q_ann_pq_refine", "q_ann_hamming", "q_ann_hamming_refine",
+    "q_ann_sq8", "q_ann_quant_recall",
     "q_good_turing", "q_kneser_ney", "q_rake", "q_mrr", "q_silhouette",
     "q_anova", "q_levene", "q_kruskal_wallis", "q_harmonic_centrality",
-    "q_decompose")
+    "q_decompose", "q_label_model")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

@@ -315,9 +315,11 @@ object SparkEntry {
     "q_rake" -> (Queries.rakeQ _),
     "q_kruskal_wallis" -> (Queries.kruskalWallisQ _),
     "q_ann_hamming" -> (Queries.annHammingQ _),
+    "q_ann_hamming_refine" -> (Queries.annHammingRefineQ _),
     "q_ann_sq8" -> (Queries.annSq8Q _),
     "q_ann_quant_recall" -> (Queries.annQuantRecall _),
     "q_decompose" -> (Queries.decomposeQ _),
+    "q_label_model" -> (Queries.labelModelQ _),
     "q_harmonic_centrality" -> (Queries.harmonicCentralityQ _),
     "q_silhouette" -> (Queries.silhouetteQ _),
     "q_levene" -> (Queries.leveneQ _),
@@ -6196,9 +6198,29 @@ object SparkEntry {
          |  FROM qsc)
          |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
 
+    // Binary-hamming + exact refine replay: the hsc pair table
+    // shortlisted to k'=20 per query, candidates joined back to their
+    // normalized vectors, exact cosine 1e6-floored, re-ranked to top-3.
+    "q_ann_hamming_refine" ->
+      s"""WITH $hammingCtes,
+         |sl AS (SELECT query_id, neighbor_id, hamming FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY hamming, neighbor_id) AS arn FROM hsc) WHERE arn <= 20),
+         |nrm AS (SELECT vec_id, ${normSql("v")} AS v FROM he0),
+         |re AS (SELECT s.query_id, s.neighbor_id, s.hamming,
+         |    CAST(floor(${dotSql("q.v", "n.v")} * 1000000.0) AS BIGINT) AS cos_e6
+         |  FROM sl s JOIN nrm q ON s.query_id = q.vec_id
+         |       JOIN nrm n ON s.neighbor_id = n.vec_id)
+         |SELECT query_id, neighbor_id, rnk, hamming, cos_e6 FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_e6 DESC, neighbor_id) AS BIGINT) AS rnk
+         |  FROM re)
+         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
     // Quantization-family recall replay: each index's top-3 against
-    // its own metric's exact truth (cosine for sign bits, squared L2
-    // for int8 codes); the hit counts hash-match, no floor gate.
+    // its own metric's exact truth (cosine for sign bits — raw and
+    // refine-through-20 — squared L2 for int8 codes); the hit counts
+    // hash-match; sq8 carries the floor gate.
     "q_ann_quant_recall" ->
       s"""WITH $hammingCtes,
          |$sq8Ctes,
@@ -6209,6 +6231,16 @@ object SparkEntry {
          |    SELECT *, row_number() OVER (PARTITION BY query_id
          |      ORDER BY d2_code, neighbor_id) AS rnk FROM qsc) WHERE rnk <= 3),
          |nrmq AS (SELECT vec_id, ${normSql("v")} AS v FROM he0),
+         |hsl AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY hamming, neighbor_id) AS arn FROM hsc) WHERE arn <= 20),
+         |hre AS (SELECT s.query_id, s.neighbor_id,
+         |    CAST(floor(${dotSql("q.v", "n.v")} * 1000000.0) AS BIGINT) AS cos_e6
+         |  FROM hsl s JOIN nrmq q ON s.query_id = q.vec_id
+         |       JOIN nrmq n ON s.neighbor_id = n.vec_id),
+         |hrefa AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_e6 DESC, neighbor_id) AS rnk FROM hre) WHERE rnk <= 3),
          |csc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          |    ${dotSql("q.v", "c.v")} AS cs
          |  FROM nrmq c JOIN nrmq q ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
@@ -6222,6 +6254,7 @@ object SparkEntry {
          |    SELECT *, row_number() OVER (PARTITION BY query_id
          |      ORDER BY d2, neighbor_id) AS rnk FROM lsc) WHERE rnk <= 3),
          |hh AS (SELECT count(*) AS n FROM ctruth t JOIN ha a USING (query_id, neighbor_id)),
+         |hrh AS (SELECT count(*) AS n FROM ctruth t JOIN hrefa a USING (query_id, neighbor_id)),
          |qh AS (SELECT count(*) AS n FROM ltruth t JOIN qa a USING (query_id, neighbor_id)),
          |ct AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
          |    count(*) AS n_truth FROM ctruth),
@@ -6232,6 +6265,9 @@ object SparkEntry {
          |FROM (
          |  SELECT 'hamming64_vs_cos' AS method, ct.n_queries, ct.n_truth,
          |    hh.n AS n_hits FROM ct CROSS JOIN hh
+         |  UNION ALL
+         |  SELECT 'hamming64_refine20_vs_cos', ct.n_queries, ct.n_truth, hrh.n
+         |  FROM ct CROSS JOIN hrh
          |  UNION ALL
          |  SELECT 'sq8_vs_l2', lt.n_queries, lt.n_truth, qh.n FROM lt CROSS JOIN qh)
          |ORDER BY method""".stripMargin,
@@ -6336,6 +6372,37 @@ object SparkEntry {
         |SELECT day, x, trend_e6, seasonal_e6,
         |  CAST(det_e6 - seasonal_e6 AS BIGINT) AS resid_e6
         |FROM t2 JOIN sa USING (wd) ORDER BY day""".stripMargin,
+
+    // Labeling-function replay: same space-padded keyword votes, the
+    // same row-local (n_votes, min, max) summary, identical counts.
+    "q_label_model" ->
+      """WITH v AS (
+        |  SELECT CASE WHEN instr(p, ' spark ') > 0 THEN CAST(1 AS BIGINT) END AS lf_spark,
+        |    CASE WHEN instr(p, ' table ') > 0 THEN CAST(0 AS BIGINT) END AS lf_table,
+        |    CASE WHEN instr(p, ' join ') > 0 AND instr(p, ' row ') = 0 THEN CAST(1 AS BIGINT)
+        |         WHEN instr(p, ' row ') > 0 AND instr(p, ' join ') = 0 THEN CAST(0 AS BIGINT)
+        |    END AS lf_join_row
+        |  FROM (SELECT ' ' || trim(lower(text)) || ' ' AS p FROM documents) t),
+        |s AS (SELECT *,
+        |    (CASE WHEN lf_spark IS NOT NULL THEN 1 ELSE 0 END
+        |     + CASE WHEN lf_table IS NOT NULL THEN 1 ELSE 0 END
+        |     + CASE WHEN lf_join_row IS NOT NULL THEN 1 ELSE 0 END) AS n_votes,
+        |    least(lf_spark, lf_table, lf_join_row) AS vmin,
+        |    greatest(lf_spark, lf_table, lf_join_row) AS vmax
+        |  FROM v),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM s),
+        |m AS (SELECT 'lf_spark' AS lf, lf_spark AS vote, n_votes, vmin, vmax FROM s
+        |  UNION ALL SELECT 'lf_table', lf_table, n_votes, vmin, vmax FROM s
+        |  UNION ALL SELECT 'lf_join_row', lf_join_row, n_votes, vmin, vmax FROM s)
+        |SELECT lf, CAST(count(*) AS BIGINT) AS n_labeled,
+        |  CAST((count(*) * 1000000) // n_docs AS BIGINT) AS coverage_e6,
+        |  CAST(sum(CASE WHEN n_votes >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+        |  CAST(sum(CASE WHEN vmin <> vmax THEN 1 ELSE 0 END) AS BIGINT) AS n_conflict,
+        |  CAST(sum(vote) AS BIGINT) AS n_pos, n_docs
+        |FROM m CROSS JOIN tot
+        |WHERE vote IS NOT NULL
+        |GROUP BY lf, n_docs
+        |ORDER BY lf""".stripMargin,
 
     // MRR replay: full exact-cosine ranking per probe query, first
     // same-label rank, 1/rank as a truncating e6 integer.

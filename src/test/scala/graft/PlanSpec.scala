@@ -1179,6 +1179,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("windowspecdefinition"), plan)
   }
 
+  test("hamming refine: shortlist + query vectors broadcast onto the raw probe; bounded bottom-k front") {
+    val plan = formatted(Queries.annHammingRefineQ(spark, sf))
+    assert(plan.contains("partial_bottomklong"), plan)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("label model: row-local vote summary, one partial-agg pass, no join") {
+    val plan = formatted(Queries.labelModelQ(spark, sf))
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("windowspecdefinition"), plan)
+  }
+
   test("decompose: one partial-agg daily pass; windows are calendar-bounded singleton-key") {
     val plan = formatted(Queries.decomposeQ(spark, sf))
     assert(plan.contains("partial_count"), plan)
