@@ -48,7 +48,12 @@ object Bench {
     // (JIT/codegen warmth does carry over; that is the same shared
     // infrastructure the pre-suite warmup primes.)
     val passes = sys.env.getOrElse("GRAFT_BENCH_PASSES", "2").toInt.max(1)
-    def runPass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+    // GRAFT_BENCH_ONLY=q_a,q_b times a subset (A/B a fix without paying
+    // the full suite); the official protocol never sets it
+    val only = sys.env.get("GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    def runPass(): Map[String, Double] = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

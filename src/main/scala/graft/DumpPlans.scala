@@ -55,7 +55,15 @@ object DumpPlans {
     "q_ann_pq" -> "PQ/ADC: corpus reduced to m narrow codes; per-query LUT broadcast; ADC scan = one code-table equi-join + partial-agg integer sum; k-selection = partial BottomKLong aggregate (≤ k rows per query per partition to the merge) — raw vectors never enter the search",
     "q_ann_ivfpq" -> "IVFADC: coarse cells prune the scan — the (ivf_cell, s, cell) equi-join against the broadcast residual LUT reads only probed cells' codes (dynamic partition pruning when the code table is laid out by ivf_cell); ADC + selection as q_ann_pq",
     "q_mmr_ann" -> "MMR over the certified LSH front: candidate pool from the multi-table code probe (no corpus cross-join), pair sims and the greedy integer fold on the bounded checkpointed pool",
-    "q_textrank" -> "TextRank: corpus-sized adjacency count partial-aggs to a vocab-bounded graph; pagerank iterations ride the small edge table; top-20 = TakeOrderedAndProject over the vocab rank table, rnk derived on the 20 survivors")
+    "q_textrank" -> "TextRank: corpus-sized adjacency count partial-aggs to a vocab-bounded graph; pagerank iterations ride the small edge table; top-20 = TakeOrderedAndProject over the vocab rank table, rnk derived on the 20 survivors",
+    "q_ann_pq_refine" -> "PQ + exact refine (RFlat): ADC code scan shortlists k'=10 per query (partial BottomKLong); ONLY those candidates' raw vectors fetched via broadcast joins — the corpus is never rescanned for the re-rank",
+    "q_ann_hamming" -> "binary-hamming: corpus scanned through two 32-bit sign half-words (16 bytes/vector), bit_count(xor) distance, broadcast probe side, partial bottom-k selection — no window, no raw-vector join",
+    "q_ann_sq8" -> "SQ8: 64-row dim-range model + query codes broadcast; corpus flows once through the per-dim equi-join; the integer pair sum partial-aggregates before its exchange; partial bottom-k selection",
+    "q_kneser_ney" -> "Kneser-Ney: array-side bigram construction (no per-token shuffle) partial-aggs to the bigram-TYPE table; all KN statistics are aggregates over that type table; top-30 = TakeOrderedAndProject",
+    "q_rake" -> "RAKE: one tokenize pass; phrase-id running count is a per-document window (doc-length bounded); word scores broadcast back; top-20 = TakeOrderedAndProject",
+    "q_kruskal_wallis" -> "Kruskal-Wallis: one partial-agg fact pass to (group, value) cells; the 2x-midrank walk rides the ~50-row value support under a singleton key; H in decimal(38,0) integer arithmetic",
+    "q_silhouette" -> "silhouette: 50-probe side broadcasts against one corpus pass; every pairwise distance 1e6-floored BEFORE the per-cell means so integer sums are accumulation-order-free",
+    "q_label_model" -> "LF diagnostics: per-doc vote summary (n_votes, min, max) is ROW-LOCAL — one narrow corpus pass into a 3-group partial aggregate; no join anywhere")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -42,6 +42,11 @@ object Prof {
       profWinScan(spark, args.lift(1).getOrElse("/root/testdata/sf0.001"))
       spark.stop(); return
     }
+    if (args.headOption.contains("gt")) {
+      profGoodTuring(spark, args.lift(1).getOrElse("/root/testdata/sf0.1"),
+        (name, f) => time(name)(f()))
+      spark.stop(); return
+    }
     val n = 4000000L
     val keys = 5000
     // deterministic synthetic: ts spread over ~46 days, 5k keys
@@ -90,6 +95,23 @@ object Prof {
   /** `runMain graft.Prof cc` — where q_dedup_clusters' seconds go:
     * LSH pair materialization vs the CC label-propagation loop.
     */
+  /** Stage-by-stage cost of q_good_turing's chain at the given sf. */
+  private def profGoodTuring(spark: SparkSession, sf: String,
+      time: (String, () => Long) => Unit): Unit = {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val ws = docs.select(split(trim(lower(col("text"))), "\\s+").as("ws"))
+    time("split_only", () => ws.count())
+    val grams = ws.select(graft.ops.TextOps.shingles3(col("ws")).as("grams"))
+    time("shingles", () => grams.count())
+    val tokens = grams.select(explode(col("grams")).as("token"))
+    time("explode", () => tokens.count())
+    val counts = tokens.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    time("counts", () => counts.count())
+    val cc = counts.groupBy(col("cnt").as("r")).agg(count(lit(1)).as("n_r"))
+    time("cc", () => cc.count())
+    time("full_query", () => Queries.goodTuringQ(spark, sf).count())
+  }
+
   private def profCc(spark: SparkSession, time: (String, () => Long) => Unit): Unit = {
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     time("warmup", () => spark.range(1000).agg(sum(col("id"))).collect()(0).getLong(0))

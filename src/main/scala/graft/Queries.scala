@@ -7050,8 +7050,13 @@ object Queries {
     * second aggregate grows with the corpus.
     */
   def goodTuringQ(spark: SparkSession, sfDir: String): DataFrame = {
+    // materialize the token array BEFORE the shingle transform: passing
+    // split(...) inline would re-evaluate the regex split inside every
+    // element_at of the lambda — O(len²) per document (measured 25.8 s
+    // -> ~2 s at sf0.1 for this one projection boundary)
     val counts = Tables.documents(spark, sfDir)
-      .select(TextOps.shingles3(split(trim(lower(col("text"))), "\\s+")).as("grams"))
+      .select(split(trim(lower(col("text"))), "\\s+").as("ws"))
+      .select(TextOps.shingles3(col("ws")).as("grams"))
       .select(explode(col("grams")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
     val cc = counts.groupBy(col("cnt").as("r")).agg(count(lit(1)).as("n_r"))
@@ -7113,12 +7118,16 @@ object Queries {
     * corpus.
     */
   def kneserNeyQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val ws = split(trim(lower(col("text"))), "\\s+")
+    // slice + zip_with, not transform + element_at — element_at inside
+    // a lambda re-evaluates the array child per element once
+    // CollapseProject re-inlines the split (the shingles3 O(len²) trap)
+    val ws = col("ws")
     val bigrams = when(size(ws) >= 2,
-      transform(sequence(lit(1), size(ws) - 1), i =>
-        struct(element_at(ws, i).as("w1"), element_at(ws, i + 1).as("w2"))))
+      zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+        (x, y) => struct(x.as("w1"), y.as("w2"))))
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
     val c12 = Tables.documents(spark, sfDir)
+      .select(split(trim(lower(col("text"))), "\\s+").as("ws"))
       .select(explode(bigrams).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
