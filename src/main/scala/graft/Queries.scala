@@ -7437,6 +7437,75 @@ object Queries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Per-language unigram Shannon entropy of the corpus — the
+    * token-diversity health metric of a training mix: H = Σ (c/N)·
+    * ln(N/c) over token types, each type's contribution quantized to
+    * an e9 integer BEFORE the sum (the q_lm_score floor(ln·scale + ½)
+    * discipline), so the per-language totals are accumulation-order-
+    * free and hash-match. Emits token/type counts and ln(V)·10⁹ (the
+    * uniform-max entropy) alongside, so normalized entropy is a
+    * reader-side ratio of shipped integers. ONE corpus pass to the
+    * (lang, token) type table; everything after is vocab-sized.
+    */
+  def entropyQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"))
+    counts.join(broadcast(totals), "lang")
+      .select(col("lang"), col("n_tokens"), col("n_types"),
+        floor((col("c") * log(col("n_tokens").cast("double") / col("c"))
+          / col("n_tokens")) * lit(1000000000.0) + lit(0.5)).cast("long").as("term_e9"))
+      .groupBy(col("lang"), col("n_tokens"), col("n_types"))
+      .agg(sum(col("term_e9")).as("h_e9"))
+      .select(col("lang"), col("n_tokens"), col("n_types"), col("h_e9"),
+        floor(log(col("n_types").cast("double")) * lit(1000000000.0) + lit(0.5))
+          .cast("long").as("hmax_e9"))
+      .orderBy(col("lang"))
+  }
+
+  /** Jensen-Shannon divergence between the unigram distributions of
+    * two corpus snapshots (first-half vs second-half doc ids — the
+    * "did the mix drift between crawls?" monitor): JSD = ½KL(P‖M) +
+    * ½KL(Q‖M) with M = ½(P+Q), bounded [0, ln 2]. Per token type the
+    * two KL contributions are computed from exact integer counts and
+    * e9-floor-quantized before summing (order-free, hash-matched);
+    * absent-in-one-side types contribute only their present side's
+    * term (the ln inside stays finite: p/m ≤ 2). One corpus pass to
+    * the (half, token) table; the join of the two sides is FULL OUTER
+    * over the vocab — type-table-sized, never corpus-sized.
+    */
+  def jsDivQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select((col("doc_id") % 2).as("half"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .groupBy(col("half"), col("token")).agg(count(lit(1)).as("c"))
+    val p = toks.filter(col("half") === 0).select(col("token"), col("c").as("cp"))
+    val q = toks.filter(col("half") === 1).select(col("token"), col("c").as("cq"))
+    val joined = p.join(q, Seq("token"), "full_outer")
+      .na.fill(0L, Seq("cp", "cq"))
+    val tot = joined.groupBy()
+      .agg(sum(col("cp")).as("np"), sum(col("cq")).as("nq"), count(lit(1)).as("n_types"))
+    // p = cp/np, q = cq/nq, m = (p+q)/2; per-type terms ½p·ln(p/m) and
+    // ½q·ln(q/m), each e9-floored from one double expression
+    val pd = col("cp").cast("double") / col("np")
+    val qd = col("cq").cast("double") / col("nq")
+    val md = (pd + qd) / lit(2.0)
+    joined.crossJoin(broadcast(tot))
+      .select(col("n_types"), col("np"), col("nq"),
+        when(col("cp") > 0,
+          floor(pd * log(pd / md) / lit(2.0) * lit(1000000000.0) + lit(0.5))
+            .cast("long")).otherwise(0L).as("tp_e9"),
+        when(col("cq") > 0,
+          floor(qd * log(qd / md) / lit(2.0) * lit(1000000000.0) + lit(0.5))
+            .cast("long")).otherwise(0L).as("tq_e9"))
+      .groupBy(col("n_types"), col("np"), col("nq"))
+      .agg(sum(col("tp_e9")).as("kl_p_e9"), sum(col("tq_e9")).as("kl_q_e9"))
+      .select(col("n_types"), col("np"), col("nq"), col("kl_p_e9"), col("kl_q_e9"),
+        (col("kl_p_e9") + col("kl_q_e9")).as("jsd_e9"))
+  }
+
   /** Weak-supervision labeling-function diagnostics (the Snorkel
     * LFAnalysis surface — Ratner et al. 2017): three deterministic
     * keyword labeling functions vote on a binary topic (abstain =

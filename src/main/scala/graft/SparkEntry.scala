@@ -320,6 +320,8 @@ object SparkEntry {
     "q_ann_quant_recall" -> (Queries.annQuantRecall _),
     "q_decompose" -> (Queries.decomposeQ _),
     "q_label_model" -> (Queries.labelModelQ _),
+    "q_entropy" -> (Queries.entropyQ _),
+    "q_js_div" -> (Queries.jsDivQ _),
     "q_harmonic_centrality" -> (Queries.harmonicCentralityQ _),
     "q_silhouette" -> (Queries.silhouetteQ _),
     "q_levene" -> (Queries.leveneQ _),
@@ -6372,6 +6374,52 @@ object SparkEntry {
         |SELECT day, x, trend_e6, seasonal_e6,
         |  CAST(det_e6 - seasonal_e6 AS BIGINT) AS resid_e6
         |FROM t2 JOIN sa USING (wd) ORDER BY day""".stripMargin,
+
+    // Entropy replay: same (lang, token) type table, each type's
+    // p·ln(1/p) contribution e9-floor-quantized from the identical
+    // double expression before the sum.
+    "q_entropy" ->
+      """WITH t AS (SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |g AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),
+        |tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_types FROM g GROUP BY 1)
+        |SELECT lang, n_tokens, n_types,
+        |  CAST(sum(CAST(floor(c * ln(CAST(n_tokens AS DOUBLE) / c) / n_tokens
+        |    * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS h_e9,
+        |  CAST(floor(ln(CAST(n_types AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT) AS hmax_e9
+        |FROM g JOIN tot USING (lang)
+        |GROUP BY lang, n_tokens, n_types
+        |ORDER BY lang""".stripMargin,
+
+    // Jensen-Shannon replay: full-outer vocab join of the two halves,
+    // identical double expressions e9-floored per type, integer sums.
+    "q_js_div" ->
+      """WITH t AS (SELECT doc_id % 2 AS half,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |g AS (SELECT half, token, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),
+        |j AS (SELECT coalesce(p.token, q.token) AS token,
+        |    CAST(coalesce(p.c, 0) AS BIGINT) AS cp, CAST(coalesce(q.c, 0) AS BIGINT) AS cq
+        |  FROM (SELECT token, c FROM g WHERE half = 0) p
+        |  FULL OUTER JOIN (SELECT token, c FROM g WHERE half = 1) q USING (token)),
+        |tot AS (SELECT CAST(sum(cp) AS BIGINT) AS np, CAST(sum(cq) AS BIGINT) AS nq,
+        |    CAST(count(*) AS BIGINT) AS n_types FROM j),
+        |terms AS (SELECT n_types, np, nq,
+        |    CASE WHEN cp > 0 THEN CAST(floor(
+        |      (CAST(cp AS DOUBLE) / np) * ln((CAST(cp AS DOUBLE) / np)
+        |        / (((CAST(cp AS DOUBLE) / np) + (CAST(cq AS DOUBLE) / nq)) / 2.0))
+        |      / 2.0 * 1000000000.0 + 0.5) AS BIGINT) ELSE 0 END AS tp_e9,
+        |    CASE WHEN cq > 0 THEN CAST(floor(
+        |      (CAST(cq AS DOUBLE) / nq) * ln((CAST(cq AS DOUBLE) / nq)
+        |        / (((CAST(cp AS DOUBLE) / np) + (CAST(cq AS DOUBLE) / nq)) / 2.0))
+        |      / 2.0 * 1000000000.0 + 0.5) AS BIGINT) ELSE 0 END AS tq_e9
+        |  FROM j CROSS JOIN tot)
+        |SELECT n_types, np, nq,
+        |  CAST(sum(tp_e9) AS BIGINT) AS kl_p_e9,
+        |  CAST(sum(tq_e9) AS BIGINT) AS kl_q_e9,
+        |  CAST(sum(tp_e9) + sum(tq_e9) AS BIGINT) AS jsd_e9
+        |FROM terms GROUP BY n_types, np, nq""".stripMargin,
 
     // Labeling-function replay: same space-padded keyword votes, the
     // same row-local (n_votes, min, max) summary, identical counts.
