@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.analytics.ForumAnalytics
 import graft.logs.{LogGen, LogParser}
-import graft.ops.{Dedup, Similarity, TextOps}
+import graft.ops.{Aggregators, Dedup, Similarity, TextOps}
 import graft.sources.Tables
 
 /** Named harness queries — each is one operator/capability from
@@ -7677,5 +7677,327 @@ object Queries {
       .select(col("query_id"), col("true_label"), col("first_rel_rank"),
         expr("1000000 div first_rel_rank").as("rr_e6"))
       .orderBy(col("query_id"))
+  }
+
+  /** McNemar's paired test on per-user purchase conversion before vs
+    * after the calendar midpoint — the paired sibling of [[abTestQ]]'s
+    * two-proportion z-test (same user measured in both periods, so
+    * only the discordant pairs b/c carry information). Everything is
+    * exact integers: the 2×2 concordance table from one per-user
+    * conditional aggregate, χ² = (b−c)²/(b+c) and the
+    * continuity-corrected (|b−c|−1)²/(b+c) land at 10⁻⁶ by integral
+    * division. One scan, one user-keyed partial aggregate, a 1-row
+    * broadcast midpoint — scan-shaped at any scale.
+    */
+  def mcnemarQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("d"),
+        (col("event_type") === "purchase").as("p"))
+    val mid = ev.groupBy().agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(expr("(d0 + d1) div 2").as("mid"))
+    val per = ev.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("p") && col("d") <= col("mid"), 1L).otherwise(0L)).as("pre"),
+        max(when(col("p") && col("d") > col("mid"), 1L).otherwise(0L)).as("post"))
+    per.groupBy()
+      .agg(sum(when(col("pre") === 1 && col("post") === 1, 1L).otherwise(0L)).as("n11"),
+        sum(when(col("pre") === 0 && col("post") === 0, 1L).otherwise(0L)).as("n00"),
+        sum(when(col("pre") === 1 && col("post") === 0, 1L).otherwise(0L)).as("b"),
+        sum(when(col("pre") === 0 && col("post") === 1, 1L).otherwise(0L)).as("c"))
+      .select(col("n11"), col("n00"), col("b"), col("c"),
+        expr("1000000 * (b - c) * (b - c) div nullif(b + c, 0)").as("chi2_e6"),
+        expr("""1000000 * (abs(b - c) - 1) * (abs(b - c) - 1)
+                div nullif(b + c, 0)""").as("chi2_cc_e6"))
+  }
+
+  /** Difference-in-differences on purchase spend: treatment = even
+    * user_id, periods split at the calendar midpoint, outcome =
+    * per-cell mean purchase value. The DiD estimate
+    * (T̄post − T̄pre) − (C̄post − C̄pre) cancels both the fixed group
+    * gap and the common time trend; with cell means staged as exact
+    * cents·10⁴ integral divisions (e6 of dollars) the whole readout
+    * is deterministic integers. One filtered scan into a 4-cell
+    * aggregate — the cheapest causal readout in the suite.
+    */
+  def didQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("d"),
+        cents(col("value")).cast("long").as("cts"))
+    val mid = ev.groupBy().agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(expr("(d0 + d1) div 2").as("mid"))
+    val cell = ev.crossJoin(broadcast(mid))
+      .groupBy((col("user_id") % 2 === 0).as("treated"), (col("d") > col("mid")).as("post"))
+      .agg(sum(col("cts")).as("s"), count(lit(1)).as("n"))
+      .select(col("treated"), col("post"), expr("s * 10000 div n").as("m_e6"), col("n"))
+    cell.groupBy()
+      .agg(max(when(col("treated") && !col("post"), col("m_e6"))).as("t_pre_e6"),
+        max(when(col("treated") && col("post"), col("m_e6"))).as("t_post_e6"),
+        max(when(!col("treated") && !col("post"), col("m_e6"))).as("c_pre_e6"),
+        max(when(!col("treated") && col("post"), col("m_e6"))).as("c_post_e6"),
+        sum(col("n")).as("n_purchases"))
+      .select(col("t_pre_e6"), col("t_post_e6"), col("c_pre_e6"), col("c_post_e6"),
+        ((col("t_post_e6") - col("t_pre_e6"))
+          - (col("c_post_e6") - col("c_pre_e6"))).as("did_e6"),
+        col("n_purchases"))
+  }
+
+  /** AR(1) fit of the daily event volume and its one-step forecast —
+    * the simplest autoregressive model, done with the [[linregQ]]
+    * sufficient-statistics discipline: lag pairs come from the daily
+    * table equi-joined to itself on d+1 (no window), φ and the
+    * intercept land at 10⁻⁶ by integral division over exact
+    * decimal(38,0) sums, and the forecast reuses the already-truncated
+    * coefficients so both engines agree bit-for-bit. The only
+    * data-sized work is the daily count aggregate; everything after is
+    * calendar-bounded.
+    */
+  def ar1Q(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("x"))
+    val pairs = daily.as("a")
+      .join(daily.as("b"), col("a.d") + 1 === col("b.d"))
+      .select(col("a.x").cast(d38).as("x"), col("b.x").cast(d38).as("y"))
+    val s = pairs.groupBy()
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val last = daily.groupBy()
+      .agg(max(struct(col("d"), col("x"))).as("m"))
+      .select(col("m.x").as("x_last"))
+    s.crossJoin(broadcast(last))
+      .withColumn("phi_e6",
+        expr("cast((n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx) as bigint)"))
+      .withColumn("intercept_e6",
+        expr("cast((sy * 1000000 - cast(phi_e6 as decimal(38,0)) * sx) div n as bigint)"))
+      .select(col("n").cast("long").as("n_pairs"), col("phi_e6"), col("intercept_e6"),
+        col("x_last"),
+        expr("intercept_e6 + phi_e6 * x_last").as("forecast_e6"))
+  }
+
+  /** Welch's unequal-variance t² on purchase spend between even/odd
+    * user cohorts — the parametric sibling of [[mannWhitneyQ]], done
+    * entirely as staged integer arithmetic: per-group sufficient
+    * statistics (n, Σcents, Σcents²) in one partial aggregate, each
+    * group's v/n as a truncating e6 integral division, the mean gap at
+    * e3 cents, and t² = diff²/(v₁/n₁+v₂/n₂) at e6. Every stage
+    * truncates identically on both engines, so the readout is
+    * bit-deterministic; the only data-sized work is the one scan into
+    * the 2-row aggregate (the staged divisions keep every intermediate
+    * under decimal(38,0) far past 10⁹ rows per group).
+    */
+  def welchTtestQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select((col("user_id") % 2).as("g"), cents(col("value")).cast("long").as("cts"))
+    val per = ev.groupBy(col("g"))
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("cts").cast(d38)).as("s"),
+        sum(col("cts").cast(d38) * col("cts")).as("ssq"))
+      .withColumn("vn_e6", expr("(1000000 * (n * ssq - s * s)) div (n * n * (n - 1))"))
+      .withColumn("m_e6", expr("s * 10000 div n"))
+    per.groupBy()
+      .agg(max(when(col("g") === 0, col("n"))).as("n0"),
+        max(when(col("g") === 1, col("n"))).as("n1"),
+        max(when(col("g") === 0, col("s"))).as("s0"),
+        max(when(col("g") === 1, col("s"))).as("s1"),
+        max(when(col("g") === 0, col("vn_e6"))).as("vn0"),
+        max(when(col("g") === 1, col("vn_e6"))).as("vn1"),
+        max(when(col("g") === 0, col("m_e6"))).as("m0"),
+        max(when(col("g") === 1, col("m_e6"))).as("m1"))
+      .withColumn("diff_e3", expr("1000 * (s0 * n1 - s1 * n0) div (n0 * n1)"))
+      .select(col("n0").cast("long").as("n_even"), col("n1").cast("long").as("n_odd"),
+        col("m0").as("m_even_e6"), col("m1").as("m_odd_e6"), col("diff_e3"),
+        expr("""cast((cast(1000000 as decimal(38,0)) * diff_e3 * diff_e3)
+                div nullif(vn0 + vn1, 0) as bigint)""").as("t2_e6"))
+  }
+
+  /** Permutation test of per-user total spend between even/odd user
+    * cohorts: 200 deterministic pseudo-permutations (an arithmetic LCG
+    * over (user_id, round) — no RNG state, identical on both engines)
+    * re-split the users, and the p-value is the fraction of rounds
+    * whose |mean gap| reaches the observed one, with the standard +1
+    * smoothing. The distribution-free sibling of [[welchTtestQ]] and
+    * the resampling sibling of [[bootstrapQ]] (which resamples one
+    * group; this re-labels the split under the null). The user table
+    * is aggregated once, the 200-row spine broadcasts, and each round
+    * is a partial-aggregated conditional sum — |users|·200 narrow rows
+    * of map-side work, no shuffle wider than 200 groups.
+    */
+  def permutationTestQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(sum(cents(col("value")).cast("long")).as("cts"))
+    val diffE3 =
+      """abs(1000 * (cast(sA as decimal(38,0)) * nB - cast(sB as decimal(38,0)) * nA)
+        |    div (cast(nA as decimal(38,0)) * nB))""".stripMargin
+    val obs = u.groupBy()
+      .agg(sum(when(col("user_id") % 2 === 0, col("cts"))).as("sA"),
+        sum(when(col("user_id") % 2 === 1, col("cts"))).as("sB"),
+        sum(when(col("user_id") % 2 === 0, 1L)).as("nA"),
+        sum(when(col("user_id") % 2 === 1, 1L)).as("nB"))
+      .select(expr(diffE3).as("obs_e3"))
+    val spine = spark.range(1, 201).select(col("id").as("r"))
+    val perm = u.crossJoin(broadcast(spine))
+      .select(col("r"),
+        expr("((user_id * 1103515245 + r * 12345) % 2147483648) % 2").as("g"),
+        col("cts"))
+      .groupBy(col("r"))
+      .agg(sum(when(col("g") === 0, col("cts"))).as("sA"),
+        sum(when(col("g") === 1, col("cts"))).as("sB"),
+        sum(when(col("g") === 0, 1L)).as("nA"),
+        sum(when(col("g") === 1, 1L)).as("nB"))
+      .select(col("r"), expr(diffE3).as("d_e3"))
+    perm.crossJoin(broadcast(obs))
+      .groupBy(col("obs_e3"))
+      .agg(sum(when(col("d_e3") >= col("obs_e3"), 1L).otherwise(0L)).as("n_ge"))
+      .select(col("obs_e3"), col("n_ge"),
+        expr("1000000 * (1 + n_ge) div 201").as("p_e6"),
+        lit(200L).as("n_perm"))
+  }
+
+  /** Log-rank test comparing churn survival between even/odd user
+    * cohorts — the hypothesis-test companion to [[kaplanMeierQ]]'s
+    * curve (same framing: per-user lifetime t = last−first day,
+    * censored if the user was still active in the final 3 days). At
+    * each churn time the observed group-1 deaths are compared with the
+    * hypergeometric expectation d·n₁/n and variance
+    * d·n₁·n₂·(n−d)/(n²(n−1)), each term a truncating e6 integral
+    * division over exact at-risk counts from one calendar-bounded
+    * support walk; χ² = (O₁−E₁)²/V closes the readout. The only
+    * data-sized work is the per-user min/max aggregate — everything
+    * after lives on the (time, group) support, bounded by the
+    * calendar, never by |users|.
+    */
+  def logrankQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy(col("user_id")).agg(min(col("d")).as("f"), max(col("d")).as("l"))
+    val md = u.groupBy().agg(max(col("l")).as("maxd"))
+    val per = u.crossJoin(broadcast(md))
+      .select((col("user_id") % 2).as("g"), (col("l") - col("f")).as("t"),
+        (col("l") >= col("maxd") - 2).as("cens"))
+    val sup = per.groupBy(col("t"))
+      .agg(sum(when(col("g") === 0 && !col("cens"), 1L).otherwise(0L)).as("d1"),
+        sum(when(col("g") === 0 && col("cens"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("g") === 1 && !col("cens"), 1L).otherwise(0L)).as("d2"),
+        sum(when(col("g") === 1 && col("cens"), 1L).otherwise(0L)).as("c2"))
+    val w = Window.partitionBy(
+        graft.functions.GraftFunctions.singleton_key(col("t")))
+      .orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val walked = sup
+      .withColumn("cl1", coalesce(sum(col("d1") + col("c1")).over(w), lit(0L)))
+      .withColumn("cl2", coalesce(sum(col("d2") + col("c2")).over(w), lit(0L)))
+    val tot = sup.groupBy()
+      .agg(sum(col("d1") + col("c1")).as("t1"), sum(col("d2") + col("c2")).as("t2"))
+    val terms = walked.crossJoin(broadcast(tot))
+      .filter(col("d1") + col("d2") > 0)
+      .select(col("d1"), col("d2"), (col("d1") + col("d2")).as("dd"),
+        (col("t1") - col("cl1")).as("n1"), (col("t2") - col("cl2")).as("n2"))
+      .withColumn("n", col("n1") + col("n2"))
+    terms.groupBy()
+      .agg(sum(col("d1")).as("o1"), sum(col("d2")).as("o2"),
+        sum(expr("(cast(1000000 as decimal(38,0)) * dd * n1) div n")).as("e1_e6"),
+        sum(expr("(cast(1000000 as decimal(38,0)) * dd * n2) div n")).as("e2_e6"),
+        sum(expr("""CASE WHEN n > 1 THEN
+                      (cast(1000000 as decimal(38,0)) * dd * n1 * n2 * (n - dd))
+                      div (cast(n as decimal(38,0)) * n * (n - 1))
+                    ELSE 0 END""")).as("v_e6"))
+      .select(col("o1"), col("o2"), col("e1_e6"), col("e2_e6"), col("v_e6"),
+        expr("""cast((cast(o1 as decimal(38,0)) * 1000000 - e1_e6)
+                   * (cast(o1 as decimal(38,0)) * 1000000 - e1_e6)
+                   div nullif(v_e6, 0) as bigint)""").as("chi2_e6"))
+  }
+
+  /** KMV (k-minimum-values / bottom-k) distinct sketches of each
+    * source's token vocabulary, with set-operation estimates the HLL
+    * partials of [[sketchRollupQ]] cannot give: for every source pair,
+    * the merged bottom-64 sketch yields a distinct-union estimate
+    * ((k−1)·M/h₍ₖ₎ over the portable 48-bit hash space) and a Jaccard
+    * estimate (matching members under h₍ₖ₎ / k), printed next to the
+    * EXACT union/Jaccard from the vocab join — a measured accuracy
+    * certificate in the [[minhashAccQ]] tradition. The sketch build is
+    * one partial-aggregatable [[Aggregators.BottomKLong]] pass over
+    * distinct (source, hash) — at most 2k values per source per
+    * partition ship to the merge, and the pair stage handles 64-entry
+    * arrays only; the exact side is the vocab-bounded certificate, not
+    * the scale path.
+    */
+  def kmvOverlapQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val k = 64
+    val hashed = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(TextOps.words(lower(col("text")))).as("w"))
+      .select(col("source"), col("w"), TextOps.portableHash64(col("w")).as("h"))
+    val sk = hashed.select(col("source"), col("h")).distinct()
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._2))
+      .agg(new Aggregators.BottomKLong(k).toColumn.name("bk"))
+      .map { case (src, lst) => (src, lst.map(_._1).toArray) }
+      .toDF("source", "sk")
+    val est = sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        col("a.sk").as("ska"), col("b.sk").as("skb"))
+      .withColumn("mg",
+        slice(array_sort(array_distinct(concat(col("ska"), col("skb")))), 1, k))
+      // a merged sketch shorter than k means BOTH input sketches were
+      // complete vocabularies (< k distinct hashes) — the estimator
+      // then degrades gracefully to the exact values over m members
+      .withColumn("m", size(col("mg")).cast("long"))
+      .withColumn("uk", expr("element_at(mg, cast(m as int))"))
+      .withColumn("n_both",
+        size(expr("filter(mg, x -> array_contains(ska, x) AND array_contains(skb, x))"))
+          .cast("long"))
+    val voc = hashed.select(col("source"), col("w")).distinct()
+    val sizes = voc.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+    val inter = voc.as("x")
+      .join(voc.as("y"), col("x.w") === col("y.w") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("inter"))
+    est.join(inter, Seq("source_a", "source_b"))
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("nv").as("nva"))),
+        Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("nv").as("nvb"))),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"),
+        expr("1000000 * n_both div m").as("jacc_est_e6"),
+        expr("1000000 * inter div (nva + nvb - inter)").as("jacc_exact_e6"),
+        expr("CASE WHEN m < 64 THEN m ELSE 63 * 281474976710656 div uk END")
+          .as("union_est"),
+        (col("nva") + col("nvb") - col("inter")).as("union_exact"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** Betweenness centrality (top 20) of the part-adjacency graph from
+    * the same 10 lowest-id roots [[harmonicCentralityQ]] uses — exact
+    * Brandes dependencies per root ([[graft.ops.Graph.brandesBetweenness]]:
+    * forward σ path counts, backward e6 dependency sweep, every
+    * rational a truncating integral division), summed per node. The
+    * final top-20 is an orderBy+limit (`TakeOrderedAndProject`, the
+    * TextOps.scala house rule), never a global sort; tie-break on node
+    * id keeps the cut deterministic. The oracle unrolls the identical
+    * 8-level forward/backward sweeps with a fixguard that error()s if
+    * distances hadn't converged — the unroll depth can never silently
+    * drift from the Spark loop.
+    */
+  def betweennessQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = partAdjacencyEdges(spark, sfDir).select(col("src"), col("dst"))
+    val nodes = e.filter(col("src") =!= col("dst"))
+    val roots = nodes.select(col("src").as("node"))
+      .union(nodes.select(col("dst").as("node")))
+      .distinct().orderBy(col("node")).limit(10)
+    graft.ops.Graph.brandesBetweenness(e, roots, maxDepth = 8)
+      .groupBy(col("node"))
+      .agg(sum(col("delta")).as("bc_e6"))
+      .orderBy(col("bc_e6").desc, col("node"))
+      .limit(20)
   }
 }

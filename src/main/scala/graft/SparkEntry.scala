@@ -325,6 +325,14 @@ object SparkEntry {
     "q_harmonic_centrality" -> (Queries.harmonicCentralityQ _),
     "q_silhouette" -> (Queries.silhouetteQ _),
     "q_levene" -> (Queries.leveneQ _),
+    "q_mcnemar" -> (Queries.mcnemarQ _),
+    "q_did" -> (Queries.didQ _),
+    "q_ar1" -> (Queries.ar1Q _),
+    "q_welch_ttest" -> (Queries.welchTtestQ _),
+    "q_permutation_test" -> (Queries.permutationTestQ _),
+    "q_logrank" -> (Queries.logrankQ _),
+    "q_kmv_overlap" -> (Queries.kmvOverlapQ _),
+    "q_betweenness" -> (Queries.betweennessQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -6468,5 +6476,265 @@ object SparkEntry {
          |FROM r WHERE n_label = true_label
          |GROUP BY query_id, true_label
          |ORDER BY query_id""".stripMargin,
+
+    // McNemar replay: per-user pre/post purchase flags around the
+    // calendar midpoint, discordant-pair chi-square as exact integers.
+    "q_mcnemar" ->
+      """WITH ev AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    event_type = 'purchase' AS p
+        |  FROM events),
+        |m AS (SELECT (min(d) + max(d)) // 2 AS mid FROM ev),
+        |per AS (SELECT user_id,
+        |    max(CASE WHEN p AND d <= mid THEN 1 ELSE 0 END) AS pre,
+        |    max(CASE WHEN p AND d > mid THEN 1 ELSE 0 END) AS post
+        |  FROM ev CROSS JOIN m GROUP BY user_id),
+        |agg AS (SELECT
+        |    CAST(sum(CASE WHEN pre = 1 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+        |    CAST(sum(CASE WHEN pre = 0 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+        |    CAST(sum(CASE WHEN pre = 1 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN pre = 0 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM per)
+        |SELECT n11, n00, b, c,
+        |  CAST(1000000 * (b - c) * (b - c) // nullif(b + c, 0) AS BIGINT) AS chi2_e6,
+        |  CAST(1000000 * (abs(b - c) - 1) * (abs(b - c) - 1)
+        |    // nullif(b + c, 0) AS BIGINT) AS chi2_cc_e6
+        |FROM agg""".stripMargin,
+
+    // DiD replay: 4 cells (treated x post) of mean purchase cents as
+    // staged e6 integral divisions, then the double difference.
+    "q_did" ->
+      """WITH ev AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cts
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT (min(d) + max(d)) // 2 AS mid FROM ev),
+        |cell AS (SELECT user_id % 2 = 0 AS treated, d > mid AS post,
+        |    CAST(sum(cts) AS BIGINT) AS s, count(*) AS n
+        |  FROM ev CROSS JOIN m GROUP BY 1, 2),
+        |mm AS (SELECT treated, post, s * 10000 // n AS m_e6, n FROM cell)
+        |SELECT
+        |  max(CASE WHEN treated AND NOT post THEN m_e6 END) AS t_pre_e6,
+        |  max(CASE WHEN treated AND post THEN m_e6 END) AS t_post_e6,
+        |  max(CASE WHEN NOT treated AND NOT post THEN m_e6 END) AS c_pre_e6,
+        |  max(CASE WHEN NOT treated AND post THEN m_e6 END) AS c_post_e6,
+        |  (max(CASE WHEN treated AND post THEN m_e6 END)
+        |     - max(CASE WHEN treated AND NOT post THEN m_e6 END))
+        |  - (max(CASE WHEN NOT treated AND post THEN m_e6 END)
+        |     - max(CASE WHEN NOT treated AND NOT post THEN m_e6 END)) AS did_e6,
+        |  CAST(sum(n) AS BIGINT) AS n_purchases
+        |FROM mm""".stripMargin,
+
+    // AR(1) replay: daily counts self-joined on d+1, sufficient stats
+    // in HUGEINT, truncating e6 slope/intercept, forecast from the
+    // truncated coefficients.
+    "q_ar1" ->
+      """WITH daily AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    count(*) AS x
+        |  FROM events GROUP BY 1),
+        |p AS (SELECT CAST(a.x AS HUGEINT) AS x, CAST(b.x AS HUGEINT) AS y
+        |  FROM daily a JOIN daily b ON a.d + 1 = b.d),
+        |s AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx FROM p),
+        |lst AS (SELECT arg_max(x, d) AS x_last FROM daily),
+        |co AS (SELECT n, sx, sy, x_last,
+        |    CAST((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx) AS BIGINT) AS phi_e6
+        |  FROM s CROSS JOIN lst)
+        |SELECT CAST(n AS BIGINT) AS n_pairs, phi_e6,
+        |  CAST((sy * 1000000 - CAST(phi_e6 AS HUGEINT) * sx) // n AS BIGINT) AS intercept_e6,
+        |  x_last,
+        |  CAST((sy * 1000000 - CAST(phi_e6 AS HUGEINT) * sx) // n AS BIGINT)
+        |    + phi_e6 * x_last AS forecast_e6
+        |FROM co""".stripMargin,
+
+    // Welch t-square replay: per-group sufficient stats in HUGEINT,
+    // staged truncating divisions (v/n at e6, mean gap at e3, t2 at e6).
+    "q_welch_ttest" ->
+      """WITH ev AS (SELECT user_id % 2 AS g,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cts
+        |  FROM events WHERE event_type = 'purchase'),
+        |per AS (SELECT g, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(CAST(cts AS HUGEINT)) AS s, sum(CAST(cts AS HUGEINT) * cts) AS ssq
+        |  FROM ev GROUP BY g),
+        |v AS (SELECT g, n, s,
+        |    (1000000 * (n * ssq - s * s)) // (n * n * (n - 1)) AS vn_e6,
+        |    s * 10000 // n AS m_e6 FROM per),
+        |piv AS (SELECT
+        |    max(CASE WHEN g = 0 THEN n END) AS n0, max(CASE WHEN g = 1 THEN n END) AS n1,
+        |    max(CASE WHEN g = 0 THEN s END) AS s0, max(CASE WHEN g = 1 THEN s END) AS s1,
+        |    max(CASE WHEN g = 0 THEN vn_e6 END) AS vn0,
+        |    max(CASE WHEN g = 1 THEN vn_e6 END) AS vn1,
+        |    max(CASE WHEN g = 0 THEN m_e6 END) AS m0,
+        |    max(CASE WHEN g = 1 THEN m_e6 END) AS m1
+        |  FROM v),
+        |d AS (SELECT *, 1000 * (s0 * n1 - s1 * n0) // (n0 * n1) AS diff_e3 FROM piv)
+        |SELECT CAST(n0 AS BIGINT) AS n_even, CAST(n1 AS BIGINT) AS n_odd,
+        |  CAST(m0 AS BIGINT) AS m_even_e6, CAST(m1 AS BIGINT) AS m_odd_e6,
+        |  CAST(diff_e3 AS BIGINT) AS diff_e3,
+        |  CAST(1000000 * diff_e3 * diff_e3 // nullif(vn0 + vn1, 0) AS BIGINT) AS t2_e6
+        |FROM d""".stripMargin,
+
+    // Permutation-test replay: 200 LCG pseudo-splits of the per-user
+    // spend table, |mean gap| per round at e3, +1-smoothed p at e6.
+    "q_permutation_test" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cts
+        |  FROM events GROUP BY user_id),
+        |o1 AS (SELECT
+        |    sum(CASE WHEN user_id % 2 = 0 THEN CAST(cts AS HUGEINT) END) AS sA,
+        |    sum(CASE WHEN user_id % 2 = 1 THEN CAST(cts AS HUGEINT) END) AS sB,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS nA,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS nB
+        |  FROM u),
+        |obs AS (SELECT abs(1000 * (sA * nB - sB * nA) // (nA * nB)) AS obs_e3 FROM o1),
+        |spine AS (SELECT unnest(range(1, 201)) AS r),
+        |pg AS (SELECT r, ((user_id * 1103515245 + r * 12345) % 2147483648) % 2 AS g, cts
+        |  FROM u CROSS JOIN spine),
+        |ps AS (SELECT r,
+        |    sum(CASE WHEN g = 0 THEN CAST(cts AS HUGEINT) END) AS sA,
+        |    sum(CASE WHEN g = 1 THEN CAST(cts AS HUGEINT) END) AS sB,
+        |    CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS nA,
+        |    CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS nB
+        |  FROM pg GROUP BY r),
+        |pd AS (SELECT r, abs(1000 * (sA * nB - sB * nA) // (nA * nB)) AS d_e3 FROM ps)
+        |SELECT CAST(obs_e3 AS BIGINT) AS obs_e3,
+        |  CAST(sum(CASE WHEN d_e3 >= obs_e3 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+        |  CAST(1000000 * (1 + sum(CASE WHEN d_e3 >= obs_e3 THEN 1 ELSE 0 END)) // 201
+        |    AS BIGINT) AS p_e6,
+        |  CAST(200 AS BIGINT) AS n_perm
+        |FROM pd CROSS JOIN obs GROUP BY obs_e3""".stripMargin,
+
+    // Log-rank replay: per-user lifetimes, (time, group) support walk
+    // for at-risk counts, truncating e6 hypergeometric E and V terms,
+    // chi-square from the exact integer O/E/V readout.
+    "q_logrank" ->
+      """WITH u AS (SELECT user_id,
+        |    min(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS f,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS l
+        |  FROM events GROUP BY user_id),
+        |md AS (SELECT max(l) AS maxd FROM u),
+        |per AS (SELECT user_id % 2 AS g, l - f AS t, l >= maxd - 2 AS cens
+        |  FROM u CROSS JOIN md),
+        |sup AS (SELECT t,
+        |    sum(CASE WHEN g = 0 AND NOT cens THEN 1 ELSE 0 END) AS d1,
+        |    sum(CASE WHEN g = 0 AND cens THEN 1 ELSE 0 END) AS c1,
+        |    sum(CASE WHEN g = 1 AND NOT cens THEN 1 ELSE 0 END) AS d2,
+        |    sum(CASE WHEN g = 1 AND cens THEN 1 ELSE 0 END) AS c2
+        |  FROM per GROUP BY t),
+        |wk AS (SELECT t, d1, d2,
+        |    coalesce(sum(d1 + c1) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cl1,
+        |    coalesce(sum(d2 + c2) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cl2
+        |  FROM sup),
+        |tot AS (SELECT sum(d1 + c1) AS t1, sum(d2 + c2) AS t2 FROM sup),
+        |terms AS (SELECT d1, d2, d1 + d2 AS dd,
+        |    t1 - cl1 AS n1, t2 - cl2 AS n2, t1 - cl1 + t2 - cl2 AS n
+        |  FROM wk CROSS JOIN tot WHERE d1 + d2 > 0),
+        |agg AS (SELECT
+        |    CAST(sum(d1) AS BIGINT) AS o1, CAST(sum(d2) AS BIGINT) AS o2,
+        |    CAST(sum((1000000 * CAST(dd AS HUGEINT) * n1) // n) AS BIGINT) AS e1_e6,
+        |    CAST(sum((1000000 * CAST(dd AS HUGEINT) * n2) // n) AS BIGINT) AS e2_e6,
+        |    CAST(sum(CASE WHEN n > 1 THEN
+        |        (1000000 * CAST(dd AS HUGEINT) * n1 * n2 * (n - dd))
+        |        // (CAST(n AS HUGEINT) * n * (n - 1))
+        |      ELSE 0 END) AS BIGINT) AS v_e6
+        |  FROM terms)
+        |SELECT o1, o2, e1_e6, e2_e6, v_e6,
+        |  CAST((CAST(o1 AS HUGEINT) * 1000000 - e1_e6)
+        |     * (CAST(o1 AS HUGEINT) * 1000000 - e1_e6)
+        |     // nullif(v_e6, 0) AS BIGINT) AS chi2_e6
+        |FROM agg""".stripMargin,
+
+    // KMV replay: distinct (source, hash) via the portable md5 fold,
+    // bottom-64 per source, merged-sketch union/Jaccard estimates next
+    // to the exact vocab-join numbers.
+    "q_kmv_overlap" ->
+      s"""WITH tok AS (SELECT source,
+         |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+         |  FROM documents),
+         |voc AS (SELECT DISTINCT source, w FROM tok),
+         |hx AS (SELECT DISTINCT source, ${hSql("w")} AS h FROM voc),
+         |rk AS (SELECT source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM hx),
+         |s64 AS (SELECT source, list(h ORDER BY h) AS sk
+         |  FROM rk WHERE rn <= 64 GROUP BY source),
+         |pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+         |    a.sk AS ska, b.sk AS skb
+         |  FROM s64 a JOIN s64 b ON a.source < b.source),
+         |m AS (SELECT source_a, source_b, ska, skb,
+         |    list_slice(list_sort(list_distinct(list_concat(ska, skb))), 1, 64) AS mg
+         |  FROM pairs),
+         |est AS (SELECT source_a, source_b,
+         |    CAST(len(mg) AS BIGINT) AS m, mg[len(mg)] AS uk,
+         |    CAST(len(list_filter(mg,
+         |      x -> list_contains(ska, x) AND list_contains(skb, x))) AS BIGINT) AS n_both
+         |  FROM m),
+         |ix AS (SELECT x.source AS source_a, y.source AS source_b,
+         |    count(*) AS inter
+         |  FROM voc x JOIN voc y ON x.w = y.w AND x.source < y.source
+         |  GROUP BY 1, 2),
+         |sz AS (SELECT source, count(*) AS nv FROM voc GROUP BY source)
+         |SELECT est.source_a, est.source_b,
+         |  CAST(1000000 * n_both // m AS BIGINT) AS jacc_est_e6,
+         |  CAST(1000000 * inter // (na.nv + nb.nv - inter) AS BIGINT) AS jacc_exact_e6,
+         |  CAST(CASE WHEN m < 64 THEN m ELSE 63 * 281474976710656 // uk END
+         |    AS BIGINT) AS union_est,
+         |  CAST(na.nv + nb.nv - inter AS BIGINT) AS union_exact
+         |FROM est
+         |JOIN ix ON ix.source_a = est.source_a AND ix.source_b = est.source_b
+         |JOIN sz na ON na.source = est.source_a
+         |JOIN sz nb ON nb.source = est.source_b
+         |ORDER BY 1, 2""".stripMargin,
+
+    // Brandes replay: 8-round per-root BFS distances (fixguarded like
+    // q_harmonic_centrality), per-level sigma path counts, backward
+    // delta sweep with the same truncating e6 per-edge division, summed
+    // per node, TakeOrdered top-20.
+    "q_betweenness" -> {
+      def dIter(i: Int): String =
+        s"""hd$i AS MATERIALIZED (SELECT root, node, min(d) AS d FROM (
+           |  SELECT root, node, d FROM hd${i - 1}
+           |  UNION ALL
+           |  SELECT p.root, e.dst, p.d + 1 FROM bu e JOIN hd${i - 1} p ON e.src = p.node) t
+           |  GROUP BY root, node)""".stripMargin
+      def sIter(i: Int): String =
+        s"""sg$i AS MATERIALIZED (SELECT p.root, e.dst AS node, sum(p.sigma) AS sigma
+           |  FROM bu e JOIN sg${i - 1} p ON e.src = p.node
+           |  JOIN hd8 x ON x.root = p.root AND x.node = e.dst
+           |  WHERE x.d = $i GROUP BY 1, 2)""".stripMargin
+      def bIter(i: Int): String =
+        s"""dt$i AS (SELECT v.root, v.node,
+           |    sum((v.sigma * (1000000 + d.delta)) // w.sigma) AS delta
+           |  FROM sg$i v JOIN bu e ON e.src = v.node
+           |  JOIN sg${i + 1} w ON w.root = v.root AND w.node = e.dst
+           |  JOIN dl${i + 1} d ON d.root = v.root AND d.node = e.dst
+           |  GROUP BY 1, 2),
+           |dl$i AS MATERIALIZED (SELECT v.root, v.node,
+           |    coalesce(t.delta, CAST(0 AS HUGEINT)) AS delta
+           |  FROM sg$i v LEFT JOIN dt$i t ON t.root = v.root AND t.node = v.node)""".stripMargin
+      s"""WITH bp AS (SELECT l_partkey AS src,
+         |    lead(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
+         |  FROM lineitem),
+         |be AS (SELECT DISTINCT src, dst FROM bp WHERE dst IS NOT NULL AND src <> dst),
+         |bu AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+         |  (SELECT src, dst FROM be UNION ALL SELECT dst, src FROM be) t),
+         |roots AS (SELECT DISTINCT src AS node FROM bu ORDER BY node LIMIT 10),
+         |hd0 AS (SELECT node AS root, node, CAST(0 AS BIGINT) AS d FROM roots),
+         |${(1 to 8).map(dIter).mkString(",\n")},
+         |fixguard AS (SELECT CASE WHEN (SELECT count(*) FROM hd8)
+         |    = (SELECT count(*) FROM hd7) THEN 1 ELSE 0 END AS at_fixpoint),
+         |sg0 AS (SELECT node AS root, node, CAST(1 AS HUGEINT) AS sigma FROM roots),
+         |${(1 to 8).map(sIter).mkString(",\n")},
+         |dl8 AS MATERIALIZED (SELECT root, node, CAST(0 AS HUGEINT) AS delta FROM sg8),
+         |${(7 to 1 by -1).map(bIter).mkString(",\n")},
+         |allD AS (${(1 to 8).map(i => s"SELECT * FROM dl$i").mkString(" UNION ALL ")}),
+         |bc AS (SELECT node, sum(delta) AS bc FROM allD GROUP BY node)
+         |SELECT node, CAST(CASE WHEN at_fixpoint = 1 THEN bc ELSE error(
+         |    'q_betweenness oracle: hd8 <> hd7, unroll depth insufficient - add rounds')
+         |  END AS BIGINT) AS bc_e6
+         |FROM bc CROSS JOIN fixguard
+         |ORDER BY bc_e6 DESC, node LIMIT 20""".stripMargin
+    },
   )
 }

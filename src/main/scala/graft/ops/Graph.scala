@@ -511,4 +511,114 @@ object Graph {
     }
     pr
   }
+
+  /** Exact Brandes betweenness contributions from a bounded root set
+    * (Brandes 2001): forward level-synchronous BFS accumulating exact
+    * shortest-path counts σ (decimal(38,0) — path counts multiply along
+    * dense DAGs far past 2⁶³), then the backward dependency sweep
+    * δ(v) = Σ_w σ(v)·(1+δ(w))/σ(w) over successor levels, with the
+    * rational kept as a per-edge truncating e6 integral division so
+    * every engine reproduces it bit-for-bit. Per root the work is one
+    * frontier join per level (≤ maxDepth), every frontier/level table
+    * is an eagerly-released localCheckpoint, and the backward sweep
+    * joins only adjacent levels — nothing materializes beyond
+    * (levels × frontier) rows. Errors if any root's BFS is still
+    * growing at maxDepth (the oracle unrolls exactly that many rounds —
+    * the q_ktruss explicit-assumption discipline).
+    *
+    * @return (root, node, delta) — per-root e6 dependency of every
+    *         non-root node; sum over roots for the centrality readout.
+    */
+  def brandesBetweenness(edges: DataFrame, sources: DataFrame,
+      maxDepth: Int = 8, broadcastMaxRows: Long = 4000000L): DataFrame = {
+    val d38 = "decimal(38,0)"
+    // Frontier/level/seen tables are (roots × reached-nodes)-sized —
+    // broadcast them (size-gated, the triangle-probe discipline) so
+    // each round's only exchange is the expansion's partial-aggregated
+    // groupBy; past the gate every join falls back to shuffles.
+    def bc(df: DataFrame, rows: Long): DataFrame =
+      if (rows <= broadcastMaxRows) broadcast(df) else df
+    val e = edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .persist()
+    var frontier = sources.select(col("node")).distinct()
+      .select(col("node").as("root"), col("node"), expr(s"cast(1 as $d38)").as("sigma"))
+      .localCheckpoint(true)
+    var frontierRows = frontier.count()
+    val levels = scala.collection.mutable.ArrayBuffer(frontier)
+    val levelRows = scala.collection.mutable.ArrayBuffer(frontierRows)
+    var seenRows = frontierRows
+    var done = false
+    while (!done && levels.size <= maxDepth) {
+      // anti-join against the lazy union of the (already checkpointed)
+      // level tables — no separate `seen` materialization per round
+      val seen = levels.map(_.select(col("root"), col("node"))).reduce(_ union _)
+      val nxt = und
+        .join(bc(frontier.withColumnRenamed("node", "src"), frontierRows), Seq("src"))
+        .groupBy(col("root"), col("dst").as("node"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .join(bc(seen, seenRows), Seq("root", "node"), "left_anti")
+        .localCheckpoint(true)
+      val n = nxt.count()
+      if (n == 0) {
+        org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(nxt)
+        done = true
+      } else {
+        levels += nxt
+        levelRows += n
+        seenRows += n
+        frontier = nxt
+        frontierRows = n
+      }
+    }
+    if (!done) {
+      levels.foreach(org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint)
+      und.unpersist()
+      throw new IllegalStateException(
+        s"brandesBetweenness: frontier still growing after $maxDepth rounds")
+    }
+    // Backward sweep: deepest level seeds delta = 0; each level's delta
+    // aggregates the truncating per-edge term over its successor level.
+    val maxLevel = levels.size - 1
+    var dAbove = levels(maxLevel)
+      .select(col("root"), col("node"), lit(0L).as("delta"))
+      .localCheckpoint(true)
+    val deltaTabs = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    if (maxLevel >= 1) deltaTabs += dAbove
+    var lev = maxLevel - 1
+    while (lev >= 1) {
+      val wTab = levels(lev + 1).join(bc(dAbove, levelRows(lev + 1)), Seq("root", "node"))
+        .select(col("root"), col("node").as("dst"),
+          col("sigma").as("wsigma"), col("delta").as("wdelta"))
+      // nodes without successors contribute zero rows via the union, so
+      // one aggregate replaces the left-join-with-zeros shape
+      val terms = und.withColumnRenamed("src", "node")
+        .join(bc(levels(lev), levelRows(lev)), Seq("node"))
+        .join(bc(wTab, levelRows(lev + 1)), Seq("root", "dst"))
+        .select(col("root"), col("node"),
+          expr("(sigma * (1000000 + wdelta)) div wsigma").as("t"))
+      val dl = levels(lev)
+        .select(col("root"), col("node"), lit(0L).as("t"))
+        .union(terms)
+        .groupBy(col("root"), col("node"))
+        .agg(sum(col("t")).as("delta"))
+        .localCheckpoint(true)
+      deltaTabs += dl
+      dAbove = dl
+      lev -= 1
+    }
+    und.unpersist()
+    // Every delta table is its own checkpoint, so the level tables
+    // (forward σ frontiers) are no longer reachable from the result —
+    // release them here rather than letting the blocks outlive the call
+    // (the kTruss final-checkpoint discipline). Level 0 survives only
+    // for the degenerate no-edges result below.
+    if (deltaTabs.nonEmpty)
+      levels.foreach(org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint)
+    if (deltaTabs.isEmpty)
+      levels(0).select(col("root"), col("node"), lit(0L).as("delta")).limit(0)
+    else deltaTabs.reduce(_ union _)
+  }
 }
