@@ -8000,4 +8000,95 @@ object Queries {
       .orderBy(col("bc_e6").desc, col("node"))
       .limit(20)
   }
+
+  /** Perceptual-hash near-duplicate detection over the image corpus —
+    * multimodal dedup composed from [[graft.ops.Multimodal.phash64]]
+    * (64-bit signature from the payload BYTES, exact integer
+    * cell-vs-global-mean bits in two 32-bit half-words) and the
+    * [[simhashQ]] banding idea with BYTE bands: Hamming distance ≤ 6
+    * guarantees at least 2 of the 8 byte-bands agree (pigeonhole), so
+    * the candidate join is an 8-way band equi-join — never all-pairs —
+    * and the exact `bit_count(xor)` verify runs on candidates only. The
+    * oracle regenerates the signatures arithmetically from the media-id
+    * formula, so a drift anywhere in the byte→bit→band chain
+    * hash-mismatches. Finds the planted exact-payload twins (ids ≡ mod
+    * 1536 share filler streams) at Hamming 0.
+    */
+  def phashDedupQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = graft.ops.Multimodal.syntheticMedia(spark, 2000)
+      .filter(_.kind == "image")
+    val sigs = graft.ops.Multimodal.phash64(media).toDF()
+    val bd = sigs.select(col("media_id"), col("hi"), col("lo"),
+        explode(expr(
+          """transform(sequence(0, 7), b -> named_struct('b', b,
+            |  'v', CASE WHEN b < 4 THEN shiftright(lo, 8 * b) % 256
+            |            ELSE shiftright(hi, 8 * (b - 4)) % 256 END))""".stripMargin))
+          .as("band"))
+      .select(col("media_id"), col("hi"), col("lo"),
+        col("band.b").as("b"), col("band.v").as("v"))
+    val cand = bd.as("x")
+      .join(bd.as("y"),
+        col("x.b") === col("y.b") && col("x.v") === col("y.v")
+          && col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"),
+        col("x.hi").as("ha"), col("x.lo").as("la"),
+        col("y.hi").as("hb"), col("y.lo").as("lb"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        expr("cast(bit_count(ha ^ hb) + bit_count(la ^ lb) as bigint)"))
+      .filter(col("hamming") <= 6)
+      .select(col("media_a"), col("media_b"), col("hamming"))
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
+  /** T5-style span corruption over the document corpus — the
+    * denoising-objective data prep (Raffel et al. 2020): deterministic
+    * 3-token groups are masked when the portable hash of (doc, group)
+    * lands in a 1/7 bucket (≈14% noise density, no RNG state —
+    * reproducible on any engine and any partitioning), each masked
+    * group is replaced by an ordered `<extra_id_k>` sentinel in the
+    * input and emitted after the same sentinel in the target. Group
+    * boundaries (not run-merging) define sentinel numbering, so the
+    * whole transform is per-token narrow work plus doc-bounded
+    * aggregations: posexplode → hash flag → two sorted-collect rebuilds
+    * — scan-shaped at any corpus size, no cross-doc shuffle beyond the
+    * doc-keyed groupBys.
+    */
+  def spanCorruptQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(TextOps.words(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("g", expr("pos div 3"))
+      .withColumn("masked",
+        pmod(TextOps.portableHash64(concat(col("doc_id"), lit(":"), col("g"))), lit(7)) === 0)
+    val mg = toks.filter(col("masked")).select(col("doc_id"), col("g")).distinct()
+      .withColumn("k",
+        row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("g"))) - 1)
+    val sentinel = concat(lit("<extra_id_"), col("k"), lit(">"))
+    val inpRows = toks.filter(!col("masked"))
+      .select(col("doc_id"), col("pos"), col("tok"))
+      .unionByName(mg.select(col("doc_id"), (col("g") * 3).cast("int").as("pos"),
+        sentinel.as("tok")))
+    val inp = inpRows.groupBy(col("doc_id"))
+      .agg(concat_ws(" ",
+        expr("transform(array_sort(collect_list(struct(pos, tok))), s -> s.tok)"))
+        .as("input_text"))
+    val tgtRows = mg
+      .select(col("doc_id"), col("g"), lit(-1).as("p2"), sentinel.as("tok"))
+      .unionByName(toks.filter(col("masked"))
+        .select(col("doc_id"), col("g"), col("pos").as("p2"), col("tok")))
+    val tgt = tgtRows.groupBy(col("doc_id"))
+      .agg(concat_ws(" ",
+        expr("transform(array_sort(collect_list(struct(g, p2, tok))), s -> s.tok)"))
+        .as("target_text"))
+    val stats = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked"))
+    stats.join(inp, Seq("doc_id"))
+      .join(tgt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_masked"), col("input_text"),
+        coalesce(col("target_text"), lit("")).as("target_text"))
+      .orderBy(col("doc_id"))
+  }
 }

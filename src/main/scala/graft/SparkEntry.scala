@@ -333,6 +333,8 @@ object SparkEntry {
     "q_logrank" -> (Queries.logrankQ _),
     "q_kmv_overlap" -> (Queries.kmvOverlapQ _),
     "q_betweenness" -> (Queries.betweennessQ _),
+    "q_phash_dedup" -> (Queries.phashDedupQ _),
+    "q_span_corrupt" -> (Queries.spanCorruptQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -6736,5 +6738,79 @@ object SparkEntry {
          |FROM bc CROSS JOIN fixguard
          |ORDER BY bc_e6 DESC, node LIMIT 20""".stripMargin
     },
+
+    // pHash replay: regenerate the 64 strided byte-sum cells from the
+    // media-id formula, exact cross-multiplied mean bits into two
+    // 32-bit half-words, byte-band candidates, bit_count(xor) verify.
+    "q_phash_dedup" ->
+      """WITH m AS (SELECT r.range AS id, 256 + r.range % 512 AS filler_len
+        |  FROM range(0, 2000) r WHERE r.range % 3 = 0),
+        |pos AS (SELECT p.range AS i FROM range(0, 768) p),
+        |byc AS (SELECT m.id, i % 64 AS c,
+        |    sum((m.id * 31 + i * 7) % 256) AS s, count(*) AS n
+        |  FROM m CROSS JOIN pos WHERE i < m.filler_len GROUP BY 1, 2),
+        |tot AS (SELECT id, sum(s) AS ts, sum(n) AS tn FROM byc GROUP BY id),
+        |bits AS (SELECT byc.id, c,
+        |    CASE WHEN s * tn > ts * n THEN 1 ELSE 0 END AS bit
+        |  FROM byc JOIN tot USING (id)),
+        |sig AS MATERIALIZED (SELECT id,
+        |    CAST(sum(CASE WHEN c < 32 THEN bit * (CAST(1 AS BIGINT) << c)
+        |             ELSE 0 END) AS BIGINT) AS lo,
+        |    CAST(sum(CASE WHEN c >= 32 THEN bit * (CAST(1 AS BIGINT) << (c - 32))
+        |             ELSE 0 END) AS BIGINT) AS hi
+        |  FROM bits GROUP BY id),
+        |bd AS (SELECT s.id, b.range AS b,
+        |    CASE WHEN b.range < 4 THEN (lo >> CAST(8 * b.range AS INTEGER)) % 256
+        |         ELSE (hi >> CAST(8 * (b.range - 4) AS INTEGER)) % 256 END AS v
+        |  FROM sig s CROSS JOIN range(0, 8) b),
+        |cand AS (SELECT DISTINCT x.id AS media_a, y.id AS media_b
+        |  FROM bd x JOIN bd y ON x.b = y.b AND x.v = y.v AND x.id < y.id),
+        |ham AS (SELECT media_a, media_b,
+        |    CAST(bit_count(xor(sa.lo, sb.lo)) + bit_count(xor(sa.hi, sb.hi))
+        |      AS BIGINT) AS hamming
+        |  FROM cand JOIN sig sa ON sa.id = media_a JOIN sig sb ON sb.id = media_b)
+        |SELECT media_a, media_b, hamming FROM ham
+        |WHERE hamming <= 6 ORDER BY media_a, media_b""".stripMargin,
+
+    // Span-corruption replay: position-indexed tokens via the
+    // range-ordinality trick, (doc, group) hash masking, sentinel ranks
+    // by window, ordered string_agg rebuilds of input/target.
+    "q_span_corrupt" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |tok AS (SELECT doc_id, u.i - 1 AS pos, w[u.i] AS tok,
+         |    (u.i - 1) // 3 AS g
+         |  FROM t, unnest(range(1, len(w) + 1)) AS u(i)),
+         |grp AS (SELECT DISTINCT doc_id, g FROM tok),
+         |mg AS (SELECT doc_id, g,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY g) - 1 AS k
+         |  FROM grp
+         |  WHERE (${hSql("CAST(doc_id AS VARCHAR) || ':' || CAST(g AS VARCHAR)")}) % 7 = 0),
+         |inp_rows AS (
+         |  SELECT t2.doc_id, t2.pos, t2.tok
+         |  FROM tok t2 LEFT JOIN mg ON mg.doc_id = t2.doc_id AND mg.g = t2.g
+         |  WHERE mg.g IS NULL
+         |  UNION ALL
+         |  SELECT doc_id, g * 3 AS pos,
+         |    '<extra_id_' || CAST(k AS VARCHAR) || '>' AS tok FROM mg),
+         |inp AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS input_text
+         |  FROM inp_rows GROUP BY doc_id),
+         |tgt_rows AS (
+         |  SELECT doc_id, g, -1 AS p2,
+         |    '<extra_id_' || CAST(k AS VARCHAR) || '>' AS tok FROM mg
+         |  UNION ALL
+         |  SELECT t2.doc_id, t2.g, t2.pos AS p2, t2.tok
+         |  FROM tok t2 JOIN mg ON mg.doc_id = t2.doc_id AND mg.g = t2.g),
+         |tgt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY g, p2) AS target_text
+         |  FROM tgt_rows GROUP BY doc_id),
+         |st AS (SELECT t2.doc_id, count(*) AS n_tokens,
+         |    sum(CASE WHEN mg.g IS NOT NULL THEN 1 ELSE 0 END) AS n_masked
+         |  FROM tok t2 LEFT JOIN mg ON mg.doc_id = t2.doc_id AND mg.g = t2.g
+         |  GROUP BY 1)
+         |SELECT st.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(n_masked AS BIGINT) AS n_masked, input_text,
+         |  coalesce(target_text, '') AS target_text
+         |FROM st JOIN inp USING (doc_id) LEFT JOIN tgt USING (doc_id)
+         |ORDER BY st.doc_id""".stripMargin,
   )
 }

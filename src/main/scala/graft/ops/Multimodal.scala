@@ -129,6 +129,49 @@ object Multimodal {
       .select(col("media_id"), col("kind"), col("frame_idx"),
         round(col("brightness") * (lit(1.0) + col("frame_idx") / lit(100.0)), 6).as("frame_brightness"))
 
+  /** Perceptual-hash stand-in over the payload: 64 strided byte-sum
+    * cells over the filler, bit c = [cell mean > global mean] decided by
+    * exact integer cross-multiplication (cs·tn > ts·cn — no division,
+    * no float), packed into two 32-bit half-words (one 64-bit word
+    * would overflow a checked signed add at bit 63 when replayed in
+    * SQL). A real pHash swaps the cell statistic for DCT coefficients;
+    * every downstream banding/Hamming decision is statistic-agnostic.
+    * mapPartitions for the same reason as [[decodeStub]]: per-partition
+    * decoder amortization over an opaque binary codec.
+    */
+  case class PHash(media_id: Long, hi: Long, lo: Long)
+  def phash64(media: Dataset[Media]): Dataset[PHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val decoder = new Object // real codec init goes here, once per partition
+      it.map { m =>
+        require(decoder != null)
+        val b = m.payload
+        val n = b.length - 15
+        val cs = new Array[Long](64)
+        val cn = new Array[Long](64)
+        var i = 0
+        while (i < n) {
+          val c = i % 64
+          cs(c) += (b(15 + i) & 0xff)
+          cn(c) += 1
+          i += 1
+        }
+        var ts = 0L; var tn = 0L
+        var c = 0
+        while (c < 64) { ts += cs(c); tn += cn(c); c += 1 }
+        var hi = 0L; var lo = 0L
+        c = 0
+        while (c < 64) {
+          val bit = if (cs(c) * tn > ts * cn(c)) 1L else 0L
+          if (c < 32) lo |= bit << c else hi |= bit << (c - 32)
+          c += 1
+        }
+        PHash(m.media_id, hi, lo)
+      }
+    }
+  }
+
   /** Metadata-level resize: scale (width,height) to fit `maxDim`,
     * preserving aspect (integer floor math — deterministic).
     */
