@@ -211,4 +211,31 @@ class GraphSpec extends AnyFunSuite {
     val edges = Seq((1L, 2L, 3L), (2L, 3L, 1L), (3L, 1L, 2L), (1L, 3L, 1L), (4L, 2L, 5L))
     assert(hubsAuths(edges) == hubsAuths(edges))
   }
+
+  private def bc(edges: Seq[(Long, Long)], roots: Seq[Long]): Map[Long, Long] =
+    Graph.brandesBetweenness(edges.toDF("src", "dst"), roots.toDF("node"))
+      .groupBy(col("node")).agg(sum(col("delta")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("Brandes: on 1-2-3-4 with chord 1-3, only node 3 carries dependency from root 1") {
+    // from 1: d(2)=d(3)=1 (σ=1 each), d(4)=2 via 3 only → δ(3)=1e6
+    val got = bc(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L)), Seq(1L))
+    assert(got == Map(2L -> 0L, 3L -> 1000000L, 4L -> 0L), got)
+  }
+
+  test("Brandes: contributions sum across roots; split paths halve the credit") {
+    // square 1-2-4, 1-3-4: from root 1, σ(4)=2 via 2 and 3 → each
+    // carries σv·1e6/σw = 500000; from root 4 symmetric.
+    val got = bc(Seq((1L, 2L), (2L, 4L), (1L, 3L), (3L, 4L)), Seq(1L, 4L))
+    assert(got(2L) == 1000000L && got(3L) == 1000000L, got)
+    assert(got(1L) == 0L && got(4L) == 0L, got)
+  }
+
+  test("Brandes: errors loudly when the BFS outruns maxDepth") {
+    val path = (1L to 6L).sliding(2).map(s => (s(0), s(1))).toSeq
+    intercept[IllegalStateException] {
+      Graph.brandesBetweenness(path.toDF("src", "dst"), Seq(1L).toDF("node"),
+        maxDepth = 2).count()
+    }
+  }
 }

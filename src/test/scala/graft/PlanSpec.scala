@@ -1212,4 +1212,55 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("betweenness: per-node reduce partial-aggs; top-20 is TakeOrdered, not a global sort") {
+    val plan = formatted(Queries.betweennessQ(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("partial_sum"), plan)
+    assert(globalWindow.findFirstIn(plan).isEmpty, plan)
+  }
+
+  test("kmv sketches: bottom-k aggregates partially; no all-pairs anywhere") {
+    val plan = formatted(Queries.kmvOverlapQ(spark, sf))
+    assert(plan.contains("partial_bottomklong"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("phash dedup: band equi-join candidates, never an all-pairs product") {
+    val plan = formatted(Queries.phashDedupQ(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"), plan)
+  }
+
+  test("span corruption: sentinel window is doc-partitioned; no global window") {
+    val plan = formatted(Queries.spanCorruptQ(spark, sf))
+    assert(plan.contains("hashpartitioning(doc_id"), plan)
+    assert(globalWindow.findFirstIn(plan).isEmpty, plan)
+  }
+
+  test("logrank: lifetimes partial-agg; support walk keeps its singleton key") {
+    val plan = formatted(Queries.logrankQ(spark, sf))
+    assert(plan.contains("pmod(hash("), plan)
+    assert(plan.contains("partial_min") || plan.contains("partial_max"), plan)
+    assert(globalWindow.findFirstIn(plan).isEmpty, plan)
+  }
+
+  test("permutation test: the 200-round spine broadcasts; per-round sums partial-agg") {
+    val plan = formatted(Queries.permutationTestQ(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("partial_sum"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("welch/mcnemar/did/ar1: one scan into a tiny aggregate, no cartesian") {
+    for ((n, q) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)](
+        ("welch", Queries.welchTtestQ _), ("mcnemar", Queries.mcnemarQ _),
+        ("did", Queries.didQ _), ("ar1", Queries.ar1Q _))) {
+      val plan = formatted(q(spark, sf))
+      assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+        s"$n:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$n:\n$plan")
+    }
+  }
 }
