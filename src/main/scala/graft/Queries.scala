@@ -8091,4 +8091,84 @@ object Queries {
         coalesce(col("target_text"), lit("")).as("target_text"))
       .orderBy(col("doc_id"))
   }
+
+  /** Cochran's Q over four weekly purchase indicators per user — the
+    * k-sample extension of [[mcnemarQ]] (did conversion propensity
+    * shift across the first four weeks, with each user as their own
+    * control?). The textbook Q = k(k−1)Σ(C_j−T/k)²/(kT−ΣR²) is
+    * multiplied through by k² so every quantity is an exact integer
+    * (column totals C_j, per-user row totals R, their squares), and the
+    * single ratio lands at 10⁻⁶ by integral division. Work: one
+    * filtered distinct on (user, week) — users with R=0 or R=k drop
+    * out of both sides of the ratio algebraically, so no exclusion pass
+    * is needed.
+    */
+  def cochranQQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"),
+        col("event_type"))
+    val d0 = ev.groupBy().agg(min(col("d")).as("d0"))
+    val pw = ev.filter(col("event_type") === "purchase")
+      .crossJoin(broadcast(d0))
+      .select(col("user_id"), expr("(d - d0) div 7").as("w"))
+      .filter(col("w") < 4)
+      .distinct()
+    val rs = pw.groupBy(col("user_id")).agg(count(lit(1)).as("r"))
+      .groupBy()
+      .agg(sum(col("r")).as("t"), sum(col("r") * col("r")).as("sr2"))
+    pw.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(rs))
+      .groupBy(col("t"), col("sr2"))
+      .agg(sum(expr(s"cast((4 * c - t) as $d38) * (4 * c - t)")).as("num"),
+        max(when(col("w") === 0, col("c"))).as("c0"),
+        max(when(col("w") === 1, col("c"))).as("c1"),
+        max(when(col("w") === 2, col("c"))).as("c2"),
+        max(when(col("w") === 3, col("c"))).as("c3"))
+      .select(col("t"), col("sr2"), col("c0"), col("c1"), col("c2"), col("c3"),
+        expr("""cast(1000000 * 3 * num
+                div nullif(cast(4 as decimal(38,0)) * (4 * t - sr2), 0)
+                as bigint)""").as("q_e6"))
+  }
+
+  /** Cochran–Mantel–Haenszel test of treatment (even/odd user) on
+    * high-value conversion ($200+ purchase, the [[abTestQ]] metric)
+    * stratified by signup cohort (first-event week) — the stratified
+    * A/B readout that a raw pooled 2×2 gets wrong when cohorts differ
+    * (Simpson's inversion). Per stratum the hypergeometric
+    * E = n₁m₁/n and V = n₁n₀m₁m₀/(n²(n−1)) are truncating e6 integral
+    * divisions (the [[logrankQ]] staging); χ² = (ΣA−ΣE)²/ΣV closes it.
+    * One per-user reduce, then all arithmetic lives on the 4-row
+    * stratum support.
+    */
+  def cmhQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"),
+        col("event_type"), col("value"))
+    val d0 = ev.groupBy().agg(min(col("d")).as("d0"))
+    val per = ev.crossJoin(broadcast(d0))
+      .groupBy(col("user_id"))
+      .agg(expr("least(min(d - d0) div 7, 3)").as("s"),
+        max(when(col("event_type") === "purchase" && col("value") >= 200, 1L)
+          .otherwise(0L)).as("conv"))
+      .withColumn("trt", (col("user_id") % 2 === 0).cast("int"))
+    val strata = per.groupBy(col("s"))
+      .agg(sum(when(col("trt") === 1 && col("conv") === 1, 1L).otherwise(0L)).as("a"),
+        sum(col("trt").cast("long")).as("n1"),
+        sum(when(col("trt") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(col("conv")).as("m1"))
+      .withColumn("n", col("n1") + col("n0"))
+      .withColumn("m0", col("n") - col("m1"))
+    strata.groupBy()
+      .agg(sum(col("a")).as("sum_a"),
+        sum(expr("(cast(1000000 as decimal(38,0)) * n1 * m1) div n")).as("e_e6"),
+        sum(expr("""CASE WHEN n > 1 THEN
+                      (cast(1000000 as decimal(38,0)) * n1 * n0 * m1 * m0)
+                      div (cast(n as decimal(38,0)) * n * (n - 1))
+                    ELSE 0 END""")).as("v_e6"))
+      .select(col("sum_a"), col("e_e6"), col("v_e6"),
+        expr("""cast((cast(sum_a as decimal(38,0)) * 1000000 - e_e6)
+                   * (cast(sum_a as decimal(38,0)) * 1000000 - e_e6)
+                   div nullif(v_e6, 0) as bigint)""").as("chi2_e6"))
+  }
 }

@@ -127,7 +127,15 @@ object SoakScale {
     "q_ann_sq8", "q_ann_quant_recall",
     "q_good_turing", "q_kneser_ney", "q_rake", "q_mrr", "q_silhouette",
     "q_anova", "q_levene", "q_kruskal_wallis", "q_harmonic_centrality",
-    "q_decompose", "q_label_model")
+    "q_decompose", "q_label_model",
+    // round 9, session 9c: exact Brandes over the 10x edge list (the
+    // 10-root forward/backward frontier sweeps), the per-source KMV
+    // sketch build + vocab-join certificate over the replicated
+    // corpus, the 200-round permutation spine over the user table,
+    // the per-user lifetime walks (log-rank), the span-corruption
+    // rebuild of every doc, and the small-stat scans
+    "q_betweenness", "q_kmv_overlap", "q_permutation_test", "q_logrank",
+    "q_span_corrupt", "q_welch_ttest", "q_mcnemar", "q_did", "q_ar1")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

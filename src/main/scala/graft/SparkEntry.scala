@@ -335,6 +335,8 @@ object SparkEntry {
     "q_betweenness" -> (Queries.betweennessQ _),
     "q_phash_dedup" -> (Queries.phashDedupQ _),
     "q_span_corrupt" -> (Queries.spanCorruptQ _),
+    "q_cochran_q" -> (Queries.cochranQQ _),
+    "q_cmh" -> (Queries.cmhQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -6812,5 +6814,60 @@ object SparkEntry {
          |  coalesce(target_text, '') AS target_text
          |FROM st JOIN inp USING (doc_id) LEFT JOIN tgt USING (doc_id)
          |ORDER BY st.doc_id""".stripMargin,
+
+    // Cochran's Q replay: distinct (user, week<4) purchase flags,
+    // row/column totals, the k2-multiplied integer Q at e6.
+    "q_cochran_q" ->
+      """WITH ev AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d, event_type
+        |  FROM events),
+        |d0 AS (SELECT min(d) AS d0 FROM ev),
+        |pw AS (SELECT DISTINCT user_id, (d - d0) // 7 AS w
+        |  FROM ev CROSS JOIN d0
+        |  WHERE event_type = 'purchase' AND (d - d0) // 7 < 4),
+        |rs AS (SELECT CAST(sum(r) AS BIGINT) AS t, CAST(sum(r * r) AS BIGINT) AS sr2
+        |  FROM (SELECT user_id, count(*) AS r FROM pw GROUP BY user_id)),
+        |cw AS (SELECT w, count(*) AS c FROM pw GROUP BY w)
+        |SELECT t, sr2,
+        |  max(CASE WHEN w = 0 THEN c END) AS c0,
+        |  max(CASE WHEN w = 1 THEN c END) AS c1,
+        |  max(CASE WHEN w = 2 THEN c END) AS c2,
+        |  max(CASE WHEN w = 3 THEN c END) AS c3,
+        |  CAST(1000000 * 3 * sum(CAST(4 * c - t AS HUGEINT) * (4 * c - t))
+        |    // nullif(CAST(4 AS HUGEINT) * (4 * t - sr2), 0) AS BIGINT) AS q_e6
+        |FROM cw CROSS JOIN rs GROUP BY t, sr2""".stripMargin,
+
+    // CMH replay: per-user cohort stratum + conversion flag, 4-row
+    // stratum support, truncating e6 hypergeometric E/V, chi-square.
+    "q_cmh" ->
+      """WITH ev AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    event_type, value
+        |  FROM events),
+        |d0 AS (SELECT min(d) AS d0 FROM ev),
+        |per AS (SELECT user_id, least(min(d - d0) // 7, 3) AS s,
+        |    max(CASE WHEN event_type = 'purchase' AND value >= 200
+        |        THEN 1 ELSE 0 END) AS conv,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS trt
+        |  FROM ev CROSS JOIN d0 GROUP BY user_id),
+        |st AS (SELECT s,
+        |    sum(CASE WHEN trt = 1 AND conv = 1 THEN 1 ELSE 0 END) AS a,
+        |    sum(CASE WHEN trt = 1 THEN 1 ELSE 0 END) AS n1,
+        |    sum(CASE WHEN trt = 0 THEN 1 ELSE 0 END) AS n0,
+        |    sum(conv) AS m1
+        |  FROM per GROUP BY s),
+        |st2 AS (SELECT s, a, n1, n0, m1, n1 + n0 AS n, n1 + n0 - m1 AS m0 FROM st),
+        |agg AS (SELECT CAST(sum(a) AS BIGINT) AS sum_a,
+        |    CAST(sum((1000000 * CAST(n1 AS HUGEINT) * m1) // n) AS BIGINT) AS e_e6,
+        |    CAST(sum(CASE WHEN n > 1 THEN
+        |        (1000000 * CAST(n1 AS HUGEINT) * n0 * m1 * m0)
+        |        // (CAST(n AS HUGEINT) * n * (n - 1))
+        |      ELSE 0 END) AS BIGINT) AS v_e6
+        |  FROM st2)
+        |SELECT sum_a, e_e6, v_e6,
+        |  CAST((CAST(sum_a AS HUGEINT) * 1000000 - e_e6)
+        |     * (CAST(sum_a AS HUGEINT) * 1000000 - e_e6)
+        |     // nullif(v_e6, 0) AS BIGINT) AS chi2_e6
+        |FROM agg""".stripMargin,
   )
 }
