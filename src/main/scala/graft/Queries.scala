@@ -8171,4 +8171,86 @@ object Queries {
                    * (cast(sum_a as decimal(38,0)) * 1000000 - e_e6)
                    div nullif(v_e6, 0) as bigint)""").as("chi2_e6"))
   }
+
+  /** Exact Shapley-value channel attribution — the order-free,
+    * axiomatic alternative to [[attributionQ]]'s last-touch: with 4
+    * touch channels (click/view/signup/error) and coalition value
+    * v(S) = converted users reached by at least one channel of S, each
+    * channel's Shapley value sums w(|S|)·[v(S∪{c})−v(S)] over its 8
+    * absent subsets, with the 4-channel factorial weights as truncated
+    * e6 literals. The ONLY data-sized work is the per-user touch-mask
+    * reduce; everything after lives on the 16-row mask support (value
+    * table, subset spine, channel spine — all broadcast-sized by
+    * construction), so the operator is one scan + O(2^k) arithmetic at
+    * any corpus size.
+    */
+  def shapleyQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "click", 1L).otherwise(0L)).as("hc"),
+        max(when(col("event_type") === "view", 1L).otherwise(0L)).as("hv"),
+        max(when(col("event_type") === "signup", 1L).otherwise(0L)).as("hs"),
+        max(when(col("event_type") === "error", 1L).otherwise(0L)).as("he"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+    val sup = per.filter(col("conv") === 1)
+      .groupBy((col("hc") + col("hv") * 2 + col("hs") * 4 + col("he") * 8).as("mask"))
+      .agg(count(lit(1)).as("cnt"))
+    val subsets = spark.range(0, 16).select(col("id").as("s"))
+    val v = subsets.crossJoin(broadcast(sup))
+      .groupBy(col("s"))
+      .agg(sum(when(expr("(mask & s) != 0"), col("cnt")).otherwise(0L)).as("v"))
+    val chan = spark.range(0, 4)
+      .select(col("id").as("c"), expr("shiftleft(1L, cast(id as int))").as("cbit"))
+    val vWith = v.select(col("s").as("s2"), col("v").as("v_with"))
+    val phi = chan.join(v, expr("(s & cbit) = 0"))
+      .join(vWith, col("s2") === col("s") + col("cbit"))
+      .withColumn("w_e6", expr(
+        """CASE bit_count(s) WHEN 0 THEN 250000 WHEN 1 THEN 83333
+          |WHEN 2 THEN 83333 ELSE 250000 END""".stripMargin))
+      .groupBy(col("c"))
+      .agg(sum(col("w_e6") * (col("v_with") - col("v"))).as("phi_e6"))
+    val vFull = v.filter(col("s") === 15).select(col("v").as("v_full"))
+    phi.crossJoin(broadcast(vFull))
+      .select(expr(
+        """CASE c WHEN 0 THEN 'click' WHEN 1 THEN 'view'
+          |WHEN 2 THEN 'signup' ELSE 'error' END""".stripMargin).as("channel"),
+        col("phi_e6"), col("v_full"))
+      .orderBy(col("channel"))
+  }
+
+  /** SAX symbolization of the daily event volume (Lin et al. 2003) —
+    * PAA over 4-day windows, empirical-quartile breakpoints via the
+    * dyadic-exact 4·percentile trick (f ∈ {¼,½,¾} interpolation is
+    * exact in binary on integer inputs, so both engines land on the
+    * same integer after ×4), symbols a–d, and the 3-symbol motif
+    * (word) histogram built by two equi-joins on seg+1/seg+2 — no
+    * window anywhere. The data-sized work is the daily count
+    * aggregate; PAA/symbols/words are calendar-bounded. The motif
+    * counts are the time-series indexing primitive (frequent word =
+    * recurring weekly shape; rare word = anomalous stretch).
+    */
+  def saxQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("x"))
+    val d0 = daily.groupBy().agg(min(col("d")).as("d0"))
+    val paa = daily.crossJoin(broadcast(d0))
+      .groupBy(expr("(d - d0) div 4").as("seg"))
+      .agg(sum(col("x")).as("p"), count(lit(1)).as("nd"))
+      .filter(col("nd") === 4)
+    val qs = paa.groupBy().agg(
+      expr("cast(4 * percentile(p, 0.25) as bigint)").as("q25_4"),
+      expr("cast(4 * percentile(p, 0.5) as bigint)").as("q50_4"),
+      expr("cast(4 * percentile(p, 0.75) as bigint)").as("q75_4"))
+    val sym = paa.crossJoin(broadcast(qs))
+      .select(col("seg"), expr(
+        """CASE WHEN 4 * p <= q25_4 THEN 'a' WHEN 4 * p <= q50_4 THEN 'b'
+          |WHEN 4 * p <= q75_4 THEN 'c' ELSE 'd' END""".stripMargin).as("sym"))
+    sym.as("s1")
+      .join(sym.as("s2"), col("s2.seg") === col("s1.seg") + 1)
+      .join(sym.as("s3"), col("s3.seg") === col("s1.seg") + 2)
+      .select(concat(col("s1.sym"), col("s2.sym"), col("s3.sym")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("word"))
+  }
 }

@@ -337,6 +337,8 @@ object SparkEntry {
     "q_span_corrupt" -> (Queries.spanCorruptQ _),
     "q_cochran_q" -> (Queries.cochranQQ _),
     "q_cmh" -> (Queries.cmhQ _),
+    "q_shapley" -> (Queries.shapleyQ _),
+    "q_sax" -> (Queries.saxQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -6869,5 +6871,58 @@ object SparkEntry {
         |     * (CAST(sum_a AS HUGEINT) * 1000000 - e_e6)
         |     // nullif(v_e6, 0) AS BIGINT) AS chi2_e6
         |FROM agg""".stripMargin,
+
+    // Shapley replay: per-user touch masks, 16-subset value table,
+    // factorial weights as truncated e6 literals, marginal sums.
+    "q_shapley" ->
+      """WITH per AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS hc,
+        |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS hv,
+        |    max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS hs,
+        |    max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS he,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id),
+        |sup AS (SELECT hc + 2 * hv + 4 * hs + 8 * he AS mask, count(*) AS cnt
+        |  FROM per WHERE conv = 1 GROUP BY 1),
+        |ss AS (SELECT s.range AS s FROM range(0, 16) s),
+        |v AS (SELECT s,
+        |    CAST(sum(CASE WHEN (mask & s) <> 0 THEN cnt ELSE 0 END) AS BIGINT) AS v
+        |  FROM ss CROSS JOIN sup GROUP BY s),
+        |ch AS (SELECT c.range AS c,
+        |    CAST(1 AS BIGINT) << CAST(c.range AS INTEGER) AS cbit FROM range(0, 4) c),
+        |t AS (SELECT ch.c, v1.s, v1.v AS v0, v2.v AS vw,
+        |    CASE bit_count(v1.s) WHEN 0 THEN 250000 WHEN 1 THEN 83333
+        |      WHEN 2 THEN 83333 ELSE 250000 END AS w_e6
+        |  FROM ch JOIN v v1 ON (v1.s & ch.cbit) = 0
+        |  JOIN v v2 ON v2.s = v1.s + ch.cbit),
+        |phi AS (SELECT c, CAST(sum(w_e6 * (vw - v0)) AS BIGINT) AS phi_e6
+        |  FROM t GROUP BY c),
+        |vf AS (SELECT v AS v_full FROM v WHERE s = 15)
+        |SELECT CASE c WHEN 0 THEN 'click' WHEN 1 THEN 'view'
+        |    WHEN 2 THEN 'signup' ELSE 'error' END AS channel,
+        |  phi_e6, v_full
+        |FROM phi CROSS JOIN vf ORDER BY channel""".stripMargin,
+
+    // SAX replay: 4-day PAA sums, dyadic-exact 4*quantile breakpoints,
+    // symbol CASE, 3-symbol words by seg+1/seg+2 joins.
+    "q_sax" ->
+      """WITH daily AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    count(*) AS x
+        |  FROM events GROUP BY 1),
+        |d0 AS (SELECT min(d) AS d0 FROM daily),
+        |paa AS (SELECT (d - d0) // 4 AS seg, sum(x) AS p, count(*) AS nd
+        |  FROM daily CROSS JOIN d0 GROUP BY 1),
+        |p4 AS (SELECT seg, p FROM paa WHERE nd = 4),
+        |qs AS (SELECT CAST(4 * quantile_cont(p, 0.25) AS BIGINT) AS q25_4,
+        |    CAST(4 * quantile_cont(p, 0.5) AS BIGINT) AS q50_4,
+        |    CAST(4 * quantile_cont(p, 0.75) AS BIGINT) AS q75_4 FROM p4),
+        |sym AS (SELECT seg,
+        |    CASE WHEN 4 * p <= q25_4 THEN 'a' WHEN 4 * p <= q50_4 THEN 'b'
+        |         WHEN 4 * p <= q75_4 THEN 'c' ELSE 'd' END AS sym
+        |  FROM p4 CROSS JOIN qs)
+        |SELECT s1.sym || s2.sym || s3.sym AS word, count(*) AS cnt
+        |FROM sym s1 JOIN sym s2 ON s2.seg = s1.seg + 1
+        |JOIN sym s3 ON s3.seg = s1.seg + 2
+        |GROUP BY 1 ORDER BY word""".stripMargin,
   )
 }
