@@ -8253,4 +8253,56 @@ object Queries {
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("word"))
   }
+
+  /** The 7×7 DTW dynamic program as a shared expression chain: cell
+    * d_i_j = |a_i − b_j| + min(↑, ←, ↖), rows unrolled top-to-bottom
+    * so every reference points at an already-defined cell. ONE
+    * generator feeds both the Spark withColumn chain and the DuckDB
+    * oracle's lateral-alias SELECT — the two sides cannot drift.
+    */
+  private[graft] def dtwCells(a: Int => String, b: Int => String): Seq[(String, String)] = {
+    val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    for (i <- 1 to 7; j <- 1 to 7) {
+      val cost = s"abs(${a(i)} - ${b(j)})"
+      val e =
+        if (i == 1 && j == 1) cost
+        else if (i == 1) s"d_1_${j - 1} + $cost"
+        else if (j == 1) s"d_${i - 1}_1 + $cost"
+        else s"$cost + least(d_${i - 1}_$j, d_${i - 1}_${j - 1}, d_${i}_${j - 1})"
+      buf += (s"d_${i}_$j" -> e)
+    }
+    buf.toSeq
+  }
+
+  /** Dynamic-time-warping distance between every pair of full weekly
+    * day-curves of the event volume — "which weeks had the same shape,
+    * possibly time-shifted?", the elastic alternative to the rigid
+    * lag-k alignment of [[acfQ]]. Exact integer DP: |a_i − b_j| cells,
+    * the full 7×7 table unrolled by [[dtwCells]] into one projection
+    * per pair (49 codegen'd columns — no UDF, no recursion), weeks as
+    * sorted 7-element arrays built by one calendar-bounded aggregate.
+    * All pair work runs on the week support (~n_weeks² rows), never on
+    * raw events.
+    */
+  def dtwQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("x"))
+    val d0 = daily.groupBy().agg(min(col("d")).as("d0"))
+    val wk = daily.crossJoin(broadcast(d0))
+      .select(expr("(d - d0) div 7").as("w"), expr("(d - d0) % 7").as("dow"), col("x"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("nd"),
+        expr("transform(array_sort(collect_list(struct(dow, x))), s -> s.x)").as("arr"))
+      .filter(col("nd") === 7)
+      .select(col("w"), col("arr"))
+    var df = wk.as("p")
+      .join(wk.as("q"), col("q.w") > col("p.w"))
+      .select(col("p.w").as("week_a"), col("q.w").as("week_b"),
+        col("p.arr").as("a"), col("q.arr").as("b"))
+    for ((n, e) <- dtwCells(i => s"element_at(a, $i)", j => s"element_at(b, $j)"))
+      df = df.withColumn(n, expr(e))
+    df.select(col("week_a"), col("week_b"), col("d_7_7").as("dtw"))
+      .orderBy(col("week_a"), col("week_b"))
+  }
 }

@@ -339,6 +339,7 @@ object SparkEntry {
     "q_cmh" -> (Queries.cmhQ _),
     "q_shapley" -> (Queries.shapleyQ _),
     "q_sax" -> (Queries.saxQ _),
+    "q_dtw" -> (Queries.dtwQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -6924,5 +6925,28 @@ object SparkEntry {
         |FROM sym s1 JOIN sym s2 ON s2.seg = s1.seg + 1
         |JOIN sym s3 ON s3.seg = s1.seg + 2
         |GROUP BY 1 ORDER BY word""".stripMargin,
+
+    // DTW replay: the SAME 49-cell chain Queries.dtwCells generates for
+    // the Spark side, emitted as lateral column aliases over the
+    // week-pair arrays.
+    "q_dtw" -> {
+      val cells = Queries.dtwCells(i => s"a[$i]", j => s"b[$j]")
+        .map { case (n, e) => s"    $e AS $n" }.mkString(",\n")
+      s"""WITH daily AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+         |    count(*) AS x
+         |  FROM events GROUP BY 1),
+         |d0 AS (SELECT min(d) AS d0 FROM daily),
+         |wk AS (SELECT (d - d0) // 7 AS w, list(x ORDER BY (d - d0) % 7) AS arr,
+         |    count(*) AS nd
+         |  FROM daily CROSS JOIN d0 GROUP BY 1),
+         |w7 AS (SELECT w, arr FROM wk WHERE nd = 7),
+         |pairs AS (SELECT p.w AS week_a, q.w AS week_b, p.arr AS a, q.arr AS b
+         |  FROM w7 p JOIN w7 q ON q.w > p.w),
+         |dp AS (SELECT week_a, week_b,
+         |$cells
+         |  FROM pairs)
+         |SELECT week_a, week_b, CAST(d_7_7 AS BIGINT) AS dtw
+         |FROM dp ORDER BY week_a, week_b""".stripMargin
+    },
   )
 }
