@@ -63,7 +63,13 @@ object DumpPlans {
     "q_rake" -> "RAKE: one tokenize pass; phrase-id running count is a per-document window (doc-length bounded); word scores broadcast back; top-20 = TakeOrderedAndProject",
     "q_kruskal_wallis" -> "Kruskal-Wallis: one partial-agg fact pass to (group, value) cells; the 2x-midrank walk rides the ~50-row value support under a singleton key; H in decimal(38,0) integer arithmetic",
     "q_silhouette" -> "silhouette: 50-probe side broadcasts against one corpus pass; every pairwise distance 1e6-floored BEFORE the per-cell means so integer sums are accumulation-order-free",
-    "q_label_model" -> "LF diagnostics: per-doc vote summary (n_votes, min, max) is ROW-LOCAL — one narrow corpus pass into a 3-group partial aggregate; no join anywhere")
+    "q_label_model" -> "LF diagnostics: per-doc vote summary (n_votes, min, max) is ROW-LOCAL — one narrow corpus pass into a 3-group partial aggregate; no join anywhere",
+    "q_betweenness" -> "Brandes: per-node delta reduce over the checkpointed level sweeps partial-aggs; top-20 = TakeOrderedAndProject — the forward/backward frontier joins are size-gated broadcasts inside the iterative build (not visible in this final-plan dump)",
+    "q_kmv_overlap" -> "KMV: distinct (source, hash) partial-aggs, bottom-64 per source via the partial BottomKLong aggregate; pair estimates on 64-entry arrays; the exact side is the vocab-join certificate, not the scale path",
+    "q_phash_dedup" -> "pHash dedup: signatures per-partition from payload bytes; byte-band equi-join candidates (pigeonhole for Hamming ≤ 6) — no all-pairs product; bit_count(xor) verify on candidates only",
+    "q_span_corrupt" -> "span corruption: posexplode → narrow hash flag; sentinel ranks under a doc-partitioned window; input/target rebuilds are doc-keyed sorted-collect aggregates — no cross-doc shuffle beyond the doc groupBys",
+    "q_shapley" -> "Shapley: ONE per-user touch-mask partial-agg reduce; the 16-row value table, subset and channel spines all broadcast; marginal sums are support-sized arithmetic",
+    "q_dtw" -> "DTW: daily partial-agg to the calendar-bounded week table; all 49 DP cells are ONE codegen'd projection over the week-pair join — no UDF, no recursion, no window")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
