@@ -8305,4 +8305,46 @@ object Queries {
     df.select(col("week_a"), col("week_b"), col("d_7_7").as("dtw"))
       .orderBy(col("week_a"), col("week_b"))
   }
+
+  /** Heavy-change detection: the 20 tokens whose absolute frequency
+    * moved most between the even- and odd-doc_id halves of the corpus
+    * — the vocabulary-drift readout a streaming CMS pair would
+    * approximate ([[cmsTopkQ]]'s exact batch sibling). One tokenize
+    * pass into a conditional-count partial aggregate per token type,
+    * final cut a TakeOrdered with token tie-break — vocab-bounded
+    * after the map-side combine, no window, no join.
+    */
+  def heavyChangeQ(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(TextOps.words(lower(col("text")))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("c_even"),
+        sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("c_odd"))
+      .withColumn("delta", abs(col("c_even") - col("c_odd")))
+      .orderBy(col("delta").desc, col("tok"))
+      .limit(20)
+  }
+
+  /** l-diversity audit over (day, event_type) quasi-identifier groups
+    * with the spend bucket (value div 100) as the sensitive attribute
+    * — the release-safety companion to [[kanonQ]]'s k-anonymity: a
+    * group every member of which shares one sensitive value leaks it
+    * even when k-anonymous. Per event_type: group count, the minimum
+    * per-group distinct-sensitive count l, how many groups fall below
+    * l=3, and the rows they expose. Two partial aggregates (distinct
+    * on (QI, sensitive), then per-QI counts) — scan-shaped.
+    */
+  def lDiversityQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("d"), col("event_type"),
+        expr("cast(floor(value) as bigint) div 100").as("sv"))
+    val perGroup = ev.groupBy(col("d"), col("event_type"))
+      .agg(count(lit(1)).as("n_rows"), count_distinct(col("sv")).as("l"))
+    perGroup.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_groups"), min(col("l")).as("min_l"),
+        sum(when(col("l") < 3, 1L).otherwise(0L)).as("groups_below_3"),
+        sum(when(col("l") < 3, col("n_rows")).otherwise(0L)).as("rows_exposed"))
+      .withColumn("l_satisfied", col("groups_below_3") === 0)
+      .orderBy(col("event_type"))
+  }
 }

@@ -340,6 +340,8 @@ object SparkEntry {
     "q_shapley" -> (Queries.shapleyQ _),
     "q_sax" -> (Queries.saxQ _),
     "q_dtw" -> (Queries.dtwQ _),
+    "q_heavy_change" -> (Queries.heavyChangeQ _),
+    "q_ldiversity" -> (Queries.lDiversityQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -6948,5 +6950,34 @@ object SparkEntry {
          |SELECT week_a, week_b, CAST(d_7_7 AS BIGINT) AS dtw
          |FROM dp ORDER BY week_a, week_b""".stripMargin
     },
+
+    // Heavy-change replay: per-token conditional counts across the
+    // doc-parity halves, |delta| TakeOrdered top-20.
+    "q_heavy_change" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok,
+        |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_even,
+        |    CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_odd
+        |  FROM tok GROUP BY tok)
+        |SELECT tok, c_even, c_odd, abs(c_even - c_odd) AS delta
+        |FROM c ORDER BY delta DESC, tok LIMIT 20""".stripMargin,
+
+    // l-diversity replay: per-(day, event_type) distinct spend buckets,
+    // per-type minima and sub-3 exposure counts.
+    "q_ldiversity" ->
+      """WITH ev AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    event_type, CAST(floor(value) AS BIGINT) // 100 AS sv
+        |  FROM events),
+        |pg AS (SELECT d, event_type, count(*) AS n_rows,
+        |    count(DISTINCT sv) AS l
+        |  FROM ev GROUP BY 1, 2)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(min(l) AS BIGINT) AS min_l,
+        |  CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT) AS groups_below_3,
+        |  CAST(sum(CASE WHEN l < 3 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_exposed,
+        |  sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) = 0 AS l_satisfied
+        |FROM pg GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }
