@@ -8347,4 +8347,49 @@ object Queries {
       .withColumn("l_satisfied", col("groups_below_3") === 0)
       .orderBy(col("event_type"))
   }
+
+  /** Mean-shift changepoint detection on the daily volume by binary
+    * segmentation: for every candidate split the SSE drop
+    * SSE_total − (SSE_left + SSE_right) is computed from one prefix-sum
+    * walk (SSE = ΣX² − (ΣX)²/n, each S²/n a truncating e6 integral
+    * division in decimal(38,0) — exact and overflow-loud at any
+    * scale), and the top-3 splits survive a TakeOrdered cut. The
+    * offline argmax sibling of [[cusumQ]]'s sequential detector:
+    * CUSUM tells you THAT the level shifted, this tells you WHERE the
+    * best piecewise-constant break is, with the measured variance
+    * explained. Daily aggregate is the only data-sized pass; the walk
+    * and argmax live on the calendar support.
+    */
+  def changepointQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val daily = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy(
+        graft.functions.GraftFunctions.singleton_key(col("d")))
+      .orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val walked = daily
+      .withColumn("rn", count(lit(1)).over(w))
+      .withColumn("cs", sum(col("x").cast(d38)).over(w))
+      .withColumn("css", sum((col("x").cast(d38)) * col("x")).over(w))
+    val tot = daily.groupBy().agg(count(lit(1)).as("nn"),
+      sum(col("x").cast(d38)).as("s"),
+      sum((col("x").cast(d38)) * col("x")).as("ss"))
+    walked.crossJoin(broadcast(tot))
+      .filter(col("rn") < col("nn"))
+      .withColumn("sse_tot_e6",
+        expr("ss * 1000000 - (s * s * 1000000) div nn"))
+      .withColumn("sse_split_e6",
+        expr("""(css * 1000000 - (cs * cs * 1000000) div rn)
+                + ((ss - css) * 1000000
+                   - ((s - cs) * (s - cs) * 1000000) div (nn - rn))"""))
+      .select(col("d").as("split_day"),
+        (col("sse_tot_e6") - col("sse_split_e6")).cast("long").as("gain_e6"),
+        expr("cast((cs * 1000000) div rn as bigint)").as("left_mean_e6"),
+        expr("cast(((s - cs) * 1000000) div (nn - rn) as bigint)").as("right_mean_e6"))
+      .orderBy(col("gain_e6").desc, col("split_day"))
+      .limit(3)
+  }
 }

@@ -342,6 +342,7 @@ object SparkEntry {
     "q_dtw" -> (Queries.dtwQ _),
     "q_heavy_change" -> (Queries.heavyChangeQ _),
     "q_ldiversity" -> (Queries.lDiversityQ _),
+    "q_changepoint" -> (Queries.changepointQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -6979,5 +6980,32 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN l < 3 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_exposed,
         |  sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) = 0 AS l_satisfied
         |FROM pg GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Changepoint replay: prefix-sum walk, truncating e6 SSE terms in
+    // HUGEINT, gain argmax TakeOrdered top-3.
+    "q_changepoint" ->
+      """WITH daily AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    count(*) AS x
+        |  FROM events GROUP BY 1),
+        |wk AS (SELECT d,
+        |    row_number() OVER (ORDER BY d) AS rn,
+        |    sum(CAST(x AS HUGEINT)) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+        |    sum(CAST(x AS HUGEINT) * x) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS css
+        |  FROM daily),
+        |tot AS (SELECT CAST(count(*) AS HUGEINT) AS nn,
+        |    sum(CAST(x AS HUGEINT)) AS s, sum(CAST(x AS HUGEINT) * x) AS ss
+        |  FROM daily),
+        |g AS (SELECT d,
+        |    (ss * 1000000 - (s * s * 1000000) // nn)
+        |    - ((css * 1000000 - (cs * cs * 1000000) // rn)
+        |       + ((ss - css) * 1000000
+        |          - ((s - cs) * (s - cs) * 1000000) // (nn - rn))) AS gain,
+        |    (cs * 1000000) // rn AS lm, ((s - cs) * 1000000) // (nn - rn) AS rm
+        |  FROM wk CROSS JOIN tot WHERE rn < nn)
+        |SELECT d AS split_day, CAST(gain AS BIGINT) AS gain_e6,
+        |  CAST(lm AS BIGINT) AS left_mean_e6, CAST(rm AS BIGINT) AS right_mean_e6
+        |FROM g ORDER BY gain_e6 DESC, split_day LIMIT 3""".stripMargin,
   )
 }
