@@ -8392,4 +8392,62 @@ object Queries {
       .orderBy(col("gain_e6").desc, col("split_day"))
       .limit(3)
   }
+
+  /** Local outlier factor (Breunig et al. 2000) for the 50 probe
+    * vectors, k=5, on 1e6-floored Euclidean distances — the
+    * density-RATIO outlier score that plain kNN distance misses (a
+    * point at the edge of a tight cluster scores high even though its
+    * absolute distances are small). LOF needs the lrd of each probe's
+    * neighbors, which needs THEIR neighbors' k-distances — so the
+    * exact computation is three hop-bounded corpus passes (probes →
+    * ≤250 neighbors → ≤1250 second-hop points), each a broadcast
+    * probe-side scan selected through the partial
+    * [[graft.ops.Aggregators.BottomKLong]] (never a corpus-length
+    * window sort). Every rational (lrd = k/Σreach, the final density
+    * ratio) is a truncating e6 integral division — bit-identical on
+    * both engines. Eval-capped exact by the [[silhouetteQ]]/[[mrrQ]]
+    * contract; the scale path for the candidate stage is the certified
+    * ANN front.
+    */
+  def lofQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 5
+    val e = Similarity.asDouble(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("embedding"))
+    val d2 = Similarity.dot(col("qv"), col("qv")) -
+      lit(2.0) * Similarity.dot(col("qv"), col("cv")) +
+      Similarity.dot(col("cv"), col("cv"))
+    def knnOf(ids: DataFrame): DataFrame = {
+      val q = e.join(ids, Seq("vec_id"))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val scored = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+        .crossJoin(broadcast(q))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          floor(sqrt(greatest(d2, lit(0.0))) * lit(1000000.0)).cast("long").as("adc_e6"))
+      Similarity.bottomKByQuery(scored, k)
+        .withColumnRenamed("adc_e6", "d_e6")
+        .localCheckpoint(true)
+    }
+    def kdist(knn: DataFrame): DataFrame =
+      knn.groupBy(col("query_id")).agg(max(col("d_e6")).as("kdist_e6"))
+    val knn0 = knnOf(e.filter(col("vec_id") < 50).select(col("vec_id")))
+    val knn1 = knnOf(knn0.select(col("neighbor_id").as("vec_id")).distinct())
+    val knn2 = knnOf(knn1.select(col("neighbor_id").as("vec_id")).distinct())
+    val kd = kdist(knn1).union(kdist(knn2))
+      .groupBy(col("query_id")).agg(max(col("kdist_e6")).as("kdist_e6"))
+    def lrd(knn: DataFrame): DataFrame =
+      knn.join(kd.withColumnRenamed("query_id", "neighbor_id"), Seq("neighbor_id"))
+        .withColumn("reach_e6", greatest(col("kdist_e6"), col("d_e6")))
+        .groupBy(col("query_id"))
+        .agg(expr("5000000000000 div nullif(sum(reach_e6), 0)").as("lrd_e6"))
+    knn0
+      .join(lrd(knn1).withColumnRenamed("query_id", "neighbor_id"), Seq("neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(sum(col("lrd_e6")).as("sum_lrd_o"))
+      .join(lrd(knn0).withColumnRenamed("lrd_e6", "lrd_p_e6"), Seq("query_id"))
+      .join(kdist(knn0).withColumnRenamed("kdist_e6", "kdist_p_e6"), Seq("query_id"))
+      .select(col("query_id").as("probe_id"), col("kdist_p_e6"), col("lrd_p_e6"),
+        expr("1000000 * sum_lrd_o div nullif(5 * lrd_p_e6, 0)").as("lof_e6"))
+      .orderBy(col("probe_id"))
+  }
 }

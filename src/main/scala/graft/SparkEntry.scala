@@ -343,6 +343,7 @@ object SparkEntry {
     "q_heavy_change" -> (Queries.heavyChangeQ _),
     "q_ldiversity" -> (Queries.lDiversityQ _),
     "q_changepoint" -> (Queries.changepointQ _),
+    "q_lof" -> (Queries.lofQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -7007,5 +7008,46 @@ object SparkEntry {
         |SELECT d AS split_day, CAST(gain AS BIGINT) AS gain_e6,
         |  CAST(lm AS BIGINT) AS left_mean_e6, CAST(rm AS BIGINT) AS right_mean_e6
         |FROM g ORDER BY gain_e6 DESC, split_day LIMIT 3""".stripMargin,
+
+    // LOF replay: three hop-bounded kNN passes on the same 1e6-floored
+    // distances (row_number windows per probe set), k-distances,
+    // reach-dist sums, truncating e6 lrd and density ratio.
+    "q_lof" -> {
+      def dist(q: String, c: String): String =
+        s"CAST(floor(sqrt(greatest(${dotSql(s"$q.v", s"$q.v")} - 2.0 * ${dotSql(s"$q.v", s"$c.v")} + ${dotSql(s"$c.v", s"$c.v")}, 0.0)) * 1000000.0) AS BIGINT)"
+      def hop(i: Int, qSrc: String): String =
+        s"""d$i AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    ${dist("q", "c")} AS d_e6
+           |  FROM e0 c JOIN ($qSrc) q ON c.vec_id <> q.vec_id),
+           |k$i AS MATERIALIZED (SELECT query_id, neighbor_id, d_e6 FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY d_e6, neighbor_id) AS rn FROM d$i)
+           |  WHERE rn <= 5)""".stripMargin
+      s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |${hop(0, "SELECT * FROM e0 WHERE vec_id < 50")},
+         |${hop(1, "SELECT e0.* FROM e0 JOIN (SELECT DISTINCT neighbor_id AS vec_id FROM k0) o USING (vec_id)")},
+         |${hop(2, "SELECT e0.* FROM e0 JOIN (SELECT DISTINCT neighbor_id AS vec_id FROM k1) o USING (vec_id)")},
+         |kd AS (SELECT query_id, max(kdist_e6) AS kdist_e6 FROM (
+         |    SELECT query_id, max(d_e6) AS kdist_e6 FROM k1 GROUP BY query_id
+         |    UNION ALL
+         |    SELECT query_id, max(d_e6) AS kdist_e6 FROM k2 GROUP BY query_id)
+         |  GROUP BY query_id),
+         |lrd1 AS (SELECT k1.query_id,
+         |    5000000000000 // nullif(sum(greatest(kd.kdist_e6, k1.d_e6)), 0) AS lrd_e6
+         |  FROM k1 JOIN kd ON kd.query_id = k1.neighbor_id GROUP BY k1.query_id),
+         |lrdp AS (SELECT k0.query_id,
+         |    5000000000000 // nullif(sum(greatest(kd.kdist_e6, k0.d_e6)), 0) AS lrd_e6
+         |  FROM k0 JOIN kd ON kd.query_id = k0.neighbor_id GROUP BY k0.query_id),
+         |kdp AS (SELECT query_id, max(d_e6) AS kdist_p_e6 FROM k0 GROUP BY query_id),
+         |suml AS (SELECT k0.query_id, sum(lrd1.lrd_e6) AS sum_lrd_o
+         |  FROM k0 JOIN lrd1 ON lrd1.query_id = k0.neighbor_id GROUP BY k0.query_id)
+         |SELECT suml.query_id AS probe_id, kdp.kdist_p_e6,
+         |  CAST(lrdp.lrd_e6 AS BIGINT) AS lrd_p_e6,
+         |  CAST(1000000 * sum_lrd_o // nullif(5 * lrdp.lrd_e6, 0) AS BIGINT) AS lof_e6
+         |FROM suml
+         |JOIN lrdp ON lrdp.query_id = suml.query_id
+         |JOIN kdp ON kdp.query_id = suml.query_id
+         |ORDER BY probe_id""".stripMargin
+    },
   )
 }
