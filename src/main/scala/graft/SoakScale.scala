@@ -135,7 +135,13 @@ object SoakScale {
     // the per-user lifetime walks (log-rank), the span-corruption
     // rebuild of every doc, and the small-stat scans
     "q_betweenness", "q_kmv_overlap", "q_permutation_test", "q_logrank",
-    "q_span_corrupt", "q_welch_ttest", "q_mcnemar", "q_did", "q_ar1")
+    "q_span_corrupt", "q_welch_ttest", "q_mcnemar", "q_did", "q_ar1",
+    // 9c second wave: per-user reduces (Cochran Q, CMH, Shapley mask),
+    // calendar-support series ops (SAX, DTW pairs, changepoint walk),
+    // the token heavy-change counts, the QI-group audit, and the
+    // three hop-bounded LOF passes over the replicated embeddings
+    "q_cochran_q", "q_cmh", "q_shapley", "q_sax", "q_dtw",
+    "q_changepoint", "q_heavy_change", "q_ldiversity", "q_lof")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

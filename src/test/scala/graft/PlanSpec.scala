@@ -1263,4 +1263,46 @@ class PlanSpec extends AnyFunSuite {
       assert(!plan.contains("CartesianProduct"), s"$n:\n$plan")
     }
   }
+
+  test("cochran/cmh/shapley: per-user reduce partial-aggs; support arithmetic joins broadcast") {
+    for ((n, q) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)](
+        ("cochran", Queries.cochranQQ _), ("cmh", Queries.cmhQ _),
+        ("shapley", Queries.shapleyQ _))) {
+      val plan = formatted(q(spark, sf))
+      assert(plan.contains("partial_sum") || plan.contains("partial_count")
+        || plan.contains("partial_max"), s"$n:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$n:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"$n:\n$plan")
+    }
+  }
+
+  test("sax/dtw/changepoint: daily partial-agg; all later work calendar-bounded, no global window") {
+    for ((n, q) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)](
+        ("sax", Queries.saxQ _), ("dtw", Queries.dtwQ _),
+        ("changepoint", Queries.changepointQ _))) {
+      val plan = formatted(q(spark, sf))
+      assert(plan.contains("partial_count"), s"$n:\n$plan")
+      assert(globalWindow.findFirstIn(plan).isEmpty, s"$n:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$n:\n$plan")
+    }
+  }
+
+  test("heavy change: token counts partial-agg; the cut is TakeOrdered, not a global sort") {
+    val plan = formatted(Queries.heavyChangeQ(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("partial_sum"), plan)
+  }
+
+  test("ldiversity: two partial-agg passes, no window, no join") {
+    val plan = formatted(Queries.lDiversityQ(spark, sf))
+    assert(plan.contains("partial_count") || plan.contains("Partial"), plan)
+    assert(!plan.contains("windowspecdefinition") && !plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("lof: probe sides broadcast; selections are partial bottom-k, no corpus window sort") {
+    val plan = formatted(Queries.lofQ(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(globalWindow.findFirstIn(plan).isEmpty, plan)
+    assert(!plan.contains("windowspecdefinition"), plan)
+  }
 }
