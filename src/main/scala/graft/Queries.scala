@@ -8450,4 +8450,400 @@ object Queries {
         expr("1000000 * sum_lrd_o div nullif(5 * lrd_p_e6, 0)").as("lof_e6"))
       .orderBy(col("probe_id"))
   }
+
+  /** Instrumental-variable (Wald/LATE) estimate of the effect of
+    * heavy clicking on purchase spend under a simulated-encouragement
+    * design: Z = (user_id % 3 == 0) is the encouragement arm, and
+    * treatment take-up D = clicks ≥ 15, with the encouraged facing a
+    * lower bar (ck ≥ 12) — so compliers exist by construction and the
+    * first stage E[D|Z=1]−E[D|Z=0] is non-degenerate. LATE =
+    * (E[Y|Z=1]−E[Y|Z=0]) / (E[D|Z=1]−E[D|Z=0]) — the reduced form
+    * over the first stage, which cancels selection on unobservables
+    * that a naive D→Y regression absorbs. Everything is exact
+    * integers: one user-keyed partial aggregate, then a 2-cell
+    * sufficient-statistics readout with staged truncating e6
+    * divisions (the [[welchTtestQ]] discipline) — scan-shaped at any
+    * scale.
+    */
+  def ivWaldQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val per = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("ck"),
+        sum(when(col("event_type") === "purchase", cents(col("value")).cast("long"))
+          .otherwise(0L)).as("y"))
+      .select((col("user_id") % 3 === 0).as("z"), col("ck"), col("y"))
+      .withColumn("dtr",
+        when(col("ck") >= 15 || (col("z") && col("ck") >= 12), 1L).otherwise(0L))
+    per.groupBy()
+      .agg(sum(when(col("z"), 1L).otherwise(0L)).cast(d38).as("n1"),
+        sum(when(!col("z"), 1L).otherwise(0L)).cast(d38).as("n0"),
+        sum(when(col("z"), col("dtr"))).cast(d38).as("d1"),
+        sum(when(!col("z"), col("dtr"))).cast(d38).as("d0"),
+        sum(when(col("z"), col("y"))).cast(d38).as("y1"),
+        sum(when(!col("z"), col("y"))).cast(d38).as("y0"))
+      .withColumn("itt", expr("10000 * (y1 * n0 - y0 * n1) div (n1 * n0)"))
+      .withColumn("fs", expr("1000000 * (d1 * n0 - d0 * n1) div (n1 * n0)"))
+      .select(col("n1").cast("long").as("n_encouraged"),
+        col("n0").cast("long").as("n_control"),
+        col("itt").cast("long").as("itt_e6"),
+        col("fs").cast("long").as("first_stage_e6"),
+        expr("cast(itt * 1000000 div nullif(fs, 0) as bigint)").as("late_e6"))
+  }
+
+  /** Inverse-propensity-weighted ATE of heavy clicking (≥ 14 clicks)
+    * on purchase spend with cell-based propensities: users are
+    * stratified by total-activity cells (n_ev div 10 — activity
+    * confounds both clicking and spending), the within-cell propensity
+    * is the exact treated fraction, and the Horvitz–Thompson IPW
+    * estimator then algebraically equals the cell-size-weighted
+    * difference of within-cell treated/control means — computed that
+    * way so every stage is a truncating integer division. Cells
+    * missing either arm are dropped (the standard positivity filter).
+    * One user-keyed aggregate, a bounded cell table, a broadcast 1-row
+    * overall — the causal sibling of [[didQ]] for non-panel
+    * confounding.
+    */
+  def ipwQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val per = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ev"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("ck"),
+        sum(when(col("event_type") === "purchase", cents(col("value")).cast("long"))
+          .otherwise(0L)).as("y"))
+      .select(expr("least(n_ev div 10, 12)").as("cell"),
+        when(col("ck") >= 14, 1L).otherwise(0L).as("dtr"), col("y"))
+    val cells = per.groupBy(col("cell"))
+      .agg(sum(when(col("dtr") === 1, 1L).otherwise(0L)).cast(d38).as("nt"),
+        sum(when(col("dtr") === 0, 1L).otherwise(0L)).cast(d38).as("nc"),
+        sum(when(col("dtr") === 1, col("y"))).cast(d38).as("st"),
+        sum(when(col("dtr") === 0, col("y"))).cast(d38).as("sc"))
+      .filter(col("nt") > 0 && col("nc") > 0)
+      .withColumn("mt", expr("st * 10000 div nt"))
+      .withColumn("mc", expr("sc * 10000 div nc"))
+    val overall = cells.groupBy()
+      .agg(sum(expr("(mt - mc) * (nt + nc)")).as("num"),
+        sum(expr("nt + nc")).as("ntot"))
+      .select(expr("cast(num div ntot as bigint)").as("ate_e6"),
+        col("ntot").cast("long").as("n_users"))
+    cells.crossJoin(broadcast(overall))
+      .select(col("cell"),
+        col("nt").cast("long").as("n_treated"), col("nc").cast("long").as("n_control"),
+        col("mt").cast("long").as("mt_e6"), col("mc").cast("long").as("mc_e6"),
+        col("ate_e6"), col("n_users"))
+      .orderBy(col("cell"))
+  }
+
+  /** Split conformal prediction interval for purchase value: the
+    * even-event half trains a per-user-segment mean predictor, the odd
+    * half calibrates, and q̂ is the ⌈(n+1)(1−α)⌉-th smallest absolute
+    * residual (α = 0.2) — the distribution-free interval with a
+    * finite-sample marginal-coverage guarantee. The selection runs on
+    * the residual-value HISTOGRAM (group-by value, cumulative count
+    * over the bounded cents support — never a row-level sort), so the
+    * only corpus-sized work is two narrow scans; the emitted
+    * coverage_e6 ≥ 800000 is the guarantee made checkable.
+    */
+  def conformalQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val pur = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), (col("user_id") % 4).as("seg"),
+        cents(col("value")).cast("long").as("cts"))
+    val m = pur.filter(col("event_id") % 2 === 0)
+      .groupBy(col("seg"))
+      .agg(sum(col("cts")).cast(d38).as("s"), count(lit(1)).cast(d38).as("n"))
+      .select(col("seg"), expr("cast(s * 10000 div n as bigint)").as("yhat_e6"))
+    val cal = pur.filter(col("event_id") % 2 === 1)
+      .join(broadcast(m), Seq("seg"))
+      .select(abs(col("cts") * 10000 - col("yhat_e6")).as("r"))
+    val w = Window
+      .partitionBy(graft.functions.GraftFunctions.singleton_key(col("r")))
+      .orderBy(col("r"))
+    val hist = cal.groupBy(col("r")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val nk = cal.groupBy().agg(count(lit(1)).as("n_cal"))
+      .withColumn("k", expr("(4 * (n_cal + 1) + 4) div 5"))
+    hist.crossJoin(broadcast(nk))
+      .filter(col("cum") >= col("k"))
+      .groupBy(col("n_cal"), col("k"))
+      .agg(min(col("r")).as("qhat_e6"), min(col("cum")).as("n_le"))
+      .select(col("n_cal"), col("k"), col("qhat_e6"),
+        expr("n_le * 1000000 div n_cal").as("coverage_e6"))
+  }
+
+  /** Friedman rank test across the five event types with calendar days
+    * as blocks: within each day the per-type volumes are midranked
+    * (doubled ranks keep ties integral), rank sums accumulate per
+    * type, and Q = 3·Σ(R2ⱼ−n(k+1))² / (n·k·(k+1)) lands at 10⁻⁶ by
+    * integral division — the k-group repeated-measures sibling of
+    * [[cochranQQ]] (binary) and [[kruskalWallisQ]] (unblocked).
+    * Within-day ranking is a k×k self-join on the day key (k = 5 —
+    * constant fan-out, never corpus-quadratic); the day×type spine
+    * zero-fills silent types so every block ranks the full k.
+    */
+  def friedmanQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("d"), col("event_type"))
+    val counts = ev.groupBy(col("d"), col("event_type")).agg(count(lit(1)).as("x"))
+    val spine = ev.select(col("d")).distinct()
+      .crossJoin(broadcast(ev.select(col("event_type")).distinct()))
+    val full = spine.join(counts, Seq("d", "event_type"), "left")
+      .select(col("d"), col("event_type"), coalesce(col("x"), lit(0L)).as("x"))
+    val r2 = full.as("a")
+      .join(full.as("b"), col("a.d") === col("b.d"))
+      .groupBy(col("a.d").as("d"), col("a.event_type").as("event_type"))
+      .agg((sum(when(col("b.x") < col("a.x"), 2L)
+        .when(col("b.x") === col("a.x"), 1L).otherwise(0L)) + 1).as("r2"))
+    val sums = r2.groupBy(col("event_type")).agg(sum(col("r2")).as("r2_sum"))
+    val stat = sums.crossJoin(broadcast(
+        full.select(col("d")).distinct().groupBy().agg(count(lit(1)).as("n_days"))))
+      .groupBy(col("n_days"))
+      .agg(sum(expr("(r2_sum - n_days * 6) * (r2_sum - n_days * 6)")).as("s2"))
+      .select(col("n_days"), expr("1000000 * 3 * s2 div (n_days * 5 * 6)").as("q_e6"))
+    sums.crossJoin(broadcast(stat))
+      .select(col("event_type"), col("r2_sum"), col("n_days"), col("q_e6"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Mean-average-precision@10 over the label-relevance retrieval task
+    * of [[mrrQ]]/[[ndcgQ]]: per query, AP sums precision-at-i at each
+    * relevant rank i ≤ 10 and divides by min(R, 10) where R is the
+    * query's total relevant corpus count — the rank-sensitive recall
+    * companion the rank-of-first ([[mrrQ]]) and gain-discount
+    * ([[ndcgQ]]) metrics miss. Precision terms are staged e6 integral
+    * divisions so AP is bit-exact. Same declared eval-bounded shape as
+    * its siblings: 50 broadcast queries against the corpus, per-query
+    * top-10 via the query-keyed window.
+    */
+  def mapAtKQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Similarity.normalized(Similarity.asDouble(Tables.embeddings(spark, sfDir)))
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("label").cast("long").as("true_label"),
+        col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("label").cast("long").as("n_label"),
+      col("embedding").as("cv"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    val relTotal = e.groupBy(col("label").cast("long").as("true_label"))
+      .agg(count(lit(1)).as("n_lab"))
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", Similarity.dot(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .withColumn("rel", when(col("n_label") === col("true_label"), 1L).otherwise(0L))
+      .withColumn("cumrel",
+        sum(col("rel")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("query_id"), col("true_label"))
+      .agg(sum(col("rel")).as("n_rel10"),
+        sum(when(col("rel") === 1, expr("cumrel * 1000000 div rnk"))
+          .otherwise(0L)).as("ap_num"))
+      .join(broadcast(relTotal), Seq("true_label"))
+      .select(col("query_id"), col("n_rel10"),
+        expr("ap_num div nullif(least(n_lab - 1, 10), 0)").as("ap_e6"))
+      .orderBy(col("query_id"))
+  }
+
+  /** ROUGE-1/2 between each reference document and a half-length
+    * candidate (the leading half of its words — a deterministic
+    * "summary"): clipped gram matches over candidate and reference
+    * totals give precision, recall, and F1 = 2m/(tc+tr), each at 10⁻⁶
+    * by integral division — the recall-oriented summarization
+    * companion to [[bleuQ]]'s precision ladder. Gram counting is the
+    * same per-(doc, n) partial aggregate as BLEU; all joins are keyed
+    * by (doc, n, gram) — scan-shaped in corpus size.
+    */
+  def rougeQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 300 && col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("pid"), TextOps.words(lower(col("text"))).as("ws"))
+    val ref = base
+    val cand = base.select(col("pid"),
+      expr("slice(ws, 1, greatest(cast(size(ws) div 2 as int), 1))").as("ws"))
+    def gramCounts(df: DataFrame, cname: String): DataFrame =
+      df.crossJoin(broadcast(
+          df.sparkSession.range(1, 3).select(col("id").cast("int").as("n"))))
+        .filter(size(col("ws")) >= col("n"))
+        .select(col("pid"), col("n"), explode(expr(
+          """transform(sequence(0, size(ws) - n),
+             i -> array_join(slice(ws, cast(i + 1 as int), n), ' '))"""))
+          .as("gram"))
+        .groupBy(col("pid"), col("n"), col("gram"))
+        .agg(count(lit(1)).as(cname))
+    val cc = gramCounts(cand, "c")
+    val rc = gramCounts(ref, "cr")
+    val tc = cc.groupBy(col("pid"), col("n")).agg(sum(col("c")).as("total_c"))
+    val tr = rc.groupBy(col("pid"), col("n")).agg(sum(col("cr")).as("total_r"))
+    val matches = cc.join(rc, Seq("pid", "n", "gram"))
+      .groupBy(col("pid"), col("n"))
+      .agg(sum(least(col("c"), col("cr"))).as("m"))
+    tc.join(tr, Seq("pid", "n"))
+      .join(matches, Seq("pid", "n"), "left")
+      .select(col("pid").as("doc_id"), col("n"), col("total_c"), col("total_r"),
+        coalesce(col("m"), lit(0L)).as("matches"))
+      .withColumn("prec_e6", expr("matches * 1000000 div total_c"))
+      .withColumn("rec_e6", expr("matches * 1000000 div total_r"))
+      .withColumn("f1_e6", expr("2 * matches * 1000000 div (total_c + total_r)"))
+      .orderBy(col("doc_id"), col("n"))
+  }
+
+  /** Viterbi decoding of a 2-state HMM (browse / buy-intent) over each
+    * user's time-ordered event sequence, with integer log-score
+    * surrogates for the initial/transition/emission tables. The DP is
+    * run as a (max,+) fold: the initial vector is I[s]+E[s][o₁] and
+    * each later observation applies v'[s] = max_{s'}(v[s']+T[s'][s]) +
+    * E[s][o] — exact integers end to end, and because (max,+) products
+    * are ASSOCIATIVE the per-user chain could even partial-aggregate
+    * at scale. One user-keyed collect of the bounded per-user sequence
+    * (≤ ~100 events), then a narrow fold — the sequence-labeling
+    * sibling of [[dtwQ]]'s alignment DP.
+    */
+  def viterbiQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val e0 = "array(-2L, -1L, -5L, -4L, -2L)"
+    val e1 = "array(-4L, -4L, -1L, -1L, -5L)"
+    val seq = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        struct(expr("unix_micros(ts)").as("t"), col("event_id"),
+          expr("""cast(case event_type when 'click' then 0 when 'view' then 1
+                  when 'purchase' then 2 when 'signup' then 3 else 4 end as int)""")
+            .as("o")).as("s"))
+      .groupBy(col("user_id"))
+      .agg(expr("transform(sort_array(collect_list(s)), x -> x.o)").as("obs"))
+    seq
+      .withColumn("vv", expr(
+        s"""aggregate(
+           |  slice(obs, 2, size(obs) - 1),
+           |  array(0L + element_at($e0, element_at(obs, 1) + 1),
+           |        -10L + element_at($e1, element_at(obs, 1) + 1)),
+           |  (acc, o) -> array(
+           |    greatest(element_at(acc, 1) - 1L, element_at(acc, 2) - 6L)
+           |      + element_at($e0, o + 1),
+           |    greatest(element_at(acc, 1) - 8L, element_at(acc, 2) - 2L)
+           |      + element_at($e1, o + 1)))""".stripMargin))
+      .select(col("user_id"), size(col("obs")).cast("long").as("n_events"),
+        expr("element_at(vv, 1)").as("v0"), expr("element_at(vv, 2)").as("v1"),
+        expr("greatest(element_at(vv, 1), element_at(vv, 2))").as("best_score"),
+        expr("cast(if(element_at(vv, 2) > element_at(vv, 1), 1, 0) as bigint)")
+          .as("best_state"))
+      .orderBy(col("user_id"))
+  }
+
+  /** 1-D Kalman filter (random-walk state, Q = 25, R = 400) over the
+    * daily event volume: predict P' = P+Q, gain K = P'/(P'+R), update
+    * x += K·(z−x), P = (1−K)·P' — every component held as a truncated
+    * e6 integer so the whole gain/state trajectory is bit-exact on
+    * both engines (the [[holtQ]] fixed-point discipline; Holt smooths
+    * with FIXED gains, the Kalman gain adapts and converges). One
+    * partial-aggregated daily count, then a calendar-bounded fold.
+    */
+  def kalmanQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val prev = "element_at(acc, -1)"
+    val pp = s"$prev.p + 25000000L"
+    val k = s"($pp) * 1000000L div (($pp) + 400000000L)"
+    val xNew = s"$prev.xe + ($k) * (e.x * 1000000L - $prev.xe) div 1000000L"
+    val pNew = s"(1000000L - ($k)) * ($pp) div 1000000L"
+    val daily = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("x"))
+    daily
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("arr"))
+      .select(explode(expr(
+        s"""aggregate(arr,
+           |  cast(array() as array<struct<d:bigint,x:bigint,xe:bigint,p:bigint,k:bigint>>),
+           |  (acc, e) -> array_append(acc,
+           |    case when size(acc) = 0
+           |      then named_struct('d', e.d, 'x', e.x, 'xe', e.x * 1000000L,
+           |                        'p', 400000000L, 'k', 0L)
+           |      else named_struct('d', e.d, 'x', e.x,
+           |        'xe', $xNew,
+           |        'p', $pNew,
+           |        'k', $k)
+           |    end))""".stripMargin)).as("r"))
+      .select(col("r.d").as("d"), col("r.x").as("x"),
+        col("r.xe").as("filt_e6"), col("r.p").as("p_e6"), col("r.k").as("k_e6"))
+      .orderBy(col("d"))
+  }
+
+  /** Page–Hinkley sequential drift detector on the daily event volume:
+    * the running mean is staged at e6 per step, deviations (minus the
+    * tolerance δ = 5e6) accumulate into mₜ, and PHₜ = mₜ − min mₜ
+    * alarms when it exceeds λ = 50e6 — the classic one-pass
+    * upward-drift test, the sequential sibling of [[cusumQ]]. The
+    * whole detector is cumulative windows over the calendar-bounded
+    * daily table behind the hash-spread singleton key — no fold
+    * needed, and every stage is exact integers.
+    */
+  def pageHinkleyQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("x"))
+    val w = Window
+      .partitionBy(graft.functions.GraftFunctions.singleton_key(col("d")))
+      .orderBy(col("d"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    daily
+      .withColumn("rn", row_number().over(w))
+      .withColumn("c1", sum(col("x")).over(cum))
+      .withColumn("mean_e6",
+        expr("cast(cast(c1 as decimal(38,0)) * 1000000 div rn as bigint)"))
+      .withColumn("dev", expr("x * 1000000 - mean_e6 - 5000000"))
+      .withColumn("m", sum(col("dev")).over(cum))
+      .withColumn("ph_e6", col("m") - min(col("m")).over(cum))
+      .select(col("d"), col("x"), col("mean_e6"), col("ph_e6"),
+        (col("ph_e6") > 50000000L).as("alarm"))
+      .orderBy(col("d"))
+  }
+
+  /** Rescaled-range (Hurst) analysis of the hourly event volume at
+    * dyadic chunk sizes 16/32/64: per chunk, cumulative deviations are
+    * kept EXACT by working in len-scaled units (devⱼ = L·xⱼ − Σx — no
+    * division), R = max Y − min Y, S via the correctly-rounded
+    * IEEE-sqrt floor rule, and R/S lands at e6. The per-scale mean R/S
+    * and the consecutive-scale ratio (≈ 2^H — reported as a ratio so
+    * no transcendental log enters the oracle) estimate long-range
+    * dependence. Hour spine zero-fills silent hours; the per-chunk
+    * window partitions by (scale, chunk) — ≤ 64 rows each, never
+    * global.
+    */
+  def hurstQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 3600000000").as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("x"))
+    val spine = hourly.groupBy().agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(explode(expr("sequence(h0, h1)")).as("h"), col("h0"))
+    val full = spine.join(hourly, Seq("h"), "left")
+      .select(col("h"), col("h0"), coalesce(col("x"), lit(0L)).as("x"))
+    val scales = spark.range(4, 7).select(expr("shiftleft(1L, cast(id as int))").as("scale"))
+    val rows = full.crossJoin(broadcast(scales))
+      .withColumn("chunk", expr("(h - h0) div scale"))
+    val chunkSums = rows.groupBy(col("scale"), col("chunk"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") === col("scale"))
+    val wc = Window.partitionBy(col("scale"), col("chunk")).orderBy(col("h"))
+    val perChunk = rows.join(chunkSums, Seq("scale", "chunk"))
+      .withColumn("dev", expr("scale * x - s"))
+      .withColumn("y", sum(col("dev")).over(wc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("scale"), col("chunk"))
+      .agg((max(col("y")) - min(col("y"))).as("r_l"),
+        sum(expr("dev * dev")).as("ss"))
+      .withColumn("rs_e6", expr(
+        """case when ss = 0 then 0L else cast(floor(1000000.0 * cast(r_l as double)
+          |  * sqrt(cast(scale as double)) / sqrt(cast(ss as double))) as bigint) end"""
+          .stripMargin))
+    val perScale = perChunk.groupBy(col("scale"))
+      .agg(count(lit(1)).as("n_chunks"),
+        expr("sum(rs_e6) div count(1)").as("avg_rs_e6"))
+    perScale.as("a")
+      .join(perScale.as("b"), col("a.scale") === col("b.scale") * 2, "left")
+      .select(col("a.scale").as("scale"), col("a.n_chunks").as("n_chunks"),
+        col("a.avg_rs_e6").as("avg_rs_e6"),
+        expr("a.avg_rs_e6 * 1000000 div b.avg_rs_e6").as("ratio_prev_e6"))
+      .orderBy(col("scale"))
+  }
 }

@@ -344,6 +344,16 @@ object SparkEntry {
     "q_ldiversity" -> (Queries.lDiversityQ _),
     "q_changepoint" -> (Queries.changepointQ _),
     "q_lof" -> (Queries.lofQ _),
+    "q_iv_wald" -> (Queries.ivWaldQ _),
+    "q_ipw" -> (Queries.ipwQ _),
+    "q_conformal" -> (Queries.conformalQ _),
+    "q_friedman" -> (Queries.friedmanQ _),
+    "q_map_at_k" -> (Queries.mapAtKQ _),
+    "q_rouge" -> (Queries.rougeQ _),
+    "q_viterbi" -> (Queries.viterbiQ _),
+    "q_kalman" -> (Queries.kalmanQ _),
+    "q_page_hinkley" -> (Queries.pageHinkleyQ _),
+    "q_hurst" -> (Queries.hurstQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -7049,5 +7059,257 @@ object SparkEntry {
          |JOIN kdp ON kdp.query_id = suml.query_id
          |ORDER BY probe_id""".stripMargin
     },
+
+    // IV/Wald replay: per-user (D, Y), 2-cell sufficient stats in
+    // HUGEINT, reduced form / first stage as staged truncating
+    // divisions, LATE as their e6 ratio.
+    "q_iv_wald" ->
+      """WITH p0 AS (SELECT user_id,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ck,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS y
+        |  FROM events GROUP BY user_id),
+        |per AS (SELECT user_id, y,
+        |    CASE WHEN ck >= 15 OR (user_id % 3 = 0 AND ck >= 12)
+        |      THEN 1 ELSE 0 END AS dtr
+        |  FROM p0),
+        |g AS (SELECT
+        |    CAST(sum(CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
+        |    CAST(sum(CASE WHEN user_id % 3 <> 0 THEN 1 ELSE 0 END) AS HUGEINT) AS n0,
+        |    CAST(sum(CASE WHEN user_id % 3 = 0 THEN dtr END) AS HUGEINT) AS d1,
+        |    CAST(sum(CASE WHEN user_id % 3 <> 0 THEN dtr END) AS HUGEINT) AS d0,
+        |    CAST(sum(CASE WHEN user_id % 3 = 0 THEN y END) AS HUGEINT) AS y1,
+        |    CAST(sum(CASE WHEN user_id % 3 <> 0 THEN y END) AS HUGEINT) AS y0
+        |  FROM per),
+        |c AS (SELECT n1, n0,
+        |    10000 * (y1 * n0 - y0 * n1) // (n1 * n0) AS itt,
+        |    1000000 * (d1 * n0 - d0 * n1) // (n1 * n0) AS fs
+        |  FROM g)
+        |SELECT CAST(n1 AS BIGINT) AS n_encouraged, CAST(n0 AS BIGINT) AS n_control,
+        |  CAST(itt AS BIGINT) AS itt_e6, CAST(fs AS BIGINT) AS first_stage_e6,
+        |  CAST(itt * 1000000 // nullif(fs, 0) AS BIGINT) AS late_e6
+        |FROM c""".stripMargin,
+
+    // IPW replay: activity cells, positivity filter, within-cell
+    // treated/control means as e6 integral divisions, cell-size
+    // weighted ATE (== Horvitz-Thompson with cell propensities).
+    "q_ipw" ->
+      """WITH per AS (SELECT user_id, count(*) AS n_ev,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ck,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS y
+        |  FROM events GROUP BY user_id),
+        |cl AS (SELECT least(n_ev // 10, 12) AS cell,
+        |    CASE WHEN ck >= 14 THEN 1 ELSE 0 END AS dtr, y FROM per),
+        |cells AS (SELECT cell,
+        |    CAST(sum(CASE WHEN dtr = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS nt,
+        |    CAST(sum(CASE WHEN dtr = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS nc,
+        |    CAST(sum(CASE WHEN dtr = 1 THEN y END) AS HUGEINT) AS st,
+        |    CAST(sum(CASE WHEN dtr = 0 THEN y END) AS HUGEINT) AS sc
+        |  FROM cl GROUP BY cell),
+        |m AS (SELECT cell, nt, nc, st * 10000 // nt AS mt, sc * 10000 // nc AS mc
+        |  FROM cells WHERE nt > 0 AND nc > 0),
+        |o AS (SELECT CAST(sum((mt - mc) * (nt + nc)) // sum(nt + nc) AS BIGINT) AS ate_e6,
+        |    CAST(sum(nt + nc) AS BIGINT) AS n_users FROM m)
+        |SELECT cell, CAST(nt AS BIGINT) AS n_treated, CAST(nc AS BIGINT) AS n_control,
+        |  CAST(mt AS BIGINT) AS mt_e6, CAST(mc AS BIGINT) AS mc_e6, ate_e6, n_users
+        |FROM m CROSS JOIN o ORDER BY cell""".stripMargin,
+
+    // Split-conformal replay: even-half segment means, odd-half
+    // absolute residuals, k-th smallest via the value-histogram
+    // cumulative count, coverage at the chosen q-hat.
+    "q_conformal" ->
+      """WITH pur AS (SELECT event_id, user_id % 4 AS seg,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cts
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT seg,
+        |    CAST(CAST(sum(cts) AS HUGEINT) * 10000 // count(*) AS BIGINT) AS yhat_e6
+        |  FROM pur WHERE event_id % 2 = 0 GROUP BY seg),
+        |cal AS (SELECT abs(cts * 10000 - yhat_e6) AS r
+        |  FROM pur JOIN m USING (seg) WHERE event_id % 2 = 1),
+        |hist AS (SELECT r, count(*) AS cnt FROM cal GROUP BY r),
+        |cum AS (SELECT r, sum(cnt) OVER (ORDER BY r
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM hist),
+        |nk AS (SELECT count(*) AS n_cal, (4 * (count(*) + 1) + 4) // 5 AS k FROM cal)
+        |SELECT n_cal, k, min(r) AS qhat_e6,
+        |  CAST(min(cum) * 1000000 // n_cal AS BIGINT) AS coverage_e6
+        |FROM cum CROSS JOIN nk WHERE cum >= k GROUP BY n_cal, k""".stripMargin,
+
+    // Friedman replay: day x type spine zero-fills, doubled midranks
+    // via the k x k within-day self-join, rank sums, Q at e6.
+    "q_friedman" ->
+      """WITH ev AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    event_type FROM events),
+        |counts AS (SELECT d, event_type, count(*) AS x FROM ev GROUP BY d, event_type),
+        |spine AS (SELECT * FROM (SELECT DISTINCT d FROM ev)
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM ev)),
+        |f AS (SELECT s.d, s.event_type, coalesce(c.x, 0) AS x
+        |  FROM spine s LEFT JOIN counts c ON s.d = c.d AND s.event_type = c.event_type),
+        |r2 AS (SELECT a.d, a.event_type,
+        |    sum(CASE WHEN b.x < a.x THEN 2 WHEN b.x = a.x THEN 1 ELSE 0 END) + 1 AS r2
+        |  FROM f a JOIN f b ON a.d = b.d GROUP BY a.d, a.event_type),
+        |sums AS (SELECT event_type, CAST(sum(r2) AS BIGINT) AS r2_sum
+        |  FROM r2 GROUP BY event_type),
+        |nd AS (SELECT count(DISTINCT d) AS n_days FROM ev),
+        |stat AS (SELECT n_days,
+        |    CAST(1000000 * 3 * sum(CAST((r2_sum - n_days * 6) AS HUGEINT)
+        |        * (r2_sum - n_days * 6)) // (n_days * 5 * 6) AS BIGINT) AS q_e6
+        |  FROM sums CROSS JOIN nd GROUP BY n_days)
+        |SELECT event_type, r2_sum, n_days, q_e6
+        |FROM sums CROSS JOIN stat ORDER BY event_type""".stripMargin,
+
+    // MAP@10 replay: the q_ndcg ranking chain, cumulative relevance
+    // over the top-10, precision terms as e6 integral divisions,
+    // AP normalized by min(corpus relevant, 10).
+    "q_map_at_k" ->
+      s"""WITH e0 AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |nrm AS (SELECT vec_id, label, ${normSql("v")} AS v FROM e0),
+         |sc AS (SELECT q.vec_id AS query_id, q.label AS true_label,
+         |         c.vec_id AS neighbor_id, c.label AS n_label, ${dotSql("q.v", "c.v")} AS cos
+         |       FROM nrm c JOIN (SELECT * FROM nrm WHERE vec_id < 50) q
+         |         ON c.vec_id <> q.vec_id),
+         |top AS (SELECT *, CASE WHEN n_label = true_label THEN 1 ELSE 0 END AS rel
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rnk FROM sc)
+         |  WHERE rnk <= 10),
+         |cr AS (SELECT *, sum(rel) OVER (PARTITION BY query_id ORDER BY rnk
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumrel FROM top),
+         |rt AS (SELECT label AS true_label, count(*) AS n_lab FROM e0 GROUP BY label),
+         |agg AS (SELECT query_id, true_label, CAST(sum(rel) AS BIGINT) AS n_rel10,
+         |    CAST(sum(CASE WHEN rel = 1 THEN cumrel * 1000000 // rnk ELSE 0 END)
+         |      AS BIGINT) AS ap_num
+         |  FROM cr GROUP BY query_id, true_label)
+         |SELECT query_id, n_rel10,
+         |  CAST(ap_num // nullif(least(n_lab - 1, 10), 0) AS BIGINT) AS ap_e6
+         |FROM agg JOIN rt USING (true_label) ORDER BY query_id""".stripMargin,
+
+    // ROUGE replay: half-length candidates, per-(doc, n) clipped gram
+    // matches, precision/recall/F1 as e6 integral divisions.
+    "q_rouge" ->
+      s"""WITH base AS (SELECT doc_id AS pid, ${wordsSql("lower(text)")} AS ws
+         |  FROM documents WHERE doc_id < 300 AND doc_id % 5 = 0),
+         |cand AS (SELECT pid, list_slice(ws, 1, greatest(len(ws) // 2, 1)) AS ws FROM base),
+         |cg AS (SELECT pid, n, gram, count(*) AS c FROM (
+         |    SELECT pid, n, unnest(list_transform(range(len(ws) - n + 1),
+         |      i -> array_to_string(list_slice(ws, i + 1, i + n), ' '))) AS gram
+         |    FROM cand, (SELECT unnest([1, 2]) AS n) nn
+         |    WHERE len(ws) >= n) g GROUP BY pid, n, gram),
+         |rg AS (SELECT pid, n, gram, count(*) AS cr FROM (
+         |    SELECT pid, n, unnest(list_transform(range(len(ws) - n + 1),
+         |      i -> array_to_string(list_slice(ws, i + 1, i + n), ' '))) AS gram
+         |    FROM base, (SELECT unnest([1, 2]) AS n) nn
+         |    WHERE len(ws) >= n) g GROUP BY pid, n, gram),
+         |tc AS (SELECT pid, n, CAST(sum(c) AS BIGINT) AS total_c FROM cg GROUP BY pid, n),
+         |tr2 AS (SELECT pid, n, CAST(sum(cr) AS BIGINT) AS total_r FROM rg GROUP BY pid, n),
+         |mt AS (SELECT cg.pid, cg.n, CAST(sum(least(cg.c, rg.cr)) AS BIGINT) AS m
+         |  FROM cg JOIN rg ON cg.pid = rg.pid AND cg.n = rg.n AND cg.gram = rg.gram
+         |  GROUP BY cg.pid, cg.n)
+         |SELECT tc.pid AS doc_id, tc.n, total_c, total_r, coalesce(m, 0) AS matches,
+         |  coalesce(m, 0) * 1000000 // total_c AS prec_e6,
+         |  coalesce(m, 0) * 1000000 // total_r AS rec_e6,
+         |  2 * coalesce(m, 0) * 1000000 // (total_c + total_r) AS f1_e6
+         |FROM tc JOIN tr2 ON tc.pid = tr2.pid AND tc.n = tr2.n
+         |LEFT JOIN mt ON tc.pid = mt.pid AND tc.n = mt.n
+         |ORDER BY doc_id, tc.n""".stripMargin,
+
+    // Viterbi replay: per-user observation lists, the (max,+) fold via
+    // list_reduce with the init vector prepended; integer score tables
+    // inline on both sides.
+    "q_viterbi" ->
+      """WITH ev AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_id,
+        |    CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1
+        |      WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END AS o
+        |  FROM events),
+        |seq AS (SELECT user_id, list(o ORDER BY t, event_id) AS obs
+        |  FROM ev GROUP BY user_id),
+        |v AS (SELECT user_id, len(obs) AS n_events,
+        |    list_reduce(
+        |      list_prepend([0 + [-2,-1,-5,-4,-2][obs[1] + 1],
+        |                    -10 + [-4,-4,-1,-1,-5][obs[1] + 1]],
+        |        list_transform(obs[2:], x -> [x, 0])),
+        |      (acc, x) -> [greatest(acc[1] - 1, acc[2] - 6) + [-2,-1,-5,-4,-2][x[1] + 1],
+        |                   greatest(acc[1] - 8, acc[2] - 2) + [-4,-4,-1,-1,-5][x[1] + 1]]) AS vv
+        |  FROM seq)
+        |SELECT user_id, n_events, CAST(vv[1] AS BIGINT) AS v0, CAST(vv[2] AS BIGINT) AS v1,
+        |  CAST(greatest(vv[1], vv[2]) AS BIGINT) AS best_score,
+        |  CAST(CASE WHEN vv[2] > vv[1] THEN 1 ELSE 0 END AS BIGINT) AS best_state
+        |FROM v ORDER BY user_id""".stripMargin,
+
+    // Kalman replay: the q_holt recursive chain with the adaptive e6
+    // gain; every state component a truncated integer.
+    "q_kalman" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |d2 AS (SELECT d, x, row_number() OVER (ORDER BY d) AS rn FROM daily),
+        |r AS (
+        |  SELECT rn, d, x, x * 1000000 AS xe, CAST(400000000 AS BIGINT) AS p,
+        |    CAST(0 AS BIGINT) AS k
+        |  FROM d2 WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d2.rn, d2.d, d2.x,
+        |    r.xe + ((r.p + 25000000) * 1000000 // ((r.p + 25000000) + 400000000))
+        |         * (d2.x * 1000000 - r.xe) // 1000000,
+        |    (1000000 - ((r.p + 25000000) * 1000000 // ((r.p + 25000000) + 400000000)))
+        |         * (r.p + 25000000) // 1000000,
+        |    (r.p + 25000000) * 1000000 // ((r.p + 25000000) + 400000000)
+        |  FROM r JOIN d2 ON d2.rn = r.rn + 1)
+        |SELECT d, x, CAST(xe AS BIGINT) AS filt_e6, CAST(p AS BIGINT) AS p_e6,
+        |  CAST(k AS BIGINT) AS k_e6
+        |FROM r ORDER BY d""".stripMargin,
+
+    // Page-Hinkley replay: cumulative windows over the daily table —
+    // running mean at e6, deviation sum, running min, alarm flag.
+    "q_page_hinkley" ->
+      """WITH daily AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |w AS (SELECT d, x, row_number() OVER (ORDER BY d) AS rn,
+        |    sum(x) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1
+        |  FROM daily),
+        |m0 AS (SELECT d, x, rn, CAST(c1 AS HUGEINT) * 1000000 // rn AS mean6 FROM w),
+        |m1 AS (SELECT d, x, CAST(mean6 AS BIGINT) AS mean_e6,
+        |    x * 1000000 - CAST(mean6 AS BIGINT) - 5000000 AS dev FROM m0),
+        |m2 AS (SELECT d, x, mean_e6,
+        |    sum(dev) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+        |  FROM m1),
+        |m3 AS (SELECT d, x, mean_e6,
+        |    CAST(m - min(m) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ph_e6
+        |  FROM m2)
+        |SELECT d, x, mean_e6, ph_e6, ph_e6 > 50000000 AS alarm
+        |FROM m3 ORDER BY d""".stripMargin,
+
+    // Hurst replay: hour spine zero-fills, len-scaled exact deviations
+    // per dyadic chunk, R/S via the IEEE-sqrt floor rule, per-scale
+    // mean and consecutive-scale ratio.
+    "q_hurst" ->
+      """WITH hourly AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |sp AS (SELECT unnest(range(h0, h1 + 1)) AS h, h0
+        |  FROM (SELECT min(h) AS h0, max(h) AS h1 FROM hourly)),
+        |f AS (SELECT sp.h, sp.h0, coalesce(hourly.x, 0) AS x
+        |  FROM sp LEFT JOIN hourly ON sp.h = hourly.h),
+        |sc AS (SELECT unnest([16, 32, 64]) AS scale),
+        |rows0 AS (SELECT h, h0, x, scale, (h - h0) // scale AS chunk FROM f CROSS JOIN sc),
+        |cs AS (SELECT scale, chunk, sum(x) AS s, count(*) AS cnt
+        |  FROM rows0 GROUP BY scale, chunk),
+        |csf AS (SELECT * FROM cs WHERE cnt = scale),
+        |pc0 AS (SELECT r.scale, r.chunk, r.h, r.scale * r.x - csf.s AS dev
+        |  FROM rows0 r JOIN csf ON r.scale = csf.scale AND r.chunk = csf.chunk),
+        |pc1 AS (SELECT scale, chunk, dev,
+        |    sum(dev) OVER (PARTITION BY scale, chunk ORDER BY h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS y FROM pc0),
+        |pc2 AS (SELECT scale, chunk, max(y) - min(y) AS r_l, sum(dev * dev) AS ss
+        |  FROM pc1 GROUP BY scale, chunk),
+        |pc3 AS (SELECT scale, chunk, CASE WHEN ss = 0 THEN 0
+        |    ELSE CAST(floor(1000000.0 * CAST(r_l AS DOUBLE) * sqrt(CAST(scale AS DOUBLE))
+        |      / sqrt(CAST(ss AS DOUBLE))) AS BIGINT) END AS rs_e6 FROM pc2),
+        |ps AS (SELECT scale, CAST(count(*) AS BIGINT) AS n_chunks,
+        |    CAST(sum(rs_e6) // count(*) AS BIGINT) AS avg_rs_e6 FROM pc3 GROUP BY scale)
+        |SELECT CAST(a.scale AS BIGINT) AS scale, a.n_chunks, a.avg_rs_e6,
+        |  CAST(a.avg_rs_e6 * 1000000 // b.avg_rs_e6 AS BIGINT) AS ratio_prev_e6
+        |FROM ps a LEFT JOIN ps b ON a.scale = b.scale * 2
+        |ORDER BY scale""".stripMargin,
   )
 }

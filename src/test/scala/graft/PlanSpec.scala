@@ -1305,4 +1305,59 @@ class PlanSpec extends AnyFunSuite {
     assert(globalWindow.findFirstIn(plan).isEmpty, plan)
     assert(!plan.contains("windowspecdefinition"), plan)
   }
+
+  test("iv/ipw: one user-keyed partial agg into a cell readout, joins broadcast") {
+    for ((n, q) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)](
+        ("iv_wald", Queries.ivWaldQ _), ("ipw", Queries.ipwQ _))) {
+      val plan = formatted(q(spark, sf))
+      assert(plan.contains("partial_sum") || plan.contains("partial_count"), s"$n:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$n:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"$n:\n$plan")
+    }
+  }
+
+  test("conformal: selection runs on the residual histogram (singleton-key cumsum), not rows") {
+    val plan = formatted(Queries.conformalQ(spark, sf))
+    // the cumulative count windows over the value histogram behind the
+    // hash-spread singleton key, never a row-level global sort
+    assert(plan.contains("pmod(hash("), plan)
+    assert(globalWindow.findFirstIn(plan).isEmpty, plan)
+    assert(plan.contains("partial_count"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("friedman: day x type ranking joins on the day key, spine broadcast, no cartesian") {
+    val plan = formatted(Queries.friedmanQ(spark, sf))
+    assert(plan.contains("partial_count"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("rouge: gram counts partial-agg; all joins keyed by (doc, n, gram)") {
+    val plan = formatted(Queries.rougeQ(spark, sf))
+    assert(plan.contains("partial_count"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("viterbi: per-user partial collect then a narrow fold, no window, no join") {
+    val plan = formatted(Queries.viterbiQ(spark, sf))
+    assert(plan.contains("partial_collect_list") || plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("windowspecdefinition") && !plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("kalman/page-hinkley: daily partial-agg; later work calendar-bounded") {
+    for ((n, q) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)](
+        ("kalman", Queries.kalmanQ _), ("page_hinkley", Queries.pageHinkleyQ _))) {
+      val plan = formatted(q(spark, sf))
+      assert(plan.contains("partial_count"), s"$n:\n$plan")
+      assert(globalWindow.findFirstIn(plan).isEmpty, s"$n:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$n:\n$plan")
+    }
+  }
+
+  test("hurst: chunk windows key by (scale, chunk), scales spine broadcast") {
+    val plan = formatted(Queries.hurstQ(spark, sf))
+    assert(plan.contains("partial_count"), plan)
+    assert(globalWindow.findFirstIn(plan).isEmpty, plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+  }
 }
