@@ -8846,4 +8846,210 @@ object Queries {
         expr("a.avg_rs_e6 * 1000000 div b.avg_rs_e6").as("ratio_prev_e6"))
       .orderBy(col("scale"))
   }
+
+  /** TOST (two one-sided tests) equivalence readout on purchase spend
+    * between even/odd user cohorts: with margin δ = ±$5, equivalence
+    * holds when BOTH shifted z-numerators are positive and both
+    * squared statistics clear the one-sided critical value (z₀.₀₅² ≈
+    * 2.706, held at e6) — the "are these the same?" complement of
+    * [[welchTtestQ]], which can only answer "are they different?".
+    * Reuses the Welch sufficient-statistics staging verbatim: one
+    * scan, a 2-row aggregate, every stage a truncating integer
+    * division.
+    */
+  def tostQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select((col("user_id") % 2).as("g"), cents(col("value")).cast("long").as("cts"))
+    val per = ev.groupBy(col("g"))
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("cts").cast(d38)).as("s"),
+        sum(col("cts").cast(d38) * col("cts")).as("ssq"))
+      .withColumn("vn_e6", expr("(1000000 * (n * ssq - s * s)) div (n * n * (n - 1))"))
+    per.groupBy()
+      .agg(max(when(col("g") === 0, col("n"))).as("n0"),
+        max(when(col("g") === 1, col("n"))).as("n1"),
+        max(when(col("g") === 0, col("s"))).as("s0"),
+        max(when(col("g") === 1, col("s"))).as("s1"),
+        max(when(col("g") === 0, col("vn_e6"))).as("vn0"),
+        max(when(col("g") === 1, col("vn_e6"))).as("vn1"))
+      .withColumn("diff_e3", expr("1000 * (s0 * n1 - s1 * n0) div (n0 * n1)"))
+      .withColumn("nl_e3", expr("diff_e3 + 500000"))
+      .withColumn("nu_e3", expr("500000 - diff_e3"))
+      .withColumn("tl2_e6",
+        expr("cast(1000000 * nl_e3 * nl_e3 div nullif(vn0 + vn1, 0) as bigint)"))
+      .withColumn("tu2_e6",
+        expr("cast(1000000 * nu_e3 * nu_e3 div nullif(vn0 + vn1, 0) as bigint)"))
+      .select(col("diff_e3").cast("long").as("diff_e3"),
+        col("nl_e3").cast("long").as("nl_e3"), col("nu_e3").cast("long").as("nu_e3"),
+        col("tl2_e6"), col("tu2_e6"),
+        (col("nl_e3") > 0 && col("nu_e3") > 0
+          && col("tl2_e6") >= 2706025L && col("tu2_e6") >= 2706025L).as("equivalent"))
+  }
+
+  /** Sharp regression-discontinuity estimate: the running variable is
+    * the deterministic score user_id % 100 with cutoff 50, the outcome
+    * is per-user total spend, and within the ±20 bandwidth each side
+    * gets its own OLS (the [[linregQ]] sufficient-statistics
+    * discipline, all-integer decimal sums). τ = lim right − lim left at
+    * the cutoff, both fitted values from the already-truncated e6
+    * coefficients so the readout is bit-deterministic. One user-keyed
+    * aggregate, then two 1-row regressions — scan-shaped.
+    */
+  def rddSharpQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val per = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", cents(col("value")).cast("long"))
+        .otherwise(0L)).as("y"))
+      .select((col("user_id") % 100).as("sc"), col("y"))
+      .filter(col("sc") >= 30 && col("sc") < 70)
+      .select((col("sc") >= 50).as("right"), col("sc").cast(d38).as("x"),
+        col("y").cast(d38).as("y"))
+    val fit = per.groupBy(col("right"))
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .withColumn("b_e6",
+        expr("(n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx)"))
+      .withColumn("a_e6",
+        expr("(sy * 1000000 - cast(b_e6 as decimal(38,0)) * sx) div n"))
+      .withColumn("at50_e6", expr("a_e6 + b_e6 * 50"))
+    fit.groupBy()
+      .agg(max(when(col("right"), col("at50_e6"))).as("r50"),
+        max(when(!col("right"), col("at50_e6"))).as("l50"),
+        max(when(col("right"), col("b_e6"))).as("br"),
+        max(when(!col("right"), col("b_e6"))).as("bl"),
+        sum(col("n")).as("n_bw"))
+      .select(col("n_bw").cast("long").as("n_bw"),
+        col("l50").cast("long").as("left_at_cut_e6"),
+        col("r50").cast("long").as("right_at_cut_e6"),
+        col("bl").cast("long").as("slope_left_e6"),
+        col("br").cast("long").as("slope_right_e6"),
+        (col("r50") - col("l50")).cast("long").as("tau_e6"))
+  }
+
+  /** UCB1 bandit replay over the 30-day event log: arms are the five
+    * event types, the day-d reward of an arm is that day's mean event
+    * value (exact e6 integer), and the policy — 5 warm-up pulls, then
+    * argmax of mean + 100·√(2·⌊log₂t⌋/nₐ) — is replayed
+    * deterministically. State (per-arm pull counts and reward sums)
+    * stays exact integers; the index is computed per decision from
+    * those integers with IEEE-exact double ops (÷, √ are correctly
+    * rounded, so both engines produce bit-identical indices), and ties
+    * break to the lowest arm via first-position argmax. One
+    * partial-aggregated (day, arm) table, then a calendar-bounded fold
+    * — the counterfactual-policy sibling of [[attributionQ]].
+    */
+  def ucbQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = "(size(acc.out) + 1)"
+    val l = s"(case when $t >= 16 then 4 when $t >= 8 then 3 when $t >= 4 then 2 else 1 end)"
+    val idx = s"""transform(sequence(0, 4), k ->
+      cast(element_at(acc.ss, k + 1) as double) / cast(element_at(acc.ns, k + 1) as double) / 1000000.0
+      + 100.0 * sqrt(2.0 * cast($l as double) / cast(element_at(acc.ns, k + 1) as double)))"""
+    val pick = s"""(case when $t <= 5 then cast($t - 1 as int)
+      else cast(array_position($idx, array_max($idx)) as int) - 1 end)"""
+    val rew = s"element_at(e.r, $pick + 1)"
+    val rCols = (0 to 4).map(k =>
+      coalesce(max(when(col("a") === k, expr("s * 10000 div c"))), lit(0L)).as(s"r$k"))
+    val daily = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("d"),
+        expr("""cast(case event_type when 'click' then 0 when 'view' then 1
+                when 'purchase' then 2 when 'signup' then 3 else 4 end as int)""").as("a"),
+        cents(col("value")).cast("long").as("cts"))
+      .groupBy(col("d"), col("a"))
+      .agg(sum(col("cts")).as("s"), count(lit(1)).as("c"))
+      .groupBy(col("d"))
+      .agg(rCols.head, rCols.tail: _*)
+      .select(col("d"), array(col("r0"), col("r1"), col("r2"), col("r3"), col("r4")).as("r"))
+    daily
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("d"), col("r")))).as("arr"))
+      .select(explode(expr(
+        s"""aggregate(arr,
+           |  named_struct('ns', array_repeat(0L, 5), 'ss', array_repeat(0L, 5),
+           |    'out', cast(array() as array<struct<d:bigint,pick:int,reward_e6:bigint,n_after:bigint>>)),
+           |  (acc, e) -> named_struct(
+           |    'ns', transform(acc.ns, (v, i) -> if(i = $pick, v + 1L, v)),
+           |    'ss', transform(acc.ss, (v, i) -> if(i = $pick, v + $rew, v)),
+           |    'out', array_append(acc.out, named_struct('d', e.d, 'pick', $pick,
+           |      'reward_e6', $rew, 'n_after', element_at(acc.ns, $pick + 1) + 1L))),
+           |  acc -> acc.out)""".stripMargin)).as("o"))
+      .select(col("o.d").as("d"), col("o.pick").cast("long").as("pick"),
+        col("o.reward_e6").as("reward_e6"), col("o.n_after").as("n_after"))
+      .orderBy(col("d"))
+  }
+
+  /** DBSCAN density clustering over the embedding corpus with planted
+    * structure: tight triples (vec_id % 7 == 0 — all three mutually
+    * within eps → a 3-core cluster) and chains (vec_id % 11 == 3 —
+    * only the middle copy is core, its endpoints attach as border
+    * points). eps is the cosine gate 0.995 on normalized vectors
+    * (≡ squared-L2 0.01), minPts = 3. Candidate pairs come from the
+    * same-label (IVF-cell) block — the [[embedNearDup]] discipline;
+    * exactness is relative to that declared candidate front, the
+    * production trade every coarse-quantized vector store makes. Core
+    * = |N_eps| ≥ minPts (self included); clusters = connected
+    * components of the core-core eps-graph ([[Dedup.connectedComponents]]
+    * hybrid — min-id labels); border points attach to their minimum
+    * core-neighbor cluster; everything else is noise (reported as the
+    * cluster_id = −1 row). Pair generation is block-keyed (never
+    * all-pairs), degree/label joins are id-keyed, and the CC loop is
+    * the soaked hybrid — the density sibling of [[Similarity.kmeans]].
+    */
+  def dbscanQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val e0 = Similarity.asDouble(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("label"), col("embedding"))
+    def plant(idMod: Int, rem: Int, off: Long, dim: Int, delta: Double) =
+      e0.filter(col("vec_id") % idMod === rem).select(
+        (col("vec_id") + off).as("vec_id"), col("label"),
+        transform(col("embedding"), (x, i) =>
+          when(i === dim, x + delta).otherwise(x)).as("embedding"))
+    val planted = e0
+      .union(plant(7, 0, 10000L, 0, 0.008))
+      .union(plant(7, 0, 20000L, 1, -0.008))
+      .union(plant(11, 3, 30000L, 0, 0.07))
+      .union(plant(11, 3, 40000L, 0, 0.14))
+    val base = Similarity.normalized(planted)
+    val a = base.select(col("label"), col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = base.select(col("label"), col("vec_id").as("vb"), col("embedding").as("eb"))
+    val pairs = a.join(b, Seq("label")).filter(col("va") < col("vb"))
+      .withColumn("cs", Similarity.dot(col("ea"), col("eb")))
+      .filter(col("cs") >= 0.995)
+      .select(col("va"), col("vb"))
+      .localCheckpoint(true)
+    val deg = pairs.select(col("va").as("v")).union(pairs.select(col("vb").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("nn"))
+    val core = base.select(col("vec_id").as("v")).join(deg, Seq("v"), "left")
+      .select(col("v"), (coalesce(col("nn"), lit(0L)) + 1 >= 3).as("is_core"))
+      .localCheckpoint(true)
+    val coreSet = core.filter(col("is_core")).select(col("v"))
+    val ccEdges = pairs
+      .join(coreSet.select(col("v").as("va")), Seq("va"))
+      .join(coreSet.select(col("v").as("vb")), Seq("vb"))
+      .select(col("va").as("doc_a"), col("vb").as("doc_b"))
+    val ccLab = Dedup.connectedComponents(ccEdges)
+      .select(col("doc_id").as("v"), col("cluster_id"))
+    val coreLab = coreSet.join(ccLab, Seq("v"), "left")
+      .select(col("v"), coalesce(col("cluster_id"), col("v")).as("cluster_id"))
+    val nbr = pairs.select(col("va").as("v"), col("vb").as("q"))
+      .union(pairs.select(col("vb").as("v"), col("va").as("q")))
+    val borderLab = core.filter(!col("is_core")).select(col("v"))
+      .join(nbr, Seq("v"))
+      .join(coreLab.select(col("v").as("q"), col("cluster_id")), Seq("q"))
+      .groupBy(col("v")).agg(min(col("cluster_id")).as("cluster_id"))
+    val clusters = coreLab.withColumn("is_core", lit(true))
+      .union(borderLab.withColumn("is_core", lit(false)))
+    val sizes = clusters.groupBy(col("cluster_id"))
+      .agg(sum(when(col("is_core"), 1L).otherwise(0L)).as("n_core"),
+        sum(when(!col("is_core"), 1L).otherwise(0L)).as("n_border"))
+      .select(col("cluster_id"), col("n_core"), col("n_border"),
+        (col("n_core") + col("n_border")).as("n_pts"))
+    val noise = base.groupBy().agg(count(lit(1)).as("n_total"))
+      .crossJoin(broadcast(clusters.groupBy().agg(count(lit(1)).as("n_clustered"))))
+      .select(lit(-1L).as("cluster_id"), lit(0L).as("n_core"), lit(0L).as("n_border"),
+        (col("n_total") - col("n_clustered")).as("n_pts"))
+    sizes.union(noise).orderBy(col("cluster_id"))
+  }
 }

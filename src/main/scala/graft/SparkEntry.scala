@@ -354,6 +354,10 @@ object SparkEntry {
     "q_kalman" -> (Queries.kalmanQ _),
     "q_page_hinkley" -> (Queries.pageHinkleyQ _),
     "q_hurst" -> (Queries.hurstQ _),
+    "q_tost" -> (Queries.tostQ _),
+    "q_rdd_sharp" -> (Queries.rddSharpQ _),
+    "q_ucb" -> (Queries.ucbQ _),
+    "q_dbscan" -> (Queries.dbscanQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -7311,5 +7315,154 @@ object SparkEntry {
         |  CAST(a.avg_rs_e6 * 1000000 // b.avg_rs_e6 AS BIGINT) AS ratio_prev_e6
         |FROM ps a LEFT JOIN ps b ON a.scale = b.scale * 2
         |ORDER BY scale""".stripMargin,
+
+    // TOST replay: the Welch sufficient-statistics chain with the ±$5
+    // margin shifted numerators and both one-sided t-squares.
+    "q_tost" ->
+      """WITH ev AS (SELECT user_id % 2 AS g,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cts
+        |  FROM events WHERE event_type = 'purchase'),
+        |per AS (SELECT g, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(CAST(cts AS HUGEINT)) AS s, sum(CAST(cts AS HUGEINT) * cts) AS ssq
+        |  FROM ev GROUP BY g),
+        |v AS (SELECT g, n, s,
+        |    (1000000 * (n * ssq - s * s)) // (n * n * (n - 1)) AS vn_e6 FROM per),
+        |piv AS (SELECT
+        |    max(CASE WHEN g = 0 THEN n END) AS n0, max(CASE WHEN g = 1 THEN n END) AS n1,
+        |    max(CASE WHEN g = 0 THEN s END) AS s0, max(CASE WHEN g = 1 THEN s END) AS s1,
+        |    max(CASE WHEN g = 0 THEN vn_e6 END) AS vn0,
+        |    max(CASE WHEN g = 1 THEN vn_e6 END) AS vn1
+        |  FROM v),
+        |d AS (SELECT *, 1000 * (s0 * n1 - s1 * n0) // (n0 * n1) AS diff_e3 FROM piv),
+        |e AS (SELECT *, diff_e3 + 500000 AS nl_e3, 500000 - diff_e3 AS nu_e3 FROM d)
+        |SELECT CAST(diff_e3 AS BIGINT) AS diff_e3,
+        |  CAST(nl_e3 AS BIGINT) AS nl_e3, CAST(nu_e3 AS BIGINT) AS nu_e3,
+        |  CAST(1000000 * nl_e3 * nl_e3 // nullif(vn0 + vn1, 0) AS BIGINT) AS tl2_e6,
+        |  CAST(1000000 * nu_e3 * nu_e3 // nullif(vn0 + vn1, 0) AS BIGINT) AS tu2_e6,
+        |  nl_e3 > 0 AND nu_e3 > 0
+        |    AND 1000000 * nl_e3 * nl_e3 // nullif(vn0 + vn1, 0) >= 2706025
+        |    AND 1000000 * nu_e3 * nu_e3 // nullif(vn0 + vn1, 0) >= 2706025 AS equivalent
+        |FROM e""".stripMargin,
+
+    // RDD replay: per-user spend, ±20 bandwidth around the score
+    // cutoff, one exact OLS per side, fitted-value gap at the cutoff.
+    "q_rdd_sharp" ->
+      """WITH per AS (SELECT user_id % 100 AS sc,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS y
+        |  FROM events GROUP BY user_id),
+        |bw AS (SELECT sc >= 50 AS r, CAST(sc AS HUGEINT) AS x, CAST(y AS HUGEINT) AS y
+        |  FROM per WHERE sc >= 30 AND sc < 70),
+        |s AS (SELECT r, CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx FROM bw GROUP BY r),
+        |f AS (SELECT r, n, (n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx) AS b_e6,
+        |    sx, sy FROM s),
+        |f2 AS (SELECT r, n, b_e6, (sy * 1000000 - b_e6 * sx) // n AS a_e6 FROM f),
+        |f3 AS (SELECT r, n, b_e6, a_e6 + b_e6 * 50 AS at50 FROM f2)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_bw,
+        |  CAST(max(CASE WHEN NOT r THEN at50 END) AS BIGINT) AS left_at_cut_e6,
+        |  CAST(max(CASE WHEN r THEN at50 END) AS BIGINT) AS right_at_cut_e6,
+        |  CAST(max(CASE WHEN NOT r THEN b_e6 END) AS BIGINT) AS slope_left_e6,
+        |  CAST(max(CASE WHEN r THEN b_e6 END) AS BIGINT) AS slope_right_e6,
+        |  CAST(max(CASE WHEN r THEN at50 END)
+        |    - max(CASE WHEN NOT r THEN at50 END) AS BIGINT) AS tau_e6
+        |FROM f3""".stripMargin,
+
+    // UCB1 replay: (day, arm) reward table, recursive chain carrying
+    // exact per-arm count/sum lists; the index is recomputed per round
+    // from those integers with IEEE-exact double ops.
+    "q_ucb" -> {
+      val l = "(CASE WHEN d2.rn >= 16 THEN 4 WHEN d2.rn >= 8 THEN 3 " +
+        "WHEN d2.rn >= 4 THEN 2 ELSE 1 END)"
+      val idx = s"list_transform(range(5), k -> CAST(r.ss[k + 1] AS DOUBLE) " +
+        s"/ CAST(r.ns[k + 1] AS DOUBLE) / 1000000.0 " +
+        s"+ 100.0 * sqrt(2.0 * CAST($l AS DOUBLE) / CAST(r.ns[k + 1] AS DOUBLE)))"
+      val pick = s"(CASE WHEN d2.rn <= 5 THEN CAST(d2.rn - 1 AS INT) " +
+        s"ELSE CAST(list_position($idx, list_aggregate($idx, 'max')) AS INT) - 1 END)"
+      val rew = s"d2.r[$pick + 1]"
+      val rCols = (0 to 4).map(k =>
+        s"coalesce(max(CASE WHEN a = $k THEN CAST(s * 10000 // c AS BIGINT) END), 0)")
+        .mkString(",\n        |    ")
+      s"""WITH RECURSIVE ev AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+         |    CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1
+         |      WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END AS a,
+         |    CAST(round(value * 100, 0) AS BIGINT) AS cts
+         |  FROM events),
+         |da AS (SELECT d, a, CAST(sum(cts) AS HUGEINT) AS s, count(*) AS c
+         |  FROM ev GROUP BY d, a),
+         |dr AS (SELECT d, [$rCols] AS r FROM da GROUP BY d),
+         |d2 AS (SELECT d, r, row_number() OVER (ORDER BY d) AS rn FROM dr),
+         |r AS (
+         |  SELECT rn, d, r AS rw, CAST(0 AS INT) AS pick, r[1] AS reward_e6,
+         |    [CAST(1 AS BIGINT), 0, 0, 0, 0] AS ns,
+         |    [r[1], 0, 0, 0, 0] AS ss, CAST(1 AS BIGINT) AS n_after
+         |  FROM d2 WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d2.rn, d2.d, d2.r,
+         |    $pick,
+         |    $rew,
+         |    list_transform(range(5), i -> CASE WHEN i = $pick
+         |      THEN r.ns[CAST(i AS INT) + 1] + 1 ELSE r.ns[CAST(i AS INT) + 1] END),
+         |    list_transform(range(5), i -> CASE WHEN i = $pick
+         |      THEN r.ss[CAST(i AS INT) + 1] + $rew ELSE r.ss[CAST(i AS INT) + 1] END),
+         |    r.ns[$pick + 1] + 1
+         |  FROM r JOIN d2 ON d2.rn = r.rn + 1)
+         |SELECT d, CAST(pick AS BIGINT) AS pick, reward_e6, n_after
+         |FROM r ORDER BY d""".stripMargin
+    },
+
+    // DBSCAN replay: planted triples/chains, same-label candidate
+    // pairs with the exact cosine gate, core flags, recursive-CTE
+    // min-label components over core-core edges, border attachment,
+    // noise remainder.
+    "q_dbscan" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |raw AS (SELECT vec_id, label, v FROM e
+         |  UNION ALL SELECT vec_id + 10000, label, list_transform(range(len(v)),
+         |    i -> CASE WHEN i = 0 THEN v[1] + 0.008 ELSE v[CAST(i AS INT)+1] END)
+         |  FROM e WHERE vec_id % 7 = 0
+         |  UNION ALL SELECT vec_id + 20000, label, list_transform(range(len(v)),
+         |    i -> CASE WHEN i = 1 THEN v[2] + -0.008 ELSE v[CAST(i AS INT)+1] END)
+         |  FROM e WHERE vec_id % 7 = 0
+         |  UNION ALL SELECT vec_id + 30000, label, list_transform(range(len(v)),
+         |    i -> CASE WHEN i = 0 THEN v[1] + 0.07 ELSE v[CAST(i AS INT)+1] END)
+         |  FROM e WHERE vec_id % 11 = 3
+         |  UNION ALL SELECT vec_id + 40000, label, list_transform(range(len(v)),
+         |    i -> CASE WHEN i = 0 THEN v[1] + 0.14 ELSE v[CAST(i AS INT)+1] END)
+         |  FROM e WHERE vec_id % 11 = 3),
+         |base AS (SELECT vec_id, label, ${normSql("v")} AS v FROM raw),
+         |pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb
+         |  FROM base a JOIN base b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE ${dotSql("a.v", "b.v")} >= 0.995),
+         |deg AS (SELECT v, count(*) AS nn FROM (
+         |    SELECT va AS v FROM pairs UNION ALL SELECT vb FROM pairs) u GROUP BY v),
+         |core AS (SELECT base.vec_id AS v, coalesce(nn, 0) + 1 >= 3 AS is_core
+         |  FROM base LEFT JOIN deg ON base.vec_id = deg.v),
+         |ce AS (SELECT va, vb FROM pairs
+         |  JOIN core ca ON pairs.va = ca.v JOIN core cb ON pairs.vb = cb.v
+         |  WHERE ca.is_core AND cb.is_core),
+         |edges AS (SELECT va AS src, vb AS dst FROM ce UNION SELECT vb, va FROM ce),
+         |cc AS (SELECT v AS node, v AS m FROM core WHERE is_core
+         |       UNION
+         |       SELECT e2.dst AS node, cc.m FROM cc JOIN edges e2 ON e2.src = cc.node),
+         |lab AS (SELECT node AS v, min(m) AS cluster_id FROM cc GROUP BY node),
+         |bl AS (SELECT n.p AS v, min(lab.cluster_id) AS cluster_id
+         |  FROM (SELECT va AS p, vb AS q FROM pairs UNION ALL SELECT vb, va FROM pairs) n
+         |  JOIN core cp ON n.p = cp.v AND NOT cp.is_core
+         |  JOIN lab ON n.q = lab.v
+         |  GROUP BY n.p),
+         |cl AS (SELECT v, cluster_id, TRUE AS is_core FROM lab
+         |       UNION ALL SELECT v, cluster_id, FALSE FROM bl),
+         |sizes AS (SELECT cluster_id,
+         |    CAST(sum(CASE WHEN is_core THEN 1 ELSE 0 END) AS BIGINT) AS n_core,
+         |    CAST(sum(CASE WHEN is_core THEN 0 ELSE 1 END) AS BIGINT) AS n_border
+         |  FROM cl GROUP BY cluster_id),
+         |tot AS (SELECT count(*) AS n_total FROM base),
+         |ncl AS (SELECT count(*) AS n_clustered FROM cl)
+         |SELECT cluster_id, n_core, n_border, n_core + n_border AS n_pts FROM sizes
+         |UNION ALL
+         |SELECT -1, 0, 0, n_total - n_clustered FROM tot CROSS JOIN ncl
+         |ORDER BY cluster_id""".stripMargin,
   )
 }

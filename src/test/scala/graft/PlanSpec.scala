@@ -1360,4 +1360,28 @@ class PlanSpec extends AnyFunSuite {
     assert(globalWindow.findFirstIn(plan).isEmpty, plan)
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("tost/rdd: one scan into a tiny aggregate, no cartesian") {
+    for ((n, q) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)](
+        ("tost", Queries.tostQ _), ("rdd_sharp", Queries.rddSharpQ _))) {
+      val plan = formatted(q(spark, sf))
+      assert(plan.contains("partial_sum") || plan.contains("partial_count"), s"$n:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$n:\n$plan")
+    }
+  }
+
+  test("ucb: (day, arm) partial-agg; the replay fold is calendar-bounded, no window") {
+    val plan = formatted(Queries.ucbQ(spark, sf))
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"), plan)
+    assert(globalWindow.findFirstIn(plan).isEmpty, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("dbscan: candidate pairs join on the label block key, never all-pairs") {
+    val plan = formatted(Queries.dbscanQ(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the only nested-loop join is the 1-row x 1-row noise-count scalar
+    assert("\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("partial_count"), plan)
+  }
 }
