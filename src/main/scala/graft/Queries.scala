@@ -8587,11 +8587,16 @@ object Queries {
   def friedmanQ(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
       .select(expr("unix_micros(ts) div 86400000000").as("d"), col("event_type"))
+    // ONE events scan: the spine, ranks and stats all derive from the
+    // checkpointed (day x type) aggregate — the x100 soak showed the
+    // original's 4 independent re-scans dominating the wall clock.
     val counts = ev.groupBy(col("d"), col("event_type")).agg(count(lit(1)).as("x"))
-    val spine = ev.select(col("d")).distinct()
-      .crossJoin(broadcast(ev.select(col("event_type")).distinct()))
+      .localCheckpoint(true)
+    val spine = counts.select(col("d")).distinct()
+      .crossJoin(broadcast(counts.select(col("event_type")).distinct()))
     val full = spine.join(counts, Seq("d", "event_type"), "left")
       .select(col("d"), col("event_type"), coalesce(col("x"), lit(0L)).as("x"))
+      .localCheckpoint(true)
     val r2 = full.as("a")
       .join(full.as("b"), col("a.d") === col("b.d"))
       .groupBy(col("a.d").as("d"), col("a.event_type").as("event_type"))
@@ -8815,6 +8820,9 @@ object Queries {
     val hourly = Tables.events(spark, sfDir)
       .select(expr("unix_micros(ts) div 3600000000").as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("x"))
+      // calendar-bounded (~720 rows) but consumed by 3 downstream
+      // plans — checkpoint so the corpus is scanned exactly once
+      .localCheckpoint(true)
     val spine = hourly.groupBy().agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
       .select(explode(expr("sequence(h0, h1)")).as("h"), col("h0"))
     val full = spine.join(hourly, Seq("h"), "left")
@@ -9012,12 +9020,30 @@ object Queries {
       .union(plant(11, 3, 30000L, 0, 0.07))
       .union(plant(11, 3, 40000L, 0, 0.14))
     val base = Similarity.normalized(planted)
-    val a = base.select(col("label"), col("vec_id").as("va"), col("embedding").as("ea"))
-    val b = base.select(col("label"), col("vec_id").as("vb"), col("embedding").as("eb"))
-    val pairs = a.join(b, Seq("label")).filter(col("va") < col("vb"))
-      .withColumn("cs", Similarity.dot(col("ea"), col("eb")))
-      .filter(col("cs") >= 0.995)
-      .select(col("va"), col("vb"))
+    // sub-block the label cell with 2 bands of 4 sign-LSH bits each:
+    // close pairs (cos >= eps) collide in >= 1 band w.h.p. (planted
+    // pairs at cos ~0.9999 collide with prob ~0.9997), while the
+    // within-label candidate volume drops ~16x per band — the x100
+    // soak showed the bare label block going quadratic. Pairs are
+    // deduped AFTER the cosine gate, so the band fan-out never
+    // shuffles the pre-filter candidate stream twice.
+    def bandCode(lo: Int): Column = LshPlanes.slice(lo, lo + 4).zipWithIndex
+      .map { case (plane, p) =>
+        when(graft.functions.GraftFunctions.dot_product(
+          col("embedding"), typedLit(plane)) > 0, lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+    val withCodes = base.select(col("label"), col("vec_id"), col("embedding"),
+      bandCode(0).as("c0"), bandCode(4).as("c1"))
+    val pairs = Seq("c0", "c1").map { c =>
+      val a = withCodes.select(col("label"), col(c).as("code"),
+        col("vec_id").as("va"), col("embedding").as("ea"))
+      val b = withCodes.select(col("label"), col(c).as("code"),
+        col("vec_id").as("vb"), col("embedding").as("eb"))
+      a.join(b, Seq("label", "code")).filter(col("va") < col("vb"))
+        .withColumn("cs", Similarity.dot(col("ea"), col("eb")))
+        .filter(col("cs") >= 0.995)
+        .select(col("va"), col("vb"))
+    }.reduce(_ union _).distinct()
       .localCheckpoint(true)
     val deg = pairs.select(col("va").as("v")).union(pairs.select(col("vb").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("nn"))
@@ -9051,5 +9077,188 @@ object Queries {
       .select(lit(-1L).as("cluster_id"), lit(0L).as("n_core"), lit(0L).as("n_border"),
         (col("n_total") - col("n_clustered")).as("n_pts"))
     sizes.union(noise).orderBy(col("cluster_id"))
+  }
+
+  /** Lagged cross-correlation between the daily click and purchase
+    * volumes at lags −3..+3 — the lead/lag diagnostic behind every
+    * "does marketing activity precede revenue?" question. Sufficient
+    * statistics stay exact integers per lag; the correlation itself
+    * needs √·√, so it lands at e6 via the correctly-rounded IEEE
+    * floor rule (the [[itemCfQ]] discipline) with the sign carried by
+    * the exact integer numerator. The lag spine broadcasts and the
+    * pair join is an equi-join on the shifted day key — calendar-
+    * bounded after one partial-aggregated scan.
+    */
+  def crossCorrQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("d"), col("event_type"))
+    val daily = ev.groupBy(col("d"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("a"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("b"))
+    val lags = spark.range(-3, 4).select(col("id").as("lag"))
+    val pairs = daily.select(col("d"), col("a")).crossJoin(broadcast(lags))
+      .join(daily.select((col("d")).as("d2"), col("b")),
+        col("d2") === col("d") + col("lag"))
+    pairs.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("a")).as("sa"), sum(col("b")).as("sb"),
+        sum(col("a") * col("b")).as("sab"),
+        sum(col("a") * col("a")).as("saa"),
+        sum(col("b") * col("b")).as("sbb"))
+      .withColumn("num", expr("n_days * sab - sa * sb"))
+      .withColumn("da", expr("n_days * saa - sa * sa"))
+      .withColumn("db", expr("n_days * sbb - sb * sb"))
+      .select(col("lag"), col("n_days"),
+        expr("""case when da = 0 or db = 0 then 0L
+                else cast(floor(1000000.0 * cast(num as double)
+                  / (sqrt(cast(da as double)) * sqrt(cast(db as double)))) as bigint)
+                end""").as("corr_e6"))
+      .orderBy(col("lag"))
+  }
+
+  /** Granger-causality readout: does yesterday's click volume improve
+    * the AR(1) forecast of today's purchase volume? The restricted
+    * model y_t ~ y_{t−1} is [[ar1Q]]'s fit; the unrestricted adds
+    * x_{t−1} and is solved EXACTLY by Cramer's rule on the 3×3 normal
+    * equations in decimal(38,0) — no matrix library, no floats.
+    * Both models' SSEs are recomputed from the truncated e6
+    * coefficients (so they are bit-deterministic), and the F-style
+    * statistic (SSE_r − SSE_u)/(SSE_u/(n−3)) lands at e6 by integral
+    * division. One daily aggregate, one d+1 self-join, two 1-row
+    * fits — calendar-bounded.
+    */
+  def grangerQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val ev = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("d"), col("event_type"))
+    val daily = ev.groupBy(col("d"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    val rows = daily.as("p")
+      .join(daily.as("c"), col("p.d") + 1 === col("c.d"))
+      .select(col("c.y").cast(d38).as("y"), col("p.y").cast(d38).as("y1"),
+        col("p.x").cast(d38).as("x1"))
+      .localCheckpoint(true)
+    val s = rows.groupBy()
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("y")).as("sy"), sum(col("y1")).as("sy1"), sum(col("x1")).as("sx1"),
+        sum(col("y") * col("y1")).as("syy1"), sum(col("y") * col("x1")).as("syx1"),
+        sum(col("y1") * col("y1")).as("sy1y1"), sum(col("y1") * col("x1")).as("sy1x1"),
+        sum(col("x1") * col("x1")).as("sx1x1"))
+    // restricted: y = a + b y1 (the linreg staging)
+    val restricted = s
+      .withColumn("br_e6", expr("(n * syy1 - sy1 * sy) * 1000000 div (n * sy1y1 - sy1 * sy1)"))
+      .withColumn("ar_e6", expr("(sy * 1000000 - cast(br_e6 as decimal(38,0)) * sy1) div n"))
+    // unrestricted: y = a + b y1 + c x1 via Cramer on [n sy1 sx1; sy1 sy1y1 sy1x1; sx1 sy1x1 sx1x1]
+    val det = "(n * (sy1y1 * sx1x1 - sy1x1 * sy1x1) - sy1 * (sy1 * sx1x1 - sy1x1 * sx1) + sx1 * (sy1 * sy1x1 - sy1y1 * sx1))"
+    val detA = "(sy * (sy1y1 * sx1x1 - sy1x1 * sy1x1) - sy1 * (syy1 * sx1x1 - syx1 * sy1x1) + sx1 * (syy1 * sy1x1 - syx1 * sy1y1))"
+    val detB = "(n * (syy1 * sx1x1 - syx1 * sy1x1) - sy * (sy1 * sx1x1 - sy1x1 * sx1) + sx1 * (sy1 * syx1 - syy1 * sx1))"
+    val detC = "(n * (sy1y1 * syx1 - sy1x1 * syy1) - sy1 * (sy1 * syx1 - syy1 * sx1) + sy * (sy1 * sy1x1 - sy1y1 * sx1))"
+    val fit = restricted
+      .withColumn("au_e6", expr(s"$detA * 1000000 div $det"))
+      .withColumn("bu_e6", expr(s"$detB * 1000000 div $det"))
+      .withColumn("cu_e6", expr(s"$detC * 1000000 div $det"))
+    val sse = rows.crossJoin(broadcast(fit))
+      .withColumn("rr", expr("y * 1000000 - ar_e6 - br_e6 * y1"))
+      .withColumn("ru", expr("y * 1000000 - au_e6 - bu_e6 * y1 - cu_e6 * x1"))
+      .groupBy(col("n"))
+      .agg(sum(expr("rr * rr")).as("sser"), sum(expr("ru * ru")).as("sseu"),
+        max(col("br_e6")).as("br_e6"), max(col("bu_e6")).as("bu_e6"),
+        max(col("cu_e6")).as("cu_e6"))
+    sse.select(col("n").cast("long").as("n_pairs"),
+      col("br_e6").cast("long").as("ar_coef_e6"),
+      col("bu_e6").cast("long").as("y_lag_coef_e6"),
+      col("cu_e6").cast("long").as("x_lag_coef_e6"),
+      expr("cast(sser div 1000000 as bigint)").as("sse_r_e6"),
+      expr("cast(sseu div 1000000 as bigint)").as("sse_u_e6"),
+      expr("cast((sser - sseu) * (n - 3) * 1000000 div nullif(sseu, 0) as bigint)")
+        .as("f_e6"))
+  }
+
+  /** Historical-simulation VaR₉₅ and expected shortfall of the
+    * day-over-day change in total purchase spend: losses are the
+    * negated diffs, VaR is the ⌈0.95·n⌉-th smallest loss selected on
+    * the loss-value HISTOGRAM (the [[conformalQ]] selection — never a
+    * row-level sort), and ES is the exact mean of the tail at or above
+    * VaR. Integer cents end to end; one daily aggregate, one d+1
+    * self-join, a bounded histogram walk.
+    */
+  def varEsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(sum(cents(col("value")).cast("long")).as("s"))
+    val losses = daily.as("p")
+      .join(daily.as("c"), col("p.d") + 1 === col("c.d"))
+      .select((col("p.s") - col("c.s")).as("loss"))
+    val w = Window
+      .partitionBy(graft.functions.GraftFunctions.singleton_key(col("loss")))
+      .orderBy(col("loss"))
+    val hist = losses.groupBy(col("loss")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val nk = losses.groupBy().agg(count(lit(1)).as("n"))
+      .withColumn("k", expr("(19 * n + 19) div 20"))
+    val varRow = hist.crossJoin(broadcast(nk))
+      .filter(col("cum") >= col("k"))
+      .groupBy(col("n"), col("k")).agg(min(col("loss")).as("var_cents"))
+    losses.crossJoin(broadcast(varRow))
+      .filter(col("loss") >= col("var_cents"))
+      .groupBy(col("n"), col("k"), col("var_cents"))
+      .agg(count(lit(1)).as("n_tail"), sum(col("loss")).as("tail_sum"))
+      .select(col("n"), col("k"), col("var_cents"), col("n_tail"),
+        expr("tail_sum * 1000000 div n_tail").as("es_cents_e6"))
+  }
+
+  /** Croston's method for the intermittent daily series of big-ticket
+    * purchases (value ≥ $300 — most days see zero): on each demand
+    * day, both the demand-size level ẑ and the inter-demand interval
+    * p̂ update by 1/8 exponential smoothing, and the demand-rate
+    * forecast is ẑ/p̂ — the standard sparse-demand forecaster where
+    * plain exponential smoothing ([[ewmaQ]]) decays wrongly through
+    * the zero runs. The fold carries (ẑ, p̂, gap) as truncated e6
+    * integers over the zero-filled calendar — the [[holtQ]] exact
+    * fixed-point discipline; one filtered daily aggregate, then a
+    * calendar-bounded fold.
+    */
+  def crostonQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val prev = "element_at(acc, -1)"
+    val zNew = s"$prev.z + (e.x * 1000000L - $prev.z) div 8L"
+    val pNew = s"$prev.p + (($prev.gap + 1L) * 1000000L - $prev.p) div 8L"
+    val daily = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("d"),
+        when(col("event_type") === "purchase" && col("value") >= 300.0, 1L)
+          .otherwise(0L).as("dem"))
+      .groupBy(col("d")).agg(sum(col("dem")).as("x"))
+    val spine = daily.groupBy().agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(explode(expr("sequence(d0, d1)")).as("d"))
+    val full = spine.join(daily, Seq("d"), "left")
+      .select(col("d"), coalesce(col("x"), lit(0L)).as("x"))
+    full
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("arr"))
+      .select(explode(expr(
+        s"""aggregate(arr,
+           |  cast(array() as array<struct<d:bigint,x:bigint,z:bigint,p:bigint,gap:bigint>>),
+           |  (acc, e) -> array_append(acc,
+           |    case when size(acc) = 0
+           |      then named_struct('d', e.d, 'x', e.x,
+           |        'z', if(e.x > 0, e.x * 1000000L, 0L),
+           |        'p', 1000000L, 'gap', 0L)
+           |      when e.x = 0
+           |      then named_struct('d', e.d, 'x', e.x, 'z', $prev.z, 'p', $prev.p,
+           |        'gap', $prev.gap + 1L)
+           |      when $prev.z = 0L
+           |      then named_struct('d', e.d, 'x', e.x, 'z', e.x * 1000000L,
+           |        'p', ($prev.gap + 1L) * 1000000L, 'gap', 0L)
+           |      else named_struct('d', e.d, 'x', e.x,
+           |        'z', $zNew,
+           |        'p', $pNew,
+           |        'gap', 0L)
+           |    end))""".stripMargin)).as("r"))
+      .select(col("r.d").as("d"), col("r.x").as("x"),
+        col("r.z").as("level_e6"), col("r.p").as("interval_e6"),
+        expr("cast(r.z * 1000000 div nullif(r.p, 0) as bigint)").as("rate_e6"))
+      .orderBy(col("d"))
   }
 }

@@ -141,7 +141,17 @@ object SoakScale {
     // the token heavy-change counts, the QI-group audit, and the
     // three hop-bounded LOF passes over the replicated embeddings
     "q_cochran_q", "q_cmh", "q_shapley", "q_sax", "q_dtw",
-    "q_changepoint", "q_heavy_change", "q_ldiversity", "q_lof")
+    "q_changepoint", "q_heavy_change", "q_ldiversity", "q_lof",
+    // round 9, session 9d: user-keyed causal reduces (IV, IPW cells,
+    // RDD bandwidth fit), the conformal residual histogram, per-user
+    // Viterbi folds (xN fresh users = xN sequences), calendar-support
+    // detectors/filters (Kalman, Page-Hinkley, Friedman ranks, Hurst
+    // chunks, UCB replay), corpus-pair evals (ROUGE grams, MAP@10
+    // probes over the replicated embeddings), and DBSCAN's label-block
+    // candidate pass + CC over the replicated corpus
+    "q_iv_wald", "q_ipw", "q_conformal", "q_friedman", "q_rdd_sharp",
+    "q_viterbi", "q_kalman", "q_page_hinkley", "q_hurst", "q_ucb",
+    "q_tost", "q_map_at_k", "q_rouge", "q_dbscan")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

@@ -358,6 +358,10 @@ object SparkEntry {
     "q_rdd_sharp" -> (Queries.rddSharpQ _),
     "q_ucb" -> (Queries.ucbQ _),
     "q_dbscan" -> (Queries.dbscanQ _),
+    "q_crosscorr" -> (Queries.crossCorrQ _),
+    "q_granger" -> (Queries.grangerQ _),
+    "q_var_es" -> (Queries.varEsQ _),
+    "q_croston" -> (Queries.crostonQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -669,6 +673,15 @@ object SparkEntry {
     */
   private def normSql(v: String): String =
     s"list_transform($v, x -> x / sqrt(${dotSql(v, v)}))"
+
+  /** 4-bit sign-LSH band code over column `v` from LshPlanes[lo..lo+3]
+    * with LOCAL bit weights — matches Queries.dbscanQ's bandCode.
+    */
+  private def dbscanBand(lo: Int): String =
+    Queries.LshPlanes.slice(lo, lo + 4).zipWithIndex.map { case (pl, p) =>
+      val plLit = "([" + pl.mkString(", ") + "]::DOUBLE[])"
+      s"(CASE WHEN ${dotSql("v", plLit)} > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
 
   /** 3-iteration Lloyd chain over relation `e0` (vec_id, label, v):
     * label-seeded centroids, per-iteration 6dp-rounded means, ends at
@@ -7432,9 +7445,17 @@ object SparkEntry {
          |    i -> CASE WHEN i = 0 THEN v[1] + 0.14 ELSE v[CAST(i AS INT)+1] END)
          |  FROM e WHERE vec_id % 11 = 3),
          |base AS (SELECT vec_id, label, ${normSql("v")} AS v FROM raw),
-         |pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb
-         |  FROM base a JOIN base b ON a.label = b.label AND a.vec_id < b.vec_id
-         |  WHERE ${dotSql("a.v", "b.v")} >= 0.995),
+         |codes AS (SELECT vec_id, label, v, ${dbscanBand(0)} AS c0,
+         |    ${dbscanBand(4)} AS c1 FROM base),
+         |cand AS (SELECT a.vec_id AS va, b.vec_id AS vb
+         |    FROM codes a JOIN codes b
+         |      ON a.label = b.label AND a.c0 = b.c0 AND a.vec_id < b.vec_id
+         |  UNION SELECT a.vec_id, b.vec_id
+         |    FROM codes a JOIN codes b
+         |      ON a.label = b.label AND a.c1 = b.c1 AND a.vec_id < b.vec_id),
+         |pairs AS (SELECT DISTINCT va, vb FROM cand
+         |  JOIN base ba ON cand.va = ba.vec_id JOIN base bb ON cand.vb = bb.vec_id
+         |  WHERE ${dotSql("ba.v", "bb.v")} >= 0.995),
          |deg AS (SELECT v, count(*) AS nn FROM (
          |    SELECT va AS v FROM pairs UNION ALL SELECT vb FROM pairs) u GROUP BY v),
          |core AS (SELECT base.vec_id AS v, coalesce(nn, 0) + 1 >= 3 AS is_core
@@ -7464,5 +7485,124 @@ object SparkEntry {
          |UNION ALL
          |SELECT -1, 0, 0, n_total - n_clustered FROM tot CROSS JOIN ncl
          |ORDER BY cluster_id""".stripMargin,
+
+    // Cross-correlation replay: daily click/purchase counts, the
+    // shifted-day equi-join per lag, sufficient stats, IEEE-sqrt
+    // floored correlation.
+    "q_crosscorr" ->
+      """WITH ev AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    event_type FROM events),
+        |daily AS (SELECT d,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS b
+        |  FROM ev GROUP BY d),
+        |lags AS (SELECT unnest(range(-3, 4)) AS lag),
+        |p AS (SELECT lag, t1.a, t2.b FROM daily t1 CROSS JOIN lags
+        |  JOIN daily t2 ON t2.d = t1.d + lag),
+        |s AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
+        |    CAST(sum(a * b) AS BIGINT) AS sab, CAST(sum(a * a) AS BIGINT) AS saa,
+        |    CAST(sum(b * b) AS BIGINT) AS sbb
+        |  FROM p GROUP BY lag),
+        |c AS (SELECT lag, n_days, n_days * sab - sa * sb AS num,
+        |    n_days * saa - sa * sa AS va, n_days * sbb - sb * sb AS vb FROM s)
+        |SELECT lag, n_days,
+        |  CASE WHEN va = 0 OR vb = 0 THEN 0
+        |    ELSE CAST(floor(1000000.0 * CAST(num AS DOUBLE)
+        |      / (sqrt(CAST(va AS DOUBLE)) * sqrt(CAST(vb AS DOUBLE)))) AS BIGINT) END
+        |    AS corr_e6
+        |FROM c ORDER BY lag""".stripMargin,
+
+    // Granger replay: the daily pair table, restricted AR(1) fit, the
+    // unrestricted 2-lag fit by exact Cramer determinants in HUGEINT,
+    // both SSEs from the truncated coefficients, F at e6.
+    "q_granger" -> {
+      val det = "(n * (sy1y1 * sx1x1 - sy1x1 * sy1x1) - sy1 * (sy1 * sx1x1 - sy1x1 * sx1) + sx1 * (sy1 * sy1x1 - sy1y1 * sx1))"
+      val detA = "(sy * (sy1y1 * sx1x1 - sy1x1 * sy1x1) - sy1 * (syy1 * sx1x1 - syx1 * sy1x1) + sx1 * (syy1 * sy1x1 - syx1 * sy1y1))"
+      val detB = "(n * (syy1 * sx1x1 - syx1 * sy1x1) - sy * (sy1 * sx1x1 - sy1x1 * sx1) + sx1 * (sy1 * syx1 - syy1 * sx1))"
+      val detC = "(n * (sy1y1 * syx1 - sy1x1 * syy1) - sy1 * (sy1 * syx1 - syy1 * sx1) + sy * (sy1 * sy1x1 - sy1y1 * sx1))"
+      s"""WITH ev AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+         |    event_type FROM events),
+         |daily AS (SELECT d,
+         |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+         |  FROM ev GROUP BY d),
+         |r0 AS (SELECT CAST(c.y AS HUGEINT) AS y, CAST(p.y AS HUGEINT) AS y1,
+         |    CAST(p.x AS HUGEINT) AS x1
+         |  FROM daily p JOIN daily c ON p.d + 1 = c.d),
+         |s AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(y) AS sy, sum(y1) AS sy1,
+         |    sum(x1) AS sx1, sum(y * y1) AS syy1, sum(y * x1) AS syx1,
+         |    sum(y1 * y1) AS sy1y1, sum(y1 * x1) AS sy1x1, sum(x1 * x1) AS sx1x1
+         |  FROM r0),
+         |f1 AS (SELECT *, (n * syy1 - sy1 * sy) * 1000000
+         |    // (n * sy1y1 - sy1 * sy1) AS br_e6 FROM s),
+         |f2 AS (SELECT *, (sy * 1000000 - br_e6 * sy1) // n AS ar_e6 FROM f1),
+         |f3 AS (SELECT *,
+         |    $detA * 1000000 // $det AS au_e6,
+         |    $detB * 1000000 // $det AS bu_e6,
+         |    $detC * 1000000 // $det AS cu_e6 FROM f2),
+         |sse AS (SELECT n, br_e6, bu_e6, cu_e6,
+         |    sum((y * 1000000 - ar_e6 - br_e6 * y1) * (y * 1000000 - ar_e6 - br_e6 * y1))
+         |      AS sser,
+         |    sum((y * 1000000 - au_e6 - bu_e6 * y1 - cu_e6 * x1)
+         |      * (y * 1000000 - au_e6 - bu_e6 * y1 - cu_e6 * x1)) AS sseu
+         |  FROM r0 CROSS JOIN f3 GROUP BY n, br_e6, bu_e6, cu_e6)
+         |SELECT CAST(n AS BIGINT) AS n_pairs, CAST(br_e6 AS BIGINT) AS ar_coef_e6,
+         |  CAST(bu_e6 AS BIGINT) AS y_lag_coef_e6, CAST(cu_e6 AS BIGINT) AS x_lag_coef_e6,
+         |  CAST(sser // 1000000 AS BIGINT) AS sse_r_e6,
+         |  CAST(sseu // 1000000 AS BIGINT) AS sse_u_e6,
+         |  CAST((sser - sseu) * (n - 3) * 1000000 // nullif(sseu, 0) AS BIGINT) AS f_e6
+         |FROM sse""".stripMargin
+    },
+
+    // VaR/ES replay: day-over-day spend diffs, histogram-selected
+    // 95th-percentile loss, exact tail mean.
+    "q_var_es" ->
+      """WITH daily AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS s
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |losses AS (SELECT p.s - c.s AS loss FROM daily p JOIN daily c ON p.d + 1 = c.d),
+        |hist AS (SELECT loss, count(*) AS cnt FROM losses GROUP BY loss),
+        |cum AS (SELECT loss, sum(cnt) OVER (ORDER BY loss
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM hist),
+        |nk AS (SELECT count(*) AS n, (19 * count(*) + 19) // 20 AS k FROM losses),
+        |vr AS (SELECT n, k, min(loss) AS var_cents
+        |  FROM cum CROSS JOIN nk WHERE cum >= k GROUP BY n, k)
+        |SELECT n, k, var_cents, CAST(count(*) AS BIGINT) AS n_tail,
+        |  CAST(CAST(sum(loss) AS HUGEINT) * 1000000 // count(*) AS BIGINT) AS es_cents_e6
+        |FROM losses CROSS JOIN vr WHERE loss >= var_cents
+        |GROUP BY n, k, var_cents""".stripMargin,
+
+    // Croston replay: zero-filled calendar, the recursive chain with
+    // the three-way (zero day / first demand / smoothing) update.
+    "q_croston" ->
+      """WITH RECURSIVE daily0 AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' AND value >= 300.0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |sp AS (SELECT unnest(range(d0, d1 + 1)) AS d
+        |  FROM (SELECT min(d) AS d0, max(d) AS d1 FROM daily0)),
+        |f AS (SELECT sp.d, coalesce(daily0.x, 0) AS x
+        |  FROM sp LEFT JOIN daily0 ON sp.d = daily0.d),
+        |d2 AS (SELECT d, x, row_number() OVER (ORDER BY d) AS rn FROM f),
+        |r AS (
+        |  SELECT rn, d, x, CASE WHEN x > 0 THEN x * 1000000
+        |      ELSE CAST(0 AS BIGINT) END AS z,
+        |    CAST(1000000 AS BIGINT) AS p, CAST(0 AS BIGINT) AS gap
+        |  FROM d2 WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d2.rn, d2.d, d2.x,
+        |    CASE WHEN d2.x = 0 THEN r.z
+        |         WHEN r.z = 0 THEN d2.x * 1000000
+        |         ELSE r.z + (d2.x * 1000000 - r.z) // 8 END,
+        |    CASE WHEN d2.x = 0 THEN r.p
+        |         WHEN r.z = 0 THEN (r.gap + 1) * 1000000
+        |         ELSE r.p + ((r.gap + 1) * 1000000 - r.p) // 8 END,
+        |    CASE WHEN d2.x = 0 THEN r.gap + 1 ELSE 0 END
+        |  FROM r JOIN d2 ON d2.rn = r.rn + 1)
+        |SELECT d, x, CAST(z AS BIGINT) AS level_e6, CAST(p AS BIGINT) AS interval_e6,
+        |  CAST(z * 1000000 // nullif(p, 0) AS BIGINT) AS rate_e6
+        |FROM r ORDER BY d""".stripMargin,
   )
 }
