@@ -9261,4 +9261,153 @@ object Queries {
         expr("cast(r.z * 1000000 div nullif(r.p, 0) as bigint)").as("rate_e6"))
       .orderBy(col("d"))
   }
+
+  /** Durbin-Watson autocorrelation diagnostic on the residuals of the
+    * OLS time trend of daily purchase volume: the trend fit is
+    * [[linregQ]]'s exact sufficient-statistics solve (coefficients
+    * truncated at e6), residuals are then exact decimal(38,0)
+    * integers, and DW = Σ(r_t − r_{t−1})²/Σr_t² lands at e6 by
+    * integral division — no float anywhere. The lag is a d+1
+    * self-join of the calendar-bounded residual table; the fit rides
+    * a 1-row broadcast.
+    */
+  def durbinWatsonQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(count(lit(1)).as("x"))
+    val d0 = daily.groupBy().agg(min(col("d")).as("d0"))
+    val tx = daily.crossJoin(broadcast(d0))
+      .select((col("d") - col("d0")).cast(d38).as("t"), col("x").cast(d38).as("x"))
+    val fit = tx.groupBy()
+      .agg(count(lit(1)).cast(d38).as("n"), sum(col("t")).as("st"),
+        sum(col("x")).as("sx"), sum(col("t") * col("t")).as("stt"),
+        sum(col("t") * col("x")).as("stx"))
+      .withColumn("b_e6", expr("(n * stx - st * sx) * 1000000 div (n * stt - st * st)"))
+      .withColumn("a_e6",
+        expr("(sx * 1000000 - cast(b_e6 as decimal(38,0)) * st) div n"))
+    val r = tx.crossJoin(broadcast(fit.select(col("a_e6"), col("b_e6"))))
+      .select(col("t"),
+        expr("x * 1000000 - a_e6 - cast(b_e6 as decimal(38,0)) * t").as("r"))
+    val num = r.as("p").join(r.as("c"), col("p.t") + 1 === col("c.t"))
+      .groupBy().agg(sum(expr("(c.r - p.r) * (c.r - p.r)")).as("sd2"))
+    r.groupBy().agg(count(lit(1)).as("n_days"), sum(expr("r * r")).as("se2"))
+      .crossJoin(broadcast(num))
+      .crossJoin(broadcast(fit.select(col("b_e6"))))
+      .select(col("n_days"), col("b_e6").cast("long").as("slope_e6"),
+        expr("cast(sd2 * 1000000 div se2 as bigint)").as("dw_e6"))
+  }
+
+  /** Ljung-Box portmanteau test on the daily click series: are the
+    * first 7 autocorrelations jointly zero? Per-lag ρ_k reuses
+    * [[acfQ]]'s fraction-free device (deviations scaled by n, so
+    * numerator and denominator are exact integers); the statistic
+    * Q_m = n(n+2)·Σ_{k≤m} ρ_k²/(n−k) accumulates the e6-truncated
+    * ρ's over the 7-row lag table (a singleton-key window over a
+    * lag-bounded support). One daily aggregate, one 7-lag spine join.
+    */
+  def ljungBoxQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val daily = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint(true)
+    val g = daily.groupBy().agg(count(lit(1)).cast(d38).as("n"),
+      sum(col("x")).cast(d38).as("s"),
+      sum(col("x").cast(d38) * col("x")).as("sxx"))
+    val spine = broadcast(
+      daily.sparkSession.range(1, 8).select(col("id").as("lag")))
+    val rho = daily.select(col("d"), col("x").as("xa")).crossJoin(spine)
+      .join(daily.select(col("d").as("db"), col("x").as("xb")),
+        col("db") === col("d") + col("lag"))
+      .crossJoin(broadcast(g))
+      .groupBy(col("lag"), col("n"), col("s"), col("sxx"))
+      .agg(sum((expr("n * xa - s")) * (expr("n * xb - s"))).as("ck"))
+      .withColumn("rho_e6", expr("ck * 1000000 div (n * sxx - s * s)"))
+    val w = Window
+      .partitionBy(graft.functions.GraftFunctions.singleton_key(col("lag")))
+      .orderBy(col("lag")).rowsBetween(Window.unboundedPreceding, 0)
+    rho
+      .withColumn("cum", sum(expr("rho_e6 * rho_e6 div (n - lag)")).over(w))
+      .select(col("lag"), col("n").cast("long").as("n_days"),
+        col("rho_e6").cast("long").as("rho_e6"),
+        expr("cast(n * (n + 2) * cum div 1000000 as bigint)").as("q_e6"))
+      .orderBy(col("lag"))
+  }
+
+  /** Wald-Wolfowitz runs test for randomness of the daily event
+    * volume around its median: days are signed above/below the exact
+    * median (2×-median trick; ties dropped), the run count is
+    * 1 + sign changes over the ordered days, and the SIGNED SQUARED
+    * z-statistic (R−E)²(N−1)/(2n₁n₂(2n₁n₂−N)) with sign(R−E) is an
+    * exact rational at e6 — no sqrt, no float. Calendar-bounded
+    * throughout; the sign-change count is an rn+1 self-join.
+    */
+  def runsTestQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(count(lit(1)).as("x"))
+    val med = daily.groupBy()
+      .agg(expr("cast(2 * percentile(x, 0.5) as bigint)").as("m2"))
+    val w = Window
+      .partitionBy(graft.functions.GraftFunctions.singleton_key(col("d")))
+      .orderBy(col("d"))
+    val signed = daily.crossJoin(broadcast(med))
+      .filter(expr("2 * x <> m2"))
+      .select(col("d"), expr("if(2 * x > m2, 1L, 0L)").as("s"))
+      .withColumn("rn", row_number().over(w))
+      .localCheckpoint(true)
+    val chg = signed.as("p").join(signed.as("c"), col("p.rn") + 1 === col("c.rn"))
+      .groupBy().agg(sum(expr("if(p.s <> c.s, 1L, 0L)")).as("changes"))
+    signed.groupBy()
+      .agg(sum(col("s")).as("n1"), sum(lit(1L) - col("s")).as("n2"))
+      .crossJoin(broadcast(chg))
+      .withColumn("runs", col("changes") + 1)
+      .withColumn("nn", col("n1") + col("n2"))
+      .withColumn("num", expr("runs * nn - 2 * n1 * n2 - nn"))
+      .select(col("n1"), col("n2"), col("runs"),
+        expr("""cast(sign(num) * (num * num * (nn - 1) * 1000000
+                div (2 * n1 * n2 * (2 * n1 * n2 - nn))) as bigint)""")
+          .as("z2_signed_e6"))
+  }
+
+  /** Kendall's τ-b rank correlation between daily click and purchase
+    * volumes — the concordance twin of [[spearmanQ]], exact to the
+    * last bit: concordant/discordant pair counts come from the
+    * calendar-bounded d₁<d₂ self-join (the day table never grows with
+    * corpus size, so the quadratic is bounded by the calendar), tie
+    * corrections from per-value count-of-counts, and τ_b divides the
+    * exact integer C−D by the floored product of the two sqrt terms
+    * ([[spearmanQ]]'s denominator rule).
+    */
+  def kendallTauQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      .localCheckpoint(true)
+    val cd = daily.as("a").join(daily.as("b"), col("a.d") < col("b.d"))
+      .select((expr("sign(a.x - b.x) * sign(a.y - b.y)")).as("sgn"))
+      .groupBy()
+      .agg(sum(expr("if(sgn > 0, 1L, 0L)")).as("conc"),
+        sum(expr("if(sgn < 0, 1L, 0L)")).as("disc"))
+    def tieSum(c: String): DataFrame = daily.groupBy(col(c).as("v"))
+      .agg(count(lit(1)).as("ct"))
+      .groupBy().agg(coalesce(sum(expr("ct * (ct - 1) div 2")), lit(0L)).as(s"t$c"))
+    daily.groupBy().agg(count(lit(1)).as("n_days"))
+      .withColumn("n0", expr("n_days * (n_days - 1) div 2"))
+      .crossJoin(broadcast(cd))
+      .crossJoin(broadcast(tieSum("x")))
+      .crossJoin(broadcast(tieSum("y")))
+      .select(col("n_days"), col("conc").as("concordant"), col("disc").as("discordant"),
+        expr(s"""cast((conc - disc) * 1000000
+                 div cast(floor(sqrt(cast(n0 - tx as double))
+                              * sqrt(cast(n0 - ty as double)))
+                          as decimal(38,0)) as bigint)""").as("tau_b_e6"))
+  }
 }

@@ -362,6 +362,10 @@ object SparkEntry {
     "q_granger" -> (Queries.grangerQ _),
     "q_var_es" -> (Queries.varEsQ _),
     "q_croston" -> (Queries.crostonQ _),
+    "q_durbin_watson" -> (Queries.durbinWatsonQ _),
+    "q_ljung_box" -> (Queries.ljungBoxQ _),
+    "q_runs_test" -> (Queries.runsTestQ _),
+    "q_kendall_tau" -> (Queries.kendallTauQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -7604,5 +7608,92 @@ object SparkEntry {
         |SELECT d, x, CAST(z AS BIGINT) AS level_e6, CAST(p AS BIGINT) AS interval_e6,
         |  CAST(z * 1000000 // nullif(p, 0) AS BIGINT) AS rate_e6
         |FROM r ORDER BY d""".stripMargin,
+
+    // Durbin-Watson replay: exact OLS trend fit, e6-truncated
+    // coefficients, integer residuals, d+1 lag self-join.
+    "q_durbin_watson" ->
+      """WITH daily AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |tx AS (SELECT CAST(d - (SELECT min(d) FROM daily) AS HUGEINT) AS t,
+        |    CAST(x AS HUGEINT) AS x FROM daily),
+        |s AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(t) AS st, sum(x) AS sx,
+        |    sum(t * t) AS stt, sum(t * x) AS stx FROM tx),
+        |fit AS (SELECT *, (n * stx - st * sx) * 1000000 // (n * stt - st * st) AS b_e6
+        |  FROM s),
+        |fit2 AS (SELECT *, (sx * 1000000 - b_e6 * st) // n AS a_e6 FROM fit),
+        |r AS (SELECT t, x * 1000000 - a_e6 - b_e6 * t AS r FROM tx CROSS JOIN fit2),
+        |num AS (SELECT sum((c.r - p.r) * (c.r - p.r)) AS sd2
+        |  FROM r p JOIN r c ON p.t + 1 = c.t)
+        |SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(max(b_e6) AS BIGINT) AS slope_e6,
+        |  CAST(max(sd2) * 1000000 // sum(r * r) AS BIGINT) AS dw_e6
+        |FROM r CROSS JOIN num CROSS JOIN fit2""".stripMargin,
+
+    // Ljung-Box replay: fraction-free ACF at lags 1..7, cumulative Q
+    // over the e6-truncated rho's.
+    "q_ljung_box" ->
+      """WITH daily AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |g AS (SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(x) AS HUGEINT) AS s,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx FROM daily),
+        |lags AS (SELECT unnest(range(1, 8)) AS lag),
+        |rho AS (SELECT lag, n, s, sxx,
+        |    sum((n * a.x - s) * (n * b.x - s)) AS ck,
+        |    sum((n * a.x - s) * (n * b.x - s)) * 1000000
+        |      // (n * sxx - s * s) AS rho_e6
+        |  FROM daily a CROSS JOIN lags JOIN daily b ON b.d = a.d + lag
+        |  CROSS JOIN g GROUP BY lag, n, s, sxx)
+        |SELECT lag, CAST(n AS BIGINT) AS n_days, CAST(rho_e6 AS BIGINT) AS rho_e6,
+        |  CAST(n * (n + 2) * sum(rho_e6 * rho_e6 // (n - lag)) OVER (ORDER BY lag
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) // 1000000
+        |    AS BIGINT) AS q_e6
+        |FROM rho ORDER BY lag""".stripMargin,
+
+    // Runs-test replay: 2x-median signs, rn+1 sign-change join, exact
+    // signed squared z.
+    "q_runs_test" ->
+      """WITH daily AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |med AS (SELECT CAST(2 * quantile_cont(x, 0.5) AS BIGINT) AS m2 FROM daily),
+        |signed AS (SELECT d, CASE WHEN 2 * x > m2 THEN 1 ELSE 0 END AS s,
+        |    row_number() OVER (ORDER BY d) AS rn
+        |  FROM daily CROSS JOIN med WHERE 2 * x <> m2),
+        |chg AS (SELECT sum(CASE WHEN p.s <> c.s THEN 1 ELSE 0 END) AS changes
+        |  FROM signed p JOIN signed c ON p.rn + 1 = c.rn),
+        |agg AS (SELECT CAST(sum(s) AS BIGINT) AS n1,
+        |    CAST(sum(1 - s) AS BIGINT) AS n2 FROM signed),
+        |st AS (SELECT n1, n2, changes + 1 AS runs, n1 + n2 AS nn,
+        |    (changes + 1) * (n1 + n2) - 2 * n1 * n2 - (n1 + n2) AS num
+        |  FROM agg CROSS JOIN chg)
+        |SELECT n1, n2, CAST(runs AS BIGINT) AS runs,
+        |  CAST(sign(num) * (num * num * (nn - 1) * 1000000
+        |    // (2 * n1 * n2 * (2 * n1 * n2 - nn))) AS BIGINT) AS z2_signed_e6
+        |FROM st""".stripMargin,
+
+    // Kendall tau-b replay: calendar-bounded pair scan, tie-corrected
+    // denominator with the floored sqrt-product rule.
+    "q_kendall_tau" ->
+      """WITH daily AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |cd AS (SELECT
+        |    CAST(sum(CASE WHEN sign(a.x - b.x) * sign(a.y - b.y) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+        |    CAST(sum(CASE WHEN sign(a.x - b.x) * sign(a.y - b.y) < 0 THEN 1 ELSE 0 END) AS BIGINT) AS disc
+        |  FROM daily a JOIN daily b ON a.d < b.d),
+        |tx AS (SELECT coalesce(CAST(sum(ct * (ct - 1) // 2) AS BIGINT), 0) AS tx
+        |  FROM (SELECT count(*) AS ct FROM daily GROUP BY x)),
+        |ty AS (SELECT coalesce(CAST(sum(ct * (ct - 1) // 2) AS BIGINT), 0) AS ty
+        |  FROM (SELECT count(*) AS ct FROM daily GROUP BY y)),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |    count(*) * (count(*) - 1) // 2 AS n0 FROM daily)
+        |SELECT n_days, conc AS concordant, disc AS discordant,
+        |  CAST((conc - disc) * 1000000
+        |    // CAST(floor(sqrt(CAST(n0 - tx AS DOUBLE))
+        |                * sqrt(CAST(n0 - ty AS DOUBLE))) AS HUGEINT) AS BIGINT)
+        |    AS tau_b_e6
+        |FROM nn CROSS JOIN cd CROSS JOIN tx CROSS JOIN ty""".stripMargin,
   )
 }
