@@ -9410,4 +9410,184 @@ object Queries {
                               * sqrt(cast(n0 - ty as double)))
                           as decimal(38,0)) as bigint)""").as("tau_b_e6"))
   }
+
+  /** Jarque-Bera normality test of the daily event volume: skewness
+    * and excess kurtosis from EXACT central power sums (deviations
+    * scaled by n, so A=Σd², B=Σd³, C=Σd⁴ are decimal(38,0) integers),
+    * kurtosis as an exact e6 rational, skewness and JB itself as the
+    * identical IEEE double expression floored at e6 on both engines
+    * (the [[crossCorrQ]] rule — all float inputs are exact integers).
+    * One daily aggregate, one 1-row broadcast, one deviation pass.
+    */
+  def jarqueBeraQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(count(lit(1)).as("x"))
+    val g = daily.groupBy().agg(count(lit(1)).cast(d38).as("n"),
+      sum(col("x")).cast(d38).as("s"))
+    val p = daily.crossJoin(broadcast(g))
+      .select(col("n"), expr("cast(n * x - s as decimal(38,0))").as("dv"))
+      .groupBy(col("n"))
+      .agg(sum(expr("dv * dv")).as("a"), sum(expr("dv * dv * dv")).as("b"),
+        sum(expr("dv * dv * dv * dv")).as("c"))
+    p.select(col("n").cast("long").as("n_days"),
+      expr("""cast(floor(1000000.0 * cast(b as double)
+              / (cast(a as double) * sqrt(cast(a as double)))
+              * sqrt(cast(n as double))) as bigint)""").as("skew_e6"),
+      expr("cast((c * n - 3 * a * a) * 1000000 div (a * a) as bigint)")
+        .as("kurt_excess_e6"),
+      expr("""cast(floor(1000000.0 * cast(n as double) / 6.0
+              * (cast(b as double) * cast(b as double) * cast(n as double)
+                 / (cast(a as double) * cast(a as double) * cast(a as double))
+               + (cast(c as double) * cast(n as double)
+                  - 3.0 * cast(a as double) * cast(a as double))
+                 * (cast(c as double) * cast(n as double)
+                    - 3.0 * cast(a as double) * cast(a as double))
+                 / (4.0 * cast(a as double) * cast(a as double)
+                    * cast(a as double) * cast(a as double)))) as bigint)""")
+        .as("jb_e6"))
+  }
+
+  /** Grubbs' outlier statistic for the daily event volume: the most
+    * extreme day's |x−x̄|/s, with the deviation kept exact (n-scaled)
+    * and only the final G = M·√(n−1)/√A floored at e6 from exact
+    * integer inputs. Ties on |deviation| resolve to the earliest day.
+    * One daily aggregate, one deviation pass, one 1-row argmax join.
+    */
+  def grubbsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(count(lit(1)).as("x"))
+    val g = daily.groupBy().agg(count(lit(1)).cast(d38).as("n"),
+      sum(col("x")).cast(d38).as("s"))
+    val dev = daily.crossJoin(broadcast(g))
+      .select(col("d"), col("x"), col("n"),
+        abs(expr("cast(n * x - s as decimal(38,0))")).as("ad"))
+      .localCheckpoint(true)
+    val top = dev.groupBy(col("n"))
+      .agg(max(col("ad")).as("m"), sum(expr("ad * ad")).as("a"))
+    dev.join(broadcast(top), "n")
+      .filter(col("ad") === col("m"))
+      .groupBy(col("n"), col("m"), col("a"))
+      .agg(min(struct(col("d"), col("x"))).as("peak"))
+      .select(col("n").cast("long").as("n_days"),
+        col("peak.d").as("outlier_day"), col("peak.x").as("x"),
+        expr("""cast(floor(1000000.0 * cast(m as double)
+                * sqrt(cast(n as double) - 1.0)
+                / sqrt(cast(a as double))) as bigint)""").as("g_e6"))
+  }
+
+  /** Cohen's d and Cliff's delta between weekday and weekend purchase
+    * spend — the parametric and ordinal effect sizes behind every
+    * "is the difference MEANINGFUL?" question that a bare p-value
+    * ([[welchTtestQ]], [[mannWhitneyQ]]) can't answer. Cohen's d
+    * floors the identical IEEE expression over exact per-group
+    * sufficient statistics; Cliff's delta is EXACT via the doubled
+    * midrank device on the cents-value support table (δ = 2U₁/n₁n₂−1,
+    * never a pairwise join). One fact scan; everything downstream is
+    * support-bounded.
+    */
+  def effectSizeQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(expr("if((unix_micros(ts) div 86400000000 + 4) % 7 >= 5, 1L, 0L)")
+        .as("g"), cents(col("value")).cast("long").as("v"))
+      .localCheckpoint(true)
+    val stats = ev.groupBy(col("g"))
+      .agg(count(lit(1)).cast(d38).as("n"), sum(col("v").cast(d38)).as("s"),
+        sum(col("v").cast(d38) * col("v")).as("ssq"))
+    val wide = stats.groupBy()
+      .agg(max(when(col("g") === 1, col("n"))).as("n1"),
+        max(when(col("g") === 0, col("n"))).as("n2"),
+        max(when(col("g") === 1, col("s"))).as("s1"),
+        max(when(col("g") === 0, col("s"))).as("s2"),
+        max(when(col("g") === 1, col("ssq"))).as("q1"),
+        max(when(col("g") === 0, col("ssq"))).as("q2"))
+    // doubled-midrank support walk: rank2(v) = 2·(#smaller) + ct + 1
+    val sup = ev.groupBy(col("v"))
+      .agg(count(lit(1)).as("ct"), sum(col("g")).as("ct1"))
+    val w = Window
+      .partitionBy(graft.functions.GraftFunctions.singleton_key(col("v")))
+      .orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)
+    val r12 = sup.withColumn("lt", coalesce(sum(col("ct")).over(w), lit(0L)))
+      .select((col("ct1").cast(d38) * (lit(2) * col("lt") + col("ct") + 1)).as("t"))
+      .groupBy().agg(sum(col("t")).as("r1_2"))
+    wide.crossJoin(broadcast(r12))
+      .select(col("n1").cast("long").as("n_weekend"),
+        col("n2").cast("long").as("n_weekday"),
+        expr("""cast(floor(1000000.0 *
+                (cast(s1 as double) / cast(n1 as double)
+                 - cast(s2 as double) / cast(n2 as double))
+                / sqrt(((cast(n1 * q1 - s1 * s1 as double) / cast(n1 as double))
+                      + (cast(n2 * q2 - s2 * s2 as double) / cast(n2 as double)))
+                     / cast(n1 + n2 - 2 as double))) as bigint)""")
+          .as("cohens_d_e6"),
+        expr("""cast((r1_2 - n1 * (n1 + 1)) * 1000000 div (n1 * n2) - 1000000
+                as bigint)""").as("cliffs_delta_e6"))
+  }
+
+  /** Variance-ratio F test between weekday and weekend purchase spend:
+    * F = s₁²/s₂² is an EXACT rational of the per-group sufficient
+    * statistics — (n₁·Σx²−(Σx)²)·n₂(n₂−1) over the mirror term —
+    * truncated at e6 by one integral division. The one fact scan
+    * partial-aggregates into 2 rows; nothing else touches data.
+    */
+  def fTestQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val stats = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(expr("if((unix_micros(ts) div 86400000000 + 4) % 7 >= 5, 1L, 0L)")
+        .as("g"), cents(col("value")).cast("long").as("v"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).cast(d38).as("n"), sum(col("v").cast(d38)).as("s"),
+        sum(col("v").cast(d38) * col("v")).as("ssq"))
+    stats.groupBy()
+      .agg(max(when(col("g") === 1, col("n"))).as("n1"),
+        max(when(col("g") === 0, col("n"))).as("n2"),
+        max(when(col("g") === 1, expr("n * ssq - s * s"))).as("v1"),
+        max(when(col("g") === 0, expr("n * ssq - s * s"))).as("v2"))
+      .select(col("n1").cast("long").as("n_weekend"),
+        col("n2").cast("long").as("n_weekday"),
+        expr("cast(v1 * n2 * (n2 - 1) * 1000000 div (v2 * n1 * (n1 - 1)) as bigint)")
+          .as("f_e6"))
+  }
+
+  /** Mood's median test across the five event types: does any type's
+    * value distribution sit above or below the others? Counts above
+    * the grand median (exact 2×-median gate, ties excluded) feed the
+    * k×2 chi² with per-cell quantization: each cell's
+    * (O·N−row·col)²·10⁶ div (N·row·col) truncates identically on both
+    * engines before the sum (documented quantization, [[seasonalityQ]]
+    * discipline). One fact scan into a 5-row table.
+    */
+  def moodMedianQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), cents(col("value")).cast("long").as("v"))
+      .localCheckpoint(true)
+    val med = ev.groupBy()
+      .agg(expr("cast(2 * percentile(v, 0.5) as bigint)").as("m2"))
+    val cells = ev.crossJoin(broadcast(med))
+      .filter(expr("2 * v <> m2"))
+      .groupBy(col("event_type"))
+      .agg(sum(expr("if(2 * v > m2, 1L, 0L)")).as("above"),
+        sum(expr("if(2 * v < m2, 1L, 0L)")).as("below"))
+      .localCheckpoint(true)
+    val tot = cells.groupBy()
+      .agg(sum(col("above")).as("ca"), sum(col("below")).as("cb"),
+        sum(col("above") + col("below")).as("nn"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("rw", expr("cast(above + below as decimal(38,0))"))
+      .withColumn("da", expr("cast(above as decimal(38,0)) * nn - rw * ca"))
+      .withColumn("db", expr("cast(below as decimal(38,0)) * nn - rw * cb"))
+      .withColumn("chi2_cell_e6", expr(
+        """cast(  da * da * 1000000 div (cast(nn as decimal(38,0)) * rw * ca)
+                + db * db * 1000000 div (cast(nn as decimal(38,0)) * rw * cb)
+           as bigint)"""))
+      .select(col("event_type"), col("above"), col("below"), col("chi2_cell_e6"))
+      .orderBy(col("event_type"))
+  }
 }

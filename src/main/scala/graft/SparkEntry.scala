@@ -366,6 +366,11 @@ object SparkEntry {
     "q_ljung_box" -> (Queries.ljungBoxQ _),
     "q_runs_test" -> (Queries.runsTestQ _),
     "q_kendall_tau" -> (Queries.kendallTauQ _),
+    "q_jarque_bera" -> (Queries.jarqueBeraQ _),
+    "q_grubbs" -> (Queries.grubbsQ _),
+    "q_effect_size" -> (Queries.effectSizeQ _),
+    "q_f_test" -> (Queries.fTestQ _),
+    "q_mood_median" -> (Queries.moodMedianQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -7695,5 +7700,122 @@ object SparkEntry {
         |                * sqrt(CAST(n0 - ty AS DOUBLE))) AS HUGEINT) AS BIGINT)
         |    AS tau_b_e6
         |FROM nn CROSS JOIN cd CROSS JOIN tx CROSS JOIN ty""".stripMargin,
+
+    // Jarque-Bera replay: exact central power sums, identical IEEE
+    // double formula floored at e6.
+    "q_jarque_bera" ->
+      """WITH daily AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |g AS (SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(x) AS HUGEINT) AS s
+        |  FROM daily),
+        |p AS (SELECT n, sum(dv * dv) AS a, sum(dv * dv * dv) AS b,
+        |    sum(dv * dv * dv * dv) AS c
+        |  FROM (SELECT n, n * x - s AS dv FROM daily CROSS JOIN g) GROUP BY n)
+        |SELECT CAST(n AS BIGINT) AS n_days,
+        |  CAST(floor(1000000.0 * CAST(b AS DOUBLE)
+        |    / (CAST(a AS DOUBLE) * sqrt(CAST(a AS DOUBLE)))
+        |    * sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS skew_e6,
+        |  CAST((c * n - 3 * a * a) * 1000000 // (a * a) AS BIGINT)
+        |    AS kurt_excess_e6,
+        |  CAST(floor(1000000.0 * CAST(n AS DOUBLE) / 6.0
+        |    * (CAST(b AS DOUBLE) * CAST(b AS DOUBLE) * CAST(n AS DOUBLE)
+        |       / (CAST(a AS DOUBLE) * CAST(a AS DOUBLE) * CAST(a AS DOUBLE))
+        |     + (CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+        |        - 3.0 * CAST(a AS DOUBLE) * CAST(a AS DOUBLE))
+        |       * (CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+        |          - 3.0 * CAST(a AS DOUBLE) * CAST(a AS DOUBLE))
+        |       / (4.0 * CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+        |          * CAST(a AS DOUBLE) * CAST(a AS DOUBLE)))) AS BIGINT) AS jb_e6
+        |FROM p""".stripMargin,
+
+    // Grubbs replay: exact n-scaled deviations, earliest argmax day,
+    // G = M*sqrt(n-1)/sqrt(A) floored at e6.
+    "q_grubbs" ->
+      """WITH daily AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |g AS (SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(x) AS HUGEINT) AS s
+        |  FROM daily),
+        |dev AS (SELECT d, x, n, abs(n * x - s) AS ad FROM daily CROSS JOIN g),
+        |top AS (SELECT n, max(ad) AS m, sum(ad * ad) AS a FROM dev GROUP BY n),
+        |pk AS (SELECT dev.n, m, a, min(d) AS outlier_day
+        |  FROM dev JOIN top ON dev.n = top.n AND dev.ad = top.m
+        |  GROUP BY dev.n, m, a)
+        |SELECT CAST(pk.n AS BIGINT) AS n_days, outlier_day, daily.x,
+        |  CAST(floor(1000000.0 * CAST(m AS DOUBLE)
+        |    * sqrt(CAST(pk.n AS DOUBLE) - 1.0)
+        |    / sqrt(CAST(a AS DOUBLE))) AS BIGINT) AS g_e6
+        |FROM pk JOIN daily ON daily.d = pk.outlier_day""".stripMargin,
+
+    // Effect-size replay: exact per-group stats for Cohen's d (same
+    // IEEE formula), doubled-midrank support walk for Cliff's delta.
+    "q_effect_size" ->
+      """WITH ev AS (SELECT CASE WHEN (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+        |      + 4) % 7 >= 5 THEN 1 ELSE 0 END AS g,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |stats AS (SELECT g, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(v) AS HUGEINT) AS s, CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS ssq
+        |  FROM ev GROUP BY g),
+        |wide AS (SELECT max(CASE WHEN g = 1 THEN n END) AS n1,
+        |    max(CASE WHEN g = 0 THEN n END) AS n2,
+        |    max(CASE WHEN g = 1 THEN s END) AS s1,
+        |    max(CASE WHEN g = 0 THEN s END) AS s2,
+        |    max(CASE WHEN g = 1 THEN ssq END) AS q1,
+        |    max(CASE WHEN g = 0 THEN ssq END) AS q2 FROM stats),
+        |sup AS (SELECT v, count(*) AS ct, sum(g) AS ct1 FROM ev GROUP BY v),
+        |rk AS (SELECT ct1, 2 * coalesce(sum(ct) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + ct + 1 AS r2
+        |  FROM sup),
+        |r12 AS (SELECT CAST(sum(CAST(ct1 AS HUGEINT) * r2) AS HUGEINT) AS r1_2 FROM rk)
+        |SELECT CAST(n1 AS BIGINT) AS n_weekend, CAST(n2 AS BIGINT) AS n_weekday,
+        |  CAST(floor(1000000.0 *
+        |    (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |     - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        |    / sqrt(((CAST(n1 * q1 - s1 * s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |          + (CAST(n2 * q2 - s2 * s2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+        |         / CAST(n1 + n2 - 2 AS DOUBLE))) AS BIGINT) AS cohens_d_e6,
+        |  CAST((r1_2 - n1 * (n1 + 1)) * 1000000 // (n1 * n2) - 1000000 AS BIGINT)
+        |    AS cliffs_delta_e6
+        |FROM wide CROSS JOIN r12""".stripMargin,
+
+    // F-test replay: exact variance-ratio rational at e6.
+    "q_f_test" ->
+      """WITH stats AS (SELECT CASE WHEN (epoch_us(CAST(ts AS TIMESTAMP))
+        |      // 86400000000 + 4) % 7 >= 5 THEN 1 ELSE 0 END AS g,
+        |    CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS HUGEINT) AS s,
+        |    CAST(sum(CAST(CAST(round(value * 100, 0) AS BIGINT) AS HUGEINT)
+        |      * CAST(round(value * 100, 0) AS BIGINT)) AS HUGEINT) AS ssq
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |wide AS (SELECT max(CASE WHEN g = 1 THEN n END) AS n1,
+        |    max(CASE WHEN g = 0 THEN n END) AS n2,
+        |    max(CASE WHEN g = 1 THEN n * ssq - s * s END) AS v1,
+        |    max(CASE WHEN g = 0 THEN n * ssq - s * s END) AS v2 FROM stats)
+        |SELECT CAST(n1 AS BIGINT) AS n_weekend, CAST(n2 AS BIGINT) AS n_weekday,
+        |  CAST(v1 * n2 * (n2 - 1) * 1000000 // (v2 * n1 * (n1 - 1)) AS BIGINT)
+        |    AS f_e6
+        |FROM wide""".stripMargin,
+
+    // Mood's median replay: 2x-median gate, per-cell truncated chi2.
+    "q_mood_median" ->
+      """WITH ev AS (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS v
+        |  FROM events),
+        |med AS (SELECT CAST(2 * quantile_cont(v, 0.5) AS BIGINT) AS m2 FROM ev),
+        |cells AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN 2 * v > m2 THEN 1 ELSE 0 END) AS BIGINT) AS above,
+        |    CAST(sum(CASE WHEN 2 * v < m2 THEN 1 ELSE 0 END) AS BIGINT) AS below
+        |  FROM ev CROSS JOIN med WHERE 2 * v <> m2 GROUP BY event_type),
+        |tot AS (SELECT CAST(sum(above) AS HUGEINT) AS ca,
+        |    CAST(sum(below) AS HUGEINT) AS cb,
+        |    CAST(sum(above + below) AS HUGEINT) AS nn FROM cells),
+        |q AS (SELECT event_type, above, below,
+        |    CAST(above + below AS HUGEINT) AS rw,
+        |    CAST(above AS HUGEINT) * nn - CAST(above + below AS HUGEINT) * ca AS da,
+        |    CAST(below AS HUGEINT) * nn - CAST(above + below AS HUGEINT) * cb AS db,
+        |    ca, cb, nn FROM cells CROSS JOIN tot)
+        |SELECT event_type, above, below,
+        |  CAST(  da * da * 1000000 // (nn * rw * ca)
+        |       + db * db * 1000000 // (nn * rw * cb) AS BIGINT) AS chi2_cell_e6
+        |FROM q ORDER BY event_type""".stripMargin,
   )
 }
