@@ -9590,4 +9590,157 @@ object Queries {
       .select(col("event_type"), col("above"), col("below"), col("chi2_cell_e6"))
       .orderBy(col("event_type"))
   }
+
+  /** Simple-exponential-smoothing model selection: replay SES over
+    * the daily series once per α ∈ {1/8 … 7/8} and report each α's
+    * one-step-ahead SSE — the grid-search loop every forecasting
+    * stack runs before committing to a smoothing constant. Each
+    * replay is ONE `aggregate` fold over the sorted day array (the
+    * [[ewmaQ]] fixed-point discipline, level at e6, errors truncated
+    * to whole counts before squaring so the SSE stays in long range
+    * at any corpus scale); the 7 α's ride a broadcast spine against
+    * the one collected array — the corpus is scanned exactly once.
+    */
+  def sesGridQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(count(lit(1)).as("x"))
+    val arr = daily.groupBy()
+      .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("arr"))
+    val alphas = broadcast(
+      daily.sparkSession.range(1, 8).select(col("id").as("k")))
+    arr.crossJoin(alphas)
+      .select(col("k").as("alpha_8ths"), expr(
+        """aggregate(arr, named_struct('l', 0L, 'sse', 0L, 'n', 0L),
+          |  (acc, e) -> case when acc.n = 0L
+          |    then named_struct('l', e.x * 1000000L, 'sse', 0L, 'n', 1L)
+          |    else named_struct(
+          |      'l', acc.l + k * (e.x * 1000000L - acc.l) div 8L,
+          |      'sse', acc.sse + ((e.x * 1000000L - acc.l) div 1000000L)
+          |                     * ((e.x * 1000000L - acc.l) div 1000000L),
+          |      'n', acc.n + 1L) end)""".stripMargin).as("r"))
+      .select(col("alpha_8ths"), col("r.n").as("n_days"),
+        col("r.sse").as("sse"), col("r.l").as("level_e6"))
+      .orderBy(col("alpha_8ths"))
+  }
+
+  /** Time-series discord detection over the hourly event volume — the
+    * matrix-profile question "which day-long window looks least like
+    * ANY other?": 24-hour windows strided every 6 hours on the
+    * zero-filled hourly calendar, exact integer squared-Euclidean
+    * distance between every non-overlapping window pair, each
+    * window's nearest-neighbor distance, and the top-3 discords via
+    * TakeOrdered. Windows are calendar-bounded (the pair table never
+    * grows with corpus size), and the window build is an equi-join on
+    * the hour offset — no range join, no float.
+    */
+  def discordQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint(true)
+    val bounds = hourly.groupBy().agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val full = bounds.select(explode(expr("sequence(h0, h1)")).as("h"))
+      .join(hourly, Seq("h"), "left")
+      .select(col("h"), coalesce(col("x"), lit(0L)).as("x"))
+    val win = bounds
+      .select(explode(expr("sequence(h0, h1 - 23, 6)")).as("s"))
+      .select(col("s"), explode(expr("sequence(0, 23)")).as("off"))
+      .join(full, col("h") === col("s") + col("off"))
+      .select(col("s"), col("off"), col("x"))
+      .localCheckpoint(true)
+    val dist = win.as("a")
+      .join(win.as("b"), col("a.off") === col("b.off") &&
+        abs(col("a.s") - col("b.s")) >= 24)
+      .groupBy(col("a.s").as("s"), col("b.s").as("s2"))
+      .agg(sum(expr("(a.x - b.x) * (a.x - b.x)")).as("d2"))
+    dist.groupBy(col("s"))
+      .agg(min(col("d2")).as("nnd"))
+      .orderBy(col("nnd").desc, col("s"))
+      .limit(3)
+      .select(col("s").as("window_start_h"), col("nnd"))
+  }
+
+  /** Closeness centrality (Wasserman-Faust normalized) for the same
+    * 10 sampled roots as [[harmonicCentralityQ]]:
+    * C = (r/(N−1))·(r/Σd) with r the reached count — exact rational
+    * at e6 from the same hop-bounded BFS distance table
+    * ([[graft.ops.Graph.bfsDistancesPerSource]]); the global node
+    * count rides a 1-row broadcast. Disconnected components penalize
+    * through the r/(N−1) factor rather than diverging, which is why
+    * WF-closeness and not raw closeness is the scale-sane choice.
+    */
+  def closenessQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = partAdjacencyEdges(spark, sfDir).select(col("src"), col("dst"))
+    val nodes = e.filter(col("src") =!= col("dst"))
+    val allNodes = nodes.select(col("src").as("node"))
+      .union(nodes.select(col("dst").as("node"))).distinct()
+    val roots = allNodes.orderBy(col("node")).limit(10)
+    val nTotal = allNodes.groupBy().agg(count(lit(1)).as("n_total"))
+    graft.ops.Graph.bfsDistancesPerSource(e, roots)
+      .filter(col("d") > 0)
+      .groupBy(col("root"))
+      .agg(count(lit(1)).as("n_reached"), sum(col("d")).as("sum_d"))
+      .crossJoin(broadcast(nTotal))
+      .select(col("root"), col("n_reached"), col("sum_d"),
+        expr("n_reached * n_reached * 1000000 div (sum_d * (n_total - 1))")
+          .as("closeness_wf_e6"))
+      .orderBy(col("root"))
+  }
+
+  /** Keyed pseudonymization audit — the data-governance step before
+    * sharing event data: user ids map through a deterministic keyed
+    * arithmetic hash (Knuth multiplicative mod a prime table size,
+    * the [[negSampleQ]] hash discipline — NO raw id survives), and
+    * the audit certifies the mapping: distinct users vs distinct
+    * pseudonyms, collision mass, and the worst bucket. The user
+    * support table is the only shuffled surface; events are scanned
+    * once into it.
+    */
+  def pseudonymizeQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val users = Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct()
+      .select(col("user_id"),
+        expr("(user_id * 2654435761L) % 1000003L").as("pseudo"))
+    val buckets = users.groupBy(col("pseudo")).agg(count(lit(1)).as("ct"))
+    buckets.groupBy()
+      .agg(sum(col("ct")).as("n_users"), count(lit(1)).as("n_pseudonyms"),
+        max(col("ct")).as("max_users_per_pseudo"),
+        sum(when(col("ct") > 1, col("ct")).otherwise(0L)).as("n_collided_users"))
+  }
+
+  /** Per-source dataset card — the datasheet table a corpus release
+    * ships with: document and token volume, exact-duplicate rate
+    * (distinct md5 of the text), language spread and the dominant
+    * language's share. ONE scan of the corpus into per-source
+    * aggregates; the dominant language derives from the (source,
+    * lang) count table via an argmax struct (count then lang breaks
+    * ties deterministically).
+    */
+  def datasetCardQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .select(col("source"), col("lang"), col("n_chars"),
+        md5(col("text")).as("th"),
+        size(graft.ops.TextOps.words(col("text"))).cast("long").as("ntok"))
+      .localCheckpoint(true)
+    val per = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("th")).as("n_distinct_texts"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("ntok")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"))
+    val top = base.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(max(struct(col("c"), col("lang"))).as("m"))
+      .select(col("source"), col("m.lang").as("top_lang"), col("m.c").as("top_c"))
+    per.join(top, "source")
+      .select(col("source"), col("n_docs"), col("n_distinct_texts"),
+        expr("(n_docs - n_distinct_texts) * 1000000 div n_docs").as("dup_rate_e6"),
+        col("total_chars"),
+        expr("total_chars * 100 div n_docs").as("mean_chars_e2"),
+        col("n_tokens"), col("n_langs"), col("top_lang"),
+        expr("top_c * 1000000 div n_docs").as("top_lang_share_e6"))
+      .orderBy(col("source"))
+  }
 }

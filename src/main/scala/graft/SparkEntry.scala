@@ -371,6 +371,11 @@ object SparkEntry {
     "q_effect_size" -> (Queries.effectSizeQ _),
     "q_f_test" -> (Queries.fTestQ _),
     "q_mood_median" -> (Queries.moodMedianQ _),
+    "q_ses_grid" -> (Queries.sesGridQ _),
+    "q_discord" -> (Queries.discordQ _),
+    "q_closeness" -> (Queries.closenessQ _),
+    "q_pseudonymize" -> (Queries.pseudonymizeQ _),
+    "q_dataset_card" -> (Queries.datasetCardQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -7817,5 +7822,116 @@ object SparkEntry {
         |  CAST(  da * da * 1000000 // (nn * rw * ca)
         |       + db * db * 1000000 // (nn * rw * cb) AS BIGINT) AS chi2_cell_e6
         |FROM q ORDER BY event_type""".stripMargin,
+
+    // SES grid replay: one recursive chain per alpha, identical
+    // truncated fixed-point updates.
+    "q_ses_grid" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |d2 AS (SELECT d, x, row_number() OVER (ORDER BY d) AS rn FROM daily),
+        |alphas AS (SELECT unnest(range(1, 8)) AS k),
+        |r AS (
+        |  SELECT k, rn, x * 1000000 AS l, CAST(0 AS BIGINT) AS sse,
+        |    CAST(1 AS BIGINT) AS n
+        |  FROM d2 CROSS JOIN alphas WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.k, d2.rn,
+        |    r.l + r.k * (d2.x * 1000000 - r.l) // 8,
+        |    r.sse + ((d2.x * 1000000 - r.l) // 1000000)
+        |          * ((d2.x * 1000000 - r.l) // 1000000),
+        |    r.n + 1
+        |  FROM r JOIN d2 ON d2.rn = r.rn + 1)
+        |SELECT CAST(k AS BIGINT) AS alpha_8ths, n AS n_days, sse,
+        |  CAST(l AS BIGINT) AS level_e6
+        |FROM r WHERE rn = (SELECT max(rn) FROM d2) ORDER BY alpha_8ths""".stripMargin,
+
+    // Discord replay: zero-filled hourly calendar, strided 24h
+    // windows, exact squared distances, nearest-neighbor min, top 3.
+    "q_discord" ->
+      """WITH hourly AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM hourly),
+        |sp AS (SELECT unnest(range(h0, h1 + 1)) AS h FROM bounds),
+        |fz AS (SELECT sp.h, coalesce(hourly.x, 0) AS x
+        |  FROM sp LEFT JOIN hourly ON sp.h = hourly.h),
+        |starts AS (SELECT unnest(range(h0, h1 - 23 + 1, 6)) AS s FROM bounds),
+        |win AS (SELECT s, off, x FROM starts,
+        |  LATERAL (SELECT unnest(range(0, 24)) AS off) o
+        |  JOIN fz ON fz.h = s + off),
+        |dist AS (SELECT a.s AS s, b.s AS s2, sum((a.x - b.x) * (a.x - b.x)) AS d2
+        |  FROM win a JOIN win b ON a.off = b.off AND abs(a.s - b.s) >= 24
+        |  GROUP BY a.s, b.s)
+        |SELECT s AS window_start_h, CAST(min(d2) AS BIGINT) AS nnd
+        |FROM dist GROUP BY s ORDER BY nnd DESC, s LIMIT 3""".stripMargin,
+
+    // Closeness replay: the harmonic BFS chain + Wasserman-Faust
+    // normalization against the global node count.
+    "q_closeness" -> {
+      def iter(i: Int): String =
+        s"""cd$i AS MATERIALIZED (SELECT root, node, min(d) AS d FROM (
+           |  SELECT root, node, d FROM cd${i - 1}
+           |  UNION ALL
+           |  SELECT p.root, e.dst, p.d + 1 FROM bu e JOIN cd${i - 1} p ON e.src = p.node) t
+           |  GROUP BY root, node)""".stripMargin
+      s"""WITH bp AS (SELECT l_partkey AS src,
+         |    lead(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
+         |  FROM lineitem),
+         |be AS (SELECT DISTINCT src, dst FROM bp WHERE dst IS NOT NULL AND src <> dst),
+         |bu AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+         |  (SELECT src, dst FROM be UNION ALL SELECT dst, src FROM be) t),
+         |allnodes AS (SELECT DISTINCT src AS node FROM bu),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM allnodes),
+         |roots AS (SELECT node FROM allnodes ORDER BY node LIMIT 10),
+         |cd0 AS (SELECT node AS root, node, CAST(0 AS BIGINT) AS d FROM roots),
+         |${(1 to 8).map(iter).mkString(",\n")},
+         |fixguard AS (SELECT CASE WHEN (SELECT count(*) FROM cd8)
+         |    = (SELECT count(*) FROM cd7) THEN 1 ELSE 0 END AS at_fixpoint)
+         |SELECT root, CAST(count(*) AS BIGINT) AS n_reached,
+         |  CAST(sum(d) AS BIGINT) AS sum_d,
+         |  CAST(CASE WHEN at_fixpoint = 1
+         |    THEN count(*) * count(*) * 1000000 // (sum(d) * (n_total - 1))
+         |    ELSE error('q_closeness oracle: cd8 <> cd7, unroll depth insufficient')
+         |  END AS BIGINT) AS closeness_wf_e6
+         |FROM cd8 CROSS JOIN fixguard CROSS JOIN nt
+         |WHERE d > 0 GROUP BY root, at_fixpoint, n_total ORDER BY root""".stripMargin
+    },
+
+    // Pseudonymization replay: same Knuth-multiplicative bucket map.
+    "q_pseudonymize" ->
+      """WITH users AS (SELECT DISTINCT user_id FROM events),
+        |p AS (SELECT user_id, (user_id * 2654435761) % 1000003 AS pseudo FROM users),
+        |b AS (SELECT pseudo, CAST(count(*) AS BIGINT) AS ct FROM p GROUP BY pseudo)
+        |SELECT CAST(sum(ct) AS BIGINT) AS n_users,
+        |  CAST(count(*) AS BIGINT) AS n_pseudonyms,
+        |  CAST(max(ct) AS BIGINT) AS max_users_per_pseudo,
+        |  CAST(sum(CASE WHEN ct > 1 THEN ct ELSE 0 END) AS BIGINT) AS n_collided_users
+        |FROM b""".stripMargin,
+
+    // Dataset-card replay: per-source rollup + struct-argmax dominant
+    // language (count then lang, descending).
+    "q_dataset_card" ->
+      s"""WITH base AS (SELECT source, lang, n_chars, md5(text) AS th,
+         |    CAST(len(${wordsSql("text")}) AS BIGINT) AS ntok FROM documents),
+         |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(count(DISTINCT th) AS BIGINT) AS n_distinct_texts,
+         |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |    CAST(sum(ntok) AS BIGINT) AS n_tokens,
+         |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         |  FROM base GROUP BY source),
+         |lc AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+         |  FROM base GROUP BY source, lang),
+         |top AS (SELECT source, lang AS top_lang, c AS top_c FROM (
+         |  SELECT source, lang, c, row_number() OVER (PARTITION BY source
+         |    ORDER BY c DESC, lang DESC) AS rn FROM lc) WHERE rn = 1)
+         |SELECT per.source, n_docs, n_distinct_texts,
+         |  CAST((n_docs - n_distinct_texts) * 1000000 // n_docs AS BIGINT)
+         |    AS dup_rate_e6,
+         |  total_chars,
+         |  CAST(total_chars * 100 // n_docs AS BIGINT) AS mean_chars_e2,
+         |  n_tokens, n_langs, top_lang,
+         |  CAST(top_c * 1000000 // n_docs AS BIGINT) AS top_lang_share_e6
+         |FROM per JOIN top ON per.source = top.source
+         |ORDER BY per.source""".stripMargin,
   )
 }
