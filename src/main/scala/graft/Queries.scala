@@ -9743,4 +9743,109 @@ object Queries {
         expr("top_c * 1000000 div n_docs").as("top_lang_share_e6"))
       .orderBy(col("source"))
   }
+
+  /** Leave-one-out 3-NN label prediction over the embedding corpus —
+    * the standard "is there any signal in this space?" eval before
+    * training anything: a bounded probe set (the [[mrrQ]] contract)
+    * broadcasts against ONE corpus scan of exact e6-floored squared-L2
+    * distances, the 3 nearest neighbors per probe come from the
+    * partial-aggregatable bottom-k ([[graft.ops.Similarity]]'s
+    * bottomKByQuery — never a per-probe corpus sort), and the
+    * majority vote breaks ties toward the smallest label. Per-probe
+    * verdicts ship so the accuracy is auditable row by row.
+    */
+  def knnClassQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Similarity.asDouble(Tables.embeddings(spark, sfDir))
+    val probes = e.filter(col("vec_id") % 37 === 5 && col("vec_id") < 2000)
+      .select(col("vec_id").as("probe_id"), col("label").as("true_label"),
+        col("embedding").as("pv"))
+    val d2 = greatest(
+      Similarity.dot(col("pv"), col("pv")) -
+        lit(2.0) * Similarity.dot(col("pv"), col("cv")) +
+        Similarity.dot(col("cv"), col("cv")), lit(0.0))
+    val scored = e.select(col("vec_id"), col("embedding").as("cv"), col("label"))
+      .crossJoin(broadcast(probes.select(col("probe_id"), col("pv"))))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        floor(d2 * lit(1000000.0)).cast("long").as("adc_e6"))
+    val top3 = Similarity.bottomKByQuery(scored, 3)
+    val votes = top3
+      .join(e.select(col("vec_id").as("neighbor_id"), col("label")), "neighbor_id")
+      .groupBy(col("query_id"), col("label")).agg(count(lit(1)).as("c"))
+      .groupBy(col("query_id"))
+      .agg(max(struct(col("c"), (lit(-1) * col("label")).as("nl"))).as("m"))
+      .select(col("query_id").as("probe_id"), (lit(-1) * col("m.nl")).as("pred_label"))
+    probes.select(col("probe_id"), col("true_label"))
+      .join(votes, "probe_id")
+      .select(col("probe_id"), col("true_label"), col("pred_label"),
+        (col("true_label") === col("pred_label")).as("correct"))
+      .orderBy(col("probe_id"))
+  }
+
+  /** Brier score of the bucket-calibrated perceptron language
+    * classifier ([[calibrationQ]]'s reliability table turned into ONE
+    * number): with per-bucket p̂ = n_pos/n_docs as an exact e6
+    * rational, the corpus Brier sum decomposes per bucket as
+    * n_pos·(10⁶−p̂)² + n_neg·p̂² — all integer, no per-document float
+    * ever. Training and scoring reuse the persisted hashed-count
+    * table; the final statistic is three small aggregates deep.
+    */
+  def brierQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"),
+      when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
+    val (w, b) = graft.ops.Classify.perceptronTrain(d, "y", "text", "pcpt:", 64, 3)
+    val scored = graft.ops.Classify.perceptronScore(d, w, b, "doc_id", "text",
+      "pcpt:", 64, carry = Seq("y"))
+    val mm = scored.agg(min(col("score")).as("mn"), max(col("score")).as("mx"))
+    val bk = scored.crossJoin(broadcast(mm))
+      .select(col("y"), expr("(score - mn) * 10 div (mx - mn + 1)").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_pos"))
+      .withColumn("p_e6", expr("n_pos * 1000000 div n_docs"))
+    bk.select(col("n_docs"), col("n_pos"), expr(
+      s"""  cast(n_pos as $d38) * (1000000 - p_e6) * (1000000 - p_e6)
+          + cast(n_docs - n_pos as $d38) * p_e6 * p_e6""").as("contrib"))
+      .groupBy()
+      .agg(sum(col("n_docs")).as("n_docs"), count(lit(1)).as("n_buckets"),
+        sum(col("contrib")).as("sc"))
+      .select(col("n_docs"), col("n_buckets"),
+        expr(s"cast(sc div (cast(n_docs as $d38) * 1000000) as bigint)")
+          .as("brier_e6"))
+  }
+
+  /** Cumulative gains table of the perceptron language classifier:
+    * score bands from [[calibrationQ]]'s affine bucketing, walked from
+    * the top band down — what share of all positives is captured in
+    * the top k bands vs what share of the corpus was read? The lift
+    * at e6 is exact (capture·N vs share·P as one integral division).
+    * The walk is a 10-row singleton-key window over the band table.
+    */
+  def liftGainsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"),
+      when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
+    val (w, b) = graft.ops.Classify.perceptronTrain(d, "y", "text", "pcpt:", 64, 3)
+    val scored = graft.ops.Classify.perceptronScore(d, w, b, "doc_id", "text",
+      "pcpt:", 64, carry = Seq("y"))
+    val mm = scored.agg(min(col("score")).as("mn"), max(col("score")).as("mx"))
+    val bk = scored.crossJoin(broadcast(mm))
+      .select(col("y"), expr("(score - mn) * 10 div (mx - mn + 1)").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_pos"))
+    val tot = bk.groupBy().agg(sum(col("n_docs")).as("nn"), sum(col("n_pos")).as("pp"))
+    val wd = Window
+      .partitionBy(graft.functions.GraftFunctions.singleton_key(col("bucket")))
+      .orderBy(col("bucket").desc).rowsBetween(Window.unboundedPreceding, 0)
+    bk.crossJoin(broadcast(tot))
+      .withColumn("cum_docs", sum(col("n_docs")).over(wd))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wd))
+      .select(col("bucket"), col("n_docs"), col("n_pos"),
+        expr("cum_pos * 1000000 div pp").as("capture_e6"),
+        expr("cum_docs * 1000000 div nn").as("share_e6"),
+        expr("(cum_pos * nn * 1000000) div (cum_docs * pp)").as("lift_e6"))
+      .orderBy(col("bucket").desc)
+  }
 }

@@ -376,6 +376,9 @@ object SparkEntry {
     "q_closeness" -> (Queries.closenessQ _),
     "q_pseudonymize" -> (Queries.pseudonymizeQ _),
     "q_dataset_card" -> (Queries.datasetCardQ _),
+    "q_knn_class" -> (Queries.knnClassQ _),
+    "q_brier" -> (Queries.brierQ _),
+    "q_lift_gains" -> (Queries.liftGainsQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -7933,5 +7936,73 @@ object SparkEntry {
          |  CAST(top_c * 1000000 // n_docs AS BIGINT) AS top_lang_share_e6
          |FROM per JOIN top ON per.source = top.source
          |ORDER BY per.source""".stripMargin,
+
+    // LOO 3-NN replay: exact e6-floored squared-L2, per-probe top-3 by
+    // (dist, id), majority vote with smallest-label tie-break.
+    "q_knn_class" ->
+      s"""WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |pr AS (SELECT vec_id AS probe_id, label AS true_label, v AS pv FROM e0
+         |  WHERE vec_id % 37 = 5 AND vec_id < 2000),
+         |sc AS (SELECT probe_id, e0.vec_id AS neighbor_id, e0.label,
+         |    CAST(floor(greatest(${dotSql("pv", "pv")}
+         |      - 2.0 * ${dotSql("pv", "e0.v")}
+         |      + ${dotSql("e0.v", "e0.v")}, 0.0) * 1000000.0) AS BIGINT) AS adc_e6
+         |  FROM e0 CROSS JOIN pr WHERE e0.vec_id <> pr.probe_id),
+         |top3 AS (SELECT probe_id, label FROM (
+         |    SELECT probe_id, label, row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY adc_e6, neighbor_id) AS rn FROM sc) t WHERE rn <= 3),
+         |votes AS (SELECT probe_id, label, count(*) AS c FROM top3 GROUP BY 1, 2),
+         |pred AS (SELECT probe_id, label AS pred_label FROM (
+         |    SELECT probe_id, label, row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY c DESC, label ASC) AS rn FROM votes) t WHERE rn = 1)
+         |SELECT pr.probe_id, pr.true_label, pred.pred_label,
+         |  pr.true_label = pred.pred_label AS correct
+         |FROM pr JOIN pred ON pr.probe_id = pred.probe_id
+         |ORDER BY pr.probe_id""".stripMargin,
+
+    // Brier replay: the calibration bucket table, exact per-bucket
+    // decomposition n_pos*(1e6-p)^2 + n_neg*p^2.
+    "q_brier" ->
+      s"""WITH $pcptCtes,
+         |fs AS (SELECT c.doc_id, c.y,
+         |    CAST(sum(c.n * coalesce(w3.w, 0)) AS BIGINT) + (SELECT b FROM b3) AS score
+         |  FROM pc0 c LEFT JOIN w3 USING (bucket) GROUP BY c.doc_id, c.y),
+         |mm AS (SELECT min(score) AS mn, max(score) AS mx FROM fs),
+         |bk AS (SELECT CAST((score - mn) * 10 // (mx - mn + 1) AS BIGINT) AS bucket,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+         |  FROM fs CROSS JOIN mm GROUP BY 1),
+         |bb AS (SELECT n_docs, n_pos, n_pos * 1000000 // n_docs AS p_e6 FROM bk)
+         |SELECT CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_buckets,
+         |  CAST(sum(CAST(n_pos AS HUGEINT) * (1000000 - p_e6) * (1000000 - p_e6)
+         |         + CAST(n_docs - n_pos AS HUGEINT) * p_e6 * p_e6)
+         |    // (CAST(sum(n_docs) AS HUGEINT) * 1000000) AS BIGINT) AS brier_e6
+         |FROM bb""".stripMargin,
+
+    // Gains replay: same bucket table walked top band down.
+    "q_lift_gains" ->
+      s"""WITH $pcptCtes,
+         |fs AS (SELECT c.doc_id, c.y,
+         |    CAST(sum(c.n * coalesce(w3.w, 0)) AS BIGINT) + (SELECT b FROM b3) AS score
+         |  FROM pc0 c LEFT JOIN w3 USING (bucket) GROUP BY c.doc_id, c.y),
+         |mm AS (SELECT min(score) AS mn, max(score) AS mx FROM fs),
+         |bk AS (SELECT CAST((score - mn) * 10 // (mx - mn + 1) AS BIGINT) AS bucket,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+         |  FROM fs CROSS JOIN mm GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nn,
+         |    CAST(sum(n_pos) AS BIGINT) AS pp FROM bk),
+         |cm AS (SELECT bucket, n_docs, n_pos,
+         |    CAST(sum(n_docs) OVER wd AS BIGINT) AS cum_docs,
+         |    CAST(sum(n_pos) OVER wd AS BIGINT) AS cum_pos
+         |  FROM bk WINDOW wd AS (ORDER BY bucket DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT bucket, n_docs, n_pos,
+         |  CAST(cum_pos * 1000000 // pp AS BIGINT) AS capture_e6,
+         |  CAST(cum_docs * 1000000 // nn AS BIGINT) AS share_e6,
+         |  CAST((cum_pos * nn * 1000000) // (cum_docs * pp) AS BIGINT) AS lift_e6
+         |FROM cm CROSS JOIN tot ORDER BY bucket DESC""".stripMargin,
   )
 }
