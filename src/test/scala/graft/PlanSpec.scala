@@ -1384,4 +1384,97 @@ class PlanSpec extends AnyFunSuite {
     assert("\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(plan).size == 1, plan)
     assert(plan.contains("partial_count"), plan)
   }
+
+  test("crosscorr/granger/var_es/croston: daily partial-agg, fits broadcast, no cartesian") {
+    for ((n, q) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)](
+        ("crosscorr", Queries.crossCorrQ _), ("granger", Queries.grangerQ _),
+        ("var_es", Queries.varEsQ _), ("croston", Queries.crostonQ _))) {
+      val plan = formatted(q(spark, sf))
+      assert(plan.contains("partial_sum") || plan.contains("partial_count"), s"$n:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$n:\n$plan")
+    }
+  }
+
+  test("dw/jb/grubbs/runs/kendall: one scan into sufficient stats, no cartesian") {
+    for ((n, q) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)](
+        ("durbin_watson", Queries.durbinWatsonQ _),
+        ("jarque_bera", Queries.jarqueBeraQ _), ("grubbs", Queries.grubbsQ _),
+        ("runs_test", Queries.runsTestQ _), ("kendall_tau", Queries.kendallTauQ _))) {
+      val plan = formatted(q(spark, sf))
+      // grubbs' argmax stage reads its checkpointed deviation table, so
+      // the visible partials are the max/sum pair rather than the count
+      assert(plan.contains("partial_"), s"$n:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$n:\n$plan")
+    }
+  }
+
+  test("ljung_box: lag spine broadcast; Q cumsum keyed behind the singleton hash") {
+    val plan = formatted(Queries.ljungBoxQ(spark, sf))
+    assert(plan.contains("pmod(hash("), plan)
+    assert(globalWindow.findFirstIn(plan).isEmpty, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("effect_size/f_test/mood_median: group stats partial-agg, support-bounded ranks") {
+    for ((n, q) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)](
+        ("effect_size", Queries.effectSizeQ _), ("f_test", Queries.fTestQ _),
+        ("mood_median", Queries.moodMedianQ _))) {
+      val plan = formatted(q(spark, sf))
+      assert(plan.contains("partial_count") || plan.contains("partial_sum"), s"$n:\n$plan")
+      assert(globalWindow.findFirstIn(plan).isEmpty, s"$n:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$n:\n$plan")
+    }
+  }
+
+  test("ses_grid: ONE corpus scan into the day array; alpha spine broadcast") {
+    val plan = formatted(Queries.sesGridQ(spark, sf))
+    assert(plan.contains("partial_count"), plan)
+    // one collected day array feeds all 7 alpha replays via the
+    // broadcast alpha spine — a single nested-loop of 1 x 7 rows
+    assert(plan.contains("partial_sort_array") || plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("discord: window pairs join on the hour offset, never all-pairs") {
+    val plan = formatted(Queries.discordQ(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("closeness: hop-bounded BFS levels; node count rides a broadcast") {
+    val plan = formatted(Queries.closenessQ(spark, sf))
+    assert(plan.contains("partial_count"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("pseudonymize: user support table only — no join anywhere") {
+    val plan = formatted(Queries.pseudonymizeQ(spark, sf))
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("partial_count"), plan)
+  }
+
+  test("dataset_card: per-source rollup partial-aggs; argmax keyed by source") {
+    val plan = formatted(Queries.datasetCardQ(spark, sf))
+    assert(plan.contains("partial_count"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(globalWindow.findFirstIn(plan).isEmpty, plan)
+  }
+
+  test("knn_class: probes broadcast; 3-NN selection is the partial bottom-k aggregate") {
+    val plan = formatted(Queries.knnClassQ(spark, sf))
+    assert(plan.contains("partial_bottomklong"), plan)
+    assert(globalWindow.findFirstIn(plan).isEmpty, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("brier/lift_gains: bucket table aggregates; gains walk behind the singleton hash") {
+    for ((n, q) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)](
+        ("brier", Queries.brierQ _), ("lift_gains", Queries.liftGainsQ _))) {
+      val plan = formatted(q(spark, sf))
+      assert(plan.contains("partial_count") || plan.contains("partial_sum"), s"$n:\n$plan")
+      assert(globalWindow.findFirstIn(plan).isEmpty, s"$n:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$n:\n$plan")
+    }
+  }
 }
