@@ -151,7 +151,20 @@ object SoakScale {
     // candidate pass + CC over the replicated corpus
     "q_iv_wald", "q_ipw", "q_conformal", "q_friedman", "q_rdd_sharp",
     "q_viterbi", "q_kalman", "q_page_hinkley", "q_hurst", "q_ucb",
-    "q_tost", "q_map_at_k", "q_rouge", "q_dbscan")
+    "q_tost", "q_map_at_k", "q_rouge", "q_dbscan",
+    // 9d second wave: calendar-support series diagnostics (lag joins,
+    // residual/deviation passes, the 7-alpha SES replay, strided
+    // discord windows), group-stat reduces (effect sizes, F, Mood,
+    // runs), support-walk ranks (Cliff's delta midranks), the 10-root
+    // BFS closeness, the user-support pseudonym audit, the per-source
+    // corpus rollup, the broadcast-probe kNN eval, and the calibrated
+    // classifier's Brier/gains bucket tables
+    "q_crosscorr", "q_granger", "q_var_es", "q_croston",
+    "q_durbin_watson", "q_ljung_box", "q_runs_test", "q_kendall_tau",
+    "q_jarque_bera", "q_grubbs", "q_effect_size", "q_f_test",
+    "q_mood_median", "q_ses_grid", "q_discord", "q_closeness",
+    "q_pseudonymize", "q_dataset_card", "q_knn_class", "q_brier",
+    "q_lift_gains")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)
