@@ -8260,6 +8260,30 @@ object Queries {
     * generator feeds both the Spark withColumn chain and the DuckDB
     * oracle's lateral-alias SELECT — the two sides cannot drift.
     */
+  /** Unrolled Needleman-Wunsch global-alignment cells over two
+    * n-element symbol sequences: match +2, mismatch −1, gap −1, with
+    * the virtual boundary row/column d_0_j = −j, d_i_0 = −i folded in
+    * as literals. Same shared-chain discipline as [[dtwCells]]: one
+    * codegen'd column per cell, identical expression text on both
+    * engines.
+    */
+  private[graft] def nwCells(a: Int => String, b: Int => String,
+      n: Int): Seq[(String, String)] = {
+    val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    for (i <- 1 to n; j <- 1 to n) {
+      val s = s"(case when ${a(i)} = ${b(j)} then 2 else -1 end)"
+      val diag =
+        if (i == 1 && j == 1) "0"
+        else if (i == 1) s"(${-(j - 1)})"
+        else if (j == 1) s"(${-(i - 1)})"
+        else s"d_${i - 1}_${j - 1}"
+      val up = if (i == 1) s"(${-j})" else s"d_${i - 1}_$j"
+      val left = if (j == 1) s"(${-i})" else s"d_${i}_${j - 1}"
+      buf += (s"d_${i}_$j" -> s"greatest($diag + $s, $up - 1, $left - 1)")
+    }
+    buf.toSeq
+  }
+
   private[graft] def dtwCells(a: Int => String, b: Int => String): Seq[(String, String)] = {
     val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
     for (i <- 1 to 7; j <- 1 to 7) {
@@ -9847,5 +9871,123 @@ object Queries {
         expr("cum_docs * 1000000 div nn").as("share_e6"),
         expr("(cum_pos * nn * 1000000) div (cum_docs * pp)").as("lift_e6"))
       .orderBy(col("bucket").desc)
+  }
+
+  /** Single-linkage dendrogram cuts over the planted embedding corpus
+    * ([[dbscanQ]]'s candidate machinery with the cosine retained):
+    * single-linkage clusters at threshold τ are EXACTLY the connected
+    * components of the τ-thresholded similarity graph, so three cuts
+    * (cos ≥ 0.995 / 0.990 / 0.980) are three CC runs over one banded
+    * candidate pass gated at the loosest cut. Candidates come from
+    * the label × 4-bit-sign-LSH blocks (documented recall contract,
+    * identical on both engines); per cut: cluster count, largest
+    * cluster, clustered mass.
+    */
+  def singleLinkageQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val e0 = Similarity.asDouble(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("label"), col("embedding"))
+    def plant(idMod: Int, rem: Int, off: Long, dim: Int, delta: Double) =
+      e0.filter(col("vec_id") % idMod === rem).select(
+        (col("vec_id") + off).as("vec_id"), col("label"),
+        transform(col("embedding"), (x, i) =>
+          when(i === dim, x + delta).otherwise(x)).as("embedding"))
+    val planted = e0
+      .union(plant(7, 0, 10000L, 0, 0.008))
+      .union(plant(7, 0, 20000L, 1, -0.008))
+      .union(plant(11, 3, 30000L, 0, 0.07))
+      .union(plant(11, 3, 40000L, 0, 0.14))
+    val base = Similarity.normalized(planted)
+    def bandCode(lo: Int): Column = LshPlanes.slice(lo, lo + 4).zipWithIndex
+      .map { case (plane, p) =>
+        when(graft.functions.GraftFunctions.dot_product(
+          col("embedding"), typedLit(plane)) > 0, lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+    val withCodes = base.select(col("label"), col("vec_id"), col("embedding"),
+      bandCode(0).as("c0"), bandCode(4).as("c1"))
+    val cand0 = Seq("c0", "c1").map { c =>
+      val a = withCodes.select(col("label"), col(c).as("code"),
+        col("vec_id").as("va"), col("embedding").as("ea"))
+      val b = withCodes.select(col("label"), col(c).as("code"),
+        col("vec_id").as("vb"), col("embedding").as("eb"))
+      a.join(b, Seq("label", "code")).filter(col("va") < col("vb"))
+        .select(col("va"), col("vb"), col("ea"), col("eb"))
+    }.reduce(_ union _)
+    val cand = cand0
+      .select(col("va"), col("vb"), Similarity.dot(col("ea"), col("eb")).as("cs"))
+      .filter(col("cs") >= 0.98)
+      .select(col("va"), col("vb"), col("cs")).distinct()
+      .localCheckpoint(true)
+    Seq(995L, 990L, 980L).map { t =>
+      val pairs = cand.filter(col("cs") >= t.toDouble / 1000.0)
+        .select(col("va").as("doc_a"), col("vb").as("doc_b"))
+      val sizes = Dedup.connectedComponents(pairs)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      sizes.groupBy()
+        .agg(count(lit(1)).as("n_clusters"),
+          coalesce(max(col("sz")), lit(0L)).as("max_size"),
+          coalesce(sum(col("sz")), lit(0L)).as("n_clustered"))
+        .select(lit(t).as("threshold_e3"), col("n_clusters"), col("max_size"),
+          col("n_clustered"))
+    }.reduce(_ union _).orderBy(col("threshold_e3"))
+  }
+
+  /** A/B sample-size calculator from the OBSERVED baseline: with the
+    * $200+ purchase conversion as p₁ ([[abTestQ]]'s metric), the
+    * per-arm n to detect a +2/+5/+10% relative lift at α=0.05,
+    * power=0.8 is (z_α/2+z_β)²·(p₁q₁+p₂q₂)/Δ² — computed entirely in
+    * exact e6/e12 integers (the z constants are fixed rationals:
+    * 1.959964 and 0.841621). One user-keyed conversion aggregate;
+    * the lift grid rides a broadcast spine.
+    */
+  def sampleSizeQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val conv = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") >= 200.0, 1L)
+        .otherwise(0L)).as("c"))
+      .groupBy().agg(count(lit(1)).as("n"), sum(col("c")).as("k"))
+      .select(col("n"), col("k"), expr("k * 1000000 div n").as("p1_e6"))
+    val lifts = broadcast(Tables.events(spark, sfDir).sparkSession
+      .range(0, 3).select(expr("element_at(array(20000L, 50000L, 100000L), cast(id as int) + 1)").as("lift_e6")))
+    conv.crossJoin(lifts)
+      .withColumn("p2_e6", expr("p1_e6 * (1000000 + lift_e6) div 1000000"))
+      .withColumn("zsum2_e12", lit(2801585L * 2801585L))
+      .withColumn("vsum_e12", expr(
+        "p1_e6 * (1000000 - p1_e6) + p2_e6 * (1000000 - p2_e6)"))
+      .withColumn("delta2_e12", expr("(p2_e6 - p1_e6) * (p2_e6 - p1_e6)"))
+      .select(col("n").as("n_users"), col("p1_e6"), col("lift_e6"), col("p2_e6"),
+        expr("""cast(cast(zsum2_e12 as decimal(38,0)) * vsum_e12
+                div delta2_e12 div 1000000000000 as bigint)""").as("n_per_arm"))
+      .orderBy(col("lift_e6"))
+  }
+
+  /** Needleman-Wunsch global alignment between user event-type
+    * sequences (match +2, mismatch −1, gap −1): how similar are two
+    * users' first-7-event journeys ALLOWING insertions/deletions —
+    * the alignment-aware upgrade of [[transitionsQ]]-style order
+    * statistics. The 7×7 DP table is unrolled by [[nwCells]] into
+    * 49 codegen'd columns per pair (the [[dtwQ]] discipline — no UDF,
+    * no recursion; 7 is the DuckDB replay ceiling — lateral alias
+    * references expand textually, so chain depth 3^(2n-1) explodes
+    * past n=7); sequences build in one per-user sorted aggregate,
+    * pairs are probe-bounded (users 0–7).
+    */
+  def needlemanQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val seqs = Tables.events(spark, sfDir)
+      .filter(col("user_id") < 8)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        col("event_type").as("et"))
+      .groupBy(col("user_id"))
+      .agg(expr("""slice(transform(array_sort(collect_list(
+        struct(us, event_id, et))), s -> s.et), 1, 7)""").as("arr"))
+      .filter(size(col("arr")) === 7)
+    var df = seqs.as("p")
+      .join(seqs.as("q"), col("q.user_id") > col("p.user_id"))
+      .select(col("p.user_id").as("user_a"), col("q.user_id").as("user_b"),
+        col("p.arr").as("a"), col("q.arr").as("b"))
+    for ((n, e) <- nwCells(i => s"element_at(a, $i)", j => s"element_at(b, $j)", 7))
+      df = df.withColumn(n, expr(e))
+    df.select(col("user_a"), col("user_b"),
+        col("d_7_7").cast("long").as("nw_score"))
+      .orderBy(col("user_a"), col("user_b"))
   }
 }

@@ -379,6 +379,9 @@ object SparkEntry {
     "q_knn_class" -> (Queries.knnClassQ _),
     "q_brier" -> (Queries.brierQ _),
     "q_lift_gains" -> (Queries.liftGainsQ _),
+    "q_single_linkage" -> (Queries.singleLinkageQ _),
+    "q_sample_size" -> (Queries.sampleSizeQ _),
+    "q_needleman" -> (Queries.needlemanQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -8004,5 +8007,96 @@ object SparkEntry {
          |  CAST(cum_docs * 1000000 // nn AS BIGINT) AS share_e6,
          |  CAST((cum_pos * nn * 1000000) // (cum_docs * pp) AS BIGINT) AS lift_e6
          |FROM cm CROSS JOIN tot ORDER BY bucket DESC""".stripMargin,
+
+    // Single-linkage replay: the dbscan planted/banded chain with the
+    // cosine kept, one CC label closure per threshold cut.
+    "q_single_linkage" -> {
+      def cut(tag: String, thr: String): String =
+        s"""e$tag AS (SELECT va, vb FROM cand WHERE cs >= $thr),
+           |ed$tag AS MATERIALIZED (SELECT va AS src, vb AS dst FROM e$tag
+           |  UNION SELECT vb, va FROM e$tag),
+           |n$tag AS (SELECT DISTINCT src AS node FROM ed$tag),
+           |cc$tag AS (SELECT node, node AS m FROM n$tag
+           |  UNION SELECT e2.dst AS node, cc$tag.m
+           |    FROM cc$tag JOIN ed$tag e2 ON e2.src = cc$tag.node),
+           |l$tag AS (SELECT node, min(m) AS cl FROM cc$tag GROUP BY node),
+           |s$tag AS (SELECT cl, CAST(count(*) AS BIGINT) AS sz FROM l$tag GROUP BY cl),
+           |r$tag AS (SELECT CAST($tag AS BIGINT) AS threshold_e3,
+           |  CAST(count(*) AS BIGINT) AS n_clusters,
+           |  coalesce(max(sz), 0) AS max_size,
+           |  CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_clustered FROM s$tag)""".stripMargin
+      s"""WITH RECURSIVE e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |raw AS (SELECT vec_id, label, v FROM e
+         |  UNION ALL SELECT vec_id + 10000, label, list_transform(range(len(v)),
+         |    i -> CASE WHEN i = 0 THEN v[1] + 0.008 ELSE v[CAST(i AS INT)+1] END)
+         |  FROM e WHERE vec_id % 7 = 0
+         |  UNION ALL SELECT vec_id + 20000, label, list_transform(range(len(v)),
+         |    i -> CASE WHEN i = 1 THEN v[2] + -0.008 ELSE v[CAST(i AS INT)+1] END)
+         |  FROM e WHERE vec_id % 7 = 0
+         |  UNION ALL SELECT vec_id + 30000, label, list_transform(range(len(v)),
+         |    i -> CASE WHEN i = 0 THEN v[1] + 0.07 ELSE v[CAST(i AS INT)+1] END)
+         |  FROM e WHERE vec_id % 11 = 3
+         |  UNION ALL SELECT vec_id + 40000, label, list_transform(range(len(v)),
+         |    i -> CASE WHEN i = 0 THEN v[1] + 0.14 ELSE v[CAST(i AS INT)+1] END)
+         |  FROM e WHERE vec_id % 11 = 3),
+         |base AS MATERIALIZED (SELECT vec_id, label, ${normSql("v")} AS v FROM raw),
+         |codes AS MATERIALIZED (SELECT vec_id, label, v, ${dbscanBand(0)} AS c0,
+         |    ${dbscanBand(4)} AS c1 FROM base),
+         |cand0 AS (SELECT a.vec_id AS va, b.vec_id AS vb
+         |    FROM codes a JOIN codes b
+         |      ON a.label = b.label AND a.c0 = b.c0 AND a.vec_id < b.vec_id
+         |  UNION SELECT a.vec_id, b.vec_id
+         |    FROM codes a JOIN codes b
+         |      ON a.label = b.label AND a.c1 = b.c1 AND a.vec_id < b.vec_id),
+         |cand AS MATERIALIZED (SELECT va, vb, ${dotSql("ba.v", "bb.v")} AS cs FROM cand0
+         |  JOIN base ba ON cand0.va = ba.vec_id JOIN base bb ON cand0.vb = bb.vec_id
+         |  WHERE ${dotSql("ba.v", "bb.v")} >= 0.98),
+         |${cut("995", "0.995")},
+         |${cut("990", "0.990")},
+         |${cut("980", "0.980")}
+         |SELECT * FROM r995 UNION ALL SELECT * FROM r990
+         |UNION ALL SELECT * FROM r980 ORDER BY threshold_e3""".stripMargin
+    },
+
+    // Sample-size replay: observed conversion, fixed z rationals,
+    // exact e6/e12 integer chain.
+    "q_sample_size" ->
+      """WITH conv AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS k
+        |  FROM (SELECT user_id, max(CASE WHEN event_type = 'purchase'
+        |      AND value >= 200.0 THEN 1 ELSE 0 END) AS c
+        |    FROM events GROUP BY user_id)),
+        |p AS (SELECT n, k, k * 1000000 // n AS p1_e6 FROM conv),
+        |lifts AS (SELECT unnest([20000, 50000, 100000]) AS lift_e6),
+        |q AS (SELECT n AS n_users, p1_e6, lift_e6,
+        |    p1_e6 * (1000000 + lift_e6) // 1000000 AS p2_e6
+        |  FROM p CROSS JOIN lifts)
+        |SELECT n_users, CAST(p1_e6 AS BIGINT) AS p1_e6,
+        |  CAST(lift_e6 AS BIGINT) AS lift_e6, CAST(p2_e6 AS BIGINT) AS p2_e6,
+        |  CAST(CAST(2801585 AS HUGEINT) * 2801585
+        |      * (p1_e6 * (1000000 - p1_e6) + p2_e6 * (1000000 - p2_e6))
+        |    // ((p2_e6 - p1_e6) * (p2_e6 - p1_e6)) // 1000000000000 AS BIGINT)
+        |    AS n_per_arm
+        |FROM q ORDER BY lift_e6""".stripMargin,
+
+    // Needleman-Wunsch replay: per-user ordered first-7 event types,
+    // the same 49 unrolled DP cells (lateral alias references).
+    "q_needleman" -> {
+      val cells = Queries.nwCells(i => s"a[$i]", j => s"b[$j]", 7)
+        .map { case (n, e) => s"    $e AS $n" }.mkString(",\n")
+      s"""WITH s0 AS (SELECT user_id,
+         |    list_slice(list(event_type ORDER BY epoch_us(CAST(ts AS TIMESTAMP)),
+         |      event_id), 1, 7) AS arr
+         |  FROM events WHERE user_id < 8 GROUP BY user_id),
+         |seqs AS (SELECT user_id, arr FROM s0 WHERE len(arr) = 7),
+         |pairs AS (SELECT p.user_id AS user_a, q.user_id AS user_b,
+         |    p.arr AS a, q.arr AS b
+         |  FROM seqs p JOIN seqs q ON q.user_id > p.user_id),
+         |dp AS (SELECT user_a, user_b,
+         |$cells
+         |  FROM pairs)
+         |SELECT user_a, user_b, CAST(d_7_7 AS BIGINT) AS nw_score
+         |FROM dp ORDER BY user_a, user_b""".stripMargin
+    },
   )
 }

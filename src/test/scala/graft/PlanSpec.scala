@@ -1468,6 +1468,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("single_linkage: banded candidates, one pass gated at the loosest cut") {
+    val plan = formatted(Queries.singleLinkageQ(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("partial_count"), plan)
+  }
+
+  test("sample_size: one user-keyed conversion aggregate; lift grid broadcast") {
+    val plan = formatted(Queries.sampleSizeQ(spark, sf))
+    assert(plan.contains("partial_max") || plan.contains("partial_count"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("needleman: per-user sorted collect; probe-bounded pair join, no window") {
+    val plan = formatted(Queries.needlemanQ(spark, sf))
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("partial_collect_list"), plan)
+    assert(globalWindow.findFirstIn(plan).isEmpty, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("brier/lift_gains: bucket table aggregates; gains walk behind the singleton hash") {
     for ((n, q) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)](
         ("brier", Queries.brierQ _), ("lift_gains", Queries.liftGainsQ _))) {
