@@ -9990,4 +9990,105 @@ object Queries {
         col("d_7_7").cast("long").as("nw_score"))
       .orderBy(col("user_a"), col("user_b"))
   }
+
+  /** Forecast backtest over the last 7 days: hold out the final week
+    * of the daily series, fit naive / drift / SES(α=1/8) / Holt
+    * (α=1/8, β=1/4 — [[holtQ]]'s exact recurrence) on the train
+    * prefix, and score each model's h-step forecasts by MAE — the
+    * model-selection loop behind every "which forecaster do we ship?"
+    * decision. The four fits come from ONE fold over the sorted train
+    * array (ses/level/trend/first/last/n in one accumulator struct);
+    * test errors are exact e6 integers, MAE an integral division.
+    */
+  def forecastEvalQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint(true)
+    val split = daily.groupBy().agg((max(col("d")) - 7).as("dsplit"))
+    val prev = "element_at(acc, -1)"
+    val lNew = s"$prev.l + $prev.b + (e.x * 1000000L - $prev.l - $prev.b) div 8L"
+    val model = daily.crossJoin(broadcast(split))
+      .filter(col("d") <= col("dsplit"))
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("arr"))
+      .select(expr(
+        s"""element_at(aggregate(arr,
+           |  cast(array() as array<struct<ses:bigint,l:bigint,b:bigint,
+           |    first:bigint,last:bigint,n:bigint>>),
+           |  (acc, e) -> array_append(acc,
+           |    case when size(acc) = 0
+           |      then named_struct('ses', e.x * 1000000L, 'l', e.x * 1000000L,
+           |        'b', 0L, 'first', e.x, 'last', e.x, 'n', 1L)
+           |      else named_struct(
+           |        'ses', $prev.ses + (e.x * 1000000L - $prev.ses) div 8L,
+           |        'l', $lNew,
+           |        'b', $prev.b + ($lNew - $prev.l - $prev.b) div 4L,
+           |        'first', $prev.first, 'last', e.x, 'n', $prev.n + 1L)
+           |    end)), -1)""".stripMargin).as("m"))
+    val test = daily.crossJoin(broadcast(split))
+      .filter(col("d") > col("dsplit"))
+      .select((col("d") - col("dsplit")).as("h"), col("x"))
+    test.crossJoin(broadcast(model))
+      .select(col("h"), col("x"), explode(expr(
+        """array(
+          |  named_struct('model', 'naive', 'f', m.last * 1000000L),
+          |  named_struct('model', 'drift', 'f', m.last * 1000000L
+          |    + h * ((m.last - m.first) * 1000000L div (m.n - 1L))),
+          |  named_struct('model', 'ses', 'f', m.ses),
+          |  named_struct('model', 'holt', 'f', m.l + h * m.b))""".stripMargin))
+        .as("fc"))
+      .groupBy(col("fc.model").as("model"))
+      .agg(count(lit(1)).as("n_test"),
+        expr("sum(abs(x * 1000000L - fc.f)) div count(1)").as("mae_e6"))
+      .orderBy(col("model"))
+  }
+
+  /** Coarsened exact matching (Iacus-King-Porro) for the effect of
+    * error exposure on purchase spend: users coarsen into (activity
+    * ventile × first-active-week) bins, treated (≥1 error event) and
+    * control users match within bins where BOTH arms exist, and the
+    * ATT averages the per-bin mean-outcome gaps weighted by treated
+    * mass — all exact integers with per-bin e6 truncation (documented
+    * quantization). Causal matching as pure group-bys: ONE user-keyed
+    * reduce, a bin-keyed 2-row-per-bin aggregate, a 1-row readout —
+    * no per-pair matching join anywhere, which is what makes CEM the
+    * matching method that survives 10⁹ users.
+    */
+  def cemQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val users = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"),
+        col("event_type"), cents(col("value")).cast("long").as("cts"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("min(d) div 7").as("first_week"),
+        max(when(col("event_type") === "error", 1L).otherwise(0L)).as("treated"),
+        sum(when(col("event_type") === "purchase", col("cts")).otherwise(0L))
+          .as("outcome"))
+    val cells = users
+      .groupBy(expr("n_events div 20").as("act_bin"), col("first_week"),
+        col("treated"))
+      .agg(count(lit(1)).as("n"), sum(col("outcome")).as("s"))
+    val bins = cells.groupBy(col("act_bin"), col("first_week"))
+      .agg(max(when(col("treated") === 1, col("n"))).as("n_t"),
+        max(when(col("treated") === 0, col("n"))).as("n_c"),
+        max(when(col("treated") === 1, col("s"))).as("s_t"),
+        max(when(col("treated") === 0, col("s"))).as("s_c"))
+      .localCheckpoint(true)
+    val matched = bins.filter(col("n_t").isNotNull && col("n_c").isNotNull)
+      .select(col("n_t"), col("n_c"),
+        expr(s"""cast(n_t as $d38) * (cast(s_t as $d38) * 1000000 div n_t
+                 - cast(s_c as $d38) * 1000000 div n_c)""").as("wterm"))
+    bins.groupBy().agg(count(lit(1)).as("n_bins_total"))
+      .crossJoin(broadcast(matched.groupBy()
+        .agg(count(lit(1)).as("n_bins_matched"),
+          coalesce(sum(col("n_t")), lit(0L)).as("n_treated_matched"),
+          coalesce(sum(col("n_c")), lit(0L)).as("n_control_matched"),
+          sum(col("wterm")).as("num"))))
+      .select(col("n_bins_total"), col("n_bins_matched"),
+        col("n_treated_matched"), col("n_control_matched"),
+        expr("cast(num div nullif(n_treated_matched, 0) as bigint)")
+          .as("att_cents_e6"))
+  }
 }

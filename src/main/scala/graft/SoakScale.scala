@@ -164,7 +164,8 @@ object SoakScale {
     "q_jarque_bera", "q_grubbs", "q_effect_size", "q_f_test",
     "q_mood_median", "q_ses_grid", "q_discord", "q_closeness",
     "q_pseudonymize", "q_dataset_card", "q_knn_class", "q_brier",
-    "q_lift_gains", "q_single_linkage", "q_sample_size", "q_needleman")
+    "q_lift_gains", "q_single_linkage", "q_sample_size", "q_needleman",
+    "q_forecast_eval", "q_cem")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

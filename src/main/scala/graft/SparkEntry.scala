@@ -382,6 +382,8 @@ object SparkEntry {
     "q_single_linkage" -> (Queries.singleLinkageQ _),
     "q_sample_size" -> (Queries.sampleSizeQ _),
     "q_needleman" -> (Queries.needlemanQ _),
+    "q_forecast_eval" -> (Queries.forecastEvalQ _),
+    "q_cem" -> (Queries.cemQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -8098,5 +8100,74 @@ object SparkEntry {
          |SELECT user_a, user_b, CAST(d_7_7 AS BIGINT) AS nw_score
          |FROM dp ORDER BY user_a, user_b""".stripMargin
     },
+
+    // Forecast-backtest replay: one recursive chain carrying
+    // (ses, l, b, first, last, n) over the train prefix, the same four
+    // h-step forecasts, exact MAE.
+    "q_forecast_eval" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |sp AS (SELECT max(d) - 7 AS dsplit FROM daily),
+        |tr AS (SELECT d, x, row_number() OVER (ORDER BY d) AS rn
+        |  FROM daily CROSS JOIN sp WHERE d <= dsplit),
+        |r AS (
+        |  SELECT rn, x * 1000000 AS ses, x * 1000000 AS l, CAST(0 AS BIGINT) AS b,
+        |    x AS f0, x AS lst, CAST(1 AS BIGINT) AS n
+        |  FROM tr WHERE rn = 1
+        |  UNION ALL
+        |  SELECT tr.rn,
+        |    r.ses + (tr.x * 1000000 - r.ses) // 8,
+        |    r.l + r.b + (tr.x * 1000000 - r.l - r.b) // 8,
+        |    r.b + ((r.l + r.b + (tr.x * 1000000 - r.l - r.b) // 8) - r.l - r.b) // 4,
+        |    r.f0, tr.x, r.n + 1
+        |  FROM r JOIN tr ON tr.rn = r.rn + 1),
+        |m AS (SELECT * FROM r WHERE rn = (SELECT max(rn) FROM tr)),
+        |te AS (SELECT d - dsplit AS h, x FROM daily CROSS JOIN sp WHERE d > dsplit),
+        |fc AS (
+        |  SELECT 'naive' AS model, h, x, lst * 1000000 AS f FROM te CROSS JOIN m
+        |  UNION ALL
+        |  SELECT 'drift', h, x, lst * 1000000
+        |    + h * ((lst - f0) * 1000000 // (n - 1)) FROM te CROSS JOIN m
+        |  UNION ALL
+        |  SELECT 'ses', h, x, ses FROM te CROSS JOIN m
+        |  UNION ALL
+        |  SELECT 'holt', h, x, l + h * b FROM te CROSS JOIN m)
+        |SELECT model, CAST(count(*) AS BIGINT) AS n_test,
+        |  CAST(sum(abs(x * 1000000 - f)) // count(*) AS BIGINT) AS mae_e6
+        |FROM fc GROUP BY model ORDER BY model""".stripMargin,
+
+    // CEM replay: the same user reduce, bin cells, matched-bin
+    // weighted gap with per-bin e6 truncation.
+    "q_cem" ->
+      """WITH users AS (SELECT user_id,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    min(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) // 7 AS first_week,
+        |    max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS treated,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |      AS outcome
+        |  FROM events GROUP BY user_id),
+        |cells AS (SELECT n_events // 20 AS act_bin, first_week, treated,
+        |    CAST(count(*) AS BIGINT) AS n, CAST(sum(outcome) AS BIGINT) AS s
+        |  FROM users GROUP BY 1, 2, 3),
+        |bins AS (SELECT act_bin, first_week,
+        |    max(CASE WHEN treated = 1 THEN n END) AS n_t,
+        |    max(CASE WHEN treated = 0 THEN n END) AS n_c,
+        |    max(CASE WHEN treated = 1 THEN s END) AS s_t,
+        |    max(CASE WHEN treated = 0 THEN s END) AS s_c
+        |  FROM cells GROUP BY 1, 2),
+        |matched AS (SELECT n_t, n_c,
+        |    CAST(n_t AS HUGEINT) * (CAST(s_t AS HUGEINT) * 1000000 // n_t
+        |      - CAST(s_c AS HUGEINT) * 1000000 // n_c) AS wterm
+        |  FROM bins WHERE n_t IS NOT NULL AND n_c IS NOT NULL),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_bins_total FROM bins),
+        |mt AS (SELECT CAST(count(*) AS BIGINT) AS n_bins_matched,
+        |    CAST(coalesce(sum(n_t), 0) AS BIGINT) AS n_treated_matched,
+        |    CAST(coalesce(sum(n_c), 0) AS BIGINT) AS n_control_matched,
+        |    sum(wterm) AS num FROM matched)
+        |SELECT n_bins_total, n_bins_matched, n_treated_matched, n_control_matched,
+        |  CAST(num // nullif(n_treated_matched, 0) AS BIGINT) AS att_cents_e6
+        |FROM tot CROSS JOIN mt""".stripMargin,
   )
 }

@@ -1488,6 +1488,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("forecast_eval: one fold over the train array; model + split broadcast to the holdout") {
+    val plan = formatted(Queries.forecastEvalQ(spark, sf))
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("partial_collect_list"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("cem: user reduce -> bin cells -> 1-row readout; no per-pair matching join") {
+    val plan = formatted(Queries.cemQ(spark, sf))
+    assert(plan.contains("partial_count"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("brier/lift_gains: bucket table aggregates; gains walk behind the singleton hash") {
     for ((n, q) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)](
         ("brier", Queries.brierQ _), ("lift_gains", Queries.liftGainsQ _))) {
