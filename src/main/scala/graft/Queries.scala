@@ -10091,4 +10091,83 @@ object Queries {
         expr("cast(num div nullif(n_treated_matched, 0) as bigint)")
           .as("att_cents_e6"))
   }
+
+  /** Tukey-fence outlier counts per event type: with the quartiles
+    * held EXACT at 4× scale (quarter-point interpolation on integers
+    * is dyadic — the 2×-median trick generalized), the 1.5·IQR fences
+    * are exact at 8× scale (8·(q₁−1.5·IQR) = 2·(4q₁) − 3·(4·IQR)),
+    * so the outlier gate 8v < lo₈ compares integers only. One fact
+    * scan into per-type percentiles, one counting pass.
+    */
+  def tukeyFencesQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), cents(col("value")).cast("long").as("v"))
+      .localCheckpoint(true)
+    val fences = ev.groupBy(col("event_type"))
+      .agg(expr("cast(4 * percentile(v, 0.25) as bigint)").as("q1_4x"),
+        expr("cast(4 * percentile(v, 0.75) as bigint)").as("q3_4x"))
+      .withColumn("lo8", expr("2 * q1_4x - 3 * (q3_4x - q1_4x)"))
+      .withColumn("hi8", expr("2 * q3_4x + 3 * (q3_4x - q1_4x)"))
+    ev.join(broadcast(fences), "event_type")
+      .groupBy(col("event_type"), col("q1_4x"), col("q3_4x"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("if(8 * v < lo8, 1L, 0L)")).as("n_low"),
+        sum(expr("if(8 * v > hi8, 1L, 0L)")).as("n_high"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Octile Q-Q comparison of weekday vs weekend purchase spend: the
+    * distributional WHERE of the [[effectSizeQ]] gap — at which
+    * octiles do the two distributions diverge? Eighths are dyadic, so
+    * 8×quantile interpolation on integer cents is exact on both
+    * engines ([[madQ]]'s 2×-median rule at the next depth). One fact
+    * scan into two percentile-array rows, exploded to 7 octiles.
+    */
+  def qqOctilesQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val fr = (1 to 7).map(j => j / 8.0)
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(expr("if((unix_micros(ts) div 86400000000 + 4) % 7 >= 5, 1L, 0L)")
+        .as("g"), cents(col("value")).cast("long").as("v"))
+    val q = ev.groupBy(col("g"))
+      .agg(expr(s"transform(percentile(v, array(${fr.mkString(", ")})), " +
+        "x -> cast(8 * x as bigint))").as("qs"))
+    q.groupBy()
+      .agg(max(when(col("g") === 1, col("qs"))).as("qw"),
+        max(when(col("g") === 0, col("qs"))).as("qd"))
+      .select(explode(expr(
+        """transform(sequence(1, 7), j -> named_struct(
+          |  'octile', cast(j as bigint),
+          |  'weekend_8x', element_at(qw, j),
+          |  'weekday_8x', element_at(qd, j)))""".stripMargin)).as("r"))
+      .select(col("r.octile").as("octile"), col("r.weekend_8x").as("weekend_8x"),
+        col("r.weekday_8x").as("weekday_8x"),
+        (col("r.weekend_8x") - col("r.weekday_8x")).as("gap_8x"))
+      .orderBy(col("octile"))
+  }
+
+  /** Vocabulary tail coverage — the tokenizer-budget curve: what share
+    * of all token OCCURRENCES do the top-100/1k/10k types cover? The
+    * type-count table is vocab-bounded after one map-side-combined
+    * scan; each cut is a TakeOrdered (count desc, token) over the one
+    * checkpointed top-10k table, never a global rank window.
+    */
+  def vocabTailQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .select(explode(TextOps.words(lower(col("text")))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val tot = counts.groupBy()
+      .agg(sum(col("cnt")).as("total_tokens"), count(lit(1)).as("n_types"))
+    val top = counts.orderBy(col("cnt").desc, col("tok")).limit(10000)
+      .localCheckpoint(true)
+    Seq(100, 1000, 10000).map { k =>
+      top.orderBy(col("cnt").desc, col("tok")).limit(k)
+        .groupBy().agg(sum(col("cnt")).as("covered"))
+        .select(lit(k.toLong).as("top_k"), col("covered"))
+    }.reduce(_ union _)
+      .crossJoin(broadcast(tot))
+      .select(col("top_k"), col("covered"), col("total_tokens"), col("n_types"),
+        expr("covered * 1000000 div total_tokens").as("coverage_e6"))
+      .orderBy(col("top_k"))
+  }
 }

@@ -165,7 +165,8 @@ object SoakScale {
     "q_mood_median", "q_ses_grid", "q_discord", "q_closeness",
     "q_pseudonymize", "q_dataset_card", "q_knn_class", "q_brier",
     "q_lift_gains", "q_single_linkage", "q_sample_size", "q_needleman",
-    "q_forecast_eval", "q_cem")
+    "q_forecast_eval", "q_cem", "q_tukey_fences", "q_qq_octiles",
+    "q_vocab_tail")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

@@ -384,6 +384,9 @@ object SparkEntry {
     "q_needleman" -> (Queries.needlemanQ _),
     "q_forecast_eval" -> (Queries.forecastEvalQ _),
     "q_cem" -> (Queries.cemQ _),
+    "q_tukey_fences" -> (Queries.tukeyFencesQ _),
+    "q_qq_octiles" -> (Queries.qqOctilesQ _),
+    "q_vocab_tail" -> (Queries.vocabTailQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -8169,5 +8172,58 @@ object SparkEntry {
         |SELECT n_bins_total, n_bins_matched, n_treated_matched, n_control_matched,
         |  CAST(num // nullif(n_treated_matched, 0) AS BIGINT) AS att_cents_e6
         |FROM tot CROSS JOIN mt""".stripMargin,
+
+    // Tukey-fence replay: exact 4x quartiles, 8x fences, integer gate.
+    "q_tukey_fences" ->
+      """WITH ev AS (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS v
+        |  FROM events),
+        |f AS (SELECT event_type,
+        |    CAST(4 * quantile_cont(v, 0.25) AS BIGINT) AS q1_4x,
+        |    CAST(4 * quantile_cont(v, 0.75) AS BIGINT) AS q3_4x
+        |  FROM ev GROUP BY event_type),
+        |f2 AS (SELECT *, 2 * q1_4x - 3 * (q3_4x - q1_4x) AS lo8,
+        |    2 * q3_4x + 3 * (q3_4x - q1_4x) AS hi8 FROM f)
+        |SELECT ev.event_type, q1_4x, q3_4x, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN 8 * v < lo8 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(sum(CASE WHEN 8 * v > hi8 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        |FROM ev JOIN f2 ON ev.event_type = f2.event_type
+        |GROUP BY ev.event_type, q1_4x, q3_4x ORDER BY ev.event_type""".stripMargin,
+
+    // Octile Q-Q replay: dyadic-exact 8x quantile arrays per arm.
+    "q_qq_octiles" ->
+      """WITH ev AS (SELECT CASE WHEN (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+        |      + 4) % 7 >= 5 THEN 1 ELSE 0 END AS g,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |q AS (SELECT g, list_transform(
+        |    quantile_cont(v, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]),
+        |    x -> CAST(8 * x AS BIGINT)) AS qs
+        |  FROM ev GROUP BY g),
+        |w AS (SELECT max(CASE WHEN g = 1 THEN qs END) AS qw,
+        |    max(CASE WHEN g = 0 THEN qs END) AS qd FROM q),
+        |x AS (SELECT unnest(range(1, 8)) AS octile FROM w)
+        |SELECT octile, qw[CAST(octile AS INT)] AS weekend_8x,
+        |  qd[CAST(octile AS INT)] AS weekday_8x,
+        |  qw[CAST(octile AS INT)] - qd[CAST(octile AS INT)] AS gap_8x
+        |FROM x CROSS JOIN w ORDER BY octile""".stripMargin,
+
+    // Vocab-tail replay: type counts, per-cut ordered LIMIT sums.
+    "q_vocab_tail" ->
+      s"""WITH counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(${wordsSql("lower(text)")}) AS tok FROM documents)
+         |  GROUP BY tok),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens,
+         |    CAST(count(*) AS BIGINT) AS n_types FROM counts),
+         |c100 AS (SELECT CAST(100 AS BIGINT) AS top_k, CAST(sum(cnt) AS BIGINT)
+         |    AS covered FROM (SELECT cnt FROM counts ORDER BY cnt DESC, tok LIMIT 100)),
+         |c1k AS (SELECT CAST(1000 AS BIGINT), CAST(sum(cnt) AS BIGINT)
+         |  FROM (SELECT cnt FROM counts ORDER BY cnt DESC, tok LIMIT 1000)),
+         |c10k AS (SELECT CAST(10000 AS BIGINT), CAST(sum(cnt) AS BIGINT)
+         |  FROM (SELECT cnt FROM counts ORDER BY cnt DESC, tok LIMIT 10000)),
+         |u AS (SELECT * FROM c100 UNION ALL SELECT * FROM c1k
+         |  UNION ALL SELECT * FROM c10k)
+         |SELECT top_k, covered, total_tokens, n_types,
+         |  CAST(covered * 1000000 // total_tokens AS BIGINT) AS coverage_e6
+         |FROM u CROSS JOIN tot ORDER BY top_k""".stripMargin,
   )
 }

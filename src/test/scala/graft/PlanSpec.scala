@@ -1502,6 +1502,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("tukey/qq_octiles: per-group exact percentiles, fences broadcast back") {
+    for ((n, q) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)](
+        ("tukey_fences", Queries.tukeyFencesQ _), ("qq_octiles", Queries.qqOctilesQ _))) {
+      val plan = formatted(q(spark, sf))
+      assert(plan.contains("partial_percentile") || plan.contains("ObjectHashAggregate"),
+        s"$n:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$n:\n$plan")
+      assert(globalWindow.findFirstIn(plan).isEmpty, s"$n:\n$plan")
+    }
+  }
+
+  test("vocab_tail: every cut is a TakeOrdered over the checkpointed top table") {
+    val plan = formatted(Queries.vocabTailQ(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(globalWindow.findFirstIn(plan).isEmpty, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("brier/lift_gains: bucket table aggregates; gains walk behind the singleton hash") {
     for ((n, q) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)](
         ("brier", Queries.brierQ _), ("lift_gains", Queries.liftGainsQ _))) {
