@@ -10170,4 +10170,76 @@ object Queries {
         expr("covered * 1000000 div total_tokens").as("coverage_e6"))
       .orderBy(col("top_k"))
   }
+
+  /** 3-fold cross-validated accuracy of the perceptron language
+    * classifier — the eval harness that turns [[calibrationQ]]'s
+    * in-sample reliability into an HONEST generalization number: each
+    * fold trains the full 3-pass integer perceptron on 2/3 of the
+    * corpus (doc_id mod 3) and scores the held-out third. Three
+    * trainings over fold-filtered hashed-count tables; the oracle
+    * replays all three unrolled chains. Exact integers end to end.
+    */
+  def crossValQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"),
+      when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
+    (0 to 2).map { k =>
+      val (w, b) = graft.ops.Classify.perceptronTrain(
+        d.filter(col("doc_id") % 3 =!= k), "y", "text", "pcpt:", 64, 3)
+      graft.ops.Classify.perceptronScore(
+          d.filter(col("doc_id") % 3 === k), w, b, "doc_id", "text", "pcpt:", 64,
+          carry = Seq("y"))
+        .groupBy()
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("pred") === col("y"), 1L).otherwise(0L)).as("n_correct"))
+        .select(lit(k.toLong).as("fold"), col("n_test"), col("n_correct"),
+          expr("n_correct * 1000000 div n_test").as("acc_e6"))
+    }.reduce(_ union _).orderBy(col("fold"))
+  }
+
+  /** Per-label L1 centroid (component-wise median) of the embedding
+    * cells — the robust alternative to the k-means mean centroid that
+    * a single corrupted vector can't drag: each of the first 8
+    * dimensions' medians is held EXACT at 2× scale over e6-floored
+    * components (floor parity is engine-safe; round is not for
+    * negatives). One posexplode scan into (label, dim) percentile
+    * cells — scan-shaped at any corpus size.
+    */
+  def l1CentroidQ(spark: SparkSession, sfDir: String): DataFrame = {
+    Similarity.asDouble(Tables.embeddings(spark, sfDir))
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .filter(col("dim") < 8)
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        floor(col("x") * lit(1000000.0)).cast("long").as("q"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("cast(2 * percentile(q, 0.5) as bigint)").as("med_2x_e6"))
+      .orderBy(col("label"), col("dim"))
+  }
+
+  /** Modified-z (robust) outlier days: 0.6745·|x−med|/MAD > 3.5 with
+    * every quantity exact — deviations at 2× scale, the MAD at 4×
+    * (two nested 2×-median tricks), and the gate 1349·dev₂ > 3500·mad₄
+    * comparing integers only. The top-3 days by robust z ship with
+    * their flag, so the readout is never empty. [[grubbsQ]]'s
+    * mean/sd sibling collapses under the very outliers it hunts; this
+    * one doesn't — that's why monitoring stacks run MAD.
+    */
+  def robustZQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(count(lit(1)).as("x"))
+    val med = daily.groupBy()
+      .agg(expr("cast(2 * percentile(x, 0.5) as bigint)").as("m2"))
+    val dev = daily.crossJoin(broadcast(med))
+      .select(col("d"), col("x"), abs(expr("2 * x - m2")).as("dev2"))
+      .localCheckpoint(true)
+    val mad = dev.groupBy()
+      .agg(expr("cast(2 * percentile(dev2, 0.5) as bigint)").as("mad4"))
+    dev.crossJoin(broadcast(mad))
+      .select(col("d"), col("x"),
+        expr("1349 * dev2 * 1000 div nullif(mad4, 0)").as("z_e6"),
+        expr("1349 * dev2 > 3500 * mad4").as("is_outlier"))
+      .orderBy(col("z_e6").desc, col("d"))
+      .limit(3)
+  }
 }

@@ -387,6 +387,9 @@ object SparkEntry {
     "q_tukey_fences" -> (Queries.tukeyFencesQ _),
     "q_qq_octiles" -> (Queries.qqOctilesQ _),
     "q_vocab_tail" -> (Queries.vocabTailQ _),
+    "q_cross_val" -> (Queries.crossValQ _),
+    "q_l1_centroid" -> (Queries.l1CentroidQ _),
+    "q_robust_z" -> (Queries.robustZQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -480,6 +483,50 @@ object SparkEntry {
        |${p}h AS (SELECT doc_id, pos, ${hSql("gram")} AS h,
        |    doc_id * 1000000 + pos AS key FROM ${p}grams WHERE pos <= ng - 8)""".stripMargin
 
+  /** The pc0 body alone (hashed counts over a given documents-shaped
+    * relation) — shared by [[pcptCtes]] and the CV fold chains.
+    */
+  private def pcptCounts(docsRel: String): String =
+    s"""  SELECT doc_id, y, bucket, count(*) AS n FROM (
+       |    SELECT doc_id, CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y,
+       |      ${hSql("'pcpt:' || tok")} % 64 AS bucket FROM (
+       |      SELECT doc_id, lang, unnest(${wordsSql("lower(text)")}) AS tok FROM $docsRel) u
+       |    WHERE length(tok) >= 2) b
+       |  GROUP BY doc_id, y, bucket""".stripMargin
+
+  /** The 3-pass perceptron training chain over a counts relation
+    * `src` (pc0-shaped), every CTE name prefixed with `p` — defines
+    * ${p}pd, ${p}w1/b1 … ${p}w3/b3. With an empty prefix this is the
+    * historical pcptCtes tail, byte-compatible for consumers that
+    * reference pc0/w3/b3.
+    */
+  private def pcptChain(p: String, src: String): String =
+    s"""${p}pd AS (SELECT DISTINCT doc_id, y FROM $src),
+       |${p}w1 AS (SELECT bucket, CAST(sum(y * n) AS BIGINT) AS w FROM $src GROUP BY bucket),
+       |${p}b1 AS (SELECT CAST(sum(y) AS BIGINT) AS b FROM ${p}pd),
+       |${p}s2 AS (SELECT c.doc_id, c.y,
+       |    CAST(sum(c.n * coalesce(a.w, 0)) AS BIGINT) + (SELECT b FROM ${p}b1) AS s
+       |  FROM $src c LEFT JOIN ${p}w1 a USING (bucket) GROUP BY c.doc_id, c.y),
+       |${p}m2 AS (SELECT doc_id, y FROM ${p}s2 WHERE y * s <= 0),
+       |${p}g2 AS (SELECT c.bucket, CAST(sum(c.y * c.n) AS BIGINT) AS g
+       |  FROM $src c JOIN ${p}m2 USING (doc_id) GROUP BY c.bucket),
+       |${p}w2 AS (SELECT coalesce(a.bucket, g.bucket) AS bucket,
+       |    coalesce(a.w, 0) + coalesce(g.g, 0) AS w
+       |  FROM ${p}w1 a FULL JOIN ${p}g2 g ON a.bucket = g.bucket),
+       |${p}b2 AS (SELECT (SELECT b FROM ${p}b1)
+       |    + coalesce((SELECT CAST(sum(y) AS BIGINT) FROM ${p}m2), 0) AS b),
+       |${p}s3 AS (SELECT c.doc_id, c.y,
+       |    CAST(sum(c.n * coalesce(a.w, 0)) AS BIGINT) + (SELECT b FROM ${p}b2) AS s
+       |  FROM $src c LEFT JOIN ${p}w2 a USING (bucket) GROUP BY c.doc_id, c.y),
+       |${p}m3 AS (SELECT doc_id, y FROM ${p}s3 WHERE y * s <= 0),
+       |${p}g3 AS (SELECT c.bucket, CAST(sum(c.y * c.n) AS BIGINT) AS g
+       |  FROM $src c JOIN ${p}m3 USING (doc_id) GROUP BY c.bucket),
+       |${p}w3 AS (SELECT coalesce(a.bucket, g.bucket) AS bucket,
+       |    coalesce(a.w, 0) + coalesce(g.g, 0) AS w
+       |  FROM ${p}w2 a FULL JOIN ${p}g3 g ON a.bucket = g.bucket),
+       |${p}b3 AS (SELECT (SELECT b FROM ${p}b2)
+       |    + coalesce((SELECT CAST(sum(y) AS BIGINT) FROM ${p}m3), 0) AS b)""".stripMargin
+
   /** Perceptron training CTE chain (3 unrolled passes over 64 hashed
     * buckets, y = ±1 on lang='en' — the Classify.perceptronTrain
     * contract): defines pc0 (hashed counts), pd, and per-pass
@@ -487,37 +534,8 @@ object SparkEntry {
     */
   private def pcptCtes: String =
     s"""pc0 AS (
-       |  SELECT doc_id, y, bucket, count(*) AS n FROM (
-       |    SELECT doc_id, CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y,
-       |      ${hSql("'pcpt:' || tok")} % 64 AS bucket FROM (
-       |      SELECT doc_id, lang, unnest(${wordsSql("lower(text)")}) AS tok FROM documents) u
-       |    WHERE length(tok) >= 2) b
-       |  GROUP BY doc_id, y, bucket),
-       |pd AS (SELECT DISTINCT doc_id, y FROM pc0),
-       |w1 AS (SELECT bucket, CAST(sum(y * n) AS BIGINT) AS w FROM pc0 GROUP BY bucket),
-       |b1 AS (SELECT CAST(sum(y) AS BIGINT) AS b FROM pd),
-       |s2 AS (SELECT c.doc_id, c.y,
-       |    CAST(sum(c.n * coalesce(w1.w, 0)) AS BIGINT) + (SELECT b FROM b1) AS s
-       |  FROM pc0 c LEFT JOIN w1 USING (bucket) GROUP BY c.doc_id, c.y),
-       |m2 AS (SELECT doc_id, y FROM s2 WHERE y * s <= 0),
-       |g2 AS (SELECT c.bucket, CAST(sum(c.y * c.n) AS BIGINT) AS g
-       |  FROM pc0 c JOIN m2 USING (doc_id) GROUP BY c.bucket),
-       |w2 AS (SELECT coalesce(w1.bucket, g2.bucket) AS bucket,
-       |    coalesce(w1.w, 0) + coalesce(g2.g, 0) AS w
-       |  FROM w1 FULL JOIN g2 ON w1.bucket = g2.bucket),
-       |b2 AS (SELECT (SELECT b FROM b1)
-       |    + coalesce((SELECT CAST(sum(y) AS BIGINT) FROM m2), 0) AS b),
-       |s3 AS (SELECT c.doc_id, c.y,
-       |    CAST(sum(c.n * coalesce(w2.w, 0)) AS BIGINT) + (SELECT b FROM b2) AS s
-       |  FROM pc0 c LEFT JOIN w2 USING (bucket) GROUP BY c.doc_id, c.y),
-       |m3 AS (SELECT doc_id, y FROM s3 WHERE y * s <= 0),
-       |g3 AS (SELECT c.bucket, CAST(sum(c.y * c.n) AS BIGINT) AS g
-       |  FROM pc0 c JOIN m3 USING (doc_id) GROUP BY c.bucket),
-       |w3 AS (SELECT coalesce(w2.bucket, g3.bucket) AS bucket,
-       |    coalesce(w2.w, 0) + coalesce(g3.g, 0) AS w
-       |  FROM w2 FULL JOIN g3 ON w2.bucket = g3.bucket),
-       |b3 AS (SELECT (SELECT b FROM b2)
-       |    + coalesce((SELECT CAST(sum(y) AS BIGINT) FROM m3), 0) AS b)""".stripMargin
+       |${pcptCounts("documents")}),
+       |${pcptChain("", "pc0")}""".stripMargin
 
   /** One-vs-rest perceptron training CTE chain (2 unrolled passes ×
     * one binary model per label over 64 'povr:'-salted buckets, Collins
@@ -8225,5 +8243,55 @@ object SparkEntry {
          |SELECT top_k, covered, total_tokens, n_types,
          |  CAST(covered * 1000000 // total_tokens AS BIGINT) AS coverage_e6
          |FROM u CROSS JOIN tot ORDER BY top_k""".stripMargin,
+
+    // 3-fold CV replay: one materialized full count table, three
+    // fold-filtered training chains, held-out scoring per fold.
+    "q_cross_val" -> {
+      def fold(k: Int): String =
+        s"""cv${k}_pc0 AS MATERIALIZED (SELECT * FROM pcall WHERE doc_id % 3 <> $k),
+           |${pcptChain(s"cv${k}_", s"cv${k}_pc0")},
+           |cv${k}_fs AS (SELECT c.doc_id, c.y,
+           |    CAST(sum(c.n * coalesce(a.w, 0)) AS BIGINT)
+           |      + (SELECT b FROM cv${k}_b3) AS s
+           |  FROM pcall c LEFT JOIN cv${k}_w3 a USING (bucket)
+           |  WHERE c.doc_id % 3 = $k GROUP BY c.doc_id, c.y),
+           |cv${k}_r AS (SELECT CAST($k AS BIGINT) AS fold,
+           |    CAST(count(*) AS BIGINT) AS n_test,
+           |    CAST(sum(CASE WHEN (s > 0 AND y = 1) OR (s <= 0 AND y = -1)
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_correct FROM cv${k}_fs)""".stripMargin
+      s"""WITH pcall AS MATERIALIZED (
+         |${pcptCounts("documents")}),
+         |${fold(0)},
+         |${fold(1)},
+         |${fold(2)},
+         |u AS (SELECT * FROM cv0_r UNION ALL SELECT * FROM cv1_r
+         |  UNION ALL SELECT * FROM cv2_r)
+         |SELECT fold, n_test, n_correct,
+         |  CAST(n_correct * 1000000 // n_test AS BIGINT) AS acc_e6
+         |FROM u ORDER BY fold""".stripMargin
+    },
+
+    // L1-centroid replay: e6-floored components, exact 2x medians per
+    // (label, dim) cell.
+    "q_l1_centroid" ->
+      """WITH c AS (SELECT label, CAST(i AS BIGINT) AS dim,
+        |    CAST(floor(CAST(v[CAST(i AS INT) + 1] AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+        |  FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) e,
+        |  LATERAL (SELECT unnest(range(8)) AS i) p)
+        |SELECT label, dim, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(2 * quantile_cont(q, 0.5) AS BIGINT) AS med_2x_e6
+        |FROM c GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+
+    // Robust-z replay: nested 2x-median tricks, integer gate, top-3.
+    "q_robust_z" ->
+      """WITH daily AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |med AS (SELECT CAST(2 * quantile_cont(x, 0.5) AS BIGINT) AS m2 FROM daily),
+        |dev AS (SELECT d, x, abs(2 * x - m2) AS dev2 FROM daily CROSS JOIN med),
+        |mad AS (SELECT CAST(2 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad4 FROM dev)
+        |SELECT d, x,
+        |  CAST(1349 * dev2 * 1000 // nullif(mad4, 0) AS BIGINT) AS z_e6,
+        |  1349 * dev2 > 3500 * mad4 AS is_outlier
+        |FROM dev CROSS JOIN mad ORDER BY z_e6 DESC, d LIMIT 3""".stripMargin,
   )
 }

@@ -1520,6 +1520,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("cross_val/l1_centroid/robust_z: fold-filtered or percentile aggregates, no cartesian") {
+    for ((n, q) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)](
+        ("cross_val", Queries.crossValQ _), ("l1_centroid", Queries.l1CentroidQ _),
+        ("robust_z", Queries.robustZQ _))) {
+      val plan = formatted(q(spark, sf))
+      assert(plan.contains("partial_"), s"$n:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$n:\n$plan")
+      assert(globalWindow.findFirstIn(plan).isEmpty, s"$n:\n$plan")
+    }
+  }
+
   test("brier/lift_gains: bucket table aggregates; gains walk behind the singleton hash") {
     for ((n, q) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)](
         ("brier", Queries.brierQ _), ("lift_gains", Queries.liftGainsQ _))) {
