@@ -10063,9 +10063,12 @@ object Queries {
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         expr("min(d) div 7").as("first_week"),
-        max(when(col("event_type") === "error", 1L).otherwise(0L)).as("treated"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("errs"),
         sum(when(col("event_type") === "purchase", col("cts")).otherwise(0L))
           .as("outcome"))
+      // treated = error share above the 20% uniform expectation (a
+      // bare >=1-error flag saturates: every active user errors once)
+      .withColumn("treated", expr("if(5 * errs > n_events, 1L, 0L)"))
     val cells = users
       .groupBy(expr("n_events div 20").as("act_bin"), col("first_week"),
         col("treated"))
@@ -10241,5 +10244,37 @@ object Queries {
         expr("1349 * dev2 > 3500 * mad4").as("is_outlier"))
       .orderBy(col("z_e6").desc, col("d"))
       .limit(3)
+  }
+
+  /** Uplift of error exposure on $200+ purchase conversion, by
+    * activity band — [[cemQ]]'s per-stratum readout: within each
+    * activity bin, treated-vs-control conversion rates as exact e6
+    * rationals and their gap. Heterogeneous treatment effects as pure
+    * group-bys (ONE user reduce, one bin aggregate); only both-arm
+    * bins ship.
+    */
+  def upliftQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val users = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("errs"),
+        max(when(col("event_type") === "purchase" && col("value") >= 200.0, 1L)
+          .otherwise(0L)).as("converted"))
+      // the cemQ treatment: error share above the 20% uniform baseline
+      .withColumn("treated", expr("if(5 * errs > n_events, 1L, 0L)"))
+    users
+      .groupBy(expr("least(n_events div 25, 8L)").as("act_bin"), col("treated"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("k"))
+      .groupBy(col("act_bin"))
+      .agg(max(when(col("treated") === 1, col("n"))).as("n_t"),
+        max(when(col("treated") === 1, col("k"))).as("k_t"),
+        max(when(col("treated") === 0, col("n"))).as("n_c"),
+        max(when(col("treated") === 0, col("k"))).as("k_c"))
+      .filter(col("n_t").isNotNull && col("n_c").isNotNull)
+      .select(col("act_bin"), col("n_t"), col("n_c"),
+        expr("k_t * 1000000 div n_t").as("conv_t_e6"),
+        expr("k_c * 1000000 div n_c").as("conv_c_e6"),
+        expr("k_t * 1000000 div n_t - k_c * 1000000 div n_c").as("uplift_e6"))
+      .orderBy(col("act_bin"))
   }
 }

@@ -390,6 +390,7 @@ object SparkEntry {
     "q_cross_val" -> (Queries.crossValQ _),
     "q_l1_centroid" -> (Queries.l1CentroidQ _),
     "q_robust_z" -> (Queries.robustZQ _),
+    "q_uplift" -> (Queries.upliftQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -8161,14 +8162,17 @@ object SparkEntry {
     // CEM replay: the same user reduce, bin cells, matched-bin
     // weighted gap with per-bin e6 truncation.
     "q_cem" ->
-      """WITH users AS (SELECT user_id,
+      """WITH u0 AS (SELECT user_id,
         |    CAST(count(*) AS BIGINT) AS n_events,
         |    min(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) // 7 AS first_week,
-        |    max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS treated,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS errs,
         |    CAST(sum(CASE WHEN event_type = 'purchase'
         |      THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT)
         |      AS outcome
         |  FROM events GROUP BY user_id),
+        |users AS (SELECT *, CASE WHEN 5 * errs > n_events THEN 1 ELSE 0 END
+        |  AS treated FROM u0),
         |cells AS (SELECT n_events // 20 AS act_bin, first_week, treated,
         |    CAST(count(*) AS BIGINT) AS n, CAST(sum(outcome) AS BIGINT) AS s
         |  FROM users GROUP BY 1, 2, 3),
@@ -8293,5 +8297,32 @@ object SparkEntry {
         |  CAST(1349 * dev2 * 1000 // nullif(mad4, 0) AS BIGINT) AS z_e6,
         |  1349 * dev2 > 3500 * mad4 AS is_outlier
         |FROM dev CROSS JOIN mad ORDER BY z_e6 DESC, d LIMIT 3""".stripMargin,
+
+    // Uplift replay: the same user reduce, per-(bin, arm) cells,
+    // both-arm gap at e6.
+    "q_uplift" ->
+      """WITH u0 AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS errs,
+        |    max(CASE WHEN event_type = 'purchase' AND value >= 200.0
+        |      THEN 1 ELSE 0 END) AS converted
+        |  FROM events GROUP BY user_id),
+        |users AS (SELECT *, CASE WHEN 5 * errs > n_events THEN 1 ELSE 0 END
+        |  AS treated FROM u0),
+        |cells AS (SELECT least(n_events // 25, 8) AS act_bin, treated,
+        |    CAST(count(*) AS BIGINT) AS n, CAST(sum(converted) AS BIGINT) AS k
+        |  FROM users GROUP BY 1, 2),
+        |bins AS (SELECT act_bin,
+        |    max(CASE WHEN treated = 1 THEN n END) AS n_t,
+        |    max(CASE WHEN treated = 1 THEN k END) AS k_t,
+        |    max(CASE WHEN treated = 0 THEN n END) AS n_c,
+        |    max(CASE WHEN treated = 0 THEN k END) AS k_c
+        |  FROM cells GROUP BY 1)
+        |SELECT act_bin, n_t, n_c,
+        |  CAST(k_t * 1000000 // n_t AS BIGINT) AS conv_t_e6,
+        |  CAST(k_c * 1000000 // n_c AS BIGINT) AS conv_c_e6,
+        |  CAST(k_t * 1000000 // n_t - k_c * 1000000 // n_c AS BIGINT) AS uplift_e6
+        |FROM bins WHERE n_t IS NOT NULL AND n_c IS NOT NULL
+        |ORDER BY act_bin""".stripMargin,
   )
 }

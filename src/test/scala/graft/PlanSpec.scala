@@ -1495,6 +1495,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("uplift: user reduce -> per-(bin, arm) cells; no join at all") {
+    val plan = formatted(Queries.upliftQ(spark, sf))
+    assert(plan.contains("partial_count"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("cem: user reduce -> bin cells -> 1-row readout; no per-pair matching join") {
     val plan = formatted(Queries.cemQ(spark, sf))
     assert(plan.contains("partial_count"), plan)
