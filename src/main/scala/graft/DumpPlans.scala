@@ -69,7 +69,15 @@ object DumpPlans {
     "q_phash_dedup" -> "pHash dedup: signatures per-partition from payload bytes; byte-band equi-join candidates (pigeonhole for Hamming ≤ 6) — no all-pairs product; bit_count(xor) verify on candidates only",
     "q_span_corrupt" -> "span corruption: posexplode → narrow hash flag; sentinel ranks under a doc-partitioned window; input/target rebuilds are doc-keyed sorted-collect aggregates — no cross-doc shuffle beyond the doc groupBys",
     "q_shapley" -> "Shapley: ONE per-user touch-mask partial-agg reduce; the 16-row value table, subset and channel spines all broadcast; marginal sums are support-sized arithmetic",
-    "q_dtw" -> "DTW: daily partial-agg to the calendar-bounded week table; all 49 DP cells are ONE codegen'd projection over the week-pair join — no UDF, no recursion, no window")
+    "q_dtw" -> "DTW: daily partial-agg to the calendar-bounded week table; all 49 DP cells are ONE codegen'd projection over the week-pair join — no UDF, no recursion, no window",
+    "q_granger" -> "Granger: one daily partial-agg, one d+1 equi self-join; both model fits are 1-row Cramer solves in decimal(38,0); SSEs re-aggregate the checkpointed pair table with the fits broadcast",
+    "q_discord" -> "discord windows: zero-filled hourly calendar; window build is an equi-join on the hour offset; pair distances partial-agg; top-3 = TakeOrderedAndProject — everything calendar-bounded",
+    "q_knn_class" -> "LOO 3-NN eval: bounded probes broadcast against ONE corpus scan of e6-floored distances; 3-NN selection is the partial BottomKLong aggregate; majority vote on the 3-row-per-probe table",
+    "q_cross_val" -> "3-fold CV: each fold trains on a fold-filtered hashed-count table (3 corpus passes total); scoring joins the broadcast model; accuracies are 1-row aggregates",
+    "q_cem" -> "CEM: causal matching as pure group-bys — ONE user reduce, per-(bin, arm) cells, 1-row ATT readout; no per-pair matching join anywhere",
+    "q_single_linkage" -> "single-linkage cuts: one banded candidate pass gated at the loosest threshold; each cut is a CC over the filtered checkpointed pair table",
+    "q_forecast_eval" -> "forecast backtest: ONE fold over the sorted train array carries all four model states; the holdout joins the 1-row model broadcast; MAEs partial-agg",
+    "q_vocab_tail" -> "vocab tail: map-side-combined type counts; every coverage cut is a TakeOrderedAndProject over one checkpointed top table — never a global rank window")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
