@@ -10277,4 +10277,114 @@ object Queries {
         expr("k_t * 1000000 div n_t - k_c * 1000000 div n_c").as("uplift_e6"))
       .orderBy(col("act_bin"))
   }
+
+  /** Hodges-Lehmann shift estimator between weekday and weekend daily
+    * event volumes: the median of ALL pairwise differences — the
+    * robust "how much higher is a weekend day, really?" number that a
+    * mean difference gets wrong under outliers and [[mannWhitneyQ]]
+    * only tests. Day pairs are calendar-bounded (they never grow with
+    * corpus size), and the median of integer differences is exact at
+    * 2× scale.
+    */
+  def hodgesLehmannQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("wknd", expr("if((d + 4) % 7 >= 5, 1L, 0L)"))
+      .localCheckpoint(true)
+    daily.filter(col("wknd") === 1).select(col("x").as("a"))
+      .crossJoin(daily.filter(col("wknd") === 0).select(col("x").as("b")))
+      .select((col("a") - col("b")).as("diff"))
+      .groupBy()
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("cast(2 * percentile(diff, 0.5) as bigint)").as("hl_2x"))
+  }
+
+  /** Cohen's kappa between the rule "lang = 'en'" and the trained
+    * perceptron's prediction — chance-corrected agreement of two
+    * labelers, THE inter-annotator metric for labeling pipelines.
+    * κ = (p_o − p_e)/(1 − p_e) reduces to one exact rational:
+    * (agree·n − a₁b₁ − a₀b₀)·10⁶ div (n² − a₁b₁ − a₀b₀). One scored
+    * pass into five counters; no float anywhere.
+    */
+  def kappaQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"),
+      when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
+    val (w, b) = graft.ops.Classify.perceptronTrain(d, "y", "text", "pcpt:", 64, 3)
+    graft.ops.Classify.perceptronScore(d, w, b, "doc_id", "text", "pcpt:", 64,
+        carry = Seq("y"))
+      .groupBy()
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(when(col("pred") === col("y"), 1L).otherwise(0L)).cast(d38).as("agree"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).cast(d38).as("a1"),
+        sum(when(col("pred") === 1L, 1L).otherwise(0L)).cast(d38).as("b1"))
+      .select(col("n").cast("long").as("n_docs"),
+        col("agree").cast("long").as("n_agree"),
+        expr("""cast((agree * n - a1 * b1 - (n - a1) * (n - b1)) * 1000000
+                div (n * n - a1 * b1 - (n - a1) * (n - b1)) as bigint)""")
+          .as("kappa_e6"))
+  }
+
+  /** Matthews correlation coefficient of the perceptron language
+    * classifier — the single-number confusion summary that stays
+    * honest under class imbalance where accuracy and F1 inflate:
+    * (TP·TN − FP·FN)/√((TP+FP)(TP+FN)(TN+FP)(TN+FN)), the four cell
+    * counts exact from one scored pass, the denominator the identical
+    * IEEE four-sqrt product floored at e6 on both engines.
+    */
+  def mccQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"),
+      when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
+    val (w, b) = graft.ops.Classify.perceptronTrain(d, "y", "text", "pcpt:", 64, 3)
+    graft.ops.Classify.perceptronScore(d, w, b, "doc_id", "text", "pcpt:", 64,
+        carry = Seq("y"))
+      .groupBy()
+      .agg(sum(when(col("y") === 1L && col("pred") === 1L, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("y") === -1L && col("pred") === -1L, 1L).otherwise(0L)).as("tn"),
+        sum(when(col("y") === -1L && col("pred") === 1L, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("y") === 1L && col("pred") === -1L, 1L).otherwise(0L)).as("fn"))
+      .select(col("tp"), col("tn"), col("fp"), col("fn"),
+        expr("""cast(floor(1000000.0
+                * (cast(tp as double) * cast(tn as double)
+                   - cast(fp as double) * cast(fn as double))
+                / nullif(sqrt(cast(tp + fp as double)) * sqrt(cast(tp + fn as double))
+                   * sqrt(cast(tn + fp as double)) * sqrt(cast(tn + fn as double)), 0.0d))
+                as bigint)""").as("mcc_e6"))
+  }
+
+  /** Cronbach's α over the five event types as "items" scoring each
+    * day — do the per-type daily volumes move together (one latent
+    * traffic factor) or independently? α = k/(k−1)·(1 − ΣVᵢ/V_T)
+    * with every variance the n²-scaled integer n·Σx²−(Σx)² over the
+    * zero-filled (day × type) grid — the whole statistic is one exact
+    * rational at e6. One partial-aggregated scan, a calendar-bounded
+    * spine fill, two tiny variance aggregates.
+    */
+  def cronbachQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val ev = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("d"), col("event_type"))
+    val counts = ev.groupBy(col("d"), col("event_type")).agg(count(lit(1)).as("x"))
+      .localCheckpoint(true)
+    val spine = counts.select(col("d")).distinct()
+      .crossJoin(broadcast(counts.select(col("event_type")).distinct()))
+    val grid = spine.join(counts, Seq("d", "event_type"), "left")
+      .select(col("d"), col("event_type"), coalesce(col("x"), lit(0L)).as("x"))
+      .localCheckpoint(true)
+    val vi = grid.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast(d38).as("n"), sum(col("x")).cast(d38).as("s"),
+        sum(col("x").cast(d38) * col("x")).as("q"))
+      .select(expr("n * q - s * s").as("v"), col("n"))
+      .groupBy(col("n")).agg(sum(col("v")).as("sum_vi"), count(lit(1)).as("k"))
+    val vt = grid.groupBy(col("d")).agg(sum(col("x")).as("t"))
+      .groupBy()
+      .agg(count(lit(1)).cast(d38).as("n2"), sum(col("t")).cast(d38).as("st"),
+        sum(col("t").cast(d38) * col("t")).as("qt"))
+      .select(expr("n2 * qt - st * st").as("v_total"))
+    vi.crossJoin(broadcast(vt))
+      .select(col("n").cast("long").as("n_days"), col("k"),
+        expr("""cast(k * (v_total - sum_vi) * 1000000
+                div ((k - 1) * v_total) as bigint)""").as("alpha_e6"))
+  }
 }

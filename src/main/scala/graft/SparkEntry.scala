@@ -391,6 +391,10 @@ object SparkEntry {
     "q_l1_centroid" -> (Queries.l1CentroidQ _),
     "q_robust_z" -> (Queries.robustZQ _),
     "q_uplift" -> (Queries.upliftQ _),
+    "q_hodges_lehmann" -> (Queries.hodgesLehmannQ _),
+    "q_kappa" -> (Queries.kappaQ _),
+    "q_mcc" -> (Queries.mccQ _),
+    "q_cronbach" -> (Queries.cronbachQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -8324,5 +8328,83 @@ object SparkEntry {
         |  CAST(k_t * 1000000 // n_t - k_c * 1000000 // n_c AS BIGINT) AS uplift_e6
         |FROM bins WHERE n_t IS NOT NULL AND n_c IS NOT NULL
         |ORDER BY act_bin""".stripMargin,
+
+    // Hodges-Lehmann replay: all weekday x weekend day pairs, exact
+    // 2x median of the integer differences.
+    "q_hodges_lehmann" ->
+      """WITH daily AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |t AS (SELECT x, CASE WHEN (d + 4) % 7 >= 5 THEN 1 ELSE 0 END AS wknd
+        |  FROM daily),
+        |diffs AS (SELECT a.x - b.x AS diff
+        |  FROM (SELECT x FROM t WHERE wknd = 1) a
+        |  CROSS JOIN (SELECT x FROM t WHERE wknd = 0) b)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(2 * quantile_cont(diff, 0.5) AS BIGINT) AS hl_2x
+        |FROM diffs""".stripMargin,
+
+    // Kappa replay: the shared training chain, one scored pass, the
+    // exact chance-corrected rational.
+    "q_kappa" ->
+      s"""WITH $pcptCtes,
+         |fs AS (SELECT c.doc_id, c.y,
+         |    CAST(sum(c.n * coalesce(w3.w, 0)) AS BIGINT) + (SELECT b FROM b3) AS s
+         |  FROM pc0 c LEFT JOIN w3 USING (bucket) GROUP BY c.doc_id, c.y),
+         |cnt AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+         |    CAST(sum(CASE WHEN (s > 0 AND y = 1) OR (s <= 0 AND y = -1)
+         |      THEN 1 ELSE 0 END) AS HUGEINT) AS agree,
+         |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS a1,
+         |    CAST(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS HUGEINT) AS b1
+         |  FROM fs)
+         |SELECT CAST(n AS BIGINT) AS n_docs, CAST(agree AS BIGINT) AS n_agree,
+         |  CAST((agree * n - a1 * b1 - (n - a1) * (n - b1)) * 1000000
+         |    // (n * n - a1 * b1 - (n - a1) * (n - b1)) AS BIGINT) AS kappa_e6
+         |FROM cnt""".stripMargin,
+
+    // MCC replay: four exact cells, the identical IEEE four-sqrt
+    // denominator floored at e6.
+    "q_mcc" ->
+      s"""WITH $pcptCtes,
+         |fs AS (SELECT c.doc_id, c.y,
+         |    CAST(sum(c.n * coalesce(w3.w, 0)) AS BIGINT) + (SELECT b FROM b3) AS s
+         |  FROM pc0 c LEFT JOIN w3 USING (bucket) GROUP BY c.doc_id, c.y),
+         |cells AS (SELECT
+         |    CAST(sum(CASE WHEN y = 1 AND s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN y = -1 AND s <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         |    CAST(sum(CASE WHEN y = -1 AND s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN y = 1 AND s <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         |  FROM fs)
+         |SELECT tp, tn, fp, fn,
+         |  CAST(floor(1000000.0
+         |    * (CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+         |       - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+         |    / nullif(sqrt(CAST(tp + fp AS DOUBLE)) * sqrt(CAST(tp + fn AS DOUBLE))
+         |       * sqrt(CAST(tn + fp AS DOUBLE)) * sqrt(CAST(tn + fn AS DOUBLE)), 0.0))
+         |    AS BIGINT) AS mcc_e6
+         |FROM cells""".stripMargin,
+
+    // Cronbach replay: zero-filled (day x type) grid, n^2-scaled
+    // integer variances, the exact alpha rational.
+    "q_cronbach" ->
+      """WITH counts AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    event_type, CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |sp AS (SELECT d, event_type FROM (SELECT DISTINCT d FROM counts)
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM counts)),
+        |grid AS (SELECT sp.d, sp.event_type, coalesce(counts.x, 0) AS x
+        |  FROM sp LEFT JOIN counts ON sp.d = counts.d
+        |    AND sp.event_type = counts.event_type),
+        |vi AS (SELECT CAST(count(*) AS BIGINT) AS k, max(n) AS n,
+        |    CAST(sum(v) AS HUGEINT) AS sum_vi FROM (
+        |    SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |      CAST(count(*) AS HUGEINT) * sum(CAST(x AS HUGEINT) * x)
+        |        - CAST(sum(x) AS HUGEINT) * sum(x) AS v
+        |    FROM grid GROUP BY event_type)),
+        |vt AS (SELECT CAST(count(*) AS HUGEINT) * sum(CAST(t AS HUGEINT) * t)
+        |    - CAST(sum(t) AS HUGEINT) * sum(t) AS v_total FROM (
+        |    SELECT d, CAST(sum(x) AS BIGINT) AS t FROM grid GROUP BY d))
+        |SELECT CAST(n AS BIGINT) AS n_days, k,
+        |  CAST(k * (v_total - sum_vi) * 1000000
+        |    // ((k - 1) * v_total) AS BIGINT) AS alpha_e6
+        |FROM vi CROSS JOIN vt""".stripMargin,
   )
 }

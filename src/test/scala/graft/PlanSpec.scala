@@ -1495,6 +1495,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("hl/kappa/mcc/cronbach: exact counters from one pass, no cartesian blowup") {
+    for ((n, q) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)](
+        ("hodges_lehmann", Queries.hodgesLehmannQ _), ("kappa", Queries.kappaQ _),
+        ("mcc", Queries.mccQ _), ("cronbach", Queries.cronbachQ _))) {
+      val plan = formatted(q(spark, sf))
+      assert(plan.contains("partial_"), s"$n:\n$plan")
+      assert(globalWindow.findFirstIn(plan).isEmpty, s"$n:\n$plan")
+    }
+  }
+
   test("uplift: user reduce -> per-(bin, arm) cells; no join at all") {
     val plan = formatted(Queries.upliftQ(spark, sf))
     assert(plan.contains("partial_count"), plan)
