@@ -10387,4 +10387,40 @@ object Queries {
         expr("""cast(k * (v_total - sum_vi) * 1000000
                 div ((k - 1) * v_total) as bigint)""").as("alpha_e6"))
   }
+
+  /** Partial correlation of daily clicks and purchases CONTROLLING
+    * for view volume — does the click→purchase link survive once
+    * "it was just a busy day" is partialled out? All three pairwise
+    * correlation numerators/denominators are exact n-scaled integers
+    * from ONE daily aggregate; the final
+    * (r_xy − r_xz·r_zy)/√((1−r_xz²)(1−r_zy²)) is the identical IEEE
+    * expression floored at e6 on both engines ([[crossCorrQ]]'s rule).
+    */
+  def partialCorrQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).cast(d38).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).cast(d38).as("y"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).cast(d38).as("z"))
+    val s = daily.groupBy()
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"), sum(col("z")).as("sz"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("z")).as("sxz"),
+        sum(col("y") * col("z")).as("syz"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("z") * col("z")).as("szz"))
+    def r(ab: String, a: String, b: String): String =
+      s"""(cast(n * s$ab - s$a * s$b as double)
+          / (sqrt(cast(n * s$a$a - s$a * s$a as double))
+             * sqrt(cast(n * s$b$b - s$b * s$b as double))))"""
+    val (rxy, rxz, rzy) = (r("xy", "x", "y"), r("xz", "x", "z"), r("yz", "y", "z"))
+    s.select(col("n").cast("long").as("n_days"),
+      expr(s"cast(floor(1000000.0 * $rxy) as bigint)").as("rxy_e6"),
+      expr(s"cast(floor(1000000.0 * $rxz) as bigint)").as("rxz_e6"),
+      expr(s"cast(floor(1000000.0 * $rzy) as bigint)").as("rzy_e6"),
+      expr(s"""cast(floor(1000000.0 * ($rxy - $rxz * $rzy)
+              / sqrt((1.0 - $rxz * $rxz) * (1.0 - $rzy * $rzy))) as bigint)""")
+        .as("partial_e6"))
+  }
 }

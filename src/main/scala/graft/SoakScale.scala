@@ -167,7 +167,8 @@ object SoakScale {
     "q_lift_gains", "q_single_linkage", "q_sample_size", "q_needleman",
     "q_forecast_eval", "q_cem", "q_tukey_fences", "q_qq_octiles",
     "q_vocab_tail", "q_cross_val", "q_l1_centroid", "q_robust_z",
-    "q_uplift", "q_hodges_lehmann", "q_kappa", "q_mcc", "q_cronbach")
+    "q_uplift", "q_hodges_lehmann", "q_kappa", "q_mcc", "q_cronbach",
+    "q_partial_corr")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

@@ -395,6 +395,7 @@ object SparkEntry {
     "q_kappa" -> (Queries.kappaQ _),
     "q_mcc" -> (Queries.mccQ _),
     "q_cronbach" -> (Queries.cronbachQ _),
+    "q_partial_corr" -> (Queries.partialCorrQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -8406,5 +8407,33 @@ object SparkEntry {
         |  CAST(k * (v_total - sum_vi) * 1000000
         |    // ((k - 1) * v_total) AS BIGINT) AS alpha_e6
         |FROM vi CROSS JOIN vt""".stripMargin,
+
+    // Partial-correlation replay: exact sufficient stats, identical
+    // IEEE formula floored at e6.
+    "q_partial_corr" -> {
+      def r(ab: String, a: String, b: String): String =
+        s"""(CAST(n * s$ab - s$a * s$b AS DOUBLE)
+           | / (sqrt(CAST(n * s$a$a - s$a * s$a AS DOUBLE))
+           |    * sqrt(CAST(n * s$b$b - s$b * s$b AS DOUBLE))))""".stripMargin
+      val (rxy, rxz, rzy) = (r("xy", "x", "y"), r("xz", "x", "z"), r("yz", "y", "z"))
+      s"""WITH daily AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+         |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS HUGEINT) AS x,
+         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS HUGEINT) AS y,
+         |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS HUGEINT) AS z
+         |  FROM events GROUP BY 1),
+         |s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+         |    sum(x) AS sx, sum(y) AS sy, sum(z) AS sz,
+         |    sum(x * y) AS sxy, sum(x * z) AS sxz, sum(y * z) AS syz,
+         |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(z * z) AS szz
+         |  FROM daily)
+         |SELECT CAST(n AS BIGINT) AS n_days,
+         |  CAST(floor(1000000.0 * $rxy) AS BIGINT) AS rxy_e6,
+         |  CAST(floor(1000000.0 * $rxz) AS BIGINT) AS rxz_e6,
+         |  CAST(floor(1000000.0 * $rzy) AS BIGINT) AS rzy_e6,
+         |  CAST(floor(1000000.0 * ($rxy - $rxz * $rzy)
+         |    / sqrt((1.0 - $rxz * $rxz) * (1.0 - $rzy * $rzy))) AS BIGINT)
+         |    AS partial_e6
+         |FROM s""".stripMargin
+    },
   )
 }

@@ -1505,6 +1505,12 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("partial_corr: one daily aggregate into a 1-row sufficient-stats solve") {
+    val plan = formatted(Queries.partialCorrQ(spark, sf))
+    assert(plan.contains("partial_count"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("uplift: user reduce -> per-(bin, arm) cells; no join at all") {
     val plan = formatted(Queries.upliftQ(spark, sf))
     assert(plan.contains("partial_count"), plan)
