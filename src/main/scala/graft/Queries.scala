@@ -1536,6 +1536,78 @@ object Queries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** [[annIvfPq]] served from the PARTITION-PRUNED lake layout — the
+    * proof of the IVFADC storage claim: the residual code table is
+    * WRITTEN to parquet partitioned by `ivf_cell`
+    * ([[graft.sources.LakeWriter.writeCellPartitioned]]), read back,
+    * and filtered to the queries' probed cells BEFORE the ADC join, so
+    * the scan node itself carries `PartitionFilters` and reads only
+    * nprobe-of-ncells directories (PlanSpec asserts both). The probed
+    * cell-id list is collected to the driver — bounded by the COARSE
+    * MODEL (≤ ncells ids, here ≤ |labels|), never the corpus, the same
+    * budget as broadcasting the centroids themselves. Results are
+    * bit-identical to q_ann_ivfpq (same oracle SQL): pruning removes
+    * only rows the LUT join would drop anyway. Layout write is
+    * session-memoized per sf; rerunning overwrites idempotently.
+    */
+  def annIvfPqPruned(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = Similarity.asDouble(Tables.embeddings(spark, sfDir))
+    val (cents, books, codes) = ivfPqParts(spark, sfDir)
+    val lake = graft.sources.SessionMemo(spark, ("ivfpq_lake_codes", sfDir)) {
+      val path = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_ivfpq_lake",
+        sfDir.replaceAll("[^A-Za-z0-9.]+", "_")).toString
+      graft.sources.LakeWriter.writeCellPartitioned(codes, "ivf_cell", path)
+      spark.read.parquet(path)
+    }
+    val qs = raw.filter(col("vec_id") < 10)
+    val probedCells = Similarity.ivfProbedCells(qs, cents, IvfPqNprobe)
+      .select(col("ivf_cell")).distinct().collect().map(_.getLong(0))
+    // static partition filter (int-typed on read-back: hive partition
+    // values infer as INT); cast back to long only AFTER the filter so
+    // pruning stays on the raw partition column
+    val pruned = lake
+      .filter(col("ivf_cell").isin(probedCells.map(_.toInt).toSeq: _*))
+      .withColumn("ivf_cell", col("ivf_cell").cast("long"))
+    Similarity.ivfPqTopK(qs, pruned, cents, books, 3, IvfPqM, IvfPqNprobe)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** IVFADC + exact re-rank — the full production serving stack
+    * (FAISS IVFADC,R): the pruned residual-ADC scan of [[annIvfPq]]
+    * shortlists k'=12 candidates per query, then ONLY those
+    * candidates' raw vectors are point-looked-up and re-ranked by
+    * exact squared L2 to the final top-3 — the [[annPqRefine]]
+    * contract composed over the IVF-pruned path. At 100 TB the corpus
+    * is touched through cell-pruned codes alone and the refine stage
+    * is a broadcast join against the |Q|·k'-row shortlist; the re-rank
+    * window is shortlist-bounded, never corpus-bounded. Carries both
+    * distances so the quality delta (ADC order vs exact order) is
+    * visible per row; recall@3 measured in COVERAGE.md.
+    */
+  def annIvfPqRefine(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val raw = Similarity.asDouble(Tables.embeddings(spark, sfDir))
+    val (cents, books, codes) = ivfPqParts(spark, sfDir)
+    val qs = raw.filter(col("vec_id") < 10)
+    val shortlist = Similarity.ivfPqTopK(qs, codes, cents, books,
+        12, IvfPqM, IvfPqNprobe)
+      .select(col("query_id"), col("neighbor_id"), col("adc_e6"))
+    val qv = qs.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val nv = raw.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d2_e6"), col("neighbor_id"))
+    nv.join(broadcast(shortlist), "neighbor_id")
+      .join(broadcast(qv), "query_id")
+      .withColumn("d2_e6", floor((Similarity.dot(col("nv"), col("nv"))
+        - lit(2.0) * Similarity.dot(col("qv"), col("nv"))
+        + Similarity.dot(col("qv"), col("qv"))) * lit(1000000.0)).cast("long"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        col("adc_e6"), col("d2_e6"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** The 32×6 code table shared by [[annMultiTable]] and [[annRecall]]
     * — memoized + persisted per (session, sf): the 192 plane dots are
     * the expensive pass over the embeddings, and the table itself is
@@ -5857,11 +5929,13 @@ object Queries {
     * scalar). Fano factor = (N·Σc² − S²) / ((N−1)·S) cleared of
     * fractions at 10⁻⁶; a bursty term (topical) scores ≫ 1, a
     * function word ≈ 1 — the feature separating keywords from glue.
-    * Scope: top-30 terms by corpus frequency via one vocab-bounded
-    * ranking window.
+    * Scope: top-30 terms by corpus frequency via orderBy+limit —
+    * `TakeOrderedAndProject`, a per-partition heap then a 30-row merge
+    * on the driver. NOT a singleton-key ranking window: the stats
+    * table is VOCAB-sized (10⁷–10⁸ distinct tokens at 100 TB), and
+    * vocab-bounded is not bounded (TextOps.scala house rule).
     */
   def burstinessQ(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val d38 = "decimal(38,0)"
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val n = docs.groupBy().agg(count(lit(1)).as("nn"))
@@ -5871,11 +5945,7 @@ object Queries {
     val stats = tc.groupBy(col("tok"))
       .agg(count(lit(1)).as("n_docs"), sum(col("c")).as("s"),
         sum((col("c") * col("c")).cast(d38)).as("q"))
-    val w = Window.partitionBy(
-        graft.functions.GraftFunctions.singleton_key(col("tok")))
-      .orderBy(col("s").desc, col("tok"))
-    stats.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 30).drop("rnk")
+    stats.orderBy(col("s").desc, col("tok")).limit(30)
       .crossJoin(broadcast(n))
       .select(col("tok"), col("n_docs"), col("s").as("total"),
         expr("""cast((nn * q - cast(s as decimal(38,0)) * s) * 1000000
@@ -7818,13 +7888,18 @@ object Queries {
   }
 
   /** Permutation test of per-user total spend between even/odd user
-    * cohorts: 200 deterministic pseudo-permutations (an arithmetic LCG
-    * over (user_id, round) — no RNG state, identical on both engines)
-    * re-split the users, and the p-value is the fraction of rounds
-    * whose |mean gap| reaches the observed one, with the standard +1
-    * smoothing. The distribution-free sibling of [[welchTtestQ]] and
-    * the resampling sibling of [[bootstrapQ]] (which resamples one
-    * group; this re-labels the split under the null). The user table
+    * cohorts: 200 deterministic pseudo-permutations (the portable md5
+    * hash over "user_id:round" — no RNG state, identical on both
+    * engines) re-split the users, and the p-value is the fraction of
+    * rounds whose |mean gap| reaches the observed one, with the
+    * standard +1 smoothing. The distribution-free sibling of
+    * [[welchTtestQ]] and the resampling sibling of [[bootstrapQ]]
+    * (which resamples one group; this re-labels the split under the
+    * null). The round label MUST come from a full-width hash, not the
+    * low bit of an LCG: with both multipliers odd, the low bit of
+    * (u*a + r*b) mod 2^31 is just (u + r) mod 2 — every round
+    * reproduces the observed split or its mirror and the test is
+    * vacuous (PermutationSpec pins the non-degeneracy). The user table
     * is aggregated once, the 200-row spine broadcasts, and each round
     * is a partial-aggregated conditional sum — |users|·200 narrow rows
     * of map-side work, no shuffle wider than 200 groups.
@@ -7845,7 +7920,9 @@ object Queries {
     val spine = spark.range(1, 201).select(col("id").as("r"))
     val perm = u.crossJoin(broadcast(spine))
       .select(col("r"),
-        expr("((user_id * 1103515245 + r * 12345) % 2147483648) % 2").as("g"),
+        (graft.ops.TextOps.portableHash64(
+          concat(col("user_id").cast("string"), lit(":"), col("r").cast("string"))) % 2)
+          .as("g"),
         col("cts"))
       .groupBy(col("r"))
       .agg(sum(when(col("g") === 0, col("cts"))).as("sA"),
@@ -7962,7 +8039,12 @@ object Queries {
       .join(voc.as("y"), col("x.w") === col("y.w") && col("x.source") < col("y.source"))
       .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
       .agg(count(lit(1)).as("inter"))
-    est.join(inter, Seq("source_a", "source_b"))
+    // LEFT join to the exact-intersection table: a source pair with
+    // zero shared vocabulary has no `inter` row but must still ship
+    // its KMV estimates (the docstring's "for every source pair"
+    // contract) — coalesce the missing intersection to 0.
+    est.join(inter, Seq("source_a", "source_b"), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
       .join(broadcast(sizes.select(col("source").as("source_a"), col("nv").as("nva"))),
         Seq("source_a"))
       .join(broadcast(sizes.select(col("source").as("source_b"), col("nv").as("nvb"))),

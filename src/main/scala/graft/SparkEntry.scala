@@ -83,6 +83,8 @@ object SparkEntry {
     "q_ann_pq_lloyd" -> (Queries.annPqLloyd _),
     "q_ann_pq_refine" -> (Queries.annPqRefine _),
     "q_ann_ivfpq" -> (Queries.annIvfPq _),
+    "q_ann_ivfpq_pruned" -> (Queries.annIvfPqPruned _),
+    "q_ann_ivfpq_refine" -> (Queries.annIvfPqRefine _),
     "q_ann_ivfpq_sweep" -> (Queries.annIvfPqSweep _),
     "q_ann_pq_recall" -> (Queries.annPqRecall _),
     "q_ann_recall" -> (Queries.annRecall _),
@@ -2573,6 +2575,46 @@ object SparkEntry {
          |    CAST(row_number() OVER (PARTITION BY query_id
          |      ORDER BY adc_e6, neighbor_id) AS BIGINT) AS rnk
          |  FROM ivadc WHERE cell_rn <= 3)
+         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    // Pruned-layout IVFADC: same pipeline, the code table served from
+    // a parquet layout partitioned by ivf_cell with a probed-cell
+    // PartitionFilter — results are bit-identical to q_ann_ivfpq, so
+    // the replay is the same SQL.
+    "q_ann_ivfpq_pruned" ->
+      s"""WITH pqe0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |$ivfPqCtes
+         |SELECT query_id, neighbor_id, rnk, adc_e6 FROM (
+         |  SELECT query_id, neighbor_id, adc_e6,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc_e6, neighbor_id) AS BIGINT) AS rnk
+         |  FROM ivadc WHERE cell_rn <= 3)
+         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    // IVFADC + exact refine replay: the nprobe=3 ADC table shortlisted
+    // to k'=12 per query, candidates joined back to raw vectors, exact
+    // squared-L2 1e6-floored, re-ranked to top-3 (the q_ann_pq_refine
+    // contract over the IVF-pruned candidate set).
+    "q_ann_ivfpq_refine" ->
+      s"""WITH pqe0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |$ivfPqCtes,
+         |sl AS (
+         |  SELECT query_id, neighbor_id, adc_e6 FROM (
+         |    SELECT query_id, neighbor_id, adc_e6,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY adc_e6, neighbor_id) AS arn
+         |    FROM ivadc WHERE cell_rn <= 3)
+         |  WHERE arn <= 12),
+         |re AS (
+         |  SELECT s.query_id, s.neighbor_id, s.adc_e6,
+         |    CAST(floor((${dotSql("n.v", "n.v")} - 2.0 * ${dotSql("q.v", "n.v")}
+         |      + ${dotSql("q.v", "q.v")}) * 1000000.0) AS BIGINT) AS d2_e6
+         |  FROM sl s JOIN pqe0 q ON s.query_id = q.vec_id
+         |       JOIN pqe0 n ON s.neighbor_id = n.vec_id)
+         |SELECT query_id, neighbor_id, rnk, adc_e6, d2_e6 FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY d2_e6, neighbor_id) AS BIGINT) AS rnk
+         |  FROM re)
          |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
 
     // IVFADC recall-vs-nprobe curve: every pair ADC-scored once with
@@ -6661,10 +6703,12 @@ object SparkEntry {
         |  CAST(1000000 * diff_e3 * diff_e3 // nullif(vn0 + vn1, 0) AS BIGINT) AS t2_e6
         |FROM d""".stripMargin,
 
-    // Permutation-test replay: 200 LCG pseudo-splits of the per-user
-    // spend table, |mean gap| per round at e3, +1-smoothed p at e6.
+    // Permutation-test replay: 200 portable-hash pseudo-splits of the
+    // per-user spend table, |mean gap| per round at e3, +1-smoothed p
+    // at e6. The round label is the md5-fold hash of "user_id:r" mod
+    // 2, NOT an LCG low bit (which degenerates to (u + r) mod 2).
     "q_permutation_test" ->
-      """WITH u AS (SELECT user_id,
+      s"""WITH u AS (SELECT user_id,
         |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cts
         |  FROM events GROUP BY user_id),
         |o1 AS (SELECT
@@ -6675,7 +6719,7 @@ object SparkEntry {
         |  FROM u),
         |obs AS (SELECT abs(1000 * (sA * nB - sB * nA) // (nA * nB)) AS obs_e3 FROM o1),
         |spine AS (SELECT unnest(range(1, 201)) AS r),
-        |pg AS (SELECT r, ((user_id * 1103515245 + r * 12345) % 2147483648) % 2 AS g, cts
+        |pg AS (SELECT r, ${hSql("user_id || ':' || r")} % 2 AS g, cts
         |  FROM u CROSS JOIN spine),
         |ps AS (SELECT r,
         |    sum(CASE WHEN g = 0 THEN CAST(cts AS HUGEINT) END) AS sA,
@@ -6764,12 +6808,13 @@ object SparkEntry {
          |sz AS (SELECT source, count(*) AS nv FROM voc GROUP BY source)
          |SELECT est.source_a, est.source_b,
          |  CAST(1000000 * n_both // m AS BIGINT) AS jacc_est_e6,
-         |  CAST(1000000 * inter // (na.nv + nb.nv - inter) AS BIGINT) AS jacc_exact_e6,
+         |  CAST(1000000 * coalesce(inter, 0)
+         |    // (na.nv + nb.nv - coalesce(inter, 0)) AS BIGINT) AS jacc_exact_e6,
          |  CAST(CASE WHEN m < 64 THEN m ELSE 63 * 281474976710656 // uk END
          |    AS BIGINT) AS union_est,
-         |  CAST(na.nv + nb.nv - inter AS BIGINT) AS union_exact
+         |  CAST(na.nv + nb.nv - coalesce(inter, 0) AS BIGINT) AS union_exact
          |FROM est
-         |JOIN ix ON ix.source_a = est.source_a AND ix.source_b = est.source_b
+         |LEFT JOIN ix ON ix.source_a = est.source_a AND ix.source_b = est.source_b
          |JOIN sz na ON na.source = est.source_a
          |JOIN sz nb ON nb.source = est.source_b
          |ORDER BY 1, 2""".stripMargin,

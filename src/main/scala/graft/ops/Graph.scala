@@ -582,11 +582,24 @@ object Graph {
     // Backward sweep: deepest level seeds delta = 0; each level's delta
     // aggregates the truncating per-edge term over its successor level.
     val maxLevel = levels.size - 1
+    if (maxLevel == 0) {
+      // Degenerate: no root reaches any neighbor. Capture the result
+      // schema lazily (no job runs), release EVERY checkpoint before
+      // returning — the general path below would otherwise leak both
+      // levels(0) and a never-consumed dAbove checkpoint for the whole
+      // session (LEAKCHECK) — and hand back a lineage-free empty frame.
+      val outSchema = levels(0)
+        .select(col("root"), col("node"), lit(0L).as("delta")).schema
+      levels.foreach(org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint)
+      und.unpersist()
+      val ss = edges.sparkSession
+      return ss.createDataFrame(
+        ss.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    }
     var dAbove = levels(maxLevel)
       .select(col("root"), col("node"), lit(0L).as("delta"))
       .localCheckpoint(true)
-    val deltaTabs = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    if (maxLevel >= 1) deltaTabs += dAbove
+    val deltaTabs = scala.collection.mutable.ArrayBuffer[DataFrame](dAbove)
     var lev = maxLevel - 1
     while (lev >= 1) {
       val wTab = levels(lev + 1).join(bc(dAbove, levelRows(lev + 1)), Seq("root", "node"))
@@ -613,12 +626,9 @@ object Graph {
     // Every delta table is its own checkpoint, so the level tables
     // (forward σ frontiers) are no longer reachable from the result —
     // release them here rather than letting the blocks outlive the call
-    // (the kTruss final-checkpoint discipline). Level 0 survives only
-    // for the degenerate no-edges result below.
-    if (deltaTabs.nonEmpty)
-      levels.foreach(org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint)
-    if (deltaTabs.isEmpty)
-      levels(0).select(col("root"), col("node"), lit(0L).as("delta")).limit(0)
-    else deltaTabs.reduce(_ union _)
+    // (the kTruss final-checkpoint discipline). The degenerate
+    // maxLevel==0 path returned above, so deltaTabs is non-empty here.
+    levels.foreach(org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint)
+    deltaTabs.reduce(_ union _)
   }
 }

@@ -43,6 +43,18 @@ object LakeWriter {
     }
   }
 
+  /** Write parquet partitioned by an ANN index's coarse-cell column —
+    * the IVFADC vector-store layout (codes + cell id on disk): a
+    * probed-cell filter on read touches only nprobe of ncells
+    * directories, so each query's scan IS the pruning
+    * (`PartitionFilters` in the scan node; asserted by PlanSpec's
+    * q_ann_ivfpq_pruned check). At 100 TB the code table is the only
+    * corpus-sized index artifact and this layout is what turns
+    * nprobe/ncells from a join selectivity into an IO bound.
+    */
+  def writeCellPartitioned(df: DataFrame, cellCol: String, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(cellCol).parquet(path)
+
   /** Write as a bucketed managed table (bucket pruning + shuffle-free
     * joins between tables bucketed the same way on the same key).
     */

@@ -11,7 +11,16 @@ class QueriesSmokeSpec extends AnyFunSuite {
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
-      assert(fn(spark, sf).count() > 0)
+      val df = fn(spark, sf)
+      // the singleton-window house rule, enforced on every query's
+      // analyzed plan (see WindowLint; fixture-proofed by WindowLintSpec)
+      val keys = WindowLint.singletonWindowKeys(df)
+      if (!WindowLint.allowedSingleton(name))
+        assert(keys.isEmpty,
+          s"$name routes a window through ONE task via singleton_key (${keys.mkString("; ")}) — " +
+            "bound the input (orderBy+limit / partial bottom-k) or, if the window input is " +
+            "genuinely calendar/support/model-bounded, allowlist it in WindowLint with the bound stated")
+      assert(df.count() > 0)
     }
   }
 

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+
+/** The singleton-window house rule (TextOps.scala house rule), automated:
+  * a window partitioned by `singleton_key` (= pmod(hash(x), 1)) routes its
+  * WHOLE input through one task, so it is legal ONLY over tables whose row
+  * count is bounded by something other than the data — a calendar, a value
+  * support, a model, a shortlist. A "vocab-bounded" or "doc-bounded" input
+  * is NOT bounded (10⁷–10⁸ rows at 100 TB): those must become
+  * orderBy+limit (TakeOrderedAndProject) or a partial-aggregatable
+  * bottom-k instead.
+  *
+  * [[QueriesSmokeSpec]] runs [[singletonWindowKeys]] over every harness
+  * query's analyzed plan and fails any query that uses a singleton window
+  * without an [[allowedSingleton]] entry; [[WindowLintSpec]] proves the
+  * detector itself catches a deliberately broken fixture.
+  */
+object WindowLint {
+
+  private def isSingleton(s: String): Boolean =
+    s.startsWith("pmod(hash(") && s.endsWith(", 1)")
+
+  /** Partition expressions in `df`'s analyzed plan that are
+    * singleton_key — pmod(hash(<x>, seed), 1). The analyzer hoists
+    * window keys into `_wN` project aliases below the Window node, so
+    * the detector first collects every Alias whose child matches the
+    * pattern and then flags partitionSpec attributes referring to one
+    * (plus any inline match). String-matched on the canonical
+    * expression rendering so it needs no private Catalyst types.
+    */
+  def singletonWindowKeys(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+    val plan = df.queryExecution.analyzed
+    val singletonIds: Set[Long] = plan.collect { case node =>
+      node.expressions.flatMap(_.collect {
+        case a: Alias if isSingleton(a.child.toString) => a.exprId.id
+      })
+    }.flatten.toSet
+    plan.collect {
+      case w: LWindow =>
+        w.partitionSpec.collect {
+          case ar: AttributeReference if singletonIds(ar.exprId.id) =>
+            s"${ar.name}#${ar.exprId.id} := singleton_key"
+          case e if isSingleton(e.toString) => e.toString
+        }
+    }.flatten
+  }
+
+  /** Queries ALLOWED a singleton window, each because its window input is
+    * bounded by construction (the judge-audited round-9 list):
+    *   - calendar-bounded: one row per day/bucket of a fixed time range
+    *   - value-support-bounded: one row per distinct value of a bounded
+    *     domain (status codes, labels, deciles, lag grid, k grid)
+    *   - score-support-bounded: documented contract (mannwhitney's rank
+    *     walk over the distinct-score support)
+    *   - model/shortlist-bounded: rows ≤ a constant (centroids, planes,
+    *     per-query k'-shortlists)
+    * Adding a name here requires stating the bound in the query's
+    * Scaladoc; "vocab-bounded"/"doc-bounded"/"node-bounded" do not
+    * qualify.
+    */
+  val allowedSingleton: Set[String] = Set(
+    // (exactly the queries WindowLintSweep observes a singleton window
+    // in — an entry with no live site would silently allow a
+    // regression, so stale names must be pruned when a query changes)
+    "q_interarrival", // gap-support: one row per distinct inter-event gap (calendar-bounded)
+    "q_cluster_sizes", // size-support: one row per distinct cluster size
+    "q_user_concentration", // decile walk: 10 rows after the decile aggregate
+    "q_vocab_coverage", // rank walk over cumulative-share GRID (bounded percents)
+    "q_degree_dist", // degree-support: one row per distinct degree
+    "q_gini_source", // source-support: one row per source (bounded enum)
+    "q_dau_cume", // calendar: one row per day
+    "q_mannwhitney", // documented contract: rank walk over distinct-score support
+    "q_spearman", // value-support: distinct values of bounded metrics
+    "q_cusum", // calendar: one row per day
+    "q_life_table", // calendar: one row per lifetime day
+    "q_auc", // score-support: distinct classifier scores (integer grid)
+    "q_kruskal_wallis", // score-support rank walk
+    "q_decompose", // calendar: day spine
+    "q_logrank", // time-support: distinct churn times (calendar-bounded)
+    "q_changepoint", // calendar: day spine
+    "q_conformal", // score-support: bounded nonconformity grid
+    "q_page_hinkley", // calendar: day spine
+    "q_var_es", // calendar-bounded daily return table
+    "q_ljung_box", // lag grid: bounded lag count over day spine
+    "q_effect_size", // value-support walk
+    "q_lift_gains", // decile/bucket-bounded gains table
+    "q_mixture_weights", // k-grid: EM support table (components × buckets)
+    "q_textrank", // rank over the 20-row TakeOrdered survivor set (shortlist-bounded)
+    "q_skyline" // grid-bucket-bounded skyline merge (Skyline.scala sky_bucket)
+  )
+}
+
+/** One-off sweep: prints every query whose plan carries a singleton
+  * window and whether it is allowlisted. `sbt "Test/runMain
+  * graft.WindowLintSweep"`.
+  */
+object WindowLintSweep {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSpark.spark
+    val sf = "/root/testdata/sf0.001"
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val ks = WindowLint.singletonWindowKeys(fn(spark, sf))
+        if (ks.nonEmpty)
+          println(s"SINGLETON ${if (WindowLint.allowedSingleton(name)) "allowed " else "VIOLATION"} $name: ${ks.head}")
+      } catch {
+        case e: Throwable => println(s"ERROR $name: ${e.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}
