@@ -81,6 +81,62 @@ object LogAnalysisApp {
     Pipelines(hotSection, hotArticle, clientIp, sectionSink, articleSink, clientSink)
   }
 
+  final case class Monitors(
+      volumeAlarm: StreamingQuery,
+      funnel: StreamingQuery,
+      alarms: scala.collection.concurrent.TrieMap[Long, (Long, Option[Long], Boolean)],
+      funnelSink: UpsertSink)
+
+  /** The extension sinks, attached to the SAME shared parse as the three
+    * product analytics (the multi-sink answer to the reference's B4
+    * three-independent-jobs topology — one parse, N consumers):
+    *
+    *   - **volume alarm**: each micro-batch's row count robust-z'd
+    *     against `refVolumes` (historical per-period volumes, an `x:
+    *     long` column) via [[graft.streaming.AnomalyStream]] — the
+    *     ingest-side pager that fires BEFORE a surge reaches the
+    *     aggregates. Alarms land in `Monitors.alarms` keyed by batch id.
+    *   - **browse→read funnel**: the stream-stream interval join
+    *     ([[graft.streaming.EventJoinStream]]) between section browses
+    *     (fid hits) and article reads (tid hits) by the SAME client
+    *     within `maxGapSec` — both sides derive from the one parsed
+    *     stream, watermarked on the log's event time, so the symmetric
+    *     join state stays O(rate × window) forever.
+    *
+    * Scale note: everything here is per-micro-batch narrow work plus one
+    * watermark-bounded join keyed on client_ip; no new scan of the
+    * source, no unbounded state.
+    */
+  def startMonitors(spark: SparkSession, lines: DataFrame,
+      refVolumes: DataFrame, checkpointRoot: String,
+      maxGapSec: Int = 600, watermarkSec: Int = 300): Monitors = {
+    val parsed = LogStream.parsedTuples(lines)
+      .withColumn("ts", to_timestamp(col("access_date")))
+
+    val alarms = scala.collection.concurrent.TrieMap[Long, (Long, Option[Long], Boolean)]()
+    val volumeAlarm = graft.streaming.AnomalyStream.volumeMonitor(
+        parsed, refVolumes, Some(s"$checkpointRoot/volume_alarm")) { (id, df) =>
+      val r = df.collect().head
+      alarms.put(id, (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getBoolean(2)))
+    }
+
+    val views = parsed.filter(col("section_id") =!= 0)
+      .select(col("client_ip").as("user_id"), col("ts"))
+    val reads = parsed.filter(col("article_id") =!= 0)
+      .select(col("client_ip").as("user_id"), col("ts"),
+        col("article_id").as("value"))
+    val funnelSink = new UpsertSink(Seq("user_id", "view_ts", "purchase_ts"))
+    val funnel = graft.streaming.EventJoinStream
+      .viewToPurchase(views, reads, maxGapSec, watermarkSec)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$checkpointRoot/funnel")
+      .foreachBatch { (df: DataFrame, id: Long) => funnelSink.merge(df, id) }
+      .start()
+
+    Monitors(volumeAlarm, funnel, alarms, funnelSink)
+  }
+
   /** CLI: `LogAnalysisApp <logDir> <sfDir>` — file-arrival stream over
     * logDir (Kafka in production: graft.sources.LogSources.kafkaLines),
     * dims from the sfDir testdata.

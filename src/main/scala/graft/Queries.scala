@@ -1554,9 +1554,11 @@ object Queries {
     val raw = Similarity.asDouble(Tables.embeddings(spark, sfDir))
     val (cents, books, codes) = ivfPqParts(spark, sfDir)
     val lake = graft.sources.SessionMemo(spark, ("ivfpq_lake_codes", sfDir)) {
+      // "lake_" prefix: a leading underscore would make the directory
+      // invisible to Spark's hidden-path filter on some list paths
       val path = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"), "graft_ivfpq_lake",
-        sfDir.replaceAll("[^A-Za-z0-9.]+", "_")).toString
+        "lake" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")).toString
       graft.sources.LakeWriter.writeCellPartitioned(codes, "ivf_cell", path)
       spark.read.parquet(path)
     }
@@ -1708,6 +1710,11 @@ object Queries {
       Similarity.ivfPqTopK(q, codes, cents, books, k, IvfPqM, IvfPqNprobe)
         .select(col("query_id"), col("neighbor_id"))
     }
+    // the exact-refine serving stack (same IVF shortlist, re-ranked):
+    // measured here so the refine stage's recovery over raw ADC order is
+    // a recorded number, not a claim (round-9 advice item)
+    val refineApprox = annIvfPqRefine(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"))
     val truth = pqL2Truth(raw, q, k)
     def hitsOf(approx: DataFrame, name: String): DataFrame = broadcast(
       truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
@@ -1718,10 +1725,12 @@ object Queries {
       .crossJoin(hitsOf(pqApprox(0), "h0"))
       .crossJoin(hitsOf(pqApprox(2), "h2"))
       .crossJoin(hitsOf(ivfApprox, "hi"))
+      .crossJoin(hitsOf(refineApprox, "hr"))
     def rowOf(method: String, h: String): DataFrame =
       wide.select(lit(method).as("method"), col("n_queries"), col("n_truth"),
         col(h).as("n_hits"), (col(h) >= col("h0")).as("ge_plain_pq"))
     rowOf("ivfpq8x32_adc", "hi")
+      .unionAll(rowOf("ivfpq8x32_adc_refine", "hr"))
       .unionAll(rowOf("pq4x10_adc", "h0"))
       .unionAll(rowOf("pq4x10_adc_lloyd2", "h2"))
       .orderBy(col("method"))
@@ -10504,5 +10513,406 @@ object Queries {
       expr(s"""cast(floor(1000000.0 * ($rxy - $rxz * $rzy)
               / sqrt((1.0 - $rxz * $rxz) * (1.0 - $rzy * $rzy))) as bigint)""")
         .as("partial_e6"))
+  }
+
+  // === round 10: distance diagnostics, robust regression, governance,
+  //     concentration, recommendation, ranking-agreement wave ===
+
+  /** Graph eccentricity from the shared 10-root BFS ([[closenessQ]]'s
+    * frontier table, same `pagerank_edges` memo): per root, the
+    * farthest-reached distance (eccentricity restricted to the reached
+    * component), plus the 10-root sample's radius (min ecc) and
+    * diameter (max ecc) broadcast back onto every row — the standard
+    * sampled bound pair (true radius ≤ sampled ecc ≤ true diameter for
+    * every root). One BFS fixpoint then root-bounded aggregates; the
+    * radius/diameter readout is a 1-row broadcast, never a data-sized
+    * window.
+    */
+  def eccentricityQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = partAdjacencyEdges(spark, sfDir).select(col("src"), col("dst"))
+    val nodes = e.filter(col("src") =!= col("dst"))
+    val allNodes = nodes.select(col("src").as("node"))
+      .union(nodes.select(col("dst").as("node"))).distinct()
+    val roots = allNodes.orderBy(col("node")).limit(10)
+    val perRoot = graft.ops.Graph.bfsDistancesPerSource(e, roots)
+      .filter(col("d") > 0)
+      .groupBy(col("root"))
+      .agg(count(lit(1)).as("n_reached"), max(col("d")).as("ecc"))
+    val bounds = perRoot.groupBy()
+      .agg(min(col("ecc")).as("radius_sample"), max(col("ecc")).as("diameter_sample"))
+    perRoot.crossJoin(broadcast(bounds))
+      .select(col("root"), col("n_reached"), col("ecc"),
+        col("radius_sample"), col("diameter_sample"))
+      .orderBy(col("root"))
+  }
+
+  /** Theil–Sen robust trend of the daily event volume: the median of
+    * all pairwise slopes (y_j−y_i)/(x_j−x_i) over the calendar-bounded
+    * day series — the estimator that shrugs off the outlier days OLS
+    * ([[linregQ]]) gets dragged by (29% breakdown point). Slopes are
+    * e6-floored integers (`div` truncates identically on both
+    * engines), the median uses the 2×-percentile integer trick, and
+    * the intercept is the 2×-median of y_i·1e6 − slope_e6·x_i
+    * residuals at the integer slope. The pair join is
+    * calendar²-bounded (days choose 2 — ~10³ rows for a quarter, ~10⁵
+    * for a decade), never data-sized: the only corpus-scan is the
+    * daily count aggregate.
+    */
+  def theilSenQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("x"))
+      .agg(count(lit(1)).as("y"))
+    val d0 = daily.groupBy().agg(min(col("x")).as("x0"))
+    val d = daily.crossJoin(broadcast(d0))
+      .select((col("x") - col("x0")).as("x"), col("y"))
+    val pairs = d.as("a").join(d.as("b"), col("a.x") < col("b.x"))
+      .select(expr("(b.y - a.y) * 1000000 div (b.x - a.x)").as("slope_e6"))
+    val slope = pairs.groupBy()
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("cast(2 * percentile(slope_e6, 0.5) as bigint)").as("slope2_e6"))
+    d.crossJoin(broadcast(slope))
+      .select(col("n_pairs"), col("slope2_e6"),
+        expr("y * 1000000 - (slope2_e6 div 2) * x").as("r_e6"))
+      .groupBy(col("n_pairs"), col("slope2_e6"))
+      .agg(count(lit(1)).as("n_days"),
+        expr("cast(2 * percentile(r_e6, 0.5) as bigint)").as("icept2_e6"))
+      .select(col("n_days"), col("n_pairs"), col("slope2_e6"), col("icept2_e6"))
+  }
+
+  /** t-closeness audit — the third leg of the privacy triad after
+    * [[kanonQ]] and `q_ldiversity`: for every quasi-identifier group
+    * (market segment × nation), the Earth-Mover's Distance between the
+    * group's distribution of the ORDERED sensitive attribute (account
+    * balance in fixed 1000-unit buckets) and the global distribution.
+    * For an ordered attribute EMD = Σ|cumulative gaps|/(B−1), computed
+    * fraction-free by cross-multiplying counts (|cumG·nAll − cumAll·nG|)
+    * so the statistic is bit-exact. A group with t > 0.2 leaks: knowing
+    * the QI narrows the sensitive value more than the release intends.
+    *
+    * Scale shape: one scan into (group, bucket) counts; everything
+    * after lives on the QI-domain × bucket-domain grid (125 × ~11
+    * here), with the per-group cumulative window keyed by group —
+    * bounded by the value support, never by |rows|.
+    */
+  def tClosenessQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.customer(spark, sfDir)
+      .select(col("c_mktsegment").as("seg"), col("c_nationkey").as("nat"),
+        expr("cast(floor(c_acctbal / 1000) as bigint)").as("b"))
+    val gb = base.groupBy(col("seg"), col("nat"), col("b")).agg(count(lit(1)).as("cg"))
+    val glob = base.groupBy(col("b")).agg(count(lit(1)).as("ca"))
+    // bounded self-join cumulative on the global bucket grid (≤ B² rows)
+    val globCum = glob.as("x")
+      .join(glob.select(col("b").as("b2"), col("ca").as("ca2")).as("y"), col("b2") <= col("x.b"))
+      .groupBy(col("x.b").as("b"))
+      .agg(sum(col("ca2")).as("cum_all"))
+    val nAll = base.groupBy().agg(count(lit(1)).as("n_all"))
+    val grid = gb.select(col("seg"), col("nat")).distinct()
+      .crossJoin(glob.select(col("b")))
+      .join(gb, Seq("seg", "nat", "b"), "left")
+      .withColumn("cg", coalesce(col("cg"), lit(0L)))
+    val w = Window.partitionBy(col("seg"), col("nat")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val nB = glob.groupBy().agg(count(lit(1)).as("n_b"))
+    val nG = gb.groupBy(col("seg"), col("nat")).agg(sum(col("cg")).as("n_g"))
+    grid.withColumn("cum_g", sum(col("cg")).over(w))
+      .join(broadcast(globCum), "b")
+      .join(broadcast(nG), Seq("seg", "nat"))
+      .crossJoin(broadcast(nAll)).crossJoin(broadcast(nB))
+      .groupBy(col("seg"), col("nat"), col("n_g"), col("n_all"), col("n_b"))
+      .agg(sum(abs(col("cum_g") * col("n_all") - col("cum_all") * col("n_g")))
+        .as("emd_num"))
+      .select(col("seg"), col("nat"), col("n_g"),
+        expr("emd_num * 1000000 div (n_g * n_all * (n_b - 1))").as("t_e6"))
+      .withColumn("leaks", col("t_e6") > 200000L)
+      .orderBy(col("seg"), col("nat"))
+  }
+
+  /** Herfindahl–Hirschman concentration index of supplier-nation
+    * revenue within each region — the market-concentration readout a
+    * marketplace/antitrust dashboard runs: HHI = Σ shareᵢ², plus the
+    * top share and the inverse-HHI "effective number of competitors".
+    * Fraction-free at e6: (Σ revᵢ²)·10⁶ div (Σrev)², revenue summed in
+    * exact integer cents widened to decimal(38). One fact scan with a
+    * map-side-combinable (region, nation) aggregate; the share math
+    * runs on the bounded 5×25 grid.
+    */
+  def hhiQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val rev = Tables.lineitem(spark, sfDir)
+      .join(Tables.supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_regionkey").as("region"), col("n_nationkey").as("nation"))
+      .agg(sum(cents(col("l_extendedprice")).cast("long")).cast(d38).as("rev"))
+    rev.groupBy(col("region"))
+      .agg(count(lit(1)).as("n_nations"),
+        sum(col("rev")).as("tot"),
+        sum(col("rev") * col("rev")).as("sq"),
+        max(col("rev")).as("top_rev"))
+      .select(col("region"), col("n_nations"),
+        expr("cast(sq * 1000000 div (tot * tot) as bigint)").as("hhi_e6"),
+        expr("cast(top_rev * 1000000 div tot as bigint)").as("top_share_e6"),
+        expr("cast(tot * tot * 1000000 div sq as bigint)").as("effective_n_e6"))
+      .orderBy(col("region"))
+  }
+
+  /** Odds ratio (with Haldane–Anscombe correction), risk ratio and
+    * Yule's Q per region for exposure = BUILDING market segment,
+    * outcome = the customer placed ≥ 1 URGENT order — the 2×2
+    * effect-size panel epidemiology and growth teams read next to the
+    * χ² test ([[chi2IndepQ]] owns significance; this owns magnitude).
+    * Haldane's +0.5 is kept exact by doubling all four cells
+    * ((2a+1)(2d+1)/((2b+1)(2c+1)) at e6). The outcome flag is one
+    * broadcast-joinable DISTINCT of urgent orderers; cells are four
+    * conditional counts in a single region-bounded aggregate.
+    */
+  def oddsRatioQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val urgent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    val c = Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
+      .join(urgent.withColumn("outc", lit(1L)), Seq("c_custkey"), "left")
+      .select(col("n_regionkey").as("region"),
+        (col("c_mktsegment") === "BUILDING").as("exp"),
+        coalesce(col("outc"), lit(0L)).as("outc"))
+    c.groupBy(col("region"))
+      .agg(sum(when(col("exp") && col("outc") === 1L, 1L).otherwise(0L)).as("a"),
+        sum(when(col("exp") && col("outc") === 0L, 1L).otherwise(0L)).as("b"),
+        sum(when(!col("exp") && col("outc") === 1L, 1L).otherwise(0L)).as("c"),
+        sum(when(!col("exp") && col("outc") === 0L, 1L).otherwise(0L)).as("d"))
+      .select(col("region"), col("a"), col("b"), col("c"), col("d"),
+        expr("(2*a+1) * (2*d+1) * 1000000 div ((2*b+1) * (2*c+1))").as("or_haldane_e6"),
+        expr("""case when c > 0 and a + b > 0
+                then a * (c + d) * 1000000 div (c * (a + b)) end""").as("rr_e6"),
+        expr("""case when a*d + b*c > 0
+                then (a*d - b*c) * 1000000 div (a*d + b*c) end""").as("yule_q_e6"))
+      .orderBy(col("region"))
+  }
+
+  /** Weighted Slope One recommender over the (user, event_type) rating
+    * matrix (rating = the user's truncated-mean spend in cents on that
+    * type): item–item deviation sums from co-raters, then predictions
+    * for each probe user's UNRATED types as
+    * Σᵢ(S_ji + r_ui·c_ji) / Σᵢc_ji — the classic "add the average
+    * disagreement" collaborative filter, exactly integer because the
+    * deviation SUM (not mean) is carried next to its count. The item
+    * domain is bounded (event types), so the deviation matrix is
+    * model-sized and broadcasts; the only corpus-scan is the per-(user,
+    * item) rating aggregate. Probe set: user_id < 20 (the ANN-query
+    * probe discipline).
+    */
+  def slopeOneQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), col("event_type").as("item"))
+      .agg(sum(cents(col("value")).cast("long")).as("sv"), count(lit(1)).as("cv"))
+      .select(col("user_id"), col("item"), expr("sv div cv").as("r"))
+    // item-item deviations from users who rated both (i ≠ j)
+    val dev = r.as("x").join(r.as("y"),
+        col("x.user_id") === col("y.user_id") && col("x.item") =!= col("y.item"))
+      .groupBy(col("x.item").as("j"), col("y.item").as("i"))
+      .agg(sum(col("x.r") - col("y.r")).as("s_ji"), count(lit(1)).as("c_ji"))
+    val probes = r.filter(col("user_id") < 20)
+    val items = r.select(col("item")).distinct()
+    // predict EVERY (probe user, item) pair — unrated pairs get the
+    // recommendation, rated ones the model's reconstruction next to the
+    // held actual (i ≠ j keeps the target out of its own prediction)
+    val targets = probes.select(col("user_id")).distinct()
+      .crossJoin(items.select(col("item").as("j")))
+      .join(r.select(col("user_id"), col("item").as("j"), col("r").as("actual")),
+        Seq("user_id", "j"), "left")
+    targets
+      .join(probes.select(col("user_id"), col("item").as("i"), col("r").as("r_ui")),
+        Seq("user_id"))
+      .filter(col("i") =!= col("j"))
+      .join(broadcast(dev), Seq("j", "i"))
+      .groupBy(col("user_id"), col("j").as("item"), col("actual"))
+      .agg(sum(col("s_ji") + col("r_ui") * col("c_ji")).as("num"),
+        sum(col("c_ji")).as("den"), count(lit(1)).as("n_items_used"))
+      .select(col("user_id"), col("item"), col("n_items_used"),
+        expr("num * 100 div den").as("pred_cents_e2"),
+        (col("actual") * 100L).as("actual_cents_e2"))
+      .orderBy(col("user_id"), col("item"))
+  }
+
+  /** Rank-Biased Overlap (p = 1/2, depth 20) between two part
+    * rankings — by shipped quantity vs by revenue: the top-weighted
+    * agreement measure search teams use where Kendall τ over-weights
+    * the tail. RBO = (1−p)·Σ_d p^(d−1)·A_d/d with A_d the overlap of
+    * the two depth-d prefixes; with p = 1/2 every weight is the dyadic
+    * rational 1/(2^d·d), so the whole sum is exact over the common
+    * denominator lcm(1..20)·2²⁰ (decimal(38) — no float ever). The two
+    * rankings are TakeOrdered top-20s; A_d computation runs on their
+    * ≤40-row union crossed with the 20-row depth spine.
+    */
+  def rboQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val li = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(sum(expr("cast(round(l_quantity, 0) as long)")).as("qty"),
+        sum(cents(col("l_extendedprice")).cast("long")).as("rev"))
+    def top20(by: Column, name: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      // 20-row shortlist first (TakeOrdered), rank derived on the survivors
+      val short = li.orderBy(by.desc, col("pk")).limit(20)
+      short.withColumn(name, row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(graft.functions.GraftFunctions.singleton_key(col("pk")))
+          .orderBy(by.desc, col("pk"))).cast("long"))
+        .select(col("pk"), col(name))
+    }
+    val rx = top20(col("qty"), "rkx")
+    val ry = top20(col("rev"), "rky")
+    val both = rx.join(ry, Seq("pk"), "outer")
+    val spine = spark.range(1, 21).select(col("id").as("d"))
+    // lcm(1..20) = 232792560; common denominator lcm · 2^20
+    val denom = "cast(232792560 as decimal(38,0)) * 1048576"
+    both.crossJoin(broadcast(spine))
+      .filter(col("rkx") <= col("d") && col("rky") <= col("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("a_d"))
+      .select((col("a_d").cast(d38) *
+        expr(s"$denom div (cast(pow(2, d) as decimal(38,0)) * d)")).as("term"))
+      .groupBy()
+      .agg(sum(col("term")).as("num"))
+      .select(expr(s"cast(num * 1000000 div ($denom) as bigint)").as("rbo_e6"))
+  }
+
+  /** Flesch–Kincaid readability panel per language: grade =
+    * 0.39·(words/sentences) + 11.8·(syllables/word) − 15.59, at e3 by
+    * truncating integer division over exact corpus totals. Syllables
+    * use the standard vowel-group heuristic (runs of [aeiouy] — counted
+    * by regexp collapse, no per-word loop); the synthetic corpus
+    * carries no sentence punctuation, so sentence = document here (the
+    * docstring constant to swap for a [.!?] split on prose). One
+    * narrow codegen'd scan into per-lang totals; everything after is
+    * lang-domain bounded.
+    */
+  def readabilityQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables.documents(spark, sfDir).select(col("lang"),
+      size(graft.ops.TextOps.words(lower(col("text")))).cast("long").as("w"),
+      (length(regexp_replace(lower(col("text")), "[aeiouy]+", "V"))
+        - length(regexp_replace(lower(col("text")), "[aeiouy]+", ""))).cast("long").as("syl"))
+    t.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("words"),
+        sum(col("syl")).as("syllables"))
+      .select(col("lang"), col("n_docs"), col("words"), col("syllables"),
+        expr("390 * words div n_docs").as("wps_x039_e3"),
+        expr("11800 * syllables div words").as("spw_x118_e3"),
+        expr("390 * words div n_docs + 11800 * syllables div words - 15590")
+          .as("fk_grade_e3"))
+      .orderBy(col("lang"))
+  }
+
+  /** Greedy k-center coreset (Gonzalez 2-approximation) over the
+    * embedding corpus — the "pick k maximally-spread exemplars" pass a
+    * curation pipeline runs to seed diverse few-shot pools or IVF
+    * coarse codebooks: seed = smallest vec_id, then k−1 rounds of
+    * "farthest point from the chosen set" under squared L2 (e6-floored,
+    * vec_id tiebreak — fully deterministic). Each round is ONE corpus
+    * scan against a broadcast single-vector frame with a running
+    * element-wise `least` of distances, and the argmax is a global
+    * TakeOrdered(1) — k linear passes, no pairwise table, the textbook
+    * scalable shape (k is a constant; the passes pipeline through the
+    * cached distance frame). Output: the k centers in selection order
+    * with their selection distances and the final covering radius.
+    */
+  def kCenterQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 5
+    val v = Similarity.asDouble(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("embedding").as("v"))
+    def d2(a: Column, b: Column): Column =
+      floor((Similarity.dot(a, a) - lit(2.0) * Similarity.dot(a, b)
+        + Similarity.dot(b, b)) * lit(1000000.0)).cast("long")
+    val seedId = v.orderBy(col("vec_id")).limit(1)
+      .collect().head.getLong(0)
+    def centerVec(id: Long): DataFrame =
+      v.filter(col("vec_id") === id).select(col("v").as("cv"))
+    var chosen = List((1L, seedId, 0L)) // (rank, vec_id, selection d2_e6)
+    var dmin = v.crossJoin(broadcast(centerVec(seedId)))
+      .select(col("vec_id"), col("v"), d2(col("v"), col("cv")).as("dm"))
+      .persist()
+    var rank = 2L
+    while (rank <= k) {
+      val far = dmin.orderBy(col("dm").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("dm")).collect().head
+      chosen = chosen :+ ((rank, far.getLong(0), far.getLong(1)))
+      val next = dmin.crossJoin(broadcast(centerVec(far.getLong(0))))
+        .select(col("vec_id"), col("v"),
+          least(col("dm"), d2(col("v"), col("cv"))).as("dm"))
+        .persist()
+      dmin.unpersist(blocking = false)
+      dmin = next
+      rank += 1
+    }
+    val radius = dmin.groupBy().agg(max(col("dm")).as("radius_e6"))
+    dmin.unpersist(blocking = false)
+    import spark.implicits._
+    chosen.toDF("sel_rank", "vec_id", "sel_d2_e6")
+      .crossJoin(broadcast(radius))
+      .orderBy(col("sel_rank"))
+  }
+
+  /** Strongly connected components of the directed nation-trade graph
+    * (edge a→b when suppliers in nation a ship above-average total
+    * quantity to customers in nation b): transitive closure to
+    * fixpoint, then scc_id(v) = min over the mutually-reachable set —
+    * the directed sibling of `q_dedup_clusters`' undirected CC. The
+    * corpus-scale work is ONE fact scan into the 25×25 pair aggregate;
+    * the closure loop runs on the nation-domain-bounded edge table
+    * (≤625 rows — a closure over an unbounded graph would instead use
+    * forward/backward pivot decomposition, this operator's documented
+    * scale path). Output: node, scc_id, component size.
+    */
+  def sccQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, sfDir)
+      .join(Tables.supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .agg(sum(expr("cast(round(l_quantity, 0) as long)")).as("qty"))
+      .filter(col("src") =!= col("dst"))
+    val tot = pairs.groupBy()
+      .agg(sum(col("qty")).as("sq"), count(lit(1)).as("np"))
+    val e = pairs.crossJoin(broadcast(tot))
+      .filter(col("qty") * col("np") > col("sq")) // qty > mean, fraction-free
+      .select(col("src"), col("dst"))
+      .persist()
+    var r = e.localCheckpoint(true)
+    var n = r.count()
+    var grew = true
+    var i = 0
+    while (grew && i < 10) { // doubling closure: diameter ≤ 2^10
+      val nr = r.union(
+          r.as("a").join(r.as("b"), col("a.dst") === col("b.src"))
+            .select(col("a.src"), col("b.dst")))
+        .distinct()
+        .localCheckpoint(true)
+      val m = nr.count()
+      grew = m != n
+      n = m
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(r)
+      r = nr
+      i += 1
+    }
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val mutual = r.as("x")
+      .join(r.as("y"), col("x.src") === col("y.dst") && col("x.dst") === col("y.src"))
+      .select(col("x.src").as("node"), col("x.dst").as("peer"))
+    val scc = nodes.join(mutual, Seq("node"), "left")
+      .groupBy(col("node"))
+      .agg(min(col("peer")).as("mp"))
+      // NULL semantics of least() differ across engines — branch explicitly
+      .select(col("node"),
+        expr("cast(case when mp is null then node else least(mp, node) end as bigint)")
+          .as("scc_id"))
+    val out = scc.join(
+        scc.groupBy(col("scc_id")).agg(count(lit(1)).as("scc_size")), "scc_id")
+      .select(col("node"), col("scc_id"), col("scc_size"))
+      .orderBy(col("node"))
+    val materialized = out.localCheckpoint(true)
+    org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(r)
+    e.unpersist(blocking = false)
+    materialized
   }
 }

@@ -398,6 +398,16 @@ object SparkEntry {
     "q_mcc" -> (Queries.mccQ _),
     "q_cronbach" -> (Queries.cronbachQ _),
     "q_partial_corr" -> (Queries.partialCorrQ _),
+    "q_eccentricity" -> (Queries.eccentricityQ _),
+    "q_theil_sen" -> (Queries.theilSenQ _),
+    "q_tcloseness" -> (Queries.tClosenessQ _),
+    "q_hhi" -> (Queries.hhiQ _),
+    "q_odds_ratio" -> (Queries.oddsRatioQ _),
+    "q_slope_one" -> (Queries.slopeOneQ _),
+    "q_rbo" -> (Queries.rboQ _),
+    "q_readability" -> (Queries.readabilityQ _),
+    "q_kcenter" -> (Queries.kCenterQ _),
+    "q_scc" -> (Queries.sccQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -2672,12 +2682,29 @@ object SparkEntry {
          |h0 AS (SELECT count(*) AS h0 FROM truth t JOIN a0 a USING (query_id, neighbor_id)),
          |h2 AS (SELECT count(*) AS h2 FROM truth t JOIN a2 a USING (query_id, neighbor_id)),
          |hi AS (SELECT count(*) AS hi FROM truth t JOIN ai a USING (query_id, neighbor_id)),
+         |rsl AS (SELECT query_id, neighbor_id, adc_e6 FROM (
+         |    SELECT query_id, neighbor_id, adc_e6,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY adc_e6, neighbor_id) AS arn
+         |    FROM ivadc WHERE cell_rn <= 3)
+         |  WHERE arn <= 12),
+         |rre AS (SELECT s.query_id, s.neighbor_id,
+         |    CAST(floor((${dotSql("n.v", "n.v")} - 2.0 * ${dotSql("q.v", "n.v")}
+         |      + ${dotSql("q.v", "q.v")}) * 1000000.0) AS BIGINT) AS d2_e6
+         |  FROM rsl s JOIN pqe0 q ON s.query_id = q.vec_id
+         |       JOIN pqe0 n ON s.neighbor_id = n.vec_id),
+         |ar AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY d2_e6, neighbor_id) AS rnk FROM rre) WHERE rnk <= 3),
+         |hr AS (SELECT count(*) AS hr FROM truth t JOIN ar a USING (query_id, neighbor_id)),
          |tt AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
          |    count(*) AS n_truth FROM truth),
-         |wide AS (SELECT * FROM tt CROSS JOIN h0 CROSS JOIN h2 CROSS JOIN hi)
+         |wide AS (SELECT * FROM tt CROSS JOIN h0 CROSS JOIN h2 CROSS JOIN hi CROSS JOIN hr)
          |SELECT method, n_queries, n_truth, n_hits, ge_plain_pq FROM (
          |  SELECT 'ivfpq8x32_adc' AS method, n_queries, n_truth, hi AS n_hits,
          |    hi >= h0 AS ge_plain_pq FROM wide
+         |  UNION ALL
+         |  SELECT 'ivfpq8x32_adc_refine', n_queries, n_truth, hr, hr >= h0 FROM wide
          |  UNION ALL
          |  SELECT 'pq4x10_adc', n_queries, n_truth, h0, h0 >= h0 FROM wide
          |  UNION ALL
@@ -8480,5 +8507,237 @@ object SparkEntry {
          |    AS partial_e6
          |FROM s""".stripMargin
     },
+
+    // Eccentricity replay: q_closeness's BFS CTE chain (same fixpoint
+    // guard), readout = per-root max distance + scalar radius/diameter
+    // over the 10-root sample.
+    "q_eccentricity" -> {
+      def iter(i: Int): String =
+        s"""ed$i AS MATERIALIZED (SELECT root, node, min(d) AS d FROM (
+           |  SELECT root, node, d FROM ed${i - 1}
+           |  UNION ALL
+           |  SELECT p.root, e.dst, p.d + 1 FROM bu e JOIN ed${i - 1} p ON e.src = p.node) t
+           |  GROUP BY root, node)""".stripMargin
+      s"""WITH bp AS (SELECT l_partkey AS src,
+         |    lead(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
+         |  FROM lineitem),
+         |be AS (SELECT DISTINCT src, dst FROM bp WHERE dst IS NOT NULL AND src <> dst),
+         |bu AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+         |  (SELECT src, dst FROM be UNION ALL SELECT dst, src FROM be) t),
+         |allnodes AS (SELECT DISTINCT src AS node FROM bu),
+         |roots AS (SELECT node FROM allnodes ORDER BY node LIMIT 10),
+         |ed0 AS (SELECT node AS root, node, CAST(0 AS BIGINT) AS d FROM roots),
+         |${(1 to 8).map(iter).mkString(",\n")},
+         |fixguard AS (SELECT CASE WHEN (SELECT count(*) FROM ed8)
+         |    = (SELECT count(*) FROM ed7) THEN 1 ELSE 0 END AS at_fixpoint),
+         |pr AS (SELECT root, CAST(count(*) AS BIGINT) AS n_reached,
+         |    CAST(CASE WHEN at_fixpoint = 1 THEN max(d)
+         |      ELSE error('q_eccentricity oracle: ed8 <> ed7, unroll depth insufficient')
+         |    END AS BIGINT) AS ecc
+         |  FROM ed8 CROSS JOIN fixguard WHERE d > 0 GROUP BY root, at_fixpoint)
+         |SELECT root, n_reached, ecc,
+         |  (SELECT min(ecc) FROM pr) AS radius_sample,
+         |  (SELECT max(ecc) FROM pr) AS diameter_sample
+         |FROM pr ORDER BY root""".stripMargin
+    },
+
+    // Theil–Sen replay: calendar-bounded pair join, e6-floored slopes,
+    // 2×-quantile integer medians for slope and intercept.
+    "q_theil_sen" ->
+      """WITH daily AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS x,
+        |    CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1),
+        |d0 AS (SELECT min(x) AS x0 FROM daily),
+        |d AS (SELECT x - x0 AS x, y FROM daily CROSS JOIN d0),
+        |p AS (SELECT (b.y - a.y) * 1000000 // (b.x - a.x) AS slope_e6
+        |  FROM d a JOIN d b ON a.x < b.x),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(2 * quantile_cont(slope_e6, 0.5) AS BIGINT) AS slope2_e6 FROM p),
+        |r AS (SELECT n_pairs, slope2_e6,
+        |    y * 1000000 - (slope2_e6 // 2) * x AS r_e6 FROM d CROSS JOIN s)
+        |SELECT CAST(count(*) AS BIGINT) AS n_days, n_pairs, slope2_e6,
+        |  CAST(2 * quantile_cont(r_e6, 0.5) AS BIGINT) AS icept2_e6
+        |FROM r GROUP BY n_pairs, slope2_e6""".stripMargin,
+
+    // t-closeness replay: (QI, bucket) counts vs global, cross-multiplied
+    // cumulative gaps on the shared bucket grid, EMD at e6.
+    "q_tcloseness" ->
+      """WITH base AS (SELECT c_mktsegment AS seg, c_nationkey AS nat,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS b FROM customer),
+        |gb AS (SELECT seg, nat, b, CAST(count(*) AS BIGINT) AS cg FROM base GROUP BY 1, 2, 3),
+        |gbk AS (SELECT b, CAST(count(*) AS BIGINT) AS ca FROM base GROUP BY b),
+        |gc AS (SELECT x.b AS b, CAST(sum(y.ca) AS BIGINT) AS cum_all
+        |  FROM gbk x JOIN gbk y ON y.b <= x.b GROUP BY x.b),
+        |na AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM base),
+        |nbk AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM gbk),
+        |grid AS (SELECT g.seg, g.nat, gl.b, coalesce(gb.cg, 0) AS cg
+        |  FROM (SELECT DISTINCT seg, nat FROM gb) g CROSS JOIN gbk gl
+        |  LEFT JOIN gb ON gb.seg = g.seg AND gb.nat = g.nat AND gb.b = gl.b),
+        |cum AS (SELECT seg, nat, b,
+        |    CAST(sum(cg) OVER (PARTITION BY seg, nat ORDER BY b) AS BIGINT) AS cum_g
+        |  FROM grid),
+        |ng AS (SELECT seg, nat, CAST(sum(cg) AS BIGINT) AS n_g FROM gb GROUP BY 1, 2),
+        |agg AS (SELECT c.seg, c.nat, ng.n_g,
+        |    CAST(sum(abs(c.cum_g * n_all - gc.cum_all * ng.n_g)) * 1000000
+        |      // (ng.n_g * n_all * (n_b - 1)) AS BIGINT) AS t_e6
+        |  FROM cum c JOIN gc USING (b)
+        |  JOIN ng ON ng.seg = c.seg AND ng.nat = c.nat
+        |  CROSS JOIN na CROSS JOIN nbk
+        |  GROUP BY c.seg, c.nat, ng.n_g, n_all, n_b)
+        |SELECT seg, nat, n_g, t_e6, t_e6 > 200000 AS leaks
+        |FROM agg ORDER BY seg, nat""".stripMargin,
+
+    // HHI replay: integer-cents revenue, HUGEINT share math at e6.
+    "q_hhi" ->
+      """WITH rev AS (SELECT n_regionkey AS region, n_nationkey AS nation,
+        |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS HUGEINT) AS rev
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey GROUP BY 1, 2)
+        |SELECT region, CAST(count(*) AS BIGINT) AS n_nations,
+        |  CAST(sum(rev * rev) * 1000000 // (sum(rev) * sum(rev)) AS BIGINT) AS hhi_e6,
+        |  CAST(max(rev) * 1000000 // sum(rev) AS BIGINT) AS top_share_e6,
+        |  CAST(sum(rev) * sum(rev) * 1000000 // sum(rev * rev) AS BIGINT) AS effective_n_e6
+        |FROM rev GROUP BY region ORDER BY region""".stripMargin,
+
+    // Odds-ratio replay: four conditional counts per region, doubled-cell
+    // Haldane odds ratio, guarded risk ratio and Yule's Q.
+    "q_odds_ratio" ->
+      """WITH urg AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'),
+        |cust AS (SELECT n_regionkey AS region,
+        |    (c_mktsegment = 'BUILDING') AS expf,
+        |    CASE WHEN urg.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS outc
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  LEFT JOIN urg USING (c_custkey)),
+        |t AS (SELECT region,
+        |    CAST(sum(CASE WHEN expf AND outc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN expf AND outc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN NOT expf AND outc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN NOT expf AND outc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM cust GROUP BY region)
+        |SELECT region, a, b, c, d,
+        |  CAST((2*a+1) * (2*d+1) * 1000000 // ((2*b+1) * (2*c+1)) AS BIGINT) AS or_haldane_e6,
+        |  CAST(CASE WHEN c > 0 AND a + b > 0
+        |    THEN a * (c + d) * 1000000 // (c * (a + b)) END AS BIGINT) AS rr_e6,
+        |  CAST(CASE WHEN a*d + b*c > 0
+        |    THEN (a*d - b*c) * 1000000 // (a*d + b*c) END AS BIGINT) AS yule_q_e6
+        |FROM t ORDER BY region""".stripMargin,
+
+    // Weighted Slope One replay: truncated-mean cents ratings, deviation
+    // sums with co-rater counts, integer prediction for unrated probes.
+    "q_slope_one" ->
+      """WITH r AS (SELECT user_id, event_type AS item,
+        |    sum(CAST(round(value * 100, 0) AS BIGINT)) // count(*) AS r
+        |  FROM events GROUP BY 1, 2),
+        |dev AS (SELECT x.item AS j, y.item AS i,
+        |    CAST(sum(x.r - y.r) AS BIGINT) AS s_ji, CAST(count(*) AS BIGINT) AS c_ji
+        |  FROM r x JOIN r y ON x.user_id = y.user_id AND x.item <> y.item
+        |  GROUP BY 1, 2),
+        |probes AS (SELECT * FROM r WHERE user_id < 20),
+        |items AS (SELECT DISTINCT item FROM r),
+        |targets AS (SELECT u.user_id, items.item AS j, r.r AS actual
+        |  FROM (SELECT DISTINCT user_id FROM probes) u CROSS JOIN items
+        |  LEFT JOIN r ON r.user_id = u.user_id AND r.item = items.item)
+        |SELECT un.user_id, un.j AS item, CAST(count(*) AS BIGINT) AS n_items_used,
+        |  CAST(sum(d.s_ji + p.r * d.c_ji) * 100 // sum(d.c_ji) AS BIGINT) AS pred_cents_e2,
+        |  CAST(un.actual * 100 AS BIGINT) AS actual_cents_e2
+        |FROM targets un JOIN probes p ON p.user_id = un.user_id AND p.item <> un.j
+        |JOIN dev d ON d.j = un.j AND d.i = p.item
+        |GROUP BY 1, 2, un.actual ORDER BY 1, 2""".stripMargin,
+
+    // RBO replay: two top-20 rankings, overlap per depth, dyadic-exact
+    // weights over the common denominator lcm(1..20)·2^20.
+    "q_rbo" ->
+      """WITH li AS (SELECT l_partkey AS pk,
+        |    sum(CAST(round(l_quantity, 0) AS BIGINT)) AS qty,
+        |    sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |rx AS (SELECT pk, rkx FROM (SELECT pk,
+        |    CAST(row_number() OVER (ORDER BY qty DESC, pk) AS BIGINT) AS rkx FROM li)
+        |  WHERE rkx <= 20),
+        |ry AS (SELECT pk, rky FROM (SELECT pk,
+        |    CAST(row_number() OVER (ORDER BY rev DESC, pk) AS BIGINT) AS rky FROM li)
+        |  WHERE rky <= 20),
+        |both_r AS (SELECT coalesce(rx.pk, ry.pk) AS pk, rkx, rky
+        |  FROM rx FULL OUTER JOIN ry ON rx.pk = ry.pk),
+        |spine AS (SELECT unnest(range(1, 21)) AS d),
+        |ad AS (SELECT d, CAST(count(*) AS BIGINT) AS a_d
+        |  FROM both_r CROSS JOIN spine WHERE rkx <= d AND rky <= d GROUP BY d),
+        |terms AS (SELECT CAST(a_d AS HUGEINT) *
+        |    ((CAST(232792560 AS HUGEINT) * 1048576)
+        |      // (CAST(pow(2, d) AS HUGEINT) * d)) AS term FROM ad)
+        |SELECT CAST(sum(term) * 1000000
+        |  // (CAST(232792560 AS HUGEINT) * 1048576) AS BIGINT) AS rbo_e6
+        |FROM terms""".stripMargin,
+
+    // Readability replay: vowel-group syllables ('g' flag — DuckDB
+    // replaces only the first match by default), doc-as-sentence, e3
+    // truncating panel.
+    "q_readability" ->
+      s"""WITH t AS (SELECT lang,
+         |    CAST(len(${wordsSql("lower(text)")}) AS BIGINT) AS w,
+         |    CAST(length(regexp_replace(lower(text), '[aeiouy]+', 'V', 'g'))
+         |      - length(regexp_replace(lower(text), '[aeiouy]+', '', 'g')) AS BIGINT) AS syl
+         |  FROM documents)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(w) AS BIGINT) AS words, CAST(sum(syl) AS BIGINT) AS syllables,
+         |  CAST(390 * sum(w) // count(*) AS BIGINT) AS wps_x039_e3,
+         |  CAST(11800 * sum(syl) // sum(w) AS BIGINT) AS spw_x118_e3,
+         |  CAST(390 * sum(w) // count(*) + 11800 * sum(syl) // sum(w) - 15590 AS BIGINT)
+         |    AS fk_grade_e3
+         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Greedy k-center replay: 4 unrolled farthest-point steps, each
+    // MATERIALIZED (the dtw textual-expansion lesson), e6-floored
+    // squared L2 with vec_id tiebreaks.
+    "q_kcenter" -> {
+      def d2(v: String, c: String): String =
+        s"""CAST(floor((${dotSql(v, v)} - 2.0 * ${dotSql(v, c)}
+           | + ${dotSql(c, c)}) * 1000000.0) AS BIGINT)""".stripMargin
+      def step(i: Int): String =
+        s"""c$i AS (SELECT vec_id AS c, dm FROM d${i - 1} ORDER BY dm DESC, vec_id LIMIT 1),
+           |v$i AS (SELECT v.v AS cv FROM v JOIN c$i ON v.vec_id = c$i.c),
+           |d$i AS MATERIALIZED (SELECT d${i - 1}.vec_id, d${i - 1}.v,
+           |  least(d${i - 1}.dm, ${d2(s"d${i - 1}.v", "cv")}) AS dm
+           |  FROM d${i - 1} CROSS JOIN v$i)""".stripMargin
+      s"""WITH v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |s1 AS (SELECT vec_id AS c, v AS cv FROM v ORDER BY vec_id LIMIT 1),
+         |d1 AS MATERIALIZED (SELECT v.vec_id, v.v, ${d2("v.v", "cv")} AS dm
+         |  FROM v CROSS JOIN s1),
+         |${(2 to 5).map(step).mkString(",\n")},
+         |radius AS (SELECT CAST(max(dm) AS BIGINT) AS radius_e6 FROM d5),
+         |sel AS (
+         |  SELECT CAST(1 AS BIGINT) AS sel_rank, c AS vec_id, CAST(0 AS BIGINT) AS sel_d2_e6 FROM s1
+         |  ${(2 to 5).map(i => s"UNION ALL SELECT CAST($i AS BIGINT), c, CAST(dm AS BIGINT) FROM c$i").mkString("\n  ")})
+         |SELECT sel_rank, vec_id, sel_d2_e6, radius_e6
+         |FROM sel CROSS JOIN radius ORDER BY sel_rank""".stripMargin
+    },
+
+    // SCC replay: above-mean nation-trade edges, recursive transitive
+    // closure, min over the mutually-reachable set, component sizes.
+    "q_scc" ->
+      """WITH RECURSIVE pairs AS (SELECT s_nationkey AS src, c_nationkey AS dst,
+        |    sum(CAST(round(l_quantity, 0) AS BIGINT)) AS qty
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2 HAVING s_nationkey <> c_nationkey),
+        |tot AS (SELECT sum(qty) AS sq, CAST(count(*) AS BIGINT) AS np FROM pairs),
+        |e AS MATERIALIZED (SELECT src, dst FROM pairs CROSS JOIN tot
+        |  WHERE qty * np > sq),
+        |rr AS (SELECT src, dst FROM e
+        |  UNION
+        |  SELECT rr.src, e.dst FROM rr JOIN e ON rr.dst = e.src),
+        |nodes AS (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e) t),
+        |mut AS (SELECT x.src AS node, x.dst AS peer
+        |  FROM rr x JOIN rr y ON x.src = y.dst AND x.dst = y.src),
+        |s AS (SELECT n.node, min(m.peer) AS mp
+        |  FROM nodes n LEFT JOIN mut m ON m.node = n.node GROUP BY n.node),
+        |scc AS (SELECT node,
+        |  CASE WHEN mp IS NULL THEN node ELSE least(mp, node) END AS scc_id FROM s)
+        |SELECT scc.node, scc.scc_id, CAST(z.cnt AS BIGINT) AS scc_size
+        |FROM scc JOIN (SELECT scc_id, count(*) AS cnt FROM scc GROUP BY 1) z
+        |  USING (scc_id)
+        |ORDER BY node""".stripMargin,
   )
 }

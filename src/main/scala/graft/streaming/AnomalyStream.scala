@@ -49,13 +49,15 @@ object AnomalyStream {
     * frame of the batch's ROW COUNT vs the static per-period
     * reference volumes.
     */
-  def volumeMonitor(stream: DataFrame, ref: DataFrame)(
-      onResult: (Long, DataFrame) => Unit): StreamingQuery =
-    stream.writeStream.outputMode("append")
+  def volumeMonitor(stream: DataFrame, ref: DataFrame,
+      checkpoint: Option[String] = None)(
+      onResult: (Long, DataFrame) => Unit): StreamingQuery = {
+    val w = stream.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
         onResult(id, robustZStatistic(Seq(batch.count()).toDF("x"), ref))
       }
-      .start()
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
 }

@@ -85,6 +85,42 @@ class LogAnalysisAppSpec extends AnyFunSuite {
     } finally { p2.hotSection.stop(); p2.hotArticle.stop(); p2.clientIp.stop() }
   }
 
+  test("monitors: robust-z volume alarm + browse→read interval join off one shared parse") {
+    import spark.implicits._
+    val logDir = Files.createTempDirectory("graft-logs-m").toFile
+    val ckpt = Files.createTempDirectory("graft-ckpt-m").toString
+    def tline(ip: String, time: String, uri: String): String =
+      s"""$ip - - [27/Aug/2020:$time +0800] "GET $uri HTTP/1.1" 200 1024 "-" "Mozilla/5.0""""
+    // historical per-period volumes: med=14 → m2=28, mad4=8
+    val ref = Seq(10L, 12L, 14L, 16L, 18L).toDF("x")
+
+    Files.writeString(new java.io.File(logDir, "b1.log").toPath, Seq(
+      tline("10.0.0.1", "10:20:00", "/forum.php?mod=forumdisplay&fid=3"),
+      tline("10.0.0.1", "10:25:00", "/forum.php?mod=viewthread&tid=9"), // 300 s after the browse → match
+      tline("10.0.0.2", "10:20:30", "/forum.php?mod=viewthread&tid=7"), // read with no prior browse → drop
+      tline("10.0.0.1", "10:40:00", "/forum.php?mod=viewthread&tid=7")  // 1200 s > maxGap → drop
+    ).mkString("\n"))
+
+    val m = LogAnalysisApp.startMonitors(spark,
+      graft.sources.LogSources.textStreamLines(spark, logDir.toString), ref, ckpt)
+    try {
+      m.volumeAlarm.processAllAvailable()
+      m.funnel.processAllAvailable()
+      // batch 0: 4 parsed rows → z = 1349·|8−28|·1000/8 = 3372500 (< 3.5) — quiet
+      assert(m.alarms(0L) == ((4L, Some(3372500L), false)))
+      val rows = m.funnelSink.snapshot.values.toSeq
+      assert(rows.size == 1, s"expected exactly one funnel match, got $rows")
+      assert(rows.head.head == "10.0.0.1" && rows.head.last == 9L)
+
+      // batch 1: ONE row — 1349·|2−28| = 35074 > 3500·8 → the alarm fires
+      Files.writeString(new java.io.File(logDir, "b2.log").toPath,
+        tline("10.0.0.9", "11:00:00", "/forum.php?mod=forumdisplay&fid=5"))
+      m.volumeAlarm.processAllAvailable()
+      val (x, z, fired) = m.alarms(1L)
+      assert(x == 1L && z == Some(4384250L) && fired)
+    } finally { m.volumeAlarm.stop(); m.funnel.stop() }
+  }
+
   test("jdbc upsert SQL is the MySQL ON DUPLICATE KEY UPDATE form") {
     val u = new graft.sources.JdbcUpsert(
       "hot_section", Seq("section_id", "name", "section_pv"), Seq("section_id"),
