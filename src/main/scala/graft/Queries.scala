@@ -10915,4 +10915,306 @@ object Queries {
     e.unpersist(blocking = false)
     materialized
   }
+
+  /** Allen's interval algebra census: each user-day activity interval
+    * [first event, last event] classified against that day's fixed
+    * reference window (10:00–14:00 UTC) into the 13 Allen relations
+    * (before/meets/overlaps/starts/during/finishes/equals + inverses)
+    * — the temporal-reasoning primitive scheduling and
+    * session-overlap analytics are built from, reduced to pure
+    * integer endpoint comparisons (unix micros; a CASE ladder ordered
+    * so each relation is reached exactly when its definition holds).
+    * One scan into user-day min/max; the census output is
+    * relation-domain bounded (≤13 rows).
+    */
+  def allenRelationsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val iv = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(min(expr("unix_micros(ts)")).as("s1"), max(expr("unix_micros(ts)")).as("e1"))
+      .withColumn("s2", expr("day * 86400000000 + 36000000000"))  // 10:00
+      .withColumn("e2", expr("day * 86400000000 + 50400000000")) // 14:00
+    val rel = expr("""case
+      when s1 = s2 and e1 = e2 then 'equals'
+      when e1 < s2 then 'before'
+      when e2 < s1 then 'after'
+      when e1 = s2 then 'meets'
+      when e2 = s1 then 'met_by'
+      when s1 = s2 and e1 < e2 then 'starts'
+      when s1 = s2 and e1 > e2 then 'started_by'
+      when e1 = e2 and s1 > s2 then 'finishes'
+      when e1 = e2 and s1 < s2 then 'finished_by'
+      when s1 > s2 and e1 < e2 then 'during'
+      when s1 < s2 and e1 > e2 then 'contains'
+      when s1 < s2 and e1 < e2 then 'overlaps'
+      else 'overlapped_by' end""")
+    iv.select(rel.as("relation"))
+      .groupBy(col("relation")).agg(count(lit(1)).as("n"))
+      .orderBy(col("relation"))
+  }
+
+  /** Expected Reciprocal Rank over the 50-probe label-retrieval eval
+    * ([[ndcgQ]]'s setup, graded): grade 3 = exact label match, 1 =
+    * adjacent label, 0 otherwise; the cascade model
+    * ERR = Σᵣ (1/r)·Rᵣ·Π_{i<r}(1−Rᵢ) with R = (2^g−1)/8 is DYADIC, so
+    * the whole sum is closed-form exact over the denominator 8⁵·60 —
+    * the top-5 grades pivot into five integer columns and the chain of
+    * stop-probabilities is plain arithmetic (no fold, no float, no
+    * log). The corpus-sized work is the one broadcast top-5 retrieval
+    * pass shared with the other rank metrics.
+    */
+  def errQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Similarity.normalized(Similarity.asDouble(Tables.embeddings(spark, sfDir)))
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("label").cast("long").as("true_label"),
+        col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("label").cast("long").as("n_label"),
+      col("embedding").as("cv"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    val graded = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", Similarity.dot(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .withColumn("g", expr("""case when n_label = true_label then 3
+        when abs(n_label - true_label) = 1 then 1 else 0 end"""))
+    def rn(i: Int) = s"(case g$i when 3 then 7 when 1 then 1 else 0 end)"
+    val gCols = (1 to 5).map(i =>
+      max(when(col("rnk") === i, col("g")).otherwise(lit(-1))).as(s"g$i"))
+    graded.groupBy(col("query_id"))
+      .agg(gCols.head, gCols.tail: _*)
+      .select(col("query_id"),
+        expr(s"""(
+          ${rn(1)} * 60 * 4096
+          + (8 - ${rn(1)}) * ${rn(2)} * 30 * 512
+          + (8 - ${rn(1)}) * (8 - ${rn(2)}) * ${rn(3)} * 20 * 64
+          + (8 - ${rn(1)}) * (8 - ${rn(2)}) * (8 - ${rn(3)}) * ${rn(4)} * 15 * 8
+          + (8 - ${rn(1)}) * (8 - ${rn(2)}) * (8 - ${rn(3)}) * (8 - ${rn(4)}) * ${rn(5)} * 12
+        ) * cast(1000000 as bigint) div 1966080""").as("err_e6"))
+      .orderBy(col("query_id"))
+  }
+
+  /** Borda-count rank aggregation of three part rankings (shipped
+    * quantity, revenue, distinct orders): each list is a top-50
+    * TakeOrdered shortlist, a part scores Σ(51 − rank) over the lists
+    * it appears in (absent = 0 — the truncated-Borda convention), and
+    * the fused top-20 ships with per-list ranks for audit. The fusion
+    * input is ≤150 rows regardless of corpus size; the three ranking
+    * passes share ONE (part → qty, rev, orders) aggregate scan. The
+    * voting-theory sibling of [[rrfQ]] (reciprocal) and [[rboQ]]
+    * (agreement).
+    */
+  def bordaQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(sum(expr("cast(round(l_quantity, 0) as long)")).as("qty"),
+        sum(cents(col("l_extendedprice")).cast("long")).as("rev"),
+        countDistinct(col("l_orderkey")).as("nord"))
+    def top50(by: Column, name: String): DataFrame = {
+      val short = li.orderBy(by.desc, col("pk")).limit(50)
+      short.withColumn(name, row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(graft.functions.GraftFunctions.singleton_key(col("pk")))
+          .orderBy(by.desc, col("pk"))).cast("long"))
+        .select(col("pk"), col(name))
+    }
+    top50(col("qty"), "r_qty")
+      .join(top50(col("rev"), "r_rev"), Seq("pk"), "outer")
+      .join(top50(col("nord"), "r_ord"), Seq("pk"), "outer")
+      .select(col("pk"), col("r_qty"), col("r_rev"), col("r_ord"),
+        (coalesce(lit(51L) - col("r_qty"), lit(0L))
+          + coalesce(lit(51L) - col("r_rev"), lit(0L))
+          + coalesce(lit(51L) - col("r_ord"), lit(0L))).as("borda"))
+      .orderBy(col("borda").desc, col("pk")).limit(20)
+  }
+
+  /** Two-step Huber M-estimator of the daily-volume trend — the
+    * middle ground between OLS ([[linregQ]], 0% breakdown) and
+    * Theil–Sen ([[theilSenQ]], pair join): an exact-integer OLS pass,
+    * residual scale σ̂ = √(SSR/(n−2)) through the correctly-rounded
+    * IEEE sqrt (identical on both engines over exact integer inputs),
+    * Huber weights w = min(1, 1.345σ̂/|r|) held as e6 integers, then
+    * ONE weighted-OLS re-fit on exact decimal sufficient statistics.
+    * Both passes are calendar-bounded aggregates over the daily count
+    * table; the corpus-scan is the daily aggregate itself.
+    */
+  def huberQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("xd"))
+      .agg(count(lit(1)).as("y"))
+    val d0 = daily.groupBy().agg(min(col("xd")).as("x0"))
+    val d = daily.crossJoin(broadcast(d0))
+      .select((col("xd") - col("x0")).as("x"), col("y"))
+    val s1 = d.groupBy()
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("x")).cast(d38).as("sx"), sum(col("y")).cast(d38).as("sy"),
+        sum(col("x") * col("x")).cast(d38).as("sxx"),
+        sum(col("x") * col("y")).cast(d38).as("sxy"))
+      .select(col("n"), col("sx"), col("sy"),
+        expr("(n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx)").as("slope_ols_e6"),
+        expr("""((sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx) * 1000000)
+                div (n * (n * sxx - sx * sx))""").as("icept_ols_e6"))
+    val withR = d.crossJoin(broadcast(s1))
+      .withColumn("r_e6", expr("y * 1000000 - (slope_ols_e6 * x + icept_ols_e6)"))
+    val sigma = withR.groupBy()
+      .agg(expr("""cast(floor(1345.0 * sqrt(
+          cast(sum(cast(r_e6 as decimal(38,0)) * r_e6) as double)
+          / (count(1) - 2)) / 1000.0) as bigint)""").as("k_e6"))
+    val weighted = withR.crossJoin(broadcast(sigma))
+      .withColumn("w_e6",
+        expr("least(cast(1000000 as bigint), k_e6 * 1000000 div abs(nullif(r_e6, 0)))"))
+      .withColumn("w_e6", coalesce(col("w_e6"), lit(1000000L))) // zero residual → full weight
+    val s2 = weighted.groupBy()
+      .agg(sum(col("w_e6")).cast(d38).as("sw"),
+        sum(col("w_e6") * col("x")).cast(d38).as("swx"),
+        sum(col("w_e6") * col("y")).cast(d38).as("swy"),
+        sum(col("w_e6") * col("x") * col("x")).cast(d38).as("swxx"),
+        sum(col("w_e6") * col("x") * col("y")).cast(d38).as("swxy"),
+        sum(when(col("w_e6") < 1000000L, 1L).otherwise(0L)).as("n_downweighted"),
+        count(lit(1)).as("n_days"))
+    s2.crossJoin(broadcast(s1.select(col("slope_ols_e6"), col("icept_ols_e6"))))
+      .select(col("n_days"), col("n_downweighted"),
+        col("slope_ols_e6"), col("icept_ols_e6"),
+        expr("(sw * swxy - swx * swy) * 1000000 div (sw * swxx - swx * swx)")
+          .as("slope_huber_e6"),
+        expr("""((swy * (sw * swxx - swx * swx) - (sw * swxy - swx * swy) * swx)
+                * 1000000) div (sw * (sw * swxx - swx * swx))""").as("icept_huber_e6"))
+  }
+
+  /** Tukey median polish of the region × segment revenue table — the
+    * robust two-way decomposition (grand + row + column + residual)
+    * that survives the outlier cells classical two-way ANOVA means get
+    * dragged by. Two full iterations of alternating row/column median
+    * sweeps on values PRE-SCALED by 16: each even-count median halves
+    * at worst once per sweep, so after 4 sweeps every value is still
+    * an exact integer — the median doubles are exactly representable
+    * and cast identically on both engines (the 2×-median trick,
+    * compounded). The fact scan is one (region, segment) cents
+    * aggregate; the polish runs on the bounded 25-cell grid. Residual
+    * magnitude flags the anomalous (region, segment) market cells.
+    */
+  def medianPolishQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_regionkey").as("region"), col("c_mktsegment").as("seg"))
+      .agg(sum(cents(col("l_extendedprice")).cast("long")).as("v"))
+    def rowSweep(t: DataFrame): DataFrame = {
+      val rm = t.groupBy(col("region"))
+        .agg(expr("cast(percentile(r, 0.5) as bigint)").as("rm"))
+      t.join(broadcast(rm), "region")
+        .select(col("region"), col("seg"), (col("r") - col("rm")).as("r"))
+    }
+    def colSweep(t: DataFrame): DataFrame = {
+      val cm = t.groupBy(col("seg"))
+        .agg(expr("cast(percentile(r, 0.5) as bigint)").as("cm"))
+      t.join(broadcast(cm), "seg")
+        .select(col("region"), col("seg"), (col("r") - col("cm")).as("r"))
+    }
+    val start = cells.select(col("region"), col("seg"), (col("v") * 16L).as("r"))
+    val resid = colSweep(rowSweep(colSweep(rowSweep(start))))
+    cells.join(resid, Seq("region", "seg"))
+      .select(col("region"), col("seg"), col("v").as("cents"),
+        col("r").as("resid_c16"),
+        (col("v") * 16L - col("r")).as("fitted_c16"))
+      .orderBy(col("region"), col("seg"))
+  }
+
+  /** Chapman capture–recapture estimate of the active-user population
+    * per weekday: capture list = users who clicked, recapture list =
+    * users who purchased; N̂ = (n₁+1)(n₂+1)/(m+1) − 1 (the
+    * bias-corrected Lincoln–Petersen, always defined). The canonical
+    * "how many users does this product REALLY have" estimator when
+    * neither instrumentation stream sees everyone. One scan into
+    * per-(dow, user) flags, then weekday-bounded counts.
+    */
+  def captureRecaptureQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = Tables.events(spark, sfDir)
+      .groupBy(expr("(unix_micros(ts) div 86400000000) % 7").as("dow"), col("user_id"))
+      .agg(max(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c2"))
+    u.groupBy(col("dow"))
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        sum(col("c1") * col("c2")).as("m"),
+        countDistinct(col("user_id")).as("n_observed"))
+      .select(col("dow"), col("n1"), col("n2"), col("m"), col("n_observed"),
+        expr("(n1 + 1) * (n2 + 1) div (m + 1) - 1").as("chapman"))
+      .orderBy(col("dow"))
+  }
+
+  /** Moving-average type–token ratio (MATTR, window = 50 tokens) per
+    * language — the length-invariant lexical-diversity measure (plain
+    * TTR collapses as documents grow; windowed TTR doesn't): each
+    * document's token stream is cut into 50-token segments, distinct/
+    * total per full segment, averaged per language at e6. The whole
+    * computation is one narrow tokenize → (doc, segment, token) counts
+    * — map-side-combinable aggregates keyed by doc, nothing
+    * vocab-global anywhere.
+    */
+  def mattrQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"),
+        posexplode(graft.ops.TextOps.words(lower(col("text")))).as(Seq("pos", "tok")))
+      .withColumn("segm", expr("pos div 50"))
+    val segSize = toks.groupBy(col("lang"), col("doc_id"), col("segm"))
+      .agg(count(lit(1)).as("n_tok"), countDistinct(col("tok")).as("n_type"))
+      .filter(col("n_tok") === 50) // full windows only (MATTR convention)
+    segSize.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_windows"),
+        expr("sum(n_type * 1000000) div (count(1) * 50)").as("mattr_e6"))
+      .orderBy(col("lang"))
+  }
+
+  /** Partial autocorrelation (lags 1–3) of the daily event volume via
+    * the Durbin–Levinson recursion over [[acfQ]]'s exact integer
+    * autocovariance numerators: r_k = num_k/(n·sxx − s²) enters as a
+    * double RATIO of exact integers, and φ₁₁, φ₂₂, φ₃₃ are the
+    * identical (−, ×, ÷)-only expressions on both engines, floored at
+    * e6 ([[partialCorrQ]]'s rule — every operation is correctly
+    * rounded IEEE, no ln/exp anywhere). PACF is THE lag-selection
+    * readout an AR modeler wants next to [[acfQ]]/[[ar1Q]]. The only
+    * data-sized work is the daily aggregate + three lag joins on the
+    * calendar-bounded day table.
+    */
+  def pacfQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("x"))
+    val g = daily.groupBy().agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+      sum(expr("cast(x as decimal(38,0))") * col("x")).as("sxx"))
+    val spine = broadcast(
+      daily.sparkSession.range(1, 4).select(col("id").as("lag")))
+    val a = daily.select(col("d"), col("x").as("xa"))
+    val b = daily.select(col("d").as("db"), col("x").as("xb"))
+    val nums = a.crossJoin(spine)
+      .join(b, col("db") === col("d") + col("lag"))
+      .crossJoin(broadcast(g))
+      .select(col("lag"),
+        ((col("n") * col("xa") - col("s")).cast(d38)
+          * (col("n") * col("xb") - col("s")).cast(d38)).as("term"),
+        col("n"), col("s"), col("sxx"))
+      .groupBy(col("n"), col("s"), col("sxx"))
+      .agg(sum(when(col("lag") === 1, col("term"))).as("m1"),
+        sum(when(col("lag") === 2, col("term"))).as("m2"),
+        sum(when(col("lag") === 3, col("term"))).as("m3"))
+    def r(i: Int) =
+      s"(cast(m$i as double) / cast(n * sxx - cast(s as $d38) * s as double))"
+    val (r1, r2, r3) = (r(1), r(2), r(3))
+    nums.select(col("n").as("n_days"),
+      expr(s"cast(floor(1000000.0 * $r1) as bigint)").as("phi11_e6"),
+      expr(s"""cast(floor(1000000.0 *
+          (($r2 - $r1 * $r1) / (1.0 - $r1 * $r1))) as bigint)""").as("phi22_e6"),
+      expr(s"""cast(floor(1000000.0 * (
+          ($r3
+            - ($r1 * (1.0 - (($r2 - $r1 * $r1) / (1.0 - $r1 * $r1)))) * $r2
+            - (($r2 - $r1 * $r1) / (1.0 - $r1 * $r1)) * $r1)
+          / ((1.0 - $r1 * $r1)
+             * (1.0 - (($r2 - $r1 * $r1) / (1.0 - $r1 * $r1))
+                    * (($r2 - $r1 * $r1) / (1.0 - $r1 * $r1))))
+        )) as bigint)""").as("phi33_e6"))
+  }
 }

@@ -168,7 +168,21 @@ object SoakScale {
     "q_forecast_eval", "q_cem", "q_tukey_fences", "q_qq_octiles",
     "q_vocab_tail", "q_cross_val", "q_l1_centroid", "q_robust_z",
     "q_uplift", "q_hodges_lehmann", "q_kappa", "q_mcc", "q_cronbach",
-    "q_partial_corr")
+    "q_partial_corr",
+    // round 10: the pruned-layout IVFADC scan + its exact-refine stage
+    // over the replicated codes, greedy k-center's k linear passes,
+    // the 10-root eccentricity BFS, the SCC closure's fact scan (the
+    // orders/customer dims are straight copies in the soak input, so
+    // only copy-0 edges survive the join — the lineitem scan is the
+    // honest scale axis), the day-pair Theil-Sen and the Huber re-fit
+    // over xN daily volumes, the corpus readability scan, the
+    // shortlist rank-fusion/agreement pair (Borda, RBO), Slope One's
+    // co-rater self-join over xN fresh users, the user-day Allen
+    // census, and the 50-probe graded ERR retrieval pass
+    "q_ann_ivfpq_pruned", "q_ann_ivfpq_refine", "q_kcenter",
+    "q_eccentricity", "q_scc", "q_theil_sen", "q_huber",
+    "q_readability", "q_borda", "q_rbo", "q_slope_one", "q_allen",
+    "q_err")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

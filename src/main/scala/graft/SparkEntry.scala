@@ -408,6 +408,14 @@ object SparkEntry {
     "q_readability" -> (Queries.readabilityQ _),
     "q_kcenter" -> (Queries.kCenterQ _),
     "q_scc" -> (Queries.sccQ _),
+    "q_allen" -> (Queries.allenRelationsQ _),
+    "q_err" -> (Queries.errQ _),
+    "q_borda" -> (Queries.bordaQ _),
+    "q_huber" -> (Queries.huberQ _),
+    "q_median_polish" -> (Queries.medianPolishQ _),
+    "q_capture_recapture" -> (Queries.captureRecaptureQ _),
+    "q_mattr" -> (Queries.mattrQ _),
+    "q_pacf" -> (Queries.pacfQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -8739,5 +8747,217 @@ object SparkEntry {
         |FROM scc JOIN (SELECT scc_id, count(*) AS cnt FROM scc GROUP BY 1) z
         |  USING (scc_id)
         |ORDER BY node""".stripMargin,
+
+    // Allen-relations replay: identical endpoint CASE ladder over
+    // user-day min/max micros vs the fixed 10:00-14:00 reference.
+    "q_allen" ->
+      """WITH iv AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS s1,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS e1
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT s1, e1,
+        |    day * 86400000000 + 36000000000 AS s2,
+        |    day * 86400000000 + 50400000000 AS e2 FROM iv),
+        |rel AS (SELECT case
+        |    when s1 = s2 and e1 = e2 then 'equals'
+        |    when e1 < s2 then 'before'
+        |    when e2 < s1 then 'after'
+        |    when e1 = s2 then 'meets'
+        |    when e2 = s1 then 'met_by'
+        |    when s1 = s2 and e1 < e2 then 'starts'
+        |    when s1 = s2 and e1 > e2 then 'started_by'
+        |    when e1 = e2 and s1 > s2 then 'finishes'
+        |    when e1 = e2 and s1 < s2 then 'finished_by'
+        |    when s1 > s2 and e1 < e2 then 'during'
+        |    when s1 < s2 and e1 > e2 then 'contains'
+        |    when s1 < s2 and e1 < e2 then 'overlaps'
+        |    else 'overlapped_by' end AS relation FROM r)
+        |SELECT relation, CAST(count(*) AS BIGINT) AS n
+        |FROM rel GROUP BY relation ORDER BY relation""".stripMargin,
+
+    // ERR replay: the ndcg retrieval CTE graded (3 = match, 1 =
+    // adjacent label), top-5 pivoted to g1..g5, the dyadic cascade
+    // closed-form over denominator 8^5 * 60 = 1966080.
+    "q_err" -> {
+      def rn(i: Int) = s"(case g$i when 3 then 7 when 1 then 1 else 0 end)"
+      s"""WITH e0 AS (SELECT vec_id, CAST(label AS BIGINT) AS label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |nrm AS (SELECT vec_id, label, ${normSql("v")} AS v FROM e0),
+         |sc AS (SELECT q.vec_id AS query_id, q.label AS true_label,
+         |         c.vec_id AS neighbor_id, c.label AS n_label, ${dotSql("q.v", "c.v")} AS cos
+         |       FROM nrm c JOIN (SELECT * FROM nrm WHERE vec_id < 50) q
+         |         ON c.vec_id <> q.vec_id),
+         |top AS (SELECT *, case when n_label = true_label then 3
+         |    when abs(n_label - true_label) = 1 then 1 else 0 end AS g FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+         |    FROM sc) WHERE rnk <= 5),
+         |piv AS (SELECT query_id,
+         |    ${(1 to 5).map(i =>
+               s"max(CASE WHEN rnk = $i THEN g ELSE -1 END) AS g$i").mkString(",\n    ")}
+         |  FROM top GROUP BY query_id)
+         |SELECT query_id, CAST((
+         |    ${rn(1)} * 60 * 4096
+         |    + (8 - ${rn(1)}) * ${rn(2)} * 30 * 512
+         |    + (8 - ${rn(1)}) * (8 - ${rn(2)}) * ${rn(3)} * 20 * 64
+         |    + (8 - ${rn(1)}) * (8 - ${rn(2)}) * (8 - ${rn(3)}) * ${rn(4)} * 15 * 8
+         |    + (8 - ${rn(1)}) * (8 - ${rn(2)}) * (8 - ${rn(3)}) * (8 - ${rn(4)}) * ${rn(5)} * 12
+         |  ) * CAST(1000000 AS BIGINT) // 1966080 AS BIGINT) AS err_e6
+         |FROM piv ORDER BY query_id""".stripMargin
+    },
+
+    // Borda replay: one (part -> qty, rev, orders) aggregate, three
+    // top-50 rankings, truncated-Borda fusion, fused top-20.
+    "q_borda" ->
+      """WITH li AS (SELECT l_partkey AS pk,
+        |    sum(CAST(round(l_quantity, 0) AS BIGINT)) AS qty,
+        |    sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS rev,
+        |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nord
+        |  FROM lineitem GROUP BY 1),
+        |rq AS (SELECT pk, r_qty FROM (SELECT pk,
+        |    CAST(row_number() OVER (ORDER BY qty DESC, pk) AS BIGINT) AS r_qty FROM li)
+        |  WHERE r_qty <= 50),
+        |rr AS (SELECT pk, r_rev FROM (SELECT pk,
+        |    CAST(row_number() OVER (ORDER BY rev DESC, pk) AS BIGINT) AS r_rev FROM li)
+        |  WHERE r_rev <= 50),
+        |ro AS (SELECT pk, r_ord FROM (SELECT pk,
+        |    CAST(row_number() OVER (ORDER BY nord DESC, pk) AS BIGINT) AS r_ord FROM li)
+        |  WHERE r_ord <= 50),
+        |fused AS (SELECT coalesce(rq.pk, rr.pk, ro.pk) AS pk, r_qty, r_rev, r_ord,
+        |    coalesce(51 - r_qty, 0) + coalesce(51 - r_rev, 0) + coalesce(51 - r_ord, 0) AS borda
+        |  FROM rq FULL OUTER JOIN rr ON rq.pk = rr.pk
+        |  FULL OUTER JOIN ro ON coalesce(rq.pk, rr.pk) = ro.pk)
+        |SELECT pk, r_qty, r_rev, r_ord, CAST(borda AS BIGINT) AS borda
+        |FROM fused ORDER BY borda DESC, pk LIMIT 20""".stripMargin,
+
+    // Huber replay: exact-integer OLS, IEEE sqrt scale, e6 weights,
+    // HUGEINT weighted re-fit — expressions identical to the Spark side.
+    "q_huber" ->
+      """WITH daily AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS xd,
+        |    CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1),
+        |d0 AS (SELECT min(xd) AS x0 FROM daily),
+        |d AS (SELECT xd - x0 AS x, y FROM daily CROSS JOIN d0),
+        |s1 AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx, sum(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM d),
+        |f1 AS (SELECT n,
+        |    (n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx) AS slope_ols_e6,
+        |    ((sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx) * 1000000)
+        |      // (n * (n * sxx - sx * sx)) AS icept_ols_e6
+        |  FROM s1),
+        |wr AS (SELECT x, y,
+        |    y * 1000000 - (slope_ols_e6 * x + icept_ols_e6) AS r_e6,
+        |    slope_ols_e6, icept_ols_e6 FROM d CROSS JOIN f1),
+        |sg AS (SELECT CAST(floor(1345.0 * sqrt(
+        |    CAST(sum(CAST(r_e6 AS HUGEINT) * r_e6) AS DOUBLE)
+        |    / (count(1) - 2)) / 1000.0) AS BIGINT) AS k_e6 FROM wr),
+        |w AS (SELECT x, y, slope_ols_e6, icept_ols_e6,
+        |    coalesce(least(CAST(1000000 AS BIGINT),
+        |      k_e6 * 1000000 // abs(nullif(r_e6, 0))), 1000000) AS w_e6
+        |  FROM wr CROSS JOIN sg),
+        |s2 AS (SELECT sum(CAST(w_e6 AS HUGEINT)) AS sw,
+        |    sum(CAST(w_e6 AS HUGEINT) * x) AS swx,
+        |    sum(CAST(w_e6 AS HUGEINT) * y) AS swy,
+        |    sum(CAST(w_e6 AS HUGEINT) * x * x) AS swxx,
+        |    sum(CAST(w_e6 AS HUGEINT) * x * y) AS swxy,
+        |    CAST(sum(CASE WHEN w_e6 < 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_downweighted,
+        |    CAST(count(*) AS BIGINT) AS n_days,
+        |    max(slope_ols_e6) AS slope_ols_e6, max(icept_ols_e6) AS icept_ols_e6
+        |  FROM w)
+        |SELECT n_days, n_downweighted,
+        |  CAST(slope_ols_e6 AS BIGINT) AS slope_ols_e6,
+        |  CAST(icept_ols_e6 AS BIGINT) AS icept_ols_e6,
+        |  CAST((sw * swxy - swx * swy) * 1000000
+        |    // (sw * swxx - swx * swx) AS BIGINT) AS slope_huber_e6,
+        |  CAST(((swy * (sw * swxx - swx * swx) - (sw * swxy - swx * swy) * swx)
+        |    * 1000000) // (sw * (sw * swxx - swx * swx)) AS BIGINT) AS icept_huber_e6
+        |FROM s2""".stripMargin,
+
+    // Median-polish replay: 16x pre-scale, 4 alternating median sweeps
+    // (quantile_cont over ≤5-element sets is an exactly-representable
+    // double at this scaling), residual + fitted in 16ths of a cent.
+    "q_median_polish" ->
+      """WITH cells AS (SELECT n_regionkey AS region, c_mktsegment AS seg,
+        |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS v
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |t0 AS (SELECT region, seg, v * 16 AS r FROM cells),
+        |r1m AS (SELECT region, CAST(quantile_cont(r, 0.5) AS BIGINT) AS rm FROM t0 GROUP BY region),
+        |t1 AS (SELECT t0.region, seg, r - rm AS r FROM t0 JOIN r1m ON t0.region = r1m.region),
+        |c1m AS (SELECT seg, CAST(quantile_cont(r, 0.5) AS BIGINT) AS cm FROM t1 GROUP BY seg),
+        |t2 AS (SELECT region, t1.seg, r - cm AS r FROM t1 JOIN c1m ON t1.seg = c1m.seg),
+        |r2m AS (SELECT region, CAST(quantile_cont(r, 0.5) AS BIGINT) AS rm FROM t2 GROUP BY region),
+        |t3 AS (SELECT t2.region, seg, r - rm AS r FROM t2 JOIN r2m ON t2.region = r2m.region),
+        |c2m AS (SELECT seg, CAST(quantile_cont(r, 0.5) AS BIGINT) AS cm FROM t3 GROUP BY seg),
+        |t4 AS (SELECT region, t3.seg, r - cm AS r FROM t3 JOIN c2m ON t3.seg = c2m.seg)
+        |SELECT c.region, c.seg, c.v AS cents, t4.r AS resid_c16,
+        |  c.v * 16 - t4.r AS fitted_c16
+        |FROM cells c JOIN t4 ON c.region = t4.region AND c.seg = t4.seg
+        |ORDER BY c.region, c.seg""".stripMargin,
+
+    // Chapman capture-recapture replay: weekday click/purchase lists,
+    // bias-corrected Lincoln-Petersen in integers.
+    "q_capture_recapture" ->
+      """WITH u AS (SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) % 7 AS dow,
+        |    user_id,
+        |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2
+        |  FROM events GROUP BY 1, 2)
+        |SELECT dow, CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+        |  CAST(sum(c1 * c2) AS BIGINT) AS m,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_observed,
+        |  CAST((sum(c1) + 1) * (sum(c2) + 1) // (sum(c1 * c2) + 1) - 1 AS BIGINT)
+        |    AS chapman
+        |FROM u GROUP BY dow ORDER BY dow""".stripMargin,
+
+    // MATTR replay: parallel unnest (token, 0-based position) zips the
+    // word list with its index, 50-token full windows, e6 average.
+    "q_mattr" ->
+      s"""WITH base AS (SELECT lang, doc_id, ${wordsSql("lower(text)")} AS ws FROM documents),
+         |toks AS (SELECT lang, doc_id, unnest(ws) AS tok,
+         |    unnest(range(len(ws))) AS pos FROM base),
+         |seg AS (SELECT lang, doc_id, pos // 50 AS segm,
+         |    CAST(count(*) AS BIGINT) AS n_tok,
+         |    CAST(count(DISTINCT tok) AS BIGINT) AS n_type
+         |  FROM toks GROUP BY 1, 2, 3)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_windows,
+         |  CAST(sum(n_type * 1000000) // (count(1) * 50) AS BIGINT) AS mattr_e6
+         |FROM seg WHERE n_tok = 50 GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // PACF replay: acf's exact integer autocovariance numerators, the
+    // Durbin-Levinson ratios as identical IEEE double expressions,
+    // e6-floored.
+    "q_pacf" -> {
+      def r(i: Int) =
+        s"(CAST(m$i AS DOUBLE) / CAST(n * sxx - CAST(s AS HUGEINT) * s AS DOUBLE))"
+      val (r1, r2, r3) = (r(1), r(2), r(3))
+      s"""WITH daily AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+         |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+         |g AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(CAST(x AS HUGEINT)) AS s,
+         |    sum(CAST(x AS HUGEINT) * x) AS sxx FROM daily),
+         |spine AS (SELECT unnest(range(1, 4)) AS lag),
+         |nums AS (SELECT n, s, sxx,
+         |    sum(CASE WHEN lag = 1 THEN (n * a.x - s) * (n * b.x - s) END) AS m1,
+         |    sum(CASE WHEN lag = 2 THEN (n * a.x - s) * (n * b.x - s) END) AS m2,
+         |    sum(CASE WHEN lag = 3 THEN (n * a.x - s) * (n * b.x - s) END) AS m3
+         |  FROM daily a CROSS JOIN spine JOIN daily b ON b.d = a.d + lag
+         |  CROSS JOIN g GROUP BY n, s, sxx)
+         |SELECT CAST(n AS BIGINT) AS n_days,
+         |  CAST(floor(1000000.0 * $r1) AS BIGINT) AS phi11_e6,
+         |  CAST(floor(1000000.0 *
+         |    (($r2 - $r1 * $r1) / (1.0 - $r1 * $r1))) AS BIGINT) AS phi22_e6,
+         |  CAST(floor(1000000.0 * (
+         |    ($r3
+         |      - ($r1 * (1.0 - (($r2 - $r1 * $r1) / (1.0 - $r1 * $r1)))) * $r2
+         |      - (($r2 - $r1 * $r1) / (1.0 - $r1 * $r1)) * $r1)
+         |    / ((1.0 - $r1 * $r1)
+         |       * (1.0 - (($r2 - $r1 * $r1) / (1.0 - $r1 * $r1))
+         |              * (($r2 - $r1 * $r1) / (1.0 - $r1 * $r1))))
+         |  )) AS BIGINT) AS phi33_e6
+         |FROM nums""".stripMargin
+    },
   )
 }

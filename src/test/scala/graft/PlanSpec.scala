@@ -1566,6 +1566,62 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("r10 calendar stats (theil_sen/huber/pacf): partial aggs, bounded non-equi joins, no global window") {
+    for ((n, q) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)](
+        ("theil_sen", Queries.theilSenQ _), ("huber", Queries.huberQ _),
+        ("pacf", Queries.pacfQ _))) {
+      val plan = formatted(q(spark, sf))
+      assert(plan.contains("partial_count") || plan.contains("partial_sum"), s"$n:\n$plan")
+      assert(globalWindow.findFirstIn(plan).isEmpty, s"$n:\n$plan")
+    }
+  }
+
+  test("r10 shortlist fusers (borda/rbo): rankings are TakeOrdered shortlists") {
+    for ((n, q) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)](
+        ("borda", Queries.bordaQ _), ("rbo", Queries.rboQ _))) {
+      val plan = formatted(q(spark, sf))
+      assert(plan.contains("TakeOrderedAndProject"), s"$n:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$n:\n$plan")
+    }
+  }
+
+  test("r10 corpus scans (readability/mattr/allen/capture_recapture): map-side combine, no window") {
+    for ((n, q) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)](
+        ("readability", Queries.readabilityQ _), ("mattr", Queries.mattrQ _),
+        ("allen", Queries.allenRelationsQ _),
+        ("capture_recapture", Queries.captureRecaptureQ _))) {
+      val plan = formatted(q(spark, sf))
+      assert(plan.contains("partial_count") || plan.contains("partial_sum")
+        || plan.contains("partial_max"), s"$n:\n$plan")
+      assert(!plan.contains("windowspecdefinition"), s"$n:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$n:\n$plan")
+    }
+  }
+
+  test("r10 err: retrieval pass broadcasts the 50-probe side, window keyed by query") {
+    val plan = formatted(Queries.errQ(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+    assert(globalWindow.findFirstIn(plan).isEmpty, plan)
+  }
+
+  test("r10 kcenter: distance passes broadcast the single-center frame") {
+    val plan = formatted(Queries.kCenterQ(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("r10 dims (tcloseness/hhi/odds_ratio/median_polish/slope_one): broadcasts + partial aggs") {
+    for ((n, q) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)](
+        ("tcloseness", Queries.tClosenessQ _), ("hhi", Queries.hhiQ _),
+        ("odds_ratio", Queries.oddsRatioQ _),
+        ("median_polish", Queries.medianPolishQ _),
+        ("slope_one", Queries.slopeOneQ _))) {
+      val plan = formatted(q(spark, sf))
+      assert(plan.contains("partial_count") || plan.contains("partial_sum"), s"$n:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$n:\n$plan")
+    }
+  }
+
   test("ivfpq_pruned: the code-table scan carries PartitionFilters on ivf_cell") {
     val plan = formatted(Queries.annIvfPqPruned(spark, sf))
     // the IVFADC layout proof: the probed-cell predicate must land as a

@@ -90,6 +90,7 @@ object WindowLint {
     "q_mixture_weights", // k-grid: EM support table (components × buckets)
     "q_textrank", // rank over the 20-row TakeOrdered survivor set (shortlist-bounded)
     "q_rbo", // rank over each 20-row TakeOrdered shortlist (shortlist-bounded)
+    "q_borda", // rank over each 50-row TakeOrdered shortlist (shortlist-bounded)
     "q_skyline" // grid-bucket-bounded skyline merge (Skyline.scala sky_bucket)
   )
 }
