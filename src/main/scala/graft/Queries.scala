@@ -11217,4 +11217,171 @@ object Queries {
                     * (($r2 - $r1 * $r1) / (1.0 - $r1 * $r1))))
         )) as bigint)""").as("phi33_e6"))
   }
+
+  /** Markov removal-effect attribution — the channel-attribution model
+    * that replaces last-touch heuristics ([[attributionQ]]) with a
+    * first-order journey chain: user journeys (truncated at first
+    * purchase) become start→…→conv/null transition counts; conversion
+    * probability from `start` is solved by 25 rounds of integer value
+    * iteration at e9 (p(s) ← Σ cnt(s,s′)·p(s′) div out(s) — truncating
+    * division, bit-identical on both engines); each channel's removal
+    * effect re-solves the chain with transitions INTO that channel
+    * redirected to null (same denominators — the standard removal
+    * semantics), and attribution shares normalize the effects. The
+    * corpus-sized work is ONE windowed scan into the state-domain²
+    * transition table (≤36 rows); the chain solve runs on the driver
+    * over that model-sized table, exactly like the BPE merge list.
+    */
+  def removalEffectQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val seq0 = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("prior_conv", sum(when(col("event_type") === "purchase", 1L)
+        .otherwise(0L)).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      // journey ends at first purchase; the empty preceding frame is NULL
+      .filter(coalesce(col("prior_conv"), lit(0L)) === 0)
+      .withColumn("st", when(col("event_type") === "purchase", lit("conv"))
+        .otherwise(col("event_type")))
+    val seq = seq0
+      .withColumn("ord", row_number().over(w))
+      .withColumn("nxt", lead(col("st"), 1).over(w))
+    val starts = seq.filter(col("ord") === 1)
+      .select(lit("start").as("src"), col("st").as("dst"))
+    val steps = seq.filter(col("st") =!= "conv")
+      .select(col("st").as("src"), coalesce(col("nxt"), lit("null")).as("dst"))
+    val trans = starts.union(steps)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+    // ---- model-sized driver solve (state domain ≤ 7) ----
+    val t = trans.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val out = t.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val states = t.map(_._1).distinct.sorted
+    def solve(excluded: Option[String]): Long = {
+      var p = states.map(_ -> 0L).toMap + ("conv" -> 1000000000L) + ("null" -> 0L)
+      for (_ <- 1 to 25) {
+        val next = states.map { s =>
+          val num = t.iterator
+            .filter(e => e._1 == s && !excluded.contains(e._2))
+            .map(e => e._3 * p(e._2)).sum
+          s -> (if (out(s) == 0L) 0L else num / out(s))
+        }.toMap
+        p = p ++ next
+      }
+      p.getOrElse("start", 0L)
+    }
+    val pFull = solve(None)
+    val pF = math.max(pFull, 1L) // degenerate no-conversion chain guard
+    val channels = states.filter(s => s != "start").sorted
+    val effects = channels.map(c => (c, pFull - solve(Some(c))))
+    val sumRe = math.max(effects.map(_._2).sum, 1L)
+    import spark.implicits._
+    effects.toSeq.map { case (c, re) =>
+      (c, pFull, pFull - re,
+        re * 1000000L / pF,
+        re * 1000000L / sumRe)
+    }.toDF("channel", "p_full_e9", "p_removed_e9", "removal_effect_e6", "attribution_e6")
+      .orderBy(col("channel"))
+  }
+
+  /** Benjamini–Hochberg multiple-testing correction over the per-type
+    * permutation tests: each event type gets the [[permutationTestQ]]
+    * treatment (|even − odd user mean-spend gap| vs 200 portable-hash
+    * pseudo-splits, +1-smoothed p at e6), then the 5-hypothesis family
+    * is corrected — Bonferroni (p·m ≤ α) and BH step-up (largest k
+    * with p₍ₖ₎·m ≤ k·α, all ranks ≤ k rejected), both in pure integer
+    * comparisons at α = 0.05. THE guard against "we ran twenty A/B
+    * readouts and one came up significant". The spine cross-join is
+    * the only data-sized pass (|user-type rows|·200 narrow map-side
+    * work); the correction runs on the type-domain-bounded p table
+    * via a bounded self-join (no singleton window).
+    */
+  def fdrBhQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(cents(col("value")).cast("long")).as("cts"))
+    val diffE3 =
+      """abs(1000 * (cast(sA as decimal(38,0)) * nB - cast(sB as decimal(38,0)) * nA)
+        |    div (cast(nA as decimal(38,0)) * nB))""".stripMargin
+    val obs = u.groupBy(col("event_type"))
+      .agg(sum(when(col("user_id") % 2 === 0, col("cts"))).as("sA"),
+        sum(when(col("user_id") % 2 === 1, col("cts"))).as("sB"),
+        sum(when(col("user_id") % 2 === 0, 1L)).as("nA"),
+        sum(when(col("user_id") % 2 === 1, 1L)).as("nB"))
+      .select(col("event_type"), expr(diffE3).as("obs_e3"))
+    val spine = spark.range(1, 201).select(col("id").as("r"))
+    val perm = u.crossJoin(broadcast(spine))
+      .select(col("event_type"), col("r"),
+        (graft.ops.TextOps.portableHash64(
+          concat(col("user_id").cast("string"), lit(":"), col("r").cast("string"))) % 2)
+          .as("g"),
+        col("cts"))
+      .groupBy(col("event_type"), col("r"))
+      .agg(sum(when(col("g") === 0, col("cts"))).as("sA"),
+        sum(when(col("g") === 1, col("cts"))).as("sB"),
+        sum(when(col("g") === 0, 1L)).as("nA"),
+        sum(when(col("g") === 1, 1L)).as("nB"))
+      .select(col("event_type"), col("r"), expr(diffE3).as("d_e3"))
+    val p = perm.join(broadcast(obs), "event_type")
+      .groupBy(col("event_type"), col("obs_e3"))
+      .agg(sum(when(col("d_e3") >= col("obs_e3"), 1L).otherwise(0L)).as("n_ge"))
+      .select(col("event_type"), col("obs_e3"), col("n_ge"),
+        expr("1000000 * (1 + n_ge) div 201").as("p_e6"))
+    val m = p.groupBy().agg(count(lit(1)).as("m"))
+    // rank p ascending via bounded self-join (ties by type name)
+    val ranked = p.as("x").join(p.select(col("event_type").as("et2"),
+        col("p_e6").as("p2")).as("y"),
+        col("y.p2") < col("x.p_e6")
+          || (col("y.p2") === col("x.p_e6") && col("y.et2") < col("x.event_type")),
+        "left")
+      .groupBy(col("x.event_type").as("event_type"), col("x.obs_e3").as("obs_e3"),
+        col("x.n_ge").as("n_ge"), col("x.p_e6").as("p_e6"))
+      .agg((count(col("y.et2")) + 1L).as("rnk"))
+      .crossJoin(broadcast(m))
+    // BH step-up: k* = max rank with p·m ≤ rank·alpha (alpha_e6 = 50000)
+    val kStar = ranked.filter(col("p_e6") * col("m") <= col("rnk") * 50000L)
+      .groupBy().agg(coalesce(max(col("rnk")), lit(0L)).as("k_star"))
+    ranked.crossJoin(broadcast(kStar))
+      .select(col("event_type"), col("obs_e3"), col("n_ge"), col("p_e6"),
+        col("rnk"), col("m"),
+        (col("p_e6") * col("m") <= 50000L).as("reject_bonferroni"),
+        (col("rnk") <= col("k_star")).as("reject_bh"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Embedding-distribution drift per label: the quantized-mean gap
+    * between split A (even vec_ids) and split B (odd) — the monitor an
+    * embedding pipeline runs between two model versions or two ingest
+    * windows before ANN indexes are rebuilt. Every element is
+    * quantized to an e6 integer FIRST, so the per-(label, dim) sums
+    * are exact order-free integers (float accumulation order never
+    * enters — the [[acfQ]] discipline applied element-wise), the
+    * per-dim mean gap is one truncating division, and the readout is
+    * Σ gap² (e12 squared-L2 of the mean shift) plus the worst dim by
+    * |gap| (deterministic argmin struct). One posexplode scan into a
+    * (label × dim)-bounded aggregate — scales in |vectors| only.
+    */
+  def embedDriftQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        floor(col("x").cast("double") * lit(1000000.0)).cast("long").as("qx"))
+    val byDim = q.groupBy(col("label"), col("dim"))
+      .agg(sum(when(col("vec_id") % 2 === 0, col("qx"))).as("sA"),
+        sum(when(col("vec_id") % 2 === 1, col("qx"))).as("sB"),
+        sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("nA"),
+        sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("nB"))
+      .select(col("label"), col("dim"), col("nA"), col("nB"),
+        expr("""(cast(sA as decimal(38,0)) * nB - cast(sB as decimal(38,0)) * nA)
+                div (cast(nA as decimal(38,0)) * nB)""").as("gap_e6"))
+    byDim.groupBy(col("label"))
+      .agg(max(col("nA")).as("n_a"), max(col("nB")).as("n_b"),
+        sum(col("gap_e6") * col("gap_e6")).as("l2_gap_e12"),
+        min(struct((-abs(col("gap_e6"))).as("na"), col("dim"))).as("worst"))
+      .select(col("label"), col("n_a"), col("n_b"), col("l2_gap_e12"),
+        col("worst.dim").cast("long").as("worst_dim"),
+        (-col("worst.na")).as("worst_gap_abs_e6"))
+      .orderBy(col("label"))
+  }
 }

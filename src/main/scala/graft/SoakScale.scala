@@ -182,7 +182,15 @@ object SoakScale {
     "q_ann_ivfpq_pruned", "q_ann_ivfpq_refine", "q_kcenter",
     "q_eccentricity", "q_scc", "q_theil_sen", "q_huber",
     "q_readability", "q_borda", "q_rbo", "q_slope_one", "q_allen",
-    "q_err")
+    "q_err",
+    // round 10, wave 3: the 4-sweep polish's fact scan, the weekday
+    // capture lists over xN fresh users, the windowed type-token
+    // tokenize pass, and the 3-lag autocovariance joins
+    "q_median_polish", "q_capture_recapture", "q_mattr", "q_pacf",
+    // round 10, wave 4: journey-window transition extraction (xN fresh
+    // users), the per-type 200-round permutation spine, and the
+    // element-quantized drift explode over the replicated embeddings
+    "q_removal_effect", "q_fdr_bh", "q_embed_drift")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

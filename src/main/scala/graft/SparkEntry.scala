@@ -416,6 +416,9 @@ object SparkEntry {
     "q_capture_recapture" -> (Queries.captureRecaptureQ _),
     "q_mattr" -> (Queries.mattrQ _),
     "q_pacf" -> (Queries.pacfQ _),
+    "q_removal_effect" -> (Queries.removalEffectQ _),
+    "q_fdr_bh" -> (Queries.fdrBhQ _),
+    "q_embed_drift" -> (Queries.embedDriftQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -8959,5 +8962,137 @@ object SparkEntry {
          |  )) AS BIGINT) AS phi33_e6
          |FROM nums""".stripMargin
     },
+
+    // Removal-effect replay: journey transitions, then 25 unrolled
+    // integer value-iteration steps per chain (full + one chain per
+    // channel with edges INTO that channel dropped — p(null) = 0 makes
+    // redirect-to-null and drop equivalent). Every step MATERIALIZED.
+    "q_removal_effect" -> {
+      val channels = Seq("click", "error", "signup", "view")
+      def chain(tag: String, excl: String): String = {
+        def step(i: Int): String =
+          s"""p$tag$i AS MATERIALIZED (
+             |  SELECT sts.s AS s,
+             |    CAST(coalesce(sum(tr.cnt * pp.p), 0) // max(outs.o) AS BIGINT) AS p
+             |  FROM sts JOIN outs ON outs.src = sts.s
+             |  LEFT JOIN tr ON tr.src = sts.s$excl
+             |  LEFT JOIN p$tag${i - 1} pp ON pp.s = tr.dst
+             |  GROUP BY sts.s
+             |  UNION ALL SELECT 'conv', CAST(1000000000 AS BIGINT)
+             |  UNION ALL SELECT 'null', CAST(0 AS BIGINT))""".stripMargin
+        s"""p${tag}0 AS (SELECT s, CAST(0 AS BIGINT) AS p FROM sts
+           |  UNION ALL SELECT 'conv', 1000000000 UNION ALL SELECT 'null', 0),
+           |${(1 to 25).map(step).mkString(",\n")}""".stripMargin
+      }
+      val chains = chain("f", "") +: channels.zipWithIndex.map { case (c, i) =>
+        chain(s"c$i", s" AND tr.dst <> '$c'")
+      }
+      val rcRows = channels.zipWithIndex.map { case (c, i) =>
+        s"SELECT '$c' AS channel, (SELECT p FROM pc${i}25 WHERE s = 'start') AS p_removed"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH ev AS (SELECT user_id, event_id, event_type,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+         |pc AS (SELECT *, sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY user_id ORDER BY us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_conv
+         |  FROM ev),
+         |seq AS (SELECT user_id, event_id, us,
+         |    CASE WHEN event_type = 'purchase' THEN 'conv' ELSE event_type END AS st
+         |  FROM pc WHERE coalesce(prior_conv, 0) = 0),
+         |sq2 AS (SELECT *,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS ord,
+         |    lead(st) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nxt
+         |  FROM seq),
+         |tr AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT 'start' AS src, st AS dst FROM sq2 WHERE ord = 1
+         |    UNION ALL
+         |    SELECT st, coalesce(nxt, 'null') FROM sq2 WHERE st <> 'conv') t
+         |  GROUP BY 1, 2),
+         |outs AS MATERIALIZED (SELECT src, CAST(sum(cnt) AS BIGINT) AS o FROM tr GROUP BY src),
+         |sts AS MATERIALIZED (SELECT DISTINCT src AS s FROM tr),
+         |${chains.mkString(",\n")},
+         |pfin AS (SELECT p AS p_full FROM pf25 WHERE s = 'start'),
+         |rc AS ($rcRows),
+         |sre AS (SELECT greatest(sum(pfin.p_full - rc.p_removed), 1) AS sre
+         |  FROM rc CROSS JOIN pfin)
+         |SELECT channel, p_full AS p_full_e9, p_removed AS p_removed_e9,
+         |  CAST((p_full - p_removed) * 1000000 // greatest(p_full, 1) AS BIGINT)
+         |    AS removal_effect_e6,
+         |  CAST((p_full - p_removed) * 1000000 // sre AS BIGINT) AS attribution_e6
+         |FROM rc CROSS JOIN pfin CROSS JOIN sre
+         |ORDER BY channel""".stripMargin
+    },
+
+    // BH replay: per-type permutation p-values (the q_permutation_test
+    // machinery keyed by event_type), bounded self-join rank, integer
+    // Bonferroni + BH step-up at alpha_e6 = 50000.
+    "q_fdr_bh" ->
+      s"""WITH u AS (SELECT event_type, user_id,
+         |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cts
+         |  FROM events GROUP BY 1, 2),
+         |o1 AS (SELECT event_type,
+         |    sum(CASE WHEN user_id % 2 = 0 THEN CAST(cts AS HUGEINT) END) AS sA,
+         |    sum(CASE WHEN user_id % 2 = 1 THEN CAST(cts AS HUGEINT) END) AS sB,
+         |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS nA,
+         |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS nB
+         |  FROM u GROUP BY event_type),
+         |obs AS (SELECT event_type,
+         |    abs(1000 * (sA * nB - sB * nA) // (nA * nB)) AS obs_e3 FROM o1),
+         |spine AS (SELECT unnest(range(1, 201)) AS r),
+         |pg AS (SELECT event_type, r, ${hSql("user_id || ':' || r")} % 2 AS g, cts
+         |  FROM u CROSS JOIN spine),
+         |ps AS (SELECT event_type, r,
+         |    sum(CASE WHEN g = 0 THEN CAST(cts AS HUGEINT) END) AS sA,
+         |    sum(CASE WHEN g = 1 THEN CAST(cts AS HUGEINT) END) AS sB,
+         |    CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS nA,
+         |    CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS nB
+         |  FROM pg GROUP BY event_type, r),
+         |d AS (SELECT event_type, r,
+         |    abs(1000 * (sA * nB - sB * nA) // (nA * nB)) AS d_e3 FROM ps),
+         |p AS (SELECT d.event_type, obs.obs_e3,
+         |    CAST(sum(CASE WHEN d_e3 >= obs_e3 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge
+         |  FROM d JOIN obs ON d.event_type = obs.event_type
+         |  GROUP BY d.event_type, obs.obs_e3),
+         |pp AS (SELECT event_type, CAST(obs_e3 AS BIGINT) AS obs_e3, n_ge,
+         |    CAST(1000000 * (1 + n_ge) // 201 AS BIGINT) AS p_e6 FROM p),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pp),
+         |ranked AS (SELECT x.event_type, x.obs_e3, x.n_ge, x.p_e6,
+         |    CAST(count(y.event_type) + 1 AS BIGINT) AS rnk
+         |  FROM pp x LEFT JOIN pp y
+         |    ON y.p_e6 < x.p_e6 OR (y.p_e6 = x.p_e6 AND y.event_type < x.event_type)
+         |  GROUP BY x.event_type, x.obs_e3, x.n_ge, x.p_e6),
+         |ks AS (SELECT coalesce(max(rnk), 0) AS k_star
+         |  FROM ranked CROSS JOIN mm WHERE p_e6 * m <= rnk * 50000)
+         |SELECT event_type, obs_e3, n_ge, p_e6, rnk, m,
+         |  p_e6 * m <= 50000 AS reject_bonferroni,
+         |  rnk <= k_star AS reject_bh
+         |FROM ranked CROSS JOIN mm CROSS JOIN ks
+         |ORDER BY event_type""".stripMargin,
+
+    // Embedding-drift replay: parallel unnest (element, dim), e6
+    // quantization BEFORE any sum, cross-multiplied mean gap, struct
+    // argmax for the worst dimension.
+    "q_embed_drift" ->
+      """WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    unnest(range(len(embedding))) AS dim,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS qx
+        |  FROM embeddings),
+        |bd AS (SELECT label, dim,
+        |    sum(CASE WHEN vec_id % 2 = 0 THEN qx END) AS sA,
+        |    sum(CASE WHEN vec_id % 2 = 1 THEN qx END) AS sB,
+        |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nA,
+        |    CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nB
+        |  FROM q GROUP BY 1, 2),
+        |g AS (SELECT label, dim, nA, nB,
+        |    (CAST(sA AS HUGEINT) * nB - CAST(sB AS HUGEINT) * nA)
+        |      // (CAST(nA AS HUGEINT) * nB) AS gap_e6
+        |  FROM bd)
+        |SELECT label, CAST(max(nA) AS BIGINT) AS n_a, CAST(max(nB) AS BIGINT) AS n_b,
+        |  CAST(sum(gap_e6 * gap_e6) AS BIGINT) AS l2_gap_e12,
+        |  CAST(min(struct_pack(na := -abs(gap_e6), dim := dim)).dim AS BIGINT)
+        |    AS worst_dim,
+        |  CAST(-min(struct_pack(na := -abs(gap_e6), dim := dim)).na AS BIGINT)
+        |    AS worst_gap_abs_e6
+        |FROM g GROUP BY label ORDER BY label""".stripMargin,
   )
 }

@@ -1622,6 +1622,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("r10 wave4 (fdr_bh/embed_drift/removal_effect): partial aggs, keyed windows only") {
+    for ((n, q) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)](
+        ("fdr_bh", Queries.fdrBhQ _), ("embed_drift", Queries.embedDriftQ _),
+        ("removal_effect", Queries.removalEffectQ _))) {
+      val plan = formatted(q(spark, sf))
+      assert(globalWindow.findFirstIn(plan).isEmpty, s"$n:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$n:\n$plan")
+    }
+  }
+
   test("ivfpq_pruned: the code-table scan carries PartitionFilters on ivf_cell") {
     val plan = formatted(Queries.annIvfPqPruned(spark, sf))
     // the IVFADC layout proof: the probed-cell predicate must land as a
