@@ -11384,4 +11384,102 @@ object Queries {
         (-col("worst.na")).as("worst_gap_abs_e6"))
       .orderBy(col("label"))
   }
+
+  /** Depth-2 CART over the [[stumpQ]] feature set: the exact-χ² best
+    * root split (argmax over both features' value supports), then the
+    * best split WITHIN each child — the first real decision tree, and
+    * the shape that shows split search parallelizes by (node, feature)
+    * with zero driver iteration: the root choice is a one-row
+    * broadcast, the child searches are the same cumulative-count
+    * window keyed by (leaf, feature). All χ² values are
+    * fraction-cleared exact integers at e6; argmaxes tiebreak by
+    * (feature, value) deterministically.
+    */
+  def tree2Q(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, sfDir).select(
+      (col("lang") === "en").as("pos"),
+      col("n_chars").as("f_chars"),
+      size(graft.ops.TextOps.words(col("text"))).cast("long").as("f_words"))
+    def long(df: DataFrame): DataFrame =
+      df.select(col("node"), lit("n_chars").as("feature"), col("f_chars").as("v"), col("pos"))
+        .union(df.select(col("node"), lit("n_words").as("feature"), col("f_words").as("v"), col("pos")))
+    def bestSplits(rows: DataFrame): DataFrame = {
+      // per (node, feature): exact-χ² argmax over the value support
+      val pv = rows.groupBy(col("node"), col("feature"), col("v"))
+        .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("p"),
+          sum(when(!col("pos"), 1L).otherwise(0L)).as("q"))
+      val w = Window.partitionBy(col("node"), col("feature")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = pv.groupBy(col("node"), col("feature"))
+        .agg(sum(col("p")).as("pt"), sum(col("q")).as("qt"))
+      pv.withColumn("a", sum(col("p")).over(w))
+        .withColumn("b", sum(col("q")).over(w))
+        .join(tot, Seq("node", "feature"))
+        .withColumn("nl", col("a") + col("b"))
+        .withColumn("nr", col("pt") + col("qt") - col("nl"))
+        // a PURE node (pt or qt = 0) cannot split — it emits no row
+        .filter(col("nr") > 0 && col("nl") > 0 && col("pt") > 0 && col("qt") > 0)
+        .withColumn("det", col("a") * col("qt") - col("b") * col("pt"))
+        .withColumn("chi2_e6", expr(
+          """(cast(det as decimal(38,0)) * det * (pt + qt) * 1000000)
+             div (pt * qt * nl * nr)"""))
+        .groupBy(col("node"))
+        .agg(min(struct((-col("chi2_e6")).as("ns"), col("feature"), col("v"),
+          col("a"), col("b"), col("pt"), col("qt"))).as("best"))
+        .select(col("node"), col("best.feature").as("feature"),
+          col("best.v").as("threshold"), (-col("best.ns")).as("chi2_e6"),
+          col("best.a").as("pos_le"), col("best.b").as("neg_le"),
+          (col("best.pt") - col("best.a")).as("pos_gt"),
+          (col("best.qt") - col("best.b")).as("neg_gt"))
+    }
+    val root = bestSplits(long(d.withColumn("node", lit("root"))))
+    val leaves = d.crossJoin(broadcast(
+        root.select(col("feature").as("rf"), col("threshold").as("rt"))))
+      .withColumn("node",
+        when(expr("case rf when 'n_chars' then f_chars else f_words end") <= col("rt"),
+          lit("leaf_le")).otherwise(lit("leaf_gt")))
+    root.unionAll(bestSplits(long(leaves))).orderBy(col("node"))
+  }
+
+  /** Off-policy evaluation (IPS / SNIPS / direct) of the "recommend
+    * each cohort its historically best action" policy: propensities
+    * and the target policy are FIT on even epoch-days, the odd days
+    * are the held-out logged feedback, and the estimators reweight
+    * matched events by the inverse empirical propensity (e6 integer
+    * weights, one truncating division per cohort — cross-cohort
+    * aggregation keeps IPS ≠ SNIPS ≠ direct). The counterfactual
+    * "what would the new policy have earned" readout every
+    * recommendation team needs before an A/B. Corpus-sized work: two
+    * (cohort, action) aggregates; everything else is cohort-bounded.
+    */
+  def ipsEvalQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select((col("user_id") % 4).as("cohort"), col("event_type").as("a"),
+        cents(col("value")).cast("long").as("r"),
+        (expr("unix_micros(ts) div 86400000000") % 2 === 0).as("fit"))
+    val fitAgg = ev.filter(col("fit"))
+      .groupBy(col("cohort"), col("a"))
+      .agg(count(lit(1)).as("cnt"), sum(col("r")).as("sr"))
+    val nFit = fitAgg.groupBy(col("cohort")).agg(sum(col("cnt")).as("n_fit"))
+    val pi = fitAgg
+      .withColumn("mean_e6", expr("sr * 1000000 div cnt"))
+      .groupBy(col("cohort"))
+      .agg(min(struct((-col("mean_e6")).as("nm"), col("a"), col("cnt"))).as("best"))
+      .select(col("cohort"), col("best.a").as("pi_a"), col("best.cnt").as("cnt_pi"))
+    val weights = pi.join(nFit, "cohort")
+      .withColumn("w_e6", expr("n_fit * 1000000 div cnt_pi"))
+    val eval0 = ev.filter(!col("fit"))
+    val nEval = eval0.groupBy().agg(count(lit(1)).as("n_eval"))
+    val matched = eval0.join(broadcast(weights), "cohort")
+      .filter(col("a") === col("pi_a"))
+      .groupBy()
+      .agg(count(lit(1)).as("n_match"), sum(col("r")).as("sum_r_cents"),
+        sum(col("r") * col("w_e6")).as("srw"), sum(col("w_e6")).as("sw"))
+    matched.crossJoin(broadcast(nEval))
+      .select(col("n_eval"), col("n_match"), col("sum_r_cents"),
+        expr("srw div (n_eval * 10000)").as("ips_cents_e2"),
+        expr("srw * 100 div sw").as("snips_cents_e2"),
+        expr("sum_r_cents * 100 div n_match").as("dm_cents_e2"))
+  }
 }

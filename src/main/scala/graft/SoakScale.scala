@@ -190,7 +190,10 @@ object SoakScale {
     // round 10, wave 4: journey-window transition extraction (xN fresh
     // users), the per-type 200-round permutation spine, and the
     // element-quantized drift explode over the replicated embeddings
-    "q_removal_effect", "q_fdr_bh", "q_embed_drift")
+    "q_removal_effect", "q_fdr_bh", "q_embed_drift",
+    // round 10, wave 5: the (node, feature) split search over the
+    // replicated corpus and the two (cohort, action) policy aggregates
+    "q_tree2", "q_ips_eval")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

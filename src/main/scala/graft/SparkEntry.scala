@@ -419,6 +419,8 @@ object SparkEntry {
     "q_removal_effect" -> (Queries.removalEffectQ _),
     "q_fdr_bh" -> (Queries.fdrBhQ _),
     "q_embed_drift" -> (Queries.embedDriftQ _),
+    "q_tree2" -> (Queries.tree2Q _),
+    "q_ips_eval" -> (Queries.ipsEvalQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -9094,5 +9096,83 @@ object SparkEntry {
         |  CAST(-min(struct_pack(na := -abs(gap_e6), dim := dim)).na AS BIGINT)
         |    AS worst_gap_abs_e6
         |FROM g GROUP BY label ORDER BY label""".stripMargin,
+
+    // Depth-2 CART replay: the stump chain generalized with a node
+    // column, run once for the root and once for the two children.
+    "q_tree2" -> {
+      def chi2 = "(CAST(a * qt - b * pt AS HUGEINT) * (a * qt - b * pt) * (pt + qt) * 1000000)" +
+        " // (pt * qt * (a + b) * (pt + qt - a - b))"
+      def bs(s: String): String =
+        s"""pv$s AS (SELECT node, feature, v,
+           |    sum(CASE WHEN pos THEN 1 ELSE 0 END) AS p,
+           |    sum(CASE WHEN pos THEN 0 ELSE 1 END) AS q
+           |  FROM lng$s GROUP BY 1, 2, 3),
+           |cum$s AS (SELECT node, feature, v,
+           |    sum(p) OVER (PARTITION BY node, feature ORDER BY v) AS a,
+           |    sum(q) OVER (PARTITION BY node, feature ORDER BY v) AS b
+           |  FROM pv$s),
+           |tot$s AS (SELECT node, feature, sum(p) AS pt, sum(q) AS qt
+           |  FROM pv$s GROUP BY 1, 2),
+           |sc$s AS (SELECT cum$s.node, cum$s.feature, v, a, b, pt, qt,
+           |    CAST($chi2 AS BIGINT) AS chi2_e6,
+           |    row_number() OVER (PARTITION BY cum$s.node
+           |      ORDER BY $chi2 DESC, cum$s.feature, v) AS rn
+           |  FROM cum$s JOIN tot$s
+           |    ON cum$s.node = tot$s.node AND cum$s.feature = tot$s.feature
+           |  WHERE pt + qt - a - b > 0 AND a + b > 0 AND pt > 0 AND qt > 0),
+           |best$s AS (SELECT node, feature, CAST(v AS BIGINT) AS threshold, chi2_e6,
+           |    CAST(a AS BIGINT) AS pos_le, CAST(b AS BIGINT) AS neg_le,
+           |    CAST(pt - a AS BIGINT) AS pos_gt, CAST(qt - b AS BIGINT) AS neg_gt
+           |  FROM sc$s WHERE rn = 1)""".stripMargin
+      s"""WITH d AS (
+         |  SELECT lang = 'en' AS pos, n_chars AS f_chars,
+         |    CAST(len(${wordsSql("text")}) AS BIGINT) AS f_words
+         |  FROM documents),
+         |lngr AS (
+         |  SELECT 'root' AS node, 'n_chars' AS feature, f_chars AS v, pos FROM d
+         |  UNION ALL SELECT 'root', 'n_words', f_words, pos FROM d),
+         |${bs("r")},
+         |rb AS (SELECT feature AS rf, threshold AS rt FROM bestr),
+         |ld AS (SELECT CASE WHEN (CASE rf WHEN 'n_chars' THEN f_chars
+         |      ELSE f_words END) <= rt THEN 'leaf_le' ELSE 'leaf_gt' END AS node,
+         |    pos, f_chars, f_words
+         |  FROM d CROSS JOIN rb),
+         |lngl AS (
+         |  SELECT node, 'n_chars' AS feature, f_chars AS v, pos FROM ld
+         |  UNION ALL SELECT node, 'n_words', f_words, pos FROM ld),
+         |${bs("l")}
+         |SELECT * FROM bestr
+         |UNION ALL SELECT * FROM bestl
+         |ORDER BY node""".stripMargin
+    },
+
+    // IPS/SNIPS replay: fit on even days, evaluate on odd, e6 inverse
+    // empirical propensities, identical truncating aggregations.
+    "q_ips_eval" ->
+      """WITH ev AS (SELECT user_id % 4 AS cohort, event_type AS a,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS r,
+        |    (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) % 2 = 0 AS fit
+        |  FROM events),
+        |fa AS (SELECT cohort, a, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(r) AS BIGINT) AS sr
+        |  FROM ev WHERE fit GROUP BY 1, 2),
+        |nf AS (SELECT cohort, CAST(sum(cnt) AS BIGINT) AS n_fit FROM fa GROUP BY cohort),
+        |pi AS (SELECT cohort, a AS pi_a, cnt AS cnt_pi FROM (
+        |    SELECT cohort, a, cnt, row_number() OVER (PARTITION BY cohort
+        |      ORDER BY sr * 1000000 // cnt DESC, a) AS rn FROM fa)
+        |  WHERE rn = 1),
+        |wts AS (SELECT pi.cohort, pi_a, n_fit * 1000000 // cnt_pi AS w_e6
+        |  FROM pi JOIN nf ON pi.cohort = nf.cohort),
+        |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_eval FROM ev WHERE NOT fit),
+        |mt AS (SELECT CAST(count(*) AS BIGINT) AS n_match,
+        |    CAST(sum(r) AS BIGINT) AS sum_r_cents,
+        |    CAST(sum(r * w_e6) AS BIGINT) AS srw, CAST(sum(w_e6) AS BIGINT) AS sw
+        |  FROM ev JOIN wts ON ev.cohort = wts.cohort
+        |  WHERE NOT fit AND a = pi_a)
+        |SELECT n_eval, n_match, sum_r_cents,
+        |  CAST(srw // (n_eval * 10000) AS BIGINT) AS ips_cents_e2,
+        |  CAST(srw * 100 // sw AS BIGINT) AS snips_cents_e2,
+        |  CAST(sum_r_cents * 100 // n_match AS BIGINT) AS dm_cents_e2
+        |FROM mt CROSS JOIN ne""".stripMargin,
   )
 }
