@@ -3498,7 +3498,7 @@ object Queries {
       .withColumn("det", col("a") * col("qt") - col("b") * col("pt"))
       .withColumn("chi2_e6", expr(
         """(cast(det as decimal(38,0)) * det * (pt + qt) * 1000000)
-           div (pt * qt * nl * nr)"""))
+           div (cast(pt as decimal(38,0)) * qt * nl * nr)"""))
       .groupBy(col("feature"), col("pt"), col("qt"))
       .agg(min(struct((-col("chi2_e6")).as("ns"), col("v"), col("a"), col("b"))).as("best"))
       .select(col("feature"), col("best.v").as("threshold"),
@@ -11423,7 +11423,7 @@ object Queries {
         .withColumn("det", col("a") * col("qt") - col("b") * col("pt"))
         .withColumn("chi2_e6", expr(
           """(cast(det as decimal(38,0)) * det * (pt + qt) * 1000000)
-             div (pt * qt * nl * nr)"""))
+             div (cast(pt as decimal(38,0)) * qt * nl * nr)"""))
         .groupBy(col("node"))
         .agg(min(struct((-col("chi2_e6")).as("ns"), col("feature"), col("v"),
           col("a"), col("b"), col("pt"), col("qt"))).as("best"))
@@ -11481,5 +11481,110 @@ object Queries {
         expr("srw div (n_eval * 10000)").as("ips_cents_e2"),
         expr("srw * 100 div sw").as("snips_cents_e2"),
         expr("sum_r_cents * 100 div n_match").as("dm_cents_e2"))
+  }
+
+  /** Disparate-impact (four-fifths rule) audit across market segments:
+    * selection = the customer placed ≥ 1 URGENT order; each segment's
+    * selection rate is compared to the most-selected segment's, and
+    * a ratio below 0.8 flags adverse impact — the standard fairness
+    * screen a model-governance review runs on any selection-like
+    * outcome. All rates and ratios are truncating e6 integers; the
+    * reference group is a 1-row broadcast max. One customer scan plus
+    * one DISTINCT over urgent orderers; output is group-domain bounded.
+    */
+  def disparateImpactQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val urgent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    val rates = Tables.customer(spark, sfDir)
+      .join(urgent.withColumn("sel", lit(1L)), Seq("c_custkey"), "left")
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"), sum(coalesce(col("sel"), lit(0L))).as("selected"))
+      .withColumn("rate_e6", expr("selected * 1000000 div n"))
+    val ref = rates.groupBy().agg(max(col("rate_e6")).as("max_rate_e6"))
+    rates.crossJoin(broadcast(ref))
+      .select(col("segment"), col("n"), col("selected"), col("rate_e6"),
+        expr("rate_e6 * 1000000 div max_rate_e6").as("di_ratio_e6"),
+        (col("rate_e6") - col("max_rate_e6")).as("parity_diff_e6"))
+      .withColumn("adverse_impact", col("di_ratio_e6") < 800000L)
+      .orderBy(col("segment"))
+  }
+
+  /** Wilcoxon signed-rank test of per-user spend between the first and
+    * second half of the observation window — the PAIRED sibling of
+    * [[mannwhitneyQ]] (same user, two periods; zero diffs dropped per
+    * the standard treatment): |diff| midranks walk the distinct-|diff|
+    * support with DOUBLED midranks (2·cum_before + cnt + 1 — exact
+    * integers, the [[effect_size]] Cliff's-delta trick), W⁺/W⁻ are
+    * conditional sums over that support, and z² uses the exact
+    * integer normal-approximation moments (E[2W⁺] = n(n+1)/2,
+    * Var[2W⁺] = n(n+1)(2n+1)/6). Corpus-sized work: one per-(user,
+    * half) aggregate; the rank walk lives on the diff-value support
+    * (the documented [[mannwhitneyQ]] singleton-window contract).
+    */
+  def wilcoxonSignedQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"),
+        cents(col("value")).cast("long").as("r"))
+    val mid = ev.groupBy().agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+    val diffs = ev.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("day") >= col("mid"), col("r")).otherwise(0L)).as("h2"),
+        sum(when(col("day") < col("mid"), col("r")).otherwise(0L)).as("h1"))
+      .select((col("h2") - col("h1")).as("d"))
+      .filter(col("d") =!= 0)
+    val support = diffs.groupBy(abs(col("d")).as("ad"))
+      .agg(sum(when(col("d") > 0, 1L).otherwise(0L)).as("pos"),
+        count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(
+        graft.functions.GraftFunctions.singleton_key(col("ad")))
+      .orderBy(col("ad")).rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = support
+      .withColumn("cumb", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .select(col("pos"), col("cnt"),
+        (lit(2L) * col("cumb") + col("cnt") + 1L).as("mr2"))
+    ranked.groupBy()
+      .agg(sum(col("cnt")).as("n_pairs"),
+        sum(col("pos") * col("mr2")).as("w2_plus"),
+        sum((col("cnt") - col("pos")) * col("mr2")).as("w2_minus"))
+      .select(col("n_pairs"), col("w2_plus"), col("w2_minus"),
+        expr("""(cast(2 * w2_plus - n_pairs * (n_pairs + 1) as decimal(38,0))
+                * (2 * w2_plus - n_pairs * (n_pairs + 1)) * 1500000)
+                div (cast(n_pairs as decimal(38,0)) * (n_pairs + 1) * (2 * n_pairs + 1))""")
+          .as("z2_e6"))
+  }
+
+  /** Cramér's V effect size for the language × source contingency
+    * table — the magnitude readout next to [[chi2IndepQ]]'s
+    * significance cells: χ² summed from the same truncating e6 cell
+    * terms (deterministic integer sum — never a float accumulation),
+    * then V = √(χ²/(n·(min(r,c)−1))) through the correctly-rounded
+    * IEEE sqrt on exact integer operands. One contingency aggregate;
+    * everything else is domain-bounded.
+    */
+  def cramersVQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.documents(spark, sfDir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+    val r = o.groupBy(col("lang")).agg(sum(col("o")).as("r"))
+    val cm = o.groupBy(col("source")).agg(sum(col("o")).as("c"))
+    val n = o.groupBy().agg(sum(col("o")).as("nn"))
+    val dims = o.agg(countDistinct(col("lang")).as("r_levels"),
+      countDistinct(col("source")).as("c_levels"))
+    val cells = broadcast(r).crossJoin(broadcast(cm)).crossJoin(broadcast(n))
+      .join(o, Seq("lang", "source"), "left")
+      .select(coalesce(col("o"), lit(0L)).as("o"), col("r"), col("c"), col("nn"))
+      .select(col("nn"),
+        expr("""cast((nn * o - r * c) as decimal(38,0))
+                * (nn * o - r * c) * 1000000
+                div cast(nn as decimal(38,0)) div (r * c)""").cast("long")
+          .as("cell_e6"))
+    cells.groupBy(col("nn")).agg(sum(col("cell_e6")).as("chi2_e6"))
+      .crossJoin(broadcast(dims))
+      .select(col("nn").as("n"), col("r_levels"), col("c_levels"), col("chi2_e6"),
+        expr("""cast(floor(1000000.0 * sqrt(cast(chi2_e6 as double)
+                / (1000000.0 * cast(nn as double)
+                   * (least(r_levels, c_levels) - 1)))) as bigint)""")
+          .as("cramers_v_e6"))
   }
 }

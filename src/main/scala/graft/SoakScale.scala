@@ -193,7 +193,11 @@ object SoakScale {
     "q_removal_effect", "q_fdr_bh", "q_embed_drift",
     // round 10, wave 5: the (node, feature) split search over the
     // replicated corpus and the two (cohort, action) policy aggregates
-    "q_tree2", "q_ips_eval")
+    "q_tree2", "q_ips_eval",
+    // round 10, wave 6: the urgent-orderer selection scan, the
+    // per-user paired-diff reduce + |diff|-support rank walk, and the
+    // contingency cells
+    "q_disparate_impact", "q_wilcoxon_signed", "q_cramers_v")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

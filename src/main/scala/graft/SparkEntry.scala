@@ -421,6 +421,9 @@ object SparkEntry {
     "q_embed_drift" -> (Queries.embedDriftQ _),
     "q_tree2" -> (Queries.tree2Q _),
     "q_ips_eval" -> (Queries.ipsEvalQ _),
+    "q_disparate_impact" -> (Queries.disparateImpactQ _),
+    "q_wilcoxon_signed" -> (Queries.wilcoxonSignedQ _),
+    "q_cramers_v" -> (Queries.cramersVQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -9174,5 +9177,79 @@ object SparkEntry {
         |  CAST(srw * 100 // sw AS BIGINT) AS snips_cents_e2,
         |  CAST(sum_r_cents * 100 // n_match AS BIGINT) AS dm_cents_e2
         |FROM mt CROSS JOIN ne""".stripMargin,
+
+    // Disparate-impact replay: per-segment urgent-order selection
+    // rates, four-fifths ratio vs the max-rate segment.
+    "q_disparate_impact" ->
+      """WITH urg AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'),
+        |rates AS (SELECT c_mktsegment AS segment,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN urg.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS selected
+        |  FROM customer LEFT JOIN urg USING (c_custkey)
+        |  GROUP BY 1),
+        |r2 AS (SELECT *, selected * 1000000 // n AS rate_e6 FROM rates),
+        |ref AS (SELECT max(rate_e6) AS max_rate_e6 FROM r2)
+        |SELECT segment, n, selected, rate_e6,
+        |  CAST(rate_e6 * 1000000 // max_rate_e6 AS BIGINT) AS di_ratio_e6,
+        |  CAST(rate_e6 - max_rate_e6 AS BIGINT) AS parity_diff_e6,
+        |  rate_e6 * 1000000 // max_rate_e6 < 800000 AS adverse_impact
+        |FROM r2 CROSS JOIN ref ORDER BY segment""".stripMargin,
+
+    // Wilcoxon signed-rank replay: per-user half-window spend diffs,
+    // doubled midranks over the distinct-|diff| support, exact
+    // integer normal-approximation z^2.
+    "q_wilcoxon_signed" ->
+      """WITH ev AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS r FROM events),
+        |mid AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM ev),
+        |diffs AS (SELECT sum(CASE WHEN day >= mid THEN r ELSE 0 END)
+        |    - sum(CASE WHEN day < mid THEN r ELSE 0 END) AS d
+        |  FROM ev CROSS JOIN mid GROUP BY user_id),
+        |dz AS (SELECT d FROM diffs WHERE d <> 0),
+        |support AS (SELECT abs(d) AS ad,
+        |    CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM dz GROUP BY abs(d)),
+        |ranked AS (SELECT pos, cnt,
+        |    2 * coalesce(sum(cnt) OVER (ORDER BY ad
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + cnt + 1 AS mr2
+        |  FROM support),
+        |agg AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_pairs,
+        |    CAST(sum(pos * mr2) AS BIGINT) AS w2_plus,
+        |    CAST(sum((cnt - pos) * mr2) AS BIGINT) AS w2_minus
+        |  FROM ranked)
+        |SELECT n_pairs, w2_plus, w2_minus,
+        |  CAST((CAST(2 * w2_plus - n_pairs * (n_pairs + 1) AS HUGEINT)
+        |    * (2 * w2_plus - n_pairs * (n_pairs + 1)) * 1500000)
+        |    // (CAST(n_pairs AS HUGEINT) * (n_pairs + 1) * (2 * n_pairs + 1))
+        |    AS BIGINT) AS z2_e6
+        |FROM agg""".stripMargin,
+
+    // Cramér's V replay: chi2 summed from the SAME truncating e6 cell
+    // terms (integer sum, no float accumulation), IEEE sqrt closeout.
+    "q_cramers_v" ->
+      """WITH o AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, sum(o) AS r FROM o GROUP BY lang),
+        |cm AS (SELECT source, sum(o) AS c FROM o GROUP BY source),
+        |n AS (SELECT sum(o) AS nn FROM o),
+        |dims AS (SELECT CAST(count(DISTINCT lang) AS BIGINT) AS r_levels,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS c_levels FROM o),
+        |cells AS (SELECT nn,
+        |    CAST((CAST(nn * coalesce(o.o, 0) - r.r * cm.c AS HUGEINT)
+        |      * (nn * coalesce(o.o, 0) - r.r * cm.c) * 1000000)
+        |      // CAST(nn AS HUGEINT) // (r.r * cm.c) AS BIGINT) AS cell_e6
+        |  FROM r CROSS JOIN cm CROSS JOIN n
+        |  LEFT JOIN o ON o.lang = r.lang AND o.source = cm.source),
+        |s AS (SELECT nn, CAST(sum(cell_e6) AS BIGINT) AS chi2_e6 FROM cells GROUP BY nn)
+        |SELECT CAST(nn AS BIGINT) AS n, r_levels, c_levels, chi2_e6,
+        |  CAST(floor(1000000.0 * sqrt(CAST(chi2_e6 AS DOUBLE)
+        |    / (1000000.0 * CAST(nn AS DOUBLE)
+        |       * (least(r_levels, c_levels) - 1)))) AS BIGINT) AS cramers_v_e6
+        |FROM s CROSS JOIN dims""".stripMargin,
   )
 }

@@ -73,6 +73,7 @@ object WindowLint {
     "q_gini_source", // source-support: one row per source (bounded enum)
     "q_dau_cume", // calendar: one row per day
     "q_mannwhitney", // documented contract: rank walk over distinct-score support
+    "q_wilcoxon_signed", // same contract: midrank walk over the distinct-|diff| support
     "q_spearman", // value-support: distinct values of bounded metrics
     "q_cusum", // calendar: one row per day
     "q_life_table", // calendar: one row per lifetime day
