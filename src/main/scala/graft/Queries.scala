@@ -11587,4 +11587,100 @@ object Queries {
                    * (least(r_levels, c_levels) - 1)))) as bigint)""")
           .as("cramers_v_e6"))
   }
+
+  /** DAU / rolling 30-day MAU / stickiness per day — the product
+    * health metric every growth dashboard leads with. The rolling
+    * distinct is NOT a window distinct (unsupported and unscalable):
+    * each (user, day) fact fans out to the ≤30 future days it keeps
+    * the user "monthly active" for (a bounded sequence explode), and
+    * MAU is then a plain per-day distinct count. Corpus-sized work:
+    * one (user, day) distinct; the fan-out factor is the fixed window
+    * length, never the data.
+    */
+  def dauMauQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val ud = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val days = ud.select(col("day")).distinct()
+    val dau = ud.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+    val mau = ud
+      .select(col("user_id"), explode(expr("sequence(day, day + 29)")).as("day"))
+      .join(days, "day") // only observed days ship
+      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("mau"))
+    dau.join(mau, "day")
+      .select(col("day"), col("dau"), col("mau"),
+        expr("dau * 1000000 div mau").as("stickiness_e6"))
+      .orderBy(col("day"))
+  }
+
+  /** Iterative proportional fitting (raking) of the language × source
+    * document table to UNIFORM target margins — the dataset-mixture
+    * rebalancing step a training-data pipeline runs when the corpus
+    * is lopsided: three rounds of alternating row/column scaling at e6
+    * (w ← w·target div margin, truncating — bit-identical on both
+    * engines), then the per-cell sampling rate w div (n·…) that a
+    * downstream hash-sampler would apply. One contingency scan; the
+    * raking runs on the bounded grid.
+    */
+  def ipfQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.documents(spark, sfDir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+    val tot = cells.groupBy().agg(sum(col("n")).as("t"),
+      countDistinct(col("lang")).as("nl"), countDistinct(col("source")).as("ns"))
+    def rowSweep(t: DataFrame): DataFrame = {
+      val rs = t.groupBy(col("lang")).agg(sum(col("w")).as("rsum"))
+      t.join(broadcast(rs), "lang")
+        .select(col("lang"), col("source"), col("n"), col("rt"), col("ct"),
+          expr("cast(w as decimal(38,0)) * rt div rsum").as("w"))
+    }
+    def colSweep(t: DataFrame): DataFrame = {
+      val cs = t.groupBy(col("source")).agg(sum(col("w")).as("csum"))
+      t.join(broadcast(cs), "source")
+        .select(col("lang"), col("source"), col("n"), col("rt"), col("ct"),
+          expr("cast(w as decimal(38,0)) * ct div csum").as("w"))
+    }
+    val start = cells.crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("n"),
+        expr("t * 1000000 div nl").as("rt"), // uniform row target, e6
+        expr("t * 1000000 div ns").as("ct"),
+        (col("n") * 1000000L).as("w"))
+    val raked = colSweep(rowSweep(colSweep(rowSweep(colSweep(rowSweep(start))))))
+    raked
+      .select(col("lang"), col("source"), col("n"), col("w").as("w_e6"),
+        expr("w div n").as("per_doc_weight_e6"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** Training-mixture sampling plan: given a token budget of HALF the
+    * corpus and a uniform per-language target, how many tokens to take
+    * from each language and at what sampling rate — with one
+    * redistribution round that reallocates the deficit from
+    * under-supplied languages to the remaining capacity (the
+    * waterfill step, truncating-proportional). THE planning query
+    * before a DSIR/hash-sample pass materializes the mixture. One
+    * tokenize scan into per-lang token totals; the plan is
+    * lang-domain bounded.
+    */
+  def mixturePlanQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val langTok = Tables.documents(spark, sfDir)
+      .select(col("lang"),
+        size(graft.ops.TextOps.words(col("text"))).cast("long").as("tok"))
+      .groupBy(col("lang")).agg(sum(col("tok")).as("avail"))
+    val tot = langTok.groupBy().agg(sum(col("avail")).as("t"),
+      count(lit(1)).as("nl"))
+    val base = langTok.crossJoin(broadcast(tot))
+      .withColumn("want", expr("(t div 2) div nl"))
+      .withColumn("take0", least(col("want"), col("avail")))
+      .withColumn("spare", col("avail") - col("take0"))
+    val agg = base.groupBy()
+      .agg(sum(col("want") - col("take0")).as("deficit"),
+        sum(col("spare")).as("spare_tot"))
+    base.crossJoin(broadcast(agg))
+      .withColumn("extra",
+        expr("case when spare_tot > 0 then least(spare, deficit * spare div spare_tot) else 0 end"))
+      .select(col("lang"), col("avail"), col("want"),
+        (col("take0") + col("extra")).as("take"),
+        expr("(take0 + extra) * 1000000 div avail").as("rate_e6"))
+      .orderBy(col("lang"))
+  }
 }

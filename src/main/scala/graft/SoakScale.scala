@@ -197,7 +197,10 @@ object SoakScale {
     // round 10, wave 6: the urgent-orderer selection scan, the
     // per-user paired-diff reduce + |diff|-support rank walk, and the
     // contingency cells
-    "q_disparate_impact", "q_wilcoxon_signed", "q_cramers_v")
+    "q_disparate_impact", "q_wilcoxon_signed", "q_cramers_v",
+    // round 10, wave 7: the 30-day fan-out distinct over xN fresh
+    // users, the contingency raking scan, the tokenize budget scan
+    "q_dau_mau", "q_ipf", "q_mixture_plan")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

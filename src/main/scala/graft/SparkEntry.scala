@@ -424,6 +424,9 @@ object SparkEntry {
     "q_disparate_impact" -> (Queries.disparateImpactQ _),
     "q_wilcoxon_signed" -> (Queries.wilcoxonSignedQ _),
     "q_cramers_v" -> (Queries.cramersVQ _),
+    "q_dau_mau" -> (Queries.dauMauQ _),
+    "q_ipf" -> (Queries.ipfQ _),
+    "q_mixture_plan" -> (Queries.mixturePlanQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -9251,5 +9254,71 @@ object SparkEntry {
         |    / (1000000.0 * CAST(nn AS DOUBLE)
         |       * (least(r_levels, c_levels) - 1)))) AS BIGINT) AS cramers_v_e6
         |FROM s CROSS JOIN dims""".stripMargin,
+
+    // DAU/MAU replay: bounded 30-day fan-out (range is end-exclusive:
+    // day .. day+29), per-day distincts, e6 stickiness.
+    "q_dau_mau" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day FROM events),
+        |days AS (SELECT DISTINCT day FROM ud),
+        |dau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |  FROM ud GROUP BY day),
+        |f AS (SELECT user_id, unnest(range(day, day + 30)) AS day FROM ud),
+        |mau AS (SELECT f.day, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+        |  FROM f JOIN days ON f.day = days.day GROUP BY f.day)
+        |SELECT dau.day AS day, dau, mau,
+        |  CAST(dau * 1000000 // mau AS BIGINT) AS stickiness_e6
+        |FROM dau JOIN mau ON dau.day = mau.day ORDER BY dau.day""".stripMargin,
+
+    // IPF replay: six unrolled alternating margin-scaling sweeps at e6
+    // with HUGEINT widening (mirrors the Spark decimal(38) widening).
+    "q_ipf" ->
+      """WITH cells AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT sum(n) AS t, count(DISTINCT lang) AS nl,
+        |    count(DISTINCT source) AS ns FROM cells),
+        |s0 AS (SELECT lang, source, n, t * 1000000 // nl AS rt,
+        |    t * 1000000 // ns AS ct, n * 1000000 AS w FROM cells CROSS JOIN tot),
+        |r1 AS (SELECT lang, sum(w) AS rsum FROM s0 GROUP BY lang),
+        |s1 AS (SELECT s0.lang, source, n, rt, ct,
+        |    CAST(w AS HUGEINT) * rt // rsum AS w FROM s0 JOIN r1 ON s0.lang = r1.lang),
+        |c1 AS (SELECT source, sum(w) AS csum FROM s1 GROUP BY source),
+        |s2 AS (SELECT lang, s1.source, n, rt, ct,
+        |    CAST(w AS HUGEINT) * ct // csum AS w FROM s1 JOIN c1 ON s1.source = c1.source),
+        |r2 AS (SELECT lang, sum(w) AS rsum FROM s2 GROUP BY lang),
+        |s3 AS (SELECT s2.lang, source, n, rt, ct,
+        |    CAST(w AS HUGEINT) * rt // rsum AS w FROM s2 JOIN r2 ON s2.lang = r2.lang),
+        |c2 AS (SELECT source, sum(w) AS csum FROM s3 GROUP BY source),
+        |s4 AS (SELECT lang, s3.source, n, rt, ct,
+        |    CAST(w AS HUGEINT) * ct // csum AS w FROM s3 JOIN c2 ON s3.source = c2.source),
+        |r3 AS (SELECT lang, sum(w) AS rsum FROM s4 GROUP BY lang),
+        |s5 AS (SELECT s4.lang, source, n, rt, ct,
+        |    CAST(w AS HUGEINT) * rt // rsum AS w FROM s4 JOIN r3 ON s4.lang = r3.lang),
+        |c3 AS (SELECT source, sum(w) AS csum FROM s5 GROUP BY source),
+        |s6 AS (SELECT lang, s5.source, n, rt, ct,
+        |    CAST(w AS HUGEINT) * ct // csum AS w FROM s5 JOIN c3 ON s5.source = c3.source)
+        |SELECT lang, source, n, CAST(w AS BIGINT) AS w_e6,
+        |  CAST(w // n AS BIGINT) AS per_doc_weight_e6
+        |FROM s6 ORDER BY lang, source""".stripMargin,
+
+    // Mixture-plan replay: per-lang token totals, half-corpus uniform
+    // targets, capped takes + one truncating-proportional waterfill.
+    "q_mixture_plan" ->
+      s"""WITH lt AS (SELECT lang,
+         |    CAST(sum(len(${wordsSql("text")})) AS BIGINT) AS avail
+         |  FROM documents GROUP BY lang),
+         |tot AS (SELECT sum(avail) AS t, CAST(count(*) AS BIGINT) AS nl FROM lt),
+         |base AS (SELECT lang, avail, (t // 2) // nl AS want,
+         |    least((t // 2) // nl, avail) AS take0
+         |  FROM lt CROSS JOIN tot),
+         |bb AS (SELECT *, avail - take0 AS spare FROM base),
+         |agg AS (SELECT sum(want - take0) AS deficit, sum(spare) AS spare_tot FROM bb)
+         |SELECT lang, avail, CAST(want AS BIGINT) AS want,
+         |  CAST(take0 + CASE WHEN spare_tot > 0
+         |    THEN least(spare, deficit * spare // spare_tot) ELSE 0 END AS BIGINT) AS take,
+         |  CAST((take0 + CASE WHEN spare_tot > 0
+         |    THEN least(spare, deficit * spare // spare_tot) ELSE 0 END)
+         |    * 1000000 // avail AS BIGINT) AS rate_e6
+         |FROM bb CROSS JOIN agg ORDER BY lang""".stripMargin,
   )
 }
