@@ -77,7 +77,15 @@ object DumpPlans {
     "q_cem" -> "CEM: causal matching as pure group-bys — ONE user reduce, per-(bin, arm) cells, 1-row ATT readout; no per-pair matching join anywhere",
     "q_single_linkage" -> "single-linkage cuts: one banded candidate pass gated at the loosest threshold; each cut is a CC over the filtered checkpointed pair table",
     "q_forecast_eval" -> "forecast backtest: ONE fold over the sorted train array carries all four model states; the holdout joins the 1-row model broadcast; MAEs partial-agg",
-    "q_vocab_tail" -> "vocab tail: map-side-combined type counts; every coverage cut is a TakeOrderedAndProject over one checkpointed top table — never a global rank window")
+    "q_vocab_tail" -> "vocab tail: map-side-combined type counts; every coverage cut is a TakeOrderedAndProject over one checkpointed top table — never a global rank window",
+    "q_ann_ivfpq_pruned" -> "IVFADC from the ivf_cell-partitioned lake layout: probed-cell PartitionFilters on the code scan (directory pruning), broadcast LUT join, partial bottom-k",
+    "q_ann_ivfpq_refine" -> "IVFADC,R: pruned ADC shortlist (k'=12) -> exact residual re-rank as a broadcast join against the |Q|*k'-row shortlist",
+    "q_burstiness" -> "per-token Fano factors map-side combine; top-30 is a TakeOrderedAndProject (r9 fix: never a vocab-sized singleton window)",
+    "q_kcenter" -> "greedy k-center: k linear passes, each a broadcast single-center distance + running least; argmax per round is TakeOrdered(1)",
+    "q_theil_sen" -> "Theil-Sen: daily aggregate scan; calendar^2-bounded pair join (BNLJ on the bounded day table); 2x-percentile integer medians",
+    "q_embed_drift" -> "embedding drift: posexplode scan into (label, dim) integer sums — e6 quantization BEFORE aggregation keeps float order out entirely",
+    "q_tree2" -> "depth-2 CART: (node, feature)-keyed cumulative split search; one-row broadcast between levels; no driver loop",
+    "q_dau_mau" -> "rolling 30-day MAU: bounded sequence fan-out + per-day distinct — never a window distinct over history")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -11683,4 +11683,125 @@ object Queries {
         expr("(take0 + extra) * 1000000 div avail").as("rate_e6"))
       .orderBy(col("lang"))
   }
+
+  /** Two-sample Cramér–von Mises statistic per language (sample A =
+    * even doc ids, B = odd, value = n_chars) — the INTEGRATED
+    * distribution-distance companion to [[ksDriftQ]]'s sup-distance:
+    * T = Σ_z (F_A(z) − F_B(z))²·(n_A n_B)/N² evaluated at every
+    * observation, computed entirely fraction-free — the CDF gap at
+    * each support value is the cross-multiplied integer
+    * d = cumA·nB − cumB·nA, and T_e6 = Σ m_v·d_v² · 10⁶ div
+    * (N²·nA·nB). Same cumulative support walk as KS (window keyed by
+    * lang over the VALUE support); d² is decimal(38)-widened so the
+    * statistic survives 10⁵-per-side samples.
+    */
+  def cvmQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pv = Tables.documents(spark, sfDir)
+      .select(col("lang"), (col("doc_id") % 2 === 0).as("a"), col("n_chars").as("v"))
+      .groupBy(col("lang"), col("v"))
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("cb"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = pv.groupBy(col("lang"))
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    pv.withColumn("fa", sum(col("ca")).over(w))
+      .withColumn("fb", sum(col("cb")).over(w))
+      .join(tot, "lang")
+      .withColumn("d", col("fa") * col("nb") - col("fb") * col("na"))
+      .groupBy(col("lang"), col("na"), col("nb"))
+      .agg(sum(expr("cast(d as decimal(38,0)) * d * (ca + cb)")).as("num"))
+      .select(col("lang"), col("na"), col("nb"),
+        expr("""cast(num * 1000000
+                div (cast(na + nb as decimal(38,0)) * (na + nb) * na * nb)
+                as bigint)""").as("cvm_e6"))
+      .orderBy(col("lang"))
+  }
+
+  /** Two-sample energy distance per language (same A/B split as
+    * [[cvmQ]]): D² = 2·E|X−Y| − E|X−X′| − E|Y−Y′|, with every pairwise
+    * absolute-difference SUM computed in closed form from ONE
+    * cumulative walk over the value support — Σᵢⱼ|xᵢ−yⱼ| =
+    * Σ_v [ca_v·(v·CB_v − SB_v) + cb_v·(v·CA_v − SA_v)] over EXCLUSIVE
+    * opposite-side cumulative counts/sums (and same-side for the
+    * within terms) — O(support), never O(n²), all exact integers.
+    * The metric-space two-sample test that catches mean AND shape
+    * shifts KS can miss; zero float anywhere until the final e6 floor.
+    */
+  def energyDistQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pv = Tables.documents(spark, sfDir)
+      .select(col("lang"), (col("doc_id") % 2 === 0).as("a"), col("n_chars").as("v"))
+      .groupBy(col("lang"), col("v"))
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("cb"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1) // EXCLUSIVE cumulative
+    val tot = pv.groupBy(col("lang"))
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    // distinct names for the cumulatives: withColumn("cA", ...) would
+    // case-insensitively OVERWRITE the ca count column
+    val cum = pv
+      .withColumn("cum_a", coalesce(sum(col("ca")).over(w), lit(0L)))
+      .withColumn("cum_b", coalesce(sum(col("cb")).over(w), lit(0L)))
+      .withColumn("sum_a", coalesce(sum(col("v") * col("ca")).over(w), lit(0L)))
+      .withColumn("sum_b", coalesce(sum(col("v") * col("cb")).over(w), lit(0L)))
+    val sums = cum.groupBy(col("lang"))
+      .agg(
+        sum(expr("cast(ca as decimal(38,0)) * (v * cum_b - sum_b) + cast(cb as decimal(38,0)) * (v * cum_a - sum_a)"))
+          .as("sxy"),
+        sum(expr("cast(ca as decimal(38,0)) * (v * cum_a - sum_a)")).as("sxx_h"),
+        sum(expr("cast(cb as decimal(38,0)) * (v * cum_b - sum_b)")).as("syy_h"))
+    sums.join(tot, "lang")
+      .select(col("lang"), col("na"), col("nb"),
+        // D^2 = 2*SXY/(na*nb) - 2*SXX_h/na^2 - 2*SYY_h/nb^2, fraction-free
+        expr("""cast((2 * sxy * na * nb - 2 * sxx_h * nb * nb - 2 * syy_h * na * na)
+                * 1000000
+                div (cast(na as decimal(38,0)) * na * nb * nb) as bigint)""")
+          .as("energy_d2_e6"))
+      .orderBy(col("lang"))
+  }
+
+  /** Vocabulary-drift monitor: the top-20 token rankings of the
+    * corpus's first and second half (by doc_id) compared with
+    * [[rboQ]]'s dyadic-exact rank-biased overlap AND plain top-20
+    * Jaccard — the "did the crawl's language shift" alarm between two
+    * ingest windows. Two TakeOrdered shortlists off one token-count
+    * scan; all agreement math on the ≤40-row union.
+    */
+  def vocabDriftQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mid = Tables.documents(spark, sfDir)
+      .groupBy().agg(expr("(min(doc_id) + max(doc_id) + 1) div 2").as("mid"))
+    val tc = Tables.documents(spark, sfDir).crossJoin(broadcast(mid))
+      .select((col("doc_id") < col("mid")).as("h1"),
+        explode(graft.ops.TextOps.words(lower(col("text")))).as("tok"))
+      .groupBy(col("h1"), col("tok")).agg(count(lit(1)).as("c"))
+    def top20(h1: Boolean, name: String): DataFrame = {
+      val short = tc.filter(col("h1") === h1)
+        .orderBy(col("c").desc, col("tok")).limit(20)
+      short.withColumn(name, row_number().over(
+        Window.partitionBy(graft.functions.GraftFunctions.singleton_key(col("tok")))
+          .orderBy(col("c").desc, col("tok"))).cast("long"))
+        .select(col("tok"), col(name))
+    }
+    val both = top20(h1 = true, "rkx").join(top20(h1 = false, "rky"), Seq("tok"), "outer")
+    val jac = both.groupBy()
+      .agg(sum(when(col("rkx").isNotNull && col("rky").isNotNull, 1L).otherwise(0L)).as("inter"),
+        count(lit(1)).as("uni"))
+    val spine = spark.range(1, 21).select(col("id").as("d"))
+    val denom = "cast(232792560 as decimal(38,0)) * 1048576"
+    val rbo = both.crossJoin(broadcast(spine))
+      .filter(col("rkx") <= col("d") && col("rky") <= col("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("a_d"))
+      .select((col("a_d").cast("decimal(38,0)") *
+        expr(s"$denom div (cast(pow(2, d) as decimal(38,0)) * d)")).as("term"))
+      .groupBy().agg(sum(col("term")).as("num"))
+      // zero-overlap halves: the depth table is empty, sum is NULL → 0
+      .select(expr(s"cast(coalesce(num, 0) * 1000000 div ($denom) as bigint)").as("rbo_e6"))
+    jac.crossJoin(broadcast(rbo))
+      .select(col("inter"), col("uni"),
+        expr("inter * 1000000 div uni").as("jaccard_e6"), col("rbo_e6"))
+  }
 }

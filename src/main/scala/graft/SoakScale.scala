@@ -200,7 +200,10 @@ object SoakScale {
     "q_disparate_impact", "q_wilcoxon_signed", "q_cramers_v",
     // round 10, wave 7: the 30-day fan-out distinct over xN fresh
     // users, the contingency raking scan, the tokenize budget scan
-    "q_dau_mau", "q_ipf", "q_mixture_plan")
+    "q_dau_mau", "q_ipf", "q_mixture_plan",
+    // round 10, wave 8: two support-walk distribution tests and the
+    // half-split token-ranking drift monitor (tokenize scans)
+    "q_cvm", "q_energy_dist", "q_vocab_drift")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

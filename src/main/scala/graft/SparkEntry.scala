@@ -427,6 +427,9 @@ object SparkEntry {
     "q_dau_mau" -> (Queries.dauMauQ _),
     "q_ipf" -> (Queries.ipfQ _),
     "q_mixture_plan" -> (Queries.mixturePlanQ _),
+    "q_cvm" -> (Queries.cvmQ _),
+    "q_energy_dist" -> (Queries.energyDistQ _),
+    "q_vocab_drift" -> (Queries.vocabDriftQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -9320,5 +9323,83 @@ object SparkEntry {
          |    THEN least(spare, deficit * spare // spare_tot) ELSE 0 END)
          |    * 1000000 // avail AS BIGINT) AS rate_e6
          |FROM bb CROSS JOIN agg ORDER BY lang""".stripMargin,
+
+    // CvM replay: the ks_drift cumulative support walk, squared
+    // cross-multiplied CDF gaps weighted by multiplicity, HUGEINT.
+    "q_cvm" ->
+      """WITH pv AS (SELECT lang, n_chars AS v,
+        |    sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS cb
+        |  FROM documents GROUP BY lang, n_chars),
+        |cum AS (SELECT lang, v, ca, cb,
+        |    sum(ca) OVER (PARTITION BY lang ORDER BY v) AS fa,
+        |    sum(cb) OVER (PARTITION BY lang ORDER BY v) AS fb
+        |  FROM pv),
+        |tot AS (SELECT lang, sum(ca) AS na, sum(cb) AS nb FROM pv GROUP BY lang),
+        |d AS (SELECT cum.lang, ca, cb, fa * nb - fb * na AS d, na, nb
+        |  FROM cum JOIN tot ON cum.lang = tot.lang)
+        |SELECT lang, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+        |  CAST(sum(CAST(d AS HUGEINT) * d * (ca + cb)) * 1000000
+        |    // (CAST(na + nb AS HUGEINT) * (na + nb) * na * nb) AS BIGINT) AS cvm_e6
+        |FROM d GROUP BY lang, na, nb ORDER BY lang""".stripMargin,
+
+    // Energy-distance replay: exclusive cumulative counts AND sums per
+    // side, closed-form pairwise |diff| sums, fraction-free D^2 at e6.
+    "q_energy_dist" ->
+      """WITH pv AS (SELECT lang, n_chars AS v,
+        |    sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS cb
+        |  FROM documents GROUP BY lang, n_chars),
+        |cum AS (SELECT lang, v, ca, cb,
+        |    coalesce(sum(ca) OVER (PARTITION BY lang ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_a,
+        |    coalesce(sum(cb) OVER (PARTITION BY lang ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_b,
+        |    coalesce(sum(v * ca) OVER (PARTITION BY lang ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sum_a,
+        |    coalesce(sum(v * cb) OVER (PARTITION BY lang ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sum_b
+        |  FROM pv),
+        |tot AS (SELECT lang, sum(ca) AS na, sum(cb) AS nb FROM pv GROUP BY lang),
+        |sums AS (SELECT lang,
+        |    sum(CAST(ca AS HUGEINT) * (v * cum_b - sum_b)
+        |      + CAST(cb AS HUGEINT) * (v * cum_a - sum_a)) AS sxy,
+        |    sum(CAST(ca AS HUGEINT) * (v * cum_a - sum_a)) AS sxx_h,
+        |    sum(CAST(cb AS HUGEINT) * (v * cum_b - sum_b)) AS syy_h
+        |  FROM cum GROUP BY lang)
+        |SELECT sums.lang AS lang, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+        |  CAST((2 * sxy * na * nb - 2 * sxx_h * nb * nb - 2 * syy_h * na * na)
+        |    * 1000000 // (CAST(na AS HUGEINT) * na * nb * nb) AS BIGINT)
+        |    AS energy_d2_e6
+        |FROM sums JOIN tot ON sums.lang = tot.lang ORDER BY sums.lang""".stripMargin,
+
+    // Vocab-drift replay: half-split token counts, two top-20
+    // rankings, Jaccard + the q_rbo dyadic overlap.
+    "q_vocab_drift" ->
+      s"""WITH mid AS (SELECT (min(doc_id) + max(doc_id) + 1) // 2 AS mid FROM documents),
+         |tc AS (SELECT doc_id < mid AS h1, unnest(${wordsSql("lower(text)")}) AS tok
+         |  FROM documents CROSS JOIN mid),
+         |cnt AS (SELECT h1, tok, CAST(count(*) AS BIGINT) AS c FROM tc GROUP BY 1, 2),
+         |rx AS (SELECT tok, rkx FROM (SELECT tok,
+         |    CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT) AS rkx
+         |  FROM cnt WHERE h1) WHERE rkx <= 20),
+         |ry AS (SELECT tok, rky FROM (SELECT tok,
+         |    CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT) AS rky
+         |  FROM cnt WHERE NOT h1) WHERE rky <= 20),
+         |both_r AS (SELECT coalesce(rx.tok, ry.tok) AS tok, rkx, rky
+         |  FROM rx FULL OUTER JOIN ry ON rx.tok = ry.tok),
+         |jac AS (SELECT CAST(sum(CASE WHEN rkx IS NOT NULL AND rky IS NOT NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS inter,
+         |    CAST(count(*) AS BIGINT) AS uni FROM both_r),
+         |spine AS (SELECT unnest(range(1, 21)) AS d),
+         |ad AS (SELECT d, CAST(count(*) AS BIGINT) AS a_d
+         |  FROM both_r CROSS JOIN spine WHERE rkx <= d AND rky <= d GROUP BY d),
+         |terms AS (SELECT CAST(a_d AS HUGEINT) *
+         |    ((CAST(232792560 AS HUGEINT) * 1048576)
+         |      // (CAST(pow(2, d) AS HUGEINT) * d)) AS term FROM ad),
+         |rbo AS (SELECT CAST(coalesce(sum(term), 0) * 1000000
+         |    // (CAST(232792560 AS HUGEINT) * 1048576) AS BIGINT) AS rbo_e6 FROM terms)
+         |SELECT inter, uni, CAST(inter * 1000000 // uni AS BIGINT) AS jaccard_e6, rbo_e6
+         |FROM jac CROSS JOIN rbo""".stripMargin,
   )
 }

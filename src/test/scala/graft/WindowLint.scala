@@ -92,6 +92,7 @@ object WindowLint {
     "q_textrank", // rank over the 20-row TakeOrdered survivor set (shortlist-bounded)
     "q_rbo", // rank over each 20-row TakeOrdered shortlist (shortlist-bounded)
     "q_borda", // rank over each 50-row TakeOrdered shortlist (shortlist-bounded)
+    "q_vocab_drift", // rank over each half's 20-row TakeOrdered shortlist
     "q_skyline" // grid-bucket-bounded skyline merge (Skyline.scala sky_bucket)
   )
 }
