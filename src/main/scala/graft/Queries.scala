@@ -11804,4 +11804,131 @@ object Queries {
       .select(col("inter"), col("uni"),
         expr("inter * 1000000 div uni").as("jaccard_e6"), col("rbo_e6"))
   }
+
+  /** kNN imputation: each probe vector's dimension 0 is treated as
+    * MISSING and predicted as the mean of its 3 nearest neighbors'
+    * (quantized) dim-0 values, with distance over the REMAINING
+    * dimensions — the standard embedding-space missing-value fill,
+    * evaluated against the held truth. Neighbor distances are
+    * e6-floored sliced squared-L2 through the partial-aggregatable
+    * bottom-k ([[Similarity.bottomKByQuery]] — never a global sort);
+    * dim-0 values quantize to e6 integers before the mean so the
+    * prediction is one exact truncating division. Probe discipline:
+    * the [[knnClassQ]] 54-probe set, broadcast against the corpus.
+    */
+  def knnImputeQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Similarity.asDouble(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"),
+        expr("slice(embedding, 2, size(embedding) - 1)").as("rest"),
+        floor(expr("element_at(embedding, 1)") * lit(1000000.0)).cast("long").as("d0_e6"))
+    val probes = e.filter(col("vec_id") % 37 === 5 && col("vec_id") < 2000)
+      .select(col("vec_id").as("probe_id"), col("rest").as("pv"),
+        col("d0_e6").as("true_e6"))
+    val d2 = greatest(
+      Similarity.dot(col("pv"), col("pv")) -
+        lit(2.0) * Similarity.dot(col("cv"), col("pv")) +
+        Similarity.dot(col("cv"), col("cv")), lit(0.0))
+    val scored = e.select(col("vec_id"), col("rest").as("cv"))
+      .crossJoin(broadcast(probes.select(col("probe_id"), col("pv"))))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        floor(d2 * lit(1000000.0)).cast("long").as("adc_e6"))
+    val top3 = Similarity.bottomKByQuery(scored, 3)
+    val pred = top3
+      .join(e.select(col("vec_id").as("neighbor_id"), col("d0_e6")), "neighbor_id")
+      .groupBy(col("query_id"))
+      .agg(expr("sum(d0_e6) div count(1)").as("pred_e6"),
+        count(lit(1)).as("k_used"))
+    probes.select(col("probe_id"), col("true_e6"))
+      .join(pred, col("probe_id") === col("query_id"))
+      .select(col("probe_id"), col("true_e6"), col("pred_e6"), col("k_used"),
+        abs(col("true_e6") - col("pred_e6")).as("abs_err_e6"))
+      .orderBy(col("probe_id"))
+  }
+
+  /** Western Electric control-chart rules over the daily event volume
+    * — the SPC pattern alarms that catch drifts a single-point 3σ
+    * gate misses: R1 |dev| > 3σ; R2 ≥2 of the last 3 beyond 2σ on one
+    * side; R3 ≥4 of the last 5 beyond 1σ on one side; R4 the last 8
+    * all on one side. Everything is EXACT: dev = n·x − S (the
+    * n-scaled deviation) and every kσ gate becomes dev² > k²·(n·Σx²
+    * − S²) — no sqrt, no float, identical truncation-free integer
+    * comparisons on both engines. The rolling rule windows ride the
+    * calendar-bounded day spine ([[cusumQ]]'s contract).
+    */
+  def weRulesQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val daily = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("x"))
+    val g = daily.groupBy().agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+      sum(expr(s"cast(x as $d38)") * col("x")).as("sxx"))
+    val base = daily.crossJoin(broadcast(g))
+      .withColumn("dev", expr(s"cast(n as $d38) * x - s"))
+      .withColumn("vv", expr(s"cast(n as $d38) * sxx - cast(s as $d38) * s"))
+      .withColumn("sgn", signum(col("dev")).cast("long"))
+      .withColumn("b3", expr("case when dev * dev > 9 * vv then sgn else 0 end"))
+      .withColumn("b2", expr("case when dev * dev > 4 * vv then sgn else 0 end"))
+      .withColumn("b1", expr("case when dev * dev > vv then sgn else 0 end"))
+    def w(back: Int) = Window.partitionBy(
+        graft.functions.GraftFunctions.singleton_key(col("d")))
+      .orderBy(col("d")).rowsBetween(-back, 0)
+    base
+      .withColumn("r1", col("b3") =!= 0)
+      .withColumn("r2",
+        sum(when(col("b2") === 1, 1L).otherwise(0L)).over(w(2)) >= 2
+          || sum(when(col("b2") === -1, 1L).otherwise(0L)).over(w(2)) >= 2)
+      .withColumn("r3",
+        sum(when(col("b1") === 1, 1L).otherwise(0L)).over(w(4)) >= 4
+          || sum(when(col("b1") === -1, 1L).otherwise(0L)).over(w(4)) >= 4)
+      .withColumn("r4", abs(sum(col("sgn")).over(w(7))) === 8
+        && count(lit(1)).over(w(7)) === 8)
+      // the WHOLE flagged chart ships (a quiet chart is still a result)
+      .select(col("d").as("day"), col("x"), col("sgn").as("side"),
+        col("r1"), col("r2"), col("r3"), col("r4"))
+      .orderBy(col("day"))
+  }
+
+  /** Simpson's-paradox detector: the pooled quantity→price OLS slope
+    * vs each market segment's own slope, flagging segments whose
+    * trend sign CONTRADICTS the pooled one — the classic aggregation
+    * trap auditor every metrics review wants automated. Slope signs
+    * come from the exact integer normal-equation numerator (the
+    * denominator is positive), so the flip flag is float-free; slopes
+    * ship at e6 for magnitude. One fact scan into per-segment
+    * sufficient statistics; the pooled row is their bounded re-sum.
+    */
+  def simpsonQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val b = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        expr("cast(round(l_quantity, 0) as long)").as("x"),
+        cents(col("l_extendedprice")).cast("long").as("y"))
+    val perSeg = b.groupBy(col("seg"))
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("x")).cast(d38).as("sx"), sum(col("y")).cast(d38).as("sy"),
+        sum(expr(s"cast(x as $d38)") * col("x")).as("sxx"),
+        sum(expr(s"cast(x as $d38)") * col("y")).as("sxy"))
+    val pooled = perSeg.groupBy()
+      .agg(sum(col("n")).as("n"), sum(col("sx")).as("sx"), sum(col("sy")).as("sy"),
+        sum(col("sxx")).as("sxx"), sum(col("sxy")).as("sxy"))
+      .select(expr("n * sxy - sx * sy").as("pnum"),
+        expr("n * sxx - sx * sx").as("pden"))
+    perSeg.crossJoin(broadcast(pooled))
+      .select(col("seg"), col("n").cast("long").as("n"),
+        expr("(n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx)")
+          .as("slope_seg_e6"),
+        expr("pnum * 1000000 div pden").as("slope_pooled_e6"),
+        expr("""cast(case when (n * sxy - sx * sy) > 0 then 1
+                when (n * sxy - sx * sy) < 0 then -1 else 0 end as bigint)""")
+          .as("sign_seg"),
+        expr("cast(case when pnum > 0 then 1 when pnum < 0 then -1 else 0 end as bigint)")
+          .as("sign_pooled"))
+      .withColumn("sign_flip",
+        col("sign_seg") =!= col("sign_pooled") && col("sign_seg") =!= 0)
+      .orderBy(col("seg"))
+  }
 }

@@ -203,7 +203,10 @@ object SoakScale {
     "q_dau_mau", "q_ipf", "q_mixture_plan",
     // round 10, wave 8: two support-walk distribution tests and the
     // half-split token-ranking drift monitor (tokenize scans)
-    "q_cvm", "q_energy_dist", "q_vocab_drift")
+    "q_cvm", "q_energy_dist", "q_vocab_drift",
+    // round 10, wave 9: the 54-probe sliced-distance scan, the
+    // day-spine SPC walk, the per-segment sufficient-stats fact scan
+    "q_knn_impute", "q_we_rules", "q_simpson")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

@@ -430,6 +430,9 @@ object SparkEntry {
     "q_cvm" -> (Queries.cvmQ _),
     "q_energy_dist" -> (Queries.energyDistQ _),
     "q_vocab_drift" -> (Queries.vocabDriftQ _),
+    "q_knn_impute" -> (Queries.knnImputeQ _),
+    "q_we_rules" -> (Queries.weRulesQ _),
+    "q_simpson" -> (Queries.simpsonQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -9401,5 +9404,92 @@ object SparkEntry {
          |    // (CAST(232792560 AS HUGEINT) * 1048576) AS BIGINT) AS rbo_e6 FROM terms)
          |SELECT inter, uni, CAST(inter * 1000000 // uni AS BIGINT) AS jaccard_e6, rbo_e6
          |FROM jac CROSS JOIN rbo""".stripMargin,
+
+    // kNN-imputation replay: dim-0 held out, sliced-distance top-3,
+    // e6-quantized neighbor mean, absolute error vs the held truth.
+    "q_knn_impute" ->
+      s"""WITH e0 AS (SELECT vec_id,
+         |    CAST(embedding[2:] AS DOUBLE[]) AS rest,
+         |    CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000.0) AS BIGINT) AS d0_e6
+         |  FROM embeddings),
+         |pr AS (SELECT vec_id AS probe_id, rest AS pv, d0_e6 AS true_e6 FROM e0
+         |  WHERE vec_id % 37 = 5 AND vec_id < 2000),
+         |sc AS (SELECT probe_id, e0.vec_id AS neighbor_id, e0.d0_e6,
+         |    CAST(floor(greatest(${dotSql("pv", "pv")}
+         |      - 2.0 * ${dotSql("e0.rest", "pv")}
+         |      + ${dotSql("e0.rest", "e0.rest")}, 0.0) * 1000000.0) AS BIGINT) AS adc_e6
+         |  FROM e0 CROSS JOIN pr WHERE e0.vec_id <> pr.probe_id),
+         |top3 AS (SELECT probe_id, d0_e6 FROM (
+         |    SELECT probe_id, d0_e6, row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY adc_e6, neighbor_id) AS rn FROM sc) t WHERE rn <= 3),
+         |pred AS (SELECT probe_id, sum(d0_e6) // count(*) AS pred_e6,
+         |    CAST(count(*) AS BIGINT) AS k_used
+         |  FROM top3 GROUP BY probe_id)
+         |SELECT pr.probe_id, pr.true_e6, CAST(pred.pred_e6 AS BIGINT) AS pred_e6,
+         |  k_used, CAST(abs(pr.true_e6 - pred.pred_e6) AS BIGINT) AS abs_err_e6
+         |FROM pr JOIN pred ON pr.probe_id = pred.probe_id
+         |ORDER BY pr.probe_id""".stripMargin,
+
+    // Western Electric replay: n-scaled deviations, squared kσ gates as
+    // exact integer comparisons, rolling rule windows on the day spine.
+    "q_we_rules" ->
+      """WITH daily AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |g AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(CAST(x AS HUGEINT)) AS s,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx FROM daily),
+        |base AS (SELECT d, x, n * x - s AS dev, n * sxx - s * s AS vv,
+        |    CAST(CASE WHEN n * x - s > 0 THEN 1 WHEN n * x - s < 0 THEN -1
+        |      ELSE 0 END AS BIGINT) AS sgn
+        |  FROM daily CROSS JOIN g),
+        |flags AS (SELECT d, x, sgn,
+        |    CASE WHEN dev * dev > 9 * vv THEN sgn ELSE 0 END AS b3,
+        |    CASE WHEN dev * dev > 4 * vv THEN sgn ELSE 0 END AS b2,
+        |    CASE WHEN dev * dev > vv THEN sgn ELSE 0 END AS b1
+        |  FROM base),
+        |rules AS (SELECT d, x, sgn,
+        |    b3 <> 0 AS r1,
+        |    sum(CASE WHEN b2 = 1 THEN 1 ELSE 0 END) OVER
+        |      (ORDER BY d ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) >= 2
+        |    OR sum(CASE WHEN b2 = -1 THEN 1 ELSE 0 END) OVER
+        |      (ORDER BY d ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) >= 2 AS r2,
+        |    sum(CASE WHEN b1 = 1 THEN 1 ELSE 0 END) OVER
+        |      (ORDER BY d ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) >= 4
+        |    OR sum(CASE WHEN b1 = -1 THEN 1 ELSE 0 END) OVER
+        |      (ORDER BY d ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) >= 4 AS r3,
+        |    abs(sum(sgn) OVER (ORDER BY d ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)) = 8
+        |    AND count(*) OVER (ORDER BY d ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) = 8
+        |      AS r4
+        |  FROM flags)
+        |SELECT d AS day, x, sgn AS side, r1, r2, r3, r4
+        |FROM rules ORDER BY day""".stripMargin,
+
+    // Simpson replay: per-segment exact sufficient stats, pooled
+    // re-sum, sign comparison on the normal-equation numerators.
+    "q_simpson" ->
+      """WITH b AS (SELECT c_mktsegment AS seg,
+        |    CAST(round(l_quantity, 0) AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey),
+        |ps AS (SELECT seg, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx, sum(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM b GROUP BY seg),
+        |pl AS (SELECT sum(n) * sum(sxy) - sum(sx) * sum(sy) AS pnum,
+        |    sum(n) * sum(sxx) - sum(sx) * sum(sx) AS pden FROM ps)
+        |SELECT seg, CAST(n AS BIGINT) AS n,
+        |  CAST((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx) AS BIGINT)
+        |    AS slope_seg_e6,
+        |  CAST(pnum * 1000000 // pden AS BIGINT) AS slope_pooled_e6,
+        |  CAST(CASE WHEN n * sxy - sx * sy > 0 THEN 1
+        |    WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END AS BIGINT) AS sign_seg,
+        |  CAST(CASE WHEN pnum > 0 THEN 1 WHEN pnum < 0 THEN -1 ELSE 0 END AS BIGINT)
+        |    AS sign_pooled,
+        |  (CASE WHEN n * sxy - sx * sy > 0 THEN 1
+        |    WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END)
+        |   <> (CASE WHEN pnum > 0 THEN 1 WHEN pnum < 0 THEN -1 ELSE 0 END)
+        |  AND (CASE WHEN n * sxy - sx * sy > 0 THEN 1
+        |    WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END) <> 0 AS sign_flip
+        |FROM ps CROSS JOIN pl ORDER BY seg""".stripMargin,
   )
 }

@@ -76,6 +76,7 @@ object WindowLint {
     "q_wilcoxon_signed", // same contract: midrank walk over the distinct-|diff| support
     "q_spearman", // value-support: distinct values of bounded metrics
     "q_cusum", // calendar: one row per day
+    "q_we_rules", // calendar: rolling rule windows over the day spine
     "q_life_table", // calendar: one row per lifetime day
     "q_auc", // score-support: distinct classifier scores (integer grid)
     "q_kruskal_wallis", // score-support rank walk
