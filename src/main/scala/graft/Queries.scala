@@ -11931,4 +11931,109 @@ object Queries {
         col("sign_seg") =!= col("sign_pooled") && col("sign_seg") =!= 0)
       .orderBy(col("seg"))
   }
+
+  /** Quadratic-kernel Maximum Mean Discrepancy per language (A = even
+    * doc ids, B = odd, value = n_chars): with k(x,y) = (xy + 1)² every
+    * pairwise kernel SUM expands into plain moments —
+    * ΣΣk(x,y) = Σx²·Σy² + 2Σx·Σy + n_A·n_B — so the biased MMD² is
+    * CLOSED FORM from one aggregate, O(1) after the scan (the moment
+    * trick that makes kernel two-sample tests feasible at corpus
+    * scale). Three truncating e6 divisions close the readout (one per
+    * term, identical on both engines — never a single overflow-prone
+    * common denominator). Completes the distribution-test family:
+    * KS (sup), CvM (integral), energy (metric), MMD (kernel).
+    */
+  def mmdQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val m = Tables.documents(spark, sfDir)
+      .select(col("lang"), (col("doc_id") % 2 === 0).as("a"), col("n_chars").as("v"))
+      .groupBy(col("lang"))
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("nb"),
+        sum(when(col("a"), col("v")).otherwise(0L)).cast(d38).as("s1a"),
+        sum(when(!col("a"), col("v")).otherwise(0L)).cast(d38).as("s1b"),
+        sum(when(col("a"), expr("cast(v as decimal(38,0)) * v")).otherwise(expr("cast(0 as decimal(38,0))"))).as("s2a"),
+        sum(when(!col("a"), expr("cast(v as decimal(38,0)) * v")).otherwise(expr("cast(0 as decimal(38,0))"))).as("s2b"))
+    m.select(col("lang"), col("na"), col("nb"),
+      expr("""(s2a * s2a + 2 * s1a * s1a + cast(na as decimal(38,0)) * na) * 1000000
+              div (cast(na as decimal(38,0)) * na)""").as("kxx_e6"),
+      expr("""(s2b * s2b + 2 * s1b * s1b + cast(nb as decimal(38,0)) * nb) * 1000000
+              div (cast(nb as decimal(38,0)) * nb)""").as("kyy_e6"),
+      expr("""(s2a * s2b + 2 * s1a * s1b + cast(na as decimal(38,0)) * nb) * 2000000
+              div (cast(na as decimal(38,0)) * nb)""").as("kxy2_e6"))
+      .withColumn("mmd2_e6", col("kxx_e6") + col("kyy_e6") - col("kxy2_e6"))
+      .orderBy(col("lang"))
+  }
+
+  /** Cochran–Armitage trend test: does the urgent-order rate rise (or
+    * fall) MONOTONICALLY across account-balance buckets — the
+    * dose-response test a plain χ² (which ignores bucket order)
+    * cannot ask. Scores = the 5 fixed-width balance buckets; the
+    * statistic is fraction-cleared end to end: N·T = N·Σw·r − R·Σw·n
+    * and z² = (N·T)²·N div (R·(N−R)·(N·Σw²n − (Σwn)²)) — exact
+    * integers widened to decimal(38). One customer scan with a
+    * broadcast urgent-orderer flag into bucket cells.
+    */
+  def trendTestQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val urgent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    val cells = Tables.customer(spark, sfDir)
+      .join(urgent.withColumn("y", lit(1L)), Seq("c_custkey"), "left")
+      .select(expr("least(greatest(cast(floor((c_acctbal + 1000) / 2200) as bigint), 0), 4)")
+        .as("w"), coalesce(col("y"), lit(0L)).as("y"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("r"))
+    cells.groupBy()
+      .agg(sum(col("n")).cast(d38).as("nn"), sum(col("r")).cast(d38).as("rr"),
+        sum(col("w") * col("n")).cast(d38).as("swn"),
+        sum(col("w") * col("r")).cast(d38).as("swr"),
+        sum(col("w") * col("w") * col("n")).cast(d38).as("sw2n"))
+      .select(col("nn").cast("long").as("n"), col("rr").cast("long").as("r"),
+        expr("(nn * swr - rr * swn)").cast("long").as("nt"),
+        expr("""case when rr > 0 and rr < nn then
+                  (nn * swr - rr * swn) * (nn * swr - rr * swn) * nn * 1000000
+                  div (rr * (nn - rr) * (nn * sw2n - swn * swn)) end""")
+          .as("z2_e6"))
+      .select(col("n"), col("r"), col("nt"),
+        expr("cast(case when nt > 0 then 1 when nt < 0 then -1 else 0 end as bigint)")
+          .as("trend_sign"), col("z2_e6"))
+  }
+
+  /** Moran's I spatial autocorrelation of part revenue over the
+    * co-purchase graph: do high-revenue parts neighbor high-revenue
+    * parts? I = n·Σ_edges z_i z_j / (W·Σz²) with z = x − ⌊mean⌋ (the
+    * truncated-mean centering keeps every term an exact integer) and
+    * unit weights over the memoized `pagerank_edges`. THE
+    * graph-signal diagnostic (feature homophily) a GNN/feature team
+    * runs before trusting neighborhood aggregation. One revenue
+    * aggregate + two part-keyed joins of the edge list; the moments
+    * are map-side-combinable.
+    */
+  def moranQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val x = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey").as("node"))
+      .agg(sum(cents(col("l_extendedprice")).cast("long")).as("x"))
+    val mean = x.groupBy().agg(expr("sum(x) div count(1)").as("mu"),
+      count(lit(1)).as("n"))
+    val z = x.crossJoin(broadcast(mean))
+      .select(col("node"), (col("x") - col("mu")).as("z"), col("n"))
+    val e = partAdjacencyEdges(spark, sfDir)
+      .filter(col("src") =!= col("dst")).select(col("src"), col("dst"))
+    val num = e
+      .join(z.select(col("node").as("src"), col("z").as("zi")), "src")
+      .join(z.select(col("node").as("dst"), col("z").as("zj")), "dst")
+      .groupBy()
+      .agg(sum(expr(s"cast(zi as $d38) * zj")).as("szz"), count(lit(1)).as("w"))
+    val den = z.groupBy()
+      .agg(sum(expr(s"cast(z as $d38) * z")).as("sz2"), max(col("n")).as("n"))
+    num.crossJoin(broadcast(den))
+      .select(col("n"), col("w").as("w_edges"),
+        expr("cast(n as decimal(38,0)) * szz * 1000000 div (cast(w as decimal(38,0)) * sz2)")
+          .as("moran_i_e6"),
+        // the null expectation E[I] = -1/(n-1) at e6, for the readout
+        expr("-1000000 div (n - 1)").as("e_i_e6"))
+  }
 }

@@ -206,7 +206,10 @@ object SoakScale {
     "q_cvm", "q_energy_dist", "q_vocab_drift",
     // round 10, wave 9: the 54-probe sliced-distance scan, the
     // day-spine SPC walk, the per-segment sufficient-stats fact scan
-    "q_knn_impute", "q_we_rules", "q_simpson")
+    "q_knn_impute", "q_we_rules", "q_simpson",
+    // round 10, wave 10: the moment scan, the bucket-cell scan, and
+    // Moran's two part-keyed edge joins over the 10x co-purchase graph
+    "q_mmd", "q_trend_test", "q_moran")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

@@ -433,6 +433,9 @@ object SparkEntry {
     "q_knn_impute" -> (Queries.knnImputeQ _),
     "q_we_rules" -> (Queries.weRulesQ _),
     "q_simpson" -> (Queries.simpsonQ _),
+    "q_mmd" -> (Queries.mmdQ _),
+    "q_trend_test" -> (Queries.trendTestQ _),
+    "q_moran" -> (Queries.moranQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -9491,5 +9494,74 @@ object SparkEntry {
         |  AND (CASE WHEN n * sxy - sx * sy > 0 THEN 1
         |    WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END) <> 0 AS sign_flip
         |FROM ps CROSS JOIN pl ORDER BY seg""".stripMargin,
+
+    // MMD replay: quadratic-kernel pair sums from moments, three
+    // truncating e6 term divisions (never one common denominator).
+    "q_mmd" ->
+      """WITH m AS (SELECT lang,
+        |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS nb,
+        |    sum(CASE WHEN doc_id % 2 = 0 THEN CAST(n_chars AS HUGEINT) ELSE 0 END) AS s1a,
+        |    sum(CASE WHEN doc_id % 2 = 0 THEN CAST(0 AS HUGEINT) ELSE n_chars END) AS s1b,
+        |    sum(CASE WHEN doc_id % 2 = 0 THEN CAST(n_chars AS HUGEINT) * n_chars ELSE 0 END) AS s2a,
+        |    sum(CASE WHEN doc_id % 2 = 0 THEN CAST(0 AS HUGEINT) ELSE CAST(n_chars AS HUGEINT) * n_chars END) AS s2b
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT lang, na, nb,
+        |    CAST((s2a * s2a + 2 * s1a * s1a + CAST(na AS HUGEINT) * na) * 1000000
+        |      // (CAST(na AS HUGEINT) * na) AS BIGINT) AS kxx_e6,
+        |    CAST((s2b * s2b + 2 * s1b * s1b + CAST(nb AS HUGEINT) * nb) * 1000000
+        |      // (CAST(nb AS HUGEINT) * nb) AS BIGINT) AS kyy_e6,
+        |    CAST((s2a * s2b + 2 * s1a * s1b + CAST(na AS HUGEINT) * nb) * 2000000
+        |      // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS kxy2_e6
+        |  FROM m)
+        |SELECT lang, na, nb, kxx_e6, kyy_e6, kxy2_e6,
+        |  kxx_e6 + kyy_e6 - kxy2_e6 AS mmd2_e6
+        |FROM t ORDER BY lang""".stripMargin,
+
+    // Cochran-Armitage replay: bucket cells, fraction-cleared N*T and
+    // z^2 in one exact HUGEINT expression.
+    "q_trend_test" ->
+      """WITH urg AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'),
+        |cells AS (SELECT
+        |    least(greatest(CAST(floor((c_acctbal + 1000) / 2200) AS BIGINT), 0), 4) AS w,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN urg.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS r
+        |  FROM customer LEFT JOIN urg USING (c_custkey) GROUP BY 1),
+        |g AS (SELECT CAST(sum(n) AS HUGEINT) AS nn, CAST(sum(r) AS HUGEINT) AS rr,
+        |    CAST(sum(w * n) AS HUGEINT) AS swn, CAST(sum(w * r) AS HUGEINT) AS swr,
+        |    CAST(sum(w * w * n) AS HUGEINT) AS sw2n
+        |  FROM cells)
+        |SELECT CAST(nn AS BIGINT) AS n, CAST(rr AS BIGINT) AS r,
+        |  CAST(nn * swr - rr * swn AS BIGINT) AS nt,
+        |  CAST(CASE WHEN nn * swr - rr * swn > 0 THEN 1
+        |    WHEN nn * swr - rr * swn < 0 THEN -1 ELSE 0 END AS BIGINT) AS trend_sign,
+        |  CAST(CASE WHEN rr > 0 AND rr < nn THEN
+        |    (nn * swr - rr * swn) * (nn * swr - rr * swn) * nn * 1000000
+        |    // (rr * (nn - rr) * (nn * sw2n - swn * swn)) END AS BIGINT) AS z2_e6
+        |FROM g""".stripMargin,
+
+    // Moran's I replay: part revenue, truncated-mean centering, edge
+    // cross-products over the lead-pair co-purchase edges.
+    "q_moran" ->
+      """WITH x AS (SELECT l_partkey AS node,
+        |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS x
+        |  FROM lineitem GROUP BY 1),
+        |mn AS (SELECT sum(x) // count(*) AS mu, CAST(count(*) AS BIGINT) AS n FROM x),
+        |z AS (SELECT node, CAST(x - mu AS BIGINT) AS z, n FROM x CROSS JOIN mn),
+        |bp AS (SELECT l_partkey AS src,
+        |    lead(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
+        |  FROM lineitem),
+        |e AS (SELECT src, dst FROM (SELECT src, dst, count(*) AS c FROM bp
+        |  WHERE dst IS NOT NULL GROUP BY 1, 2) t WHERE src <> dst),
+        |num AS (SELECT sum(CAST(zi.z AS HUGEINT) * zj.z) AS szz,
+        |    CAST(count(*) AS BIGINT) AS w
+        |  FROM e JOIN z zi ON e.src = zi.node JOIN z zj ON e.dst = zj.node),
+        |den AS (SELECT sum(CAST(z AS HUGEINT) * z) AS sz2, max(n) AS n FROM z)
+        |SELECT CAST(n AS BIGINT) AS n, w AS w_edges,
+        |  CAST(CAST(n AS HUGEINT) * szz * 1000000
+        |    // (CAST(w AS HUGEINT) * sz2) AS BIGINT) AS moran_i_e6,
+        |  CAST(-1000000 // (n - 1) AS BIGINT) AS e_i_e6
+        |FROM num CROSS JOIN den""".stripMargin,
   )
 }
