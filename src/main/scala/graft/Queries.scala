@@ -12036,4 +12036,128 @@ object Queries {
         // the null expectation E[I] = -1/(n-1) at e6, for the readout
         expr("-1000000 div (n - 1)").as("e_i_e6"))
   }
+
+  /** Restricted mean survival time at τ = 14 days — the
+    * interpretable "expected active days in the first two weeks"
+    * readout on top of [[kaplanMeierQ]]'s curve (the estimand
+    * regulators now ask for instead of hazard ratios): the same
+    * per-lifetime churn/censor fold advances the exact truncating KM
+    * survival AND accumulates S·Δt up to τ in one pass, plus the tail
+    * rectangle to τ. Identical integer recurrence on both engines;
+    * the only data-sized work is the per-user min/max aggregate.
+    */
+  def rmstQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val tau = 14L
+    val u = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy(col("user_id")).agg(min(col("d")).as("f"), max(col("d")).as("l"))
+    val md = u.groupBy().agg(max(col("l")).as("maxd"))
+    val byT = u.crossJoin(broadcast(md))
+      .select((col("l") - col("f")).as("t"),
+        (col("l") >= col("maxd") - 2).as("cens"))
+      .groupBy(col("t"))
+      .agg(sum(when(!col("cens"), 1L).otherwise(0L)).as("dd"),
+        sum(when(col("cens"), 1L).otherwise(0L)).as("cc"))
+    byT.groupBy()
+      .agg(sort_array(collect_list(struct(col("t"), col("dd"), col("cc"))))
+        .as("arr"))
+      .select(col("arr"),
+        expr("aggregate(arr, 0L, (a, e) -> a + e.dd + e.cc)").as("total"))
+      .select(col("total").as("n_users"), expr(
+        s"""aggregate(arr,
+           |  named_struct('n', total, 's', 1000000L, 'pt', 0L, 'rmst', 0L),
+           |  (acc, e) -> named_struct(
+           |    'n', acc.n - e.dd - e.cc,
+           |    's', acc.s * (acc.n - e.dd) div acc.n,
+           |    'pt', e.t,
+           |    'rmst', acc.rmst + acc.s *
+           |      (least(e.t, ${tau}L) - least(acc.pt, ${tau}L))),
+           |  acc -> acc.rmst + acc.s * (${tau}L - least(acc.pt, ${tau}L)))
+           |""".stripMargin).as("rmst_days_e6"))
+      .withColumn("tau_days", lit(tau))
+  }
+
+  /** Post-stratified treatment-effect estimate: BUILDING-segment
+    * membership as the "treatment", ≥1 urgent order as the outcome,
+    * region as the stratifier — the crude rate difference vs the
+    * stratum-weighted one (Σ n_s·Δ_s / N), the first confounding
+    * adjustment any experiment readout should show next to the raw
+    * gap. Per-stratum gaps are fraction-free cross-multiplied
+    * integers; the weighting is one more truncating division. One
+    * customer scan into region × arm cells; everything after is
+    * stratum-bounded.
+    */
+  def postStratQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val urgent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    val cells = Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
+      .join(urgent.withColumn("y", lit(1L)), Seq("c_custkey"), "left")
+      .groupBy(col("n_regionkey").as("region"),
+        (col("c_mktsegment") === "BUILDING").as("treat"))
+      .agg(count(lit(1)).as("n"), sum(coalesce(col("y"), lit(0L))).as("r"))
+    val strata = cells.groupBy(col("region"))
+      .agg(sum(when(col("treat"), col("n")).otherwise(0L)).as("nt"),
+        sum(when(col("treat"), col("r")).otherwise(0L)).as("rt"),
+        sum(when(!col("treat"), col("n")).otherwise(0L)).as("nc"),
+        sum(when(!col("treat"), col("r")).otherwise(0L)).as("rc"))
+      .withColumn("n_s", col("nt") + col("nc"))
+      .withColumn("diff_e6", expr("(rt * nc - rc * nt) * 1000000 div (nt * nc)"))
+    val overall = strata.groupBy()
+      .agg(sum(col("n_s")).as("nn"),
+        sum(col("nt")).as("ntt"), sum(col("rt")).as("rtt"),
+        sum(col("nc")).as("ncc"), sum(col("rc")).as("rcc"),
+        sum(col("n_s") * col("diff_e6")).as("wsum"))
+      .select(
+        expr("(rtt * ncc - rcc * ntt) * 1000000 div (ntt * ncc)").as("crude_e6"),
+        expr("wsum div nn").as("post_strat_e6"))
+    strata.crossJoin(broadcast(overall))
+      .select(col("region"), col("n_s"), col("nt"), col("nc"),
+        expr("rt * 1000000 div nt").as("p_treat_e6"),
+        expr("rc * 1000000 div nc").as("p_ctrl_e6"),
+        col("diff_e6"), col("crude_e6"), col("post_strat_e6"))
+      .orderBy(col("region"))
+  }
+
+  /** Leave-one-region-out jackknife of the revenue-per-order ratio —
+    * the variance diagnostic for RATIO estimators (where a naive
+    * per-row variance is wrong): each stratum's deletion estimate
+    * θ₍ᵢ₎ = (R−Rᵢ)/(O−Oᵢ) at e6, the jackknife variance
+    * (g−1)/g·Σ(θ₍ᵢ₎−θ̄)² at e12, and each region's influence
+    * (θ₍ᵢ₎ − θ̂) — which stratum moves the metric. All from the
+    * region-bounded (revenue, orders) table; truncating divisions
+    * identical on both engines. One fact scan.
+    */
+  def jackknifeRatioQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val byRegion = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_regionkey").as("region"))
+      .agg(sum(cents(col("l_extendedprice")).cast("long")).as("rev"),
+        countDistinct(col("o_orderkey")).as("ords"))
+    val tot = byRegion.groupBy()
+      .agg(sum(col("rev")).as("tr"), sum(col("ords")).as("to"),
+        count(lit(1)).as("g"))
+    val loo = byRegion.crossJoin(broadcast(tot))
+      .withColumn("theta_loo_e6", expr("(tr - rev) * 1000000 div (to - ords)"))
+      .withColumn("theta_e6", expr("tr * 1000000 div to"))
+    val jack = loo.groupBy()
+      .agg(expr("sum(theta_loo_e6) div count(1)").as("tbar_e6"))
+    val se = loo.crossJoin(broadcast(jack))
+      .groupBy(col("g"), col("theta_e6"), col("tbar_e6"))
+      .agg(sum(expr("""cast(theta_loo_e6 - tbar_e6 as decimal(38,0))
+          * (theta_loo_e6 - tbar_e6)""")).as("ss"))
+      // the e12 variance can exceed int64 — the (g−1)/g scaling and the
+      // sqrt both run in IEEE double over the exact decimal ss
+      .select(col("g").as("n_strata"), col("theta_e6"), col("tbar_e6"),
+        expr("cast(floor(sqrt(cast(ss as double) * (g - 1) / g)) as bigint)")
+          .as("jk_se_e6"))
+    se.crossJoin(broadcast(loo.select(col("region"), col("theta_loo_e6"))))
+      .withColumn("influence_e6", col("theta_loo_e6") - col("theta_e6"))
+      .select(col("region"), col("n_strata"), col("theta_e6"),
+        col("theta_loo_e6"), col("influence_e6"), col("jk_se_e6"))
+      .orderBy(col("region"))
+  }
 }

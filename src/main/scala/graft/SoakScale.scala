@@ -209,7 +209,10 @@ object SoakScale {
     "q_knn_impute", "q_we_rules", "q_simpson",
     // round 10, wave 10: the moment scan, the bucket-cell scan, and
     // Moran's two part-keyed edge joins over the 10x co-purchase graph
-    "q_mmd", "q_trend_test", "q_moran")
+    "q_mmd", "q_trend_test", "q_moran",
+    // round 10, wave 11: the per-user lifetime reduce under the RMST
+    // fold, and two customer/fact scans into stratum-bounded tables
+    "q_rmst", "q_post_strat", "q_jackknife_ratio")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

@@ -436,6 +436,9 @@ object SparkEntry {
     "q_mmd" -> (Queries.mmdQ _),
     "q_trend_test" -> (Queries.trendTestQ _),
     "q_moran" -> (Queries.moranQ _),
+    "q_rmst" -> (Queries.rmstQ _),
+    "q_post_strat" -> (Queries.postStratQ _),
+    "q_jackknife_ratio" -> (Queries.jackknifeRatioQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -9563,5 +9566,99 @@ object SparkEntry {
         |    // (CAST(w AS HUGEINT) * sz2) AS BIGINT) AS moran_i_e6,
         |  CAST(-1000000 // (n - 1) AS BIGINT) AS e_i_e6
         |FROM num CROSS JOIN den""".stripMargin,
+
+    // RMST replay: the KM recursive CTE extended with (prev t, running
+    // S·Δt) accumulators, tail rectangle to τ = 14.
+    "q_rmst" ->
+      """WITH RECURSIVE u AS (
+        |  SELECT user_id,
+        |    min(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS f,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS l
+        |  FROM events GROUP BY user_id),
+        |md AS (SELECT max(l) AS maxd FROM u),
+        |byt AS (SELECT l - f AS t,
+        |    CAST(sum(CASE WHEN l >= maxd - 2 THEN 0 ELSE 1 END) AS BIGINT) AS dd,
+        |    CAST(sum(CASE WHEN l >= maxd - 2 THEN 1 ELSE 0 END) AS BIGINT) AS cc
+        |  FROM u, md GROUP BY 1),
+        |d2 AS (SELECT t, dd, cc, row_number() OVER (ORDER BY t) AS rn FROM byt),
+        |tot AS (SELECT CAST(sum(dd + cc) AS BIGINT) AS total FROM byt),
+        |r AS (
+        |  SELECT rn, t, dd, cc, total AS n_prev,
+        |    1000000 * (total - dd) // total AS s,
+        |    1000000 * least(t, 14) AS rmst
+        |  FROM d2, tot WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d2.rn, d2.t, d2.dd, d2.cc,
+        |    r.n_prev - r.dd - r.cc,
+        |    r.s * (r.n_prev - r.dd - r.cc - d2.dd) // (r.n_prev - r.dd - r.cc),
+        |    r.rmst + r.s * (least(d2.t, 14) - least(r.t, 14))
+        |  FROM r JOIN d2 ON d2.rn = r.rn + 1)
+        |SELECT total AS n_users,
+        |  CAST(rmst + s * (14 - least(t, 14)) AS BIGINT) AS rmst_days_e6,
+        |  CAST(14 AS BIGINT) AS tau_days
+        |FROM r, tot WHERE rn = (SELECT max(rn) FROM d2)""".stripMargin,
+
+    // Post-stratification replay: region x arm cells, cross-multiplied
+    // stratum gaps, n_s-weighted combination vs the crude difference.
+    "q_post_strat" ->
+      """WITH urg AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'),
+        |cells AS (SELECT n_regionkey AS region,
+        |    c_mktsegment = 'BUILDING' AS treat,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN urg.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS r
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  LEFT JOIN urg USING (c_custkey)
+        |  GROUP BY 1, 2),
+        |strata AS (SELECT region,
+        |    sum(CASE WHEN treat THEN n ELSE 0 END) AS nt,
+        |    sum(CASE WHEN treat THEN r ELSE 0 END) AS rt,
+        |    sum(CASE WHEN NOT treat THEN n ELSE 0 END) AS nc,
+        |    sum(CASE WHEN NOT treat THEN r ELSE 0 END) AS rc
+        |  FROM cells GROUP BY region),
+        |s2 AS (SELECT *, nt + nc AS n_s,
+        |    (rt * nc - rc * nt) * 1000000 // (nt * nc) AS diff_e6 FROM strata),
+        |ov AS (SELECT
+        |    (sum(rt) * sum(nc) - sum(rc) * sum(nt)) * 1000000
+        |      // (sum(nt) * sum(nc)) AS crude_e6,
+        |    sum(n_s * diff_e6) // sum(n_s) AS post_strat_e6
+        |  FROM s2)
+        |SELECT region, CAST(n_s AS BIGINT) AS n_s, CAST(nt AS BIGINT) AS nt,
+        |  CAST(nc AS BIGINT) AS nc,
+        |  CAST(rt * 1000000 // nt AS BIGINT) AS p_treat_e6,
+        |  CAST(rc * 1000000 // nc AS BIGINT) AS p_ctrl_e6,
+        |  CAST(diff_e6 AS BIGINT) AS diff_e6,
+        |  CAST(crude_e6 AS BIGINT) AS crude_e6,
+        |  CAST(post_strat_e6 AS BIGINT) AS post_strat_e6
+        |FROM s2 CROSS JOIN ov ORDER BY region""".stripMargin,
+
+    // Jackknife-ratio replay: leave-one-region-out deletion estimates,
+    // HUGEINT sum of squared deviations, (g-1)/g variance.
+    "q_jackknife_ratio" ->
+      """WITH br AS (SELECT n_regionkey AS region,
+        |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev,
+        |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS ords
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1),
+        |tot AS (SELECT sum(rev) AS tr, sum(ords) AS tor,
+        |    CAST(count(*) AS BIGINT) AS g FROM br),
+        |loo AS (SELECT region, g,
+        |    (tr - rev) * 1000000 // (tor - ords) AS theta_loo_e6,
+        |    tr * 1000000 // tor AS theta_e6
+        |  FROM br CROSS JOIN tot),
+        |jk AS (SELECT sum(theta_loo_e6) // count(*) AS tbar_e6 FROM loo),
+        |v AS (SELECT loo.g AS n_strata, theta_e6, tbar_e6,
+        |    CAST(floor(sqrt(CAST(sum(CAST(theta_loo_e6 - tbar_e6 AS HUGEINT)
+        |        * (theta_loo_e6 - tbar_e6)) AS DOUBLE)
+        |      * (loo.g - 1) / loo.g)) AS BIGINT) AS jk_se_e6
+        |  FROM loo CROSS JOIN jk
+        |  GROUP BY loo.g, theta_e6, tbar_e6)
+        |SELECT loo.region, v.n_strata, CAST(v.theta_e6 AS BIGINT) AS theta_e6,
+        |  CAST(loo.theta_loo_e6 AS BIGINT) AS theta_loo_e6,
+        |  CAST(loo.theta_loo_e6 - v.theta_e6 AS BIGINT) AS influence_e6,
+        |  v.jk_se_e6
+        |FROM v CROSS JOIN loo ORDER BY loo.region""".stripMargin,
   )
 }
