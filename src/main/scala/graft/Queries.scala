@@ -12160,4 +12160,122 @@ object Queries {
         col("theta_loo_e6"), col("influence_e6"), col("jk_se_e6"))
       .orderBy(col("region"))
   }
+
+  /** Population Stability Index of the event-value distribution between
+    * the first and second half of the observation window — THE standard
+    * score/feature drift gate in model monitoring (PSI < 0.1 stable,
+    * > 0.25 shifted). Bins are fixed log-width buckets of exact cents
+    * (floor(2·ln(1+cents)) — never on an exact boundary since e^{k/2}
+    * is irrational), Laplace-smoothed (+1 over the observed-bin
+    * scaffold) so empty bins can't blow up the log. Each bin's
+    * (p₂−p₁)·ln(p₂/p₁) contribution is e9-floored from exact integer
+    * counts before summing, the [[jsDivQ]] determinism discipline.
+    * Two bounded groupBys on the bin key; output is bin-support-sized.
+    */
+  def psiQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val half = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("d"),
+        cents(col("value")).cast("long").as("vc"))
+    val mid = half.groupBy()
+      .agg(expr("(min(d) + max(d) + 1) div 2").as("mid"))
+    val binned = half.crossJoin(broadcast(mid))
+      .select((col("d") >= col("mid")).as("cur"),
+        floor(log(col("vc") + lit(1.0)) * 2.0).cast("long").as("bin"))
+    val cells = binned.groupBy(col("bin"))
+      .agg(sum(when(!col("cur"), 1L).otherwise(0L)).as("c_base"),
+        sum(when(col("cur"), 1L).otherwise(0L)).as("c_cur"))
+    val tot = cells.groupBy()
+      .agg(sum(col("c_base")).as("nb"), sum(col("c_cur")).as("nc"),
+        count(lit(1)).as("b"))
+    val terms = cells.crossJoin(broadcast(tot))
+      .withColumn("p_base_e6", expr("(c_base + 1) * 1000000 div (nb + b)"))
+      .withColumn("p_cur_e6", expr("(c_cur + 1) * 1000000 div (nc + b)"))
+      .withColumn("term_e9", floor(
+        ((col("c_cur") + 1) / (col("nc") + col("b"))
+          - (col("c_base") + 1) / (col("nb") + col("b")))
+          * log(((col("c_cur") + 1).cast("double") * (col("nb") + col("b")))
+            / ((col("c_base") + 1).cast("double") * (col("nc") + col("b"))))
+          * 1000000000.0 + 0.5).cast("long"))
+    val psi = terms.groupBy().agg(sum(col("term_e9")).as("psi_e9"))
+    terms.crossJoin(broadcast(psi))
+      .select(col("bin"), col("c_base"), col("c_cur"),
+        col("p_base_e6"), col("p_cur_e6"), col("term_e9"), col("psi_e9"))
+      .orderBy(col("bin"))
+  }
+
+  /** Mutual information between event type and day-of-week — the
+    * model-free dependence screen (feature selection's cousin of
+    * [[chi2IndepQ]]): MI = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) over the
+    * 5×7 contingency, plus the entropy-normalized NMI =
+    * MI/√(H_x·H_y) so the score is comparable across tables. The
+    * margin-cross scaffold ships zero cells (their MI term is 0 by
+    * the 0·ln0 convention); every per-cell term is one double
+    * expression over exact integers, e9-floored before the sum. One
+    * fact scan, all aggregates value-support-bounded (types × 7 days).
+    */
+  def mutualInfoQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000 % 7").as("dow"))
+      .groupBy(col("event_type"), col("dow")).agg(count(lit(1)).as("o"))
+    val rm = cells.groupBy(col("event_type")).agg(sum(col("o")).as("r"))
+    val cm = cells.groupBy(col("dow")).agg(sum(col("o")).as("c"))
+    val tot = cells.groupBy().agg(sum(col("o")).as("nn"))
+    val grid = rm.crossJoin(cm).crossJoin(broadcast(tot))
+      .join(cells, Seq("event_type", "dow"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .withColumn("term_e9", when(col("o") === 0, 0L).otherwise(floor(
+        (col("o") / col("nn"))
+          * log((col("o").cast("double") * col("nn"))
+            / (col("r").cast("double") * col("c")))
+          * 1000000000.0 + 0.5).cast("long")))
+    val hx = rm.crossJoin(broadcast(tot)).groupBy()
+      .agg(sum(floor((col("r") / col("nn")) * log(col("nn") / col("r"))
+        * 1000000000.0 + 0.5).cast("long")).as("hx_e9"))
+    val hy = cm.crossJoin(broadcast(tot)).groupBy()
+      .agg(sum(floor((col("c") / col("nn")) * log(col("nn") / col("c"))
+        * 1000000000.0 + 0.5).cast("long")).as("hy_e9"))
+    val mi = grid.groupBy().agg(sum(col("term_e9")).as("mi_e9"))
+      .crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+      .select(col("mi_e9"), col("hx_e9"), col("hy_e9"),
+        floor(col("mi_e9") / sqrt(col("hx_e9").cast("double") * col("hy_e9"))
+          * 1000000.0 + 0.5).cast("long").as("nmi_e6"))
+    grid.crossJoin(broadcast(mi))
+      .select(col("event_type"), col("dow"), col("o"), col("r"), col("c"),
+        col("term_e9"), col("mi_e9"), col("hx_e9"), col("hy_e9"),
+        col("nmi_e6"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
+  /** Maximum drawdown of the cumulative monthly revenue — the
+    * risk-of-ruin diagnostic for any running metric (finance's
+    * underwater curve): cum_k = Σ_{t≤k} rev_t in exact cents, running
+    * peak, drawdown = peak − cum, and the max-drawdown month flagged.
+    * The cumulative/peak walk is a window over the MONTH support
+    * (calendar-bounded — ~80 rows regardless of data size); everything
+    * upstream is one monthly aggregate of the fact scan.
+    */
+  def drawdownQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = Tables.orders(spark, sfDir)
+      .select((year(col("o_orderdate")) * 12
+          + month(col("o_orderdate")) - 1).cast("long").as("m"),
+        cents(col("o_totalprice")).cast("long").as("rc"))
+      .groupBy(col("m")).agg(sum(col("rc")).as("rev_c"))
+    val w = Window.partitionBy(
+        graft.functions.GraftFunctions.singleton_key(col("m")))
+      .orderBy(col("m"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val c = monthly
+      .withColumn("cum_c", sum(col("rev_c")).over(w))
+      .withColumn("peak_c", max(col("cum_c")).over(w))
+      .withColumn("dd_c", col("peak_c") - col("cum_c"))
+    val mx = c.groupBy().agg(max(col("dd_c")).as("max_dd_c"))
+    c.crossJoin(broadcast(mx))
+      .select(col("m"), col("rev_c"), col("cum_c"), col("peak_c"),
+        col("dd_c"), col("max_dd_c"),
+        (col("dd_c") === col("max_dd_c") && col("dd_c") > 0)
+          .as("is_max_dd"))
+      .orderBy(col("m"))
+  }
 }

@@ -439,6 +439,9 @@ object SparkEntry {
     "q_rmst" -> (Queries.rmstQ _),
     "q_post_strat" -> (Queries.postStratQ _),
     "q_jackknife_ratio" -> (Queries.jackknifeRatioQ _),
+    "q_psi" -> (Queries.psiQ _),
+    "q_mutual_info" -> (Queries.mutualInfoQ _),
+    "q_drawdown" -> (Queries.drawdownQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -9660,5 +9663,96 @@ object SparkEntry {
         |  CAST(loo.theta_loo_e6 - v.theta_e6 AS BIGINT) AS influence_e6,
         |  v.jk_se_e6
         |FROM v CROSS JOIN loo ORDER BY loo.region""".stripMargin,
+
+    // PSI replay: half-split on the day midpoint, log-width cents bins,
+    // Laplace-smoothed proportions, e9-floored per-bin contributions.
+    "q_psi" ->
+      """WITH h AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS vc
+        |  FROM events),
+        |mid AS (SELECT (min(d) + max(d) + 1) // 2 AS mid FROM h),
+        |b AS (SELECT d >= mid AS cur,
+        |    CAST(floor(ln(vc + 1.0) * 2.0) AS BIGINT) AS bin
+        |  FROM h CROSS JOIN mid),
+        |cells AS (SELECT bin,
+        |    sum(CASE WHEN NOT cur THEN 1 ELSE 0 END) AS c_base,
+        |    sum(CASE WHEN cur THEN 1 ELSE 0 END) AS c_cur
+        |  FROM b GROUP BY 1),
+        |tot AS (SELECT sum(c_base) AS nb, sum(c_cur) AS nc,
+        |    CAST(count(*) AS BIGINT) AS bb FROM cells),
+        |terms AS (SELECT bin, c_base, c_cur,
+        |    (c_base + 1) * 1000000 // (nb + bb) AS p_base_e6,
+        |    (c_cur + 1) * 1000000 // (nc + bb) AS p_cur_e6,
+        |    CAST(floor(((c_cur + 1) / (nc + bb) - (c_base + 1) / (nb + bb))
+        |      * ln((CAST(c_cur + 1 AS DOUBLE) * (nb + bb))
+        |          / (CAST(c_base + 1 AS DOUBLE) * (nc + bb)))
+        |      * 1000000000.0 + 0.5) AS BIGINT) AS term_e9
+        |  FROM cells CROSS JOIN tot),
+        |p AS (SELECT sum(term_e9) AS psi_e9 FROM terms)
+        |SELECT bin, CAST(c_base AS BIGINT) AS c_base,
+        |  CAST(c_cur AS BIGINT) AS c_cur,
+        |  CAST(p_base_e6 AS BIGINT) AS p_base_e6,
+        |  CAST(p_cur_e6 AS BIGINT) AS p_cur_e6,
+        |  term_e9, CAST(psi_e9 AS BIGINT) AS psi_e9
+        |FROM terms CROSS JOIN p ORDER BY bin""".stripMargin,
+
+    // Mutual-information replay: 5×7 contingency with margin-cross
+    // scaffold, e9-floored cell terms, marginal entropies, NMI.
+    "q_mutual_info" ->
+      """WITH cells AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 % 7 AS dow,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rm AS (SELECT event_type, sum(o) AS r FROM cells GROUP BY 1),
+        |cm AS (SELECT dow, sum(o) AS c FROM cells GROUP BY 1),
+        |tot AS (SELECT sum(o) AS nn FROM cells),
+        |grid AS (SELECT rm.event_type, cm.dow, coalesce(cells.o, 0) AS o,
+        |    rm.r, cm.c, tot.nn
+        |  FROM rm CROSS JOIN cm CROSS JOIN tot
+        |  LEFT JOIN cells ON cells.event_type = rm.event_type
+        |    AND cells.dow = cm.dow),
+        |t AS (SELECT *, CASE WHEN o = 0 THEN 0 ELSE
+        |    CAST(floor((o / nn)
+        |      * ln((CAST(o AS DOUBLE) * nn) / (CAST(r AS DOUBLE) * c))
+        |      * 1000000000.0 + 0.5) AS BIGINT) END AS term_e9
+        |  FROM grid),
+        |hx AS (SELECT sum(CAST(floor((r / nn) * ln(nn / r)
+        |      * 1000000000.0 + 0.5) AS BIGINT)) AS hx_e9
+        |  FROM rm CROSS JOIN tot),
+        |hy AS (SELECT sum(CAST(floor((c / nn) * ln(nn / c)
+        |      * 1000000000.0 + 0.5) AS BIGINT)) AS hy_e9
+        |  FROM cm CROSS JOIN tot),
+        |mi AS (SELECT sum(term_e9) AS mi_e9 FROM t)
+        |SELECT event_type, dow, o, CAST(r AS BIGINT) AS r,
+        |  CAST(c AS BIGINT) AS c, term_e9,
+        |  CAST(mi_e9 AS BIGINT) AS mi_e9, CAST(hx_e9 AS BIGINT) AS hx_e9,
+        |  CAST(hy_e9 AS BIGINT) AS hy_e9,
+        |  CAST(floor(mi_e9 / sqrt(CAST(hx_e9 AS DOUBLE) * hy_e9)
+        |    * 1000000.0 + 0.5) AS BIGINT) AS nmi_e6
+        |FROM t CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy
+        |ORDER BY event_type, dow""".stripMargin,
+
+    // Max-drawdown replay: monthly cents revenue, cumulative +
+    // running-peak windows over the month spine, max flagged.
+    "q_drawdown" ->
+      """WITH m AS (SELECT CAST(year(o_orderdate) * 12
+        |      + month(o_orderdate) - 1 AS BIGINT) AS m,
+        |    sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev_c
+        |  FROM orders GROUP BY 1),
+        |cc AS (SELECT m, rev_c,
+        |    sum(rev_c) OVER (ORDER BY m
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c
+        |  FROM m),
+        |c AS (SELECT m, rev_c, cum_c,
+        |    max(cum_c) OVER (ORDER BY m
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak_c
+        |  FROM cc),
+        |d AS (SELECT *, peak_c - cum_c AS dd_c FROM c),
+        |mx AS (SELECT max(dd_c) AS max_dd_c FROM d)
+        |SELECT m, CAST(rev_c AS BIGINT) AS rev_c,
+        |  CAST(cum_c AS BIGINT) AS cum_c, CAST(peak_c AS BIGINT) AS peak_c,
+        |  CAST(dd_c AS BIGINT) AS dd_c, CAST(max_dd_c AS BIGINT) AS max_dd_c,
+        |  dd_c = max_dd_c AND dd_c > 0 AS is_max_dd
+        |FROM d CROSS JOIN mx ORDER BY m""".stripMargin,
   )
 }
