@@ -12278,4 +12278,142 @@ object Queries {
           .as("is_max_dd"))
       .orderBy(col("m"))
   }
+
+  /** Nelson-Aalen cumulative hazard over user lifetimes (same
+    * duration/censoring contract as [[kaplanMeierQ]]) — the hazard-side
+    * twin of the KM curve, preferred when the HAZARD is the estimand
+    * (it is unbiased where the KM product is only consistent):
+    * H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ accumulated as truncating e6 integers in
+    * the same duration-support fold (no window), plus the Breslow
+    * survival exp(−H) e6-rounded from the exact integer H. One
+    * per-user reduce, one support aggregate, one bounded fold.
+    */
+  def nelsonAalenQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy(col("user_id")).agg(min(col("d")).as("f"), max(col("d")).as("l"))
+    val md = u.groupBy().agg(max(col("l")).as("maxd"))
+    val byT = u.crossJoin(broadcast(md))
+      .select((col("l") - col("f")).as("t"),
+        (col("l") >= col("maxd") - 2).as("cens"))
+      .groupBy(col("t"))
+      .agg(sum(when(!col("cens"), 1L).otherwise(0L)).as("dd"),
+        sum(when(col("cens"), 1L).otherwise(0L)).as("cc"))
+    byT
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("t"), col("dd"), col("cc"))))
+        .as("arr"))
+      .select(col("arr"),
+        expr("aggregate(arr, 0L, (a, e) -> a + e.dd + e.cc)").as("total"))
+      .select(explode(expr(
+        """aggregate(arr,
+          |  named_struct('n', total, 'h', 0L,
+          |    'out', cast(array() as array<struct<t:bigint,n_risk:bigint,
+          |                                        d:bigint,h_e6:bigint>>)),
+          |  (acc, e) -> named_struct(
+          |    'n', acc.n - e.dd - e.cc,
+          |    'h', acc.h + e.dd * 1000000L div acc.n,
+          |    'out', array_append(acc.out, named_struct(
+          |      't', e.t, 'n_risk', acc.n, 'd', e.dd,
+          |      'h_e6', acc.h + e.dd * 1000000L div acc.n))),
+          |  acc -> acc.out)""".stripMargin)).as("r"))
+      .select(col("r.t").as("t"), col("r.n_risk").as("n_risk"),
+        col("r.d").as("d_churn"), col("r.h_e6").as("h_e6"),
+        floor(exp(-col("r.h_e6") / 1000000.0) * 1000000.0 + 0.5)
+          .cast("long").as("s_breslow_e6"))
+      .orderBy(col("t"))
+  }
+
+  /** Aalen-Johansen competing-risks cumulative incidence over user
+    * lifetimes: two terminal causes (the user's LAST event — by
+    * event_id — was an 'error' vs anything else), censoring as in
+    * [[kaplanMeierQ]]. Naive "1 − KM per cause" overstates incidence
+    * when risks compete; the AJ estimator charges each cause
+    * CIF_k(t) = Σ S(tᵢ⁻)·d_kᵢ/nᵢ with the ALL-cause survival S, so
+    * the causes partition the event probability. Exact e6 fold over
+    * the duration support (same idiom as KM — no window); one extra
+    * per-user argmax for the cause label.
+    */
+  def competingRisksQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"),
+        col("event_type"), col("event_id"))
+      .groupBy(col("user_id"))
+      .agg(min(col("d")).as("f"), max(col("d")).as("l"),
+        expr("max_by(event_type, event_id)").as("last_type"))
+    val md = u.groupBy().agg(max(col("l")).as("maxd"))
+    val byT = u.crossJoin(broadcast(md))
+      .select((col("l") - col("f")).as("t"),
+        (col("l") >= col("maxd") - 2).as("cens"),
+        (col("last_type") === "error").as("err"))
+      .groupBy(col("t"))
+      .agg(sum(when(!col("cens") && col("err"), 1L).otherwise(0L)).as("d1"),
+        sum(when(!col("cens") && !col("err"), 1L).otherwise(0L)).as("d2"),
+        sum(when(col("cens"), 1L).otherwise(0L)).as("cc"))
+    byT
+      .groupBy()
+      .agg(sort_array(collect_list(
+        struct(col("t"), col("d1"), col("d2"), col("cc")))).as("arr"))
+      .select(col("arr"),
+        expr("aggregate(arr, 0L, (a, e) -> a + e.d1 + e.d2 + e.cc)")
+          .as("total"))
+      .select(explode(expr(
+        """aggregate(arr,
+          |  named_struct('n', total, 's', 1000000L, 'c1', 0L, 'c2', 0L,
+          |    'out', cast(array() as array<struct<t:bigint,n_risk:bigint,
+          |      d1:bigint,d2:bigint,surv_e6:bigint,
+          |      cif1_e6:bigint,cif2_e6:bigint>>)),
+          |  (acc, e) -> named_struct(
+          |    'n', acc.n - e.d1 - e.d2 - e.cc,
+          |    's', acc.s * (acc.n - e.d1 - e.d2) div acc.n,
+          |    'c1', acc.c1 + acc.s * e.d1 div acc.n,
+          |    'c2', acc.c2 + acc.s * e.d2 div acc.n,
+          |    'out', array_append(acc.out, named_struct(
+          |      't', e.t, 'n_risk', acc.n, 'd1', e.d1, 'd2', e.d2,
+          |      'surv_e6', acc.s * (acc.n - e.d1 - e.d2) div acc.n,
+          |      'cif1_e6', acc.c1 + acc.s * e.d1 div acc.n,
+          |      'cif2_e6', acc.c2 + acc.s * e.d2 div acc.n))),
+          |  acc -> acc.out)""".stripMargin)).as("r"))
+      .select(col("r.t").as("t"), col("r.n_risk").as("n_risk"),
+        col("r.d1").as("d1"), col("r.d2").as("d2"),
+        col("r.surv_e6").as("surv_e6"), col("r.cif1_e6").as("cif1_e6"),
+        col("r.cif2_e6").as("cif2_e6"))
+      .orderBy(col("t"))
+  }
+
+  /** Hill tail-index estimator of the order-value distribution — the
+    * heavy-tail gauge (α ≈ how fast P(X>x) decays; α ≤ 2 means
+    * infinite variance, the "whales dominate revenue" regime) over a
+    * k-grid so the plateau is visible like a Hill plot: for each
+    * k ∈ {50,100,200}, α̂⁻¹ = mean_{i≤k} ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the 201
+    * largest exact-cents totals. The ONLY data-sized step is the
+    * TakeOrdered top-201; ranking and the per-k sums run on the
+    * 201-row shortlist (shortlist-bounded window, allowlisted). Each
+    * log excess is e9-floored before summing.
+    */
+  def hillQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = Tables.orders(spark, sfDir)
+      .select(cents(col("o_totalprice")).cast("long").as("xc"))
+      .orderBy(col("xc").desc).limit(201)
+    val w = Window.partitionBy(
+        graft.functions.GraftFunctions.singleton_key(lit(1)))
+      .orderBy(col("xc").desc)
+    val ranked = top.withColumn("rnk", row_number().over(w))
+    val grid = broadcast(
+      top.sparkSession.range(1, 4).select((col("id") * 50).as("k"))
+        .withColumn("k", when(col("k") === 150, 200L).otherwise(col("k"))))
+    val xk = ranked.join(grid, col("rnk") === col("k") + 1)
+      .select(col("k"), col("xc").as("xk_c"))
+    ranked.join(broadcast(xk), col("rnk") <= col("k"))
+      .select(col("k"), col("xk_c"),
+        floor(log(col("xc") / col("xk_c")) * 1000000000.0 + 0.5)
+          .cast("long").as("term_e9"))
+      .groupBy(col("k"), col("xk_c"))
+      .agg(sum(col("term_e9")).as("sum_log_e9"))
+      .select(col("k"), col("xk_c"), col("sum_log_e9"),
+        expr("sum_log_e9 div k").as("hill_inv_e9"),
+        expr("1000000000000000 div (sum_log_e9 div k)").as("alpha_e6"))
+      .orderBy(col("k"))
+  }
 }

@@ -442,6 +442,9 @@ object SparkEntry {
     "q_psi" -> (Queries.psiQ _),
     "q_mutual_info" -> (Queries.mutualInfoQ _),
     "q_drawdown" -> (Queries.drawdownQ _),
+    "q_nelson_aalen" -> (Queries.nelsonAalenQ _),
+    "q_competing_risks" -> (Queries.competingRisksQ _),
+    "q_hill" -> (Queries.hillQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -9754,5 +9757,90 @@ object SparkEntry {
         |  CAST(dd_c AS BIGINT) AS dd_c, CAST(max_dd_c AS BIGINT) AS max_dd_c,
         |  dd_c = max_dd_c AND dd_c > 0 AS is_max_dd
         |FROM d CROSS JOIN mx ORDER BY m""".stripMargin,
+
+    // Nelson-Aalen replay: KM lifetime contract, recursive fold
+    // accumulating the e6 hazard, Breslow survival from the integer H.
+    "q_nelson_aalen" ->
+      """WITH RECURSIVE u AS (
+        |  SELECT user_id,
+        |    min(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS f,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS l
+        |  FROM events GROUP BY user_id),
+        |md AS (SELECT max(l) AS maxd FROM u),
+        |byt AS (SELECT l - f AS t,
+        |    CAST(sum(CASE WHEN l >= maxd - 2 THEN 0 ELSE 1 END) AS BIGINT) AS dd,
+        |    CAST(sum(CASE WHEN l >= maxd - 2 THEN 1 ELSE 0 END) AS BIGINT) AS cc
+        |  FROM u, md GROUP BY 1),
+        |d2 AS (SELECT t, dd, cc, row_number() OVER (ORDER BY t) AS rn FROM byt),
+        |tot AS (SELECT CAST(sum(dd + cc) AS BIGINT) AS total FROM byt),
+        |r AS (
+        |  SELECT rn, t, dd, cc, total AS n, dd * 1000000 // total AS h
+        |  FROM d2, tot WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d2.rn, d2.t, d2.dd, d2.cc, r.n - r.dd - r.cc,
+        |    r.h + d2.dd * 1000000 // (r.n - r.dd - r.cc)
+        |  FROM r JOIN d2 ON d2.rn = r.rn + 1)
+        |SELECT t, CAST(n AS BIGINT) AS n_risk, dd AS d_churn,
+        |  CAST(h AS BIGINT) AS h_e6,
+        |  CAST(floor(exp(-h / 1000000.0) * 1000000.0 + 0.5) AS BIGINT)
+        |    AS s_breslow_e6
+        |FROM r ORDER BY t""".stripMargin,
+
+    // Aalen-Johansen replay: last-event cause label via arg_max,
+    // recursive fold carrying (n, S, CIF1, CIF2) as exact e6 integers.
+    "q_competing_risks" ->
+      """WITH RECURSIVE u AS (
+        |  SELECT user_id,
+        |    min(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS f,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS l,
+        |    arg_max(event_type, event_id) AS last_type
+        |  FROM events GROUP BY user_id),
+        |md AS (SELECT max(l) AS maxd FROM u),
+        |byt AS (SELECT l - f AS t,
+        |    CAST(sum(CASE WHEN l < maxd - 2 AND last_type = 'error'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        |    CAST(sum(CASE WHEN l < maxd - 2 AND last_type <> 'error'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+        |    CAST(sum(CASE WHEN l >= maxd - 2 THEN 1 ELSE 0 END) AS BIGINT) AS cc
+        |  FROM u, md GROUP BY 1),
+        |dr AS (SELECT t, d1, d2, cc, row_number() OVER (ORDER BY t) AS rn
+        |  FROM byt),
+        |tot AS (SELECT CAST(sum(d1 + d2 + cc) AS BIGINT) AS total FROM byt),
+        |r AS (
+        |  SELECT rn, t, d1, d2, cc, total AS n,
+        |    1000000 * (total - d1 - d2) // total AS s,
+        |    1000000 * d1 // total AS c1,
+        |    1000000 * d2 // total AS c2
+        |  FROM dr, tot WHERE rn = 1
+        |  UNION ALL
+        |  SELECT dr.rn, dr.t, dr.d1, dr.d2, dr.cc,
+        |    r.n - r.d1 - r.d2 - r.cc,
+        |    r.s * ((r.n - r.d1 - r.d2 - r.cc) - dr.d1 - dr.d2)
+        |      // (r.n - r.d1 - r.d2 - r.cc),
+        |    r.c1 + r.s * dr.d1 // (r.n - r.d1 - r.d2 - r.cc),
+        |    r.c2 + r.s * dr.d2 // (r.n - r.d1 - r.d2 - r.cc)
+        |  FROM r JOIN dr ON dr.rn = r.rn + 1)
+        |SELECT t, CAST(n AS BIGINT) AS n_risk, d1, d2,
+        |  CAST(s AS BIGINT) AS surv_e6, CAST(c1 AS BIGINT) AS cif1_e6,
+        |  CAST(c2 AS BIGINT) AS cif2_e6
+        |FROM r ORDER BY t""".stripMargin,
+
+    // Hill replay: top-201 exact-cents order totals, per-k log-excess
+    // sums over the shortlist, inverted mean at e6.
+    "q_hill" ->
+      """WITH top AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS xc
+        |  FROM orders ORDER BY xc DESC LIMIT 201),
+        |rk AS (SELECT xc, row_number() OVER (ORDER BY xc DESC) AS rnk
+        |  FROM top),
+        |grid AS (SELECT CAST(unnest([50, 100, 200]) AS BIGINT) AS k),
+        |xk AS (SELECT k, xc AS xk_c FROM rk JOIN grid ON rnk = k + 1),
+        |t AS (SELECT k, xk_c,
+        |    CAST(floor(ln(xc / xk_c) * 1000000000.0 + 0.5) AS BIGINT)
+        |      AS term_e9
+        |  FROM rk JOIN xk ON rnk <= k)
+        |SELECT k, xk_c, CAST(sum(term_e9) AS BIGINT) AS sum_log_e9,
+        |  CAST(sum(term_e9) // k AS BIGINT) AS hill_inv_e9,
+        |  CAST(1000000000000000 // (sum(term_e9) // k) AS BIGINT) AS alpha_e6
+        |FROM t GROUP BY k, xk_c ORDER BY k""".stripMargin,
   )
 }

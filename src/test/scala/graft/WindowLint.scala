@@ -95,7 +95,8 @@ object WindowLint {
     "q_borda", // rank over each 50-row TakeOrdered shortlist (shortlist-bounded)
     "q_vocab_drift", // rank over each half's 20-row TakeOrdered shortlist
     "q_skyline", // grid-bucket-bounded skyline merge (Skyline.scala sky_bucket)
-    "q_drawdown" // calendar: one row per month (~80 on this data)
+    "q_drawdown", // calendar: one row per month (~80 on this data)
+    "q_hill" // rank over the 201-row TakeOrdered shortlist (shortlist-bounded)
   )
 }
 
