@@ -12416,4 +12416,125 @@ object Queries {
         expr("1000000000000000 div (sum_log_e9 div k)").as("alpha_e6"))
       .orderBy(col("k"))
   }
+
+  /** Laspeyres / Paasche / Fisher price indices between the 1995 and
+    * 2000 shipment years — the inflation readout every revenue metric
+    * needs deflating by. Per-part period aggregates keep revenue in
+    * exact cents and quantity in exact units, so p·q cross terms are
+    * FRACTION-FREE: Σp₁q₀ accumulates R₁ᵢ·Q₀ᵢ div Q₁ᵢ (truncating,
+    * replayed identically), Σp₀q₀ is exactly ΣR₀, and Fisher is the
+    * e6-floored √(L·P) of the two integer indices. Only parts traded
+    * in BOTH periods enter (the matched-basket convention). One fact
+    * scan, one partkey-shuffled aggregate, one partkey join.
+    */
+  def priceIndexQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey").as("pk"), year(col("l_shipdate")).as("yr"),
+        cents(col("l_extendedprice")).cast("long").as("rc"),
+        col("l_quantity").cast("long").as("q"))
+      .filter(col("yr").isin(1995, 2000))
+      .groupBy(col("pk"), col("yr"))
+      .agg(sum(col("rc")).as("r"), sum(col("q")).as("qq"))
+    val base = li.filter(col("yr") === 1995)
+      .select(col("pk"), col("r").as("r0"), col("qq").as("q0"))
+    val cur = li.filter(col("yr") === 2000)
+      .select(col("pk"), col("r").as("r1"), col("qq").as("q1"))
+    base.join(cur, "pk")
+      .select(
+        expr("cast(r1 as decimal(38,0)) * q0 div q1").as("p1q0"), col("r0"),
+        col("r1"), expr("cast(r0 as decimal(38,0)) * q1 div q0").as("p0q1"))
+      .groupBy()
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("p1q0")).as("s_p1q0"), sum(col("r0")).as("s_p0q0"),
+        sum(col("r1")).as("s_p1q1"), sum(col("p0q1")).as("s_p0q1"))
+      .select(col("n_parts"),
+        col("s_p1q0").cast("long").as("s_p1q0"), col("s_p0q0"),
+        col("s_p1q1"), col("s_p0q1").cast("long").as("s_p0q1"),
+        expr("cast(s_p1q0 * 1000000 div s_p0q0 as bigint)")
+          .as("laspeyres_e6"),
+        expr("cast(cast(s_p1q1 as decimal(38,0)) * 1000000 div s_p0q1 as bigint)")
+          .as("paasche_e6"))
+      .withColumn("fisher_e6", floor(sqrt(
+        col("laspeyres_e6").cast("double") * col("paasche_e6")) + 0.5)
+        .cast("long"))
+  }
+
+  /** Own-price demand elasticity per brand — the log-log OLS slope
+    * ∂ln q/∂ln p estimated per p_brand (bounded enum): each lineitem
+    * contributes x = ln(unit-price cents), y = ln(quantity), both
+    * e6-floored to integers BEFORE the sums so accumulation order
+    * can't move the hash; the slope/intercept/R² closed forms then run
+    * in decimal(38,0) over exact integer moments (Σxy at e12 overflows
+    * int64 at sf0.1 already). One scan, one brand join, one bounded
+    * aggregate — the standard "can we raise prices" readout.
+    */
+  def elasticityQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val rows = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        floor(log(cents(col("l_extendedprice"))
+          / col("l_quantity")) * 1000000.0 + 0.5).cast("long").as("x"),
+        floor(log(col("l_quantity")) * 1000000.0 + 0.5).cast("long").as("y"))
+    rows.groupBy(col("brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x").cast(d38) * col("x")).as("sxx"),
+        sum(col("x").cast(d38) * col("y")).as("sxy"),
+        sum(col("y").cast(d38) * col("y")).as("syy"))
+      .select(col("brand"), col("n"),
+        expr(s"""cast((n * sxy - cast(sx as $d38) * sy) * 1000000
+                div (n * sxx - cast(sx as $d38) * sx) as bigint)""")
+          .as("slope_e6"),
+        expr(s"""cast((sy - (n * sxy - cast(sx as $d38) * sy) * 1000000
+                div (n * sxx - cast(sx as $d38) * sx) * sx div 1000000)
+                div n as bigint)""").as("intercept_e6"),
+        // r² = slope_xy · slope_yx — two e6 integral slopes multiplied,
+        // so the intermediate never exceeds decimal(38) (a direct
+        // diff²·10⁶ would at sf0.1 already)
+        expr(s"""cast(((n * sxy - cast(sx as $d38) * sy) * 1000000
+                div (n * sxx - cast(sx as $d38) * sx))
+                * ((n * sxy - cast(sx as $d38) * sy) * 1000000
+                div (n * syy - cast(sy as $d38) * sy))
+                div 1000000 as bigint)""")
+          .as("r2_e6"))
+      .orderBy(col("brand"))
+  }
+
+  /** Theil T inequality of customer revenue, decomposed by nation —
+    * the additive inequality index (unlike Gini): T = T_between +
+    * Σ s_g·T_g with T_g = (1/N_g)Σ(xᵢ/μ_g)ln(xᵢ/μ_g). Every log term
+    * is e9-floored from exact cents BEFORE its sum (the [[jsDivQ]]
+    * discipline), group shares are truncating e6 integers, and the
+    * between term ships per nation so Σ checks out by eye. One
+    * customer-revenue aggregate (custkey shuffle), one
+    * nation-support-bounded rollup.
+    */
+  def theilQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val custRev = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice")).cast("long")).as("x"))
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("nat"), col("x"))
+    val g = custRev.groupBy(col("nat"))
+      .agg(count(lit(1)).as("n_g"), sum(col("x")).as("s_g"))
+    val tot = g.groupBy()
+      .agg(sum(col("n_g")).as("nn"), sum(col("s_g")).as("ss"))
+    val within = custRev.join(broadcast(g), "nat")
+      .select(col("nat"),
+        floor((col("x").cast("double") * col("n_g") / col("s_g"))
+          * log(col("x").cast("double") * col("n_g") / col("s_g"))
+          * 1000000000.0 + 0.5).cast("long").as("term_e9"))
+      .groupBy(col("nat")).agg(sum(col("term_e9")).as("tsum_e9"))
+    g.join(within, "nat").crossJoin(broadcast(tot))
+      .select(col("nat"), col("n_g"), col("s_g"),
+        expr("s_g * 1000000 div ss").as("share_e6"),
+        expr("tsum_e9 div n_g").as("theil_within_e9"),
+        floor((col("s_g").cast("double") / col("ss"))
+          * log((col("s_g").cast("double") * col("nn"))
+            / (col("ss").cast("double") * col("n_g")))
+          * 1000000000.0 + 0.5).cast("long").as("between_term_e9"))
+      .orderBy(col("nat"))
+  }
 }

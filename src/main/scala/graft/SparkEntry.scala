@@ -445,6 +445,9 @@ object SparkEntry {
     "q_nelson_aalen" -> (Queries.nelsonAalenQ _),
     "q_competing_risks" -> (Queries.competingRisksQ _),
     "q_hill" -> (Queries.hillQ _),
+    "q_price_index" -> (Queries.priceIndexQ _),
+    "q_elasticity" -> (Queries.elasticityQ _),
+    "q_theil" -> (Queries.theilQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -9842,5 +9845,84 @@ object SparkEntry {
         |  CAST(sum(term_e9) // k AS BIGINT) AS hill_inv_e9,
         |  CAST(1000000000000000 // (sum(term_e9) // k) AS BIGINT) AS alpha_e6
         |FROM t GROUP BY k, xk_c ORDER BY k""".stripMargin,
+
+    // Price-index replay: matched 1995/2000 baskets, fraction-free
+    // HUGEINT cross terms, Fisher as rounded sqrt of the two indices.
+    "q_price_index" ->
+      """WITH li AS (SELECT l_partkey AS pk, year(l_shipdate) AS yr,
+        |    sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS r,
+        |    sum(CAST(l_quantity AS BIGINT)) AS qq
+        |  FROM lineitem WHERE year(l_shipdate) IN (1995, 2000)
+        |  GROUP BY 1, 2),
+        |b AS (SELECT pk, r AS r0, qq AS q0 FROM li WHERE yr = 1995),
+        |c AS (SELECT pk, r AS r1, qq AS q1 FROM li WHERE yr = 2000),
+        |j AS (SELECT CAST(r1 AS HUGEINT) * q0 // q1 AS p1q0, r0, r1,
+        |    CAST(r0 AS HUGEINT) * q1 // q0 AS p0q1
+        |  FROM b JOIN c USING (pk)),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_parts,
+        |    sum(p1q0) AS s_p1q0, sum(r0) AS s_p0q0,
+        |    sum(r1) AS s_p1q1, sum(p0q1) AS s_p0q1 FROM j)
+        |SELECT n_parts, CAST(s_p1q0 AS BIGINT) AS s_p1q0,
+        |  CAST(s_p0q0 AS BIGINT) AS s_p0q0,
+        |  CAST(s_p1q1 AS BIGINT) AS s_p1q1,
+        |  CAST(s_p0q1 AS BIGINT) AS s_p0q1,
+        |  CAST(s_p1q0 * 1000000 // s_p0q0 AS BIGINT) AS laspeyres_e6,
+        |  CAST(CAST(s_p1q1 AS HUGEINT) * 1000000 // s_p0q1 AS BIGINT)
+        |    AS paasche_e6,
+        |  CAST(floor(sqrt(CAST(s_p1q0 * 1000000 // s_p0q0 AS DOUBLE)
+        |    * (CAST(s_p1q1 AS HUGEINT) * 1000000 // s_p0q1)) + 0.5)
+        |    AS BIGINT) AS fisher_e6
+        |FROM s""".stripMargin,
+
+    // Elasticity replay: e6-floored log pairs, HUGEINT moments, the
+    // same integral slope/intercept/r2 chain.
+    "q_elasticity" ->
+      """WITH rows_ AS (SELECT p_brand AS brand,
+        |    CAST(floor(ln(round(l_extendedprice * 100, 0) / l_quantity)
+        |      * 1000000.0 + 0.5) AS BIGINT) AS x,
+        |    CAST(floor(ln(l_quantity) * 1000000.0 + 0.5) AS BIGINT) AS y
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |m AS (SELECT brand, CAST(count(*) AS BIGINT) AS n,
+        |    sum(x) AS sx, sum(y) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM rows_ GROUP BY 1)
+        |SELECT brand, n,
+        |  CAST((n * sxy - CAST(sx AS HUGEINT) * sy) * 1000000
+        |    // (n * sxx - CAST(sx AS HUGEINT) * sx) AS BIGINT) AS slope_e6,
+        |  CAST((sy - (n * sxy - CAST(sx AS HUGEINT) * sy) * 1000000
+        |    // (n * sxx - CAST(sx AS HUGEINT) * sx) * sx // 1000000)
+        |    // n AS BIGINT) AS intercept_e6,
+        |  CAST(((n * sxy - CAST(sx AS HUGEINT) * sy) * 1000000
+        |    // (n * sxx - CAST(sx AS HUGEINT) * sx))
+        |    * ((n * sxy - CAST(sx AS HUGEINT) * sy) * 1000000
+        |    // (n * syy - CAST(sy AS HUGEINT) * sy))
+        |    // 1000000 AS BIGINT) AS r2_e6
+        |FROM m ORDER BY brand""".stripMargin,
+
+    // Theil replay: per-customer e9-floored log terms, nation rollup,
+    // e6 shares and between-group terms.
+    "q_theil" ->
+      """WITH cr AS (SELECT c_nationkey AS nat,
+        |    sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY o_custkey, c_nationkey),
+        |g AS (SELECT nat, CAST(count(*) AS BIGINT) AS n_g,
+        |    sum(x) AS s_g FROM cr GROUP BY 1),
+        |tot AS (SELECT sum(n_g) AS nn, sum(s_g) AS ss FROM g),
+        |w AS (SELECT cr.nat,
+        |    sum(CAST(floor((CAST(x AS DOUBLE) * n_g / s_g)
+        |      * ln(CAST(x AS DOUBLE) * n_g / s_g)
+        |      * 1000000000.0 + 0.5) AS BIGINT)) AS tsum_e9
+        |  FROM cr JOIN g ON cr.nat = g.nat GROUP BY cr.nat)
+        |SELECT g.nat, g.n_g, CAST(g.s_g AS BIGINT) AS s_g,
+        |  CAST(g.s_g * 1000000 // ss AS BIGINT) AS share_e6,
+        |  CAST(tsum_e9 // n_g AS BIGINT) AS theil_within_e9,
+        |  CAST(floor((CAST(g.s_g AS DOUBLE) / ss)
+        |    * ln((CAST(g.s_g AS DOUBLE) * nn) / (CAST(ss AS DOUBLE) * g.n_g))
+        |    * 1000000000.0 + 0.5) AS BIGINT) AS between_term_e9
+        |FROM g JOIN w ON g.nat = w.nat CROSS JOIN tot
+        |ORDER BY g.nat""".stripMargin,
   )
 }
