@@ -12537,4 +12537,131 @@ object Queries {
           * 1000000000.0 + 0.5).cast("long").as("between_term_e9"))
       .orderBy(col("nat"))
   }
+
+  /** Schuster periodogram of the daily event volume — spectral power
+    * at each candidate period p ∈ 2..10 days, the "is there a weekly
+    * cycle" detector that [[decomposeQ]]'s fixed-7 seasonal split
+    * assumes an answer to. The series is mean-centered EXACTLY by
+    * n-scaling (y_d = n·x_d − S, the [[cusumQ]] device), each cos/sin
+    * weight is e9-floored per (day, period) cell before the integer
+    * dot products, and power = (Σy·c)² + (Σy·s)² runs in decimal(38).
+    * Day spine × 9 periods — everything after the daily aggregate is
+    * support-bounded.
+    */
+  def periodogramQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("x"))
+    val g = daily.groupBy()
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"), min(col("d")).as("d0"))
+    val grid = broadcast(
+      daily.sparkSession.range(2, 11).select(col("id").as("p")))
+    val cells = daily.crossJoin(broadcast(g)).crossJoin(grid)
+      .select(col("p"), col("n"),
+        (col("n") * col("x") - col("s")).as("y"),
+        floor(cos(lit(2.0) * acos(lit(-1.0)) * (col("d") - col("d0")) / col("p"))
+          * 1000000000.0 + 0.5).cast("long").as("c"),
+        floor(sin(lit(2.0) * acos(lit(-1.0)) * (col("d") - col("d0")) / col("p"))
+          * 1000000000.0 + 0.5).cast("long").as("sn"))
+    // descale the e9 weight factor BEFORE squaring — sc² at full e9²
+    // scale would pass decimal(38) here but not at a 100 TB daily
+    // volume; (sc div 1e9)² keeps ~10 more decades of headroom
+    val pw = cells.groupBy(col("p"), col("n"))
+      .agg(sum(expr("cast(y as decimal(38,0)) * c")).as("sc"),
+        sum(expr("cast(y as decimal(38,0)) * sn")).as("ss"))
+      .select(col("p"),
+        expr("""cast((sc div 1000000000) * (sc div 1000000000)
+                + (ss div 1000000000) * (ss div 1000000000) as bigint)""")
+          .as("power"))
+    val mx = pw.groupBy().agg(max(col("power")).as("max_power"))
+    pw.crossJoin(broadcast(mx))
+      .select(col("p"), col("power"),
+        (col("power") === col("max_power")).as("is_dominant"))
+      .orderBy(col("p"))
+  }
+
+  /** Yule-Walker AR(2) fit of the daily event volume — the
+    * autoregressive structure readout one order above [[ar1Q]]:
+    * exact integer autocovariances g₀,g₁,g₂ of the n-scaled centered
+    * series (lag pairs by equi-join on the day spine), then
+    * φ₁ = (g₁g₀−g₁g₂)/(g₀²−g₁²), φ₂ = (g₂g₀−g₁²)/(g₀²−g₁²) as
+    * truncating e6 integers in decimal(38) (g₀² ~ 10²² already), and
+    * the innovation-variance ratio 1 − (φ₁g₁+φ₂g₂)/g₀. One daily
+    * aggregate; everything else is support-sized.
+    */
+  def yuleWalkerQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("x"))
+    val g = daily.groupBy().agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val y = daily.crossJoin(broadcast(g))
+      .select(col("d"), (col("n") * col("x") - col("s")).as("y"), col("n"))
+    val b = y.select(col("d").as("db"), col("y").as("yb"))
+    def gamma(lag: Int) = y
+      .join(b, col("db") === col("d") + lag)
+      .groupBy().agg(sum(expr(s"cast(y as $d38) * yb")).as(s"g$lag"))
+    // φ ratios run on 10⁻⁶-descaled autocovariances: the ratio is
+    // scale-invariant (truncation noise ~10⁻¹² relative here) and the
+    // squared terms keep decimal(38) headroom at 100 TB daily volumes
+    y.groupBy().agg(max(col("n")).as("n_days")).crossJoin(broadcast(gamma(0)))
+      .crossJoin(broadcast(gamma(1))).crossJoin(broadcast(gamma(2)))
+      .select(col("n_days"), expr("g0 div 1000000").as("gd0"),
+        expr("g1 div 1000000").as("gd1"), expr("g2 div 1000000").as("gd2"))
+      .select(col("n_days"),
+        col("gd0").cast("long").as("g0_e_6"),
+        col("gd1").cast("long").as("g1_e_6"),
+        col("gd2").cast("long").as("g2_e_6"),
+        expr("cast((gd1 * gd0 - gd1 * gd2) * 1000000 div (gd0 * gd0 - gd1 * gd1) as bigint)")
+          .as("phi1_e6"),
+        expr("cast((gd2 * gd0 - gd1 * gd1) * 1000000 div (gd0 * gd0 - gd1 * gd1) as bigint)")
+          .as("phi2_e6"),
+        expr("""cast(1000000 - ((gd1 * gd0 - gd1 * gd2) * 1000000
+                div (gd0 * gd0 - gd1 * gd1) * gd1
+              + (gd2 * gd0 - gd1 * gd1) * 1000000
+                div (gd0 * gd0 - gd1 * gd1) * gd2) div gd0 as bigint)""")
+          .as("resid_ratio_e6"))
+  }
+
+  /** Wald SPRT on the purchase rate at daily granularity — the
+    * always-on sequential monitor that stops a test the moment the
+    * evidence crosses a boundary, unlike the fixed-horizon
+    * [[abTestQ]]: H₀ p=0.18 vs H₁ p=0.22, α=β=0.05. Each day adds
+    * k·ln(p₁/p₀) + (n−k)·ln(q₁/q₀) to the log-likelihood ratio; the
+    * log constants are SHARED e9 literals (the [[benfordQ]] device) so
+    * both engines accumulate identical integers, and the cumulative
+    * walk is a window over the day spine (calendar-bounded). Emits
+    * the whole trajectory with per-day verdicts and flags the first
+    * boundary crossing.
+    */
+  def sprtQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val la = 200670695L // floor(ln(0.22/0.18)*1e9+0.5)
+    val lb = -50010421L // floor(ln(0.78/0.82)*1e9+0.5)
+    val bound = 2944438979L // floor(ln(19)*1e9+0.5), ln((1-b)/a), a=b=0.05
+    val daily = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("d"),
+        (col("event_type") === "purchase").as("conv"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("trials"),
+        sum(when(col("conv"), 1L).otherwise(0L)).as("conv"))
+      .withColumn("llr_day_e9",
+        col("conv") * la + (col("trials") - col("conv")) * lb)
+    val w = Window.partitionBy(
+        graft.functions.GraftFunctions.singleton_key(col("d")))
+      .orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val c = daily.withColumn("llr_cum_e9", sum(col("llr_day_e9")).over(w))
+      .withColumn("decision",
+        when(col("llr_cum_e9") >= bound, "h1")
+          .when(col("llr_cum_e9") <= -bound, "h0")
+          .otherwise("continue"))
+    val first = c.filter(col("decision") =!= "continue")
+      .groupBy().agg(coalesce(min(col("d")), lit(Long.MaxValue)).as("fd"))
+    c.crossJoin(broadcast(first))
+      .select(col("d"), col("trials"), col("conv"), col("llr_day_e9"),
+        col("llr_cum_e9"), col("decision"),
+        (col("d") === col("fd")).as("is_first_decision"))
+      .orderBy(col("d"))
+  }
 }

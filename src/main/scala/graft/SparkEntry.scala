@@ -448,6 +448,9 @@ object SparkEntry {
     "q_price_index" -> (Queries.priceIndexQ _),
     "q_elasticity" -> (Queries.elasticityQ _),
     "q_theil" -> (Queries.theilQ _),
+    "q_periodogram" -> (Queries.periodogramQ _),
+    "q_yule_walker" -> (Queries.yuleWalkerQ _),
+    "q_sprt" -> (Queries.sprtQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -9924,5 +9927,84 @@ object SparkEntry {
         |    * 1000000000.0 + 0.5) AS BIGINT) AS between_term_e9
         |FROM g JOIN w ON g.nat = w.nat CROSS JOIN tot
         |ORDER BY g.nat""".stripMargin,
+
+    // Periodogram replay: n-scaled centering, e9-floored trig weights
+    // per cell, HUGEINT dot products descaled before squaring.
+    "q_periodogram" ->
+      """WITH daily AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS s,
+        |    min(d) AS d0 FROM daily),
+        |grid AS (SELECT CAST(unnest(range(2, 11)) AS BIGINT) AS p),
+        |cells AS (SELECT p, n * x - s AS y,
+        |    CAST(floor(cos(2.0 * acos(-1.0) * (d - d0) / p)
+        |      * 1000000000.0 + 0.5) AS BIGINT) AS c,
+        |    CAST(floor(sin(2.0 * acos(-1.0) * (d - d0) / p)
+        |      * 1000000000.0 + 0.5) AS BIGINT) AS sn
+        |  FROM daily CROSS JOIN g CROSS JOIN grid),
+        |pw AS (SELECT p,
+        |    sum(CAST(y AS HUGEINT) * c) AS sc,
+        |    sum(CAST(y AS HUGEINT) * sn) AS ss
+        |  FROM cells GROUP BY 1),
+        |pp AS (SELECT p,
+        |    CAST((sc // 1000000000) * (sc // 1000000000)
+        |      + (ss // 1000000000) * (ss // 1000000000) AS BIGINT) AS power
+        |  FROM pw),
+        |mx AS (SELECT max(power) AS max_power FROM pp)
+        |SELECT p, power, power = max_power AS is_dominant
+        |FROM pp CROSS JOIN mx ORDER BY p""".stripMargin,
+
+    // Yule-Walker replay: lag equi-joins for exact autocovariances,
+    // descaled HUGEINT phi ratios.
+    "q_yule_walker" ->
+      """WITH daily AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS s FROM daily),
+        |y AS (SELECT d, n * x - s AS y, n FROM daily CROSS JOIN g),
+        |g0 AS (SELECT sum(CAST(a.y AS HUGEINT) * b.y) // 1000000 AS gd0
+        |  FROM y a JOIN y b ON b.d = a.d),
+        |g1 AS (SELECT sum(CAST(a.y AS HUGEINT) * b.y) // 1000000 AS gd1
+        |  FROM y a JOIN y b ON b.d = a.d + 1),
+        |g2 AS (SELECT sum(CAST(a.y AS HUGEINT) * b.y) // 1000000 AS gd2
+        |  FROM y a JOIN y b ON b.d = a.d + 2)
+        |SELECT (SELECT max(n) FROM y) AS n_days,
+        |  CAST(gd0 AS BIGINT) AS g0_e_6, CAST(gd1 AS BIGINT) AS g1_e_6,
+        |  CAST(gd2 AS BIGINT) AS g2_e_6,
+        |  CAST((gd1 * gd0 - gd1 * gd2) * 1000000
+        |    // (gd0 * gd0 - gd1 * gd1) AS BIGINT) AS phi1_e6,
+        |  CAST((gd2 * gd0 - gd1 * gd1) * 1000000
+        |    // (gd0 * gd0 - gd1 * gd1) AS BIGINT) AS phi2_e6,
+        |  CAST(1000000 - ((gd1 * gd0 - gd1 * gd2) * 1000000
+        |      // (gd0 * gd0 - gd1 * gd1) * gd1
+        |    + (gd2 * gd0 - gd1 * gd1) * 1000000
+        |      // (gd0 * gd0 - gd1 * gd1) * gd2) // gd0 AS BIGINT)
+        |    AS resid_ratio_e6
+        |FROM g0 CROSS JOIN g1 CROSS JOIN g2""".stripMargin,
+
+    // SPRT replay: shared e9 log-ratio literals, cumulative LLR over
+    // the day spine, first-crossing flag.
+    "q_sprt" ->
+      """WITH daily AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    CAST(count(*) AS BIGINT) AS trials,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS conv
+        |  FROM events GROUP BY 1),
+        |l AS (SELECT d, trials, conv,
+        |    conv * 200670695 + (trials - conv) * (-50010421) AS llr_day_e9
+        |  FROM daily),
+        |c AS (SELECT *, sum(llr_day_e9) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS llr_cum_e9
+        |  FROM l),
+        |v AS (SELECT *, CASE WHEN llr_cum_e9 >= 2944438979 THEN 'h1'
+        |    WHEN llr_cum_e9 <= -2944438979 THEN 'h0'
+        |    ELSE 'continue' END AS decision FROM c),
+        |f AS (SELECT coalesce(min(d), 9223372036854775807) AS fd
+        |  FROM v WHERE decision <> 'continue')
+        |SELECT d, trials, conv, CAST(llr_day_e9 AS BIGINT) AS llr_day_e9,
+        |  CAST(llr_cum_e9 AS BIGINT) AS llr_cum_e9, decision,
+        |  d = fd AS is_first_decision
+        |FROM v CROSS JOIN f ORDER BY d""".stripMargin,
   )
 }

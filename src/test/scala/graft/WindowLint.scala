@@ -96,7 +96,8 @@ object WindowLint {
     "q_vocab_drift", // rank over each half's 20-row TakeOrdered shortlist
     "q_skyline", // grid-bucket-bounded skyline merge (Skyline.scala sky_bucket)
     "q_drawdown", // calendar: one row per month (~80 on this data)
-    "q_hill" // rank over the 201-row TakeOrdered shortlist (shortlist-bounded)
+    "q_hill", // rank over the 201-row TakeOrdered shortlist (shortlist-bounded)
+    "q_sprt" // calendar: cumulative LLR over the day spine
   )
 }
 
