@@ -12664,4 +12664,111 @@ object Queries {
         (col("d") === col("fd")).as("is_first_decision"))
       .orderBy(col("d"))
   }
+
+  /** Yule's K vocabulary-richness index per source (+ Herdan's C) —
+    * the repetitiveness gauge that is INVARIANT to corpus size, unlike
+    * a raw type/token ratio ([[mattrQ]] fixes that by windowing; K
+    * fixes it analytically): K = 10⁴·(Σc² − N)/N² over the term
+    * frequency spectrum, C = ln V/ln N. Σc² runs in decimal(38) from
+    * exact counts; K ships at e6 by integral division, C e6-floored
+    * from one double expression. One tokenize pass, one (source,token)
+    * aggregate, one source-bounded rollup.
+    */
+  def yuleKQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val cnt = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .filter(length(col("token")) >= 2)
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+    cnt.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(expr("cast(c as decimal(38,0)) * c")).as("s2"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        expr("""cast((s2 - n_tokens) * 10000000000 div
+                (cast(n_tokens as decimal(38,0)) * n_tokens) as bigint)""")
+          .as("yule_k_e6"),
+        floor(log(col("n_types").cast("double"))
+          / log(col("n_tokens").cast("double")) * 1000000.0 + 0.5)
+          .cast("long").as("herdan_c_e6"))
+      .orderBy(col("source"))
+  }
+
+  /** Heaps'-law fit V ≈ K·N^β of corpus vocabulary growth — the
+    * "how much new vocabulary will 10× more data buy" planner: vocab
+    * size at 10 geometric doc-count checkpoints (a token counts at
+    * checkpoint T iff its FIRST doc_id ≤ T — one min-aggregate, no
+    * re-scan per point), token mass at each checkpoint from per-doc
+    * counts, then the log-log OLS slope β and intercept ln K over the
+    * ≤10 (ln N, ln V) points with e6-floored logs and decimal moments.
+    * Everything after the two token aggregates is grid-bounded.
+    */
+  def heapsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .filter(length(col("token")) >= 2)
+    val md = tok.groupBy().agg(max(col("doc_id")).as("md"))
+    val grid = tok.sparkSession.range(0, 10).select(col("id"))
+      .crossJoin(broadcast(md))
+      .select(expr("md div shiftleft(1L, cast(id as int))").as("thr"))
+      .distinct()
+    val first = tok.groupBy(col("token")).agg(min(col("doc_id")).as("fd"))
+    val vocabAt = first.crossJoin(broadcast(grid))
+      .filter(col("fd") <= col("thr"))
+      .groupBy(col("thr")).agg(count(lit(1)).as("vocab"))
+    val massAt = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("k"))
+      .crossJoin(broadcast(grid))
+      .filter(col("doc_id") <= col("thr"))
+      .groupBy(col("thr")).agg(sum(col("k")).as("n_tokens"))
+    val pts = vocabAt.join(massAt, "thr")
+      .select(col("thr"), col("n_tokens"), col("vocab"),
+        floor(log(col("n_tokens").cast("double")) * 1000000.0 + 0.5)
+          .cast("long").as("x"),
+        floor(log(col("vocab").cast("double")) * 1000000.0 + 0.5)
+          .cast("long").as("y"))
+    val fit = pts.groupBy()
+      .agg(count(lit(1)).as("np"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr(s"cast(x as $d38) * x")).as("sxx"),
+        sum(expr(s"cast(x as $d38) * y")).as("sxy"))
+      .select(
+        expr(s"""cast((np * sxy - cast(sx as $d38) * sy) * 1000000
+                div (np * sxx - cast(sx as $d38) * sx) as bigint)""")
+          .as("beta_e6"),
+        expr(s"""cast((sy - (np * sxy - cast(sx as $d38) * sy) * 1000000
+                div (np * sxx - cast(sx as $d38) * sx) * sx div 1000000)
+                div np as bigint)""").as("lnk_e6"))
+    pts.crossJoin(broadcast(fit))
+      .select(col("thr"), col("n_tokens"), col("vocab"),
+        col("beta_e6"), col("lnk_e6"))
+      .orderBy(col("thr"))
+  }
+
+  /** ε-differentially-private histogram release of (source, lang) doc
+    * counts, ε=1: each cell gets Laplace(1/ε) noise derived from the
+    * PORTABLE hash of its key — u = (h mod 10⁶ + ½)/10⁶ is an exact
+    * rational strictly inside (0,1) (the half-offset keeps the odd
+    * integer |2k−999999| away from 0, so ln never sees 0), then
+    * x = −sign(u−½)·ln(1−2|u−½|). Hash-seeded noise makes the release
+    * REPLAYABLE for this harness (the [[pseudonymizeQ]] contract);
+    * production would draw real randomness per release. Cell grid is
+    * source×lang-bounded; one scan.
+    */
+  def dpHistogramQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.documents(spark, sfDir)
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n_true"))
+      .withColumn("k", pmod(TextOps.portableHash64(
+        concat(col("source"), lit(":"), col("lang"))), lit(1000000L)))
+    cells
+      .withColumn("noise_e6", floor(
+        (lit(0.0) - signum(col("k") * 2 - 999999L))
+          * log((lit(1000000L) - abs(col("k") * 2 - 999999L)) / 1000000.0)
+          * 1000000.0 + 0.5).cast("long"))
+      .select(col("source"), col("lang"), col("n_true"), col("k").as("u_e6"),
+        col("noise_e6"),
+        expr("(n_true * 1000000 + noise_e6 + 500000) div 1000000")
+          .as("noisy_count"))
+      .orderBy(col("source"), col("lang"))
+  }
 }

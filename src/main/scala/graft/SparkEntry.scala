@@ -451,6 +451,9 @@ object SparkEntry {
     "q_periodogram" -> (Queries.periodogramQ _),
     "q_yule_walker" -> (Queries.yuleWalkerQ _),
     "q_sprt" -> (Queries.sprtQ _),
+    "q_yule_k" -> (Queries.yuleKQ _),
+    "q_heaps" -> (Queries.heapsQ _),
+    "q_dp_histogram" -> (Queries.dpHistogramQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -10006,5 +10009,77 @@ object SparkEntry {
         |  CAST(llr_cum_e9 AS BIGINT) AS llr_cum_e9, decision,
         |  d = fd AS is_first_decision
         |FROM v CROSS JOIN f ORDER BY d""".stripMargin,
+
+    // Yule's K replay: term frequency spectrum per source, HUGEINT
+    // sum of squared counts, e6 integral K, e6-floored Herdan C.
+    "q_yule_k" ->
+      """WITH t AS (SELECT source,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |cnt AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+        |  FROM t WHERE length(token) >= 2 GROUP BY 1, 2),
+        |s AS (SELECT source, sum(c) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    sum(CAST(c AS HUGEINT) * c) AS s2
+        |  FROM cnt GROUP BY 1)
+        |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens, n_types,
+        |  CAST((s2 - n_tokens) * 10000000000
+        |    // (CAST(n_tokens AS HUGEINT) * n_tokens) AS BIGINT) AS yule_k_e6,
+        |  CAST(floor(ln(CAST(n_types AS DOUBLE))
+        |    / ln(CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+        |    AS herdan_c_e6
+        |FROM s ORDER BY source""".stripMargin,
+
+    // Heaps replay: first-doc per token, geometric checkpoint grid,
+    // log-log OLS with e6-floored logs and HUGEINT moments.
+    "q_heaps" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |tk AS (SELECT doc_id, token FROM tok WHERE length(token) >= 2),
+        |md AS (SELECT max(doc_id) AS md FROM tk),
+        |grid AS (SELECT DISTINCT md // (1 << CAST(j AS INTEGER)) AS thr
+        |  FROM (SELECT unnest(range(10)) AS j), md),
+        |f AS (SELECT token, min(doc_id) AS fd FROM tk GROUP BY 1),
+        |va AS (SELECT thr, CAST(count(*) AS BIGINT) AS vocab
+        |  FROM f CROSS JOIN grid WHERE fd <= thr GROUP BY 1),
+        |dm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS k
+        |  FROM tk GROUP BY 1),
+        |ma AS (SELECT thr, sum(k) AS n_tokens
+        |  FROM dm CROSS JOIN grid WHERE doc_id <= thr GROUP BY 1),
+        |pts AS (SELECT va.thr, CAST(n_tokens AS BIGINT) AS n_tokens, vocab,
+        |    CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5)
+        |      AS BIGINT) AS x,
+        |    CAST(floor(ln(CAST(vocab AS DOUBLE)) * 1000000.0 + 0.5)
+        |      AS BIGINT) AS y
+        |  FROM va JOIN ma ON va.thr = ma.thr),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS np, sum(x) AS sx,
+        |    sum(y) AS sy, sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy FROM pts),
+        |fit AS (SELECT
+        |    CAST((np * sxy - CAST(sx AS HUGEINT) * sy) * 1000000
+        |      // (np * sxx - CAST(sx AS HUGEINT) * sx) AS BIGINT) AS beta_e6,
+        |    CAST((sy - (np * sxy - CAST(sx AS HUGEINT) * sy) * 1000000
+        |      // (np * sxx - CAST(sx AS HUGEINT) * sx) * sx // 1000000)
+        |      // np AS BIGINT) AS lnk_e6
+        |  FROM m)
+        |SELECT thr, n_tokens, vocab, beta_e6, lnk_e6
+        |FROM pts CROSS JOIN fit ORDER BY thr""".stripMargin,
+
+    // DP-histogram replay: portable-hash uniform per cell, exact
+    // rational Laplace transform, truncating rounded noisy count.
+    "q_dp_histogram" ->
+      s"""WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_true
+         |  FROM documents GROUP BY 1, 2),
+         |k AS (SELECT *, ${hSql("concat(source, ':', lang)")} % 1000000 AS k
+         |  FROM cells),
+         |n AS (SELECT source, lang, n_true, k AS u_e6,
+         |    CAST(floor((0.0 - sign(k * 2 - 999999))
+         |      * ln((1000000 - abs(k * 2 - 999999)) / 1000000.0)
+         |      * 1000000.0 + 0.5) AS BIGINT) AS noise_e6
+         |  FROM k)
+         |SELECT source, lang, n_true, u_e6, noise_e6,
+         |  (n_true * 1000000 + noise_e6 + 500000) // 1000000 AS noisy_count
+         |FROM n ORDER BY source, lang""".stripMargin,
   )
 }
