@@ -12771,4 +12771,196 @@ object Queries {
           .as("noisy_count"))
       .orderBy(col("source"), col("lang"))
   }
+
+  /** AIPW doubly-robust ATE of heavy clicking (≥14 clicks, the
+    * [[ipwQ]] treatment) on purchase cents — consistent if EITHER the
+    * linear-probability propensity e(x)=a+bx OR the per-arm linear
+    * outcome models μ̂₁/μ̂₀ is right, where [[ipwQ]]'s pure stratification
+    * needs the cells and a naive diff needs ignorability. All three
+    * OLS fits are closed-form from ONE conditional-moment aggregate
+    * (x = events per user); per-user influence values
+    * ψ = μ̂₁−μ̂₀ + d(y−μ̂₁)/ê − (1−d)(y−μ̂₀)/(1−ê) run in truncating e6
+    * with ê clipped to [0.05,0.95] (overlap trimming). One scan, one
+    * user-key aggregate, broadcast coefficients.
+    */
+  def aipwQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val u = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("x"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("ck"),
+        sum(when(col("event_type") === "purchase",
+          cents(col("value")).cast("long")).otherwise(0L)).as("y"))
+      .select(col("x"), when(col("ck") >= 14, 1L).otherwise(0L).as("d"),
+        col("y"))
+    val m = u.groupBy()
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(expr(s"cast(x as $d38) * x")).as("sxx"),
+        sum(col("d")).as("sd"),
+        sum(col("x") * col("d")).as("sxd"),
+        sum(when(col("d") === 1, col("y"))).as("syt"),
+        sum(when(col("d") === 1, expr(s"cast(x as $d38) * y"))).as("sxyt"),
+        sum(when(col("d") === 1, expr(s"cast(x as $d38) * x"))).as("sxxt"),
+        sum(when(col("d") === 1, col("x"))).as("sxt"),
+        sum(when(col("d") === 0, col("y"))).as("syc"),
+        sum(when(col("d") === 0, expr(s"cast(x as $d38) * y"))).as("sxyc"),
+        sum(when(col("d") === 0, expr(s"cast(x as $d38) * x"))).as("sxxc"),
+        sum(when(col("d") === 0, col("x"))).as("sxc"))
+      .withColumn("nt", col("sd"))
+      .withColumn("nc", col("n") - col("sd"))
+      .withColumn("b_e_e6", expr(s"""(n * sxd - cast(sx as $d38) * sd)
+        * 1000000 div (n * sxx - cast(sx as $d38) * sx)"""))
+      .withColumn("a_e_e6",
+        expr("(cast(sd as decimal(38,0)) * 1000000 - b_e_e6 * sx) div n"))
+      .withColumn("b1_e6", expr(s"""(nt * sxyt - cast(sxt as $d38) * syt)
+        * 1000000 div (nt * sxxt - cast(sxt as $d38) * sxt)"""))
+      .withColumn("a1_e6",
+        expr(s"(cast(syt as $d38) * 1000000 - b1_e6 * sxt) div nt"))
+      .withColumn("b0_e6", expr(s"""(nc * sxyc - cast(sxc as $d38) * syc)
+        * 1000000 div (nc * sxxc - cast(sxc as $d38) * sxc)"""))
+      .withColumn("a0_e6",
+        expr(s"(cast(syc as $d38) * 1000000 - b0_e6 * sxc) div nc"))
+      .select(col("n"), col("nt").cast("long").as("n_treated"),
+        col("nc").cast("long").as("n_control"),
+        col("b_e_e6").cast("long").as("b_e_e6"),
+        col("a_e_e6").cast("long").as("a_e_e6"),
+        col("b1_e6").cast("long").as("b1_e6"),
+        col("a1_e6").cast("long").as("a1_e6"),
+        col("b0_e6").cast("long").as("b0_e6"),
+        col("a0_e6").cast("long").as("a0_e6"),
+        expr("cast(cast(syt as decimal(38,0)) * 1000000 div nt\n"
+          + "  - cast(syc as decimal(38,0)) * 1000000 div nc as bigint)")
+          .as("naive_diff_e6"))
+    val psi = u.crossJoin(broadcast(m))
+      .withColumn("e_e6", greatest(lit(50000L),
+        least(lit(950000L), col("a_e_e6") + col("b_e_e6") * col("x"))))
+      .withColumn("m1_e6", col("a1_e6") + col("b1_e6") * col("x"))
+      .withColumn("m0_e6", col("a0_e6") + col("b0_e6") * col("x"))
+      .withColumn("psi_e6", expr(s"""m1_e6 - m0_e6
+        + d * (cast(y as $d38) * 1000000 - m1_e6) * 1000000 div e_e6
+        - (1 - d) * (cast(y as $d38) * 1000000 - m0_e6) * 1000000
+            div (1000000 - e_e6)"""))
+    psi.groupBy(col("n"), col("n_treated"), col("n_control"),
+        col("b_e_e6"), col("b1_e6"), col("b0_e6"), col("naive_diff_e6"))
+      .agg(expr("cast(sum(psi_e6) div n as bigint)")
+        .as("ate_aipw_e6"))
+      .select(col("n").as("n_users"), col("n_treated"), col("n_control"),
+        col("b_e_e6"), col("b1_e6"), col("b0_e6"), col("naive_diff_e6"),
+        col("ate_aipw_e6"))
+  }
+
+  /** 1-NN covariate matching ATT — match every treated activity level
+    * to its NEAREST control activity level (ties to the smaller x) and
+    * compare arm means level-by-level: the transparent cousin of
+    * [[aipwQ]] (no model, just matching bias where supports differ).
+    * Both arms first collapse to their VALUE SUPPORT (distinct
+    * events-per-user counts — the [[mannwhitneyQ]] bounded-support
+    * contract), so the NN search is a support×support join, never
+    * row×row. ATT = Σ n_t·(ȳ_t − ȳ_c(match)) / Σ n_t in exact
+    * truncating e6 cents.
+    */
+  def matchingAttQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("x"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("ck"),
+        sum(when(col("event_type") === "purchase",
+          cents(col("value")).cast("long")).otherwise(0L)).as("y"))
+      .select(col("x"), when(col("ck") >= 14, 1L).otherwise(0L).as("d"),
+        col("y"))
+    val ts = u.filter(col("d") === 1).groupBy(col("x"))
+      .agg(count(lit(1)).as("n_t"), sum(col("y")).as("sy_t"))
+    val cs = u.filter(col("d") === 0).groupBy(col("x").as("xc"))
+      .agg(count(lit(1)).as("n_c"), sum(col("y")).as("sy_c"))
+    val nn = ts.crossJoin(broadcast(cs))
+      .withColumn("dist", abs(col("x") - col("xc")))
+      .groupBy(col("x"), col("n_t"), col("sy_t"))
+      .agg(min(struct(col("dist"), col("xc"), col("n_c"), col("sy_c")))
+        .as("m"))
+      .select(col("x"), col("n_t"), col("sy_t"),
+        col("m.xc").as("x_matched"), col("m.n_c").as("n_c"),
+        col("m.sy_c").as("sy_c"))
+      .withColumn("diff_e6",
+        expr("""cast(cast(sy_t as decimal(38,0)) * 1000000 div n_t
+              - cast(sy_c as decimal(38,0)) * 1000000 div n_c as bigint)"""))
+    val att = nn.groupBy()
+      .agg(expr("""cast(sum(cast(n_t as decimal(38,0)) * diff_e6)
+              div sum(n_t) as bigint)""")
+        .as("att_e6"))
+    nn.crossJoin(broadcast(att))
+      .select(col("x"), col("n_t"), col("x_matched"), col("n_c"),
+        col("diff_e6"), col("att_e6"))
+      .orderBy(col("x"))
+  }
+
+  /** RANSAC robust line fit of purchase cents on events-per-user —
+    * the fit that survives the whale users OLS bends toward: 64
+    * hash-seeded candidate pairs (user ids drawn by the portable
+    * hash — replayable, the [[permutationTestQ]] contract), each
+    * scored by its EXACT integer inlier test
+    * |(y−y₁)Δx − Δy(x−x₁)| ≤ τ·|Δx| (no division, no float), best
+    * round by (inliers desc, round), then one OLS refit on the best
+    * model's inliers. Candidate scoring is rounds×users — linear with
+    * constant 64; OLS moments in decimal(38).
+    */
+  def ransacQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val tau = 300000L // inlier half-width: 3000.00 in cents
+    val u = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("x"),
+        sum(when(col("event_type") === "purchase",
+          cents(col("value")).cast("long")).otherwise(0L)).as("y"))
+    val nU = u.groupBy().agg(max(col("user_id")).as("mx"))
+    val rounds = u.sparkSession.range(0, 64).select(col("id").as("r"))
+      .crossJoin(broadcast(nU))
+      .select(col("r"),
+        pmod(TextOps.portableHash64(concat(lit("ransac:a:"), col("r"))),
+          col("mx") + 1).as("i1"),
+        pmod(TextOps.portableHash64(concat(lit("ransac:b:"), col("r"))),
+          col("mx") + 1).as("i2"))
+    val p1 = u.select(col("user_id").as("i1"), col("x").as("x1"),
+      col("y").as("y1"))
+    val p2 = u.select(col("user_id").as("i2"), col("x").as("x2"),
+      col("y").as("y2"))
+    val models = rounds.join(p1, "i1").join(p2, "i2")
+      .filter(col("x1") =!= col("x2"))
+      .select(col("r"), col("x1"), col("y1"), col("x2"), col("y2"))
+    val scored = u.crossJoin(broadcast(models))
+      .withColumn("inlier",
+        abs((col("y") - col("y1")).cast(d38) * (col("x2") - col("x1"))
+          - (col("y2") - col("y1")).cast(d38) * (col("x") - col("x1")))
+          <= expr(s"cast(${tau}L as $d38) * abs(x2 - x1)"))
+      .groupBy(col("r"), col("x1"), col("y1"), col("x2"), col("y2"))
+      .agg(sum(when(col("inlier"), 1L).otherwise(0L)).as("n_inliers"))
+    val best = scored
+      .orderBy(col("n_inliers").desc, col("r")).limit(1)
+    val refit = u.crossJoin(broadcast(best))
+      .filter(
+        abs((col("y") - col("y1")).cast(d38) * (col("x2") - col("x1"))
+          - (col("y2") - col("y1")).cast(d38) * (col("x") - col("x1")))
+          <= expr(s"cast(${tau}L as $d38) * abs(x2 - x1)"))
+      .groupBy(col("r"), col("n_inliers"))
+      .agg(count(lit(1)).as("nf"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(expr(s"cast(x as $d38) * x")).as("sxx"),
+        sum(expr(s"cast(x as $d38) * y")).as("sxy"))
+      .select(col("r").as("best_round"), col("n_inliers"),
+        expr(s"""cast((nf * sxy - cast(sx as $d38) * sy) * 1000000
+                div (nf * sxx - cast(sx as $d38) * sx) as bigint)""")
+          .as("b_ransac_e6"),
+        expr(s"""cast((cast(sy as $d38) * 1000000
+                - (nf * sxy - cast(sx as $d38) * sy) * 1000000
+                  div (nf * sxx - cast(sx as $d38) * sx) * sx) div nf
+                as bigint)""").as("a_ransac_e6"))
+    val ols = u.groupBy()
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(expr(s"cast(x as $d38) * x")).as("sxx"),
+        sum(expr(s"cast(x as $d38) * y")).as("sxy"))
+      .select(expr(s"""cast((n * sxy - cast(sx as $d38) * sy) * 1000000
+                div (n * sxx - cast(sx as $d38) * sx) as bigint)""")
+        .as("b_ols_e6"))
+    refit.crossJoin(broadcast(ols))
+  }
 }

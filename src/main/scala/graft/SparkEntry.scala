@@ -454,6 +454,9 @@ object SparkEntry {
     "q_yule_k" -> (Queries.yuleKQ _),
     "q_heaps" -> (Queries.heapsQ _),
     "q_dp_histogram" -> (Queries.dpHistogramQ _),
+    "q_aipw" -> (Queries.aipwQ _),
+    "q_matching_att" -> (Queries.matchingAttQ _),
+    "q_ransac" -> (Queries.ransacQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -10081,5 +10084,140 @@ object SparkEntry {
          |SELECT source, lang, n_true, u_e6, noise_e6,
          |  (n_true * 1000000 + noise_e6 + 500000) // 1000000 AS noisy_count
          |FROM n ORDER BY source, lang""".stripMargin,
+
+    // AIPW replay: one conditional-moment pass, three HUGEINT OLS
+    // closed forms, clipped e6 propensity, truncating psi fold.
+    "q_aipw" ->
+      """WITH u AS (SELECT CAST(count(*) AS BIGINT) AS x,
+        |    CASE WHEN sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      >= 14 THEN 1 ELSE 0 END AS d,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY user_id),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx, sum(d) AS sd,
+        |    sum(x * d) AS sxd,
+        |    sum(CASE WHEN d = 1 THEN y END) AS syt,
+        |    sum(CASE WHEN d = 1 THEN CAST(x AS HUGEINT) * y END) AS sxyt,
+        |    sum(CASE WHEN d = 1 THEN CAST(x AS HUGEINT) * x END) AS sxxt,
+        |    sum(CASE WHEN d = 1 THEN x END) AS sxt,
+        |    sum(CASE WHEN d = 0 THEN y END) AS syc,
+        |    sum(CASE WHEN d = 0 THEN CAST(x AS HUGEINT) * y END) AS sxyc,
+        |    sum(CASE WHEN d = 0 THEN CAST(x AS HUGEINT) * x END) AS sxxc,
+        |    sum(CASE WHEN d = 0 THEN x END) AS sxc
+        |  FROM u),
+        |co AS (SELECT *, sd AS nt, n - sd AS nc,
+        |    (n * sxd - CAST(sx AS HUGEINT) * sd) * 1000000
+        |      // (n * sxx - CAST(sx AS HUGEINT) * sx) AS b_e_e6
+        |  FROM m),
+        |co2 AS (SELECT *,
+        |    (CAST(sd AS HUGEINT) * 1000000 - b_e_e6 * sx) // n AS a_e_e6,
+        |    (nt * sxyt - CAST(sxt AS HUGEINT) * syt) * 1000000
+        |      // (nt * sxxt - CAST(sxt AS HUGEINT) * sxt) AS b1_e6,
+        |    (nc * sxyc - CAST(sxc AS HUGEINT) * syc) * 1000000
+        |      // (nc * sxxc - CAST(sxc AS HUGEINT) * sxc) AS b0_e6
+        |  FROM co),
+        |co3 AS (SELECT *,
+        |    (CAST(syt AS HUGEINT) * 1000000 - b1_e6 * sxt) // nt AS a1_e6,
+        |    (CAST(syc AS HUGEINT) * 1000000 - b0_e6 * sxc) // nc AS a0_e6
+        |  FROM co2),
+        |psi AS (SELECT co3.n, co3.nt, co3.nc, co3.b_e_e6, co3.b1_e6,
+        |    co3.b0_e6, co3.syt, co3.syc,
+        |    co3.a1_e6 + co3.b1_e6 * u.x - co3.a0_e6 - co3.b0_e6 * u.x
+        |    + u.d * (CAST(u.y AS HUGEINT) * 1000000
+        |        - co3.a1_e6 - co3.b1_e6 * u.x) * 1000000
+        |      // greatest(50000, least(950000, co3.a_e_e6 + co3.b_e_e6 * u.x))
+        |    - (1 - u.d) * (CAST(u.y AS HUGEINT) * 1000000
+        |        - co3.a0_e6 - co3.b0_e6 * u.x) * 1000000
+        |      // (1000000
+        |        - greatest(50000, least(950000, co3.a_e_e6 + co3.b_e_e6 * u.x)))
+        |      AS psi_e6
+        |  FROM u CROSS JOIN co3)
+        |SELECT n AS n_users, CAST(nt AS BIGINT) AS n_treated,
+        |  CAST(nc AS BIGINT) AS n_control,
+        |  CAST(b_e_e6 AS BIGINT) AS b_e_e6, CAST(b1_e6 AS BIGINT) AS b1_e6,
+        |  CAST(b0_e6 AS BIGINT) AS b0_e6,
+        |  CAST(CAST(syt AS HUGEINT) * 1000000 // nt
+        |    - CAST(syc AS HUGEINT) * 1000000 // nc AS BIGINT)
+        |    AS naive_diff_e6,
+        |  CAST(sum(psi_e6) // n AS BIGINT) AS ate_aipw_e6
+        |FROM psi
+        |GROUP BY n, nt, nc, b_e_e6, b1_e6, b0_e6, syt, syc""".stripMargin,
+
+    // Matching replay: arm value supports, support x support NN with
+    // (dist, xc) tie order, weighted truncating ATT.
+    "q_matching_att" ->
+      """WITH u AS (SELECT CAST(count(*) AS BIGINT) AS x,
+        |    CASE WHEN sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      >= 14 THEN 1 ELSE 0 END AS d,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY user_id),
+        |ts AS (SELECT x, CAST(count(*) AS BIGINT) AS n_t, sum(y) AS sy_t
+        |  FROM u WHERE d = 1 GROUP BY 1),
+        |cs AS (SELECT x AS xc, CAST(count(*) AS BIGINT) AS n_c,
+        |    sum(y) AS sy_c FROM u WHERE d = 0 GROUP BY 1),
+        |nn AS (SELECT x, n_t, sy_t, xc, n_c, sy_c,
+        |    row_number() OVER (PARTITION BY x
+        |      ORDER BY abs(x - xc), xc) AS rn
+        |  FROM ts CROSS JOIN cs),
+        |sel AS (SELECT x, n_t, xc AS x_matched, n_c,
+        |    CAST(CAST(sy_t AS HUGEINT) * 1000000 // n_t
+        |      - CAST(sy_c AS HUGEINT) * 1000000 // n_c AS BIGINT) AS diff_e6
+        |  FROM nn WHERE rn = 1),
+        |att AS (SELECT CAST(sum(CAST(n_t AS HUGEINT) * diff_e6)
+        |    // sum(n_t) AS BIGINT) AS att_e6 FROM sel)
+        |SELECT x, n_t, x_matched, n_c, diff_e6, att_e6
+        |FROM sel CROSS JOIN att ORDER BY x""".stripMargin,
+
+    // RANSAC replay: hash-seeded candidate pairs, exact integer inlier
+    // predicate, best-round OLS refit, all-data OLS for contrast.
+    "q_ransac" ->
+      s"""WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x,
+         |    CAST(sum(CASE WHEN event_type = 'purchase'
+         |      THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END)
+         |      AS BIGINT) AS y
+         |  FROM events GROUP BY user_id),
+         |mxu AS (SELECT max(user_id) AS mx FROM u),
+         |rounds AS (SELECT r,
+         |    ${hSql("concat('ransac:a:', r)")} % (mx + 1) AS i1,
+         |    ${hSql("concat('ransac:b:', r)")} % (mx + 1) AS i2
+         |  FROM (SELECT CAST(unnest(range(64)) AS BIGINT) AS r), mxu),
+         |models AS (SELECT r, p1.x AS x1, p1.y AS y1, p2.x AS x2, p2.y AS y2
+         |  FROM rounds
+         |  JOIN u p1 ON p1.user_id = i1 JOIN u p2 ON p2.user_id = i2
+         |  WHERE p1.x <> p2.x),
+         |scored AS (SELECT r, x1, y1, x2, y2,
+         |    CAST(sum(CASE WHEN abs(CAST(u.y - y1 AS HUGEINT) * (x2 - x1)
+         |        - CAST(y2 - y1 AS HUGEINT) * (u.x - x1))
+         |      <= CAST(300000 AS HUGEINT) * abs(x2 - x1)
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_inliers
+         |  FROM u CROSS JOIN models GROUP BY r, x1, y1, x2, y2),
+         |best AS (SELECT * FROM scored ORDER BY n_inliers DESC, r LIMIT 1),
+         |refit AS (SELECT r AS best_round, n_inliers,
+         |    CAST(count(*) AS BIGINT) AS nf, sum(u.x) AS sx, sum(u.y) AS sy,
+         |    sum(CAST(u.x AS HUGEINT) * u.x) AS sxx,
+         |    sum(CAST(u.x AS HUGEINT) * u.y) AS sxy
+         |  FROM u CROSS JOIN best
+         |  WHERE abs(CAST(u.y - y1 AS HUGEINT) * (x2 - x1)
+         |      - CAST(y2 - y1 AS HUGEINT) * (u.x - x1))
+         |    <= CAST(300000 AS HUGEINT) * abs(x2 - x1)
+         |  GROUP BY r, n_inliers),
+         |ols AS (SELECT CAST((n * sxy - CAST(sx AS HUGEINT) * sy) * 1000000
+         |      // (n * sxx - CAST(sx AS HUGEINT) * sx) AS BIGINT) AS b_ols_e6
+         |  FROM (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+         |      sum(y) AS sy, sum(CAST(x AS HUGEINT) * x) AS sxx,
+         |      sum(CAST(x AS HUGEINT) * y) AS sxy FROM u))
+         |SELECT best_round, n_inliers,
+         |  CAST((nf * sxy - CAST(sx AS HUGEINT) * sy) * 1000000
+         |    // (nf * sxx - CAST(sx AS HUGEINT) * sx) AS BIGINT) AS b_ransac_e6,
+         |  CAST((CAST(sy AS HUGEINT) * 1000000
+         |    - (nf * sxy - CAST(sx AS HUGEINT) * sy) * 1000000
+         |      // (nf * sxx - CAST(sx AS HUGEINT) * sx) * sx) // nf AS BIGINT)
+         |    AS a_ransac_e6,
+         |  b_ols_e6
+         |FROM refit CROSS JOIN ols""".stripMargin,
   )
 }
