@@ -12963,4 +12963,116 @@ object Queries {
         .as("b_ols_e6"))
     refit.crossJoin(broadcast(ols))
   }
+
+  /** Rank-1 ALS matrix factorization of the user×article view/purchase
+    * count matrix — latent-factor collaborative filtering one
+    * abstraction above the memory-based [[itemCfQ]]/[[slopeOneQ]]:
+    * alternate uᵢ = Σr·v / Σv², vⱼ = Σr·u / Σu² over OBSERVED cells
+    * only, 3 half-sweeps from v≡1, every factor a truncating e6
+    * integer so both engines walk identical lattice points. Each
+    * sweep is one join + one keyed aggregate on the rating table —
+    * the canonical "shuffle r by item, then by user" ALS data motion
+    * at any scale. Ships the article factors with popularity.
+    */
+  def alsRank1Q(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val r = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id").as("u"),
+        (expr("event_id % 40") + 1).as("item"))
+      .groupBy(col("u"), col("item")).agg(count(lit(1)).as("r"))
+    // u-step against item factors v (e6): u_i = Σr·v ·1e6 div Σv²/1e6
+    def uStep(v: DataFrame): DataFrame = r.join(broadcast(v), "item")
+      .groupBy(col("u"))
+      .agg(expr(s"""cast(sum(cast(r as $d38) * v_e6) * 1000000
+              div (sum(cast(v_e6 as $d38) * v_e6) div 1000000)
+              as bigint)""").as("u_e6"))
+    def vStep(uf: DataFrame): DataFrame = r.join(uf, "u")
+      .groupBy(col("item"))
+      .agg(expr(s"""cast(sum(cast(r as $d38) * u_e6) * 1000000
+              div (sum(cast(u_e6 as $d38) * u_e6) div 1000000)
+              as bigint)""").as("v_e6"))
+    val v0 = r.select(col("item")).distinct()
+      .withColumn("v_e6", lit(1000000L))
+    val u1 = uStep(v0)
+    val v1 = vStep(u1)
+    val u2 = uStep(v1)
+    val pop = r.groupBy(col("item")).agg(sum(col("r")).as("n_ratings"))
+    v1.join(pop, "item")
+      .select(col("item"), col("n_ratings"), col("v_e6"))
+      .crossJoin(broadcast(u2.groupBy()
+        .agg(count(lit(1)).as("n_users"),
+          expr("sum(u_e6) div count(1)").as("mean_u_e6"))))
+      .orderBy(col("item"))
+  }
+
+  /** Functional-dependency audit over a declared candidate list — the
+    * schema-profiling primitive behind key discovery and denormalization
+    * checks: for each A→B candidate, the count of LHS values, the
+    * count VIOLATING (|distinct B| > 1), the worst fan-out, and the
+    * verdict. Each check is one (A)-keyed count-distinct aggregate —
+    * the exact shape a 100 TB profiler runs per column pair; the
+    * candidate list is fixed and documented, not mined.
+    */
+  def fdCheckQ(spark: SparkSession, sfDir: String): DataFrame = {
+    def check(name: String, df: DataFrame, a: String, b: String): DataFrame =
+      df.groupBy(col(a)).agg(countDistinct(col(b)).as("nb"))
+        .groupBy()
+        .agg(count(lit(1)).as("n_lhs"),
+          sum(when(col("nb") > 1, 1L).otherwise(0L)).as("n_violating"),
+          max(col("nb")).as("max_fanout"))
+        .select(lit(name).as("fd"), col("n_lhs"), col("n_violating"),
+          col("max_fanout"), (col("n_violating") === 0).as("holds"))
+    val orders = Tables.orders(spark, sfDir)
+    val custNation = orders
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+    val partBrand = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
+    check("o_custkey->c_nationkey", custNation, "o_custkey", "c_nationkey")
+      .union(check("l_partkey->p_brand", partBrand, "l_partkey", "p_brand"))
+      .union(check("o_orderpriority->o_orderstatus", orders,
+        "o_orderpriority", "o_orderstatus"))
+      .union(check("user_id->event_type",
+        Tables.events(spark, sfDir), "user_id", "event_type"))
+      .union(check("l_orderkey->l_returnflag",
+        Tables.lineitem(spark, sfDir), "l_orderkey", "l_returnflag"))
+      .orderBy(col("fd"))
+  }
+
+  /** Histogram-based ABC inventory classification of part revenue —
+    * the Pareto split (A ≈ top-80% of revenue, B to 95%, C the tail)
+    * computed WITHOUT a global part sort: parts collapse onto a
+    * log₂-revenue bin support (bounded ~40 bins at any data size),
+    * the cumulative share walks the bin support from the top
+    * (support-bounded window, allowlisted), and every part in a bin
+    * inherits its class — the honest 100 TB shape where a per-part
+    * rank() would be a corpus-sized single-partition sort. Ships the
+    * bin table with counts, shares, and classes.
+    */
+  def abcAnalysisQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val partRev = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(cents(col("l_extendedprice")).cast("long")).as("rev"))
+      .select(col("rev"),
+        floor(log(col("rev").cast("double")) / log(lit(2.0)))
+          .cast("long").as("bin"))
+    val bins = partRev.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("rev_c"))
+    val tot = bins.groupBy().agg(sum(col("rev_c")).as("tt"))
+    val w = Window.partitionBy(
+        graft.functions.GraftFunctions.singleton_key(col("bin")))
+      .orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bins.crossJoin(broadcast(tot))
+      .withColumn("cum_c", sum(col("rev_c")).over(w))
+      .select(col("bin"), col("n_parts"), col("rev_c"),
+        expr("rev_c * 1000000 div tt").as("share_e6"),
+        expr("cum_c * 1000000 div tt").as("cum_share_e6"))
+      .withColumn("abc_class",
+        when(col("cum_share_e6") - col("share_e6") < 800000, "A")
+          .when(col("cum_share_e6") - col("share_e6") < 950000, "B")
+          .otherwise("C"))
+      .orderBy(col("bin").desc)
+  }
 }

@@ -457,6 +457,9 @@ object SparkEntry {
     "q_aipw" -> (Queries.aipwQ _),
     "q_matching_att" -> (Queries.matchingAttQ _),
     "q_ransac" -> (Queries.ransacQ _),
+    "q_als_rank1" -> (Queries.alsRank1Q _),
+    "q_fd_check" -> (Queries.fdCheckQ _),
+    "q_abc_analysis" -> (Queries.abcAnalysisQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -10219,5 +10222,103 @@ object SparkEntry {
          |    AS a_ransac_e6,
          |  b_ols_e6
          |FROM refit CROSS JOIN ols""".stripMargin,
+
+    // Rank-1 ALS replay: 3 unrolled half-sweeps with truncating e6
+    // factors, observed-cell sums in HUGEINT.
+    "q_als_rank1" ->
+      """WITH r AS (SELECT user_id AS u, event_id % 40 + 1 AS item,
+        |    CAST(count(*) AS BIGINT) AS r
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1, 2),
+        |u1 AS (SELECT u,
+        |    CAST(sum(CAST(r AS HUGEINT) * 1000000) * 1000000
+        |      // (sum(CAST(1000000 AS HUGEINT) * 1000000) // 1000000)
+        |      AS BIGINT) AS u_e6
+        |  FROM r GROUP BY u),
+        |v1 AS (SELECT item,
+        |    CAST(sum(CAST(r.r AS HUGEINT) * u_e6) * 1000000
+        |      // (sum(CAST(u_e6 AS HUGEINT) * u_e6) // 1000000)
+        |      AS BIGINT) AS v_e6
+        |  FROM r JOIN u1 USING (u) GROUP BY item),
+        |u2 AS (SELECT u,
+        |    CAST(sum(CAST(r.r AS HUGEINT) * v_e6) * 1000000
+        |      // (sum(CAST(v_e6 AS HUGEINT) * v_e6) // 1000000)
+        |      AS BIGINT) AS u_e6
+        |  FROM r JOIN v1 USING (item) GROUP BY u),
+        |pop AS (SELECT item, sum(r) AS n_ratings FROM r GROUP BY item),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(u_e6) // count(*) AS BIGINT) AS mean_u_e6 FROM u2)
+        |SELECT v1.item, CAST(n_ratings AS BIGINT) AS n_ratings, v_e6,
+        |  n_users, mean_u_e6
+        |FROM v1 JOIN pop USING (item) CROSS JOIN g
+        |ORDER BY item""".stripMargin,
+
+    // FD-audit replay: one count-distinct aggregate per declared
+    // candidate, unioned.
+    "q_fd_check" ->
+      """WITH c1 AS (SELECT 'o_custkey->c_nationkey' AS fd,
+        |    CAST(count(*) AS BIGINT) AS n_lhs,
+        |    CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violating,
+        |    CAST(max(nb) AS BIGINT) AS max_fanout
+        |  FROM (SELECT o_custkey, count(DISTINCT c_nationkey) AS nb
+        |    FROM orders JOIN customer ON o_custkey = c_custkey
+        |    GROUP BY 1)),
+        |c2 AS (SELECT 'l_partkey->p_brand',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(max(nb) AS BIGINT)
+        |  FROM (SELECT l_partkey, count(DISTINCT p_brand) AS nb
+        |    FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1)),
+        |c3 AS (SELECT 'o_orderpriority->o_orderstatus',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(max(nb) AS BIGINT)
+        |  FROM (SELECT o_orderpriority, count(DISTINCT o_orderstatus) AS nb
+        |    FROM orders GROUP BY 1)),
+        |c4 AS (SELECT 'user_id->event_type',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(max(nb) AS BIGINT)
+        |  FROM (SELECT user_id, count(DISTINCT event_type) AS nb
+        |    FROM events GROUP BY 1)),
+        |c5 AS (SELECT 'l_orderkey->l_returnflag',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(max(nb) AS BIGINT)
+        |  FROM (SELECT l_orderkey, count(DISTINCT l_returnflag) AS nb
+        |    FROM lineitem GROUP BY 1)),
+        |allc AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+        |  UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4
+        |  UNION ALL SELECT * FROM c5)
+        |SELECT fd, n_lhs, n_violating, max_fanout,
+        |  n_violating = 0 AS holds
+        |FROM allc ORDER BY fd""".stripMargin,
+
+    // ABC replay: log2 revenue bins, top-down cumulative share over
+    // the bin support, boundary-exclusive class cut.
+    "q_abc_analysis" ->
+      """WITH pr AS (SELECT
+        |    sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS rev
+        |  FROM lineitem GROUP BY l_partkey),
+        |pb AS (SELECT rev,
+        |    CAST(floor(ln(CAST(rev AS DOUBLE)) / ln(2.0)) AS BIGINT) AS bin
+        |  FROM pr),
+        |bins AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_parts,
+        |    sum(rev) AS rev_c FROM pb GROUP BY 1),
+        |tot AS (SELECT sum(rev_c) AS tt FROM bins),
+        |c AS (SELECT bin, n_parts, rev_c,
+        |    rev_c * 1000000 // tt AS share_e6,
+        |    sum(rev_c) OVER (ORDER BY bin DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      * 1000000 // tt AS cum_share_e6
+        |  FROM bins CROSS JOIN tot)
+        |SELECT bin, n_parts, CAST(rev_c AS BIGINT) AS rev_c,
+        |  CAST(share_e6 AS BIGINT) AS share_e6,
+        |  CAST(cum_share_e6 AS BIGINT) AS cum_share_e6,
+        |  CASE WHEN cum_share_e6 - share_e6 < 800000 THEN 'A'
+        |    WHEN cum_share_e6 - share_e6 < 950000 THEN 'B'
+        |    ELSE 'C' END AS abc_class
+        |FROM c ORDER BY bin DESC""".stripMargin,
   )
 }

@@ -97,7 +97,8 @@ object WindowLint {
     "q_skyline", // grid-bucket-bounded skyline merge (Skyline.scala sky_bucket)
     "q_drawdown", // calendar: one row per month (~80 on this data)
     "q_hill", // rank over the 201-row TakeOrdered shortlist (shortlist-bounded)
-    "q_sprt" // calendar: cumulative LLR over the day spine
+    "q_sprt", // calendar: cumulative LLR over the day spine
+    "q_abc_analysis" // log2-revenue bin support (~40 bins at any size)
   )
 }
 
