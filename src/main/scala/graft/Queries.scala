@@ -13075,4 +13075,141 @@ object Queries {
           .otherwise("C"))
       .orderBy(col("bin").desc)
   }
+
+  /** Exact 1-D Wasserstein (earth-mover) distance between the first-
+    * and second-half event-value distributions — the drift metric that
+    * [[psiQ]]'s binned KL misses magnitude on (PSI says HOW SURE the
+    * shift is, W₁ says HOW FAR the mass moved, in cents):
+    * W₁ = ∫|F₁−F₂| = Σ_support |n₂·C₁(v) − n₁·C₂(v)|·gap(v) / (n₁n₂),
+    * fraction-free by cross-scaling the cumulative counts. The
+    * cumulative walk runs on the distinct-cents VALUE SUPPORT (the
+    * [[aucQ]] contract, allowlisted); one scan, one support aggregate.
+    */
+  def wassersteinQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("d"),
+        cents(col("value")).cast("long").as("vc"))
+    val mid = h.groupBy().agg(expr("(min(d) + max(d) + 1) div 2").as("mid"))
+    val sup = h.crossJoin(broadcast(mid))
+      .groupBy(col("vc"))
+      .agg(sum(when(col("d") < col("mid"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("d") >= col("mid"), 1L).otherwise(0L)).as("c2"))
+    val tot = sup.groupBy()
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val w = Window.partitionBy(
+        graft.functions.GraftFunctions.singleton_key(col("vc")))
+      .orderBy(col("vc"))
+    val cum = sup
+      .withColumn("cc1", sum(col("c1")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cc2", sum(col("c2")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("gap", lead(col("vc"), 1).over(w) - col("vc"))
+      .filter(col("gap").isNotNull)
+    cum.crossJoin(broadcast(tot))
+      .select(abs(col("cc1").cast("decimal(38,0)") * col("n2")
+        - col("cc2").cast("decimal(38,0)") * col("n1")).as("num"),
+        col("gap"), col("n1"), col("n2"))
+      .groupBy(col("n1"), col("n2"))
+      .agg(sum(col("num") * col("gap")).as("s"))
+      .select(col("n1"), col("n2"),
+        expr("""cast(s * 1000000 div (cast(n1 as decimal(38,0)) * n2)
+                as bigint)""").as("w1_cents_e6"))
+  }
+
+  /** SES forecast + Trigg tracking signal over the daily event volume
+    * — the forecast-health monitor ops teams run beside [[ewmaQ]]'s
+    * level chart: one exact e6 fold (the [[kaplanMeierQ]] idiom, no
+    * window) carries the α=0.3 smoothed forecast, the cumulative
+    * forecast error, and the 0.3-smoothed MAD; TS = CFE/MAD flags
+    * systematic bias when |TS| > 4. Truncating-integer recursion both
+    * engines replay bit-exactly; day-spine-bounded after one daily
+    * aggregate.
+    */
+  def trackingSignalQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("x"))
+    daily
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("arr"))
+      .select(explode(expr(
+        """aggregate(arr,
+          |  named_struct('f', -1L, 'cfe', 0L, 'smad', 0L,
+          |    'out', cast(array() as array<struct<d:bigint,x:bigint,
+          |      f_e6:bigint,err_e6:bigint,cfe_e6:bigint,smad_e6:bigint>>)),
+          |  (acc, e) -> named_struct(
+          |    'f', if(acc.f < 0L, e.x * 1000000L,
+          |      acc.f + (e.x * 1000000L - acc.f) * 3L div 10L),
+          |    'cfe', if(acc.f < 0L, 0L, acc.cfe + e.x * 1000000L - acc.f),
+          |    'smad', if(acc.f < 0L, 0L,
+          |      (abs(e.x * 1000000L - acc.f) * 3L + acc.smad * 7L) div 10L),
+          |    'out', array_append(acc.out, named_struct(
+          |      'd', e.d, 'x', e.x,
+          |      'f_e6', if(acc.f < 0L, e.x * 1000000L, acc.f),
+          |      'err_e6', if(acc.f < 0L, 0L, e.x * 1000000L - acc.f),
+          |      'cfe_e6', if(acc.f < 0L, 0L, acc.cfe + e.x * 1000000L - acc.f),
+          |      'smad_e6', if(acc.f < 0L, 0L,
+          |        (abs(e.x * 1000000L - acc.f) * 3L + acc.smad * 7L)
+          |          div 10L)))),
+          |  acc -> acc.out)""".stripMargin)).as("r"))
+      .select(col("r.d").as("d"), col("r.x").as("x"),
+        col("r.f_e6").as("f_e6"), col("r.err_e6").as("err_e6"),
+        col("r.cfe_e6").as("cfe_e6"), col("r.smad_e6").as("smad_e6"),
+        when(col("r.smad_e6") === 0, 0L)
+          .otherwise(expr("r.cfe_e6 * 1000000 div r.smad_e6")).as("ts_e6"))
+      .orderBy(col("d"))
+  }
+
+  /** Engle-Granger cointegration test between daily click and view
+    * volumes — "do these two series share a long-run equilibrium, or
+    * does their spread wander" (the pairs-trading / coupled-metrics
+    * screen [[grangerQ]]'s lead-lag test doesn't answer): stage 1 fits
+    * views ~ clicks by integer OLS (e6), stage 2 regresses Δr on
+    * r₋₁ — a unit root means ρ≈0. ρ and its t-stat come from exact
+    * decimal(38) residual moments (residuals are themselves exact e6
+    * integers); the t-stat's sqrt runs once on the final scalars. Day
+    * spine only after the daily aggregates.
+    */
+  def cointegrationQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("y"))
+    val m = daily.groupBy()
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr(s"cast(x as $d38) * x")).as("sxx"),
+        sum(expr(s"cast(x as $d38) * y")).as("sxy"))
+      .withColumn("b_e6", expr(s"""(n * sxy - cast(sx as $d38) * sy)
+        * 1000000 div (n * sxx - cast(sx as $d38) * sx)"""))
+      .withColumn("a_e6",
+        expr(s"(cast(sy as $d38) * 1000000 - b_e6 * sx) div n"))
+    val r = daily.crossJoin(broadcast(m.select(col("b_e6"), col("a_e6"))))
+      .select(col("d"),
+        (col("y") * 1000000L - col("a_e6") - col("b_e6") * col("x"))
+          .as("r"))
+    val rl = r.select((col("d") + 1).as("d"), col("r").as("rl"))
+    val df = r.join(rl, "d")
+      .select(col("rl"), (col("r") - col("rl")).as("dr"))
+      .groupBy()
+      .agg(count(lit(1)).as("nd"),
+        sum(expr(s"cast(rl as $d38) * dr div 1000000")).as("srd"),
+        sum(expr(s"cast(rl as $d38) * rl div 1000000")).as("srr"),
+        sum(expr(s"cast(dr as $d38) * dr div 1000000")).as("sdd"))
+      .select(col("nd"),
+        expr("cast(srd * 1000000 div srr as bigint)").as("rho_e6"),
+        // t = rho * sqrt(srr / s2), s2 = (sdd - rho^2 srr)/(nd-2) —
+        // one double expression over the exact descaled moments
+        floor(expr("""(cast(srd as double) / srr)
+          * sqrt(cast(srr as double) * (nd - 2)
+            / (cast(sdd as double) - cast(srd as double) * srd / srr))
+          * 1000000.0""") + 0.5).cast("long").as("df_t_e6"))
+    df.crossJoin(broadcast(m.select(col("n").as("n_days"),
+        col("b_e6").cast("long").as("b_e6"),
+        col("a_e6").cast("long").as("a_e6"))))
+      .select(col("n_days"), col("b_e6"), col("a_e6"), col("nd"),
+        col("rho_e6"), col("df_t_e6"))
+  }
 }

@@ -460,6 +460,9 @@ object SparkEntry {
     "q_als_rank1" -> (Queries.alsRank1Q _),
     "q_fd_check" -> (Queries.fdCheckQ _),
     "q_abc_analysis" -> (Queries.abcAnalysisQ _),
+    "q_wasserstein" -> (Queries.wassersteinQ _),
+    "q_tracking_signal" -> (Queries.trackingSignalQ _),
+    "q_cointegration" -> (Queries.cointegrationQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -10320,5 +10323,90 @@ object SparkEntry {
         |    WHEN cum_share_e6 - share_e6 < 950000 THEN 'B'
         |    ELSE 'C' END AS abc_class
         |FROM c ORDER BY bin DESC""".stripMargin,
+
+    // Wasserstein replay: half-split, value-support CDFs cross-scaled
+    // fraction-free, gap-weighted HUGEINT sum.
+    "q_wasserstein" ->
+      """WITH h AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS vc FROM events),
+        |mid AS (SELECT (min(d) + max(d) + 1) // 2 AS mid FROM h),
+        |sup AS (SELECT vc,
+        |    CAST(sum(CASE WHEN d < mid THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN d >= mid THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM h CROSS JOIN mid GROUP BY 1),
+        |tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM sup),
+        |cum AS (SELECT vc,
+        |    sum(c1) OVER (ORDER BY vc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc1,
+        |    sum(c2) OVER (ORDER BY vc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc2,
+        |    lead(vc) OVER (ORDER BY vc) - vc AS gap
+        |  FROM sup),
+        |f AS (SELECT * FROM cum WHERE gap IS NOT NULL)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  CAST(sum(abs(CAST(cc1 AS HUGEINT) * n2 - CAST(cc2 AS HUGEINT) * n1)
+        |      * gap) * 1000000 // (CAST(n1 AS HUGEINT) * n2) AS BIGINT)
+        |    AS w1_cents_e6
+        |FROM f CROSS JOIN tot GROUP BY n1, n2""".stripMargin,
+
+    // Tracking-signal replay: recursive SES/CFE/MAD state walk with
+    // the same truncating e6 updates.
+    "q_tracking_signal" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |o AS (SELECT d, x, row_number() OVER (ORDER BY d) AS rn FROM daily),
+        |r AS (
+        |  SELECT rn, d, x, x * 1000000 AS f_used, CAST(0 AS BIGINT) AS err,
+        |    CAST(0 AS BIGINT) AS cfe, CAST(0 AS BIGINT) AS smad,
+        |    x * 1000000 AS f_next
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.rn, o.d, o.x, r.f_next, o.x * 1000000 - r.f_next,
+        |    r.cfe + o.x * 1000000 - r.f_next,
+        |    (abs(o.x * 1000000 - r.f_next) * 3 + r.smad * 7) // 10,
+        |    r.f_next + (o.x * 1000000 - r.f_next) * 3 // 10
+        |  FROM r JOIN o ON o.rn = r.rn + 1)
+        |SELECT d, x, CAST(f_used AS BIGINT) AS f_e6,
+        |  CAST(err AS BIGINT) AS err_e6, CAST(cfe AS BIGINT) AS cfe_e6,
+        |  CAST(smad AS BIGINT) AS smad_e6,
+        |  CASE WHEN smad = 0 THEN 0
+        |    ELSE CAST(cfe * 1000000 // smad AS BIGINT) END AS ts_e6
+        |FROM r ORDER BY d""".stripMargin,
+
+    // Cointegration replay: stage-1 HUGEINT OLS, exact e6 residuals,
+    // stage-2 descaled Dickey-Fuller moments and double t-stat.
+    "q_cointegration" ->
+      """WITH daily AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+        |    sum(y) AS sy, sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy FROM daily),
+        |co AS (SELECT *, (n * sxy - CAST(sx AS HUGEINT) * sy) * 1000000
+        |    // (n * sxx - CAST(sx AS HUGEINT) * sx) AS b_e6 FROM m),
+        |co2 AS (SELECT *,
+        |    (CAST(sy AS HUGEINT) * 1000000 - b_e6 * sx) // n AS a_e6
+        |  FROM co),
+        |res AS (SELECT d, y * 1000000 - a_e6 - b_e6 * x AS r
+        |  FROM daily CROSS JOIN co2),
+        |j AS (SELECT a.r - b.r AS dr, b.r AS rl
+        |  FROM res a JOIN res b ON a.d = b.d + 1),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+        |    sum(CAST(rl AS HUGEINT) * dr // 1000000) AS srd,
+        |    sum(CAST(rl AS HUGEINT) * rl // 1000000) AS srr,
+        |    sum(CAST(dr AS HUGEINT) * dr // 1000000) AS sdd
+        |  FROM j)
+        |SELECT co2.n AS n_days, CAST(co2.b_e6 AS BIGINT) AS b_e6,
+        |  CAST(co2.a_e6 AS BIGINT) AS a_e6, mm.nd,
+        |  CAST(srd * 1000000 // srr AS BIGINT) AS rho_e6,
+        |  CAST(floor((CAST(srd AS DOUBLE) / srr)
+        |    * sqrt(CAST(srr AS DOUBLE) * (nd - 2)
+        |      / (CAST(sdd AS DOUBLE) - CAST(srd AS DOUBLE) * srd / srr))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS df_t_e6
+        |FROM mm CROSS JOIN co2""".stripMargin,
   )
 }

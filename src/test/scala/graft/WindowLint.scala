@@ -98,7 +98,8 @@ object WindowLint {
     "q_drawdown", // calendar: one row per month (~80 on this data)
     "q_hill", // rank over the 201-row TakeOrdered shortlist (shortlist-bounded)
     "q_sprt", // calendar: cumulative LLR over the day spine
-    "q_abc_analysis" // log2-revenue bin support (~40 bins at any size)
+    "q_abc_analysis", // log2-revenue bin support (~40 bins at any size)
+    "q_wasserstein" // value-support CDF walk over distinct cents (q_auc contract)
   )
 }
 
