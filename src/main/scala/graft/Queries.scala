@@ -13212,4 +13212,129 @@ object Queries {
       .select(col("n_days"), col("b_e6"), col("a_e6"), col("nd"),
         col("rho_e6"), col("df_t_e6"))
   }
+
+  /** Johnson-Lindenstrauss random projection (64→8 dims, hash-seeded
+    * ±1 signs) with a distance-preservation audit — the dimensionality
+    * cut every 100 TB embedding pipeline wants BEFORE the expensive
+    * ANN build, plus the proof it didn't wreck geometry: project the
+    * e6-quantized vectors through a broadcast 512-entry sign matrix
+    * (one data-sized join + keyed aggregate), then check
+    * ‖Pa−Pb‖²/(k·‖a−b‖²) on 100 hash-chosen pairs — E[ratio]=1 for
+    * ±1 JL. Everything integer: projections are exact dot products,
+    * ratios truncating e6.
+    */
+  def randomProjectionQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val q = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        floor(col("x").cast("double") * lit(1000000.0)).cast("long").as("qx"))
+    val sess = q.sparkSession
+    val signs = broadcast(sess.range(0, 8).select(col("id").as("k"))
+      .crossJoin(sess.range(0, 64).select(col("id").as("dim")))
+      .select(col("k"), col("dim"),
+        (lit(1L) - pmod(TextOps.portableHash64(
+          concat(lit("rp:"), col("k"), lit(":"), col("dim"))), lit(2L)) * 2L)
+          .as("s")))
+    val proj = q.join(signs, "dim")
+      .groupBy(col("vec_id"), col("k"))
+      .agg(sum(col("qx") * col("s")).as("y"))
+    val nv = q.groupBy().agg((max(col("vec_id")) + 1).as("nv"))
+    val pairs = sess.range(0, 100).select(col("id").as("pair"))
+      .crossJoin(broadcast(nv))
+      .select(col("pair"),
+        pmod(TextOps.portableHash64(concat(lit("rp:a:"), col("pair"))),
+          col("nv")).as("a"),
+        pmod(TextOps.portableHash64(concat(lit("rp:b:"), col("pair"))),
+          col("nv")).as("b"))
+      .filter(col("a") =!= col("b"))
+    val dOrig = pairs
+      .join(q.select(col("vec_id").as("a"), col("dim"), col("qx").as("qa")), "a")
+      .join(q.select(col("vec_id").as("b"), col("dim"), col("qx").as("qb")),
+        Seq("b", "dim"))
+      .groupBy(col("pair"), col("a"), col("b"))
+      .agg(sum(expr(s"cast(qa - qb as $d38) * (qa - qb)")).as("d2o"))
+    val dProj = pairs
+      .join(proj.select(col("vec_id").as("a"), col("k"), col("y").as("ya")), "a")
+      .join(proj.select(col("vec_id").as("b"), col("k"), col("y").as("yb")),
+        Seq("b", "k"))
+      .groupBy(col("pair")).agg(sum(expr(s"cast(ya - yb as $d38) * (ya - yb)"))
+        .as("d2p"))
+    val per = dOrig.join(dProj, "pair")
+      .select(col("pair"), col("a"), col("b"),
+        expr("cast(d2o div 1000000 as bigint)").as("d2_orig_e6"),
+        expr("cast(d2p * 1000000 div (8 * d2o) as bigint)").as("ratio_e6"))
+    val agg = per.groupBy()
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(ratio_e6) div count(1)").as("mean_ratio_e6"),
+        max(abs(col("ratio_e6") - 1000000L)).as("max_distortion_e6"))
+    per.crossJoin(broadcast(agg))
+      .orderBy(col("pair"))
+  }
+
+  /** Position-bias audit (COEC — clicks over expected clicks) of
+    * article engagement: a deterministic serving position
+    * (event_id mod 10) stands in for the rank column a real log
+    * carries; global per-position click/view rates form the prior,
+    * each article's EXPECTED clicks charge its view volume through
+    * that prior, and COEC = observed/expected at e6 — the
+    * position-debiased popularity every recsys training-data pipeline
+    * builds before learning from logged feedback. Shapes: two bounded
+    * aggregates (position support ×10, article support ×40) and one
+    * article×position rollup.
+    */
+  def positionBiasQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("view", "click"))
+      .select((expr("event_id % 40") + 1).as("article"),
+        (expr("event_id % 10")).as("pos"),
+        (col("event_type") === "click").as("is_click"))
+    val posRate = ev.groupBy(col("pos"))
+      .agg(sum(when(!col("is_click"), 1L).otherwise(0L)).as("views_p"),
+        sum(when(col("is_click"), 1L).otherwise(0L)).as("clicks_p"))
+      .withColumn("rate_e6", expr("clicks_p * 1000000 div views_p"))
+    val artPos = ev.groupBy(col("article"), col("pos"))
+      .agg(sum(when(!col("is_click"), 1L).otherwise(0L)).as("views"),
+        sum(when(col("is_click"), 1L).otherwise(0L)).as("clicks"))
+    artPos.join(broadcast(posRate.select(col("pos"), col("rate_e6"))), "pos")
+      .groupBy(col("article"))
+      .agg(sum(col("views")).as("views"), sum(col("clicks")).as("clicks"),
+        sum(expr("cast(views as decimal(38,0)) * rate_e6")).as("expected_e6"))
+      .select(col("article"), col("views"), col("clicks"),
+        expr("cast(expected_e6 div 1000000 as bigint)").as("expected"),
+        expr("""cast(cast(clicks as decimal(38,0)) * 1000000000000
+                div expected_e6 as bigint)""").as("coec_e6"))
+      .orderBy(col("article"))
+  }
+
+  /** Hashing-trick collision audit — before a 100 TB pipeline hashes
+    * its vocabulary into 2¹⁰ feature buckets, this measures what the
+    * trick destroys: bucket-occupancy histogram (how many buckets hold
+    * k types), the type-level collision rate 1 − buckets/types, and
+    * the token-MASS share sitting in collided buckets (the quantity
+    * that actually moves a downstream model). One tokenize pass, one
+    * type aggregate, bucket/occupancy-bounded rollups.
+    */
+  def featureHashingQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val types = Tables.documents(spark, sfDir)
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .filter(length(col("token")) >= 2)
+      .groupBy(col("token")).agg(count(lit(1)).as("mass"))
+      .select(pmod(TextOps.portableHash64(col("token")), lit(1024L))
+        .as("bucket"), col("mass"))
+    val buckets = types.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_types"), sum(col("mass")).as("mass"))
+    val tot = buckets.groupBy()
+      .agg(sum(col("n_types")).as("tt"), count(lit(1)).as("bu"),
+        sum(col("mass")).as("tm"),
+        sum(when(col("n_types") > 1, col("mass")).otherwise(0L)).as("cm"))
+    buckets.groupBy(col("n_types").as("occupancy"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("mass")).as("mass"))
+      .crossJoin(broadcast(tot))
+      .select(col("occupancy"), col("n_buckets"), col("mass"),
+        col("tt").as("n_types_total"), col("bu").as("n_buckets_used"),
+        expr("(tt - bu) * 1000000 div tt").as("collision_rate_e6"),
+        expr("cm * 1000000 div tm").as("collided_mass_e6"))
+      .orderBy(col("occupancy"))
+  }
 }

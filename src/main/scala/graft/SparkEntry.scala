@@ -463,6 +463,9 @@ object SparkEntry {
     "q_wasserstein" -> (Queries.wassersteinQ _),
     "q_tracking_signal" -> (Queries.trackingSignalQ _),
     "q_cointegration" -> (Queries.cointegrationQ _),
+    "q_random_projection" -> (Queries.randomProjectionQ _),
+    "q_position_bias" -> (Queries.positionBiasQ _),
+    "q_feature_hashing" -> (Queries.featureHashingQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -10408,5 +10411,100 @@ object SparkEntry {
         |      / (CAST(sdd AS DOUBLE) - CAST(srd AS DOUBLE) * srd / srr))
         |    * 1000000.0 + 0.5) AS BIGINT) AS df_t_e6
         |FROM mm CROSS JOIN co2""".stripMargin,
+
+    // JL-projection replay: hash-signed 8x64 matrix, exact integer
+    // projections, 100 hash-chosen pair distortions.
+    "q_random_projection" ->
+      s"""WITH q AS (SELECT vec_id, unnest(range(len(embedding))) AS dim,
+         |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+         |      AS BIGINT) AS qx
+         |  FROM embeddings),
+         |signs AS (SELECT k, dim,
+         |    1 - (${hSql("concat('rp:', k, ':', dim)")} % 2) * 2 AS s
+         |  FROM (SELECT CAST(unnest(range(8)) AS BIGINT) AS k)
+         |  CROSS JOIN (SELECT CAST(unnest(range(64)) AS BIGINT) AS dim)),
+         |proj AS (SELECT vec_id, k, sum(qx * s) AS y
+         |  FROM q JOIN signs USING (dim) GROUP BY 1, 2),
+         |nv AS (SELECT max(vec_id) + 1 AS nv FROM q),
+         |pairs AS (SELECT pair,
+         |    ${hSql("concat('rp:a:', pair)")} % nv AS a,
+         |    ${hSql("concat('rp:b:', pair)")} % nv AS b
+         |  FROM (SELECT CAST(unnest(range(100)) AS BIGINT) AS pair), nv),
+         |pf AS (SELECT * FROM pairs WHERE a <> b),
+         |do_ AS (SELECT pair, pf.a, pf.b,
+         |    sum(CAST(qa.qx - qb.qx AS HUGEINT) * (qa.qx - qb.qx)) AS d2o
+         |  FROM pf JOIN q qa ON qa.vec_id = pf.a
+         |  JOIN q qb ON qb.vec_id = pf.b AND qb.dim = qa.dim
+         |  GROUP BY 1, 2, 3),
+         |dp_ AS (SELECT pair,
+         |    sum(CAST(pa.y - pb.y AS HUGEINT) * (pa.y - pb.y)) AS d2p
+         |  FROM pf JOIN proj pa ON pa.vec_id = pf.a
+         |  JOIN proj pb ON pb.vec_id = pf.b AND pb.k = pa.k
+         |  GROUP BY 1),
+         |per AS (SELECT do_.pair, a, b,
+         |    CAST(d2o // 1000000 AS BIGINT) AS d2_orig_e6,
+         |    CAST(d2p * 1000000 // (8 * d2o) AS BIGINT) AS ratio_e6
+         |  FROM do_ JOIN dp_ ON do_.pair = dp_.pair),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(sum(ratio_e6) // count(*) AS BIGINT) AS mean_ratio_e6,
+         |    CAST(max(abs(ratio_e6 - 1000000)) AS BIGINT)
+         |      AS max_distortion_e6
+         |  FROM per)
+         |SELECT pair, a, b, d2_orig_e6, ratio_e6, n_pairs, mean_ratio_e6,
+         |  max_distortion_e6
+         |FROM per CROSS JOIN agg ORDER BY pair""".stripMargin,
+
+    // COEC replay: position-prior rates, article expected clicks in
+    // HUGEINT, e6 observed/expected.
+    "q_position_bias" ->
+      """WITH ev AS (SELECT event_id % 40 + 1 AS article,
+        |    event_id % 10 AS pos, event_type = 'click' AS is_click
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |pr AS (SELECT pos,
+        |    CAST(sum(CASE WHEN is_click THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS views_p,
+        |    CAST(sum(CASE WHEN is_click THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS clicks_p
+        |  FROM ev GROUP BY 1),
+        |pr2 AS (SELECT pos, clicks_p * 1000000 // views_p AS rate_e6
+        |  FROM pr),
+        |ap AS (SELECT article, pos,
+        |    CAST(sum(CASE WHEN is_click THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS views,
+        |    CAST(sum(CASE WHEN is_click THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS clicks
+        |  FROM ev GROUP BY 1, 2),
+        |a AS (SELECT article, sum(views) AS views, sum(clicks) AS clicks,
+        |    sum(CAST(views AS HUGEINT) * rate_e6) AS expected_e6
+        |  FROM ap JOIN pr2 USING (pos) GROUP BY 1)
+        |SELECT article, CAST(views AS BIGINT) AS views,
+        |  CAST(clicks AS BIGINT) AS clicks,
+        |  CAST(expected_e6 // 1000000 AS BIGINT) AS expected,
+        |  CAST(CAST(clicks AS HUGEINT) * 1000000000000 // expected_e6
+        |    AS BIGINT) AS coec_e6
+        |FROM a ORDER BY article""".stripMargin,
+
+    // Feature-hashing replay: 1024-bucket portable hash, occupancy
+    // histogram, collision rate and collided-mass share.
+    "q_feature_hashing" ->
+      s"""WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)),
+         |    '\\s+')) AS token FROM documents),
+         |ty AS (SELECT token, CAST(count(*) AS BIGINT) AS mass
+         |  FROM t WHERE length(token) >= 2 GROUP BY 1),
+         |b AS (SELECT ${hSql("token")} % 1024 AS bucket, mass FROM ty),
+         |bk AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_types,
+         |    sum(mass) AS mass FROM b GROUP BY 1),
+         |tot AS (SELECT sum(n_types) AS tt, CAST(count(*) AS BIGINT) AS bu,
+         |    sum(mass) AS tm,
+         |    sum(CASE WHEN n_types > 1 THEN mass ELSE 0 END) AS cm
+         |  FROM bk)
+         |SELECT n_types AS occupancy, CAST(count(*) AS BIGINT) AS n_buckets,
+         |  CAST(sum(mass) AS BIGINT) AS mass, CAST(tt AS BIGINT)
+         |    AS n_types_total,
+         |  bu AS n_buckets_used,
+         |  CAST((tt - bu) * 1000000 // tt AS BIGINT) AS collision_rate_e6,
+         |  CAST(cm * 1000000 // tm AS BIGINT) AS collided_mass_e6
+         |FROM bk CROSS JOIN tot
+         |GROUP BY n_types, tt, bu, tm, cm ORDER BY occupancy""".stripMargin,
   )
 }
