@@ -12895,8 +12895,9 @@ object Queries {
 
   /** RANSAC robust line fit of purchase cents on events-per-user —
     * the fit that survives the whale users OLS bends toward: 64
-    * hash-seeded candidate pairs (user ids drawn by the portable
-    * hash — replayable, the [[permutationTestQ]] contract), each
+    * hash-seeded candidate pairs (each endpoint the hash-ARGMIN over
+    * the real user population — replayable and density-independent,
+    * unlike an id-modulus draw), each
     * scored by its EXACT integer inlier test
     * |(y−y₁)Δx − Δy(x−x₁)| ≤ τ·|Δx| (no division, no float), best
     * round by (inliers desc, round), then one OLS refit on the best
@@ -12911,21 +12912,22 @@ object Queries {
       .agg(count(lit(1)).as("x"),
         sum(when(col("event_type") === "purchase",
           cents(col("value")).cast("long")).otherwise(0L)).as("y"))
-    val nU = u.groupBy().agg(max(col("user_id")).as("mx"))
-    val rounds = u.sparkSession.range(0, 64).select(col("id").as("r"))
-      .crossJoin(broadcast(nU))
-      .select(col("r"),
-        pmod(TextOps.portableHash64(concat(lit("ransac:a:"), col("r"))),
-          col("mx") + 1).as("i1"),
-        pmod(TextOps.portableHash64(concat(lit("ransac:b:"), col("r"))),
-          col("mx") + 1).as("i2"))
-    val p1 = u.select(col("user_id").as("i1"), col("x").as("x1"),
-      col("y").as("y1"))
-    val p2 = u.select(col("user_id").as("i2"), col("x").as("x2"),
-      col("y").as("y2"))
-    val models = rounds.join(p1, "i1").join(p2, "i2")
+    // candidate endpoints by hash-ARGMIN over the real user
+    // population (density-independent — `hash % (max_id+1)` broke on
+    // the sparse-id x10 soak replica)
+    val models = u
+      .crossJoin(broadcast(
+        u.sparkSession.range(0, 64).select(col("id").as("r"))))
+      .groupBy(col("r"))
+      .agg(min(struct(TextOps.portableHash64(
+          concat(lit("ransac:a:"), col("r"), lit(":"), col("user_id")))
+          .as("h"), col("x").as("x"), col("y").as("y"))).as("pa"),
+        min(struct(TextOps.portableHash64(
+          concat(lit("ransac:b:"), col("r"), lit(":"), col("user_id")))
+          .as("h"), col("x").as("x"), col("y").as("y"))).as("pb"))
+      .select(col("r"), col("pa.x").as("x1"), col("pa.y").as("y1"),
+        col("pb.x").as("x2"), col("pb.y").as("y2"))
       .filter(col("x1") =!= col("x2"))
-      .select(col("r"), col("x1"), col("y1"), col("x2"), col("y2"))
     val scored = u.crossJoin(broadcast(models))
       .withColumn("inlier",
         abs((col("y") - col("y1")).cast(d38) * (col("x2") - col("x1"))
@@ -13239,14 +13241,20 @@ object Queries {
     val proj = q.join(signs, "dim")
       .groupBy(col("vec_id"), col("k"))
       .agg(sum(col("qx") * col("s")).as("y"))
-    val nv = q.groupBy().agg((max(col("vec_id")) + 1).as("nv"))
-    val pairs = sess.range(0, 100).select(col("id").as("pair"))
-      .crossJoin(broadcast(nv))
-      .select(col("pair"),
-        pmod(TextOps.portableHash64(concat(lit("rp:a:"), col("pair"))),
-          col("nv")).as("a"),
-        pmod(TextOps.portableHash64(concat(lit("rp:b:"), col("pair"))),
-          col("nv")).as("b"))
+    // pair endpoints by hash-ARGMIN over the actual id population —
+    // never `hash % (max+1)` (sparse ids would empty the join; the x10
+    // soak caught exactly that)
+    val ids = Tables.embeddings(spark, sfDir).select(col("vec_id"))
+    val pairs = ids
+      .crossJoin(broadcast(sess.range(0, 100).select(col("id").as("pair"))))
+      .groupBy(col("pair"))
+      .agg(min(struct(TextOps.portableHash64(
+          concat(lit("rp:a:"), col("pair"), lit(":"), col("vec_id")))
+          .as("h"), col("vec_id").as("v"))).as("ma"),
+        min(struct(TextOps.portableHash64(
+          concat(lit("rp:b:"), col("pair"), lit(":"), col("vec_id")))
+          .as("h"), col("vec_id").as("v"))).as("mb"))
+      .select(col("pair"), col("ma.v").as("a"), col("mb.v").as("b"))
       .filter(col("a") =!= col("b"))
     val dOrig = pairs
       .join(q.select(col("vec_id").as("a"), col("dim"), col("qx").as("qa")), "a")
@@ -13260,7 +13268,8 @@ object Queries {
         Seq("b", "k"))
       .groupBy(col("pair")).agg(sum(expr(s"cast(ya - yb as $d38) * (ya - yb)"))
         .as("d2p"))
-    val per = dOrig.join(dProj, "pair")
+    val per = dOrig.filter(col("d2o") > 0) // identical vectors carry no info
+      .join(dProj, "pair")
       .select(col("pair"), col("a"), col("b"),
         expr("cast(d2o div 1000000 as bigint)").as("d2_orig_e6"),
         expr("cast(d2p * 1000000 div (8 * d2o) as bigint)").as("ratio_e6"))
@@ -13336,5 +13345,145 @@ object Queries {
         expr("(tt - bu) * 1000000 div tt").as("collision_rate_e6"),
         expr("cm * 1000000 div tm").as("collided_mass_e6"))
       .orderBy(col("occupancy"))
+  }
+
+  /** Count-model diagnostics on per-user-day event volume — is a
+    * Poisson rate model even admissible, or is the data overdispersed
+    * / zero-inflated (the question every anomaly threshold and demand
+    * model gets wrong when unchecked)? Zeros come from the user×day
+    * GRID SIZE (n_users·n_days, two scalars — the grid is never
+    * materialized), moments from the nonzero cells only; ships the
+    * variance/mean ratio, the method-of-moments negative-binomial
+    * k = m²/(v−m), and observed vs Poisson-implied zero share
+    * (e^{−λ} from the exact integer mean). One scan, one keyed
+    * aggregate, all else scalar.
+    */
+  def negbinQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cells = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(count(lit(1)).as("k"))
+    val g = cells.groupBy()
+      .agg(countDistinct(col("user_id")).as("nu"),
+        countDistinct(col("d")).as("nd"),
+        count(lit(1)).as("nz"), sum(col("k")).as("sk"),
+        sum(expr(s"cast(k as $d38) * k")).as("skk"))
+      .withColumn("n", col("nu") * col("nd"))
+      // mean_e6 and the n-scaled variance are exact; v−m clears
+      // fractions by n² (var·n² = n·Σk² − (Σk)²; mean·n² = n·Σk)
+      .withColumn("mean_e6", expr("cast(sk as decimal(38,0)) * 1000000 div n"))
+      .withColumn("var_e6", expr(s"""(n * skk - cast(sk as $d38) * sk)
+        * 1000000 div (cast(n as $d38) * n)"""))
+    g.select(col("n").as("n_cells"), (col("n") - col("nz")).as("n_zero"),
+        col("mean_e6").cast("long").as("mean_e6"),
+        col("var_e6").cast("long").as("var_e6"),
+        expr("cast(var_e6 * 1000000 div mean_e6 as bigint)").as("vmr_e6"),
+        expr("""cast(mean_e6 * mean_e6 div (var_e6 - mean_e6) as bigint)""")
+          .as("nb_k_e6"),
+        floor(exp(-col("mean_e6").cast("double") / 1000000.0) * 1000000.0
+          + 0.5).cast("long").as("pois_zero_e6"),
+        expr("(n - nz) * 1000000 div n").as("obs_zero_e6"))
+  }
+
+  /** Bradley-Terry preference ranking of articles from within-user
+    * click comparisons — the learning-to-rank primitive that turns
+    * implicit feedback into a global item order WITHOUT assuming
+    * click counts are comparable across users (only within): a beats
+    * b for a user when the user clicked a more; two
+    * minorization-maximization sweeps pᵢ ← Wᵢ / Σⱼ nᵢⱼ/(pᵢ+pⱼ) in
+    * truncating e6. The per-user pair explode is bounded by the
+    * article support (≤40² per user — linear in users); the MM sweeps
+    * run on the 40×40 comparison table.
+    */
+  def bradleyTerryQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val ua = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .groupBy(col("user_id"), (expr("event_id % 40") + 1).as("a"))
+      .agg(count(lit(1)).as("c"))
+    val ub = ua.select(col("user_id"), col("a").as("b"), col("c").as("cb"))
+    val comp = ua.join(ub, "user_id")
+      .filter(col("a") =!= col("b") && col("c") =!= col("cb"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(when(col("c") > col("cb"), 1L).otherwise(0L)).as("w_ab"))
+    val n = comp.select(col("a"), col("b"), col("w_ab"))
+      .join(comp.select(col("b").as("a"), col("a").as("b"),
+        col("w_ab").as("w_ba")), Seq("a", "b"), "left")
+      .select(col("a"), col("b"), col("w_ab"),
+        (col("w_ab") + coalesce(col("w_ba"), lit(0L))).as("n_ab"))
+    val wins = n.groupBy(col("a")).agg(sum(col("w_ab")).as("w"))
+    def sweep(p: DataFrame): DataFrame = n
+      .join(broadcast(p.select(col("a"), col("p_e6"))), "a")
+      .join(broadcast(p.select(col("a").as("b"), col("p_e6").as("pb_e6"))),
+        "b")
+      .groupBy(col("a"))
+      .agg(sum(expr(
+        "cast(n_ab as decimal(38,0)) * 1000000000000 div (p_e6 + pb_e6)"))
+        .as("denom_e6"))
+      .join(wins, "a")
+      .select(col("a"),
+        expr("cast(cast(w as decimal(38,0)) * 1000000000000 div denom_e6 as bigint)")
+          .as("p_e6"))
+    val p0 = wins.select(col("a"), lit(1000000L).as("p_e6"))
+    val p2 = sweep(sweep(p0))
+    p2.join(wins, "a")
+      .select(col("a").as("article"), col("w").as("wins"), col("p_e6"))
+      .orderBy(col("p_e6").desc, col("article"))
+  }
+
+  /** Kaplan-Meier with Greenwood standard errors and 95% bands — the
+    * [[kaplanMeierQ]] curve made decision-grade (a point estimate
+    * without bands invites overreading every wiggle): the same exact
+    * e6 product fold ALSO accumulates Greenwood's Σ d/(n(n−d)) at e12,
+    * then se = S·√g and the z=1.959964 bands clamp to [0, 10⁶]. The
+    * sqrt runs per OUTPUT row on exact integers; everything else is
+    * the KM fold's shapes (per-user reduce, support aggregate, bounded
+    * fold).
+    */
+  def greenwoodQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val z = 1959964L // 1.959964 at e6
+    val u = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy(col("user_id")).agg(min(col("d")).as("f"), max(col("d")).as("l"))
+    val md = u.groupBy().agg(max(col("l")).as("maxd"))
+    val byT = u.crossJoin(broadcast(md))
+      .select((col("l") - col("f")).as("t"),
+        (col("l") >= col("maxd") - 2).as("cens"))
+      .groupBy(col("t"))
+      .agg(sum(when(!col("cens"), 1L).otherwise(0L)).as("dd"),
+        sum(when(col("cens"), 1L).otherwise(0L)).as("cc"))
+    byT
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("t"), col("dd"), col("cc"))))
+        .as("arr"))
+      .select(col("arr"),
+        expr("aggregate(arr, 0L, (a, e) -> a + e.dd + e.cc)").as("total"))
+      .select(explode(expr(
+        """aggregate(arr,
+          |  named_struct('n', total, 's', 1000000L, 'g', 0L,
+          |    'out', cast(array() as array<struct<t:bigint,n_risk:bigint,
+          |      d:bigint,surv_e6:bigint,g_e12:bigint>>)),
+          |  (acc, e) -> named_struct(
+          |    'n', acc.n - e.dd - e.cc,
+          |    's', acc.s * (acc.n - e.dd) div acc.n,
+          |    'g', acc.g + if(e.dd = 0L, 0L,
+          |      e.dd * 1000000000000L div (acc.n * (acc.n - e.dd))),
+          |    'out', array_append(acc.out, named_struct(
+          |      't', e.t, 'n_risk', acc.n, 'd', e.dd,
+          |      'surv_e6', acc.s * (acc.n - e.dd) div acc.n,
+          |      'g_e12', acc.g + if(e.dd = 0L, 0L,
+          |        e.dd * 1000000000000L div (acc.n * (acc.n - e.dd)))))),
+          |  acc -> acc.out)""".stripMargin)).as("r"))
+      .select(col("r.t").as("t"), col("r.n_risk").as("n_risk"),
+        col("r.d").as("d_churn"), col("r.surv_e6").as("surv_e6"),
+        col("r.g_e12").as("g_e12"))
+      .withColumn("se_e6", floor(col("surv_e6")
+        * sqrt(col("g_e12").cast("double") / 1.0e12) + 0.5).cast("long"))
+      .select(col("t"), col("n_risk"), col("d_churn"), col("surv_e6"),
+        col("g_e12"), col("se_e6"),
+        greatest(lit(0L), col("surv_e6") - expr(s"$z * se_e6 div 1000000"))
+          .as("lo_e6"),
+        least(lit(1000000L), col("surv_e6") + expr(s"$z * se_e6 div 1000000"))
+          .as("hi_e6"))
+      .orderBy(col("t"))
   }
 }

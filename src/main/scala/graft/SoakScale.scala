@@ -212,7 +212,29 @@ object SoakScale {
     "q_mmd", "q_trend_test", "q_moran",
     // round 10, wave 11: the per-user lifetime reduce under the RMST
     // fold, and two customer/fact scans into stratum-bounded tables
-    "q_rmst", "q_post_strat", "q_jackknife_ratio")
+    "q_rmst", "q_post_strat", "q_jackknife_ratio",
+    // round 10 continuation (10b): drift/eval scans (PSI bins, MI
+    // cells, value-support EMD walk, day-spine SPRT/SES/periodogram/
+    // Yule-Walker/cointegration folds — events scans scale xN),
+    // survival reduces over xN fresh users, the top-201 Hill
+    // TakeOrdered, econ fact scans (matched baskets, brand OLS, Theil
+    // rollup, ABC bins, monthly drawdown), tokenize scans (Yule K,
+    // Heaps checkpoints, hashing-trick audit), per-user causal reduces
+    // (AIPW psi fold, support-matching, 64-round RANSAC probe), the
+    // ALS sweeps and COEC rollups over xN events, the JL projection
+    // explode over replicated embeddings, and the FD count-distinct
+    // audits
+    "q_psi", "q_mutual_info", "q_drawdown", "q_nelson_aalen",
+    "q_competing_risks", "q_hill", "q_price_index", "q_elasticity",
+    "q_theil", "q_periodogram", "q_yule_walker", "q_sprt", "q_yule_k",
+    "q_heaps", "q_dp_histogram", "q_aipw", "q_matching_att", "q_ransac",
+    "q_als_rank1", "q_fd_check", "q_abc_analysis", "q_wasserstein",
+    "q_tracking_signal", "q_cointegration", "q_random_projection",
+    "q_position_bias", "q_feature_hashing",
+    // 10b wave 10: user-day count-model scan, within-user pairwise
+    // comparison explode (≤40² per user), and the Greenwood-extended
+    // KM reduce over xN fresh users
+    "q_negbin", "q_bradley_terry", "q_greenwood")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

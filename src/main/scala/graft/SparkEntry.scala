@@ -466,6 +466,9 @@ object SparkEntry {
     "q_random_projection" -> (Queries.randomProjectionQ _),
     "q_position_bias" -> (Queries.positionBiasQ _),
     "q_feature_hashing" -> (Queries.featureHashingQ _),
+    "q_negbin" -> (Queries.negbinQ _),
+    "q_bradley_terry" -> (Queries.bradleyTerryQ _),
+    "q_greenwood" -> (Queries.greenwoodQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -10189,15 +10192,23 @@ object SparkEntry {
          |      THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END)
          |      AS BIGINT) AS y
          |  FROM events GROUP BY user_id),
-         |mxu AS (SELECT max(user_id) AS mx FROM u),
-         |rounds AS (SELECT r,
-         |    ${hSql("concat('ransac:a:', r)")} % (mx + 1) AS i1,
-         |    ${hSql("concat('ransac:b:', r)")} % (mx + 1) AS i2
-         |  FROM (SELECT CAST(unnest(range(64)) AS BIGINT) AS r), mxu),
-         |models AS (SELECT r, p1.x AS x1, p1.y AS y1, p2.x AS x2, p2.y AS y2
-         |  FROM rounds
-         |  JOIN u p1 ON p1.user_id = i1 JOIN u p2 ON p2.user_id = i2
-         |  WHERE p1.x <> p2.x),
+         |m0 AS (SELECT r,
+         |    (min(struct_pack(
+         |      h := ${hSql("concat('ransac:a:', r, ':', user_id)")},
+         |      x := x, y := y))).x AS x1,
+         |    (min(struct_pack(
+         |      h := ${hSql("concat('ransac:a:', r, ':', user_id)")},
+         |      x := x, y := y))).y AS y1,
+         |    (min(struct_pack(
+         |      h := ${hSql("concat('ransac:b:', r, ':', user_id)")},
+         |      x := x, y := y))).x AS x2,
+         |    (min(struct_pack(
+         |      h := ${hSql("concat('ransac:b:', r, ':', user_id)")},
+         |      x := x, y := y))).y AS y2
+         |  FROM u
+         |  CROSS JOIN (SELECT CAST(unnest(range(64)) AS BIGINT) AS r)
+         |  GROUP BY r),
+         |models AS (SELECT * FROM m0 WHERE x1 <> x2),
          |scored AS (SELECT r, x1, y1, x2, y2,
          |    CAST(sum(CASE WHEN abs(CAST(u.y - y1 AS HUGEINT) * (x2 - x1)
          |        - CAST(y2 - y1 AS HUGEINT) * (u.x - x1))
@@ -10425,17 +10436,21 @@ object SparkEntry {
          |  CROSS JOIN (SELECT CAST(unnest(range(64)) AS BIGINT) AS dim)),
          |proj AS (SELECT vec_id, k, sum(qx * s) AS y
          |  FROM q JOIN signs USING (dim) GROUP BY 1, 2),
-         |nv AS (SELECT max(vec_id) + 1 AS nv FROM q),
          |pairs AS (SELECT pair,
-         |    ${hSql("concat('rp:a:', pair)")} % nv AS a,
-         |    ${hSql("concat('rp:b:', pair)")} % nv AS b
-         |  FROM (SELECT CAST(unnest(range(100)) AS BIGINT) AS pair), nv),
+         |    (min(struct_pack(h := ${hSql("concat('rp:a:', pair, ':', vec_id)")},
+         |      v := vec_id))).v AS a,
+         |    (min(struct_pack(h := ${hSql("concat('rp:b:', pair, ':', vec_id)")},
+         |      v := vec_id))).v AS b
+         |  FROM embeddings
+         |  CROSS JOIN (SELECT CAST(unnest(range(100)) AS BIGINT) AS pair)
+         |  GROUP BY pair),
          |pf AS (SELECT * FROM pairs WHERE a <> b),
-         |do_ AS (SELECT pair, pf.a, pf.b,
+         |do0 AS (SELECT pair, pf.a, pf.b,
          |    sum(CAST(qa.qx - qb.qx AS HUGEINT) * (qa.qx - qb.qx)) AS d2o
          |  FROM pf JOIN q qa ON qa.vec_id = pf.a
          |  JOIN q qb ON qb.vec_id = pf.b AND qb.dim = qa.dim
          |  GROUP BY 1, 2, 3),
+         |do_ AS (SELECT * FROM do0 WHERE d2o > 0),
          |dp_ AS (SELECT pair,
          |    sum(CAST(pa.y - pb.y AS HUGEINT) * (pa.y - pb.y)) AS d2p
          |  FROM pf JOIN proj pa ON pa.vec_id = pf.a
@@ -10506,5 +10521,100 @@ object SparkEntry {
          |  CAST(cm * 1000000 // tm AS BIGINT) AS collided_mass_e6
          |FROM bk CROSS JOIN tot
          |GROUP BY n_types, tt, bu, tm, cm ORDER BY occupancy""".stripMargin,
+
+    // Negative-binomial diagnostics replay: nonzero cells only, grid
+    // size from scalars, fraction-cleared variance, double e^-lambda.
+    "q_negbin" ->
+      """WITH cells AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    CAST(count(*) AS BIGINT) AS k
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu,
+        |    CAST(count(DISTINCT d) AS BIGINT) AS nd,
+        |    CAST(count(*) AS BIGINT) AS nz, sum(k) AS sk,
+        |    sum(CAST(k AS HUGEINT) * k) AS skk
+        |  FROM cells),
+        |g2 AS (SELECT *, nu * nd AS n FROM g),
+        |g3 AS (SELECT *,
+        |    CAST(sk AS HUGEINT) * 1000000 // n AS mean_e6,
+        |    (n * skk - CAST(sk AS HUGEINT) * sk) * 1000000
+        |      // (CAST(n AS HUGEINT) * n) AS var_e6
+        |  FROM g2)
+        |SELECT n AS n_cells, n - nz AS n_zero,
+        |  CAST(mean_e6 AS BIGINT) AS mean_e6, CAST(var_e6 AS BIGINT) AS var_e6,
+        |  CAST(var_e6 * 1000000 // mean_e6 AS BIGINT) AS vmr_e6,
+        |  CAST(mean_e6 * mean_e6 // (var_e6 - mean_e6) AS BIGINT) AS nb_k_e6,
+        |  CAST(floor(exp(-CAST(mean_e6 AS DOUBLE) / 1000000.0) * 1000000.0
+        |    + 0.5) AS BIGINT) AS pois_zero_e6,
+        |  (n - nz) * 1000000 // n AS obs_zero_e6
+        |FROM g3""".stripMargin,
+
+    // Bradley-Terry replay: within-user comparisons, two unrolled MM
+    // sweeps with truncating e6 strengths.
+    "q_bradley_terry" ->
+      """WITH ua AS (SELECT user_id, event_id % 40 + 1 AS a,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |comp AS (SELECT x.a, y.a AS b,
+        |    CAST(sum(CASE WHEN x.c > y.c THEN 1 ELSE 0 END) AS BIGINT) AS w_ab
+        |  FROM ua x JOIN ua y ON x.user_id = y.user_id
+        |  WHERE x.a <> y.a AND x.c <> y.c GROUP BY 1, 2),
+        |n AS (SELECT c1.a, c1.b, c1.w_ab,
+        |    c1.w_ab + coalesce(c2.w_ab, 0) AS n_ab
+        |  FROM comp c1 LEFT JOIN comp c2 ON c1.a = c2.b AND c1.b = c2.a),
+        |wins AS (SELECT a, sum(w_ab) AS w FROM n GROUP BY a),
+        |p1 AS (SELECT n.a,
+        |    CAST(CAST(w AS HUGEINT) * 1000000000000
+        |      // sum(CAST(n_ab AS HUGEINT) * 1000000000000
+        |      // (1000000 + 1000000)) AS BIGINT) AS p_e6
+        |  FROM n JOIN wins ON n.a = wins.a GROUP BY n.a, w),
+        |p2 AS (SELECT n.a,
+        |    CAST(CAST(w AS HUGEINT) * 1000000000000
+        |      // sum(CAST(n_ab AS HUGEINT) * 1000000000000
+        |      // (pa.p_e6 + pb.p_e6)) AS BIGINT) AS p_e6
+        |  FROM n JOIN wins ON n.a = wins.a
+        |  JOIN p1 pa ON pa.a = n.a JOIN p1 pb ON pb.a = n.b
+        |  GROUP BY n.a, w)
+        |SELECT p2.a AS article, CAST(w AS BIGINT) AS wins, p2.p_e6
+        |FROM p2 JOIN wins ON p2.a = wins.a
+        |ORDER BY p2.p_e6 DESC, article""".stripMargin,
+
+    // Greenwood replay: the KM recursion additionally carrying the
+    // e12 variance sum, double sqrt per output row, clamped z bands.
+    "q_greenwood" ->
+      """WITH RECURSIVE u AS (
+        |  SELECT user_id,
+        |    min(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS f,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS l
+        |  FROM events GROUP BY user_id),
+        |md AS (SELECT max(l) AS maxd FROM u),
+        |byt AS (SELECT l - f AS t,
+        |    CAST(sum(CASE WHEN l >= maxd - 2 THEN 0 ELSE 1 END) AS BIGINT) AS dd,
+        |    CAST(sum(CASE WHEN l >= maxd - 2 THEN 1 ELSE 0 END) AS BIGINT) AS cc
+        |  FROM u, md GROUP BY 1),
+        |d2 AS (SELECT t, dd, cc, row_number() OVER (ORDER BY t) AS rn FROM byt),
+        |tot AS (SELECT CAST(sum(dd + cc) AS BIGINT) AS total FROM byt),
+        |r AS (
+        |  SELECT rn, t, dd, cc, total AS n,
+        |    1000000 * (total - dd) // total AS s,
+        |    CASE WHEN dd = 0 THEN 0
+        |      ELSE dd * 1000000000000 // (total * (total - dd)) END AS g
+        |  FROM d2, tot WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d2.rn, d2.t, d2.dd, d2.cc, r.n - r.dd - r.cc,
+        |    r.s * (r.n - r.dd - r.cc - d2.dd) // (r.n - r.dd - r.cc),
+        |    r.g + CASE WHEN d2.dd = 0 THEN 0
+        |      ELSE d2.dd * 1000000000000
+        |        // ((r.n - r.dd - r.cc) * (r.n - r.dd - r.cc - d2.dd)) END
+        |  FROM r JOIN d2 ON d2.rn = r.rn + 1),
+        |o AS (SELECT t, CAST(n AS BIGINT) AS n_risk, dd AS d_churn,
+        |    CAST(s AS BIGINT) AS surv_e6, CAST(g AS BIGINT) AS g_e12,
+        |    CAST(floor(s * sqrt(CAST(g AS DOUBLE) / 1.0e12) + 0.5) AS BIGINT)
+        |      AS se_e6
+        |  FROM r)
+        |SELECT t, n_risk, d_churn, surv_e6, g_e12, se_e6,
+        |  greatest(0, surv_e6 - 1959964 * se_e6 // 1000000) AS lo_e6,
+        |  least(1000000, surv_e6 + 1959964 * se_e6 // 1000000) AS hi_e6
+        |FROM o ORDER BY t""".stripMargin,
   )
 }
