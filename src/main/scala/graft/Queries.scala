@@ -13486,4 +13486,144 @@ object Queries {
           .as("hi_e6"))
       .orderBy(col("t"))
   }
+
+  /** Quantile normalization — map the second half-window's value
+    * distribution onto the first half's (the batch-effect remover
+    * genomics popularized; for logs it makes week-2 scores comparable
+    * to week-1 before thresholding): each source support value takes
+    * the smallest TARGET value whose CDF ≥ its mid-CDF position. The
+    * matcher is a single descending merge-walk over the UNION of the
+    * two value supports (no support×support join): a target row
+    * updates the carried value, a source row reads it — targets sort
+    * before sources at equal positions so "≥" is exact. All positions
+    * are cross-scaled exact integers (p·n₁n₂·2); support-bounded
+    * window, allowlisted.
+    */
+  def quantileNormQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("d"),
+        cents(col("value")).cast("long").as("vc"))
+    val mid = h.groupBy().agg(expr("(min(d) + max(d) + 1) div 2").as("mid"))
+    val sup = h.crossJoin(broadcast(mid))
+      .groupBy(col("vc"))
+      .agg(sum(when(col("d") < col("mid"), 1L).otherwise(0L)).as("ct"),
+        sum(when(col("d") >= col("mid"), 1L).otherwise(0L)).as("cs"))
+    val tot = sup.groupBy()
+      .agg(sum(col("ct")).as("n1"), sum(col("cs")).as("n2"))
+    val wv = Window.partitionBy(
+        graft.functions.GraftFunctions.singleton_key(col("vc")))
+      .orderBy(col("vc"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // one cum pass per side, positions cross-scaled onto 2·n1·n2:
+    // target cdf position = cumT·2·n2, source mid-cdf = (2·cumS−cs)·n1
+    val cum = sup.crossJoin(broadcast(tot))
+      .withColumn("cumt", sum(col("ct")).over(wv))
+      .withColumn("cums", sum(col("cs")).over(wv))
+    val t = cum.filter(col("ct") > 0)
+      .select(col("vc").as("v"), lit("t").as("kind"),
+        (col("cumt").cast("decimal(38,0)") * 2 * col("n2")).as("pos"))
+    val s = cum.filter(col("cs") > 0)
+      .select(col("vc").as("v"), lit("s").as("kind"),
+        ((col("cums") * 2 - col("cs")).cast("decimal(38,0)") * col("n1"))
+          .as("pos"))
+    val wm = Window.partitionBy(
+        graft.functions.GraftFunctions.singleton_key(col("kind")))
+      .orderBy(col("pos").desc, col("kind").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    t.union(s)
+      .withColumn("mapped", min(when(col("kind") === "t", col("v"))).over(wm))
+      .filter(col("kind") === "s")
+      .select(col("v").as("v_src"),
+        expr("cast(pos div 2 as bigint)").as("pos_x_n1n2"),
+        col("mapped").as("v_mapped"))
+      .orderBy(col("v_src"))
+  }
+
+  /** TURF analysis (total unduplicated reach) — which 3 articles
+    * together reach the most DISTINCT users, the portfolio question a
+    * per-item popularity top-k answers wrongly when audiences overlap:
+    * 3 greedy max-coverage steps (the classic (1−1/e) guarantee), each
+    * step one aggregate over the not-yet-covered (user, article) pairs
+    * with ties to the smaller article id. The pair table is a distinct
+    * view-scan; each step is a broadcast anti-filter on at most 3
+    * chosen articles — no blowup at any scale.
+    */
+  def turfQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val ua = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("u"), (expr("event_id % 40") + 1).as("a"))
+      .distinct()
+    val total = ua.select(col("u")).distinct().count()
+    def best(remaining: DataFrame): (Long, Long) = {
+      val r = remaining.groupBy(col("a")).agg(count(lit(1)).as("reach"))
+        .select(min(struct((-col("reach")).as("nr"), col("a"))).as("m"))
+        .select(col("m.a"), (-col("m.nr")).as("reach"))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (a1, r1) = best(ua)
+    val cov1 = ua.filter(col("a") === a1).select(col("u")).distinct()
+    val rem1 = ua.join(broadcast(cov1), Seq("u"), "left_anti")
+    val (a2, r2) = best(rem1)
+    val cov2 = rem1.filter(col("a") === a2).select(col("u")).distinct()
+    val rem2 = rem1.join(broadcast(cov2), Seq("u"), "left_anti")
+    val (a3, r3) = best(rem2)
+    val sess = ua.sparkSession
+    import sess.implicits._
+    Seq((1L, a1, r1, r1), (2L, a2, r2, r1 + r2), (3L, a3, r3, r1 + r2 + r3))
+      .toDF("step", "article", "marginal_reach", "cum_reach")
+      .withColumn("total_users", lit(total))
+      .withColumn("cum_reach_e6",
+        expr("cum_reach * 1000000 div total_users"))
+      .orderBy(col("step"))
+  }
+
+  /** Mahalanobis outlier audit on (events, purchase-cents) per user —
+    * the correlation-aware distance that catches points a per-axis
+    * z-score calls normal (high spend CONSISTENT with high activity is
+    * fine; high spend at low activity is not): exact n-scaled
+    * deviations Ax = n·x−Sx and decimal covariance sums make
+    * d² = (Ax²C_yy + Ay²C_xx − 2AxAyC_xy)·n⁴(n−1)/det one double
+    * expression over exact integers, e6-floored per user before any
+    * ordering. Ships the χ²₂ 99% outlier count and the top-10 by the
+    * INTEGER d² (TakeOrdered — no full sort).
+    */
+  def mahalanobisQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val u = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("x"),
+        sum(when(col("event_type") === "purchase",
+          cents(col("value")).cast("long")).otherwise(0L)).as("y"))
+    val m = u.groupBy()
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr(s"cast(x as $d38) * x")).as("sxx"),
+        sum(expr(s"cast(y as $d38) * y")).as("syy"),
+        sum(expr(s"cast(x as $d38) * y")).as("sxy"))
+      .select(col("n"), col("sx"), col("sy"),
+        expr(s"n * (n * sxx - cast(sx as $d38) * sx)").as("cxx"),
+        expr(s"n * (n * syy - cast(sy as $d38) * sy)").as("cyy"),
+        expr(s"n * (n * sxy - cast(sx as $d38) * sy)").as("cxy"))
+    val d2 = u.crossJoin(broadcast(m))
+      .withColumn("ax", expr("n * x - sx"))
+      .withColumn("ay", expr(s"n * cast(y as $d38) - sy"))
+      .withColumn("d2_e6", floor(
+        expr("""(cast(ax as double) * ax * cast(cyy as double)
+              + cast(ay as double) * ay * cast(cxx as double)
+              - 2.0d * cast(ax as double) * ay * cast(cxy as double))
+              * cast(n as double) * n * n * n * (n - 1)
+              / (cast(cxx as double) * cyy - cast(cxy as double) * cxy)""")
+          * 1000000.0 + 0.5).cast("long"))
+    val summary = d2.groupBy()
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("d2_e6") > 9210340L, 1L).otherwise(0L))
+          .as("n_outliers"))
+    d2.orderBy(col("d2_e6").desc, col("user_id")).limit(10)
+      .crossJoin(broadcast(summary))
+      .select(col("user_id"), col("x"), col("y"), col("d2_e6"),
+        (col("d2_e6") > 9210340L).as("is_outlier"),
+        col("n_users"), col("n_outliers"))
+      .orderBy(col("d2_e6").desc, col("user_id"))
+  }
 }

@@ -234,7 +234,11 @@ object SoakScale {
     // 10b wave 10: user-day count-model scan, within-user pairwise
     // comparison explode (≤40² per user), and the Greenwood-extended
     // KM reduce over xN fresh users
-    "q_negbin", "q_bradley_terry", "q_greenwood")
+    "q_negbin", "q_bradley_terry", "q_greenwood",
+    // 10b wave 11: the support-union quantile merge walk, 3 greedy
+    // max-coverage aggregates over the distinct (user, article) pairs,
+    // and the per-user Mahalanobis probe under a TakeOrdered top-10
+    "q_quantile_norm", "q_turf", "q_mahalanobis")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

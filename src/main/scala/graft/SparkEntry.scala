@@ -469,6 +469,9 @@ object SparkEntry {
     "q_negbin" -> (Queries.negbinQ _),
     "q_bradley_terry" -> (Queries.bradleyTerryQ _),
     "q_greenwood" -> (Queries.greenwoodQ _),
+    "q_quantile_norm" -> (Queries.quantileNormQ _),
+    "q_turf" -> (Queries.turfQ _),
+    "q_mahalanobis" -> (Queries.mahalanobisQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -10616,5 +10619,104 @@ object SparkEntry {
         |  greatest(0, surv_e6 - 1959964 * se_e6 // 1000000) AS lo_e6,
         |  least(1000000, surv_e6 + 1959964 * se_e6 // 1000000) AS hi_e6
         |FROM o ORDER BY t""".stripMargin,
+
+    // Quantile-normalization replay: cross-scaled integer CDF
+    // positions, descending support-union merge walk.
+    "q_quantile_norm" ->
+      """WITH h AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS vc FROM events),
+        |mid AS (SELECT (min(d) + max(d) + 1) // 2 AS mid FROM h),
+        |sup AS (SELECT vc,
+        |    CAST(sum(CASE WHEN d < mid THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |    CAST(sum(CASE WHEN d >= mid THEN 1 ELSE 0 END) AS BIGINT) AS cs
+        |  FROM h CROSS JOIN mid GROUP BY 1),
+        |tot AS (SELECT sum(ct) AS n1, sum(cs) AS n2 FROM sup),
+        |cum AS (SELECT vc, ct, cs, n1, n2,
+        |    sum(ct) OVER (ORDER BY vc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumt,
+        |    sum(cs) OVER (ORDER BY vc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cums
+        |  FROM sup CROSS JOIN tot),
+        |tt AS (SELECT vc AS v, 't' AS kind,
+        |    CAST(cumt AS HUGEINT) * 2 * n2 AS pos
+        |  FROM cum WHERE ct > 0),
+        |ss AS (SELECT vc AS v, 's' AS kind,
+        |    CAST(cums * 2 - cs AS HUGEINT) * n1 AS pos
+        |  FROM cum WHERE cs > 0),
+        |un AS (SELECT * FROM tt UNION ALL SELECT * FROM ss),
+        |mw AS (SELECT *, min(CASE WHEN kind = 't' THEN v END)
+        |    OVER (ORDER BY pos DESC, kind DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mapped
+        |  FROM un)
+        |SELECT v AS v_src, CAST(pos // 2 AS BIGINT) AS pos_x_n1n2,
+        |  mapped AS v_mapped
+        |FROM mw WHERE kind = 's' ORDER BY v_src""".stripMargin,
+
+    // TURF replay: three unrolled greedy max-coverage steps with
+    // (reach desc, article) tie order.
+    "q_turf" ->
+      """WITH ua AS (SELECT DISTINCT user_id AS u, event_id % 40 + 1 AS a
+        |  FROM events WHERE event_type = 'view'),
+        |t AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS total FROM ua),
+        |s1 AS (SELECT a, CAST(count(*) AS BIGINT) AS reach FROM ua GROUP BY 1),
+        |b1 AS (SELECT (min(struct_pack(nr := -reach, a := a))).a AS a1,
+        |    -(min(struct_pack(nr := -reach, a := a))).nr AS r1 FROM s1),
+        |cov1 AS (SELECT DISTINCT u FROM ua, b1 WHERE ua.a = b1.a1),
+        |rem1 AS (SELECT * FROM ua WHERE u NOT IN (SELECT u FROM cov1)),
+        |s2 AS (SELECT a, CAST(count(*) AS BIGINT) AS reach FROM rem1 GROUP BY 1),
+        |b2 AS (SELECT (min(struct_pack(nr := -reach, a := a))).a AS a2,
+        |    -(min(struct_pack(nr := -reach, a := a))).nr AS r2 FROM s2),
+        |cov2 AS (SELECT DISTINCT u FROM rem1, b2 WHERE rem1.a = b2.a2),
+        |rem2 AS (SELECT * FROM rem1 WHERE u NOT IN (SELECT u FROM cov2)),
+        |s3 AS (SELECT a, CAST(count(*) AS BIGINT) AS reach FROM rem2 GROUP BY 1),
+        |b3 AS (SELECT (min(struct_pack(nr := -reach, a := a))).a AS a3,
+        |    -(min(struct_pack(nr := -reach, a := a))).nr AS r3 FROM s3),
+        |rows_ AS (
+        |  SELECT 1 AS step, a1 AS article, r1 AS marginal_reach,
+        |    r1 AS cum_reach FROM b1
+        |  UNION ALL
+        |  SELECT 2, a2, r2, r1 + r2 FROM b1, b2
+        |  UNION ALL
+        |  SELECT 3, a3, r3, r1 + r2 + r3 FROM b1, b2, b3)
+        |SELECT CAST(step AS BIGINT) AS step, CAST(article AS BIGINT) AS article,
+        |  marginal_reach, cum_reach, total AS total_users,
+        |  cum_reach * 1000000 // total AS cum_reach_e6
+        |FROM rows_ CROSS JOIN t ORDER BY step""".stripMargin,
+
+    // Mahalanobis replay: n-scaled deviations, HUGEINT covariance
+    // sums, one double d2 expression, integer-ordered top-10.
+    "q_mahalanobis" ->
+      """WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY user_id),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+        |    sum(y) AS sy, sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy FROM u),
+        |c AS (SELECT n, sx, sy,
+        |    n * (n * sxx - CAST(sx AS HUGEINT) * sx) AS cxx,
+        |    n * (n * syy - CAST(sy AS HUGEINT) * sy) AS cyy,
+        |    n * (n * sxy - CAST(sx AS HUGEINT) * sy) AS cxy
+        |  FROM m),
+        |d2 AS (SELECT user_id, x, y,
+        |    CAST(floor((CAST(n * x - sx AS DOUBLE) * (n * x - sx)
+        |        * CAST(cyy AS DOUBLE)
+        |      + CAST(n * CAST(y AS HUGEINT) - sy AS DOUBLE)
+        |        * (n * CAST(y AS HUGEINT) - sy) * CAST(cxx AS DOUBLE)
+        |      - 2.0 * CAST(n * x - sx AS DOUBLE)
+        |        * (n * CAST(y AS HUGEINT) - sy) * CAST(cxy AS DOUBLE))
+        |      * CAST(n AS DOUBLE) * n * n * n * (n - 1)
+        |      / (CAST(cxx AS DOUBLE) * cyy - CAST(cxy AS DOUBLE) * cxy)
+        |      * 1000000.0 + 0.5) AS BIGINT) AS d2_e6
+        |  FROM u CROSS JOIN c),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(CASE WHEN d2_e6 > 9210340 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_outliers FROM d2),
+        |top AS (SELECT * FROM d2 ORDER BY d2_e6 DESC, user_id LIMIT 10)
+        |SELECT user_id, x, y, d2_e6, d2_e6 > 9210340 AS is_outlier,
+        |  n_users, n_outliers
+        |FROM top CROSS JOIN s ORDER BY d2_e6 DESC, user_id""".stripMargin,
   )
 }

@@ -99,7 +99,8 @@ object WindowLint {
     "q_hill", // rank over the 201-row TakeOrdered shortlist (shortlist-bounded)
     "q_sprt", // calendar: cumulative LLR over the day spine
     "q_abc_analysis", // log2-revenue bin support (~40 bins at any size)
-    "q_wasserstein" // value-support CDF walk over distinct cents (q_auc contract)
+    "q_wasserstein", // value-support CDF walk over distinct cents (q_auc contract)
+    "q_quantile_norm" // value-support CDF walks + support-union merge walk
   )
 }
 
