@@ -13626,4 +13626,114 @@ object Queries {
         col("n_users"), col("n_outliers"))
       .orderBy(col("d2_e6").desc, col("user_id"))
   }
+
+  /** Borůvka minimum-spanning-forest over the undirected co-purchase
+    * graph (weight = 10⁹ div co-occurrence count — the MST keeps the
+    * STRONGEST ties) — the distributed-MST primitive (network design /
+    * single-linkage backbone) that Prim/Kruskal's sequential heaps
+    * can't give a cluster: 4 rounds of "every component hooks its
+    * globally-min incident edge" (ties broken by (w, comp_a, comp_b) —
+    * a total order, the Borůvka correctness precondition), each round
+    * contracting with the textbook pointer discipline: hook → break
+    * the 2-cycles to their min endpoint → 6 DOUBLING pointer jumps
+    * (depth-64 budget; a pathological longer chain just rolls into the
+    * next round — deterministic on both engines either way). Per-round
+    * data motion is two label joins + one per-comp min — the honest
+    * MST shuffle shape at any edge count. Emits one row per round:
+    * components before, edges/weight added, cumulative forest weight.
+    */
+  def boruvkaQ(spark: SparkSession, sfDir: String): DataFrame = {
+    // localCheckpoint alone is NOT enough between the self-join rounds:
+    // Spark 4 carries the checkpointed plan's originStats into the
+    // LogicalRDD, so each jump's self-join SQUARES the size estimate
+    // and by round 4 the BigInt statistic has ~2²⁴ bits — the driver
+    // disappears into BigInteger.multiply (observed: minutes/jump at
+    // sf0.01). Rebasing through createDataFrame(rdd, schema) resets
+    // the stats to the bounded default as well as the lineage.
+    // every checkpoint is tracked and released on BOTH exit paths: the
+    // output is a driver-side stats table, so nothing downstream needs
+    // the blocks (the brandes degenerate-path lesson)
+    val ckpts = collection.mutable.ListBuffer.empty[DataFrame]
+    def rebase(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(true)
+      ckpts += c
+      df.sparkSession.createDataFrame(c.rdd, df.schema)
+    }
+    val und = partAdjacencyEdges(spark, sfDir)
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"), col("w").cast("long").as("c"))
+      .filter(col("u") =!= col("v"))
+      .groupBy(col("u"), col("v")).agg(sum(col("c")).as("cnt"))
+      .select(col("u"), col("v"), expr("1000000000 div cnt").as("w"))
+      .localCheckpoint(true)
+    var lbl = rebase(und.select(explode(array(col("u"), col("v"))).as("node"))
+      .distinct().withColumn("lbl", col("node")))
+    val stats = collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var cum = 0L
+    for (r <- 1 to 4) {
+      val e2 = und
+        .join(lbl.select(col("node").as("u"), col("lbl").as("cu")), "u")
+        .join(lbl.select(col("node").as("v"), col("lbl").as("cv")), "v")
+        .filter(col("cu") =!= col("cv"))
+        .select(col("w"), least(col("cu"), col("cv")).as("a"),
+          greatest(col("cu"), col("cv")).as("b"))
+      val minEdge0 = e2.select(col("a").as("c"), col("w"), col("a"), col("b"))
+        .union(e2.select(col("b").as("c"), col("w"), col("a"), col("b")))
+        .groupBy(col("c"))
+        .agg(min(struct(col("w"), col("a"), col("b"))).as("m"))
+      val minEdgeR = rebase(minEdge0)
+      val sel = minEdgeR.select(col("m.w").as("w"), col("m.a").as("a"),
+        col("m.b").as("b")).distinct()
+      val Array(nc, ne, wa) = {
+        val comps = lbl.select(col("lbl")).distinct().count()
+        val s = sel.groupBy().agg(count(lit(1)), coalesce(sum(col("w")), lit(0L)))
+          .head()
+        Array(comps, s.getLong(0), s.getLong(1))
+      }
+      cum += wa
+      stats += ((nc, ne, wa, cum))
+      if (ne == 0) {
+        // converged (or isolated remainder): later rounds select
+        // nothing and merge nothing — record them without Spark work
+        for (_ <- (r + 1) to 4) stats += ((nc, 0L, 0L, cum))
+        ckpts.foreach(_.unpersist())
+        und.unpersist()
+        val sess0 = spark
+        import sess0.implicits._
+        return stats.toSeq.zipWithIndex
+          .map { case ((c0, e0, w0, cw), i) => (i + 1L, c0, e0, w0, cw) }
+          .toDF("round", "n_comps_before", "edges_added", "weight_added",
+            "cum_weight")
+          .orderBy(col("round"))
+      }
+      // hook: every comp points at the other endpoint of its min edge
+      val hooked = lbl.select(col("lbl").as("c")).distinct()
+        .join(minEdgeR.select(col("c"), expr("if(m.a = c, m.b, m.a)").as("p0")),
+          Seq("c"), "left")
+        .select(col("c"), coalesce(col("p0"), col("c")).as("p"))
+      // break 2-cycles to the min endpoint, keep roots self-pointing
+      val pm = hooked.select(col("c").as("pc"), col("p").as("pp"))
+      var ptr = hooked.join(pm, col("p") === col("pc"))
+        .select(col("c"),
+          when(col("pp") === col("c"), least(col("c"), col("p")))
+            .otherwise(col("p")).as("p"))
+      ptr = rebase(ptr)
+      for (_ <- 1 to 6) {
+        val m2 = ptr.select(col("c").as("pc"), col("p").as("pp"))
+        ptr = rebase(ptr.join(m2, col("p") === col("pc"))
+          .select(col("c"), col("pp").as("p")))
+      }
+      lbl = rebase(lbl.join(ptr.select(col("c").as("lbl"), col("p")), "lbl")
+        .select(col("node"), col("p").as("lbl")))
+    }
+    ckpts.foreach(_.unpersist())
+    und.unpersist()
+    val sess = spark
+    import sess.implicits._
+    stats.toSeq.zipWithIndex
+      .map { case ((nc, ne, wa, cw), i) => (i + 1L, nc, ne, wa, cw) }
+      .toDF("round", "n_comps_before", "edges_added", "weight_added",
+        "cum_weight")
+      .orderBy(col("round"))
+  }
 }

@@ -238,7 +238,11 @@ object SoakScale {
     // 10b wave 11: the support-union quantile merge walk, 3 greedy
     // max-coverage aggregates over the distinct (user, article) pairs,
     // and the per-user Mahalanobis probe under a TakeOrdered top-10
-    "q_quantile_norm", "q_turf", "q_mahalanobis")
+    "q_quantile_norm", "q_turf", "q_mahalanobis",
+    // 10b wave 12: 4 Borůvka rounds over the 10x/100x co-purchase
+    // edge list — per-round cost is two label joins + one per-comp
+    // struct-min + 6 comp-sized pointer jumps
+    "q_boruvka")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

@@ -472,6 +472,7 @@ object SparkEntry {
     "q_quantile_norm" -> (Queries.quantileNormQ _),
     "q_turf" -> (Queries.turfQ _),
     "q_mahalanobis" -> (Queries.mahalanobisQ _),
+    "q_boruvka" -> (Queries.boruvkaQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -10718,5 +10719,70 @@ object SparkEntry {
         |SELECT user_id, x, y, d2_e6, d2_e6 > 9210340 AS is_outlier,
         |  n_users, n_outliers
         |FROM top CROSS JOIN s ORDER BY d2_e6 DESC, user_id""".stripMargin,
+
+    // Borůvka replay: 4 generated rounds, each = label joins, per-comp
+    // struct-min edge, hook, 2-cycle break, 6 doubling pointer jumps.
+    "q_boruvka" -> {
+      def round(r: Int): String = {
+        val lp = s"l${r - 1}"
+        val jumps = (1 to 6).map(j =>
+          s"p${r}_$j AS MATERIALIZED (SELECT x.c, y.p FROM p${r}_${j - 1} x " +
+            s"JOIN p${r}_${j - 1} y ON x.p = y.c)").mkString(",\n")
+        s"""e$r AS MATERIALIZED (SELECT und.w, least(cu.lbl, cv.lbl) AS a,
+           |    greatest(cu.lbl, cv.lbl) AS b
+           |  FROM und JOIN $lp cu ON und.u = cu.node
+           |  JOIN $lp cv ON und.v = cv.node
+           |  WHERE cu.lbl <> cv.lbl),
+           |me$r AS MATERIALIZED (SELECT c,
+           |    min(struct_pack(w := w, a := a, b := b)) AS m
+           |  FROM (SELECT a AS c, w, a, b FROM e$r
+           |    UNION ALL SELECT b AS c, w, a, b FROM e$r) x
+           |  GROUP BY c),
+           |sel$r AS (SELECT DISTINCT (m).w AS w, (m).a AS a, (m).b AS b
+           |  FROM me$r),
+           |st$r AS (SELECT
+           |    (SELECT CAST(count(DISTINCT lbl) AS BIGINT) FROM $lp)
+           |      AS n_comps,
+           |    CAST(count(*) AS BIGINT) AS edges_added,
+           |    CAST(coalesce(sum(w), 0) AS BIGINT) AS weight_added
+           |  FROM sel$r),
+           |cp$r AS (SELECT DISTINCT lbl AS c FROM $lp),
+           |hk$r AS MATERIALIZED (SELECT cp$r.c,
+           |    coalesce(CASE WHEN (m).a = cp$r.c THEN (m).b ELSE (m).a END,
+           |      cp$r.c) AS p
+           |  FROM cp$r LEFT JOIN me$r ON cp$r.c = me$r.c),
+           |p${r}_0 AS MATERIALIZED (SELECT h1.c,
+           |    CASE WHEN h2.p = h1.c THEN least(h1.c, h1.p) ELSE h1.p END AS p
+           |  FROM hk$r h1 JOIN hk$r h2 ON h1.p = h2.c),
+           |$jumps,
+           |l$r AS MATERIALIZED (SELECT l.node, pt.p AS lbl
+           |  FROM $lp l JOIN p${r}_6 pt ON l.lbl = pt.c)""".stripMargin
+      }
+      s"""WITH dir AS (SELECT l_partkey AS src,
+         |    lead(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
+         |  FROM lineitem),
+         |und AS MATERIALIZED (SELECT least(src, dst) AS u,
+         |    greatest(src, dst) AS v,
+         |    1000000000 // CAST(count(*) AS BIGINT) AS w
+         |  FROM dir WHERE dst IS NOT NULL AND src <> dst
+         |  GROUP BY least(src, dst), greatest(src, dst)),
+         |l0 AS MATERIALIZED (SELECT DISTINCT node, node AS lbl FROM (
+         |    SELECT u AS node FROM und UNION ALL SELECT v FROM und) x),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)},
+         |${round(4)},
+         |res AS (
+         |  SELECT 1 AS round, n_comps, edges_added, weight_added FROM st1
+         |  UNION ALL SELECT 2, n_comps, edges_added, weight_added FROM st2
+         |  UNION ALL SELECT 3, n_comps, edges_added, weight_added FROM st3
+         |  UNION ALL SELECT 4, n_comps, edges_added, weight_added FROM st4)
+         |SELECT CAST(round AS BIGINT) AS round, n_comps AS n_comps_before,
+         |  edges_added, weight_added,
+         |  CAST(sum(weight_added) OVER (ORDER BY round
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_weight
+         |FROM res ORDER BY round""".stripMargin
+    },
   )
 }
