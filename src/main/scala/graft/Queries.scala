@@ -8375,6 +8375,23 @@ object Queries {
     buf.toSeq
   }
 
+  /** LCS DP cells (longest common subsequence), the [[nwCells]]
+    * unrolling with the gap-free recurrence d(i,j) = eq ? diag+1 :
+    * max(up, left); boundaries are 0.
+    */
+  private[graft] def lcsCells(a: Int => String, b: Int => String,
+      n: Int): Seq[(String, String)] = {
+    val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    for (i <- 1 to n; j <- 1 to n) {
+      val eq = s"(case when ${a(i)} = ${b(j)} then 1 else 0 end)"
+      val diag = if (i == 1 || j == 1) "0" else s"d_${i - 1}_${j - 1}"
+      val up = if (i == 1) "0" else s"d_${i - 1}_$j"
+      val left = if (j == 1) "0" else s"d_${i}_${j - 1}"
+      buf += (s"d_${i}_$j" -> s"greatest($diag + $eq, $up, $left)")
+    }
+    buf.toSeq
+  }
+
   private[graft] def dtwCells(a: Int => String, b: Int => String): Seq[(String, String)] = {
     val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
     for (i <- 1 to 7; j <- 1 to 7) {
@@ -13735,5 +13752,117 @@ object Queries {
       .toDF("round", "n_comps_before", "edges_added", "weight_added",
         "cum_weight")
       .orderBy(col("round"))
+  }
+
+  /** Longest-common-subsequence similarity between user journeys —
+    * the order-preserving overlap measure next to [[needlemanQ]]'s
+    * gap-penalized alignment (LCS asks "how much of the journey is
+    * shared in order", NW asks "how expensive is the edit"): the same
+    * probe-bounded first-7-event pairs, the 7×7 DP unrolled by
+    * [[lcsCells]] into codegen'd columns (no UDF, no recursion — the
+    * DuckDB lateral-alias replay ceiling). Ships the LCS length and
+    * the normalized e6 similarity.
+    */
+  def lcsSimQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val seqs = Tables.events(spark, sfDir)
+      .filter(col("user_id") < 8)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        col("event_type").as("et"))
+      .groupBy(col("user_id"))
+      .agg(expr("""slice(transform(array_sort(collect_list(
+        struct(us, event_id, et))), s -> s.et), 1, 7)""").as("arr"))
+      .filter(size(col("arr")) === 7)
+    var df = seqs.as("p")
+      .join(seqs.as("q"), col("q.user_id") > col("p.user_id"))
+      .select(col("p.user_id").as("user_a"), col("q.user_id").as("user_b"),
+        col("p.arr").as("a"), col("q.arr").as("b"))
+    for ((n, e) <- lcsCells(i => s"element_at(a, $i)", j => s"element_at(b, $j)", 7))
+      df = df.withColumn(n, expr(e))
+    df.select(col("user_a"), col("user_b"),
+        col("d_7_7").cast("long").as("lcs"),
+        expr("cast(d_7_7 as bigint) * 1000000 div 7").as("lcs_sim_e6"))
+      .orderBy(col("user_a"), col("user_b"))
+  }
+
+  /** Intraclass correlation ICC(1,1) of daily event volume within
+    * users — "is activity a stable USER trait or daily noise", the
+    * reliability readout [[anovaQ]]'s F-test doesn't give (F says the
+    * groups differ; ICC says how much of total variance is
+    * between-user): one-way random-effects from exact integer ANOVA
+    * moments with the unbalanced-design k₀ = (N − Σn²/N)/(g−1)
+    * correction. One (user, day) aggregate, one user rollup, scalars.
+    */
+  def iccQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cells = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(count(lit(1)).as("k"))
+    val byU = cells.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("ng"), sum(col("k")).as("sg"),
+        sum(expr(s"cast(k as $d38) * k")).as("sgg"))
+    byU.groupBy()
+      .agg(count(lit(1)).as("g"), sum(col("ng")).as("nn"),
+        sum(col("sg")).as("st"), sum(col("sgg")).as("stt"),
+        sum(expr(s"cast(sg as $d38) * sg * 1000000 div ng")).as("ssb_n"),
+        sum(expr(s"cast(ng as $d38) * ng")).as("sn2"))
+      // SSB = Σ sg²/ng − st²/N ; SSW = Σk² − Σ sg²/ng  (both at e6)
+      .withColumn("ssb_e6",
+        expr(s"ssb_n - cast(st as $d38) * st * 1000000 div nn"))
+      .withColumn("ssw_e6", expr(s"cast(stt as $d38) * 1000000 - ssb_n"))
+      .withColumn("msb_e6", expr("ssb_e6 div (g - 1)"))
+      .withColumn("msw_e6", expr("ssw_e6 div (nn - g)"))
+      .withColumn("k0_e6",
+        expr(s"(nn * 1000000 - sn2 * 1000000 div nn) div (g - 1)"))
+      .select(col("g").as("n_users"), col("nn").as("n_cells"),
+        col("msb_e6").cast("long").as("msb_e6"),
+        col("msw_e6").cast("long").as("msw_e6"),
+        col("k0_e6").cast("long").as("k0_e6"),
+        expr("""cast((msb_e6 - msw_e6) * 1000000
+                div (msb_e6 + (k0_e6 - 1000000) * msw_e6 div 1000000)
+                as bigint)""").as("icc_e6"))
+  }
+
+  /** Gumbel extreme-value fit on monthly block maxima of order value —
+    * "how bad is the 100-month worst order" (capacity planning /
+    * fraud-limit sizing), the tail question [[hillQ]]'s index answers
+    * only asymptotically: method-of-moments β = s·√6/π and
+    * μ = x̄ − γβ over the ~80 calendar-block maxima (exact cents
+    * moments; γ and √6/π are SHARED double literals), then return
+    * levels x_T = μ − β·ln(−ln(1−1/T)) for T ∈ {10,50,100} blocks.
+    * One fact scan, one month aggregate, a 3-row grid.
+    */
+  def gumbelQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val blocks = Tables.orders(spark, sfDir)
+      .groupBy((year(col("o_orderdate")) * 12
+        + month(col("o_orderdate")) - 1).cast("long").as("m"))
+      .agg(max(cents(col("o_totalprice")).cast("long")).as("mx"))
+    val mo = blocks.groupBy()
+      .agg(count(lit(1)).as("nb"), sum(col("mx")).as("s"),
+        sum(expr(s"cast(mx as $d38) * mx")).as("ss"))
+      .select(col("nb"), col("s"),
+        // sample variance cleared by nb(nb−1); sqrt on the one scalar
+        expr(s"""cast((nb * ss - cast(s as $d38) * s)
+                div (cast(nb as $d38) * (nb - 1)) as double)""").as("v"))
+      .select(col("nb"),
+        (col("s").cast("double") / col("nb")).as("mean"),
+        sqrt(col("v")).as("sd"))
+      .select(col("nb"), col("mean"), col("sd"),
+        (col("sd") * 0.7796968012336609).as("beta"))
+      .select(col("nb"), col("mean"), col("sd"), col("beta"),
+        (col("mean") - lit(0.5772156649015329) * col("beta")).as("mu"))
+    val grid = broadcast(blocks.sparkSession.range(0, 3)
+      .select(expr("element_at(array(10L, 50L, 100L), cast(id as int) + 1)")
+        .as("t")))
+    mo.crossJoin(grid)
+      .select(col("t"), col("nb").as("n_blocks"),
+        floor(col("mean") + 0.5).cast("long").as("mean_c"),
+        floor(col("sd") + 0.5).cast("long").as("sd_c"),
+        floor(col("mu") + 0.5).cast("long").as("mu_c"),
+        floor(col("beta") + 0.5).cast("long").as("beta_c"),
+        floor(col("mu") - col("beta")
+          * log(-log(lit(1.0) - lit(1.0) / col("t"))) + 0.5)
+          .cast("long").as("ret_c"))
+      .orderBy(col("t"))
   }
 }

@@ -473,6 +473,9 @@ object SparkEntry {
     "q_turf" -> (Queries.turfQ _),
     "q_mahalanobis" -> (Queries.mahalanobisQ _),
     "q_boruvka" -> (Queries.boruvkaQ _),
+    "q_lcs_sim" -> (Queries.lcsSimQ _),
+    "q_icc" -> (Queries.iccQ _),
+    "q_gumbel" -> (Queries.gumbelQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -10784,5 +10787,81 @@ object SparkEntry {
          |    AS cum_weight
          |FROM res ORDER BY round""".stripMargin
     },
+
+    // LCS replay: the needleman pair base with the gap-free DP cells.
+    "q_lcs_sim" -> {
+      val cells = Queries.lcsCells(i => s"a[$i]", j => s"b[$j]", 7)
+        .map { case (n, e) => s"    $e AS $n" }.mkString(",\n")
+      s"""WITH s0 AS (SELECT user_id,
+         |    list_slice(list(event_type ORDER BY epoch_us(CAST(ts AS TIMESTAMP)),
+         |      event_id), 1, 7) AS arr
+         |  FROM events WHERE user_id < 8 GROUP BY user_id),
+         |seqs AS (SELECT user_id, arr FROM s0 WHERE len(arr) = 7),
+         |pairs AS (SELECT p.user_id AS user_a, q.user_id AS user_b,
+         |    p.arr AS a, q.arr AS b
+         |  FROM seqs p JOIN seqs q ON q.user_id > p.user_id),
+         |dp AS (SELECT user_a, user_b,
+         |$cells
+         |  FROM pairs)
+         |SELECT user_a, user_b, CAST(d_7_7 AS BIGINT) AS lcs,
+         |  CAST(CAST(d_7_7 AS BIGINT) * 1000000 // 7 AS BIGINT) AS lcs_sim_e6
+         |FROM dp ORDER BY user_a, user_b""".stripMargin
+    },
+
+    // ICC replay: unbalanced one-way ANOVA moments in HUGEINT, k0
+    // correction, one integral-ratio ICC.
+    "q_icc" ->
+      """WITH cells AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    CAST(count(*) AS BIGINT) AS k
+        |  FROM events GROUP BY 1, 2),
+        |byu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS ng,
+        |    sum(k) AS sg, sum(CAST(k AS HUGEINT) * k) AS sgg
+        |  FROM cells GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS g, sum(ng) AS nn,
+        |    sum(sg) AS st, sum(sgg) AS stt,
+        |    sum(CAST(sg AS HUGEINT) * sg * 1000000 // ng) AS ssb_n,
+        |    sum(CAST(ng AS HUGEINT) * ng) AS sn2
+        |  FROM byu),
+        |m2 AS (SELECT *,
+        |    ssb_n - CAST(st AS HUGEINT) * st * 1000000 // nn AS ssb_e6,
+        |    CAST(stt AS HUGEINT) * 1000000 - ssb_n AS ssw_e6
+        |  FROM m),
+        |m3 AS (SELECT *, ssb_e6 // (g - 1) AS msb_e6,
+        |    ssw_e6 // (nn - g) AS msw_e6,
+        |    (nn * 1000000 - sn2 * 1000000 // nn) // (g - 1) AS k0_e6
+        |  FROM m2)
+        |SELECT g AS n_users, CAST(nn AS BIGINT) AS n_cells,
+        |  CAST(msb_e6 AS BIGINT) AS msb_e6, CAST(msw_e6 AS BIGINT) AS msw_e6,
+        |  CAST(k0_e6 AS BIGINT) AS k0_e6,
+        |  CAST((msb_e6 - msw_e6) * 1000000
+        |    // (msb_e6 + (k0_e6 - 1000000) * msw_e6 // 1000000) AS BIGINT)
+        |    AS icc_e6
+        |FROM m3""".stripMargin,
+
+    // Gumbel replay: monthly block maxima, shared gamma and sqrt(6)/pi
+    // literals, three return levels.
+    "q_gumbel" ->
+      """WITH b AS (SELECT CAST(year(o_orderdate) * 12
+        |      + month(o_orderdate) - 1 AS BIGINT) AS m,
+        |    max(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS mx
+        |  FROM orders GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS nb, sum(mx) AS s,
+        |    sum(CAST(mx AS HUGEINT) * mx) AS ss FROM b),
+        |m2 AS (SELECT nb, CAST(s AS DOUBLE) / nb AS mean,
+        |    sqrt(CAST((nb * ss - CAST(s AS HUGEINT) * s)
+        |      // (CAST(nb AS HUGEINT) * (nb - 1)) AS DOUBLE)) AS sd
+        |  FROM m),
+        |m3 AS (SELECT *, sd * 0.7796968012336609 AS beta FROM m2),
+        |m4 AS (SELECT *, mean - 0.5772156649015329 * beta AS mu FROM m3),
+        |grid AS (SELECT CAST(unnest([10, 50, 100]) AS BIGINT) AS t)
+        |SELECT t, nb AS n_blocks,
+        |  CAST(floor(mean + 0.5) AS BIGINT) AS mean_c,
+        |  CAST(floor(sd + 0.5) AS BIGINT) AS sd_c,
+        |  CAST(floor(mu + 0.5) AS BIGINT) AS mu_c,
+        |  CAST(floor(beta + 0.5) AS BIGINT) AS beta_c,
+        |  CAST(floor(mu - beta * ln(-ln(1.0 - 1.0 / t)) + 0.5) AS BIGINT)
+        |    AS ret_c
+        |FROM m4 CROSS JOIN grid ORDER BY t""".stripMargin,
   )
 }
