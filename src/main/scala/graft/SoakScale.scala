@@ -242,7 +242,11 @@ object SoakScale {
     // 10b wave 12: 4 Borůvka rounds over the 10x/100x co-purchase
     // edge list — per-round cost is two label joins + one per-comp
     // struct-min + 6 comp-sized pointer jumps
-    "q_boruvka")
+    "q_boruvka",
+    // 10b wave 13: the probe-bounded LCS pair DP (per-user reduce is
+    // the data-sized part), the (user, day) ICC moments scan, and the
+    // monthly block-maxima scan under the Gumbel fit
+    "q_lcs_sim", "q_icc", "q_gumbel")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)
