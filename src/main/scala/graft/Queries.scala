@@ -13865,4 +13865,166 @@ object Queries {
           .cast("long").as("ret_c"))
       .orderBy(col("t"))
   }
+
+  /** Adstock + response fit — the marketing-mix-model core: daily
+    * click volume is carried over with geometric decay
+    * a_d = c_d + λ·a_{d−1} (one exact e6 fold per λ on the day spine —
+    * λ ∈ {0.3,0.5,0.7} as rational tenths so the recursion is
+    * truncating-integer), then each λ's adstock series is fit to daily
+    * purchase revenue by closed-form OLS and scored by R²; best λ
+    * flagged (ties to the smaller λ). "How long does advertising
+    * linger" answered with one scan, a 3-way grouped fold, and
+    * decimal(38) moments.
+    */
+  def adstockQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c"),
+        sum(when(col("event_type") === "purchase",
+          cents(col("value")).cast("long")).otherwise(0L)).as("y"))
+    val lams = broadcast(daily.sparkSession.range(0, 3)
+      .select(expr("element_at(array(3L, 5L, 7L), cast(id as int) + 1)")
+        .as("lam")))
+    val ad = daily.crossJoin(lams)
+      .groupBy(col("lam"))
+      .agg(sort_array(collect_list(struct(col("d"), col("c"), col("y"))))
+        .as("arr"))
+      .select(col("lam"), explode(expr(
+        """aggregate(arr,
+          |  named_struct('a', 0L,
+          |    'out', cast(array() as array<struct<d:bigint,a_e6:bigint,
+          |                                        y:bigint>>)),
+          |  (acc, e) -> named_struct(
+          |    'a', e.c * 1000000L + lam * acc.a div 10L,
+          |    'out', array_append(acc.out, named_struct(
+          |      'd', e.d, 'a_e6', e.c * 1000000L + lam * acc.a div 10L,
+          |      'y', e.y))),
+          |  acc -> acc.out)""".stripMargin)).as("r"))
+      .select(col("lam"), col("r.a_e6").as("x"), col("r.y").as("y"))
+    val fits = ad.groupBy(col("lam"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr(s"cast(x as $d38) * x")).as("sxx"),
+        sum(expr(s"cast(x as $d38) * y")).as("sxy"),
+        sum(expr(s"cast(y as $d38) * y")).as("syy"))
+      .select(col("lam"),
+        expr(s"""cast((n * sxy - cast(sx as $d38) * sy) * 1000000
+                div (n * sxx - cast(sx as $d38) * sx) as bigint)""")
+          .as("b_e6"),
+        expr(s"""cast(((n * sxy - cast(sx as $d38) * sy) * 1000000
+                div (n * sxx - cast(sx as $d38) * sx))
+                * ((n * sxy - cast(sx as $d38) * sy) * 1000000
+                div (n * syy - cast(sy as $d38) * sy))
+                div 1000000 as bigint)""").as("r2_e6"))
+    val best = fits.groupBy()
+      .agg(min(struct((-col("r2_e6")).as("nr"), col("lam"))).as("m"))
+      .select(col("m.lam").as("best_lam"))
+    fits.crossJoin(broadcast(best))
+      .select((col("lam") * 100000L).as("lam_e6"), col("b_e6"), col("r2_e6"),
+        (col("lam") === col("best_lam")).as("is_best"))
+      .orderBy(col("lam_e6"))
+  }
+
+  /** Kendall's W concordance among the five event-type "raters"
+    * ranking the 40 articles by volume — do click, view, purchase,
+    * signup and error traffic AGREE on which articles matter (the
+    * multi-rater generalization of [[kendallTauQ]]'s two-sequence
+    * question): ranks are the deterministic (count desc, article)
+    * total order per rater over the margin-cross scaffold (zero
+    * cells included), and W = 3·Σ(2R_a − m(n+1))²/(m²(n³−n)) is exact
+    * integer end to end. Rater×article-bounded everywhere after one
+    * fact aggregate.
+    */
+  def kendallWQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val cnt = Tables.events(spark, sfDir)
+      .groupBy(col("event_type").as("rater"),
+        (expr("event_id % 40") + 1).as("article"))
+      .agg(count(lit(1)).as("cnt"))
+    val raters = cnt.select(col("rater")).distinct()
+    val grid = raters
+      .crossJoin(cnt.sparkSession.range(1, 41).select(col("id").as("article")))
+      .join(cnt, Seq("rater", "article"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val ranked = grid.withColumn("rnk", row_number().over(
+      Window.partitionBy(col("rater"))
+        .orderBy(col("cnt").desc, col("article"))))
+    val sums = ranked.groupBy(col("article"))
+      .agg(sum(col("rnk")).as("r_sum"), count(lit(1)).as("m"))
+    val nRow = sums.groupBy().agg(count(lit(1)).as("n"), max(col("m")).as("m"))
+    val s2 = sums.crossJoin(broadcast(nRow.select(col("n"), col("m").as("mm"))))
+      .select(col("article"), col("r_sum"), col("n"), col("mm"),
+        expr(s"""cast(2 * r_sum - mm * (n + 1) as $d38)
+          * (2 * r_sum - mm * (n + 1))""").as("dev2"))
+    val w = s2.groupBy(col("n"), col("mm"))
+      .agg(sum(col("dev2")).as("s2"))
+      .select(col("n"), col("mm"),
+        expr(s"""cast(s2 * 3 * 1000000
+                div (cast(mm as $d38) * mm * (cast(n as $d38) * n * n - n))
+                as bigint)""").as("w_e6"))
+    s2.join(broadcast(w), Seq("n", "mm"))
+      .select(col("article"), col("r_sum"),
+        col("dev2").cast("long").as("dev2"),
+        col("mm").as("m_raters"), col("n").as("n_items"), col("w_e6"))
+      .orderBy(col("article"))
+  }
+
+  /** Fisher's exact test on the heavy-clicker × early-churn 2×2 — the
+    * small-table test [[chi2IndepQ]]'s asymptotics get wrong exactly
+    * when it matters: the hypergeometric weights are walked over the
+    * k-support with per-step e9-floored log ratios (the absolute
+    * normalizer cancels), terms re-exponentiated RELATIVE TO THE MAX
+    * and e9-floored to integers before summing (so double addition
+    * order cannot move the hash), and the two-sided p sums every k at
+    * least as extreme (L(k) ≤ L(k_obs)). The walk is min-margin-
+    * bounded — the honest cost of EXACTNESS (at big margins use the
+    * χ²); window allowlisted on that contract.
+    */
+  def fisherExactQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("ck"),
+        max(expr("unix_micros(ts) div 86400000000")).as("l"))
+    val md = u.groupBy().agg(max(col("l")).as("maxd"))
+    val cells = u.crossJoin(broadcast(md))
+      .select((col("ck") >= 14).as("heavy"),
+        (col("l") < col("maxd") - 2).as("churn"))
+      .groupBy()
+      .agg(sum(when(col("heavy") && col("churn"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("heavy"), 1L).otherwise(0L)).as("r1"),
+        sum(when(!col("heavy"), 1L).otherwise(0L)).as("r2"),
+        sum(when(col("churn"), 1L).otherwise(0L)).as("c1"),
+        count(lit(1)).as("n"))
+    val sup = cells.select(col("a"), col("r1"), col("r2"), col("c1"), col("n"),
+        explode(expr("""sequence(greatest(0L, c1 - r2),
+                        least(r1, c1))""")).as("k"))
+    // step ratio INTO k (from k−1): ln((r1−k+1)(c1−k+1)/(k(r2−c1+k)))
+    val steps = sup.withColumn("lr_e9",
+      when(col("k") === greatest(lit(0L), col("c1") - col("r2")), 0L)
+        .otherwise(floor(log(
+          ((col("r1") - col("k") + 1).cast("double") * (col("c1") - col("k") + 1))
+            / ((col("k")).cast("double") * (col("r2") - col("c1") + col("k"))))
+          * 1000000000.0 + 0.5).cast("long")))
+    val wk = Window.partitionBy(
+        graft.functions.GraftFunctions.singleton_key(col("k")))
+      .orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = steps.withColumn("l_e9", sum(col("lr_e9")).over(wk))
+    val mx = cum.groupBy().agg(max(col("l_e9")).as("lmax"))
+    val terms = cum.crossJoin(broadcast(mx))
+      .withColumn("t_e9", floor(exp(
+        (col("l_e9") - col("lmax")).cast("double") / 1.0e9)
+        * 1000000000.0 + 0.5).cast("long"))
+    val lobs = terms.filter(col("k") === col("a"))
+      .select(col("l_e9").as("l_obs"))
+    terms.crossJoin(broadcast(lobs))
+      .groupBy(col("a"), col("r1"), col("r2"), col("c1"), col("n"))
+      .agg(sum(when(col("l_e9") <= col("l_obs"), col("t_e9")).otherwise(0L))
+        .as("pnum"),
+        sum(col("t_e9")).as("pden"))
+      .select(col("a"), col("r1"), col("r2"), col("c1"), col("n"),
+        expr("pnum * 1000000 div pden").as("p_two_e6"))
+  }
 }

@@ -476,6 +476,9 @@ object SparkEntry {
     "q_lcs_sim" -> (Queries.lcsSimQ _),
     "q_icc" -> (Queries.iccQ _),
     "q_gumbel" -> (Queries.gumbelQ _),
+    "q_adstock" -> (Queries.adstockQ _),
+    "q_kendall_w" -> (Queries.kendallWQ _),
+    "q_fisher_exact" -> (Queries.fisherExactQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -10863,5 +10866,115 @@ object SparkEntry {
         |  CAST(floor(mu - beta * ln(-ln(1.0 - 1.0 / t)) + 0.5) AS BIGINT)
         |    AS ret_c
         |FROM m4 CROSS JOIN grid ORDER BY t""".stripMargin,
+
+    // Adstock replay: one recursive chain carrying (lam, a) over the
+    // day spine for all three lambdas, then the OLS/R2 closed forms.
+    "q_adstock" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |o AS (SELECT d, c, y, row_number() OVER (ORDER BY d) AS rn
+        |  FROM daily),
+        |lam AS (SELECT CAST(unnest([3, 5, 7]) AS BIGINT) AS lam),
+        |r AS (
+        |  SELECT lam, rn, c * 1000000 AS a, y FROM o, lam WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.lam, o.rn, o.c * 1000000 + r.lam * r.a // 10, o.y
+        |  FROM r JOIN o ON o.rn = r.rn + 1),
+        |m AS (SELECT lam, CAST(count(*) AS BIGINT) AS n, sum(a) AS sx,
+        |    sum(y) AS sy, sum(CAST(a AS HUGEINT) * a) AS sxx,
+        |    sum(CAST(a AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM r GROUP BY lam),
+        |f AS (SELECT lam,
+        |    CAST((n * sxy - CAST(sx AS HUGEINT) * sy) * 1000000
+        |      // (n * sxx - CAST(sx AS HUGEINT) * sx) AS BIGINT) AS b_e6,
+        |    CAST(((n * sxy - CAST(sx AS HUGEINT) * sy) * 1000000
+        |      // (n * sxx - CAST(sx AS HUGEINT) * sx))
+        |      * ((n * sxy - CAST(sx AS HUGEINT) * sy) * 1000000
+        |      // (n * syy - CAST(sy AS HUGEINT) * sy))
+        |      // 1000000 AS BIGINT) AS r2_e6
+        |  FROM m),
+        |b AS (SELECT (min(struct_pack(nr := -r2_e6, lam := lam))).lam
+        |    AS best_lam FROM f)
+        |SELECT lam * 100000 AS lam_e6, b_e6, r2_e6,
+        |  lam = best_lam AS is_best
+        |FROM f CROSS JOIN b ORDER BY lam_e6""".stripMargin,
+
+    // Kendall-W replay: margin-cross rank scaffold, deterministic
+    // (count desc, article) ranks, exact integral W.
+    "q_kendall_w" ->
+      """WITH cnt AS (SELECT event_type AS rater, event_id % 40 + 1 AS article,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |raters AS (SELECT DISTINCT rater FROM cnt),
+        |grid AS (SELECT r.rater, g.article, coalesce(cnt.cnt, 0) AS cnt
+        |  FROM raters r
+        |  CROSS JOIN (SELECT CAST(unnest(range(1, 41)) AS BIGINT) AS article) g
+        |  LEFT JOIN cnt ON cnt.rater = r.rater AND cnt.article = g.article),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY rater
+        |    ORDER BY cnt DESC, article) AS rnk FROM grid),
+        |sums AS (SELECT article, CAST(sum(rnk) AS BIGINT) AS r_sum,
+        |    CAST(count(*) AS BIGINT) AS m FROM rk GROUP BY 1),
+        |nr AS (SELECT CAST(count(*) AS BIGINT) AS n, max(m) AS mm FROM sums),
+        |s2 AS (SELECT article, r_sum, n, mm,
+        |    CAST(2 * r_sum - mm * (n + 1) AS HUGEINT)
+        |      * (2 * r_sum - mm * (n + 1)) AS dev2
+        |  FROM sums CROSS JOIN nr),
+        |w AS (SELECT n, mm, CAST(sum(dev2) * 3 * 1000000
+        |      // (CAST(mm AS HUGEINT) * mm * (CAST(n AS HUGEINT) * n * n - n))
+        |      AS BIGINT) AS w_e6
+        |  FROM s2 GROUP BY n, mm)
+        |SELECT s2.article, s2.r_sum, CAST(s2.dev2 AS BIGINT) AS dev2,
+        |  s2.mm AS m_raters, s2.n AS n_items, w.w_e6
+        |FROM s2 JOIN w ON s2.n = w.n AND s2.mm = w.mm
+        |ORDER BY s2.article""".stripMargin,
+
+    // Fisher-exact replay: k-support log-ratio walk, max-relative
+    // e9-floored terms, two-sided tail sum.
+    "q_fisher_exact" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ck,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS l
+        |  FROM events GROUP BY user_id),
+        |md AS (SELECT max(l) AS maxd FROM u),
+        |cells AS (SELECT
+        |    CAST(sum(CASE WHEN ck >= 14 AND l < maxd - 2 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN ck >= 14 THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+        |    CAST(sum(CASE WHEN ck < 14 THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+        |    CAST(sum(CASE WHEN l < maxd - 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c1,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM u CROSS JOIN md),
+        |sup AS (SELECT a, r1, r2, c1, n,
+        |    CAST(unnest(range(greatest(0, c1 - r2), least(r1, c1) + 1))
+        |      AS BIGINT) AS k
+        |  FROM cells),
+        |steps AS (SELECT *, CASE WHEN k = greatest(0, c1 - r2) THEN 0
+        |    ELSE CAST(floor(ln((CAST(r1 - k + 1 AS DOUBLE) * (c1 - k + 1))
+        |      / (CAST(k AS DOUBLE) * (r2 - c1 + k)))
+        |      * 1000000000.0 + 0.5) AS BIGINT) END AS lr_e9
+        |  FROM sup),
+        |cum AS (SELECT *, sum(lr_e9) OVER (ORDER BY k
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l_e9
+        |  FROM steps),
+        |mx AS (SELECT max(l_e9) AS lmax FROM cum),
+        |terms AS (SELECT cum.*, CAST(floor(exp(
+        |    CAST(l_e9 - lmax AS DOUBLE) / 1.0e9) * 1000000000.0 + 0.5)
+        |    AS BIGINT) AS t_e9
+        |  FROM cum CROSS JOIN mx),
+        |lo AS (SELECT l_e9 AS l_obs FROM terms WHERE k = a)
+        |SELECT a, r1, r2, c1, n,
+        |  CAST(sum(CASE WHEN l_e9 <= l_obs THEN t_e9 ELSE 0 END) * 1000000
+        |    // sum(t_e9) AS BIGINT) AS p_two_e6
+        |FROM terms CROSS JOIN lo
+        |GROUP BY a, r1, r2, c1, n""".stripMargin,
   )
 }

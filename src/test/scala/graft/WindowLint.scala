@@ -100,7 +100,8 @@ object WindowLint {
     "q_sprt", // calendar: cumulative LLR over the day spine
     "q_abc_analysis", // log2-revenue bin support (~40 bins at any size)
     "q_wasserstein", // value-support CDF walk over distinct cents (q_auc contract)
-    "q_quantile_norm" // value-support CDF walks + support-union merge walk
+    "q_quantile_norm", // value-support CDF walks + support-union merge walk
+    "q_fisher_exact" // hypergeometric k-support walk (min-margin-bounded, documented)
   )
 }
 
