@@ -14027,4 +14027,136 @@ object Queries {
       .select(col("a"), col("r1"), col("r2"), col("c1"), col("n"),
         expr("pnum * 1000000 div pden").as("p_two_e6"))
   }
+
+  /** Fano factor (index of dispersion) of event arrivals at three
+    * timescales — Poisson traffic has VMR ≈ 1 at EVERY scale; rising
+    * VMR with window size is the signature of bursty/self-exciting
+    * load that a single-scale [[negbinQ]] readout can't show. Zero
+    * windows enter through the CALENDAR span (T = range/scale + 1 —
+    * two scalars, the grid never materializes); variance is
+    * fraction-cleared: VMR = (T·Σk² − N²)/(T·N). One scan, one
+    * (scale, window) aggregate, scale-bounded rollup.
+    */
+  def fanoQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val sess = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 1000000").as("s"))
+    val scales = broadcast(sess.sparkSession.range(0, 3)
+      .select(expr("element_at(array(60L, 600L, 3600L), cast(id as int) + 1)")
+        .as("scale")))
+    val wc = sess.crossJoin(scales)
+      .groupBy(col("scale"), expr("s div scale").as("w"))
+      .agg(count(lit(1)).as("k"))
+    val span = sess.groupBy()
+      .agg(min(col("s")).as("s0"), max(col("s")).as("s1"))
+    wc.groupBy(col("scale"))
+      .agg(sum(col("k")).as("nev"), count(lit(1)).as("nz"),
+        sum(expr(s"cast(k as $d38) * k")).as("s2"))
+      .crossJoin(broadcast(span))
+      .withColumn("t", expr("s1 div scale - s0 div scale + 1"))
+      .select(col("scale").as("scale_s"), col("t").as("t_windows"),
+        col("nev").as("n_events"), (col("t") - col("nz")).as("n_zero"),
+        expr("cast(cast(nev as decimal(38,0)) * 1000000 div t as bigint)")
+          .as("mean_e6"),
+        expr(s"""cast((t * s2 - cast(nev as $d38) * nev) * 1000000
+                div (cast(t as $d38) * nev) as bigint)""").as("vmr_e6"))
+      .orderBy(col("scale_s"))
+  }
+
+  /** Entropy rate of the per-user event-type process — how many nats
+    * of genuine surprise each next action carries once the previous
+    * action is known, H(X₂|X₁) = Σ p(ij)·ln(nᵢ/nᵢⱼ): the compressibility
+    * / predictability ceiling for journey models that
+    * [[transitionsQ]]'s raw matrix doesn't summarize. Bigrams come
+    * from a user-keyed lag (ordered by event_id — a real key, no
+    * singleton); every cell term is e9-floored from exact counts.
+    * Ships the 5×5 cells with the rate and the unconditional [[entropyQ]]-style
+    * H(X) for the "memory buys this much" comparison.
+    */
+  def entropyRateQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val bi = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type").as("cur"))
+      .withColumn("prev", lag(col("cur"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("nij"))
+    val mi = bi.groupBy(col("prev")).agg(sum(col("nij")).as("ni"))
+    val tot = bi.groupBy().agg(sum(col("nij")).as("nn"))
+    val cells = bi.join(broadcast(mi), "prev").crossJoin(broadcast(tot))
+      .withColumn("term_e9", floor(
+        (col("nij") / col("nn"))
+          * log(col("ni").cast("double") / col("nij"))
+          * 1000000000.0 + 0.5).cast("long"))
+    val rate = cells.groupBy().agg(sum(col("term_e9")).as("h_rate_e9"))
+    val hx = mi.crossJoin(broadcast(tot)).groupBy()
+      .agg(sum(floor((col("ni") / col("nn"))
+        * log(col("nn").cast("double") / col("ni"))
+        * 1000000000.0 + 0.5).cast("long")).as("h_marg_e9"))
+    cells.crossJoin(broadcast(rate)).crossJoin(broadcast(hx))
+      .select(col("prev"), col("cur"), col("nij"), col("ni"),
+        col("term_e9"), col("h_rate_e9"), col("h_marg_e9"))
+      .orderBy(col("prev"), col("cur"))
+  }
+
+  /** Segmented (broken-stick) regression of the daily event trend —
+    * WHERE did the trend change, not just whether the level did (the
+    * slope-aware sibling of [[changepointQ]]'s CUSUM): every interior
+    * day is a candidate breakpoint, left/right OLS SSEs come from ONE
+    * cumulative-moment pass over the day spine (calendar-bounded
+    * windows, allowlisted), each SSE one double expression over exact
+    * integer moments, best split = min total SSE (ties to the earlier
+    * day). Ships the whole SSE curve so the break's sharpness is
+    * visible.
+    */
+  def segRegressionQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val daily0 = Tables.events(spark, sfDir)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(count(lit(1)).as("x"))
+    val d0 = daily0.groupBy().agg(min(col("d")).as("dmin"))
+    val daily = daily0.crossJoin(broadcast(d0))
+      .select((col("d") - col("dmin")).as("t"), col("x"))
+    val wd = Window.partitionBy(
+        graft.functions.GraftFunctions.singleton_key(col("t")))
+      .orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = daily
+      .withColumn("cn", count(lit(1)).over(wd))
+      .withColumn("csx", sum(col("t")).over(wd))
+      .withColumn("csy", sum(col("x")).over(wd))
+      .withColumn("csxx", sum(expr(s"cast(t as $d38) * t")).over(wd))
+      .withColumn("csxy", sum(expr(s"cast(t as $d38) * x")).over(wd))
+      .withColumn("csyy", sum(expr(s"cast(x as $d38) * x")).over(wd))
+    val tot = cum.groupBy()
+      .agg(max(col("cn")).as("n"), max(col("csx")).as("tsx"),
+        max(col("csy")).as("tsy"), max(col("csxx")).as("tsxx"),
+        max(col("csxy")).as("tsxy"), max(col("csyy")).as("tsyy"))
+    def sse(n: String, sx: String, sy: String, sxx: String, sxy: String,
+        syy: String): String =
+      s"""(cast($syy as double) - cast($sy as double) * $sy / $n
+         | - (cast($n as double) * $sxy - cast($sx as double) * $sy)
+         |   * (cast($n as double) * $sxy - cast($sx as double) * $sy)
+         |   / ($n * (cast($n as double) * $sxx
+         |       - cast($sx as double) * $sx)))""".stripMargin
+    val cand = cum.crossJoin(broadcast(tot))
+      .filter(col("cn") >= 5 && col("cn") <= col("n") - 5)
+      .withColumn("sse_l_e6",
+        floor(expr(sse("cn", "csx", "csy", "csxx", "csxy", "csyy"))
+          * 1000000.0 + 0.5).cast("long"))
+      .withColumn("sse_r_e6",
+        floor(expr(sse("(n - cn)", "(tsx - csx)", "(tsy - csy)",
+          "(tsxx - csxx)", "(tsxy - csxy)", "(tsyy - csyy)"))
+          * 1000000.0 + 0.5).cast("long"))
+      .withColumn("sse_e6", col("sse_l_e6") + col("sse_r_e6"))
+    val best = cand.groupBy()
+      .agg(min(struct(col("sse_e6"), col("t"))).as("m"))
+      .select(col("m.t").as("best_t"))
+    cand.crossJoin(broadcast(best))
+      .select(col("t"), col("cn").as("n_left"), col("sse_l_e6"),
+        col("sse_r_e6"), col("sse_e6"),
+        (col("t") === col("best_t")).as("is_break"))
+      .orderBy(col("t"))
+  }
 }

@@ -479,6 +479,9 @@ object SparkEntry {
     "q_adstock" -> (Queries.adstockQ _),
     "q_kendall_w" -> (Queries.kendallWQ _),
     "q_fisher_exact" -> (Queries.fisherExactQ _),
+    "q_fano" -> (Queries.fanoQ _),
+    "q_entropy_rate" -> (Queries.entropyRateQ _),
+    "q_seg_regression" -> (Queries.segRegressionQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -10976,5 +10979,95 @@ object SparkEntry {
         |    // sum(t_e9) AS BIGINT) AS p_two_e6
         |FROM terms CROSS JOIN lo
         |GROUP BY a, r1, r2, c1, n""".stripMargin,
+
+    // Fano replay: calendar window totals from two scalars, HUGEINT
+    // fraction-cleared VMR per scale.
+    "q_fano" ->
+      """WITH s AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS s
+        |  FROM events),
+        |scales AS (SELECT CAST(unnest([60, 600, 3600]) AS BIGINT) AS scale),
+        |wc AS (SELECT scale, s // scale AS w, CAST(count(*) AS BIGINT) AS k
+        |  FROM s CROSS JOIN scales GROUP BY 1, 2),
+        |sp AS (SELECT min(s) AS s0, max(s) AS s1 FROM s),
+        |g AS (SELECT scale, sum(k) AS nev, CAST(count(*) AS BIGINT) AS nz,
+        |    sum(CAST(k AS HUGEINT) * k) AS s2
+        |  FROM wc GROUP BY 1),
+        |g2 AS (SELECT *, s1 // scale - s0 // scale + 1 AS t
+        |  FROM g CROSS JOIN sp)
+        |SELECT scale AS scale_s, t AS t_windows,
+        |  CAST(nev AS BIGINT) AS n_events, t - nz AS n_zero,
+        |  CAST(CAST(nev AS HUGEINT) * 1000000 // t AS BIGINT) AS mean_e6,
+        |  CAST((t * s2 - CAST(nev AS HUGEINT) * nev) * 1000000
+        |    // (CAST(t AS HUGEINT) * nev) AS BIGINT) AS vmr_e6
+        |FROM g2 ORDER BY scale_s""".stripMargin,
+
+    // Entropy-rate replay: user-keyed bigram lag, e9-floored cell
+    // terms, conditional and marginal entropies.
+    "q_entropy_rate" ->
+      """WITH e AS (SELECT user_id, event_id, event_type AS cur,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+        |      AS prev
+        |  FROM events),
+        |bi AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS nij
+        |  FROM e WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |mi AS (SELECT prev, sum(nij) AS ni FROM bi GROUP BY 1),
+        |tot AS (SELECT sum(nij) AS nn FROM bi),
+        |cells AS (SELECT bi.prev, bi.cur, nij, ni,
+        |    CAST(floor((nij / nn)
+        |      * ln(CAST(ni AS DOUBLE) / nij) * 1000000000.0 + 0.5)
+        |      AS BIGINT) AS term_e9
+        |  FROM bi JOIN mi ON bi.prev = mi.prev CROSS JOIN tot),
+        |rate AS (SELECT sum(term_e9) AS h_rate_e9 FROM cells),
+        |hx AS (SELECT sum(CAST(floor((ni / nn)
+        |    * ln(CAST(nn AS DOUBLE) / ni) * 1000000000.0 + 0.5) AS BIGINT))
+        |    AS h_marg_e9
+        |  FROM mi CROSS JOIN tot)
+        |SELECT prev, cur, nij, CAST(ni AS BIGINT) AS ni, term_e9,
+        |  CAST(h_rate_e9 AS BIGINT) AS h_rate_e9,
+        |  CAST(h_marg_e9 AS BIGINT) AS h_marg_e9
+        |FROM cells CROSS JOIN rate CROSS JOIN hx
+        |ORDER BY prev, cur""".stripMargin,
+
+    // Segmented-regression replay: cumulative HUGEINT moments over the
+    // day spine, the same double SSE closed form left and right.
+    "q_seg_regression" -> {
+      def sse(n: String, sx: String, sy: String, sxx: String, sxy: String,
+          syy: String): String =
+        s"""(CAST($syy AS DOUBLE) - CAST($sy AS DOUBLE) * $sy / $n
+           | - (CAST($n AS DOUBLE) * $sxy - CAST($sx AS DOUBLE) * $sy)
+           |   * (CAST($n AS DOUBLE) * $sxy - CAST($sx AS DOUBLE) * $sy)
+           |   / ($n * (CAST($n AS DOUBLE) * $sxx
+           |       - CAST($sx AS DOUBLE) * $sx)))""".stripMargin
+      s"""WITH daily0 AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+         |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+         |d0 AS (SELECT min(d) AS dmin FROM daily0),
+         |daily AS (SELECT d - dmin AS t, x FROM daily0 CROSS JOIN d0),
+         |cum AS (SELECT t, x,
+         |    CAST(count(*) OVER wo AS BIGINT) AS cn,
+         |    sum(t) OVER wo AS csx, sum(x) OVER wo AS csy,
+         |    sum(CAST(t AS HUGEINT) * t) OVER wo AS csxx,
+         |    sum(CAST(t AS HUGEINT) * x) OVER wo AS csxy,
+         |    sum(CAST(x AS HUGEINT) * x) OVER wo AS csyy
+         |  FROM daily
+         |  WINDOW wo AS (ORDER BY t
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |tot AS (SELECT max(cn) AS n, max(csx) AS tsx, max(csy) AS tsy,
+         |    max(csxx) AS tsxx, max(csxy) AS tsxy, max(csyy) AS tsyy
+         |  FROM cum),
+         |cand AS (SELECT t, cn,
+         |    CAST(floor(${sse("cn", "csx", "csy", "csxx", "csxy", "csyy")}
+         |      * 1000000.0 + 0.5) AS BIGINT) AS sse_l_e6,
+         |    CAST(floor(${sse("(n - cn)", "(tsx - csx)", "(tsy - csy)",
+                "(tsxx - csxx)", "(tsxy - csxy)", "(tsyy - csyy)")}
+         |      * 1000000.0 + 0.5) AS BIGINT) AS sse_r_e6
+         |  FROM cum CROSS JOIN tot
+         |  WHERE cn >= 5 AND cn <= n - 5),
+         |c2 AS (SELECT *, sse_l_e6 + sse_r_e6 AS sse_e6 FROM cand),
+         |b AS (SELECT (min(struct_pack(sse_e6 := sse_e6, t := t))).t
+         |    AS best_t FROM c2)
+         |SELECT t, cn AS n_left, sse_l_e6, sse_r_e6, sse_e6,
+         |  t = best_t AS is_break
+         |FROM c2 CROSS JOIN b ORDER BY t""".stripMargin
+    },
   )
 }
