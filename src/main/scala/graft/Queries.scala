@@ -14159,4 +14159,116 @@ object Queries {
         (col("t") === col("best_t")).as("is_break"))
       .orderBy(col("t"))
   }
+
+  /** Standardized Pearson residuals for the lang×source contingency —
+    * WHICH cells drive the dependence [[chi2IndepQ]] only scores in
+    * aggregate: r = (o−e)/√(e·(1−rₘ/n)·(1−cₘ/n)) per cell on the
+    * margin-cross scaffold (zero cells included), e6-floored from
+    * exact counts, |r|>2 flagged. Same shapes as the chi² test —
+    * bounded everywhere after one scan.
+    */
+  def chi2ResidualsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.documents(spark, sfDir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+    val rm = o.groupBy(col("lang")).agg(sum(col("o")).as("r"))
+    val cm = o.groupBy(col("source")).agg(sum(col("o")).as("c"))
+    val tot = o.groupBy().agg(sum(col("o")).as("nn"))
+    rm.crossJoin(cm).crossJoin(broadcast(tot))
+      .join(o, Seq("lang", "source"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .withColumn("resid_e6", floor(
+        (col("o") - col("r").cast("double") * col("c") / col("nn"))
+          / sqrt((col("r").cast("double") * col("c") / col("nn"))
+            * (lit(1.0) - col("r") / col("nn"))
+            * (lit(1.0) - col("c") / col("nn")))
+          * 1000000.0 + 0.5).cast("long"))
+      .select(col("lang"), col("source"), col("o"),
+        col("r").as("row_total"), col("c").as("col_total"),
+        col("resid_e6"), (abs(col("resid_e6")) > 2000000L).as("is_notable"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** Content half-life — per-article exponential decay of daily views,
+    * fit as log-linear OLS over the article×day scaffold (+1
+    * smoothing so zero days enter; both dims bounded): the
+    * content-planning number ("a post earns half its traffic in H
+    * days") that raw popularity totals hide. Log responses are
+    * e6-floored per cell before the decimal moments; half-life
+    * = ln2/(−slope) only for decaying articles, growth flagged
+    * otherwise. One fact aggregate + a bounded grid fit.
+    */
+  def contentHalflifeQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val av = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "view")
+      .groupBy((expr("event_id % 40") + 1).as("article"),
+        expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(count(lit(1)).as("cnt"))
+    val days = av.select(col("d")).distinct()
+    val d0 = days.groupBy().agg(min(col("d")).as("dmin"))
+    val grid = av.select(col("article")).distinct()
+      .crossJoin(broadcast(days)).crossJoin(broadcast(d0))
+      .join(av, Seq("article", "d"), "left")
+      .select(col("article"), (col("d") - col("dmin")).as("t"),
+        floor(log(coalesce(col("cnt"), lit(0L)) + lit(1.0)) * 1000000.0
+          + 0.5).cast("long").as("y"))
+    val fit = grid.groupBy(col("article"))
+      .agg(count(lit(1)).as("n"), sum(col("t")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr(s"cast(t as $d38) * t")).as("sxx"),
+        sum(expr(s"cast(t as $d38) * y")).as("sxy"))
+      .select(col("article"), col("n"),
+        expr(s"""cast((n * sxy - cast(sx as $d38) * sy) * 1000000
+                div (n * sxx - cast(sx as $d38) * sx) as bigint)""")
+          .as("slope_e12"))
+    fit
+      .withColumn("is_decaying", col("slope_e12") < 0)
+      .withColumn("halflife_days_e6",
+        when(col("slope_e12") < 0,
+          expr("cast(693147L * 1000000L div (-slope_e12) as bigint) * 1000000L"))
+          .otherwise(lit(0L)))
+      .select(col("article"), col("n").as("n_days"), col("slope_e12"),
+        col("is_decaying"), col("halflife_days_e6"))
+      .orderBy(col("article"))
+  }
+
+  /** Safety stock / reorder point / EOQ per brand — the inventory
+    * policy triplet from demand statistics: daily shipped quantity
+    * mean and variance with ZERO days entering through the calendar
+    * span (the [[fanoQ]] device), lead time 7 days, service z=1.645,
+    * order cost / holding cost as shared integer constants. ROP =
+    * 7μ + z√(7σ²), EOQ = √(2·D_yr·K/h) — doubles only at the last
+    * step over exact decimal moments. One fact scan, one (brand, day)
+    * aggregate, brand-bounded rollup.
+    */
+  def safetyStockQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val bd = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"),
+        expr("unix_date(cast(l_shipdate as date))").as("d"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"))
+    val span = Tables.lineitem(spark, sfDir)
+      .groupBy().agg(
+        (expr("max(unix_date(cast(l_shipdate as date)))")
+          - expr("min(unix_date(cast(l_shipdate as date)))") + 1)
+          .cast("long").as("t"))
+    bd.groupBy(col("brand"))
+      .agg(count(lit(1)).as("n_active"), sum(col("q")).as("qq"),
+        sum(expr(s"cast(q as $d38) * q")).as("q2"))
+      .crossJoin(broadcast(span))
+      .withColumn("mean", col("qq").cast("double") / col("t"))
+      .withColumn("variance",
+        (col("t").cast("double") * col("q2") - col("qq").cast("double") * col("qq"))
+          / (col("t").cast("double") * col("t")))
+      .select(col("brand"), col("n_active"), col("qq").as("total_q"),
+        floor(col("mean") * 1000000.0 + 0.5).cast("long").as("mean_e6"),
+        floor(sqrt(col("variance")) * 1000000.0 + 0.5).cast("long")
+          .as("sd_e6"),
+        floor((lit(7.0) * col("mean")
+          + lit(1.645) * sqrt(lit(7.0) * col("variance")))
+          * 1000000.0 + 0.5).cast("long").as("rop_e6"),
+        floor(sqrt(lit(2.0) * (col("qq").cast("double") * 365.0 / col("t"))
+          * 5000.0 / 200.0) * 1000000.0 + 0.5).cast("long").as("eoq_e6"))
+      .orderBy(col("brand"))
+  }
 }

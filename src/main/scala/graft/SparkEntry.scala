@@ -482,6 +482,9 @@ object SparkEntry {
     "q_fano" -> (Queries.fanoQ _),
     "q_entropy_rate" -> (Queries.entropyRateQ _),
     "q_seg_regression" -> (Queries.segRegressionQ _),
+    "q_chi2_residuals" -> (Queries.chi2ResidualsQ _),
+    "q_content_halflife" -> (Queries.contentHalflifeQ _),
+    "q_safety_stock" -> (Queries.safetyStockQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -11069,5 +11072,87 @@ object SparkEntry {
          |  t = best_t AS is_break
          |FROM c2 CROSS JOIN b ORDER BY t""".stripMargin
     },
+
+    // Pearson-residuals replay: margin-cross scaffold, one double
+    // residual expression per cell.
+    "q_chi2_residuals" ->
+      """WITH o AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |rm AS (SELECT lang, sum(o) AS r FROM o GROUP BY 1),
+        |cm AS (SELECT source, sum(o) AS c FROM o GROUP BY 1),
+        |tot AS (SELECT sum(o) AS nn FROM o),
+        |g AS (SELECT rm.lang, cm.source, coalesce(o.o, 0) AS o, rm.r, cm.c,
+        |    tot.nn
+        |  FROM rm CROSS JOIN cm CROSS JOIN tot
+        |  LEFT JOIN o ON o.lang = rm.lang AND o.source = cm.source),
+        |res AS (SELECT *, CAST(floor(
+        |    (o - CAST(r AS DOUBLE) * c / nn)
+        |    / sqrt((CAST(r AS DOUBLE) * c / nn)
+        |      * (1.0 - r / nn) * (1.0 - c / nn))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS resid_e6
+        |  FROM g)
+        |SELECT lang, source, o, CAST(r AS BIGINT) AS row_total,
+        |  CAST(c AS BIGINT) AS col_total, resid_e6,
+        |  abs(resid_e6) > 2000000 AS is_notable
+        |FROM res ORDER BY lang, source""".stripMargin,
+
+    // Half-life replay: article x day scaffold with +1 smoothing,
+    // e6-floored log responses, HUGEINT OLS slope, ln2 inversion.
+    "q_content_halflife" ->
+      """WITH av AS (SELECT event_id % 40 + 1 AS article,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT d FROM av),
+        |d0 AS (SELECT min(d) AS dmin FROM days),
+        |arts AS (SELECT DISTINCT article FROM av),
+        |grid AS (SELECT a.article, days.d - dmin AS t,
+        |    CAST(floor(ln(coalesce(av.cnt, 0) + 1.0) * 1000000.0 + 0.5)
+        |      AS BIGINT) AS y
+        |  FROM arts a CROSS JOIN days CROSS JOIN d0
+        |  LEFT JOIN av ON av.article = a.article AND av.d = days.d),
+        |fit AS (SELECT article, CAST(count(*) AS BIGINT) AS n,
+        |    sum(t) AS sx, sum(y) AS sy,
+        |    sum(CAST(t AS HUGEINT) * t) AS sxx,
+        |    sum(CAST(t AS HUGEINT) * y) AS sxy
+        |  FROM grid GROUP BY 1),
+        |sl AS (SELECT article, n,
+        |    CAST((n * sxy - CAST(sx AS HUGEINT) * sy) * 1000000
+        |      // (n * sxx - CAST(sx AS HUGEINT) * sx) AS BIGINT)
+        |      AS slope_e12
+        |  FROM fit)
+        |SELECT article, n AS n_days, slope_e12,
+        |  slope_e12 < 0 AS is_decaying,
+        |  CASE WHEN slope_e12 < 0 THEN
+        |    CAST(CAST(693147 AS BIGINT) * 1000000 // (-slope_e12) AS BIGINT)
+        |      * 1000000 ELSE 0 END AS halflife_days_e6
+        |FROM sl ORDER BY article""".stripMargin,
+
+    // Safety-stock replay: calendar-span zero days, double policy
+    // formulas over exact HUGEINT moments, shared constants.
+    "q_safety_stock" ->
+      """WITH bd AS (SELECT p_brand AS brand,
+        |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+        |sp AS (SELECT CAST(max(CAST(l_shipdate AS DATE) - DATE '1970-01-01')
+        |    - min(CAST(l_shipdate AS DATE) - DATE '1970-01-01') + 1 AS BIGINT)
+        |    AS t
+        |  FROM lineitem),
+        |g AS (SELECT brand, CAST(count(*) AS BIGINT) AS n_active,
+        |    sum(q) AS qq, sum(CAST(q AS HUGEINT) * q) AS q2
+        |  FROM bd GROUP BY 1),
+        |g2 AS (SELECT *, CAST(qq AS DOUBLE) / t AS mean,
+        |    (CAST(t AS DOUBLE) * q2 - CAST(qq AS DOUBLE) * qq)
+        |      / (CAST(t AS DOUBLE) * t) AS variance
+        |  FROM g CROSS JOIN sp)
+        |SELECT brand, n_active, CAST(qq AS BIGINT) AS total_q,
+        |  CAST(floor(mean * 1000000.0 + 0.5) AS BIGINT) AS mean_e6,
+        |  CAST(floor(sqrt(variance) * 1000000.0 + 0.5) AS BIGINT) AS sd_e6,
+        |  CAST(floor((7.0 * mean + 1.645 * sqrt(7.0 * variance))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS rop_e6,
+        |  CAST(floor(sqrt(2.0 * (CAST(qq AS DOUBLE) * 365.0 / t)
+        |    * 5000.0 / 200.0) * 1000000.0 + 0.5) AS BIGINT) AS eoq_e6
+        |FROM g2 ORDER BY brand""".stripMargin,
   )
 }
