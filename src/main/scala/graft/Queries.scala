@@ -14271,4 +14271,122 @@ object Queries {
           * 5000.0 / 200.0) * 1000000.0 + 0.5).cast("long").as("eoq_e6"))
       .orderBy(col("brand"))
   }
+
+  /** Covariate-balance audit (standardized mean differences) before
+    * and after IPW weighting — the table every causal paper prints
+    * and [[aipwQ]]/[[ipwQ]] silently assume: for each covariate,
+    * SMD = (μ_t−μ_c)/√((v_t+v_c)/2) unweighted, then re-computed under
+    * the inverse-propensity weights (clipped LPM ê, the aipw
+    * propensity), with the |SMD|<0.1 "balanced" verdict per row.
+    * Weighted moments stay EXACT (integer e6 weights × integer
+    * covariates in decimal(38)); doubles only in the final SMD
+    * expression. One user aggregate + one unpivoted moment pass.
+    */
+  def balanceSmdQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val u0 = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("x1"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("x2"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x3"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("ck"))
+      .select(col("x1"), col("x2"), col("x3"),
+        when(col("ck") >= 14, 1L).otherwise(0L).as("d"))
+    val pm = u0.groupBy()
+      .agg(count(lit(1)).as("n"), sum(col("x1")).as("sx"),
+        sum(expr(s"cast(x1 as $d38) * x1")).as("sxx"),
+        sum(col("d")).as("sd"), sum(col("x1") * col("d")).as("sxd"))
+      .select(
+        expr(s"""(n * sxd - cast(sx as $d38) * sd) * 1000000
+              div (n * sxx - cast(sx as $d38) * sx)""").as("b_e6"),
+        col("n"), col("sx"), col("sd"))
+      .select(col("b_e6"),
+        expr("(cast(sd as decimal(38,0)) * 1000000 - b_e6 * sx) div n")
+          .as("a_e6"))
+    val u = u0.crossJoin(broadcast(pm))
+      .withColumn("e_e6", greatest(lit(50000L),
+        least(lit(950000L), expr("cast(a_e6 + b_e6 * x1 as bigint)"))))
+      .withColumn("w_e6",
+        when(col("d") === 1, expr("1000000000000 div e_e6"))
+          .otherwise(expr("1000000000000 div (1000000 - e_e6)")))
+      .select(col("d"), col("w_e6"),
+        expr("stack(3, 'n_events', x1, 'n_purchases', x2, 'n_views', x3)")
+          .as(Seq("cov", "v")))
+    val smd: Column =
+      expr("""(cast(sv_1 as double) / sw_1 - cast(sv_0 as double) / sw_0)
+        / sqrt(((cast(svv_1 as double) / sw_1
+            - (cast(sv_1 as double) / sw_1) * (cast(sv_1 as double) / sw_1))
+          + (cast(svv_0 as double) / sw_0
+            - (cast(sv_0 as double) / sw_0) * (cast(sv_0 as double) / sw_0)))
+          / 2.0)""")
+    def moments(weighted: Boolean): DataFrame = {
+      val w = if (weighted) col("w_e6") else lit(1000000L)
+      u.groupBy(col("cov"))
+        .agg(
+          sum(when(col("d") === 1, w.cast(d38))).as("sw_1"),
+          sum(when(col("d") === 1, w.cast(d38) * col("v"))).as("sv_1"),
+          sum(when(col("d") === 1, w.cast(d38) * col("v") * col("v")))
+            .as("svv_1"),
+          sum(when(col("d") === 0, w.cast(d38))).as("sw_0"),
+          sum(when(col("d") === 0, w.cast(d38) * col("v"))).as("sv_0"),
+          sum(when(col("d") === 0, w.cast(d38) * col("v") * col("v")))
+            .as("svv_0"))
+        .select(col("cov"),
+          floor(smd * 1000000.0 + 0.5).cast("long")
+            .as(if (weighted) "smd_w_e6" else "smd_unw_e6"))
+    }
+    moments(false).join(moments(true), "cov")
+      .select(col("cov"), col("smd_unw_e6"), col("smd_w_e6"),
+        (abs(col("smd_w_e6")) < 100000L).as("balanced_after"))
+      .orderBy(col("cov"))
+  }
+
+  /** Geometric median (Weiszfeld, 3 iterations) of the per-user
+    * (activity, spend) cloud — the robust center a mean drags toward
+    * whales and a per-axis median ignores correlation for: starting
+    * at the centroid, mᵏ⁺¹ = Σ(p/d)/Σ(1/d) with per-user terms
+    * e6/e12-floored BEFORE the sums (zero-distance users skipped, the
+    * standard Weiszfeld guard), so both engines walk identical
+    * iterates. Each iteration is one scan + one aggregate; ships the
+    * centroid and all three iterates with the total transport cost.
+    */
+  def geomedianQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("x"),
+        sum(when(col("event_type") === "purchase",
+          cents(col("value")).cast("long")).otherwise(0L)).as("y"))
+    val m0 = u.groupBy()
+      .agg(expr("sum(x) * 1000000 div count(1)").as("mx_e6"),
+        expr("cast(sum(cast(y as decimal(38,0))) * 1000000 div count(1) as bigint)")
+          .as("my_e6"))
+    def step(m: DataFrame): DataFrame = u.crossJoin(broadcast(m))
+      .withColumn("dd", sqrt(
+        (col("x") - col("mx_e6") / 1.0e6) * (col("x") - col("mx_e6") / 1.0e6)
+          + (col("y") - col("my_e6") / 1.0e6)
+          * (col("y") - col("my_e6") / 1.0e6)))
+      .filter(col("dd") > 0.0)
+      .select(
+        floor(col("x") / col("dd") * 1000000.0 + 0.5).cast("long").as("tx"),
+        floor(col("y") / col("dd") * 1000000.0 + 0.5).cast("long").as("ty"),
+        floor(lit(1.0e12) / col("dd") + 0.5).cast("long").as("ti"))
+      .groupBy()
+      .agg(expr("cast(sum(cast(tx as decimal(38,0))) * 1000000000000 div sum(cast(ti as decimal(38,0))) as bigint)")
+        .as("mx_e6"),
+        expr("cast(sum(cast(ty as decimal(38,0))) * 1000000000000 div sum(cast(ti as decimal(38,0))) as bigint)")
+          .as("my_e6"))
+    def cost(m: DataFrame): DataFrame = u.crossJoin(broadcast(m))
+      .select(floor(sqrt(
+        (col("x") - col("mx_e6") / 1.0e6) * (col("x") - col("mx_e6") / 1.0e6)
+          + (col("y") - col("my_e6") / 1.0e6)
+          * (col("y") - col("my_e6") / 1.0e6)) * 100.0 + 0.5)
+        .cast("long").as("dc"))
+      .groupBy().agg(sum(col("dc")).as("cost_e2"))
+    val m1 = step(m0); val m2 = step(m1); val m3 = step(m2)
+    def row(it: Long, m: DataFrame): DataFrame =
+      m.crossJoin(broadcast(cost(m))).select(lit(it).as("it"),
+        col("mx_e6"), col("my_e6"), col("cost_e2"))
+    row(0L, m0).union(row(1L, m1)).union(row(2L, m2)).union(row(3L, m3))
+      .orderBy(col("it"))
+  }
 }

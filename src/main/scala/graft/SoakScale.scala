@@ -246,7 +246,18 @@ object SoakScale {
     // 10b wave 13: the probe-bounded LCS pair DP (per-user reduce is
     // the data-sized part), the (user, day) ICC moments scan, and the
     // monthly block-maxima scan under the Gumbel fit
-    "q_lcs_sim", "q_icc", "q_gumbel")
+    "q_lcs_sim", "q_icc", "q_gumbel",
+    // 10b waves 14-16: the day-spine adstock folds + OLS, the rater
+    // rank scaffold, the margin-walk Fisher test, three event scans
+    // (Fano windows, bigram lag, cumulative OLS moments), the
+    // contingency residual scaffold, the article-day decay fit, and
+    // the (brand, day) demand-moment scan
+    "q_adstock", "q_kendall_w", "q_fisher_exact", "q_fano",
+    "q_entropy_rate", "q_seg_regression", "q_chi2_residuals",
+    "q_content_halflife", "q_safety_stock",
+    // 10b wave 17: the unpivoted weighted-moment balance pass and the
+    // 3x(scan + aggregate) Weiszfeld iterations over per-user points
+    "q_balance_smd", "q_geomedian")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

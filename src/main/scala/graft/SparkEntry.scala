@@ -485,6 +485,8 @@ object SparkEntry {
     "q_chi2_residuals" -> (Queries.chi2ResidualsQ _),
     "q_content_halflife" -> (Queries.contentHalflifeQ _),
     "q_safety_stock" -> (Queries.safetyStockQ _),
+    "q_balance_smd" -> (Queries.balanceSmdQ _),
+    "q_geomedian" -> (Queries.geomedianQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -11154,5 +11156,109 @@ object SparkEntry {
         |  CAST(floor(sqrt(2.0 * (CAST(qq AS DOUBLE) * 365.0 / t)
         |    * 5000.0 / 200.0) * 1000000.0 + 0.5) AS BIGINT) AS eoq_e6
         |FROM g2 ORDER BY brand""".stripMargin,
+
+    // Balance-SMD replay: LPM propensity, exact HUGEINT weighted
+    // moments, the same double SMD for unweighted and weighted.
+    "q_balance_smd" -> {
+      def smd =
+        """(CAST(sv_1 AS DOUBLE) / sw_1 - CAST(sv_0 AS DOUBLE) / sw_0)
+          |    / sqrt(((CAST(svv_1 AS DOUBLE) / sw_1
+          |        - (CAST(sv_1 AS DOUBLE) / sw_1) * (CAST(sv_1 AS DOUBLE) / sw_1))
+          |      + (CAST(svv_0 AS DOUBLE) / sw_0
+          |        - (CAST(sv_0 AS DOUBLE) / sw_0) * (CAST(sv_0 AS DOUBLE) / sw_0)))
+          |      / 2.0)""".stripMargin
+      def moments(name: String, w: String) =
+        s"""$name AS (SELECT cov,
+           |    sum(CASE WHEN d = 1 THEN CAST($w AS HUGEINT) END) AS sw_1,
+           |    sum(CASE WHEN d = 1 THEN CAST($w AS HUGEINT) * v END) AS sv_1,
+           |    sum(CASE WHEN d = 1 THEN CAST($w AS HUGEINT) * v * v END) AS svv_1,
+           |    sum(CASE WHEN d = 0 THEN CAST($w AS HUGEINT) END) AS sw_0,
+           |    sum(CASE WHEN d = 0 THEN CAST($w AS HUGEINT) * v END) AS sv_0,
+           |    sum(CASE WHEN d = 0 THEN CAST($w AS HUGEINT) * v * v END) AS svv_0
+           |  FROM uv GROUP BY cov)"""
+      s"""WITH u0 AS (SELECT CAST(count(*) AS BIGINT) AS x1,
+         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS x2,
+         |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS x3,
+         |    CASE WHEN sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |      >= 14 THEN 1 ELSE 0 END AS d
+         |  FROM events GROUP BY user_id),
+         |pm AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x1) AS sx,
+         |    sum(CAST(x1 AS HUGEINT) * x1) AS sxx, sum(d) AS sd,
+         |    sum(x1 * d) AS sxd FROM u0),
+         |co AS (SELECT *, (n * sxd - CAST(sx AS HUGEINT) * sd) * 1000000
+         |    // (n * sxx - CAST(sx AS HUGEINT) * sx) AS b_e6 FROM pm),
+         |co2 AS (SELECT *,
+         |    (CAST(sd AS HUGEINT) * 1000000 - b_e6 * sx) // n AS a_e6
+         |  FROM co),
+         |uw AS (SELECT u0.*, greatest(50000, least(950000,
+         |    CAST(a_e6 + b_e6 * x1 AS BIGINT))) AS e_e6
+         |  FROM u0 CROSS JOIN co2),
+         |uw2 AS (SELECT *, CASE WHEN d = 1
+         |    THEN 1000000000000 // e_e6
+         |    ELSE 1000000000000 // (1000000 - e_e6) END AS w_e6
+         |  FROM uw),
+         |uv AS (SELECT d, w_e6, 'n_events' AS cov, x1 AS v FROM uw2
+         |  UNION ALL SELECT d, w_e6, 'n_purchases', x2 FROM uw2
+         |  UNION ALL SELECT d, w_e6, 'n_views', x3 FROM uw2),
+         |${moments("mu", "1000000")},
+         |${moments("mw", "w_e6")},
+         |r AS (SELECT mu.cov,
+         |    CAST(floor(($smd) * 1000000.0 + 0.5) AS BIGINT) AS smd_unw_e6
+         |  FROM mu),
+         |r2 AS (SELECT mw.cov,
+         |    CAST(floor(($smd) * 1000000.0 + 0.5) AS BIGINT) AS smd_w_e6
+         |  FROM mw)
+         |SELECT r.cov, smd_unw_e6, smd_w_e6,
+         |  abs(smd_w_e6) < 100000 AS balanced_after
+         |FROM r JOIN r2 ON r.cov = r2.cov ORDER BY r.cov""".stripMargin
+    },
+
+    // Geometric-median replay: centroid + three unrolled Weiszfeld
+    // iterations with e6/e12-floored per-user terms, e2 costs.
+    "q_geomedian" -> {
+      def step(prev: String, name: String) =
+        s"""$name AS (SELECT
+           |    CAST(sum(CAST(floor(x / dd * 1000000.0 + 0.5) AS HUGEINT))
+           |      * 1000000000000
+           |      // sum(CAST(floor(1.0e12 / dd + 0.5) AS HUGEINT))
+           |      AS BIGINT) AS mx_e6,
+           |    CAST(sum(CAST(floor(y / dd * 1000000.0 + 0.5) AS HUGEINT))
+           |      * 1000000000000
+           |      // sum(CAST(floor(1.0e12 / dd + 0.5) AS HUGEINT))
+           |      AS BIGINT) AS my_e6
+           |  FROM (SELECT x, y, sqrt((x - mx_e6 / 1.0e6) * (x - mx_e6 / 1.0e6)
+           |      + (y - my_e6 / 1.0e6) * (y - my_e6 / 1.0e6)) AS dd
+           |    FROM u CROSS JOIN $prev) z WHERE dd > 0.0)"""
+      def cost(m: String, name: String) =
+        s"""$name AS (SELECT CAST(sum(CAST(floor(sqrt(
+           |    (x - mx_e6 / 1.0e6) * (x - mx_e6 / 1.0e6)
+           |    + (y - my_e6 / 1.0e6) * (y - my_e6 / 1.0e6)) * 100.0 + 0.5)
+           |    AS BIGINT)) AS BIGINT) AS cost_e2
+           |  FROM u CROSS JOIN $m)"""
+      s"""WITH u AS (SELECT CAST(count(*) AS BIGINT) AS x,
+         |    CAST(sum(CASE WHEN event_type = 'purchase'
+         |      THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END)
+         |      AS BIGINT) AS y
+         |  FROM events GROUP BY user_id),
+         |m0 AS (SELECT CAST(sum(x) * 1000000 // count(*) AS BIGINT) AS mx_e6,
+         |    CAST(sum(CAST(y AS HUGEINT)) * 1000000 // count(*) AS BIGINT)
+         |      AS my_e6
+         |  FROM u),
+         |${step("m0", "m1")},
+         |${step("m1", "m2")},
+         |${step("m2", "m3")},
+         |${cost("m0", "c0")},
+         |${cost("m1", "c1")},
+         |${cost("m2", "c2")},
+         |${cost("m3", "c3")}
+         |SELECT CAST(0 AS BIGINT) AS it, mx_e6, my_e6, cost_e2
+         |  FROM m0 CROSS JOIN c0
+         |UNION ALL SELECT 1, mx_e6, my_e6, cost_e2 FROM m1 CROSS JOIN c1
+         |UNION ALL SELECT 2, mx_e6, my_e6, cost_e2 FROM m2 CROSS JOIN c2
+         |UNION ALL SELECT 3, mx_e6, my_e6, cost_e2 FROM m3 CROSS JOIN c3
+         |ORDER BY it""".stripMargin
+    },
   )
 }
