@@ -14389,4 +14389,120 @@ object Queries {
     row(0L, m0).union(row(1L, m1)).union(row(2L, m2)).union(row(3L, m3))
       .orderBy(col("it"))
   }
+
+  /** Shared split-sample scorer for the decision-analytic eval triple:
+    * train p̂(source) = English share among EVEN doc_ids, score the ODD
+    * half — a calibrated-by-construction probability whose support is
+    * SOURCE-bounded (≤20 distinct scores), so every rank/threshold
+    * walk downstream is enum-bounded. Scores and labels exact e6/0-1
+    * integers.
+    */
+  private def sourceRateScores(spark: SparkSession, sfDir: String): DataFrame = {
+    // hash split, NOT doc_id parity: the synthetic source is a doc_id
+    // residue, so a parity split would make train/eval sources DISJOINT
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+        pmod(TextOps.portableHash64(
+          concat(lit("evalsplit:"), col("doc_id"))), lit(2L)).as("half"))
+    val rate = d.filter(col("half") === 0)
+      .groupBy(col("source"))
+      .agg(expr("sum(y) * 1000000 div count(1)").as("p_e6"))
+    d.filter(col("half") === 1)
+      .join(broadcast(rate), "source")
+      .select(col("source"), col("y"), col("p_e6"))
+  }
+
+  /** Precision-recall AUC (average precision) of the source-rate
+    * scorer — the ranking metric that stays honest under class
+    * imbalance where [[aucQ]]'s ROC flatters: walk the score support
+    * DESC accumulating TP/total, AP = Σ ΔTP·P_i / n_pos with each
+    * precision a truncating e6 integer at its own cut. Support is
+    * source-bounded; one scan + one enum walk.
+    */
+  def prAucQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sup = sourceRateScores(spark, sfDir)
+      .groupBy(col("p_e6"))
+      .agg(count(lit(1)).as("ct"), sum(col("y")).as("pos"))
+    val w = Window.partitionBy(
+        graft.functions.GraftFunctions.singleton_key(col("p_e6")))
+      .orderBy(col("p_e6").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val walk = sup
+      .withColumn("cum_tp", sum(col("pos")).over(w))
+      .withColumn("cum_n", sum(col("ct")).over(w))
+      .withColumn("prec_e6", expr("cum_tp * 1000000 div cum_n"))
+      .withColumn("term_e6",
+        expr("cast(cast(pos as decimal(38,0)) * prec_e6 div 1000000 as bigint)"))
+    val tot = walk.groupBy()
+      .agg(sum(col("pos")).as("n_pos"),
+        expr("cast(sum(cast(pos as decimal(38,0)) * prec_e6) div sum(pos) as bigint)")
+          .as("ap_e6"))
+    walk.crossJoin(broadcast(tot))
+      .select(col("p_e6"), col("ct"), col("pos"), col("cum_tp"), col("cum_n"),
+        col("prec_e6"), col("n_pos"), col("ap_e6"))
+      .orderBy(col("p_e6").desc)
+  }
+
+  /** Decision-curve analysis (net benefit) of the source-rate scorer —
+    * SHOULD anyone act on this model, and at which threshold: for
+    * t ∈ {10..50%}, NB(t) = TP/n − FP/n · t/(1−t), compared per row
+    * against treat-all and treat-none (the two strategies a model must
+    * beat). All terms exact truncating e6 from integer confusion
+    * counts; threshold grid × source-bounded score support.
+    */
+  def decisionCurveQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = sourceRateScores(spark, sfDir)
+    val grid = broadcast(s.sparkSession.range(1, 6)
+      .select((col("id") * 10).as("t")))
+    val conf = s.crossJoin(grid)
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(when(col("p_e6") >= col("t") * 10000 && col("y") === 1, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("p_e6") >= col("t") * 10000 && col("y") === 0, 1L)
+          .otherwise(0L)).as("fp"))
+    conf
+      .withColumn("nb_model_e6",
+        expr("""tp * 1000000 div n
+              - fp * 1000000 * t div ((100 - t) * n)"""))
+      .withColumn("nb_all_e6",
+        expr("""n_pos * 1000000 div n
+              - (n - n_pos) * 1000000 * t div ((100 - t) * n)"""))
+      .select(col("t").as("threshold_pct"), col("n"), col("tp"), col("fp"),
+        col("nb_model_e6"), col("nb_all_e6"), lit(0L).as("nb_none_e6"),
+        (col("nb_model_e6") >= col("nb_all_e6")
+          && col("nb_model_e6") >= 0).as("model_wins"))
+      .orderBy(col("threshold_pct"))
+  }
+
+  /** Hosmer-Lemeshow calibration test of the source-rate scorer with
+    * sources as the natural groups — does predicted probability match
+    * observed frequency group by group (the TEST behind
+    * [[calibrationQ]]'s reliability plot): per group
+    * χ² += (o − e)²/(e(1−p̂)), with o exact, e = n_g·p̂ at e6, every
+    * contribution one double over exact integers e6-floored. Group
+    * count ships for the df = g−2 reading. Source-bounded everywhere.
+    */
+  def hosmerLemeshowQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = sourceRateScores(spark, sfDir)
+      .groupBy(col("source"), col("p_e6"))
+      .agg(count(lit(1)).as("n_g"), sum(col("y")).as("o"))
+      .withColumn("e_e6", col("n_g") * col("p_e6"))
+      .withColumn("chi_e6",
+        when(col("p_e6") > 0 && col("p_e6") < 1000000L, floor(
+          (col("o") - col("e_e6") / 1.0e6) * (col("o") - col("e_e6") / 1.0e6)
+            / ((col("e_e6") / 1.0e6)
+              * (lit(1.0) - col("p_e6") / 1.0e6))
+            * 1000000.0 + 0.5).cast("long"))
+          .otherwise(0L)) // degenerate p̂∈{0,1} groups carry no HL info
+    val tot = g.groupBy()
+      .agg(count(lit(1)).as("n_groups"), sum(col("chi_e6")).as("hl_chi2_e6"))
+    g.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_g"), col("o"),
+        expr("e_e6 div 1000000").as("expected"), col("chi_e6"),
+        col("n_groups"), col("hl_chi2_e6"))
+      .orderBy(col("source"))
+  }
 }

@@ -487,6 +487,9 @@ object SparkEntry {
     "q_safety_stock" -> (Queries.safetyStockQ _),
     "q_balance_smd" -> (Queries.balanceSmdQ _),
     "q_geomedian" -> (Queries.geomedianQ _),
+    "q_pr_auc" -> (Queries.prAucQ _),
+    "q_decision_curve" -> (Queries.decisionCurveQ _),
+    "q_hosmer_lemeshow" -> (Queries.hosmerLemeshowQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -11260,5 +11263,97 @@ object SparkEntry {
          |UNION ALL SELECT 3, mx_e6, my_e6, cost_e2 FROM m3 CROSS JOIN c3
          |ORDER BY it""".stripMargin
     },
+
+    // Shared scorer for the eval triple: even-doc source rates scoring
+    // the odd half.
+    // PR-AUC replay: desc score-support walk, truncating precisions,
+    // pos-weighted AP.
+    "q_pr_auc" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |    list_reduce(list_transform(range(12), i -> CAST(strpos('0123456789abcdef', substr(md5(concat('evalsplit:', doc_id)), i + 1, 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b) % 2 AS half
+        |  FROM documents),
+        |rate AS (SELECT source,
+        |    CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS p_e6
+        |  FROM d WHERE half = 0 GROUP BY 1),
+        |s AS (SELECT d.source, CAST(y AS BIGINT) AS y, p_e6
+        |  FROM d JOIN rate ON d.source = rate.source WHERE half = 1),
+        |sup AS (SELECT p_e6, CAST(count(*) AS BIGINT) AS ct,
+        |    CAST(sum(y) AS BIGINT) AS pos FROM s GROUP BY 1),
+        |walk AS (SELECT *,
+        |    sum(pos) OVER (ORDER BY p_e6 DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tp,
+        |    sum(ct) OVER (ORDER BY p_e6 DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+        |  FROM sup),
+        |w2 AS (SELECT *, CAST(cum_tp * 1000000 // cum_n AS BIGINT)
+        |    AS prec_e6 FROM walk),
+        |tot AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+        |    CAST(sum(CAST(pos AS HUGEINT) * prec_e6) // sum(pos) AS BIGINT)
+        |      AS ap_e6
+        |  FROM w2)
+        |SELECT p_e6, ct, pos, CAST(cum_tp AS BIGINT) AS cum_tp,
+        |  CAST(cum_n AS BIGINT) AS cum_n, prec_e6, n_pos, ap_e6
+        |FROM w2 CROSS JOIN tot ORDER BY p_e6 DESC""".stripMargin,
+
+    // Decision-curve replay: threshold grid confusion counts, exact
+    // net-benefit terms, treat-all baseline.
+    "q_decision_curve" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |    list_reduce(list_transform(range(12), i -> CAST(strpos('0123456789abcdef', substr(md5(concat('evalsplit:', doc_id)), i + 1, 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b) % 2 AS half
+        |  FROM documents),
+        |rate AS (SELECT source,
+        |    CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS p_e6
+        |  FROM d WHERE half = 0 GROUP BY 1),
+        |s AS (SELECT CAST(y AS BIGINT) AS y, p_e6
+        |  FROM d JOIN rate ON d.source = rate.source WHERE half = 1),
+        |grid AS (SELECT CAST(unnest([10, 20, 30, 40, 50]) AS BIGINT) AS t),
+        |conf AS (SELECT t, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS n_pos,
+        |    CAST(sum(CASE WHEN p_e6 >= t * 10000 AND y = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN p_e6 >= t * 10000 AND y = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fp
+        |  FROM s CROSS JOIN grid GROUP BY t),
+        |nb AS (SELECT *,
+        |    tp * 1000000 // n - fp * 1000000 * t // ((100 - t) * n)
+        |      AS nb_model_e6,
+        |    n_pos * 1000000 // n
+        |      - (n - n_pos) * 1000000 * t // ((100 - t) * n) AS nb_all_e6
+        |  FROM conf)
+        |SELECT t AS threshold_pct, n, tp, fp,
+        |  CAST(nb_model_e6 AS BIGINT) AS nb_model_e6,
+        |  CAST(nb_all_e6 AS BIGINT) AS nb_all_e6,
+        |  CAST(0 AS BIGINT) AS nb_none_e6,
+        |  nb_model_e6 >= nb_all_e6 AND nb_model_e6 >= 0 AS model_wins
+        |FROM nb ORDER BY threshold_pct""".stripMargin,
+
+    // Hosmer-Lemeshow replay: per-source observed vs expected, double
+    // chi contributions e6-floored, degenerate p in {0,1} zeroed.
+    "q_hosmer_lemeshow" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |    list_reduce(list_transform(range(12), i -> CAST(strpos('0123456789abcdef', substr(md5(concat('evalsplit:', doc_id)), i + 1, 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b) % 2 AS half
+        |  FROM documents),
+        |rate AS (SELECT source,
+        |    CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS p_e6
+        |  FROM d WHERE half = 0 GROUP BY 1),
+        |s AS (SELECT d.source, CAST(y AS BIGINT) AS y, p_e6
+        |  FROM d JOIN rate ON d.source = rate.source WHERE half = 1),
+        |g AS (SELECT source, p_e6, CAST(count(*) AS BIGINT) AS n_g,
+        |    CAST(sum(y) AS BIGINT) AS o FROM s GROUP BY 1, 2),
+        |g2 AS (SELECT *, n_g * p_e6 AS e_e6,
+        |    CASE WHEN p_e6 > 0 AND p_e6 < 1000000 THEN
+        |      CAST(floor((o - n_g * p_e6 / 1.0e6) * (o - n_g * p_e6 / 1.0e6)
+        |        / ((n_g * p_e6 / 1.0e6) * (1.0 - p_e6 / 1.0e6))
+        |        * 1000000.0 + 0.5) AS BIGINT)
+        |    ELSE 0 END AS chi_e6
+        |  FROM g),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |    CAST(sum(chi_e6) AS BIGINT) AS hl_chi2_e6 FROM g2)
+        |SELECT source, n_g, o, e_e6 // 1000000 AS expected, chi_e6,
+        |  n_groups, hl_chi2_e6
+        |FROM g2 CROSS JOIN tot ORDER BY source""".stripMargin,
   )
 }

@@ -102,7 +102,8 @@ object WindowLint {
     "q_wasserstein", // value-support CDF walk over distinct cents (q_auc contract)
     "q_quantile_norm", // value-support CDF walks + support-union merge walk
     "q_fisher_exact", // hypergeometric k-support walk (min-margin-bounded, documented)
-    "q_seg_regression" // calendar: cumulative OLS moments over the day spine
+    "q_seg_regression", // calendar: cumulative OLS moments over the day spine
+    "q_pr_auc" // score-support walk (source-bounded enum, ≤20 scores)
   )
 }
 
