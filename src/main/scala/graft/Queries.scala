@@ -14505,4 +14505,102 @@ object Queries {
         col("n_groups"), col("hl_chi2_e6"))
       .orderBy(col("source"))
   }
+
+  /** Copeland ranking of articles — the Condorcet-style aggregate of
+    * the [[kendallWQ]] rater panel: article a "wins" the (a,b) contest
+    * when a MAJORITY of the five event-type raters rank it higher
+    * (per-rater ranks are the same deterministic (count desc, article)
+    * order on the margin-cross scaffold), and the Copeland score is
+    * wins − losses over the 40×40 contests — robust to a single
+    * oddball ranking where [[bordaQ]]'s sum is not. Everything
+    * rater×article-bounded after one fact aggregate.
+    */
+  def copelandQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = Tables.events(spark, sfDir)
+      .groupBy(col("event_type").as("rater"),
+        (expr("event_id % 40") + 1).as("article"))
+      .agg(count(lit(1)).as("cnt"))
+    val raters = cnt.select(col("rater")).distinct()
+    val grid = raters
+      .crossJoin(cnt.sparkSession.range(1, 41).select(col("id").as("article")))
+      .join(cnt, Seq("rater", "article"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val ranked = grid.withColumn("rnk", row_number().over(
+      Window.partitionBy(col("rater"))
+        .orderBy(col("cnt").desc, col("article"))))
+    val m = ranked.groupBy().agg(countDistinct(col("rater")).as("m"))
+    val contests = ranked.select(col("rater"), col("article").as("a"),
+        col("rnk").as("ra"))
+      .join(ranked.select(col("rater"), col("article").as("b"),
+        col("rnk").as("rb")), "rater")
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(when(col("ra") < col("rb"), 1L).otherwise(0L)).as("wins_ab"))
+    val verdicts = contests.crossJoin(broadcast(m))
+      .select(col("a"), col("b"),
+        when(col("wins_ab") * 2 > col("m"), 1L)
+          .when(col("wins_ab") * 2 < col("m"), -1L)
+          .otherwise(0L).as("v"))
+    verdicts.groupBy(col("a").as("article"))
+      .agg(sum(when(col("v") === 1, 1L).otherwise(0L)).as("wins"),
+        sum(when(col("v") === -1, 1L).otherwise(0L)).as("losses"),
+        sum(col("v")).as("copeland"))
+      .orderBy(col("copeland").desc, col("article"))
+  }
+
+  /** Variance inflation factors for the (events, purchases, views)
+    * covariate triple — the multicollinearity audit run BEFORE any
+    * multiple regression trusts its coefficients ([[balanceSmdQ]] and
+    * [[aipwQ]] both feed from these covariates): VIFⱼ = 1/(1−R²ⱼ)
+    * with R²ⱼ from the closed two-predictor form
+    * (r₁²+r₂²−2r₁r₂r₁₂)/(1−r₁₂²); pairwise correlations come from one
+    * exact decimal(38) moment pass, the final VIF one double per row
+    * e6-floored. VIF>5 flagged. One scan, one aggregate, 3 rows.
+    */
+  def vifQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val u = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("x1"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("x2"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x3"))
+    val m = u.groupBy()
+      .agg(count(lit(1)).as("n"),
+        sum(col("x1")).as("s1"), sum(col("x2")).as("s2"), sum(col("x3")).as("s3"),
+        sum(expr(s"cast(x1 as $d38) * x1")).as("s11"),
+        sum(expr(s"cast(x2 as $d38) * x2")).as("s22"),
+        sum(expr(s"cast(x3 as $d38) * x3")).as("s33"),
+        sum(expr(s"cast(x1 as $d38) * x2")).as("s12"),
+        sum(expr(s"cast(x1 as $d38) * x3")).as("s13"),
+        sum(expr(s"cast(x2 as $d38) * x3")).as("s23"))
+    // pairwise correlations as doubles from exact integer moments
+    def corr(sa: String, sb: String, sab: String, saa: String,
+        sbb: String): String =
+      s"""((cast(n as double) * $sab - cast($sa as double) * $sb)
+         | / sqrt((cast(n as double) * $saa - cast($sa as double) * $sa)
+         |   * (cast(n as double) * $sbb - cast($sb as double) * $sb)))"""
+        .stripMargin
+    val r12 = corr("s1", "s2", "s12", "s11", "s22")
+    val r13 = corr("s1", "s3", "s13", "s11", "s33")
+    val r23 = corr("s2", "s3", "s23", "s22", "s33")
+    def vif(ra: String, rb: String, rab: String): String =
+      s"""(1.0 / (1.0 - ($ra * $ra + $rb * $rb
+         | - 2.0d * $ra * $rb * $rab) / (1.0 - $rab * $rab)))""".stripMargin
+    m.select(
+        floor(expr(r12) * 1000000.0 + 0.5).cast("long").as("r12_e6"),
+        floor(expr(r13) * 1000000.0 + 0.5).cast("long").as("r13_e6"),
+        floor(expr(r23) * 1000000.0 + 0.5).cast("long").as("r23_e6"),
+        floor(expr(vif(r12, r13, r23)) * 1000000.0 + 0.5).cast("long")
+          .as("vif1_e6"),
+        floor(expr(vif(r12, r23, r13)) * 1000000.0 + 0.5).cast("long")
+          .as("vif2_e6"),
+        floor(expr(vif(r13, r23, r12)) * 1000000.0 + 0.5).cast("long")
+          .as("vif3_e6"))
+      .select(expr("stack(3, 'n_events', vif1_e6, 'n_purchases', vif2_e6, 'n_views', vif3_e6)")
+        .as(Seq("covariate", "vif_e6")),
+        col("r12_e6"), col("r13_e6"), col("r23_e6"))
+      .withColumn("is_collinear", col("vif_e6") > 5000000L)
+      .orderBy(col("covariate"))
+  }
 }

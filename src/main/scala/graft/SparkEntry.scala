@@ -490,6 +490,8 @@ object SparkEntry {
     "q_pr_auc" -> (Queries.prAucQ _),
     "q_decision_curve" -> (Queries.decisionCurveQ _),
     "q_hosmer_lemeshow" -> (Queries.hosmerLemeshowQ _),
+    "q_copeland" -> (Queries.copelandQ _),
+    "q_vif" -> (Queries.vifQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -11355,5 +11357,84 @@ object SparkEntry {
         |SELECT source, n_g, o, e_e6 // 1000000 AS expected, chi_e6,
         |  n_groups, hl_chi2_e6
         |FROM g2 CROSS JOIN tot ORDER BY source""".stripMargin,
+
+    // Copeland replay: the kendall_w rank scaffold, majority verdicts
+    // over 40x40 contests, wins - losses.
+    "q_copeland" ->
+      """WITH cnt AS (SELECT event_type AS rater, event_id % 40 + 1 AS article,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |raters AS (SELECT DISTINCT rater FROM cnt),
+        |grid AS (SELECT r.rater, g.article, coalesce(cnt.cnt, 0) AS cnt
+        |  FROM raters r
+        |  CROSS JOIN (SELECT CAST(unnest(range(1, 41)) AS BIGINT) AS article) g
+        |  LEFT JOIN cnt ON cnt.rater = r.rater AND cnt.article = g.article),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY rater
+        |    ORDER BY cnt DESC, article) AS rnk FROM grid),
+        |m AS (SELECT CAST(count(DISTINCT rater) AS BIGINT) AS m FROM rk),
+        |con AS (SELECT x.article AS a, y.article AS b,
+        |    CAST(sum(CASE WHEN x.rnk < y.rnk THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS wins_ab
+        |  FROM rk x JOIN rk y ON x.rater = y.rater
+        |  WHERE x.article <> y.article GROUP BY 1, 2),
+        |v AS (SELECT a, b, CASE WHEN wins_ab * 2 > m THEN 1
+        |    WHEN wins_ab * 2 < m THEN -1 ELSE 0 END AS v
+        |  FROM con CROSS JOIN m)
+        |SELECT a AS article,
+        |  CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS wins,
+        |  CAST(sum(CASE WHEN v = -1 THEN 1 ELSE 0 END) AS BIGINT) AS losses,
+        |  CAST(sum(v) AS BIGINT) AS copeland
+        |FROM v GROUP BY a ORDER BY copeland DESC, article""".stripMargin,
+
+    // VIF replay: one HUGEINT moment pass, the same double correlation
+    // and two-predictor R2 closed forms.
+    "q_vif" -> {
+      def corr(sa: String, sb: String, sab: String, saa: String,
+          sbb: String): String =
+        s"""((CAST(n AS DOUBLE) * $sab - CAST($sa AS DOUBLE) * $sb)
+           | / sqrt((CAST(n AS DOUBLE) * $saa - CAST($sa AS DOUBLE) * $sa)
+           |   * (CAST(n AS DOUBLE) * $sbb - CAST($sb AS DOUBLE) * $sb)))"""
+          .stripMargin
+      val r12 = corr("s1", "s2", "s12", "s11", "s22")
+      val r13 = corr("s1", "s3", "s13", "s11", "s33")
+      val r23 = corr("s2", "s3", "s23", "s22", "s33")
+      def vif(ra: String, rb: String, rab: String): String =
+        s"""(1.0 / (1.0 - ($ra * $ra + $rb * $rb
+           | - 2.0 * $ra * $rb * $rab) / (1.0 - $rab * $rab)))""".stripMargin
+      s"""WITH u AS (SELECT CAST(count(*) AS BIGINT) AS x1,
+         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS x2,
+         |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS x3
+         |  FROM events GROUP BY user_id),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    sum(x1) AS s1, sum(x2) AS s2, sum(x3) AS s3,
+         |    sum(CAST(x1 AS HUGEINT) * x1) AS s11,
+         |    sum(CAST(x2 AS HUGEINT) * x2) AS s22,
+         |    sum(CAST(x3 AS HUGEINT) * x3) AS s33,
+         |    sum(CAST(x1 AS HUGEINT) * x2) AS s12,
+         |    sum(CAST(x1 AS HUGEINT) * x3) AS s13,
+         |    sum(CAST(x2 AS HUGEINT) * x3) AS s23
+         |  FROM u),
+         |r AS (SELECT
+         |    CAST(floor($r12 * 1000000.0 + 0.5) AS BIGINT) AS r12_e6,
+         |    CAST(floor($r13 * 1000000.0 + 0.5) AS BIGINT) AS r13_e6,
+         |    CAST(floor($r23 * 1000000.0 + 0.5) AS BIGINT) AS r23_e6,
+         |    CAST(floor(${vif(r12, r13, r23)} * 1000000.0 + 0.5) AS BIGINT)
+         |      AS vif1_e6,
+         |    CAST(floor(${vif(r12, r23, r13)} * 1000000.0 + 0.5) AS BIGINT)
+         |      AS vif2_e6,
+         |    CAST(floor(${vif(r13, r23, r12)} * 1000000.0 + 0.5) AS BIGINT)
+         |      AS vif3_e6
+         |  FROM m),
+         |s AS (SELECT 'n_events' AS covariate, vif1_e6 AS vif_e6,
+         |    r12_e6, r13_e6, r23_e6 FROM r
+         |  UNION ALL SELECT 'n_purchases', vif2_e6, r12_e6, r13_e6, r23_e6
+         |    FROM r
+         |  UNION ALL SELECT 'n_views', vif3_e6, r12_e6, r13_e6, r23_e6 FROM r)
+         |SELECT covariate, vif_e6, r12_e6, r13_e6, r23_e6,
+         |  vif_e6 > 5000000 AS is_collinear
+         |FROM s ORDER BY covariate""".stripMargin
+    },
   )
 }
