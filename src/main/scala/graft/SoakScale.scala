@@ -257,7 +257,12 @@ object SoakScale {
     "q_content_halflife", "q_safety_stock",
     // 10b wave 17: the unpivoted weighted-moment balance pass and the
     // 3x(scan + aggregate) Weiszfeld iterations over per-user points
-    "q_balance_smd", "q_geomedian")
+    "q_balance_smd", "q_geomedian",
+    // 10b waves 18-19: the split-sample eval triple (corpus scans into
+    // source-bounded walks/grids), the rater-contest scaffold, and the
+    // per-user covariate moment pass
+    "q_pr_auc", "q_decision_curve", "q_hosmer_lemeshow", "q_copeland",
+    "q_vif")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)
