@@ -1641,4 +1641,45 @@ class PlanSpec extends AnyFunSuite {
     assert(pf.findFirstIn(plan).isDefined, plan)
     assert(plan.contains("ivf_cell IN") || plan.contains("ivf_cell#"), plan)
   }
+
+  test("10b hill/mahalanobis: shortlists are TakeOrdered, never a global sort") {
+    for ((n, q) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)](
+        ("hill", Queries.hillQ _), ("mahalanobis", Queries.mahalanobisQ _))) {
+      val plan = formatted(q(spark, sf))
+      assert(plan.contains("TakeOrderedAndProject"), s"$n:\n$plan")
+    }
+  }
+
+  test("10b random_projection: the 512-entry sign matrix rides a broadcast join") {
+    val plan = formatted(Queries.randomProjectionQ(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("10b als_rank1: factor joins broadcast the model side (item/user factors)") {
+    val plan = formatted(Queries.alsRank1Q(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan) // partial+final sweeps
+  }
+
+  test("10b drift family (psi/wasserstein/quantile_norm/mutual_info): no cartesian, partial aggs") {
+    for ((n, q) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)](
+        ("psi", Queries.psiQ _), ("wasserstein", Queries.wassersteinQ _),
+        ("quantile_norm", Queries.quantileNormQ _),
+        ("mutual_info", Queries.mutualInfoQ _))) {
+      val plan = formatted(q(spark, sf))
+      assert(!plan.contains("CartesianProduct"), s"$n:\n$plan")
+      assert("HashAggregate".r.findAllIn(plan).size >= 2, s"$n:\n$plan")
+    }
+  }
+
+  test("10b eval triple + price_index + bradley_terry: no cartesian, keyed joins") {
+    for ((n, q) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)](
+        ("pr_auc", Queries.prAucQ _),
+        ("decision_curve", Queries.decisionCurveQ _),
+        ("price_index", Queries.priceIndexQ _),
+        ("bradley_terry", Queries.bradleyTerryQ _))) {
+      val plan = formatted(q(spark, sf))
+      assert(!plan.contains("CartesianProduct"), s"$n:\n$plan")
+    }
+  }
 }
