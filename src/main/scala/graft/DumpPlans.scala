@@ -85,7 +85,17 @@ object DumpPlans {
     "q_theil_sen" -> "Theil-Sen: daily aggregate scan; calendar^2-bounded pair join (BNLJ on the bounded day table); 2x-percentile integer medians",
     "q_embed_drift" -> "embedding drift: posexplode scan into (label, dim) integer sums — e6 quantization BEFORE aggregation keeps float order out entirely",
     "q_tree2" -> "depth-2 CART: (node, feature)-keyed cumulative split search; one-row broadcast between levels; no driver loop",
-    "q_dau_mau" -> "rolling 30-day MAU: bounded sequence fan-out + per-day distinct — never a window distinct over history")
+    "q_dau_mau" -> "rolling 30-day MAU: bounded sequence fan-out + per-day distinct — never a window distinct over history",
+    // session 10b
+    "q_wasserstein" -> "exact 1-D EMD: value-support CDFs cross-scaled fraction-free; gap-weighted decimal sum; no support×support join",
+    "q_quantile_norm" -> "distribution mapping via ONE descending merge-walk over the support union — the asof-style alternative to a quantile cross join",
+    "q_hill" -> "tail index: the ONLY data-sized step is TakeOrdered(201); the k-grid rides the shortlist",
+    "q_random_projection" -> "JL 64→8: e6-quantized explode joins a 512-entry broadcast sign matrix; exact integer projections; 100 hash-argmin audit pairs",
+    "q_als_rank1" -> "rank-1 ALS: each half-sweep = one keyed join + aggregate (shuffle r by item, then by user) with the factor side broadcast",
+    "q_boruvka" -> "distributed MSF: per-round label joins + per-comp struct-min + 6 doubling pointer jumps; stats-rebased checkpoints between rounds",
+    "q_aipw" -> "doubly-robust ATE: three OLS closed forms from ONE conditional-moment aggregate; psi fold joins one broadcast coefficient row",
+    "q_abc_analysis" -> "Pareto classes on a log2-revenue bin support — the cumulative walk touches ~40 bins, never a global part sort",
+    "q_pr_auc" -> "average precision over the source-bounded score support walk; corpus work is one scan + one enum aggregate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
