@@ -14603,4 +14603,60 @@ object Queries {
       .withColumn("is_collinear", col("vif_e6") > 5000000L)
       .orderBy(col("covariate"))
   }
+
+  /** Weibull fit of order→ship lead times by median-rank regression —
+    * the shape/scale readout behind "is fulfillment delay
+    * infant-mortality (k<1), memoryless (k≈1), or wear-out (k>1)",
+    * which a nonparametric delay histogram cannot parameterize:
+    * lead-time days ≥1 collapse to their support — bounded by the
+    * CALENDAR span (a day gap cannot exceed the date range, ~2.5k
+    * values here, data-size-independent) — median ranks
+    * F = (cum−0.3)/(n+0.4) walk that support
+    * (allowlisted), and OLS of ln(−ln(1−F)) on ln t gives shape k =
+    * slope, scale = exp(x̄−ȳ/k) days — every log e6-floored per
+    * support point before the decimal moments. Ships the probe points
+    * with the broadcast fit.
+    */
+  def weibullQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val sup = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .select((expr("unix_date(cast(l_shipdate as date))")
+        - expr("unix_date(cast(o_orderdate as date))")).cast("long").as("t"))
+      .filter(col("t") >= 1)
+      .groupBy(col("t")).agg(count(lit(1)).as("ct"))
+    val n = sup.groupBy().agg(sum(col("ct")).as("n"))
+    val w = Window.partitionBy(
+        graft.functions.GraftFunctions.singleton_key(col("t")))
+      .orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val pts = sup.withColumn("cum", sum(col("ct")).over(w))
+      .crossJoin(broadcast(n))
+      .select(col("t"), col("ct"), col("cum"), col("n"),
+        floor(log(col("t").cast("double")) * 1000000.0 + 0.5)
+          .cast("long").as("x"),
+        floor(log(-log(lit(1.0)
+          - (col("cum") - lit(0.3)) / (col("n") + lit(0.4))))
+          * 1000000.0 + 0.5).cast("long").as("y"))
+    val fit = pts.groupBy()
+      .agg(count(lit(1)).as("np"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr(s"cast(x as $d38) * x")).as("sxx"),
+        sum(expr(s"cast(x as $d38) * y")).as("sxy"))
+      .select(col("np"),
+        expr(s"""cast((np * sxy - cast(sx as $d38) * sy) * 1000000
+                div (np * sxx - cast(sx as $d38) * sx) as bigint)""")
+          .as("shape_e6"),
+        col("sx"), col("sy"))
+      .select(col("np"), col("shape_e6"),
+        // scale = exp(x̄ − ȳ/k): one double from the exact sums
+        floor(exp((col("sx").cast("double") / col("np")
+          - (col("sy").cast("double") / col("np"))
+            / (col("shape_e6").cast("double") / 1.0e6)) / 1.0e6)
+          * 1000000.0 + 0.5).cast("long").as("scale_days_e6"))
+    pts.crossJoin(broadcast(fit))
+      .select(col("t"), col("ct"), col("cum"), col("np"),
+        col("shape_e6"), col("scale_days_e6"))
+      .orderBy(col("t"))
+  }
 }

@@ -262,7 +262,10 @@ object SoakScale {
     // source-bounded walks/grids), the rater-contest scaffold, and the
     // per-user covariate moment pass
     "q_pr_auc", "q_decision_curve", "q_hosmer_lemeshow", "q_copeland",
-    "q_vif")
+    "q_vif",
+    // 10b wave 20: the lineitem-orders lead-time scan into the
+    // calendar-span-bounded median-rank walk
+    "q_weibull")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

@@ -492,6 +492,7 @@ object SparkEntry {
     "q_hosmer_lemeshow" -> (Queries.hosmerLemeshowQ _),
     "q_copeland" -> (Queries.copelandQ _),
     "q_vif" -> (Queries.vifQ _),
+    "q_weibull" -> (Queries.weibullQ _),
   )
 
   /** Shared oracle fragment: the parsed-and-filtered log view, computed
@@ -11436,5 +11437,43 @@ object SparkEntry {
          |  vif_e6 > 5000000 AS is_collinear
          |FROM s ORDER BY covariate""".stripMargin
     },
+
+    // Weibull replay: uncensored duration support, median ranks,
+    // e6-floored double-log responses, HUGEINT OLS, exp scale.
+    "q_weibull" ->
+      """WITH sup AS (SELECT
+        |    CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE)
+        |      AS BIGINT) AS t,
+        |    CAST(count(*) AS BIGINT) AS ct
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) >= 1
+        |  GROUP BY 1),
+        |n AS (SELECT sum(ct) AS n FROM sup),
+        |pts AS (SELECT t, ct,
+        |    sum(ct) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    n,
+        |    CAST(floor(ln(CAST(t AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+        |      AS x,
+        |    CAST(floor(ln(-ln(1.0 - (sum(ct) OVER (ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 0.3)
+        |      / (n + 0.4))) * 1000000.0 + 0.5) AS BIGINT) AS y
+        |  FROM sup CROSS JOIN n),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS np, sum(x) AS sx,
+        |    sum(y) AS sy, sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy FROM pts),
+        |f AS (SELECT np,
+        |    CAST((np * sxy - CAST(sx AS HUGEINT) * sy) * 1000000
+        |      // (np * sxx - CAST(sx AS HUGEINT) * sx) AS BIGINT)
+        |      AS shape_e6, sx, sy FROM m),
+        |f2 AS (SELECT np, shape_e6,
+        |    CAST(floor(exp((CAST(sx AS DOUBLE) / np
+        |      - (CAST(sy AS DOUBLE) / np)
+        |        / (CAST(shape_e6 AS DOUBLE) / 1.0e6)) / 1.0e6)
+        |      * 1000000.0 + 0.5) AS BIGINT) AS scale_days_e6
+        |  FROM f)
+        |SELECT t, ct, CAST(cum AS BIGINT) AS cum, f2.np, shape_e6,
+        |  scale_days_e6
+        |FROM pts CROSS JOIN f2 ORDER BY t""".stripMargin,
   )
 }
