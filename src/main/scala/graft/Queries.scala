@@ -13318,7 +13318,10 @@ object Queries {
     val posRate = ev.groupBy(col("pos"))
       .agg(sum(when(!col("is_click"), 1L).otherwise(0L)).as("views_p"),
         sum(when(col("is_click"), 1L).otherwise(0L)).as("clicks_p"))
-      .withColumn("rate_e6", expr("clicks_p * 1000000 div views_p"))
+      // a position with clicks but no views has an undefined rate —
+      // NULLIF keeps both engines at NULL (Spark div 0 is NULL, DuckDB
+      // // 0 raises) and the sum below then skips that position
+      .withColumn("rate_e6", expr("clicks_p * 1000000 div nullif(views_p, 0)"))
     val artPos = ev.groupBy(col("article"), col("pos"))
       .agg(sum(when(!col("is_click"), 1L).otherwise(0L)).as("views"),
         sum(when(col("is_click"), 1L).otherwise(0L)).as("clicks"))
@@ -13329,7 +13332,7 @@ object Queries {
       .select(col("article"), col("views"), col("clicks"),
         expr("cast(expected_e6 div 1000000 as bigint)").as("expected"),
         expr("""cast(cast(clicks as decimal(38,0)) * 1000000000000
-                div expected_e6 as bigint)""").as("coec_e6"))
+                div nullif(expected_e6, 0) as bigint)""").as("coec_e6"))
       .orderBy(col("article"))
   }
 
@@ -13394,9 +13397,15 @@ object Queries {
     g.select(col("n").as("n_cells"), (col("n") - col("nz")).as("n_zero"),
         col("mean_e6").cast("long").as("mean_e6"),
         col("var_e6").cast("long").as("var_e6"),
-        expr("cast(var_e6 * 1000000 div mean_e6 as bigint)").as("vmr_e6"),
-        expr("""cast(mean_e6 * mean_e6 div (var_e6 - mean_e6) as bigint)""")
-          .as("nb_k_e6"),
+        // mean 0 (no events) and non-overdispersed var ≤ mean are NULL
+        // on BOTH engines — a negative denominator would also split
+        // them (Spark div truncates, DuckDB // floors), so the CASE
+        // only divides when the MoM k is actually defined (var > mean)
+        expr("cast(var_e6 * 1000000 div nullif(mean_e6, 0) as bigint)")
+          .as("vmr_e6"),
+        expr("""cast(case when var_e6 > mean_e6
+                then mean_e6 * mean_e6 div (var_e6 - mean_e6) end
+                as bigint)""").as("nb_k_e6"),
         floor(exp(-col("mean_e6").cast("double") / 1000000.0) * 1000000.0
           + 0.5).cast("long").as("pois_zero_e6"),
         expr("(n - nz) * 1000000 div n").as("obs_zero_e6"))
@@ -13601,18 +13610,31 @@ object Queries {
     * z-score calls normal (high spend CONSISTENT with high activity is
     * fine; high spend at low activity is not): exact n-scaled
     * deviations Ax = n·x−Sx and decimal covariance sums make
-    * d² = (Ax²C_yy + Ay²C_xx − 2AxAyC_xy)·n⁴(n−1)/det one double
-    * expression over exact integers, e6-floored per user before any
-    * ordering. Ships the χ²₂ 99% outlier count and the top-10 by the
-    * INTEGER d² (TakeOrdered — no full sort).
+    * d² = (Ax²C_yy + Ay²C_xx − 2AxAyC_xy)·(n−1)/det one double
+    * expression over exact integers — the n⁴ from Ax=n·dx in the
+    * bracket cancels against the n⁴ from C=n²·SS in det, so (n−1)
+    * alone converts the SS-quadratic-form into the sample-covariance
+    * distance (the r10 n⁴ inflation flagged in ADVICE.md is fixed;
+    * MahalanobisSpec pins d²=1.5·(n−1)/... on a 4-corner square).
+    * E6-floored per user before any ordering. Ships the χ²₂ 99%
+    * outlier count and the top-10 by the INTEGER d² (TakeOrdered —
+    * no full sort).
     */
   def mahalanobisQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val d38 = "decimal(38,0)"
     val u = Tables.events(spark, sfDir)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("x"),
         sum(when(col("event_type") === "purchase",
           cents(col("value")).cast("long")).otherwise(0L)).as("y"))
+    mahalanobisCore(u)
+  }
+
+  /** Core of [[mahalanobisQ]] over any (user_id, x:long, y:long)
+    * frame — split out so MahalanobisSpec can pin the distance on a
+    * known configuration (4 corners of a square → d²=1.5 each).
+    */
+  def mahalanobisCore(u: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
     val m = u.groupBy()
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(expr(s"cast(x as $d38) * x")).as("sxx"),
@@ -13629,7 +13651,7 @@ object Queries {
         expr("""(cast(ax as double) * ax * cast(cyy as double)
               + cast(ay as double) * ay * cast(cxx as double)
               - 2.0d * cast(ax as double) * ay * cast(cxy as double))
-              * cast(n as double) * n * n * n * (n - 1)
+              * cast(n - 1 as double)
               / (cast(cxx as double) * cyy - cast(cxy as double) * cxy)""")
           * 1000000.0 + 0.5).cast("long"))
     val summary = d2.groupBy()

@@ -10505,7 +10505,8 @@ object SparkEntry {
         |    CAST(sum(CASE WHEN is_click THEN 1 ELSE 0 END) AS BIGINT)
         |      AS clicks_p
         |  FROM ev GROUP BY 1),
-        |pr2 AS (SELECT pos, clicks_p * 1000000 // views_p AS rate_e6
+        |pr2 AS (SELECT pos, clicks_p * 1000000 // nullif(views_p, 0)
+        |    AS rate_e6
         |  FROM pr),
         |ap AS (SELECT article, pos,
         |    CAST(sum(CASE WHEN is_click THEN 0 ELSE 1 END) AS BIGINT)
@@ -10519,8 +10520,8 @@ object SparkEntry {
         |SELECT article, CAST(views AS BIGINT) AS views,
         |  CAST(clicks AS BIGINT) AS clicks,
         |  CAST(expected_e6 // 1000000 AS BIGINT) AS expected,
-        |  CAST(CAST(clicks AS HUGEINT) * 1000000000000 // expected_e6
-        |    AS BIGINT) AS coec_e6
+        |  CAST(CAST(clicks AS HUGEINT) * 1000000000000
+        |    // nullif(expected_e6, 0) AS BIGINT) AS coec_e6
         |FROM a ORDER BY article""".stripMargin,
 
     // Feature-hashing replay: 1024-bucket portable hash, occupancy
@@ -10566,8 +10567,10 @@ object SparkEntry {
         |  FROM g2)
         |SELECT n AS n_cells, n - nz AS n_zero,
         |  CAST(mean_e6 AS BIGINT) AS mean_e6, CAST(var_e6 AS BIGINT) AS var_e6,
-        |  CAST(var_e6 * 1000000 // mean_e6 AS BIGINT) AS vmr_e6,
-        |  CAST(mean_e6 * mean_e6 // (var_e6 - mean_e6) AS BIGINT) AS nb_k_e6,
+        |  CAST(var_e6 * 1000000 // nullif(mean_e6, 0) AS BIGINT) AS vmr_e6,
+        |  CAST(CASE WHEN var_e6 > mean_e6
+        |    THEN mean_e6 * mean_e6 // (var_e6 - mean_e6) END
+        |    AS BIGINT) AS nb_k_e6,
         |  CAST(floor(exp(-CAST(mean_e6 AS DOUBLE) / 1000000.0) * 1000000.0
         |    + 0.5) AS BIGINT) AS pois_zero_e6,
         |  (n - nz) * 1000000 // n AS obs_zero_e6
@@ -10728,7 +10731,7 @@ object SparkEntry {
         |        * (n * CAST(y AS HUGEINT) - sy) * CAST(cxx AS DOUBLE)
         |      - 2.0 * CAST(n * x - sx AS DOUBLE)
         |        * (n * CAST(y AS HUGEINT) - sy) * CAST(cxy AS DOUBLE))
-        |      * CAST(n AS DOUBLE) * n * n * n * (n - 1)
+        |      * CAST(n - 1 AS DOUBLE)
         |      / (CAST(cxx AS DOUBLE) * cyy - CAST(cxy AS DOUBLE) * cxy)
         |      * 1000000.0 + 0.5) AS BIGINT) AS d2_e6
         |  FROM u CROSS JOIN c),

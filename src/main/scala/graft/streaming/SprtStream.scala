@@ -24,7 +24,7 @@ case class SprtState(n: Long, k: Long, llrE9: Long, decision: String, decidedAtN
   * any event volume.
   */
 class SprtProcessor
-    extends StatefulProcessor[String, (String, Boolean), (String, Long, Long, Long, String, Long)] {
+    extends StatefulProcessor[String, (String, Long, Boolean), (String, Long, Long, Long, String, Long)] {
 
   private val La = 200670695L // floor(ln(0.22/0.18)*1e9+0.5)
   private val Lb = -50010421L // floor(ln(0.78/0.82)*1e9+0.5)
@@ -35,13 +35,18 @@ class SprtProcessor
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     st = getHandle.getValueState[SprtState]("sprt", Encoders.product[SprtState], TTLConfig.NONE)
 
-  override def handleInputRows(key: String, rows: Iterator[(String, Boolean)],
+  override def handleInputRows(key: String, rows: Iterator[(String, Long, Boolean)],
       timerValues: TimerValues): Iterator[(String, Long, Long, Long, String, Long)] = {
     var s = if (st.exists()) st.get() else SprtState(0L, 0L, 0L, "continue", -1L)
-    rows.foreach { r =>
+    // Iterator order after the groupByKey shuffle is not deterministic;
+    // a mixed batch that crosses the boundary mid-batch would freeze a
+    // different (n, k, llr) per replay. Sort on the caller-supplied
+    // event seq so the frozen state is a pure function of the data
+    // (batch-sized buffer — bounded by the micro-batch, not the stream).
+    rows.toSeq.sortBy(_._2).foreach { r =>
       if (s.decision == "continue") {
-        val k2 = s.k + (if (r._2) 1L else 0L)
-        val llr = s.llrE9 + (if (r._2) La else Lb)
+        val k2 = s.k + (if (r._3) 1L else 0L)
+        val llr = s.llrE9 + (if (r._3) La else Lb)
         val n2 = s.n + 1
         val dec =
           if (llr >= Bound) "h1"
@@ -58,17 +63,20 @@ class SprtProcessor
 
 object SprtStream {
 
-  /** (key, success) stream → per-key SPRT changelog:
+  /** (key, seq, success) stream → per-key SPRT changelog:
     * (key, trials, successes, llr_e9, decision, decided_at_n), one row
     * per key per micro-batch; `decision` freezes at the first boundary
-    * crossing.
+    * crossing. `seq` is the deterministic within-key order (event id /
+    * timestamp) — the frozen state is replay-stable because each batch
+    * folds its rows in seq order, not shuffle-arrival order.
     */
   def apply(events: DataFrame): Dataset[(String, Long, Long, Long, String, Long)] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
-      .select(col("key").cast("string"), col("success").cast("boolean"))
-      .as[(String, Boolean)]
+      .select(col("key").cast("string"), col("seq").cast("long"),
+        col("success").cast("boolean"))
+      .as[(String, Long, Boolean)]
       .groupByKey(_._1)
       .transformWithState(new SprtProcessor,
         TimeMode.None(), OutputMode.Update())

@@ -5,7 +5,10 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Streaming SPRT: crosses the right boundary, freezes at the
   * crossing, and ignores post-decision evidence (the sequential-test
-  * contract). Constants match the batch q_sprt exactly.
+  * contract). Constants match the batch q_sprt exactly. Rows carry a
+  * seq and the processor folds each batch in seq order, so the frozen
+  * state is replay-stable even when the shuffle delivers a mixed batch
+  * out of order (the r10 ADVICE.md determinism gap).
   */
 class SprtStreamSpec extends AnyFunSuite {
   lazy val spark = GraftSpark.spark
@@ -14,14 +17,14 @@ class SprtStreamSpec extends AnyFunSuite {
   private val Lb = -50010421L
   private val Bound = 2944438979L
 
-  private def run(batches: Seq[Seq[(String, Boolean)]], name: String): Map[String, (Long, Long, Long, String, Long)] = {
+  private def run(batches: Seq[Seq[(String, Long, Boolean)]], name: String): Map[String, (Long, Long, Long, String, Long)] = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val mem = MemoryStream[(String, Boolean)]
-    val q = graft.streaming.SprtStream(mem.toDF().toDF("key", "success"))
+    val mem = MemoryStream[(String, Long, Boolean)]
+    val q = graft.streaming.SprtStream(mem.toDF().toDF("key", "seq", "success"))
       .toDF("key", "n", "k", "llr_e9", "decision", "decided_at_n")
       .writeStream.outputMode("update")
       .format("memory").queryName(name).start()
@@ -46,10 +49,10 @@ class SprtStreamSpec extends AnyFunSuite {
     val need = (Bound / La + 1).toInt
     assert(need == 15)
     val out = run(Seq(
-      (1 to 10).map(_ => ("hot", true)),
-      (1 to 10).map(_ => ("hot", true)),
+      (1 to 10).map(i => ("hot", i.toLong, true)),
+      (11 to 20).map(i => ("hot", i.toLong, true)),
       // post-decision evidence (failures) must be ignored
-      (1 to 5).map(_ => ("hot", false))), "sprt_hot")
+      (21 to 25).map(i => ("hot", i.toLong, false))), "sprt_hot")
     val (n, k, llr, dec, at) = out("hot")
     assert(dec == "h1")
     assert(at == 15L && n == 15L && k == 15L)
@@ -61,8 +64,10 @@ class SprtStreamSpec extends AnyFunSuite {
     val needH0 = (Bound / -Lb + 1).toInt
     assert(needH0 == 59)
     val out = run(Seq(
-      (1 to 40).map(_ => ("cold", false)) ++ Seq(("mid", true), ("mid", false)),
-      (1 to 40).map(_ => ("cold", false)) ++ Seq(("mid", true), ("mid", false))),
+      (1 to 40).map(i => ("cold", i.toLong, false)) ++
+        Seq(("mid", 1L, true), ("mid", 2L, false)),
+      (41 to 80).map(i => ("cold", i.toLong, false)) ++
+        Seq(("mid", 3L, true), ("mid", 4L, false))),
       "sprt_cold")
     val (nc, _, llrC, decC, atC) = out("cold")
     assert(decC == "h0" && atC == 59L && nc == 59L)
@@ -70,5 +75,21 @@ class SprtStreamSpec extends AnyFunSuite {
     val (nm, km, llrM, decM, atM) = out("mid")
     assert(decM == "continue" && atM == -1L && nm == 4L && km == 2L)
     assert(llrM == 2L * La + 2L * Lb)
+  }
+
+  test("mixed batch crossing mid-batch freezes by seq order, not arrival order") {
+    // 14 successes then (seq order) 1 success at seq 15 followed by 5
+    // failures: the boundary fires exactly at seq 15 regardless of the
+    // shuffled order the batch is DELIVERED in. Frozen state must be
+    // n=15, k=15, llr=15·La — arrival-order folding would stop at a
+    // different (n, k) depending on where the failures land.
+    val ordered = (1 to 15).map(i => ("mix", i.toLong, true)) ++
+      (16 to 20).map(i => ("mix", i.toLong, false))
+    val shuffled = new scala.util.Random(7).shuffle(ordered)
+    val out = run(Seq(shuffled), "sprt_mix")
+    val (n, k, llr, dec, at) = out("mix")
+    assert(dec == "h1")
+    assert(at == 15L && n == 15L && k == 15L)
+    assert(llr == 15L * La)
   }
 }
