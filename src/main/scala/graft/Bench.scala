@@ -74,14 +74,38 @@ object Bench {
         }
       (qs, memo.toMap)
     }
+    // Host telemetry: 1/5/15-min loadavg sampled immediately before each
+    // pass. A loaded host inflates a pass; recording the load state makes
+    // a contaminated official run self-documenting instead of a judging
+    // debate (the r9/r10 lesson — passes disagreed 17.6% with no record
+    // of why).
+    def loadavg(): Seq[Double] =
+      try {
+        scala.io.Source.fromFile("/proc/loadavg").mkString
+          .split("\\s+").take(3).toSeq.map(_.toDouble)
+      } catch { case _: Throwable => Seq.empty }
+    val passLoads = scala.collection.mutable.ArrayBuffer[Seq[Double]]()
     val allPasses = (1 to passes).map { i =>
       if (i > 1) {
         graft.sources.SessionMemo.release(spark)
         spark.catalog.clearCache()
       }
+      passLoads += loadavg()
       runPass()
     }
     val passTotals = allPasses.map { case (qs, memo) => qs.values.sum + memo.values.sum }
+    // Pass agreement: (max−min)/min over raw pass totals. >15% means the
+    // host was not quiet for at least one pass — the per-query min
+    // protocol absorbs most of it, but the number must be visible.
+    val passDisagreementPct =
+      if (passTotals.size > 1 && passTotals.min > 0)
+        (passTotals.max - passTotals.min) / passTotals.min * 100.0
+      else 0.0
+    if (passDisagreementPct > 15.0)
+      Console.err.println(
+        f"bench: WARNING pass totals disagree by $passDisagreementPct%.1f%% " +
+          s"(${passTotals.map(t => f"$t%.1f").mkString("/")} s; loadavg ${passLoads.map(_.mkString(",")).mkString(" | ")}) — " +
+          "host likely contended; treat the headline with suspicion and re-run quiet")
     val results = allPasses.head._1.keys.map { name =>
       name -> allPasses.map(_._1(name)).min
     }.toMap
@@ -99,11 +123,12 @@ object Bench {
     val rawTotals = passTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
     val memoFull = memoBuilds.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    println(s"""{"queries":$qsFull,"memo_builds":$memoFull,"memo_total":${f"$memoTotal%.3f"},"sf":"$sfDir","unit":"sec","n_queries":${results.size},"passes":$passes,"pass_totals":$rawTotals,"metric":"total","value":$total}""")
+    val loadsJson = passLoads.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    println(s"""{"queries":$qsFull,"memo_builds":$memoFull,"memo_total":${f"$memoTotal%.3f"},"sf":"$sfDir","unit":"sec","n_queries":${results.size},"passes":$passes,"pass_totals":$rawTotals,"loadavg":$loadsJson,"pass_disagreement_pct":${f"$passDisagreementPct%.1f"},"metric":"total","value":$total}""")
     // Compact final line: seconds at ms precision; heaviest queries first so
     // that, if the budget ever forces truncation, only trivia drops out.
     val byTime = results.toSeq.sortBy(-_._2)
-    val header = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","memo_total":$memoTotal%.3f,"queries":{"""
+    val header = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","memo_total":$memoTotal%.3f,"pass_disagreement_pct":$passDisagreementPct%.1f,"queries":{"""
     val footer = "}}"
     val sb = new StringBuilder(header)
     var first = true

@@ -26,9 +26,11 @@ object LogAnalysisApp {
       hotSection: StreamingQuery,
       hotArticle: StreamingQuery,
       clientIp: StreamingQuery,
+      hotSectionIncr: StreamingQuery,
       sectionSink: UpsertSink,
       articleSink: UpsertSink,
-      clientSink: UpsertSink)
+      clientSink: UpsertSink,
+      sectionTopSink: UpsertSink)
 
   /** Wire the three analytics onto an unbounded `line` stream. Dims are
     * static snapshots (broadcast per micro-batch — the lookup-join
@@ -38,6 +40,13 @@ object LogAnalysisApp {
   def start(spark: SparkSession, lines: DataFrame,
       sectionDim: DataFrame, articleDim: DataFrame,
       checkpointRoot: String): Pipelines = {
+    // transformWithState (the incremental top-N below) requires the
+    // RocksDB state store; the aggregate sinks run on it too — the
+    // provider you'd run at scale anyway (changelog checkpointing,
+    // off-heap state). Set before any query start so every sink's
+    // snapshot of the conf agrees.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val parsed = LogStream.parsedTuples(lines)
 
     val sectionSink = new UpsertSink(Seq("section_id"))
@@ -78,7 +87,26 @@ object LogAnalysisApp {
       .foreachBatch { (df: DataFrame, id: Long) => clientSink.merge(df, id) }
       .start()
 
-    Pipelines(hotSection, hotArticle, clientIp, sectionSink, articleSink, clientSink)
+    // Incremental Blink-parity top-N off the SAME shared parse: the
+    // keyed rank operator (graft.streaming.TopNStream) instead of the
+    // complete-mode sort — per-batch work is O(touched sections + k),
+    // state never replays the whole aggregate table. Sink upserts by
+    // rank, exactly the reference's MySQL top-10 table contract.
+    val sectionTopSink = new UpsertSink(Seq("rank"))
+    val hotSectionIncr = graft.streaming.TopNStream(
+        parsed.filter(col("section_id") =!= 0)
+          .select(lit("section").as("ctx"),
+            col("section_id").cast("string").as("item"),
+            lit(1L).as("delta")), 10)
+      .toDF("ctx", "rank", "item", "cnt")
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", s"$checkpointRoot/hot_section_incr")
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        sectionTopSink.merge(df.drop("ctx"), id)
+      }.start()
+
+    Pipelines(hotSection, hotArticle, clientIp, hotSectionIncr,
+      sectionSink, articleSink, clientSink, sectionTopSink)
   }
 
   final case class Monitors(

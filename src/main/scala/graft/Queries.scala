@@ -13676,9 +13676,19 @@ object Queries {
     * contracting with the textbook pointer discipline: hook → break
     * the 2-cycles to their min endpoint → 6 DOUBLING pointer jumps
     * (depth-64 budget; a pathological longer chain just rolls into the
-    * next round — deterministic on both engines either way). Per-round
-    * data motion is two label joins + one per-comp min — the honest
-    * MST shuffle shape at any edge count. Emits one row per round:
+    * next round — deterministic on both engines either way). Round 11
+    * replaces the static-edge-list + per-round node-label joins with
+    * textbook CONTRACTION: component labels START as node ids, so the
+    * round-1 edge list needs no join at all, and each round relabels
+    * the surviving cross-component edges through the COMPONENT-sized
+    * pointer map (size-gated broadcast), collapsing parallel pairs to
+    * their min weight. Per-round data motion is one per-comp min (map-
+    * side partial) + two broadcast relabels + one shrinking pair-dedup
+    * — the full |E| is shuffled once at round 1 instead of twice per
+    * round, the r10 x100 wall's cost shape. Selected min structs are
+    * IDENTICAL to the uncontracted form (collapsing (a,b) multi-edges
+    * to min w cannot change a per-comp min over struct(w,a,b)), so the
+    * label-replay DuckDB oracle is unchanged. Emits one row per round:
     * components before, edges/weight added, cumulative forest weight.
     */
   def boruvkaQ(spark: SparkSession, sfDir: String): DataFrame = {
@@ -13705,29 +13715,26 @@ object Queries {
       .groupBy(col("u"), col("v")).agg(sum(col("c")).as("cnt"))
       .select(col("u"), col("v"), expr("1000000000 div cnt").as("w"))
       .localCheckpoint(true)
-    var lbl = rebase(und.select(explode(array(col("u"), col("v"))).as("node"))
-      .distinct().withColumn("lbl", col("node")))
+    // contracted state: `edges` = surviving cross-component edges with
+    // a<b COMPONENT labels (round 1: node ids ARE the labels — no join),
+    // `comps` = the live component set (shrinks geometrically)
+    var edges = und.select(col("w"), col("u").as("a"), col("v").as("b"))
+    var comps = rebase(
+      und.select(explode(array(col("u"), col("v"))).as("c")).distinct())
     val stats = collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
     var cum = 0L
     for (r <- 1 to 4) {
-      val e2 = und
-        .join(lbl.select(col("node").as("u"), col("lbl").as("cu")), "u")
-        .join(lbl.select(col("node").as("v"), col("lbl").as("cv")), "v")
-        .filter(col("cu") =!= col("cv"))
-        .select(col("w"), least(col("cu"), col("cv")).as("a"),
-          greatest(col("cu"), col("cv")).as("b"))
-      val minEdge0 = e2.select(col("a").as("c"), col("w"), col("a"), col("b"))
-        .union(e2.select(col("b").as("c"), col("w"), col("a"), col("b")))
+      val minEdge0 = edges.select(col("a").as("c"), col("w"), col("a"), col("b"))
+        .union(edges.select(col("b").as("c"), col("w"), col("a"), col("b")))
         .groupBy(col("c"))
         .agg(min(struct(col("w"), col("a"), col("b"))).as("m"))
       val minEdgeR = rebase(minEdge0)
       val sel = minEdgeR.select(col("m.w").as("w"), col("m.a").as("a"),
         col("m.b").as("b")).distinct()
       val Array(nc, ne, wa) = {
-        val comps = lbl.select(col("lbl")).distinct().count()
         val s = sel.groupBy().agg(count(lit(1)), coalesce(sum(col("w")), lit(0L)))
           .head()
-        Array(comps, s.getLong(0), s.getLong(1))
+        Array(comps.count(), s.getLong(0), s.getLong(1))
       }
       cum += wa
       stats += ((nc, ne, wa, cum))
@@ -13746,7 +13753,7 @@ object Queries {
           .orderBy(col("round"))
       }
       // hook: every comp points at the other endpoint of its min edge
-      val hooked = lbl.select(col("lbl").as("c")).distinct()
+      val hooked = comps
         .join(minEdgeR.select(col("c"), expr("if(m.a = c, m.b, m.a)").as("p0")),
           Seq("c"), "left")
         .select(col("c"), coalesce(col("p0"), col("c")).as("p"))
@@ -13762,8 +13769,22 @@ object Queries {
         ptr = rebase(ptr.join(m2, col("p") === col("pc"))
           .select(col("c"), col("pp").as("p")))
       }
-      lbl = rebase(lbl.join(ptr.select(col("c").as("lbl"), col("p")), "lbl")
-        .select(col("node"), col("p").as("lbl")))
+      // contract: relabel surviving edges through the comp-sized pointer
+      // map and collapse parallel (a,b) pairs to their min weight. The
+      // map is broadcast while it fits (≤10M comps ≈ 160 MB); beyond
+      // that the planner's shuffle join is the honest fallback — nc is
+      // already in hand from the stats read.
+      def side(tag: String) = {
+        val m = ptr.select(col("c").as(tag), col("p").as(s"p$tag"))
+        if (nc <= 10000000L) broadcast(m) else m
+      }
+      edges = rebase(edges.join(side("a"), "a").join(side("b"), "b")
+        .filter(col("pa") =!= col("pb"))
+        .groupBy(least(col("pa"), col("pb")).as("na"),
+          greatest(col("pa"), col("pb")).as("nb"))
+        .agg(min(col("w")).as("w"))
+        .select(col("w"), col("na").as("a"), col("nb").as("b")))
+      comps = rebase(ptr.select(col("p").as("c")).distinct())
     }
     ckpts.foreach(_.unpersist())
     und.unpersist()

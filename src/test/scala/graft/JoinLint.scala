@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+import org.apache.spark.sql.execution._
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+/** The cartesian/broadcast house rule, automated (the twin of
+  * [[WindowLint]]): a `BroadcastNestedLoopJoin` or `CartesianProduct`
+  * is legal ONLY when its build side (both sides, for a cartesian) is
+  * bounded by something other than the data — a global aggregate
+  * (1 row), a limit/TakeOrdered shortlist, or a driver-held literal
+  * model. An unbounded build side is the all-pairs blowup that turns a
+  * 100 TB scan into |stream|×|build| comparisons.
+  *
+  * [[boundedByConstruction]] proves the common cases structurally from
+  * the physical plan; a site the prover can't certify needs an
+  * [[allowedCross]] entry NAMING the bound (same contract as
+  * `WindowLint.allowedSingleton` — "doc-bounded"/"node-bounded" do not
+  * qualify). [[QueriesSmokeSpec]] runs the detector over every harness
+  * query's physical plan; [[JoinLintSpec]] fixture-proves the detector
+  * and prunes stale allowlist entries.
+  */
+object JoinLint {
+
+  /** True when `p`'s row count is bounded by construction:
+    * grouping-free aggregates emit exactly 1 row, limits emit ≤ k,
+    * local relations are driver-held models, and narrow/unary nodes
+    * (project/filter/sort/exchange/codegen) preserve their child's
+    * bound. Joins/unions of bounded inputs stay bounded. Everything
+    * else — scans in particular — is data-sized.
+    */
+  def boundedByConstruction(p: SparkPlan): Boolean = p match {
+    case a: HashAggregateExec if a.groupingExpressions.isEmpty => true
+    case a: ObjectHashAggregateExec if a.groupingExpressions.isEmpty => true
+    case a: SortAggregateExec if a.groupingExpressions.isEmpty => true
+    case _: LocalTableScanExec => true
+    case _: GlobalLimitExec => true
+    case _: CollectLimitExec => true
+    case _: TakeOrderedAndProjectExec => true
+    case other if other.children.nonEmpty =>
+      other.children.forall(boundedByConstruction)
+    case _ => false
+  }
+
+  /** Offending nodes in `df`'s physical plan: BNLJ whose build side is
+    * not provably bounded, and cartesian products where neither side
+    * is. Returns one description per site (empty = clean).
+    */
+  def unboundedCrossSites(df: DataFrame): Seq[String] = {
+    val plan = df.queryExecution.sparkPlan
+    plan.collect {
+      case j: BroadcastNestedLoopJoinExec =>
+        val build = j.buildSide match {
+          case BuildLeft => j.left
+          case BuildRight => j.right
+        }
+        if (boundedByConstruction(build)) None
+        else Some(s"BroadcastNestedLoopJoin(${j.joinType}) with unbounded build side ${build.nodeName}")
+      case c: CartesianProductExec =>
+        if (boundedByConstruction(c.left) || boundedByConstruction(c.right)) None
+        else Some(s"CartesianProduct of two unbounded sides (${c.left.nodeName} × ${c.right.nodeName})")
+    }.flatten
+  }
+
+  /** Queries ALLOWED an unproven cross site, each with its bound stated
+    * (and restated in the query's Scaladoc). Eligible bounds are the
+    * WindowLint ones: calendar, value-support, model/shortlist, grid.
+    */
+  val allowedCross: Map[String, String] = Map(
+    // (exactly the queries JoinLintSweep observes an unproven site in —
+    // QueriesSmokeSpec fails any new name; JoinLintSpec prunes stale
+    // entries. Bounds are restated from each query's Scaladoc.)
+    // -- calendar-bounded build sides (day/month/hour spine ≤ a few
+    //    hundred rows at ANY data size; pairwise forms are calendar²)
+    "q_acf" -> "lag grid × day-spine moments (calendar-bounded)",
+    "q_adstock" -> "λ-grid × day-spine adstock folds (grid × calendar)",
+    "q_crosscorr" -> "lag −3..+3 grid × day-spine moments (grid × calendar)",
+    "q_fano" -> "3-timescale window grid × windowed counts (calendar-bounded)",
+    "q_gumbel" -> "monthly block-maxima table (calendar-bounded, ~80 months)",
+    "q_hodges_lehmann" -> "weekday×weekend day-pair differences (calendar²)",
+    "q_hurst" -> "dyadic chunk grid over the hourly series (calendar-bounded)",
+    "q_jackknife_ratio" -> "leave-one-region-out strata (5 regions, value-support)",
+    "q_kendall_tau" -> "d1<d2 day-pair self-join (calendar²; documented in Scaladoc)",
+    "q_mann_kendall" -> "all-day-pairs S statistic (calendar²; documented tiny)",
+    "q_pacf" -> "Durbin-Levinson lag grid × acf numerators (grid × calendar)",
+    "q_periodogram" -> "period grid 2..10 × day spine (grid × calendar)",
+    "q_ses_grid" -> "α-grid (7) × day-spine SES replays (grid × calendar)",
+    "q_theil_sen" -> "pairwise day slopes (calendar²; 29%-breakdown median)",
+    "q_var_es" -> "daily loss histogram (calendar-bounded value support)",
+    // -- probe/eval-shortlist-bounded build sides (fixed ≤500-row probe
+    //    or model side broadcast against one linear corpus pass)
+    "q_ann_hamming" -> "30-query probe set × packed-sign corpus scan",
+    "q_ann_hamming_refine" -> "30-query probe set + per-query shortlist refine",
+    "q_ann_ivf" -> "centroid model (k-means, ≤16 rows) and 30-query probe set",
+    "q_ann_ivfpq" -> "probe set × broadcast PQ LUT model (codes-only scan)",
+    "q_ann_ivfpq_pruned" -> "probe set × broadcast LUT over the ivf_cell-pruned lake",
+    "q_ann_ivfpq_refine" -> "probe set × LUT; refine over per-query ≤30-row shortlists",
+    "q_ann_pq_recall" -> "30-query probe set replayed across 4 PQ variants + exact baseline",
+    "q_ann_quant_recall" -> "probe set × sq8/hamming variants + exact baseline shortlists",
+    "q_ann_recall" -> "probe set: certified-recall join of LSH vs exact top-3 shortlists",
+    "q_confusion" -> "500-probe eval slice × corpus scan (mrrQ contract)",
+    "q_knn_class" -> "probe slice × corpus scan, 3-NN shortlist per probe",
+    "q_knn_cosine" -> "10-probe slice × corpus scan, top-5 shortlist per probe",
+    "q_knn_impute" -> "probe slice × corpus scan, k-NN shortlist per probe",
+    "q_mrr" -> "50-probe eval slice × corpus ranking scan (documented cap)",
+    "q_ndcg" -> "50-probe eval slice × corpus ranking scan",
+    "q_err" -> "50-probe graded eval slice × corpus ranking scan",
+    "q_map_at_k" -> "50-probe eval slice × corpus ranking scan",
+    "q_silhouette" -> "50-probe eval slice × one corpus pass (documented O(n²) cap)",
+    "q_media_features" -> "5-media probe slice × decoded-embedding scan",
+    "q_kcenter" -> "k broadcast center rows × linear corpus passes (k passes)",
+    "q_random_projection" -> "8 hash-ARGMIN-selected seed rows broadcast per plane",
+    "q_ransac" -> "hash-ARGMIN-selected sample seeds broadcast per round",
+    "q_edit_distance" -> "capped near-name candidate set (documented cap)",
+    "q_lcs_sim" -> "probe-bounded journey pairs (first-7-event sequences)",
+    "q_needleman" -> "probe-bounded 7-event journey pairs (bounded DP lattice)",
+    "q_ngram_jaccard" -> "capped document set for brute-force pair verification",
+    "q_simhash_pairs" -> "capped document set for hamming pair verification",
+    "q_resample" -> "user×day grid side (generated sequence, broadcast; documented tiny)",
+    // -- value-support / grid-bounded build sides
+    "q_bleu" -> "per-doc clipped-gram totals vs candidate/reference scalar totals (n-grid ×4)",
+    "q_rouge" -> "per-doc gram totals vs candidate/reference totals (ROUGE-1/2 grid)",
+    "q_chi2_indep" -> "lang×source contingency margins (value-support cells)",
+    "q_chi2_residuals" -> "contingency margins (value-support cells)",
+    "q_cramers_v" -> "contingency margins + scalar N (value-support)",
+    "q_mutual_info" -> "5×7 type×day-of-week contingency (value-support)",
+    "q_cms_topk" -> "4×1024 CMS counter rows × top-20 exact shortlist",
+    "q_content_halflife" -> "40-article × day scaffold (both dims bounded, documented)",
+    "q_copeland" -> "40×40 article pairwise-preference grid (value-support)",
+    "q_kendall_w" -> "40-item × rater rank grid (value-support)",
+    "q_decision_curve" -> "5-threshold grid × global confusion scalars",
+    "q_fdr_bh" -> "5-hypothesis family × 200-round permutation grid",
+    "q_friedman" -> "block×treatment rank grid (value-support)",
+    "q_heaps" -> "10 geometric doc-count checkpoints × vocab min-aggregate",
+    "q_hill" -> "201-row TakeOrdered tail shortlist × k-grid",
+    "q_isotonic" ->"10-bucket rate table: PAVA max-min over bucket pairs (grid²)",
+    "q_kmv_overlap" -> "per-source bottom-64 KMV sketches (64·sources rows)",
+    "q_ljung_box" -> "lag grid 1..7 × day-spine autocorrelation moments (grid × calendar)",
+    "q_rbo" -> "two 20-row TakeOrdered part rankings (shortlist-bounded)",
+    "q_matching_att" -> "activity-level support match (distinct levels, bounded)",
+    "q_nb_classifier" -> "≤5·1024-row likelihood model broadcast (documented)",
+    "q_ngram_novelty" -> "n-grid 1..3 × distinct-gram presence aggregates",
+    "q_richclub" -> "degree-threshold grid × degree-support counts",
+    "q_sample_size" -> "3-row lift grid × observed-baseline scalars",
+    "q_shapley" -> "2⁴ coalition grid over 4 channels (model-bounded)",
+    "q_slope_one" -> "5×5 event-type deviation matrix × probe users (value-support)",
+    "q_tcloseness" -> "quasi-identifier groups × ordered sensitive support (EMD walk)",
+    "q_tree2" -> "feature×value-support split grid (documented split search)",
+    "q_vocab_drift" -> "two 20-row TakeOrdered token shortlists (shortlist-bounded)",
+    // -- API demos / replays
+    "q_cross_join" -> "region×nation 5×25 fixed-cardinality dims (the cross-join API demo)",
+    "q_dtw" -> "two calendar-bounded daily series in the DTW lattice",
+    "q_permutation_test" -> "200-round permutation grid × global moment row"
+  )
+}
+
+/** One-off sweep: prints every query whose physical plan carries an
+  * unproven cross site. `sbt "Test/runMain graft.JoinLintSweep"`.
+  */
+object JoinLintSweep {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSpark.spark
+    val sf = "/root/testdata/sf0.001"
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val sites = JoinLint.unboundedCrossSites(fn(spark, sf))
+        if (sites.nonEmpty)
+          println(s"CROSS ${if (JoinLint.allowedCross.contains(name)) "allowed " else "VIOLATION"} $name: ${sites.mkString("; ")}")
+      } catch {
+        case e: Throwable => println(s"ERROR $name: ${e.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}

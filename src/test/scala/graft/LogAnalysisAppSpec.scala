@@ -31,13 +31,23 @@ class LogAnalysisAppSpec extends AnyFunSuite {
     val p = LogAnalysisApp.start(spark,
       graft.sources.LogSources.textStreamLines(spark, logDir.toString),
       sectionDim, articleDim, ckpt)
+    // incremental top-N parity oracle: rank rows must equal the top-10
+    // of the running section counts (count desc, item asc) after EVERY
+    // batch — the insert/retract contract of the Blink rank operator
+    def topRanks(): Seq[(Int, String, Long)] =
+      p.sectionTopSink.snapshot.toSeq
+        .map { case (k, v) => (k.head.asInstanceOf[Int], v(1).asInstanceOf[String], v(2).asInstanceOf[Long]) }
+        .sortBy(_._1)
     try {
       p.hotSection.processAllAvailable()
       p.hotArticle.processAllAvailable()
       p.clientIp.processAllAvailable()
+      p.hotSectionIncr.processAllAvailable()
       assert(p.sectionSink.snapshot.size == 2)
       assert(p.articleSink.snapshot.keySet == Set(Seq(9L)))
       assert(p.clientSink.snapshot(Seq("10.0.0.1")).last == 2L)
+      // b1: fid3=1, fid5=1 — tie broken by item asc
+      assert(topRanks() == Seq((1, "3", 1L), (2, "5", 1L)))
 
       Files.writeString(new java.io.File(logDir, "b2.log").toPath, Seq(
         line("10.0.0.1", "/forum.php?mod=forumdisplay&fid=3"),
@@ -45,13 +55,29 @@ class LogAnalysisAppSpec extends AnyFunSuite {
       p.hotSection.processAllAvailable()
       p.hotArticle.processAllAvailable()
       p.clientIp.processAllAvailable()
+      p.hotSectionIncr.processAllAvailable()
 
       val sec3 = p.sectionSink.snapshot(Seq(3L))
       assert(sec3.contains("tech") && sec3.last == 2L) // upserted count grew
       assert(p.articleSink.snapshot.keySet == Set(Seq(9L), Seq(7L)))
       assert(p.clientSink.snapshot(Seq("10.0.0.3")).last == 1L)
+      // b2: fid3=2, fid5=1
+      assert(topRanks() == Seq((1, "3", 2L), (2, "5", 1L)))
+
+      // b3: two more fid5 hits flip the ranking — the retract+insert
+      // the complete-mode path replays and the incremental path upserts
+      Files.writeString(new java.io.File(logDir, "b3.log").toPath, Seq(
+        line("10.0.0.4", "/forum.php?mod=forumdisplay&fid=5"),
+        line("10.0.0.5", "/forum.php?mod=forumdisplay&fid=5")).mkString("\n"))
+      p.hotSection.processAllAvailable()
+      p.hotSectionIncr.processAllAvailable()
+      // fid5=3 overtakes fid3=2 (rank flip across batch 3)
+      assert(topRanks() == Seq((1, "5", 3L), (2, "3", 2L)))
+      // and the complete-mode sink agrees on the counts
+      assert(p.sectionSink.snapshot(Seq(5L)).last == 3L)
     } finally {
       p.hotSection.stop(); p.hotArticle.stop(); p.clientIp.stop()
+      p.hotSectionIncr.stop()
     }
   }
 
@@ -71,6 +97,7 @@ class LogAnalysisAppSpec extends AnyFunSuite {
     p1.hotSection.processAllAvailable()
     assert(p1.sectionSink.snapshot(Seq(3L)).last == 2L)
     p1.hotSection.stop(); p1.hotArticle.stop(); p1.clientIp.stop()
+    p1.hotSectionIncr.stop()
 
     // restart from the same checkpoint with fresh sinks; add one more hit
     Files.writeString(new java.io.File(logDir, "b2.log").toPath,
@@ -82,7 +109,13 @@ class LogAnalysisAppSpec extends AnyFunSuite {
       p2.hotSection.processAllAvailable()
       // 2 (restored from StateStore) + 1 (new file); b1 not re-consumed
       assert(p2.sectionSink.snapshot(Seq(3L)).last == 3L)
-    } finally { p2.hotSection.stop(); p2.hotArticle.stop(); p2.clientIp.stop() }
+      // the incremental top-N restores its count map + buffer too
+      p2.hotSectionIncr.processAllAvailable()
+      assert(p2.sectionTopSink.snapshot(Seq(1))(2) == 3L)
+    } finally {
+      p2.hotSection.stop(); p2.hotArticle.stop(); p2.clientIp.stop()
+      p2.hotSectionIncr.stop()
+    }
   }
 
   test("monitors: robust-z volume alarm + browse→read interval join off one shared parse") {
