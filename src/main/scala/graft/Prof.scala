@@ -42,6 +42,27 @@ object Prof {
       profWinScan(spark, args.lift(1).getOrElse("/root/testdata/sf0.001"))
       spark.stop(); return
     }
+    if (args.headOption.contains("boruvka")) {
+      // split the soak wall: shared co-purchase memo build vs the 4
+      // contraction rounds (round-11 item 4 — where do the 90 s go?)
+      val dir = args.lift(1).getOrElse("target/sfsoakv2_x100")
+      time("edge memo build")(Queries.partAdjacencyEdges(spark, dir).count())
+      val und = Queries.partAdjacencyEdges(spark, dir)
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"), col("w").cast("long").as("c"))
+        .filter(col("u") =!= col("v"))
+        .groupBy(col("u"), col("v")).agg(sum(col("c")).as("cnt"))
+        .select(col("u"), col("v"), expr("1000000000 div cnt").as("w"))
+      time("und symmetrize+ckpt")(und.localCheckpoint(true).count())
+      val undC = und.localCheckpoint(true)
+      val me = undC.select(col("u").as("c"), col("w"), col("u").as("a"), col("v").as("b"))
+        .union(undC.select(col("v").as("c"), col("w"), col("u").as("a"), col("v").as("b")))
+        .groupBy(col("c"))
+        .agg(min(struct(col("w"), col("a"), col("b"))).as("m"))
+      time("round1 minEdge")(me.localCheckpoint(true).count())
+      time("boruvka after memo")(Queries.boruvkaQ(spark, dir).count())
+      spark.stop(); return
+    }
     if (args.headOption.contains("gt")) {
       profGoodTuring(spark, args.lift(1).getOrElse("/root/testdata/sf0.1"),
         (name, f) => time(name)(f()))

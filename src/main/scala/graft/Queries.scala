@@ -3882,7 +3882,7 @@ object Queries {
     * the edge multiset) deterministic — remaining ties are identical
     * partkeys, which commute.
     */
-  private def partAdjacencyEdges(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def partAdjacencyEdges(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.sources.SessionMemo(spark, ("pagerank_edges", sfDir)) {
       val w = Window.partitionBy(col("l_orderkey"))
@@ -13708,6 +13708,14 @@ object Queries {
       ckpts += c
       df.sparkSession.createDataFrame(c.rdd, df.schema)
     }
+    // GRAFT_BORUVKA_PROF=1 → per-stage wall marks on stderr (soak triage)
+    val profOn = sys.env.contains("GRAFT_BORUVKA_PROF")
+    var tLast = System.nanoTime()
+    def mark(s: String): Unit = if (profOn) {
+      val now = System.nanoTime()
+      Console.err.println(f"[boruvka] $s%-16s ${(now - tLast) / 1e9}%7.2f s")
+      tLast = now
+    }
     val und = partAdjacencyEdges(spark, sfDir)
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"), col("w").cast("long").as("c"))
@@ -13715,12 +13723,17 @@ object Queries {
       .groupBy(col("u"), col("v")).agg(sum(col("c")).as("cnt"))
       .select(col("u"), col("v"), expr("1000000000 div cnt").as("w"))
       .localCheckpoint(true)
+    mark("und")
     // contracted state: `edges` = surviving cross-component edges with
-    // a<b COMPONENT labels (round 1: node ids ARE the labels — no join),
-    // `comps` = the live component set (shrinks geometrically)
+    // a<b COMPONENT labels (round 1: node ids ARE the labels — no join).
+    // There is NO materialized component table: every edge endpoint is
+    // an ACTIVE component by construction (it has a cross edge), and a
+    // component that ran out of cross edges is isolated forever — so
+    // the live set is exactly minEdge's key set and the total count is
+    // tracked arithmetically (inactive accumulates active − |minEdge|).
     var edges = und.select(col("w"), col("u").as("a"), col("v").as("b"))
-    var comps = rebase(
-      und.select(explode(array(col("u"), col("v"))).as("c")).distinct())
+    var inactive = 0L
+    var activeBefore = 0L // round 1: every node has an incident edge
     val stats = collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
     var cum = 0L
     for (r <- 1 to 4) {
@@ -13729,13 +13742,18 @@ object Queries {
         .groupBy(col("c"))
         .agg(min(struct(col("w"), col("a"), col("b"))).as("m"))
       val minEdgeR = rebase(minEdge0)
+      mark(s"r$r minEdge")
       val sel = minEdgeR.select(col("m.w").as("w"), col("m.a").as("a"),
         col("m.b").as("b")).distinct()
+      val nMin = minEdgeR.count()
+      if (r == 1) activeBefore = nMin
       val Array(nc, ne, wa) = {
         val s = sel.groupBy().agg(count(lit(1)), coalesce(sum(col("w")), lit(0L)))
           .head()
-        Array(comps.count(), s.getLong(0), s.getLong(1))
+        Array(inactive + activeBefore, s.getLong(0), s.getLong(1))
       }
+      mark(s"r$r stats")
+      inactive += activeBefore - nMin
       cum += wa
       stats += ((nc, ne, wa, cum))
       if (ne == 0) {
@@ -13752,11 +13770,11 @@ object Queries {
             "cum_weight")
           .orderBy(col("round"))
       }
-      // hook: every comp points at the other endpoint of its min edge
-      val hooked = comps
-        .join(minEdgeR.select(col("c"), expr("if(m.a = c, m.b, m.a)").as("p0")),
-          Seq("c"), "left")
-        .select(col("c"), coalesce(col("p0"), col("c")).as("p"))
+      // hook: every comp points at the other endpoint of its min edge.
+      // No join, no left-coalesce: minEdge's key set IS the active set
+      // (isolated comps have no cross edge and never hook again).
+      val hooked = minEdgeR
+        .select(col("c"), expr("if(m.a = c, m.b, m.a)").as("p"))
       // break 2-cycles to the min endpoint, keep roots self-pointing
       val pm = hooked.select(col("c").as("pc"), col("p").as("pp"))
       var ptr = hooked.join(pm, col("p") === col("pc"))
@@ -13769,6 +13787,7 @@ object Queries {
         ptr = rebase(ptr.join(m2, col("p") === col("pc"))
           .select(col("c"), col("pp").as("p")))
       }
+      mark(s"r$r jumps")
       // contract: relabel surviving edges through the comp-sized pointer
       // map and collapse parallel (a,b) pairs to their min weight. The
       // map is broadcast while it fits (≤10M comps ≈ 160 MB); beyond
@@ -13784,7 +13803,9 @@ object Queries {
           greatest(col("pa"), col("pb")).as("nb"))
         .agg(min(col("w")).as("w"))
         .select(col("w"), col("na").as("a"), col("nb").as("b")))
-      comps = rebase(ptr.select(col("p").as("c")).distinct())
+      mark(s"r$r contract")
+      activeBefore = ptr.select(col("p")).distinct().count()
+      mark(s"r$r active")
     }
     ckpts.foreach(_.unpersist())
     und.unpersist()
