@@ -63,6 +63,34 @@ object Prof {
       time("boruvka after memo")(Queries.boruvkaQ(spark, dir).count())
       spark.stop(); return
     }
+    if (args.headOption.contains("constants")) {
+      // Round-11 item 7: the per-session query-constant split. For every
+      // harness query at sf0.001, separate (a) DataFrame construction
+      // (fn call — iterative queries run driver-side jobs here), (b)
+      // analysis/optimization/physical planning (force executedPlan),
+      // (c) execution incl. codegen compile + job round-trips (count).
+      val sf = args.lift(1).getOrElse("/root/testdata/sf0.001")
+      graft.sources.SessionMemo.record(true)
+      var tb = 0.0; var tp = 0.0; var te = 0.0; var n = 0
+      val worstPlan = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        try {
+          val t0 = System.nanoTime()
+          val df = fn(spark, sf)
+          val t1 = System.nanoTime()
+          df.queryExecution.executedPlan
+          val t2 = System.nanoTime()
+          df.count()
+          val t3 = System.nanoTime()
+          tb += (t1 - t0) / 1e9; tp += (t2 - t1) / 1e9; te += (t3 - t2) / 1e9
+          worstPlan += name -> ((t2 - t1) / 1e9); n += 1
+        } catch { case e: Throwable => println(s"ERR $name: ${e.getMessage}") }
+      }
+      println(f"constants: queries=$n build=$tb%.1f plan=$tp%.1f exec=$te%.1f s")
+      println("worst planners: " + worstPlan.sortBy(-_._2).take(10)
+        .map { case (k, v) => f"$k=$v%.2f" }.mkString(", "))
+      spark.stop(); return
+    }
     if (args.headOption.contains("gt")) {
       profGoodTuring(spark, args.lift(1).getOrElse("/root/testdata/sf0.1"),
         (name, f) => time(name)(f()))
