@@ -1161,6 +1161,46 @@ object Queries {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Embedding-space eval decontamination — the semantic complement of
+    * the n-gram [[decontaminateQ]] (paraphrased eval leakage carries no
+    * shared 8-gram but lands at cosine ≈ 1): the 10-vector eval set is
+    * normalized and BROADCAST, every train vector takes its max cosine
+    * against it in one linear corpus pass (argmax eval id by
+    * max(struct(cs, −eval_id)) — a total order, deterministic ties),
+    * and vectors at ≥ 0.95 are flagged with their matching eval id.
+    * Planted paraphrase-contamination (eval copies, first coordinate
+    * nudged, ids +20000) is the ground truth the stage must catch —
+    * the same planting contract as [[embedNearDup]], and the same
+    * wide-margin raw-double threshold precedent (organic cosines sit
+    * far below 0.95). Scale shape: |eval|·d broadcast, ONE scan, a
+    * per-vector partial max — never an all-pairs join.
+    */
+  def decontaminateEmbedQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Similarity.asDouble(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("embedding"))
+    val evalSet = e.filter(col("vec_id") < 10)
+    val train = e.filter(col("vec_id") >= 10).union(
+      evalSet.select((col("vec_id") + 20000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x + 0.01).otherwise(x)).as("embedding")))
+    val tn = Similarity.normalized(train)
+    val qn = Similarity.normalized(evalSet)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("qv"))
+    val best = tn.crossJoin(broadcast(qn))
+      .select(col("vec_id"),
+        struct(Similarity.dot(col("embedding"), col("qv")).as("c"),
+          (-col("eval_id")).as("nid")).as("s"))
+      .groupBy(col("vec_id")).agg(max(col("s")).as("m"))
+    val tot = best.groupBy()
+      .agg(count(lit(1)).as("n_train"),
+        sum(when(col("m.c") >= 0.95, 1L).otherwise(0L)).as("n_flagged"))
+    best.filter(col("m.c") >= 0.95)
+      .crossJoin(broadcast(tot))
+      .select(col("vec_id"), (-col("m.nid")).as("eval_id"),
+        round(col("m.c"), 6).as("cos_sim"), col("n_train"), col("n_flagged"))
+      .orderBy(col("vec_id"))
+  }
+
   /** As-of join: each purchase matched to the user's latest view at or
     * before it (union+window — no per-row lookup, no range cross join).
     */
@@ -11736,6 +11776,46 @@ object Queries {
       .orderBy(col("lang"))
   }
 
+  /** Two-sample Anderson–Darling per language (same A/B split and
+    * value-support walk as [[cvmQ]]) — the tail-weighted member of the
+    * EDF-test family (KS = sup, CvM = mean-square, AD = mean-square
+    * over F(1−F), which up-weights exactly the tails where length
+    * contamination hides): over the pooled n_chars support, each
+    * distinct value contributes cnt·(N·FA − J·n_a)²·10⁶ div (J·(N−J))
+    * with inclusive pooled cumulative J and A-side cumulative FA —
+    * exact integers with ONE truncating division per support value
+    * (the fisherExact max-relative-term discipline; both engines run
+    * the identical integer op), the final A² summed and div N. The
+    * terminal J = N block is excluded (0/0 by construction). One
+    * grouped aggregate, one keyed window walk — O(support), never
+    * O(n²).
+    */
+  def andersonDarlingQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pv = Tables.documents(spark, sfDir)
+      .select(col("lang"), (col("doc_id") % 2 === 0).as("a"), col("n_chars").as("v"))
+      .groupBy(col("lang"), col("v"))
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("cb"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = pv.groupBy(col("lang"))
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    pv.withColumn("fa", sum(col("ca")).over(w))
+      .withColumn("fb", sum(col("cb")).over(w))
+      .join(tot, "lang")
+      .withColumn("jj", col("fa") + col("fb"))
+      .withColumn("nn", col("na") + col("nb"))
+      .filter(col("jj") < col("nn"))
+      .withColumn("d", col("nn") * col("fa") - col("jj") * col("na"))
+      .groupBy(col("lang"), col("na"), col("nb"))
+      .agg(sum(expr("""(ca + cb) * cast(d as decimal(38,0)) * d * 1000000
+          div (cast(jj as decimal(38,0)) * (nn - jj))""")).as("num"))
+      .select(col("lang"), col("na"), col("nb"),
+        expr("cast(num div (na + nb) as bigint)").as("ad_e6"))
+      .orderBy(col("lang"))
+  }
+
   /** Two-sample energy distance per language (same A/B split as
     * [[cvmQ]]): D² = 2·E|X−Y| − E|X−X′| − E|Y−Y′|, with every pairwise
     * absolute-difference SUM computed in closed form from ONE
@@ -13815,6 +13895,75 @@ object Queries {
       .map { case ((nc, ne, wa, cw), i) => (i + 1L, nc, ne, wa, cw) }
       .toDF("round", "n_comps_before", "edges_added", "weight_added",
         "cum_weight")
+      .orderBy(col("round"))
+  }
+
+  /** Luby maximal-independent-set over the part-adjacency graph — the
+    * symmetry-breaking primitive behind distributed coloring /
+    * scheduling / landmark selection (pick a maximal set of parts no
+    * two of which co-occur): 3 rounds of "join the MIS iff your hash
+    * priority beats every ACTIVE neighbor's" with p(u) =
+    * portableHash64('mis:'||u) and (p, node) struct comparison (a
+    * total order — the Luby correctness precondition; isolated actives
+    * join unconditionally), then MIS ∪ N(MIS) leaves the active set.
+    * Per-round motion: one active-active edge restriction (two equi
+    * joins), one per-node min (map-side partial), one anti join — each
+    * shrinking geometrically (Luby removes ≥ half the EDGES per round
+    * in expectation). Emits one row per round (actives before, MIS
+    * added, actives after, cumulative MIS) plus the independence
+    * certificate: the count of graph edges with BOTH ends in the final
+    * MIS, shipped as a column the oracle re-derives — 0 or the
+    * operator is wrong.
+    */
+  def misQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val ckpts = collection.mutable.ListBuffer.empty[DataFrame]
+    def rebase(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(true)
+      ckpts += c
+      df.sparkSession.createDataFrame(c.rdd, df.schema)
+    }
+    val ed = partAdjacencyEdges(spark, sfDir)
+      .select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
+    val und = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    var active = rebase(und.select(col("src").as("node")).distinct()
+      .withColumn("prio", graft.ops.TextOps.portableHash64(
+        concat(lit("mis:"), col("node").cast("string")))))
+    val misParts = collection.mutable.ListBuffer.empty[DataFrame]
+    val stats = collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    for (_ <- 1 to 3) {
+      val before = active.count()
+      val aS = active.select(col("node").as("src"))
+      val aD = active.select(col("node").as("dst"), col("prio").as("pd"))
+      val mn = und.join(aS, "src").join(aD, "dst")
+        .groupBy(col("src"))
+        .agg(min(struct(col("pd").as("p"), col("dst").as("n"))).as("m"))
+      val mis = rebase(active.join(mn, active("node") === mn("src"), "left")
+        .filter(col("m").isNull ||
+          struct(col("prio").as("p"), col("node").as("n")) < col("m"))
+        .select(col("node")))
+      misParts += mis
+      val nbrs = und.join(mis.select(col("node").as("src")), "src")
+        .select(col("dst").as("node")).distinct()
+      active = rebase(active.join(
+        mis.select(col("node")).union(nbrs).distinct(), Seq("node"), "left_anti"))
+      stats += ((before, mis.count(), active.count()))
+    }
+    val misAll = misParts.reduce(_ union _).localCheckpoint(true)
+    val violations = und
+      .join(misAll.select(col("node").as("src")), "src")
+      .join(misAll.select(col("node").as("dst")), "dst")
+      .count()
+    ckpts.foreach(_.unpersist())
+    und.unpersist(); misAll.unpersist()
+    val sess = spark
+    import sess.implicits._
+    var cum = 0L
+    stats.toSeq.zipWithIndex.map { case ((b, m, a), i) =>
+      cum += m
+      (i + 1L, b, m, a, cum, violations)
+    }.toDF("round", "active_before", "mis_added", "active_after",
+        "cum_mis", "mis_edge_violations")
       .orderBy(col("round"))
   }
 

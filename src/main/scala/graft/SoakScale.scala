@@ -265,7 +265,11 @@ object SoakScale {
     "q_vif",
     // 10b wave 20: the lineitem-orders lead-time scan into the
     // calendar-span-bounded median-rank walk
-    "q_weibull")
+    "q_weibull",
+    // round 11: 3 Luby MIS rounds over the 10x/100x symmetrized edge
+    // list (active-active restriction + per-node min + anti join per
+    // round) and the broadcast-eval-probe decontamination corpus pass
+    "q_mis", "q_decontaminate_embed")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

@@ -428,6 +428,7 @@ object SparkEntry {
     "q_ipf" -> (Queries.ipfQ _),
     "q_mixture_plan" -> (Queries.mixturePlanQ _),
     "q_cvm" -> (Queries.cvmQ _),
+    "q_anderson_darling" -> (Queries.andersonDarlingQ _),
     "q_energy_dist" -> (Queries.energyDistQ _),
     "q_vocab_drift" -> (Queries.vocabDriftQ _),
     "q_knn_impute" -> (Queries.knnImputeQ _),
@@ -473,6 +474,8 @@ object SparkEntry {
     "q_turf" -> (Queries.turfQ _),
     "q_mahalanobis" -> (Queries.mahalanobisQ _),
     "q_boruvka" -> (Queries.boruvkaQ _),
+    "q_mis" -> (Queries.misQ _),
+    "q_decontaminate_embed" -> (Queries.decontaminateEmbedQ _),
     "q_lcs_sim" -> (Queries.lcsSimQ _),
     "q_icc" -> (Queries.iccQ _),
     "q_gumbel" -> (Queries.gumbelQ _),
@@ -2175,6 +2178,31 @@ object SparkEntry {
          |  FROM scored)
          |WHERE rnk <= 5
          |ORDER BY query_id, rnk""".stripMargin,
+
+    // Embedding decontamination replay: normalized eval probe set,
+    // per-train-vector max-cosine argmax by struct, planted nudged
+    // copies, 0.95 flag threshold (wide-margin raw-double comparison,
+    // the q_embed_neardup precedent).
+    "q_decontaminate_embed" ->
+      s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |ev AS (SELECT vec_id, v FROM e0 WHERE vec_id < 10),
+         |tr AS (SELECT vec_id, v FROM e0 WHERE vec_id >= 10
+         |  UNION ALL
+         |  SELECT vec_id + 20000,
+         |    list_transform(range(len(v)), i -> CASE WHEN i = 0 THEN v[1] + 0.01 ELSE v[i+1] END)
+         |  FROM ev),
+         |trn AS (SELECT vec_id, ${normSql("v")} AS v FROM tr),
+         |evn AS (SELECT vec_id AS eval_id, ${normSql("v")} AS q FROM ev),
+         |scored AS (SELECT t.vec_id,
+         |    struct_pack(c := ${dotSql("t.v", "e.q")}, nid := -e.eval_id) AS s
+         |  FROM trn t CROSS JOIN evn e),
+         |best AS (SELECT vec_id, max(s) AS m FROM scored GROUP BY vec_id),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_train,
+         |    CAST(sum(CASE WHEN m.c >= 0.95 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_flagged FROM best)
+         |SELECT vec_id, CAST(-m.nid AS BIGINT) AS eval_id,
+         |  round(m.c, 6) AS cos_sim, n_train, n_flagged
+         |FROM best CROSS JOIN tot WHERE m.c >= 0.95 ORDER BY vec_id""".stripMargin,
 
     "q_embed_neardup" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -9406,6 +9434,29 @@ object SparkEntry {
         |    // (CAST(na + nb AS HUGEINT) * (na + nb) * na * nb) AS BIGINT) AS cvm_e6
         |FROM d GROUP BY lang, na, nb ORDER BY lang""".stripMargin,
 
+    // Anderson-Darling replay: inclusive pooled/A-side cumulative walk,
+    // per-support-value truncating term (the fisherExact discipline),
+    // terminal J=N block excluded, final div N.
+    "q_anderson_darling" ->
+      """WITH pv AS (SELECT lang, n_chars AS v,
+        |    sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS cb
+        |  FROM documents GROUP BY lang, n_chars),
+        |cum AS (SELECT lang, v, ca, cb,
+        |    sum(ca) OVER (PARTITION BY lang ORDER BY v) AS fa,
+        |    sum(cb) OVER (PARTITION BY lang ORDER BY v) AS fb
+        |  FROM pv),
+        |tot AS (SELECT lang, sum(ca) AS na, sum(cb) AS nb FROM pv GROUP BY lang),
+        |d AS (SELECT cum.lang, ca, cb, fa + fb AS jj, na + nb AS nn,
+        |    (na + nb) * fa - (fa + fb) * na AS d, na, nb
+        |  FROM cum JOIN tot ON cum.lang = tot.lang
+        |  WHERE fa + fb < na + nb)
+        |SELECT lang, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+        |  CAST(sum((ca + cb) * CAST(d AS HUGEINT) * d * 1000000
+        |      // (CAST(jj AS HUGEINT) * (nn - jj)))
+        |    // (na + nb) AS BIGINT) AS ad_e6
+        |FROM d GROUP BY lang, na, nb ORDER BY lang""".stripMargin,
+
     // Energy-distance replay: exclusive cumulative counts AND sums per
     // side, closed-form pairwise |diff| sums, fraction-free D^2 at e6.
     "q_energy_dist" ->
@@ -10742,6 +10793,64 @@ object SparkEntry {
         |SELECT user_id, x, y, d2_e6, d2_e6 > 9210340 AS is_outlier,
         |  n_users, n_outliers
         |FROM top CROSS JOIN s ORDER BY d2_e6 DESC, user_id""".stripMargin,
+
+    // Luby MIS replay: 3 generated rounds (active-active edge
+    // restriction, per-node struct-min neighbor priority, hash-priority
+    // join rule, MIS ∪ N(MIS) removal), then the independence
+    // certificate re-derived from the final MIS union. MATERIALIZED on
+    // every multiply-referenced CTE (the iterated-algorithm house rule).
+    "q_mis" -> {
+      def round(r: Int): String = {
+        val a = s"a${r - 1}"
+        s"""e$r AS MATERIALIZED (SELECT u.src, u.dst, a2.prio AS pd
+           |  FROM und u JOIN $a a1 ON u.src = a1.node
+           |  JOIN $a a2 ON u.dst = a2.node),
+           |mn$r AS MATERIALIZED (SELECT src,
+           |    min(struct_pack(p := pd, n := dst)) AS m
+           |  FROM e$r GROUP BY src),
+           |mis$r AS MATERIALIZED (SELECT a.node
+           |  FROM $a a LEFT JOIN mn$r ON a.node = mn$r.src
+           |  WHERE mn$r.m IS NULL
+           |    OR struct_pack(p := a.prio, n := a.node) < mn$r.m),
+           |rm$r AS MATERIALIZED (SELECT DISTINCT u.dst AS node
+           |  FROM und u JOIN mis$r m ON u.src = m.node),
+           |a$r AS MATERIALIZED (SELECT a.node, a.prio FROM $a a
+           |  WHERE a.node NOT IN (SELECT node FROM mis$r)
+           |    AND a.node NOT IN (SELECT node FROM rm$r))""".stripMargin
+      }
+      s"""WITH p AS (SELECT l_partkey AS src,
+         |    lead(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
+         |  FROM lineitem),
+         |ed AS (SELECT src, dst FROM p
+         |  WHERE dst IS NOT NULL AND src <> dst GROUP BY src, dst),
+         |und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed) u),
+         |a0 AS MATERIALIZED (SELECT node,
+         |    ${hSql("'mis:' || CAST(node AS VARCHAR)")} AS prio
+         |  FROM (SELECT DISTINCT src AS node FROM und)),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)},
+         |misall AS MATERIALIZED (SELECT node FROM mis1
+         |  UNION SELECT node FROM mis2 UNION SELECT node FROM mis3),
+         |viol AS (SELECT CAST(count(*) AS BIGINT) AS v FROM und u
+         |  JOIN misall x ON u.src = x.node JOIN misall y ON u.dst = y.node),
+         |st AS (
+         |  SELECT 1 AS round, (SELECT count(*) FROM a0) AS active_before,
+         |    (SELECT count(*) FROM mis1) AS mis_added,
+         |    (SELECT count(*) FROM a1) AS active_after
+         |  UNION ALL SELECT 2, (SELECT count(*) FROM a1),
+         |    (SELECT count(*) FROM mis2), (SELECT count(*) FROM a2)
+         |  UNION ALL SELECT 3, (SELECT count(*) FROM a2),
+         |    (SELECT count(*) FROM mis3), (SELECT count(*) FROM a3))
+         |SELECT CAST(round AS BIGINT) AS round,
+         |  CAST(active_before AS BIGINT) AS active_before,
+         |  CAST(mis_added AS BIGINT) AS mis_added,
+         |  CAST(active_after AS BIGINT) AS active_after,
+         |  CAST(sum(mis_added) OVER (ORDER BY round) AS BIGINT) AS cum_mis,
+         |  (SELECT v FROM viol) AS mis_edge_violations
+         |FROM st ORDER BY round""".stripMargin
+    },
 
     // Borůvka replay: 4 generated rounds, each = label joins, per-comp
     // struct-min edge, hook, 2-cycle break, 6 doubling pointer jumps.
