@@ -5457,6 +5457,46 @@ object Queries {
       .orderBy(col("lang"))
   }
 
+  /** Leave-one-source-out data valuation — "which ingest source would
+    * the rest of the corpus least predict?" (the cheap proxy for
+    * per-source training value every mixture tuner wants before an
+    * ablation run): for every source, a Laplace-smoothed unigram LM is
+    * trained on ALL OTHER sources and scores the held-out source's
+    * token stream. NO per-source retrain: LOO counts are pure
+    * subtraction (cnt_loo = total − own; N_loo = N − n_s), so ONE
+    * corpus tokenize + one (source, token) aggregate + one broadcast
+    * of the global totals yields all 20 models at once — the
+    * train-on-complement trick that keeps data valuation linear at
+    * 100 TB. Per-(source,token) NLL terms are e6-floored WITH their
+    * count multiplier inside the floor (the [[mutualInfoQ]] ln
+    * discipline), summed exactly, and divided by the source's token
+    * mass. High nll = the source is out-of-distribution for the rest
+    * of the corpus (novel or junk — the mixture planner decides).
+    */
+  def sourceLooQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .filter(length(col("token")) >= 2)
+    val st = tok.groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+    val gt = st.groupBy(col("token")).agg(sum(col("c")).as("tc"))
+    val tot = st.groupBy()
+      .agg(sum(col("c")).as("nn"), countDistinct(col("token")).as("vv"))
+    val perSrc = st.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+    st.join(gt, "token")
+      .join(broadcast(perSrc), "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("term_e6", floor(
+        col("c") * log((col("nn") - col("ns") + col("vv")).cast("double")
+          / (col("tc") - col("c") + 1L).cast("double")) * 1000000.0 + 0.5)
+        .cast("long"))
+      .groupBy(col("source"), col("ns"))
+      .agg(count(lit(1)).as("n_types"), sum(col("term_e6")).as("num_e6"))
+      .select(col("source"), col("ns").as("n_tokens"), col("n_types"),
+        expr("num_e6 div ns").as("nll_e6"))
+      .orderBy(col("source"))
+  }
+
   // ------------------------------------------------- model-based selection
 
   /** CCNet-style perplexity filtering with a Stupid-Backoff bigram LM:
@@ -7861,6 +7901,48 @@ object Queries {
         ((col("t_post_e6") - col("t_pre_e6"))
           - (col("c_post_e6") - col("c_pre_e6"))).as("did_e6"),
         col("n_purchases"))
+  }
+
+  /** Event-study (dynamic DiD) around [[didQ]]'s midpoint "treatment"
+    * day — the leads-and-lags panel view that a single post−pre DiD
+    * collapses away (pre-trend leads SHOULD hover near zero; a drifting
+    * lead means the parallel-trends assumption didQ leans on is broken,
+    * which is exactly what this query lets you see): for each relative
+    * day k ∈ −5..+5, per-arm daily event volume normalized per user at
+    * e6, each arm's 5-lead pre-mean subtracted, and the dynamic effect
+    * att_e6(k) = (y_t − y_c) − (pre_t − pre_c). One data-sized
+    * aggregate onto the (arm, rel-day) grid; everything after is
+    * 22 cells.
+    */
+  def eventStudyQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"))
+    val mid = ev.groupBy().agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(expr("(d0 + d1) div 2").as("mid"))
+    val users = ev.groupBy((col("user_id") % 2 === 0).as("treated"))
+      .agg(countDistinct(col("user_id")).as("nu"))
+    val cell = ev.crossJoin(broadcast(mid))
+      .withColumn("rel", col("d") - col("mid"))
+      .filter(col("rel").between(-5, 5))
+      .groupBy((col("user_id") % 2 === 0).as("treated"), col("rel"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(users), "treated")
+      .select(col("treated"), col("rel"), col("n"),
+        expr("n * 1000000 div nu").as("y_e6"))
+    val pre = cell.filter(col("rel") < 0)
+      .groupBy(col("treated"))
+      .agg(expr("sum(y_e6) div 5").as("pre_e6"))
+    val adj = cell.join(broadcast(pre), "treated")
+      .select(col("treated"), col("rel"), col("n"),
+        (col("y_e6") - col("pre_e6")).as("dev_e6"))
+    adj.groupBy(col("rel"))
+      .agg(max(when(col("treated"), col("dev_e6"))).as("t_dev_e6"),
+        max(when(!col("treated"), col("dev_e6"))).as("c_dev_e6"),
+        sum(col("n")).as("n_events"))
+      .select(col("rel").as("rel_day"), col("n_events"),
+        col("t_dev_e6"), col("c_dev_e6"),
+        (col("t_dev_e6") - col("c_dev_e6")).as("att_e6"))
+      .orderBy(col("rel_day"))
   }
 
   /** AR(1) fit of the daily event volume and its one-step forecast —
@@ -14181,6 +14263,49 @@ object Queries {
         col("dev2").cast("long").as("dev2"),
         col("mm").as("m_raters"), col("n").as("n_items"), col("w_e6"))
       .orderBy(col("article"))
+  }
+
+  /** Krippendorff's α (interval metric) on [[kendallWQ]]'s rater
+    * scaffold — the reliability coefficient that, unlike W or κ,
+    * compares OBSERVED within-item disagreement against the
+    * chance disagreement of the pooled value distribution:
+    * α = 1 − (SSW/(U·m(m−1))) / (SSD/(N(N−1))) with both
+    * sums-of-squared-pair-differences in CLOSED FORM from moments
+    * (Σ_{i<j}(xᵢ−xⱼ)² = k·Σx² − (Σx)² — no pair explode anywhere):
+    * SSW from per-item moments, SSD from the pooled moments. Exact
+    * integers end to end; one grid aggregate, two moment rollups,
+    * α at e6 by one truncating division. Scales as the grid
+    * (items × raters), not the data.
+    */
+  def krippendorffQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cnt = Tables.events(spark, sfDir)
+      .groupBy(col("event_type").as("rater"),
+        (expr("event_id % 40") + 1).as("article"))
+      .agg(count(lit(1)).as("cnt"))
+    val raters = cnt.select(col("rater")).distinct()
+    val grid = raters
+      .crossJoin(cnt.sparkSession.range(1, 41).select(col("id").as("article")))
+      .join(cnt, Seq("rater", "article"), "left")
+      .withColumn("x", coalesce(col("cnt"), lit(0L)))
+    val item = grid.groupBy(col("article"))
+      .agg(count(lit(1)).as("m"), sum(col("x")).as("sx"),
+        sum(expr(s"cast(x as $d38) * x")).as("sxx"))
+      .select(col("article"), col("m"),
+        expr(s"m * sxx - cast(sx as $d38) * sx").as("ssw_u"),
+        col("sx"), col("sxx"))
+    item.groupBy()
+      .agg(count(lit(1)).as("u"), max(col("m")).as("m"),
+        sum(col("ssw_u")).as("ssw"),
+        sum(col("sx")).as("tx"), sum(col("sxx")).as("txx"))
+      .select(col("u").as("n_items"), col("m").as("n_raters"),
+        col("ssw").cast("long").as("ssw"),
+        expr(s"cast(u * m * txx - cast(tx as $d38) * tx as bigint)").as("ssd"),
+        expr(s"""cast((cast(u * m * txx - cast(tx as $d38) * tx as $d38)
+              * u * m * (m - 1)
+              - cast(ssw as $d38) * (u * m) * (u * m - 1)) * 1000000
+            div (cast(u * m * txx - cast(tx as $d38) * tx as $d38)
+              * u * m * (m - 1)) as bigint)""").as("alpha_e6"))
   }
 
   /** Fisher's exact test on the heavy-clicker × early-churn 2×2 — the

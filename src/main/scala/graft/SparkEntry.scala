@@ -481,6 +481,9 @@ object SparkEntry {
     "q_gumbel" -> (Queries.gumbelQ _),
     "q_adstock" -> (Queries.adstockQ _),
     "q_kendall_w" -> (Queries.kendallWQ _),
+    "q_krippendorff" -> (Queries.krippendorffQ _),
+    "q_source_loo" -> (Queries.sourceLooQ _),
+    "q_event_study" -> (Queries.eventStudyQ _),
     "q_fisher_exact" -> (Queries.fisherExactQ _),
     "q_fano" -> (Queries.fanoQ _),
     "q_entropy_rate" -> (Queries.entropyRateQ _),
@@ -11060,6 +11063,79 @@ object SparkEntry {
         |  s2.mm AS m_raters, s2.n AS n_items, w.w_e6
         |FROM s2 JOIN w ON s2.n = w.n AND s2.mm = w.mm
         |ORDER BY s2.article""".stripMargin,
+
+    // Krippendorff interval-alpha replay: same rater grid, closed-form
+    // pair sums from moments (k*Sxx - Sx^2), one truncating division.
+    "q_krippendorff" ->
+      """WITH cnt AS (SELECT event_type AS rater, event_id % 40 + 1 AS article,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |raters AS (SELECT DISTINCT rater FROM cnt),
+        |grid AS (SELECT r.rater, g.article, coalesce(cnt.cnt, 0) AS x
+        |  FROM raters r
+        |  CROSS JOIN (SELECT CAST(unnest(range(1, 41)) AS BIGINT) AS article) g
+        |  LEFT JOIN cnt ON cnt.rater = r.rater AND cnt.article = g.article),
+        |item AS (SELECT article, CAST(count(*) AS BIGINT) AS m,
+        |    sum(x) AS sx, sum(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM grid GROUP BY 1),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS u, max(m) AS m,
+        |    sum(m * sxx - CAST(sx AS HUGEINT) * sx) AS ssw,
+        |    sum(sx) AS tx, sum(sxx) AS txx
+        |  FROM item)
+        |SELECT u AS n_items, m AS n_raters, CAST(ssw AS BIGINT) AS ssw,
+        |  CAST(u * m * txx - CAST(tx AS HUGEINT) * tx AS BIGINT) AS ssd,
+        |  CAST(((u * m * txx - CAST(tx AS HUGEINT) * tx) * u * m * (m - 1)
+        |      - CAST(ssw AS HUGEINT) * (u * m) * (u * m - 1)) * 1000000
+        |    // ((u * m * txx - CAST(tx AS HUGEINT) * tx) * u * m * (m - 1))
+        |    AS BIGINT) AS alpha_e6
+        |FROM g""".stripMargin,
+
+    // LOO data-valuation replay: one (source, token) table, LOO counts
+    // by subtraction, per-term e6-floored c*ln ratio, div source mass.
+    "q_source_loo" ->
+      """WITH t AS (SELECT source,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |st AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+        |  FROM t WHERE length(token) >= 2 GROUP BY 1, 2),
+        |gt AS (SELECT token, sum(c) AS tc FROM st GROUP BY 1),
+        |tot AS (SELECT sum(c) AS nn,
+        |    CAST(count(DISTINCT token) AS BIGINT) AS vv FROM st),
+        |ps AS (SELECT source, sum(c) AS ns FROM st GROUP BY 1),
+        |terms AS (SELECT st.source, ps.ns,
+        |    CAST(floor(st.c * ln(CAST(nn - ns + vv AS DOUBLE)
+        |      / (tc - st.c + 1)) * 1000000.0 + 0.5) AS BIGINT) AS term_e6
+        |  FROM st JOIN gt USING (token) JOIN ps ON st.source = ps.source
+        |  CROSS JOIN tot)
+        |SELECT source, CAST(ns AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(sum(term_e6) // ns AS BIGINT) AS nll_e6
+        |FROM terms GROUP BY source, ns ORDER BY source""".stripMargin,
+
+    // Event-study replay: midpoint treatment day, per-arm per-user
+    // normalized rel-day volume, 5-lead pre-mean subtraction.
+    "q_event_study" ->
+      """WITH ev AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d FROM events),
+        |mid AS (SELECT (min(d) + max(d)) // 2 AS mid FROM ev),
+        |users AS (SELECT user_id % 2 = 0 AS treated,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS nu FROM ev GROUP BY 1),
+        |cell AS (SELECT user_id % 2 = 0 AS treated, d - mid AS rel,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM ev CROSS JOIN mid WHERE d - mid BETWEEN -5 AND 5 GROUP BY 1, 2),
+        |c2 AS (SELECT treated, rel, n, n * 1000000 // nu AS y_e6
+        |  FROM cell JOIN users USING (treated)),
+        |pre AS (SELECT treated, sum(y_e6) // 5 AS pre_e6
+        |  FROM c2 WHERE rel < 0 GROUP BY 1),
+        |adj AS (SELECT treated, rel, n, y_e6 - pre_e6 AS dev_e6
+        |  FROM c2 JOIN pre USING (treated))
+        |SELECT rel AS rel_day, CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(max(CASE WHEN treated THEN dev_e6 END) AS BIGINT) AS t_dev_e6,
+        |  CAST(max(CASE WHEN NOT treated THEN dev_e6 END) AS BIGINT)
+        |    AS c_dev_e6,
+        |  CAST(max(CASE WHEN treated THEN dev_e6 END)
+        |    - max(CASE WHEN NOT treated THEN dev_e6 END) AS BIGINT) AS att_e6
+        |FROM adj GROUP BY rel ORDER BY rel""".stripMargin,
 
     // Fisher-exact replay: k-support log-ratio walk, max-relative
     // e9-floored terms, two-sided tail sum.
