@@ -14366,6 +14366,128 @@ object Queries {
         expr("pnum * 1000000 div pden").as("p_two_e6"))
   }
 
+  /** Exact binomial sign test on the daily-volume series — "are
+    * above-mean days a fair coin?" with the tail probabilities EXACT
+    * (no normal approximation, no logs): the day count n is
+    * calendar-bounded (~31), so every C(n,j) is computed as a ratio of
+    * decimal(38,0) factorials via a sequence-aggregate higher-order
+    * function (31! < 10³⁴ — inside decimal range on both engines,
+    * HUGEINT on DuckDB), each division exact by construction. Two-sided
+    * p = min(1, 2·min(P(≤k), P(≥k))) with the 2ⁿ denominator exact.
+    * The support explode is n+1 rows — grid work, zero windows.
+    */
+  def binomialTestQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(count(lit(1)).as("v"))
+    val g = daily.groupBy()
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("tot"))
+    val k = daily.crossJoin(broadcast(g))
+      .groupBy(col("n"), col("tot"))
+      .agg(sum(when(col("v") * col("n") > col("tot"), 1L).otherwise(0L)).as("k"))
+    val sup = k.select(col("n"), col("k"),
+      explode(expr("sequence(0L, n)")).as("j"))
+    // C(n,j) by the multiplicative recurrence with INTERLEAVED exact
+    // division: after step i the accumulator is C(n−j+i, i) — always
+    // integral, peaks at C(n, n/2)·n ≈ 5·10⁹ for the ~31-day calendar,
+    // so plain LONG arithmetic (a giant-factorial formulation overflows
+    // Spark's decimal HOF silently — the bug this replaced)
+    val c = sup.withColumn("cnj", expr(s"""cast(CASE WHEN j = 0 THEN 1
+      ELSE aggregate(sequence(1L, j), 1L, (a, i) -> a * (n - j + i) div i)
+      END as $d38)"""))
+    c.groupBy(col("n"), col("k"))
+      .agg(sum(when(col("j") <= col("k"), col("cnj")).otherwise(lit(0)))
+          .as("s_le"),
+        sum(when(col("j") >= col("k"), col("cnj")).otherwise(lit(0)))
+          .as("s_ge"),
+        sum(col("cnj")).as("s_tot"))
+      .select(col("n").as("n_days"), col("k").as("k_above"),
+        expr("cast(s_le as bigint)").as("tail_le"),
+        expr("cast(s_ge as bigint)").as("tail_ge"),
+        expr("""cast(least(cast(1000000 as decimal(38,0)),
+              2 * least(s_le, s_ge) * 1000000 div s_tot) as bigint)""")
+          .as("p_two_e6"))
+  }
+
+  /** Bartlett's test of equal order-value variances across the five
+    * order priorities — the homoscedasticity gate an ANOVA ([[anovaQ]])
+    * silently assumes and [[leveneQ]] tests robustly (Bartlett is the
+    * likelihood-ratio version: more powerful under normality, fragile
+    * outside it — shipping both is the honest pair): per-group and
+    * pooled variances as exact integer rationals, ln of each taken
+    * once per GROUP (k+1 e9-floored logs — the [[mutualInfoQ]]
+    * discipline on a bounded grid), the Bartlett correction C in
+    * closed form, T = [(N−k)·lnSp² − Σ(nᵢ−1)·lnSᵢ²]/C at e6. One
+    * data-sized aggregate; everything after is 5 rows.
+    */
+  def bartlettQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority").as("grp"),
+        cents(col("o_totalprice")).cast("long").as("x"))
+    val pg = o.groupBy(col("grp"))
+      .agg(count(lit(1)).as("ni"), sum(col("x")).as("sx"),
+        sum(expr(s"cast(x as $d38) * x")).as("sxx"))
+      // ni·Σx²−(Σx)² over ni(ni−1) — exact rational, ln'd once per group
+      .withColumn("ln_si2_e9", floor(
+        log(expr(s"cast(ni * sxx - cast(sx as $d38) * sx as double)")
+          / expr(s"cast(cast(ni as $d38) * (ni - 1) as double)"))
+          * 1000000000.0 + 0.5).cast("long"))
+    val pool = pg.groupBy()
+      .agg(count(lit(1)).as("kk"), sum(col("ni")).as("nn"),
+        sum(expr(s"(ni * sxx - cast(sx as $d38) * sx) div (ni - 1)"))
+          .as("ssp"),
+        sum(expr("(ni - 1) * ln_si2_e9")).as("sum_w_ln"),
+        sum(expr("cast(1000000000 as bigint) div (ni - 1)")).as("inv_e9"))
+      .withColumn("ln_sp2_e9", floor(
+        log(col("ssp").cast("double") / (col("nn") - col("kk")).cast("double"))
+          * 1000000000.0 + 0.5).cast("long"))
+      .withColumn("c_e9",
+        lit(1000000000L) + (col("inv_e9") - lit(1000000000L) / (col("nn") - col("kk")))
+          / ((col("kk") - 1L) * 3L))
+      .select(col("kk").as("n_groups"), col("nn").as("n_total"),
+        (col("kk") - 1L).as("df"),
+        floor(((col("nn") - col("kk")) * col("ln_sp2_e9") - col("sum_w_ln"))
+          .cast("double") / col("c_e9").cast("double") * 1000000.0 + 0.5)
+          .cast("long").as("bartlett_e6"))
+    pg.select(col("grp"), col("ni"), col("ln_si2_e9"))
+      .crossJoin(broadcast(pool))
+      .orderBy(col("grp"))
+  }
+
+  /** Turning-point test of daily-volume randomness — counts strict
+    * local maxima/minima in the day-ordered series (an i.i.d. sequence
+    * has E = 2(n−2)/3 of them; too few = trend, too many = rapid
+    * oscillation/negative autocorrelation — the cheap "is there ANY
+    * serial structure" screen before [[acfQ]] commits to lags): lag
+    * and lead over the calendar spine, exact integer counts, z at e6
+    * through the one IEEE sqrt of the closed-form variance
+    * (16n−29)/90. The window is the day spine (calendar-bounded —
+    * WindowLint-allowlisted on that contract).
+    */
+  def turningPointsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(count(lit(1)).as("v"))
+    val w = Window.partitionBy(
+      graft.functions.GraftFunctions.singleton_key(col("d"))).orderBy(col("d"))
+    daily
+      .withColumn("pv", lag(col("v"), 1).over(w))
+      .withColumn("nv", lead(col("v"), 1).over(w))
+      .filter(col("pv").isNotNull && col("nv").isNotNull)
+      .withColumn("tp", when(
+        (col("pv") < col("v") && col("v") > col("nv")) ||
+          (col("pv") > col("v") && col("v") < col("nv")), 1L).otherwise(0L))
+      .groupBy().agg((count(lit(1)) + 2L).as("n"), sum(col("tp")).as("n_turns"))
+      .select(col("n").as("n_days"), col("n_turns"),
+        expr("(2 * (n - 2)) * 1000000 div 3").as("expected_e6"),
+        floor((col("n_turns") * 3L - (col("n") - 2L) * 2L).cast("double") / 3.0
+          / sqrt((col("n") * 16L - 29L).cast("double") / 90.0)
+          * 1000000.0 + 0.5).cast("long").as("z_e6"))
+  }
+
   /** Fano factor (index of dispersion) of event arrivals at three
     * timescales — Poisson traffic has VMR ≈ 1 at EVERY scale; rising
     * VMR with window size is the signature of bursty/self-exciting

@@ -482,6 +482,9 @@ object SparkEntry {
     "q_adstock" -> (Queries.adstockQ _),
     "q_kendall_w" -> (Queries.kendallWQ _),
     "q_krippendorff" -> (Queries.krippendorffQ _),
+    "q_binomial_test" -> (Queries.binomialTestQ _),
+    "q_bartlett" -> (Queries.bartlettQ _),
+    "q_turning_points" -> (Queries.turningPointsQ _),
     "q_source_loo" -> (Queries.sourceLooQ _),
     "q_event_study" -> (Queries.eventStudyQ _),
     "q_fisher_exact" -> (Queries.fisherExactQ _),
@@ -11089,6 +11092,84 @@ object SparkEntry {
         |    // ((u * m * txx - CAST(tx AS HUGEINT) * tx) * u * m * (m - 1))
         |    AS BIGINT) AS alpha_e6
         |FROM g""".stripMargin,
+
+    // Exact binomial sign-test replay: multiplicative C(n,j) recurrence
+    // with interleaved exact division (BIGINT-safe), exact 2^n tails.
+    "q_binomial_test" -> {
+      s"""WITH daily AS (SELECT
+         |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+         |    CAST(count(*) AS BIGINT) AS v FROM events GROUP BY 1),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(v) AS tot FROM daily),
+         |k AS (SELECT n, tot,
+         |    CAST(sum(CASE WHEN v * n > tot THEN 1 ELSE 0 END) AS BIGINT) AS k
+         |  FROM daily CROSS JOIN g GROUP BY n, tot),
+         |sup AS (SELECT n, k, CAST(unnest(range(0, n + 1)) AS BIGINT) AS j
+         |  FROM k),
+         |c AS (SELECT n, k, j,
+         |    CASE WHEN j = 0 THEN CAST(1 AS BIGINT)
+         |      ELSE list_reduce(
+         |        list_prepend(CAST(1 AS BIGINT),
+         |          list_transform(range(1, j + 1), y -> CAST(y AS BIGINT))),
+         |        (a, i) -> a * (n - j + i) // i) END AS cnj FROM sup),
+         |s AS (SELECT n, k,
+         |    sum(CASE WHEN j <= k THEN cnj ELSE 0 END) AS s_le,
+         |    sum(CASE WHEN j >= k THEN cnj ELSE 0 END) AS s_ge,
+         |    sum(cnj) AS s_tot
+         |  FROM c GROUP BY n, k)
+         |SELECT n AS n_days, k AS k_above, CAST(s_le AS BIGINT) AS tail_le,
+         |  CAST(s_ge AS BIGINT) AS tail_ge,
+         |  CAST(least(CAST(1000000 AS HUGEINT),
+         |    2 * least(s_le, s_ge) * 1000000 // s_tot) AS BIGINT) AS p_two_e6
+         |FROM s""".stripMargin
+    },
+
+    // Bartlett replay: per-group exact variance rationals, one
+    // e9-floored ln per group + pooled, closed-form correction.
+    "q_bartlett" ->
+      """WITH o AS (SELECT o_orderpriority AS grp,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS x FROM orders),
+        |pg AS (SELECT grp, CAST(count(*) AS BIGINT) AS ni, sum(x) AS sx,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx FROM o GROUP BY 1),
+        |pg2 AS (SELECT *, CAST(floor(ln(
+        |      CAST(ni * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+        |      / CAST(CAST(ni AS HUGEINT) * (ni - 1) AS DOUBLE))
+        |    * 1000000000.0 + 0.5) AS BIGINT) AS ln_si2_e9 FROM pg),
+        |pool AS (SELECT CAST(count(*) AS BIGINT) AS kk, sum(ni) AS nn,
+        |    sum((ni * sxx - CAST(sx AS HUGEINT) * sx) // (ni - 1)) AS ssp,
+        |    sum((ni - 1) * ln_si2_e9) AS sum_w_ln,
+        |    sum(1000000000 // (ni - 1)) AS inv_e9
+        |  FROM pg2),
+        |pool2 AS (SELECT kk AS n_groups, nn AS n_total, kk - 1 AS df,
+        |    CAST(floor(CAST((nn - kk) *
+        |        CAST(floor(ln(CAST(ssp AS DOUBLE) / (nn - kk))
+        |          * 1000000000.0 + 0.5) AS BIGINT) - sum_w_ln AS DOUBLE)
+        |      / (1000000000 + (inv_e9 - 1000000000 / (nn - kk))
+        |        / (3 * (kk - 1)))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS bartlett_e6
+        |  FROM pool)
+        |SELECT grp, ni, ln_si2_e9, n_groups,
+        |  CAST(n_total AS BIGINT) AS n_total, CAST(df AS BIGINT) AS df,
+        |  bartlett_e6
+        |FROM pg2 CROSS JOIN pool2 ORDER BY grp""".stripMargin,
+
+    // Turning-point replay: lag/lead over the day spine, strict local
+    // extrema, closed-form mean/variance, one IEEE sqrt.
+    "q_turning_points" ->
+      """WITH daily AS (SELECT
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    CAST(count(*) AS BIGINT) AS v FROM events GROUP BY 1),
+        |w AS (SELECT v, lag(v) OVER (ORDER BY d) AS pv,
+        |    lead(v) OVER (ORDER BY d) AS nv FROM daily),
+        |t AS (SELECT CAST(count(*) + 2 AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN (pv < v AND v > nv) OR (pv > v AND v < nv)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_turns
+        |  FROM w WHERE pv IS NOT NULL AND nv IS NOT NULL)
+        |SELECT n AS n_days, n_turns,
+        |  (2 * (n - 2)) * 1000000 // 3 AS expected_e6,
+        |  CAST(floor(CAST(n_turns * 3 - (n - 2) * 2 AS DOUBLE) / 3.0
+        |    / sqrt(CAST(n * 16 - 29 AS DOUBLE) / 90.0)
+        |    * 1000000.0 + 0.5) AS BIGINT) AS z_e6
+        |FROM t""".stripMargin,
 
     // LOO data-valuation replay: one (source, token) table, LOO counts
     // by subtraction, per-term e6-floored c*ln ratio, div source mass.
