@@ -8758,6 +8758,40 @@ object Queries {
     * overall — the causal sibling of [[didQ]] for non-panel
     * confounding.
     */
+  /** Propensity common-support audit (overlap coefficient) on
+    * [[ipwQ]]'s activity-cell propensity buckets — the "should you
+    * even run the causal estimator?" gate: OVL = Σ_cell min(treated
+    * mass share, control mass share) at e6 (1 = identical covariate
+    * distributions, → 0 = no overlap and every reweighting estimator
+    * is extrapolating). Integer shares per cell BEFORE the min, so
+    * both engines agree bit-for-bit; per-cell shares shipped alongside
+    * the scalar so the thin cells are visible, not just the total. One
+    * user aggregate, 13-cell grid.
+    */
+  def propensityOverlapQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ev"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("ck"))
+      .select(expr("least(n_ev div 10, 12)").as("cell"),
+        when(col("ck") >= 14, 1L).otherwise(0L).as("dtr"))
+    val cells = per.groupBy(col("cell"))
+      .agg(sum(when(col("dtr") === 1, 1L).otherwise(0L)).as("nt"),
+        sum(when(col("dtr") === 0, 1L).otherwise(0L)).as("nc"))
+    val tot = cells.groupBy()
+      .agg(sum(col("nt")).as("ttot"), sum(col("nc")).as("ctot"))
+    val sh = cells.crossJoin(broadcast(tot))
+      .select(col("cell"), col("nt"), col("nc"),
+        expr("nt * 1000000 div ttot").as("ft_e6"),
+        expr("nc * 1000000 div ctot").as("fc_e6"))
+      .withColumn("min_e6", least(col("ft_e6"), col("fc_e6")))
+    val ovl = sh.groupBy().agg(sum(col("min_e6")).as("ovl_e6"))
+    sh.crossJoin(broadcast(ovl))
+      .select(col("cell"), col("nt"), col("nc"), col("ft_e6"), col("fc_e6"),
+        col("min_e6"), col("ovl_e6"))
+      .orderBy(col("cell"))
+  }
+
   def ipwQ(spark: SparkSession, sfDir: String): DataFrame = {
     val d38 = "decimal(38,0)"
     val per = Tables.events(spark, sfDir)
@@ -12759,6 +12793,58 @@ object Queries {
       .orderBy(col("p"))
   }
 
+  /** Spectral entropy / flatness of the [[periodogramQ]] power grid —
+    * the one-number "is this series periodic or noise?" readout on top
+    * of the period sweep (flatness → 1 means white-noise-flat power,
+    * → 0 means one period owns the spectrum — the gate that decides
+    * whether [[decomposeQ]]'s seasonal split is even warranted):
+    * identical e9-floored cos/sin moment computation, then
+    * H = Σ (Pᵢ/ΣP)·ln(ΣP/Pᵢ) with each term e9-floored before the
+    * period-grid sum ([[mutualInfoQ]] discipline), flatness = H/ln(K)
+    * at e6, and the dominant period's power share. Everything after
+    * the daily aggregate is a 9-row grid.
+    */
+  def spectralEntropyQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("x"))
+    val g = daily.groupBy()
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"), min(col("d")).as("d0"))
+    val grid = broadcast(
+      daily.sparkSession.range(2, 11).select(col("id").as("p")))
+    val cells = daily.crossJoin(broadcast(g)).crossJoin(grid)
+      .select(col("p"), col("n"),
+        (col("n") * col("x") - col("s")).as("y"),
+        floor(cos(lit(2.0) * acos(lit(-1.0)) * (col("d") - col("d0")) / col("p"))
+          * 1000000000.0 + 0.5).cast("long").as("c"),
+        floor(sin(lit(2.0) * acos(lit(-1.0)) * (col("d") - col("d0")) / col("p"))
+          * 1000000000.0 + 0.5).cast("long").as("sn"))
+    val pw = cells.groupBy(col("p"), col("n"))
+      .agg(sum(expr("cast(y as decimal(38,0)) * c")).as("sc"),
+        sum(expr("cast(y as decimal(38,0)) * sn")).as("ss"))
+      .select(col("p"),
+        expr("""cast((sc div 1000000000) * (sc div 1000000000)
+                + (ss div 1000000000) * (ss div 1000000000) as bigint)""")
+          .as("power"))
+    val tot = pw.groupBy()
+      .agg(sum(col("power")).as("tp"), max(col("power")).as("mp"),
+        count(lit(1)).as("kk"))
+    pw.crossJoin(broadcast(tot))
+      .select(col("p"), col("power"), col("tp"), col("mp"), col("kk"),
+        when(col("power") === 0, 0L).otherwise(floor(
+          (col("power") / col("tp"))
+            * log(col("tp").cast("double") / col("power"))
+            * 1000000000.0 + 0.5).cast("long")).as("term_e9"))
+      .groupBy(col("kk"))
+      .agg(sum(col("term_e9")).as("h_e9"),
+        max(expr("mp * 1000000 div tp")).as("dominant_share_e6"))
+      .select(col("kk").as("n_periods"), col("h_e9"),
+        floor(col("h_e9").cast("double")
+          / log(col("kk").cast("double")) / 1000.0 + 0.5)
+          .cast("long").as("flatness_e6"),
+        col("dominant_share_e6"))
+  }
+
   /** Yule-Walker AR(2) fit of the daily event volume — the
     * autoregressive structure readout one order above [[ar1Q]]:
     * exact integer autocovariances g₀,g₁,g₂ of the n-scaled centered
@@ -14306,6 +14392,46 @@ object Queries {
               - cast(ssw as $d38) * (u * m) * (u * m - 1)) * 1000000
             div (cast(u * m * txx - cast(tx as $d38) * tx as $d38)
               * u * m * (m - 1)) as bigint)""").as("alpha_e6"))
+  }
+
+  /** Page's L trend test — the ORDERED-alternative upgrade of
+    * [[friedmanQ]]'s "any difference between treatments": with
+    * day-of-week as the hypothesized monotone order and articles as
+    * blocks, L = Σⱼ j·Rⱼ over within-block ranks detects a systematic
+    * weekly ramp that an unordered rank test dilutes away. Ranks come
+    * from a block-KEYED window over the (article × dow) grid (both
+    * dims bounded), E[L] = n·k(k+1)²/4 exactly, Var[L] =
+    * n·k²(k+1)(k²−1)/144, z at e6 through one IEEE sqrt. Emits the
+    * per-dow rank sums plus the shared L/z readout.
+    */
+  def pageTrendQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = Tables.events(spark, sfDir)
+      .groupBy((expr("event_id % 40") + 1).as("article"),
+        expr("unix_micros(ts) div 86400000000 % 7").as("dow"))
+      .agg(count(lit(1)).as("x"))
+    val arts = cnt.select(col("article")).distinct()
+    val grid = arts
+      .crossJoin(cnt.sparkSession.range(0, 7).select(col("id").as("dow")))
+      .join(cnt, Seq("article", "dow"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+    val rk = grid.withColumn("rnk", row_number().over(
+      Window.partitionBy(col("article")).orderBy(col("x"), col("dow"))))
+    val rs = rk.groupBy(col("dow"))
+      .agg(sum(col("rnk")).as("rank_sum"), count(lit(1)).as("n_blocks"))
+    val l = rs.groupBy()
+      .agg(sum((col("dow") + 1L) * col("rank_sum")).as("ll"),
+        max(col("n_blocks")).as("n"), count(lit(1)).as("k"))
+      .select(col("ll"), col("n"), col("k"),
+        expr("n * k * (k + 1) * (k + 1) div 4").as("e_l"),
+        floor((col("ll") - expr("n * k * (k + 1) * (k + 1) div 4"))
+          .cast("double")
+          / sqrt(expr("cast(n * k * k * (k + 1) * (k * k - 1) as double)")
+            / 144.0) * 1000000.0 + 0.5).cast("long").as("z_e6"))
+    rs.crossJoin(broadcast(l))
+      .select(col("dow"), col("rank_sum"), col("ll").as("page_l"),
+        col("e_l").as("expected_l"), col("z_e6"))
+      .orderBy(col("dow"))
   }
 
   /** Fisher's exact test on the heavy-clicker × early-churn 2×2 — the

@@ -483,6 +483,9 @@ object SparkEntry {
     "q_kendall_w" -> (Queries.kendallWQ _),
     "q_krippendorff" -> (Queries.krippendorffQ _),
     "q_binomial_test" -> (Queries.binomialTestQ _),
+    "q_spectral_entropy" -> (Queries.spectralEntropyQ _),
+    "q_page_trend" -> (Queries.pageTrendQ _),
+    "q_propensity_overlap" -> (Queries.propensityOverlapQ _),
     "q_bartlett" -> (Queries.bartlettQ _),
     "q_turning_points" -> (Queries.turningPointsQ _),
     "q_source_loo" -> (Queries.sourceLooQ _),
@@ -11122,6 +11125,93 @@ object SparkEntry {
          |    2 * least(s_le, s_ge) * 1000000 // s_tot) AS BIGINT) AS p_two_e6
          |FROM s""".stripMargin
     },
+
+    // Spectral-entropy replay: periodogram power grid, e9-floored
+    // p*ln(1/p) terms, flatness over ln(K), dominant share.
+    "q_spectral_entropy" ->
+      """WITH daily AS (SELECT
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS s,
+        |    min(d) AS d0 FROM daily),
+        |cells AS (SELECT p, n, n * x - s AS y,
+        |    CAST(floor(cos(2.0 * pi() * (d - d0) / p) * 1000000000.0 + 0.5)
+        |      AS BIGINT) AS c,
+        |    CAST(floor(sin(2.0 * pi() * (d - d0) / p) * 1000000000.0 + 0.5)
+        |      AS BIGINT) AS sn
+        |  FROM daily CROSS JOIN g
+        |  CROSS JOIN (SELECT CAST(unnest(range(2, 11)) AS BIGINT) AS p)),
+        |pw AS (SELECT p,
+        |    CAST((sum(CAST(y AS HUGEINT) * c) // 1000000000)
+        |        * (sum(CAST(y AS HUGEINT) * c) // 1000000000)
+        |      + (sum(CAST(y AS HUGEINT) * sn) // 1000000000)
+        |        * (sum(CAST(y AS HUGEINT) * sn) // 1000000000) AS BIGINT)
+        |      AS power
+        |  FROM cells GROUP BY p, n),
+        |tot AS (SELECT sum(power) AS tp, max(power) AS mp,
+        |    CAST(count(*) AS BIGINT) AS kk FROM pw),
+        |terms AS (SELECT kk, mp, tp,
+        |    CASE WHEN power = 0 THEN 0
+        |      ELSE CAST(floor((power / tp)
+        |        * ln(CAST(tp AS DOUBLE) / power) * 1000000000.0 + 0.5)
+        |        AS BIGINT) END AS term_e9
+        |  FROM pw CROSS JOIN tot)
+        |SELECT kk AS n_periods, CAST(sum(term_e9) AS BIGINT) AS h_e9,
+        |  CAST(floor(CAST(sum(term_e9) AS DOUBLE)
+        |    / ln(CAST(kk AS DOUBLE)) / 1000.0 + 0.5) AS BIGINT)
+        |    AS flatness_e6,
+        |  CAST(max(mp * 1000000 // tp) AS BIGINT) AS dominant_share_e6
+        |FROM terms GROUP BY kk""".stripMargin,
+
+    // Page-trend replay: block-keyed rank window on the article x dow
+    // grid, exact E[L], closed-form variance, one sqrt.
+    "q_page_trend" ->
+      """WITH cnt AS (SELECT event_id % 40 + 1 AS article,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 % 7 AS dow,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |arts AS (SELECT DISTINCT article FROM cnt),
+        |grid AS (SELECT a.article, g.dow, coalesce(cnt.x, 0) AS x
+        |  FROM arts a
+        |  CROSS JOIN (SELECT CAST(unnest(range(0, 7)) AS BIGINT) AS dow) g
+        |  LEFT JOIN cnt ON cnt.article = a.article AND cnt.dow = g.dow),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY article
+        |    ORDER BY x, dow) AS rnk FROM grid),
+        |rs AS (SELECT dow, CAST(sum(rnk) AS BIGINT) AS rank_sum,
+        |    CAST(count(*) AS BIGINT) AS n_blocks FROM rk GROUP BY 1),
+        |l AS (SELECT CAST(sum((dow + 1) * rank_sum) AS BIGINT) AS ll,
+        |    max(n_blocks) AS n, CAST(count(*) AS BIGINT) AS k FROM rs),
+        |l2 AS (SELECT ll, n, k,
+        |    n * k * (k + 1) * (k + 1) // 4 AS e_l,
+        |    CAST(floor(CAST(ll - n * k * (k + 1) * (k + 1) // 4 AS DOUBLE)
+        |      / sqrt(CAST(n * k * k * (k + 1) * (k * k - 1) AS DOUBLE)
+        |        / 144.0) * 1000000.0 + 0.5) AS BIGINT) AS z_e6
+        |  FROM l)
+        |SELECT rs.dow, rs.rank_sum, l2.ll AS page_l,
+        |  CAST(l2.e_l AS BIGINT) AS expected_l, l2.z_e6
+        |FROM rs CROSS JOIN l2 ORDER BY rs.dow""".stripMargin,
+
+    // Propensity-overlap replay: ipw activity cells, integer mass
+    // shares per arm, sum of per-cell minima.
+    "q_propensity_overlap" ->
+      """WITH per AS (SELECT user_id,
+        |    least(CAST(count(*) AS BIGINT) // 10, 12) AS cell,
+        |    CASE WHEN sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      >= 14 THEN 1 ELSE 0 END AS dtr
+        |  FROM events GROUP BY user_id),
+        |cells AS (SELECT cell,
+        |    CAST(sum(CASE WHEN dtr = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |    CAST(sum(CASE WHEN dtr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc
+        |  FROM per GROUP BY 1),
+        |tot AS (SELECT sum(nt) AS ttot, sum(nc) AS ctot FROM cells),
+        |sh AS (SELECT cell, nt, nc,
+        |    CAST(nt * 1000000 // ttot AS BIGINT) AS ft_e6,
+        |    CAST(nc * 1000000 // ctot AS BIGINT) AS fc_e6
+        |  FROM cells CROSS JOIN tot),
+        |ovl AS (SELECT CAST(sum(least(ft_e6, fc_e6)) AS BIGINT) AS ovl_e6
+        |  FROM sh)
+        |SELECT cell, nt, nc, ft_e6, fc_e6,
+        |  least(ft_e6, fc_e6) AS min_e6, ovl_e6
+        |FROM sh CROSS JOIN ovl ORDER BY cell""".stripMargin,
 
     // Bartlett replay: per-group exact variance rationals, one
     // e9-floored ln per group + pooled, closed-form correction.
