@@ -8949,6 +8949,38 @@ object Queries {
     * same per-(doc, n) partial aggregate as BLEU; all joins are keyed
     * by (doc, n, gram) — scan-shaped in corpus size.
     */
+  /** ROUGE-L between each document's 10-word lead (reference) and an
+    * every-other-word extract of its first 16 words (candidate — the
+    * deterministic stand-in for a 2× compressive summary): the
+    * LONGEST-COMMON-SUBSEQUENCE member of the ROUGE family, which
+    * credits in-order phrasing that [[rougeQ]]'s clipped n-gram
+    * matching fragments (an extract that keeps every other word has
+    * ROUGE-2 ≈ 0 but ROUGE-L = |cand|). The 8×10 DP runs as
+    * [[lcsCells]]-unrolled codegen columns per document — no UDF, no
+    * recursion, identical lateral-alias replay on DuckDB. P = L/|cand|,
+    * R = L/|ref|, F = 2L/(|cand|+|ref|), exact e6 integers.
+    */
+  def rougeLQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 300 && col("doc_id") % 5 === 0)
+      .select(col("doc_id"), TextOps.words(lower(col("text"))).as("ws"))
+      .filter(size(col("ws")) >= 20)
+      .select(col("doc_id"),
+        expr("slice(ws, 1, 10)").as("ref"),
+        expr("transform(sequence(1, 8), i -> element_at(ws, cast(2 * i as int)))")
+          .as("cand"))
+    var df = base
+    for ((n, e) <- lcsCells(i => s"element_at(cand, $i)",
+        j => s"element_at(ref, $j)", 10)
+        if { val p = n.split("_"); p(1).toInt <= 8 })
+      df = df.withColumn(n, expr(e))
+    df.select(col("doc_id"), col("d_8_10").cast("long").as("lcs"),
+        expr("cast(d_8_10 as bigint) * 1000000 div 8").as("prec_e6"),
+        expr("cast(d_8_10 as bigint) * 1000000 div 10").as("rec_e6"),
+        expr("cast(2 * d_8_10 as bigint) * 1000000 div 18").as("f_e6"))
+      .orderBy(col("doc_id"))
+  }
+
   def rougeQ(spark: SparkSession, sfDir: String): DataFrame = {
     val base = Tables.documents(spark, sfDir)
       .filter(col("doc_id") < 300 && col("doc_id") % 5 === 0)
@@ -14580,6 +14612,69 @@ object Queries {
     pg.select(col("grp"), col("ni"), col("ln_si2_e9"))
       .crossJoin(broadcast(pool))
       .orderBy(col("grp"))
+  }
+
+  /** Chebyshev tail certificate of the order-value distribution —
+    * observed P(|X−μ| ≥ kσ) against the distribution-free 1/k² bound
+    * for k ∈ {1, 1.5, 2, 3}: the data-quality alarm that needs NO
+    * model (an observed tail above the bound is arithmetically
+    * impossible — it can only mean the pipeline's μ/σ and the data
+    * disagree, i.e. drift or corruption mid-stream). The per-row test
+    * (n·x − S)²·(10·k)²-free form 100·(nx−S)² ≥ k²ₑ₁·(nΣx²−S²) is
+    * EXACT integer arithmetic on both engines — no sqrt, no float
+    * anywhere. One scan, one moment row, a 4-row k-grid.
+    */
+  def chebBoundQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val o = Tables.orders(spark, sfDir)
+      .select(cents(col("o_totalprice")).cast("long").as("x"))
+    val m = o.groupBy()
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(expr(s"cast(x as $d38) * x")).as("sxx"))
+      .withColumn("ss", expr(s"n * sxx - cast(s as $d38) * s"))
+    val ks = o.sparkSession.range(0, 4)
+      .select(expr("element_at(array(10L, 15L, 20L, 30L), cast(id + 1 as int))")
+        .as("k_e1"))
+    o.crossJoin(broadcast(m)).crossJoin(broadcast(ks))
+      .groupBy(col("k_e1"), col("n"))
+      .agg(sum(when(
+        expr(s"cast(n * x - s as $d38) * (n * x - s) * 100 >= k_e1 * k_e1 * ss"),
+        1L).otherwise(0L)).as("n_tail"))
+      .select(col("k_e1"), col("n").as("n_orders"), col("n_tail"),
+        expr("n_tail * 1000000 div n").as("observed_e6"),
+        expr("100000000 div (k_e1 * k_e1)").as("bound_e6"),
+        expr("n_tail * 1000000 div n <= 100000000 div (k_e1 * k_e1)")
+          .as("bound_holds"))
+      .orderBy(col("k_e1"))
+  }
+
+  /** Birthday-bound audit of the [[featureHashingQ]] 1024-bucket
+    * table — observed pairwise collisions Σ C(n_b, 2) against the
+    * analytic E = C(T, 2)/B (the birthday approximation every
+    * hashing-trick sizing decision rests on): a healthy hash sits
+    * within a few percent of E; a big excess means the hash is biased
+    * on this vocabulary, a deficit means it is anti-correlated with
+    * it. Exact integer collision counts; ratio at e6. One tokenize,
+    * one type aggregate, bucket-bounded rollup.
+    */
+  def birthdayCollisionQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val types = Tables.documents(spark, sfDir)
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .filter(length(col("token")) >= 2)
+      .select(col("token")).distinct()
+      .select(pmod(TextOps.portableHash64(col("token")), lit(1024L)).as("bucket"))
+    types.groupBy(col("bucket")).agg(count(lit(1)).as("nb"))
+      .groupBy()
+      .agg(sum(col("nb")).as("t"), count(lit(1)).as("used"),
+        sum(expr(s"cast(nb as $d38) * (nb - 1) div 2")).as("obs"))
+      .withColumn("expected",
+        expr(s"cast(t as $d38) * (t - 1) div 2 div 1024"))
+      .select(col("t").as("n_types"), col("used").as("n_buckets_used"),
+        col("obs").cast("long").as("observed_collisions"),
+        col("expected").cast("long").as("expected_collisions"),
+        expr(s"""cast(cast(obs as $d38) * 1000000
+              div nullif(expected, 0) as bigint)""").as("ratio_e6"))
   }
 
   /** Turning-point test of daily-volume randomness — counts strict

@@ -484,6 +484,9 @@ object SparkEntry {
     "q_krippendorff" -> (Queries.krippendorffQ _),
     "q_binomial_test" -> (Queries.binomialTestQ _),
     "q_spectral_entropy" -> (Queries.spectralEntropyQ _),
+    "q_rouge_l" -> (Queries.rougeLQ _),
+    "q_cheb_bound" -> (Queries.chebBoundQ _),
+    "q_birthday_collision" -> (Queries.birthdayCollisionQ _),
     "q_page_trend" -> (Queries.pageTrendQ _),
     "q_propensity_overlap" -> (Queries.propensityOverlapQ _),
     "q_bartlett" -> (Queries.bartlettQ _),
@@ -10945,6 +10948,66 @@ object SparkEntry {
          |  CAST(CAST(d_7_7 AS BIGINT) * 1000000 // 7 AS BIGINT) AS lcs_sim_e6
          |FROM dp ORDER BY user_a, user_b""".stripMargin
     },
+
+    // ROUGE-L replay: 8x10 lateral-alias LCS lattice per doc over the
+    // lead-10 reference and the every-other-word extract.
+    "q_rouge_l" -> {
+      val cells = Queries.lcsCells(i => s"cand[$i]", j => s"ref[$j]", 10)
+        .filter { case (n, _) => n.split("_")(1).toInt <= 8 }
+        .map { case (n, e) => s"    $e AS $n" }.mkString(",\n")
+      s"""WITH base AS (SELECT doc_id, ${wordsSql("lower(text)")} AS ws
+         |  FROM documents WHERE doc_id < 300 AND doc_id % 5 = 0),
+         |b2 AS (SELECT doc_id, list_slice(ws, 1, 10) AS ref,
+         |    list_transform(range(1, 9), i -> ws[CAST(2 * i AS INT)]) AS cand
+         |  FROM base WHERE len(ws) >= 20),
+         |dp AS (SELECT doc_id,
+         |$cells
+         |  FROM b2)
+         |SELECT doc_id, CAST(d_8_10 AS BIGINT) AS lcs,
+         |  CAST(d_8_10 AS BIGINT) * 1000000 // 8 AS prec_e6,
+         |  CAST(d_8_10 AS BIGINT) * 1000000 // 10 AS rec_e6,
+         |  CAST(2 * d_8_10 AS BIGINT) * 1000000 // 18 AS f_e6
+         |FROM dp ORDER BY doc_id""".stripMargin
+    },
+
+    // Chebyshev-certificate replay: exact integer per-row tail test,
+    // 4-row k grid, distribution-free bound comparison.
+    "q_cheb_bound" ->
+      """WITH o AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS x
+        |  FROM orders),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS s,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx FROM o),
+        |m2 AS (SELECT *, n * sxx - CAST(s AS HUGEINT) * s AS ss FROM m),
+        |ks AS (SELECT CAST(unnest([10, 15, 20, 30]) AS BIGINT) AS k_e1),
+        |t AS (SELECT k_e1, n,
+        |    CAST(sum(CASE WHEN CAST(n * x - s AS HUGEINT) * (n * x - s) * 100
+        |      >= k_e1 * k_e1 * ss THEN 1 ELSE 0 END) AS BIGINT) AS n_tail
+        |  FROM o CROSS JOIN m2 CROSS JOIN ks GROUP BY k_e1, n)
+        |SELECT k_e1, n AS n_orders, n_tail,
+        |  n_tail * 1000000 // n AS observed_e6,
+        |  100000000 // (k_e1 * k_e1) AS bound_e6,
+        |  n_tail * 1000000 // n <= 100000000 // (k_e1 * k_e1) AS bound_holds
+        |FROM t ORDER BY k_e1""".stripMargin,
+
+    // Birthday-bound replay: distinct-type bucket table, exact
+    // pairwise collision counts, analytic expectation, e6 ratio.
+    "q_birthday_collision" ->
+      s"""WITH ty AS (SELECT DISTINCT token FROM (
+         |    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+'))
+         |      AS token FROM documents) WHERE length(token) >= 2),
+         |b AS (SELECT ${hSql("token")} % 1024 AS bucket FROM ty),
+         |bk AS (SELECT bucket, CAST(count(*) AS BIGINT) AS nb
+         |  FROM b GROUP BY 1)
+         |SELECT CAST(sum(nb) AS BIGINT) AS n_types,
+         |  CAST(count(*) AS BIGINT) AS n_buckets_used,
+         |  CAST(sum(CAST(nb AS HUGEINT) * (nb - 1) // 2) AS BIGINT)
+         |    AS observed_collisions,
+         |  CAST(CAST(sum(nb) AS HUGEINT) * (sum(nb) - 1) // 2 // 1024
+         |    AS BIGINT) AS expected_collisions,
+         |  CAST(sum(CAST(nb AS HUGEINT) * (nb - 1) // 2) * 1000000
+         |    // (CAST(sum(nb) AS HUGEINT) * (sum(nb) - 1) // 2 // 1024)
+         |    AS BIGINT) AS ratio_e6
+         |FROM bk""".stripMargin,
 
     // ICC replay: unbalanced one-way ANOVA moments in HUGEINT, k0
     // correction, one integral-ratio ICC.
