@@ -504,6 +504,133 @@ object Queries {
         replace(col("text"), lit("data"), lit("info")).as("text")))
   }
 
+  /** LSH S-curve tuning table — measured band-collision probability vs
+    * the analytic 1−(1−s^r)^b for three (bands, rows) splits of the
+    * 8-hash MinHash signature, on a capped all-pairs probe set with
+    * planted near-copies (the only honest way to pick (b, r) before
+    * committing a 100 TB dedup pass to one): per pair, the EXACT
+    * integer-e6 Jaccard buckets the x-axis, the three collision
+    * indicators come straight off the signature columns, and the
+    * theory column evaluates the S-curve at the bucket midpoint. The
+    * probe is 48 docs = 1128 pairs BY CONSTRUCTION (JoinLint-
+    * allowlisted on that cap); production pairs always go through the
+    * band join, never all-pairs.
+    */
+  def lshScurveQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = docsWithNearCopies(spark, sfDir, Some(40))
+    val sh = Dedup.shingleSets(docs).filter(size(col("shingles")) > 0)
+    val sig = sh.join(Dedup.minhashSignatures(sh), "doc_id")
+    def side(p: String) = sig.select(
+      col("doc_id").as(s"d$p") +: col("shingles").as(s"sh$p") +:
+        (0 to 7).map(j => col(s"s$j").as(s"$p$j")): _*)
+    val pairs = side("a").join(side("b"), col("da") < col("db"))
+      .withColumn("j_e6", expr(
+        "size(array_intersect(sha, shb)) * 1000000 div size(array_union(sha, shb))"))
+      .withColumn("bucket", least(expr("j_e6 div 100000"), lit(9L)))
+      .withColumn("c_b8r1",
+        (0 to 7).map(j => col(s"a$j") === col(s"b$j")).reduce(_ || _).cast("long"))
+      .withColumn("c_b4r2",
+        (0 to 3).map(j => col(s"a${2 * j}") === col(s"b${2 * j}") &&
+          col(s"a${2 * j + 1}") === col(s"b${2 * j + 1}")).reduce(_ || _).cast("long"))
+      .withColumn("c_b2r4",
+        Seq(0, 4).map(o => (0 to 3).map(i =>
+          col(s"a${o + i}") === col(s"b${o + i}")).reduce(_ && _))
+          .reduce(_ || _).cast("long"))
+    def cfg(name: String, b: Int, r: Int, c: String) =
+      pairs.select(col("bucket"), lit(name).as("config"),
+        lit(b.toLong).as("b"), lit(r.toLong).as("r"), col(c).as("coll"))
+    cfg("b8r1", 8, 1, "c_b8r1")
+      .union(cfg("b4r2", 4, 2, "c_b4r2"))
+      .union(cfg("b2r4", 2, 4, "c_b2r4"))
+      .groupBy(col("config"), col("b"), col("r"), col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("coll")).as("n_collide"))
+      .withColumn("measured_e6", expr("n_collide * 1000000 div n_pairs"))
+      .withColumn("theory_e6", floor(
+        (lit(1.0) - pow(lit(1.0) - pow((col("bucket") + 0.5) / 10.0, col("r")),
+          col("b"))) * 1000000.0 + 0.5).cast("long"))
+      .orderBy(col("config"), col("bucket"))
+  }
+
+  /** Consistent-hashing ring audit — the shard-assignment primitive
+    * under every distributed cache/store, shipped with its two
+    * certificates: (a) balance (the 16-vnode-per-shard ring's max/min
+    * load ratio) and (b) MINIMAL MOVEMENT — after removing shard 3,
+    * the only keys that may change owner are the removed shard's own
+    * (invalid_moves is re-derived by the oracle and must be 0). The
+    * 128-token ring is ONE sorted array built by a grouping-free
+    * aggregate and broadcast; each key's successor lookup is a narrow
+    * array scan (no join at all), tokens encoded h·8+shard so the ring
+    * is a plain BIGINT list on both engines. One customer scan; the
+    * removal replay is a second filter over the same array.
+    */
+  def consistentHashQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val ring = Tables.customer(spark, sfDir).sparkSession.range(0, 128)
+      .select((TextOps.portableHash64(concat(lit("ring:"),
+        col("id").cast("string"))) * 8L + col("id") % 8L).as("enc"))
+      .groupBy().agg(sort_array(collect_list(col("enc"))).as("ring"))
+    val keys = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"),
+        TextOps.portableHash64(concat(lit("key:"),
+          col("c_custkey").cast("string"))).as("kh"))
+    val asg = keys.crossJoin(broadcast(ring))
+      .withColumn("s1", expr("""coalesce(
+          try_element_at(filter(ring, e -> e div 8 >= kh), 1),
+          try_element_at(ring, 1)) % 8"""))
+      .withColumn("ring2", expr("filter(ring, e -> e % 8 != 3)"))
+      .withColumn("s2", expr("""coalesce(
+          try_element_at(filter(ring2, e -> e div 8 >= kh), 1),
+          try_element_at(ring2, 1)) % 8"""))
+    val perShard = asg.groupBy(col("s1").as("shard"))
+      .agg(count(lit(1)).as("load_before"),
+        sum(when(col("s2") === col("s1"), 1L).otherwise(0L)).as("kept"))
+    val after = asg.groupBy(col("s2").as("shard"))
+      .agg(count(lit(1)).as("load_after"))
+    val g = asg.groupBy()
+      .agg(sum(when(col("s1") =!= col("s2"), 1L).otherwise(0L)).as("moved_total"),
+        sum(when(col("s1") =!= lit(3L) && col("s1") =!= col("s2"), 1L)
+          .otherwise(0L)).as("invalid_moves"))
+    val bal = perShard.groupBy()
+      .agg(expr("max(load_before) * 1000000 div min(load_before)")
+        .as("balance_ratio_e6"))
+    perShard.join(after, Seq("shard"), "left")
+      .select(col("shard"), col("load_before"),
+        coalesce(col("load_after"), lit(0L)).as("load_after"),
+        (coalesce(col("load_after"), lit(0L)) - col("kept")).as("gained"))
+      .crossJoin(broadcast(g)).crossJoin(broadcast(bal))
+      .orderBy(col("shard"))
+  }
+
+  /** Prefix-cache (KV-reuse) analysis — "if this corpus were served to
+    * an LLM in lexicographic order, what fraction of prompt tokens
+    * would hit a shared-prefix cache?": per source, documents sorted
+    * by text, each one's cacheable prefix = the token-level common
+    * prefix with its predecessor (zip_with equality + first-mismatch
+    * position — an O(prefix) narrow expression, no DP). Exactly the
+    * radix-trie edge-sharing statistic, computed with one keyed
+    * window. High hit rates flag boilerplate-heavy sources (cheap to
+    * serve, low training value — both decisions want this number).
+    */
+  def prefixCacheQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), col("text"),
+        TextOps.words(lower(col("text"))).as("ws"))
+    val w = Window.partitionBy(col("source")).orderBy(col("text"), col("doc_id"))
+    d.withColumn("pw", lag(col("ws"), 1).over(w))
+      .withColumn("plen", when(col("pw").isNull, 0L).otherwise(expr(
+        """CASE WHEN array_position(
+             zip_with(ws, pw, (x, y) -> if(x <=> y, 1, 0)), 0) = 0
+           THEN least(size(ws), size(pw))
+           ELSE array_position(
+             zip_with(ws, pw, (x, y) -> if(x <=> y, 1, 0)), 0) - 1 END""")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(size(col("ws"))).as("total_tokens"),
+        sum(col("plen")).as("cached_tokens"))
+      .withColumn("hit_rate_e6",
+        expr("cached_tokens * 1000000 div total_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** MinHash-LSH near-dup pairs over the full near-copy corpus,
     * materialized once per (session, sf): both the pair listing
     * (q_minhash_lsh) and the cluster assignment (q_dedup_clusters)

@@ -485,6 +485,9 @@ object SparkEntry {
     "q_binomial_test" -> (Queries.binomialTestQ _),
     "q_spectral_entropy" -> (Queries.spectralEntropyQ _),
     "q_rouge_l" -> (Queries.rougeLQ _),
+    "q_lsh_scurve" -> (Queries.lshScurveQ _),
+    "q_consistent_hashing" -> (Queries.consistentHashQ _),
+    "q_prefix_cache" -> (Queries.prefixCacheQ _),
     "q_cheb_bound" -> (Queries.chebBoundQ _),
     "q_birthday_collision" -> (Queries.birthdayCollisionQ _),
     "q_page_trend" -> (Queries.pageTrendQ _),
@@ -1508,6 +1511,109 @@ object SparkEntry {
     // Sketch-accuracy replay: the shared LSH CTE chain (same planted
     // corpus, signatures, bands, candidates), per-pair signature match
     // count vs exact Jaccard, integer error table per agreement level.
+    // S-curve replay: capped all-pairs probe, same shingle/signature
+    // pipeline, three band splits, bucket-midpoint analytic curve.
+    "q_lsh_scurve" -> {
+      val c8 = (0 to 7).map(j => s"a.s$j = b.s$j").mkString(" OR ")
+      val c4 = (0 to 3).map(j =>
+        s"(a.s${2 * j} = b.s${2 * j} AND a.s${2 * j + 1} = b.s${2 * j + 1})")
+        .mkString(" OR ")
+      val c2 = Seq(0, 4).map(o => "(" + (0 to 3).map(i =>
+        s"a.s${o + i} = b.s${o + i}").mkString(" AND ") + ")").mkString(" OR ")
+      s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 40
+         |  UNION ALL
+         |  SELECT doc_id + 10000, replace(text, 'data', 'info')
+         |  FROM documents WHERE doc_id % 5 = 0 AND doc_id < 40),
+         |sh0 AS (SELECT doc_id, $hashedShinglesSql AS shingles
+         |       FROM (SELECT doc_id, ${wordsSql("lower(text)")} AS w FROM base)),
+         |sh AS (SELECT * FROM sh0 WHERE len(shingles) > 0),
+         |hx AS (SELECT doc_id, unnest(shingles) AS h FROM sh),
+         |sig AS (SELECT doc_id, $minhashSigSql FROM hx GROUP BY doc_id),
+         |pairs AS (SELECT
+         |    least(len(list_intersect(sa.shingles, sb.shingles)) * 1000000
+         |      // len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+         |      // 100000, 9) AS bucket,
+         |    CASE WHEN $c8 THEN 1 ELSE 0 END AS c_b8r1,
+         |    CASE WHEN $c4 THEN 1 ELSE 0 END AS c_b4r2,
+         |    CASE WHEN $c2 THEN 1 ELSE 0 END AS c_b2r4
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |  JOIN sh sa ON a.doc_id = sa.doc_id
+         |  JOIN sh sb ON b.doc_id = sb.doc_id),
+         |cfg AS (
+         |  SELECT bucket, 'b8r1' AS config, CAST(8 AS BIGINT) AS b,
+         |    CAST(1 AS BIGINT) AS r, c_b8r1 AS coll FROM pairs
+         |  UNION ALL SELECT bucket, 'b4r2', 4, 2, c_b4r2 FROM pairs
+         |  UNION ALL SELECT bucket, 'b2r4', 2, 4, c_b2r4 FROM pairs)
+         |SELECT config, b, r, bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(coll) AS BIGINT) AS n_collide,
+         |  CAST(sum(coll) * 1000000 // count(*) AS BIGINT) AS measured_e6,
+         |  CAST(floor((1.0 - pow(1.0 - pow((bucket + 0.5) / 10.0, r), b))
+         |    * 1000000.0 + 0.5) AS BIGINT) AS theory_e6
+         |FROM cfg GROUP BY config, b, r, bucket
+         |ORDER BY config, bucket""".stripMargin
+    },
+
+    // Consistent-hashing replay: 128-token sorted ring list (h*8+shard
+    // encoding), per-key successor scan, shard-3 removal, minimal-
+    // movement certificate.
+    "q_consistent_hashing" ->
+      s"""WITH ring AS (SELECT list_sort(list(
+         |    ${hSql("'ring:' || CAST(id AS VARCHAR)")} * 8 + id % 8)) AS ring
+         |  FROM (SELECT CAST(unnest(range(0, 128)) AS BIGINT) AS id)),
+         |keys AS (SELECT c_custkey,
+         |    ${hSql("'key:' || CAST(c_custkey AS VARCHAR)")} AS kh
+         |  FROM customer),
+         |asg AS (SELECT c_custkey,
+         |    coalesce(list_filter(ring, e -> e // 8 >= kh)[1], ring[1]) % 8
+         |      AS s1,
+         |    coalesce(list_filter(list_filter(ring, e -> e % 8 != 3),
+         |        e -> e // 8 >= kh)[1],
+         |      list_filter(ring, e -> e % 8 != 3)[1]) % 8 AS s2
+         |  FROM keys CROSS JOIN ring),
+         |per AS (SELECT s1 AS shard, CAST(count(*) AS BIGINT) AS load_before,
+         |    CAST(sum(CASE WHEN s2 = s1 THEN 1 ELSE 0 END) AS BIGINT) AS kept
+         |  FROM asg GROUP BY 1),
+         |aft AS (SELECT s2 AS shard, CAST(count(*) AS BIGINT) AS load_after
+         |  FROM asg GROUP BY 1),
+         |g AS (SELECT
+         |    CAST(sum(CASE WHEN s1 <> s2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS moved_total,
+         |    CAST(sum(CASE WHEN s1 <> 3 AND s1 <> s2 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS invalid_moves FROM asg),
+         |bal AS (SELECT CAST(max(load_before) * 1000000 // min(load_before)
+         |    AS BIGINT) AS balance_ratio_e6 FROM per)
+         |SELECT per.shard, per.load_before,
+         |  coalesce(aft.load_after, 0) AS load_after,
+         |  coalesce(aft.load_after, 0) - per.kept AS gained,
+         |  g.moved_total, g.invalid_moves, bal.balance_ratio_e6
+         |FROM per LEFT JOIN aft USING (shard) CROSS JOIN g CROSS JOIN bal
+         |ORDER BY per.shard""".stripMargin,
+
+    // Prefix-cache replay: per-source lexicographic lag, token-level
+    // common-prefix length via first-mismatch position.
+    "q_prefix_cache" ->
+      s"""WITH d AS (SELECT source, doc_id, text,
+         |    ${wordsSql("lower(text)")} AS ws FROM documents),
+         |w AS (SELECT source, ws, lag(ws) OVER (PARTITION BY source
+         |    ORDER BY text, doc_id) AS pw FROM d),
+         |p AS (SELECT source, len(ws) AS nt,
+         |    CASE WHEN pw IS NULL THEN 0
+         |      WHEN list_position(list_transform(
+         |          range(greatest(len(ws), len(pw))),
+         |          i -> CASE WHEN ws[i+1] IS NOT DISTINCT FROM pw[i+1]
+         |            THEN 1 ELSE 0 END), 0) IS NULL
+         |      THEN least(len(ws), len(pw))
+         |      ELSE list_position(list_transform(
+         |          range(greatest(len(ws), len(pw))),
+         |          i -> CASE WHEN ws[i+1] IS NOT DISTINCT FROM pw[i+1]
+         |            THEN 1 ELSE 0 END), 0) - 1 END AS plen
+         |  FROM w)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+         |  CAST(sum(plen) AS BIGINT) AS cached_tokens,
+         |  CAST(sum(plen) * 1000000 // sum(nt) AS BIGINT) AS hit_rate_e6
+         |FROM p GROUP BY source ORDER BY source""".stripMargin,
+
     "q_minhash_acc" ->
       s"""WITH $lshPairsCtes,
          |macc AS (

@@ -139,6 +139,7 @@ object JoinLint {
     "q_isotonic" ->"10-bucket rate table: PAVA max-min over bucket pairs (grid²)",
     "q_kmv_overlap" -> "per-source bottom-64 KMV sketches (64·sources rows)",
     "q_ljung_box" -> "lag grid 1..7 × day-spine autocorrelation moments (grid × calendar)",
+    "q_lsh_scurve" -> "capped 48-doc all-pairs probe (1128 pairs by construction; production uses the band join)",
     "q_rbo" -> "two 20-row TakeOrdered part rankings (shortlist-bounded)",
     "q_matching_att" -> "activity-level support match (distinct levels, bounded)",
     "q_nb_classifier" -> "≤5·1024-row likelihood model broadcast (documented)",
