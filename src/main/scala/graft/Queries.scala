@@ -14251,30 +14251,60 @@ object Queries {
     }
     val ed = partAdjacencyEdges(spark, sfDir)
       .select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
+      .localCheckpoint(true)
+    // symmetrized view stays LAZY over the 45M-row directed checkpoint:
+    // materializing the 90M-row distinct both-direction table is pure
+    // memory cost — duplicates are harmless to every consumer here
+    // (min-priority, neighbor SETS, a zero certificate count)
     val und = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(true)
-    var active = rebase(und.select(col("src").as("node")).distinct()
-      .withColumn("prio", graft.ops.TextOps.portableHash64(
-        concat(lit("mis:"), col("node").cast("string")))))
+    // the priority is a PURE FUNCTION of the node id, so the
+    // min-neighbor-priority aggregate needs NO label join at all — it
+    // runs straight off the maintained active-active edge subgraph
+    // (which shrinks geometrically; the r11 first cut shuffle-joined a
+    // V-sized priority table into the 2|E| union every round and blew
+    // the x100 aggregate memory). Knuth multiplicative mixing mod the
+    // Mersenne prime 2⁶¹−1: the odd multiplier is a BIJECTION on the
+    // residues, so priorities are collision-FREE (stronger than a
+    // cryptographic hash) and pure codegen arithmetic — an md5-based
+    // priority costs 2|E| digests in round 1 alone.
+    def pH(c: Column): Column =
+      (c * lit(2654435761L)) % lit(2305843009213693951L)
+    var active = rebase(und.select(col("src").as("node")).distinct())
+    var e = und
     val misParts = collection.mutable.ListBuffer.empty[DataFrame]
     val stats = collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-    for (_ <- 1 to 3) {
+    for (r <- 1 to 3) {
       val before = active.count()
-      val aS = active.select(col("node").as("src"))
-      val aD = active.select(col("node").as("dst"), col("prio").as("pd"))
-      val mn = und.join(aS, "src").join(aD, "dst")
-        .groupBy(col("src"))
-        .agg(min(struct(col("pd").as("p"), col("dst").as("n"))).as("m"))
-      val mis = rebase(active.join(mn, active("node") === mn("src"), "left")
-        .filter(col("m").isNull ||
-          struct(col("prio").as("p"), col("node").as("n")) < col("m"))
-        .select(col("node")))
+      val mn = rebase(e.groupBy(col("src"))
+        .agg(min(struct(pH(col("dst")).as("p"), col("dst").as("n"))).as("m")))
+      val misEdge = rebase(mn
+        .filter(struct(pH(col("src")).as("p"), col("src").as("n")) < col("m"))
+        .select(col("src").as("node")))
+      // actives with no surviving active neighbor are independent by
+      // default and join unconditionally (mn's key set IS the set of
+      // actives that still have one — the boruvka active-set argument)
+      val isolated = active.join(mn.select(col("src").as("node")),
+        Seq("node"), "left_anti")
+      val mis = rebase(misEdge.union(isolated))
       misParts += mis
-      val nbrs = und.join(mis.select(col("node").as("src")), "src")
+      val nMis = mis.count()
+      def gate(df: DataFrame): DataFrame =
+        if (nMis <= 10000000L) broadcast(df) else df
+      val nbrs = e.join(gate(misEdge.select(col("node").as("src"))), "src")
         .select(col("dst").as("node")).distinct()
-      active = rebase(active.join(
-        mis.select(col("node")).union(nbrs).distinct(), Seq("node"), "left_anti"))
-      stats += ((before, mis.count(), active.count()))
+      val a2 = rebase(active.join(mis.union(nbrs).distinct(),
+        Seq("node"), "left_anti"))
+      val nAfter = a2.count()
+      stats += ((before, nMis, nAfter))
+      active = a2
+      if (r < 3) {
+        def g2(df: DataFrame): DataFrame =
+          if (nAfter <= 10000000L) broadcast(df) else df
+        e = rebase(e
+          .join(g2(a2.select(col("node").as("src"))), Seq("src"), "left_semi")
+          .join(g2(a2.select(col("node").as("dst"))), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst")))
+      }
     }
     val misAll = misParts.reduce(_ union _).localCheckpoint(true)
     val violations = und
@@ -14282,7 +14312,7 @@ object Queries {
       .join(misAll.select(col("node").as("dst")), "dst")
       .count()
     ckpts.foreach(_.unpersist())
-    und.unpersist(); misAll.unpersist()
+    ed.unpersist(); misAll.unpersist()
     val sess = spark
     import sess.implicits._
     var cum = 0L

@@ -269,7 +269,11 @@ object SoakScale {
     // round 11: 3 Luby MIS rounds over the 10x/100x symmetrized edge
     // list (active-active restriction + per-node min + anti join per
     // round) and the broadcast-eval-probe decontamination corpus pass
-    "q_mis", "q_decontaminate_embed")
+    "q_mis", "q_decontaminate_embed",
+    // round-11 waves: the corpus tokenize + (source, token) LOO
+    // aggregate, the per-source lexicographic prefix window, and the
+    // distinct-type hash-bucket rollup
+    "q_source_loo", "q_prefix_cache", "q_birthday_collision")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

@@ -10944,7 +10944,7 @@ object SparkEntry {
          |und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
          |    SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed) u),
          |a0 AS MATERIALIZED (SELECT node,
-         |    ${hSql("'mis:' || CAST(node AS VARCHAR)")} AS prio
+         |    (node * 2654435761) % 2305843009213693951 AS prio
          |  FROM (SELECT DISTINCT src AS node FROM und)),
          |${round(1)},
          |${round(2)},
