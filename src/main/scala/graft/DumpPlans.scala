@@ -92,10 +92,18 @@ object DumpPlans {
     "q_hill" -> "tail index: the ONLY data-sized step is TakeOrdered(201); the k-grid rides the shortlist",
     "q_random_projection" -> "JL 64→8: e6-quantized explode joins a 512-entry broadcast sign matrix; exact integer projections; 100 hash-argmin audit pairs",
     "q_als_rank1" -> "rank-1 ALS: each half-sweep = one keyed join + aggregate (shuffle r by item, then by user) with the factor side broadcast",
-    "q_boruvka" -> "distributed MSF: per-round label joins + per-comp struct-min + 6 doubling pointer jumps; stats-rebased checkpoints between rounds",
+    "q_boruvka" -> "distributed MSF by CONTRACTION (r11): round-1 labels ARE node ids (no join); later rounds relabel the shrinking edge list through the comp-sized broadcast pointer map; per-comp struct-min partial-aggs; stats-rebased checkpoints",
     "q_aipw" -> "doubly-robust ATE: three OLS closed forms from ONE conditional-moment aggregate; psi fold joins one broadcast coefficient row",
     "q_abc_analysis" -> "Pareto classes on a log2-revenue bin support — the cumulative walk touches ~40 bins, never a global part sort",
-    "q_pr_auc" -> "average precision over the source-bounded score support walk; corpus work is one scan + one enum aggregate")
+    "q_pr_auc" -> "average precision over the source-bounded score support walk; corpus work is one scan + one enum aggregate",
+    // round 11
+    "q_mis" -> "Luby MIS: joinless min-neighbor-priority aggregate (priority is a pure function of the node id) over the maintained active-edge subgraph; size-gated broadcast removals; rebased rounds",
+    "q_decontaminate_embed" -> "semantic decontamination: 10-probe normalized eval set broadcast; ONE corpus pass; per-vector argmax by struct max — no all-pairs join",
+    "q_consistent_hashing" -> "consistent hashing: 128-token ring as ONE sorted array from a grouping-free aggregate, broadcast; per-key successor = narrow array filter (no join); removal replay on the same array",
+    "q_prefix_cache" -> "prefix-cache: per-source lexicographic lag window; common-prefix length is a zip_with + first-mismatch projection — no DP, no pair join",
+    "q_lsh_scurve" -> "S-curve tuning: capped 48-doc probe pairs (BNLJ bounded by construction); collision indicators ride the signature columns; theory curve is a 30-row grid projection",
+    "q_source_loo" -> "LOO data valuation: ALL 20 leave-one-out models from ONE (source, token) aggregate by count subtraction — no per-source retrain pass",
+    "q_binomial_test" -> "exact binomial: calendar-bounded n; C(n,j) via a BIGINT-safe multiplicative-recurrence HOF on the n+1-row support grid — no factorial blowup, no window")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

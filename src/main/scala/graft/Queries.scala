@@ -5605,7 +5605,11 @@ object Queries {
       .select(col("source"),
         explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
       .filter(length(col("token")) >= 2)
+    // four consumers (pair table, global totals, scalar totals, source
+    // masses) — materialize the vocab×sources aggregate ONCE or the
+    // plan re-tokenizes the corpus per branch (PlanSpec-guarded)
     val st = tok.groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val gt = st.groupBy(col("token")).agg(sum(col("c")).as("tc"))
     val tot = st.groupBy()
       .agg(sum(col("c")).as("nn"), countDistinct(col("token")).as("vv"))

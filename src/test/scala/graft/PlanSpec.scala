@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan shape guards: these are the properties that decide
@@ -1681,5 +1682,51 @@ class PlanSpec extends AnyFunSuite {
       val plan = formatted(q(spark, sf))
       assert(!plan.contains("CartesianProduct"), s"$n:\n$plan")
     }
+  }
+
+  test("r11 decontaminate_embed: broadcast probe side, one corpus pass, no cartesian") {
+    val plan = formatted(Queries.decontaminateEmbedQ(spark, sf))
+    // the eval set broadcasts; the per-vector argmax partial-aggregates
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(plan).nonEmpty, plan)
+  }
+
+  test("r11 consistent_hashing: NO join on the key side — the ring rides one broadcast row") {
+    val plan = formatted(Queries.consistentHashQ(spark, sf).select(col("shard"), col("load_before")))
+    // successor lookup must be a narrow array expression, never a
+    // per-key range/equi join against the 128-row token table
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("r11 prefix_cache: the window is keyed by source (never singleton)") {
+    val df = Queries.prefixCacheQ(spark, sf)
+    assert(WindowLint.singletonWindowKeys(df).isEmpty)
+    val plan = formatted(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("r11 source_loo: the corpus is tokenized ONCE, not once per consumer") {
+    val plan = formatted(Queries.sourceLooQ(spark, sf))
+    // the (source, token) aggregate is checkpointed; its four consumers
+    // must read the materialized table — zero Generate(explode) nodes
+    // in the final plan (the guard that caught the 4x re-tokenize)
+    assert("\\bGenerate\\b".r.findAllIn(plan).isEmpty, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("r11 mis: joinless round-1 min-priority aggregate (no SortMergeJoin before the first agg)") {
+    // build only the round-1 minEdge shape: symmetrized edges straight
+    // into the per-src struct-min — the x100 OOM fix's load-bearing
+    // property is that NO priority-table join precedes this aggregate
+    val ed = Queries.partAdjacencyEdges(spark, sf)
+      .select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
+    val und = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
+    val prio = (col("dst") * lit(2654435761L)) % lit(2305843009213693951L)
+    val mn = und.groupBy(col("src"))
+      .agg(min(struct(prio.as("p"), col("dst").as("n"))).as("m"))
+    val plan = formatted(mn)
+    assert(!plan.contains("Join"), plan)
   }
 }
