@@ -8255,6 +8255,171 @@ object Queries {
                    div nullif(v_e6, 0) as bigint)""").as("chi2_e6"))
   }
 
+  /** One-step Cox proportional-hazards fit on [[logrankQ]]'s two-arm
+    * survival setup — the EFFECT SIZE the logrank test only
+    * yes/no's: with the binary arm covariate, the Breslow-ties partial
+    * likelihood's Newton step from β=0 is closed-form over the SAME
+    * event-time support walk (score U = Σ_t d1 − d·n1/n, information
+    * I = Σ_t d·n1·n0/n²), each term e6-floored by one truncating
+    * division over exact risk-set integers. β = U/I lands through one
+    * sign-safe floor(double) (U may be negative — integer div would
+    * split the engines there), HR = exp(β) at e6. One user reduce,
+    * one time-support walk (WindowLint: time-support contract).
+    */
+  def coxQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy(col("user_id")).agg(min(col("d")).as("f"), max(col("d")).as("l"))
+    val md = u.groupBy().agg(max(col("l")).as("maxd"))
+    val per = u.crossJoin(broadcast(md))
+      .select((col("user_id") % 2).as("g"), (col("l") - col("f")).as("t"),
+        (col("l") >= col("maxd") - 2).as("cens"))
+    val sup = per.groupBy(col("t"))
+      .agg(sum(when(col("g") === 0 && !col("cens"), 1L).otherwise(0L)).as("d1"),
+        sum(when(col("g") === 0 && col("cens"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("g") === 1 && !col("cens"), 1L).otherwise(0L)).as("d2"),
+        sum(when(col("g") === 1 && col("cens"), 1L).otherwise(0L)).as("c2"))
+    val w = Window.partitionBy(
+        graft.functions.GraftFunctions.singleton_key(col("t")))
+      .orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val walked = sup
+      .withColumn("cl1", coalesce(sum(col("d1") + col("c1")).over(w), lit(0L)))
+      .withColumn("cl2", coalesce(sum(col("d2") + col("c2")).over(w), lit(0L)))
+    val tot = sup.groupBy()
+      .agg(sum(col("d1") + col("c1")).as("t1"), sum(col("d2") + col("c2")).as("t2"))
+    val terms = walked.crossJoin(broadcast(tot))
+      .filter(col("d1") + col("d2") > 0)
+      .select(col("d1"), (col("d1") + col("d2")).as("dd"),
+        (col("t1") - col("cl1")).as("n1"), (col("t2") - col("cl2")).as("n2"))
+      .withColumn("n", col("n1") + col("n2"))
+    terms.groupBy()
+      .agg(sum(col("d1")).as("o1"), sum(col("dd")).as("d_total"),
+        sum(expr("""(cast(d1 as decimal(38,0)) * n - cast(dd as decimal(38,0)) * n1)
+              * 1000000 div n""")).as("u_e6"),
+        sum(expr("""cast(dd as decimal(38,0)) * n1 * n2 * 1000000
+              div (cast(n as decimal(38,0)) * n)""")).as("i_e6"))
+      .select(col("o1"), col("d_total"),
+        col("u_e6").cast("long").as("u_e6"), col("i_e6").cast("long").as("i_e6"),
+        floor(col("u_e6").cast("double") / col("i_e6") * 1000000.0 + 0.5)
+          .cast("long").as("beta_e6"),
+        floor(exp(col("u_e6").cast("double") / col("i_e6")) * 1000000.0 + 0.5)
+          .cast("long").as("hr_e6"))
+  }
+
+  /** Fixed-effect meta-analysis of the per-region odd-vs-even-customer
+    * order-value effect — the "pool the regional experiments" readout
+    * with the I² heterogeneity score that says whether pooling was
+    * even legitimate: per-region Welch effect d and var from exact
+    * moments, inverse-variance weights at e9 (integer), the pooled
+    * effect through ONE sign-safe floor(double) (regional effects can
+    * be negative), Cochran's Q from exact integer deviations around
+    * the truncated pooled value, I² = max(0, (Q−(k−1))/Q). One
+    * fact-dim pass, 5-region grid after.
+    */
+  def metaAnalysisQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val o = Tables.orders(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_regionkey").as("region"),
+        (col("o_custkey") % 2 === 1).as("arm"),
+        cents(col("o_totalprice")).cast("long").as("x"))
+    val cells = o.groupBy(col("region"))
+      .agg(sum(when(col("arm"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("arm"), 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm"), col("x")).otherwise(0L)).as("s1"),
+        sum(when(!col("arm"), col("x")).otherwise(0L)).as("s0"),
+        sum(when(col("arm"), expr(s"cast(x as $d38) * x")).otherwise(expr("cast(0 as decimal(38,0))"))).as("q1"),
+        sum(when(!col("arm"), expr(s"cast(x as $d38) * x")).otherwise(expr("cast(0 as decimal(38,0))"))).as("q0"))
+      // Welch: d = m1 − m0 (e6 cents), var = s1²/n1 + s0²/n0 of the MEANS
+      .withColumn("d_e6", expr(s"""cast(cast(s1 as $d38) * 1000000 div n1
+          - cast(s0 as $d38) * 1000000 div n0 as bigint)"""))
+      .withColumn("var_e6", expr(s"""cast(
+          (n1 * q1 - cast(s1 as $d38) * s1) * 1000000
+            div (cast(n1 as $d38) * n1 * (n1 - 1))
+          + (n0 * q0 - cast(s0 as $d38) * s0) * 1000000
+            div (cast(n0 as $d38) * n0 * (n0 - 1)) as bigint)"""))
+      // inverse-variance weights at 10³⁰/var (decimal — a 10¹⁵ long
+      // scale collapsed to zero on cents² variances and NaN'd the
+      // pooled cast under ANSI)
+      .withColumn("wk", expr(s"""cast(1000000000000000000000000000000
+          as $d38) div var_e6"""))
+    val pool = cells.groupBy()
+      // Spark decimal `div` yields LONG — recast before the products or
+      // wk·d_e6 multiplies long×long and overflows under ANSI
+      .agg(count(lit(1)).as("k"), sum(expr(s"cast(wk as $d38)")).as("wt"),
+        sum(expr(s"cast(wk as $d38) * d_e6")).as("num"))
+      .withColumn("pooled_e6",
+        floor(col("num").cast("double") / col("wt").cast("double") + 0.5)
+          .cast("long"))
+    // Q needs no weight scale at all: Σ (d−p)²/var directly at e6
+    val q = cells.crossJoin(broadcast(pool))
+      .groupBy(col("k"), col("wt"), col("pooled_e6"))
+      .agg(sum(expr(s"""cast(d_e6 - pooled_e6 as $d38)
+          * (d_e6 - pooled_e6) div var_e6""")).as("q_e6"))
+      .select(col("k"), col("wt"), col("pooled_e6"),
+        col("q_e6").cast("long").as("q_e6"),
+        expr("""greatest(0L, (q_e6 - (k - 1) * 1000000) * 1000000
+            div nullif(q_e6, 0))""").as("i2_e6"))
+    cells.select(col("region"), col("n1"), col("n0"), col("d_e6"),
+        col("var_e6"), col("wk"))
+      .crossJoin(broadcast(q))
+      .select(col("region"), col("n1"), col("n0"), col("d_e6"), col("var_e6"),
+        expr(s"cast(cast(wk as $d38) * 1000000 div wt as bigint)")
+          .as("w_share_e6"),
+        col("k"), col("pooled_e6"), col("q_e6"), col("i2_e6"))
+      .orderBy(col("region"))
+  }
+
+  /** Expected steps to purchase absorption from each session state —
+    * the hitting-time readout on [[markovStationaryQ]]'s ≤5-state
+    * event-type chain (the stationary vector says where sessions SIT;
+    * this says how FAR each state is from converting): 8 value-
+    * iteration steps h ← 1 + P·h on the driver-held transition model
+    * (the ≤5×5 collect the stationary query already established as
+    * model-sized), truncating-integer e6 per fold so both engines
+    * replay bit-identically. 8-step truncation documented: h is the
+    * expected steps within an 8-hop horizon, with non-absorbed mass
+    * contributing the horizon itself — deterministic either way.
+    */
+  def markovAbsorptionQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val trans = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .filter(col("event_type") =!= "purchase") // absorbing: no exits
+      .groupBy(col("event_type").as("i"), col("nxt").as("j"))
+      .agg(count(lit(1)).as("c"))
+    val rows = trans.join(trans.groupBy(col("i")).agg(sum(col("c")).as("r")), "i")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val states = rows.map(_._1).distinct.sorted
+    var h: Map[String, Long] = states.map(_ -> 0L).toMap
+    for (_ <- 1 to 8) {
+      h = states.map { i =>
+        val out = rows.filter(_._1 == i)
+        val rt = out.head._4
+        i -> (1000000L + out.map { case (_, j, c, _) =>
+          c * h.getOrElse(j, 0L) // absorbed or unseen targets: 0 steps
+        }.sum / rt)
+      }.toMap
+    }
+    val spark2 = Tables.events(spark, sfDir).sparkSession
+    import spark2.implicits._
+    states.toSeq.map(s => (s, rows.filter(_._1 == s).head._4, h(s)))
+      .toDF("event_type", "n_transitions", "steps_to_purchase_e6")
+      .orderBy(col("event_type"))
+  }
+
   /** KMV (k-minimum-values / bottom-k) distinct sketches of each
     * source's token vocabulary, with set-operation estimates the HLL
     * partials of [[sketchRollupQ]] cannot give: for every source pair,

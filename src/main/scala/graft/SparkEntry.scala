@@ -491,6 +491,9 @@ object SparkEntry {
     "q_cheb_bound" -> (Queries.chebBoundQ _),
     "q_birthday_collision" -> (Queries.birthdayCollisionQ _),
     "q_page_trend" -> (Queries.pageTrendQ _),
+    "q_cox" -> (Queries.coxQ _),
+    "q_meta_analysis" -> (Queries.metaAnalysisQ _),
+    "q_markov_absorption" -> (Queries.markovAbsorptionQ _),
     "q_propensity_overlap" -> (Queries.propensityOverlapQ _),
     "q_bartlett" -> (Queries.bartlettQ _),
     "q_turning_points" -> (Queries.turningPointsQ _),
@@ -11331,6 +11334,113 @@ object SparkEntry {
         |    AS flatness_e6,
         |  CAST(max(mp * 1000000 // tp) AS BIGINT) AS dominant_share_e6
         |FROM terms GROUP BY kk""".stripMargin,
+
+    // One-step Cox replay: logrank's risk-set support walk, per-time
+    // truncating score/information terms, sign-safe floor(double) beta.
+    "q_cox" ->
+      """WITH u AS (SELECT user_id, min(d) AS f, max(d) AS l FROM (
+        |    SELECT user_id,
+        |      epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d
+        |    FROM events) GROUP BY user_id),
+        |md AS (SELECT max(l) AS maxd FROM u),
+        |per AS (SELECT user_id % 2 AS g, l - f AS t, l >= maxd - 2 AS cens
+        |  FROM u CROSS JOIN md),
+        |sup AS (SELECT t,
+        |    CAST(sum(CASE WHEN g = 0 AND NOT cens THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        |    CAST(sum(CASE WHEN g = 0 AND cens THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN g = 1 AND NOT cens THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+        |    CAST(sum(CASE WHEN g = 1 AND cens THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM per GROUP BY t),
+        |wk AS (SELECT *,
+        |    coalesce(sum(d1 + c1) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cl1,
+        |    coalesce(sum(d2 + c2) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cl2
+        |  FROM sup),
+        |tot AS (SELECT sum(d1 + c1) AS t1, sum(d2 + c2) AS t2 FROM sup),
+        |terms AS (SELECT d1, d1 + d2 AS dd, t1 - cl1 AS n1, t2 - cl2 AS n2,
+        |    (t1 - cl1) + (t2 - cl2) AS n
+        |  FROM wk CROSS JOIN tot WHERE d1 + d2 > 0),
+        |g AS (SELECT CAST(sum(d1) AS BIGINT) AS o1,
+        |    CAST(sum(dd) AS BIGINT) AS d_total,
+        |    sum((CAST(d1 AS HUGEINT) * n - CAST(dd AS HUGEINT) * n1)
+        |      * 1000000 // n) AS u_e6,
+        |    sum(CAST(dd AS HUGEINT) * n1 * n2 * 1000000
+        |      // (CAST(n AS HUGEINT) * n)) AS i_e6
+        |  FROM terms)
+        |SELECT o1, d_total, CAST(u_e6 AS BIGINT) AS u_e6,
+        |  CAST(i_e6 AS BIGINT) AS i_e6,
+        |  CAST(floor(CAST(u_e6 AS DOUBLE) / i_e6 * 1000000.0 + 0.5)
+        |    AS BIGINT) AS beta_e6,
+        |  CAST(floor(exp(CAST(u_e6 AS DOUBLE) / i_e6) * 1000000.0 + 0.5)
+        |    AS BIGINT) AS hr_e6
+        |FROM g""".stripMargin,
+
+    // Meta-analysis replay: per-region Welch moments, integer
+    // inverse-variance weights, sign-safe pooled floor, Cochran Q, I2.
+    "q_meta_analysis" ->
+      """WITH o AS (SELECT n_regionkey AS region, o_custkey % 2 = 1 AS arm,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |cells AS (SELECT region,
+        |    CAST(sum(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN NOT arm THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    sum(CASE WHEN arm THEN x ELSE 0 END) AS s1,
+        |    sum(CASE WHEN NOT arm THEN x ELSE 0 END) AS s0,
+        |    sum(CASE WHEN arm THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS q1,
+        |    sum(CASE WHEN NOT arm THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS q0
+        |  FROM o GROUP BY 1),
+        |c2 AS (SELECT *,
+        |    CAST(CAST(s1 AS HUGEINT) * 1000000 // n1
+        |      - CAST(s0 AS HUGEINT) * 1000000 // n0 AS BIGINT) AS d_e6,
+        |    CAST((n1 * q1 - CAST(s1 AS HUGEINT) * s1) * 1000000
+        |        // (CAST(n1 AS HUGEINT) * n1 * (n1 - 1))
+        |      + (n0 * q0 - CAST(s0 AS HUGEINT) * s0) * 1000000
+        |        // (CAST(n0 AS HUGEINT) * n0 * (n0 - 1)) AS BIGINT) AS var_e6
+        |  FROM cells),
+        |c3 AS (SELECT *,
+        |    CAST(1000000000000000000000000000000 AS HUGEINT) // var_e6 AS wk
+        |  FROM c2),
+        |pool AS (SELECT CAST(count(*) AS BIGINT) AS k, sum(wk) AS wt,
+        |    sum(wk * d_e6) AS num FROM c3),
+        |pool2 AS (SELECT k, wt, CAST(floor(CAST(num AS DOUBLE)
+        |    / CAST(wt AS DOUBLE) + 0.5) AS BIGINT) AS pooled_e6 FROM pool),
+        |qq AS (SELECT k, wt, pooled_e6,
+        |    CAST(sum(CAST(d_e6 - pooled_e6 AS HUGEINT)
+        |      * (d_e6 - pooled_e6) // var_e6) AS BIGINT) AS q_e6
+        |  FROM c3 CROSS JOIN pool2 GROUP BY k, wt, pooled_e6)
+        |SELECT region, n1, n0, d_e6, var_e6,
+        |  CAST(wk * 1000000 // wt AS BIGINT) AS w_share_e6,
+        |  k, pooled_e6, q_e6,
+        |  greatest(0, (q_e6 - (k - 1) * 1000000) * 1000000
+        |    // nullif(q_e6, 0)) AS i2_e6
+        |FROM c3 CROSS JOIN qq ORDER BY region""".stripMargin,
+
+    // Absorption replay: 8 MATERIALIZED value-iteration CTEs over the
+    // <=5x5 transition table, truncating-integer folds.
+    "q_markov_absorption" -> {
+      def it(i: Int): String =
+        s"""h$i AS MATERIALIZED (SELECT t.i AS s,
+           |    1000000 + sum(t.c * coalesce(h.h, 0)) // max(t.r) AS h
+           |  FROM tr t LEFT JOIN h${i - 1} h ON t.j = h.s GROUP BY t.i)""".stripMargin
+      s"""WITH seq AS (SELECT user_id, event_id, event_type,
+         |    lead(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS nxt
+         |  FROM events),
+         |tr0 AS (SELECT event_type AS i, nxt AS j,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM seq WHERE nxt IS NOT NULL AND event_type <> 'purchase'
+         |  GROUP BY 1, 2),
+         |tr AS MATERIALIZED (SELECT i, j, c,
+         |    sum(c) OVER (PARTITION BY i) AS r FROM tr0),
+         |h0 AS (SELECT DISTINCT i AS s, CAST(0 AS BIGINT) AS h FROM tr),
+         |${(1 to 8).map(it).mkString(",\n")}
+         |SELECT t.i AS event_type, CAST(max(t.r) AS BIGINT) AS n_transitions,
+         |  CAST(max(h8.h) AS BIGINT) AS steps_to_purchase_e6
+         |FROM tr t JOIN h8 ON t.i = h8.s GROUP BY t.i
+         |ORDER BY t.i""".stripMargin
+    },
 
     // Page-trend replay: block-keyed rank window on the article x dow
     // grid, exact E[L], closed-form variance, one sqrt.

@@ -105,7 +105,8 @@ object WindowLint {
     "q_seg_regression", // calendar: cumulative OLS moments over the day spine
     "q_pr_auc", // score-support walk (source-bounded enum, ≤20 scores)
     "q_weibull", // median-rank walk over the lifetime-duration support (calendar-bounded)
-    "q_turning_points" // lag/lead over the day spine (calendar-bounded)
+    "q_turning_points", // lag/lead over the day spine (calendar-bounded)
+    "q_cox" // time-support risk-set walk (the logrank contract)
   )
 }
 
