@@ -36,6 +36,7 @@ object JoinLint {
     case a: ObjectHashAggregateExec if a.groupingExpressions.isEmpty => true
     case a: SortAggregateExec if a.groupingExpressions.isEmpty => true
     case _: LocalTableScanExec => true
+    case _: RangeExec => true // literal start/end — bounded by construction
     case _: GlobalLimitExec => true
     case _: CollectLimitExec => true
     case _: TakeOrderedAndProjectExec => true
@@ -74,19 +75,10 @@ object JoinLint {
     // entries. Bounds are restated from each query's Scaladoc.)
     // -- calendar-bounded build sides (day/month/hour spine ≤ a few
     //    hundred rows at ANY data size; pairwise forms are calendar²)
-    "q_acf" -> "lag grid × day-spine moments (calendar-bounded)",
-    "q_adstock" -> "λ-grid × day-spine adstock folds (grid × calendar)",
-    "q_crosscorr" -> "lag −3..+3 grid × day-spine moments (grid × calendar)",
-    "q_fano" -> "3-timescale window grid × windowed counts (calendar-bounded)",
-    "q_gumbel" -> "monthly block-maxima table (calendar-bounded, ~80 months)",
     "q_hodges_lehmann" -> "weekday×weekend day-pair differences (calendar²)",
-    "q_hurst" -> "dyadic chunk grid over the hourly series (calendar-bounded)",
     "q_jackknife_ratio" -> "leave-one-region-out strata (5 regions, value-support)",
     "q_kendall_tau" -> "d1<d2 day-pair self-join (calendar²; documented in Scaladoc)",
     "q_mann_kendall" -> "all-day-pairs S statistic (calendar²; documented tiny)",
-    "q_pacf" -> "Durbin-Levinson lag grid × acf numerators (grid × calendar)",
-    "q_periodogram" -> "period grid 2..10 × day spine (grid × calendar)",
-    "q_ses_grid" -> "α-grid (7) × day-spine SES replays (grid × calendar)",
     "q_theil_sen" -> "pairwise day slopes (calendar²; 29%-breakdown median)",
     "q_var_es" -> "daily loss histogram (calendar-bounded value support)",
     // -- probe/eval-shortlist-bounded build sides (fixed ≤500-row probe
@@ -110,51 +102,34 @@ object JoinLint {
     "q_err" -> "50-probe graded eval slice × corpus ranking scan",
     "q_map_at_k" -> "50-probe eval slice × corpus ranking scan",
     "q_silhouette" -> "50-probe eval slice × one corpus pass (documented O(n²) cap)",
-    "q_media_features" -> "5-media probe slice × decoded-embedding scan",
     "q_kcenter" -> "k broadcast center rows × linear corpus passes (k passes)",
-    "q_random_projection" -> "8 hash-ARGMIN-selected seed rows broadcast per plane",
     "q_ransac" -> "hash-ARGMIN-selected sample seeds broadcast per round",
     "q_edit_distance" -> "capped near-name candidate set (documented cap)",
     "q_lcs_sim" -> "probe-bounded journey pairs (first-7-event sequences)",
     "q_needleman" -> "probe-bounded 7-event journey pairs (bounded DP lattice)",
     "q_ngram_jaccard" -> "capped document set for brute-force pair verification",
     "q_simhash_pairs" -> "capped document set for hamming pair verification",
-    "q_resample" -> "user×day grid side (generated sequence, broadcast; documented tiny)",
     // -- value-support / grid-bounded build sides
-    "q_bleu" -> "per-doc clipped-gram totals vs candidate/reference scalar totals (n-grid ×4)",
-    "q_rouge" -> "per-doc gram totals vs candidate/reference totals (ROUGE-1/2 grid)",
     "q_chi2_indep" -> "lang×source contingency margins (value-support cells)",
     "q_chi2_residuals" -> "contingency margins (value-support cells)",
     "q_cramers_v" -> "contingency margins + scalar N (value-support)",
     "q_mutual_info" -> "5×7 type×day-of-week contingency (value-support)",
-    "q_cms_topk" -> "4×1024 CMS counter rows × top-20 exact shortlist",
     "q_content_halflife" -> "40-article × day scaffold (both dims bounded, documented)",
-    "q_copeland" -> "40×40 article pairwise-preference grid (value-support)",
-    "q_kendall_w" -> "40-item × rater rank grid (value-support)",
-    "q_decision_curve" -> "5-threshold grid × global confusion scalars",
     "q_fdr_bh" -> "5-hypothesis family × 200-round permutation grid",
     "q_friedman" -> "block×treatment rank grid (value-support)",
-    "q_heaps" -> "10 geometric doc-count checkpoints × vocab min-aggregate",
-    "q_hill" -> "201-row TakeOrdered tail shortlist × k-grid",
     "q_isotonic" ->"10-bucket rate table: PAVA max-min over bucket pairs (grid²)",
     "q_kmv_overlap" -> "per-source bottom-64 KMV sketches (64·sources rows)",
-    "q_ljung_box" -> "lag grid 1..7 × day-spine autocorrelation moments (grid × calendar)",
     "q_lsh_scurve" -> "capped 48-doc all-pairs probe (1128 pairs by construction; production uses the band join)",
-    "q_rbo" -> "two 20-row TakeOrdered part rankings (shortlist-bounded)",
     "q_matching_att" -> "activity-level support match (distinct levels, bounded)",
+    "q_meta_analysis" -> "5-region cell grid × the 1-row pooled/Q readout (group keys are the pool scalars)",
     "q_nb_classifier" -> "≤5·1024-row likelihood model broadcast (documented)",
-    "q_ngram_novelty" -> "n-grid 1..3 × distinct-gram presence aggregates",
-    "q_richclub" -> "degree-threshold grid × degree-support counts",
-    "q_sample_size" -> "3-row lift grid × observed-baseline scalars",
     "q_shapley" -> "2⁴ coalition grid over 4 channels (model-bounded)",
     "q_slope_one" -> "5×5 event-type deviation matrix × probe users (value-support)",
     "q_tcloseness" -> "quasi-identifier groups × ordered sensitive support (EMD walk)",
     "q_tree2" -> "feature×value-support split grid (documented split search)",
-    "q_vocab_drift" -> "two 20-row TakeOrdered token shortlists (shortlist-bounded)",
     // -- API demos / replays
     "q_cross_join" -> "region×nation 5×25 fixed-cardinality dims (the cross-join API demo)",
     "q_dtw" -> "two calendar-bounded daily series in the DTW lattice",
-    "q_permutation_test" -> "200-round permutation grid × global moment row"
   )
 }
 
