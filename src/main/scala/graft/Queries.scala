@@ -7305,6 +7305,93 @@ object Queries {
       .orderBy(col("train_doc"), col("test_doc"))
   }
 
+  /** Cross-source dedup survivorship — when near-dups collide across
+    * ingest sources, WHO keeps the canonical copy: the memoized LSH
+    * pair table (shared with [[minhashLshMemoQ]]/[[splitLeakageQ]] —
+    * the audit costs one filter, never a new corpus pass) at
+    * jaccard ≥ 0.8, keeper = the min-id side (the library's canonical
+    * rule), sources mapped through one broadcast of the 500-row doc
+    * dim (planted copies resolve via id % 10000). The directional
+    * (keeper_source, loser_source) matrix is the crawl-priority
+    * signal: a source that always LOSES is pure re-crawl of someone
+    * else's content.
+    */
+  def dedupSurvivorshipQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    val pairs = lshPairs(spark, sfDir).filter(col("jaccard") >= 0.8)
+    pairs
+      .join(broadcast(src.select((col("doc_id")).as("ka"), col("source").as("keep_source"))),
+        expr("doc_a % 10000") === col("ka"))
+      .join(broadcast(src.select((col("doc_id")).as("kb"), col("source").as("lose_source"))),
+        expr("doc_b % 10000") === col("kb"))
+      .groupBy(col("keep_source"), col("lose_source"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("keep_source"), col("lose_source"))
+  }
+
+  /** Switchback-experiment readout with a carryover certificate — the
+    * time-boxed design used when user-level randomization interferes
+    * (marketplaces, pricing): 3-day alternating blocks over the
+    * calendar, naive effect = treated−control mean daily purchase
+    * volume over ALL days vs the interior effect that EXCLUDES each
+    * block's first day (where yesterday's arm still contaminates);
+    * carryover_bias = naive − interior is the number that says
+    * whether the washout period was long enough. One daily aggregate;
+    * everything after is the day spine.
+    */
+  def switchbackQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(sum(cents(col("value")).cast("long")).as("y"))
+    val d0 = daily.groupBy().agg(min(col("d")).as("dmin"))
+    val marked = daily.crossJoin(broadcast(d0))
+      .withColumn("rel", col("d") - col("dmin"))
+      .withColumn("treat", expr("(rel div 3) % 2 = 1"))
+      .withColumn("interior", expr("rel % 3 != 0"))
+    marked.groupBy()
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("interior"), 1L).otherwise(0L)).as("n_interior"),
+        expr("""cast(sum(CASE WHEN treat THEN y END) * cast(1000000 as decimal(38,0))
+              div sum(CASE WHEN treat THEN 1 ELSE 0 END) as bigint)""").as("t_all_e6"),
+        expr("""cast(sum(CASE WHEN NOT treat THEN y END) * cast(1000000 as decimal(38,0))
+              div sum(CASE WHEN NOT treat THEN 1 ELSE 0 END) as bigint)""").as("c_all_e6"),
+        expr("""cast(sum(CASE WHEN treat AND interior THEN y END) * cast(1000000 as decimal(38,0))
+              div sum(CASE WHEN treat AND interior THEN 1 ELSE 0 END) as bigint)""").as("t_int_e6"),
+        expr("""cast(sum(CASE WHEN NOT treat AND interior THEN y END) * cast(1000000 as decimal(38,0))
+              div sum(CASE WHEN NOT treat AND interior THEN 1 ELSE 0 END) as bigint)""").as("c_int_e6"))
+      .select(col("n_days"), col("n_interior"),
+        (col("t_all_e6") - col("c_all_e6")).as("naive_diff_e6"),
+        (col("t_int_e6") - col("c_int_e6")).as("interior_diff_e6"),
+        ((col("t_all_e6") - col("c_all_e6"))
+          - (col("t_int_e6") - col("c_int_e6"))).as("carryover_bias_e6"))
+  }
+
+  /** Context-window fit audit — before packing a corpus into a model's
+    * context, the two numbers that size the training run: for each
+    * window in {512, 2048, 8192} BPE-ish tokens, the share of
+    * DOCUMENTS that fit whole and the share of TOKEN MASS lost to
+    * truncation (Σ max(0, n−w) / Σn). One tokenize-count scan, a
+    * 3-row window grid, exact integer ppm.
+    */
+  def contextFitQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(TextOps.bpeTokenCount(col("text")).as("n"))
+    val grid = broadcast(d.sparkSession.range(0, 3)
+      .select(expr("element_at(array(512L, 2048L, 8192L), cast(id + 1 as int))")
+        .as("w")))
+    d.crossJoin(grid)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("total_tokens"),
+        sum(when(col("n") <= col("w"), 1L).otherwise(0L)).as("n_fit"),
+        sum(greatest(col("n") - col("w"), lit(0L))).as("trunc_tokens"))
+      .select(col("w").as("ctx_window"), col("n_docs"), col("n_fit"),
+        expr("n_fit * 1000000 div n_docs").as("fit_docs_e6"),
+        col("total_tokens"),
+        expr("trunc_tokens * 1000000 div total_tokens").as("trunc_waste_e6"))
+      .orderBy(col("ctx_window"))
+  }
+
   /** Sample-ratio-mismatch guard for the A/B assignment: the 1-df χ²
     * of the observed variant split against the intended 50/50 —
     * (n_a−n_b)²·10⁶ div (n_a+n_b), exact. The cheapest and most

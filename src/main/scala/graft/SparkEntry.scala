@@ -492,6 +492,9 @@ object SparkEntry {
     "q_birthday_collision" -> (Queries.birthdayCollisionQ _),
     "q_page_trend" -> (Queries.pageTrendQ _),
     "q_cox" -> (Queries.coxQ _),
+    "q_dedup_survivorship" -> (Queries.dedupSurvivorshipQ _),
+    "q_switchback" -> (Queries.switchbackQ _),
+    "q_context_fit" -> (Queries.contextFitQ _),
     "q_meta_analysis" -> (Queries.metaAnalysisQ _),
     "q_markov_absorption" -> (Queries.markovAbsorptionQ _),
     "q_propensity_overlap" -> (Queries.propensityOverlapQ _),
@@ -11334,6 +11337,67 @@ object SparkEntry {
         |    AS flatness_e6,
         |  CAST(max(mp * 1000000 // tp) AS BIGINT) AS dominant_share_e6
         |FROM terms GROUP BY kk""".stripMargin,
+
+    // Survivorship replay: the full LSH pair pipeline, 0.8 gate,
+    // min-id keeper, source map via id % 10000.
+    "q_dedup_survivorship" ->
+      s"""WITH $lshPairsCtes,
+         |srcm AS (SELECT doc_id, source FROM documents)
+         |SELECT ka.source AS keep_source, kb.source AS lose_source,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM scored JOIN srcm ka ON doc_a % 10000 = ka.doc_id
+         |JOIN srcm kb ON doc_b % 10000 = kb.doc_id
+         |WHERE jaccard >= 0.8
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Switchback replay: 3-day alternating blocks, per-arm means cast
+    // separately (matching the Spark truncation points), interior
+    // excludes each block's first day.
+    "q_switchback" ->
+      """WITH daily AS (SELECT
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |d0 AS (SELECT min(d) AS dmin FROM daily),
+        |m AS (SELECT y, ((d - dmin) // 3) % 2 = 1 AS treat,
+        |    (d - dmin) % 3 != 0 AS interior
+        |  FROM daily CROSS JOIN d0),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(CASE WHEN interior THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_interior,
+        |    CAST(sum(CASE WHEN treat THEN y END) * CAST(1000000 AS HUGEINT)
+        |      // sum(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS t_all,
+        |    CAST(sum(CASE WHEN NOT treat THEN y END) * CAST(1000000 AS HUGEINT)
+        |      // sum(CASE WHEN NOT treat THEN 1 ELSE 0 END) AS BIGINT) AS c_all,
+        |    CAST(sum(CASE WHEN treat AND interior THEN y END)
+        |      * CAST(1000000 AS HUGEINT)
+        |      // sum(CASE WHEN treat AND interior THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS t_int,
+        |    CAST(sum(CASE WHEN NOT treat AND interior THEN y END)
+        |      * CAST(1000000 AS HUGEINT)
+        |      // sum(CASE WHEN NOT treat AND interior THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c_int
+        |  FROM m)
+        |SELECT n_days, n_interior, t_all - c_all AS naive_diff_e6,
+        |  t_int - c_int AS interior_diff_e6,
+        |  (t_all - c_all) - (t_int - c_int) AS carryover_bias_e6
+        |FROM g""".stripMargin,
+
+    // Context-fit replay: BPE-ish token counts, 3-window grid, exact
+    // ppm fit and truncation-waste shares.
+    "q_context_fit" ->
+      """WITH d AS (SELECT CAST(len(regexp_extract_all(text,
+        |    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n
+        |  FROM documents),
+        |g AS (SELECT CAST(unnest([512, 2048, 8192]) AS BIGINT) AS w)
+        |SELECT w AS ctx_window, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN n <= w THEN 1 ELSE 0 END) AS BIGINT) AS n_fit,
+        |  CAST(sum(CASE WHEN n <= w THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) AS fit_docs_e6,
+        |  CAST(sum(n) AS BIGINT) AS total_tokens,
+        |  CAST(sum(greatest(n - w, 0)) * 1000000 // sum(n) AS BIGINT)
+        |    AS trunc_waste_e6
+        |FROM d CROSS JOIN g GROUP BY w ORDER BY w""".stripMargin,
 
     // One-step Cox replay: logrank's risk-set support walk, per-time
     // truncating score/information terms, sign-safe floor(double) beta.
