@@ -11061,25 +11061,36 @@ object SparkEntry {
          |FROM dp ORDER BY user_a, user_b""".stripMargin
     },
 
-    // ROUGE-L replay: 8x10 lateral-alias LCS lattice per doc over the
-    // lead-10 reference and the every-other-word extract.
+    // ROUGE-L replay: the 8x10 LCS lattice as MATERIALIZED per-row
+    // CTEs — a single-select lateral-alias form inlines each cell's 3
+    // predecessors recursively (3^18 expansion; measured ~9 min), the
+    // row chain keeps up/diag as table columns and only the linear
+    // in-row left chain inlines. Alternating a/b column prefixes dodge
+    // DuckDB's table-column-over-lateral-alias shadowing.
     "q_rouge_l" -> {
-      val cells = Queries.lcsCells(i => s"cand[$i]", j => s"ref[$j]", 10)
-        .filter { case (n, _) => n.split("_")(1).toInt <= 8 }
-        .map { case (n, e) => s"    $e AS $n" }.mkString(",\n")
+      def rowCte(i: Int): String = {
+        val cur = if (i % 2 == 1) "a" else "b"
+        val prev = if (i % 2 == 1) "b" else "a"
+        val cells = (1 to 10).map { j =>
+          val eq = s"(CASE WHEN cand[$i] = ref[$j] THEN 1 ELSE 0 END)"
+          val diag = if (i == 1 || j == 1) "0" else s"$prev${j - 1}"
+          val up = if (i == 1) "0" else s"$prev$j"
+          val left = if (j == 1) "0" else s"$cur${j - 1}"
+          s"greatest($diag + $eq, $up, $left) AS $cur$j"
+        }.mkString(", ")
+        s"r$i AS MATERIALIZED (SELECT doc_id, ref, cand, $cells FROM ${if (i == 1) "b2" else s"r${i - 1}"})"
+      }
       s"""WITH base AS (SELECT doc_id, ${wordsSql("lower(text)")} AS ws
          |  FROM documents WHERE doc_id < 300 AND doc_id % 5 = 0),
          |b2 AS (SELECT doc_id, list_slice(ws, 1, 10) AS ref,
          |    list_transform(range(1, 9), i -> ws[CAST(2 * i AS INT)]) AS cand
          |  FROM base WHERE len(ws) >= 20),
-         |dp AS (SELECT doc_id,
-         |$cells
-         |  FROM b2)
-         |SELECT doc_id, CAST(d_8_10 AS BIGINT) AS lcs,
-         |  CAST(d_8_10 AS BIGINT) * 1000000 // 8 AS prec_e6,
-         |  CAST(d_8_10 AS BIGINT) * 1000000 // 10 AS rec_e6,
-         |  CAST(2 * d_8_10 AS BIGINT) * 1000000 // 18 AS f_e6
-         |FROM dp ORDER BY doc_id""".stripMargin
+         |${(1 to 8).map(rowCte).mkString(",\n")}
+         |SELECT doc_id, CAST(b10 AS BIGINT) AS lcs,
+         |  CAST(b10 AS BIGINT) * 1000000 // 8 AS prec_e6,
+         |  CAST(b10 AS BIGINT) * 1000000 // 10 AS rec_e6,
+         |  CAST(2 * b10 AS BIGINT) * 1000000 // 18 AS f_e6
+         |FROM r8 ORDER BY doc_id""".stripMargin
     },
 
     // Chebyshev-certificate replay: exact integer per-row tail test,
