@@ -8127,7 +8127,8 @@ object Queries {
     * lead means the parallel-trends assumption didQ leans on is broken,
     * which is exactly what this query lets you see): for each relative
     * day k ∈ −5..+5, per-arm daily event volume normalized per user at
-    * e6, each arm's 5-lead pre-mean subtracted, and the dynamic effect
+    * e6, each arm's pre-mean (over the pre cells that exist, not a
+    * literal 5 — calendar-gap safe) subtracted, and the dynamic effect
     * att_e6(k) = (y_t − y_c) − (pre_t − pre_c). One data-sized
     * aggregate onto the (arm, rel-day) grid; everything after is
     * 22 cells.
@@ -8147,9 +8148,12 @@ object Queries {
       .join(broadcast(users), "treated")
       .select(col("treated"), col("rel"), col("n"),
         expr("n * 1000000 div nu").as("y_e6"))
+    // pre-mean over the pre-period cells that actually EXIST — a
+    // calendar gap or a <11-day span must shrink the denominator with
+    // the numerator, not silently bias pre_e6 (r11 ADVICE item)
     val pre = cell.filter(col("rel") < 0)
       .groupBy(col("treated"))
-      .agg(expr("sum(y_e6) div 5").as("pre_e6"))
+      .agg(expr("sum(y_e6) div count(*)").as("pre_e6"))
     val adj = cell.join(broadcast(pre), "treated")
       .select(col("treated"), col("rel"), col("n"),
         (col("y_e6") - col("pre_e6")).as("dev_e6"))
@@ -14485,9 +14489,10 @@ object Queries {
     * symmetry-breaking primitive behind distributed coloring /
     * scheduling / landmark selection (pick a maximal set of parts no
     * two of which co-occur): 3 rounds of "join the MIS iff your hash
-    * priority beats every ACTIVE neighbor's" with p(u) =
-    * portableHash64('mis:'||u) and (p, node) struct comparison (a
-    * total order — the Luby correctness precondition; isolated actives
+    * priority beats every ACTIVE neighbor's" with p(u) = Knuth
+    * multiplicative mixing mod 2⁶¹−1 (a pure function of the node id —
+    * no label join) made a total order by the (p, node) struct
+    * tiebreak (the Luby correctness precondition; isolated actives
     * join unconditionally), then MIS ∪ N(MIS) leaves the active set.
     * Per-round motion: one active-active edge restriction (two equi
     * joins), one per-node min (map-side partial), one anti join — each
@@ -14519,10 +14524,17 @@ object Queries {
     // (which shrinks geometrically; the r11 first cut shuffle-joined a
     // V-sized priority table into the 2|E| union every round and blew
     // the x100 aggregate memory). Knuth multiplicative mixing mod the
-    // Mersenne prime 2⁶¹−1: the odd multiplier is a BIJECTION on the
-    // residues, so priorities are collision-FREE (stronger than a
-    // cryptographic hash) and pure codegen arithmetic — an md5-based
-    // priority costs 2|E| digests in round 1 alone.
+    // Mersenne prime 2⁶¹−1 — pure codegen arithmetic (an md5-based
+    // priority costs 2|E| digests in round 1 alone). The map u ↦
+    // (u·2654435761 mod 2⁶⁴) mod (2⁶¹−1) is NOT a bijection (the final
+    // mod folds 8 residue classes together), so priority collisions
+    // are possible; the order is made TOTAL by the (p, node) struct
+    // tiebreak below, which is all Luby needs (a node enters the MIS
+    // only when strictly smaller than every neighbor under the total
+    // order). Range assumption: u·2654435761 must not overflow long,
+    // i.e. node ids < 2⁶³/2654435761 ≈ 3.5e9 — synthetic part ids are
+    // ≪ that; revisit the mixer before reusing on wider id spaces
+    // (ANSI mode would throw, not wrap, so a violation fails loudly).
     def pH(c: Column): Column =
       (c * lit(2654435761L)) % lit(2305843009213693951L)
     var active = rebase(und.select(col("src").as("node")).distinct())
@@ -14959,11 +14971,19 @@ object Queries {
       .agg(sum(when(col("v") * col("n") > col("tot"), 1L).otherwise(0L)).as("k"))
     val sup = k.select(col("n"), col("k"),
       explode(expr("sequence(0L, n)")).as("j"))
+      // the LONG recurrence below is exact only while its peak
+      // intermediate C(n, n/2)·n < 2⁶³, i.e. n ≤ 60 — fail LOUDLY the
+      // day a decade-scale calendar exceeds it instead of returning
+      // silently-wrong tails (r11 ADVICE item)
+      .filter(expr("assert_true(n <= 60, " +
+        "'binomialTestQ: n > 60 days overflows the long C(n,j) " +
+        "recurrence — route the accumulator through decimal(38,0)') is null"))
     // C(n,j) by the multiplicative recurrence with INTERLEAVED exact
     // division: after step i the accumulator is C(n−j+i, i) — always
-    // integral, peaks at C(n, n/2)·n ≈ 5·10⁹ for the ~31-day calendar,
-    // so plain LONG arithmetic (a giant-factorial formulation overflows
-    // Spark's decimal HOF silently — the bug this replaced)
+    // integral, peaks at C(n, n/2)·n ≈ 5·10⁹ for the ~31-day calendar
+    // (< 2⁶³ up to n = 60, asserted above), so plain LONG arithmetic
+    // (a giant-factorial formulation overflows Spark's decimal HOF
+    // silently — the bug this replaced)
     val c = sup.withColumn("cnj", expr(s"""cast(CASE WHEN j = 0 THEN 1
       ELSE aggregate(sequence(1L, j), 1L, (a, i) -> a * (n - j + i) div i)
       END as $d38)"""))

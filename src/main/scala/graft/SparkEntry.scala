@@ -11638,7 +11638,8 @@ object SparkEntry {
         |FROM terms GROUP BY source, ns ORDER BY source""".stripMargin,
 
     // Event-study replay: midpoint treatment day, per-arm per-user
-    // normalized rel-day volume, 5-lead pre-mean subtraction.
+    // normalized rel-day volume, pre-mean over EXISTING pre cells
+    // subtracted (count(*), not the literal 5 — calendar-gap safe).
     "q_event_study" ->
       """WITH ev AS (SELECT user_id,
         |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d FROM events),
@@ -11650,7 +11651,7 @@ object SparkEntry {
         |  FROM ev CROSS JOIN mid WHERE d - mid BETWEEN -5 AND 5 GROUP BY 1, 2),
         |c2 AS (SELECT treated, rel, n, n * 1000000 // nu AS y_e6
         |  FROM cell JOIN users USING (treated)),
-        |pre AS (SELECT treated, sum(y_e6) // 5 AS pre_e6
+        |pre AS (SELECT treated, sum(y_e6) // count(*) AS pre_e6
         |  FROM c2 WHERE rel < 0 GROUP BY 1),
         |adj AS (SELECT treated, rel, n, y_e6 - pre_e6 AS dev_e6
         |  FROM c2 JOIN pre USING (treated))

@@ -32,6 +32,17 @@ object JoinLint {
     * else — scans in particular — is data-sized.
     */
   def boundedByConstruction(p: SparkPlan): Boolean = p match {
+    // row-EXPANDING nodes void their child's bound: explode over a
+    // grouping-free aggregate is 1 row × an array of data-sized length
+    // (e.g. explode(collect_list(x))) — exactly the blowup this lint
+    // exists to catch. The one provable exception: a generator whose
+    // inputs are all FOLDABLE (a literal array / literal-bounds
+    // sequence) multiplies the child's bound by a compile-time
+    // constant, so it preserves boundedness. Anything data-dependent
+    // (collect_list, sequence(0, n)) needs an allowlist entry naming
+    // the bound.
+    case g: GenerateExec =>
+      g.generator.children.forall(_.foldable) && boundedByConstruction(g.child)
     case a: HashAggregateExec if a.groupingExpressions.isEmpty => true
     case a: ObjectHashAggregateExec if a.groupingExpressions.isEmpty => true
     case a: SortAggregateExec if a.groupingExpressions.isEmpty => true
@@ -116,6 +127,7 @@ object JoinLint {
     "q_mutual_info" -> "5×7 type×day-of-week contingency (value-support)",
     "q_content_halflife" -> "40-article × day scaffold (both dims bounded, documented)",
     "q_fdr_bh" -> "5-hypothesis family × 200-round permutation grid",
+    "q_fisher_exact" -> "hypergeometric k-support explode off the 1-row 2×2 margin aggregate (≤ |users|+1 rows; events users are fixed at 150 across SFs)",
     "q_friedman" -> "block×treatment rank grid (value-support)",
     "q_isotonic" ->"10-bucket rate table: PAVA max-min over bucket pairs (grid²)",
     "q_kmv_overlap" -> "per-source bottom-64 KMV sketches (64·sources rows)",

@@ -52,6 +52,18 @@ class JoinLintSpec extends AnyFunSuite {
     assert(JoinLint.unboundedCrossSites(li.crossJoin(broadcast(projected))).isEmpty)
   }
 
+  test("an explode over a global aggregate is NOT certified bounded") {
+    // the r11 ADVICE case: collect_list over a grouping-free aggregate
+    // is 1 row, but exploding it back out re-admits |data| rows — a
+    // row-EXPANDING node must void the child's bound
+    val li = Tables.lineitem(spark, sf)
+    val blown = li.groupBy().agg(collect_list(col("l_orderkey")).as("ks"))
+      .select(explode(col("ks")).as("k"))
+    val sites = JoinLint.unboundedCrossSites(li.crossJoin(broadcast(blown)))
+    assert(sites.nonEmpty,
+      "explode(collect_list) over a global agg must NOT be certified bounded")
+  }
+
   test("equi-joins are never flagged (only BNLJ/cartesian are in scope)") {
     val li = Tables.lineitem(spark, sf)
     val o = Tables.orders(spark, sf)
