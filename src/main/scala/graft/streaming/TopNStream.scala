@@ -15,21 +15,30 @@ case class TopNBuffer(items: Seq[String], cnts: Seq[Long])
   * processor instead of a complete-mode sort or a foreachBatch
   * row_number replay (the library's 8th transformWithState pattern):
   * each ranking context keeps (a) the full item→count MapState —
-  * point-reads/writes only, never scanned — and (b) a k-entry
+  * point-reads/writes on the hot path — and (b) a k-entry
   * ValueState buffer of the current top-k. A batch folds its deltas
   * per item (sum — commutative, so shuffle arrival order cannot
   * matter), point-updates the touched counts, and re-ranks ONLY
-  * {old top-k} ∪ {touched items}: with non-negative deltas an
-  * untouched item outside the buffer was displaced by counts that
-  * never decrease, so it cannot re-enter without a delta of its own —
-  * the update-fast rank argument. Emits the refreshed (rank, item,
-  * cnt) rows per updated context per batch: an item leaving the top-k
-  * simply stops appearing at its old rank in the next refresh, which
-  * is the collapsed retract+insert changelog a keyed upsert sink
-  * applies directly (same contract as the reference's MySQL sink).
+  * {old top-k} ∪ {touched items}: an untouched item outside the
+  * buffer is bounded by the OLD buffer floor under the (−cnt, item)
+  * total order, so the candidate top-k is exact whenever its new
+  * floor is at least as good as the old one — always true for
+  * non-negative deltas (counts never decrease: the update-fast rank
+  * argument), and checked explicitly when a batch carries
+  * RETRACTIONS (negative deltas, Blink's retract-stream rank
+  * semantics): only when a retraction LOWERS the buffer floor can a
+  * displaced outsider re-qualify, and only then does the processor
+  * fall back to one bounded MapState rescan to rebuild the top-k.
+  * A count retracted to zero is removed from state entirely. Emits
+  * the refreshed (rank, item, cnt) rows per updated context per
+  * batch: an item leaving the top-k simply stops appearing at its
+  * old rank in the next refresh, which is the collapsed
+  * retract+insert changelog a keyed upsert sink applies directly
+  * (same contract as the reference's MySQL sink).
   *
   * State: |items| counters in RocksDB (the same shape Blink's rank
-  * keeps) + 2k scalars; per-batch work is O(touched + k log k).
+  * keeps) + 2k scalars; per-batch work is O(touched + k log k), plus
+  * O(|items|) only on a floor-lowering retraction batch.
   */
 class TopNProcessor(k: Int)
     extends StatefulProcessor[String, (String, String, Long), (String, Int, String, Long)] {
@@ -47,21 +56,46 @@ class TopNProcessor(k: Int)
   override def handleInputRows(ctx: String, rows: Iterator[(String, String, Long)],
       timerValues: TimerValues): Iterator[(String, Int, String, Long)] = {
     val delta = scala.collection.mutable.Map.empty[String, Long]
+    var retraction = false
     rows.foreach { case (_, item, d) =>
-      require(d >= 0L,
-        "TopNProcessor requires non-negative deltas (monotone counts)")
+      if (d < 0L) retraction = true
       delta(item) = delta.getOrElse(item, 0L) + d
     }
     val touched = delta.iterator.map { case (item, d) =>
       val c = (if (counts.containsKey(item)) counts.getValue(item) else 0L) + d
-      counts.updateValue(item, c)
+      // a changelog may retract, but never below zero — going negative
+      // means the upstream emitted a retraction for rows it never
+      // inserted, so fail loudly rather than rank garbage
+      require(c >= 0L,
+        s"TopNProcessor: count for '$item' retracted below zero ($c) — malformed changelog")
+      if (c == 0L) counts.removeKey(item) else counts.updateValue(item, c)
       item -> c
     }.toMap
     val old = if (top.exists()) top.get() else TopNBuffer(Nil, Nil)
-    val cand = old.items.zip(old.cnts)
-      .filterNot { case (i, _) => touched.contains(i) } ++ touched.toSeq
+    val oldPairs = old.items.zip(old.cnts) // stored in rank order
+    val cand = oldPairs.filterNot { case (i, _) => touched.contains(i) } ++
+      touched.toSeq.filter(_._2 > 0L)
     // deterministic rank order: count desc, item asc on ties
-    val next = cand.sortBy { case (i, c) => (-c, i) }.take(k)
+    val fast = cand.sortBy { case (i, c) => (-c, i) }.take(k)
+    // The candidate top-k is exact unless an untouched outsider could
+    // re-qualify. Outsiders are bounded by the OLD buffer floor (they
+    // were outside a correct top-k and received no delta), so the fast
+    // path stands whenever the new floor is at least as good under
+    // (−cnt, item); a retraction that lowers the floor — or shrinks
+    // the candidate set below k while outsiders exist — forces one
+    // bounded rescan of the count map.
+    val floorDropped = retraction && oldPairs.size >= k && {
+      if (fast.size < k) true
+      else {
+        val (oi, oc) = oldPairs.last
+        val (ni, nc) = fast.last
+        nc < oc || (nc == oc && ni > oi)
+      }
+    }
+    val next =
+      if (!floorDropped) fast
+      else counts.iterator().map(p => (p._1, p._2)).toSeq
+        .sortBy { case (i, c) => (-c, i) }.take(k)
     top.update(TopNBuffer(next.map(_._1), next.map(_._2)))
     next.iterator.zipWithIndex.map { case ((i, c), r) => (ctx, r + 1, i, c) }
   }
