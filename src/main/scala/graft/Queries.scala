@@ -7392,6 +7392,67 @@ object Queries {
       .orderBy(col("ctx_window"))
   }
 
+  /** Sequence packing by first-fit-decreasing into 2048-token training
+    * windows — the operator that FIXES the padding waste
+    * [[contextFitQ]] measures (one doc per window pads every window
+    * to 2048; packing multiple docs into one window recovers it).
+    * Exact FFD is inherently sequential, so the pipeline runs it
+    * per salted-hash BUCKET (portable hash of the doc id mod 32 —
+    * shuffle-parallel, deterministic, never a driver loop; at 100 TB
+    * the bucket count scales with the cluster and each bucket's fold
+    * is a single aggregate over its collected token counts): within a
+    * bucket, docs sort by token count desc (doc id asc on ties) and a
+    * single HOF fold first-fits each doc into the earliest window
+    * with room, opening a new window when none fits. Docs longer than
+    * the window can't pack whole and are counted separately (they are
+    * contextFitQ's truncation population). One row out: windows used
+    * vs the one-doc-per-window baseline, packing efficiency at e6,
+    * and the windows saved — FFD is guaranteed ≤ (11/9)·OPT + 6/9
+    * windows (Dósa 2007), so pack_eff_e6 is a certified-near-optimal
+    * readout, not a heuristic guess.
+    */
+  def packFfdQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = 2048L
+    val B = 32
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextOps.bpeTokenCount(col("text")).as("n"))
+    val sized = d.groupBy()
+      .agg(sum(when(col("n") > W, 1L).otherwise(0L)).as("n_oversize"))
+    val lists = d.filter(col("n") <= W)
+      .withColumn("bucket",
+        pmod(TextOps.portableHash64(concat(lit("pack:"), col("doc_id"))), lit(B)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"), sum(col("n")).as("toks"),
+        // (−n, id) struct sort = token count desc, doc id asc on ties:
+        // the Decreasing in FFD, deterministic under count ties
+        sort_array(collect_list(struct((-col("n")).as("negn"),
+          col("doc_id").as("id")))).as("s"))
+      .select(col("bucket"), col("cnt"), col("toks"),
+        expr("transform(s, x -> -x.negn)").as("toks_desc"))
+    // the FFD fold: state = per-window loads; each doc goes to the
+    // FIRST window with room (positional update via the indexed
+    // transform), else opens a new window
+    val packed = lists.withColumn("bins", expr(
+      s"""aggregate(toks_desc, cast(array() as array<bigint>),
+         |  (bins, t) -> if(exists(bins, b -> b + t <= $W),
+         |    transform(bins, (b, i) -> if(i = element_at(filter(
+         |        transform(bins, (b2, i2) -> if(b2 + t <= $W, i2, -1)),
+         |        x -> x >= 0), 1), b + t, b)),
+         |    concat(bins, array(t))))""".stripMargin))
+      .select(col("cnt"), col("toks"), size(col("bins")).cast("long").as("nb"))
+    packed.groupBy()
+      .agg(sum(col("cnt")).as("n_docs_packed"), sum(col("toks")).as("total_tokens"),
+        sum(col("nb")).as("n_windows"))
+      .crossJoin(broadcast(sized))
+      .select(col("n_docs_packed"), col("n_oversize"), col("total_tokens"),
+        col("n_windows"),
+        expr(s"cast(cast(total_tokens as decimal(38,0)) * 1000000" +
+          s" div (n_windows * $W) as bigint)").as("pack_eff_e6"),
+        expr(s"cast(cast(total_tokens as decimal(38,0)) * 1000000" +
+          s" div (n_docs_packed * $W) as bigint)").as("naive_eff_e6"),
+        (col("n_docs_packed") - col("n_windows")).as("windows_saved"))
+  }
+
   /** Sample-ratio-mismatch guard for the A/B assignment: the 1-df χ²
     * of the observed variant split against the intended 50/50 —
     * (n_a−n_b)²·10⁶ div (n_a+n_b), exact. The cheapest and most

@@ -273,7 +273,21 @@ object SoakScale {
     // round-11 waves: the corpus tokenize + (source, token) LOO
     // aggregate, the per-source lexicographic prefix window, and the
     // distinct-type hash-bucket rollup
-    "q_source_loo", "q_prefix_cache", "q_birthday_collision")
+    "q_source_loo", "q_prefix_cache", "q_birthday_collision",
+    // round-12 backfill (r11 VERDICT item 1): the r11 waves 2-8 whose
+    // x10/x100 exponents were never recorded. Most are support-bounded
+    // walks off one data-sized scan (rater grids, day spines,
+    // contingency cells, shortlist pairs) — the soak proves the scan
+    // is the only thing that grows
+    "q_krippendorff", "q_event_study", "q_binomial_test", "q_bartlett",
+    "q_turning_points", "q_spectral_entropy", "q_page_trend",
+    "q_propensity_overlap", "q_rouge_l", "q_cheb_bound", "q_lsh_scurve",
+    "q_consistent_hashing", "q_cox", "q_meta_analysis",
+    "q_markov_absorption", "q_dedup_survivorship", "q_switchback",
+    "q_context_fit",
+    // round 12: the FFD packing fold — per-bucket collect + HOF fold;
+    // the tokenize scan and the 32-bucket collect are the scale axes
+    "q_pack_ffd")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

@@ -495,6 +495,7 @@ object SparkEntry {
     "q_dedup_survivorship" -> (Queries.dedupSurvivorshipQ _),
     "q_switchback" -> (Queries.switchbackQ _),
     "q_context_fit" -> (Queries.contextFitQ _),
+    "q_pack_ffd" -> (Queries.packFfdQ _),
     "q_meta_analysis" -> (Queries.metaAnalysisQ _),
     "q_markov_absorption" -> (Queries.markovAbsorptionQ _),
     "q_propensity_overlap" -> (Queries.propensityOverlapQ _),
@@ -11409,6 +11410,49 @@ object SparkEntry {
         |  CAST(sum(greatest(n - w, 0)) * 1000000 // sum(n) AS BIGINT)
         |    AS trunc_waste_e6
         |FROM d CROSS JOIN g GROUP BY w ORDER BY w""".stripMargin,
+
+    // FFD packing replay: same salted buckets, same (n desc, id asc)
+    // order, the sequential first-fit fold as a recursive CTE that
+    // consumes one doc per bucket per step (bins as a LIST column).
+    "q_pack_ffd" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id, CAST(len(regexp_extract_all(
+        |    text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n
+        |  FROM documents),
+        |sized AS (SELECT CAST(sum(CASE WHEN n > 2048 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_oversize FROM d),
+        |b AS (SELECT doc_id, n,
+        |    ${hSql("concat('pack:', CAST(doc_id AS VARCHAR))")} % 32 AS bucket
+        |  FROM d WHERE n <= 2048),
+        |ord AS (SELECT bucket, n, row_number() OVER (PARTITION BY bucket
+        |    ORDER BY n DESC, doc_id) AS rn FROM b),
+        |sz AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(n) AS BIGINT) AS toks FROM ord GROUP BY 1),
+        |pack AS (
+        |  SELECT bucket, CAST(0 AS BIGINT) AS step,
+        |    CAST([] AS BIGINT[]) AS bins FROM sz
+        |  UNION ALL
+        |  SELECT bucket, step,
+        |    CASE WHEN idx IS NULL THEN list_append(bins, n)
+        |      ELSE list_transform(range(1, 1 + len(bins)),
+        |        i -> CASE WHEN i = idx THEN bins[i] + n ELSE bins[i] END)
+        |    END AS bins
+        |  FROM (SELECT p.bucket, p.step + 1 AS step, p.bins, o.n,
+        |      list_filter(range(1, 1 + len(p.bins)),
+        |        i -> p.bins[i] + o.n <= 2048)[1] AS idx
+        |    FROM pack p JOIN ord o
+        |      ON o.bucket = p.bucket AND o.rn = p.step + 1) s),
+        |fin AS (SELECT p.bucket, CAST(len(p.bins) AS BIGINT) AS nb,
+        |    sz.cnt, sz.toks
+        |  FROM pack p JOIN sz ON p.bucket = sz.bucket AND p.step = sz.cnt)
+        |SELECT CAST(sum(cnt) AS BIGINT) AS n_docs_packed, n_oversize,
+        |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+        |  CAST(sum(nb) AS BIGINT) AS n_windows,
+        |  CAST(sum(toks) * 1000000 // (sum(nb) * 2048) AS BIGINT)
+        |    AS pack_eff_e6,
+        |  CAST(sum(toks) * 1000000 // (sum(cnt) * 2048) AS BIGINT)
+        |    AS naive_eff_e6,
+        |  CAST(sum(cnt) - sum(nb) AS BIGINT) AS windows_saved
+        |FROM fin CROSS JOIN sized GROUP BY n_oversize""".stripMargin,
 
     // One-step Cox replay: logrank's risk-set support walk, per-time
     // truncating score/information terms, sign-safe floor(double) beta.
