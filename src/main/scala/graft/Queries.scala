@@ -1268,10 +1268,15 @@ object Queries {
     Dedup.simhashPairsBlocked(docsWithNearCopies(spark, sfDir, Some(100)), 3)
       .orderBy(col("doc_a"), col("doc_b"))
 
-  /** Brute-force cosine top-5 neighbors for the first 10 vectors. */
+  /** Brute-force cosine top-5 neighbors for the first 10 vectors.
+    * The probe slice is a TakeOrdered (10 smallest vec_ids — identical
+    * rows to `vec_id < 10` on the dense-from-0 id space) so the
+    * cross-join build side is PROVABLY bounded: JoinLint certifies the
+    * plan structurally instead of via an allowlist attestation.
+    */
   def knnCosine(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Similarity.normalized(Similarity.asDouble(Tables.embeddings(spark, sfDir)))
-    Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, 5)
+    Similarity.bruteForceTopK(e.orderBy(col("vec_id")).limit(10), e, 5)
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -1305,7 +1310,10 @@ object Queries {
   def decontaminateEmbedQ(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Similarity.asDouble(Tables.embeddings(spark, sfDir))
       .select(col("vec_id"), col("embedding"))
-    val evalSet = e.filter(col("vec_id") < 10)
+    // TakeOrdered probe slice (== vec_id < 10 on the dense id space):
+    // the broadcast build side is provably bounded, so JoinLint
+    // certifies the plan structurally (no allowlist entry needed)
+    val evalSet = e.orderBy(col("vec_id")).limit(10)
     val train = e.filter(col("vec_id") >= 10).union(
       evalSet.select((col("vec_id") + 20000L).as("vec_id"),
         transform(col("embedding"), (x, i) =>
@@ -14598,34 +14606,50 @@ object Queries {
     // (ANSI mode would throw, not wrap, so a violation fails loudly).
     def pH(c: Column): Column =
       (c * lit(2654435761L)) % lit(2305843009213693951L)
-    var active = rebase(und.select(col("src").as("node")).distinct())
+    // round-1 active set is NEVER materialized as its own distinct:
+    // every endpoint of `und` has at least one edge, so the min
+    // aggregate's key set IS the active set (and round-1 isolated is
+    // empty by the same argument) — this removes the 2|E|-row distinct
+    // shuffle that dominated the r11 x100 profile's round 1.
+    var active: DataFrame = null
+    var prevAfter = 0L
     var e = und
     val misParts = collection.mutable.ListBuffer.empty[DataFrame]
     val stats = collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
     for (r <- 1 to 3) {
-      val before = active.count()
       val mn = rebase(e.groupBy(col("src"))
         .agg(min(struct(pH(col("dst")).as("p"), col("dst").as("n"))).as("m")))
+      if (r == 1) active = mn.select(col("src").as("node"))
+      // active count from the round's own aggregates: |mn| in round 1,
+      // the previous round's after-count later — no dedicated count job
+      val before = if (r == 1) mn.count() else prevAfter
       val misEdge = rebase(mn
         .filter(struct(pH(col("src")).as("p"), col("src").as("n")) < col("m"))
         .select(col("src").as("node")))
       // actives with no surviving active neighbor are independent by
       // default and join unconditionally (mn's key set IS the set of
-      // actives that still have one — the boruvka active-set argument)
-      val isolated = active.join(mn.select(col("src").as("node")),
-        Seq("node"), "left_anti")
-      val mis = rebase(misEdge.union(isolated))
+      // actives that still have one — the boruvka active-set argument);
+      // round 1 has none, so its isolated anti join is skipped outright
+      val mis =
+        if (r == 1) misEdge
+        else rebase(misEdge.union(active.join(
+          mn.select(col("src").as("node")), Seq("node"), "left_anti")))
       misParts += mis
       val nMis = mis.count()
       def gate(df: DataFrame): DataFrame =
         if (nMis <= 10000000L) broadcast(df) else df
+      // no distinct on the neighbor expansion (nor on mis ∪ nbrs): the
+      // anti join absorbs duplicate keys on its right side, and with
+      // the misEdge side broadcast the expansion is map-side — deduping
+      // it first was one full up-to-2|E|-row shuffle per round for
+      // nothing
       val nbrs = e.join(gate(misEdge.select(col("node").as("src"))), "src")
-        .select(col("dst").as("node")).distinct()
-      val a2 = rebase(active.join(mis.union(nbrs).distinct(),
-        Seq("node"), "left_anti"))
+        .select(col("dst").as("node"))
+      val a2 = rebase(active.join(mis.union(nbrs), Seq("node"), "left_anti"))
       val nAfter = a2.count()
       stats += ((before, nMis, nAfter))
       active = a2
+      prevAfter = nAfter
       if (r < 3) {
         def g2(df: DataFrame): DataFrame =
           if (nAfter <= 10000000L) broadcast(df) else df

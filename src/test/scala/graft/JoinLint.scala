@@ -104,9 +104,9 @@ object JoinLint {
     "q_ann_quant_recall" -> "probe set × sq8/hamming variants + exact baseline shortlists",
     "q_ann_recall" -> "probe set: certified-recall join of LSH vs exact top-3 shortlists",
     "q_confusion" -> "500-probe eval slice × corpus scan (mrrQ contract)",
-    "q_decontaminate_embed" -> "10-vector eval probe set broadcast × one corpus pass",
+    // (q_decontaminate_embed and q_knn_cosine were pruned r12: their
+    // probe slices became TakeOrdered shortlists, provable structurally)
     "q_knn_class" -> "probe slice × corpus scan, 3-NN shortlist per probe",
-    "q_knn_cosine" -> "10-probe slice × corpus scan, top-5 shortlist per probe",
     "q_knn_impute" -> "probe slice × corpus scan, k-NN shortlist per probe",
     "q_mrr" -> "50-probe eval slice × corpus ranking scan (documented cap)",
     "q_ndcg" -> "50-probe eval slice × corpus ranking scan",
