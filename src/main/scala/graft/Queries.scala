@@ -7422,8 +7422,14 @@ object Queries {
   def packFfdQ(spark: SparkSession, sfDir: String): DataFrame = {
     val W = 2048L
     val B = 32
+    // tokenize ONCE: without the checkpoint, the oversize count and the
+    // packable filter each re-run the token regex over the corpus
+    // (Catalyst re-inlines the projection into both branches) — the
+    // [[sourceLooQ]] discipline; the checkpointed table is two longs
+    // per doc
     val d = Tables.documents(spark, sfDir)
       .select(col("doc_id"), TextOps.bpeTokenCount(col("text")).as("n"))
+      .localCheckpoint(true)
     val sized = d.groupBy()
       .agg(sum(when(col("n") > W, 1L).otherwise(0L)).as("n_oversize"))
     val lists = d.filter(col("n") <= W)

@@ -44,3 +44,28 @@ object Verify {
     spark.stop()
   }
 }
+
+/** Dumps the FULL oracle_sql.json without running any Spark query —
+  * input to `tools/oracle_latency.py`, the per-round audit that keeps a
+  * planning blowup in a DuckDB replay (the 9-minute q_rouge_l lateral
+  * lattice, r11) from silently dragging the driver's correctness gate.
+  */
+object DumpOracleSql {
+  def main(args: Array[String]): Unit = {
+    val outDir = args.headOption.getOrElse("/tmp/oracle_dump")
+    new java.io.File(outDir).mkdirs()
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = SparkEntry.oracleSql
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    System.err.println(s"[dump] ${SparkEntry.oracleSql.size} oracle SQLs -> $outDir/oracle_sql.json")
+  }
+}

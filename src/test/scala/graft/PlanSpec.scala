@@ -1729,4 +1729,17 @@ class PlanSpec extends AnyFunSuite {
     val plan = formatted(mn)
     assert(!plan.contains("Join"), plan)
   }
+
+  test("r12 pack_ffd: tokenize once, bucket-parallel fold, no cartesian") {
+    val plan = formatted(Queries.packFfdQ(spark, sf))
+    // the tokenize regex runs ONCE, at the checkpointed (doc_id, n)
+    // build — the final plan must not re-tokenize in either branch
+    assert(!plan.contains("regexp_extract_all"), plan)
+    // the per-bucket collect shuffles on the 32-way salted bucket key
+    assert(plan.contains("hashpartitioning(bucket"), plan)
+    // and the scalar oversize side rides a broadcast, not a cartesian
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+  }
 }
