@@ -539,6 +539,47 @@ object SparkEntry {
   // Spark operators use (graft.ops.TextOps / Dedup), so the two sides
   // cannot drift.
 
+  /** DuckDB inlines plain CTEs at EVERY reference, so a deep chain
+    * whose CTEs are each read 2-3 times downstream re-executes whole
+    * prefixes exponentially often (q_curation_spancov measured 130×
+    * slower un-materialized; the r12 oracle-latency audit's top-8).
+    * Applied to an assembled oracle, this pins every `name AS (SELECT`
+    * CTE as MATERIALIZED — `WINDOW w AS (PARTITION …` clauses don't
+    * match the pattern and stay untouched. Values are identical;
+    * only the replay's execution strategy changes.
+    */
+  private def mat(sql: String): String =
+    sql.replace("AS (SELECT", "AS MATERIALIZED (SELECT")
+
+  /** The ROUGE-L per-row MATERIALIZED-CTE device, generalized to any
+    * unrolled n×m DP lattice: re-emits the SAME flat d_i_j cell list
+    * the Spark side unrolls (no drift — one generator feeds both) as
+    * one MATERIALIZED CTE per DP row. A single-select lateral-alias
+    * form inlines each cell's up-to-3 predecessors recursively (3^k
+    * planning blowup — q_dtw/q_needleman/q_lcs_sim measured 15-38 s at
+    * sf0.01); the row chain keeps up/diag as table columns so only the
+    * linear in-row left chain inlines. Alternating ca/cb column
+    * prefixes dodge DuckDB's table-column-over-lateral-alias
+    * shadowing. Final cell of row n is `ca${m}` when n is odd,
+    * `cb${m}` otherwise.
+    */
+  private def dpRowCtes(cells: Seq[(String, String)], n: Int, m: Int,
+      carry: String, src: String, p: String): String =
+    (1 to n).map { i =>
+      val cur = if (i % 2 == 1) "ca" else "cb"
+      val prev = if (i % 2 == 1) "cb" else "ca"
+      val body = cells.filter(_._1.startsWith(s"d_${i}_")).map { case (name, e) =>
+        val j = name.substring(name.lastIndexOf('_') + 1)
+        var x = e
+        for (jj <- 1 to m) {
+          x = x.replace(s"d_${i - 1}_$jj", s"$prev$jj")
+          x = x.replace(s"d_${i}_$jj", s"$cur$jj")
+        }
+        s"$x AS $cur$j"
+      }.mkString(", ")
+      s"$p$i AS MATERIALIZED (SELECT $carry, $body FROM ${if (i == 1) src else s"$p${i - 1}"})"
+    }.mkString(",\n")
+
   /** Portable 64-bit hash: fold the first 12 hex chars of md5. */
   private def hSql(x: String): String =
     s"list_reduce(list_transform(range(12), i -> CAST(strpos('0123456789abcdef', substr(md5($x), i + 1, 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
@@ -1147,7 +1188,24 @@ object SparkEntry {
       |FROM m WHERE tag = 1
       |ORDER BY purchase_id""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  /** Deep multi-reference CTE chains whose replay cost collapses under
+    * [[mat]] (r12 oracle-latency audit, quiet sf0.01 A/B, results
+    * bit-identical): dbscan 61.8→5.0 s, curation_spancov 60.3→0.4,
+    * curation_spans 27.5→0.4, ann_pq_recall 24.7→3.8, bpe_merges
+    * 24.0→0.3, bpe_encode 20.4→0.3, curation_lm 19.6→0.4,
+    * curation_strip 19.2→0.4. The DP lattices (dtw/needleman/lcs_sim)
+    * are NOT here — blanket materialization made them slower; they use
+    * [[dpRowCtes]] instead.
+    */
+  private val MatOracles = Set("q_dbscan", "q_curation_spancov",
+    "q_curation_spans", "q_ann_pq_recall", "q_bpe_merges", "q_bpe_encode",
+    "q_curation_lm", "q_curation_strip")
+
+  def oracleSql: Map[String, String] = oracleSql0.map { case (k, v) =>
+    k -> (if (MatOracles(k)) mat(v) else v)
+  }
+
+  private def oracleSql0: Map[String, String] = Map(
     // The HLL++ estimate is engine-specific; the oracle asserts the
     // CONTRACT — the query's within_bound column must be literally true.
     "q_approx_distinct" ->
@@ -7317,11 +7375,11 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY word""".stripMargin,
 
     // DTW replay: the SAME 49-cell chain Queries.dtwCells generates for
-    // the Spark side, emitted as lateral column aliases over the
-    // week-pair arrays.
+    // the Spark side, re-rowed into MATERIALIZED per-row CTEs (the
+    // rouge_l device — the single-select lateral form planned ~14 s).
     "q_dtw" -> {
-      val cells = Queries.dtwCells(i => s"a[$i]", j => s"b[$j]")
-        .map { case (n, e) => s"    $e AS $n" }.mkString(",\n")
+      val rows = dpRowCtes(Queries.dtwCells(i => s"a[$i]", j => s"b[$j]"),
+        7, 7, "week_a, week_b, a, b", "pairs", "dp")
       s"""WITH daily AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
          |    count(*) AS x
          |  FROM events GROUP BY 1),
@@ -7332,11 +7390,9 @@ object SparkEntry {
          |w7 AS (SELECT w, arr FROM wk WHERE nd = 7),
          |pairs AS (SELECT p.w AS week_a, q.w AS week_b, p.arr AS a, q.arr AS b
          |  FROM w7 p JOIN w7 q ON q.w > p.w),
-         |dp AS (SELECT week_a, week_b,
-         |$cells
-         |  FROM pairs)
-         |SELECT week_a, week_b, CAST(d_7_7 AS BIGINT) AS dtw
-         |FROM dp ORDER BY week_a, week_b""".stripMargin
+         |$rows
+         |SELECT week_a, week_b, CAST(ca7 AS BIGINT) AS dtw
+         |FROM dp7 ORDER BY week_a, week_b""".stripMargin
     },
 
     // Heavy-change replay: per-token conditional counts across the
@@ -8419,10 +8475,11 @@ object SparkEntry {
         |FROM q ORDER BY lift_e6""".stripMargin,
 
     // Needleman-Wunsch replay: per-user ordered first-7 event types,
-    // the same 49 unrolled DP cells (lateral alias references).
+    // the same 49 unrolled DP cells re-rowed into MATERIALIZED per-row
+    // CTEs (the rouge_l device — lateral form planned ~38 s).
     "q_needleman" -> {
-      val cells = Queries.nwCells(i => s"a[$i]", j => s"b[$j]", 7)
-        .map { case (n, e) => s"    $e AS $n" }.mkString(",\n")
+      val rows = dpRowCtes(Queries.nwCells(i => s"a[$i]", j => s"b[$j]", 7),
+        7, 7, "user_a, user_b, a, b", "pairs", "dp")
       s"""WITH s0 AS (SELECT user_id,
          |    list_slice(list(event_type ORDER BY epoch_us(CAST(ts AS TIMESTAMP)),
          |      event_id), 1, 7) AS arr
@@ -8431,11 +8488,9 @@ object SparkEntry {
          |pairs AS (SELECT p.user_id AS user_a, q.user_id AS user_b,
          |    p.arr AS a, q.arr AS b
          |  FROM seqs p JOIN seqs q ON q.user_id > p.user_id),
-         |dp AS (SELECT user_a, user_b,
-         |$cells
-         |  FROM pairs)
-         |SELECT user_a, user_b, CAST(d_7_7 AS BIGINT) AS nw_score
-         |FROM dp ORDER BY user_a, user_b""".stripMargin
+         |$rows
+         |SELECT user_a, user_b, CAST(ca7 AS BIGINT) AS nw_score
+         |FROM dp7 ORDER BY user_a, user_b""".stripMargin
     },
 
     // Forecast-backtest replay: one recursive chain carrying
@@ -11042,10 +11097,11 @@ object SparkEntry {
          |FROM res ORDER BY round""".stripMargin
     },
 
-    // LCS replay: the needleman pair base with the gap-free DP cells.
+    // LCS replay: the needleman pair base with the gap-free DP cells,
+    // re-rowed into MATERIALIZED per-row CTEs (the rouge_l device).
     "q_lcs_sim" -> {
-      val cells = Queries.lcsCells(i => s"a[$i]", j => s"b[$j]", 7)
-        .map { case (n, e) => s"    $e AS $n" }.mkString(",\n")
+      val rows = dpRowCtes(Queries.lcsCells(i => s"a[$i]", j => s"b[$j]", 7),
+        7, 7, "user_a, user_b, a, b", "pairs", "dp")
       s"""WITH s0 AS (SELECT user_id,
          |    list_slice(list(event_type ORDER BY epoch_us(CAST(ts AS TIMESTAMP)),
          |      event_id), 1, 7) AS arr
@@ -11054,12 +11110,10 @@ object SparkEntry {
          |pairs AS (SELECT p.user_id AS user_a, q.user_id AS user_b,
          |    p.arr AS a, q.arr AS b
          |  FROM seqs p JOIN seqs q ON q.user_id > p.user_id),
-         |dp AS (SELECT user_a, user_b,
-         |$cells
-         |  FROM pairs)
-         |SELECT user_a, user_b, CAST(d_7_7 AS BIGINT) AS lcs,
-         |  CAST(CAST(d_7_7 AS BIGINT) * 1000000 // 7 AS BIGINT) AS lcs_sim_e6
-         |FROM dp ORDER BY user_a, user_b""".stripMargin
+         |$rows
+         |SELECT user_a, user_b, CAST(ca7 AS BIGINT) AS lcs,
+         |  CAST(CAST(ca7 AS BIGINT) * 1000000 // 7 AS BIGINT) AS lcs_sim_e6
+         |FROM dp7 ORDER BY user_a, user_b""".stripMargin
     },
 
     // ROUGE-L replay: the 8x10 LCS lattice as MATERIALIZED per-row
