@@ -14579,6 +14579,14 @@ object Queries {
     * operator is wrong.
     */
   def misQ(spark: SparkSession, sfDir: String): DataFrame = {
+    // GRAFT_MIS_PROF=1 → per-stage wall marks on stderr (soak triage)
+    val profOn = sys.env.contains("GRAFT_MIS_PROF")
+    var tLast = System.nanoTime()
+    def mark(s: String): Unit = if (profOn) {
+      val now = System.nanoTime()
+      Console.err.println(f"[mis] $s%-16s ${(now - tLast) / 1e9}%7.2f s")
+      tLast = now
+    }
     val ckpts = collection.mutable.ListBuffer.empty[DataFrame]
     def rebase(df: DataFrame): DataFrame = {
       val c = df.localCheckpoint(true)
@@ -14588,6 +14596,7 @@ object Queries {
     val ed = partAdjacencyEdges(spark, sfDir)
       .select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
       .localCheckpoint(true)
+    mark("edges ckpt")
     // symmetrized view stays LAZY over the 45M-row directed checkpoint:
     // materializing the 90M-row distinct both-direction table is pure
     // memory cost — duplicates are harmless to every consumer here
@@ -14625,6 +14634,7 @@ object Queries {
     for (r <- 1 to 3) {
       val mn = rebase(e.groupBy(col("src"))
         .agg(min(struct(pH(col("dst")).as("p"), col("dst").as("n"))).as("m")))
+      mark(s"r$r minNbr")
       if (r == 1) active = mn.select(col("src").as("node"))
       // active count from the round's own aggregates: |mn| in round 1,
       // the previous round's after-count later — no dedicated count job
@@ -14632,6 +14642,7 @@ object Queries {
       val misEdge = rebase(mn
         .filter(struct(pH(col("src")).as("p"), col("src").as("n")) < col("m"))
         .select(col("src").as("node")))
+      mark(s"r$r misEdge")
       // actives with no surviving active neighbor are independent by
       // default and join unconditionally (mn's key set IS the set of
       // actives that still have one — the boruvka active-set argument);
@@ -14642,17 +14653,21 @@ object Queries {
           mn.select(col("src").as("node")), Seq("node"), "left_anti")))
       misParts += mis
       val nMis = mis.count()
+      mark(s"r$r mis")
       def gate(df: DataFrame): DataFrame =
         if (nMis <= 10000000L) broadcast(df) else df
-      // no distinct on the neighbor expansion (nor on mis ∪ nbrs): the
-      // anti join absorbs duplicate keys on its right side, and with
-      // the misEdge side broadcast the expansion is map-side — deduping
-      // it first was one full up-to-2|E|-row shuffle per round for
-      // nothing
+      // the neighbor expansion KEEPS its distinct — not for the anti
+      // join's correctness (dup right-side keys are absorbed) but for
+      // data motion: the aggregate dedups map-side BEFORE the shuffle,
+      // so ≤V rows move instead of the dup-heavy 2|E| expansion (an
+      // r12 A/B without it regressed the x10 wall 24→31 s). Only the
+      // second, outer distinct over mis ∪ nbrs is gone: both inputs
+      // are already narrow and the anti join tolerates their overlap.
       val nbrs = e.join(gate(misEdge.select(col("node").as("src"))), "src")
-        .select(col("dst").as("node"))
+        .select(col("dst").as("node")).distinct()
       val a2 = rebase(active.join(mis.union(nbrs), Seq("node"), "left_anti"))
       val nAfter = a2.count()
+      mark(s"r$r shrink")
       stats += ((before, nMis, nAfter))
       active = a2
       prevAfter = nAfter
@@ -14663,13 +14678,23 @@ object Queries {
           .join(g2(a2.select(col("node").as("src"))), Seq("src"), "left_semi")
           .join(g2(a2.select(col("node").as("dst"))), Seq("dst"), "left_semi")
           .select(col("src"), col("dst")))
+        mark(s"r$r restrict")
       }
     }
     val misAll = misParts.reduce(_ union _).localCheckpoint(true)
+    mark("misAll ckpt")
+    // certificate join rides size-gated broadcasts of the MIS node set
+    // (MIS ≤ V ≪ 2|E|): both membership probes stay map-side over the
+    // lazy symmetrized union — no edge-table shuffle (was 5 s of the
+    // x100 wall as two shuffle joins)
+    val nMisAll = misAll.count()
+    def gAll(df: DataFrame): DataFrame =
+      if (nMisAll <= 10000000L) broadcast(df) else df
     val violations = und
-      .join(misAll.select(col("node").as("src")), "src")
-      .join(misAll.select(col("node").as("dst")), "dst")
+      .join(gAll(misAll.select(col("node").as("src"))), "src")
+      .join(gAll(misAll.select(col("node").as("dst"))), "dst")
       .count()
+    mark("certificate")
     ckpts.foreach(_.unpersist())
     ed.unpersist(); misAll.unpersist()
     val sess = spark
