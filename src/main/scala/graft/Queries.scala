@@ -8242,6 +8242,183 @@ object Queries {
       .orderBy(col("rel_day"))
   }
 
+  /** Daily-volume OLS sufficient statistics on the 0-based day index —
+    * the shared core of the r12 econometrics trio ([[chowTestQ]],
+    * [[breuschPaganQ]], [[cooksDistanceQ]]): one data-sized aggregate
+    * into (t, y) rows, then exact decimal(38,0) sums. `den` is pure
+    * calendar (n·Σt²−(Σt)², a long at any data size); num/tss carry
+    * the volume scale and every consumer descales them with integer
+    * `div` BEFORE squaring (documented per-query bounds), so all
+    * downstream arithmetic is engine-identical truncating integers.
+    */
+  private def dailyOlsStats(spark: SparkSession, sfDir: String,
+      filter: Column = lit(true)): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("y"))
+    val d0 = daily.groupBy().agg(min(col("d")).as("d0"))
+    daily.crossJoin(broadcast(d0))
+      .select((col("d") - col("d0")).as("t"), col("y"))
+      .filter(filter)
+      .groupBy()
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("t").cast(d38)).as("sx"),
+        sum(col("y").cast(d38)).as("sy"),
+        sum((col("t") * col("t")).cast(d38)).as("sxx"),
+        sum((col("t").cast(d38) * col("y"))).as("sxy"),
+        sum((col("y").cast(d38) * col("y"))).as("syy"))
+      .select(col("n"), col("sx"), col("sy"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("den"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("tss"))
+  }
+
+  /** Chow structural-break test of the daily-volume trend at the
+    * calendar midpoint — "did the slope/level regime change?", the
+    * diagnostic that decides whether ONE [[linregQ]]-style trend line
+    * is even a valid description: pooled vs per-half OLS SSE, each as
+    * the exact rational (tss·den − num²)/(n²·den) floored ONCE to e3
+    * — ALL integer arithmetic, num² the decimal(38) headroom cap
+    * (holds to ~10⁹ daily volumes; past that swap in the [[linregQ]]
+    * matched-prescale device), then
+    * F = ((SSEp − SSE1 − SSE2)/2) / ((SSE1+SSE2)/(n−4)) at e6, the
+    * denominator NULLIF-guarded (a perfectly-fit half is a NULL F,
+    * not a crash). Three calendar-bounded scans of the daily
+    * aggregate; zero windows.
+    */
+  def chowTestQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("y"))
+    val span = daily.groupBy().agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("d0"), expr("(d1 - d0) div 2").as("mid"))
+    def sseE3(tag: String) = expr(
+      s"""cast((${tag}tss * ${tag}den - ${tag}num * ${tag}num) * 1000
+         | div (${tag}den * ${tag}n * ${tag}n) as decimal(38,0))""".stripMargin)
+    val halves = daily.crossJoin(broadcast(span))
+      .select((col("d") - col("d0")).as("t"), col("y"),
+        (col("d") - col("d0") <= col("mid")).as("h1"))
+    val d38 = "decimal(38,0)"
+    def stats(df: DataFrame, tag: String) = df.groupBy()
+      .agg(count(lit(1)).cast(d38).as(s"${tag}nn"),
+        sum(col("t").cast(d38)).as("sx"), sum(col("y").cast(d38)).as("sy"),
+        sum((col("t") * col("t")).cast(d38)).as("sxx"),
+        sum((col("t").cast(d38) * col("y"))).as("sxy"),
+        sum((col("y").cast(d38) * col("y"))).as("syy"))
+      .select(col(s"${tag}nn").as(s"${tag}n"),
+        (col(s"${tag}nn") * col("sxy") - col("sx") * col("sy")).as(s"${tag}num"),
+        (col(s"${tag}nn") * col("sxx") - col("sx") * col("sx")).as(s"${tag}den"),
+        (col(s"${tag}nn") * col("syy") - col("sy") * col("sy")).as(s"${tag}tss"))
+    val p = stats(halves, "p")
+    val a = stats(halves.filter(col("h1")), "a")
+    val b = stats(halves.filter(!col("h1")), "b")
+    p.crossJoin(broadcast(a)).crossJoin(broadcast(b))
+      .select(col("pn"), sseE3("p").as("ssep"), sseE3("a").as("ssea"),
+        sseE3("b").as("sseb"))
+      .select(col("pn").cast("long").as("n_days"),
+        col("ssep").cast("long").as("sse_pooled_e3"),
+        col("ssea").cast("long").as("sse_first_e3"),
+        col("sseb").cast("long").as("sse_second_e3"),
+        expr("""cast((ssep - ssea - sseb) * (pn - 4) * 1000000
+               div nullif((ssea + sseb) * 2, 0) as bigint)""").as("chow_f_e6"))
+  }
+
+  /** Breusch-Pagan (Koenker studentized) heteroscedasticity test of
+    * the daily-volume trend fit — "does the residual variance itself
+    * trend?", the validity gate for every OLS standard error
+    * downstream: per-day residuals as EXACT integers u_t = n·den·y_t −
+    * (sy·den − num·sx) − n·num·t (the fitted line cleared of both
+    * divisions), reduced to v_t = (u_t div den)² = (n·resid)² — the
+    * den division is exact-truncating on both engines and keeps the
+    * aux second moments inside decimal(38) while staying
+    * scale-RELATIVE (truncation error ≤ den/u, negligible whenever
+    * residuals exceed one event) — then the auxiliary regression of
+    * v on t, R² = num2²·10⁶/(den2·tss2) as exact truncating integers
+    * (num2² caps headroom at ~10⁹ daily volumes, documented), and
+    * LM = n·R² at e6 against the χ²₁ 5% line. Two data-sized
+    * aggregates (daily counts, then the residual moments); everything
+    * else is scalar.
+    */
+  def breuschPaganQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("y"))
+    val d0 = daily.groupBy().agg(min(col("d")).as("d0"))
+    val ty = daily.crossJoin(broadcast(d0))
+      .select((col("d") - col("d0")).as("t"), col("y"))
+    val s = dailyOlsStats(spark, sfDir)
+    val v = ty.crossJoin(broadcast(s))
+      .select(col("t").cast(d38).as("t"),
+        // u = n·den·y − (sy·den − num·sx) − n·num·t: exact residual·(n·den)
+        (col("n") * col("den") * col("y")
+          - (col("sy") * col("den") - col("num") * col("sx"))
+          - col("n") * col("num") * col("t")).as("u"),
+        col("den"))
+      .select(col("t"), expr(s"cast((u div den) * (u div den) as $d38)").as("v"))
+    val aux = v.groupBy()
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("t")).as("sx"), sum(col("v")).as("sv"),
+        sum((col("t") * col("t"))).as("sxx"),
+        sum((col("t") * col("v"))).as("sxv"),
+        sum((col("v") * col("v"))).as("svv"))
+      .select(col("n"),
+        (col("n") * col("sxv") - col("sx") * col("sv")).as("num2"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("den2"),
+        (col("n") * col("svv") - col("sv") * col("sv")).as("tss2"))
+    aux.select(col("n").cast("long").as("n_days"),
+        // exact R² = num2²·10⁶/(den2·tss2); tss2 = 0 (constant squared
+        // residuals) is a NULL readout, not a crash
+        expr("""cast(num2 * num2 * 1000000
+               div nullif(den2 * tss2, 0) as bigint)""")
+          .as("r2_aux_e6"))
+      .select(col("n_days"), col("r2_aux_e6"),
+        (col("n_days") * col("r2_aux_e6")).as("lm_e6"),
+        (col("n_days") * col("r2_aux_e6") > 3841459L).as("heteroscedastic_5pct"))
+  }
+
+  /** Cook's distance of every day on the daily-volume trend fit — the
+    * influence diagnostic that names WHICH observations the
+    * [[linregQ]]-style slope actually rests on: with T = n·den,
+    * leverage numerator H_t = den + (n·t − sx)² (exact calendar-sized
+    * integers) and exact residual integers u_t (the [[breuschPaganQ]]
+    * clearing), Cook's D collapses to the single exact rational
+    * D_t = u_t²·H_t·(n−2) / (2·S·(T−H_t)²) with S = tss·den − num²
+    * — ALL integer, one e6 floor by integer division at the end
+    * (u_t²·H_t caps decimal(38) headroom at ~10⁹ daily volumes,
+    * documented; S NULLIF-guarded — a perfect fit has no influence to
+    * rank). Emits the top-10 most influential days as a TakeOrdered —
+    * the whole query is one daily aggregate plus calendar-bounded
+    * scalars.
+    */
+  def cooksDistanceQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("y"))
+    val d0 = daily.groupBy().agg(min(col("d")).as("d0"))
+    val ty = daily.crossJoin(broadcast(d0))
+      .select((col("d") - col("d0")).as("t"), col("y"))
+    val s = dailyOlsStats(spark, sfDir)
+    ty.crossJoin(broadcast(s))
+      .select(col("t"), col("y"),
+        (col("n") * col("den") * col("y")
+          - (col("sy") * col("den") - col("num") * col("sx"))
+          - col("n") * col("num") * col("t").cast(d38)).as("u"),
+        (col("den") + (col("n") * col("t") - col("sx"))
+          * (col("n") * col("t") - col("sx"))).as("h"),
+        (col("n") * col("den")).as("tt"),
+        (col("tss") * col("den") - col("num") * col("num")).as("ss"),
+        col("n"))
+      .select(col("t").cast("long").as("day_idx"), col("y").as("volume"),
+        expr("""cast(u * u * h * (n - 2) * 1000000
+               div nullif(2 * ss * (tt - h) * (tt - h), 0) as bigint)""")
+          .as("cooks_d_e6"),
+        expr("cast(h * 1000000 div tt as bigint)").as("leverage_e6"))
+      .orderBy(col("cooks_d_e6").desc, col("day_idx")).limit(10)
+  }
+
   /** AR(1) fit of the daily event volume and its one-step forecast —
     * the simplest autoregressive model, done with the [[linregQ]]
     * sufficient-statistics discipline: lag pairs come from the daily

@@ -330,6 +330,9 @@ object SparkEntry {
     "q_mcnemar" -> (Queries.mcnemarQ _),
     "q_did" -> (Queries.didQ _),
     "q_ar1" -> (Queries.ar1Q _),
+    "q_chow_test" -> (Queries.chowTestQ _),
+    "q_breusch_pagan" -> (Queries.breuschPaganQ _),
+    "q_cooks_distance" -> (Queries.cooksDistanceQ _),
     "q_welch_ttest" -> (Queries.welchTtestQ _),
     "q_permutation_test" -> (Queries.permutationTestQ _),
     "q_logrank" -> (Queries.logrankQ _),
@@ -6980,6 +6983,95 @@ object SparkEntry {
     // AR(1) replay: daily counts self-joined on d+1, sufficient stats
     // in HUGEINT, truncating e6 slope/intercept, forecast from the
     // truncated coefficients.
+    // Chow replay: pooled/per-half sufficient stats in HUGEINT, each
+    // SSE floored once to e3 over matched descaled inputs, exact F.
+    "q_chow_test" ->
+      """WITH daily AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1),
+        |span AS (SELECT min(d) AS d0, (max(d) - min(d)) // 2 AS mid FROM daily),
+        |h AS (SELECT d - d0 AS t, y, d - d0 <= mid AS h1
+        |  FROM daily CROSS JOIN span),
+        |st AS (SELECT tag, n, n*sxy - sx*sy AS num, n*sxx - sx*sx AS den,
+        |    n*syy - sy*sy AS tss FROM (
+        |  SELECT tag, CAST(count(*) AS HUGEINT) AS n,
+        |      CAST(sum(t) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |      CAST(sum(t*t) AS HUGEINT) AS sxx,
+        |      sum(CAST(t AS HUGEINT) * y) AS sxy,
+        |      sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM (SELECT t, y, 'p' AS tag FROM h
+        |        UNION ALL SELECT t, y, 'a' FROM h WHERE h1
+        |        UNION ALL SELECT t, y, 'b' FROM h WHERE NOT h1)
+        |  GROUP BY tag)),
+        |sse AS (SELECT tag, n,
+        |    (tss * den - num * num) * 1000 // (den * n * n) AS sse_e3
+        |  FROM st)
+        |SELECT CAST(p.n AS BIGINT) AS n_days,
+        |  CAST(p.sse_e3 AS BIGINT) AS sse_pooled_e3,
+        |  CAST(a.sse_e3 AS BIGINT) AS sse_first_e3,
+        |  CAST(b.sse_e3 AS BIGINT) AS sse_second_e3,
+        |  CAST((p.sse_e3 - a.sse_e3 - b.sse_e3) * (p.n - 4) * 1000000
+        |    // nullif((a.sse_e3 + b.sse_e3) * 2, 0) AS BIGINT) AS chow_f_e6
+        |FROM (SELECT * FROM sse WHERE tag = 'p') p
+        |CROSS JOIN (SELECT * FROM sse WHERE tag = 'a') a
+        |CROSS JOIN (SELECT * FROM sse WHERE tag = 'b') b""".stripMargin,
+
+    // Breusch-Pagan replay: exact residual integers u_t, v = (u//den)²
+    // squared residuals, exact aux R², LM = n·R² at e6.
+    "q_breusch_pagan" ->
+      """WITH daily AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1),
+        |d0 AS (SELECT min(d) AS d0 FROM daily),
+        |ty AS (SELECT d - d0 AS t, y FROM daily CROSS JOIN d0),
+        |s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(t) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(t*t) AS HUGEINT) AS sxx,
+        |    sum(CAST(t AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy FROM ty),
+        |st AS (SELECT n, sx, sy, n*sxy - sx*sy AS num, n*sxx - sx*sx AS den
+        |  FROM s),
+        |v AS (SELECT CAST(t AS HUGEINT) AS t,
+        |    ((n*den*y - (sy*den - num*sx) - n*num*t) // den)
+        |      * ((n*den*y - (sy*den - num*sx) - n*num*t) // den) AS v
+        |  FROM ty CROSS JOIN st),
+        |aux AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    sum(t) AS sx, sum(v) AS sv, sum(t*t) AS sxx,
+        |    sum(t*v) AS sxv, sum(v*v) AS svv FROM v),
+        |a2 AS (SELECT n, n*sxv - sx*sv AS num2, n*sxx - sx*sx AS den2,
+        |    n*svv - sv*sv AS tss2 FROM aux),
+        |r AS (SELECT CAST(n AS BIGINT) AS n_days,
+        |    CAST(num2 * num2 * 1000000
+        |      // nullif(den2 * tss2, 0) AS BIGINT) AS r2_aux_e6
+        |  FROM a2)
+        |SELECT n_days, r2_aux_e6, n_days * r2_aux_e6 AS lm_e6,
+        |  n_days * r2_aux_e6 > 3841459 AS heteroscedastic_5pct
+        |FROM r""".stripMargin,
+
+    // Cook's-distance replay: exact residual/leverage integers, the
+    // one-floor rational D_t, top-10 by (D desc, day asc).
+    "q_cooks_distance" ->
+      """WITH daily AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1),
+        |d0 AS (SELECT min(d) AS d0 FROM daily),
+        |ty AS (SELECT d - d0 AS t, y FROM daily CROSS JOIN d0),
+        |s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(t) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(t*t) AS HUGEINT) AS sxx,
+        |    sum(CAST(t AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy FROM ty),
+        |st AS (SELECT n, sx, sy, n*sxy - sx*sy AS num, n*sxx - sx*sx AS den,
+        |    n*syy - sy*sy AS tss FROM s),
+        |cells AS (SELECT t, y,
+        |    n*den*y - (sy*den - num*sx) - n*num*t AS u,
+        |    den + (n*t - sx) * (n*t - sx) AS h,
+        |    n*den AS tt, tss*den - num*num AS ss, n
+        |  FROM ty CROSS JOIN st)
+        |SELECT CAST(t AS BIGINT) AS day_idx, y AS volume,
+        |  CAST(u * u * h * (n - 2) * 1000000
+        |    // nullif(2 * ss * (tt - h) * (tt - h), 0) AS BIGINT)
+        |    AS cooks_d_e6,
+        |  CAST(h * 1000000 // tt AS BIGINT) AS leverage_e6
+        |FROM cells ORDER BY cooks_d_e6 DESC, day_idx LIMIT 10""".stripMargin,
+
     "q_ar1" ->
       """WITH daily AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
         |    count(*) AS x
