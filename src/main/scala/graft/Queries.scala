@@ -7467,6 +7467,59 @@ object Queries {
         (col("n_docs_packed") - col("n_windows")).as("windows_saved"))
   }
 
+  /** Sequence packing by best-fit-decreasing — [[packFfdQ]]'s sibling
+    * with the tighter placement rule (each doc goes to the FULLEST
+    * window it still fits, not the first): same salted-bucket
+    * parallelism, same checkpointed one-pass tokenize, only the fold's
+    * choice function changes (argmax over fitting loads instead of
+    * first-fit; first index on load ties keeps it deterministic). BFD
+    * shares FFD's ≤ (11/9)·OPT + 6/9 guarantee but typically packs
+    * tighter on skewed length distributions — shipping both turns the
+    * packing-efficiency readout into a measured A/B instead of a
+    * single point.
+    */
+  def packBestFitQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = 2048L
+    val B = 32
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextOps.bpeTokenCount(col("text")).as("n"))
+      .localCheckpoint(true)
+    val sized = d.groupBy()
+      .agg(sum(when(col("n") > W, 1L).otherwise(0L)).as("n_oversize"))
+    val lists = d.filter(col("n") <= W)
+      .withColumn("bucket",
+        pmod(TextOps.portableHash64(concat(lit("pack:"), col("doc_id"))), lit(B)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"), sum(col("n")).as("toks"),
+        sort_array(collect_list(struct((-col("n")).as("negn"),
+          col("doc_id").as("id")))).as("s"))
+      .select(col("bucket"), col("cnt"), col("toks"),
+        expr("transform(s, x -> -x.negn)").as("toks_desc"))
+    // best-fit fold: place into the FULLEST window that still fits
+    // (array_max over the fitting loads; first index on ties)
+    val packed = lists.withColumn("bins", expr(
+      s"""aggregate(toks_desc, cast(array() as array<bigint>),
+         |  (bins, t) -> if(exists(bins, b -> b + t <= $W),
+         |    transform(bins, (b, i) -> if(i = element_at(filter(
+         |        transform(bins, (b2, i2) -> if(b2 + t <= $W and
+         |          b2 = array_max(filter(bins, b3 -> b3 + t <= $W)),
+         |          i2, -1)),
+         |        x -> x >= 0), 1), b + t, b)),
+         |    concat(bins, array(t))))""".stripMargin))
+      .select(col("cnt"), col("toks"), size(col("bins")).cast("long").as("nb"))
+    packed.groupBy()
+      .agg(sum(col("cnt")).as("n_docs_packed"), sum(col("toks")).as("total_tokens"),
+        sum(col("nb")).as("n_windows"))
+      .crossJoin(broadcast(sized))
+      .select(col("n_docs_packed"), col("n_oversize"), col("total_tokens"),
+        col("n_windows"),
+        expr(s"cast(cast(total_tokens as decimal(38,0)) * 1000000" +
+          s" div (n_windows * $W) as bigint)").as("pack_eff_e6"),
+        expr(s"cast(cast(total_tokens as decimal(38,0)) * 1000000" +
+          s" div (n_docs_packed * $W) as bigint)").as("naive_eff_e6"),
+        (col("n_docs_packed") - col("n_windows")).as("windows_saved"))
+  }
+
   /** Sample-ratio-mismatch guard for the A/B assignment: the 1-df χ²
     * of the observed variant split against the intended 50/50 —
     * (n_a−n_b)²·10⁶ div (n_a+n_b), exact. The cheapest and most
@@ -15372,6 +15425,100 @@ object Queries {
         expr("n_tail * 1000000 div n <= 100000000 div (k_e1 * k_e1)")
           .as("bound_holds"))
       .orderBy(col("k_e1"))
+  }
+
+  /** Hoeffding tail certificate on hash-partitioned order-value
+    * sample means — the bounded-support companion of [[chebBoundQ]]
+    * (Chebyshev needs only a variance; Hoeffding trades the
+    * observed support range for an EXPONENTIAL bound, the inequality
+    * every "is this sample big enough" sizing rule leans on): orders
+    * are split into ~100-row groups by portable hash, each group's
+    * mean deviation from the global mean is tested at ε = k·(b−a)/100
+    * as an exact cross-multiplied integer predicate
+    * |sum_g·n − s·m_g| ≥ ε·m_g·n, and the observed exceed fraction is
+    * compared to the mean of the per-group two-sided bounds
+    * min(1, 2·exp(−2·m_g·ε²/(b−a)²)) — one e9-floored exp per
+    * (group, k), the [[fisherExactQ]] discipline. One orders scan,
+    * one group reduce, a 4-row k grid.
+    */
+  def hoeffdingBoundQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).cast("long").as("x"))
+    val m = o.groupBy()
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .select(col("n"), col("s"), (col("hi") - col("lo")).as("range"),
+        greatest(expr("n div 100"), lit(1L)).as("ngrp"))
+    val g = o.crossJoin(broadcast(m))
+      .groupBy(pmod(TextOps.portableHash64(
+        concat(lit("hoeff:"), col("o_orderkey"))), col("ngrp")).as("grp"))
+      .agg(count(lit(1)).as("mg"), sum(col("x")).as("sumg"))
+    val ks = o.sparkSession.range(0, 4)
+      .select(expr("element_at(array(3L, 5L, 8L, 12L), cast(id + 1 as int))")
+        .as("k_pct"))
+    g.crossJoin(broadcast(m)).crossJoin(broadcast(ks))
+      .select(col("k_pct"), col("ngrp"),
+        when(expr(s"""abs(cast(sumg as $d38) * n - cast(s as $d38) * mg)
+             >= cast(k_pct * range div 100 as $d38) * mg * n"""), 1L)
+          .otherwise(0L).as("exceed"),
+        // exponent −2·m_g·(k/100)²: the product m_g·k² is EXACT integer
+        // before the one double division, so both engines feed exp the
+        // same IEEE value
+        floor(least(lit(1000000000.0),
+          lit(2.0e9) * exp((col("mg") * col("k_pct") * col("k_pct") * -2L)
+            .cast("double") / 10000.0))).cast("long")
+          .as("bound_e9"))
+      .groupBy(col("k_pct"))
+      .agg(max(col("ngrp")).as("n_groups"), sum(col("exceed")).as("n_exceed"),
+        sum(col("bound_e9")).as("sb"))
+      .select(col("k_pct"), col("n_groups"), col("n_exceed"),
+        expr("n_exceed * 1000000 div n_groups").as("observed_e6"),
+        expr("sb div (n_groups * 1000)").as("bound_e6"),
+        expr("n_exceed * 1000000 div n_groups <= sb div (n_groups * 1000)")
+          .as("bound_holds"))
+      .orderBy(col("k_pct"))
+  }
+
+  /** Posting-list compression audit over the top-20 document-frequency
+    * tokens — the index-size planning readout behind every inverted
+    * index ([[boolSearchQ]]'s postings at 100 TB are a storage line
+    * item): per token, the exact Elias-Fano size n·(ℓ+2) bits with
+    * ℓ = max(0, ⌊log₂(U/n)⌋) (integer bit-length arithmetic —
+    * length(bin(x)) on both engines, zero floats) and the
+    * delta-varint size Σ 1+⌊(bitlen(gap)−1)/7⌋ bytes over the
+    * doc-gap stream (lag window PER TOKEN — never singleton), against
+    * the raw n·bitlen(U) baseline. One tokenize scan, one distinct
+    * posting aggregate, a broadcast top-20 token shortlist.
+    */
+  def indexSizeQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val post = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .filter(length(col("token")) >= 2)
+      .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val u = post.groupBy().agg((max(col("doc_id")) + 1).as("uu"))
+    val top = post.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token")).limit(20)
+    val w = Window.partitionBy(col("token")).orderBy(col("doc_id"))
+    post.join(broadcast(top), "token")
+      .withColumn("gap", col("doc_id") - coalesce(lag(col("doc_id"), 1).over(w),
+        lit(-1L)))
+      .select(col("token"), col("df"), col("gap"))
+      .crossJoin(broadcast(u))
+      .groupBy(col("token"), col("df"), col("uu"))
+      .agg(sum(expr("1 + (length(bin(gap)) - 1) div 7")).as("varint_bytes"))
+      .select(col("token"), col("df").as("n_postings"),
+        (col("df") * length(bin(col("uu") - 1))).as("raw_bits"),
+        (col("df") * (greatest(length(bin(expr("uu div df"))) - 1, lit(0)) + 2))
+          .as("ef_bits"),
+        col("varint_bytes"),
+        expr("df * (greatest(length(bin(uu div df)) - 1, 0) + 2) * 1000000 div df")
+          .as("ef_bits_per_posting_e6"),
+        expr("""df * (greatest(length(bin(uu div df)) - 1, 0) + 2) * 1000000
+               div (df * length(bin(uu - 1)))""").as("ef_vs_raw_e6"))
+      .orderBy(col("n_postings").desc, col("token"))
   }
 
   /** Birthday-bound audit of the [[featureHashingQ]] 1024-bucket

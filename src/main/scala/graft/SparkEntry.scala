@@ -499,6 +499,9 @@ object SparkEntry {
     "q_switchback" -> (Queries.switchbackQ _),
     "q_context_fit" -> (Queries.contextFitQ _),
     "q_pack_ffd" -> (Queries.packFfdQ _),
+    "q_pack_bestfit" -> (Queries.packBestFitQ _),
+    "q_hoeffding_bound" -> (Queries.hoeffdingBoundQ _),
+    "q_index_size" -> (Queries.indexSizeQ _),
     "q_meta_analysis" -> (Queries.metaAnalysisQ _),
     "q_markov_absorption" -> (Queries.markovAbsorptionQ _),
     "q_propensity_overlap" -> (Queries.propensityOverlapQ _),
@@ -11599,6 +11602,110 @@ object SparkEntry {
         |    AS naive_eff_e6,
         |  CAST(sum(cnt) - sum(nb) AS BIGINT) AS windows_saved
         |FROM fin CROSS JOIN sized GROUP BY n_oversize""".stripMargin,
+
+    // BFD packing replay: the q_pack_ffd recursive fold with the
+    // best-fit choice rule (fullest fitting bin; first index on ties).
+    "q_pack_bestfit" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id, CAST(len(regexp_extract_all(
+        |    text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n
+        |  FROM documents),
+        |sized AS (SELECT CAST(sum(CASE WHEN n > 2048 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_oversize FROM d),
+        |b AS (SELECT doc_id, n,
+        |    ${hSql("concat('pack:', CAST(doc_id AS VARCHAR))")} % 32 AS bucket
+        |  FROM d WHERE n <= 2048),
+        |ord AS (SELECT bucket, n, row_number() OVER (PARTITION BY bucket
+        |    ORDER BY n DESC, doc_id) AS rn FROM b),
+        |sz AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(n) AS BIGINT) AS toks FROM ord GROUP BY 1),
+        |pack AS (
+        |  SELECT bucket, CAST(0 AS BIGINT) AS step,
+        |    CAST([] AS BIGINT[]) AS bins FROM sz
+        |  UNION ALL
+        |  SELECT bucket, step,
+        |    CASE WHEN idx IS NULL THEN list_append(bins, n)
+        |      ELSE list_transform(range(1, 1 + len(bins)),
+        |        i -> CASE WHEN i = idx THEN bins[i] + n ELSE bins[i] END)
+        |    END AS bins
+        |  FROM (SELECT p.bucket, p.step + 1 AS step, p.bins, o.n,
+        |      list_filter(range(1, 1 + len(p.bins)),
+        |        i -> p.bins[i] + o.n <= 2048 AND p.bins[i] =
+        |          list_max(list_filter(p.bins, bb -> bb + o.n <= 2048)))[1]
+        |        AS idx
+        |    FROM pack p JOIN ord o
+        |      ON o.bucket = p.bucket AND o.rn = p.step + 1) s),
+        |fin AS (SELECT p.bucket, CAST(len(p.bins) AS BIGINT) AS nb,
+        |    sz.cnt, sz.toks
+        |  FROM pack p JOIN sz ON p.bucket = sz.bucket AND p.step = sz.cnt)
+        |SELECT CAST(sum(cnt) AS BIGINT) AS n_docs_packed, n_oversize,
+        |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+        |  CAST(sum(nb) AS BIGINT) AS n_windows,
+        |  CAST(sum(toks) * 1000000 // (sum(nb) * 2048) AS BIGINT)
+        |    AS pack_eff_e6,
+        |  CAST(sum(toks) * 1000000 // (sum(cnt) * 2048) AS BIGINT)
+        |    AS naive_eff_e6,
+        |  CAST(sum(cnt) - sum(nb) AS BIGINT) AS windows_saved
+        |FROM fin CROSS JOIN sized GROUP BY n_oversize""".stripMargin,
+
+    // Hoeffding replay: hash groups, exact cross-multiplied deviation
+    // predicate, one e9-floored exp per (group, k) over an exact
+    // integer exponent input.
+    "q_hoeffding_bound" ->
+      s"""WITH o AS (SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS x FROM orders),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+        |    max(x) - min(x) AS range,
+        |    greatest(CAST(count(*) AS BIGINT) // 100, 1) AS ngrp FROM o),
+        |g AS (SELECT ${hSql("concat('hoeff:', CAST(o_orderkey AS VARCHAR))")}
+        |      % ngrp AS grp,
+        |    CAST(count(*) AS BIGINT) AS mg, CAST(sum(x) AS BIGINT) AS sumg
+        |  FROM o CROSS JOIN m GROUP BY 1),
+        |ks AS (SELECT CAST(unnest([3, 5, 8, 12]) AS BIGINT) AS k_pct),
+        |cells AS (SELECT k_pct, ngrp,
+        |    CASE WHEN abs(CAST(sumg AS HUGEINT) * n - CAST(s AS HUGEINT) * mg)
+        |      >= CAST(k_pct * range // 100 AS HUGEINT) * mg * n
+        |      THEN 1 ELSE 0 END AS exceed,
+        |    CAST(floor(least(1000000000.0, 2.0e9
+        |      * exp(CAST(mg * k_pct * k_pct * -2 AS DOUBLE) / 10000.0)))
+        |      AS BIGINT) AS bound_e9
+        |  FROM g CROSS JOIN m CROSS JOIN ks)
+        |SELECT k_pct, CAST(max(ngrp) AS BIGINT) AS n_groups,
+        |  CAST(sum(exceed) AS BIGINT) AS n_exceed,
+        |  CAST(sum(exceed) * 1000000 // max(ngrp) AS BIGINT) AS observed_e6,
+        |  CAST(sum(bound_e9) // (max(ngrp) * 1000) AS BIGINT) AS bound_e6,
+        |  sum(exceed) * 1000000 // max(ngrp)
+        |    <= sum(bound_e9) // (max(ngrp) * 1000) AS bound_holds
+        |FROM cells GROUP BY k_pct ORDER BY k_pct""".stripMargin,
+
+    // Index-size replay: distinct postings, top-20 df shortlist,
+    // per-token gap stream, exact bit-length arithmetic via bin().
+    "q_index_size" ->
+      """WITH post AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id,
+        |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |    FROM documents)
+        |  WHERE length(token) >= 2 GROUP BY token, doc_id),
+        |u AS (SELECT max(doc_id) + 1 AS uu FROM post),
+        |top AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM post
+        |  GROUP BY token ORDER BY df DESC, token LIMIT 20),
+        |gaps AS (SELECT p.token, t.df,
+        |    p.doc_id - coalesce(lag(p.doc_id)
+        |      OVER (PARTITION BY p.token ORDER BY p.doc_id), -1) AS gap
+        |  FROM post p JOIN top t USING (token)),
+        |agg AS (SELECT token, df, uu,
+        |    CAST(sum(1 + (length(bin(gap)) - 1) // 7) AS BIGINT)
+        |      AS varint_bytes
+        |  FROM gaps CROSS JOIN u GROUP BY 1, 2, 3)
+        |SELECT token, df AS n_postings,
+        |  CAST(df * length(bin(uu - 1)) AS BIGINT) AS raw_bits,
+        |  CAST(df * (greatest(length(bin(uu // df)) - 1, 0) + 2) AS BIGINT)
+        |    AS ef_bits,
+        |  varint_bytes,
+        |  CAST(df * (greatest(length(bin(uu // df)) - 1, 0) + 2) * 1000000
+        |    // df AS BIGINT) AS ef_bits_per_posting_e6,
+        |  CAST(df * (greatest(length(bin(uu // df)) - 1, 0) + 2) * 1000000
+        |    // (df * length(bin(uu - 1))) AS BIGINT) AS ef_vs_raw_e6
+        |FROM agg ORDER BY n_postings DESC, token""".stripMargin,
 
     // One-step Cox replay: logrank's risk-set support walk, per-time
     // truncating score/information terms, sign-safe floor(double) beta.
