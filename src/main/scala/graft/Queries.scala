@@ -8472,6 +8472,143 @@ object Queries {
       .orderBy(col("cooks_d_e6").desc, col("day_idx")).limit(10)
   }
 
+  /** Team-draft interleaving of two document rankers — the online-eval
+    * primitive that decides "which ranker is better" from ONE result
+    * list instead of an A/B split (Radlinski et al.'s team draft, the
+    * production-standard interleave): ranker A orders by character
+    * length, ranker B by BPE token count (both desc, doc id asc on
+    * ties, top-10 each — TakeOrdered shortlists), the draft alternates
+    * picks (the team with fewer picks drafts its best not-yet-picked
+    * doc; A on ties; a team with an exhausted list cedes the pick) as
+    * one 20-step HOF fold over the two broadcast shortlists, and
+    * deterministic synthetic clicks (doc_id % 7 < 2) on the
+    * interleaved top-10 are credited to the contributing team. All
+    * model-sized after the two shortlist scans.
+    */
+  def teamDraftQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"),
+        TextOps.bpeTokenCount(col("text")).as("tokn"))
+      .localCheckpoint(true)
+    def top10(metric: String, out: String) = d
+      .orderBy(col(metric).desc, col("doc_id")).limit(10)
+      .groupBy().agg(expr(
+        s"transform(sort_array(collect_list(struct(-$metric as m, doc_id as id))), x -> x.id)")
+        .as(out))
+    val one = top10("n_chars", "a").crossJoin(broadcast(top10("tokn", "b")))
+    val fold = """aggregate(sequence(1, 20),
+      named_struct('picked', cast(array() as array<bigint>),
+                   'ca', cast(array() as array<bigint>),
+                   'cb', cast(array() as array<bigint>)),
+      (st, step) ->
+        if(size(st.ca) <= size(st.cb)
+             and size(filter(a, x -> not array_contains(st.picked, x))) > 0,
+           named_struct(
+             'picked', concat(st.picked, array(element_at(filter(a, x -> not array_contains(st.picked, x)), 1))),
+             'ca', concat(st.ca, array(element_at(filter(a, x -> not array_contains(st.picked, x)), 1))),
+             'cb', st.cb),
+        if(size(filter(b, x -> not array_contains(st.picked, x))) > 0,
+           named_struct(
+             'picked', concat(st.picked, array(element_at(filter(b, x -> not array_contains(st.picked, x)), 1))),
+             'ca', st.ca,
+             'cb', concat(st.cb, array(element_at(filter(b, x -> not array_contains(st.picked, x)), 1)))),
+        if(size(filter(a, x -> not array_contains(st.picked, x))) > 0,
+           named_struct(
+             'picked', concat(st.picked, array(element_at(filter(a, x -> not array_contains(st.picked, x)), 1))),
+             'ca', concat(st.ca, array(element_at(filter(a, x -> not array_contains(st.picked, x)), 1))),
+             'cb', st.cb),
+           st))))"""
+    one.withColumn("st", expr(fold))
+      .select(
+        size(col("st.picked")).cast("long").as("n_interleaved"),
+        expr("""cast(size(filter(slice(st.picked, 1, 10),
+               x -> array_contains(st.ca, x) and x % 7 < 2)) as bigint)""")
+          .as("clicks_a"),
+        expr("""cast(size(filter(slice(st.picked, 1, 10),
+               x -> array_contains(st.cb, x) and x % 7 < 2)) as bigint)""")
+          .as("clicks_b"),
+        expr("cast(size(array_intersect(a, b)) as bigint)").as("overlap_top10"))
+      .select(col("n_interleaved"), col("clicks_a"), col("clicks_b"),
+        col("overlap_top10"),
+        when(col("clicks_a") > col("clicks_b"), "A")
+          .when(col("clicks_b") > col("clicks_a"), "B")
+          .otherwise("tie").as("preferred"))
+  }
+
+  /** Newey-West (HAC, Bartlett kernel, 3 lags) long-run variance of
+    * the daily event volume — the autocorrelation-robust variance
+    * that belongs under any mean/trend standard error when
+    * [[durbinWatsonQ]]/[[ljungBoxQ]] say the days are serially
+    * dependent: exact integer autocovariances γ_l of the n-scaled
+    * centered series (lag-l equi-joins on the day spine, the
+    * [[yuleWalkerQ]] device), Bartlett weights (1 − l/4) cleared to
+    * quarters so the whole estimate is ONE integer rational
+    * 4γ₀ + 2(3γ₁ + 2γ₂ + γ₃) over 4γ₀, shipped as the e6 inflation
+    * ratio over the iid variance. One daily aggregate, three
+    * calendar-bounded self-joins.
+    */
+  def neweyWestQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("x"))
+    val g = daily.groupBy().agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val y = daily.crossJoin(broadcast(g))
+      .select(col("d"), (col("n") * col("x") - col("s")).as("y"))
+    val b = y.select(col("d").as("db"), col("y").as("yb"))
+    def gamma(lag: Int) = y
+      .join(b, col("db") === col("d") + lag)
+      .groupBy().agg(sum(expr(s"cast(y as $d38) * yb")).as(s"g$lag"))
+    gamma(0).crossJoin(broadcast(gamma(1)))
+      .crossJoin(broadcast(gamma(2))).crossJoin(broadcast(gamma(3)))
+      .crossJoin(broadcast(g.select(col("n"))))
+      .select(col("n").as("n_days"),
+        expr("cast(g0 div (n * n) as bigint)").as("gamma0"),
+        expr("cast(g1 div (n * n) as bigint)").as("gamma1"),
+        expr("cast(g2 div (n * n) as bigint)").as("gamma2"),
+        expr("cast(g3 div (n * n) as bigint)").as("gamma3"),
+        expr("""cast((4 * g0 + 2 * (3 * g1 + 2 * g2 + g3)) * 1000000
+               div nullif(4 * g0, 0) as bigint)""").as("nw_inflation_e6"))
+  }
+
+  /** Dynamic-batching pad audit: documents bucketed to power-of-two
+    * token capacities (the standard length-bucketing a training
+    * dataloader does so a batch pads to its bucket cap, not the
+    * global max) — per bucket the exact pad tokens Σ(cap − n), and
+    * each bucket's share of the padding a SINGLE global pad-to-max
+    * batcher would have burned. cap = 2^bitlen(n−1) comes from pure
+    * integer bit-length arithmetic (length(bin(·)) on both engines,
+    * zero floats, zero logs). One checkpointed tokenize (the
+    * [[packFfdQ]] table), one bucket-keyed aggregate.
+    */
+  def lengthBucketsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextOps.bpeTokenCount(col("text")).as("n"))
+      .filter(col("n") >= 1)
+      .localCheckpoint(true)
+    val mx = d.groupBy().agg(max(col("n")).as("nmax"))
+    d.select(col("n"),
+        // cap = smallest power of two >= n: 2^bitlen(n−1), with the
+        // n = 1 edge pinned to 1 (bin(0) = '0' would give 2)
+        when(col("n") === 1, 1L)
+          .otherwise(expr("shiftleft(cast(1 as bigint), length(bin(n - 1)))"))
+          .as("cap"))
+      .crossJoin(broadcast(mx))
+      .groupBy(col("cap"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("total_tokens"),
+        sum(col("cap") - col("n")).as("pad_tokens"),
+        sum(col("nmax") - col("n")).as("global_pad_tokens"))
+      .select(col("cap").as("bucket_cap"), col("n_docs"), col("total_tokens"),
+        col("pad_tokens"),
+        expr("pad_tokens * 1000000 div (total_tokens + pad_tokens)")
+          .as("pad_share_e6"),
+        col("global_pad_tokens"),
+        expr("""cast(1000000 - pad_tokens * 1000000
+               div nullif(global_pad_tokens, 0) as bigint)""")
+          .as("pad_saved_vs_global_e6"))
+      .orderBy(col("bucket_cap"))
+  }
+
   /** AR(1) fit of the daily event volume and its one-step forecast —
     * the simplest autoregressive model, done with the [[linregQ]]
     * sufficient-statistics discipline: lag pairs come from the daily

@@ -331,6 +331,9 @@ object SparkEntry {
     "q_did" -> (Queries.didQ _),
     "q_ar1" -> (Queries.ar1Q _),
     "q_chow_test" -> (Queries.chowTestQ _),
+    "q_newey_west" -> (Queries.neweyWestQ _),
+    "q_length_buckets" -> (Queries.lengthBucketsQ _),
+    "q_team_draft" -> (Queries.teamDraftQ _),
     "q_breusch_pagan" -> (Queries.breuschPaganQ _),
     "q_cooks_distance" -> (Queries.cooksDistanceQ _),
     "q_welch_ttest" -> (Queries.welchTtestQ _),
@@ -6986,6 +6989,107 @@ object SparkEntry {
     // AR(1) replay: daily counts self-joined on d+1, sufficient stats
     // in HUGEINT, truncating e6 slope/intercept, forecast from the
     // truncated coefficients.
+    // Newey-West replay: the yule_walker lag-join autocovariances,
+    // quarter-cleared Bartlett weights, one exact inflation rational.
+    "q_newey_west" ->
+      """WITH daily AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+        |  FROM daily),
+        |y AS (SELECT d, n * x - s AS y FROM daily CROSS JOIN g),
+        |g0 AS (SELECT sum(CAST(a.y AS HUGEINT) * b.y) AS g0
+        |  FROM y a JOIN y b ON b.d = a.d),
+        |g1 AS (SELECT sum(CAST(a.y AS HUGEINT) * b.y) AS g1
+        |  FROM y a JOIN y b ON b.d = a.d + 1),
+        |g2 AS (SELECT sum(CAST(a.y AS HUGEINT) * b.y) AS g2
+        |  FROM y a JOIN y b ON b.d = a.d + 2),
+        |g3 AS (SELECT sum(CAST(a.y AS HUGEINT) * b.y) AS g3
+        |  FROM y a JOIN y b ON b.d = a.d + 3)
+        |SELECT n AS n_days,
+        |  CAST(g0 // (n * n) AS BIGINT) AS gamma0,
+        |  CAST(g1 // (n * n) AS BIGINT) AS gamma1,
+        |  CAST(g2 // (n * n) AS BIGINT) AS gamma2,
+        |  CAST(g3 // (n * n) AS BIGINT) AS gamma3,
+        |  CAST((4 * g0 + 2 * (3 * g1 + 2 * g2 + g3)) * 1000000
+        |    // nullif(4 * g0, 0) AS BIGINT) AS nw_inflation_e6
+        |FROM g CROSS JOIN g0 CROSS JOIN g1 CROSS JOIN g2 CROSS JOIN g3""".stripMargin,
+
+    // Length-bucket replay: power-of-two caps by bin() bit length,
+    // per-bucket exact pad sums vs the global pad-to-max baseline.
+    "q_length_buckets" ->
+      """WITH d AS (SELECT CAST(len(regexp_extract_all(text,
+        |    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n
+        |  FROM documents),
+        |d2 AS (SELECT n FROM d WHERE n >= 1),
+        |mx AS (SELECT max(n) AS nmax FROM d2),
+        |c AS (SELECT n, CASE WHEN n = 1 THEN 1
+        |    ELSE (CAST(1 AS BIGINT) << length(bin(n - 1))) END AS cap, nmax
+        |  FROM d2 CROSS JOIN mx)
+        |SELECT cap AS bucket_cap, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS total_tokens,
+        |  CAST(sum(cap - n) AS BIGINT) AS pad_tokens,
+        |  CAST(sum(cap - n) * 1000000 // (sum(n) + sum(cap - n)) AS BIGINT)
+        |    AS pad_share_e6,
+        |  CAST(sum(nmax - n) AS BIGINT) AS global_pad_tokens,
+        |  CAST(1000000 - sum(cap - n) * 1000000
+        |    // nullif(sum(nmax - n), 0) AS BIGINT) AS pad_saved_vs_global_e6
+        |FROM c GROUP BY cap ORDER BY cap""".stripMargin,
+
+    // Team-draft replay: the two top-10 shortlists, a 20-step
+    // recursive draft (fewer-picks team drafts its best unpicked doc,
+    // A on ties, exhausted team cedes), synthetic clicks credited.
+    "q_team_draft" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, n_chars,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS tokn
+        |  FROM documents),
+        |la AS (SELECT (list(doc_id ORDER BY n_chars DESC, doc_id))[1:10] AS a
+        |  FROM d),
+        |lb AS (SELECT (list(doc_id ORDER BY tokn DESC, doc_id))[1:10] AS b
+        |  FROM d),
+        |ab AS (SELECT a, b FROM la CROSS JOIN lb),
+        |draft AS (
+        |  SELECT 0 AS step, CAST([] AS BIGINT[]) AS picked,
+        |    CAST([] AS BIGINT[]) AS ca, CAST([] AS BIGINT[]) AS cb, a, b
+        |  FROM ab
+        |  UNION ALL
+        |  SELECT step,
+        |    CASE WHEN conda THEN list_append(picked, pa)
+        |         WHEN pb IS NOT NULL THEN list_append(picked, pb)
+        |         WHEN pa IS NOT NULL THEN list_append(picked, pa)
+        |         ELSE picked END,
+        |    CASE WHEN conda THEN list_append(ca, pa)
+        |         WHEN pb IS NOT NULL THEN ca
+        |         WHEN pa IS NOT NULL THEN list_append(ca, pa)
+        |         ELSE ca END,
+        |    CASE WHEN conda THEN cb
+        |         WHEN pb IS NOT NULL THEN list_append(cb, pb)
+        |         ELSE cb END,
+        |    a, b
+        |  FROM (SELECT step + 1 AS step, picked, ca, cb, a, b,
+        |      list_filter(a, x -> NOT list_contains(picked, x))[1] AS pa,
+        |      list_filter(b, x -> NOT list_contains(picked, x))[1] AS pb,
+        |      len(ca) <= len(cb)
+        |        AND len(list_filter(a, x -> NOT list_contains(picked, x))) > 0
+        |        AS conda
+        |    FROM draft WHERE step < 20) s)
+        |SELECT CAST(len(picked) AS BIGINT) AS n_interleaved,
+        |  CAST(len(list_filter(picked[1:10],
+        |    x -> list_contains(ca, x) AND x % 7 < 2)) AS BIGINT) AS clicks_a,
+        |  CAST(len(list_filter(picked[1:10],
+        |    x -> list_contains(cb, x) AND x % 7 < 2)) AS BIGINT) AS clicks_b,
+        |  CAST(len(list_intersect(a, b)) AS BIGINT) AS overlap_top10,
+        |  CASE WHEN len(list_filter(picked[1:10],
+        |      x -> list_contains(ca, x) AND x % 7 < 2))
+        |    > len(list_filter(picked[1:10],
+        |      x -> list_contains(cb, x) AND x % 7 < 2)) THEN 'A'
+        |  WHEN len(list_filter(picked[1:10],
+        |      x -> list_contains(cb, x) AND x % 7 < 2))
+        |    > len(list_filter(picked[1:10],
+        |      x -> list_contains(ca, x) AND x % 7 < 2)) THEN 'B'
+        |  ELSE 'tie' END AS preferred
+        |FROM draft WHERE step = 20""".stripMargin,
+
     // Chow replay: pooled/per-half sufficient stats in HUGEINT, each
     // SSE floored once to e3 over matched descaled inputs, exact F.
     "q_chow_test" ->
