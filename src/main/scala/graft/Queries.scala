@@ -15075,6 +15075,94 @@ object Queries {
       .orderBy(col("round"))
   }
 
+  /** Distributed greedy maximal matching over the part-adjacency
+    * graph (3 rounds of locally-minimum edges — the edge-world sibling
+    * of [[misQ]]'s Luby rounds, and the classic 2-approximation
+    * certificate for minimum vertex cover: every cover must hit each
+    * matched edge, so cover_size = 2|M| ≤ 2·OPT): an edge joins the
+    * matching iff its (p, a, b) struct is the MINIMUM among all edges
+    * at BOTH endpoints — priorities are pure functions of the
+    * canonical endpoints (p = pH(a) + pH(b) < 2⁶², no mod-multiply
+    * overflow; ties broken by the struct total order, which is all
+    * greedy matching needs), so no label join ever runs. Per round:
+    * one both-endpoint min aggregate, two equi joins to test
+    * local-minimality, two anti joins to drop matched vertices — the
+    * matched set within a round is vertex-disjoint BY CONSTRUCTION
+    * (a vertex's min edge is unique under the total order). Emits one
+    * row per round plus two certificates: match_violations (endpoint
+    * covered twice — 0 or the operator is wrong) and the final
+    * remaining active-edge count (maximality progress).
+    */
+  def matchingQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val ckpts = collection.mutable.ListBuffer.empty[DataFrame]
+    def rebase(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(true)
+      ckpts += c
+      df.sparkSession.createDataFrame(c.rdd, df.schema)
+    }
+    def pH(c: Column): Column =
+      (c * lit(2654435761L)) % lit(2305843009213693951L)
+    val ced = partAdjacencyEdges(spark, sfDir)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    var e = rebase(ced.select(col("a"), col("b"),
+      (pH(col("a")) + pH(col("b"))).as("p")))
+    val parts = collection.mutable.ListBuffer.empty[DataFrame]
+    val stats = collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    for (r <- 1 to 3) {
+      val before = e.count()
+      val s = struct(col("p"), col("a"), col("b"))
+      val inc = e.select(col("a").as("v"), s.as("s"))
+        .union(e.select(col("b").as("v"), s.as("s")))
+      // an edge is min at BOTH endpoints ⟺ its struct appears TWICE
+      // among the per-vertex minima (each edge is incident to exactly
+      // two vertices) — one V-row aggregate instead of two |E|-row
+      // local-minimality equi joins (the r12 first cut's 129 s x100
+      // wall)
+      val matched = rebase(inc.groupBy(col("v")).agg(min(col("s")).as("m"))
+        .groupBy(col("m")).agg(count(lit(1)).as("c"))
+        .filter(col("c") === 2)
+        .select(col("m.a").as("a"), col("m.b").as("b"), col("m.p").as("p")))
+      parts += matched
+      val nm = matched.count()
+      def gate(df: DataFrame): DataFrame =
+        if (nm <= 5000000L) broadcast(df) else df
+      // the edge restriction stays LAZY over the single round-0
+      // checkpoint: matching removes only 2·|M| vertices per round, so
+      // the surviving edge list barely shrinks — re-materializing ~|E|
+      // rows every round cost more than re-applying r stacked
+      // broadcast anti joins map-side (129 → measured-below x100 wall)
+      val e2 = e
+        .join(gate(matched.select(col("a")).union(matched.select(col("b").as("a")))),
+          Seq("a"), "left_anti")
+        .join(gate(matched.select(col("a").as("b")).union(matched.select(col("b")))),
+          Seq("b"), "left_anti")
+      val after = e2.count()
+      stats += ((before, nm, after))
+      e = e2
+    }
+    val all = parts.reduce(_ union _).localCheckpoint(true)
+    val violations = all.select(col("a").as("v"))
+      .union(all.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .groupBy().agg(coalesce(sum(col("c") - 1), lit(0L)).as("x"))
+      .first().getLong(0)
+    ckpts.foreach(_.unpersist()); all.unpersist()
+    val remaining = stats.last._3
+    val sess = spark
+    import sess.implicits._
+    var cum = 0L
+    stats.toSeq.zipWithIndex.map { case ((b, m, a), i) =>
+      cum += m
+      (i + 1L, b, m, a, cum, 2 * cum, violations, remaining)
+    }.toDF("round", "edges_before", "matched_added", "edges_after",
+        "cum_matched", "cover_size", "match_violations", "remaining_edges")
+      .orderBy(col("round"))
+  }
+
   /** Longest-common-subsequence similarity between user journeys —
     * the order-preserving overlap measure next to [[needlemanQ]]'s
     * gap-penalized alignment (LCS asks "how much of the journey is

@@ -287,7 +287,20 @@ object SoakScale {
     "q_context_fit",
     // round 12: the FFD packing fold — per-bucket collect + HOF fold;
     // the tokenize scan and the 32-bucket collect are the scale axes
-    "q_pack_ffd")
+    "q_pack_ffd",
+    // round-12 waves: the BFD fold (same scaffold), the daily-spine
+    // econometrics trio (one daily aggregate + calendar scalars), the
+    // hash-group Hoeffding reduce, the posting-gap compression audit
+    // (tokenize + distinct-posting shuffle), the lag-join HAC
+    // variance, the bucketed pad audit (tokenize scan), and the
+    // draft fold over two TakeOrdered shortlists
+    "q_pack_bestfit", "q_chow_test", "q_breusch_pagan",
+    "q_cooks_distance", "q_hoeffding_bound", "q_index_size",
+    "q_newey_west", "q_length_buckets", "q_team_draft",
+    // round 12: 3 greedy maximal-matching rounds over the canonical
+    // 10x/100x edge list (both-endpoint min + two local-minimality
+    // equi joins + matched-vertex anti joins per round)
+    "q_matching")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

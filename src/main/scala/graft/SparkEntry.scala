@@ -334,6 +334,7 @@ object SparkEntry {
     "q_newey_west" -> (Queries.neweyWestQ _),
     "q_length_buckets" -> (Queries.lengthBucketsQ _),
     "q_team_draft" -> (Queries.teamDraftQ _),
+    "q_matching" -> (Queries.matchingQ _),
     "q_breusch_pagan" -> (Queries.breuschPaganQ _),
     "q_cooks_distance" -> (Queries.cooksDistanceQ _),
     "q_welch_ttest" -> (Queries.welchTtestQ _),
@@ -11228,6 +11229,62 @@ object SparkEntry {
          |  CAST(active_after AS BIGINT) AS active_after,
          |  CAST(sum(mis_added) OVER (ORDER BY round) AS BIGINT) AS cum_mis,
          |  (SELECT v FROM viol) AS mis_edge_violations
+         |FROM st ORDER BY round""".stripMargin
+    },
+
+    // Maximal-matching replay: 3 generated rounds, each = both-endpoint
+    // struct-min, local-minimality equi joins, matched-vertex removal.
+    "q_matching" -> {
+      def round(r: Int): String = {
+        val e = s"e${r - 1}"
+        s"""mn$r AS MATERIALIZED (SELECT v,
+           |    min(struct_pack(p := p, a := a, b := b)) AS m
+           |  FROM (SELECT a AS v, p, a, b FROM $e
+           |    UNION ALL SELECT b AS v, p, a, b FROM $e) i GROUP BY v),
+           |m$r AS MATERIALIZED (SELECT e.a, e.b, e.p FROM $e e
+           |  JOIN mn$r x ON e.a = x.v JOIN mn$r y ON e.b = y.v
+           |  WHERE struct_pack(p := e.p, a := e.a, b := e.b) = x.m
+           |    AND struct_pack(p := e.p, a := e.a, b := e.b) = y.m),
+           |e$r AS MATERIALIZED (SELECT e.* FROM $e e
+           |  WHERE e.a NOT IN (SELECT a FROM m$r UNION ALL SELECT b FROM m$r)
+           |    AND e.b NOT IN (SELECT a FROM m$r UNION ALL SELECT b FROM m$r))""".stripMargin
+      }
+      s"""WITH p AS (SELECT l_partkey AS src,
+         |    lead(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
+         |  FROM lineitem),
+         |ed AS (SELECT src, dst FROM p
+         |  WHERE dst IS NOT NULL AND src <> dst GROUP BY src, dst),
+         |e0 AS MATERIALIZED (SELECT a, b,
+         |    (a * 2654435761) % 2305843009213693951
+         |      + (b * 2654435761) % 2305843009213693951 AS p
+         |  FROM (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |    FROM ed)),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)},
+         |mall AS MATERIALIZED (SELECT a, b FROM m1
+         |  UNION ALL SELECT a, b FROM m2 UNION ALL SELECT a, b FROM m3),
+         |viol AS (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS v FROM (
+         |  SELECT count(*) AS c FROM (SELECT a AS x FROM mall
+         |    UNION ALL SELECT b FROM mall) GROUP BY x) WHERE c > 1),
+         |st AS (
+         |  SELECT 1 AS round, (SELECT count(*) FROM e0) AS edges_before,
+         |    (SELECT count(*) FROM m1) AS matched_added,
+         |    (SELECT count(*) FROM e1) AS edges_after
+         |  UNION ALL SELECT 2, (SELECT count(*) FROM e1),
+         |    (SELECT count(*) FROM m2), (SELECT count(*) FROM e2)
+         |  UNION ALL SELECT 3, (SELECT count(*) FROM e2),
+         |    (SELECT count(*) FROM m3), (SELECT count(*) FROM e3))
+         |SELECT CAST(round AS BIGINT) AS round,
+         |  CAST(edges_before AS BIGINT) AS edges_before,
+         |  CAST(matched_added AS BIGINT) AS matched_added,
+         |  CAST(edges_after AS BIGINT) AS edges_after,
+         |  CAST(sum(matched_added) OVER (ORDER BY round) AS BIGINT)
+         |    AS cum_matched,
+         |  CAST(2 * sum(matched_added) OVER (ORDER BY round) AS BIGINT)
+         |    AS cover_size,
+         |  (SELECT v FROM viol) AS match_violations,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM e3) AS remaining_edges
          |FROM st ORDER BY round""".stripMargin
     },
 

@@ -1730,6 +1730,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("r12 matching: joinless round-1 matched-edge derivation (min agg + twice-count, no joins)") {
+    // the load-bearing property of the 129→69 s x100 fix: matched
+    // edges come from "struct appears twice among per-vertex minima",
+    // never from local-minimality equi joins against the edge list
+    val ed = Queries.partAdjacencyEdges(spark, sf)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct()
+    val p = (col("a") * lit(2654435761L)) % lit(2305843009213693951L) +
+      (col("b") * lit(2654435761L)) % lit(2305843009213693951L)
+    val e = ed.select(col("a"), col("b"), p.as("p"))
+    val s = struct(col("p"), col("a"), col("b"))
+    val matched = e.select(col("a").as("v"), s.as("s"))
+      .union(e.select(col("b").as("v"), s.as("s")))
+      .groupBy(col("v")).agg(min(col("s")).as("m"))
+      .groupBy(col("m")).agg(count(lit(1)).as("c")).filter(col("c") === 2)
+    val plan = formatted(matched)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("r12 pack_ffd: tokenize once, bucket-parallel fold, no cartesian") {
     val plan = formatted(Queries.packFfdQ(spark, sf))
     // the tokenize regex runs ONCE, at the checkpointed (doc_id, n)
