@@ -12383,6 +12383,161 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** Placebo (permutation) test for [[didQ]]'s
+    * difference-in-differences — the falsification check every DiD
+    * readout owes its reader: reassign "treatment" 200 times by
+    * portable hash (the [[permutationTestQ]] spine) and ask how often
+    * a PLACEBO assignment produces an absolute DiD at least as large
+    * as the real even/odd split's. Per-user pre/post purchase sums
+    * aggregate ONCE; each placebo round is then a 4-cell reduce over
+    * the user support with exact cents·10⁴ cell means, identical
+    * integer arithmetic to didQ. One data-sized scan; the 200-round
+    * grid rides the user table.
+    */
+  def placeboTestQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("d"),
+        cents(col("value")).cast("long").as("cts"))
+    val mid = ev.groupBy().agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(expr("(d0 + d1) div 2").as("mid"))
+    val u = ev.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"), (col("d") > col("mid")).as("post"))
+      .agg(sum(col("cts")).as("s"), count(lit(1)).as("n"))
+    def didOf(df: DataFrame, key: Seq[Column]): DataFrame = df
+      .groupBy(key: _*)
+      .agg(max(when(col("treated") && !col("post"), col("m_e6"))).as("tp"),
+        max(when(col("treated") && col("post"), col("m_e6"))).as("tq"),
+        max(when(!col("treated") && !col("post"), col("m_e6"))).as("cp"),
+        max(when(!col("treated") && col("post"), col("m_e6"))).as("cq"))
+      .withColumn("did_e6",
+        (col("tq") - col("tp")) - (col("cq") - col("cp")))
+    val obs = didOf(u.groupBy((col("user_id") % 2 === 0).as("treated"), col("post"))
+        .agg(sum(col("s")).as("ss"), sum(col("n")).as("nn"))
+        .select(col("treated"), col("post"), expr("ss * 10000 div nn").as("m_e6")),
+      Seq.empty)
+      .select(col("did_e6").as("obs_did_e6"))
+    val spine = ev.sparkSession.range(1, 201).select(col("id").as("r"))
+    val perm = didOf(u.crossJoin(broadcast(spine))
+        .groupBy(col("r"), (graft.ops.TextOps.portableHash64(
+          concat(col("user_id").cast("string"), lit(":"), col("r").cast("string")))
+          % 2 === 0).as("treated"), col("post"))
+        .agg(sum(col("s")).as("ss"), sum(col("n")).as("nn"))
+        .select(col("r"), col("treated"), col("post"),
+          expr("ss * 10000 div nn").as("m_e6")),
+      Seq(col("r")))
+    perm.crossJoin(broadcast(obs))
+      .groupBy(col("obs_did_e6"))
+      .agg(sum(when(abs(col("did_e6")) >= abs(col("obs_did_e6")), 1L)
+        .otherwise(0L)).as("n_ge"))
+      .select(col("obs_did_e6"), col("n_ge"),
+        expr("1000000 * (1 + n_ge) div 201").as("p_e6"),
+        lit(200L).as("n_perm"))
+  }
+
+  /** Holm-Bonferroni step-down correction over the per-event-type
+    * permutation p-values — the uniformly-more-powerful replacement
+    * for plain Bonferroni that still controls FWER with NO independence
+    * assumption (the [[fdrBhQ]] sibling: BH controls FDR, Holm
+    * controls the stricter family-wise error): the same 200-round
+    * hash-permutation p per type, ranks by the bounded self-join, the
+    * step-down adjusted p as a running max of (m−rank+1)·p over the
+    * ≤-rank prefix (another bounded self-join — the family is
+    * value-support-sized), capped at 1. Rejection at α = 0.05.
+    */
+  def holmBonferroniQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(cents(col("value")).cast("long")).as("cts"))
+    val diffE3 =
+      """abs(1000 * (cast(sA as decimal(38,0)) * nB - cast(sB as decimal(38,0)) * nA)
+        |    div (cast(nA as decimal(38,0)) * nB))""".stripMargin
+    val obs = u.groupBy(col("event_type"))
+      .agg(sum(when(col("user_id") % 2 === 0, col("cts"))).as("sA"),
+        sum(when(col("user_id") % 2 === 1, col("cts"))).as("sB"),
+        sum(when(col("user_id") % 2 === 0, 1L)).as("nA"),
+        sum(when(col("user_id") % 2 === 1, 1L)).as("nB"))
+      .select(col("event_type"), expr(diffE3).as("obs_e3"))
+    val spine = u.sparkSession.range(1, 201).select(col("id").as("r"))
+    val perm = u.crossJoin(broadcast(spine))
+      .select(col("event_type"), col("r"),
+        (graft.ops.TextOps.portableHash64(
+          concat(col("user_id").cast("string"), lit(":"), col("r").cast("string"))) % 2)
+          .as("g"),
+        col("cts"))
+      .groupBy(col("event_type"), col("r"))
+      .agg(sum(when(col("g") === 0, col("cts"))).as("sA"),
+        sum(when(col("g") === 1, col("cts"))).as("sB"),
+        sum(when(col("g") === 0, 1L)).as("nA"),
+        sum(when(col("g") === 1, 1L)).as("nB"))
+      .select(col("event_type"), col("r"), expr(diffE3).as("d_e3"))
+    val p = perm.join(broadcast(obs), "event_type")
+      .groupBy(col("event_type"), col("obs_e3"))
+      .agg(sum(when(col("d_e3") >= col("obs_e3"), 1L).otherwise(0L)).as("n_ge"))
+      .select(col("event_type"), col("obs_e3"),
+        expr("1000000 * (1 + n_ge) div 201").as("p_e6"))
+    val m = p.groupBy().agg(count(lit(1)).as("m"))
+    val pk = p.select(col("event_type").as("et2"), col("p_e6").as("p2"))
+    val ranked = p.as("x").join(pk.as("y"),
+        col("y.p2") < col("x.p_e6")
+          || (col("y.p2") === col("x.p_e6") && col("y.et2") < col("x.event_type")),
+        "left")
+      .groupBy(col("x.event_type").as("event_type"), col("x.obs_e3").as("obs_e3"),
+        col("x.p_e6").as("p_e6"))
+      .agg((count(col("y.et2")) + 1L).as("rnk"))
+      .crossJoin(broadcast(m))
+    // step-down adjusted p: running max of (m−rnk+1)·p over the prefix
+    val rk = ranked.select(col("event_type").as("et3"), col("p_e6").as("p3"),
+      col("rnk").as("rnk3"))
+    ranked.as("x").join(rk.as("y"), col("y.rnk3") <= col("x.rnk"))
+      .groupBy(col("x.event_type").as("event_type"), col("x.obs_e3").as("obs_e3"),
+        col("x.p_e6").as("p_e6"), col("x.rnk").as("rnk"), col("x.m").as("m"))
+      .agg(max((col("x.m") - col("y.rnk3") + 1) * col("y.p3")).as("adjraw"))
+      .select(col("event_type"), col("obs_e3"), col("p_e6"), col("rnk"), col("m"),
+        least(col("adjraw"), lit(1000000L)).as("holm_adj_e6"),
+        (least(col("adjraw"), lit(1000000L)) <= 50000L).as("reject_holm"))
+      .orderBy(col("event_type"))
+  }
+
+  /** VanderWeele-Ding E-value for [[oddsRatioQ]]'s per-region
+    * Haldane-corrected odds ratio — "how strong would an unmeasured
+    * confounder have to be (on the risk-ratio scale, with BOTH
+    * exposure and outcome) to explain this association away?": the
+    * closed form E = OR* + √(OR*·(OR*−1)) on the ≥1-directed ratio
+    * (inverted when OR < 1), with the single √ the only non-integer
+    * op — IEEE sqrt is correctly rounded, so both engines agree
+    * bit-for-bit on the e6-floored value. A model-sized readout over
+    * the same 2×2 cells.
+    */
+  def evalueQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val urgent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    val c = Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(urgent.withColumn("outc", lit(1L)), Seq("c_custkey"), "left")
+      .select(col("n_regionkey").as("region"),
+        (col("c_mktsegment") === "BUILDING").as("exp"),
+        coalesce(col("outc"), lit(0L)).as("outc"))
+    c.groupBy(col("region"))
+      .agg(sum(when(col("exp") && col("outc") === 1L, 1L).otherwise(0L)).as("a"),
+        sum(when(col("exp") && col("outc") === 0L, 1L).otherwise(0L)).as("b"),
+        sum(when(!col("exp") && col("outc") === 1L, 1L).otherwise(0L)).as("c"),
+        sum(when(!col("exp") && col("outc") === 0L, 1L).otherwise(0L)).as("d"))
+      .select(col("region"),
+        expr("(2*a+1) * (2*d+1) * 1000000 div ((2*b+1) * (2*c+1))")
+          .as("or_haldane_e6"))
+      .select(col("region"), col("or_haldane_e6"),
+        expr("""case when or_haldane_e6 >= 1000000 then or_haldane_e6
+               else 1000000000000 div or_haldane_e6 end""").as("or_dir_e6"))
+      .select(col("region"), col("or_haldane_e6"), col("or_dir_e6"),
+        expr("""or_dir_e6 + cast(floor(sqrt(cast(or_dir_e6 as double)
+               * (or_dir_e6 - 1000000))) as bigint)""").as("evalue_e6"))
+      .orderBy(col("region"))
+  }
+
   /** Embedding-distribution drift per label: the quantized-mean gap
     * between split A (even vec_ids) and split B (odd) — the monitor an
     * embedding pipeline runs between two model versions or two ingest

@@ -298,9 +298,13 @@ object SoakScale {
     "q_cooks_distance", "q_hoeffding_bound", "q_index_size",
     "q_newey_west", "q_length_buckets", "q_team_draft",
     // round 12: 3 greedy maximal-matching rounds over the canonical
-    // 10x/100x edge list (both-endpoint min + two local-minimality
-    // equi joins + matched-vertex anti joins per round)
-    "q_matching")
+    // 10x/100x edge list (both-endpoint min + twice-count matched
+    // detection + matched-vertex anti joins per round)
+    "q_matching",
+    // round-12 wave 5: the 200-round placebo-DiD permutation spine
+    // over xN fresh users, the per-type Holm permutation machinery,
+    // and the customer-scan E-value cells
+    "q_placebo_test", "q_holm_bonferroni", "q_evalue")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

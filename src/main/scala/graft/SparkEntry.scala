@@ -335,6 +335,9 @@ object SparkEntry {
     "q_length_buckets" -> (Queries.lengthBucketsQ _),
     "q_team_draft" -> (Queries.teamDraftQ _),
     "q_matching" -> (Queries.matchingQ _),
+    "q_placebo_test" -> (Queries.placeboTestQ _),
+    "q_holm_bonferroni" -> (Queries.holmBonferroniQ _),
+    "q_evalue" -> (Queries.evalueQ _),
     "q_breusch_pagan" -> (Queries.breuschPaganQ _),
     "q_cooks_distance" -> (Queries.cooksDistanceQ _),
     "q_welch_ttest" -> (Queries.welchTtestQ _),
@@ -9550,6 +9553,114 @@ object SparkEntry {
          |  rnk <= k_star AS reject_bh
          |FROM ranked CROSS JOIN mm CROSS JOIN ks
          |ORDER BY event_type""".stripMargin,
+
+    // Placebo-DiD replay: per-(user, post) purchase sums once, 200
+    // hash reassignments, 4-cell exact means per round, |did| tail.
+    "q_placebo_test" ->
+      s"""WITH ev AS (SELECT user_id,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+         |    CAST(round(value * 100, 0) AS BIGINT) AS cts
+         |  FROM events WHERE event_type = 'purchase'),
+         |m AS (SELECT (min(d) + max(d)) // 2 AS mid FROM ev),
+         |u AS (SELECT user_id, d > mid AS post, CAST(sum(cts) AS BIGINT) AS s,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM ev CROSS JOIN m GROUP BY 1, 2),
+         |oc AS (SELECT user_id % 2 = 0 AS treated, post,
+         |    sum(s) * 10000 // sum(n) AS m_e6 FROM u GROUP BY 1, 2),
+         |obs AS (SELECT
+         |    (max(CASE WHEN treated AND post THEN m_e6 END)
+         |       - max(CASE WHEN treated AND NOT post THEN m_e6 END))
+         |    - (max(CASE WHEN NOT treated AND post THEN m_e6 END)
+         |       - max(CASE WHEN NOT treated AND NOT post THEN m_e6 END))
+         |    AS obs_did_e6 FROM oc),
+         |spine AS (SELECT unnest(range(1, 201)) AS r),
+         |pc AS (SELECT r, ${hSql("user_id || ':' || r")} % 2 = 0 AS treated,
+         |    post, sum(s) * 10000 // sum(n) AS m_e6
+         |  FROM u CROSS JOIN spine GROUP BY 1, 2, 3),
+         |pd AS (SELECT r,
+         |    (max(CASE WHEN treated AND post THEN m_e6 END)
+         |       - max(CASE WHEN treated AND NOT post THEN m_e6 END))
+         |    - (max(CASE WHEN NOT treated AND post THEN m_e6 END)
+         |       - max(CASE WHEN NOT treated AND NOT post THEN m_e6 END))
+         |    AS did_e6 FROM pc GROUP BY r)
+         |SELECT CAST(obs_did_e6 AS BIGINT) AS obs_did_e6,
+         |  CAST(sum(CASE WHEN abs(did_e6) >= abs(obs_did_e6) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_ge,
+         |  CAST(1000000 * (1 + sum(CASE WHEN abs(did_e6) >= abs(obs_did_e6)
+         |    THEN 1 ELSE 0 END)) // 201 AS BIGINT) AS p_e6,
+         |  CAST(200 AS BIGINT) AS n_perm
+         |FROM pd CROSS JOIN obs GROUP BY obs_did_e6""".stripMargin,
+
+    // Holm replay: the fdr_bh permutation p machinery, step-down
+    // adjusted p by a prefix self-join running max, capped at 1.
+    "q_holm_bonferroni" ->
+      s"""WITH u AS (SELECT event_type, user_id,
+         |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cts
+         |  FROM events GROUP BY 1, 2),
+         |o1 AS (SELECT event_type,
+         |    sum(CASE WHEN user_id % 2 = 0 THEN CAST(cts AS HUGEINT) END) AS sA,
+         |    sum(CASE WHEN user_id % 2 = 1 THEN CAST(cts AS HUGEINT) END) AS sB,
+         |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS nA,
+         |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS nB
+         |  FROM u GROUP BY event_type),
+         |obs AS (SELECT event_type,
+         |    abs(1000 * (sA * nB - sB * nA) // (nA * nB)) AS obs_e3 FROM o1),
+         |spine AS (SELECT unnest(range(1, 201)) AS r),
+         |pg AS (SELECT event_type, r, ${hSql("user_id || ':' || r")} % 2 AS g, cts
+         |  FROM u CROSS JOIN spine),
+         |ps AS (SELECT event_type, r,
+         |    sum(CASE WHEN g = 0 THEN CAST(cts AS HUGEINT) END) AS sA,
+         |    sum(CASE WHEN g = 1 THEN CAST(cts AS HUGEINT) END) AS sB,
+         |    CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS nA,
+         |    CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS nB
+         |  FROM pg GROUP BY event_type, r),
+         |d AS (SELECT event_type, r,
+         |    abs(1000 * (sA * nB - sB * nA) // (nA * nB)) AS d_e3 FROM ps),
+         |p AS (SELECT d.event_type, obs.obs_e3,
+         |    CAST(sum(CASE WHEN d_e3 >= obs_e3 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge
+         |  FROM d JOIN obs ON d.event_type = obs.event_type
+         |  GROUP BY d.event_type, obs.obs_e3),
+         |pp AS (SELECT event_type, CAST(obs_e3 AS BIGINT) AS obs_e3,
+         |    CAST(1000000 * (1 + n_ge) // 201 AS BIGINT) AS p_e6 FROM p),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pp),
+         |ranked AS (SELECT x.event_type, x.obs_e3, x.p_e6,
+         |    CAST(count(y.event_type) + 1 AS BIGINT) AS rnk
+         |  FROM pp x LEFT JOIN pp y
+         |    ON y.p_e6 < x.p_e6 OR (y.p_e6 = x.p_e6 AND y.event_type < x.event_type)
+         |  GROUP BY x.event_type, x.obs_e3, x.p_e6)
+         |SELECT x.event_type, x.obs_e3, x.p_e6, x.rnk, m,
+         |  least(max((m - y.rnk + 1) * y.p_e6), 1000000) AS holm_adj_e6,
+         |  least(max((m - y.rnk + 1) * y.p_e6), 1000000) <= 50000 AS reject_holm
+         |FROM ranked x JOIN ranked y ON y.rnk <= x.rnk CROSS JOIN mm
+         |GROUP BY x.event_type, x.obs_e3, x.p_e6, x.rnk, m
+         |ORDER BY x.event_type""".stripMargin,
+
+    // E-value replay: the odds-ratio 2x2 cells, >=1-directed ratio,
+    // one IEEE sqrt floored at e6.
+    "q_evalue" ->
+      """WITH urgent AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'),
+        |c AS (SELECT n.n_regionkey AS region,
+        |    cu.c_mktsegment = 'BUILDING' AS exp,
+        |    CASE WHEN u.c_custkey IS NULL THEN 0 ELSE 1 END AS outc
+        |  FROM customer cu JOIN nation n ON cu.c_nationkey = n.n_nationkey
+        |  LEFT JOIN urgent u ON cu.c_custkey = u.c_custkey),
+        |cells AS (SELECT region,
+        |    CAST(sum(CASE WHEN exp AND outc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN exp AND outc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN NOT exp AND outc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN NOT exp AND outc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM c GROUP BY region),
+        |orh AS (SELECT region,
+        |    (2*a+1) * (2*d+1) * 1000000 // ((2*b+1) * (2*c+1)) AS or_haldane_e6
+        |  FROM cells),
+        |dir AS (SELECT region, or_haldane_e6,
+        |    CASE WHEN or_haldane_e6 >= 1000000 THEN or_haldane_e6
+        |    ELSE 1000000000000 // or_haldane_e6 END AS or_dir_e6 FROM orh)
+        |SELECT region, or_haldane_e6, or_dir_e6,
+        |  or_dir_e6 + CAST(floor(sqrt(CAST(or_dir_e6 AS DOUBLE)
+        |    * (or_dir_e6 - 1000000))) AS BIGINT) AS evalue_e6
+        |FROM dir ORDER BY region""".stripMargin,
 
     // Embedding-drift replay: parallel unnest (element, dim), e6
     // quantization BEFORE any sum, cross-multiplied mean gap, struct
