@@ -103,7 +103,11 @@ object DumpPlans {
     "q_prefix_cache" -> "prefix-cache: per-source lexicographic lag window; common-prefix length is a zip_with + first-mismatch projection — no DP, no pair join",
     "q_lsh_scurve" -> "S-curve tuning: capped 48-doc probe pairs (BNLJ bounded by construction); collision indicators ride the signature columns; theory curve is a 30-row grid projection",
     "q_source_loo" -> "LOO data valuation: ALL 20 leave-one-out models from ONE (source, token) aggregate by count subtraction — no per-source retrain pass",
-    "q_binomial_test" -> "exact binomial: calendar-bounded n; C(n,j) via a BIGINT-safe multiplicative-recurrence HOF on the n+1-row support grid — no factorial blowup, no window")
+    "q_binomial_test" -> "exact binomial: calendar-bounded n; C(n,j) via a BIGINT-safe multiplicative-recurrence HOF on the n+1-row support grid — no factorial blowup, no window",
+    "q_pack_ffd" -> "FFD sequence packing: ONE checkpointed tokenize; salted 32-bucket shuffle; per-bucket HOF first-fit fold; scalar oversize side broadcast",
+    "q_matching" -> "greedy maximal matching: per-vertex struct-min, matched = twice-counted minima (joinless); lazy edge restriction via size-gated broadcast anti joins",
+    "q_team_draft" -> "team-draft interleave: two TakeOrdered shortlists collapse to one row; the 20-step draft is a single HOF fold — zero joins past the shortlists",
+    "q_index_size" -> "posting compression audit: distinct-posting aggregate, broadcast top-20 shortlist join, per-token lag window (never singleton), bit-length integer arithmetic")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
