@@ -6734,6 +6734,124 @@ object Queries {
           .as("sen2_slope_e6"))
   }
 
+  /** Wilson score intervals for each event type's post-midpoint share
+    * — the binomial CI that stays honest at extreme rates and small n
+    * (the Wald interval every naive dashboard ships collapses to
+    * zero width at p̂ ∈ {0,1}): per type, k = events after the
+    * calendar midpoint out of n, exact integer rate, and the Wilson
+    * 95% bounds from the closed form with z = 1.959964 — the single
+    * sqrt is IEEE-exact, every other factor is the same literal text
+    * on both engines, one e6 floor per bound. One events scan into a
+    * type-bounded aggregate.
+    */
+  def wilsonCiQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("d"))
+    val mid = ev.groupBy().agg(expr("(min(d) + max(d)) div 2").as("mid"))
+    ev.crossJoin(broadcast(mid))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("d") > col("mid"), 1L).otherwise(0L)).as("k"))
+      .select(col("event_type"), col("n"), col("k"),
+        expr("k * 1000000 div n").as("rate_e6"),
+        expr("""cast(floor(((k + 1.9207295) - 1.959964
+               * sqrt(cast(k as double) * (n - k) / n + 0.96036475))
+               / (n + 3.841459) * 1000000.0) as bigint)""").as("wilson_lo_e6"),
+        expr("""cast(floor(((k + 1.9207295) + 1.959964
+               * sqrt(cast(k as double) * (n - k) / n + 0.96036475))
+               / (n + 3.841459) * 1000000.0) as bigint)""").as("wilson_hi_e6"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Seasonal (Hirsch-Slack) Mann-Kendall trend test on the daily
+    * volume — [[mannKendallQ]] computed WITHIN each weekday and
+    * summed, so a strong day-of-week cycle can no longer masquerade
+    * as (or mask) a monotone trend: per weekday the pairwise sign
+    * statistic S_k over its own day pairs (calendar²-bounded), the
+    * no-ties variance Σ n_k(n_k−1)(2n_k+5)/18 carried ×18 as an exact
+    * integer, continuity-corrected z floored once at e6 (the IEEE
+    * sqrt is the only non-integer op). One daily aggregate; all pair
+    * work on the ≤⌈days/7⌉² weekday supports.
+    */
+  def seasonalMkQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("x"))
+      .withColumn("dow", col("d") % 7)
+    val a = daily.select(col("dow"), col("d").as("da"), col("x").as("xa"))
+    val b = daily.select(col("dow"), col("d").as("db"), col("x").as("xb"))
+    val perDow = broadcast(a).join(b, Seq("dow"))
+      .filter(col("da") < col("db"))
+      .groupBy(col("dow"))
+      .agg(sum(signum(col("xb") - col("xa")).cast("long")).as("s_k"))
+    val nk = daily.groupBy(col("dow")).agg(count(lit(1)).as("n_k"))
+    perDow.join(nk, "dow")
+      .groupBy()
+      .agg(sum(col("n_k")).as("n_days"), count(lit(1)).as("n_seasons"),
+        sum(col("s_k")).as("s_seasonal"),
+        sum(col("n_k") * (col("n_k") - 1) * (col("n_k") * 2 + 5)).as("var_x18"))
+      .select(col("n_days"), col("n_seasons"), col("s_seasonal"), col("var_x18"),
+        expr("""cast(floor(case when s_seasonal > 0 then (s_seasonal - 1)
+               else case when s_seasonal < 0 then (s_seasonal + 1) else 0 end end
+               / sqrt(cast(var_x18 as double) / 18.0) * 1000000.0) as bigint)""")
+          .as("z_e6"))
+  }
+
+  /** BM25 (k1, b) hyperparameter sweep with a retrieval-quality
+    * readout per grid cell — the tuning loop behind every production
+    * [[bm25Q]] deployment, run as ONE plan: the same memoized one-pass
+    * per-doc term table, scored under all 6 (k1 ∈ {0.6, 1.2, 1.8} ×
+    * b ∈ {0.25, 0.75}) settings via a 6-row broadcast grid,
+    * rank-windowed PER CELL (the window key is the grid — inputs are
+    * the match-bearing docs only, a shortlist), and judged against the
+    * deterministic relevance "doc matches ≥2 of the 3 query terms":
+    * hits@5, the first relevant rank (MRR's atom), and the relevant
+    * pool size, all exact integers.
+    */
+  def bm25SweepQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val perDoc = graft.sources.SessionMemo(spark, ("bm25_perdoc", sfDir)) {
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        .filter(length(col("token")) >= 2)
+        .groupBy(col("doc_id")).agg(
+          count(lit(1)).as("dl"),
+          sum(when(col("token") === "hash", 1L).otherwise(0L)).as("tf_hash"),
+          sum(when(col("token") === "join", 1L).otherwise(0L)).as("tf_join"),
+          sum(when(col("token") === "vector", 1L).otherwise(0L)).as("tf_vector"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    import org.apache.spark.sql.expressions.Window
+    val stats = perDoc.agg(count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl")) / count(lit(1))).as("avgdl"))
+    val tf = perDoc.select(col("doc_id"), col("dl"), expr(
+        "stack(3, 'hash', tf_hash, 'join', tf_join, 'vector', tf_vector) AS (token, tf)"))
+      .filter(col("tf") > 0)
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val grid = broadcast(tf.sparkSession.range(0, 6)
+      .select(expr("element_at(array(60L, 60L, 120L, 120L, 180L, 180L), cast(id + 1 as int))")
+        .as("k1_e2"),
+        expr("element_at(array(25L, 75L, 25L, 75L, 25L, 75L), cast(id + 1 as int))")
+        .as("b_e2")))
+    val scored = tf.join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(stats)).crossJoin(grid)
+      .withColumn("s", expr(
+        """ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+          | * (tf * (k1_e2 / 100.0 + 1) / (tf + k1_e2 / 100.0
+          |   * (1 - b_e2 / 100.0 + b_e2 / 100.0 * dl / avgdl)))""".stripMargin))
+      .groupBy(col("k1_e2"), col("b_e2"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), round(sum(col("s")), 6).as("score"))
+    val w = Window.partitionBy(col("k1_e2"), col("b_e2"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .withColumn("rel", (col("n_terms") >= 2).cast("long"))
+      .groupBy(col("k1_e2"), col("b_e2"))
+      .agg(count(lit(1)).as("n_ranked"),
+        sum(when(col("rnk") <= 5, col("rel")).otherwise(0L)).as("hits_at5"),
+        min(when(col("rel") === 1L, col("rnk"))).cast("long").as("first_rel_rank"),
+        sum(col("rel")).as("n_rel"))
+      .orderBy(col("k1_e2"), col("b_e2"))
+  }
+
   /** Benford first-digit audit of l_extendedprice (in cents — spans
     * several decades, the precondition for Benford), fraction-free:
     * the digit comes from the integer's decimal string (no float

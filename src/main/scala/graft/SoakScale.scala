@@ -304,7 +304,11 @@ object SoakScale {
     // round-12 wave 5: the 200-round placebo-DiD permutation spine
     // over xN fresh users, the per-type Holm permutation machinery,
     // and the customer-scan E-value cells
-    "q_placebo_test", "q_holm_bonferroni", "q_evalue")
+    "q_placebo_test", "q_holm_bonferroni", "q_evalue",
+    // round-12 wave 6: per-type events scans (Wilson CI), the
+    // per-weekday pair walk (calendar²-bounded after one daily agg),
+    // and the 6-cell BM25 grid over the memoized per-doc term table
+    "q_wilson_ci", "q_seasonal_mk", "q_bm25_sweep")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

@@ -338,6 +338,9 @@ object SparkEntry {
     "q_placebo_test" -> (Queries.placeboTestQ _),
     "q_holm_bonferroni" -> (Queries.holmBonferroniQ _),
     "q_evalue" -> (Queries.evalueQ _),
+    "q_wilson_ci" -> (Queries.wilsonCiQ _),
+    "q_seasonal_mk" -> (Queries.seasonalMkQ _),
+    "q_bm25_sweep" -> (Queries.bm25SweepQ _),
     "q_breusch_pagan" -> (Queries.breuschPaganQ _),
     "q_cooks_distance" -> (Queries.cooksDistanceQ _),
     "q_welch_ttest" -> (Queries.welchTtestQ _),
@@ -9553,6 +9556,81 @@ object SparkEntry {
          |  rnk <= k_star AS reject_bh
          |FROM ranked CROSS JOIN mm CROSS JOIN ks
          |ORDER BY event_type""".stripMargin,
+
+    // Wilson replay: per-type post-midpoint counts, the closed form
+    // with identical literal text, one IEEE sqrt, e6 floors.
+    "q_wilson_ci" ->
+      """WITH ev AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d FROM events),
+        |m AS (SELECT (min(d) + max(d)) // 2 AS mid FROM ev),
+        |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN d > mid THEN 1 ELSE 0 END) AS BIGINT) AS k
+        |  FROM ev CROSS JOIN m GROUP BY 1)
+        |SELECT event_type, n, k, CAST(k * 1000000 // n AS BIGINT) AS rate_e6,
+        |  CAST(floor(((k + 1.9207295) - 1.959964
+        |    * sqrt(CAST(k AS DOUBLE) * (n - k) / n + 0.96036475))
+        |    / (n + 3.841459) * 1000000.0) AS BIGINT) AS wilson_lo_e6,
+        |  CAST(floor(((k + 1.9207295) + 1.959964
+        |    * sqrt(CAST(k AS DOUBLE) * (n - k) / n + 0.96036475))
+        |    / (n + 3.841459) * 1000000.0) AS BIGINT) AS wilson_hi_e6
+        |FROM t ORDER BY event_type""".stripMargin,
+
+    // Seasonal-MK replay: per-weekday pair signs, exact x18 variance,
+    // continuity-corrected z with one IEEE sqrt.
+    "q_seasonal_mk" ->
+      """WITH daily AS (SELECT d, CAST(count(*) AS BIGINT) AS x FROM (
+        |    SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d
+        |    FROM events) GROUP BY d),
+        |dd AS (SELECT d, x, d % 7 AS dow FROM daily),
+        |pd AS (SELECT a.dow, CAST(sum(CASE WHEN b.x > a.x THEN 1
+        |    WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_k
+        |  FROM dd a JOIN dd b ON a.dow = b.dow AND a.d < b.d GROUP BY a.dow),
+        |nk AS (SELECT dow, CAST(count(*) AS BIGINT) AS n_k FROM dd GROUP BY dow),
+        |t AS (SELECT CAST(sum(n_k) AS BIGINT) AS n_days,
+        |    CAST(count(*) AS BIGINT) AS n_seasons,
+        |    CAST(sum(s_k) AS BIGINT) AS s_seasonal,
+        |    CAST(sum(n_k * (n_k - 1) * (2 * n_k + 5)) AS BIGINT) AS var_x18
+        |  FROM pd JOIN nk USING (dow))
+        |SELECT n_days, n_seasons, s_seasonal, var_x18,
+        |  CAST(floor(CASE WHEN s_seasonal > 0 THEN (s_seasonal - 1)
+        |    ELSE CASE WHEN s_seasonal < 0 THEN (s_seasonal + 1) ELSE 0 END END
+        |    / sqrt(CAST(var_x18 AS DOUBLE) / 18.0) * 1000000.0) AS BIGINT)
+        |    AS z_e6
+        |FROM t""".stripMargin,
+
+    // BM25-sweep replay: the q_bm25 chain scored under the 6-cell
+    // (k1, b) grid, per-cell rank window, deterministic relevance.
+    "q_bm25_sweep" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, token FROM tok WHERE length(token) >= 2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY doc_id),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM t2
+        |  WHERE token IN ('hash', 'join', 'vector') GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |grid AS (SELECT unnest([60, 60, 120, 120, 180, 180]) AS k1_e2,
+        |    unnest([25, 75, 25, 75, 25, 75]) AS b_e2),
+        |s AS (SELECT k1_e2, b_e2, tf.doc_id,
+        |    ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+        |      * (tf * (k1_e2 / 100.0 + 1) / (tf + k1_e2 / 100.0
+        |        * (1 - b_e2 / 100.0 + b_e2 / 100.0 * dl / avgdl))) AS s
+        |  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id)
+        |  CROSS JOIN st CROSS JOIN grid),
+        |sc AS (SELECT k1_e2, b_e2, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |    round(sum(s), 6) AS score FROM s GROUP BY 1, 2, 3),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY k1_e2, b_e2
+        |    ORDER BY score DESC, doc_id) AS rnk FROM sc)
+        |SELECT CAST(k1_e2 AS BIGINT) AS k1_e2, CAST(b_e2 AS BIGINT) AS b_e2,
+        |  CAST(count(*) AS BIGINT) AS n_ranked,
+        |  CAST(sum(CASE WHEN rnk <= 5 AND n_terms >= 2 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS hits_at5,
+        |  CAST(min(CASE WHEN n_terms >= 2 THEN rnk END) AS BIGINT)
+        |    AS first_rel_rank,
+        |  CAST(sum(CASE WHEN n_terms >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel
+        |FROM r GROUP BY 1, 2 ORDER BY k1_e2, b_e2""".stripMargin,
 
     // Placebo-DiD replay: per-(user, post) purchase sums once, 200
     // hash reassignments, 4-cell exact means per round, |did| tail.
