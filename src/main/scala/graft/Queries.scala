@@ -6734,6 +6734,138 @@ object Queries {
           .as("sen2_slope_e6"))
   }
 
+  /** Daily growth accounting — every active user bucketed as NEW
+    * (first-ever day), RETAINED (active yesterday too), or
+    * RESURRECTED (active before, idle yesterday), with CHURNED =
+    * yesterday's actives who went quiet today, the identity
+    * dau_t = new + retained + resurrected and
+    * dau_t − dau_{t−1} = new + resurrected − churned holding exactly
+    * (the product-growth ledger behind every "where did the DAU move
+    * come from" review): one (user, day) distinct, a per-user lag
+    * window for yesterday/first-day flags, and a day-keyed rollup —
+    * scales in |events| with the window keyed by user, never
+    * singleton.
+    */
+  def growthAccountingQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ud = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    val flags = ud
+      .withColumn("prev", lag(col("d"), 1).over(w))
+      .withColumn("nxt", lead(col("d"), 1).over(w))
+      .select(col("d"),
+        when(col("prev").isNull, "new")
+          .when(col("prev") === col("d") - 1, "retained")
+          .otherwise("resurrected").as("state"),
+        // churned tomorrow: active today, not active on d+1
+        (col("nxt").isNull || col("nxt") > col("d") + 1).as("quiet_next"))
+    flags.groupBy(col("d"))
+      .agg(count(lit(1)).as("dau"),
+        sum(when(col("state") === "new", 1L).otherwise(0L)).as("new_users"),
+        sum(when(col("state") === "retained", 1L).otherwise(0L)).as("retained"),
+        sum(when(col("state") === "resurrected", 1L).otherwise(0L))
+          .as("resurrected"),
+        sum(when(col("quiet_next"), 1L).otherwise(0L)).as("churning_out"))
+      .select(col("d").as("day"), col("dau"), col("new_users"), col("retained"),
+        col("resurrected"), col("churning_out"))
+      .orderBy(col("day"))
+  }
+
+  /** Interaction-matrix readiness audit for recommender training —
+    * the density/cold-start numbers that decide whether collaborative
+    * filtering is even fit to train ([[slopeOneQ]]/[[itemCfQ]] assume
+    * co-rater mass exists): the (user, event_type) interaction
+    * matrix's exact density against its full user×item grid, the
+    * cold-start shares (users and items with < 3 interactions), and
+    * the Gini-style top-decile interaction concentration — all from
+    * one distinct-pair aggregate plus support-bounded rollups.
+    */
+  def interactionCoverageQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val users = r.groupBy(col("user_id")).agg(count(lit(1)).as("n_items"),
+      sum(col("n")).as("n_inter"))
+    val items = r.groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
+    val uStats = users.groupBy()
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("n_inter") < 3, 1L).otherwise(0L)).as("cold_users"),
+        sum(col("n_inter")).as("total_inter"))
+    val iStats = items.groupBy()
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("n_users") < 3, 1L).otherwise(0L)).as("cold_items"))
+    val cells = r.groupBy().agg(count(lit(1)).as("n_cells"))
+    // top-decile user concentration: smallest per-user interaction
+    // count q90 via the exact support walk, then the share above it
+    val sup = users.groupBy(col("n_inter")).agg(count(lit(1)).as("c"))
+    val q90 = sup.as("x").join(sup.as("y"), col("y.n_inter") <= col("x.n_inter"))
+      .groupBy(col("x.n_inter").as("v")).agg(sum(col("y.c")).as("cum"))
+      .crossJoin(broadcast(uStats.select(col("n_users").as("nu"))))
+      .filter(col("cum") * 10 >= col("nu") * 9)
+      .groupBy().agg(min(col("v")).as("q90"))
+    val topShare = users.crossJoin(broadcast(q90))
+      .groupBy().agg(sum(when(col("n_inter") >= col("q90"), col("n_inter"))
+        .otherwise(0L)).as("top_inter"))
+    uStats.crossJoin(broadcast(iStats)).crossJoin(broadcast(cells))
+      .crossJoin(broadcast(topShare))
+      .select(col("n_users"), col("n_items"), col("n_cells"), col("total_inter"),
+        expr("n_cells * 1000000 div (n_users * n_items)").as("density_e6"),
+        expr("cold_users * 1000000 div n_users").as("cold_user_share_e6"),
+        expr("cold_items * 1000000 div n_items").as("cold_item_share_e6"),
+        expr("top_inter * 1000000 div total_inter").as("top_decile_share_e6"))
+  }
+
+  /** Lognormal moment fit of the per-doc token-length distribution —
+    * the two-parameter model every batch planner / packing simulation
+    * ([[packFfdQ]], [[lengthBucketsQ]]) wants as a closed form: per
+    * source, μ and σ² of ln(token count) from e6-floored per-row logs
+    * (one log per doc, the [[mutualInfoQ]] discipline) with exact
+    * integer sums, the model median e^μ floored at e6 next to the
+    * EXACT empirical median (support walk) — the gap IS the fit
+    * diagnostic. One tokenize scan, one per-source moment aggregate,
+    * a support-bounded median walk.
+    */
+  def lengthLognormalQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val d = Tables.documents(spark, sfDir)
+      .select(col("source"), TextOps.bpeTokenCount(col("text")).as("n"))
+      .filter(col("n") >= 1)
+      .withColumn("ln_e6",
+        floor(log(col("n").cast("double")) * 1000000.0 + 0.5).cast("long"))
+    val mom = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("nd"), sum(col("ln_e6")).as("s1"),
+        sum(expr(s"cast(ln_e6 as $d38) * ln_e6")).as("s2"))
+      .select(col("source"), col("nd"),
+        expr("s1 div nd").as("mu_e6"),
+        expr("cast((nd * s2 - cast(s1 as decimal(38,0)) * s1) div (cast(nd as decimal(38,0)) * nd) as bigint)")
+          .as("sigma2_e12"))
+    // exact median via a per-source cumulative window over the length
+    // support (keyed by source, never singleton) — a support² pair
+    // walk here went 6×/decade in the x100 soak because near-dup
+    // replicas widen the distinct-length support
+    val wcum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val sup = d.groupBy(col("source"), col("n")).agg(count(lit(1)).as("c"))
+    val med = sup.withColumn("cum", sum(col("c")).over(wcum))
+      .join(mom.select(col("source"), col("nd")), "source")
+      .filter(col("cum") * 2 >= col("nd"))
+      .groupBy(col("source")).agg(min(col("n")).as("median_tokens"))
+    mom.join(med, "source")
+      .select(col("source"), col("nd").as("n_docs"), col("mu_e6"),
+        col("sigma2_e12"), col("median_tokens"),
+        floor(exp(col("mu_e6").cast("double") / 1000000.0) * 1000000.0)
+          .cast("long").as("model_median_e6"),
+        expr("""cast(abs(cast(floor(exp(cast(mu_e6 as double) / 1000000.0)
+               * 1000000.0) as bigint) - median_tokens * 1000000) * 1000000
+               div (median_tokens * 1000000) as bigint)""")
+          .as("median_gap_rel_e6"))
+      .orderBy(col("source"))
+  }
+
   /** Wilson score intervals for each event type's post-midpoint share
     * — the binomial CI that stays honest at extreme rates and small n
     * (the Wald interval every naive dashboard ships collapses to

@@ -308,7 +308,11 @@ object SoakScale {
     // round-12 wave 6: per-type events scans (Wilson CI), the
     // per-weekday pair walk (calendar²-bounded after one daily agg),
     // and the 6-cell BM25 grid over the memoized per-doc term table
-    "q_wilson_ci", "q_seasonal_mk", "q_bm25_sweep")
+    "q_wilson_ci", "q_seasonal_mk", "q_bm25_sweep",
+    // round-12 wave 7: the per-user day-lag growth ledger (xN fresh
+    // users in the v2 replicas), the distinct-pair interaction audit,
+    // and the per-source ln-moment fit (tokenize scan)
+    "q_growth_accounting", "q_interaction_coverage", "q_length_lognormal")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

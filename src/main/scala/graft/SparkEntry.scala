@@ -341,6 +341,9 @@ object SparkEntry {
     "q_wilson_ci" -> (Queries.wilsonCiQ _),
     "q_seasonal_mk" -> (Queries.seasonalMkQ _),
     "q_bm25_sweep" -> (Queries.bm25SweepQ _),
+    "q_growth_accounting" -> (Queries.growthAccountingQ _),
+    "q_interaction_coverage" -> (Queries.interactionCoverageQ _),
+    "q_length_lognormal" -> (Queries.lengthLognormalQ _),
     "q_breusch_pagan" -> (Queries.breuschPaganQ _),
     "q_cooks_distance" -> (Queries.cooksDistanceQ _),
     "q_welch_ttest" -> (Queries.welchTtestQ _),
@@ -9556,6 +9559,99 @@ object SparkEntry {
          |  rnk <= k_star AS reject_bh
          |FROM ranked CROSS JOIN mm CROSS JOIN ks
          |ORDER BY event_type""".stripMargin,
+
+    // Growth-accounting replay: distinct (user, day), per-user lag
+    // window for new/retained/resurrected + churn-out flags.
+    "q_growth_accounting" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d FROM events),
+        |f AS (SELECT d,
+        |    CASE WHEN lag(d) OVER w IS NULL THEN 'new'
+        |         WHEN lag(d) OVER w = d - 1 THEN 'retained'
+        |         ELSE 'resurrected' END AS state,
+        |    (lead(d) OVER w IS NULL OR lead(d) OVER w > d + 1) AS quiet_next
+        |  FROM ud WINDOW w AS (PARTITION BY user_id ORDER BY d))
+        |SELECT d AS day, CAST(count(*) AS BIGINT) AS dau,
+        |  CAST(sum(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS new_users,
+        |  CAST(sum(CASE WHEN state = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS retained,
+        |  CAST(sum(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS resurrected,
+        |  CAST(sum(CASE WHEN quiet_next THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS churning_out
+        |FROM f GROUP BY d ORDER BY day""".stripMargin,
+
+    // Interaction-coverage replay: distinct-pair aggregate, cold-start
+    // shares, support-walk q90, top-decile concentration.
+    "q_interaction_coverage" ->
+      """WITH r AS (SELECT user_id, event_type, count(*) AS n FROM events
+        |  GROUP BY 1, 2),
+        |users AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(sum(n) AS BIGINT) AS n_inter FROM r GROUP BY 1),
+        |items AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+        |  FROM r GROUP BY 1),
+        |us AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(CASE WHEN n_inter < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cold_users,
+        |    CAST(sum(n_inter) AS BIGINT) AS total_inter FROM users),
+        |ist AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(sum(CASE WHEN n_users < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cold_items FROM items),
+        |cells AS (SELECT CAST(count(*) AS BIGINT) AS n_cells FROM r),
+        |sup AS (SELECT n_inter, CAST(count(*) AS BIGINT) AS c FROM users
+        |  GROUP BY 1),
+        |q90 AS (SELECT min(v) AS q90 FROM (
+        |    SELECT x.n_inter AS v, sum(y.c) AS cum FROM sup x
+        |    JOIN sup y ON y.n_inter <= x.n_inter GROUP BY 1) z
+        |  CROSS JOIN us WHERE cum * 10 >= n_users * 9),
+        |ts AS (SELECT CAST(sum(CASE WHEN n_inter >= q90 THEN n_inter
+        |    ELSE 0 END) AS BIGINT) AS top_inter FROM users CROSS JOIN q90)
+        |SELECT n_users, n_items, n_cells, total_inter,
+        |  CAST(n_cells * 1000000 // (n_users * n_items) AS BIGINT)
+        |    AS density_e6,
+        |  CAST(cold_users * 1000000 // n_users AS BIGINT)
+        |    AS cold_user_share_e6,
+        |  CAST(cold_items * 1000000 // n_items AS BIGINT)
+        |    AS cold_item_share_e6,
+        |  CAST(top_inter * 1000000 // total_inter AS BIGINT)
+        |    AS top_decile_share_e6
+        |FROM us CROSS JOIN ist CROSS JOIN cells CROSS JOIN ts""".stripMargin,
+
+    // Lognormal-fit replay: e6-floored per-doc ln, exact moment sums,
+    // support-walk empirical median, model-vs-empirical gap.
+    "q_length_lognormal" ->
+      """WITH d AS (SELECT source, CAST(len(regexp_extract_all(text,
+        |    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n
+        |  FROM documents),
+        |d2 AS (SELECT source, n,
+        |    CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+        |      AS ln_e6
+        |  FROM d WHERE n >= 1),
+        |mom AS (SELECT source, CAST(count(*) AS BIGINT) AS nd,
+        |    CAST(sum(ln_e6) AS BIGINT) AS s1,
+        |    sum(CAST(ln_e6 AS HUGEINT) * ln_e6) AS s2 FROM d2 GROUP BY 1),
+        |mm AS (SELECT source, nd, s1 // nd AS mu_e6,
+        |    CAST((nd * s2 - CAST(s1 AS HUGEINT) * s1)
+        |      // (CAST(nd AS HUGEINT) * nd) AS BIGINT) AS sigma2_e12
+        |  FROM mom),
+        |sup AS (SELECT source, n, CAST(count(*) AS BIGINT) AS c FROM d2
+        |  GROUP BY 1, 2),
+        |med AS (SELECT z.source, min(n) AS median_tokens FROM (
+        |    SELECT source, n, sum(c) OVER (PARTITION BY source ORDER BY n
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |    FROM sup) z
+        |  JOIN mm ON z.source = mm.source WHERE cum * 2 >= nd
+        |  GROUP BY z.source)
+        |SELECT mm.source, nd AS n_docs, CAST(mu_e6 AS BIGINT) AS mu_e6,
+        |  sigma2_e12, median_tokens,
+        |  CAST(floor(exp(CAST(mu_e6 AS DOUBLE) / 1000000.0) * 1000000.0)
+        |    AS BIGINT) AS model_median_e6,
+        |  CAST(abs(CAST(floor(exp(CAST(mu_e6 AS DOUBLE) / 1000000.0)
+        |      * 1000000.0) AS BIGINT) - median_tokens * 1000000) * 1000000
+        |    // (median_tokens * 1000000) AS BIGINT) AS median_gap_rel_e6
+        |FROM mm JOIN med ON mm.source = med.source
+        |ORDER BY mm.source""".stripMargin,
 
     // Wilson replay: per-type post-midpoint counts, the closed form
     // with identical literal text, one IEEE sqrt, e6 floors.

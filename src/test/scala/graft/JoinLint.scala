@@ -130,6 +130,7 @@ object JoinLint {
     "q_fisher_exact" -> "hypergeometric k-support explode off the 1-row 2×2 margin aggregate (≤ |users|+1 rows; events users are fixed at 150 across SFs)",
     "q_friedman" -> "block×treatment rank grid (value-support)",
     "q_holm_bonferroni" -> "5-hypothesis family rank + step-down prefix self-joins (value-support; the fdr_bh bound)",
+    "q_interaction_coverage" -> "per-user interaction-count support walk (value-support cumulative rank for q90)",
     "q_isotonic" ->"10-bucket rate table: PAVA max-min over bucket pairs (grid²)",
     "q_kmv_overlap" -> "per-source bottom-64 KMV sketches (64·sources rows)",
     "q_lsh_scurve" -> "capped 48-doc all-pairs probe (1128 pairs by construction; production uses the band join)",
