@@ -6734,6 +6734,133 @@ object Queries {
           .as("sen2_slope_e6"))
   }
 
+  /** Benjamini-Yekutieli step-up correction over the per-event-type
+    * permutation p-values — completes the multiple-testing family
+    * ([[fdrBhQ]] assumes independence or PRDS; BY controls FDR under
+    * ARBITRARY dependence by paying the harmonic factor
+    * c(m) = Σ 1/i): the same 200-round permutation machinery and
+    * rank self-join, c(m) as an exact floor-sum of 10⁶/i over the
+    * ranked rows, and k* = max rank with p·m·c(m) ≤ rank·α. Shipping
+    * BH and BY side by side shows exactly which discoveries survive
+    * dropping the independence assumption.
+    */
+  def benjaminiYekutieliQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(cents(col("value")).cast("long")).as("cts"))
+    val diffE3 =
+      """abs(1000 * (cast(sA as decimal(38,0)) * nB - cast(sB as decimal(38,0)) * nA)
+        |    div (cast(nA as decimal(38,0)) * nB))""".stripMargin
+    val obs = u.groupBy(col("event_type"))
+      .agg(sum(when(col("user_id") % 2 === 0, col("cts"))).as("sA"),
+        sum(when(col("user_id") % 2 === 1, col("cts"))).as("sB"),
+        sum(when(col("user_id") % 2 === 0, 1L)).as("nA"),
+        sum(when(col("user_id") % 2 === 1, 1L)).as("nB"))
+      .select(col("event_type"), expr(diffE3).as("obs_e3"))
+    val spine = u.sparkSession.range(1, 201).select(col("id").as("r"))
+    val perm = u.crossJoin(broadcast(spine))
+      .select(col("event_type"), col("r"),
+        (graft.ops.TextOps.portableHash64(
+          concat(col("user_id").cast("string"), lit(":"), col("r").cast("string"))) % 2)
+          .as("g"),
+        col("cts"))
+      .groupBy(col("event_type"), col("r"))
+      .agg(sum(when(col("g") === 0, col("cts"))).as("sA"),
+        sum(when(col("g") === 1, col("cts"))).as("sB"),
+        sum(when(col("g") === 0, 1L)).as("nA"),
+        sum(when(col("g") === 1, 1L)).as("nB"))
+      .select(col("event_type"), col("r"), expr(diffE3).as("d_e3"))
+    val p = perm.join(broadcast(obs), "event_type")
+      .groupBy(col("event_type"), col("obs_e3"))
+      .agg(sum(when(col("d_e3") >= col("obs_e3"), 1L).otherwise(0L)).as("n_ge"))
+      .select(col("event_type"), col("obs_e3"),
+        expr("1000000 * (1 + n_ge) div 201").as("p_e6"))
+    val pk = p.select(col("event_type").as("et2"), col("p_e6").as("p2"))
+    val ranked = p.as("x").join(pk.as("y"),
+        col("y.p2") < col("x.p_e6")
+          || (col("y.p2") === col("x.p_e6") && col("y.et2") < col("x.event_type")),
+        "left")
+      .groupBy(col("x.event_type").as("event_type"), col("x.obs_e3").as("obs_e3"),
+        col("x.p_e6").as("p_e6"))
+      .agg((count(col("y.et2")) + 1L).as("rnk"))
+    val mc = ranked.groupBy()
+      .agg(count(lit(1)).as("m"), sum(expr("1000000 div rnk")).as("cm_e6"))
+    val rc = ranked.crossJoin(broadcast(mc))
+    val kBh = rc.filter(col("p_e6") * col("m") <= col("rnk") * 50000L)
+      .groupBy().agg(coalesce(max(col("rnk")), lit(0L)).as("k_bh"))
+    val kBy = rc.filter(
+        col("p_e6") * col("m") * col("cm_e6") <= col("rnk") * 50000L * 1000000L)
+      .groupBy().agg(coalesce(max(col("rnk")), lit(0L)).as("k_by"))
+    rc.crossJoin(broadcast(kBh)).crossJoin(broadcast(kBy))
+      .select(col("event_type"), col("obs_e3"), col("p_e6"), col("rnk"),
+        col("m"), col("cm_e6"),
+        (col("rnk") <= col("k_bh")).as("reject_bh"),
+        (col("rnk") <= col("k_by")).as("reject_by"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Minimum-detectable-effect planning grid for the purchase-rate
+    * A/B — the inverse of [[sampleSizeQ]]'s "how many users" question:
+    * given n per arm, the smallest absolute lift a standard 80%-power
+    * two-proportion test could certify, MDE = (z_{α/2}+z_β)·√(2p̂q̂/n)
+    * with the SAME 2.801585 constant the sample-size plan uses, p̂ the
+    * exact purchase share, one IEEE sqrt per grid row floored at e6.
+    * One events aggregate; the grid is 4 literal rows.
+    */
+  def mdeQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.events(spark, sfDir)
+      .groupBy()
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("k"))
+      .select(col("n_events"), col("k"),
+        expr("k * 1000000 div n_events").as("p_base_e6"))
+    val grid = base.sparkSession.range(0, 4)
+      .select(expr("element_at(array(1000L, 5000L, 10000L, 50000L), cast(id + 1 as int))")
+        .as("n_per_arm"))
+    broadcast(base).crossJoin(grid)
+      .select(col("n_per_arm"), col("p_base_e6"),
+        expr("""cast(floor(2.801585 * sqrt(2.0 * (cast(k as double) / n_events)
+               * (1.0 - cast(k as double) / n_events) / n_per_arm)
+               * 1000000.0) as bigint)""").as("mde_abs_e6"))
+      .select(col("n_per_arm"), col("p_base_e6"), col("mde_abs_e6"),
+        expr("mde_abs_e6 * 1000000 div p_base_e6").as("mde_rel_e6"))
+      .orderBy(col("n_per_arm"))
+  }
+
+  /** Price/volume/mix revenue decomposition between the two calendar
+    * halves, per part brand — the FP&A waterfall that answers "did
+    * revenue move because prices moved or because volume moved":
+    * Δrev_b = (r1 − ⌊r0·q1/q0⌋) [price, Paasche-weighted]
+    *        + (⌊r0·q1/q0⌋ − r0) [volume at base price], an EXACT
+    * integer identity per brand by construction (both terms share the
+    * single floored cross term, so price + volume = Δ to the cent).
+    * One lineitem scan split at the ship-date midpoint, a broadcast
+    * part-brand dim join, 25 brand rows out.
+    */
+  def mixShiftQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), expr("unix_date(cast(l_shipdate as date))").as("d"),
+        round(col("l_quantity"), 0).cast("long").as("qty"),
+        cents(col("l_extendedprice")).cast("long").as("rev"))
+    val mid = li.groupBy().agg(expr("(min(d) + max(d)) div 2").as("mid"))
+    val brand = Tables.part(spark, sfDir)
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    li.crossJoin(broadcast(mid))
+      .join(broadcast(brand), "l_partkey")
+      .groupBy(col("p_brand"))
+      .agg(sum(when(col("d") <= col("mid"), col("qty")).otherwise(0L)).as("q0"),
+        sum(when(col("d") > col("mid"), col("qty")).otherwise(0L)).as("q1"),
+        sum(when(col("d") <= col("mid"), col("rev")).otherwise(0L)).as("r0"),
+        sum(when(col("d") > col("mid"), col("rev")).otherwise(0L)).as("r1"))
+      .select(col("p_brand"), col("q0"), col("q1"), col("r0"), col("r1"),
+        (col("r1") - col("r0")).as("delta_rev"),
+        expr("""r1 - cast(cast(r0 as decimal(38,0)) * q1 div nullif(q0, 0) as bigint)""")
+          .as("price_effect"),
+        expr("""cast(cast(r0 as decimal(38,0)) * q1 div nullif(q0, 0) as bigint) - r0""")
+          .as("volume_effect"))
+      .orderBy(col("p_brand"))
+  }
+
   /** Daily growth accounting — every active user bucketed as NEW
     * (first-ever day), RETAINED (active yesterday too), or
     * RESURRECTED (active before, idle yesterday), with CHURNED =

@@ -312,7 +312,10 @@ object SoakScale {
     // round-12 wave 7: the per-user day-lag growth ledger (xN fresh
     // users in the v2 replicas), the distinct-pair interaction audit,
     // and the per-source ln-moment fit (tokenize scan)
-    "q_growth_accounting", "q_interaction_coverage", "q_length_lognormal")
+    "q_growth_accounting", "q_interaction_coverage", "q_length_lognormal",
+    // round-12 wave 8: the BY permutation spine, the 4-row MDE grid
+    // off one events aggregate, and the brand-keyed mix-shift scan
+    "q_benjamini_yekutieli", "q_mde", "q_mix_shift")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

@@ -344,6 +344,9 @@ object SparkEntry {
     "q_growth_accounting" -> (Queries.growthAccountingQ _),
     "q_interaction_coverage" -> (Queries.interactionCoverageQ _),
     "q_length_lognormal" -> (Queries.lengthLognormalQ _),
+    "q_benjamini_yekutieli" -> (Queries.benjaminiYekutieliQ _),
+    "q_mde" -> (Queries.mdeQ _),
+    "q_mix_shift" -> (Queries.mixShiftQ _),
     "q_breusch_pagan" -> (Queries.breuschPaganQ _),
     "q_cooks_distance" -> (Queries.cooksDistanceQ _),
     "q_welch_ttest" -> (Queries.welchTtestQ _),
@@ -9559,6 +9562,94 @@ object SparkEntry {
          |  rnk <= k_star AS reject_bh
          |FROM ranked CROSS JOIN mm CROSS JOIN ks
          |ORDER BY event_type""".stripMargin,
+
+    // BY replay: the fdr_bh permutation p machinery with the exact
+    // floor-summed harmonic factor and both step-up thresholds.
+    "q_benjamini_yekutieli" ->
+      s"""WITH u AS (SELECT event_type, user_id,
+         |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cts
+         |  FROM events GROUP BY 1, 2),
+         |o1 AS (SELECT event_type,
+         |    sum(CASE WHEN user_id % 2 = 0 THEN CAST(cts AS HUGEINT) END) AS sA,
+         |    sum(CASE WHEN user_id % 2 = 1 THEN CAST(cts AS HUGEINT) END) AS sB,
+         |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS nA,
+         |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS nB
+         |  FROM u GROUP BY event_type),
+         |obs AS (SELECT event_type,
+         |    abs(1000 * (sA * nB - sB * nA) // (nA * nB)) AS obs_e3 FROM o1),
+         |spine AS (SELECT unnest(range(1, 201)) AS r),
+         |pg AS (SELECT event_type, r, ${hSql("user_id || ':' || r")} % 2 AS g, cts
+         |  FROM u CROSS JOIN spine),
+         |ps AS (SELECT event_type, r,
+         |    sum(CASE WHEN g = 0 THEN CAST(cts AS HUGEINT) END) AS sA,
+         |    sum(CASE WHEN g = 1 THEN CAST(cts AS HUGEINT) END) AS sB,
+         |    CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS nA,
+         |    CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS nB
+         |  FROM pg GROUP BY event_type, r),
+         |d AS (SELECT event_type, r,
+         |    abs(1000 * (sA * nB - sB * nA) // (nA * nB)) AS d_e3 FROM ps),
+         |p AS (SELECT d.event_type, obs.obs_e3,
+         |    CAST(sum(CASE WHEN d_e3 >= obs_e3 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge
+         |  FROM d JOIN obs ON d.event_type = obs.event_type
+         |  GROUP BY d.event_type, obs.obs_e3),
+         |pp AS (SELECT event_type, CAST(obs_e3 AS BIGINT) AS obs_e3,
+         |    CAST(1000000 * (1 + n_ge) // 201 AS BIGINT) AS p_e6 FROM p),
+         |ranked AS (SELECT x.event_type, x.obs_e3, x.p_e6,
+         |    CAST(count(y.event_type) + 1 AS BIGINT) AS rnk
+         |  FROM pp x LEFT JOIN pp y
+         |    ON y.p_e6 < x.p_e6 OR (y.p_e6 = x.p_e6 AND y.event_type < x.event_type)
+         |  GROUP BY x.event_type, x.obs_e3, x.p_e6),
+         |mc AS (SELECT CAST(count(*) AS BIGINT) AS m,
+         |    CAST(sum(1000000 // rnk) AS BIGINT) AS cm_e6 FROM ranked),
+         |kbh AS (SELECT coalesce(max(rnk), 0) AS k_bh FROM ranked CROSS JOIN mc
+         |  WHERE p_e6 * m <= rnk * 50000),
+         |kby AS (SELECT coalesce(max(rnk), 0) AS k_by FROM ranked CROSS JOIN mc
+         |  WHERE p_e6 * m * cm_e6 <= rnk * 50000 * 1000000)
+         |SELECT event_type, obs_e3, p_e6, rnk, m, cm_e6,
+         |  rnk <= k_bh AS reject_bh, rnk <= k_by AS reject_by
+         |FROM ranked CROSS JOIN mc CROSS JOIN kbh CROSS JOIN kby
+         |ORDER BY event_type""".stripMargin,
+
+    // MDE replay: exact purchase share, the sample-size constant,
+    // one IEEE sqrt per grid row.
+    "q_mde" ->
+      """WITH base AS (SELECT CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS k FROM events),
+        |grid AS (SELECT CAST(unnest([1000, 5000, 10000, 50000]) AS BIGINT)
+        |    AS n_per_arm)
+        |SELECT n_per_arm, CAST(k * 1000000 // n_events AS BIGINT) AS p_base_e6,
+        |  CAST(floor(2.801585 * sqrt(2.0 * (CAST(k AS DOUBLE) / n_events)
+        |    * (1.0 - CAST(k AS DOUBLE) / n_events) / n_per_arm)
+        |    * 1000000.0) AS BIGINT) AS mde_abs_e6,
+        |  CAST(CAST(floor(2.801585 * sqrt(2.0 * (CAST(k AS DOUBLE) / n_events)
+        |    * (1.0 - CAST(k AS DOUBLE) / n_events) / n_per_arm)
+        |    * 1000000.0) AS BIGINT) * 1000000
+        |    // (k * 1000000 // n_events) AS BIGINT) AS mde_rel_e6
+        |FROM base CROSS JOIN grid ORDER BY n_per_arm""".stripMargin,
+
+    // Mix-shift replay: ship-date halves, brand dim join, the exact
+    // shared-floor price/volume identity.
+    "q_mix_shift" ->
+      """WITH li AS (SELECT l_partkey,
+        |    CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS d,
+        |    CAST(round(l_quantity, 0) AS BIGINT) AS qty,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS rev
+        |  FROM lineitem),
+        |m AS (SELECT (min(d) + max(d)) // 2 AS mid FROM li),
+        |g AS (SELECT p_brand,
+        |    CAST(sum(CASE WHEN d <= mid THEN qty ELSE 0 END) AS BIGINT) AS q0,
+        |    CAST(sum(CASE WHEN d > mid THEN qty ELSE 0 END) AS BIGINT) AS q1,
+        |    CAST(sum(CASE WHEN d <= mid THEN rev ELSE 0 END) AS BIGINT) AS r0,
+        |    CAST(sum(CASE WHEN d > mid THEN rev ELSE 0 END) AS BIGINT) AS r1
+        |  FROM li CROSS JOIN m JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand)
+        |SELECT p_brand, q0, q1, r0, r1, r1 - r0 AS delta_rev,
+        |  r1 - CAST(CAST(r0 AS HUGEINT) * q1 // nullif(q0, 0) AS BIGINT)
+        |    AS price_effect,
+        |  CAST(CAST(r0 AS HUGEINT) * q1 // nullif(q0, 0) AS BIGINT) - r0
+        |    AS volume_effect
+        |FROM g ORDER BY p_brand""".stripMargin,
 
     // Growth-accounting replay: distinct (user, day), per-user lag
     // window for new/retained/resurrected + churn-out flags.

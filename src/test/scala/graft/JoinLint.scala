@@ -126,6 +126,7 @@ object JoinLint {
     "q_cramers_v" -> "contingency margins + scalar N (value-support)",
     "q_mutual_info" -> "5×7 type×day-of-week contingency (value-support)",
     "q_content_halflife" -> "40-article × day scaffold (both dims bounded, documented)",
+    "q_benjamini_yekutieli" -> "5-hypothesis family rank self-join (value-support; the fdr_bh bound)",
     "q_fdr_bh" -> "5-hypothesis family × 200-round permutation grid",
     "q_fisher_exact" -> "hypergeometric k-support explode off the 1-row 2×2 margin aggregate (≤ |users|+1 rows; events users are fixed at 150 across SFs)",
     "q_friedman" -> "block×treatment rank grid (value-support)",
