@@ -18,6 +18,27 @@ import graft.sources.Tables
   *   - double aggregates rounded (2-6 dp) so accumulation-order noise
   *     can't flip the driver's hash compare;
   *   - every query has a total deterministic ORDER BY (ties broken by id).
+  *
+  * KNOWN-ULP-FLAKY COLUMNS (r12 ADVICE item 4): sqrt, ×, ÷ are
+  * correctly rounded by IEEE 754 so identical-expression floors on them
+  * are bit-exact across engines; `exp`/`ln` are NOT required to be
+  * correctly rounded, so any column that floors an exp/ln output at
+  * e6-e9 can in principle flip by ±1 on a JVM-vs-libm ULP difference.
+  * All such floors feed exp/ln the SAME IEEE double (exact integer
+  * inputs, one division), which keeps the drift window to the last
+  * ulp; none has ever flipped across 13 rounds of two-SF verifies, but
+  * a ONE-OFF single-column mismatch of exactly ±1 on one of these
+  * should be triaged as ULP drift, not a logic bug:
+  * hoeffdingBoundQ.bound_e9/e6, lengthLognormalQ.median_e6/mu_e6,
+  * bm25SweepQ (idf terms), zipfQ/heapsQ/mattrQ/yuleKQ (ln moments),
+  * coxQ.hr_e6, greenwoodQ.surv_e6, hillQ.alpha_inv_e9,
+  * elasticityQ (ln-ln pairs), theilQ, spectralEntropyQ.flatness_e6,
+  * sprtQ (llr terms), dpHistogramQ (Laplace inverse-CDF),
+  * entropyRateQ / mutualInfoQ / psiQ (ln-term sums), ndcgQ (log2
+  * discounts), vocabTailQ.ln_v. The driver's hash compare has no
+  * tolerance knob, so the contract is triage documentation rather than
+  * a ±1 band; tools/compare.py reports per-column diffs for exactly
+  * this purpose.
   */
 object Queries {
 
@@ -8723,9 +8744,12 @@ object Queries {
       .groupBy(col("d")).agg(count(lit(1)).as("y"))
     val span = daily.groupBy().agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
       .select(col("d0"), expr("(d1 - d0) div 2").as("mid"))
+    // den = 0 on a degenerate half (single day / gapped calendar):
+    // NULLIF → NULL SSE + NULL F, matching the oracle's `//` semantics
+    // instead of an ANSI DIVIDE_BY_ZERO crash (r12 ADVICE item)
     def sseE3(tag: String) = expr(
       s"""cast((${tag}tss * ${tag}den - ${tag}num * ${tag}num) * 1000
-         | div (${tag}den * ${tag}n * ${tag}n) as decimal(38,0))""".stripMargin)
+         | div nullif(${tag}den * ${tag}n * ${tag}n, 0) as decimal(38,0))""".stripMargin)
     val halves = daily.crossJoin(broadcast(span))
       .select((col("d") - col("d0")).as("t"), col("y"),
         (col("d") - col("d0") <= col("mid")).as("h1"))

@@ -570,8 +570,18 @@ object SparkEntry {
     * match the pattern and stay untouched. Values are identical;
     * only the replay's execution strategy changes.
     */
-  private def mat(sql: String): String =
-    sql.replace("AS (SELECT", "AS MATERIALIZED (SELECT")
+  private def mat(sql: String, name: String): String = {
+    // whitespace-tolerant CTE-head match (a reformat like a newline
+    // after "AS (" must not silently drop materialization — r12 ADVICE
+    // item), and the rewrite is REQUIRED to fire at least once
+    val head = "AS\\s*\\(\\s*SELECT\\b".r
+    val out = head.replaceAllIn(sql, "AS MATERIALIZED (SELECT")
+    require(out != sql,
+      s"mat($name): no 'AS (SELECT' CTE head matched — the MatOracles " +
+        "materialization would silently not fire and the measured 60s+ " +
+        "DuckDB replay blowup would return unnoticed")
+    out
+  }
 
   /** The ROUGE-L per-row MATERIALIZED-CTE device, generalized to any
     * unrolled n×m DP lattice: re-emits the SAME flat d_i_j cell list
@@ -1224,7 +1234,7 @@ object SparkEntry {
     "q_curation_lm", "q_curation_strip")
 
   def oracleSql: Map[String, String] = oracleSql0.map { case (k, v) =>
-    k -> (if (MatOracles(k)) mat(v) else v)
+    k -> (if (MatOracles(k)) mat(v, k) else v)
   }
 
   private def oracleSql0: Map[String, String] = Map(
@@ -7123,7 +7133,7 @@ object SparkEntry {
         |        UNION ALL SELECT t, y, 'b' FROM h WHERE NOT h1)
         |  GROUP BY tag)),
         |sse AS (SELECT tag, n,
-        |    (tss * den - num * num) * 1000 // (den * n * n) AS sse_e3
+        |    (tss * den - num * num) * 1000 // nullif(den * n * n, 0) AS sse_e3
         |  FROM st)
         |SELECT CAST(p.n AS BIGINT) AS n_days,
         |  CAST(p.sse_e3 AS BIGINT) AS sse_pooled_e3,

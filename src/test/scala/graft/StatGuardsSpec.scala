@@ -49,6 +49,39 @@ class StatGuardsSpec extends AnyFunSuite {
     assert(Queries.binomialTestQ(spark, ok).collect().length == 1)
   }
 
+  test("chowTestQ degenerate half yields NULL SSE/F, not DIVIDE_BY_ZERO") {
+    // days {0, 100, 101}: mid = 50, so the first half holds a SINGLE
+    // day → den = n·Σt² − (Σt)² = 0. The NULLIF guard (r12 ADVICE)
+    // must surface NULL sse_first_e3 / chow_f_e6 — matching DuckDB's
+    // `// nullif(...)` — instead of throwing under Spark 4 ANSI.
+    val dir = writeEvents("chowdegen", Seq(1L, 2L), Seq(0, 100, 101))
+    val rows = Queries.chowTestQ(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.isNullAt(r.fieldIndex("sse_first_e3")),
+      s"degenerate first half must give NULL SSE: $r")
+    assert(r.isNullAt(r.fieldIndex("chow_f_e6")),
+      s"NULL SSE must propagate to a NULL F: $r")
+    assert(!r.isNullAt(r.fieldIndex("sse_second_e3")),
+      s"the healthy half must still produce its SSE: $r")
+  }
+
+  test("MatOracles materialization actually fired in every pinned oracle") {
+    // mat() now REQUIRES ≥1 whitespace-tolerant CTE-head rewrite per
+    // MatOracles entry (r12 ADVICE: a reformat like "AS (\nSELECT"
+    // silently dropped materialization before). oracleSql itself
+    // throws if any pinned oracle stops matching; this spec pins the
+    // visible contract on the 8 known entries.
+    val matted = Seq("q_dbscan", "q_curation_spancov", "q_curation_spans",
+      "q_ann_pq_recall", "q_bpe_merges", "q_bpe_encode", "q_curation_lm",
+      "q_curation_strip")
+    val sqls = SparkEntry.oracleSql // would throw if a rewrite failed to fire
+    matted.foreach { k =>
+      assert(sqls(k).contains("AS MATERIALIZED (SELECT"),
+        s"$k lost its MATERIALIZED CTE pin")
+    }
+  }
+
   test("eventStudyQ pre-mean uses existing pre cells, not a literal 5") {
     // 21-day span (mid = day 10) with pre-period days rel −4 and −2
     // MISSING; every user emits exactly one event on every present

@@ -24,6 +24,7 @@ def main(sf_dir: str, json_dir: str, threshold: float) -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{json_dir}/oracle_sql.json"))
     times = {}
+    errored = []  # a broken oracle fails FAST and would otherwise pass
     for name, sql in sorted(oracle.items()):
         t0 = time.monotonic()
         try:
@@ -31,19 +32,26 @@ def main(sf_dir: str, json_dir: str, threshold: float) -> int:
             times[name] = time.monotonic() - t0
         except Exception as e:
             times[name] = time.monotonic() - t0
+            errored.append(name)
             print(f"ERR  {name} ({times[name]:6.2f}s): {str(e)[:120]}")
     ranked = sorted(times.items(), key=lambda kv: -kv[1])
     print(f"\ntop-10 slowest oracles of {len(times)} at {sf_dir}:")
     for name, s in ranked[:10]:
         print(f"  {name:32s} {s:7.2f} s")
     print(f"total {sum(times.values()):.1f} s")
+    rc = 0
     over = [(n, s) for n, s in ranked if s > threshold]
     if over:
         print(f"\nFAIL: {len(over)} oracle(s) over {threshold:.0f}s: "
               + ", ".join(f"{n}={s:.1f}s" for n, s in over))
-        return 1
-    print(f"all oracles under {threshold:.0f}s")
-    return 0
+        rc = 1
+    else:
+        print(f"all oracles under {threshold:.0f}s")
+    if errored:
+        print(f"FAIL: {len(errored)} oracle(s) RAISED (latency pass is "
+              f"meaningless for them): " + ", ".join(errored))
+        rc = 1
+    return rc
 
 
 if __name__ == "__main__":
