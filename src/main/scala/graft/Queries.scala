@@ -7918,6 +7918,34 @@ object Queries {
         (col("n_docs_packed") - col("n_windows")).as("windows_saved"))
   }
 
+  /** Deterministic training order (see [[ops.TrainOrder.epochOrder]]) —
+    * the canonical pipeline stage after packing: 2 epochs over the
+    * document table, 8 shards, per-source mixture resampling
+    * (src0 ×2 exact, src1 ×1.5 Bernoulli, src2 ×0.25, rest ×1), every
+    * row keyed by the salted portable hash so the order is
+    * reproducible bit-for-bit and epoch-decorrelated. One scan, a
+    * broadcast epoch grid, a ≤2-row bounded replica explode, ONE
+    * (epoch, shard) hash exchange for the in-shard position window —
+    * at 100 TB the shard count scales with the cluster and no global
+    * sort ever exists (TrainOrderSpec pins determinism and epoch
+    * decorrelation; the plan guard pins the single-exchange shape).
+    */
+  def trainOrderQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.TrainOrder.epochOrder(
+        Tables.documents(spark, sfDir), epochs = 2, nShards = 8, salt = "to")
+      .orderBy(col("epoch"), col("shard"), col("pos"))
+
+  /** Shard manifest over [[trainOrderQ]]'s order table — per
+    * (epoch, shard): sequence/doc counts, token totals, realized
+    * per-source mixture, reweighted share, and the min/max order-key
+    * witnesses. The readout a trainer (or a reproducibility audit)
+    * checks instead of re-reading the order itself.
+    */
+  def trainManifestQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.TrainOrder.shardManifest(graft.ops.TrainOrder.epochOrder(
+        Tables.documents(spark, sfDir), epochs = 2, nShards = 8, salt = "to"))
+      .orderBy(col("epoch"), col("shard"))
+
   /** Sample-ratio-mismatch guard for the A/B assignment: the 1-df χ²
     * of the observed variant split against the intended 50/50 —
     * (n_a−n_b)²·10⁶ div (n_a+n_b), exact. The cheapest and most

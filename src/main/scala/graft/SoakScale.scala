@@ -315,7 +315,11 @@ object SoakScale {
     "q_growth_accounting", "q_interaction_coverage", "q_length_lognormal",
     // round-12 wave 8: the BY permutation spine, the 4-row MDE grid
     // off one events aggregate, and the brand-keyed mix-shift scan
-    "q_benjamini_yekutieli", "q_mde", "q_mix_shift")
+    "q_benjamini_yekutieli", "q_mde", "q_mix_shift",
+    // round 13: the epoch-order tokenize scan + (epoch, shard)
+    // exchange + in-shard sort, and its manifest aggregate — both
+    // linear in the replicated corpus
+    "q_train_order", "q_train_manifest")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

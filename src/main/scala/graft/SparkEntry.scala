@@ -516,6 +516,8 @@ object SparkEntry {
     "q_context_fit" -> (Queries.contextFitQ _),
     "q_pack_ffd" -> (Queries.packFfdQ _),
     "q_pack_bestfit" -> (Queries.packBestFitQ _),
+    "q_train_order" -> (Queries.trainOrderQ _),
+    "q_train_manifest" -> (Queries.trainManifestQ _),
     "q_hoeffding_bound" -> (Queries.hoeffdingBoundQ _),
     "q_index_size" -> (Queries.indexSizeQ _),
     "q_meta_analysis" -> (Queries.metaAnalysisQ _),
@@ -615,6 +617,40 @@ object SparkEntry {
   /** Portable 64-bit hash: fold the first 12 hex chars of md5. */
   private def hSql(x: String): String =
     s"list_reduce(list_transform(range(12), i -> CAST(strpos('0123456789abcdef', substr(md5($x), i + 1, 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
+
+  /** Shared epoch-order replay (ops.TrainOrder.epochOrder with
+    * epochs=2, nShards=8, salt="to"): CASE mixture weights, hash
+    * Bernoulli on the fractional ppm, bounded replica unnest, salted
+    * order key, shard = okey mod 8, in-shard row_number. Feeds both
+    * the q_train_order dump and the q_train_manifest aggregates.
+    */
+  private def trainOrderCtes: String =
+    s"""WITH d AS (SELECT doc_id, source, CAST(len(regexp_extract_all(
+      |    text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |eg AS (SELECT CAST(unnest([0, 1]) AS BIGINT) AS epoch),
+      |w AS (SELECT doc_id, source, n_tokens, epoch,
+      |    CASE WHEN source = 'src0' THEN 2000000
+      |         WHEN source = 'src1' THEN 1500000
+      |         WHEN source = 'src2' THEN 250000
+      |         ELSE 1000000 END AS w_ppm
+      |  FROM d CROSS JOIN eg),
+      |c AS (SELECT doc_id, source, n_tokens, epoch,
+      |    w_ppm // 1000000 + (CASE WHEN
+      |      ${hSql("concat('to:mix:', CAST(epoch AS VARCHAR), ':', CAST(doc_id AS VARCHAR))")}
+      |      % 1000000 < w_ppm % 1000000 THEN 1 ELSE 0 END) AS n_copies
+      |  FROM w),
+      |r AS (SELECT doc_id, source, n_tokens, epoch,
+      |    CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS rep
+      |  FROM c WHERE n_copies >= 1),
+      |k AS (SELECT *,
+      |    ${hSql("concat('to:ord:', CAST(epoch AS VARCHAR), ':', CAST(doc_id AS VARCHAR), ':', CAST(rep AS VARCHAR))")}
+      |    AS okey FROM r),
+      |s AS (SELECT *, okey % 8 AS shard FROM k),
+      |p AS (SELECT epoch, shard,
+      |    CAST(row_number() OVER (PARTITION BY epoch, shard
+      |      ORDER BY okey, doc_id, rep) AS BIGINT) AS pos,
+      |    doc_id, rep, source, n_tokens, okey FROM s)""".stripMargin
 
   private def wordsSql(t: String): String =
     s"string_split_regex(trim($t), '\\s+')"
@@ -12193,6 +12229,33 @@ object SparkEntry {
         |    AS naive_eff_e6,
         |  CAST(sum(cnt) - sum(nb) AS BIGINT) AS windows_saved
         |FROM fin CROSS JOIN sized GROUP BY n_oversize""".stripMargin,
+
+    // Training-order replay: same salted mix/order hashes, same CASE
+    // weight chain, same (epoch, shard) row_number — bit-identical
+    // permutation, shards, and positions.
+    "q_train_order" ->
+      s"""$trainOrderCtes
+        |SELECT epoch, shard, pos, doc_id, rep, source, n_tokens, okey
+        |FROM p ORDER BY epoch, shard, pos""".stripMargin,
+
+    // Shard-manifest replay: the same aggregates over the replayed
+    // order table (counts, tokens, realized mixture, okey witnesses).
+    "q_train_manifest" ->
+      s"""$trainOrderCtes
+        |SELECT epoch, shard, CAST(count(*) AS BIGINT) AS n_seqs,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_src0,
+        |  CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_src1,
+        |  CAST(sum(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_src2,
+        |  CAST(sum(CASE WHEN source IN ('src0', 'src1', 'src2') THEN 1
+        |      ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+        |    AS reweighted_share_e6,
+        |  min(okey) AS min_okey, max(okey) AS max_okey
+        |FROM p GROUP BY epoch, shard ORDER BY epoch, shard""".stripMargin,
 
     // Hoeffding replay: hash groups, exact cross-multiplied deviation
     // predicate, one e9-floored exp per (group, k) over an exact

@@ -1762,4 +1762,18 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("r13 train_order: one (epoch, shard) exchange, no global sort or driver loop") {
+    val plan = formatted(Queries.trainOrderQ(spark, sf))
+    // the in-shard position window shuffles ONCE on (epoch, shard) —
+    // the only hash exchange in the plan; shard count scales with the
+    // cluster and the permutation never passes through a global sort
+    assert("hashpartitioning\\(epoch".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("partitioning(okey"), plan) // no okey-keyed shuffle
+    // the epoch grid rides a broadcast, never a cartesian
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    // bounded replica explode is a Generate, not a join
+    assert(plan.contains("Generate"), plan)
+  }
 }
