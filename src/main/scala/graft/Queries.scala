@@ -99,6 +99,20 @@ object Queries {
     floor((sumCents / n) * shift + 0.5) / (100 * shift)
   }
 
+  /** Probe/eval slice with a STRUCTURALLY PROVABLE row bound — the r12
+    * q_knn_cosine precedent generalized (r13): keep the pushed-down
+    * `id < k` predicate (the parquet scan still prunes) AND route the
+    * slice through orderBy+limit, which compiles to
+    * TakeOrderedAndProject — a node [[graft.JoinLint.boundedByConstruction]]
+    * certifies, so broadcasting the slice into a cross/BNLJ site needs
+    * no allowlist attestation. Rows are IDENTICAL to the bare filter:
+    * the predicate already caps the slice at ≤ k rows, making the
+    * limit a provable no-op (and the total orderBy keeps it
+    * deterministic on any id space).
+    */
+  private def probeSlice(df: DataFrame, k: Int, idCol: String = "vec_id"): DataFrame =
+    df.filter(col(idCol) < k).orderBy(col(idCol)).limit(k)
+
   /** Exact decimal sum of a double product expression, rounded to 2dp.
     * (Products of 2dp values are up to 6dp decimals — their double sums
     * can land on half-cent boundaries too; DECIMAL summing is exact and
@@ -519,7 +533,11 @@ object Queries {
     */
   private def docsWithNearCopies(spark: SparkSession, sfDir: String, cap: Option[Int]): DataFrame = {
     val d0 = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
-    val d = cap.map(c => d0.filter(col("doc_id") < c)).getOrElse(d0)
+    // capped sets ride the probeSlice device (filter keeps the scan
+    // prune, orderBy+limit makes the ≤cap bound structurally provable
+    // to JoinLint through the downstream pair joins)
+    val d = cap.map(c => d0.filter(col("doc_id") < c)
+      .orderBy(col("doc_id")).limit(c)).getOrElse(d0)
     d.union(d.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 10000).as("doc_id"),
         replace(col("text"), lit("data"), lit("info")).as("text")))
@@ -1571,7 +1589,7 @@ object Queries {
     val raw = Similarity.asDouble(Tables.embeddings(spark, sfDir))
     val cells = Similarity.assignCells(raw, Similarity.centroids(raw))
     val normed = Similarity.normalized(raw).join(cells, "vec_id")
-    val q = normed.filter(col("vec_id") < 10)
+    val q = probeSlice(normed, 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cell"))
     val c = normed.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("cell"))
     val w = Window.partitionBy(col("query_id"))
@@ -1600,7 +1618,7 @@ object Queries {
     val raw = Similarity.asDouble(Tables.embeddings(spark, sfDir))
     val books = pqBooks(spark, sfDir, 0)
     val codes = Similarity.pqEncode(raw, books, m)
-    Similarity.pqAdcTopK(raw.filter(col("vec_id") < 10), codes, books, 3, m)
+    Similarity.pqAdcTopK(probeSlice(raw, 10), codes, books, 3, m)
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -1635,7 +1653,7 @@ object Queries {
     val raw = Similarity.asDouble(Tables.embeddings(spark, sfDir))
     val books = pqBooks(spark, sfDir, 2)
     val codes = Similarity.pqEncode(raw, books, m)
-    Similarity.pqAdcTopK(raw.filter(col("vec_id") < 10), codes, books, 3, m)
+    Similarity.pqAdcTopK(probeSlice(raw, 10), codes, books, 3, m)
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -1658,7 +1676,7 @@ object Queries {
     val raw = Similarity.asDouble(Tables.embeddings(spark, sfDir))
     val books = pqBooks(spark, sfDir, 0)
     val codes = Similarity.pqEncode(raw, books, m)
-    val qs = raw.filter(col("vec_id") < 10)
+    val qs = probeSlice(raw, 10)
     val shortlist = Similarity.pqAdcTopK(qs, codes, books, 10, m)
       .select(col("query_id"), col("neighbor_id"), col("adc_e6"))
     val qv = qs.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
@@ -1727,7 +1745,7 @@ object Queries {
   def annIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = Similarity.asDouble(Tables.embeddings(spark, sfDir))
     val (cents, books, codes) = ivfPqParts(spark, sfDir)
-    Similarity.ivfPqTopK(raw.filter(col("vec_id") < 10), codes, cents, books,
+    Similarity.ivfPqTopK(probeSlice(raw, 10), codes, cents, books,
         3, IvfPqM, IvfPqNprobe)
       .orderBy(col("query_id"), col("rnk"))
   }
@@ -1758,7 +1776,7 @@ object Queries {
       graft.sources.LakeWriter.writeCellPartitioned(codes, "ivf_cell", path)
       spark.read.parquet(path)
     }
-    val qs = raw.filter(col("vec_id") < 10)
+    val qs = probeSlice(raw, 10)
     val probedCells = Similarity.ivfProbedCells(qs, cents, IvfPqNprobe)
       .select(col("ivf_cell")).distinct().collect().map(_.getLong(0))
     // static partition filter (int-typed on read-back: hive partition
@@ -1787,7 +1805,7 @@ object Queries {
     import org.apache.spark.sql.expressions.Window
     val raw = Similarity.asDouble(Tables.embeddings(spark, sfDir))
     val (cents, books, codes) = ivfPqParts(spark, sfDir)
-    val qs = raw.filter(col("vec_id") < 10)
+    val qs = probeSlice(raw, 10)
     val shortlist = Similarity.ivfPqTopK(qs, codes, cents, books,
         12, IvfPqM, IvfPqNprobe)
       .select(col("query_id"), col("neighbor_id"), col("adc_e6"))
@@ -1827,7 +1845,7 @@ object Queries {
     */
   private def annMtTopK(spark: SparkSession, sfDir: String, e: DataFrame,
       k: Int): DataFrame =
-    Similarity.lshMultiTableTopK(e.filter(col("vec_id") < 10), e, k,
+    Similarity.lshMultiTableTopK(probeSlice(e, 10), e, k,
       corpusCodes = Some(annMtCodes(spark, sfDir, e)))
 
   /** OR-amplified multi-table ANN top-3 (the operator [[annRecall]]
@@ -1865,7 +1883,7 @@ object Queries {
     // the EXACT pipeline q_ann_multitable serves — one shared definition
     val approx = annMtTopK(spark, sfDir, e, k)
       .select(col("query_id"), col("neighbor_id"))
-    val truth = Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, k)
+    val truth = Similarity.bruteForceTopK(probeSlice(e, 10), e, k)
       .select(col("query_id"), col("neighbor_id"))
     val hits = truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
     truth.agg(countDistinct(col("query_id")).as("n_queries"),
@@ -1895,7 +1913,7 @@ object Queries {
     val m = 4
     val k = 3
     val raw = Similarity.asDouble(Tables.embeddings(spark, sfDir))
-    val q = raw.filter(col("vec_id") < 10)
+    val q = probeSlice(raw, 10)
     def pqApprox(lloydRounds: Int): DataFrame = {
       val books = pqBooks(spark, sfDir, lloydRounds)
       Similarity.pqAdcTopK(q, Similarity.pqEncode(raw, books, m), books, k, m)
@@ -1966,7 +1984,7 @@ object Queries {
   def annIvfPqSweep(spark: SparkSession, sfDir: String): DataFrame = {
     val k = 3
     val raw = Similarity.asDouble(Tables.embeddings(spark, sfDir))
-    val q = raw.filter(col("vec_id") < 10)
+    val q = probeSlice(raw, 10)
     val (cents, books, codes) = ivfPqParts(spark, sfDir)
     val scoredAll = Similarity.ivfPqScoredAll(q, codes, cents, books, IvfPqM)
       .localCheckpoint(false) // |Q|·n rows at eval scale; feeds 5 filters
@@ -5323,7 +5341,7 @@ object Queries {
   def confusionQ(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Similarity.normalized(Similarity.asDouble(Tables.embeddings(spark, sfDir)))
-    val q = e.filter(col("vec_id") < 500)
+    val q = probeSlice(e, 500)
       .select(col("vec_id").as("query_id"), col("label").cast("long").as("true_label"),
         col("embedding").as("qv"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("label").cast("long").as("n_label"),
@@ -5352,7 +5370,7 @@ object Queries {
   def ndcgQ(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Similarity.normalized(Similarity.asDouble(Tables.embeddings(spark, sfDir)))
-    val q = e.filter(col("vec_id") < 50)
+    val q = probeSlice(e, 50)
       .select(col("vec_id").as("query_id"), col("label").cast("long").as("true_label"),
         col("embedding").as("qv"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("label").cast("long").as("n_label"),
@@ -8160,7 +8178,7 @@ object Queries {
     val e = Similarity.asDouble(Tables.embeddings(spark, sfDir))
     val (assigned, _) = Similarity.kmeans(e, 3)
     val pts = e.join(assigned, "vec_id")
-    val probes = pts.filter(col("vec_id") < 50)
+    val probes = probeSlice(pts, 50)
       .select(col("vec_id").as("probe_id"), col("cell").as("probe_cell"),
         col("embedding").as("pv"))
     val d2 = Similarity.dot(col("pv"), col("pv")) -
@@ -8301,7 +8319,7 @@ object Queries {
     val e = Similarity.normalized(raw)
     val shortlist = hammingTopK(spark, sfDir, 20)
       .select(col("query_id"), col("neighbor_id"), col("adc_e6").as("hamming"))
-    val qv = e.filter(col("vec_id") < 10)
+    val qv = probeSlice(e, 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val nv = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
     val w = Window.partitionBy(col("query_id"))
@@ -8329,7 +8347,7 @@ object Queries {
             THEN shiftleft(1L, i) ELSE 0L END)""")
     val codes = raw.select(col("vec_id"),
       word("0").as("w0"), word("cast(size(embedding) / 2 as int)").as("w1"))
-    val qc = codes.filter(col("vec_id") < 10)
+    val qc = probeSlice(codes, 10)
       .select(col("vec_id").as("query_id"), col("w0").as("q0"), col("w1").as("q1"))
     val scored = codes.crossJoin(broadcast(qc))
       .filter(col("query_id") =!= col("vec_id"))
@@ -8356,7 +8374,11 @@ object Queries {
       .select(col("vec_id"), col("dim"),
         expr("""cast(CASE WHEN hi = lo THEN 0
                 ELSE floor((x - lo) * 255.0 / (hi - lo)) END as bigint)""").as("code"))
+    // the code table is per-(vec, dim): 10 probe vecs × 64 dims = 640
+    // rows, so the provable probeSlice bound is 640 (a plain limit(10)
+    // would truncate to ten DIM rows — caught by the two-SF verify)
     val qc = codes.filter(col("vec_id") < 10)
+      .orderBy(col("vec_id"), col("dim")).limit(640)
       .select(col("vec_id").as("query_id"), col("dim"), col("code").as("qcode"))
     val scored = codes.join(broadcast(qc), "dim")
       .filter(col("query_id") =!= col("vec_id"))
@@ -8543,10 +8565,10 @@ object Queries {
     import org.apache.spark.sql.expressions.Window
     val k = 3
     val raw = Similarity.asDouble(Tables.embeddings(spark, sfDir))
-    val q = raw.filter(col("vec_id") < 10)
+    val q = probeSlice(raw, 10)
     val cosTruth = {
       val e = Similarity.normalized(raw)
-      val qv = e.filter(col("vec_id") < 10)
+      val qv = probeSlice(e, 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       val cv = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
       val w = Window.partitionBy(col("query_id"))
@@ -8592,7 +8614,7 @@ object Queries {
   def mrrQ(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Similarity.normalized(Similarity.asDouble(Tables.embeddings(spark, sfDir)))
-    val q = e.filter(col("vec_id") < 50)
+    val q = probeSlice(e, 50)
       .select(col("vec_id").as("query_id"), col("label").cast("long").as("true_label"),
         col("embedding").as("qv"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("label").cast("long").as("n_label"),
@@ -10172,7 +10194,7 @@ object Queries {
   def mapAtKQ(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Similarity.normalized(Similarity.asDouble(Tables.embeddings(spark, sfDir)))
-    val q = e.filter(col("vec_id") < 50)
+    val q = probeSlice(e, 50)
       .select(col("vec_id").as("query_id"), col("label").cast("long").as("true_label"),
         col("embedding").as("qv"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("label").cast("long").as("n_label"),
@@ -11334,7 +11356,10 @@ object Queries {
     */
   def knnClassQ(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Similarity.asDouble(Tables.embeddings(spark, sfDir))
+    // ≤54 ids satisfy the residue+cap predicate, so the limit is a
+    // provable no-op (the probeSlice device with a composite filter)
     val probes = e.filter(col("vec_id") % 37 === 5 && col("vec_id") < 2000)
+      .orderBy(col("vec_id")).limit(54)
       .select(col("vec_id").as("probe_id"), col("label").as("true_label"),
         col("embedding").as("pv"))
     val d2 = greatest(
@@ -12428,7 +12453,7 @@ object Queries {
   def errQ(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Similarity.normalized(Similarity.asDouble(Tables.embeddings(spark, sfDir)))
-    val q = e.filter(col("vec_id") < 50)
+    val q = probeSlice(e, 50)
       .select(col("vec_id").as("query_id"), col("label").cast("long").as("true_label"),
         col("embedding").as("qv"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("label").cast("long").as("n_label"),
@@ -13479,7 +13504,10 @@ object Queries {
       .select(col("vec_id"),
         expr("slice(embedding, 2, size(embedding) - 1)").as("rest"),
         floor(expr("element_at(embedding, 1)") * lit(1000000.0)).cast("long").as("d0_e6"))
+    // ≤54 ids satisfy the residue+cap predicate, so the limit is a
+    // provable no-op (the probeSlice device with a composite filter)
     val probes = e.filter(col("vec_id") % 37 === 5 && col("vec_id") < 2000)
+      .orderBy(col("vec_id")).limit(54)
       .select(col("vec_id").as("probe_id"), col("rest").as("pv"),
         col("d0_e6").as("true_e6"))
     val d2 = greatest(

@@ -94,32 +94,24 @@ object JoinLint {
     "q_var_es" -> "daily loss histogram (calendar-bounded value support)",
     // -- probe/eval-shortlist-bounded build sides (fixed ≤500-row probe
     //    or model side broadcast against one linear corpus pass)
-    "q_ann_hamming" -> "30-query probe set × packed-sign corpus scan",
-    "q_ann_hamming_refine" -> "30-query probe set + per-query shortlist refine",
-    "q_ann_ivf" -> "centroid model (k-means, ≤16 rows) and 30-query probe set",
-    "q_ann_ivfpq" -> "probe set × broadcast PQ LUT model (codes-only scan)",
-    "q_ann_ivfpq_pruned" -> "probe set × broadcast LUT over the ivf_cell-pruned lake",
-    "q_ann_ivfpq_refine" -> "probe set × LUT; refine over per-query ≤30-row shortlists",
-    "q_ann_pq_recall" -> "30-query probe set replayed across 4 PQ variants + exact baseline",
-    "q_ann_quant_recall" -> "probe set × sq8/hamming variants + exact baseline shortlists",
-    "q_ann_recall" -> "probe set: certified-recall join of LSH vs exact top-3 shortlists",
-    "q_confusion" -> "500-probe eval slice × corpus scan (mrrQ contract)",
-    // (q_decontaminate_embed and q_knn_cosine were pruned r12: their
-    // probe slices became TakeOrdered shortlists, provable structurally)
-    "q_knn_class" -> "probe slice × corpus scan, 3-NN shortlist per probe",
-    "q_knn_impute" -> "probe slice × corpus scan, k-NN shortlist per probe",
-    "q_mrr" -> "50-probe eval slice × corpus ranking scan (documented cap)",
-    "q_ndcg" -> "50-probe eval slice × corpus ranking scan",
-    "q_err" -> "50-probe graded eval slice × corpus ranking scan",
-    "q_map_at_k" -> "50-probe eval slice × corpus ranking scan",
-    "q_silhouette" -> "50-probe eval slice × one corpus pass (documented O(n²) cap)",
+    "q_ann_ivf" -> "centroid model (k-means, ≤16 rows; the probe slice itself is a proven TakeOrdered since r13)",
+    "q_ann_ivfpq" -> "broadcast coarse-centroid/LUT model (memo-checkpointed, ≤ncells·ksub rows; probe slice proven r13)",
+    "q_ann_ivfpq_pruned" -> "broadcast centroid/LUT model over the ivf_cell-pruned lake (probe slice proven r13)",
+    "q_ann_ivfpq_refine" -> "broadcast centroid/LUT model; refine over per-query ≤12-row shortlists (probe slice proven r13)",
+    "q_ann_pq_recall" -> "checkpointed codebook/centroid models across 4 PQ variants (probe slices proven r13)",
+    // (q_decontaminate_embed and q_knn_cosine were pruned r12, and the
+    // whole probe/eval-slice family — mrr/ndcg/err/map_at_k/confusion/
+    // silhouette/knn_class/knn_impute/ann_hamming(+refine)/ann_recall/
+    // ann_quant_recall/ngram_jaccard — r13: every probe slice became a
+    // filter+TakeOrdered (probeSlice), provable structurally. The ann
+    // entries that REMAIN are flagged on their memo-CHECKPOINTED model
+    // side (LogicalRDD erases the structural proof), not the probes.)
     "q_kcenter" -> "k broadcast center rows × linear corpus passes (k passes)",
     "q_ransac" -> "hash-ARGMIN-selected sample seeds broadcast per round",
     "q_edit_distance" -> "capped near-name candidate set (documented cap)",
     "q_lcs_sim" -> "probe-bounded journey pairs (first-7-event sequences)",
     "q_needleman" -> "probe-bounded 7-event journey pairs (bounded DP lattice)",
-    "q_ngram_jaccard" -> "capped document set for brute-force pair verification",
-    "q_simhash_pairs" -> "capped document set for hamming pair verification",
+    "q_simhash_pairs" -> "capped document set for hamming pair verification (cap is TakeOrdered since r13, but the per-doc simhash grouping agg above a shingle Generate blocks the structural proof)",
     // -- value-support / grid-bounded build sides
     "q_chi2_indep" -> "lang×source contingency margins (value-support cells)",
     "q_chi2_residuals" -> "contingency margins (value-support cells)",
@@ -134,7 +126,7 @@ object JoinLint {
     "q_interaction_coverage" -> "per-user interaction-count support walk (value-support cumulative rank for q90)",
     "q_isotonic" ->"10-bucket rate table: PAVA max-min over bucket pairs (grid²)",
     "q_kmv_overlap" -> "per-source bottom-64 KMV sketches (64·sources rows)",
-    "q_lsh_scurve" -> "capped 48-doc all-pairs probe (1128 pairs by construction; production uses the band join)",
+    "q_lsh_scurve" -> "capped 48-doc all-pairs probe (1128 pairs by construction; cap is TakeOrdered since r13 but the signature agg above the shingle Generate blocks the proof; production uses the band join)",
     "q_matching_att" -> "activity-level support match (distinct levels, bounded)",
     "q_meta_analysis" -> "5-region cell grid × the 1-row pooled/Q readout (group keys are the pool scalars)",
     "q_nb_classifier" -> "≤5·1024-row likelihood model broadcast (documented)",
