@@ -14,6 +14,92 @@ object Prof {
       val t0 = System.nanoTime(); val n = f
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
     }
+    if (args.headOption.contains("profile")) {
+      // r13: decompose q_profile's ~2s wall — is it the 4-way
+      // multi-distinct Expand, one distinct column, or the scan?
+      val sf = args.lift(1).getOrElse("/root/testdata/sf0.1")
+      val o = graft.sources.Tables.orders(spark, sf)
+      for (i <- 1 to 2) {
+        time(s"p$i scan-only count")(o.count())
+        time(s"p$i plain agg (no distinct)")(o.agg(count(lit(1)),
+          min(col("o_custkey")), max(col("o_totalprice"))).count())
+        time(s"p$i 1 distinct (custkey)")(o.agg(countDistinct(col("o_custkey"))).count())
+        time(s"p$i 1 distinct (totalprice)")(o.agg(countDistinct(col("o_totalprice"))).count())
+        time(s"p$i 4 distincts (expand)")(o.agg(countDistinct(col("o_custkey")),
+          countDistinct(col("o_totalprice")), countDistinct(col("o_orderstatus")),
+          countDistinct(col("o_orderpriority"))).count())
+        time(s"p$i full q_profile")(Queries.profileQ(spark, sf).count())
+        val df = Queries.profileQ(spark, sf)
+        time(s"p$i   q_profile analyze")(df.queryExecution.analyzed.hashCode().toLong)
+        time(s"p$i   q_profile optimize")(df.queryExecution.optimizedPlan.hashCode().toLong)
+        time(s"p$i   q_profile physical")(df.queryExecution.executedPlan.hashCode().toLong)
+        time(s"p$i   q_profile execute")(df.count())
+        def nulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
+        time(s"p$i   12 regular aggs")(o.agg(
+          count(lit(1)), nulls("o_custkey"), min(col("o_custkey")), max(col("o_custkey")),
+          nulls("o_totalprice"), min(col("o_totalprice")), max(col("o_totalprice")),
+          nulls("o_orderstatus"), min(col("o_orderstatus")), max(col("o_orderstatus")),
+          nulls("o_orderpriority"), min(col("o_orderpriority")), max(col("o_orderpriority"))).count())
+        time(s"p$i   4 dist + 12 regular")(o.agg(
+          countDistinct(col("o_custkey")), countDistinct(col("o_totalprice")),
+          countDistinct(col("o_orderstatus")), countDistinct(col("o_orderpriority")),
+          count(lit(1)), nulls("o_custkey"), min(col("o_custkey")), max(col("o_custkey")),
+          nulls("o_totalprice"), min(col("o_totalprice")), max(col("o_totalprice")),
+          nulls("o_orderstatus"), min(col("o_orderstatus")), max(col("o_orderstatus")),
+          nulls("o_orderpriority"), min(col("o_orderpriority")), max(col("o_orderpriority"))).count())
+        val a16 = o.agg(
+          count(lit(1)).as("n_rows"),
+          nulls("o_custkey").as("nn_ck"), countDistinct(col("o_custkey")).as("nd_ck"),
+          min(col("o_custkey")).cast("double").as("mn_ck"),
+          max(col("o_custkey")).cast("double").as("mx_ck"),
+          nulls("o_totalprice").as("nn_tp"), countDistinct(col("o_totalprice")).as("nd_tp"),
+          round(min(col("o_totalprice")), 2).as("mn_tp"),
+          round(max(col("o_totalprice")), 2).as("mx_tp"),
+          nulls("o_orderstatus").as("nn_os"), countDistinct(col("o_orderstatus")).as("nd_os"),
+          min(col("o_orderstatus")).as("mns_os"), max(col("o_orderstatus")).as("mxs_os"),
+          nulls("o_orderpriority").as("nn_op"), countDistinct(col("o_orderpriority")).as("nd_op"),
+          min(col("o_orderpriority")).as("mns_op"), max(col("o_orderpriority")).as("mxs_op"))
+        time(s"p$i   exact a (16 aggs)")(a16.count())
+        val stacked = a16.select(expr(
+          """stack(4,
+            |  'o_custkey',      n_rows, nn_ck, nd_ck, mn_ck, mx_ck, CAST(NULL AS STRING), CAST(NULL AS STRING),
+            |  'o_totalprice',   n_rows, nn_tp, nd_tp, mn_tp, mx_tp, CAST(NULL AS STRING), CAST(NULL AS STRING),
+            |  'o_orderstatus',  n_rows, nn_os, nd_os, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mns_os, mxs_os,
+            |  'o_orderpriority',n_rows, nn_op, nd_op, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mns_op, mxs_op)
+            |AS (column_name, n_rows, n_nulls, n_distinct, min_num, max_num, min_str, max_str)""".stripMargin))
+        time(s"p$i   a + stack")(stacked.count())
+        time(s"p$i   a + stack + orderBy")(stacked.orderBy(col("column_name")).count())
+        val tiny = spark.range(1).select(lit(1L).as("n_rows"),
+          lit(0L).as("nn_ck"), lit(2L).as("nd_ck"), lit(1.0).as("mn_ck"),
+          lit(2.0).as("mx_ck"), lit(0L).as("nn_tp"), lit(2L).as("nd_tp"),
+          lit(1.0).as("mn_tp"), lit(2.0).as("mx_tp"), lit(0L).as("nn_os"),
+          lit(2L).as("nd_os"), lit("a").as("mns_os"), lit("b").as("mxs_os"),
+          lit(0L).as("nn_op"), lit(2L).as("nd_op"), lit("a").as("mns_op"),
+          lit("b").as("mxs_op"))
+        time(s"p$i   stack on literals")(tiny.select(expr(
+          """stack(4,
+            |  'o_custkey',      n_rows, nn_ck, nd_ck, mn_ck, mx_ck, CAST(NULL AS STRING), CAST(NULL AS STRING),
+            |  'o_totalprice',   n_rows, nn_tp, nd_tp, mn_tp, mx_tp, CAST(NULL AS STRING), CAST(NULL AS STRING),
+            |  'o_orderstatus',  n_rows, nn_os, nd_os, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mns_os, mxs_os,
+            |  'o_orderpriority',n_rows, nn_op, nd_op, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mns_op, mxs_op)
+            |AS (column_name, n_rows, n_nulls, n_distinct, min_num, max_num, min_str, max_str)""".stripMargin)).count())
+        // finding (r13): the mixed 16-agg form plans the distinct
+        // rewrite as Sort+SortAggregate (string agg BUFFERS are not
+        // UnsafeRow-mutable) — ~1.5 s of 750k-row sorting; bare
+        // a16.count() hides it because count() prunes the agg columns.
+        // profileQ now splits string min/max into a keyless agg.
+        time(s"p$i   a + struct-union (no stack)")(a16.select(
+          array(
+            struct(lit("o_custkey").as("column_name"), col("n_rows"), col("nn_ck").as("n_nulls"),
+              col("nd_ck").as("n_distinct"), col("mn_ck").as("min_num"), col("mx_ck").as("max_num"),
+              lit(null).cast("string").as("min_str"), lit(null).cast("string").as("max_str")),
+            struct(lit("o_totalprice").as("column_name"), col("n_rows"), col("nn_tp").as("n_nulls"),
+              col("nd_tp").as("n_distinct"), col("mn_tp").as("min_num"), col("mx_tp").as("max_num"),
+              lit(null).cast("string").as("min_str"), lit(null).cast("string").as("max_str"))).as("arr"))
+          .select(explode(col("arr")).as("s")).select(col("s.*")).count())
+      }
+      return
+    }
     if (args.headOption.contains("cc")) {
       profCc(spark, (name, f) => time(name)(f()))
       spark.stop(); return

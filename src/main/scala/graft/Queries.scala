@@ -4351,7 +4351,17 @@ object Queries {
     */
   def profileQ(spark: SparkSession, sfDir: String): DataFrame = {
     def nulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
-    val a = Tables.orders(spark, sfDir).agg(
+    // STRING min/max live in their OWN keyless aggregate: a string agg
+    // BUFFER is not UnsafeRow-mutable, and one string buffer in the
+    // mixed multi-distinct agg used to demote the whole Expand+distinct
+    // rewrite to Sort+SortAggregate — a full 5·|rows| sort of the
+    // expanded table (measured 1.5 s of q_profile's 2.0 at sf0.1; the
+    // r12→r13 bench flag). Split, the distinct stage hash-aggregates
+    // (string distinct KEYS are fine — only buffers must be mutable)
+    // and the keyless string agg needs no sort at all. Values are
+    // identical; the two 1-row results meet in a broadcast cross.
+    val o = Tables.orders(spark, sfDir)
+    val aNum = o.agg(
       count(lit(1)).as("n_rows"),
       nulls("o_custkey").as("nn_ck"), countDistinct(col("o_custkey")).as("nd_ck"),
       min(col("o_custkey")).cast("double").as("mn_ck"),
@@ -4360,9 +4370,11 @@ object Queries {
       round(min(col("o_totalprice")), 2).as("mn_tp"),
       round(max(col("o_totalprice")), 2).as("mx_tp"),
       nulls("o_orderstatus").as("nn_os"), countDistinct(col("o_orderstatus")).as("nd_os"),
+      nulls("o_orderpriority").as("nn_op"), countDistinct(col("o_orderpriority")).as("nd_op"))
+    val aStr = o.agg(
       min(col("o_orderstatus")).as("mns_os"), max(col("o_orderstatus")).as("mxs_os"),
-      nulls("o_orderpriority").as("nn_op"), countDistinct(col("o_orderpriority")).as("nd_op"),
       min(col("o_orderpriority")).as("mns_op"), max(col("o_orderpriority")).as("mxs_op"))
+    val a = aNum.crossJoin(broadcast(aStr))
     a.select(expr(
       """stack(4,
         |  'o_custkey',      n_rows, nn_ck, nd_ck, mn_ck, mx_ck, CAST(NULL AS STRING), CAST(NULL AS STRING),
