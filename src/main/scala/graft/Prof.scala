@@ -100,6 +100,96 @@ object Prof {
       }
       return
     }
+    if (args.headOption.contains("spancov")) {
+      // r13: decompose q_curation_spancov's x100 soak wall (60.3 s) —
+      // pair join (irreducible) vs gates/LSH/winnow-window stages.
+      val sf = args.lift(1).getOrElse("target/sfsoakv2_x100")
+      val d = graft.sources.Tables.documents(spark, sf)
+        .select(col("doc_id"), col("text"))
+      def slice30(c: org.apache.spark.sql.Column) =
+        array_join(slice(split(trim(lower(c)), "\\s+"), 11, 30), " ")
+      val eligible = d.as("a")
+        .join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 3)
+        .filter(col("a.doc_id") % 11 === 0 &&
+          size(split(trim(lower(col("a.text"))), "\\s+")) >= 40 &&
+          size(split(trim(lower(col("b.text"))), "\\s+")) >= 60)
+      val hosts = eligible.select((col("a.doc_id") + 70000).as("doc_id"),
+        concat(translate(lower(col("b.text")), "aeiou", "eioua"),
+          lit(" "), slice30(col("a.text"))).as("text"))
+      val quotes = eligible.select((col("a.doc_id") + 80000).as("doc_id"),
+        slice30(col("a.text")).as("text"))
+      val base = d.union(d.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .union(hosts).union(quotes)
+      time("base scaffold")(base.count())
+      val gated = graft.ops.Curation.gate(base)
+      time("gate")(gated.count())
+      val w0 = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val exactKept = gated.withColumn("_rn", row_number().over(w0))
+        .filter(col("_rn") === 1).drop("_rn")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time("exact dedup (persist)")(exactKept.count())
+      val nearDrop = graft.ops.Dedup
+        .minhashLsh(exactKept.select(col("doc_id"), col("text")), 0.5)
+        .select(col("doc_b").as("doc_id")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time("LSH near-drop (persist)")(nearDrop.count())
+      val lshKept = exactKept.join(nearDrop, Seq("doc_id"), "left_anti")
+      time("winnow fingerprints")(graft.ops.Dedup.winnowFingerprints(
+        lshKept.select(col("doc_id"), col("text")), 3, 4).count())
+      time("winnow pair coverage")(graft.ops.Dedup.winnowPairsCoverage(
+        lshKept.select(col("doc_id"), col("text")), 3, 4, 5, 20).count())
+      time("full q_curation_spancov")(
+        SparkEntry.queries("q_curation_spancov")(spark, sf).count())
+      // LSH stage decomposition over the same persisted exactKept
+      val in = exactKept.select(col("doc_id"), col("text"))
+      val shingled = graft.ops.Dedup.shingleSets(in)
+      time("  lsh: shingleSets")(shingled.count())
+      val sigs = graft.ops.Dedup.minhashSignatures(shingled)
+      time("  lsh: signatures")(sigs.count())
+      val cands = graft.ops.Dedup.lshCandidates(sigs)
+      time("  lsh: candidates")(cands.count())
+      val shP = shingled.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time("  lsh: shingled persist")(shP.count())
+      val candsP = graft.ops.Dedup.lshCandidates(
+          graft.ops.Dedup.minhashSignatures(shP))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time("  lsh: candidates persist")(candsP.count())
+      val sizes = shP.select(col("doc_id"), size(col("shingles")).as("n"))
+      time("  lsh: size-bound survivors")(candsP
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+        .filter(least(col("n_a"), col("n_b")).cast("double")
+          >= lit(0.5) * greatest(col("n_a"), col("n_b")))
+        .count())
+      val sa = shP.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+      val sb = shP.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+      time("  lsh: verify join (persisted shingles)")(candsP
+          .join(sa, "doc_a").join(sb, "doc_b")
+          .withColumn("jaccard",
+            round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+              size(array_union(col("sh_a"), col("sh_b"))), 6))
+          .filter(col("jaccard") >= 0.5).count())
+      return
+    }
+    if (args.headOption.contains("needleman")) {
+      // r13: decompose q_needleman's x100 soak wall (38.4 s) — probe
+      // scan vs sequence agg vs the 28-pair DP lattice.
+      val sf = args.lift(1).getOrElse("target/sfsoakv2_x100")
+      val ev = graft.sources.Tables.events(spark, sf)
+      time("events filter(user<8) scan")(ev.filter(col("user_id") < 8).count())
+      val seqs = ev.filter(col("user_id") < 8)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("event_type").as("et"))
+        .groupBy(col("user_id"))
+        .agg(expr("""slice(transform(array_sort(collect_list(
+          struct(us, event_id, et))), s -> s.et), 1, 7)""").as("arr"))
+        .filter(size(col("arr")) === 7)
+      time("7-event sequences agg")(seqs.count())
+      time("full q_needleman")(SparkEntry.queries("q_needleman")(spark, sf).count())
+      return
+    }
     if (args.headOption.contains("cc")) {
       profCc(spark, (name, f) => time(name)(f()))
       spark.stop(); return

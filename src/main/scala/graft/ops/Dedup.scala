@@ -884,14 +884,44 @@ object Dedup {
     * a fully-duplicated doc comes back with n_kept = 0 and empty text.
     */
   def stripDuplicateSpans(docs: DataFrame, k: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col("doc_id"),
-      posexplode(split(trim(lower(col("text"))), "\\s+")).as(Seq("pos", "tok")))
     val grams = gramHashes(docs, k).withColumn("key", firstKey)
     val first = grams.groupBy(col("h")).agg(min(col("key")).as("first_key"))
     val marks = grams.join(first, "h")
       .filter(col("key") =!= col("first_key"))
       .select(col("doc_id"), col("pos"), lit(1).as("dup"))
+    stripFromMarks(docs, marks, k)
+  }
+
+  /** Strip of a DELTA batch against a prebuilt corpus gram index —
+    * [[stripDuplicateSpans]]'s continual-ingest twin, the strip analog
+    * of [[duplicateSpansVersusCorpus]] (same dup predicate: a batch
+    * gram occurrence is duplicated if its gram exists in the corpus at
+    * all, or occurred earlier within the batch). When batches arrive
+    * in ascending global key order and the index accumulates every
+    * batch's [[gramFirstTable]], the concatenated outputs are
+    * ROW-IDENTICAL to one whole-corpus [[stripDuplicateSpans]] run —
+    * DedupStreamSpec pins that parity end-to-end through foreachBatch.
+    */
+  def stripVersusCorpus(batch: DataFrame, corpusFirst: DataFrame,
+      k: Int = 8): DataFrame = {
+    val grams = gramHashes(batch, k).withColumn("key", firstKey)
+    val first = grams.groupBy(col("h")).agg(min(col("key")).as("batch_first"))
+    val marks = grams
+      .join(first, "h")
+      .join(corpusFirst.select(col("h"), lit(1).as("in_corpus")), Seq("h"), "left")
+      .filter(col("in_corpus").isNotNull || col("key") =!= col("batch_first"))
+      .select(col("doc_id"), col("pos"), lit(1).as("dup"))
+    stripFromMarks(batch, marks, k)
+  }
+
+  /** Shared strip tail: rebuild each doc with tokens covered by a
+    * dup-gram run cut out (running max of dup-start + k − 1 — one
+    * doc-partitioned window, never a range join).
+    */
+  private def stripFromMarks(docs: DataFrame, marks: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(trim(lower(col("text"))), "\\s+")).as(Seq("pos", "tok")))
     val wo = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     toks.join(marks, Seq("doc_id", "pos"), "left")
       .withColumn("run_end",
