@@ -7976,6 +7976,147 @@ object Queries {
         Tables.documents(spark, sfDir), epochs = 2, nShards = 8, salt = "to"))
       .orderBy(col("epoch"), col("shard"))
 
+  /** DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining" —
+    * the excess-loss device, one round, counting-LM proxy): train the
+    * [[lmScoreQ]] Stupid-Backoff reference LM on the clean English
+    * slice, score EVERY doc, and upweight sources whose per-bigram
+    * score falls below the corpus baseline (excess loss ⇒ more
+    * weight). Weights are exact integer ppm that sum to EXACTLY 10⁶
+    * via largest-remainder rounding — the rank comes from a bounded
+    * self-join over the ≤32-row source table (orderBy+limit = provable
+    * to JoinLint, no window, no allowlist). One corpus scoring pass
+    * (vocab-sized model equi-joins); everything after is source-sized.
+    * The output plugs straight into [[ops.TrainOrder]]'s mixture
+    * weights — measure ([[trainManifestQ]]) what you reweigh.
+    */
+  def doremiWeightsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val (uni, bi, totals) = graft.ops.LanguageModel.train(
+      docs.filter(col("lang") === "en"), "text")
+    val per = graft.ops.LanguageModel.score(
+        docs, uni, bi, totals, "doc_id", "text", carry = Seq("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bigrams")).as("n_bigrams"),
+        sum(col("score_micro")).as("sm"))
+      .orderBy(col("source")).limit(32) // ≤20 sources — provable bound
+      .withColumn("mean_micro", expr("sm div n_bigrams"))
+    val base = per.groupBy()
+      .agg(expr("sum(sm) div sum(n_bigrams)").as("base_micro"))
+    val shares = per.crossJoin(broadcast(base))
+      .withColumn("excess_micro",
+        greatest(col("base_micro") - col("mean_micro"), lit(0L)))
+      .withColumn("w", lit(1000000L) + col("excess_micro"))
+    val sw = shares.groupBy().agg(sum(col("w")).as("sw"))
+    val fl = shares.crossJoin(broadcast(sw))
+      .withColumn("ppm_floor", expr("w * 1000000 div sw"))
+      .withColumn("rem", expr("(w * 1000000) % sw"))
+    val leftover = fl.groupBy()
+      .agg((lit(1000000L) - sum(col("ppm_floor"))).as("lo"))
+    val other = fl.select(col("source").as("s2"), col("rem").as("rem2"))
+    fl.join(other, col("rem2") > col("rem") ||
+        (col("rem2") === col("rem") && col("s2") < col("source")), "left")
+      .groupBy(col("source"), col("n_docs"), col("n_bigrams"),
+        col("mean_micro"), col("excess_micro"), col("ppm_floor"))
+      .agg(count(col("s2")).as("n_better"))
+      .crossJoin(broadcast(leftover))
+      .select(col("source"), col("n_docs"), col("n_bigrams"),
+        col("mean_micro"), col("excess_micro"),
+        (col("ppm_floor") +
+          when(col("n_better") < col("lo"), 1L).otherwise(0L)).as("weight_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** Data-scaling novelty curve — "how much NEW content does each
+    * additional slice of the corpus add?", the diminishing-returns
+    * readout behind every more-data-vs-better-data decision: per
+    * doc-id decile (ingest order), the count of distinct 8-grams whose
+    * GLOBAL first occurrence lands in that decile
+    * ([[ops.Dedup.gramFirstTable]] — the ExactSubstr index read as a
+    * curve), the decile's total gram occurrences, and the marginal
+    * novelty ratio. Cumulative counts come from a ≤10-row bounded
+    * self-join (limit(10) = provable), never a singleton window. One
+    * gram pass + one narrow scan; the curve table is 10 rows at any
+    * corpus size.
+    */
+  def noveltyCurveQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val nd = d.groupBy().agg((max(col("doc_id")) + 1).as("nd"))
+    val newPerDec = Dedup.gramFirstTable(d, 8).crossJoin(broadcast(nd))
+      .select(least(expr("(first_key div 1000000) * 10 div nd"), lit(9L))
+        .as("decile"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("n_new_grams"))
+    val occPerDec = d.crossJoin(broadcast(nd))
+      .select(least(expr("doc_id * 10 div nd"), lit(9L)).as("decile"),
+        greatest(size(split(trim(lower(col("text"))), "\\s+")) - 7, lit(0))
+          .cast("long").as("occ"))
+      .groupBy(col("decile")).agg(sum(col("occ")).as("n_gram_occ"))
+    val spine = broadcast(d.sparkSession.range(0, 10).select(col("id").as("decile")))
+    val counts = spine.join(newPerDec, Seq("decile"), "left")
+      .join(occPerDec, Seq("decile"), "left")
+      .select(col("decile"),
+        coalesce(col("n_new_grams"), lit(0L)).as("n_new_grams"),
+        coalesce(col("n_gram_occ"), lit(0L)).as("n_gram_occ"))
+      .orderBy(col("decile")).limit(10) // decile ∈ [0,9] — provable bound
+    val c2 = counts.select(col("decile").as("d2"), col("n_new_grams").as("c2"))
+    counts.join(c2, col("d2") <= col("decile"))
+      .groupBy(col("decile"), col("n_new_grams"), col("n_gram_occ"))
+      .agg(sum(col("c2")).as("cum_new_grams"))
+      .select(col("decile"), col("n_new_grams"), col("n_gram_occ"),
+        col("cum_new_grams"),
+        expr("n_new_grams * 1000000 div nullif(n_gram_occ, 0)")
+          .as("novelty_e6"))
+      .orderBy(col("decile"))
+  }
+
+  /** Neyman-optimal stratified-sample allocation (n_h ∝ N_h·S_h) of a
+    * 1000-row audit budget across the 5 order-priority strata — the
+    * design stage of every stratified data-quality audit (allocate
+    * where the money variance lives, not per headcount): per-stratum
+    * σ via ONE IEEE sqrt of the exact decimal(38) moment (the
+    * [[wilsonCiQ]] discipline), Neyman weights N_h·σ_h as exact
+    * integers, and the allocation rounded by largest remainder so it
+    * sums to EXACTLY the budget (bounded ≤8-row self-join rank —
+    * orderBy+limit, no window). The proportional allocation rides
+    * alongside as the A/B. One orders scan; everything after is
+    * stratum-sized.
+    */
+  def neymanAllocQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val budget = 1000L
+    val st = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority").as("stratum"),
+        cents(col("o_totalprice")).cast("long").as("x"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_h"), sum(col("x")).as("s"),
+        sum(expr(s"cast(x as $d38) * x")).as("sxx"))
+      .orderBy(col("stratum")).limit(8) // 5 strata — provable bound
+      .withColumn("ss", expr(s"n_h * sxx - cast(s as $d38) * s"))
+      .withColumn("sd_e3",
+        floor(sqrt(col("ss").cast("double")) / col("n_h") * 1000.0).cast("long"))
+      .withColumn("w", col("n_h") * col("sd_e3"))
+    val tot = st.groupBy().agg(sum(col("w")).as("sw"), sum(col("n_h")).as("ntot"))
+    val fl = st.crossJoin(broadcast(tot))
+      .withColumn("alloc_floor", expr(s"w * $budget div sw"))
+      .withColumn("rem", expr(s"(w * $budget) % sw"))
+      .withColumn("prop_alloc", expr(s"n_h * $budget div ntot"))
+    val leftover = fl.groupBy()
+      .agg((lit(budget) - sum(col("alloc_floor"))).as("lo"))
+    val other = fl.select(col("stratum").as("s2"), col("rem").as("rem2"))
+    fl.join(other, col("rem2") > col("rem") ||
+        (col("rem2") === col("rem") && col("s2") < col("stratum")), "left")
+      .groupBy(col("stratum"), col("n_h"), col("sd_e3"),
+        col("alloc_floor"), col("prop_alloc"))
+      .agg(count(col("s2")).as("n_better"))
+      .crossJoin(broadcast(leftover))
+      .select(col("stratum"), col("n_h"), col("sd_e3"),
+        (col("alloc_floor") +
+          when(col("n_better") < col("lo"), 1L).otherwise(0L))
+          .as("neyman_alloc"),
+        col("prop_alloc"))
+      .orderBy(col("stratum"))
+  }
+
   /** Sample-ratio-mismatch guard for the A/B assignment: the 1-df χ²
     * of the observed variant split against the intended 50/50 —
     * (n_a−n_b)²·10⁶ div (n_a+n_b), exact. The cheapest and most

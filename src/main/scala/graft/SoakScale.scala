@@ -319,7 +319,11 @@ object SoakScale {
     // round 13: the epoch-order tokenize scan + (epoch, shard)
     // exchange + in-shard sort, and its manifest aggregate — both
     // linear in the replicated corpus
-    "q_train_order", "q_train_manifest")
+    "q_train_order", "q_train_manifest",
+    // round-13 wave 1: the LM-scoring corpus pass behind the DoReMi
+    // reweighting, the gram-first novelty curve (ExactSubstr index as
+    // a curve), and the stratified-allocation orders scan
+    "q_doremi_weights", "q_novelty_curve", "q_neyman_alloc")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

@@ -518,6 +518,9 @@ object SparkEntry {
     "q_pack_bestfit" -> (Queries.packBestFitQ _),
     "q_train_order" -> (Queries.trainOrderQ _),
     "q_train_manifest" -> (Queries.trainManifestQ _),
+    "q_doremi_weights" -> (Queries.doremiWeightsQ _),
+    "q_novelty_curve" -> (Queries.noveltyCurveQ _),
+    "q_neyman_alloc" -> (Queries.neymanAllocQ _),
     "q_hoeffding_bound" -> (Queries.hoeffdingBoundQ _),
     "q_index_size" -> (Queries.indexSizeQ _),
     "q_meta_analysis" -> (Queries.metaAnalysisQ _),
@@ -12256,6 +12259,94 @@ object SparkEntry {
         |    AS reweighted_share_e6,
         |  min(okey) AS min_okey, max(okey) AS max_okey
         |FROM p GROUP BY epoch, shard ORDER BY epoch, shard""".stripMargin,
+
+    // DoReMi replay: the lmCtes scoring chain, per-source means,
+    // excess over baseline, largest-remainder ppm normalization via
+    // the bounded self-join rank.
+    "q_doremi_weights" ->
+      s"""WITH entr AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
+        |${lmCtes("dw", "entr", "documents", graft.ops.LanguageModel.KeepPerBigramMicro)},
+        |per AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(s.n_bigrams) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(s.score_micro) AS BIGINT) AS sm
+        |  FROM dwscores s JOIN documents d USING (doc_id) GROUP BY d.source),
+        |per2 AS (SELECT *, sm // n_bigrams AS mean_micro FROM per),
+        |bl AS (SELECT CAST(sum(sm) AS BIGINT) // CAST(sum(n_bigrams) AS BIGINT)
+        |    AS base_micro FROM per2),
+        |wt AS (SELECT per2.*,
+        |    greatest(base_micro - mean_micro, 0) AS excess_micro,
+        |    1000000 + greatest(base_micro - mean_micro, 0) AS w
+        |  FROM per2 CROSS JOIN bl),
+        |sw AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM wt),
+        |fl AS (SELECT wt.*, w * 1000000 // sw AS ppm_floor,
+        |    (w * 1000000) % sw AS rem FROM wt CROSS JOIN sw),
+        |lo AS (SELECT 1000000 - CAST(sum(ppm_floor) AS BIGINT) AS lo FROM fl),
+        |rk AS (SELECT a.source, CAST(count(b.source) AS BIGINT) AS n_better
+        |  FROM fl a LEFT JOIN fl b ON b.rem > a.rem
+        |    OR (b.rem = a.rem AND b.source < a.source)
+        |  GROUP BY a.source)
+        |SELECT a.source, a.n_docs, a.n_bigrams, a.mean_micro, a.excess_micro,
+        |  CAST(a.ppm_floor + CASE WHEN rk.n_better < lo.lo THEN 1 ELSE 0 END
+        |    AS BIGINT) AS weight_ppm
+        |FROM fl a JOIN rk USING (source) CROSS JOIN lo
+        |ORDER BY a.source""".stripMargin,
+
+    // Novelty-curve replay: the gram8 first-occurrence index bucketed
+    // by id decile, occurrence totals per decile, bounded cumulative
+    // self-join.
+    "q_novelty_curve" ->
+      s"""WITH ${gram8Ctes("nv", "documents")},
+        |nd AS (SELECT max(doc_id) + 1 AS nd FROM documents),
+        |fo AS (SELECT h, min(key) AS first_key FROM nvh GROUP BY h),
+        |npd AS (SELECT least((first_key // 1000000) * 10 // nd, 9) AS decile,
+        |    CAST(count(*) AS BIGINT) AS n_new_grams
+        |  FROM fo CROSS JOIN nd GROUP BY 1),
+        |opd AS (SELECT least(doc_id * 10 // nd, 9) AS decile,
+        |    CAST(sum(greatest(len(${wordsSql("lower(text)")}) - 7, 0)) AS BIGINT)
+        |      AS n_gram_occ
+        |  FROM documents CROSS JOIN nd GROUP BY 1),
+        |sp AS (SELECT CAST(unnest(range(10)) AS BIGINT) AS decile),
+        |cnt AS (SELECT sp.decile, coalesce(n_new_grams, 0) AS n_new_grams,
+        |    coalesce(n_gram_occ, 0) AS n_gram_occ
+        |  FROM sp LEFT JOIN npd USING (decile) LEFT JOIN opd USING (decile))
+        |SELECT c.decile, CAST(c.n_new_grams AS BIGINT) AS n_new_grams,
+        |  CAST(c.n_gram_occ AS BIGINT) AS n_gram_occ,
+        |  CAST(sum(c2.n_new_grams) AS BIGINT) AS cum_new_grams,
+        |  CAST(c.n_new_grams * 1000000 // nullif(c.n_gram_occ, 0) AS BIGINT)
+        |    AS novelty_e6
+        |FROM cnt c JOIN cnt c2 ON c2.decile <= c.decile
+        |GROUP BY c.decile, c.n_new_grams, c.n_gram_occ
+        |ORDER BY c.decile""".stripMargin,
+
+    // Neyman replay: exact stratum moments, one IEEE sqrt per stratum,
+    // largest-remainder allocation via the bounded self-join rank.
+    "q_neyman_alloc" ->
+      """WITH st0 AS (SELECT o_orderpriority AS stratum,
+        |    CAST(count(*) AS BIGINT) AS n_h,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS s,
+        |    sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        |      * CAST(round(o_totalprice * 100, 0) AS HUGEINT)) AS sxx
+        |  FROM orders GROUP BY 1),
+        |st AS (SELECT stratum, n_h,
+        |    CAST(floor(sqrt(CAST(n_h * sxx - CAST(s AS HUGEINT) * s AS DOUBLE))
+        |      / n_h * 1000.0) AS BIGINT) AS sd_e3 FROM st0),
+        |wt AS (SELECT *, n_h * sd_e3 AS w FROM st),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS sw,
+        |    CAST(sum(n_h) AS BIGINT) AS ntot FROM wt),
+        |fl AS (SELECT wt.*, w * 1000 // sw AS alloc_floor,
+        |    (w * 1000) % sw AS rem, n_h * 1000 // ntot AS prop_alloc
+        |  FROM wt CROSS JOIN tot),
+        |lo AS (SELECT 1000 - CAST(sum(alloc_floor) AS BIGINT) AS lo FROM fl),
+        |rk AS (SELECT a.stratum, CAST(count(b.stratum) AS BIGINT) AS n_better
+        |  FROM fl a LEFT JOIN fl b ON b.rem > a.rem
+        |    OR (b.rem = a.rem AND b.stratum < a.stratum)
+        |  GROUP BY a.stratum)
+        |SELECT a.stratum, a.n_h, a.sd_e3,
+        |  CAST(a.alloc_floor + CASE WHEN rk.n_better < lo.lo THEN 1 ELSE 0 END
+        |    AS BIGINT) AS neyman_alloc,
+        |  CAST(a.prop_alloc AS BIGINT) AS prop_alloc
+        |FROM fl a JOIN rk USING (stratum) CROSS JOIN lo
+        |ORDER BY a.stratum""".stripMargin,
 
     // Hoeffding replay: hash groups, exact cross-multiplied deviation
     // predicate, one e9-floored exp per (group, k) over an exact
