@@ -8117,6 +8117,123 @@ object Queries {
       .orderBy(col("stratum"))
   }
 
+  /** Gopher quality-rule table (Rae et al. 2021, "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher",
+    * §A1.1 data-quality filters, adapted to the newline-free synthetic
+    * corpus): per document — word count in [50, 100k], mean word
+    * length in [3, 10] chars, ≥80% of words containing an alphabetic
+    * character, ≥2 canonical stopwords, and duplicate-bigram share
+    * ≤ 20% — every metric an EXACT integer ratio (per-doc array ops,
+    * no explode, no window), rolled up per source as per-rule fail
+    * counts and the kept share. The rule-level breakdown is the
+    * operator's point: it says WHICH gate bites each source before a
+    * 100 TB filtering pass commits to thresholds.
+    */
+  def gopherRulesQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("source"), split(trim(lower(col("text"))), "\\s+").as("ws"))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("sum_len",
+        expr("aggregate(ws, 0L, (a, x) -> a + length(x))"))
+      .withColumn("n_alpha",
+        expr("size(filter(ws, x -> x rlike '[a-z]'))").cast("long"))
+      .withColumn("n_stop", expr(
+        """size(filter(ws, x -> array_contains(
+          |array('the','be','to','of','and','that','have','with'), x)))"""
+          .stripMargin).cast("long"))
+      .withColumn("bg", expr(
+        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1), (a, b) -> concat(a, ' ', b))"))
+      .withColumn("tot_bg", greatest(col("n_words") - 1, lit(0L)))
+      .withColumn("dup_bg", col("tot_bg") - size(array_distinct(col("bg"))).cast("long"))
+      .select(col("source"),
+        (col("n_words") >= 50 && col("n_words") <= 100000).as("r_wc"),
+        (expr("sum_len * 1000 div n_words").between(3000L, 10000L)).as("r_mwl"),
+        (expr("n_alpha * 1000000 div n_words") >= 800000L).as("r_alpha"),
+        (col("n_stop") >= 2L).as("r_stop"),
+        coalesce(expr("dup_bg * 1000000 div nullif(tot_bg, 0)") <= 200000L,
+          lit(true)).as("r_dup2"))
+      .withColumn("keep",
+        col("r_wc") && col("r_mwl") && col("r_alpha") && col("r_stop") && col("r_dup2"))
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("r_wc"), 1L).otherwise(0L)).as("fail_wordcount"),
+        sum(when(!col("r_mwl"), 1L).otherwise(0L)).as("fail_meanwordlen"),
+        sum(when(!col("r_alpha"), 1L).otherwise(0L)).as("fail_alphaword"),
+        sum(when(!col("r_stop"), 1L).otherwise(0L)).as("fail_stopword"),
+        sum(when(!col("r_dup2"), 1L).otherwise(0L)).as("fail_dupbigram"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("source"), col("n_docs"), col("fail_wordcount"),
+        col("fail_meanwordlen"), col("fail_alphaword"), col("fail_stopword"),
+        col("fail_dupbigram"), col("n_kept"),
+        expr("n_kept * 1000000 div n_docs").as("kept_e6"))
+      .orderBy(col("source"))
+  }
+
+  /** Probability-proportional-to-size sampling with a Horvitz-Thompson
+    * total estimate — the survey-sampling workhorse for auditing a
+    * corpus without scanning it (sample ~100 docs, estimate total
+    * tokens): inclusion probability π_i = min(1, n·s_i/S) as an exact
+    * ppm integer, DETERMINISTIC hash inclusion (reproducible sample —
+    * no rand()), and the HT estimator Σ s_i·10⁶ div π_i over included
+    * docs, reported against the true total it estimates. One scan +
+    * scalar moments; the design-effect inputs (Σw, Σw²) ride along.
+    */
+  def ppsSampleQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = 100L
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("s"))
+    val tot = d.groupBy().agg(sum(col("s")).as("stot"), count(lit(1)).as("nd"))
+    val marked = d.crossJoin(broadcast(tot))
+      .withColumn("pi_e6", least(lit(1000000L), expr(s"s * $n * 1000000 div stot")))
+      .withColumn("inc",
+        pmod(TextOps.portableHash64(concat(lit("pps:"), col("doc_id"))),
+          lit(1000000L)) < col("pi_e6"))
+    marked.groupBy()
+      .agg(max(col("nd")).as("n_docs"), max(col("stot")).as("true_total"),
+        sum(when(col("pi_e6") === 1000000L, 1L).otherwise(0L)).as("n_certain"),
+        sum(when(col("inc"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("inc"), expr("s * 1000000 div pi_e6")).otherwise(0L))
+          .as("ht_total"))
+      .select(col("n_docs"), col("n_certain"), col("n_sampled"),
+        col("true_total"), col("ht_total"),
+        expr("ht_total * 1000000 div true_total").as("ratio_e6"))
+  }
+
+  /** Dataset-cartography map (Swayamdipta et al. 2020, "Dataset
+    * Cartography: Mapping and Diagnosing Datasets with Training
+    * Dynamics") over the batch perceptron's three training passes:
+    * every document is scored under EACH pass's weight vector
+    * ([[ops.Classify.perceptronTrain]] with passes = 1, 2, 3 — the
+    * deterministic pass-prefix states), and classified easy-to-learn
+    * (correct under all three), hard-to-learn (never correct), or
+    * ambiguous (the sign flips — the slice cartography says to keep).
+    * Rolled up per language. Exact integer scores throughout; the
+    * three scorings are count-table equi-joins over the one persisted
+    * hashed-count table, so the corpus is tokenized once.
+    */
+  def dataMapQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"),
+      col("lang"), when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
+    val scored = (1 to 3).map { p =>
+      val (w, b) = graft.ops.Classify.perceptronTrain(d, "y", "text", "pcpt:", 64, p)
+      graft.ops.Classify.perceptronScore(d, w, b, "doc_id", "text", "pcpt:", 64,
+          carry = Seq("lang", "y"))
+        .select(col("doc_id"), col("lang"),
+          (col("y") * col("score") > 0).as(s"c$p"))
+    }
+    scored.reduce((a, b) => a.join(b.drop("lang"), "doc_id"))
+      .withColumn("nc", (0 to 2).map(i =>
+        when(col(s"c${i + 1}"), 1L).otherwise(0L)).reduce(_ + _))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("nc") === 3L, 1L).otherwise(0L)).as("n_easy"),
+        sum(when(col("nc") === 0L, 1L).otherwise(0L)).as("n_hard"),
+        sum(when(col("nc") > 0L && col("nc") < 3L, 1L).otherwise(0L))
+          .as("n_ambiguous"))
+      .orderBy(col("lang"))
+  }
+
   /** Sample-ratio-mismatch guard for the A/B assignment: the 1-df χ²
     * of the observed variant split against the intended 50/50 —
     * (n_a−n_b)²·10⁶ div (n_a+n_b), exact. The cheapest and most

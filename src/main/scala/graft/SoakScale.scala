@@ -323,7 +323,11 @@ object SoakScale {
     // round-13 wave 1: the LM-scoring corpus pass behind the DoReMi
     // reweighting, the gram-first novelty curve (ExactSubstr index as
     // a curve), and the stratified-allocation orders scan
-    "q_doremi_weights", "q_novelty_curve", "q_neyman_alloc")
+    "q_doremi_weights", "q_novelty_curve", "q_neyman_alloc",
+    // round-13 wave 2: the per-doc array-metric Gopher gates, the
+    // PPS scan, and the 3-pass perceptron cartography (3 trainings +
+    // 3 count-table scorings — the q_cross_val shape)
+    "q_gopher_rules", "q_pps_sample", "q_data_map")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

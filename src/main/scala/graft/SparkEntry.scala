@@ -521,6 +521,9 @@ object SparkEntry {
     "q_doremi_weights" -> (Queries.doremiWeightsQ _),
     "q_novelty_curve" -> (Queries.noveltyCurveQ _),
     "q_neyman_alloc" -> (Queries.neymanAllocQ _),
+    "q_gopher_rules" -> (Queries.gopherRulesQ _),
+    "q_pps_sample" -> (Queries.ppsSampleQ _),
+    "q_data_map" -> (Queries.dataMapQ _),
     "q_hoeffding_bound" -> (Queries.hoeffdingBoundQ _),
     "q_index_size" -> (Queries.indexSizeQ _),
     "q_meta_analysis" -> (Queries.metaAnalysisQ _),
@@ -12259,6 +12262,92 @@ object SparkEntry {
         |    AS reweighted_share_e6,
         |  min(okey) AS min_okey, max(okey) AS max_okey
         |FROM p GROUP BY epoch, shard ORDER BY epoch, shard""".stripMargin,
+
+    // Gopher-rule replay: per-doc exact integer metrics off one list
+    // projection, per-source fail counts and kept share.
+    "q_gopher_rules" ->
+      s"""WITH w0 AS (SELECT source, ${wordsSql("lower(text)")} AS ws FROM documents),
+        |m AS (SELECT source,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(list_aggregate(list_transform(ws, x -> length(x)), 'sum')
+        |      AS BIGINT) AS sum_len,
+        |    CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+        |      AS BIGINT) AS n_alpha,
+        |    CAST(len(list_filter(ws, x -> list_contains(
+        |      ['the','be','to','of','and','that','have','with'], x)))
+        |      AS BIGINT) AS n_stop,
+        |    CAST(greatest(len(ws) - 1, 0) AS BIGINT) AS tot_bg,
+        |    CAST(greatest(len(ws) - 1, 0) - len(list_distinct(list_transform(
+        |      range(len(ws) - 1), i -> ws[i+1] || ' ' || ws[i+2])))
+        |      AS BIGINT) AS dup_bg
+        |  FROM w0),
+        |r AS (SELECT source,
+        |    n_words BETWEEN 50 AND 100000 AS r_wc,
+        |    (sum_len * 1000 // n_words) BETWEEN 3000 AND 10000 AS r_mwl,
+        |    n_alpha * 1000000 // n_words >= 800000 AS r_alpha,
+        |    n_stop >= 2 AS r_stop,
+        |    coalesce(dup_bg * 1000000 // nullif(tot_bg, 0) <= 200000, TRUE)
+        |      AS r_dup2
+        |  FROM m),
+        |k AS (SELECT *, (r_wc AND r_mwl AND r_alpha AND r_stop AND r_dup2)
+        |    AS keep FROM r)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN NOT r_wc THEN 1 ELSE 0 END) AS BIGINT) AS fail_wordcount,
+        |  CAST(sum(CASE WHEN NOT r_mwl THEN 1 ELSE 0 END) AS BIGINT) AS fail_meanwordlen,
+        |  CAST(sum(CASE WHEN NOT r_alpha THEN 1 ELSE 0 END) AS BIGINT) AS fail_alphaword,
+        |  CAST(sum(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopword,
+        |  CAST(sum(CASE WHEN NOT r_dup2 THEN 1 ELSE 0 END) AS BIGINT) AS fail_dupbigram,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000000 // count(*)
+        |    AS BIGINT) AS kept_e6
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
+    // PPS replay: exact ppm inclusion probabilities, the same salted
+    // hash draw, HT total over the included docs.
+    "q_pps_sample" ->
+      s"""WITH d AS (SELECT doc_id,
+        |    CAST(len(${wordsSql("lower(text)")}) AS BIGINT) AS s FROM documents),
+        |t AS (SELECT CAST(sum(s) AS BIGINT) AS stot,
+        |    CAST(count(*) AS BIGINT) AS nd FROM d),
+        |m AS (SELECT doc_id, s,
+        |    least(1000000, s * 100 * 1000000 // stot) AS pi_e6,
+        |    ${hSql("concat('pps:', CAST(doc_id AS VARCHAR))")} % 1000000
+        |      < least(1000000, s * 100 * 1000000 // stot) AS inc
+        |  FROM d CROSS JOIN t)
+        |SELECT (SELECT nd FROM t) AS n_docs,
+        |  CAST(sum(CASE WHEN pi_e6 = 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_certain,
+        |  CAST(sum(CASE WHEN inc THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |  (SELECT stot FROM t) AS true_total,
+        |  CAST(sum(CASE WHEN inc THEN s * 1000000 // pi_e6 ELSE 0 END)
+        |    AS BIGINT) AS ht_total,
+        |  CAST(CAST(sum(CASE WHEN inc THEN s * 1000000 // pi_e6 ELSE 0 END)
+        |    AS BIGINT) * 1000000 // (SELECT stot FROM t) AS BIGINT) AS ratio_e6
+        |FROM m""".stripMargin,
+
+    // Data-map replay: the dm-prefixed 3-pass perceptron chain; per-doc
+    // correctness under each pass's weights (chain s2/s3 = pass-1/2
+    // scores, dms4 scores with w3/b3), per-lang category counts.
+    "q_data_map" ->
+      s"""WITH dm0 AS (
+        |${pcptCounts("documents")}),
+        |${pcptChain("dm", "dm0")},
+        |dms4 AS (SELECT c.doc_id, c.y,
+        |    CAST(sum(c.n * coalesce(a.w, 0)) AS BIGINT)
+        |      + (SELECT b FROM dmb3) AS s
+        |  FROM dm0 c LEFT JOIN dmw3 a USING (bucket) GROUP BY c.doc_id, c.y),
+        |cat AS (SELECT a.doc_id,
+        |    (CASE WHEN a.y * a.s > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN b.y * b.s > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN c.y * c.s > 0 THEN 1 ELSE 0 END) AS nc
+        |  FROM dms2 a JOIN dms3 b USING (doc_id) JOIN dms4 c USING (doc_id))
+        |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN nc = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_easy,
+        |  CAST(sum(CASE WHEN nc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hard,
+        |  CAST(sum(CASE WHEN nc > 0 AND nc < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_ambiguous
+        |FROM cat JOIN documents d USING (doc_id)
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
     // DoReMi replay: the lmCtes scoring chain, per-source means,
     // excess over baseline, largest-remainder ppm normalization via
