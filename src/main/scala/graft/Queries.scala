@@ -5715,9 +5715,21 @@ object Queries {
     * [[graft.ops.Bpe]]; only the per-iteration argmax row reaches the
     * driver).
     */
+  /** The 8-merge BPE model, session-memoized per sf — training runs 8
+    * driver-argmax iterations over the type dictionary (the pqBooks
+    * "non-pure builder" precedent: a racing loser re-trains but holds
+    * no executor storage), and THREE queries consume the same model
+    * (q_bpe_merges, q_bpe_encode, q_bpe_compression) — one training
+    * instead of three.
+    */
+  private def bpeMerges8(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.SessionMemo(spark, ("bpe_merges8", sfDir)) {
+      graft.ops.Bpe.train(Tables.documents(spark, sfDir), "text", 8)
+        .localCheckpoint(true)
+    }
+
   def bpeMergesQ(spark: SparkSession, sfDir: String): DataFrame =
-    graft.ops.Bpe.train(Tables.documents(spark, sfDir), "text", 8)
-      .orderBy(col("merge_rank"))
+    bpeMerges8(spark, sfDir).orderBy(col("merge_rank"))
 
   /** BPE encode: train the 8-merge model, then tokenize the corpus with
     * it — the merge list is collected (it IS the model; every tokenizer
@@ -5728,7 +5740,7 @@ object Queries {
     */
   def bpeEncodeQ(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val merges = graft.ops.Bpe.train(docs, "text", 8)
+    val merges = bpeMerges8(spark, sfDir)
       .orderBy(col("merge_rank")).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
     val enc = graft.ops.Bpe.encodeTypes(
@@ -8232,6 +8244,97 @@ object Queries {
         sum(when(col("nc") > 0L && col("nc") < 3L, 1L).otherwise(0L))
           .as("n_ambiguous"))
       .orderBy(col("lang"))
+  }
+
+  /** Tokenizer-compression audit per source under the 8-merge BPE
+    * model ([[bpeEncodeQ]]'s machinery read as an efficiency table):
+    * chars per subword and subwords per word for every source — the
+    * readout that decides whether a tokenizer underserves a slice of
+    * the mix (fertility blowups are a real multilingual-training cost:
+    * a source at 2× subwords/word pays 2× context per sentence). Type
+    * dictionary encoded ONCE, per-source rollup is a word-keyed join —
+    * no document is ever re-encoded.
+    */
+  def bpeCompressionQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val merges = bpeMerges8(spark, sfDir)
+      .orderBy(col("merge_rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = graft.ops.Bpe.encodeTypes(
+      graft.ops.Bpe.wordTypes(docs, "text"), merges)
+    docs.select(col("source"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .join(enc.select(col("word"), col("n_subwords")), "word")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word")).cast("long")).as("n_chars"),
+        sum(col("n_subwords")).as("n_subwords"))
+      .select(col("source"), col("n_words"), col("n_chars"), col("n_subwords"),
+        expr("n_chars * 1000 div n_subwords").as("chars_per_subword_e3"),
+        expr("n_subwords * 1000 div n_words").as("subwords_per_word_e3"))
+      .orderBy(col("source"))
+  }
+
+  /** Shuffle-quality certificate over [[trainOrderQ]]'s permutation:
+    * the fraction of ADJACENT in-shard pairs sharing a source, against
+    * the exact expectation under a uniform shard permutation
+    * (Σ_shards A_sh/n_sh with A_sh = Σ_s n_s(n_s−1), pooled per
+    * epoch) — the test that catches a broken shuffle (source-clumped
+    * order starves data-parallel ranks of mixing). Both sides exact
+    * integer arithmetic; one lead window per (epoch, shard) partition
+    * over the order table.
+    */
+  def shuffleRunsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = graft.ops.TrainOrder.epochOrder(
+      Tables.documents(spark, sfDir), epochs = 2, nShards = 8, salt = "to")
+    val w = Window.partitionBy(col("epoch"), col("shard")).orderBy(col("pos"))
+    val adj = o.withColumn("nxt", lead(col("source"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("epoch"))
+      .agg(count(lit(1)).as("n_adj"),
+        sum(when(col("nxt") === col("source"), 1L).otherwise(0L)).as("n_same"))
+    val expd = o.groupBy(col("epoch"), col("shard"), col("source"))
+      .agg(count(lit(1)).as("ns"))
+      .groupBy(col("epoch"), col("shard"))
+      .agg(sum(expr("ns * (ns - 1)")).as("a_sh"), sum(col("ns")).as("n_sh"))
+      .groupBy(col("epoch"))
+      .agg(sum(expr("a_sh * 1000000 div n_sh")).as("exp_same_e6"))
+    adj.join(expd, "epoch")
+      .select(col("epoch"), col("n_adj"), col("n_same"),
+        expr("n_same * 1000000 div n_adj").as("same_e6"),
+        expr("exp_same_e6 div n_adj").as("expected_e6"))
+      .orderBy(col("epoch"))
+  }
+
+  /** Effective-epochs planning table: under [[ops.TrainOrder]]'s
+    * mixture weights and a 10M-token sampling budget, how many times
+    * does each source's data repeat? p_s ∝ w_s·tokens_s, sampled
+    * tokens B·p_s, effective epochs B·w_s/Σw·t — all exact integer
+    * rationals, with the repeats flag (>1 epoch = the source will be
+    * seen more than once, the memorization-risk line every data card
+    * reports). One tokenize scan; everything after is source-sized.
+    */
+  def effectiveEpochsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val budget = 10000000L
+    val t = Tables.documents(spark, sfDir)
+      .select(col("source"), TextOps.bpeTokenCount(col("text")).as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+      .withColumn("weight_ppm", graft.ops.TrainOrder.weightPpm(col("source")))
+      // decimal(38): weight·tokens·1e6 crosses 2^63 at soak scale
+      .withColumn("wt", expr("cast(weight_ppm as decimal(38,0)) * n_tokens"))
+    val tot = t.groupBy().agg(sum(col("wt")).as("swt"))
+    t.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("weight_ppm"),
+        expr("cast(wt * 1000000 div swt as bigint)").as("share_e6"),
+        expr(s"cast($budget * wt div swt as bigint)").as("sampled_tokens"),
+        expr(s"cast(cast($budget * weight_ppm as decimal(38,0)) * 1000 div swt as bigint)")
+          .as("eff_epochs_e3"),
+        (expr(s"cast(cast($budget * weight_ppm as decimal(38,0)) * 1000 div swt as bigint)")
+          > 1000L).as("repeats"))
+      .orderBy(col("source"))
   }
 
   /** Sample-ratio-mismatch guard for the A/B assignment: the 1-df χ²

@@ -327,7 +327,11 @@ object SoakScale {
     // round-13 wave 2: the per-doc array-metric Gopher gates, the
     // PPS scan, and the 3-pass perceptron cartography (3 trainings +
     // 3 count-table scorings — the q_cross_val shape)
-    "q_gopher_rules", "q_pps_sample", "q_data_map")
+    "q_gopher_rules", "q_pps_sample", "q_data_map",
+    // round-13 wave 3: per-source BPE rollup off the memoized 8-merge
+    // model, the train-order adjacency windows, and the tokenize-scan
+    // epochs planner
+    "q_bpe_compression", "q_shuffle_runs", "q_effective_epochs")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

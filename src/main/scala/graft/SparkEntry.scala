@@ -524,6 +524,9 @@ object SparkEntry {
     "q_gopher_rules" -> (Queries.gopherRulesQ _),
     "q_pps_sample" -> (Queries.ppsSampleQ _),
     "q_data_map" -> (Queries.dataMapQ _),
+    "q_bpe_compression" -> (Queries.bpeCompressionQ _),
+    "q_shuffle_runs" -> (Queries.shuffleRunsQ _),
+    "q_effective_epochs" -> (Queries.effectiveEpochsQ _),
     "q_hoeffding_bound" -> (Queries.hoeffdingBoundQ _),
     "q_index_size" -> (Queries.indexSizeQ _),
     "q_meta_analysis" -> (Queries.metaAnalysisQ _),
@@ -1273,7 +1276,9 @@ object SparkEntry {
     */
   private val MatOracles = Set("q_dbscan", "q_curation_spancov",
     "q_curation_spans", "q_ann_pq_recall", "q_bpe_merges", "q_bpe_encode",
-    "q_curation_lm", "q_curation_strip")
+    "q_curation_lm", "q_curation_strip",
+    // r13: shares q_bpe_encode's deep 8-iteration chain
+    "q_bpe_compression")
 
   def oracleSql: Map[String, String] = oracleSql0.map { case (k, v) =>
     k -> (if (MatOracles(k)) mat(v, k) else v)
@@ -12262,6 +12267,80 @@ object SparkEntry {
         |    AS reweighted_share_e6,
         |  min(okey) AS min_okey, max(okey) AS max_okey
         |FROM p GROUP BY epoch, shard ORDER BY epoch, shard""".stripMargin,
+
+    // BPE-compression replay: the q_bpe_encode 8-iteration chain with
+    // a per-source rollup instead of per-doc.
+    "q_bpe_compression" -> {
+      val iters = (1 to 8).map(bpeIterCtes).mkString(",\n")
+      s"""WITH bwords AS (
+         |  SELECT word, count(*) AS freq FROM (
+         |    SELECT unnest(${wordsSql("lower(text)")}) AS word FROM documents) u
+         |  WHERE length(word) >= 1 GROUP BY word),
+         |bseq0 AS (
+         |  SELECT word, freq, pos, ws[pos + 1] AS s FROM (
+         |    SELECT word, freq,
+         |      list_append(list_transform(range(length(word)), j -> substr(word, CAST(j + 1 AS INT), 1)), '</w>') AS ws
+         |    FROM bwords) t,
+         |    LATERAL (SELECT unnest(range(len(ws))) AS pos) p),
+         |$iters,
+         |enc AS (SELECT word, CAST(count(*) AS BIGINT) AS n_subwords FROM bseq8 GROUP BY word),
+         |dw AS (SELECT source, word, CAST(length(word) AS BIGINT) AS wlen FROM (
+         |    SELECT source, unnest(${wordsSql("lower(text)")}) AS word FROM documents) u
+         |  WHERE length(word) >= 1)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(wlen) AS BIGINT) AS n_chars,
+         |  CAST(sum(n_subwords) AS BIGINT) AS n_subwords,
+         |  CAST(sum(wlen) * 1000 // sum(n_subwords) AS BIGINT)
+         |    AS chars_per_subword_e3,
+         |  CAST(sum(n_subwords) * 1000 // count(*) AS BIGINT)
+         |    AS subwords_per_word_e3
+         |FROM dw JOIN enc USING (word)
+         |GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    // Shuffle-runs replay: the train-order CTEs, one lead window per
+    // (epoch, shard), exact pooled adjacency expectation.
+    "q_shuffle_runs" ->
+      s"""$trainOrderCtes,
+        |adj AS (SELECT epoch, CAST(count(*) AS BIGINT) AS n_adj,
+        |    CAST(sum(CASE WHEN nxt = source THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_same
+        |  FROM (SELECT epoch, source, lead(source, 1) OVER
+        |      (PARTITION BY epoch, shard ORDER BY pos) AS nxt FROM p) s
+        |  WHERE nxt IS NOT NULL GROUP BY epoch),
+        |nsc AS (SELECT epoch, shard, source, CAST(count(*) AS BIGINT) AS ns
+        |  FROM p GROUP BY 1, 2, 3),
+        |shc AS (SELECT epoch, shard,
+        |    CAST(sum(ns * (ns - 1)) AS BIGINT) AS a_sh,
+        |    CAST(sum(ns) AS BIGINT) AS n_sh FROM nsc GROUP BY 1, 2),
+        |ex AS (SELECT epoch, CAST(sum(a_sh * 1000000 // n_sh) AS BIGINT)
+        |    AS exp_same_e6 FROM shc GROUP BY epoch)
+        |SELECT a.epoch, a.n_adj, a.n_same,
+        |  CAST(a.n_same * 1000000 // a.n_adj AS BIGINT) AS same_e6,
+        |  CAST(ex.exp_same_e6 // a.n_adj AS BIGINT) AS expected_e6
+        |FROM adj a JOIN ex USING (epoch) ORDER BY a.epoch""".stripMargin,
+
+    // Effective-epochs replay: HUGEINT weight·token products, the same
+    // truncating rationals.
+    "q_effective_epochs" ->
+      s"""WITH t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CAST(len(regexp_extract_all(
+        |      text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT)) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT t.*, CASE WHEN source = 'src0' THEN 2000000
+        |    WHEN source = 'src1' THEN 1500000
+        |    WHEN source = 'src2' THEN 250000 ELSE 1000000 END AS weight_ppm
+        |  FROM t),
+        |w2 AS (SELECT *, CAST(weight_ppm AS HUGEINT) * n_tokens AS wt FROM w),
+        |s AS (SELECT sum(wt) AS swt FROM w2)
+        |SELECT source, n_docs, n_tokens, CAST(weight_ppm AS BIGINT) AS weight_ppm,
+        |  CAST(wt * 1000000 // swt AS BIGINT) AS share_e6,
+        |  CAST(10000000 * wt // swt AS BIGINT) AS sampled_tokens,
+        |  CAST(CAST(10000000 AS HUGEINT) * weight_ppm * 1000 // swt AS BIGINT)
+        |    AS eff_epochs_e3,
+        |  CAST(10000000 AS HUGEINT) * weight_ppm * 1000 // swt > 1000 AS repeats
+        |FROM w2 CROSS JOIN s ORDER BY source""".stripMargin,
 
     // Gopher-rule replay: per-doc exact integer metrics off one list
     // projection, per-source fail counts and kept share.
