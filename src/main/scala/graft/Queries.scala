@@ -8337,6 +8337,93 @@ object Queries {
       .orderBy(col("source"))
   }
 
+  /** Pairwise source-vocabulary overlap: Jaccard of each source pair's
+    * top-50 token sets — the mix-design similarity matrix (two sources
+    * that share 90% of their head vocabulary are near-redundant in a
+    * mixture; a source sharing almost nothing is the diversity buy).
+    * Per-source ranks ride a source-partitioned window; the 20-row set
+    * table is bounded by orderBy+limit so the 190-pair self-join is
+    * structurally provable. Exact integer Jaccard on sorted token
+    * lists.
+    */
+  def sourceOverlapQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .filter(length(col("token")) >= 2)
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("source")).orderBy(col("c").desc, col("token"))
+    val sets = tok.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 50)
+      .groupBy(col("source"))
+      .agg(sort_array(collect_list(col("token"))).as("toks"))
+      .orderBy(col("source")).limit(32) // ≤20 sources — provable bound
+    val b = sets.select(col("source").as("src_b"), col("toks").as("toks_b"))
+    sets.select(col("source").as("src_a"), col("toks").as("toks_a"))
+      .join(b, col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("long")
+          .as("n_shared"),
+        expr("""size(array_intersect(toks_a, toks_b)) * 1000000
+               div size(array_union(toks_a, toks_b))""").as("jaccard_e6"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** Quality-vs-quantity frontier: at each quality-score threshold of a
+    * 5-point grid, the docs and tokens that survive — the curve every
+    * filtering decision is actually made on (is the last 10% of
+    * quality worth 40% of the tokens?). Exact integer micro-quality
+    * ([[ops.Classify.micro6]] of the shared [[ops.TextOps.qualityScore]]),
+    * one scan against a broadcast literal grid, per-threshold exact
+    * shares.
+    */
+  def qualityFrontierQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(graft.ops.Classify.micro6(TextOps.qualityScore(col("text")))
+          .as("q_micro"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("toks"))
+    val grid = broadcast(d.sparkSession.range(0, 5)
+      .select(expr("element_at(array(300000L, 400000L, 500000L, 600000L, 700000L), cast(id + 1 as int))")
+        .as("thr_micro")))
+    d.crossJoin(grid)
+      .groupBy(col("thr_micro"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("total_tokens"),
+        sum(when(col("q_micro") >= col("thr_micro"), 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col("q_micro") >= col("thr_micro"), col("toks")).otherwise(0L))
+          .as("kept_tokens"))
+      .select(col("thr_micro"), col("n_docs"), col("n_kept"),
+        expr("n_kept * 1000000 div n_docs").as("kept_docs_e6"),
+        col("total_tokens"), col("kept_tokens"),
+        expr("kept_tokens * 1000000 div total_tokens").as("kept_tokens_e6"))
+      .orderBy(col("thr_micro"))
+  }
+
+  /** Within-source 8-gram repetition profile off the ExactSubstr gram
+    * pass ([[ops.Dedup.gramHashes]]): per source — gram occurrences,
+    * distinct grams, the repetition factor, and the share of
+    * occurrences belonging to a within-source repeated gram. The
+    * per-source complement of [[noveltyCurveQ]] (which buckets by
+    * ingest decile) and of [[dupRateQ]]'s whole-doc md5 rate: it says
+    * WHICH source brings the self-copied boilerplate before a strip
+    * pass commits. One gram pass + one (source, h) aggregate.
+    */
+  def sourceRepetitionQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val perGram = Dedup.gramHashes(d.select(col("doc_id"), col("text")), 8)
+      .join(d.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"), col("h")).agg(count(lit(1)).as("c"))
+    perGram.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_gram_occ"),
+        count(lit(1)).as("n_distinct_grams"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("repeated_occ"))
+      .select(col("source"), col("n_gram_occ"), col("n_distinct_grams"),
+        expr("n_gram_occ * 1000 div n_distinct_grams").as("rep_factor_e3"),
+        expr("repeated_occ * 1000000 div n_gram_occ").as("repeated_occ_e6"))
+      .orderBy(col("source"))
+  }
+
   /** Sample-ratio-mismatch guard for the A/B assignment: the 1-df χ²
     * of the observed variant split against the intended 50/50 —
     * (n_a−n_b)²·10⁶ div (n_a+n_b), exact. The cheapest and most

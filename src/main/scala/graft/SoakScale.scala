@@ -331,7 +331,10 @@ object SoakScale {
     // round-13 wave 3: per-source BPE rollup off the memoized 8-merge
     // model, the train-order adjacency windows, and the tokenize-scan
     // epochs planner
-    "q_bpe_compression", "q_shuffle_runs", "q_effective_epochs")
+    "q_bpe_compression", "q_shuffle_runs", "q_effective_epochs",
+    // round-13 wave 4: the per-source head-vocab rank windows, the
+    // quality-grid scan, and the (source, gram) repetition aggregate
+    "q_source_overlap", "q_quality_frontier", "q_source_repetition")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

@@ -527,6 +527,9 @@ object SparkEntry {
     "q_bpe_compression" -> (Queries.bpeCompressionQ _),
     "q_shuffle_runs" -> (Queries.shuffleRunsQ _),
     "q_effective_epochs" -> (Queries.effectiveEpochsQ _),
+    "q_source_overlap" -> (Queries.sourceOverlapQ _),
+    "q_quality_frontier" -> (Queries.qualityFrontierQ _),
+    "q_source_repetition" -> (Queries.sourceRepetitionQ _),
     "q_hoeffding_bound" -> (Queries.hoeffdingBoundQ _),
     "q_index_size" -> (Queries.indexSizeQ _),
     "q_meta_analysis" -> (Queries.metaAnalysisQ _),
@@ -12267,6 +12270,62 @@ object SparkEntry {
         |    AS reweighted_share_e6,
         |  min(okey) AS min_okey, max(okey) AS max_okey
         |FROM p GROUP BY epoch, shard ORDER BY epoch, shard""".stripMargin,
+
+    // Source-overlap replay: per-source top-50 rank window, sorted
+    // token lists, exact pairwise Jaccard.
+    "q_source_overlap" ->
+      s"""WITH tok AS (SELECT source, tok, count(*) AS c FROM (
+        |    SELECT source, unnest(${wordsSql("lower(text)")}) AS tok
+        |    FROM documents) u
+        |  WHERE length(tok) >= 2 GROUP BY source, tok),
+        |rk AS (SELECT source, tok, row_number() OVER
+        |    (PARTITION BY source ORDER BY c DESC, tok) AS rnk FROM tok),
+        |sets AS (SELECT source, list_sort(list(tok)) AS toks
+        |  FROM rk WHERE rnk <= 50 GROUP BY source)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_shared,
+        |  CAST(len(list_intersect(a.toks, b.toks)) * 1000000
+        |    // len(list_distinct(list_concat(a.toks, b.toks))) AS BIGINT)
+        |    AS jaccard_e6
+        |FROM sets a JOIN sets b ON a.source < b.source
+        |ORDER BY src_a, src_b""".stripMargin,
+
+    // Quality-frontier replay: the shared micro-quality expression
+    // against the 5-point literal grid.
+    "q_quality_frontier" ->
+      s"""WITH qd AS (SELECT
+        |    CAST(floor(round(least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.5
+        |      + (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) / length(text)) * 0.3
+        |      + CAST(len(list_distinct(w)) AS DOUBLE) / len(w) * 0.2, 6) * 1000000.0 + 0.5)
+        |      AS BIGINT) AS q_micro,
+        |    CAST(len(${wordsSql("lower(text)")}) AS BIGINT) AS toks
+        |  FROM (SELECT text, ${wordsSql("text")} AS w FROM documents)),
+        |g AS (SELECT CAST(unnest([300000, 400000, 500000, 600000, 700000])
+        |    AS BIGINT) AS thr_micro)
+        |SELECT thr_micro, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN q_micro >= thr_micro THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(sum(CASE WHEN q_micro >= thr_micro THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) AS kept_docs_e6,
+        |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+        |  CAST(sum(CASE WHEN q_micro >= thr_micro THEN toks ELSE 0 END)
+        |    AS BIGINT) AS kept_tokens,
+        |  CAST(sum(CASE WHEN q_micro >= thr_micro THEN toks ELSE 0 END)
+        |    * 1000000 // sum(toks) AS BIGINT) AS kept_tokens_e6
+        |FROM qd CROSS JOIN g GROUP BY thr_micro ORDER BY thr_micro""".stripMargin,
+
+    // Source-repetition replay: the gram8 chain joined back to source,
+    // per-(source, gram) counts, exact repetition shares.
+    "q_source_repetition" ->
+      s"""WITH ${gram8Ctes("sr", "documents")},
+        |pg AS (SELECT d.source, srh.h, CAST(count(*) AS BIGINT) AS c
+        |  FROM srh JOIN documents d USING (doc_id) GROUP BY d.source, srh.h)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_gram_occ,
+        |  CAST(count(*) AS BIGINT) AS n_distinct_grams,
+        |  CAST(sum(c) * 1000 // count(*) AS BIGINT) AS rep_factor_e3,
+        |  CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) * 1000000 // sum(c)
+        |    AS BIGINT) AS repeated_occ_e6
+        |FROM pg GROUP BY source ORDER BY source""".stripMargin,
 
     // BPE-compression replay: the q_bpe_encode 8-iteration chain with
     // a per-source rollup instead of per-doc.

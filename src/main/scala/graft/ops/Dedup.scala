@@ -758,7 +758,7 @@ object Dedup {
     * winnowFingerprints shape generalized to any k), 48-bit portable
     * hash so the oracle replays bit-identically.
     */
-  private def gramHashes(docs: DataFrame, k: Int): DataFrame = {
+  def gramHashes(docs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wo = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val gram = (0 until k).map(i =>
