@@ -8424,6 +8424,87 @@ object Queries {
       .orderBy(col("source"))
   }
 
+  /** Loss-vs-position curve (surprisal by relative document position):
+    * per within-doc position decile, the mean Stupid-Backoff bigram
+    * score under the [[lmScoreQ]] reference model — the diagnostic
+    * behind context-length and curriculum decisions (do documents get
+    * more predictable as context accumulates, and where does the
+    * boilerplate sit?). One corpus scoring pass
+    * ([[ops.LanguageModel.positionScores]] — the same model equi-joins
+    * as q_lm_score plus the doc-partitioned position count), then a
+    * 10-row bucket aggregate of exact integer micro scores.
+    */
+  def surprisalCurveQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val (uni, bi, totals) = graft.ops.LanguageModel.train(
+      docs.filter(col("lang") === "en"), "text")
+    graft.ops.LanguageModel.positionScores(docs, uni, bi, totals, "doc_id", "text")
+      .select(least(expr("pos * 10 div n_pos"), lit(9L)).as("bucket"),
+        col("s_micro"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_positions"),
+        expr("sum(s_micro) div count(1)").as("mean_score_micro"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Nucleus-vocabulary size per source: the number of head tokens
+    * covering 90% of the source's token mass (rank by count desc, tie
+    * by token), and its share of the type inventory — the
+    * concentration readout that separates a boilerplate-dominated
+    * source (tiny nucleus) from genuinely diverse text, and the
+    * empirical basis for truncated-vocab budgets. Per-source rank and
+    * cumulative windows on one exchange; the 9/10 mass test is exact
+    * cross-multiplied integers.
+    */
+  def nucleusVocabQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .filter(length(col("token")) >= 1)
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("source")).orderBy(col("c").desc, col("token"))
+    val cum = tok.withColumn("cum",
+      sum(col("c")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val tots = tok.groupBy(col("source"))
+      .agg(sum(col("c")).as("tot"), count(lit(1)).as("n_types"))
+    cum.join(broadcast(tots), "source")
+      .groupBy(col("source"))
+      .agg(max(col("tot")).as("n_tokens"), max(col("n_types")).as("n_types"),
+        sum(when((col("cum") - col("c")) * 10 < lit(9) * col("tot"), 1L)
+          .otherwise(0L)).as("p90_types"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("p90_types"),
+        expr("p90_types * 1000000 div n_types").as("p90_share_e6"))
+      .orderBy(col("source"))
+  }
+
+  /** Gini concentration of the per-source token-count distribution —
+    * vocabulary inequality as ONE number per source (0 = uniform use,
+    * →1 = a few tokens dominate), the corpus-diversity line next to
+    * [[nucleusVocabQ]]'s head count: exact rank-weighted formula
+    * G = (2Σi·cᵢ − (n+1)Σc)/(n·Σc) over ascending (count, token)
+    * ranks, decimal(38) numerator, floored once to e6. One exchange
+    * for the per-source rank window, then a source-sized reduce.
+    */
+  def tokenGiniQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .filter(length(col("token")) >= 1)
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("source")).orderBy(col("c").asc, col("token"))
+    tok.withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_tokens"),
+        sum(expr("cast(i as decimal(38,0)) * c")).as("sic"))
+      .select(col("source"), col("n_types"), col("n_tokens"),
+        expr("""cast((2 * sic - cast(n_types + 1 as decimal(38,0)) * n_tokens)
+               * 1000000 div (cast(n_types as decimal(38,0)) * n_tokens)
+               as bigint)""").as("gini_e6"))
+      .orderBy(col("source"))
+  }
+
   /** Sample-ratio-mismatch guard for the A/B assignment: the 1-df χ²
     * of the observed variant split against the intended 50/50 —
     * (n_a−n_b)²·10⁶ div (n_a+n_b), exact. The cheapest and most

@@ -334,7 +334,10 @@ object SoakScale {
     "q_bpe_compression", "q_shuffle_runs", "q_effective_epochs",
     // round-13 wave 4: the per-source head-vocab rank windows, the
     // quality-grid scan, and the (source, gram) repetition aggregate
-    "q_source_overlap", "q_quality_frontier", "q_source_repetition")
+    "q_source_overlap", "q_quality_frontier", "q_source_repetition",
+    // round-13 wave 5: the position-scored LM corpus pass and the two
+    // per-source token-rank windows — all tokenize-scan linear
+    "q_surprisal_curve", "q_nucleus_vocab", "q_token_gini")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

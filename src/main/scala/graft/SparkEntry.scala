@@ -530,6 +530,9 @@ object SparkEntry {
     "q_source_overlap" -> (Queries.sourceOverlapQ _),
     "q_quality_frontier" -> (Queries.qualityFrontierQ _),
     "q_source_repetition" -> (Queries.sourceRepetitionQ _),
+    "q_surprisal_curve" -> (Queries.surprisalCurveQ _),
+    "q_nucleus_vocab" -> (Queries.nucleusVocabQ _),
+    "q_token_gini" -> (Queries.tokenGiniQ _),
     "q_hoeffding_bound" -> (Queries.hoeffdingBoundQ _),
     "q_index_size" -> (Queries.indexSizeQ _),
     "q_meta_analysis" -> (Queries.metaAnalysisQ _),
@@ -872,9 +875,9 @@ object SparkEntry {
        |  SELECT doc_id, pos, ${hSql("'lm:' || ws[pos+1]")} AS h FROM (
        |    SELECT doc_id, ${wordsSql("lower(text)")} AS ws FROM $scoreBase) s,
        |    LATERAL (SELECT unnest(range(len(ws))) AS pos) p),
-       |${p}sp AS (SELECT doc_id, h AS h1,
+       |${p}sp AS (SELECT doc_id, pos, h AS h1,
        |    lead(h, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS h2 FROM ${p}stoks),
-       |${p}sc AS (SELECT doc_id,
+       |${p}sc AS (SELECT doc_id, ${p}sp.pos AS pos,
        |    coalesce(s_bi,
        |      CAST(floor(ln(0.4) * 1000000.0 + 0.5) AS BIGINT)
        |        + coalesce(s_uni, s_def)) AS s
@@ -12270,6 +12273,55 @@ object SparkEntry {
         |    AS reweighted_share_e6,
         |  min(okey) AS min_okey, max(okey) AS max_okey
         |FROM p GROUP BY epoch, shard ORDER BY epoch, shard""".stripMargin,
+
+    // Surprisal-curve replay: the lmCtes chain (sc now carries pos),
+    // per-doc position counts, relative-decile buckets.
+    "q_surprisal_curve" ->
+      s"""WITH entr AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
+        |${lmCtes("su", "entr", "documents", graft.ops.LanguageModel.KeepPerBigramMicro)},
+        |np AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pos
+        |  FROM susc GROUP BY doc_id),
+        |b AS (SELECT least(s.pos * 10 // np.n_pos, 9) AS bucket, s.s
+        |  FROM susc s JOIN np USING (doc_id))
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_positions,
+        |  CAST(sum(s) // count(*) AS BIGINT) AS mean_score_micro
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // Nucleus-vocab replay: per-source desc rank + running mass, the
+    // exact 9/10 cross-multiplied head count.
+    "q_nucleus_vocab" ->
+      s"""WITH tok AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT source, unnest(${wordsSql("lower(text)")}) AS tok
+        |    FROM documents) u
+        |  WHERE length(tok) >= 1 GROUP BY source, tok),
+        |cum AS (SELECT source, c, sum(c) OVER (PARTITION BY source
+        |    ORDER BY c DESC, tok ROWS UNBOUNDED PRECEDING) AS cum FROM tok),
+        |t AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot,
+        |    CAST(count(*) AS BIGINT) AS n_types FROM tok GROUP BY source)
+        |SELECT cum.source, max(t.tot) AS n_tokens, max(t.n_types) AS n_types,
+        |  CAST(sum(CASE WHEN (cum - c) * 10 < 9 * tot THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS p90_types,
+        |  CAST(sum(CASE WHEN (cum - c) * 10 < 9 * tot THEN 1 ELSE 0 END)
+        |    * 1000000 // max(t.n_types) AS BIGINT) AS p90_share_e6
+        |FROM cum JOIN t USING (source)
+        |GROUP BY cum.source ORDER BY cum.source""".stripMargin,
+
+    // Token-Gini replay: ascending rank window, HUGEINT rank-weighted
+    // sum, one e6 floor.
+    "q_token_gini" ->
+      s"""WITH tok AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT source, unnest(${wordsSql("lower(text)")}) AS tok
+        |    FROM documents) u
+        |  WHERE length(tok) >= 1 GROUP BY source, tok),
+        |r AS (SELECT source, c, CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY c ASC, tok) AS BIGINT) AS i FROM tok)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST((2 * sum(CAST(i AS HUGEINT) * c)
+        |      - CAST(count(*) + 1 AS HUGEINT) * sum(c)) * 1000000
+        |    // (CAST(count(*) AS HUGEINT) * sum(c)) AS BIGINT) AS gini_e6
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
 
     // Source-overlap replay: per-source top-50 rank window, sorted
     // token lists, exact pairwise Jaccard.

@@ -95,6 +95,28 @@ object LanguageModel {
     (uni, bi, totals)
   }
 
+  /** Per-POSITION Stupid-Backoff scores — the loss-vs-position
+    * diagnostic input ([[graft.Queries.surprisalCurveQ]]): one row per
+    * bigram position (idCol, pos, n_pos, s_micro), where pos is the
+    * first token's index and n_pos the doc's bigram count. Same model
+    * joins and exact integer scores as [[score]]; the per-doc position
+    * count rides a doc-partitioned window on the exchange the bigram
+    * window already forced.
+    */
+  def positionScores(docs: DataFrame, uni: DataFrame, bi: DataFrame,
+      totals: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pairs = bigramPairs(hashedTokens(docs, Seq(idCol), textCol), Seq(idCol))
+      .withColumn("n_pos", count(lit(1)).over(Window.partitionBy(col(idCol))))
+    pairs
+      .join(bi, Seq("h1", "h2"), "left")
+      .join(uni.select(col("h").as("h2"), col("s_uni_micro")), Seq("h2"), "left")
+      .crossJoin(broadcast(totals.select(col("default_micro"))))
+      .select(col(idCol), col("pos"), col("n_pos"),
+        coalesce(col("s_bi_micro"),
+          lit(AlphaMicro) + coalesce(col("s_uni_micro"), col("default_micro")))
+          .as("s_micro"))
+  }
+
   /** Score documents against a trained model: per doc, the number of
     * bigram positions and the exact-integer Stupid-Backoff score sum,
     * plus the integer keep rule `score ≥ thrPerBigram·n`. Model joins
