@@ -8505,6 +8505,116 @@ object Queries {
       .orderBy(col("source"))
   }
 
+  /** Gradient-noise-scale / critical-batch-size estimate per source
+    * (McCandlish et al. 2018, "An Empirical Model of Large-Batch
+    * Training"): B_simple = tr(Σ)/|G|² over the per-example gradients
+    * gᵢ = yᵢ·xᵢ of the linear en-vs-rest classifier on hashed
+    * bag-of-words counts ([[ops.Classify.tokenBucketCounts]]). Because
+    * the features are exact integer counts and yᵢ ∈ {−1, 1}, the whole
+    * statistic reduces to three integer moments — T = Σᵢ|xᵢ|²,
+    * Sₕ = Σᵢ yᵢxᵢₕ, n — and B_simple = (n·T − Σ Sₕ²)/Σ Sₕ², computed
+    * exactly. One count pass, one bucket-bounded aggregate; the source
+    * whose gradients are noisiest is the one that tolerates (needs)
+    * the largest batch.
+    */
+  def gradNoiseQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"),
+      col("text"), when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
+    val cnt = graft.ops.Classify.tokenBucketCounts(
+      d, "doc_id", "text", "gn:", 64, carry = Seq("source", "y"))
+    val perBucket = cnt.groupBy(col("source"), col("bucket"))
+      .agg(sum(col("y") * col("n")).as("s"),
+        sum(expr("cast(n as decimal(38,0)) * n")).as("t"))
+    perBucket.groupBy(col("source"))
+      .agg(sum(col("t")).as("tt"),
+        sum(expr("cast(s as decimal(38,0)) * s")).as("ss"))
+      .join(cnt.groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs")), "source")
+      .select(col("source"), col("n_docs"),
+        col("tt").cast("long").as("grad_sumsq"),
+        col("ss").cast("long").as("gnorm2_sum"),
+        expr("""(cast(n_docs as decimal(38,0)) * tt - ss) * 1000000
+               div nullif(ss, 0)""").as("b_simple_e6"))
+      .orderBy(col("source"))
+  }
+
+  /** Greedy maximal-coverage data selection (the facility-location /
+    * submodular-selection stage of a curation pipeline): pick K = 8
+    * documents one at a time, each maximizing the number of NOT-yet-
+    * covered 3-token shingles (tie → lowest doc_id) — the classic
+    * (1−1/e) greedy with exact marginal gains, over the phrasing
+    * universe rather than bare token types (the synthetic vocabulary
+    * is 30 tokens, so unigram coverage saturates in one pick; 3-grams
+    * give a 16k+ universe). The distinct (doc, gram) table is built
+    * once and persisted; every round is one anti join against the
+    * winners' gram set plus one doc-keyed count — K linear passes, no
+    * pairwise work (CELF lazy evaluation is the documented refinement
+    * when K grows). The driver holds only the K winner ids.
+    */
+  def maxCoverageQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 8
+    val dt = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(ws) - 3),
+           i -> concat(ws[i], ' ', ws[i + 1], ' ', ws[i + 2]))""")).as("tok"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totalTypes = dt.select(col("tok")).distinct().count()
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var cum = 0L
+    (1 to k).foreach { r =>
+      val winnerIds = picks.map(_._2)
+      val uncov =
+        if (winnerIds.isEmpty) dt
+        else dt.join(dt.filter(col("doc_id").isin(winnerIds.toSeq: _*))
+          .select(col("tok")).distinct(), Seq("tok"), "left_anti")
+      val win = uncov.groupBy(col("doc_id")).agg(count(lit(1)).as("g"))
+        .orderBy(col("g").desc, col("doc_id")).limit(1).collect()
+      if (win.nonEmpty) {
+        cum += win(0).getLong(1)
+        picks += ((r.toLong, win(0).getLong(0), win(0).getLong(1), cum))
+      }
+    }
+    dt.unpersist()
+    import spark.implicits._
+    picks.toSeq.toDF("round", "doc_id", "gain", "covered_types")
+      .select(col("round"), col("doc_id"), col("gain"), col("covered_types"),
+        expr(s"covered_types * 1000000 div ${totalTypes}L")
+          .as("covered_share_e6"))
+      .orderBy(col("round"))
+  }
+
+  /** Per-label embedding dispersion — the mean pairwise squared L2
+    * distance WITHOUT any pairwise join, via the moment identity
+    * Σ_{i<j}|xᵢ−xⱼ|² = n·Σ|xᵢ|² − |Σxᵢ|²: elements are e6-quantized
+    * first (exact order-free integer sums, the [[embedDriftQ]]
+    * discipline), then one (label × dim)-bounded aggregate yields both
+    * moments. The identity IS the 100 TB story: semantic-diversity
+    * audits over billions of vectors collapse to one linear scan where
+    * the naive formulation is a quadratic self-join.
+    */
+  def embedDispersionQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"),
+        floor(col("x").cast("double") * lit(1000000.0)).cast("long").as("qx"))
+    val byDim = q.groupBy(col("label"), col("dim"))
+      .agg(sum(col("qx")).as("s"), count(lit(1)).as("n"),
+        sum(expr("cast(qx as decimal(38,0)) * qx")).as("t"))
+    byDim.groupBy(col("label"))
+      .agg(max(col("n")).as("n_vecs"), sum(col("t")).as("tt"),
+        sum(expr("cast(s as decimal(38,0)) * s")).as("ss"))
+      .select(col("label"), col("n_vecs"),
+        expr("tt div n_vecs").as("mean_norm2_e12"),
+        expr("""(cast(n_vecs as decimal(38,0)) * tt - ss) * 2
+               div nullif(cast(n_vecs as decimal(38,0)) * (n_vecs - 1), 0)""")
+          .as("mean_pairdist2_e12"))
+      .orderBy(col("label"))
+  }
+
   /** Sample-ratio-mismatch guard for the A/B assignment: the 1-df χ²
     * of the observed variant split against the intended 50/50 —
     * (n_a−n_b)²·10⁶ div (n_a+n_b), exact. The cheapest and most

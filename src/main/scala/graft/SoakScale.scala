@@ -337,7 +337,10 @@ object SoakScale {
     "q_source_overlap", "q_quality_frontier", "q_source_repetition",
     // round-13 wave 5: the position-scored LM corpus pass and the two
     // per-source token-rank windows — all tokenize-scan linear
-    "q_surprisal_curve", "q_nucleus_vocab", "q_token_gini")
+    "q_surprisal_curve", "q_nucleus_vocab", "q_token_gini",
+    // round-13 wave 6: the hashed-gradient moment pass, the 8-round
+    // greedy gram-coverage selection, and the embedding moment scan
+    "q_grad_noise", "q_max_coverage", "q_embed_dispersion")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

@@ -533,6 +533,9 @@ object SparkEntry {
     "q_surprisal_curve" -> (Queries.surprisalCurveQ _),
     "q_nucleus_vocab" -> (Queries.nucleusVocabQ _),
     "q_token_gini" -> (Queries.tokenGiniQ _),
+    "q_grad_noise" -> (Queries.gradNoiseQ _),
+    "q_max_coverage" -> (Queries.maxCoverageQ _),
+    "q_embed_dispersion" -> (Queries.embedDispersionQ _),
     "q_hoeffding_bound" -> (Queries.hoeffdingBoundQ _),
     "q_index_size" -> (Queries.indexSizeQ _),
     "q_meta_analysis" -> (Queries.metaAnalysisQ _),
@@ -12322,6 +12325,81 @@ object SparkEntry {
         |      - CAST(count(*) + 1 AS HUGEINT) * sum(c)) * 1000000
         |    // (CAST(count(*) AS HUGEINT) * sum(c)) AS BIGINT) AS gini_e6
         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    // Gradient-noise replay: the hashed-count table (povrCtes contract,
+    // 'gn:' salt), per-(source, bucket) signed sums, three exact
+    // integer moments.
+    "q_grad_noise" ->
+      s"""WITH cnt AS (SELECT doc_id, source, y, bucket, count(*) AS n FROM (
+        |    SELECT doc_id, source, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+        |      ${hSql("'gn:' || tok")} % 64 AS bucket FROM (
+        |      SELECT doc_id, source, lang, unnest(${wordsSql("lower(text)")}) AS tok
+        |      FROM documents) u
+        |    WHERE length(tok) >= 2) b
+        |  GROUP BY doc_id, source, y, bucket),
+        |pb AS (SELECT source, bucket, CAST(sum(y * n) AS BIGINT) AS s,
+        |    sum(CAST(n AS HUGEINT) * n) AS t FROM cnt GROUP BY source, bucket),
+        |nd AS (SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |  FROM cnt GROUP BY source)
+        |SELECT pb.source, nd.n_docs, CAST(sum(t) AS BIGINT) AS grad_sumsq,
+        |  CAST(sum(CAST(s AS HUGEINT) * s) AS BIGINT) AS gnorm2_sum,
+        |  CAST((nd.n_docs * sum(t) - sum(CAST(s AS HUGEINT) * s)) * 1000000
+        |    // nullif(sum(CAST(s AS HUGEINT) * s), 0) AS BIGINT) AS b_simple_e6
+        |FROM pb JOIN nd USING (source)
+        |GROUP BY pb.source, nd.n_docs ORDER BY pb.source""".stripMargin,
+
+    // Greedy max-coverage replay: 8 unrolled MATERIALIZED rounds, each
+    // an anti-membership count + (gain desc, doc_id) LIMIT 1, winners
+    // unioned with a running coverage window.
+    "q_max_coverage" -> {
+      val rounds = (1 to 8).map { r =>
+        val src = if (r == 1) "dt"
+          else s"dt WHERE tok NOT IN (SELECT tok FROM c${r - 1})"
+        val w = s"""w$r AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS g
+           |  FROM $src GROUP BY doc_id ORDER BY g DESC, doc_id LIMIT 1)""".stripMargin
+        val c = if (r == 8) "" else if (r == 1)
+          s""",
+             |c1 AS MATERIALIZED (SELECT DISTINCT tok FROM dt
+             |  WHERE doc_id IN (SELECT doc_id FROM w1))""".stripMargin
+        else
+          s""",
+             |c$r AS MATERIALIZED (SELECT tok FROM c${r - 1} UNION SELECT tok FROM dt
+             |  WHERE doc_id IN (SELECT doc_id FROM w$r))""".stripMargin
+        w + c
+      }.mkString(",\n")
+      val sel = (1 to 8).map(r => s"SELECT $r AS r, doc_id, g FROM w$r")
+        .mkString(" UNION ALL ")
+      s"""WITH dt AS MATERIALIZED (SELECT DISTINCT doc_id,
+        |    ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS tok FROM (
+        |    SELECT doc_id, ${wordsSql("lower(text)")} AS ws FROM documents) t,
+        |    LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) p
+        |  WHERE len(ws) >= 3),
+        |tot AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS t FROM dt),
+        |$rounds,
+        |sel AS ($sel)
+        |SELECT CAST(r AS BIGINT) AS round, doc_id, g AS gain,
+        |  CAST(sum(g) OVER (ORDER BY r) AS BIGINT) AS covered_types,
+        |  CAST(sum(g) OVER (ORDER BY r) * 1000000 // (SELECT t FROM tot)
+        |    AS BIGINT) AS covered_share_e6
+        |FROM sel ORDER BY round""".stripMargin
+    },
+
+    // Embedding-dispersion replay: the embed_drift quantization CTE,
+    // per-(label, dim) moments, the pairwise-distance identity.
+    "q_embed_dispersion" ->
+      """WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    unnest(range(len(embedding))) AS dim,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS qx
+        |  FROM embeddings),
+        |bd AS (SELECT label, dim, CAST(sum(qx) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS n, sum(CAST(qx AS HUGEINT) * qx) AS t
+        |  FROM q GROUP BY 1, 2)
+        |SELECT label, max(n) AS n_vecs,
+        |  CAST(sum(t) // max(n) AS BIGINT) AS mean_norm2_e12,
+        |  CAST((max(n) * sum(t) - sum(CAST(s AS HUGEINT) * s)) * 2
+        |    // nullif(CAST(max(n) AS HUGEINT) * (max(n) - 1), 0) AS BIGINT)
+        |    AS mean_pairdist2_e12
+        |FROM bd GROUP BY label ORDER BY label""".stripMargin,
 
     // Source-overlap replay: per-source top-50 rank window, sorted
     // token lists, exact pairwise Jaccard.
