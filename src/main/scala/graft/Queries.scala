@@ -8615,6 +8615,100 @@ object Queries {
       .orderBy(col("label"))
   }
 
+  /** CCNet-style perplexity buckets (Wenzek et al. 2020): per
+    * language, documents are ranked by mean LM score under the
+    * [[lmScoreQ]] reference model and split into head / middle / tail
+    * terciles — the bucket assignment CCNet uses to keep head+middle
+    * and drop the tail. Mean per-bigram score is an exact truncating
+    * integer division (negative-safe: both engines truncate toward
+    * zero); the tercile is `(rank−1)·3 div n` off one per-language
+    * rank window. Readout per (lang, bucket): doc count, mean of the
+    * per-doc means, and how many sources feed the bucket.
+    */
+  def ccnetBucketsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val (uni, bi, totals) =
+      graft.ops.LanguageModel.train(docs.filter(col("lang") === "en"), "text")
+    val perDoc = graft.ops.LanguageModel.score(
+        docs, uni, bi, totals, "doc_id", "text", carry = Seq("lang", "source"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr("score_micro div n_bigrams").as("avg_micro"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("avg_micro").desc, col("doc_id"))
+    val nl = perDoc.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    perDoc.withColumn("rank", row_number().over(w).cast("long"))
+      .join(broadcast(nl), "lang")
+      .select(col("lang"), col("source"), col("avg_micro"),
+        expr("(rank - 1) * 3 div n_lang").as("bucket"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(avg_micro) div count(1)").as("mean_avg_micro"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  /** DP-SGD clipping-bound audit over EXACT per-example gradient
+    * norms: for each candidate clip bound C, the fraction of examples
+    * clipped and the gradient-mass retention Σmin(‖gᵢ‖,C) / Σ‖gᵢ‖ —
+    * the two curves a privacy team reads before fixing C (too low:
+    * all signal clipped; too high: noise σ·C swamps the update).
+    * Per-example norms come from the same hashed-count featurizer as
+    * [[gradNoiseQ]] (`‖gᵢ‖² = Σ cᵢₕ²`, exact), the norm is one IEEE
+    * floor-sqrt per doc, and the 4-point C grid is a literal explode —
+    * one count pass, one 4-row aggregate.
+    */
+  def gradClipQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val norms = graft.ops.Classify.tokenBucketCounts(d, "doc_id", "text", "gn:", 64)
+      .groupBy(col("doc_id")).agg(sum(col("n") * col("n")).as("m2"))
+      .select(col("doc_id"),
+        expr("cast(floor(sqrt(cast(m2 as double))) as bigint)").as("nrm"))
+    norms.select(col("nrm"),
+        explode(expr("array(16L, 32L, 64L, 128L)")).as("clip_c"))
+      .groupBy(col("clip_c"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("nrm") > col("clip_c"), 1L).otherwise(0L)).as("n_clipped"),
+        sum(least(col("nrm"), col("clip_c"))).as("kept"),
+        sum(col("nrm")).as("total"))
+      .select(col("clip_c"), col("n_docs"), col("n_clipped"),
+        expr("n_clipped * 1000000 div n_docs").as("frac_clipped_e6"),
+        expr("kept * 1000000 div nullif(total, 0)").as("mass_kept_e6"))
+      .orderBy(col("clip_c"))
+  }
+
+  /** Confident-learning label-noise matrix (Northcutt et al. 2021):
+    * the joint count of (given language label, confidently-predicted
+    * label) under the [[perceptronOvrQ]] one-vs-rest model — the
+    * off-diagonal mass IS the estimated label-noise rate, per pair.
+    * Class thresholds are the per-class mean self-confidence (mean OvR
+    * score over docs carrying that label), compared exactly by
+    * cross-multiplication; a document joins the matrix only if some
+    * class clears its threshold, under the highest-scoring such class
+    * (tie → label ascending). One scores pass
+    * ([[ops.Classify.perceptronScoresOvr]], broadcast model), one
+    * label-bounded threshold table, one doc-keyed argmax.
+    */
+  def labelNoiseQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val (w, b) = graft.ops.Classify.perceptronTrainOvr(
+      d, "lang", "text", "povr:", 64, 2, averaged = true)
+    val scores = graft.ops.Classify.perceptronScoresOvr(
+      d, w, b, "doc_id", "text", "povr:", 64, carry = Seq("lang"))
+    val thr = scores.filter(col("lang") === col("_m_label"))
+      .groupBy(col("_m_label"))
+      .agg(sum(col("score")).as("ts"), count(lit(1)).as("tn"))
+    scores.join(broadcast(thr), "_m_label")
+      .filter(expr("cast(score as decimal(38,0)) * tn >= cast(ts as decimal(38,0))"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(min(struct((-col("score")).as("neg"), col("_m_label"))).as("best"))
+      .groupBy(col("lang").as("given_lang"),
+        col("best._m_label").as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("given_lang"), col("pred_lang"))
+  }
+
   /** Sample-ratio-mismatch guard for the A/B assignment: the 1-df χ²
     * of the observed variant split against the intended 50/50 —
     * (n_a−n_b)²·10⁶ div (n_a+n_b), exact. The cheapest and most

@@ -340,7 +340,10 @@ object SoakScale {
     "q_surprisal_curve", "q_nucleus_vocab", "q_token_gini",
     // round-13 wave 6: the hashed-gradient moment pass, the 8-round
     // greedy gram-coverage selection, and the embedding moment scan
-    "q_grad_noise", "q_max_coverage", "q_embed_dispersion")
+    "q_grad_noise", "q_max_coverage", "q_embed_dispersion",
+    // round-13 wave 7: the LM tercile windows, the clip-grid norm
+    // scan, and the 5-model OvR scores pass (the perceptron_ovr shape)
+    "q_ccnet_buckets", "q_grad_clip", "q_label_noise")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

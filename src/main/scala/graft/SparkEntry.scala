@@ -536,6 +536,9 @@ object SparkEntry {
     "q_grad_noise" -> (Queries.gradNoiseQ _),
     "q_max_coverage" -> (Queries.maxCoverageQ _),
     "q_embed_dispersion" -> (Queries.embedDispersionQ _),
+    "q_ccnet_buckets" -> (Queries.ccnetBucketsQ _),
+    "q_grad_clip" -> (Queries.gradClipQ _),
+    "q_label_noise" -> (Queries.labelNoiseQ _),
     "q_hoeffding_bound" -> (Queries.hoeffdingBoundQ _),
     "q_index_size" -> (Queries.indexSizeQ _),
     "q_meta_analysis" -> (Queries.metaAnalysisQ _),
@@ -12382,6 +12385,69 @@ object SparkEntry {
         |  CAST(sum(g) OVER (ORDER BY r) * 1000000 // (SELECT t FROM tot)
         |    AS BIGINT) AS covered_share_e6
         |FROM sel ORDER BY round""".stripMargin
+    },
+
+    // CCNet-bucket replay: the lmCtes chain, per-doc truncating mean,
+    // per-lang rank window, tercile split.
+    "q_ccnet_buckets" ->
+      s"""WITH entr AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
+        |${lmCtes("cc", "entr", "documents", graft.ops.LanguageModel.KeepPerBigramMicro)},
+        |pd AS (SELECT s.doc_id, d.lang, d.source,
+        |    s.score_micro // s.n_bigrams AS avg_micro
+        |  FROM ccscores s JOIN documents d USING (doc_id)),
+        |nl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM pd GROUP BY lang),
+        |r AS (SELECT pd.*, CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY avg_micro DESC, doc_id) AS BIGINT) AS rnk FROM pd),
+        |b AS (SELECT r.lang, r.source, r.avg_micro,
+        |    (r.rnk - 1) * 3 // nl.n_lang AS bucket FROM r JOIN nl USING (lang))
+        |SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(avg_micro) // count(*) AS BIGINT) AS mean_avg_micro,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
+
+    // Clip-audit replay: the gn-salted count table, per-doc floor-sqrt
+    // norms, literal 4-point grid.
+    "q_grad_clip" ->
+      s"""WITH cnt AS (SELECT doc_id, bucket, count(*) AS n FROM (
+        |    SELECT doc_id, ${hSql("'gn:' || tok")} % 64 AS bucket FROM (
+        |      SELECT doc_id, unnest(${wordsSql("lower(text)")}) AS tok
+        |      FROM documents) u
+        |    WHERE length(tok) >= 2) b GROUP BY doc_id, bucket),
+        |nrm AS (SELECT doc_id,
+        |    CAST(floor(sqrt(CAST(sum(n * n) AS DOUBLE))) AS BIGINT) AS nrm
+        |  FROM cnt GROUP BY doc_id),
+        |g AS (SELECT nrm, unnest([16, 32, 64, 128]) AS clip_c FROM nrm)
+        |SELECT CAST(clip_c AS BIGINT) AS clip_c, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN nrm > clip_c THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+        |  CAST(sum(CASE WHEN nrm > clip_c THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) AS frac_clipped_e6,
+        |  CAST(sum(least(nrm, clip_c)) * 1000000
+        |    // nullif(sum(nrm), 0) AS BIGINT) AS mass_kept_e6
+        |FROM g GROUP BY clip_c ORDER BY clip_c""".stripMargin,
+
+    // Confident-learning replay: the povrCtes training chain, per-class
+    // mean-self-confidence thresholds (cross-multiplied), confident
+    // argmax, joint counts.
+    "q_label_noise" -> {
+      val labels = Seq("de", "en", "es", "fr", "zh")
+      val scores = labels.map(l =>
+        s"SELECT doc_id, '$l' AS label, score FROM p${l}_fs").mkString("\n  UNION ALL ")
+      s"""WITH ${povrCtes(labels)},
+         |lnall AS (
+         |  $scores),
+         |lnthr AS (SELECT a.label, CAST(sum(a.score) AS BIGINT) AS ts,
+         |    CAST(count(*) AS BIGINT) AS tn
+         |  FROM lnall a JOIN povrd d USING (doc_id)
+         |  WHERE d.lang = a.label GROUP BY a.label),
+         |lnconf AS (SELECT a.doc_id, d.lang, a.label, a.score
+         |  FROM lnall a JOIN povrd d USING (doc_id) JOIN lnthr t ON a.label = t.label
+         |  WHERE CAST(a.score AS HUGEINT) * t.tn >= CAST(t.ts AS HUGEINT)),
+         |lnpred AS (SELECT doc_id, lang, label AS pred_lang FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, label) AS rn FROM lnconf) WHERE rn = 1)
+         |SELECT lang AS given_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM lnpred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
 
     // Embedding-dispersion replay: the embed_drift quantization CTE,

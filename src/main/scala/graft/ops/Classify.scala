@@ -297,6 +297,23 @@ object Classify {
     */
   def perceptronPredictOvr(docs: DataFrame, weights: DataFrame,
       biases: DataFrame, idCol: String, textCol: String, salt: String,
+      buckets: Int, carry: Seq[String] = Nil): DataFrame =
+    perceptronScoresOvr(docs, weights, biases, idCol, textCol, salt, buckets,
+        carry)
+      .groupBy(col(idCol) +: carry.map(col): _*)
+      .agg(min(struct((-col("score")).as("neg"), col("_m_label"))).as("best"))
+      .select(col(idCol) +: carry.map(col) :+
+        col("best._m_label").as("pred_label"): _*)
+
+  /** The full per-(doc, label) score table behind
+    * [[perceptronPredictOvr]] — one row per document per model label
+    * with the exact-integer OvR score (`_m_label`, `score`). Exposed
+    * for the calibration/noise audits (confident learning) that need
+    * every class margin, not just the argmax; same broadcast-model
+    * joins and cost as prediction.
+    */
+  def perceptronScoresOvr(docs: DataFrame, weights: DataFrame,
+      biases: DataFrame, idCol: String, textCol: String, salt: String,
       buckets: Int, carry: Seq[String] = Nil): DataFrame = {
     // model columns renamed so a carry column named "label" (the usual
     // truth column) can never collide with the model's label key
@@ -312,10 +329,6 @@ object Classify {
       .join(matched, Seq(idCol, "_m_label"), "left")
       .select(col(idCol) +: carry.map(col) :+ col("_m_label") :+
         (coalesce(col("sw"), lit(0L)) + col("b")).as("score"): _*)
-      .groupBy(col(idCol) +: carry.map(col): _*)
-      .agg(min(struct((-col("score")).as("neg"), col("_m_label"))).as("best"))
-      .select(col(idCol) +: carry.map(col) :+
-        col("best._m_label").as("pred_label"): _*)
   }
 
   /** Score documents against a perceptron model: exact-integer
