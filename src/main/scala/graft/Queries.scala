@@ -8129,21 +8129,16 @@ object Queries {
       .orderBy(col("stratum"))
   }
 
-  /** Gopher quality-rule table (Rae et al. 2021, "Scaling Language
-    * Models: Methods, Analysis & Insights from Training Gopher",
-    * §A1.1 data-quality filters, adapted to the newline-free synthetic
-    * corpus): per document — word count in [50, 100k], mean word
-    * length in [3, 10] chars, ≥80% of words containing an alphabetic
-    * character, ≥2 canonical stopwords, and duplicate-bigram share
-    * ≤ 20% — every metric an EXACT integer ratio (per-doc array ops,
-    * no explode, no window), rolled up per source as per-rule fail
-    * counts and the kept share. The rule-level breakdown is the
-    * operator's point: it says WHICH gate bites each source before a
-    * 100 TB filtering pass commits to thresholds.
+  /** The five Gopher-rule pass flags (`r_wc`/`r_mwl`/`r_alpha`/
+    * `r_stop`/`r_dup2` + combined `keep`) per input row, carrying
+    * `keyCols` through — the shared flag block behind
+    * [[gopherRulesQ]]'s per-source rollup and
+    * [[filterAttributionQ]]'s per-doc gate Venn.
     */
-  def gopherRulesQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.documents(spark, sfDir)
-      .select(col("source"), split(trim(lower(col("text"))), "\\s+").as("ws"))
+  private def gopherFlags(docs: DataFrame, keyCols: Seq[String]): DataFrame =
+    docs
+      .select(keyCols.map(col) :+
+        split(trim(lower(col("text"))), "\\s+").as("ws"): _*)
       .withColumn("n_words", size(col("ws")).cast("long"))
       .withColumn("sum_len",
         expr("aggregate(ws, 0L, (a, x) -> a + length(x))"))
@@ -8157,15 +8152,30 @@ object Queries {
         "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1), (a, b) -> concat(a, ' ', b))"))
       .withColumn("tot_bg", greatest(col("n_words") - 1, lit(0L)))
       .withColumn("dup_bg", col("tot_bg") - size(array_distinct(col("bg"))).cast("long"))
-      .select(col("source"),
-        (col("n_words") >= 50 && col("n_words") <= 100000).as("r_wc"),
-        (expr("sum_len * 1000 div n_words").between(3000L, 10000L)).as("r_mwl"),
-        (expr("n_alpha * 1000000 div n_words") >= 800000L).as("r_alpha"),
-        (col("n_stop") >= 2L).as("r_stop"),
+      .select(keyCols.map(col) :+
+        (col("n_words") >= 50 && col("n_words") <= 100000).as("r_wc") :+
+        (expr("sum_len * 1000 div n_words").between(3000L, 10000L)).as("r_mwl") :+
+        (expr("n_alpha * 1000000 div n_words") >= 800000L).as("r_alpha") :+
+        (col("n_stop") >= 2L).as("r_stop") :+
         coalesce(expr("dup_bg * 1000000 div nullif(tot_bg, 0)") <= 200000L,
-          lit(true)).as("r_dup2"))
+          lit(true)).as("r_dup2"): _*)
       .withColumn("keep",
         col("r_wc") && col("r_mwl") && col("r_alpha") && col("r_stop") && col("r_dup2"))
+
+  /** Gopher quality-rule table (Rae et al. 2021, "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher",
+    * §A1.1 data-quality filters, adapted to the newline-free synthetic
+    * corpus): per document — word count in [50, 100k], mean word
+    * length in [3, 10] chars, ≥80% of words containing an alphabetic
+    * character, ≥2 canonical stopwords, and duplicate-bigram share
+    * ≤ 20% — every metric an EXACT integer ratio (per-doc array ops,
+    * no explode, no window), rolled up per source as per-rule fail
+    * counts and the kept share. The rule-level breakdown is the
+    * operator's point: it says WHICH gate bites each source before a
+    * 100 TB filtering pass commits to thresholds.
+    */
+  def gopherRulesQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = gopherFlags(Tables.documents(spark, sfDir), Seq("source"))
     d.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(!col("r_wc"), 1L).otherwise(0L)).as("fail_wordcount"),
@@ -8707,6 +8717,101 @@ object Queries {
         col("best._m_label").as("pred_lang"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("given_lang"), col("pred_lang"))
+  }
+
+  /** Curation-gate attribution Venn: every document is flagged
+    * INDEPENDENTLY by each of the six gates the pipeline runs —
+    * language dominance and quality floor (the [[ops.Curation.gate]]
+    * predicates), exact duplication (not the min-id of its md5 text
+    * group), near duplication (the verified-Jaccard LSH loser rule,
+    * [[ops.Dedup.minhashLsh]] doc_b), LM perplexity
+    * (score < [[ops.Curation.LmPerBigramMicro]]·n, absent-scores
+    * keep), and the Gopher rule set — and the corpus rolls up per
+    * observed flag COMBINATION. The off-diagonal structure is the
+    * audit a 100 TB pipeline needs before reordering or dropping a
+    * gate: unique-kill counts fall out of the single-flag rows,
+    * overlap from the rest. All six flags are one scan each (doc-keyed
+    * equi joins); the LSH stage runs over exact-text REPRESENTATIVES
+    * only (min-id per md5 group) with the loser flag propagated back
+    * through the group — identical bytes have identical shingles, so
+    * the flags are unchanged for any doc not already exact-killed,
+    * and the verify-join volume stops scaling with exact-duplicate
+    * family size (the never-shingle-the-same-bytes-twice rule; the
+    * banded candidate join is never all-pairs).
+    */
+  def filterAttributionQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.GraftFunctions.eval_once
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("lang"))
+    val scores = graft.ops.TextOps.LangStopwords.map { case (l, _) =>
+      eval_once(graft.ops.TextOps.langScore(col("text"), l)).as(s"s_$l")
+    }
+    val lq = docs
+      .select(col("doc_id") +: scores :+
+        eval_once(graft.ops.TextOps.qualityScore(col("text"))).as("quality"): _*)
+      .select(col("doc_id"),
+        (!(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") &&
+          col("s_en") >= col("s_zh") && col("s_en") > 0)).as("kill_lang"),
+        (col("quality") < graft.ops.Curation.QualityMin).as("kill_quality"))
+    val withRep = docs.select(col("doc_id"), col("text"))
+      .withColumn("rid", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))))
+    val loserReps = graft.ops.Dedup.minhashLsh(
+        withRep.filter(col("doc_id") === col("rid"))
+          .select(col("doc_id"), col("text")),
+        graft.ops.Curation.JaccardMin)
+      .select(col("doc_b").as("rid")).distinct()
+      .withColumn("kn", lit(true))
+    val exNear = withRep.select(col("doc_id"), col("rid"),
+        (col("doc_id") =!= col("rid")).as("kill_exact"))
+      .join(loserReps, Seq("rid"), "left")
+      .select(col("doc_id"), col("kill_exact"),
+        coalesce(col("kn"), lit(false)).as("kill_near"))
+    val (uni, bi, tot) = graft.ops.LanguageModel.train(
+      docs.filter(col("lang") === "en"), "text")
+    val lm = graft.ops.LanguageModel.score(docs, uni, bi, tot, "doc_id", "text",
+        thrPerBigramMicro = graft.ops.Curation.LmPerBigramMicro)
+      .select(col("doc_id"), (!col("keep")).as("kl"))
+    val gop = gopherFlags(docs, Seq("doc_id"))
+      .select(col("doc_id"), (!col("keep")).as("kill_gopher"))
+    lq.join(exNear, "doc_id")
+      .join(lm, Seq("doc_id"), "left")
+      .join(gop, "doc_id")
+      .select(col("kill_lang"), col("kill_quality"), col("kill_exact"),
+        col("kill_near"),
+        coalesce(col("kl"), lit(false)).as("kill_lm"), col("kill_gopher"))
+      .groupBy(col("kill_lang"), col("kill_quality"), col("kill_exact"),
+        col("kill_near"), col("kill_lm"), col("kill_gopher"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("kill_lang"), col("kill_quality"), col("kill_exact"),
+        col("kill_near"), col("kill_lm"), col("kill_gopher"))
+  }
+
+  /** Chinchilla-style compute-allocation plan (Hoffmann et al. 2022's
+    * 20-tokens-per-parameter rule of thumb) against THIS corpus: for
+    * each model size in the standard ladder, the compute-optimal token
+    * budget 20·N, the training FLOPs 6·N·D = 120·N² (reported in
+    * petaFLOPs), and how many epochs of the actual corpus that budget
+    * implies — the one-table answer to "how big a model can this
+    * dataset feed, and when do we start repeating data". One corpus
+    * token count + an 8-row literal lattice; all arithmetic exact
+    * (decimal(38) intermediates).
+    */
+  def computePlanQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n"))
+      .agg(sum(col("n")).as("d_avail"))
+    toks.select(col("d_avail"), explode(expr(
+        """array(125000000L, 350000000L, 1300000000L, 2700000000L,
+           6700000000L, 13000000000L, 30000000000L, 70000000000L)"""))
+        .as("n_params"))
+      .select(col("n_params"), col("d_avail"),
+        expr("n_params * 20").as("tokens_needed"),
+        expr("""cast(cast(n_params as decimal(38,0)) * n_params * 120
+               div 1000000000000000 as bigint)""").as("flops_pf"),
+        expr("n_params * 20 * 1000000 div d_avail").as("epochs_needed_e6"),
+        expr("n_params * 20 <= d_avail").as("fits_one_epoch"))
+      .orderBy(col("n_params"))
   }
 
   /** Sample-ratio-mismatch guard for the A/B assignment: the 1-df χ²

@@ -343,7 +343,11 @@ object SoakScale {
     "q_grad_noise", "q_max_coverage", "q_embed_dispersion",
     // round-13 wave 7: the LM tercile windows, the clip-grid norm
     // scan, and the 5-model OvR scores pass (the perceptron_ovr shape)
-    "q_ccnet_buckets", "q_grad_clip", "q_label_noise")
+    "q_ccnet_buckets", "q_grad_clip", "q_label_noise",
+    // round-13 wave 8: the six-gate Venn (lang/quality/exact/LSH/LM/
+    // gopher flags — the LSH verify stage dominates on the dup-heavy
+    // replica) and the one-count planning lattice
+    "q_filter_attribution", "q_compute_plan")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

@@ -539,6 +539,8 @@ object SparkEntry {
     "q_ccnet_buckets" -> (Queries.ccnetBucketsQ _),
     "q_grad_clip" -> (Queries.gradClipQ _),
     "q_label_noise" -> (Queries.labelNoiseQ _),
+    "q_filter_attribution" -> (Queries.filterAttributionQ _),
+    "q_compute_plan" -> (Queries.computePlanQ _),
     "q_hoeffding_bound" -> (Queries.hoeffdingBoundQ _),
     "q_index_size" -> (Queries.indexSizeQ _),
     "q_meta_analysis" -> (Queries.metaAnalysisQ _),
@@ -1290,7 +1292,10 @@ object SparkEntry {
     "q_curation_spans", "q_ann_pq_recall", "q_bpe_merges", "q_bpe_encode",
     "q_curation_lm", "q_curation_strip",
     // r13: shares q_bpe_encode's deep 8-iteration chain
-    "q_bpe_compression")
+    "q_bpe_compression",
+    // r13: six-gate Venn — the LSH shingle tables are read three
+    // times and the lm chain twice; plain CTEs would re-run them
+    "q_filter_attribution")
 
   def oracleSql: Map[String, String] = oracleSql0.map { case (k, v) =>
     k -> (if (MatOracles(k)) mat(v, k) else v)
@@ -12386,6 +12391,93 @@ object SparkEntry {
         |    AS BIGINT) AS covered_share_e6
         |FROM sel ORDER BY round""".stripMargin
     },
+
+    // Gate-Venn replay: the q_curation lang/quality scoring over RAW
+    // docs, md5 exact groups, the lshSideCtes near-dup loser rule, the
+    // lmCtes keep flag, and the gopher flag block — six flags, one
+    // GROUP BY over the observed combinations.
+    "q_filter_attribution" ->
+      s"""WITH fab0 AS (SELECT doc_id, text, lang,
+        |    ' ' || lower(text) || ' ' AS pt, ${wordsSql("text")} AS w
+        |  FROM documents),
+        |fas AS (SELECT doc_id,
+        |    ${langScoreSql("en")} AS s_en, ${langScoreSql("es")} AS s_es,
+        |    ${langScoreSql("de")} AS s_de, ${langScoreSql("zh")} AS s_zh,
+        |    round(least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.5
+        |      + (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) / length(text)) * 0.3
+        |      + CAST(len(list_distinct(w)) AS DOUBLE) / len(w) * 0.2, 6) AS quality
+        |  FROM fab0),
+        |falq AS (SELECT doc_id,
+        |    NOT (s_en >= s_es AND s_en >= s_de AND s_en >= s_zh AND s_en > 0)
+        |      AS kill_lang,
+        |    quality < ${graft.ops.Curation.QualityMin} AS kill_quality
+        |  FROM fas),
+        |famap AS (SELECT doc_id,
+        |    min(doc_id) OVER (PARTITION BY md5(text)) AS rid
+        |  FROM documents),
+        |farep AS (SELECT d.doc_id, d.text FROM documents d
+        |  JOIN famap m USING (doc_id) WHERE d.doc_id = m.rid),
+        |${lshSideCtes("fa", "farep")},
+        |facand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bandfa a JOIN bandfa b ON a.band = b.band AND a.doc_id < b.doc_id),
+        |fanear AS (SELECT DISTINCT doc_b AS rid FROM (
+        |    SELECT doc_a, doc_b,
+        |      round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS j
+        |    FROM facand JOIN shfa sa ON facand.doc_a = sa.doc_id
+        |      JOIN shfa sb ON facand.doc_b = sb.doc_id)
+        |  WHERE j >= ${graft.ops.Curation.JaccardMin}),
+        |flentr AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
+        |${lmCtes("fl", "flentr", "documents", graft.ops.Curation.LmPerBigramMicro)},
+        |faw0 AS (SELECT doc_id, ${wordsSql("lower(text)")} AS ws FROM documents),
+        |fam AS (SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(list_aggregate(list_transform(ws, x -> length(x)), 'sum')
+        |      AS BIGINT) AS sum_len,
+        |    CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+        |      AS BIGINT) AS n_alpha,
+        |    CAST(len(list_filter(ws, x -> list_contains(
+        |      ['the','be','to','of','and','that','have','with'], x)))
+        |      AS BIGINT) AS n_stop,
+        |    CAST(greatest(len(ws) - 1, 0) AS BIGINT) AS tot_bg,
+        |    CAST(greatest(len(ws) - 1, 0) - len(list_distinct(list_transform(
+        |      range(len(ws) - 1), i -> ws[i+1] || ' ' || ws[i+2])))
+        |      AS BIGINT) AS dup_bg
+        |  FROM faw0),
+        |fagop AS (SELECT doc_id, NOT (
+        |    n_words BETWEEN 50 AND 100000
+        |    AND (sum_len * 1000 // n_words) BETWEEN 3000 AND 10000
+        |    AND n_alpha * 1000000 // n_words >= 800000
+        |    AND n_stop >= 2
+        |    AND coalesce(dup_bg * 1000000 // nullif(tot_bg, 0) <= 200000, TRUE))
+        |      AS kill_gopher
+        |  FROM fam)
+        |SELECT q.kill_lang, q.kill_quality,
+        |  m.doc_id <> m.rid AS kill_exact,
+        |  (n.rid IS NOT NULL) AS kill_near,
+        |  NOT coalesce(sc.keep, TRUE) AS kill_lm,
+        |  g.kill_gopher, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM falq q JOIN famap m USING (doc_id)
+        |  LEFT JOIN fanear n ON m.rid = n.rid
+        |  LEFT JOIN flscores sc USING (doc_id)
+        |  JOIN fagop g USING (doc_id)
+        |GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin,
+
+    // Compute-plan replay: one corpus token count, the literal model
+    // ladder, exact HUGEINT arithmetic.
+    "q_compute_plan" ->
+      s"""WITH toks AS (SELECT CAST(sum(len(${wordsSql("lower(text)")}))
+        |    AS BIGINT) AS d_avail FROM documents),
+        |g AS (SELECT d_avail, unnest([125000000, 350000000, 1300000000,
+        |    2700000000, 6700000000, 13000000000, 30000000000,
+        |    70000000000]) AS n_params FROM toks)
+        |SELECT CAST(n_params AS BIGINT) AS n_params, d_avail,
+        |  CAST(n_params * 20 AS BIGINT) AS tokens_needed,
+        |  CAST(CAST(n_params AS HUGEINT) * n_params * 120
+        |    // 1000000000000000 AS BIGINT) AS flops_pf,
+        |  CAST(n_params * 20 * 1000000 // d_avail AS BIGINT) AS epochs_needed_e6,
+        |  n_params * 20 <= d_avail AS fits_one_epoch
+        |FROM g ORDER BY n_params""".stripMargin,
 
     // CCNet-bucket replay: the lmCtes chain, per-doc truncating mean,
     // per-lang rank window, tercile split.
