@@ -8814,6 +8814,129 @@ object Queries {
       .orderBy(col("n_params"))
   }
 
+  /** TracIn-style gradient-alignment data valuation (Pruthi et al.
+    * 2020, reduced to the linear hashed-count model the pipeline can
+    * afford at corpus scale): a held-out eval slice (deterministic
+    * hash split — never id parity) defines the eval gradient
+    * E = Σ yᵢxᵢ over 64 hashed buckets; every training document's
+    * alignment is the exact integer dot product y_d·⟨x_d, E⟩ — positive
+    * means "an update on this doc moves the model the way the eval set
+    * wants". One count pass + one broadcast join against the 64-row
+    * eval vector; per-source rollup of mean alignment and the share of
+    * docs pushing the right way.
+    */
+  def gradAlignQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"),
+        col("text"), when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
+      .withColumn("is_eval", graft.ops.TextOps.portableHash64(
+        concat(lit("ga:"), col("doc_id"))) % 10 === 0)
+    val cnt = graft.ops.Classify.tokenBucketCounts(
+      d, "doc_id", "text", "gn:", 64, carry = Seq("source", "y", "is_eval"))
+    val evalGrad = cnt.filter(col("is_eval"))
+      .groupBy(col("bucket")).agg(sum(col("y") * col("n")).as("e"))
+    cnt.filter(!col("is_eval"))
+      .join(broadcast(evalGrad), Seq("bucket"), "left")
+      .groupBy(col("doc_id"), col("source"), col("y"))
+      .agg(sum(col("n") * coalesce(col("e"), lit(0L))).as("dot"))
+      .select(col("source"), (col("y") * col("dot")).as("align"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(align) div count(1)").as("mean_align"),
+        sum(when(col("align") > 0, 1L).otherwise(0L)).as("n_aligned"))
+      .select(col("source"), col("n_docs"), col("mean_align"), col("n_aligned"),
+        expr("n_aligned * 1000000 div n_docs").as("aligned_share_e6"))
+      .orderBy(col("source"))
+  }
+
+  /** Uncertainty-sampling batch audit (margin-based active learning):
+    * every document's margin is the exact integer gap between its top
+    * two one-vs-rest perceptron scores (ties → label order), and the
+    * selection rule is "margin below half the global mean margin",
+    * compared by cross-multiplication so no division ever rounds.
+    * Per-source readout of mean margin and the selected share — the
+    * table that says WHERE the labeling budget would go. One scores
+    * pass ([[ops.Classify.perceptronScoresOvr]]), one bounded 5-row
+    * per-doc rank window, one broadcast global aggregate.
+    */
+  def marginSampleQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val (w, b) = graft.ops.Classify.perceptronTrainOvr(
+      d, "lang", "text", "povr:", 64, 2, averaged = true)
+    val scores = graft.ops.Classify.perceptronScoresOvr(
+      d, w, b, "doc_id", "text", "povr:", 64, carry = Seq("source"))
+    val ww = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("_m_label"))
+    val margins = scores.withColumn("rn", row_number().over(ww))
+      .filter(col("rn") <= 2)
+      .groupBy(col("doc_id"), col("source"))
+      .agg((max(when(col("rn") === 1, col("score")))
+        - max(when(col("rn") === 2, col("score")))).as("margin"))
+    val tot = margins.agg(sum(col("margin")).as("ms"),
+      count(lit(1)).as("mn"))
+    margins.crossJoin(broadcast(tot))
+      .select(col("source"), col("margin"),
+        (expr("cast(margin as decimal(38,0)) * mn * 2") <
+          expr("cast(ms as decimal(38,0))")).as("selected"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(margin) div count(1)").as("mean_margin"),
+        sum(when(col("selected"), 1L).otherwise(0L)).as("n_selected"))
+      .select(col("source"), col("n_docs"), col("mean_margin"),
+        col("n_selected"),
+        expr("n_selected * 1000000 div n_docs").as("sel_share_e6"))
+      .orderBy(col("source"))
+  }
+
+  /** RHO-loss style cross-fitted data selection (Mindermann et al.
+    * 2022, "Prioritized Training on Points that are Learnable, Worth
+    * Learning, and Not Yet Learnt", reduced to the bigram LM): English
+    * docs are hash-split into two halves, a Stupid-Backoff model is
+    * trained on each half and on the full English corpus, and every
+    * document's RHO score is `s_holdout − s_full` — its log-prob under
+    * the model that never saw its half, minus under the full model —
+    * all three scorings over the SAME bigram set, so the difference is
+    * an exact integer with no division. Positive RHO = learnable
+    * (another model explains it) but not yet learnt (the full model
+    * doesn't) — the dump-worthy points sit deep negative. Per-source
+    * mean RHO and the positive share; three model joins, one corpus
+    * scoring pass each, models vocab-bounded.
+    */
+  def rhoSelectionQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .withColumn("half", graft.ops.TextOps.portableHash64(
+        concat(lit("rho:"), col("doc_id"))) % 2)
+    val en = docs.filter(col("lang") === "en")
+    def scoreWith(model: (DataFrame, DataFrame, DataFrame), out: String) = {
+      val (uni, bi, tot) = model
+      graft.ops.LanguageModel.score(docs, uni, bi, tot, "doc_id", "text",
+          carry = Seq("source", "half"))
+        .select(col("doc_id"), col("source"), col("half"),
+          col("score_micro").as(out))
+    }
+    val sa = scoreWith(graft.ops.LanguageModel.train(
+      en.filter(col("half") === 0), "text"), "s_a")
+    val sb = scoreWith(graft.ops.LanguageModel.train(
+      en.filter(col("half") === 1), "text"), "s_b")
+      .select(col("doc_id"), col("s_b"))
+    val sf = scoreWith(graft.ops.LanguageModel.train(en, "text"), "s_f")
+      .select(col("doc_id"), col("s_f"))
+    sa.join(sb, "doc_id").join(sf, "doc_id")
+      .select(col("source"),
+        (when(col("half") === 0, col("s_b")).otherwise(col("s_a"))
+          - col("s_f")).as("rho"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(rho) div count(1)").as("mean_rho_micro"),
+        sum(when(col("rho") > 0, 1L).otherwise(0L)).as("n_positive"))
+      .select(col("source"), col("n_docs"), col("mean_rho_micro"),
+        col("n_positive"),
+        expr("n_positive * 1000000 div n_docs").as("pos_share_e6"))
+      .orderBy(col("source"))
+  }
+
   /** Sample-ratio-mismatch guard for the A/B assignment: the 1-df χ²
     * of the observed variant split against the intended 50/50 —
     * (n_a−n_b)²·10⁶ div (n_a+n_b), exact. The cheapest and most

@@ -347,7 +347,10 @@ object SoakScale {
     // round-13 wave 8: the six-gate Venn (lang/quality/exact/LSH/LM/
     // gopher flags — the LSH verify stage dominates on the dup-heavy
     // replica) and the one-count planning lattice
-    "q_filter_attribution", "q_compute_plan")
+    "q_filter_attribution", "q_compute_plan",
+    // round-13 wave 9: the eval-gradient broadcast pass, the 5-model
+    // OvR margin windows, and the three-LM cross-fitted scoring
+    "q_grad_align", "q_margin_sample", "q_rho_selection")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

@@ -541,6 +541,9 @@ object SparkEntry {
     "q_label_noise" -> (Queries.labelNoiseQ _),
     "q_filter_attribution" -> (Queries.filterAttributionQ _),
     "q_compute_plan" -> (Queries.computePlanQ _),
+    "q_grad_align" -> (Queries.gradAlignQ _),
+    "q_margin_sample" -> (Queries.marginSampleQ _),
+    "q_rho_selection" -> (Queries.rhoSelectionQ _),
     "q_hoeffding_bound" -> (Queries.hoeffdingBoundQ _),
     "q_index_size" -> (Queries.indexSizeQ _),
     "q_meta_analysis" -> (Queries.metaAnalysisQ _),
@@ -12462,6 +12465,80 @@ object SparkEntry {
         |  LEFT JOIN flscores sc USING (doc_id)
         |  JOIN fagop g USING (doc_id)
         |GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin,
+
+    // Gradient-alignment replay: the gn-salted count table with the
+    // hash eval split, the 64-row eval gradient, exact dot products.
+    "q_grad_align" ->
+      s"""WITH cnt AS (SELECT doc_id, source, y, is_eval, bucket, count(*) AS n FROM (
+        |    SELECT doc_id, source, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+        |      ${hSql("concat('ga:', CAST(doc_id AS VARCHAR))")} % 10 = 0 AS is_eval,
+        |      ${hSql("'gn:' || tok")} % 64 AS bucket FROM (
+        |      SELECT doc_id, source, lang, unnest(${wordsSql("lower(text)")}) AS tok
+        |      FROM documents) u
+        |    WHERE length(tok) >= 2) b
+        |  GROUP BY doc_id, source, y, is_eval, bucket),
+        |eg AS (SELECT bucket, CAST(sum(y * n) AS BIGINT) AS e FROM cnt
+        |  WHERE is_eval GROUP BY bucket),
+        |al AS (SELECT doc_id, source,
+        |    CAST(max(y) * sum(n * coalesce(e, 0)) AS BIGINT) AS align
+        |  FROM cnt LEFT JOIN eg USING (bucket)
+        |  WHERE NOT is_eval GROUP BY doc_id, source)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(align) // count(*) AS BIGINT) AS mean_align,
+        |  CAST(sum(CASE WHEN align > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_aligned,
+        |  CAST(sum(CASE WHEN align > 0 THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) AS aligned_share_e6
+        |FROM al GROUP BY source ORDER BY source""".stripMargin,
+
+    // Margin-sampling replay: the povrCtes chain, per-doc top-two rank
+    // window, cross-multiplied half-mean selection rule.
+    "q_margin_sample" -> {
+      val labels = Seq("de", "en", "es", "fr", "zh")
+      val scores = labels.map(l =>
+        s"SELECT doc_id, '$l' AS label, score FROM p${l}_fs").mkString("\n  UNION ALL ")
+      s"""WITH ${povrCtes(labels)},
+         |msall AS (
+         |  $scores),
+         |msr AS (SELECT doc_id, score, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, label) AS rn FROM msall),
+         |msm AS (SELECT doc_id,
+         |    max(CASE WHEN rn = 1 THEN score END)
+         |      - max(CASE WHEN rn = 2 THEN score END) AS margin
+         |  FROM msr WHERE rn <= 2 GROUP BY doc_id),
+         |mst AS (SELECT CAST(sum(margin) AS BIGINT) AS ms,
+         |    CAST(count(*) AS BIGINT) AS mn FROM msm)
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(margin) // count(*) AS BIGINT) AS mean_margin,
+         |  CAST(sum(CASE WHEN CAST(margin AS HUGEINT) * mn * 2 < CAST(ms AS HUGEINT)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+         |  CAST(sum(CASE WHEN CAST(margin AS HUGEINT) * mn * 2 < CAST(ms AS HUGEINT)
+         |    THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS sel_share_e6
+         |FROM msm JOIN documents d USING (doc_id) CROSS JOIN mst
+         |GROUP BY d.source ORDER BY d.source""".stripMargin
+    },
+
+    // RHO-selection replay: three lmCtes chains (half A, half B, full),
+    // the cross-fitted holdout-minus-full integer difference.
+    "q_rho_selection" ->
+      s"""WITH raentr AS (SELECT doc_id, text FROM documents WHERE lang = 'en'
+        |  AND ${hSql("concat('rho:', CAST(doc_id AS VARCHAR))")} % 2 = 0),
+        |rbentr AS (SELECT doc_id, text FROM documents WHERE lang = 'en'
+        |  AND ${hSql("concat('rho:', CAST(doc_id AS VARCHAR))")} % 2 = 1),
+        |rfentr AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
+        |${lmCtes("ra", "raentr", "documents", graft.ops.LanguageModel.KeepPerBigramMicro)},
+        |${lmCtes("rb", "rbentr", "documents", graft.ops.LanguageModel.KeepPerBigramMicro)},
+        |${lmCtes("rf", "rfentr", "documents", graft.ops.LanguageModel.KeepPerBigramMicro)},
+        |rho AS (SELECT d.source,
+        |    CASE WHEN ${hSql("concat('rho:', CAST(d.doc_id AS VARCHAR))")} % 2 = 0
+        |      THEN b.score_micro ELSE a.score_micro END - f.score_micro AS rho
+        |  FROM rascores a JOIN rbscores b USING (doc_id)
+        |    JOIN rfscores f USING (doc_id) JOIN documents d USING (doc_id))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(rho) // count(*) AS BIGINT) AS mean_rho_micro,
+        |  CAST(sum(CASE WHEN rho > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+        |  CAST(sum(CASE WHEN rho > 0 THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) AS pos_share_e6
+        |FROM rho GROUP BY source ORDER BY source""".stripMargin,
 
     // Compute-plan replay: one corpus token count, the literal model
     // ladder, exact HUGEINT arithmetic.
