@@ -8937,6 +8937,102 @@ object Queries {
       .orderBy(col("source"))
   }
 
+  /** Tokenizer-size frontier: corpus compression at BPE merge-prefix
+    * k ∈ {0, 2, 4, 6, 8} of the memoized 8-merge model — because BPE
+    * merges apply in learned order, the encoding under the first k
+    * merges is exactly the k-th intermediate state of training, so the
+    * whole curve costs five type-dictionary encodes (word-type
+    * bounded, never a corpus re-scan) against the one trained model.
+    * The diminishing marginal chars-per-subword gain across rows IS
+    * the vocab-budget readout. k = 0 is the char+terminator baseline.
+    */
+  def bpeCurveQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val merges = bpeMerges8(spark, sfDir)
+      .orderBy(col("merge_rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val types = graft.ops.Bpe.wordTypes(docs, "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = types.agg(sum(col("freq")).as("w"),
+      sum(col("freq") * length(col("word")).cast("long")).as("c")).collect()(0)
+    val (nWords, nChars) = (base.getLong(0), base.getLong(1))
+    val curve = graft.ops.Bpe.encodeCurve(types, merges, Seq(0, 2, 4, 6, 8))
+    types.unpersist()
+    import spark.implicits._
+    curve.map { case (k, nSub) =>
+      (k.toLong, nWords, nChars, nSub, nChars * 1000L / nSub)
+    }.toDF("k_merges", "n_words", "n_chars", "n_subwords",
+      "chars_per_subword_e3")
+      .orderBy(col("k_merges"))
+  }
+
+  /** Per-source unigram KL divergence from the corpus token mix —
+    * D(p_source ‖ p_corpus) = Σ_t p_s(t)·ln(p_s(t)/p_c(t)) — the
+    * distribution-shift number behind mixture reweighting: a source
+    * with near-zero KL is interchangeable with the average mix, a
+    * high-KL source is the one DoReMi-style methods up/down-weight.
+    * Counts are exact; one ln per (source, type) model row is micro6'd
+    * (the [[lmScoreQ]] model-row discipline — vocab-bounded, and in
+    * the known-ULP-flaky inventory) and weighted exactly. No
+    * smoothing is needed: every source token is in the corpus by
+    * construction.
+    */
+  def sourceKlQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .filter(length(col("token")) >= 1)
+    val st = tok.groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+    val srcTot = st.groupBy(col("source")).agg(sum(col("c")).as("ns"),
+      count(lit(1)).as("n_types"))
+    val corp = st.groupBy(col("token")).agg(sum(col("c")).as("ct"))
+    val n = corp.agg(sum(col("ct")).as("n")).select(col("n"))
+    st.join(broadcast(corp), "token").join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(n))
+      .select(col("source"), col("ns"), col("n_types"), col("c"),
+        floor(log((col("c") * col("n")).cast("double")
+          / (col("ns") * col("ct")).cast("double")) * lit(1000000.0)
+          + lit(0.5)).cast("long").as("lt"))
+      .groupBy(col("source"), col("ns"), col("n_types"))
+      .agg(sum(col("c") * col("lt")).as("num"))
+      .select(col("source"), col("ns").as("n_tokens"), col("n_types"),
+        expr("num div ns").as("kl_micro"))
+      .orderBy(col("source"))
+  }
+
+  /** Densest-subgraph peel certificate over the part co-occurrence
+    * graph ([[graft.ops.Graph.densestPeel]], Bahmani ε = 1, direction
+    * multiplicity as edge weight): 8 rounds of
+    * remove-below-twice-average-degree, each row the round's subgraph
+    * size, exact density (edges·10⁶ div |V|, truncating), the
+    * rule-removed count, and the best-density flag (earliest max) —
+    * the community-core extraction that k-core's fixed threshold
+    * can't see. Only 8 stat triples reach the driver; every round is
+    * one node-keyed degree aggregate + two semi-joins over the
+    * directed checkpoint (no |E|-keyed aggregate ever runs — the
+    * q_mis x100 OOM lesson, see the op scaladoc).
+    */
+  def densestQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val stats = graft.ops.Graph.densestPeel(
+      partAdjacencyEdges(spark, sfDir).select(col("src"), col("dst")), 8)
+    val rows = stats.map { case (r, nv, u, rm) =>
+      (r, nv, u / 2L, if (nv == 0L) None else Some(u * 1000000L / (2L * nv)), rm)
+    }
+    val best: Option[Long] = {
+      val ds = rows.flatMap(_._4)
+      if (ds.isEmpty) None
+      else {
+        val m = ds.max
+        rows.find(_._4.contains(m)).map(_._1)
+      }
+    }
+    import spark.implicits._
+    rows.map { case (r, nv, ne, d, rm) =>
+      (r, nv, ne, d, rm, best.contains(r))
+    }.toDF("round", "n_nodes", "n_edges", "density_e6", "n_removed", "is_best")
+      .orderBy(col("round"))
+  }
+
   /** Sample-ratio-mismatch guard for the A/B assignment: the 1-df χ²
     * of the observed variant split against the intended 50/50 —
     * (n_a−n_b)²·10⁶ div (n_a+n_b), exact. The cheapest and most

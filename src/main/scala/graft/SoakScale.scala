@@ -350,7 +350,11 @@ object SoakScale {
     "q_filter_attribution", "q_compute_plan",
     // round-13 wave 9: the eval-gradient broadcast pass, the 5-model
     // OvR margin windows, and the three-LM cross-fitted scoring
-    "q_grad_align", "q_margin_sample", "q_rho_selection")
+    "q_grad_align", "q_margin_sample", "q_rho_selection",
+    // round-13 wave 10: the one-chain BPE prefix curve (type-bounded),
+    // the vocab-bounded KL rollup, and the 8-round densest peel over
+    // the x|E| co-occurrence graph (pair with q_pagerank for the memo)
+    "q_bpe_curve", "q_source_kl", "q_densest")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

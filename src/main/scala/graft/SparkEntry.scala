@@ -544,6 +544,9 @@ object SparkEntry {
     "q_grad_align" -> (Queries.gradAlignQ _),
     "q_margin_sample" -> (Queries.marginSampleQ _),
     "q_rho_selection" -> (Queries.rhoSelectionQ _),
+    "q_bpe_curve" -> (Queries.bpeCurveQ _),
+    "q_source_kl" -> (Queries.sourceKlQ _),
+    "q_densest" -> (Queries.densestQ _),
     "q_hoeffding_bound" -> (Queries.hoeffdingBoundQ _),
     "q_index_size" -> (Queries.indexSizeQ _),
     "q_meta_analysis" -> (Queries.metaAnalysisQ _),
@@ -1296,6 +1299,8 @@ object SparkEntry {
     "q_curation_lm", "q_curation_strip",
     // r13: shares q_bpe_encode's deep 8-iteration chain
     "q_bpe_compression",
+    // r13: five curve rows each read a different bseq prefix state
+    "q_bpe_curve",
     // r13: six-gate Venn — the LSH shingle tables are read three
     // times and the lm chain twice; plain CTEs would re-run them
     "q_filter_attribution")
@@ -12465,6 +12470,94 @@ object SparkEntry {
         |  LEFT JOIN flscores sc USING (doc_id)
         |  JOIN fagop g USING (doc_id)
         |GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin,
+
+    // BPE-curve replay: the shared merge chain; the prefix-k encoding
+    // IS the k-th intermediate bseq state, so each curve row is one
+    // aggregate over bseq{0,2,4,6,8}.
+    "q_bpe_curve" -> {
+      val iters = (1 to 8).map(bpeIterCtes).mkString(",\n")
+      val rows = Seq(0, 2, 4, 6, 8).map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS k_merges, CAST(sum(freq) AS BIGINT) AS n_words,
+           |    CAST(sum(freq * length(word)) AS BIGINT) AS n_chars,
+           |    CAST(sum(freq * ns) AS BIGINT) AS n_subwords FROM (
+           |  SELECT word, freq, CAST(count(*) AS BIGINT) AS ns
+           |  FROM bseq$k GROUP BY word, freq)""".stripMargin
+      }.mkString("\n  UNION ALL ")
+      s"""WITH bwords AS (
+         |  SELECT word, count(*) AS freq FROM (
+         |    SELECT unnest(${wordsSql("lower(text)")}) AS word FROM documents) u
+         |  WHERE length(word) >= 1 GROUP BY word),
+         |bseq0 AS (
+         |  SELECT word, freq, pos, ws[pos + 1] AS s FROM (
+         |    SELECT word, freq,
+         |      list_append(list_transform(range(length(word)), j -> substr(word, CAST(j + 1 AS INT), 1)), '</w>') AS ws
+         |    FROM bwords) t,
+         |    LATERAL (SELECT unnest(range(len(ws))) AS pos) p),
+         |$iters,
+         |curve AS (
+         |  $rows)
+         |SELECT k_merges, n_words, n_chars, n_subwords,
+         |  CAST(n_chars * 1000 // n_subwords AS BIGINT) AS chars_per_subword_e3
+         |FROM curve ORDER BY k_merges""".stripMargin
+    },
+
+    // Source-KL replay: exact (source, token) counts, one micro6 ln
+    // per model row, integer-weighted sum.
+    "q_source_kl" ->
+      s"""WITH tok AS (SELECT source, tok FROM (
+        |    SELECT source, unnest(${wordsSql("lower(text)")}) AS tok
+        |    FROM documents) u WHERE length(tok) >= 1),
+        |st AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY source, tok),
+        |srct AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns,
+        |    CAST(count(*) AS BIGINT) AS n_types FROM st GROUP BY source),
+        |corp AS (SELECT tok, CAST(sum(c) AS BIGINT) AS ct FROM st GROUP BY tok),
+        |nn AS (SELECT CAST(sum(ct) AS BIGINT) AS n FROM corp),
+        |terms AS (SELECT st.source, srct.ns, srct.n_types, st.c,
+        |    CAST(floor(ln(CAST(st.c * nn.n AS DOUBLE)
+        |      / CAST(srct.ns * corp.ct AS DOUBLE)) * 1000000.0 + 0.5)
+        |      AS BIGINT) AS lt
+        |  FROM st JOIN corp USING (tok) JOIN srct USING (source) CROSS JOIN nn)
+        |SELECT source, max(ns) AS n_tokens, max(n_types) AS n_types,
+        |  CAST(sum(c * lt) // max(ns) AS BIGINT) AS kl_micro
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+
+    // Densest-peel replay: 8 unrolled MATERIALIZED rounds of the
+    // cross-multiplied twice-average rule, per-round stats unioned,
+    // earliest-max best flag.
+    "q_densest" -> {
+      def round(i: Int): String =
+        s"""dg$i AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS c FROM (
+           |    SELECT src AS node FROM du${i - 1}
+           |    UNION ALL SELECT dst FROM du${i - 1}) t GROUP BY node),
+           |st$i AS MATERIALIZED (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS u,
+           |    CAST(count(*) AS BIGINT) AS nv FROM dg$i),
+           |rm$i AS MATERIALIZED (SELECT d.node FROM dg$i d, st$i
+           |  WHERE d.c * st$i.nv <= 2 * st$i.u),
+           |du$i AS MATERIALIZED (SELECT e.src, e.dst FROM du${i - 1} e
+           |  WHERE e.src NOT IN (SELECT node FROM rm$i)
+           |    AND e.dst NOT IN (SELECT node FROM rm$i))""".stripMargin
+      val sel = (1 to 8).map(i =>
+        s"SELECT $i AS round, nv, u, (SELECT count(*) FROM rm$i) AS n_removed FROM st$i")
+        .mkString("\n  UNION ALL ")
+      s"""WITH p AS (SELECT l_partkey AS src,
+         |    lead(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
+         |  FROM lineitem),
+         |du0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM p
+         |  WHERE dst IS NOT NULL AND src <> dst),
+         |${(1 to 8).map(round).mkString(",\n")},
+         |sel AS (
+         |  $sel),
+         |best AS (SELECT min(round) AS br FROM sel
+         |  WHERE u * 1000000 // nullif(2 * nv, 0)
+         |    = (SELECT max(u * 1000000 // nullif(2 * nv, 0)) FROM sel))
+         |SELECT CAST(round AS BIGINT) AS round, nv AS n_nodes,
+         |  CAST(u // 2 AS BIGINT) AS n_edges,
+         |  CAST(u * 1000000 // nullif(2 * nv, 0) AS BIGINT) AS density_e6,
+         |  CAST(n_removed AS BIGINT) AS n_removed,
+         |  round = (SELECT br FROM best) AS is_best
+         |FROM sel ORDER BY round""".stripMargin
+    },
 
     // Gradient-alignment replay: the gn-salted count table with the
     // hash eval split, the 64-row eval gradient, exact dot products.

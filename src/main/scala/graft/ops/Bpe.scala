@@ -92,6 +92,34 @@ object Bpe {
     out
   }
 
+  /** Corpus-weighted subword totals at every merge-prefix checkpoint,
+    * off ONE merge chain: because merges apply in learned order, the
+    * encoding under the first k merges is exactly the k-th
+    * intermediate state — so the whole vocab-size frontier costs one
+    * 8-pass chain with a scalar aggregate per checkpoint, not a fresh
+    * encode per k. Returns (k, Σ freq·n_subwords) per requested
+    * checkpoint; only those scalars reach the driver.
+    */
+  def encodeCurve(words: DataFrame, merges: Seq[(String, String)],
+      checkpoints: Seq[Int]): Seq[(Int, Long)] = {
+    val want = checkpoints.toSet
+    def total(seq: DataFrame): Long =
+      seq.agg(coalesce(sum(col("freq")), lit(0L))).collect()(0).getLong(0)
+    var seq = charSymbols(words).persist()
+    seq.count()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    if (want(0)) out += ((0, total(seq)))
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      val next = applyMerge(seq, l, r).persist()
+      next.count()
+      seq.unpersist()
+      seq = next
+      if (want(i + 1)) out += ((i + 1, total(seq)))
+    }
+    seq.unpersist()
+    out.toSeq
+  }
+
   /** Learn `nMerges` merges; returns (merge_rank, lhs, rhs, pair_count)
     * in learning order. Stops early if no adjacent pair remains.
     */

@@ -107,6 +107,58 @@ object Graph {
     u.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
   }
 
+  /** Densest-subgraph greedy peel (Bahmani, Kumar & Vassilvitskii
+    * 2012, "Densest Subgraph in Streaming and MapReduce", ε = 1) on
+    * the DIRECTED-MULTIPLICITY view of the input — an (a, b)/(b, a)
+    * pair contributes degree 2, i.e. edge multiplicity acts as a
+    * weight (Bahmani's rule is weight-agnostic): each round records
+    * the current subgraph's (|V|, symmetrized-row count,
+    * removed-this-round) and then deletes every vertex whose weighted
+    * degree is at most twice the average (`deg·|V| ≤ 2·rows`, exact
+    * cross-multiplied integers). The best density seen is the
+    * 2(1+ε)-approximation certificate when the peel runs to empty;
+    * under a bounded round budget it is still an exact density lower
+    * bound for the best prefix subgraph.
+    *
+    * Scale shape, deliberately NOT the symmetrized-distinct [[kCore]]
+    * construction: the checkpointed table stays DIRECTED (the input's
+    * unique pairs), symmetrization is a lazy endpoint union, and every
+    * aggregate is node-keyed (|V| keys) — no |E|-keyed aggregate ever
+    * runs, so the peel stays inside the q_mis x100 memory lesson even
+    * on a constrained heap. One degree pass + two semi-joins per
+    * round; only scalar stat triples reach the driver.
+    */
+  def densestPeel(edges: DataFrame, rounds: Int): Seq[(Long, Long, Long, Long)] = {
+    var u = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .localCheckpoint(true)
+    val stats = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    (1 to rounds).foreach { r =>
+      val deg = u.select(col("src").as("node"))
+        .union(u.select(col("dst").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
+      val st = deg.agg(coalesce(sum(col("deg")), lit(0L)).as("rows"),
+        count(lit(1)).as("nv")).collect()(0)
+      val (rows, nv) = (st.getLong(0), st.getLong(1))
+      val kept = deg.filter(col("deg") * nv > lit(2L) * rows)
+        .select(col("node"))
+      val next = u
+        .join(kept.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        .join(kept.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+      // removed-by-rule count (a kept vertex can still vanish when all
+      // its neighbors are removed — that is NOT counted here)
+      stats += ((r.toLong, nv, rows, nv - kept.count()))
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(u)
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(deg)
+      u = next
+    }
+    org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(u)
+    stats.toSeq
+  }
+
   /** k-truss decomposition: iteratively peel edges supported by fewer
     * than k−2 triangles until fixpoint; returns the surviving oriented
     * edges (src < dst) with their final support. The cohesion notch
