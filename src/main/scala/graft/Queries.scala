@@ -9033,6 +9033,67 @@ object Queries {
       .orderBy(col("round"))
   }
 
+  /** Coreness histogram of the part co-occurrence graph
+    * ([[graft.ops.Graph.coreness]], 8 h-index rounds): how many
+    * vertices sit at each k-core depth — the one-table summary of
+    * graph cohesion that a single [[kCoreQ]] threshold can't give
+    * (where does the core structure fall off?). Deterministic by
+    * fixed rounds; histogram keys bounded by max degree.
+    */
+  def corenessQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Graph.coreness(
+        partAdjacencyEdges(spark, sfDir).select(col("src"), col("dst")), 8)
+      .groupBy(col("v").as("coreness"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("coreness"))
+
+  /** Deterministic Linear-Threshold influence spread
+    * ([[graft.ops.Graph.ltmCascade]]): the 16 highest-degree parts
+    * seed a 4-round cascade with hash-ppm thresholds and uniform
+    * 1/indeg in-weights — the influence-maximization EVALUATION side
+    * (given seeds, how far does adoption spread?), exact because
+    * every activation test is a cross-multiplied integer. Output is
+    * the per-round adoption curve plus the final coverage share.
+    */
+  def cascadeQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = partAdjacencyEdges(spark, sfDir).select(col("src"), col("dst"))
+    val und = e.filter(col("src") =!= col("dst"))
+    val deg = und.select(col("src").as("node"))
+      .union(und.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val nNodes = deg.count()
+    val seeds = deg.orderBy(col("d").desc, col("node")).limit(16)
+      .select(col("node"))
+    val curve = graft.ops.Graph.ltmCascade(e, seeds, 4, "ltm:")
+    import spark.implicits._
+    curve.map { case (r, newly, act) =>
+      (r, newly, act, act * 1000000L / nNodes)
+    }.toDF("round", "newly_active", "n_active", "coverage_e6")
+      .orderBy(col("round"))
+  }
+
+  /** Duplicate-rate scaling curve: exact-duplicate share measured on
+    * deterministic hash-nested 25% / 50% / 100% subcorpora — because
+    * duplicate pairs grow superlinearly in corpus size, the dup rate
+    * RISES with scale, and this three-point curve is the measurement
+    * behind "how much dedup will 10× more crawl need". Nested subsets
+    * (stratum < 1, < 2, < 4 of a salted hash) make the rows
+    * comparable; one md5 group pass per subset, all ratios exact.
+    */
+  def dupScalingQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        (graft.ops.TextOps.portableHash64(
+          concat(lit("ds:"), col("doc_id"))) % 4).as("stratum"))
+    Seq(1, 2, 4).map { s =>
+      d.filter(col("stratum") < s)
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("h")).as("n_distinct"))
+        .select(lit(s * 25L).as("subset_pct"), col("n_docs"), col("n_distinct"),
+          expr("(n_docs - n_distinct) * 1000000 div n_docs").as("dup_rate_e6"))
+    }.reduce(_.unionAll(_)).orderBy(col("subset_pct"))
+  }
+
   /** Sample-ratio-mismatch guard for the A/B assignment: the 1-df χ²
     * of the observed variant split against the intended 50/50 —
     * (n_a−n_b)²·10⁶ div (n_a+n_b), exact. The cheapest and most

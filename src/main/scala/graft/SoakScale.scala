@@ -354,7 +354,11 @@ object SoakScale {
     // round-13 wave 10: the one-chain BPE prefix curve (type-bounded),
     // the vocab-bounded KL rollup, and the 8-round densest peel over
     // the x|E| co-occurrence graph (pair with q_pagerank for the memo)
-    "q_bpe_curve", "q_source_kl", "q_densest")
+    "q_bpe_curve", "q_source_kl", "q_densest",
+    // round-13 wave 11: 8 h-index rounds (|E|-row windows), 4 LTM
+    // rounds (|E|-row semi joins), and the 3-subset md5 distinct —
+    // graph pair runs ride the 96g/pagerank convention
+    "q_coreness", "q_cascade", "q_dup_scaling")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

@@ -547,6 +547,9 @@ object SparkEntry {
     "q_bpe_curve" -> (Queries.bpeCurveQ _),
     "q_source_kl" -> (Queries.sourceKlQ _),
     "q_densest" -> (Queries.densestQ _),
+    "q_coreness" -> (Queries.corenessQ _),
+    "q_cascade" -> (Queries.cascadeQ _),
+    "q_dup_scaling" -> (Queries.dupScalingQ _),
     "q_hoeffding_bound" -> (Queries.hoeffdingBoundQ _),
     "q_index_size" -> (Queries.indexSizeQ _),
     "q_meta_analysis" -> (Queries.metaAnalysisQ _),
@@ -12398,6 +12401,86 @@ object SparkEntry {
         |  CAST(sum(g) OVER (ORDER BY r) * 1000000 // (SELECT t FROM tot)
         |    AS BIGINT) AS covered_share_e6
         |FROM sel ORDER BY round""".stripMargin
+    },
+
+    // Coreness replay: symmetrized-distinct adjacency, degree seed,
+    // 8 unrolled h-index rounds (rank window + max(least)).
+    "q_coreness" -> {
+      def iter(i: Int): String =
+        s"""cv$i AS MATERIALIZED (
+           |  SELECT src AS node, CAST(max(least(rnk, nv)) AS BIGINT) AS v FROM (
+           |    SELECT e.src, c.v AS nv, CAST(row_number() OVER (PARTITION BY e.src
+           |      ORDER BY c.v DESC, e.dst) AS BIGINT) AS rnk
+           |    FROM cu0 e JOIN cv${i - 1} c ON e.dst = c.node) t
+           |  GROUP BY src)""".stripMargin
+      s"""WITH p AS (SELECT l_partkey AS src,
+         |    lead(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
+         |  FROM lineitem),
+         |ed AS (SELECT DISTINCT src, dst FROM p WHERE dst IS NOT NULL AND src <> dst),
+         |cu0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+         |  (SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed) t),
+         |cv0 AS MATERIALIZED (SELECT src AS node, CAST(count(*) AS BIGINT) AS v
+         |  FROM cu0 GROUP BY src),
+         |${(1 to 8).map(iter).mkString(",\n")}
+         |SELECT v AS coreness, CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM cv8 GROUP BY v ORDER BY coreness""".stripMargin
+    },
+
+    // LTM-cascade replay: multiplicity-degree seeds (endpoint counts
+    // over the directed pairs — the seed-rule contract), symmetrized
+    // adjacency, 4 unrolled threshold rounds, lag adoption curve.
+    "q_cascade" -> {
+      def round(r: Int): String =
+        s"""ai$r AS MATERIALIZED (SELECT e.dst AS node, CAST(count(*) AS BIGINT) AS n_in
+           |  FROM lu0 e WHERE e.src IN (SELECT node FROM a${r - 1}) GROUP BY e.dst),
+           |a$r AS MATERIALIZED (SELECT node FROM a${r - 1}
+           |  UNION
+           |  SELECT ai.node FROM ai$r ai JOIN lthr t USING (node)
+           |  WHERE ai.n_in * 1000000 >= t.theta * t.indeg)""".stripMargin
+      val sel = (0 to 4).map(r =>
+        s"SELECT $r AS round, (SELECT count(*) FROM a$r) AS n_active")
+        .mkString("\n  UNION ALL ")
+      s"""WITH p AS (SELECT l_partkey AS src,
+         |    lead(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
+         |  FROM lineitem),
+         |ed AS (SELECT DISTINCT src, dst FROM p WHERE dst IS NOT NULL AND src <> dst),
+         |ldg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+         |    SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed) t GROUP BY node),
+         |lnn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ldg),
+         |a0 AS (SELECT node FROM ldg ORDER BY d DESC, node LIMIT 16),
+         |lu0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+         |  (SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed) t),
+         |lthr AS MATERIALIZED (SELECT node, indeg,
+         |    ${hSql("concat('ltm:', CAST(node AS VARCHAR))")} % 1000000 AS theta
+         |  FROM (SELECT dst AS node, CAST(count(*) AS BIGINT) AS indeg
+         |    FROM lu0 GROUP BY dst) i),
+         |${(1 to 4).map(round).mkString(",\n")},
+         |sel AS (
+         |  $sel)
+         |SELECT CAST(round AS BIGINT) AS round,
+         |  CAST(n_active - coalesce(lag(n_active) OVER (ORDER BY round), 0)
+         |    AS BIGINT) AS newly_active,
+         |  CAST(n_active AS BIGINT) AS n_active,
+         |  CAST(n_active * 1000000 // (SELECT n FROM lnn) AS BIGINT) AS coverage_e6
+         |FROM sel ORDER BY round""".stripMargin
+    },
+
+    // Dup-scaling replay: salted hash strata, nested subsets, exact
+    // md5-distinct rates.
+    "q_dup_scaling" -> {
+      val rows = Seq(1, 2, 4).map { s =>
+        s"""SELECT CAST(${s * 25} AS BIGINT) AS subset_pct,
+           |    CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+           |    CAST((count(*) - count(DISTINCT h)) * 1000000 // count(*)
+           |      AS BIGINT) AS dup_rate_e6
+           |  FROM dsd WHERE stratum < $s""".stripMargin
+      }.mkString("\n  UNION ALL ")
+      s"""WITH dsd AS (SELECT doc_id, md5(text) AS h,
+         |    ${hSql("concat('ds:', CAST(doc_id AS VARCHAR))")} % 4 AS stratum
+         |  FROM documents)
+         |$rows
+         |ORDER BY subset_pct""".stripMargin
     },
 
     // Gate-Venn replay: the q_curation lang/quality scoring over RAW

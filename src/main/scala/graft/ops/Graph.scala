@@ -107,6 +107,106 @@ object Graph {
     u.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
   }
 
+  /** Simple-graph symmetrization WITHOUT an |E|-keyed aggregate:
+    * requires the input to be UNIQUE directed pairs (self-loops are
+    * stripped); the reversed side keeps only pairs whose reverse is
+    * absent via a spill-safe anti join, so no giant distinct ever
+    * runs (the q_mis / 8g-heap x100 lesson — aggregates over |E|
+    * grouping keys can't spill their way out, joins can). Result set
+    * is identical to `union.distinct()`.
+    */
+  private def symmetrizeUnique(e0: DataFrame): DataFrame = {
+    val e = e0.select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
+    e.union(
+      e.select(col("dst").as("src"), col("src").as("dst"))
+        .join(e, Seq("src", "dst"), "left_anti"))
+  }
+
+  /** Coreness (k-core number) of every vertex by the h-index fixpoint
+    * iteration (Lü et al. 2016, "The H-index of a network node and its
+    * relation to degree and coreness"): start from degree; each round
+    * every vertex's value becomes the h-index of its neighbors'
+    * values (the largest h with ≥ h neighbors valued ≥ h) — values
+    * decrease monotonically to the exact coreness. `iters` is fixed
+    * (deterministic output; an unconverged value is a valid upper
+    * bound). Per round: one |E|-row join of the symmetrized edges
+    * against the O(|V|) value table, COMPRESSED to per-(node, value)
+    * counts before any window — h = max(least(cum_count, value)) over
+    * the cumulative-from-the-top counts is exactly the neighbor-rank
+    * h-index, but the windowed rows are bounded by distinct neighbor
+    * VALUES per node, which collapses toward the small coreness range
+    * after round 1 (the naive per-neighbor rank window re-sorts all
+    * |E| rows every round — measured 24×/decade at x100 before this).
+    * No |E|-keyed aggregate ([[symmetrizeUnique]]); nothing collected.
+    *
+    * @param edges UNIQUE directed pairs (the co-occurrence contract).
+    */
+  def coreness(edges: DataFrame, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val und = symmetrizeUnique(edges).localCheckpoint(true)
+    var v = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("v"))
+      .localCheckpoint(true)
+    (1 to iters).foreach { _ =>
+      val w = Window.partitionBy(col("src")).orderBy(col("nv").desc)
+      val next = und
+        .join(v.select(col("node").as("dst"), col("v").as("nv")), Seq("dst"))
+        .groupBy(col("src"), col("nv")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(w))
+        .groupBy(col("src").as("node"))
+        .agg(max(least(col("cum"), col("nv"))).as("v"))
+        .localCheckpoint(true)
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(v)
+      v = next
+    }
+    org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(und)
+    v
+  }
+
+  /** Deterministic Linear Threshold cascade (Kempe, Kleinberg &
+    * Tardos 2003 semantics with uniform 1/indeg weights and
+    * hash-assigned thresholds — no randomness, so the spread is an
+    * oracle-checkable number): seeds activate at round 0; a vertex
+    * activates when its active-in-neighbor count clears its ppm
+    * threshold under cross-multiplication
+    * (`n_active_in·10⁶ ≥ θ_ppm·indeg`). Runs a FIXED round count;
+    * returns (round, newly, active) per round. Per round: one |E|-row
+    * join against the active set + one node-keyed aggregate
+    * ([[symmetrizeUnique]] adjacency, in = symmetrized neighbors).
+    */
+  def ltmCascade(edges: DataFrame, seeds: DataFrame, rounds: Int,
+      thetaSalt: String): Seq[(Long, Long, Long)] = {
+    val und = symmetrizeUnique(edges).localCheckpoint(true)
+    val thr = und.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("indeg"))
+      .withColumn("theta_ppm",
+        TextOps.portableHash64(concat(lit(thetaSalt), col("node"))) % 1000000)
+      .localCheckpoint(true)
+    var active = seeds.select(col("node")).localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var nActive = active.count()
+    out += ((0L, nActive, nActive))
+    (1 to rounds).foreach { r =>
+      val activeIn = und
+        .join(active.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        .groupBy(col("dst").as("node")).agg(count(lit(1)).as("n_in"))
+      val newly = activeIn
+        .join(thr, "node")
+        .join(active, Seq("node"), "left_anti")
+        .filter(col("n_in") * 1000000L >= col("theta_ppm") * col("indeg"))
+        .select(col("node"))
+      val nextActive = active.union(newly).localCheckpoint(true)
+      val n = nextActive.count()
+      out += ((r.toLong, n - nActive, n))
+      nActive = n
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(active)
+      active = nextActive
+    }
+    org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(active)
+    org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(und)
+    org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(thr)
+    out.toSeq
+  }
+
   /** Densest-subgraph greedy peel (Bahmani, Kumar & Vassilvitskii
     * 2012, "Densest Subgraph in Streaming and MapReduce", ε = 1) on
     * the DIRECTED-MULTIPLICITY view of the input — an (a, b)/(b, a)
