@@ -5795,17 +5795,46 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** The binary en-vs-rest perceptron ("pcpt:", 64 buckets, 3 batch
+    * passes) trained ONCE per session: nine queries (q_perceptron,
+    * q_perceptron_avg, q_calibration, q_auc, q_brier, q_lift_gains,
+    * q_kappa, q_mcc, q_data_map at passes 1-3) consume this exact
+    * integer-deterministic model, so each was re-running the identical
+    * training jobs — the [[graft.ops.Classify.perceptronTrainTrajectory]]
+    * memo pays them once (the pq_books trained-codebook pattern).
+    * `pass` 1-3 reads the snapshot after that pass; `averaged` the
+    * Collins sum (pass-0 rows). Bit-identical to in-query training
+    * because the batch update never looks ahead; the model frame stays
+    * a driver-local relation, so every downstream broadcast join keeps
+    * its JoinLint bounded-by-construction proof.
+    */
+  private def pcptModel(spark: SparkSession, sfDir: String, pass: Int,
+      averaged: Boolean = false): (DataFrame, DataFrame) = {
+    val traj = graft.sources.SessionMemo(spark, ("pcpt_traj", sfDir)) {
+      graft.ops.Classify.perceptronTrainTrajectory(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("text"),
+          when(col("lang") === "en", 1L).otherwise(-1L).as("y")),
+        "y", "text", "pcpt:", 64, 3)
+    }
+    val p = if (averaged) 0 else pass
+    (traj.filter(col("pass") === p && col("bucket") >= 0)
+       .select(col("bucket"), col("w")),
+     traj.filter(col("pass") === p && col("bucket") === -1)
+       .select(col("w").as("b")))
+  }
+
   /** Batch-perceptron language discriminator
     * ([[graft.ops.Classify.perceptronTrain]]): y = +1 for English docs,
     * −1 otherwise; 3 exact-integer batch passes over 64 hashed buckets,
     * then every doc re-scored with the final weights. The oracle
     * replays TRAINING (all three unrolled passes), not just inference —
-    * only possible because no float ever enters the update.
+    * only possible because no float ever enters the update. Model from
+    * the session-shared [[pcptModel]] trajectory memo.
     */
   def perceptronQ(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"),
       when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
-    val (w, b) = graft.ops.Classify.perceptronTrain(d, "y", "text", "pcpt:", 64, 3)
+    val (w, b) = pcptModel(spark, sfDir, 3)
     graft.ops.Classify.perceptronScore(d, w, b, "doc_id", "text", "pcpt:", 64,
         carry = Seq("y"))
       .withColumn("hit", col("pred") === col("y"))
@@ -5825,7 +5854,7 @@ object Queries {
   def calibrationQ(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"),
       when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
-    val (w, b) = graft.ops.Classify.perceptronTrain(d, "y", "text", "pcpt:", 64, 3)
+    val (w, b) = pcptModel(spark, sfDir, 3)
     val scored = graft.ops.Classify.perceptronScore(d, w, b, "doc_id", "text",
       "pcpt:", 64, carry = Seq("y"))
     val mm = scored.agg(min(col("score")).as("mn"), max(col("score")).as("mx"))
@@ -5851,8 +5880,7 @@ object Queries {
   def perceptronAvgQ(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"),
       when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
-    val (w, b) = graft.ops.Classify.perceptronTrain(d, "y", "text", "pcpt:", 64, 3,
-      averaged = true)
+    val (w, b) = pcptModel(spark, sfDir, 3, averaged = true)
     graft.ops.Classify.perceptronScore(d, w, b, "doc_id", "text", "pcpt:", 64,
         carry = Seq("y"))
       .withColumn("hit", col("pred") === col("y"))
@@ -5928,11 +5956,34 @@ object Queries {
     * unrolled — 10 weight tables of pure integer sums — then the same
     * argmax; possible only because no float ever enters the update.
     */
+  /** The one-vs-rest language model ("povr:", 64 buckets, 2 averaged
+    * passes per label) trained ONCE per session: q_perceptron_ovr,
+    * q_label_noise and q_margin_sample consume this exact model
+    * ([[graft.ops.Classify.perceptronTrainOvr]] is integer-
+    * deterministic), so each was re-running the identical 5-label
+    * training — the same trained-model memo pattern as [[pcptModel]].
+    * Weights and biases ride ONE driver-local frame (bias at
+    * bucket = −1), so downstream broadcast joins keep their JoinLint
+    * bounded proofs.
+    */
+  private def povrModel(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val m = graft.sources.SessionMemo(spark, ("povr_model", sfDir)) {
+      val (w, b) = graft.ops.Classify.perceptronTrainOvr(
+        Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("lang"), col("text")),
+        "lang", "text", "povr:", 64, 2, averaged = true)
+      w.select(col("label"), col("bucket"), col("w"))
+        .unionByName(b.select(col("label"), lit(-1L).as("bucket"),
+          col("b").as("w")))
+    }
+    (m.filter(col("bucket") >= 0),
+     m.filter(col("bucket") === -1).select(col("label"), col("w").as("b")))
+  }
+
   def perceptronOvrQ(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("text"))
-    val (w, b) = graft.ops.Classify.perceptronTrainOvr(
-      d, "lang", "text", "povr:", 64, 2, averaged = true)
+    val (w, b) = povrModel(spark, sfDir)
     graft.ops.Classify.perceptronPredictOvr(
         d, w, b, "doc_id", "text", "povr:", 64, carry = Seq("lang"))
       .select(col("doc_id"), col("lang"), col("pred_label").as("pred_lang"),
@@ -6706,7 +6757,7 @@ object Queries {
     import org.apache.spark.sql.expressions.Window
     val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"),
       when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
-    val (wm, b) = graft.ops.Classify.perceptronTrain(d, "y", "text", "pcpt:", 64, 3)
+    val (wm, b) = pcptModel(spark, sfDir, 3)
     val fs = graft.ops.Classify.perceptronScore(d, wm, b, "doc_id", "text",
         "pcpt:", 64, carry = Seq("y"))
       .select(col("y"), col("score"))
@@ -8238,7 +8289,7 @@ object Queries {
     val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"),
       col("lang"), when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
     val scored = (1 to 3).map { p =>
-      val (w, b) = graft.ops.Classify.perceptronTrain(d, "y", "text", "pcpt:", 64, p)
+      val (w, b) = pcptModel(spark, sfDir, p)
       graft.ops.Classify.perceptronScore(d, w, b, "doc_id", "text", "pcpt:", 64,
           carry = Seq("lang", "y"))
         .select(col("doc_id"), col("lang"),
@@ -8702,8 +8753,7 @@ object Queries {
   def labelNoiseQ(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("text"))
-    val (w, b) = graft.ops.Classify.perceptronTrainOvr(
-      d, "lang", "text", "povr:", 64, 2, averaged = true)
+    val (w, b) = povrModel(spark, sfDir)
     val scores = graft.ops.Classify.perceptronScoresOvr(
       d, w, b, "doc_id", "text", "povr:", 64, carry = Seq("lang"))
     val thr = scores.filter(col("lang") === col("_m_label"))
@@ -8862,8 +8912,7 @@ object Queries {
     import org.apache.spark.sql.expressions.Window
     val d = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
-    val (w, b) = graft.ops.Classify.perceptronTrainOvr(
-      d, "lang", "text", "povr:", 64, 2, averaged = true)
+    val (w, b) = povrModel(spark, sfDir)
     val scores = graft.ops.Classify.perceptronScoresOvr(
       d, w, b, "doc_id", "text", "povr:", 64, carry = Seq("source"))
     val ww = Window.partitionBy(col("doc_id"))
@@ -9280,13 +9329,28 @@ object Queries {
     * reach count and total distance (the closeness numerator) per
     * root.
     */
+  /** Per-root hop distances of the 10 lowest-id roots over the part-
+    * adjacency graph ([[graft.ops.Graph.bfsDistancesPerSource]]),
+    * memoized per session: q_harmonic_centrality, q_closeness and
+    * q_eccentricity aggregate this EXACT table (same edges, same
+    * roots, same fixpoint), so each was re-running the identical
+    * multi-round BFS — the wedge_support shared-pass pattern. The
+    * result is already an eagerly-materialized localCheckpoint, so the
+    * memo just keeps it for the session (released between bench
+    * passes like every memo).
+    */
+  private def bfs10Distances(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.SessionMemo(spark, ("bfs10_dist", sfDir)) {
+      val e = partAdjacencyEdges(spark, sfDir).select(col("src"), col("dst"))
+      val nodes = e.filter(col("src") =!= col("dst"))
+      val roots = nodes.select(col("src").as("node"))
+        .union(nodes.select(col("dst").as("node")))
+        .distinct().orderBy(col("node")).limit(10)
+      graft.ops.Graph.bfsDistancesPerSource(e, roots)
+    }
+
   def harmonicCentralityQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = partAdjacencyEdges(spark, sfDir).select(col("src"), col("dst"))
-    val nodes = e.filter(col("src") =!= col("dst"))
-    val roots = nodes.select(col("src").as("node"))
-      .union(nodes.select(col("dst").as("node")))
-      .distinct().orderBy(col("node")).limit(10)
-    graft.ops.Graph.bfsDistancesPerSource(e, roots)
+    bfs10Distances(spark, sfDir)
       .filter(col("d") > 0)
       .groupBy(col("root"))
       .agg(count(lit(1)).as("n_reached"), sum(col("d")).as("sum_d"),
@@ -12405,9 +12469,8 @@ object Queries {
     val nodes = e.filter(col("src") =!= col("dst"))
     val allNodes = nodes.select(col("src").as("node"))
       .union(nodes.select(col("dst").as("node"))).distinct()
-    val roots = allNodes.orderBy(col("node")).limit(10)
     val nTotal = allNodes.groupBy().agg(count(lit(1)).as("n_total"))
-    graft.ops.Graph.bfsDistancesPerSource(e, roots)
+    bfs10Distances(spark, sfDir)
       .filter(col("d") > 0)
       .groupBy(col("root"))
       .agg(count(lit(1)).as("n_reached"), sum(col("d")).as("sum_d"))
@@ -12527,7 +12590,7 @@ object Queries {
     val d38 = "decimal(38,0)"
     val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"),
       when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
-    val (w, b) = graft.ops.Classify.perceptronTrain(d, "y", "text", "pcpt:", 64, 3)
+    val (w, b) = pcptModel(spark, sfDir, 3)
     val scored = graft.ops.Classify.perceptronScore(d, w, b, "doc_id", "text",
       "pcpt:", 64, carry = Seq("y"))
     val mm = scored.agg(min(col("score")).as("mn"), max(col("score")).as("mx"))
@@ -12559,7 +12622,7 @@ object Queries {
     import org.apache.spark.sql.expressions.Window
     val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"),
       when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
-    val (w, b) = graft.ops.Classify.perceptronTrain(d, "y", "text", "pcpt:", 64, 3)
+    val (w, b) = pcptModel(spark, sfDir, 3)
     val scored = graft.ops.Classify.perceptronScore(d, w, b, "doc_id", "text",
       "pcpt:", 64, carry = Seq("y"))
     val mm = scored.agg(min(col("score")).as("mn"), max(col("score")).as("mx"))
@@ -13020,7 +13083,7 @@ object Queries {
     val d38 = "decimal(38,0)"
     val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"),
       when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
-    val (w, b) = graft.ops.Classify.perceptronTrain(d, "y", "text", "pcpt:", 64, 3)
+    val (w, b) = pcptModel(spark, sfDir, 3)
     graft.ops.Classify.perceptronScore(d, w, b, "doc_id", "text", "pcpt:", 64,
         carry = Seq("y"))
       .groupBy()
@@ -13045,7 +13108,7 @@ object Queries {
   def mccQ(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"),
       when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
-    val (w, b) = graft.ops.Classify.perceptronTrain(d, "y", "text", "pcpt:", 64, 3)
+    val (w, b) = pcptModel(spark, sfDir, 3)
     graft.ops.Classify.perceptronScore(d, w, b, "doc_id", "text", "pcpt:", 64,
         carry = Seq("y"))
       .groupBy()
@@ -13147,12 +13210,7 @@ object Queries {
     * window.
     */
   def eccentricityQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = partAdjacencyEdges(spark, sfDir).select(col("src"), col("dst"))
-    val nodes = e.filter(col("src") =!= col("dst"))
-    val allNodes = nodes.select(col("src").as("node"))
-      .union(nodes.select(col("dst").as("node"))).distinct()
-    val roots = allNodes.orderBy(col("node")).limit(10)
-    val perRoot = graft.ops.Graph.bfsDistancesPerSource(e, roots)
+    val perRoot = bfs10Distances(spark, sfDir)
       .filter(col("d") > 0)
       .groupBy(col("root"))
       .agg(count(lit(1)).as("n_reached"), max(col("d")).as("ecc"))

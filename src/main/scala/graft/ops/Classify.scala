@@ -222,13 +222,36 @@ object Classify {
     */
   private def trainLoop(counts: DataFrame, iters: Int,
       averaged: Boolean): (Map[Long, Long], Long) = {
+    val snaps = trainSnapshots(counts, iters)
+    if (snaps.isEmpty) (Map.empty, 0L)
+    else if (averaged) (sumW(snaps.map(_._2)), snaps.map(_._3).sum)
+    else (snaps.last._2, snaps.last._3)
+  }
+
+  /** Key-wise sum of weight maps (the Collins average at integer
+    * scale — identical to the running wSum the loop used to keep).
+    */
+  private def sumW(ws: Seq[Map[Long, Long]]): Map[Long, Long] =
+    ws.foldLeft(Map.empty[Long, Long]) { (acc, w) =>
+      (acc.keySet ++ w.keySet).map(k =>
+        k -> (acc.getOrElse(k, 0L) + w.getOrElse(k, 0L))).toMap
+    }
+
+  /** Per-pass snapshots of the batch-perceptron state: (pass, w, b)
+    * after each pass 1..iters. Pass p's entry is bit-identical to what
+    * `trainLoop(counts, p, averaged = false)` returns, because the
+    * batch update never looks ahead — which is what lets N queries that
+    * train the same model at different budgets share ONE training run
+    * (see [[perceptronTrainTrajectory]]).
+    */
+  private def trainSnapshots(counts: DataFrame,
+      iters: Int): Seq[(Int, Map[Long, Long], Long)] = {
     val spark = counts.sparkSession
     import spark.implicits._
     var w = Map.empty[Long, Long]
     var b = 0L
-    var wSum = Map.empty[Long, Long]
-    var bSum = 0L
-    for (_ <- 1 to iters) {
+    val snaps = scala.collection.mutable.ArrayBuffer.empty[(Int, Map[Long, Long], Long)]
+    for (i <- 1 to iters) {
       val wDf = broadcast(w.toSeq.toDF("bucket", "w"))
       val mis = counts.join(wDf, Seq("bucket"), "left")
         .groupBy(col("doc_id"), col("y"))
@@ -242,11 +265,35 @@ object Classify {
       w = (w.keySet ++ grad.keySet).map(k =>
         k -> (w.getOrElse(k, 0L) + grad.getOrElse(k, 0L))).toMap
       b += bGrad
-      wSum = (wSum.keySet ++ w.keySet).map(k =>
-        k -> (wSum.getOrElse(k, 0L) + w.getOrElse(k, 0L))).toMap
-      bSum += b
+      snaps += ((i, w, b))
     }
-    if (averaged) (wSum, bSum) else (w, b)
+    snaps.toSeq
+  }
+
+  /** Full training trajectory as ONE local model frame: rows
+    * (pass, bucket, w) for each pass 1..iters, the bias riding at
+    * bucket = −1, plus the Collins-averaged model (key-wise sum of the
+    * per-pass vectors) at pass 0. Each pass's rows are bit-identical to
+    * [[perceptronTrain]] run with that iteration budget, and pass 0 to
+    * `averaged = true` — so queries that train the same model at
+    * different budgets (or averaged) can share ONE training run via a
+    * caller-side memo instead of re-running the identical integer jobs.
+    */
+  def perceptronTrainTrajectory(train: DataFrame, yCol: String,
+      textCol: String, salt: String, buckets: Int, iters: Int): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    val counts = tokenBucketCounts(
+        train.select(col("doc_id"), col(yCol).as("y"), col(textCol).as("text")),
+        "doc_id", "text", salt, buckets, carry = Seq("y"))
+      .repartition(col("doc_id"))
+      .persist()
+    val snaps = trainSnapshots(counts, iters)
+    counts.unpersist()
+    val all = snaps :+ ((0, sumW(snaps.map(_._2)), snaps.map(_._3).sum))
+    all.flatMap { case (p, w, b) =>
+      w.toSeq.sortBy(_._1).map { case (bk, wv) => (p, bk, wv) } :+ ((p, -1L, b))
+    }.toDF("pass", "bucket", "w")
   }
 
   /** ONE-VS-REST multi-class perceptron over the SAME persisted count

@@ -33,9 +33,17 @@ object Graph {
     *              and parallel-summed internally.
     */
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    // The symmetrized weight-summed edge table feeds EVERY round's join:
+    // checkpointed once (eager) instead of re-running the |E| union +
+    // aggregate per round inside the lazy chain. The labels chain itself
+    // is linear (each round references the previous exactly once), so it
+    // stays lazy — one job, no per-round barrier. The checkpoint stays
+    // reachable from the returned frame (the brandes delta-table
+    // convention: result-backing checkpoints are the caller's to drop).
     val und = edges.select(col("src"), col("dst"), col("w"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .localCheckpoint(true)
     var labels = und.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     for (_ <- 1 to iters) {
@@ -606,19 +614,37 @@ object Graph {
     *              edges pre-aggregated.
     */
   def hits(edges: DataFrame, iters: Int, scale: Long = 1000000L): DataFrame = {
+    // Every half-round's score table is an eagerly-released
+    // localCheckpoint: `rescale` references its input TWICE (the round
+    // max + the join), so a lazy chain re-evaluates the previous table
+    // 2× per half-round — 2^(2·iters) recomputations of the deepest
+    // subtree (measured 8.7 s for iters = 2 at sf0.1; ~2.5 s
+    // checkpointed). The kCore loop discipline: superseded checkpoints
+    // released as soon as their successor materializes; the two final
+    // tables back the returned join.
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct()
-    def rescale(raw: DataFrame, key: String, out: String): DataFrame = {
+      .localCheckpoint(true)
+    def rescale(raw0: DataFrame, key: String, out: String): DataFrame = {
+      // raw is referenced twice (round max + the rescale join): one
+      // |V|-sized checkpoint keeps the |E|-join push aggregate behind it
+      // to a single evaluation, released as soon as the result exists
+      val raw = raw0.localCheckpoint(true)
       val mx = raw.agg(max(col("r")).as("mx"))
-      nodes.join(raw.withColumnRenamed(key, "node"), Seq("node"), "left")
+      val res = nodes.join(raw.withColumnRenamed(key, "node"), Seq("node"), "left")
         .crossJoin(broadcast(mx))
         .select(col("node"),
           expr(s"(cast(coalesce(r, 0) as decimal(38,0)) * $scale) div mx")
             .as(out))
+        .localCheckpoint(true)
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(raw)
+      res
     }
     var hub = nodes.withColumn("hub", lit(scale))
     var auth = nodes.withColumn("auth", lit(0L))
+    var hubOwned = false
+    var authOwned = false
     for (_ <- 1 to iters) {
       // The push sum stays in LONG: scores are ≤ 10⁶ by construction,
       // so it overflows only past a 9·10¹² weighted in-degree — and
@@ -626,17 +652,28 @@ object Graph {
       // |E|-sized aggregate out of decimal is a measured ~2× on the
       // whole operator (x100 soak); only the |V|-sized rescale
       // multiply widens to decimal.
-      auth = rescale(
+      val a2 = rescale(
         edges.join(hub, edges("src") === hub("node"))
           .groupBy(col("dst"))
           .agg(sum(col("hub") * col("w")).as("r")),
         "dst", "auth")
-      hub = rescale(
+      if (authOwned) org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(auth)
+      auth = a2
+      authOwned = true
+      val h2 = rescale(
         edges.join(auth, edges("dst") === auth("node"))
           .groupBy(col("src"))
           .agg(sum(col("auth") * col("w")).as("r")),
         "src", "hub")
+      if (hubOwned) org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(hub)
+      hub = h2
+      hubOwned = true
     }
+    // after the last half-round the node spine is no longer reachable
+    // from the (checkpointed) hub/auth tables — release it, unless no
+    // round ran and the lazy initial tables still read it
+    if (iters >= 1)
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(nodes)
     hub.join(auth, "node")
   }
 
