@@ -5808,13 +5808,30 @@ object Queries {
     * a driver-local relation, so every downstream broadcast join keeps
     * its JoinLint bounded-by-construction proof.
     */
+  /** Hashed "pcpt:" bag-of-words count table (doc_id, lang, y, bucket,
+    * n), doc_id-partitioned and persisted once per session: training
+    * (the [[pcptModel]] trajectory, q_cross_val's folds) and every
+    * binary-perceptron scoring pass read this ONE featurize pass —
+    * each consumer was re-tokenizing the corpus. The carry columns are
+    * functionally dependent on doc_id, so a consumer grouping by any
+    * subset sees identical groups ([[graft.ops.Classify
+    * .perceptronScoreOnCounts]]).
+    */
+  private def pcptCounts(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.SessionMemo(spark, ("pcpt_counts", sfDir)) {
+      graft.ops.Classify.tokenBucketCounts(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"),
+          col("text"), when(col("lang") === "en", 1L).otherwise(-1L).as("y")),
+        "doc_id", "text", "pcpt:", 64, carry = Seq("lang", "y"))
+        .repartition(col("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   private def pcptModel(spark: SparkSession, sfDir: String, pass: Int,
       averaged: Boolean = false): (DataFrame, DataFrame) = {
     val traj = graft.sources.SessionMemo(spark, ("pcpt_traj", sfDir)) {
-      graft.ops.Classify.perceptronTrainTrajectory(
-        Tables.documents(spark, sfDir).select(col("doc_id"), col("text"),
-          when(col("lang") === "en", 1L).otherwise(-1L).as("y")),
-        "y", "text", "pcpt:", 64, 3)
+      graft.ops.Classify.perceptronTrainTrajectoryOnCounts(
+        pcptCounts(spark, sfDir), 3)
     }
     val p = if (averaged) 0 else pass
     (traj.filter(col("pass") === p && col("bucket") >= 0)
@@ -5832,11 +5849,9 @@ object Queries {
     * the session-shared [[pcptModel]] trajectory memo.
     */
   def perceptronQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"),
-      when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
     val (w, b) = pcptModel(spark, sfDir, 3)
-    graft.ops.Classify.perceptronScore(d, w, b, "doc_id", "text", "pcpt:", 64,
-        carry = Seq("y"))
+    graft.ops.Classify.perceptronScoreOnCounts(pcptCounts(spark, sfDir), w, b,
+        "doc_id", Seq("lang", "y"), Seq("y"))
       .withColumn("hit", col("pred") === col("y"))
       .orderBy(col("doc_id"))
   }
@@ -5852,11 +5867,9 @@ object Queries {
     * consumes.
     */
   def calibrationQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"),
-      when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
     val (w, b) = pcptModel(spark, sfDir, 3)
-    val scored = graft.ops.Classify.perceptronScore(d, w, b, "doc_id", "text",
-      "pcpt:", 64, carry = Seq("y"))
+    val scored = graft.ops.Classify.perceptronScoreOnCounts(
+      pcptCounts(spark, sfDir), w, b, "doc_id", Seq("lang", "y"), Seq("y"))
     val mm = scored.agg(min(col("score")).as("mn"), max(col("score")).as("mx"))
     scored.crossJoin(broadcast(mm))
       .select(col("y"), col("score"),
@@ -5878,11 +5891,9 @@ object Queries {
     * as q_perceptron.
     */
   def perceptronAvgQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"),
-      when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
     val (w, b) = pcptModel(spark, sfDir, 3, averaged = true)
-    graft.ops.Classify.perceptronScore(d, w, b, "doc_id", "text", "pcpt:", 64,
-        carry = Seq("y"))
+    graft.ops.Classify.perceptronScoreOnCounts(pcptCounts(spark, sfDir), w, b,
+        "doc_id", Seq("lang", "y"), Seq("y"))
       .withColumn("hit", col("pred") === col("y"))
       .orderBy(col("doc_id"))
   }
@@ -5966,12 +5977,26 @@ object Queries {
     * bucket = −1), so downstream broadcast joins keep their JoinLint
     * bounded proofs.
     */
+  /** Hashed "povr:" count table (doc_id, lang, source, bucket, n),
+    * doc_id-partitioned and persisted once per session — the OvR
+    * family's single featurize pass (training + all three scoring
+    * passes), the [[pcptCounts]] twin.
+    */
+  private def povrCounts(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.SessionMemo(spark, ("povr_counts", sfDir)) {
+      graft.ops.Classify.tokenBucketCounts(
+        Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("lang"), col("source"), col("text")),
+        "doc_id", "text", "povr:", 64, carry = Seq("lang", "source"))
+        .repartition(col("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   private def povrModel(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     val m = graft.sources.SessionMemo(spark, ("povr_model", sfDir)) {
-      val (w, b) = graft.ops.Classify.perceptronTrainOvr(
-        Tables.documents(spark, sfDir)
-          .select(col("doc_id"), col("lang"), col("text")),
-        "lang", "text", "povr:", 64, 2, averaged = true)
+      val (w, b) = graft.ops.Classify.perceptronTrainOvrOnCounts(
+        povrCounts(spark, sfDir).withColumnRenamed("lang", "label"),
+        2, averaged = true)
       w.select(col("label"), col("bucket"), col("w"))
         .unionByName(b.select(col("label"), lit(-1L).as("bucket"),
           col("b").as("w")))
@@ -5981,11 +6006,13 @@ object Queries {
   }
 
   def perceptronOvrQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("lang"), col("text"))
     val (w, b) = povrModel(spark, sfDir)
-    graft.ops.Classify.perceptronPredictOvr(
-        d, w, b, "doc_id", "text", "povr:", 64, carry = Seq("lang"))
+    graft.ops.Classify.perceptronScoresOvrOnCounts(
+        povrCounts(spark, sfDir), w, b, "doc_id", Seq("lang", "source"),
+        Seq("lang"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(min(struct((-col("score")).as("neg"), col("_m_label"))).as("best"))
+      .select(col("doc_id"), col("lang"), col("best._m_label").as("pred_label"))
       .select(col("doc_id"), col("lang"), col("pred_label").as("pred_lang"),
         (col("lang") === col("pred_label")).as("hit"))
       .orderBy(col("doc_id"))
@@ -6755,11 +6782,9 @@ object Queries {
     */
   def aucQ(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"),
-      when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
     val (wm, b) = pcptModel(spark, sfDir, 3)
-    val fs = graft.ops.Classify.perceptronScore(d, wm, b, "doc_id", "text",
-        "pcpt:", 64, carry = Seq("y"))
+    val fs = graft.ops.Classify.perceptronScoreOnCounts(
+        pcptCounts(spark, sfDir), wm, b, "doc_id", Seq("lang", "y"), Seq("y"))
       .select(col("y"), col("score"))
     val sup = fs.groupBy(col("score").as("s"))
       .agg(count(lit(1)).as("ct"),
@@ -8286,12 +8311,10 @@ object Queries {
     * hashed-count table, so the corpus is tokenized once.
     */
   def dataMapQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"),
-      col("lang"), when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
     val scored = (1 to 3).map { p =>
       val (w, b) = pcptModel(spark, sfDir, p)
-      graft.ops.Classify.perceptronScore(d, w, b, "doc_id", "text", "pcpt:", 64,
-          carry = Seq("lang", "y"))
+      graft.ops.Classify.perceptronScoreOnCounts(pcptCounts(spark, sfDir), w, b,
+          "doc_id", Seq("lang", "y"), Seq("lang", "y"))
         .select(col("doc_id"), col("lang"),
           (col("y") * col("score") > 0).as(s"c$p"))
     }
@@ -8751,11 +8774,13 @@ object Queries {
     * label-bounded threshold table, one doc-keyed argmax.
     */
   def labelNoiseQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("lang"), col("text"))
     val (w, b) = povrModel(spark, sfDir)
-    val scores = graft.ops.Classify.perceptronScoresOvr(
-      d, w, b, "doc_id", "text", "povr:", 64, carry = Seq("lang"))
+    // the score table feeds BOTH the threshold aggregate and the join —
+    // one (5 rows/doc)-bounded checkpoint instead of two scoring passes
+    val scores = graft.ops.Classify.perceptronScoresOvrOnCounts(
+      povrCounts(spark, sfDir), w, b, "doc_id", Seq("lang", "source"),
+      Seq("lang"))
+      .localCheckpoint(true)
     val thr = scores.filter(col("lang") === col("_m_label"))
       .groupBy(col("_m_label"))
       .agg(sum(col("score")).as("ts"), count(lit(1)).as("tn"))
@@ -8910,11 +8935,10 @@ object Queries {
     */
   def marginSampleQ(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("lang"), col("source"), col("text"))
     val (w, b) = povrModel(spark, sfDir)
-    val scores = graft.ops.Classify.perceptronScoresOvr(
-      d, w, b, "doc_id", "text", "povr:", 64, carry = Seq("source"))
+    val scores = graft.ops.Classify.perceptronScoresOvrOnCounts(
+      povrCounts(spark, sfDir), w, b, "doc_id", Seq("lang", "source"),
+      Seq("source"))
     val ww = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("_m_label"))
     val margins = scores.withColumn("rn", row_number().over(ww))
@@ -12588,11 +12612,9 @@ object Queries {
     */
   def brierQ(spark: SparkSession, sfDir: String): DataFrame = {
     val d38 = "decimal(38,0)"
-    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"),
-      when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
     val (w, b) = pcptModel(spark, sfDir, 3)
-    val scored = graft.ops.Classify.perceptronScore(d, w, b, "doc_id", "text",
-      "pcpt:", 64, carry = Seq("y"))
+    val scored = graft.ops.Classify.perceptronScoreOnCounts(
+      pcptCounts(spark, sfDir), w, b, "doc_id", Seq("lang", "y"), Seq("y"))
     val mm = scored.agg(min(col("score")).as("mn"), max(col("score")).as("mx"))
     val bk = scored.crossJoin(broadcast(mm))
       .select(col("y"), expr("(score - mn) * 10 div (mx - mn + 1)").as("bucket"))
@@ -12620,11 +12642,9 @@ object Queries {
     */
   def liftGainsQ(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"),
-      when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
     val (w, b) = pcptModel(spark, sfDir, 3)
-    val scored = graft.ops.Classify.perceptronScore(d, w, b, "doc_id", "text",
-      "pcpt:", 64, carry = Seq("y"))
+    val scored = graft.ops.Classify.perceptronScoreOnCounts(
+      pcptCounts(spark, sfDir), w, b, "doc_id", Seq("lang", "y"), Seq("y"))
     val mm = scored.agg(min(col("score")).as("mn"), max(col("score")).as("mx"))
     val bk = scored.crossJoin(broadcast(mm))
       .select(col("y"), expr("(score - mn) * 10 div (mx - mn + 1)").as("bucket"))
@@ -12955,14 +12975,18 @@ object Queries {
     * replays all three unrolled chains. Exact integers end to end.
     */
   def crossValQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"),
-      when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
+    // ONE shared featurize pass ([[pcptCounts]]): each fold trains on a
+    // filter of the persisted count table and scores the held-out
+    // filter — tokenizing commutes with the doc_id-mod filter, so the
+    // fold models and scores are bit-identical to the per-fold
+    // tokenize-train-score chain this replaced (3 corpus passes gone).
+    val counts = pcptCounts(spark, sfDir)
     (0 to 2).map { k =>
-      val (w, b) = graft.ops.Classify.perceptronTrain(
-        d.filter(col("doc_id") % 3 =!= k), "y", "text", "pcpt:", 64, 3)
-      graft.ops.Classify.perceptronScore(
-          d.filter(col("doc_id") % 3 === k), w, b, "doc_id", "text", "pcpt:", 64,
-          carry = Seq("y"))
+      val (w, b) = graft.ops.Classify.perceptronTrainOnCounts(
+        counts.filter(col("doc_id") % 3 =!= k), 3)
+      graft.ops.Classify.perceptronScoreOnCounts(
+          counts.filter(col("doc_id") % 3 === k), w, b, "doc_id",
+          Seq("lang", "y"), Seq("y"))
         .groupBy()
         .agg(count(lit(1)).as("n_test"),
           sum(when(col("pred") === col("y"), 1L).otherwise(0L)).as("n_correct"))
@@ -13081,11 +13105,9 @@ object Queries {
     */
   def kappaQ(spark: SparkSession, sfDir: String): DataFrame = {
     val d38 = "decimal(38,0)"
-    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"),
-      when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
     val (w, b) = pcptModel(spark, sfDir, 3)
-    graft.ops.Classify.perceptronScore(d, w, b, "doc_id", "text", "pcpt:", 64,
-        carry = Seq("y"))
+    graft.ops.Classify.perceptronScoreOnCounts(pcptCounts(spark, sfDir), w, b,
+        "doc_id", Seq("lang", "y"), Seq("y"))
       .groupBy()
       .agg(count(lit(1)).cast(d38).as("n"),
         sum(when(col("pred") === col("y"), 1L).otherwise(0L)).cast(d38).as("agree"),
@@ -13106,11 +13128,9 @@ object Queries {
     * IEEE four-sqrt product floored at e6 on both engines.
     */
   def mccQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"),
-      when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
     val (w, b) = pcptModel(spark, sfDir, 3)
-    graft.ops.Classify.perceptronScore(d, w, b, "doc_id", "text", "pcpt:", 64,
-        carry = Seq("y"))
+    graft.ops.Classify.perceptronScoreOnCounts(pcptCounts(spark, sfDir), w, b,
+        "doc_id", Seq("lang", "y"), Seq("y"))
       .groupBy()
       .agg(sum(when(col("y") === 1L && col("pred") === 1L, 1L).otherwise(0L)).as("tp"),
         sum(when(col("y") === -1L && col("pred") === -1L, 1L).otherwise(0L)).as("tn"),

@@ -253,24 +253,38 @@ object Classify {
     val snaps = scala.collection.mutable.ArrayBuffer.empty[(Int, Map[Long, Long], Long)]
     for (i <- 1 to iters) {
       val wDf = broadcast(w.toSeq.toDF("bucket", "w"))
+      // The misclassified set feeds TWO readouts (the per-bucket
+      // gradient join and the bias sum): one |mis|-row checkpoint keeps
+      // the score pass (scan + model join + doc aggregate) to a single
+      // evaluation per training pass instead of two, released as soon
+      // as both gradients are on the driver.
       val mis = counts.join(wDf, Seq("bucket"), "left")
         .groupBy(col("doc_id"), col("y"))
         .agg(sum(col("n") * coalesce(col("w"), lit(0L))).as("sw"))
         .filter(col("y") * (col("sw") + lit(b)) <= 0)
-      val grad = counts.join(mis.select(col("doc_id")), Seq("doc_id"))
+        .select(col("doc_id"), col("y"))
+        .localCheckpoint(true)
+      // one collect for both gradients: the bias rides the per-bucket
+      // table as a bucket = −1 row (buckets are non-negative)
+      val gs = counts.join(mis.select(col("doc_id")), Seq("doc_id"))
         .groupBy(col("bucket")).agg(sum(col("y") * col("n")).as("g"))
+        .unionByName(mis.agg(coalesce(sum(col("y")), lit(0L)).as("g"))
+          .select(lit(-1L).as("bucket"), col("g")))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val bGrad = mis.agg(coalesce(sum(col("y")), lit(0L)))
-        .collect()(0).getLong(0)
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(mis)
+      val grad = gs - (-1L)
       w = (w.keySet ++ grad.keySet).map(k =>
         k -> (w.getOrElse(k, 0L) + grad.getOrElse(k, 0L))).toMap
-      b += bGrad
+      b += gs(-1L)
       snaps += ((i, w, b))
     }
     snaps.toSeq
   }
 
-  /** Full training trajectory as ONE local model frame: rows
+  /** Full training trajectory over a PREBUILT count table (the
+    * [[tokenBucketCounts]] output with at least (doc_id, y, bucket, n);
+    * extra functionally-dependent carry columns are harmless to the
+    * doc-keyed aggregates) as ONE local model frame: rows
     * (pass, bucket, w) for each pass 1..iters, the bias riding at
     * bucket = −1, plus the Collins-averaged model (key-wise sum of the
     * per-pass vectors) at pass 0. Each pass's rows are bit-identical to
@@ -279,21 +293,62 @@ object Classify {
     * different budgets (or averaged) can share ONE training run via a
     * caller-side memo instead of re-running the identical integer jobs.
     */
-  def perceptronTrainTrajectory(train: DataFrame, yCol: String,
-      textCol: String, salt: String, buckets: Int, iters: Int): DataFrame = {
-    val spark = train.sparkSession
+  def perceptronTrainTrajectoryOnCounts(counts: DataFrame,
+      iters: Int): DataFrame = {
+    val spark = counts.sparkSession
     import spark.implicits._
-    val counts = tokenBucketCounts(
-        train.select(col("doc_id"), col(yCol).as("y"), col(textCol).as("text")),
-        "doc_id", "text", salt, buckets, carry = Seq("y"))
-      .repartition(col("doc_id"))
-      .persist()
     val snaps = trainSnapshots(counts, iters)
-    counts.unpersist()
     val all = snaps :+ ((0, sumW(snaps.map(_._2)), snaps.map(_._3).sum))
     all.flatMap { case (p, w, b) =>
       w.toSeq.sortBy(_._1).map { case (bk, wv) => (p, bk, wv) } :+ ((p, -1L, b))
     }.toDF("pass", "bucket", "w")
+  }
+
+  /** [[perceptronTrain]] minus the featurize step: train over a
+    * prebuilt (possibly filtered) count table — the 3-fold CV shape,
+    * where one shared persisted table serves every fold's training and
+    * scoring instead of three tokenize passes.
+    */
+  def perceptronTrainOnCounts(counts: DataFrame, iters: Int,
+      averaged: Boolean = false): (DataFrame, DataFrame) = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val (fw, fb) = trainLoop(counts, iters, averaged)
+    (fw.toSeq.sortBy(_._1).toDF("bucket", "w"), Seq(fb).toDF("b"))
+  }
+
+  /** [[perceptronScore]] minus the featurize step: identical rows when
+    * the count table was built from the same docs, because grouping by
+    * a SUPERSET of functionally-dependent carry columns cannot split a
+    * (doc, bucket) group; `carryOut` projects the caller's contract.
+    */
+  def perceptronScoreOnCounts(counts: DataFrame, weights: DataFrame,
+      bias: DataFrame, idCol: String, groupCarry: Seq[String],
+      carryOut: Seq[String]): DataFrame =
+    counts.join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy(col(idCol) +: groupCarry.map(col): _*)
+      .agg(sum(col("n") * coalesce(col("w"), lit(0L))).as("sw"))
+      .crossJoin(broadcast(bias))
+      .select(col(idCol) +: carryOut.map(col) :+
+        (col("sw") + col("b")).as("score") :+
+        when(col("sw") + col("b") > 0, 1L).otherwise(-1L).as("pred"): _*)
+
+  /** [[perceptronScoresOvr]] minus the featurize step (same superset-
+    * carry argument as [[perceptronScoreOnCounts]]). */
+  def perceptronScoresOvrOnCounts(counts: DataFrame, weights: DataFrame,
+      biases: DataFrame, idCol: String, groupCarry: Seq[String],
+      carryOut: Seq[String]): DataFrame = {
+    val wts = weights.select(col("bucket"), col("label").as("_m_label"), col("w"))
+    val bs = biases.select(col("label").as("_m_label"), col("b"))
+    val matched = counts.join(broadcast(wts), Seq("bucket"))
+      .groupBy(col(idCol), col("_m_label"))
+      .agg(sum(col("n") * col("w")).as("sw"))
+    val ids = counts.groupBy(col(idCol) +: groupCarry.map(col): _*)
+      .agg(count(lit(1)).as("_nb")).drop("_nb")
+    ids.crossJoin(broadcast(bs))
+      .join(matched, Seq(idCol, "_m_label"), "left")
+      .select(col(idCol) +: carryOut.map(col) :+ col("_m_label") :+
+        (coalesce(col("sw"), lit(0L)) + col("b")).as("score"): _*)
   }
 
   /** ONE-VS-REST multi-class perceptron over the SAME persisted count
@@ -319,6 +374,19 @@ object Classify {
         "doc_id", "text", salt, buckets, carry = Seq("label"))
       .repartition(col("doc_id"))
       .persist()
+    val r = perceptronTrainOvrOnCounts(counts, iters, averaged)
+    counts.unpersist()
+    r
+  }
+
+  /** [[perceptronTrainOvr]] minus the featurize step: the count table
+    * must carry a `label` column (extra functionally-dependent carry
+    * columns are harmless to the doc-keyed training aggregates).
+    */
+  def perceptronTrainOvrOnCounts(counts: DataFrame, iters: Int,
+      averaged: Boolean = true): (DataFrame, DataFrame) = {
+    val spark = counts.sparkSession
+    import spark.implicits._
     val labels = counts.select(col("label")).distinct()
       .collect().map(_.getString(0)).sorted
     val models = labels.map { l =>
@@ -326,7 +394,6 @@ object Classify {
         when(col("label") === lit(l), 1L).otherwise(-1L))
       l -> trainLoop(lc, iters, averaged)
     }
-    counts.unpersist()
     val weights = models.toSeq.flatMap { case (l, (w, _)) =>
       w.toSeq.sortBy(_._1).map { case (bk, wv) => (l, bk, wv) }
     }.toDF("label", "bucket", "w")
