@@ -5738,13 +5738,25 @@ object Queries {
     * type-sized table, so no document is ever re-encoded
     * per-occurrence.
     */
+  /** The 8-merge-encoded word-TYPE dictionary (word, freq,
+    * n_subwords), memoized per session: q_bpe_encode and
+    * q_bpe_compression join the corpus against this exact table, so
+    * each was re-running the identical 8-pass merge chain over the
+    * symbol table ([[graft.ops.Bpe.encodeTypes]] is deterministic).
+    */
+  private def bpeEncTypes(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.SessionMemo(spark, ("bpe_enc_types", sfDir)) {
+      val merges = bpeMerges8(spark, sfDir)
+        .orderBy(col("merge_rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.ops.Bpe.encodeTypes(
+        graft.ops.Bpe.wordTypes(Tables.documents(spark, sfDir), "text"), merges)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   def bpeEncodeQ(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val merges = bpeMerges8(spark, sfDir)
-      .orderBy(col("merge_rank")).collect()
-      .map(r => (r.getString(1), r.getString(2))).toSeq
-    val enc = graft.ops.Bpe.encodeTypes(
-      graft.ops.Bpe.wordTypes(docs, "text"), merges)
+    val enc = bpeEncTypes(spark, sfDir)
     docs.select(col("doc_id"),
         explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
       .filter(length(col("word")) >= 1)
@@ -6612,11 +6624,7 @@ object Queries {
     * of the edge list.
     */
   def modularityQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val raw = partAdjacencyEdges(spark, sfDir)
-      .filter(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .distinct()
+    val raw = adjPairs(spark, sfDir)
     val brand = Tables.part(spark, sfDir)
       .select(col("p_partkey"), col("p_brand"))
     val e = raw
@@ -6650,11 +6658,7 @@ object Queries {
     * scan of the edge list, no per-k recomputation.
     */
   def richClubQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val und = partAdjacencyEdges(spark, sfDir)
-      .filter(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .distinct()
+    val und = adjPairs(spark, sfDir)
     val deg = und.select(col("a").as("node"))
       .union(und.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -7474,6 +7478,19 @@ object Queries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** Canonical (a < b) distinct pair view of [[undEdges]] (identical
+    * set: the symmetrized table holds both orientations of every pair,
+    * so the a < b half IS distinct(least, greatest)), memoized —
+    * q_modularity, q_conductance, q_richclub and q_matching all start
+    * from this exact table, and each was re-running the |E| distinct.
+    */
+  private def adjPairs(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.SessionMemo(spark, ("adj_pairs", sfDir)) {
+      undEdges(spark, sfDir).filter(col("src") < col("dst"))
+        .select(col("src").as("a"), col("dst").as("b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   /** Edge triangle-support table (oriented (a,b) with a<b, s = common
     * neighbors) over [[undEdges]] — the wedge equi-join is the single
     * most expensive graph pass here, and THREE queries need exactly
@@ -7518,11 +7535,7 @@ object Queries {
     * actually isolate; one edge scan, two bounded aggregates.
     */
   def conductanceQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val raw = partAdjacencyEdges(spark, sfDir)
-      .filter(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .distinct()
+    val raw = adjPairs(spark, sfDir)
     val brand = Tables.part(spark, sfDir)
       .select(col("p_partkey"), col("p_brand"))
     val e = raw
@@ -8341,11 +8354,7 @@ object Queries {
     */
   def bpeCompressionQ(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val merges = bpeMerges8(spark, sfDir)
-      .orderBy(col("merge_rank")).collect()
-      .map(r => (r.getString(1), r.getString(2))).toSeq
-    val enc = graft.ops.Bpe.encodeTypes(
-      graft.ops.Bpe.wordTypes(docs, "text"), merges)
+    val enc = bpeEncTypes(spark, sfDir)
     docs.select(col("source"),
         explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
       .filter(length(col("word")) >= 1)
@@ -16922,11 +16931,7 @@ object Queries {
     }
     def pH(c: Column): Column =
       (c * lit(2654435761L)) % lit(2305843009213693951L)
-    val ced = partAdjacencyEdges(spark, sfDir)
-      .filter(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .distinct()
+    val ced = adjPairs(spark, sfDir)
     var e = rebase(ced.select(col("a"), col("b"),
       (pH(col("a")) + pH(col("b"))).as("p")))
     val parts = collection.mutable.ListBuffer.empty[DataFrame]
