@@ -1968,6 +1968,10 @@ object Queries {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"))
+      // |q|·k rows, but referenced once per compared method (recall
+      // joins + the truth aggregate): checkpointed so the brute-force
+      // corpus pass behind it runs ONCE, not per reference
+      .localCheckpoint(true)
   }
 
   /** The IVFADC recall-vs-nprobe curve — the operator's cost/quality
@@ -4477,7 +4481,8 @@ object Queries {
     */
   def kCoreQ(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Graph.kCore(
-        partAdjacencyEdges(spark, sfDir).select(col("src"), col("dst")), k = 30)
+        partAdjacencyEdges(spark, sfDir).select(col("src"), col("dst")), k = 30,
+        und0 = Some(undSrcEdges(spark, sfDir)))
       .orderBy(col("node"))
 
   /** Per-edge link-prediction features over the part co-occurrence
@@ -4545,7 +4550,8 @@ object Queries {
     val nodes = e.filter(col("src") =!= col("dst"))
     val seed = nodes.select(col("src")).union(nodes.select(col("dst")))
       .agg(min(col("src")).as("node"))
-    graft.ops.Graph.bfsDistances(e, seed).orderBy(col("node"))
+    graft.ops.Graph.bfsDistances(e, seed,
+      und0 = Some(undSrcEdges(spark, sfDir))).orderBy(col("node"))
   }
 
   /** Association rules over order baskets (the classic market-basket
@@ -7511,6 +7517,19 @@ object Queries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** [[undEdges]] re-partitioned by src and persisted — the iterative
+    * BFS-family layout (per-round joins and degree aggregates reuse
+    * the src hash partitioning): the shared round-0 edge table for
+    * q_bfs, q_betweenness, q_kcore and the [[bfs10Distances]] memo
+    * build, each of which was re-running the same symmetrize +
+    * distinct + repartition.
+    */
+  private def undSrcEdges(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.SessionMemo(spark, ("und_src", sfDir)) {
+      undEdges(spark, sfDir).repartition(col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   /** Canonical (a < b) distinct pair view of [[undEdges]] (identical
     * set: the symmetrized table holds both orientations of every pair,
     * so the a < b half IS distinct(least, greatest)), memoized —
@@ -8688,19 +8707,35 @@ object Queries {
     val totalTypes = dt.select(col("tok")).distinct().count()
     val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
     var cum = 0L
+    // the uncovered (doc, gram) table shrinks monotonically: maintain
+    // it across rounds (one anti join against the LAST winner's
+    // remaining tokens, checkpointed with the kCore release
+    // discipline) instead of re-deriving coverage from ALL winners each
+    // round — same set by induction (a winner's tokens still in uncov
+    // ARE its uncovered tokens), with a round's anti-join build side
+    // one doc instead of a growing distinct
+    var uncov: DataFrame = dt
+    var owned = false
     (1 to k).foreach { r =>
-      val winnerIds = picks.map(_._2)
-      val uncov =
-        if (winnerIds.isEmpty) dt
-        else dt.join(dt.filter(col("doc_id").isin(winnerIds.toSeq: _*))
-          .select(col("tok")).distinct(), Seq("tok"), "left_anti")
       val win = uncov.groupBy(col("doc_id")).agg(count(lit(1)).as("g"))
         .orderBy(col("g").desc, col("doc_id")).limit(1).collect()
       if (win.nonEmpty) {
         cum += win(0).getLong(1)
         picks += ((r.toLong, win(0).getLong(0), win(0).getLong(1), cum))
+        if (r < k) {
+          val next = uncov.join(
+            uncov.filter(col("doc_id") === win(0).getLong(0))
+              .select(col("tok")),
+            Seq("tok"), "left_anti").localCheckpoint(true)
+          if (owned)
+            org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(uncov)
+          uncov = next
+          owned = true
+        }
       }
     }
+    if (owned)
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(uncov)
     dt.unpersist()
     import spark.implicits._
     picks.toSeq.toDF("round", "doc_id", "gain", "covered_types")
@@ -9169,13 +9204,19 @@ object Queries {
   def cascadeQ(spark: SparkSession, sfDir: String): DataFrame = {
     val e = partAdjacencyEdges(spark, sfDir).select(col("src"), col("dst"))
     val und = e.filter(col("src") =!= col("dst"))
+    // the degree table feeds two driver actions (node count + seed
+    // TakeOrdered): one |V|-sized checkpoint instead of two |E| degree
+    // passes, released once the cascade (which consumes seeds eagerly)
+    // has run
     val deg = und.select(col("src").as("node"))
       .union(und.select(col("dst").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
     val nNodes = deg.count()
     val seeds = deg.orderBy(col("d").desc, col("node")).limit(16)
       .select(col("node"))
     val curve = graft.ops.Graph.ltmCascade(e, seeds, 4, "ltm:")
+    org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(deg)
     import spark.implicits._
     curve.map { case (r, newly, act) =>
       (r, newly, act, act * 1000000L / nNodes)
@@ -9408,7 +9449,8 @@ object Queries {
       val roots = nodes.select(col("src").as("node"))
         .union(nodes.select(col("dst").as("node")))
         .distinct().orderBy(col("node")).limit(10)
-      graft.ops.Graph.bfsDistancesPerSource(e, roots)
+      graft.ops.Graph.bfsDistancesPerSource(e, roots,
+        und0 = Some(undSrcEdges(spark, sfDir)))
     }
 
   def harmonicCentralityQ(spark: SparkSession, sfDir: String): DataFrame = {
@@ -10743,7 +10785,8 @@ object Queries {
     val roots = nodes.select(col("src").as("node"))
       .union(nodes.select(col("dst").as("node")))
       .distinct().orderBy(col("node")).limit(10)
-    graft.ops.Graph.brandesBetweenness(e, roots, maxDepth = 8)
+    graft.ops.Graph.brandesBetweenness(e, roots, maxDepth = 8,
+        und0 = Some(undSrcEdges(spark, sfDir)))
       .groupBy(col("node"))
       .agg(sum(col("delta")).as("bc_e6"))
       .orderBy(col("bc_e6").desc, col("node"))

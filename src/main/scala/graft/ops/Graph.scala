@@ -82,11 +82,17 @@ object Graph {
     *
     * @param edges (src, dst) directed edge list; extra columns ignored.
     */
-  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 30): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
-    var u = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 30,
+      und0: Option[DataFrame] = None): DataFrame = {
+    // und0: caller-owned round-0 symmetrized distinct table (the kTruss
+    // contract) — never released here; only loop-built checkpoints are.
+    var u = und0.getOrElse {
+      val e = edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .localCheckpoint(true)
+    }
+    var uOwned = und0.isEmpty
     var converged = false
     var i = 0
     while (!converged && i < maxRounds) {
@@ -104,8 +110,9 @@ object Graph {
           .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
           .select(col("src"), col("dst"))
           .localCheckpoint(true)
-        org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(u)
+        if (uOwned) org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(u)
         u = next
+        uOwned = true
       }
       org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(deg)
       i += 1
@@ -360,12 +367,19 @@ object Graph {
     * @param sources one column `node` — the seed set.
     */
   def bfsDistances(edges: DataFrame, sources: DataFrame,
-      maxRounds: Int = 20): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
-    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .repartition(col("src"))
-      .persist()
+      maxRounds: Int = 20, und0: Option[DataFrame] = None): DataFrame = {
+    // und0: caller-owned symmetrized distinct self-loop-free edge table
+    // (e.g. a session memo shared across the BFS-family queries) —
+    // never persisted or released here; identical semantics because the
+    // local build would compute exactly this table.
+    val undOwned = und0.isEmpty
+    val und = und0.getOrElse {
+      val e = edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .repartition(col("src"))
+        .persist()
+    }
     var dist = sources.select(col("node")).distinct()
       .withColumn("d", lit(0L)).localCheckpoint(true)
     var reached = dist.count()
@@ -384,7 +398,7 @@ object Graph {
       dist = next
       i += 1
     }
-    und.unpersist()
+    if (undOwned) und.unpersist()
     if (!converged) throw new IllegalStateException(
       s"bfsDistances: frontier still growing after $maxRounds rounds")
     dist
@@ -403,12 +417,16 @@ object Graph {
     * is final), error on non-convergence.
     */
   def bfsDistancesPerSource(edges: DataFrame, sources: DataFrame,
-      maxRounds: Int = 20): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
-    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .repartition(col("src"))
-      .persist()
+      maxRounds: Int = 20, und0: Option[DataFrame] = None): DataFrame = {
+    // und0: caller-owned shared edge table — see [[bfsDistances]]
+    val undOwned = und0.isEmpty
+    val und = und0.getOrElse {
+      val e = edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .repartition(col("src"))
+        .persist()
+    }
     var dist = sources.select(col("node")).distinct()
       .select(col("node").as("root"), col("node"), lit(0L).as("d"))
       .localCheckpoint(true)
@@ -428,7 +446,7 @@ object Graph {
       dist = next
       i += 1
     }
-    und.unpersist()
+    if (undOwned) und.unpersist()
     if (!converged) throw new IllegalStateException(
       s"bfsDistancesPerSource: frontier still growing after $maxRounds rounds")
     dist
@@ -719,7 +737,8 @@ object Graph {
     *         non-root node; sum over roots for the centrality readout.
     */
   def brandesBetweenness(edges: DataFrame, sources: DataFrame,
-      maxDepth: Int = 8, broadcastMaxRows: Long = 4000000L): DataFrame = {
+      maxDepth: Int = 8, broadcastMaxRows: Long = 4000000L,
+      und0: Option[DataFrame] = None): DataFrame = {
     val d38 = "decimal(38,0)"
     // Frontier/level/seen tables are (roots × reached-nodes)-sized —
     // broadcast them (size-gated, the triangle-probe discipline) so
@@ -727,11 +746,15 @@ object Graph {
     // groupBy; past the gate every join falls back to shuffles.
     def bc(df: DataFrame, rows: Long): DataFrame =
       if (rows <= broadcastMaxRows) broadcast(df) else df
-    val e = edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
-    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .repartition(col("src"))
-      .persist()
+    // und0: caller-owned shared edge table — see [[bfsDistances]]
+    val undOwned = und0.isEmpty
+    val und = und0.getOrElse {
+      val e = edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .repartition(col("src"))
+        .persist()
+    }
     var frontier = sources.select(col("node")).distinct()
       .select(col("node").as("root"), col("node"), expr(s"cast(1 as $d38)").as("sigma"))
       .localCheckpoint(true)
@@ -764,7 +787,7 @@ object Graph {
     }
     if (!done) {
       levels.foreach(org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint)
-      und.unpersist()
+      if (undOwned) und.unpersist()
       throw new IllegalStateException(
         s"brandesBetweenness: frontier still growing after $maxDepth rounds")
     }
@@ -780,7 +803,7 @@ object Graph {
       val outSchema = levels(0)
         .select(col("root"), col("node"), lit(0L).as("delta")).schema
       levels.foreach(org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint)
-      und.unpersist()
+      if (undOwned) und.unpersist()
       val ss = edges.sparkSession
       return ss.createDataFrame(
         ss.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
@@ -811,7 +834,7 @@ object Graph {
       dAbove = dl
       lev -= 1
     }
-    und.unpersist()
+    if (undOwned) und.unpersist()
     // Every delta table is its own checkpoint, so the level tables
     // (forward σ frontiers) are no longer reachable from the result —
     // release them here rather than letting the blocks outlive the call
