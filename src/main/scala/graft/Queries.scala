@@ -11246,13 +11246,20 @@ object Queries {
     val k = 5
     val e = Similarity.asDouble(Tables.embeddings(spark, sfDir))
       .select(col("vec_id"), col("embedding"))
-    val d2 = Similarity.dot(col("qv"), col("qv")) -
+    // the two self-norms depend on ONE side each: computed per probe /
+    // per corpus row BEFORE the cross join instead of per PAIR (the
+    // third-hop pass is |probes|·|corpus| pairs — this cuts 2 of its 3
+    // 64-dim dot products; d2 = (qn − 2·qc) + cn keeps the original
+    // left-to-right IEEE order, so every distance is bit-identical)
+    val d2 = col("qn") -
       lit(2.0) * Similarity.dot(col("qv"), col("cv")) +
-      Similarity.dot(col("cv"), col("cv"))
+      col("cn")
     def knnOf(ids: DataFrame): DataFrame = {
       val q = e.join(ids, Seq("vec_id"))
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      val scored = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          Similarity.dot(col("embedding"), col("embedding")).as("qn"))
+      val scored = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+          Similarity.dot(col("embedding"), col("embedding")).as("cn"))
         .crossJoin(broadcast(q))
         .filter(col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"),
