@@ -2486,8 +2486,7 @@ object Queries {
     val base = docs.select(col("doc_id"), col("text")).union(plants)
     graft.ops.Curation.curate(base,
         lmRef = Some(docs.filter(col("lang") === "en")
-          .select(col("doc_id"), col("text"))),
-        lmModel = Some(lmEnModel(spark, sfDir)))
+          .select(col("doc_id"), col("text"))))
       .orderBy(col("doc_id"))
   }
 
@@ -5705,42 +5704,10 @@ object Queries {
     * in-domain docs score far above out-of-domain ones, which mostly
     * take the `ln(0.4)+unigram` or unseen-default backoff arm.
     */
-  /** The English-reference Stupid-Backoff bigram model trained ONCE
-    * per session ([[graft.ops.LanguageModel.train]] over the en
-    * slice): q_lm_score, q_doremi_weights, q_surprisal_curve,
-    * q_ccnet_buckets, q_filter_attribution, q_rho_selection (its full
-    * model) and q_curation_lm train this exact model — each was
-    * re-running the identical two count passes. Stored as ONE tagged
-    * persisted frame (kind 0 = unigram, 1 = bigram, 2 = totals); the
-    * 1-row totals side is re-derived through a grouping-free aggregate
-    * so its broadcast cross joins stay provably bounded (JoinLint).
-    */
-  private def lmEnModel(spark: SparkSession,
-      sfDir: String): (DataFrame, DataFrame, DataFrame) = {
-    val m = graft.sources.SessionMemo(spark, ("lm_en", sfDir)) {
-      val (uni, bi, totals) = graft.ops.LanguageModel.train(
-        Tables.documents(spark, sfDir).filter(col("lang") === "en"), "text")
-      uni.select(lit(0L).as("kind"), col("h").as("a"),
-          lit(null).cast("long").as("b"), col("s_uni_micro").as("v"))
-        .unionByName(bi.select(lit(1L).as("kind"), col("h1").as("a"),
-          col("h2").as("b"), col("s_bi_micro").as("v")))
-        .unionByName(totals.select(lit(2L).as("kind"),
-          col("n_tokens").as("a"), col("vocab").as("b"),
-          col("default_micro").as("v")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
-    (m.filter(col("kind") === 0)
-       .select(col("a").as("h"), col("v").as("s_uni_micro")),
-     m.filter(col("kind") === 1)
-       .select(col("a").as("h1"), col("b").as("h2"), col("v").as("s_bi_micro")),
-     m.filter(col("kind") === 2).groupBy()
-       .agg(max(col("a")).as("n_tokens"), max(col("b")).as("vocab"),
-         max(col("v")).as("default_micro")))
-  }
-
   def lmScoreQ(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val (uni, bi, totals) = lmEnModel(spark, sfDir)
+    val (uni, bi, totals) =
+      graft.ops.LanguageModel.train(docs.filter(col("lang") === "en"), "text")
     graft.ops.LanguageModel.score(
         docs, uni, bi, totals, "doc_id", "text", carry = Seq("lang"))
       .select(col("doc_id"), col("lang"), col("n_bigrams"),
@@ -8145,7 +8112,8 @@ object Queries {
     */
   def doremiWeightsQ(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val (uni, bi, totals) = lmEnModel(spark, sfDir)
+    val (uni, bi, totals) = graft.ops.LanguageModel.train(
+      docs.filter(col("lang") === "en"), "text")
     val per = graft.ops.LanguageModel.score(
         docs, uni, bi, totals, "doc_id", "text", carry = Seq("source"))
       .groupBy(col("source"))
@@ -8580,7 +8548,8 @@ object Queries {
     */
   def surprisalCurveQ(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val (uni, bi, totals) = lmEnModel(spark, sfDir)
+    val (uni, bi, totals) = graft.ops.LanguageModel.train(
+      docs.filter(col("lang") === "en"), "text")
     graft.ops.LanguageModel.positionScores(docs, uni, bi, totals, "doc_id", "text")
       .select(least(expr("pos * 10 div n_pos"), lit(9L)).as("bucket"),
         col("s_micro"))
@@ -8787,7 +8756,8 @@ object Queries {
   def ccnetBucketsQ(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sfDir)
-    val (uni, bi, totals) = lmEnModel(spark, sfDir)
+    val (uni, bi, totals) =
+      graft.ops.LanguageModel.train(docs.filter(col("lang") === "en"), "text")
     val perDoc = graft.ops.LanguageModel.score(
         docs, uni, bi, totals, "doc_id", "text", carry = Seq("lang", "source"))
       .select(col("doc_id"), col("lang"), col("source"),
@@ -8916,7 +8886,8 @@ object Queries {
       .join(loserReps, Seq("rid"), "left")
       .select(col("doc_id"), col("kill_exact"),
         coalesce(col("kn"), lit(false)).as("kill_near"))
-    val (uni, bi, tot) = lmEnModel(spark, sfDir)
+    val (uni, bi, tot) = graft.ops.LanguageModel.train(
+      docs.filter(col("lang") === "en"), "text")
     val lm = graft.ops.LanguageModel.score(docs, uni, bi, tot, "doc_id", "text",
         thrPerBigramMicro = graft.ops.Curation.LmPerBigramMicro)
       .select(col("doc_id"), (!col("keep")).as("kl"))
@@ -9067,7 +9038,7 @@ object Queries {
     val sb = scoreWith(graft.ops.LanguageModel.train(
       en.filter(col("half") === 1), "text"), "s_b")
       .select(col("doc_id"), col("s_b"))
-    val sf = scoreWith(lmEnModel(spark, sfDir), "s_f")
+    val sf = scoreWith(graft.ops.LanguageModel.train(en, "text"), "s_f")
       .select(col("doc_id"), col("s_f"))
     sa.join(sb, "doc_id").join(sf, "doc_id")
       .select(col("source"),

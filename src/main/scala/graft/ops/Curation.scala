@@ -93,9 +93,7 @@ object Curation {
     */
   private def curatePipeline(docs: DataFrame, spanStage: Boolean,
       spanPolicy: String = "all",
-      lmRef: Option[DataFrame] = None,
-      lmModel: Option[(DataFrame, DataFrame, DataFrame)] = None)
-      : (DataFrame, Seq[DataFrame]) = {
+      lmRef: Option[DataFrame] = None): (DataFrame, Seq[DataFrame]) = {
     require(spanPolicy == "all" || spanPolicy == "covered",
       s"unknown span policy '$spanPolicy' (all | covered)")
     val gated = gate(docs)
@@ -174,10 +172,7 @@ object Curation {
     val lmKept = lmRef match {
       case None => kept
       case Some(ref) =>
-        // a caller-supplied pre-trained model (e.g. a session memo of
-        // the same reference corpus) skips the two training passes;
-        // identical by LanguageModel.train's determinism
-        val (uni, bi, tot) = lmModel.getOrElse(LanguageModel.train(ref, "text"))
+        val (uni, bi, tot) = LanguageModel.train(ref, "text")
         val scored = LanguageModel.score(kept.select(col("doc_id"), col("text")),
           uni, bi, tot, "doc_id", "text", thrPerBigramMicro = LmPerBigramMicro)
         kept.join(scored.select(col("doc_id"), col("keep")), Seq("doc_id"), "left")
@@ -199,9 +194,8 @@ object Curation {
     */
   def curateWithHandle(docs: DataFrame, spanStage: Boolean = false,
       spanPolicy: String = "all",
-      lmRef: Option[DataFrame] = None,
-      lmModel: Option[(DataFrame, DataFrame, DataFrame)] = None): (DataFrame, DataFrame) =
-    curatePipeline(docs, spanStage, spanPolicy, lmRef, lmModel) match { case (r, handles) => (r, handles.head) }
+      lmRef: Option[DataFrame] = None): (DataFrame, DataFrame) =
+    curatePipeline(docs, spanStage, spanPolicy, lmRef) match { case (r, handles) => (r, handles.head) }
 
   /** LIFECYCLE: the cached exact-dedup stage lives until session end
     * (it cannot be unpersisted here — the returned plan consumes it
@@ -212,9 +206,8 @@ object Curation {
     */
   def curate(docs: DataFrame, spanStage: Boolean = false,
       spanPolicy: String = "all",
-      lmRef: Option[DataFrame] = None,
-      lmModel: Option[(DataFrame, DataFrame, DataFrame)] = None): DataFrame =
-    curateWithHandle(docs, spanStage, spanPolicy, lmRef, lmModel)._1
+      lmRef: Option[DataFrame] = None): DataFrame =
+    curateWithHandle(docs, spanStage, spanPolicy, lmRef)._1
 
   /** Scoped curation: runs `use` over the curated frame, then releases
     * the backing cache — the leak-free form for loops over many inputs.
