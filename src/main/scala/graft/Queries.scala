@@ -8114,11 +8114,19 @@ object Queries {
     val docs = Tables.documents(spark, sfDir)
     val (uni, bi, totals) = graft.ops.LanguageModel.train(
       docs.filter(col("lang") === "en"), "text")
+    // `per` is referenced ~7× downstream (base, shares, sw, fl, other,
+    // the rem self-join) and each lazy duplicate was re-executing the
+    // corpus-sized scoring pass behind it: the ≤|sources|-row aggregate
+    // is checkpointed so scoring runs ONCE. The checkpoint sits BELOW
+    // the limit so the TakeOrdered keeps the cross joins' JoinLint
+    // bounded-by-construction proof (a LogicalRDD on top would erase
+    // it).
     val per = graft.ops.LanguageModel.score(
         docs, uni, bi, totals, "doc_id", "text", carry = Seq("source"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_bigrams")).as("n_bigrams"),
         sum(col("score_micro")).as("sm"))
+      .localCheckpoint(true)
       .orderBy(col("source")).limit(32) // ≤20 sources — provable bound
       .withColumn("mean_micro", expr("sm div n_bigrams"))
     val base = per.groupBy()
