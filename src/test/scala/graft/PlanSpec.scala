@@ -342,13 +342,24 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
-  test("profile: one scan feeds all four column profiles (multi-distinct Expand)") {
+  test("profile: two-branch shape — multi-distinct Expand stays hash, string min/max in its own keyless agg") {
+    // The r12-verdict q_profile fix split the string min/max out of the
+    // multi-distinct aggregate (a string agg buffer demotes the whole
+    // Expand rewrite to Sort+SortAggregate): the intended shape is TWO
+    // scans — the Expand+hash-aggregate distinct branch and the keyless
+    // string-min/max branch — crossed as 1-row broadcasts. formatted
+    // mode prints each scan once in the detail section; count the
+    // per-scan Location lines.
     val plan = formatted(Queries.profileQ(spark, sf))
-    // formatted mode prints each scan twice (tree + detail) — count the
-    // per-scan Location detail lines instead
     val scans = "Location: InMemoryFileIndex".r.findAllIn(plan).size
-    assert(scans == 1, s"expected 1 scan, got $scans\n$plan")
+    assert(scans == 2, s"expected the 2-branch profile shape, got $scans scans\n$plan")
     assert(plan.contains("Expand"), plan)
+    // the Expand (multi-distinct) branch must NOT have been demoted to
+    // sort aggregates — that was the defect the split fixed (the
+    // demoted plan had NO hash aggregate anywhere); the keyless string
+    // min/max branch is allowed its sort-agg nodes
+    assert(plan.contains("HashAggregate"),
+      "multi-distinct branch demoted to SortAggregate\n" + plan)
   }
 
   test("triangles: wedge and closing joins are equi — no cartesian anywhere") {
@@ -693,10 +704,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window") && !plan.contains("Join"), plan)
   }
 
-  test("hits: score joins are equi; only the round max broadcasts") {
+  test("hits: final join of the checkpointed score tables is equi — no cartesian") {
+    // Since the r13 half-round checkpointing (each score table is an
+    // eagerly-released localCheckpoint — the lazy chain re-evaluated
+    // the previous table 2x per half-round), the FINAL plan is just
+    // hub ⋈ auth over two LogicalRDDs; the in-loop equi joins and the
+    // broadcast round max no longer appear here. Guard what remains
+    // guardable: an equi join, never a cartesian/BNLJ.
     val plan = formatted(Queries.hitsQ(spark, sf))
     assert(!plan.contains("CartesianProduct"), plan)
-    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin")
+      || plan.contains("ShuffledHashJoin"), plan)
   }
 
   test("shard balance: both windows partition by lang") {
