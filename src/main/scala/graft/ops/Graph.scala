@@ -161,26 +161,16 @@ object Graph {
     val und = symmetrizeUnique(edges).localCheckpoint(true)
     var v = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("v"))
       .localCheckpoint(true)
-    // checkpoint every SECOND round: the value chain is linear (each
-    // round references the previous exactly once), so two rounds can
-    // ride one lazy plan — halving the driver barriers + eager
-    // materializations without the lineage ever growing past two
-    // rounds' operators. lastCp tracks the checkpoint backing the
-    // chain; it is released only once its successor checkpoint exists.
-    var lastCp = v
-    (1 to iters).foreach { i =>
+    (1 to iters).foreach { _ =>
       val w = Window.partitionBy(col("src")).orderBy(col("nv").desc)
-      var next = und
+      val next = und
         .join(v.select(col("node").as("dst"), col("v").as("nv")), Seq("dst"))
         .groupBy(col("src"), col("nv")).agg(count(lit(1)).as("c"))
         .withColumn("cum", sum(col("c")).over(w))
         .groupBy(col("src").as("node"))
         .agg(max(least(col("cum"), col("nv"))).as("v"))
-      if (i % 2 == 0 || i == iters) {
-        next = next.localCheckpoint(true)
-        org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(lastCp)
-        lastCp = next
-      }
+        .localCheckpoint(true)
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(v)
       v = next
     }
     org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(und)
