@@ -3177,10 +3177,10 @@ object Queries {
     */
   def assortativityQ(spark: SparkSession, sfDir: String): DataFrame = {
     val d38 = "decimal(38,0)"
-    val e = partAdjacencyEdges(spark, sfDir)
-      .select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
-    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+    // the [[undEdges]] memo IS this exact table, and the plan below
+    // references it three times (two degree joins + the degree
+    // aggregate) — each was re-running the |E| distinct
+    val und = undEdges(spark, sfDir)
     val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
     und
       .join(deg.select(col("node").as("src"), col("deg").as("dx")), "src")
@@ -3207,10 +3207,7 @@ object Queries {
     */
   def degreeDistQ(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = partAdjacencyEdges(spark, sfDir)
-      .select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
-    val deg = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+    val deg = undEdges(spark, sfDir)
       .groupBy(col("src")).agg(count(lit(1)).as("d"))
     val pv = deg.groupBy(col("d")).agg(count(lit(1)).as("n_nodes"))
     val w = Window.partitionBy(
