@@ -16,9 +16,39 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   /** Max bytes for the final compact line: tail window (2000) minus the
-    * sbt `[success] Total time: ...` epilogue and generous slack.
+    * sbt `[success] Total time: ...` epilogue (~60 chars), the stderr
+    * `bench: compact line kept ...` note (~80 chars) and slack. The r13
+    * captured tail measured those two at 145 chars combined, so 1700
+    * still leaves 150+ chars of headroom.
     */
-  private val CompactBudget = 1400
+  private val CompactBudget = 1700
+
+  /** The previous round's parsed comparison set (BENCH_r13 compact-line
+    * queries). Optimization rounds move queries BELOW the heaviest-N
+    * cutoff, and their wins then vanish from the driver's
+    * round-over-round comparison (the r13 verdict: 21 improved queries
+    * left the parseable set and read as "dropped"). These names are
+    * emitted FIRST in the compact line — whatever their current cost —
+    * so both sides of the cutoff stay visible; the remaining budget is
+    * filled with the currently-heaviest others. Additions-only: every
+    * pinned name is an existing registry query (subset runs skip absent
+    * ones), and the full-precision prior line is unchanged.
+    */
+  private val PinnedNames: Set[String] = Set(
+    "q_coreness", "q_triangles", "q_betweenness", "q_mis", "q_max_coverage",
+    "q_curation_spans", "q_cascade", "q_matching", "q_curation_spancov",
+    "q_cross_val", "q_curation_lm", "q_boruvka", "q_hits", "q_sssp",
+    "q_ann_pq_recall", "q_bpe_curve", "q_pca_power", "q_lof", "q_fuzzy_join",
+    "q_kcore", "q_scc", "q_label_prop", "q_confusion", "q_curation",
+    "q_item_cf", "q_densest", "q_assoc_rules", "q_bfs", "q_textrank",
+    "q_dbscan", "q_ktruss", "q_trimmed_mean", "q_filter_attribution",
+    "q_winsorize", "q_recursive_chain", "q_ann_ivfpq_sweep",
+    "q_single_linkage", "q_ipf", "q_benjamini_yekutieli", "q_ann_recall",
+    "q_link_pred", "q_silhouette", "q_semdedup", "q_jackknife_ratio",
+    "q_ann_quant_recall", "q_turf", "q_good_turing", "q_rho_selection",
+    "q_kmeans", "q_novelty_curve", "q_ann_multitable", "q_tree2", "q_fdr_bh",
+    "q_holm_bonferroni", "q_borda", "q_label_noise", "q_hot_section",
+    "q_margin_sample", "q_doremi_weights", "q_median_polish", "q_ppr")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -156,9 +186,14 @@ object Bench {
     val loadsJson = passLoads.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
     val winsJson = winCounts.mkString("[", ",", "]")
     println(s"""{"queries":$qsFull,"memo_builds":$memoFull,"memo_total":${f"$memoTotal%.3f"},"sf":"$sfDir","unit":"sec","n_queries":${results.size},"passes":${allPasses.size},"extra_passes":$extraPasses,"pass_totals":$rawTotals,"pass_win_counts":$winsJson,"loadavg":$loadsJson,"pass_disagreement_pct":${f"$passDisagreementPct%.1f"},"metric":"total","value":$total}""")
-    // Compact final line: seconds at ms precision; heaviest queries first so
-    // that, if the budget ever forces truncation, only trivia drops out.
-    val byTime = results.toSeq.sortBy(-_._2)
+    // Compact final line: seconds at ms precision; the previous round's
+    // comparison set first (so the driver's round-over-round view keeps
+    // every query it compared last round, fast or slow), then the
+    // heaviest of the rest — if the budget forces truncation, only
+    // unpinned trivia drops out.
+    val byTime = results.toSeq.sortBy { case (k, v) =>
+      (!PinnedNames.contains(k), -v)
+    }
     val header = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","memo_total":$memoTotal%.3f,"pass_disagreement_pct":$passDisagreementPct%.1f,"queries":{"""
     val footer = "}}"
     val sb = new StringBuilder(header)

@@ -8677,6 +8677,12 @@ object Queries {
         """transform(sequence(0, size(ws) - 3),
            i -> concat(ws[i], ' ', ws[i + 1], ' ', ws[i + 2]))""")).as("tok"))
       .distinct()
+      // partitioned on doc_id — the key of every round's marginal-gain
+      // aggregate — so the K argmax passes and the checkpointed uncovered
+      // tables they derive from all reuse this one hash partitioning
+      // (guide §2.3/2.4) instead of re-exchanging the (doc, gram) table
+      // once per round
+      .repartition(col("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totalTypes = dt.select(col("tok")).distinct().count()
     val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
@@ -8697,9 +8703,15 @@ object Queries {
         cum += win(0).getLong(1)
         picks += ((r.toLong, win(0).getLong(0), win(0).getLong(1), cum))
         if (r < k) {
+          // the build side is the winner's REMAINING tokens — exactly
+          // `gain` rows (just collected), so the broadcast is size-proven
+          // and the anti join streams the doc_id-partitioned uncovered
+          // table without an exchange; past the gate the planner's
+          // shuffle join is the honest fallback
+          val winToks = uncov.filter(col("doc_id") === win(0).getLong(0))
+            .select(col("tok"))
           val next = uncov.join(
-            uncov.filter(col("doc_id") === win(0).getLong(0))
-              .select(col("tok")),
+            if (win(0).getLong(1) <= 4000000L) broadcast(winToks) else winToks,
             Seq("tok"), "left_anti").localCheckpoint(true)
           if (owned)
             org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(uncov)
@@ -9164,7 +9176,8 @@ object Queries {
     */
   def corenessQ(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Graph.coreness(
-        partAdjacencyEdges(spark, sfDir).select(col("src"), col("dst")), 8)
+        partAdjacencyEdges(spark, sfDir).select(col("src"), col("dst")), 8,
+        und0 = Some(undSrcEdges(spark, sfDir)))
       .groupBy(col("v").as("coreness"))
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("coreness"))
@@ -13045,9 +13058,25 @@ object Queries {
     // fold models and scores are bit-identical to the per-fold
     // tokenize-train-score chain this replaced (3 corpus passes gone).
     val counts = pcptCounts(spark, sfDir)
+    // The three folds are independent driver loops (3 passes × 2 jobs
+    // each over the shared cached count table): submit them from a small
+    // thread pool so one fold's tiny stages back-fill the cores idled by
+    // another fold's driver barriers (guide §2.6 — actions are only
+    // sequential because the driver calls them sequentially). Attribution
+    // stays honest: training still runs eagerly inside this query's
+    // timed region, and each fold's integer model is bit-identical to
+    // the sequential run (per-fold jobs are themselves unchanged).
+    val models = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fs = (0 to 2).map { k => Future {
+        graft.ops.Classify.perceptronTrainOnCounts(
+          counts.filter(col("doc_id") % 3 =!= k), 3)
+      } }
+      fs.map(Await.result(_, scala.concurrent.duration.Duration.Inf))
+    }
     (0 to 2).map { k =>
-      val (w, b) = graft.ops.Classify.perceptronTrainOnCounts(
-        counts.filter(col("doc_id") % 3 =!= k), 3)
+      val (w, b) = models(k)
       graft.ops.Classify.perceptronScoreOnCounts(
           counts.filter(col("doc_id") % 3 === k), w, b, "doc_id",
           Seq("lang", "y"), Seq("y"))

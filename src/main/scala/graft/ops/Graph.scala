@@ -156,15 +156,32 @@ object Graph {
     *
     * @param edges UNIQUE directed pairs (the co-occurrence contract).
     */
-  def coreness(edges: DataFrame, iters: Int): DataFrame = {
+  def coreness(edges: DataFrame, iters: Int,
+      und0: Option[DataFrame] = None,
+      broadcastMaxRows: Long = 4000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val und = symmetrizeUnique(edges).localCheckpoint(true)
+    // und0: caller-owned symmetrized distinct self-loop-free edge table,
+    // pre-partitioned on src (the bfsDistances und0 contract) — never
+    // released here. The self-built table gets the same src partitioning:
+    // with the |V|-row value table broadcast (size-gated below), EVERY
+    // round body — dst join, per-(node, value) count, cumulative window,
+    // h-index max — then reuses hashpartitioning(src), so a round runs
+    // with ZERO shuffle exchanges (two per round before).
+    val undOwned = und0.isEmpty
+    val und = und0.getOrElse(
+      symmetrizeUnique(edges).repartition(col("src")).localCheckpoint(true))
     var v = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("v"))
       .localCheckpoint(true)
+    // |V| is round-invariant (every node keeps a value each round), so
+    // one count gates all per-round broadcasts; past the gate the plain
+    // join is the honest fallback (the brandes broadcastMaxRows rule).
+    val nV = v.count()
+    def bcV(df: DataFrame): DataFrame =
+      if (nV <= broadcastMaxRows) broadcast(df) else df
     (1 to iters).foreach { _ =>
       val w = Window.partitionBy(col("src")).orderBy(col("nv").desc)
       val next = und
-        .join(v.select(col("node").as("dst"), col("v").as("nv")), Seq("dst"))
+        .join(bcV(v.select(col("node").as("dst"), col("v").as("nv"))), Seq("dst"))
         .groupBy(col("src"), col("nv")).agg(count(lit(1)).as("c"))
         .withColumn("cum", sum(col("c")).over(w))
         .groupBy(col("src").as("node"))
@@ -173,7 +190,7 @@ object Graph {
       org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(v)
       v = next
     }
-    org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(und)
+    if (undOwned) org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(und)
     v
   }
 
@@ -189,8 +206,17 @@ object Graph {
     * ([[symmetrizeUnique]] adjacency, in = symmetrized neighbors).
     */
   def ltmCascade(edges: DataFrame, seeds: DataFrame, rounds: Int,
-      thetaSalt: String): Seq[(Long, Long, Long)] = {
-    val und = symmetrizeUnique(edges).localCheckpoint(true)
+      thetaSalt: String, broadcastMaxRows: Long = 4000000L): Seq[(Long, Long, Long)] = {
+    // The edge table is partitioned on dst — the key of every round's
+    // active-in-neighbor aggregate — and the O(active) set rides
+    // size-gated broadcasts into the semi/anti joins, so a round's
+    // aggregate reuses hashpartitioning(dst) with ZERO shuffle exchanges
+    // (guide §2.3/2.4; the coreness/und_src layout applied here). The
+    // threshold table inherits the same node partitioning for free.
+    val und = symmetrizeUnique(edges).repartition(col("dst"))
+      .localCheckpoint(true)
+    def bc(df: DataFrame, rows: Long): DataFrame =
+      if (rows <= broadcastMaxRows) broadcast(df) else df
     val thr = und.groupBy(col("dst").as("node"))
       .agg(count(lit(1)).as("indeg"))
       .withColumn("theta_ppm",
@@ -202,11 +228,12 @@ object Graph {
     out += ((0L, nActive, nActive))
     (1 to rounds).foreach { r =>
       val activeIn = und
-        .join(active.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        .join(bc(active.withColumnRenamed("node", "src"), nActive),
+          Seq("src"), "left_semi")
         .groupBy(col("dst").as("node")).agg(count(lit(1)).as("n_in"))
       val newly = activeIn
         .join(thr, "node")
-        .join(active, Seq("node"), "left_anti")
+        .join(bc(active, nActive), Seq("node"), "left_anti")
         .filter(col("n_in") * 1000000L >= col("theta_ppm") * col("indeg"))
         .select(col("node"))
       val nextActive = active.union(newly).localCheckpoint(true)

@@ -42,6 +42,36 @@ class GraphSpec extends AnyFunSuite {
     assert(got(2L) == 9L, got)
   }
 
+  test("coreness: K4 + pendant converges to exact core numbers, with and without und0") {
+    // K4 {1,2,3,4} + pendant 4-5: coreness 3 on the clique, 1 on the
+    // pendant (h-index fixpoint reaches it in 2 rounds; 3 is safe)
+    val k4 = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)) :+ ((4L, 5L))
+    val e = k4.toDF("src", "dst")
+    val expect = Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 1L)
+    val self = Graph.coreness(e, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(self == expect, self)
+    // caller-owned und0 (the und_src memo shape: symmetrized distinct,
+    // src-partitioned) must yield the identical table
+    val und0 = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().repartition(col("src")).persist()
+    val shared = Graph.coreness(e, 3, und0 = Some(und0))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    und0.unpersist()
+    assert(shared == expect, shared)
+  }
+
+  test("ltmCascade: a fully-active in-neighborhood always clears its threshold") {
+    // star 1-{2,3} seeded at the center: each leaf's ONLY neighbor is
+    // active in round 1 (n_in = indeg = 1 → n_in·1e6 ≥ θ_ppm·indeg for
+    // every θ_ppm < 1e6), so the curve is threshold-independent; later
+    // rounds add nothing
+    val e = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.ltmCascade(e, seeds, rounds = 2, thetaSalt = "t:")
+    assert(got == Seq((0L, 1L, 1L), (1L, 2L, 3L), (2L, 0L, 3L)), got)
+  }
+
   private def core(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] =
     Graph.kCore(edges.toDF("src", "dst"), k)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

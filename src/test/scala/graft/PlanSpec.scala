@@ -1795,4 +1795,33 @@ class PlanSpec extends AnyFunSuite {
     // bounded replica explode is a Generate, not a join
     assert(plan.contains("Generate"), plan)
   }
+
+  test("r14 coreness round body: src-partitioned edges + broadcast values → no shuffle") {
+    // The h-index round over a src-partitioned edge table with the
+    // |V|-row value table broadcast must plan WITHOUT any hash exchange:
+    // the dst join preserves the stream side's hashpartitioning(src),
+    // which then satisfies the (src, nv) count, the src window and the
+    // final h-index aggregate (guide §2.3/2.4 — the q_coreness 13.7 →
+    // 2.5 s round shape; two hash exchanges per round before).
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val e = ((for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)) :+ ((4L, 5L)))
+      .toDF("src", "dst")
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().repartition(col("src")).persist()
+    und.count()
+    val v = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("v"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col("src")).orderBy(col("nv").desc)
+    val round = und
+      .join(broadcast(v.select(col("node").as("dst"), col("v").as("nv"))), Seq("dst"))
+      .groupBy(col("src"), col("nv")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(w))
+      .groupBy(col("src").as("node"))
+      .agg(max(least(col("cum"), col("nv"))).as("v"))
+    val plan = formatted(round)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    und.unpersist()
+  }
 }
