@@ -239,6 +239,86 @@ object Prof {
       time("boruvka after memo")(Queries.boruvkaQ(spark, dir).count())
       spark.stop(); return
     }
+    if (args.headOption.contains("betweenness")) {
+      // r14 (VERDICT item 5): where do q_betweenness's ~10 s go —
+      // the ~10 per-level forward barriers, or the backward-sweep joins?
+      // Replays brandesBetweenness stage by stage with wall marks.
+      val sf = args.lift(1).getOrElse("/root/testdata/sf0.1")
+      val e0 = Queries.partAdjacencyEdges(spark, sf)
+        .filter(col("src") =!= col("dst")).select(col("src"), col("dst"))
+      val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().repartition(col("src")).persist()
+      time("und build")(und.count())
+      // the REAL query's roots: 10 lowest-id nodes off the directed edges
+      val nodes0 = Queries.partAdjacencyEdges(spark, sf)
+        .select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
+      val sources = nodes0.select(col("src").as("node"))
+        .union(nodes0.select(col("dst").as("node")))
+        .distinct().orderBy(col("node")).limit(10)
+      time("seed pick")(sources.count())
+      val d38 = "decimal(38,0)"
+      var frontier = sources.select(col("node")).distinct()
+        .select(col("node").as("root"), col("node"),
+          expr(s"cast(1 as $d38)").as("sigma"))
+        .localCheckpoint(true)
+      val levels = scala.collection.mutable.ArrayBuffer(frontier)
+      var done = false
+      var lv = 0
+      while (!done && levels.size <= 8) {
+        lv += 1
+        val seen = levels.map(_.select(col("root"), col("node"))).reduce(_ union _)
+        val nxt = und
+          .join(broadcast(frontier.withColumnRenamed("node", "src")), Seq("src"))
+          .groupBy(col("root"), col("dst").as("node"))
+          .agg(sum(col("sigma")).as("sigma"))
+          .join(broadcast(seen), Seq("root", "node"), "left_anti")
+          .localCheckpoint(true)
+        var n = 0L
+        time(s"fwd level $lv")({ n = nxt.count(); n })
+        if (n == 0) done = true
+        else { levels += nxt; frontier = nxt }
+      }
+      val maxLevel = levels.size - 1
+      var dAbove = levels(maxLevel)
+        .select(col("root"), col("node"), lit(0L).as("delta"))
+        .localCheckpoint(true)
+      var lev = maxLevel - 1
+      while (lev >= 1) {
+        val wTab = levels(lev + 1).join(broadcast(dAbove), Seq("root", "node"))
+          .select(col("root"), col("node").as("dst"),
+            col("sigma").as("wsigma"), col("delta").as("wdelta"))
+        val terms = und.withColumnRenamed("src", "node")
+          .join(broadcast(levels(lev)), Seq("node"))
+          .join(broadcast(wTab), Seq("root", "dst"))
+          .select(col("root"), col("node"),
+            expr("(sigma * (1000000 + wdelta)) div wsigma").as("t"))
+        val dl = levels(lev)
+          .select(col("root"), col("node"), lit(0L).as("t"))
+          .union(terms)
+          .groupBy(col("root"), col("node"))
+          .agg(sum(col("t")).as("delta"))
+          .localCheckpoint(true)
+        time(s"bwd level $lev")(dl.count())
+        dAbove = dl
+        lev -= 1
+      }
+      // direct op call with the WARM memo (the real query's und0 path)
+      val eArg = Queries.partAdjacencyEdges(spark, sf)
+        .select(col("src"), col("dst"))
+      val undMemo = Queries.callUndSrcEdges(spark, sf)
+      time("und_src memo warm")(undMemo.count())
+      val delta = graft.ops.Graph.brandesBetweenness(eArg, sources,
+        maxDepth = 8, und0 = Some(undMemo))
+      time("brandes op (memo und0)")(delta.count())
+      time("readout agg")(delta.groupBy(col("node"))
+        .agg(sum(col("delta")).as("bc_e6"))
+        .orderBy(col("bc_e6").desc, col("node")).limit(20).count())
+      time("full q_betweenness")(
+        SparkEntry.queries("q_betweenness")(spark, sf).count())
+      time("full q_betweenness again")(
+        SparkEntry.queries("q_betweenness")(spark, sf).count())
+      spark.stop(); return
+    }
     if (args.headOption.contains("constants")) {
       // Round-11 item 7: the per-session query-constant split. For every
       // harness query at sf0.001, separate (a) DataFrame construction

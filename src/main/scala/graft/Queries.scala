@@ -4450,15 +4450,19 @@ object Queries {
     // struct allocation beats the merge's sort only on paper).
     val vBeforeW = col("o1.ddst") < col("o2.ddst") ||
       (col("o1.ddst") === col("o2.ddst") && col("o1.dst") < col("o2.dst"))
-    val probe = o.select(col("src"), col("dst"))
-    // |E| known cheaply from the persisted edge table; at ~16 B/edge the
+    // o is consumed three times (both wedge sides + the closing probe's
+    // broadcast build): one |E|-row checkpoint keeps the degree
+    // broadcasts and the orientation projection to a single evaluation
+    // (the hits rescale discipline); it backs the returned plan, so it
+    // stays the caller's to drop (the brandes delta-table convention).
+    val oC = o.localCheckpoint(true)
+    val probe = oC.select(col("src"), col("dst"))
+    // |oC| = |E| exactly (one oriented row per edge) — the broadcast
+    // gate reads the checkpoint's count for free; at ~16 B/edge the
     // default 4M-edge cap keeps the broadcast under ~64 MB with slack
     // for row overhead. Past the cap: plain shuffle equi-join, no hint.
-    val closing =
-      if (e.limit(((TriBroadcastMaxEdges + 1) min Int.MaxValue.toLong).toInt).count() <= TriBroadcastMaxEdges)
-        broadcast(probe)
-      else probe
-    o.as("o1").join(o.as("o2"), col("o1.src") === col("o2.src") && vBeforeW)
+    val closing = if (oC.count() <= TriBroadcastMaxEdges) broadcast(probe) else probe
+    oC.as("o1").join(oC.as("o2"), col("o1.src") === col("o2.src") && vBeforeW)
       .select(col("o1.src").as("u"), col("o1.dst").as("v"), col("o2.dst").as("w"))
       .join(closing, col("v") === col("src") && col("w") === col("dst"))
       .agg(count(lit(1)).as("n_triangles"),
@@ -7488,6 +7492,10 @@ object Queries {
     * build, each of which was re-running the same symmetrize +
     * distinct + repartition.
     */
+  /** Prof-only accessor for the und_src memo (stage profiling). */
+  private[graft] def callUndSrcEdges(spark: SparkSession, sfDir: String): DataFrame =
+    undSrcEdges(spark, sfDir)
+
   private def undSrcEdges(spark: SparkSession, sfDir: String): DataFrame =
     graft.sources.SessionMemo(spark, ("und_src", sfDir)) {
       undEdges(spark, sfDir).repartition(col("src"))
@@ -10774,8 +10782,14 @@ object Queries {
     val roots = nodes.select(col("src").as("node"))
       .union(nodes.select(col("dst").as("node")))
       .distinct().orderBy(col("node")).limit(10)
+    // dist0 = the centrality trio's shared per-root BFS memo — SAME
+    // edges, SAME 10 lowest-id roots (bfs10Distances builds them with
+    // this exact construction), so level membership is a filter of the
+    // cached table and the forward σ pass expands through the smaller
+    // level side (see the op's dist0 doc)
     graft.ops.Graph.brandesBetweenness(e, roots, maxDepth = 8,
-        und0 = Some(undSrcEdges(spark, sfDir)))
+        und0 = Some(undSrcEdges(spark, sfDir)),
+        dist0 = Some(bfs10Distances(spark, sfDir)))
       .groupBy(col("node"))
       .agg(sum(col("delta")).as("bc_e6"))
       .orderBy(col("bc_e6").desc, col("node"))

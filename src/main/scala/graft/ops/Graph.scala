@@ -762,10 +762,31 @@ object Graph {
     *
     * @return (root, node, delta) — per-root e6 dependency of every
     *         non-root node; sum over roots for the centrality readout.
+    *
+    * `dist0`: caller-owned per-root hop-distance table
+    * `(root, node, d)` for EXACTLY these (edges, sources) — the
+    * [[bfsDistancesPerSource]] output (e.g. a session memo shared with
+    * the centrality queries). With it, level membership is a filter of
+    * the cached table: no per-level seen-union anti join, no per-level
+    * count job, and each level's σ expansion joins und through the
+    * SMALLER of (previous level, next level) — in-edges of a thin next
+    * level instead of out-edges of a fat frontier, a ~50× intermediate
+    * cut on the deep levels here. σ sums are bit-identical: a neighbor
+    * w of a level-(k−1) node is unseen iff d(w) = k, so the inner join
+    * against the d = k slice keeps exactly the rows the anti join kept.
     */
   def brandesBetweenness(edges: DataFrame, sources: DataFrame,
       maxDepth: Int = 8, broadcastMaxRows: Long = 4000000L,
-      und0: Option[DataFrame] = None): DataFrame = {
+      und0: Option[DataFrame] = None,
+      dist0: Option[DataFrame] = None): DataFrame = {
+    // GRAFT_BRANDES_PROF=1 → per-stage wall marks on stderr (soak triage)
+    val profOn = sys.env.contains("GRAFT_BRANDES_PROF")
+    var tLast = System.nanoTime()
+    def mark(s: String): Unit = if (profOn) {
+      val now = System.nanoTime()
+      Console.err.println(f"[brandes] $s%-16s ${(now - tLast) / 1e9}%7.2f s")
+      tLast = now
+    }
     val d38 = "decimal(38,0)"
     // Frontier/level/seen tables are (roots × reached-nodes)-sized —
     // broadcast them (size-gated, the triangle-probe discipline) so
@@ -785,38 +806,86 @@ object Graph {
     var frontier = sources.select(col("node")).distinct()
       .select(col("node").as("root"), col("node"), expr(s"cast(1 as $d38)").as("sigma"))
       .localCheckpoint(true)
+    mark("frontier0")
     var frontierRows = frontier.count()
     val levels = scala.collection.mutable.ArrayBuffer(frontier)
     val levelRows = scala.collection.mutable.ArrayBuffer(frontierRows)
-    var seenRows = frontierRows
-    var done = false
-    while (!done && levels.size <= maxDepth) {
-      // anti-join against the lazy union of the (already checkpointed)
-      // level tables — no separate `seen` materialization per round
-      val seen = levels.map(_.select(col("root"), col("node"))).reduce(_ union _)
-      val nxt = und
-        .join(bc(frontier.withColumnRenamed("node", "src"), frontierRows), Seq("src"))
-        .groupBy(col("root"), col("dst").as("node"))
-        .agg(sum(col("sigma")).as("sigma"))
-        .join(bc(seen, seenRows), Seq("root", "node"), "left_anti")
-        .localCheckpoint(true)
-      val n = nxt.count()
-      if (n == 0) {
-        org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(nxt)
-        done = true
-      } else {
-        levels += nxt
-        levelRows += n
-        seenRows += n
-        frontier = nxt
-        frontierRows = n
-      }
-    }
-    if (!done) {
-      levels.foreach(org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint)
-      if (undOwned) und.unpersist()
-      throw new IllegalStateException(
-        s"brandesBetweenness: frontier still growing after $maxDepth rounds")
+    dist0 match {
+      case Some(dist) =>
+        // level structure from the caller's distance table: one small
+        // rollup replaces every per-level seen broadcast + count job
+        val sizes = dist.groupBy(col("d")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val deepest = sizes.keys.max.toInt
+        if (deepest > maxDepth) {
+          org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(frontier)
+          if (undOwned) und.unpersist()
+          throw new IllegalStateException(
+            s"brandesBetweenness: dist0 reaches depth $deepest > maxDepth $maxDepth")
+        }
+        (1 to deepest).foreach { k =>
+          val nxtSet = dist.filter(col("d") === k).select(col("root"), col("node"))
+          // expand und through the SMALLER side: out-edges of the
+          // previous level vs in-edges of this level (sizes in hand)
+          val nxt = (
+            if (levelRows(k - 1) <= sizes(k.toLong))
+              und
+                .join(bc(frontier.withColumnRenamed("node", "src"), frontierRows), Seq("src"))
+                .select(col("root"), col("dst").as("node"), col("sigma"))
+                .join(bc(nxtSet, sizes(k.toLong)), Seq("root", "node"))
+            else
+              und
+                .join(bc(nxtSet.withColumnRenamed("node", "dst"), sizes(k.toLong)), Seq("dst"))
+                .select(col("root"), col("src").as("node"), col("dst"))
+                .join(bc(frontier, frontierRows), Seq("root", "node"))
+                .select(col("root"), col("dst").as("node"), col("sigma")))
+            .groupBy(col("root"), col("node"))
+            .agg(sum(col("sigma")).as("sigma"))
+            .localCheckpoint(true)
+          mark(s"fwd level $k (${sizes(k.toLong)} rows)")
+          levels += nxt
+          levelRows += sizes(k.toLong)
+          frontier = nxt
+          frontierRows = sizes(k.toLong)
+        }
+      case None =>
+        var seenRows = frontierRows
+        var done = false
+        while (!done && levels.size <= maxDepth) {
+          // anti-join against the lazy union of the (already checkpointed)
+          // level tables — no separate `seen` materialization per round.
+          // The anti join runs BEFORE the σ aggregate: most expansion
+          // targets are already-seen at later levels, and a broadcast
+          // anti probe per row is far cheaper than a decimal hash-agg
+          // update per row — dropped rows are whole (root, node) keys,
+          // so surviving σ sums are identical.
+          val seen = levels.map(_.select(col("root"), col("node"))).reduce(_ union _)
+          val nxt = und
+            .join(bc(frontier.withColumnRenamed("node", "src"), frontierRows), Seq("src"))
+            .select(col("root"), col("dst").as("node"), col("sigma"))
+            .join(bc(seen, seenRows), Seq("root", "node"), "left_anti")
+            .groupBy(col("root"), col("node"))
+            .agg(sum(col("sigma")).as("sigma"))
+            .localCheckpoint(true)
+          val n = nxt.count()
+          mark(s"fwd level ${levels.size} ($n rows)")
+          if (n == 0) {
+            org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(nxt)
+            done = true
+          } else {
+            levels += nxt
+            levelRows += n
+            seenRows += n
+            frontier = nxt
+            frontierRows = n
+          }
+        }
+        if (!done) {
+          levels.foreach(org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint)
+          if (undOwned) und.unpersist()
+          throw new IllegalStateException(
+            s"brandesBetweenness: frontier still growing after $maxDepth rounds")
+        }
     }
     // Backward sweep: deepest level seeds delta = 0; each level's delta
     // aggregates the truncating per-edge term over its successor level.
@@ -845,10 +914,19 @@ object Graph {
         .select(col("root"), col("node").as("dst"),
           col("sigma").as("wsigma"), col("delta").as("wdelta"))
       // nodes without successors contribute zero rows via the union, so
-      // one aggregate replaces the left-join-with-zeros shape
-      val terms = und.withColumnRenamed("src", "node")
-        .join(bc(levels(lev), levelRows(lev)), Seq("node"))
-        .join(bc(wTab, levelRows(lev + 1)), Seq("root", "dst"))
+      // one aggregate replaces the left-join-with-zeros shape. The two
+      // inner joins commute — expand und through the SMALLER level side
+      // first (level sizes are already in hand), so the intermediate is
+      // Σ deg over the small side instead of the big one (50× here when
+      // the deepest level is thin).
+      val undN = und.withColumnRenamed("src", "node")
+      val terms = (
+        if (levelRows(lev) <= levelRows(lev + 1))
+          undN.join(bc(levels(lev), levelRows(lev)), Seq("node"))
+            .join(bc(wTab, levelRows(lev + 1)), Seq("root", "dst"))
+        else
+          undN.join(bc(wTab, levelRows(lev + 1)), Seq("dst"))
+            .join(bc(levels(lev), levelRows(lev)), Seq("root", "node")))
         .select(col("root"), col("node"),
           expr("(sigma * (1000000 + wdelta)) div wsigma").as("t"))
       val dl = levels(lev)
@@ -857,6 +935,7 @@ object Graph {
         .groupBy(col("root"), col("node"))
         .agg(sum(col("t")).as("delta"))
         .localCheckpoint(true)
+      mark(s"bwd level $lev")
       deltaTabs += dl
       dAbove = dl
       lev -= 1

@@ -268,4 +268,29 @@ class GraphSpec extends AnyFunSuite {
         maxDepth = 2).count()
     }
   }
+
+  test("Brandes: caller-owned dist0 yields the identical dependency table") {
+    // square with chord + pendant, 2 roots — levels of mixed sizes so
+    // both expansion orders (small-previous / small-next) are exercised
+    val edges = Seq((1L, 2L), (2L, 4L), (1L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
+    val roots = Seq(1L, 5L)
+    val e = edges.toDF("src", "dst")
+    val r = roots.toDF("node")
+    val plain = Graph.brandesBetweenness(e, r)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    val dist = Graph.bfsDistancesPerSource(e, r)
+    val viaDist = Graph.brandesBetweenness(e, r, dist0 = Some(dist))
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(viaDist == plain, s"viaDist=$viaDist plain=$plain")
+  }
+
+  test("Brandes: dist0 deeper than maxDepth errors loudly") {
+    val path = (1L to 6L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val e = path.toDF("src", "dst")
+    val r = Seq(1L).toDF("node")
+    val dist = Graph.bfsDistancesPerSource(e, r)
+    intercept[IllegalStateException] {
+      Graph.brandesBetweenness(e, r, maxDepth = 2, dist0 = Some(dist)).count()
+    }
+  }
 }
