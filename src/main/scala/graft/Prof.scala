@@ -239,6 +239,19 @@ object Prof {
       time("boruvka after memo")(Queries.boruvkaQ(spark, dir).count())
       spark.stop(); return
     }
+    if (args.headOption.contains("q")) {
+      // generic per-query repeat timer: `Prof q <name> [sfDir]` — run
+      // once to warm the session memos, then time 3 repeats (memo-warm
+      // steady state; the number a registry-order-sensitive subset
+      // bench can't give when the query is its own memo's first toucher)
+      val name = args(1)
+      val sf = args.lift(2).getOrElse("/root/testdata/sf0.1")
+      time(s"$name warm(memo build)")(SparkEntry.queries(name)(spark, sf).count())
+      (1 to 3).foreach { i =>
+        time(s"$name run$i")(SparkEntry.queries(name)(spark, sf).count())
+      }
+      spark.stop(); return
+    }
     if (args.headOption.contains("betweenness")) {
       // r14 (VERDICT item 5): where do q_betweenness's ~10 s go —
       // the ~10 per-level forward barriers, or the backward-sweep joins?

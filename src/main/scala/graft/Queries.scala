@@ -17034,9 +17034,18 @@ object Queries {
       (pH(col("a")) + pH(col("b"))).as("p")))
     val parts = collection.mutable.ListBuffer.empty[DataFrame]
     val stats = collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    // each round's `before` IS the previous round's `after` (same frame,
+    // same lazy chain): carrying the scalar forward removes a full
+    // re-evaluation of the stacked anti-join chain per round
+    var carried = -1L
     for (r <- 1 to 3) {
-      val before = e.count()
+      val before = if (carried >= 0) carried else e.count()
       val s = struct(col("p"), col("a"), col("b"))
+      // NOTE r14: an explode(array(struct,struct)) single-pass form of
+      // this union measured 1.2 s faster at sf0.1 but 2.7× SLOWER at
+      // the x10 soak (72 vs 26 s — per-row struct allocation in
+      // Generate, the profTri HOF lesson) — reverted; the union's two
+      // lazy-chain evaluations are cheap streaming maps at scale
       val inc = e.select(col("a").as("v"), s.as("s"))
         .union(e.select(col("b").as("v"), s.as("s")))
       // an edge is min at BOTH endpoints ⟺ its struct appears TWICE
@@ -17064,6 +17073,7 @@ object Queries {
           Seq("b"), "left_anti")
       val after = e2.count()
       stats += ((before, nm, after))
+      carried = after
       e = e2
     }
     val all = parts.reduce(_ union _).localCheckpoint(true)

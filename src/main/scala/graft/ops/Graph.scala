@@ -658,7 +658,8 @@ object Graph {
     * @param edges (src, dst, w: long) directed edge list, parallel
     *              edges pre-aggregated.
     */
-  def hits(edges: DataFrame, iters: Int, scale: Long = 1000000L): DataFrame = {
+  def hits(edges: DataFrame, iters: Int, scale: Long = 1000000L,
+      broadcastMaxRows: Long = 4000000L): DataFrame = {
     // Every half-round's score table is an eagerly-released
     // localCheckpoint: `rescale` references its input TWICE (the round
     // max + the join), so a lazy chain re-evaluates the previous table
@@ -671,13 +672,25 @@ object Graph {
       .union(edges.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint(true)
+    // |V| is fixed across rounds: one count gates every score-table
+    // broadcast (honest shuffle fallback past it). With the score side
+    // broadcast, each push join streams an edge copy PRE-PARTITIONED on
+    // its aggregate key (dst for the auth push, src for the hub push),
+    // so the half-round's |E| aggregate reuses the partitioning with no
+    // exchange (guide §2.3/2.4 — the coreness layout; two cached edge
+    // copies is the standard co-partitioning trade, released below).
+    val nV = nodes.count()
+    def bcV(df: DataFrame): DataFrame =
+      if (nV <= broadcastMaxRows) broadcast(df) else df
+    val eDst = edges.repartition(col("dst")).localCheckpoint(true)
+    val eSrc = edges.repartition(col("src")).localCheckpoint(true)
     def rescale(raw0: DataFrame, key: String, out: String): DataFrame = {
       // raw is referenced twice (round max + the rescale join): one
       // |V|-sized checkpoint keeps the |E|-join push aggregate behind it
       // to a single evaluation, released as soon as the result exists
       val raw = raw0.localCheckpoint(true)
       val mx = raw.agg(max(col("r")).as("mx"))
-      val res = nodes.join(raw.withColumnRenamed(key, "node"), Seq("node"), "left")
+      val res = nodes.join(bcV(raw.withColumnRenamed(key, "node")), Seq("node"), "left")
         .crossJoin(broadcast(mx))
         .select(col("node"),
           expr(s"(cast(coalesce(r, 0) as decimal(38,0)) * $scale) div mx")
@@ -698,7 +711,7 @@ object Graph {
       // whole operator (x100 soak); only the |V|-sized rescale
       // multiply widens to decimal.
       val a2 = rescale(
-        edges.join(hub, edges("src") === hub("node"))
+        eDst.join(bcV(hub), eDst("src") === hub("node"))
           .groupBy(col("dst"))
           .agg(sum(col("hub") * col("w")).as("r")),
         "dst", "auth")
@@ -706,7 +719,7 @@ object Graph {
       auth = a2
       authOwned = true
       val h2 = rescale(
-        edges.join(auth, edges("dst") === auth("node"))
+        eSrc.join(bcV(auth), eSrc("dst") === auth("node"))
           .groupBy(col("src"))
           .agg(sum(col("auth") * col("w")).as("r")),
         "src", "hub")
@@ -714,6 +727,9 @@ object Graph {
       hub = h2
       hubOwned = true
     }
+    // the edge copies back nothing in the returned plan — release them
+    org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(eDst)
+    org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(eSrc)
     // after the last half-round the node spine is no longer reachable
     // from the (checkpointed) hub/auth tables — release it, unless no
     // round ran and the lazy initial tables still read it
