@@ -78,18 +78,36 @@ object Bpe {
     * counts are then a word-keyed join of the corpus against this
     * TYPE-sized table — no per-occurrence re-encoding ever happens.
     */
-  def encodeTypes(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+  def encodeTypes(words: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    encodeTypesWithCurve(words, merges, Nil)._1
+
+  /** [[encodeTypes]] that ALSO returns the corpus-weighted subword
+    * totals at the requested merge-prefix checkpoints — the
+    * [[encodeCurve]] readout off the SAME single chain, for callers
+    * (the bpe_enc_types session memo) that can serve both the encoded
+    * dictionary and the compression curve with one 8-pass run. Each
+    * checkpoint costs one scalar aggregate over the already-persisted
+    * intermediate state.
+    */
+  def encodeTypesWithCurve(words: DataFrame, merges: Seq[(String, String)],
+      checkpoints: Seq[Int]): (DataFrame, Seq[(Int, Long)]) = {
+    val want = checkpoints.toSet
+    def total(seq: DataFrame): Long =
+      seq.agg(coalesce(sum(col("freq")), lit(0L))).collect()(0).getLong(0)
     var seq = charSymbols(words).persist()
     seq.count()
-    merges.foreach { case (l, r) =>
+    val pts = ArrayBuffer.empty[(Int, Long)]
+    if (want(0)) pts += ((0, total(seq)))
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
       val next = applyMerge(seq, l, r).persist()
       next.count()
       seq.unpersist()
       seq = next
+      if (want(i + 1)) pts += ((i + 1, total(seq)))
     }
     val out = seq.groupBy(col("word"), col("freq"))
       .agg(count(lit(1)).as("n_subwords"))
-    out
+    (out, pts.toSeq)
   }
 
   /** Corpus-weighted subword totals at every merge-prefix checkpoint,

@@ -605,7 +605,8 @@ object Graph {
     *                parallel-min-reduced internally.
     * @param sources (node) seed set, distance 0.
     */
-  def sssp(edges: DataFrame, sources: DataFrame, maxRounds: Int = 30): DataFrame = {
+  def sssp(edges: DataFrame, sources: DataFrame, maxRounds: Int = 30,
+      broadcastMaxRows: Long = 4000000L): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("w"))
       .filter(col("src") =!= col("dst"))
     val und = e.union(e.select(col("dst").as("src"), col("src").as("dst"), col("w")))
@@ -619,11 +620,17 @@ object Graph {
       (r.getLong(0), r.getLong(1))
     }
     var state = probe(dist)
+    // the O(reached) distance table rides a size-gated broadcast into
+    // the relax join (reached is already in hand from the probe), so
+    // the join streams the src-partitioned edge cache with no exchange;
+    // past the gate the planner's shuffle join is the honest fallback
+    def bcD(df: DataFrame): DataFrame =
+      if (state._1 <= broadcastMaxRows) broadcast(df) else df
     var converged = false
     var i = 0
     while (!converged && i < maxRounds) {
       val next = dist
-        .union(und.join(dist.withColumnRenamed("node", "src"), "src")
+        .union(und.join(bcD(dist.withColumnRenamed("node", "src")), "src")
           .select(col("dst").as("node"), (col("d") + col("w")).as("d")))
         .groupBy(col("node")).agg(min(col("d")).as("d"))
         .localCheckpoint(true)
