@@ -53,6 +53,20 @@ class BpeSpec extends AnyFunSuite {
     assert(got == Seq(("low", 2L, 1L), ("lower", 1L, 4L)))
   }
 
+  test("encodeTypesWithCurve: same final dict as encodeTypes, same points as encodeCurve") {
+    val corpus = Seq((0L, "low low lower newest widest")).toDF("doc_id", "text")
+    val types = Bpe.wordTypes(corpus, "text")
+    val ms = Seq(("l", "o"), ("lo", "w"), ("low", "</w>"), ("e", "s"))
+    val checks = Seq(0, 2, 4)
+    val (dict, pts) = Bpe.encodeTypesWithCurve(types, ms, checks)
+    val dictGot = dict.orderBy("word").as[(String, Long, Long)].collect().toSeq
+    val dictExp = Bpe.encodeTypes(types, ms)
+      .orderBy("word").as[(String, Long, Long)].collect().toSeq
+    assert(dictGot == dictExp, dictGot)
+    val ptsExp = Bpe.encodeCurve(types, ms, checks)
+    assert(pts == ptsExp, pts)
+  }
+
   test("merges are invariant under repartition") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = Bpe.train(docs, "text", 4).orderBy("merge_rank").collect().toSeq
